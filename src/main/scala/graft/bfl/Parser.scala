@@ -1,0 +1,147 @@
+package graft.bfl
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+import Ast.Raw._
+
+/** BFL grammar, ported from the reference's participle struct tags
+  * (reference: server/lib/parser.go:15-77). Produces the raw tree; see
+  * [[Normalize]] for the compile-time pass.
+  *
+  * Precedence (loosest to tightest): logical (`and`/`or`) < equality
+  * (`==`/`!=`) < comparison (`>` `>=` `<` `<=`) < unary (`!` `-`) < primary.
+  * All binary chains are RIGHT-nested, matching the reference's recursive
+  * `Next` fields — `a == b > c` parses as `a == (b > c)`.
+  */
+object Parser extends RegexParsers {
+
+  override def skipWhitespace = true
+  override val whiteSpace = "[ \t\r\n]+".r
+
+  private val identRe = "[a-zA-Z_][a-zA-Z0-9_]*".r
+  // Go text/scanner tokens: Float | Int (sign handled by unary minus)
+  private val numberRe = """(\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?)""".r
+  // Token text KEPT RAW (incl. quotes, unprocessed escapes): the reference
+  // only strips quote chars with strings.Trim(s, "\"") and never unescapes
+  // (reference: server/lib/eval.go:612).
+  private val dqStringRe = """"(\\.|[^"\\])*"""".r
+  private val sqStringRe = """'(\\.|[^'\\])*'""".r
+  private val btStringRe = "`[^`]*`".r
+
+  private def keyword(s: String): Parser[String] =
+    (s + """(?![a-zA-Z0-9_])""").r
+
+  def expression: Parser[RExpression] = logical ^^ RExpression.apply
+
+  def logical: Parser[RLogical] =
+    equality ~ opt((keyword("and") | keyword("or")) ~ logical) ^^ {
+      case e ~ n => RLogical(e, n.map { case op ~ rest => (op, rest) })
+    }
+
+  def equality: Parser[REquality] =
+    comparison ~ opt(("==" | "!=") ~ equality) ^^ { case c ~ n =>
+      REquality(c, n.map { case op ~ rest => (op, rest) })
+    }
+
+  def comparison: Parser[RComparison] =
+    unary ~ opt((">=" | "<=" | ">" | "<") ~ comparison) ^^ { case u ~ n =>
+      RComparison(u, n.map { case op ~ rest => (op, rest) })
+    }
+
+  def unary: Parser[RUnary] =
+    ("!" | "-") ~ unary ^^ { case op ~ u => RUnaryOp(op, u) } |
+      primary ^^ RPrimaryU.apply
+
+  def primary: Parser[RPrimary] =
+    regexLit | boolLit | nilLit | numberLit | stringLit | subExpr | callExpr
+
+  private def numberLit: Parser[RPrimary] = numberRe ^^ (s => RNumber(s.toDouble))
+
+  private def anyString: Parser[String] = dqStringRe | sqStringRe | btStringRe
+
+  private def stringLit: Parser[RPrimary] = anyString ^^ RString.apply
+
+  // `r"pattern"` — `r` must be immediately followed by the string literal.
+  private def regexLit: Parser[RPrimary] = "r" ~> anyString ^^ RRegex.apply
+
+  private def boolLit: Parser[RPrimary] =
+    keyword("true") ^^^ RBool(true) | keyword("false") ^^^ RBool(false)
+
+  private def nilLit: Parser[RPrimary] = keyword("nil") ^^^ RNil
+
+  private def subExpr: Parser[RPrimary] = "(" ~> expression <~ ")" ^^ RSub.apply
+
+  // Identifier chain: `Ident ( (".""*" | ".") Ident? )*`. A dot with no
+  // following identifier followed by `.name` yields recursive descent —
+  // `a..b` flattens exactly as the reference's string-concat + ojg parse does.
+  private def identChain: Parser[List[Seg]] = {
+    sealed trait Link
+    case object WildLink extends Link
+    case class FieldLink(n: Option[String]) extends Link
+    val link: Parser[Link] =
+      "." ~ "*" ^^^ WildLink |
+        "." ~> opt(identRe) ^^ FieldLink.apply
+    identRe ~ rep(link) ^^ { case head ~ links =>
+      val out = scala.collection.mutable.ListBuffer[Seg](Field(head))
+      var pendingDot = false // saw a bare `.` with no ident (start of `..`)
+      links.foreach {
+        case WildLink =>
+          pendingDot = false; out += Wildcard
+        case FieldLink(None) => pendingDot = true
+        case FieldLink(Some(n)) =>
+          if (pendingDot) { out += Descent(n); pendingDot = false }
+          else out += Field(n)
+      }
+      out.toList
+    }
+  }
+
+  private def parameter: Parser[RParam] =
+    opt(identRe <~ ":") ~ expression ^^ { case t ~ e => RParam(t, e) }
+
+  // `[ "(" (param ("," param)*)? ")" ]` — empty parens leave params None,
+  // matching participle's nil Parameters (so `a.b()` degrades to a bare path,
+  // reference: server/lib/precompute.go:60).
+  private def paramList: Parser[Option[List[RParam]]] =
+    "(" ~> repsep(parameter, ",") <~ ")" ^^ {
+      case Nil => None
+      case ps  => Some(ps)
+    }
+
+  private def selectExpr: Parser[RSelect] = {
+    val idx = "[" ~> """-?\d+""".r <~ "]" ^^ (_.toInt)
+    val key = "[" ~> (anyString | "*") <~ "]"
+    val desc = "." ~> "." ~> identRe
+    // `. expression` continuation — must not swallow `..name`
+    val cont = not("." ~ ".") ~> "." ~> expression
+    opt(idx) ~ opt(key) ~ opt(desc) ~ opt(cont) ^? {
+      case i ~ k ~ d ~ c if i.isDefined || k.isDefined || d.isDefined || c.isDefined =>
+        RSelect(i, k, d, c)
+    }
+  }
+
+  def callExpr: Parser[RPrimary] =
+    identChain ~ opt(paramList) ~ opt(selectExpr) ^^ { case segs ~ p ~ s =>
+      RCall(segs, p.flatten, s)
+    }
+
+  /** Parse a query string to the raw tree. Empty string = match-all
+    * (reference: server/lib/parser.go:84-86).
+    */
+  def parseRaw(text: String): Either[String, Option[RExpression]] =
+    if (text.trim.isEmpty) Right(None)
+    else
+      parseAll(expression, text) match {
+        case Success(r, _) => Right(Some(r))
+        case NoSuccess(msg, next) =>
+          Left(s"$msg (at line ${next.pos.line}, column ${next.pos.column})")
+        case _ => Left("parse failure")
+      }
+
+  /** Parse + normalize (the reference's Parse + Precompute). */
+  def parse(text: String): Either[String, Query] =
+    parseRaw(text).flatMap {
+      case None    => Right(Query(None, None))
+      case Some(r) => Normalize(r)
+    }
+}
