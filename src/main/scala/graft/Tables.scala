@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central table loaders for the driver-generated parquet fixtures.
+  *
+  * `events.parquet` is written with TIMESTAMP(NANOS) which Spark's vectorized
+  * Parquet reader rejects; sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]), after
+  * which `ts` arrives as a Long of epoch nanoseconds and is normalized here to
+  * a microsecond TimestampType with integer arithmetic (no double rounding).
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer DIV: double division would lose sub-µs precision at 1e18 ns
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
+
+/** Session config shared by Verify/Bench/tests. */
+object Sessions {
+  def builder(master: String, cpus: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,67 @@
+package graft.bfl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BflExpressions
+
+/** User-facing BFL API over DataFrames.
+  *
+  * Two execution tiers, chosen automatically:
+  *   1. compiled — native Catalyst Columns (pushdown + whole-stage codegen),
+  *      for the statically-typable subset ([[Compiler]]);
+  *   2. interpreter fallback — exact reference semantics row-at-a-time over a
+  *      JSON doc column ([[graft.functions.BflMatchExpr]]), for redact /
+  *      json() / xml() / recursive descent / schema-free shapes.
+  */
+object Bfl {
+
+  final case class Applied(df: DataFrame, usedCompiled: Boolean)
+
+  /** Filter `df` with a BFL query. Macros are expanded first. `docCol`
+    * names a JSON-string column holding the document for fallback queries;
+    * when absent, the whole row is serialized (`to_json(struct(*))`) —
+    * column-pruned away by Catalyst when the compiled path is taken.
+    */
+  def filter(
+      df: DataFrame,
+      query: String,
+      macros: Map[String, String] = Map.empty,
+      docCol: Option[String] = None
+  ): Applied = {
+    val expanded = Macros.expand(macros, query)
+    try {
+      val plan = Compiler.compile(df, expanded)
+      val filtered = df.where(plan.pred)
+      Applied(plan.limit.fold(filtered)(n => filtered.limit(n.toInt)), usedCompiled = true)
+    } catch {
+      case _: Compiler.Unsupported =>
+        val doc = docCol.map(col).getOrElse(to_json(struct(df.columns.map(col): _*)))
+        val q = Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)
+        val filtered = df.where(coalesce(BflExpressions.bflMatch(doc, expanded), lit(false)))
+        Applied(q.limit.fold(filtered)(n => filtered.limit(n.toInt)), usedCompiled = false)
+    }
+  }
+
+  /** Filter + transform over a JSON document column: returns the docs that
+    * match, with record-altering helpers (redact) applied — the exact analog
+    * of the reference's query path (truth, newJson)
+    * (reference: server/lib/storages/native.go:476-490).
+    */
+  def queryDocs(df: DataFrame, docCol: String, query: String,
+      macros: Map[String, String] = Map.empty): DataFrame = {
+    val expanded = Macros.expand(macros, query)
+    val q = Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)
+    val matched = df.where(coalesce(BflExpressions.bflMatch(col(docCol), expanded), lit(false)))
+    val transformed = matched.withColumn(docCol, BflExpressions.bflTransform(col(docCol), expanded))
+    q.limit.fold(transformed)(n => transformed.limit(n.toInt))
+  }
+
+  /** `/validate` — parse-only check (reference: native.go:605-622). */
+  def validate(query: String, macros: Map[String, String] = Map.empty): Either[String, Unit] =
+    Parser.parse(Macros.expand(macros, query)).map(_ => ())
+
+  /** Predicate Column without applying it (compiled tier only). */
+  def predicate(df: DataFrame, query: String): Column =
+    Compiler.compile(df, query).pred
+}

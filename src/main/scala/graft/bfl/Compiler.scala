@@ -1,0 +1,373 @@
+package graft.bfl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+import graft.functions.BflExpressions
+
+/** Schema-aware BFL → Catalyst Column compiler — the Spark-first fast path.
+  *
+  * Compiles the common BFL subset (paths, literals, logical/equality/
+  * comparison chains, string helpers, regex, folded time helpers, limit)
+  * straight to native Column expressions so Catalyst can push predicates to
+  * the Parquet scan and keep everything inside whole-stage codegen. Queries
+  * using redact / json() / xml() / recursive descent raise
+  * [[Compiler.Unsupported]]; callers fall back to the exact interpreter
+  * expression ([[graft.functions.BflMatchExpr]]).
+  *
+  * Reference semantics are encoded algebraically: every node compiles to a
+  * (value, collapse) Column pair. Collapse (missing bare path / undefined
+  * helper) wins over everything except left-to-right short-circuiting
+  * (reference: server/lib/eval.go:613-624, 744-776): `false and missing` is
+  * false, `missing or true` collapses the whole expression. The compiled
+  * subset is pure, so evaluation ORDER doesn't matter — only outcomes, which
+  * the when/otherwise cascades reproduce exactly.
+  *
+  * Scan-friendliness: comparisons against literals keep the column's native
+  * type whenever the coercion semantics are provably equivalent —
+  * `l_quantity > 30` compiles to `l_quantity > 30.0d` (pushable Parquet
+  * filter), `ts >= datetime(...)` compiles to a native timestamp compare
+  * (row-group pruning), instead of the generic
+  * `cast-to-double`/`GoFmt-string` forms.
+  */
+object Compiler {
+
+  final case class Unsupported(reason: String) extends RuntimeException(reason)
+
+  /** Compiled plan: `pred` filters, `limit` caps matched rows. */
+  final case class BflPlan(pred: Column, limit: Option[Long])
+
+  /** Static BFL operand type, tracked through compilation so §1.2's dynamic
+    * coercions can be applied with zero runtime dispatch.
+    */
+  sealed trait BT
+  case object TStr extends BT
+  case object TLong extends BT
+  case object TDouble extends BT
+  case object TBool extends BT
+  case object TNull extends BT
+  /** a raw TimestampType column; coerces as epoch millis (the reference's
+    * `timestamp` fields are epoch-millis int64, native.go:1024)
+    */
+  case object TTimestamp extends BT
+  /** text extracted from a JSON document column — dynamically typed */
+  case object TJson extends BT
+  final case class TArr(elem: BT) extends BT
+
+  /** value+type+collapse triple for one compiled node; `litNum`/`litRegex`
+    * capture literal operands for the pushdown fast paths.
+    */
+  private final case class CV(
+      value: Column,
+      t: BT,
+      collapse: Column,
+      litNum: Option[Double] = None,
+      litMillis: Option[Long] = None,
+      litRegex: Option[String] = None
+  )
+  private val noCollapse = lit(false)
+
+  def compile(df: DataFrame, queryStr: String): BflPlan = {
+    val q = Parser.parse(queryStr).fold(e => throw Unsupported(s"parse: $e"), identity)
+    compileQuery(df.schema, q)
+  }
+
+  def compileQuery(schema: StructType, q: Query): BflPlan =
+    q.expr match {
+      case None => BflPlan(lit(true), q.limit)
+      case Some(e) =>
+        val cv = comp(e, schema)
+        // NULL in a Filter is dropped like false, so no coalesce wrapper is
+        // needed — keeping the predicate a plain conjunction lets Catalyst
+        // split it and push the pieces into the Parquet scan.
+        BflPlan(!cv.collapse && truthy(cv), q.limit)
+    }
+
+  // ---------- recursive compilation ----------
+
+  private def comp(e: Expr, schema: StructType): CV = e match {
+    case NumLit(v)   => CV(lit(v), TDouble, noCollapse, litNum = Some(v))
+    case StrLit(v)   => CV(lit(v), TStr, noCollapse)
+    case BoolLit(v)  => CV(lit(v), TBool, noCollapse)
+    case NilLit      => CV(lit(null).cast(StringType), TNull, noCollapse)
+    case TimeLit(ms) => CV(lit(ms), TLong, noCollapse, litMillis = Some(ms))
+    case RegexLit(p) => CV(lit(p), TStr, noCollapse, litRegex = Some(p))
+
+    case PathGet(path) =>
+      val r = resolve(path, schema)
+      CV(r.value, r.t, r.value.isNull)
+
+    case Logical(op, l, r) =>
+      val a = comp(l, schema)
+      val b = comp(r, schema)
+      val ab = truthy(a)
+      val bb = truthy(b)
+      // `value` may assume ¬collapse (a collapsed node's value is never
+      // consulted — ancestors propagate collapse and the root returns false),
+      // so logical nodes compile to PLAIN conjunctions/disjunctions that
+      // Catalyst can split and push down. Collapse itself still encodes the
+      // short-circuit precedence: `false and missing` doesn't collapse,
+      // `missing or true` does (reference: server/lib/eval.go:744-776).
+      val (value, collapse) = op match {
+        case "and" => (ab && bb, a.collapse || (ab && b.collapse))
+        case "or"  => (ab || bb, a.collapse || (!ab && b.collapse))
+      }
+      CV(value, TBool, collapse)
+
+    case Equality(op, l, r) =>
+      val a = comp(l, schema)
+      val b = comp(r, schema)
+      val eq = equalityCol(a, b)
+      CV(if (op == "==") eq else !eq, TBool, a.collapse || b.collapse)
+
+    case Comparison(op, l, r) =>
+      val a = comp(l, schema)
+      val b = comp(r, schema)
+      CV(comparisonCol(op, a, b), TBool, a.collapse || b.collapse)
+
+    case Unary(op, operand) =>
+      val a = comp(operand, schema)
+      (op, a.t) match {
+        case ("!", TBool)   => CV(!a.value, TBool, a.collapse)
+        case ("-", TDouble) =>
+          CV(-a.value, TDouble, a.collapse, litNum = a.litNum.map(-_))
+        case ("-", TLong) => CV(-a.value, TLong, a.collapse)
+        case ("!", TJson) =>
+          throw Unsupported("! on dynamically-typed JSON value")
+        case _ => a
+      }
+
+    case HelperCall(name, recv, args) =>
+      name match {
+        case "startsWith" | "endsWith" | "contains" =>
+          if (args.isEmpty) CV(lit(false), TBool, noCollapse)
+          else {
+            val r = resolve(recv, schema)
+            val a = comp(args.head, schema)
+            val s = toStr(r.value, r.t)
+            val arg = toStr(a.value, a.t)
+            val res = name match {
+              case "startsWith" => s.startsWith(arg)
+              case "endsWith"   => s.endsWith(arg)
+              case _            => s.contains(arg)
+            }
+            CV(coalesce(res, lit(false)), TBool, a.collapse)
+          }
+        case "datetime" =>
+          args.headOption match {
+            case Some(StrLit(s)) =>
+              Interp.parseDatetime(s) match {
+                case Some(ms) =>
+                  CV(lit(ms), TLong, noCollapse, litMillis = Some(ms))
+                case None => CV(lit(false), TBool, noCollapse)
+              }
+            case _ => CV(lit(false), TBool, noCollapse)
+          }
+        case "limit" => CV(lit(true), TBool, noCollapse)
+        case "redact" =>
+          throw Unsupported("redact requires the transform path")
+        case other => throw Unsupported(s"helper $other")
+      }
+
+    case JsonGet(_, _, _) =>
+      throw Unsupported("json()/xml() over typed schema — use document fallback")
+  }
+
+  // ---------- coercions (reference: server/lib/eval.go:27-88) ----------
+
+  private def truthy(cv: CV): Column = cv.t match {
+    case TStr | TJson    => cv.value.isNotNull && cv.value =!= ""
+    case TLong | TDouble => cv.value > 0
+    case TTimestamp      => unix_millis(cv.value) > 0
+    // TBool values are never null under the ¬collapse contract (literals,
+    // logical/equality/comparison outputs, coalesced helpers; null bool
+    // path-columns are covered by their collapse term) — no coalesce, which
+    // would block Catalyst's conjunct splitting + Parquet pushdown.
+    case TBool           => cv.value
+    case TNull           => lit(false)
+    case TArr(_)         => size(cv.value) > 0
+  }
+
+  private def toStr(c: Column, t: BT): Column = t match {
+    case TStr | TJson => c
+    case TLong        => c.cast(StringType)
+    case TTimestamp   => unix_millis(c).cast(StringType)
+    case TDouble      => BflExpressions.goFmt(c)
+    case TBool        => c.cast(StringType)
+    case TNull        => lit("null")
+    case TArr(_)      => lit("")
+  }
+
+  private def toNum(c: Column, t: BT): Column = t match {
+    case TLong | TDouble => c.cast(DoubleType)
+    case TTimestamp      => unix_millis(c).cast(DoubleType)
+    case TStr | TJson    => coalesce(c.cast(DoubleType), lit(0.0))
+    case TBool           => when(coalesce(c, lit(false)), 1.0).otherwise(0.0)
+    case TNull           => lit(0.0)
+    case TArr(_)         => lit(0.0)
+  }
+
+  /** Is `%g`-string equality on this double literal equivalent to native
+    * numeric equality against an integral column? True when the literal
+    * formats to its exact integer digits (6-significant-digit window).
+    */
+  private def longExact(v: Double): Option[Long] =
+    if (v == math.rint(v) && math.abs(v) < 1e15 &&
+      GoFmt.format(v) == v.toLong.toString) Some(v.toLong)
+    else None
+
+  private def equalityCol(a: CV, b: CV): Column = (a, b) match {
+    // regex operand ⇒ unanchored match (Go MatchString ≡ rlike)
+    case _ if a.litRegex.isDefined => toStr(b.value, b.t).rlike(a.litRegex.get)
+    case _ if b.litRegex.isDefined => toStr(a.value, a.t).rlike(b.litRegex.get)
+    case _ =>
+      (a.t, b.t) match {
+        case (TArr(_), TArr(_)) => a.value === b.value
+        case (TArr(ea), _) =>
+          coalesce(exists(a.value, e => toStr(e, ea) === toStr(b.value, b.t)), lit(false))
+        case (_, TArr(eb)) =>
+          coalesce(exists(b.value, e => toStr(a.value, a.t) === toStr(e, eb)), lit(false))
+        // pushdown fast paths: native typed compare when provably equivalent
+        case (TLong, _) if b.litNum.flatMap(longExact).isDefined =>
+          a.value === lit(b.litNum.flatMap(longExact).get)
+        case (_, TLong) if a.litNum.flatMap(longExact).isDefined =>
+          b.value === lit(a.litNum.flatMap(longExact).get)
+        case (TTimestamp, _) if b.litMillis.isDefined =>
+          a.value === timestamp_millis(lit(b.litMillis.get))
+        case (_, TTimestamp) if a.litMillis.isDefined =>
+          b.value === timestamp_millis(lit(a.litMillis.get))
+        case _ => toStr(a.value, a.t) === toStr(b.value, b.t)
+      }
+  }
+
+  private def comparisonCol(op: String, a: CV, b: CV): Column = {
+    def sc(x: Column, y: Column): Column = op match {
+      case ">"  => x > y
+      case "<"  => x < y
+      case ">=" => x >= y
+      case "<=" => x <= y
+    }
+    (a.t, b.t) match {
+      case (TArr(ea), TArr(eb)) =>
+        coalesce(
+          forall(a.value, i => coalesce(forall(b.value, j => sc(toNum(i, ea), toNum(j, eb))), lit(true))),
+          lit(true)
+        )
+      case (TArr(ea), _) =>
+        coalesce(exists(a.value, i => sc(toNum(i, ea), toNum(b.value, b.t))), lit(false))
+      case (_, TArr(eb)) =>
+        coalesce(exists(b.value, j => sc(toNum(a.value, a.t), toNum(j, eb))), lit(false))
+      // pushdown fast paths: numeric compare is identical to the generic
+      // double-coerced compare for native numeric columns, but keeps the
+      // column uncasted so the filter reaches the Parquet reader
+      case (TDouble, _) if b.litNum.isDefined && a.litNum.isEmpty =>
+        sc(a.value, lit(b.litNum.get))
+      case (_, TDouble) if a.litNum.isDefined && b.litNum.isEmpty =>
+        sc(lit(a.litNum.get), b.value)
+      case (TLong, _) if b.litNum.isDefined =>
+        sc(a.value.cast(DoubleType), lit(b.litNum.get))
+      case (TTimestamp, _) if b.litMillis.isDefined =>
+        sc(a.value, timestamp_millis(lit(b.litMillis.get)))
+      case (_, TTimestamp) if a.litMillis.isDefined =>
+        sc(timestamp_millis(lit(a.litMillis.get)), b.value)
+      case _ => sc(toNum(a.value, a.t), toNum(b.value, b.t))
+    }
+  }
+
+  // ---------- schema-aware path resolution ----------
+
+  private final case class Resolved(value: Column, t: BT)
+  private def missing: Resolved = Resolved(lit(null).cast(StringType), TNull)
+
+  private def btOf(dt: DataType): BT = dt match {
+    case StringType                                    => TStr
+    case LongType | IntegerType | ShortType | ByteType => TLong
+    case DoubleType | FloatType | _: DecimalType       => TDouble
+    case BooleanType                                   => TBool
+    case TimestampType | TimestampNTZType              => TTimestamp
+    case _                                             => TJson
+  }
+
+  private def resolve(path: List[Seg], schema: StructType): Resolved = {
+    if (path.isEmpty) throw Unsupported("empty path")
+    val head = path.head match {
+      case Field(n) => n
+      case Key(k)   => k
+      case other    => throw Unsupported(s"path cannot start with $other")
+    }
+    schema.fields.find(_.name == head) match {
+      case None    => missing // unknown root field: always collapses
+      case Some(f) => walk(col(f.name), f.dataType, path.tail)
+    }
+  }
+
+  private def walk(c: Column, dt: DataType, rest: List[Seg]): Resolved =
+    rest match {
+      case Nil =>
+        dt match {
+          case ArrayType(et, _) => Resolved(c, TArr(btOf(et)))
+          case _                => Resolved(c, btOf(dt))
+        }
+      case seg :: tail =>
+        (dt, seg) match {
+          case (st: StructType, Field(n)) =>
+            st.fields.find(_.name == n) match {
+              case Some(f) => walk(c.getField(n), f.dataType, tail)
+              case None    => missing
+            }
+          case (st: StructType, Key(k)) =>
+            st.fields.find(_.name == k) match {
+              case Some(f) => walk(c.getField(k), f.dataType, tail)
+              case None    => missing
+            }
+          case (MapType(_, vt, _), Field(n)) => walk(element_at(c, n), vt, tail)
+          case (MapType(_, vt, _), Key(k))   => walk(element_at(c, k), vt, tail)
+          case (ArrayType(et, _), Index(i)) =>
+            // ojg is 0-based (negative = from end); element_at is 1-based
+            val idx = if (i >= 0) i + 1 else i
+            walk(element_at(c, idx), et, tail)
+          case (ArrayType(et, _), Wildcard) =>
+            tail match {
+              case Nil => Resolved(c, TArr(btOf(et)))
+              case Field(n) :: Nil =>
+                et match {
+                  case st: StructType =>
+                    st.fields.find(_.name == n) match {
+                      case Some(f) =>
+                        Resolved(
+                          filter(transform(c, e => e.getField(n)), _.isNotNull),
+                          TArr(btOf(f.dataType))
+                        )
+                      case None => missing
+                    }
+                  case _ => throw Unsupported("wildcard.field over non-struct array")
+                }
+              case _ => throw Unsupported("deep path after wildcard")
+            }
+          case (StringType, _) =>
+            // document boundary: remaining path goes through get_json_object
+            jsonWalk(c, seg :: tail)
+          case (_, Descent(_)) => throw Unsupported("recursive descent")
+          case _               => missing
+        }
+    }
+
+  private def jsonWalk(c: Column, rest: List[Seg]): Resolved = {
+    val sb = new StringBuilder("$")
+    var isArray = false
+    rest.foreach {
+      case Field(n) => sb ++= "."; sb ++= n
+      case Key(k)   => sb ++= "."; sb ++= k
+      case Index(i) => sb ++= s"[$i]"
+      case Wildcard => sb ++= "[*]"; isArray = true
+      case Descent(_) =>
+        throw Unsupported("recursive descent inside JSON document")
+    }
+    val extracted = get_json_object(c, sb.toString)
+    if (isArray)
+      Resolved(from_json(extracted, ArrayType(StringType)), TArr(TJson))
+    else Resolved(extracted, TJson)
+  }
+}

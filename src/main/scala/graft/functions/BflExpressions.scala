@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.bfl.{GoFmt, Interp, JsonTree, Parser}
+
+/** Go `strconv.FormatFloat(f,'g',6,64)` as a Catalyst expression — used by the
+  * BFL Column compiler for string-coerced equality on double operands
+  * (reference: server/lib/eval.go:55). Null-propagating unary; interpreted
+  * eval is fine here because it only appears in equality residuals, never in
+  * scan-pushdown position.
+  */
+case class GoFormatExpr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(GoFmt.format(v.asInstanceOf[Double]))
+  override protected def withNewChildInternal(c: Expression): GoFormatExpr = copy(c)
+  override def prettyName: String = "go_fmt"
+}
+
+/** Full-fidelity BFL predicate over a JSON-string document column. Fallback
+  * for queries outside the Column compiler's subset (redact / json() / xml()
+  * / recursive descent / wildcard fan-out over schema-free docs). Evaluates
+  * the reference interpreter row-at-a-time; the query is compiled once per
+  * executor thread via a transient lazy val.
+  */
+case class BflMatchExpr(child: Expression, queryStr: String)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  @transient private lazy val interp: Interp =
+    Parser.parse(queryStr) match {
+      case Right(q) => new Interp(q)
+      case Left(e)  => throw new IllegalArgumentException(s"bad BFL query: $e")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val json = v.toString
+    JsonTree.tryParse(json) match {
+      case Some(root) => interp.eval(root)
+      case None       => false
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): BflMatchExpr =
+    copy(child = c)
+  override def prettyName: String = "bfl_match"
+}
+
+/** BFL record transform: evaluates the query (for its record-altering helpers,
+  * i.e. redact) and returns the transformed JSON text. Pairs with
+  * [[BflMatchExpr]] the way the reference's Eval returns (truth, newJson)
+  * (reference: server/lib/eval.go:802-812).
+  */
+case class BflTransformExpr(child: Expression, queryStr: String)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  @transient private lazy val interp: Interp =
+    Parser.parse(queryStr) match {
+      case Right(q) => new Interp(q)
+      case Left(e)  => throw new IllegalArgumentException(s"bad BFL query: $e")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val json = v.toString
+    JsonTree.tryParse(json) match {
+      case Some(root) =>
+        interp.eval(root)
+        UTF8String.fromString(JsonTree.serialize(root))
+      case None => null
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): BflTransformExpr =
+    copy(child = c)
+  override def prettyName: String = "bfl_transform"
+}
+
+object BflExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def goFmt(c: Column): Column = ColumnBridge.column(GoFormatExpr(expr(c)))
+  def bflMatch(c: Column, query: String): Column =
+    ColumnBridge.column(BflMatchExpr(expr(c), query))
+  def bflTransform(c: Column, query: String): Column =
+    ColumnBridge.column(BflTransformExpr(expr(c), query))
+
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+}

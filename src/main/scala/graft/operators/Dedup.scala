@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB shape: everything is a hash-partitioned groupBy/join on compact
+  * keys (md5 prefixes), never a cross join. MinHash uses md5-based signature
+  * functions so the DuckDB oracle can reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct md5(text) with the
+    * kept (minimum) id and the duplicate count. At scale: single
+    * hash-partitioned aggregation, combiner-friendly, no skew (md5 keys are
+    * uniform).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Word n-gram shingles (default 3): `transform(sequence(...))` keeps it
+    * inside codegen. Oracle mirror:
+    * `list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2])`.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = split(trim(text), "\\s+")
+    when(
+      size(ws) >= n,
+      transform(
+        sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)
+      )
+    ).otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** MinHash signature k hash functions, each `min(md5(seed || ':' || s))`
+    * over the distinct shingle set. Hex-string min is a valid uniform
+    * min-hash; md5 makes it engine-portable.
+    */
+  def minhashSigs(shingleArr: Column, k: Int): Seq[Column] =
+    (0 until k).map { seed =>
+      array_min(transform(array_distinct(shingleArr), s => md5(concat(lit(s"$seed:"), s))))
+        .as(s"mh$seed")
+    }
+
+  /** LSH banding: docs sharing any band (md5 over r consecutive signature
+    * values) are near-dup candidates. Returns (id, band_idx, band_hash) in
+    * long form, ready for a self-join on (band_idx, band_hash) — the
+    * scale-out path: candidates are generated per-bucket, never all-pairs.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingles(col(textCol))
+    val withSigs = df.select(col(idCol) +: minhashSigs(sh, k): _*)
+    val bands = k / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+          .as("band_hash")
+      )
+    }
+    withSigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate near-dup pairs via LSH, verified with exact shingle-set
+    * Jaccard ≥ `threshold`. The join is per-bucket (hash-partitioned on
+    * band_hash); Jaccard verification only touches candidate pairs.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val bands = lshBands(df, idCol, textCol, k, rowsPerBand)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a
+      .join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+
+    val sh = df.select(
+      col(idCol),
+      array_distinct(shingles(col(textCol))).as("sh")
+    )
+    cand
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          6
+        )
+      )
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per-token 64-bit hash (xxhash64 — Spark
+    * native, codegen'd), bitwise vote, sign → bit. Near-dups have small
+    * Hamming distance. (Engine-internal signature — no cross-engine oracle.)
+    */
+  def simhash64(tokensArr: Column): Column = {
+    // votes: for each of 64 bits sum ±1 across token hashes
+    val hashes = transform(tokensArr, t => xxhash64(t))
+    val bitVotes = (0 until 64).map { bit =>
+      aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+      )
+    }
+    bitVotes.zipWithIndex
+      .map { case (v, i) => when(v > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)) }
+      .reduce(_ bitwiseOR _)
+  }
+}

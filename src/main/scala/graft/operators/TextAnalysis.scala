@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, and content
+  * fingerprinting. All pure Column expressions (whole-stage codegen, no UDFs)
+  * so they scan-scale linearly; each has an exactly-mirrorable DuckDB SQL
+  * form used by the correctness oracle.
+  */
+object TextAnalysis {
+
+  /** whitespace tokenization — matches `string_split_regex(trim(x),'\s+')` */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** punctuation character count */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  /** Simple quality signals: chars, tokens, avg word length, punctuation
+    * ratio, and a composite score in [0,1]. The formula is arbitrary but
+    * deterministic and identical in the SQL oracle.
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    val chars = length(t)
+    val punct = punctCount(t)
+    df.withColumn("n_tokens", toks)
+      .withColumn("n_chars_m", chars)
+      .withColumn("punct_ratio", round(punct.cast("double") / greatest(chars, lit(1)), 6))
+      .withColumn("avg_word_len", round(chars.cast("double") / greatest(toks, lit(1)), 6))
+      .withColumn(
+        "quality_score",
+        round(
+          least(toks.cast("double") / lit(50.0), lit(1.0)) *
+            (lit(1.0) - least(punct.cast("double") / greatest(chars, lit(1)), lit(1.0))),
+          6
+        )
+      )
+  }
+
+  private val langMarkers: List[(String, Seq[String])] = List(
+    "en" -> Seq("the", "and", "of", "a", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une")
+  )
+
+  /** Marker-word language ID: counts stop-word hits per language over
+    * space-split tokens, picks the max with fixed priority en>de>es>fr.
+    * (An n-gram model would need training data; marker words are the
+    * deterministic, oracle-mirrorable heuristic.)
+    */
+  def langId(text: Column): Column = {
+    val ws = split(text, " ")
+    val counts = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(ws, w => w.isInCollection(words)))
+    }
+    val Seq(en, de, es, fr) = counts.map(_._2)
+    when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** DuckDB SQL fragment computing the same langId for column `c`. */
+  def langIdSql(c: String): String = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(string_split($c, ' '), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val en = cnt(langMarkers(0)._2); val de = cnt(langMarkers(1)._2)
+    val es = cnt(langMarkers(2)._2); val fr = cnt(langMarkers(3)._2)
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en > 0 THEN 'en'
+        WHEN $de >= $es AND $de >= $fr AND $de > 0 THEN 'de'
+        WHEN $es >= $fr AND $es > 0 THEN 'es'
+        WHEN $fr > 0 THEN 'fr' ELSE 'unknown' END"""
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Cross-engine stable (md5 in both Spark and DuckDB); the first 16 hex
+    * chars serve as a 64-bit fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+
+  /** Bag fingerprint: md5 over the sorted distinct token multiset — equal for
+    * word-order permutations (near-dup signal).
+    */
+  def bagFingerprint(text: Column): Column =
+    substring(md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text)))))), 1, 16)
+}
