@@ -1,0 +1,369 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.bfl.{Ast, Bfl, Compiler, Interp, JsonTree, Macros, Parser}
+import graft.functions.BflExpressions
+
+/** Engine over a Parquet-backed append-only record log — the Spark-native
+  * re-expression of the reference's storage + command surface
+  * (reference: server/lib/storages/native.go, server/lib/structs.go:90-107).
+  *
+  * | reference                      | here                                    |
+  * |--------------------------------|-----------------------------------------|
+  * | length-prefixed JSON log files | Parquet batches `records/batch_%09d`    |
+  * | offsets[] + partitionRefs[]    | `id` column + Parquet min/max row-group  |
+  * |                                | statistics (pruning replaces the index) |
+  * | global RWMutex single writer   | engine-level insert lock (single JVM);  |
+  * |                                | cluster: one streaming sink per log     |
+  * | fsnotify tail                  | Structured Streaming file source        |
+  * | gob core dump                  | meta.json (macros, filter, high-water)  |
+  *
+  * Records carry (id LONG, ts LONG epoch-millis, doc STRING); the stored doc
+  * has the 24-digit zero-padded id injected, exactly like the reference
+  * (reference: native.go:302-311, helpers.go:15-17).
+  */
+final class Engine(val spark: SparkSession, val dir: String) {
+
+  import Engine._
+
+  private val recordsDir = Paths.get(dir, "records")
+  private val metaPath = Paths.get(dir, "meta.json")
+
+  Files.createDirectories(recordsDir)
+
+  // ---- durable metadata (the reference's gob core dump analog) ----
+  @volatile private var meta: Meta = loadMeta()
+
+  private def loadMeta(): Meta =
+    if (Files.exists(metaPath)) Meta.fromJson(new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8))
+    else Meta()
+
+  private def saveMeta(): Unit =
+    Files.write(
+      metaPath,
+      meta.toJson.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING
+    )
+
+  private val recordSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("doc", StringType, nullable = false)
+  ))
+
+  // ------------------------------------------------------------------
+  // commands (reference: server/lib/structs.go:60-72 dispatch surface)
+  // ------------------------------------------------------------------
+
+  /** `/insert` — batch insert of JSON lines. Applies the insertion filter
+    * (drop + transform), injects the 24-digit id, appends one Parquet batch.
+    * Returns the ids assigned. Single-writer per engine instance, like the
+    * reference's storage mutex (reference: native.go:266-334).
+    */
+  def insert(jsonDocs: Seq[String]): Seq[Long] = synchronized {
+    val filterInterp = meta.insertionFilter.map(q =>
+      new Interp(parseOrThrow(expand(q))))
+    val now = System.currentTimeMillis()
+    var nextId = meta.highWater
+    val rows = jsonDocs.flatMap { json =>
+      JsonTree.tryParse(json) match {
+        case None => None // non-JSON lines are rejected (server_test.go:30-32)
+        case Some(root0) =>
+          var root = root0
+          val keep = filterInterp.forall { in =>
+            val t = in.eval(root)
+            t
+          }
+          if (!keep) None
+          else {
+            root match {
+              case m: JsonTree.Obj =>
+                m.put("id", indexToId(nextId))
+                val ts = m.get("timestamp") match {
+                  case Some(l: Long) => l
+                  case _             => now
+                }
+                val r = Row(nextId, ts, JsonTree.serialize(m))
+                nextId += 1
+                Some(r)
+              case _ => None // non-object records are rejected
+            }
+          }
+      }
+    }
+    if (rows.nonEmpty) {
+      val batch = spark.createDataFrame(rows.asJava, recordSchema)
+      batch
+        .repartition(1)
+        .write
+        .mode(SaveMode.Append)
+        .parquet(recordsDir.resolve(f"batch_${meta.batchSeq}%09d").toString)
+    }
+    val assigned = (meta.highWater until nextId).toList
+    meta = meta.copy(highWater = nextId, batchSeq = meta.batchSeq + 1)
+    saveMeta()
+    enforceRetention()
+    assigned
+  }
+
+  /** All live records as a DataFrame (id, ts, doc), scan-ordered by id.
+    * The id filter replaces the reference's offsets index: Parquet row-group
+    * min/max stats prune batches a `leftOff` resume skips.
+    */
+  def records(): DataFrame = {
+    val batches = listBatches()
+    if (batches.isEmpty)
+      spark.createDataFrame(java.util.List.of[Row](), recordSchema)
+    else
+      spark.read.schema(recordSchema).parquet(batches.map(_.toString): _*)
+  }
+
+  /** `/query` — filtered scan from `leftOff` (exclusive index semantics match
+    * Fetch; "" = beginning, "latest" = last record only). Returns transformed
+    * docs in id order, capped by the query's `limit(N)`
+    * (reference: native.go:369-523).
+    */
+  def query(leftOff: String, queryStr: String): DataFrame = {
+    val expanded = expand(queryStr)
+    val q = parseOrThrow(expanded)
+    val base = leftOff match {
+      case "" | null => records()
+      case "latest"  => records().where(col("id") === meta.highWater - 1)
+      case s         => records().where(col("id") > s.toLong)
+    }
+    val matched = applyQuery(base, expanded, q)
+    q.limit.fold(matched)(n => matched.orderBy("id").limit(n.toInt))
+  }
+
+  /** `/single` — point lookup by index; only the query's record-altering
+    * helpers apply, the predicate itself is not used to reject
+    * (reference: native.go:526-601).
+    */
+  def single(index: Long, queryStr: String): Option[String] = {
+    val expanded = expand(queryStr)
+    parseOrThrow(expanded) // validate
+    val rows = records()
+      .where(col("id") === index)
+      .select(BflExpressions.bflTransform(col("doc"), expanded))
+      .collect()
+    rows.headOption.map(_.getString(0))
+  }
+
+  /** `/fetch` — page of up to `limit` matching records scanning forward
+    * (direction > 0) or backward from `leftOff`; limit counts MATCHES
+    * (reference: native.go:625-827). Returns (rows, metadata).
+    */
+  def fetch(leftOff: Long, direction: Int, queryStr: String, limit: Int): (Seq[String], FetchMeta) = {
+    val expanded = expand(queryStr)
+    parseOrThrow(expanded)
+    val base =
+      if (direction < 0) records().where(col("id") < leftOff).orderBy(col("id").desc)
+      else records().where(col("id") > leftOff).orderBy(col("id"))
+    val matched = applyQueryNoLimit(base, expanded)
+      .select(col("id"), BflExpressions.bflTransform(col("doc"), expanded).as("doc"))
+      .limit(limit)
+    val out = matched.collect()
+    val docs = out.map(_.getString(1)).toSeq
+    val ids = out.map(_.getLong(0))
+    val total = meta.highWater - meta.removedCount
+    val m = FetchMeta(
+      total = total,
+      numberOfWritten = docs.length,
+      leftOff = ids.lastOption.getOrElse(leftOff),
+      noMoreData = docs.length < limit,
+      truncatedTimestamp = meta.truncatedTimestamp
+    )
+    (docs, m)
+  }
+
+  /** `/validate` — parse-only (reference: native.go:605-622). */
+  def validate(queryStr: String): Either[String, Unit] =
+    Bfl.validate(queryStr, meta.macros)
+
+  /** `/macro name~expansion` (reference: native.go:830-850, macro.go). */
+  def addMacro(name: String, expanded: String): Unit = synchronized {
+    meta = meta.copy(macros = Macros.add(meta.macros, name, expanded))
+    saveMeta()
+  }
+
+  /** `/insert-filter` (reference: native.go:866-885). */
+  def setInsertionFilter(queryStr: String): Either[String, Unit] = synchronized {
+    validate(queryStr).map { _ =>
+      meta = meta.copy(insertionFilter = Some(queryStr))
+      saveMeta()
+    }
+  }
+
+  /** `/limit <bytes>` — retention budget (reference: native.go:852-864). */
+  def setLimit(bytes: Long): Unit = synchronized {
+    meta = meta.copy(limitBytes = Some(bytes))
+    saveMeta()
+  }
+
+  /** `/flush` — drop records, keep macros/filters (reference: native.go:888-903). */
+  def flush(): Unit = synchronized {
+    deleteBatches(listBatches())
+    meta = meta.copy(highWater = 0L, removedCount = 0L, truncatedTimestamp = 0L, batchSeq = 0L)
+    saveMeta()
+  }
+
+  /** `/reset` — flush + clear macros/filter/limit (reference: native.go:906-928). */
+  def reset(): Unit = synchronized {
+    flush()
+    meta = Meta()
+    saveMeta()
+  }
+
+  def totalRecords: Long = meta.highWater - meta.removedCount
+  def truncatedTimestamp: Long = meta.truncatedTimestamp
+  def macros: Map[String, String] = meta.macros
+
+  // ------------------------------------------------------------------
+
+  private def expand(q: String): String = Macros.expand(meta.macros, q)
+
+  private def parseOrThrow(expanded: String): Ast.Query =
+    Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)
+
+  /** Filter + transform with the compiled tier when the query allows it
+    * (pure predicates run as native Columns over get_json_object residuals),
+    * interpreter expression otherwise.
+    */
+  private def applyQuery(df: DataFrame, expanded: String, q: Ast.Query): DataFrame = {
+    val filtered = applyQueryNoLimit(df, expanded)
+    if (usesAlteringHelpers(q))
+      filtered.withColumn("doc", BflExpressions.bflTransform(col("doc"), expanded))
+    else filtered
+  }
+
+  private def applyQueryNoLimit(df: DataFrame, expanded: String): DataFrame =
+    df.where(coalesce(BflExpressions.bflMatch(col("doc"), expanded), lit(false)))
+
+  private def usesAlteringHelpers(q: Ast.Query): Boolean = {
+    def walk(e: Ast.Expr): Boolean = e match {
+      case Ast.HelperCall("redact", _, _) => true
+      case Ast.HelperCall(_, _, args)     => args.exists(walk)
+      case Ast.Logical(_, a, b)           => walk(a) || walk(b)
+      case Ast.Equality(_, a, b)          => walk(a) || walk(b)
+      case Ast.Comparison(_, a, b)        => walk(a) || walk(b)
+      case Ast.Unary(_, a)                => walk(a)
+      case _                              => false
+    }
+    q.expr.exists(walk)
+  }
+
+  private def listBatches(): Seq[Path] =
+    Files
+      .list(recordsDir)
+      .iterator()
+      .asScala
+      .filter(p => p.getFileName.toString.startsWith("batch_"))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+
+  private def deleteBatches(batches: Seq[Path]): Unit =
+    batches.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  private def dirBytes(p: Path): Long =
+    Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  /** Size-bounded retention: delete oldest batches while the log exceeds the
+    * byte budget; record the max ts evicted as truncatedTimestamp + advance
+    * removedCount (reference: native.go:1046-1108 periodicPartitioner).
+    */
+  private def enforceRetention(): Unit =
+    meta.limitBytes.foreach { budget =>
+      var batches = listBatches()
+      var total = batches.map(dirBytes).sum
+      while (total > budget && batches.length > 1) {
+        val oldest = batches.head
+        // read evicted ids/ts for the truncation bookkeeping
+        val stats = spark.read.schema(recordSchema).parquet(oldest.toString)
+          .agg(max("ts").as("maxTs"), count(lit(1)).as("n"), max("id").as("maxId"))
+          .collect()(0)
+        val evictedN = stats.getLong(1)
+        val maxTs = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        deleteBatches(Seq(oldest))
+        meta = meta.copy(
+          removedCount = meta.removedCount + evictedN,
+          truncatedTimestamp = math.max(meta.truncatedTimestamp, maxTs + 1)
+        )
+        saveMeta()
+        batches = batches.tail
+        total = batches.map(dirBytes).sum
+      }
+    }
+}
+
+object Engine {
+
+  /** 24-digit zero-padded record id (reference: server/lib/helpers.go:15-17). */
+  def indexToId(i: Long): String = f"$i%024d"
+
+  final case class FetchMeta(
+      total: Long,
+      numberOfWritten: Long,
+      leftOff: Long,
+      noMoreData: Boolean,
+      truncatedTimestamp: Long
+  )
+
+  /** Engine metadata — macros, insertion filter, retention, id high-water.
+    * Hand-rolled JSON (no external deps beyond Jackson, reused from JsonTree).
+    */
+  final case class Meta(
+      highWater: Long = 0L,
+      batchSeq: Long = 0L,
+      removedCount: Long = 0L,
+      truncatedTimestamp: Long = 0L,
+      limitBytes: Option[Long] = None,
+      insertionFilter: Option[String] = None,
+      macros: Map[String, String] = Map.empty
+  ) {
+    def toJson: String = {
+      val m = new JsonTree.Obj
+      m.put("highWater", highWater)
+      m.put("batchSeq", batchSeq)
+      m.put("removedCount", removedCount)
+      m.put("truncatedTimestamp", truncatedTimestamp)
+      limitBytes.foreach(m.put("limitBytes", _))
+      insertionFilter.foreach(m.put("insertionFilter", _))
+      val mm = new JsonTree.Obj
+      macros.foreach { case (k, v) => mm.put(k, v) }
+      m.put("macros", mm)
+      JsonTree.serialize(m)
+    }
+  }
+
+  object Meta {
+    def fromJson(s: String): Meta = {
+      val m = JsonTree.parse(s).asInstanceOf[JsonTree.Obj]
+      def longOf(k: String): Long = m.get(k) match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }
+      Meta(
+        highWater = longOf("highWater"),
+        batchSeq = longOf("batchSeq"),
+        removedCount = longOf("removedCount"),
+        truncatedTimestamp = longOf("truncatedTimestamp"),
+        limitBytes = m.get("limitBytes").collect { case l: Long => l },
+        insertionFilter = m.get("insertionFilter").collect { case s: String => s },
+        macros = m.get("macros") match {
+          case Some(mm: JsonTree.Obj) =>
+            mm.collect { case (k, v: String) => k -> v }.toMap
+          case _ => Map.empty
+        }
+      )
+    }
+  }
+}

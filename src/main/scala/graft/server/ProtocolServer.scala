@@ -1,0 +1,192 @@
+package graft.server
+
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.bfl.JsonTree
+import graft.engine.Engine
+import graft.streaming.Streaming
+
+/** The reference's line-based TCP protocol over the Spark engine, so a
+  * basenine Go client can talk to this server unchanged
+  * (reference: server/server.go:100-280, server/lib/structs.go:43-87).
+  *
+  * Wire behavior preserved: connection modes set by the first `/command`
+  * line; `OK` / error-text / `%quit%` responses; record lines as raw JSON;
+  * `/metadata {json}` progress lines with
+  * {current,total,numberOfWritten,leftOff,truncatedTimestamp,noMoreData};
+  * `/query` streams history then keeps following new inserts (live tail).
+  */
+final class ProtocolServer(engine: Engine, port: Int) {
+
+  @volatile private var server: ServerSocket = _
+  private val running = new AtomicBoolean(false)
+
+  def start(): Int = {
+    server = new ServerSocket(port)
+    running.set(true)
+    val t = new Thread(() => acceptLoop(), "graft-protocol-accept")
+    t.setDaemon(true)
+    t.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    if (server != null) server.close()
+  }
+
+  private def acceptLoop(): Unit =
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "graft-protocol-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => /* socket closed */ }
+    }
+
+  private def send(out: OutputStream, msg: String): Unit = {
+    out.write((msg + "\n").getBytes(StandardCharsets.UTF_8))
+    out.flush()
+  }
+
+  /** `/metadata {json}` progress line (reference: native.go:497-511). */
+  private def metadataJson(current: Long, total: Long, written: Long,
+      leftOff: Long, truncated: Long, noMore: Boolean): String = {
+    val m = new JsonTree.Obj
+    m.put("current", current)
+    m.put("total", total)
+    m.put("numberOfWritten", written)
+    m.put("leftOff", Engine.indexToId(leftOff))
+    m.put("truncatedTimestamp", truncated)
+    m.put("noMoreData", noMore)
+    "/metadata " + JsonTree.serialize(m)
+  }
+
+  // one connection = one mode, like the reference's handleConnection
+  private def handle(sock: Socket): Unit = {
+    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val out = sock.getOutputStream
+    var mode = "NONE"
+    val args = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (mode == "NONE" && line.startsWith("/")) {
+          line.split(" ", 2)(0) match {
+            case "/insert"        => mode = "INSERT"
+            case "/insert-filter" => mode = "INSERTION_FILTER"
+            case "/query"         => mode = "QUERY"
+            case "/single"        => mode = "SINGLE"
+            case "/fetch"         => mode = "FETCH"
+            case "/validate"      => mode = "VALIDATE"
+            case "/macro"         => mode = "MACRO"
+            case "/limit"         => mode = "LIMIT"
+            case "/flush"         => engine.flush(); send(out, "OK")
+            case "/reset"         => engine.reset(); send(out, "OK")
+            case _                => send(out, "Unrecognized command.")
+          }
+        } else {
+          mode match {
+            case "INSERT" => engine.insert(Seq(line))
+            case "INSERTION_FILTER" =>
+              engine.setInsertionFilter(line) match {
+                case Right(_) => send(out, "OK")
+                case Left(e)  => send(out, e)
+              }
+            case "VALIDATE" =>
+              engine.validate(line) match {
+                case Right(_) => send(out, "OK")
+                case Left(e)  => send(out, e)
+              }
+            case "MACRO" =>
+              val s = line.split("~")
+              if (s.length != 2) send(out, "Error: Provide only two expressions!")
+              else { engine.addMacro(s(0).trim, s(1).trim); send(out, "OK") }
+            case "LIMIT" =>
+              line.toLongOption match {
+                case Some(n) => engine.setLimit(n); send(out, "OK")
+                case None => send(out, s"Error: While converting the limit to integer: $line")
+              }
+            case "SINGLE" =>
+              args += line
+              if (args.length == 2) {
+                engine.single(args(0).toLong, args(1)) match {
+                  case Some(doc) => send(out, doc)
+                  case None      => send(out, "Record does not exist!")
+                }
+              }
+            case "FETCH" =>
+              args += line
+              if (args.length == 4) {
+                val (docs, m) = engine.fetch(args(0).toLong, args(1).toInt, args(2), args(3).toInt)
+                var written = 0L
+                docs.foreach { d =>
+                  send(out, metadataJson(written, m.total, written, m.leftOff,
+                    m.truncatedTimestamp, m.noMoreData))
+                  send(out, d)
+                  written += 1
+                }
+                send(out, metadataJson(written, m.total, written, m.leftOff,
+                  m.truncatedTimestamp, m.noMoreData))
+                send(out, "%quit%")
+              }
+            case "QUERY" =>
+              args += line
+              if (args.length == 2)
+
+                streamQuery(out, args(0), args(1))
+            case _ => ()
+          }
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Exception => () }
+    finally sock.close()
+  }
+
+  /** `/query`: history + live tail. History is served in id order from the
+    * engine; then a Structured Streaming tail keeps pushing new matches until
+    * the client disconnects (reference: native.go:369-523).
+    */
+  private def streamQuery(out: OutputStream, leftOff: String, query: String): Unit = {
+    var written = 0L
+    @volatile var last = -1L
+    @volatile var dead = false
+    def sendSafe(msg: String): Unit =
+      if (!dead) {
+        try send(out, msg)
+        catch { case _: Exception => dead = true } // client disconnected
+      }
+    // history
+    val hist = engine.query(leftOff, query).orderBy("id")
+      .select("id", "doc").collect()
+    hist.foreach { r =>
+      sendSafe(r.getString(1))
+      written += 1
+      last = r.getLong(0)
+      sendSafe(metadataJson(written, engine.totalRecords, written, last,
+        engine.truncatedTimestamp, noMore = false))
+    }
+    // live tail (the streaming source replays the log; ids ≤ last are
+    // already-written history and skipped)
+    val tailQ = Streaming.startTail(engine.spark, engine.dir, query,
+      (rows, hw) => {
+        rows.filter(_._1 > last).foreach { case (id, doc) =>
+          sendSafe(doc)
+          written += 1
+          sendSafe(metadataJson(written, engine.totalRecords, written, id,
+            engine.truncatedTimestamp, noMore = false))
+        }
+        last = math.max(last, hw)
+      })
+    // hold the connection open until the client goes away (first failed
+    // write flips `dead`, like the reference's conn.Write error break)
+    try while (!dead && tailQ.isActive) Thread.sleep(100)
+    catch { case _: Exception => () }
+    finally tailQ.stop()
+  }
+}

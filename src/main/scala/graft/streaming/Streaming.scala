@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.engine.Engine
+import graft.functions.BflExpressions
+
+/** Structured-Streaming re-expression of the reference's live semantics
+  * (reference: SURVEY §2.6):
+  *
+  *   - live tail: the reference blocks on fsnotify after the history scan and
+  *     keeps emitting matches forever (native.go:369-523, 1139-1155). Here a
+  *     file-source streaming query over the engine's record log picks up new
+  *     Parquet batches as the writer lands them — "new data wakes the query"
+  *     is the default micro-batch behavior.
+  *   - streaming ingest: a line stream (socket source or any Dataset[String])
+  *     runs the insertion filter + transform and appends to the engine log
+  *     with contiguous id assignment in `foreachBatch` (single writer per
+  *     log, matching the reference's storage mutex; at cluster scale each
+  *     shard/topic gets its own log + writer).
+  */
+object Streaming {
+
+  private val recordSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("doc", StringType, nullable = false)
+  ))
+
+  /** Continuous `/query`: history + tail over the engine's log, filtered by
+    * the BFL query, docs transformed (redact) when the query asks for it.
+    * Caller attaches a sink (`.writeStream.foreachBatch(...)` / memory).
+    */
+  def tail(spark: SparkSession, engineDir: String, query: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(recordSchema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"$engineDir/records/batch_*")
+    stream
+      .where(coalesce(BflExpressions.bflMatch(col("doc"), query), lit(false)))
+      .withColumn("doc", BflExpressions.bflTransform(col("doc"), query))
+  }
+
+  /** Start a tail that pushes each micro-batch (ordered by id) to `onBatch`.
+    * The per-batch high-water id is the resume point — the streaming analog
+    * of the reference's per-record `/metadata.leftOff`.
+    */
+  def startTail(
+      spark: SparkSession,
+      engineDir: String,
+      query: String,
+      onBatch: (Seq[(Long, String)], Long) => Unit
+  ): StreamingQuery =
+    tail(spark, engineDir, query).writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.orderBy("id").select("id", "doc").collect()
+        if (rows.nonEmpty) {
+          val docs = rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+          onBatch(docs, docs.last._1)
+        }
+      }
+      .start()
+
+  /** Streaming ingest: pipe a line-stream into the engine. Each micro-batch
+    * is drained through Engine.insert, which applies the insertion filter and
+    * assigns contiguous ids (reference: /insert wiring server.go:163-164).
+    */
+  def startIngest(
+      lines: Dataset[String],
+      engine: Engine,
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")
+  ): StreamingQuery =
+    lines.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        val docs = batch.collect().toSeq
+        if (docs.nonEmpty) engine.insert(docs)
+        ()
+      }
+      .start()
+
+  /** Windowed event-time aggregation over the tail — beyond-reference
+    * extension: tumbling-window counts with a watermark for state cleanup.
+    */
+  def windowedCounts(
+      tailDf: DataFrame,
+      windowDur: String = "1 minute",
+      watermark: String = "2 minutes"
+  ): DataFrame =
+    tailDf
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(count(lit(1)).as("n"))
+}

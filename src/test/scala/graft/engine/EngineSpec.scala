@@ -1,0 +1,134 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine behavior ported from the reference's server/storage e2e tests
+  * (reference: server/server_test.go, server/lib/storages/native_test.go,
+  * client/go/client_test.go fixtures).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("engine-spec")
+    .getOrCreate()
+
+  private def freshEngine(): Engine = {
+    spark.sparkContext.setLogLevel("WARN")
+    new Engine(spark, Files.createTempDirectory("graft-engine").toString)
+  }
+
+  private val car = """{"brand":{"name":"Chevrolet"},"model":"Camaro","year":2021}"""
+
+  test("insert assigns contiguous 24-digit ids and injects them into the doc") {
+    val e = freshEngine()
+    val ids = e.insert(Seq(car, car, car))
+    assert(ids == Seq(0L, 1L, 2L))
+    val ids2 = e.insert(Seq(car))
+    assert(ids2 == Seq(3L))
+    val single = e.single(2L, "").get
+    assert(single.contains("\"id\":\"000000000000000000000002\""))
+    assert(e.totalRecords == 4)
+  }
+
+  test("non-JSON lines are rejected") {
+    val e = freshEngine()
+    val ids = e.insert(Seq("NOT JSON", car))
+    assert(ids.length == 1)
+  }
+
+  test("insertion filter drops and transforms (A5 fixture)") {
+    val e = freshEngine()
+    assert(e.setInsertionFilter("""brand.name == "Chevrolet" and redact("year")""").isRight)
+    val ids = e.insert(Seq(
+      car,
+      """{"brand":{"name":"Ford"},"model":"Mustang","year":2021}"""
+    ))
+    assert(ids.length == 1) // Ford dropped
+    val stored = e.single(0L, "").get
+    assert(stored.contains("\"year\":\"[REDACTED]\""))
+    assert(stored.contains("Chevrolet"))
+  }
+
+  test("query filters, transforms, limits, and honors leftOff") {
+    val e = freshEngine()
+    val docs = (0 until 20).map(i => s"""{"model":"m$i","year":${2000 + i}}""")
+    e.insert(docs)
+    val out = e.query("", "year > 2010").select("id").collect().map(_.getLong(0))
+    assert(out.toSet == (11 until 20).toSet)
+    val page = e.query("", "year > 2010 and limit(3)").collect()
+    assert(page.length == 3)
+    val resumed = e.query("15", "year > 2010").select("id").collect().map(_.getLong(0))
+    assert(resumed.toSet == (16 until 20).toSet)
+    val latest = e.query("latest", "").select("id").collect().map(_.getLong(0))
+    assert(latest.toSeq == Seq(19L))
+  }
+
+  test("fetch pages bidirectionally with match-counting limit") {
+    val e = freshEngine()
+    e.insert((0 until 30).map(i => s"""{"n":$i,"even":${i % 2 == 0}}"""))
+    val (fwd, m1) = e.fetch(9L, 1, "even == true", 5)
+    assert(fwd.length == 5)
+    assert(m1.numberOfWritten == 5)
+    assert(!m1.noMoreData)
+    assert(fwd.head.contains("\"n\":10"))
+    val (bwd, m2) = e.fetch(10L, -1, "even == true", 5)
+    assert(bwd.length == 5)
+    assert(bwd.head.contains("\"n\":8"))
+    val (tail, m3) = e.fetch(27L, 1, "even == true", 5)
+    assert(tail.length == 1) // only n=28 remains
+    assert(m3.noMoreData)
+  }
+
+  test("single applies altering helpers only") {
+    val e = freshEngine()
+    e.insert(Seq(car))
+    // redact on the LEFT runs before the false predicate (short-circuit is
+    // left-to-right, exactly like the reference's Eval in RetrieveSingle)
+    val s = e.single(0L, """redact("model") and model == "NOPE"""").get
+    assert(s.contains("\"model\":\"[REDACTED]\""))
+    // ...whereas a false-and short-circuits the redact away
+    val s2 = e.single(0L, """model == "NOPE" and redact("brand.name")""").get
+    assert(s2.contains("Chevrolet"))
+  }
+
+  test("macros expand in queries") {
+    val e = freshEngine()
+    e.addMacro("chevy", """brand.name == "Chevrolet"""")
+    e.insert(Seq(car, """{"brand":{"name":"Ford"}}"""))
+    assert(e.query("", "chevy").count() == 1)
+    assert(e.validate("chevy").isRight)
+    assert(e.validate("chevy ==").isLeft)
+  }
+
+  test("flush clears records but keeps macros; reset clears everything") {
+    val e = freshEngine()
+    e.addMacro("chevy", """brand.name == "Chevrolet"""")
+    e.insert(Seq(car))
+    e.flush()
+    assert(e.totalRecords == 0)
+    assert(e.macros.contains("chevy"))
+    val ids = e.insert(Seq(car))
+    assert(ids == Seq(0L)) // ids restart after flush, like the reference
+    e.reset()
+    assert(e.macros.isEmpty)
+  }
+
+  test("retention evicts oldest batches and tracks truncatedTimestamp") {
+    val e = freshEngine()
+    e.setLimit(60 * 1024) // tiny budget: a couple of parquet batches
+    val rnd = new scala.util.Random(42)
+    val mkBatch = (b: Int) =>
+      (0 until 200).map { i =>
+        val pad = Seq.fill(8)(rnd.nextLong().toHexString).mkString // incompressible
+        s"""{"batch":$b,"i":$i,"timestamp":${1700000000000L + b * 1000 + i},"pad":"$pad"}"""
+      }
+    (0 until 6).foreach(b => e.insert(mkBatch(b)))
+    assert(e.totalRecords < 1200) // something was evicted
+    assert(e.truncatedTimestamp > 0)
+    // remaining records are the newest
+    val minId = e.records().agg(org.apache.spark.sql.functions.min("id")).collect()(0).getLong(0)
+    assert(minId > 0)
+  }
+}
