@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.bfl.{Bfl, Compiler}
+import graft.bfl.{Bfl, Compiler, Macros}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §2, §7).
@@ -154,7 +154,7 @@ object SparkEntry {
     "window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, dir)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy("o_custkey", "rn")
@@ -196,7 +196,97 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
     "cosine_topk" -> ((s, dir) =>
-      Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10))
+      Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+    // --- BFL arrays / wildcards / macros / json() fallback ---
+    "bfl_wildcard_exist" -> ((s, dir) => {
+      // array-vs-scalar equality is existential membership (§1.2)
+      val df = ev(s, dir).withColumn("tags",
+        array(col("event_type"), concat(lit("u"), col("user_id"))))
+      df.where(Compiler.compile(df, """tags.* == "click"""").pred)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id")
+    }),
+    "bfl_wildcard_cmp" -> ((s, dir) => {
+      // array-vs-scalar comparison is existential (any element >)
+      val df = ev(s, dir).withColumn("vals",
+        array(col("user_id").cast("double"), col("value")))
+      df.where(Compiler.compile(df, """vals.* > 300""").pred)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+    "bfl_json_helper" -> ((s, dir) => {
+      // json() over a JSON-in-string body via the interpreter fallback tier
+      val df = ev(s, dir).withColumn("doc",
+        to_json(struct(col("event_id"), col("props").as("body"))))
+      Bfl.queryDocs(df, "doc", """body.json().k >= 95""")
+        .select(col("event_id"), col("user_id"))
+        .orderBy("event_id")
+    }),
+    "bfl_macro" -> ((s, dir) => {
+      val df = ev(s, dir)
+      val macros = Macros.add(Map.empty, "purchase", """event_type == "purchase"""")
+      val applied = Bfl.filter(df, """purchase and value > 200""", macros)
+      applied.df.select(col("event_id"), col("value")).orderBy("event_id")
+    }),
+    "bfl_unary_neg" -> ((s, dir) =>
+      bflEvents(s, dir, """value > -50 and !(event_type == "view") and user_id <= 5""")),
+    // --- relational set operations ---
+    "semi_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).where(col("o_totalprice") > 400)
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+    "union_distinct" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+    "rollup_counts" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // --- near-dup / fingerprint pipeline ops ---
+    "minhash_sigs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id") +: Dedup.minhashSigs(Dedup.shingles(col("text")), 4): _*)
+        .orderBy("doc_id")
+    }),
+    "neardup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 8, rowsPerBand = 2, threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+    "dedup_bag" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(TextAnalysis.bagFingerprint(col("text")).as("bag_fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("bag_fingerprint")),
+    // engine-internal signatures (no cross-engine oracle → rows-only check)
+    "simhash_buckets" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 48))
+        .orderBy("doc_id")),
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+    // --- multimodal binary-column plumbing (decode stubbed) ---
+    "multimodal_bytes" -> ((s, dir) => {
+      val df = Tables.documents(s, dir)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+      operators.Multimodal.byteFeatures(df, "blob")
+        .select(col("doc_id"), col("byte_len"), col("checksum"),
+          col("width_stub"), col("height_stub"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---------- oracle SQL (DuckDB) ----------
@@ -300,6 +390,79 @@ object SparkEntry {
              list_sum(list_transform(list_zip(e.embedding, q.query_vec), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
              / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
               * sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS sim
-         FROM embeddings e, q ORDER BY sim DESC, vec_id LIMIT 10"""
+         FROM embeddings e, q ORDER BY sim DESC, vec_id LIMIT 10""",
+    "bfl_wildcard_exist" ->
+      """SELECT event_id, event_type, user_id FROM events
+         WHERE list_contains([event_type, 'u'||CAST(user_id AS VARCHAR)], 'click')
+         ORDER BY event_id""",
+    "bfl_wildcard_cmp" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE len(list_filter([CAST(user_id AS DOUBLE), value], x -> x > 300)) > 0
+         ORDER BY event_id""",
+    "bfl_json_helper" ->
+      "SELECT event_id, user_id FROM events WHERE CAST(json_extract_string(props,'$.k') AS DOUBLE) >= 95 ORDER BY event_id",
+    "bfl_macro" ->
+      "SELECT event_id, value FROM events WHERE event_type = 'purchase' AND value > 200 ORDER BY event_id",
+    "bfl_unary_neg" ->
+      s"SELECT $evCols FROM events WHERE value > -50 AND NOT event_type = 'view' AND user_id <= 5 ORDER BY event_id",
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400)
+         ORDER BY c_custkey""",
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey FROM supplier)
+         ORDER BY nationkey""",
+    "rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "minhash_sigs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END AS sh FROM w)
+         SELECT doc_id,
+           list_min(list_transform(list_distinct(sh), s -> md5('0:'||s))) AS mh0,
+           list_min(list_transform(list_distinct(sh), s -> md5('1:'||s))) AS mh1,
+           list_min(list_transform(list_distinct(sh), s -> md5('2:'||s))) AS mh2,
+           list_min(list_transform(list_distinct(sh), s -> md5('3:'||s))) AS mh3
+         FROM sh ORDER BY doc_id""",
+    "neardup_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM w),
+         sig AS (SELECT doc_id, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sh),
+         bands AS (SELECT doc_id, b AS band_idx, md5(sigs[2*b+1]||'|'||sigs[2*b+2]) AS band_hash
+                   FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+                  JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id < b.doc_id),
+         j AS (SELECT id_a, id_b,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "dedup_bag" ->
+      """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(lower(text)),'\s+'))),'string_agg',' '))[:16] AS bag_fingerprint,
+         MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY bag_fingerprint""",
+    "multimodal_bytes" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
+         octet_length(encode(text)) % 640 AS width_stub,
+         (octet_length(encode(text)) * 7) % 480 AS height_stub
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -14,11 +14,12 @@ object TextAnalysis {
   /** whitespace tokenization — matches `string_split_regex(trim(x),'\s+')` */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** long-typed to match DuckDB's BIGINT `len()` in the oracle */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** punctuation character count */
+  /** punctuation character count (long, ≡ DuckDB length arithmetic) */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+    (length(text) - length(regexp_replace(text, "[.!?,;:]", ""))).cast("long")
 
   /** Simple quality signals: chars, tokens, avg word length, punctuation
     * ratio, and a composite score in [0,1]. The formula is arbitrary but
