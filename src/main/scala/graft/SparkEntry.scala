@@ -278,6 +278,26 @@ object SparkEntry {
         .orderBy("doc_id")),
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+    "bfl_xml_helper" -> ((s, dir) => {
+      // xml() helper through the interpreter tier over constructed XML bodies
+      val df = ev(s, dir).withColumn("doc",
+        to_json(struct(col("event_id"),
+          concat(lit("<r><k>"), get_json_object(col("props"), "$.k"), lit("</k></r>"))
+            .as("body"))))
+      Bfl.queryDocs(df, "doc", """body.xml().r.k == 87""")
+        .select(col("event_id"))
+        .orderBy("event_id")
+    }),
+    "bfl_descent" -> ((s, dir) => {
+      // recursive descent `..k` through the interpreter tier
+      val df = ev(s, dir).withColumn("doc",
+        to_json(struct(col("event_id"),
+          struct(struct(get_json_object(col("props"), "$.k").as("k")).as("inner"))
+            .as("outer"))))
+      Bfl.queryDocs(df, "doc", """outer..k == 87""")
+        .select(col("event_id"))
+        .orderBy("event_id")
+    }),
     // --- multimodal binary-column plumbing (decode stubbed) ---
     "multimodal_bytes" -> ((s, dir) => {
       val df = Tables.documents(s, dir)
@@ -459,6 +479,10 @@ object SparkEntry {
       """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(lower(text)),'\s+'))),'string_agg',' '))[:16] AS bag_fingerprint,
          MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY bag_fingerprint""",
+    "bfl_xml_helper" ->
+      "SELECT event_id FROM events WHERE json_extract_string(props,'$.k') = '87' ORDER BY event_id",
+    "bfl_descent" ->
+      "SELECT event_id FROM events WHERE json_extract_string(props,'$.k') = '87' ORDER BY event_id",
     "multimodal_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
          octet_length(encode(text)) % 640 AS width_stub,

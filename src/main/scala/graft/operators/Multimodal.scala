@@ -92,7 +92,7 @@ object Multimodal {
       col(idCol),
       posexplode(
         transform(
-          sequence(lit(0), greatest((octet_length(col(binCol)) / everyNBytes) - 1, lit(0))),
+          sequence(lit(0), greatest((octet_length(col(binCol)) / everyNBytes).cast("int") - 1, lit(0))),
           i => col(binCol).substr(i * everyNBytes + 1, lit(everyNBytes))
         )
       ).as(Seq("frame_idx", "frame_bytes"))

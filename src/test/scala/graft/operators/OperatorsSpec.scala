@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level verification against brute-force ground truth on sf0.001. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("operators-spec")
+    .getOrCreate()
+  private def docs = {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+  }
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("LSH near-dup pairs ⊇ high-jaccard brute-force pairs (recall at 0.9)") {
+    import spark.implicits._
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // brute force: all pairs with shingle-set jaccard >= 0.9
+    val sh = docs.select(col("doc_id"), array_distinct(Dedup.shingles(col("text"))).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val brute = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.toSet.union(sb.toSet).size
+      if union > 0 && inter.toDouble / union >= 0.9
+    } yield (ia, ib)).toSet
+
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    // 4 bands of 2 rows at j>=0.9: P(miss) = (1-j^2)^4 <= (1-0.81)^4 ≈ 0.13%
+    val missed = brute -- lsh
+    assert(missed.size <= math.max(1, brute.size / 20),
+      s"LSH missed too many: ${missed.size}/${brute.size}")
+    // precision: every returned pair really has jaccard >= 0.9 (verified stage)
+    assert(lsh.forall { case (a, b) => brute.contains((a, b)) })
+  }
+
+  test("ANN top-k hits overlap brute-force cosine top-k") {
+    import spark.implicits._
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // LSH bucket always contains the query itself; overlap should be real
+    assert(ann.contains(0L))
+    assert((ann intersect brute).nonEmpty)
+  }
+
+  test("simhash: identical texts equal, different texts differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("simhash near-dup: hamming distance small for small edits") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val edited = base.replace("token7", "tokenX")
+    val df = Seq((1L, base), (2L, edited)).toDF("id", "text")
+    val out = df.select(col("id"), Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val hamming = java.lang.Long.bitCount(out(1L) ^ out(2L))
+    assert(hamming <= 16, s"hamming $hamming too large for a 1-token edit")
+  }
+
+  test("multimodal decode stub: mapPartitions path matches column path") {
+    import spark.implicits._
+    val df = docs.limit(50).withColumn("blob", encode(col("text"), "UTF-8"))
+    val decoded = Multimodal.withDecodedMeta(df, "blob")
+      .select(col("doc_id"), col("asset_meta.byteLen"), col("asset_meta.checksum"))
+      .as[(Long, Long, String)].collect()
+      .map { case (id, len, sum) => id -> ((len, sum)) }.toMap
+    val colPath = Multimodal.byteFeatures(df, "blob")
+      .select(col("doc_id"), col("byte_len"), col("checksum"))
+      .as[(Long, Long, String)].collect()
+    colPath.foreach { case (id, len, sum) =>
+      val (dlen, dsum) = decoded(id)
+      assert(dlen == len && dsum == sum)
+    }
+  }
+
+  test("frame sampling emits deterministic slices") {
+    import spark.implicits._
+    val df = Seq((1L, Array.range(0, 100).map(_.toByte))).toDF("id", "blob")
+    val frames = Multimodal.sampleFrames(df, "id", "blob", 32)
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(frames.length == 3)
+    assert(frames.map(_._3.length).toSeq == Seq(32, 32, 32))
+    assert(frames(1)._3(0) == 32.toByte)
+  }
+
+  test("langId returns a deterministic language tag") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house in town"),
+      (2L, "der hund und die katze das haus"),
+      (3L, "zzz qqq www")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "unknown")
+  }
+}
