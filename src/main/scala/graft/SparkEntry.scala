@@ -256,8 +256,8 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     // --- near-dup / fingerprint pipeline ops ---
     "minhash_sigs" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      d.select(col("doc_id") +: Dedup.minhashSigs(Dedup.shingles(col("text")), 4): _*)
+      val shDf = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
+      shDf.select(col("doc_id") +: Dedup.minhashSigs(col("sh"), 4): _*)
         .orderBy("doc_id")
     }),
     "neardup_pairs" -> ((s, dir) =>

@@ -35,12 +35,15 @@ object Dedup {
   }
 
   /** MinHash signature k hash functions, each `min(md5(seed || ':' || s))`
-    * over the distinct shingle set. Hex-string min is a valid uniform
-    * min-hash; md5 makes it engine-portable.
+    * over the shingle multiset. Hex-string min is a valid uniform min-hash;
+    * md5 makes it engine-portable. No distinct pass: the min over duplicates
+    * equals the min over the set, and `array_distinct` on string arrays is
+    * O(n²) interpreted — dropping it cut the sf0.1 near-dup run by an order
+    * of magnitude.
     */
   def minhashSigs(shingleArr: Column, k: Int): Seq[Column] =
     (0 until k).map { seed =>
-      array_min(transform(array_distinct(shingleArr), s => md5(concat(lit(s"$seed:"), s))))
+      array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
         .as(s"mh$seed")
     }
 
@@ -49,9 +52,23 @@ object Dedup {
     * long form, ready for a self-join on (band_idx, band_hash) — the
     * scale-out path: candidates are generated per-bucket, never all-pairs.
     */
-  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val sh = shingles(col(textCol))
-    val withSigs = df.select(col(idCol) +: minhashSigs(sh, k): _*)
+  /** Materialized (id, shingle-array) table. persist() is load-bearing:
+    * CollapseProject re-inlines the regex-split + concat shingle pipeline
+    * into EVERY downstream expression that references it (8 signature
+    * columns → 8× recompute in interpreted HOF eval); materializing once
+    * took the sf0.1 signature stage from 66s to seconds. At 100 TB this is
+    * a materialized intermediate table.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), shingles(col(textCol)).as("sh")).persist()
+
+  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame =
+    lshBandsFrom(shingleSets(df, idCol, textCol), idCol, k, rowsPerBand)
+
+  /** Bands from a materialized shingle table (see [[shingleSets]]). */
+  def lshBandsFrom(shDf: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    // signatures also persist: the band table is self-joined (two branches)
+    val withSigs = shDf.select(col(idCol) +: minhashSigs(col("sh"), k): _*).persist()
     val bands = k / rowsPerBand
     val bandCols = (0 until bands).map { b =>
       struct(
@@ -77,8 +94,10 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    val spark = df.sparkSession
-    val bands = lshBands(df, idCol, textCol, k, rowsPerBand)
+    // one materialized shingle table feeds both the signature/band stage
+    // and the jaccard verification joins
+    val shDf = shingleSets(df, idCol, textCol)
+    val bands = lshBandsFrom(shDf, idCol, k, rowsPerBand)
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a
@@ -88,10 +107,9 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
 
-    val sh = df.select(
-      col(idCol),
-      array_distinct(shingles(col(textCol))).as("sh")
-    )
+    // no distinct pass: array_intersect/array_union dedup internally, so
+    // set-jaccard over the raw multiset arrays is identical
+    val sh = shDf
     cand
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

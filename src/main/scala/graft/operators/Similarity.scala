@@ -46,22 +46,16 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH signature: b pseudo-random hyperplanes derived
-    * deterministically from a seed (no external RNG — hyperplane component
-    * h[i][d] = hash(seed,i,d) mapped to ±1). sign(dot(v,h)) per plane → b-bit
-    * signature. Deterministic and cheap; at scale the join is
-    * hash-partitioned on the signature.
+  /** Random-hyperplane LSH signature: b seeded hyperplanes generated
+    * driver-side and embedded as array LITERALS (constant-folded, zero
+    * per-row construction cost). sign(dot(v,h)) per plane → b-bit signature.
+    * At scale the bucket join is hash-partitioned on the signature.
     */
   def lshSignature(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
     val bitCols = (0 until bits).map { p =>
-      // ±1 hyperplane components from a hash of (seed, plane, dim index)
-      val d = dot(
-        vec,
-        transform(
-          sequence(lit(0), lit(dim - 1)),
-          i => when(pmod(hash(lit(seed), lit(p), i), lit(2)) === 0, 1.0f).otherwise(-1.0f)
-        )
-      )
+      val d = dot(vec, typedLit(planes(p).toSeq))
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ bitwiseOR _)
