@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // runtime-settable; makes events readable even when the caller's
+      // session (e.g. the driver's own) didn't set it at build time
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // integer DIV: double division would lose sub-µs precision at 1e18 ns

@@ -52,9 +52,12 @@ object Bfl {
       macros: Map[String, String] = Map.empty): DataFrame = {
     val expanded = Macros.expand(macros, query)
     val q = Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)
-    val matched = df.where(coalesce(BflExpressions.bflMatch(col(docCol), expanded), lit(false)))
-    val transformed = matched.withColumn(docCol, BflExpressions.bflTransform(col(docCol), expanded))
-    q.limit.fold(transformed)(n => transformed.limit(n.toInt))
+    // fused expression: one parse+eval per row returns the transformed doc
+    // or NULL (no match) — filter on non-null
+    val evaluated = df
+      .withColumn(docCol, BflExpressions.bflEval(col(docCol), expanded))
+      .where(col(docCol).isNotNull)
+    q.limit.fold(evaluated)(n => evaluated.limit(n.toInt))
   }
 
   /** `/validate` — parse-only check (reference: native.go:605-622). */

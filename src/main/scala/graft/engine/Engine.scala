@@ -101,7 +101,7 @@ final class Engine(val spark: SparkSession, val dir: String) {
     if (rows.nonEmpty) {
       val batch = spark.createDataFrame(rows.asJava, recordSchema)
       batch
-        .repartition(1)
+        .coalesce(1) // no shuffle — preserves id order inside the batch file
         .write
         .mode(SaveMode.Append)
         .parquet(recordsDir.resolve(f"batch_${meta.batchSeq}%09d").toString)

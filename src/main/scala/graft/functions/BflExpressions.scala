@@ -89,6 +89,37 @@ case class BflTransformExpr(child: Expression, queryStr: String)
   override def prettyName: String = "bfl_transform"
 }
 
+/** Fused filter+transform: one parse + one eval per row, returning the
+  * transformed JSON when the query matches, else NULL — so
+  * `withColumn(doc, bfl_eval).where(doc.isNotNull)` does the whole
+  * reference query path in a single interpreter pass (the reference's Eval
+  * also computes (truth, newJson) in one walk, server/lib/eval.go:802-812).
+  */
+case class BflEvalExpr(child: Expression, queryStr: String)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  @transient private lazy val interp: Interp =
+    Parser.parse(queryStr) match {
+      case Right(q) => new Interp(q)
+      case Left(e)  => throw new IllegalArgumentException(s"bad BFL query: $e")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    JsonTree.tryParse(v.toString) match {
+      case Some(root) if interp.eval(root) =>
+        UTF8String.fromString(JsonTree.serialize(root))
+      case _ => null
+    }
+
+  override protected def withNewChildInternal(c: Expression): BflEvalExpr =
+    copy(child = c)
+  override def prettyName: String = "bfl_eval"
+}
+
 object BflExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -97,6 +128,8 @@ object BflExpressions {
     ColumnBridge.column(BflMatchExpr(expr(c), query))
   def bflTransform(c: Column, query: String): Column =
     ColumnBridge.column(BflTransformExpr(expr(c), query))
+  def bflEval(c: Column, query: String): Column =
+    ColumnBridge.column(BflEvalExpr(expr(c), query))
 
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 }
