@@ -166,6 +166,30 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(decSum(col("value")), 2).as("sum_value"))
         .orderBy("hour_ms", "event_type")),
+    "tumbling_window" -> ((s, dir) =>
+      // Spark's streaming window() in batch mode; epoch-aligned 6h buckets
+      ev(s, dir)
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), round(decSum(col("value")), 2).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("w"), col("n"), col("sum_value"))
+        .orderBy("w")),
+    "sessionize" -> ((s, dir) => {
+      // gap-based sessionization (2h inactivity starts a new session) —
+      // the batch expression of mapGroupsWithState-style session state
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapMs = 7200000L
+      ev(s, dir)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("duration_ms"))
+        .orderBy("user_id", "session_id")
+    }),
     "nation_supplier_stats" -> ((s, dir) =>
       Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -378,6 +402,22 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
          COUNT(*) AS n, round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+    "tumbling_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 6 HOUR, ts)) AS w, COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY w""",
+    "sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 7200000
+                THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "nation_supplier_stats" ->
       """SELECT n_name, COUNT(*) AS n_suppliers,
          round(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_acctbal

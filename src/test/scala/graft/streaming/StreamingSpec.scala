@@ -39,6 +39,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions on gap and carries state across batches") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessionize(source.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // batch 1: user 1 has two events 500ms apart (one session, still open)
+      source.addData(Sessionize.Event(1L, 1000L), Sessionize.Event(1L, 1500L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sessions_out").count() == 0) // still open
+      // batch 2: a 5s-later event closes the first session and opens another
+      source.addData(Sessionize.Event(1L, 6500L))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT userId, startMs, endMs, nEvents FROM sessions_out")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(closed.toSeq == Seq((1L, 1000L, 1500L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest drains a memory stream through the insertion filter") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
