@@ -31,7 +31,7 @@ object Bfl {
   ): Applied = {
     val expanded = Macros.expand(macros, query)
     try {
-      val plan = Compiler.compile(df, expanded)
+      val plan = Compiler.compile(df, expanded, docCol)
       val filtered = df.where(plan.pred)
       Applied(plan.limit.fold(filtered)(n => filtered.limit(n.toInt)), usedCompiled = true)
     } catch {

@@ -69,25 +69,31 @@ object Compiler {
   )
   private val noCollapse = lit(false)
 
-  def compile(df: DataFrame, queryStr: String): BflPlan = {
+  def compile(df: DataFrame, queryStr: String, docCol: Option[String] = None): BflPlan = {
     val q = Parser.parse(queryStr).fold(e => throw Unsupported(s"parse: $e"), identity)
-    compileQuery(df.schema, q)
+    compileQuery(df.schema, q, docCol)
   }
 
-  def compileQuery(schema: StructType, q: Query): BflPlan =
+  /** `docCol` names a JSON-string document column: paths that don't resolve
+    * against the schema route into it via get_json_object (the schema-free
+    * engine-log case) instead of collapsing.
+    */
+  def compileQuery(schema: StructType, q: Query, docCol: Option[String] = None): BflPlan =
     q.expr match {
       case None => BflPlan(lit(true), q.limit)
       case Some(e) =>
-        val cv = comp(e, schema)
+        val cv = comp(e, Ctx(schema, docCol))
         // NULL in a Filter is dropped like false, so no coalesce wrapper is
         // needed — keeping the predicate a plain conjunction lets Catalyst
         // split it and push the pieces into the Parquet scan.
         BflPlan(!cv.collapse && truthy(cv), q.limit)
     }
 
+  private final case class Ctx(schema: StructType, docCol: Option[String])
+
   // ---------- recursive compilation ----------
 
-  private def comp(e: Expr, schema: StructType): CV = e match {
+  private def comp(e: Expr, ctx: Ctx): CV = e match {
     case NumLit(v)   => CV(lit(v), TDouble, noCollapse, litNum = Some(v))
     case StrLit(v)   => CV(lit(v), TStr, noCollapse)
     case BoolLit(v)  => CV(lit(v), TBool, noCollapse)
@@ -96,12 +102,12 @@ object Compiler {
     case RegexLit(p) => CV(lit(p), TStr, noCollapse, litRegex = Some(p))
 
     case PathGet(path) =>
-      val r = resolve(path, schema)
+      val r = resolve(path, ctx)
       CV(r.value, r.t, r.value.isNull)
 
     case Logical(op, l, r) =>
-      val a = comp(l, schema)
-      val b = comp(r, schema)
+      val a = comp(l, ctx)
+      val b = comp(r, ctx)
       val ab = truthy(a)
       val bb = truthy(b)
       // `value` may assume ¬collapse (a collapsed node's value is never
@@ -117,18 +123,18 @@ object Compiler {
       CV(value, TBool, collapse)
 
     case Equality(op, l, r) =>
-      val a = comp(l, schema)
-      val b = comp(r, schema)
+      val a = comp(l, ctx)
+      val b = comp(r, ctx)
       val eq = equalityCol(a, b)
       CV(if (op == "==") eq else !eq, TBool, a.collapse || b.collapse)
 
     case Comparison(op, l, r) =>
-      val a = comp(l, schema)
-      val b = comp(r, schema)
+      val a = comp(l, ctx)
+      val b = comp(r, ctx)
       CV(comparisonCol(op, a, b), TBool, a.collapse || b.collapse)
 
     case Unary(op, operand) =>
-      val a = comp(operand, schema)
+      val a = comp(operand, ctx)
       (op, a.t) match {
         case ("!", TBool)   => CV(!a.value, TBool, a.collapse)
         case ("-", TDouble) =>
@@ -144,8 +150,8 @@ object Compiler {
         case "startsWith" | "endsWith" | "contains" =>
           if (args.isEmpty) CV(lit(false), TBool, noCollapse)
           else {
-            val r = resolve(recv, schema)
-            val a = comp(args.head, schema)
+            val r = resolve(recv, ctx)
+            val a = comp(args.head, ctx)
             val s = toStr(r.value, r.t)
             val arg = toStr(a.value, a.t)
             val res = name match {
@@ -290,16 +296,21 @@ object Compiler {
     case _                                             => TJson
   }
 
-  private def resolve(path: List[Seg], schema: StructType): Resolved = {
+  private def resolve(path: List[Seg], ctx: Ctx): Resolved = {
     if (path.isEmpty) throw Unsupported("empty path")
     val head = path.head match {
       case Field(n) => n
       case Key(k)   => k
       case other    => throw Unsupported(s"path cannot start with $other")
     }
-    schema.fields.find(_.name == head) match {
-      case None    => missing // unknown root field: always collapses
+    ctx.schema.fields.find(_.name == head) match {
       case Some(f) => walk(col(f.name), f.dataType, path.tail)
+      case None =>
+        ctx.docCol match {
+          // schema-free document: the whole path goes through the doc
+          case Some(dc) => jsonWalk(col(dc), path)
+          case None     => missing // unknown root field: always collapses
+        }
     }
   }
 

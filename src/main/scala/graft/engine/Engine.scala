@@ -243,8 +243,20 @@ final class Engine(val spark: SparkSession, val dir: String) {
     else filtered
   }
 
+  /** Compiled tier first: a compilable query runs as native Columns over
+    * `get_json_object(doc, …)` — codegen'd, no per-row interpreter, and the
+    * id/ts conjuncts remain pushable. Falls back to the exact interpreter
+    * expression for redact/json()/xml()/descent shapes.
+    */
   private def applyQueryNoLimit(df: DataFrame, expanded: String): DataFrame =
-    df.where(coalesce(BflExpressions.bflMatch(col("doc"), expanded), lit(false)))
+    try {
+      val q = parseOrThrow(expanded)
+      val plan = Compiler.compileQuery(df.schema, q, docCol = Some("doc"))
+      df.where(plan.pred)
+    } catch {
+      case _: Compiler.Unsupported =>
+        df.where(coalesce(BflExpressions.bflMatch(col("doc"), expanded), lit(false)))
+    }
 
   private def usesAlteringHelpers(q: Ast.Query): Boolean = {
     def walk(e: Ast.Expr): Boolean = e match {

@@ -115,6 +115,29 @@ class EngineSpec extends AnyFunSuite {
     assert(e.macros.isEmpty)
   }
 
+  test("engine compiled tier agrees with the interpreter on log queries") {
+    import graft.functions.BflExpressions
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val e = freshEngine()
+    e.insert((0 until 200).map(i =>
+      s"""{"n":$i,"name":"item$i","tag":"${if (i % 3 == 0) "hot" else "cold"}","score":${i / 10.0}}"""))
+    val queries = Seq(
+      """tag == "hot" and n > 50""",
+      """score >= 12.5 or name.startsWith("item19")""",
+      """name.contains("9") and !(tag == "hot")""",
+      """missing.path == 1 or tag == "cold""""
+    )
+    queries.foreach { q =>
+      // engine path (compiled tier for these)
+      val got = e.query("", q).select("id").collect().map(_.getLong(0)).toSet
+      // interpreter expression over the same log
+      val exp = e.records()
+        .where(coalesce(BflExpressions.bflMatch(col("doc"), q), lit(false)))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == exp, s"tier mismatch on engine for `$q`")
+    }
+  }
+
   test("retention evicts oldest batches and tracks truncatedTimestamp") {
     val e = freshEngine()
     e.setLimit(60 * 1024) // tiny budget: a couple of parquet batches
