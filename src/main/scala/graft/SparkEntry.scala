@@ -279,11 +279,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     // --- near-dup / fingerprint pipeline ops ---
-    "minhash_sigs" -> ((s, dir) => {
-      val shDf = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text")
-      shDf.select(col("doc_id") +: Dedup.minhashSigs(col("sh"), 4): _*)
-        .orderBy("doc_id")
-    }),
+    "minhash_sigs" -> ((s, dir) =>
+      Dedup.signatureTable(Tables.documents(s, dir), "doc_id", "text", 4)
+        .orderBy("doc_id")),
     "neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 8, rowsPerBand = 2, threshold = 0.2)

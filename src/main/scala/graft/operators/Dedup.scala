@@ -62,13 +62,25 @@ object Dedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), shingles(col(textCol)).as("sh")).persist()
 
-  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame =
-    lshBandsFrom(shingleSets(df, idCol, textCol), idCol, k, rowsPerBand)
+  /** Materialized (id, mh0..mhk-1) signature table via the one-pass
+    * [[graft.functions.MinHashExpr]] expression; persisted because the band
+    * table derived from it is self-joined.
+    */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // persist the ARRAY column, then split to mh columns — k element_at
+    // references to an unpersisted expression would re-evaluate it k times
+    // (projection collapse, no CSE for fallback expressions)
+    val arr = df
+      .select(col(idCol), graft.functions.MinHashExpr.minhashArray(col(textCol), k).as("sigs"))
+      .persist()
+    arr.select(col(idCol) +: (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh$i")): _*)
+  }
 
-  /** Bands from a materialized shingle table (see [[shingleSets]]). */
-  def lshBandsFrom(shDf: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    // signatures also persist: the band table is self-joined (two branches)
-    val withSigs = shDf.select(col(idCol) +: minhashSigs(col("sh"), k): _*).persist()
+  def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame =
+    lshBandsFrom(signatureTable(df, idCol, textCol, k), idCol, k, rowsPerBand)
+
+  /** Bands from a materialized signature table (see [[signatureTable]]). */
+  def lshBandsFrom(withSigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
     val bandCols = (0 until bands).map { b =>
       struct(
@@ -94,10 +106,9 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    // one materialized shingle table feeds both the signature/band stage
-    // and the jaccard verification joins
+    // signatures via the one-pass expression; shingle table only for jaccard
     val shDf = shingleSets(df, idCol, textCol)
-    val bands = lshBandsFrom(shDf, idCol, k, rowsPerBand)
+    val bands = lshBands(df, idCol, textCol, k, rowsPerBand)
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a

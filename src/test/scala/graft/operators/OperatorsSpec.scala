@@ -40,6 +40,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.forall { case (a, b) => brute.contains((a, b)) })
   }
 
+  test("one-pass MinHashSigsExpr equals the Column-pipeline signatures") {
+    import spark.implicits._
+    // the fast expression must stay bit-identical to the HOF pipeline the
+    // DuckDB oracle mirrors
+    val fast = Dedup.signatureTable(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").as[(Long, String, String, String, String)].collect()
+    val slow = docs
+      .select(col("doc_id") +: Dedup.minhashSigs(Dedup.shingles(col("text")), 4): _*)
+      .orderBy("doc_id").as[(Long, String, String, String, String)].collect()
+    assert(fast.toSeq == slow.toSeq)
+  }
+
   test("ANN top-k hits overlap brute-force cosine top-k") {
     import spark.implicits._
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10)
