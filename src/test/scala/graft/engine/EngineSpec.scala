@@ -138,6 +138,32 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("meta.json persistence: a reopened engine restores state (dump/restore)") {
+    // reference: gob core dump + RestoreCore (native_test.go:25-35)
+    val dir = Files.createTempDirectory("graft-reopen").toString
+    val e1 = new Engine(spark, dir)
+    e1.addMacro("chevy", """brand.name == "Chevrolet"""")
+    assert(e1.setInsertionFilter("""brand.name != "Skip"""").isRight)
+    e1.insert(Seq(car, car))
+    val e2 = new Engine(spark, dir) // reopen from the same directory
+    assert(e2.totalRecords == 2)
+    assert(e2.macros.contains("chevy"))
+    val ids = e2.insert(Seq(car, """{"brand":{"name":"Skip"}}"""))
+    assert(ids == Seq(2L)) // high-water continues; filter still applies
+    assert(e2.query("", "chevy").count() == 3)
+  }
+
+  test("concurrent inserts keep ids contiguous (single-writer lock)") {
+    val e = freshEngine()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => e.insert((0 until 25).map(i => s"""{"t":$t,"i":$i}""")))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(e.totalRecords == 100)
+    val ids = e.records().select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 100L))
+  }
+
   test("retention evicts oldest batches and tracks truncatedTimestamp") {
     val e = freshEngine()
     e.setLimit(60 * 1024) // tiny budget: a couple of parquet batches
