@@ -106,8 +106,6 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    // signatures via the one-pass expression; shingle table only for jaccard
-    val shDf = shingleSets(df, idCol, textCol)
     val bands = lshBands(df, idCol, textCol, k, rowsPerBand)
     val a = bands.as("a")
     val b = bands.as("b")
@@ -118,17 +116,20 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
 
-    // no distinct pass: array_intersect/array_union dedup internally, so
-    // set-jaccard over the raw multiset arrays is identical
-    val sh = shDf
+    // jaccard verification shingles only CANDIDATE pairs (LSH keeps these a
+    // tiny fraction of the corpus) — joining the raw text in and shingling
+    // per pair beats materializing shingle sets for every document. No
+    // distinct pass: array_intersect/array_union dedup internally, so
+    // set-jaccard over the raw multiset arrays is identical.
+    val txt = df.select(col(idCol), col(textCol))
     cand
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(txt.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "text_a"), "id_a")
+      .join(txt.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "text_b"), "id_b")
       .withColumn(
         "jaccard",
         round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
+          size(array_intersect(shingles(col("text_a")), shingles(col("text_b")))).cast("double") /
+            size(array_union(shingles(col("text_a")), shingles(col("text_b")))),
           6
         )
       )
