@@ -163,9 +163,12 @@ final class Engine(val spark: SparkSession, val dir: String) {
   def fetch(leftOff: Long, direction: Int, queryStr: String, limit: Int): (Seq[String], FetchMeta) = {
     val expanded = expand(queryStr)
     parseOrThrow(expanded)
+    // forward is INCLUSIVE of leftOff (offsets[leftOff:]), backward is
+    // exclusive (offsets[:leftOff]) — reference: native.go:700-706, pinned
+    // by the server fetch matrix (server_test.go:403-418)
     val base =
       if (direction < 0) records().where(col("id") < leftOff).orderBy(col("id").desc)
-      else records().where(col("id") > leftOff).orderBy(col("id"))
+      else records().where(col("id") >= leftOff).orderBy(col("id"))
     val matched = applyQueryNoLimit(base, expanded)
       .select(col("id"), BflExpressions.bflTransform(col("doc"), expanded).as("doc"))
       .limit(limit)

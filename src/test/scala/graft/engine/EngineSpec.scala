@@ -81,6 +81,31 @@ class EngineSpec extends AnyFunSuite {
     assert(m3.noMoreData)
   }
 
+  test("fetch matrix from the reference server tests (inclusive-forward)") {
+    // reference: server/server_test.go:403-418 — 100 identical records,
+    // every row matches; forward includes leftOff, backward excludes it
+    val e = freshEngine()
+    e.insert((0 until 100).map(_ => car))
+    val matrix = Seq(
+      // (leftOff, direction, limit, expectedCount, firstId)
+      (0L, 1, 5, 5, 0L),
+      (13L, 1, 5, 5, 13L),
+      (13L, 1, 200, 87, 13L),
+      (93L, 1, 20, 7, 93L),
+      (99L, -1, 5, 5, 98L),
+      (13L, -1, 5, 5, 12L),
+      (13L, -1, 200, 13, 12L),
+      (93L, -1, 20, 20, 92L)
+    )
+    matrix.foreach { case (leftOff, dir, limit, expected, firstId) =>
+      val (docs, _) = e.fetch(leftOff, dir, """brand.name == "Chevrolet"""", limit)
+      assert(docs.length == expected,
+        s"fetch($leftOff,$dir,limit=$limit): got ${docs.length}, want $expected")
+      assert(docs.head.contains("\"id\":\"" + Engine.indexToId(firstId) + "\""),
+        s"fetch($leftOff,$dir): wrong first record: ${docs.head}")
+    }
+  }
+
   test("single applies altering helpers only") {
     val e = freshEngine()
     e.insert(Seq(car))
