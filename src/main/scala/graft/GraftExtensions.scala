@@ -21,6 +21,17 @@ import graft.functions._
   * (reference: server/lib/eval.go:544-562).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder
+      ))
+    }
+}
+
+object GraftExtensions {
 
   private def strLit(e: Expression, fn: String): String = e match {
     case Literal(v, StringType) => v.toString
@@ -28,38 +39,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       throw new IllegalArgumentException(s"$fn: query must be a string literal, got $other")
   }
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+  val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "bfl_match" -> ((exprs: Seq[Expression]) =>
+      BflMatchExpr(exprs(0), strLit(exprs(1), "bfl_match"))),
+    "bfl_eval" -> ((exprs: Seq[Expression]) =>
+      BflEvalExpr(exprs(0), strLit(exprs(1), "bfl_eval"))),
+    "bfl_transform" -> ((exprs: Seq[Expression]) =>
+      BflTransformExpr(exprs(0), strLit(exprs(1), "bfl_transform"))),
+    "go_fmt" -> ((exprs: Seq[Expression]) => GoFormatExpr(exprs(0))),
+    "minhash_sigs" -> ((exprs: Seq[Expression]) =>
+      MinHashSigsExpr(exprs(0), exprs(1) match {
+        case Literal(v, _) => v.toString.toInt
+        case _ => throw new IllegalArgumentException("minhash_sigs: k must be a literal")
+      }, 3))
+  )
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("bfl_match"),
-      info("bfl_match", "bfl_match(doc, query) - BFL predicate over a JSON doc"),
-      (exprs: Seq[Expression]) => BflMatchExpr(exprs(0), strLit(exprs(1), "bfl_match"))
-    ))
-    e.injectFunction((
-      FunctionIdentifier("bfl_eval"),
-      info("bfl_eval", "bfl_eval(doc, query) - transformed doc when matching, else NULL"),
-      (exprs: Seq[Expression]) => BflEvalExpr(exprs(0), strLit(exprs(1), "bfl_eval"))
-    ))
-    e.injectFunction((
-      FunctionIdentifier("bfl_transform"),
-      info("bfl_transform", "bfl_transform(doc, query) - record-altering helpers applied"),
-      (exprs: Seq[Expression]) => BflTransformExpr(exprs(0), strLit(exprs(1), "bfl_transform"))
-    ))
-    e.injectFunction((
-      FunctionIdentifier("go_fmt"),
-      info("go_fmt", "go_fmt(d) - Go strconv %g 6-sig-digit formatting"),
-      (exprs: Seq[Expression]) => GoFormatExpr(exprs(0))
-    ))
-    e.injectFunction((
-      FunctionIdentifier("minhash_sigs"),
-      info("minhash_sigs", "minhash_sigs(text, k) - k md5 minhash signature hex strings"),
-      (exprs: Seq[Expression]) =>
-        MinHashSigsExpr(exprs(0), exprs(1) match {
-          case Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(s"minhash_sigs: k must be a literal")
-        }, 3)
-    ))
-  }
+  /** Register on an ALREADY-RUNNING session (builder-time extensions only
+    * apply to newly created sessions).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

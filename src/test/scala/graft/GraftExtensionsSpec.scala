@@ -6,11 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** SQL-surface spec: the extension-registered functions work from spark.sql. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark = Sessions
-    .builder("local[4]", 4)
-    .appName("extensions-spec")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = Sessions
+      .builder("local[4]", 4)
+      .appName("extensions-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    // the suite may inherit an existing session (one JVM for all suites)
+    // where builder-time extensions don't apply — use the runtime path
+    GraftExtensions.register(s)
+    s
+  }
 
   test("bfl functions are callable from SQL") {
     spark.sparkContext.setLogLevel("WARN")
