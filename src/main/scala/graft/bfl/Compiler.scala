@@ -365,12 +365,17 @@ object Compiler {
         }
     }
 
+  private val plainKey = "[A-Za-z_][A-Za-z0-9_]*".r
+
   private def jsonWalk(c: Column, rest: List[Seg]): Resolved = {
     val sb = new StringBuilder("$")
     var isArray = false
+    def key(k: String): Unit =
+      if (plainKey.matches(k)) { sb ++= "."; sb ++= k }
+      else { sb ++= "['"; sb ++= k; sb ++= "']" } // dotted/spaced keys
     rest.foreach {
-      case Field(n) => sb ++= "."; sb ++= n
-      case Key(k)   => sb ++= "."; sb ++= k
+      case Field(n) => key(n)
+      case Key(k)   => key(k)
       case Index(i) => sb ++= s"[$i]"
       case Wildcard => sb ++= "[*]"; isArray = true
       case Descent(_) =>

@@ -66,6 +66,14 @@ final class ProtocolServer(engine: Engine, port: Int) {
     "/metadata " + JsonTree.serialize(m)
   }
 
+  /** pull the injected 24-digit id back out of a stored doc */
+  private def extractId(doc: String): Option[Long] = {
+    val m = java.util.regex.Pattern
+      .compile("\"id\":\"(\\d{24})\"")
+      .matcher(doc)
+    if (m.find()) Some(m.group(1).toLong) else None
+  }
+
   // one connection = one mode, like the reference's handleConnection
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
@@ -91,7 +99,17 @@ final class ProtocolServer(engine: Engine, port: Int) {
           }
         } else {
           mode match {
-            case "INSERT" => engine.insert(Seq(line))
+            case "INSERT" =>
+              // drain everything already buffered on the connection into ONE
+              // engine batch — one Parquet append per burst instead of one
+              // Spark job per line (the reference appends per line because
+              // its append is a cheap WriteAt; ours is a columnar batch)
+              val batch = scala.collection.mutable.ListBuffer(line)
+              while (in.ready()) {
+                val more = in.readLine()
+                if (more != null) batch += more
+              }
+              engine.insert(batch.toSeq)
             case "INSERTION_FILTER" =>
               engine.setInsertionFilter(line) match {
                 case Right(_) => send(out, "OK")
@@ -122,15 +140,24 @@ final class ProtocolServer(engine: Engine, port: Int) {
             case "FETCH" =>
               args += line
               if (args.length == 4) {
-                val (docs, m) = engine.fetch(args(0).toLong, args(1).toInt, args(2), args(3).toInt)
+                val leftOff = args(0).toLong
+                val dir = args(1).toInt
+                val (docs, m) = engine.fetch(leftOff, dir, args(2), args(3).toInt)
+                // `current` counts records SCANNED since the last metadata
+                // line (reference resets `queried` per emission,
+                // native.go:794-806); derivable from id deltas here
                 var written = 0L
+                var prevId = leftOff + (if (dir < 0) 0L else -1L)
                 docs.foreach { d =>
-                  send(out, metadataJson(written, m.total, written, m.leftOff,
+                  val id = extractId(d).getOrElse(prevId)
+                  val scanned = math.abs(id - prevId)
+                  send(out, metadataJson(scanned, m.total, written, m.leftOff,
                     m.truncatedTimestamp, m.noMoreData))
                   send(out, d)
+                  prevId = id
                   written += 1
                 }
-                send(out, metadataJson(written, m.total, written, m.leftOff,
+                send(out, metadataJson(0, m.total, written, m.leftOff,
                   m.truncatedTimestamp, m.noMoreData))
                 send(out, "%quit%")
               }

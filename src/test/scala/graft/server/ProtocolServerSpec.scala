@@ -44,7 +44,7 @@ class ProtocolServerSpec extends AnyFunSuite {
       w.flush()
       // inserts are async on the conn thread; wait for them
       var tries = 0
-      while (engine.totalRecords < 5 && tries < 100) { Thread.sleep(100); tries += 1 }
+      while (engine.totalRecords < 5 && tries < 300) { Thread.sleep(100); tries += 1 }
       assert(engine.totalRecords == 5)
       s.close()
 
