@@ -53,10 +53,17 @@ object Similarity {
     */
   def lshSignature(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextBoolean()))
     val bitCols = (0 until bits).map { p =>
-      val d = dot(vec, typedLit(planes(p).toSeq))
-      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      // ±1 hyperplane ⇒ the dot product is a signed sum — built from plain
+      // element_at adds/subtracts, which stay inside whole-stage codegen
+      // (an interpreted zip_with/aggregate dot cost ~2.5ms/row)
+      val terms = (0 until dim).map { d =>
+        val e = element_at(vec, d + 1).cast("double")
+        if (planes(p)(d)) e else -e
+      }
+      val dotp = terms.reduce(_ + _)
+      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ bitwiseOR _)
   }
