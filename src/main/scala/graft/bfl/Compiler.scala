@@ -335,6 +335,8 @@ object Compiler {
             }
           case (MapType(_, vt, _), Field(n)) => walk(element_at(c, n), vt, tail)
           case (MapType(_, vt, _), Key(k))   => walk(element_at(c, k), vt, tail)
+          case (MapType(_, vt, _), Wildcard) if tail.isEmpty =>
+            Resolved(map_values(c), TArr(btOf(vt)))
           case (ArrayType(et, _), Index(i)) =>
             // ojg is 0-based (negative = from end); element_at is 1-based
             val idx = if (i >= 0) i + 1 else i
