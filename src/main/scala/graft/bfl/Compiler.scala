@@ -371,7 +371,6 @@ object Compiler {
 
   private def jsonWalk(c: Column, rest: List[Seg]): Resolved = {
     val sb = new StringBuilder("$")
-    var isArray = false
     def key(k: String): Unit =
       if (plainKey.matches(k)) { sb ++= "."; sb ++= k }
       else { sb ++= "['"; sb ++= k; sb ++= "']" } // dotted/spaced keys
@@ -379,13 +378,15 @@ object Compiler {
       case Field(n) => key(n)
       case Key(k)   => key(k)
       case Index(i) => sb ++= s"[$i]"
-      case Wildcard => sb ++= "[*]"; isArray = true
+      case Wildcard =>
+        // get_json_object's `[*]` fans out over ARRAYS only, but BFL's
+        // wildcard also fans out over object values (ojg semantics) — the
+        // document is schema-free so we can't know statically; route to the
+        // exact interpreter instead of silently collapsing on objects
+        throw Unsupported("wildcard inside JSON document (object-vs-array ambiguity)")
       case Descent(_) =>
         throw Unsupported("recursive descent inside JSON document")
     }
-    val extracted = get_json_object(c, sb.toString)
-    if (isArray)
-      Resolved(from_json(extracted, ArrayType(StringType)), TArr(TJson))
-    else Resolved(extracted, TJson)
+    Resolved(get_json_object(c, sb.toString), TJson)
   }
 }
