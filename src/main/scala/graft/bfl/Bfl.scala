@@ -35,7 +35,10 @@ object Bfl {
       val filtered = df.where(plan.pred)
       Applied(plan.limit.fold(filtered)(n => filtered.limit(n.toInt)), usedCompiled = true)
     } catch {
-      case _: Compiler.Unsupported =>
+      // Unsupported shapes AND analysis failures (e.g. mixed-type array
+      // equality the static typing can't reconcile) both take the exact
+      // interpreter path
+      case scala.util.control.NonFatal(_) =>
         val doc = docCol.map(col).getOrElse(to_json(struct(df.columns.map(col): _*)))
         val q = Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)
         val filtered = df.where(coalesce(BflExpressions.bflMatch(doc, expanded), lit(false)))

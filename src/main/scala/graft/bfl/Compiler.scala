@@ -272,6 +272,12 @@ object Compiler {
         sc(a.value, lit(b.litNum.get))
       case (_, TDouble) if a.litNum.isDefined && b.litNum.isEmpty =>
         sc(lit(a.litNum.get), b.value)
+      // integral literal vs long column: compare as longs (pushable);
+      // equivalent to the double compare for |v| < 2^53
+      case (TLong, _) if b.litNum.exists(v => v == math.rint(v) && math.abs(v) < 9e15) =>
+        sc(a.value, lit(b.litNum.get.toLong))
+      case (_, TLong) if a.litNum.exists(v => v == math.rint(v) && math.abs(v) < 9e15) =>
+        sc(lit(a.litNum.get.toLong), b.value)
       case (TLong, _) if b.litNum.isDefined =>
         sc(a.value.cast(DoubleType), lit(b.litNum.get))
       case (TTimestamp, _) if b.litMillis.isDefined =>

@@ -257,7 +257,8 @@ final class Engine(val spark: SparkSession, val dir: String) {
       val plan = Compiler.compileQuery(df.schema, q, docCol = Some("doc"))
       df.where(plan.pred)
     } catch {
-      case _: Compiler.Unsupported =>
+      case e: IllegalArgumentException => throw e // bad query text propagates
+      case scala.util.control.NonFatal(_) =>
         df.where(coalesce(BflExpressions.bflMatch(col("doc"), expanded), lit(false)))
     }
 

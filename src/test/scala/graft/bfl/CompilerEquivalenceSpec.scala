@@ -128,6 +128,24 @@ class CompilerEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed-type array equality falls back to the interpreter instead of failing") {
+    // array<string> === array<double> can't be statically reconciled —
+    // Bfl.filter must degrade to the exact tier, not throw
+    val df = events
+      .withColumn("tags", array(col("event_type")))
+      .withColumn("vals", array(col("value")))
+    val applied = Bfl.filter(df, """tags.* == vals.*""")
+    assert(!applied.usedCompiled)
+    applied.df.count() // must evaluate without throwing
+  }
+
+  test("integral literal vs long column compares natively (pushable)") {
+    val plan = Compiler.compile(events, """user_id <= 5""")
+    val got = events.where(plan.pred).select("event_id").collect().map(_.getLong(0)).toSet
+    val exp = events.where(col("user_id") <= 5).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == exp)
+  }
+
   test("fallback tier handles redact end-to-end") {
     val df = events.withColumn("doc",
       to_json(struct(col("event_id"), col("event_type"), col("value"))))
