@@ -63,6 +63,10 @@ class EngineSpec extends AnyFunSuite {
     assert(resumed.toSet == (16 until 20).toSet)
     val latest = e.query("latest", "").select("id").collect().map(_.getLong(0))
     assert(latest.toSeq == Seq(19L))
+    // record-altering helpers rewrite the docs the query emits
+    val redacted = e.query("", """redact("model") and year > 2015""")
+      .select("doc").collect().map(_.getString(0))
+    assert(redacted.nonEmpty && redacted.forall(_.contains("\"model\":\"[REDACTED]\"")))
   }
 
   test("fetch pages bidirectionally with match-counting limit") {

@@ -81,6 +81,19 @@ class ProtocolServerSpec extends AnyFunSuite {
     }
   }
 
+  test("insert-filter over the wire drops and transforms stored records") {
+    withServer { (engine, port) =>
+      val (s, r, w) = connect(port)
+      w.println("/insert-filter")
+      w.println("""brand.name == "Chevrolet" and redact("year")""")
+      assert(r.readLine() == "OK")
+      s.close()
+      engine.insert(Seq(car, """{"brand":{"name":"Ford"},"year":1999}"""))
+      assert(engine.totalRecords == 1)
+      assert(engine.single(0L, "").get.contains("\"year\":\"[REDACTED]\""))
+    }
+  }
+
   test("fetch streams records + metadata + %quit%") {
     withServer { (engine, port) =>
       engine.insert((0 until 10).map(i => s"""{"n":$i}"""))
