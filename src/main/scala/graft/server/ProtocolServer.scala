@@ -188,6 +188,10 @@ final class ProtocolServer(engine: Engine, port: Int) {
         try send(out, msg)
         catch { case _: Exception => dead = true } // client disconnected
       }
+    val limit: Long = graft.bfl.Parser.parse(query) match {
+      case Right(q) => q.limit.getOrElse(0L)
+      case Left(_)  => 0L
+    }
     // history
     val hist = engine.query(leftOff, query).orderBy("id")
       .select("id", "doc").collect()
@@ -198,21 +202,29 @@ final class ProtocolServer(engine: Engine, port: Int) {
       sendSafe(metadataJson(written, engine.totalRecords, written, last,
         engine.truncatedTimestamp, noMore = false))
     }
+    // `limit(N)` ends the stream once satisfied — no live tail
+    // (reference: native.go:513-517 returns from StreamRecords)
+    if (limit != 0 && written >= limit) return
     // live tail (the streaming source replays the log; ids ≤ last are
     // already-written history and skipped)
+    @volatile var done = false
     val tailQ = Streaming.startTail(engine.spark, engine.dir, query,
       (rows, hw) => {
         rows.filter(_._1 > last).foreach { case (id, doc) =>
-          sendSafe(doc)
-          written += 1
-          sendSafe(metadataJson(written, engine.totalRecords, written, id,
-            engine.truncatedTimestamp, noMore = false))
+          if (!done) {
+            sendSafe(doc)
+            written += 1
+            sendSafe(metadataJson(written, engine.totalRecords, written, id,
+              engine.truncatedTimestamp, noMore = false))
+            if (limit != 0 && written >= limit) done = true
+          }
         }
         last = math.max(last, hw)
       })
     // hold the connection open until the client goes away (first failed
-    // write flips `dead`, like the reference's conn.Write error break)
-    try while (!dead && tailQ.isActive) Thread.sleep(100)
+    // write flips `dead`, like the reference's conn.Write error break) or
+    // the limit is reached
+    try while (!dead && !done && tailQ.isActive) Thread.sleep(100)
     catch { case _: Exception => () }
     finally tailQ.stop()
   }

@@ -114,6 +114,24 @@ class ProtocolServerSpec extends AnyFunSuite {
     }
   }
 
+  test("query with limit(N) ends the stream once satisfied") {
+    // reference matrix: server_test.go:123-132 — limit stops /query
+    withServer { (engine, port) =>
+      engine.insert((0 until 20).map(i => s"""{"n":$i}"""))
+      val (s, r, w) = connect(port)
+      s.setSoTimeout(60000)
+      w.println("/query")
+      w.println("")
+      w.println("n >= 4 and limit(3)")
+      val lines = (0 until 6).map(_ => r.readLine()) // 3 records + 3 metadata
+      val records = lines.filterNot(_.startsWith("/metadata"))
+      assert(records.length == 3)
+      assert(records.head.contains("\"n\":4"))
+      assert(records.last.contains("\"n\":6"))
+      s.close()
+    }
+  }
+
   test("query streams history then live-tails new inserts") {
     withServer { (engine, port) =>
       engine.insert((0 until 6).map(i => s"""{"n":$i,"keep":${i % 2 == 0}}"""))
