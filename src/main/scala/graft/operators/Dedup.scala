@@ -52,16 +52,6 @@ object Dedup {
     * long form, ready for a self-join on (band_idx, band_hash) — the
     * scale-out path: candidates are generated per-bucket, never all-pairs.
     */
-  /** Materialized (id, shingle-array) table. persist() is load-bearing:
-    * CollapseProject re-inlines the regex-split + concat shingle pipeline
-    * into EVERY downstream expression that references it (8 signature
-    * columns → 8× recompute in interpreted HOF eval); materializing once
-    * took the sf0.1 signature stage from 66s to seconds. At 100 TB this is
-    * a materialized intermediate table.
-    */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), shingles(col(textCol)).as("sh")).persist()
-
   /** Materialized (id, mh0..mhk-1) signature table via the one-pass
     * [[graft.functions.MinHashExpr]] expression; persisted because the band
     * table derived from it is self-joined.
