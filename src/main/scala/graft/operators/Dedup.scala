@@ -47,11 +47,6 @@ object Dedup {
         .as(s"mh$seed")
     }
 
-  /** LSH banding: docs sharing any band (md5 over r consecutive signature
-    * values) are near-dup candidates. Returns (id, band_idx, band_hash) in
-    * long form, ready for a self-join on (band_idx, band_hash) — the
-    * scale-out path: candidates are generated per-bucket, never all-pairs.
-    */
   /** Materialized (id, mh0..mhk-1) signature table via the one-pass
     * [[graft.functions.MinHashExpr]] expression; persisted because the band
     * table derived from it is self-joined.
@@ -66,6 +61,11 @@ object Dedup {
     arr.select(col(idCol) +: (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh$i")): _*)
   }
 
+  /** LSH banding: docs sharing any band (md5 over r consecutive signature
+    * values) are near-dup candidates. Returns (id, band_idx, band_hash) in
+    * long form, ready for a self-join on (band_idx, band_hash) — the
+    * scale-out path: candidates are generated per-bucket, never all-pairs.
+    */
   def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame =
     lshBandsFrom(signatureTable(df, idCol, textCol, k), idCol, k, rowsPerBand)
 
