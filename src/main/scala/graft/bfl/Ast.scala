@@ -38,6 +38,14 @@ object Ast {
   /** `!` / unary `-` (reference: server/lib/eval.go:667-691). */
   final case class Unary(op: String, operand: Expr) extends Expr
 
+  /** Parenthesized sub-expression — a COLLAPSE BOUNDARY: the reference's
+    * evalPrimary routes `( … )` through evalExpression, which converts an
+    * inner collapse to plain false instead of propagating it
+    * (reference: server/lib/eval.go:649-651, 786-790). `(a.missing) or b`
+    * therefore still evaluates `b`.
+    */
+  final case class SubExpr(e: Expr) extends Expr
+
   final case class NumLit(v: Double) extends Expr
   final case class StrLit(v: String) extends Expr
   final case class RegexLit(pattern: String) extends Expr

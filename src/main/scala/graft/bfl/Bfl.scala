@@ -39,7 +39,20 @@ object Bfl {
       // equality the static typing can't reconcile) both take the exact
       // interpreter path
       case scala.util.control.NonFatal(_) =>
-        val doc = docCol.map(col).getOrElse(to_json(struct(df.columns.map(col): _*)))
+        // timestamp columns serialize to epoch millis in the doc view (the
+        // reference's `timestamp` fields are epoch-millis int64) — ISO-8601
+        // text would coerce to 0 in numeric compares
+        val doc = docCol.map(col).getOrElse {
+          val fields = df.schema.fields.map { f =>
+            f.dataType match {
+              case org.apache.spark.sql.types.TimestampType |
+                  org.apache.spark.sql.types.TimestampNTZType =>
+                unix_millis(col(f.name)).as(f.name)
+              case _ => col(f.name)
+            }
+          }
+          to_json(struct(fields.toSeq: _*))
+        }
         val q = Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)
         val filtered = df.where(coalesce(BflExpressions.bflMatch(doc, expanded), lit(false)))
         Applied(q.limit.fold(filtered)(n => filtered.limit(n.toInt)), usedCompiled = false)

@@ -65,7 +65,10 @@ object Compiler {
       collapse: Column,
       litNum: Option[Double] = None,
       litMillis: Option[Long] = None,
-      litRegex: Option[String] = None
+      litRegex: Option[String] = None,
+      // static: can `collapse` ever be true? (false for literals/helpers,
+      // used by the SubExpr boundary to pass through unchanged)
+      mayCollapse: Boolean = true
   )
   private val noCollapse = lit(false)
 
@@ -94,12 +97,12 @@ object Compiler {
   // ---------- recursive compilation ----------
 
   private def comp(e: Expr, ctx: Ctx): CV = e match {
-    case NumLit(v)   => CV(lit(v), TDouble, noCollapse, litNum = Some(v))
-    case StrLit(v)   => CV(lit(v), TStr, noCollapse)
-    case BoolLit(v)  => CV(lit(v), TBool, noCollapse)
-    case NilLit      => CV(lit(null).cast(StringType), TNull, noCollapse)
-    case TimeLit(ms) => CV(lit(ms), TLong, noCollapse, litMillis = Some(ms))
-    case RegexLit(p) => CV(lit(p), TStr, noCollapse, litRegex = Some(p))
+    case NumLit(v)   => CV(lit(v), TDouble, noCollapse, litNum = Some(v), mayCollapse = false)
+    case StrLit(v)   => CV(lit(v), TStr, noCollapse, mayCollapse = false)
+    case BoolLit(v)  => CV(lit(v), TBool, noCollapse, mayCollapse = false)
+    case NilLit      => CV(lit(null).cast(StringType), TNull, noCollapse, mayCollapse = false)
+    case TimeLit(ms) => CV(lit(ms), TLong, noCollapse, litMillis = Some(ms), mayCollapse = false)
+    case RegexLit(p) => CV(lit(p), TStr, noCollapse, litRegex = Some(p), mayCollapse = false)
 
     case PathGet(path) =>
       val r = resolve(path, ctx)
@@ -120,29 +123,42 @@ object Compiler {
         case "and" => (ab && bb, a.collapse || (ab && b.collapse))
         case "or"  => (ab || bb, a.collapse || (!ab && b.collapse))
       }
-      CV(value, TBool, collapse)
+      CV(value, TBool, collapse, mayCollapse = a.mayCollapse || b.mayCollapse)
 
     case Equality(op, l, r) =>
       val a = comp(l, ctx)
       val b = comp(r, ctx)
       val eq = equalityCol(a, b)
-      CV(if (op == "==") eq else !eq, TBool, a.collapse || b.collapse)
+      CV(if (op == "==") eq else !eq, TBool, a.collapse || b.collapse,
+        mayCollapse = a.mayCollapse || b.mayCollapse)
 
     case Comparison(op, l, r) =>
       val a = comp(l, ctx)
       val b = comp(r, ctx)
-      CV(comparisonCol(op, a, b), TBool, a.collapse || b.collapse)
+      CV(comparisonCol(op, a, b), TBool, a.collapse || b.collapse,
+        mayCollapse = a.mayCollapse || b.mayCollapse)
 
     case Unary(op, operand) =>
       val a = comp(operand, ctx)
       (op, a.t) match {
-        case ("!", TBool)   => CV(!a.value, TBool, a.collapse)
+        case ("!", TBool)   => CV(!a.value, TBool, a.collapse, mayCollapse = a.mayCollapse)
         case ("-", TDouble) =>
-          CV(-a.value, TDouble, a.collapse, litNum = a.litNum.map(-_))
-        case ("-", TLong) => CV(-a.value, TLong, a.collapse)
+          CV(-a.value, TDouble, a.collapse, litNum = a.litNum.map(-_), mayCollapse = a.mayCollapse)
+        case ("-", TLong) => CV(-a.value, TLong, a.collapse, mayCollapse = a.mayCollapse)
         case ("!", TJson) =>
           throw Unsupported("! on dynamically-typed JSON value")
         case _ => a
+      }
+
+    case SubExpr(inner) =>
+      // collapse boundary (reference: eval.go:649-651): a collapsed inner
+      // expression becomes plain false
+      val cv = comp(inner, ctx)
+      if (!cv.mayCollapse) cv
+      else cv.t match {
+        case TBool => CV(!cv.collapse && truthy(cv), TBool, noCollapse, mayCollapse = false)
+        case _ =>
+          throw Unsupported("non-boolean parenthesized sub-expression that may collapse")
       }
 
     case HelperCall(name, recv, args) =>
@@ -152,14 +168,21 @@ object Compiler {
           else {
             val r = resolve(recv, ctx)
             val a = comp(args.head, ctx)
-            val s = toStr(r.value, r.t)
+            // a missing receiver is coerced to boolean false, which
+            // stringifies to "false" before the helper runs (reference:
+            // eval.go:622-624 + stringOperand); JSON-null values are
+            // indistinguishable from missing in text form — "false" chosen
+            val s = r.t match {
+              case TNull => lit("false")
+              case _     => coalesce(toStr(r.value, r.t), lit("false"))
+            }
             val arg = toStr(a.value, a.t)
             val res = name match {
               case "startsWith" => s.startsWith(arg)
               case "endsWith"   => s.endsWith(arg)
               case _            => s.contains(arg)
             }
-            CV(coalesce(res, lit(false)), TBool, a.collapse)
+            CV(coalesce(res, lit(false)), TBool, a.collapse, mayCollapse = a.mayCollapse)
           }
         case "datetime" =>
           args.headOption match {
@@ -184,7 +207,11 @@ object Compiler {
   // ---------- coercions (reference: server/lib/eval.go:27-88) ----------
 
   private def truthy(cv: CV): Column = cv.t match {
-    case TStr | TJson    => cv.value.isNotNull && cv.value =!= ""
+    case TStr            => cv.value.isNotNull && cv.value =!= ""
+    // reference truthiness dispatches on the DYNAMIC type (bool as-is,
+    // number > 0, string non-empty) — undecidable from get_json_object
+    // text, so bare-path predicates over docs use the exact interpreter
+    case TJson           => throw Unsupported("truthiness of dynamically-typed JSON value")
     case TLong | TDouble => cv.value > 0
     case TTimestamp      => unix_millis(cv.value) > 0
     // TBool values are never null under the ¬collapse contract (literals,
@@ -209,7 +236,14 @@ object Compiler {
   private def toNum(c: Column, t: BT): Column = t match {
     case TLong | TDouble => c.cast(DoubleType)
     case TTimestamp      => unix_millis(c).cast(DoubleType)
-    case TStr | TJson    => coalesce(c.cast(DoubleType), lit(0.0))
+    case TStr            => coalesce(c.cast(DoubleType), lit(0.0))
+    case TJson =>
+      // JSON literal true/false numerically coerce to 1/0 (reference
+      // float64Operand on bool); any other unparseable text -> 0. A JSON
+      // STRING "true" is indistinguishable in text form (ref would give 0).
+      when(c === "true", 1.0)
+        .when(c === "false", 0.0)
+        .otherwise(coalesce(c.cast(DoubleType), lit(0.0)))
     case TBool           => when(coalesce(c, lit(false)), 1.0).otherwise(0.0)
     case TNull           => lit(0.0)
     case TArr(_)         => lit(0.0)
@@ -343,6 +377,10 @@ object Compiler {
           case (MapType(_, vt, _), Key(k))   => walk(element_at(c, k), vt, tail)
           case (MapType(_, vt, _), Wildcard) if tail.isEmpty =>
             Resolved(map_values(c), TArr(btOf(vt)))
+          case (_: MapType, Wildcard) =>
+            throw Unsupported("deep path after map wildcard")
+          case (_: StructType, Wildcard) =>
+            throw Unsupported("wildcard over struct column")
           case (ArrayType(et, _), Index(i)) =>
             // ojg is 0-based (negative = from end); element_at is 1-based
             val idx = if (i >= 0) i + 1 else i

@@ -77,6 +77,11 @@ final class Interp(query: Query) {
       if (rv.collapse) return Collapse
       Res(Coerce.cmp(op, lv.value, rv.value), collapse = false)
 
+    case SubExpr(inner) =>
+      // collapse boundary (reference: eval.go:649-651 via evalExpression)
+      val r = evalExpr(inner, root)
+      if (r.collapse) Res(false, collapse = false) else r
+
     case Unary(op, operand) =>
       val v = evalExpr(operand, root)
       if (v.collapse) return Collapse

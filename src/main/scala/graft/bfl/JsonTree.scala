@@ -166,7 +166,20 @@ object JsonTree {
           if (idx >= 0 && idx < a.length) a(idx) = value
         case (a: Arr, Wildcard) => a.indices.foreach(a(_) = value)
         case (m: Obj, Wildcard) => m.keys.toList.foreach(m.put(_, value))
-        case _                  =>
+        case (p, Descent(n)) =>
+          // ojg descent-Set semantics: sets the field at every depth
+          // (including maps that lack it) — this is why redact routes
+          // LEADING `..name` through a walk instead (reference:
+          // server/lib/eval.go:503-521); non-prefix `a..name` uses jp.Set
+          def walkSet(x: Any): Unit = x match {
+            case m: Obj =>
+              m.keys.toList.foreach(k => if (k != n) walkSet(m(k)))
+              m.put(n, value)
+            case a: Arr => a.foreach(walkSet)
+            case _      =>
+          }
+          walkSet(p)
+        case _ =>
       }
     }
   }

@@ -95,7 +95,7 @@ object Normalize {
       case RRegex(raw)  => RegexLit(trimQuotes(raw))
       case RBool(v)     => BoolLit(v)
       case RNil         => NilLit
-      case RSub(e)      => normLogical(e.logical, prepend, jctx, ctx)
+      case RSub(e)      => SubExpr(normLogical(e.logical, prepend, jctx, ctx))
       case call: RCall  => normCall(call, prepend, jctx, ctx)
     }
 
@@ -219,7 +219,7 @@ object Normalize {
           case RRegex(s)    => RegexLit(trimQuotes(s))
           case RBool(v)     => BoolLit(v)
           case RNil         => NilLit
-          case RSub(e2)     => go(e2.logical)
+          case RSub(e2)     => SubExpr(go(e2.logical))
           case _: RCall     => BoolLit(false)
         }
     }

@@ -225,6 +225,9 @@ final class Engine(val spark: SparkSession, val dir: String) {
   }
 
   def totalRecords: Long = meta.highWater - meta.removedCount
+  /** next id to be assigned; ids < highWater exist (or were evicted) */
+  def highWater: Long = meta.highWater
+  def expandMacros(q: String): String = expand(q)
   def truncatedTimestamp: Long = meta.truncatedTimestamp
   def macros: Map[String, String] = meta.macros
 

@@ -181,14 +181,26 @@ final class ProtocolServer(engine: Engine, port: Int) {
     */
   private def streamQuery(out: OutputStream, leftOff: String, query: String): Unit = {
     var written = 0L
-    @volatile var last = -1L
+    // the tail must start after everything the HISTORY phase scanned —
+    // matched or not — and never before leftOff (the client asked to skip
+    // those); seed from both
+    val histHighWater = engine.highWater - 1
+    val leftOffSeed = leftOff match {
+      case "" | null => -1L
+      case "latest"  => engine.highWater - 2 // history = last record only
+      case s         => s.toLong
+    }
+    @volatile var last = math.max(histHighWater, leftOffSeed)
     @volatile var dead = false
     def sendSafe(msg: String): Unit =
       if (!dead) {
         try send(out, msg)
         catch { case _: Exception => dead = true } // client disconnected
       }
-    val limit: Long = graft.bfl.Parser.parse(query) match {
+    // expand macros ONCE here: the limit extraction and the tail expression
+    // see the same query text the engine's history query evaluates
+    val expanded = engine.expandMacros(query)
+    val limit: Long = graft.bfl.Parser.parse(expanded) match {
       case Right(q) => q.limit.getOrElse(0L)
       case Left(_)  => 0L
     }
@@ -198,8 +210,7 @@ final class ProtocolServer(engine: Engine, port: Int) {
     hist.foreach { r =>
       sendSafe(r.getString(1))
       written += 1
-      last = r.getLong(0)
-      sendSafe(metadataJson(written, engine.totalRecords, written, last,
+      sendSafe(metadataJson(written, engine.totalRecords, written, r.getLong(0),
         engine.truncatedTimestamp, noMore = false))
     }
     // `limit(N)` ends the stream once satisfied — no live tail
@@ -208,7 +219,7 @@ final class ProtocolServer(engine: Engine, port: Int) {
     // live tail (the streaming source replays the log; ids ≤ last are
     // already-written history and skipped)
     @volatile var done = false
-    val tailQ = Streaming.startTail(engine.spark, engine.dir, query,
+    val tailQ = Streaming.startTail(engine.spark, engine.dir, expanded,
       (rows, hw) => {
         rows.filter(_._1 > last).foreach { case (id, doc) =>
           if (!done) {

@@ -101,7 +101,13 @@ class CompilerEquivalenceSpec extends AnyFunSuite {
     // numbers as strings quirks
     """event_type == 5""",
     // nil compare: JSON doc has no nulls; missing → collapse
-    """props.k != nil"""
+    """props.k != nil""",
+    // parentheses as collapse boundary
+    """(nonexistent.path == "x") or event_type == "click"""",
+    """!(nonexistent.path == "x") and event_type == "error"""",
+    // missing helper receiver → "false"
+    """nonexistent.path.startsWith("fal")""",
+    """nonexistent.path.contains("x") or event_type == "signup""""
   )
 
   test("compiled tier matches interpreter on the supported subset") {

@@ -338,6 +338,38 @@ class EvalConformanceSpec extends AnyFunSuite {
     assert(GoFmt.format(0.0) == "0")
   }
 
+  test("parentheses are a collapse boundary") {
+    // reference: evalPrimary SubExpression -> evalExpression converts inner
+    // collapse to false (eval.go:649-651, 786-790)
+    check("(brand.game == \"X\") or true", car, truth = true)
+    check("brand.game == \"X\" or true", car, truth = false) // no boundary
+    check("!(brand.game == \"X\")", car, truth = true)
+    check("(brand.game == \"X\") and true", car, truth = false)
+    check("true and (brand.game == \"X\" or brand.name == \"Chevrolet\")", car, truth = false)
+    check("true and ((brand.game == \"X\") or brand.name == \"Chevrolet\")", car, truth = true)
+  }
+
+  test("missing helper receiver coerces to boolean false -> \"false\"") {
+    // reference: eval.go:622-624 (v=false) + stringOperand(false)="false"
+    check("brand.game.startsWith(\"fal\")", car, truth = true)
+    check("brand.game.startsWith(\"x\")", car, truth = false)
+    check("brand.game.endsWith(\"lse\")", car, truth = true)
+    check("brand.game.contains(\"\")", car, truth = true)
+    check("brand.name.contains(\"\")", car, truth = true)
+  }
+
+  test("redact with non-prefix recursive descent sets at every depth") {
+    // ojg jp.Set semantics for `a..name` (non-prefix descent)
+    val doc = """{"data":{"u":{"password":"x"},"v":{"password":"y"}},"password":"z"}"""
+    val q = Parser.parse("""redact("data..password") and true""").toOption.get
+    val root = JsonTree.parse(doc)
+    new Interp(q).eval(root)
+    val out = JsonTree.serialize(root)
+    assert(out.contains("\"u\":{\"password\":\"[REDACTED]\"}"))
+    assert(out.contains("\"v\":{\"password\":\"[REDACTED]\"}"))
+    assert(out.contains("\"password\":\"z\"")) // outside the prefix untouched
+  }
+
   test("empty query matches everything") {
     val q = Parser.parse("").fold(e => fail(e), identity)
     assert(new Interp(q).eval(JsonTree.parse("{}")))
