@@ -41,16 +41,24 @@ object Bfl {
       case scala.util.control.NonFatal(_) =>
         // timestamp columns serialize to epoch millis in the doc view (the
         // reference's `timestamp` fields are epoch-millis int64) — ISO-8601
-        // text would coerce to 0 in numeric compares
+        // text would coerce to 0 in numeric compares. Applied recursively
+        // through structs and arrays (map values are left as-is).
+        import org.apache.spark.sql.types._
+        def tsToMillis(c: Column, dt: DataType): Column = dt match {
+          case TimestampType | TimestampNTZType => unix_millis(c)
+          case st: StructType if containsTs(st) =>
+            struct(st.fields.toSeq.map(f => tsToMillis(c.getField(f.name), f.dataType).as(f.name)): _*)
+          case ArrayType(et, _) if containsTs(et) => transform(c, e => tsToMillis(e, et))
+          case _ => c
+        }
+        def containsTs(dt: DataType): Boolean = dt match {
+          case TimestampType | TimestampNTZType => true
+          case st: StructType                   => st.fields.exists(f => containsTs(f.dataType))
+          case ArrayType(et, _)                 => containsTs(et)
+          case _                                => false
+        }
         val doc = docCol.map(col).getOrElse {
-          val fields = df.schema.fields.map { f =>
-            f.dataType match {
-              case org.apache.spark.sql.types.TimestampType |
-                  org.apache.spark.sql.types.TimestampNTZType =>
-                unix_millis(col(f.name)).as(f.name)
-              case _ => col(f.name)
-            }
-          }
+          val fields = df.schema.fields.map(f => tsToMillis(col(f.name), f.dataType).as(f.name))
           to_json(struct(fields.toSeq: _*))
         }
         val q = Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)

@@ -145,8 +145,8 @@ object Compiler {
         case ("-", TDouble) =>
           CV(-a.value, TDouble, a.collapse, litNum = a.litNum.map(-_), mayCollapse = a.mayCollapse)
         case ("-", TLong) => CV(-a.value, TLong, a.collapse, mayCollapse = a.mayCollapse)
-        case ("!", TJson) =>
-          throw Unsupported("! on dynamically-typed JSON value")
+        case ("!", TJson) | ("-", TJson) =>
+          throw Unsupported("unary op on dynamically-typed JSON value")
         case _ => a
       }
 
@@ -170,9 +170,11 @@ object Compiler {
             val a = comp(args.head, ctx)
             // a missing receiver is coerced to boolean false, which
             // stringifies to "false" before the helper runs (reference:
-            // eval.go:622-624 + stringOperand); JSON-null values are
-            // indistinguishable from missing in text form — "false" chosen
+            // eval.go:622-624 + stringOperand). A JSON-null VALUE would
+            // stringify to "null" instead, and text form can't distinguish
+            // the two — dynamic receivers use the exact interpreter
             val s = r.t match {
+              case TJson => throw Unsupported("string helper over dynamically-typed JSON receiver")
               case TNull => lit("false")
               case _     => coalesce(toStr(r.value, r.t), lit("false"))
             }
@@ -237,13 +239,11 @@ object Compiler {
     case TLong | TDouble => c.cast(DoubleType)
     case TTimestamp      => unix_millis(c).cast(DoubleType)
     case TStr            => coalesce(c.cast(DoubleType), lit(0.0))
-    case TJson =>
-      // JSON literal true/false numerically coerce to 1/0 (reference
-      // float64Operand on bool); any other unparseable text -> 0. A JSON
-      // STRING "true" is indistinguishable in text form (ref would give 0).
-      when(c === "true", 1.0)
-        .when(c === "false", 0.0)
-        .otherwise(coalesce(c.cast(DoubleType), lit(0.0)))
+    // dynamic JSON text: ParseFloat-else-0, same as the reference for
+    // numbers and strings; a JSON literal bool (text "true"/"false") would
+    // coerce to 1/0 in the reference but is indistinguishable from the
+    // string form here — bool-typed numeric compares use the interpreter
+    case TJson => coalesce(c.cast(DoubleType), lit(0.0))
     case TBool           => when(coalesce(c, lit(false)), 1.0).otherwise(0.0)
     case TNull           => lit(0.0)
     case TArr(_)         => lit(0.0)

@@ -130,8 +130,14 @@ final class Engine(val spark: SparkSession, val dir: String) {
     * docs in id order, capped by the query's `limit(N)`
     * (reference: native.go:369-523).
     */
-  def query(leftOff: String, queryStr: String): DataFrame = {
-    val expanded = expand(queryStr)
+  def query(leftOff: String, queryStr: String): DataFrame =
+    queryExpanded(leftOff, expand(queryStr))
+
+  /** Like [[query]] but with macros already expanded — callers that expand
+    * once up-front (the protocol server) avoid a second, possibly
+    * macro-state-racing expansion.
+    */
+  def queryExpanded(leftOff: String, expanded: String): DataFrame = {
     val q = parseOrThrow(expanded)
     val base = leftOff match {
       case "" | null => records()

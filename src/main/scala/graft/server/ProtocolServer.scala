@@ -197,21 +197,29 @@ final class ProtocolServer(engine: Engine, port: Int) {
         try send(out, msg)
         catch { case _: Exception => dead = true } // client disconnected
       }
-    // expand macros ONCE here: the limit extraction and the tail expression
-    // see the same query text the engine's history query evaluates
+    // expand macros ONCE: limit extraction, the history scan, and the tail
+    // all evaluate the same query text even if /macro runs concurrently
     val expanded = engine.expandMacros(query)
     val limit: Long = graft.bfl.Parser.parse(expanded) match {
       case Right(q) => q.limit.getOrElse(0L)
       case Left(_)  => 0L
     }
-    // history
-    val hist = engine.query(leftOff, query).orderBy("id")
+    // history; `current` counts scanned-since-last-metadata via id deltas,
+    // like the FETCH handler
+    var prevId = leftOffSeed
+    val hist = engine.queryExpanded(leftOff, expanded).orderBy("id")
       .select("id", "doc").collect()
     hist.foreach { r =>
       sendSafe(r.getString(1))
       written += 1
-      sendSafe(metadataJson(written, engine.totalRecords, written, r.getLong(0),
+      val id = r.getLong(0)
+      sendSafe(metadataJson(math.abs(id - prevId), engine.totalRecords, written, id,
         engine.truncatedTimestamp, noMore = false))
+      prevId = id
+      // a record inserted DURING the history scan can exceed the pre-scan
+      // high-water snapshot; advancing `last` here keeps the tail from
+      // re-sending it
+      last = math.max(last, id)
     }
     // `limit(N)` ends the stream once satisfied — no live tail
     // (reference: native.go:513-517 returns from StreamRecords)
@@ -221,12 +229,14 @@ final class ProtocolServer(engine: Engine, port: Int) {
     @volatile var done = false
     val tailQ = Streaming.startTail(engine.spark, engine.dir, expanded,
       (rows, hw) => {
+        var prevTail = last
         rows.filter(_._1 > last).foreach { case (id, doc) =>
           if (!done) {
             sendSafe(doc)
             written += 1
-            sendSafe(metadataJson(written, engine.totalRecords, written, id,
+            sendSafe(metadataJson(math.abs(id - prevTail), engine.totalRecords, written, id,
               engine.truncatedTimestamp, noMore = false))
+            prevTail = id
             if (limit != 0 && written >= limit) done = true
           }
         }
