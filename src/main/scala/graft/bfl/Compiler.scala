@@ -238,12 +238,12 @@ object Compiler {
   private def toNum(c: Column, t: BT): Column = t match {
     case TLong | TDouble => c.cast(DoubleType)
     case TTimestamp      => unix_millis(c).cast(DoubleType)
-    case TStr            => coalesce(c.cast(DoubleType), lit(0.0))
+    case TStr            => coalesce(c.try_cast(DoubleType), lit(0.0))
     // dynamic JSON text: ParseFloat-else-0, same as the reference for
     // numbers and strings; a JSON literal bool (text "true"/"false") would
     // coerce to 1/0 in the reference but is indistinguishable from the
     // string form here — bool-typed numeric compares use the interpreter
-    case TJson => coalesce(c.cast(DoubleType), lit(0.0))
+    case TJson => coalesce(c.try_cast(DoubleType), lit(0.0))
     case TBool           => when(coalesce(c, lit(false)), 1.0).otherwise(0.0)
     case TNull           => lit(0.0)
     case TArr(_)         => lit(0.0)

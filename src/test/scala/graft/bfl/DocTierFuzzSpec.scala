@@ -1,0 +1,85 @@
+package graft.bfl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fuzz equivalence: the compiled document tier (docCol routing through
+  * get_json_object) must agree with the exact interpreter on every query it
+  * accepts, across randomized docs. Queries the compiler rejects
+  * (Unsupported) are skipped — that IS the contract (fallback handles them).
+  */
+class DocTierFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("doc-fuzz")
+    .getOrCreate()
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def randomDoc(): String = {
+    val m = new JsonTree.Obj
+    m.put("n", rnd.nextInt(100).toLong)
+    m.put("d", math.round(rnd.nextDouble() * 1000) / 10.0)
+    m.put("s", Seq("alpha", "beta", "gamma", "", "42", "-7.5")(rnd.nextInt(6)))
+    if (rnd.nextBoolean()) m.put("opt", rnd.nextInt(10).toLong)
+    val nested = new JsonTree.Obj
+    nested.put("k", rnd.nextInt(50).toLong)
+    if (rnd.nextBoolean()) nested.put("name", Seq("x", "yy", "zzz")(rnd.nextInt(3)))
+    m.put("sub", nested)
+    JsonTree.serialize(m)
+  }
+
+  private val queries = Seq(
+    """n > 50""",
+    """d >= 50.0 and n < 80""",
+    """s == "alpha"""",
+    """s == 42""",
+    """s != "beta" and d < 90""",
+    """opt > 5""",
+    """opt > 5 or n > 50""",
+    """(opt > 5) or n > 50""",
+    """sub.k >= 25""",
+    """sub.name == "yy"""",
+    """sub.name == "yy" or sub.k < 10""",
+    """(sub.name == "yy") or sub.k < 10""",
+    """s.startsWith("a") or s.endsWith("a")""",
+    """s.contains("et")""",
+    """n == 42 or d == 42.0""",
+    """!(n > 50)""",
+    """s == r"^(alpha|beta)$"""",
+    """-5 < n and n <= 99""",
+    """sub.missing == 1 or n > 50""",
+    """(sub.missing == 1) or n > 50""",
+    """s > 0""", // numeric coercion of strings ("42" -> 42, "alpha" -> 0)
+    """n == opt"""
+  )
+
+  test("compiled doc tier agrees with the interpreter on 200 random docs") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = (0 until 200).map(i => (i.toLong, randomDoc()))
+    val df = docs.toDF("rid", "doc")
+
+    var compiledCount = 0
+    queries.foreach { q =>
+      val parsed = Parser.parse(q).toOption.get
+      val interp = new Interp(parsed)
+      val expected = docs.collect {
+        case (rid, d) if interp.eval(JsonTree.parse(d)) => rid
+      }.toSet
+      try {
+        val plan = Compiler.compileQuery(df.schema, parsed, docCol = Some("doc"))
+        val got = df.where(plan.pred).select("rid").as[Long].collect().toSet
+        assert(got == expected,
+          s"doc-tier mismatch for `$q`: only-compiled=${(got -- expected).take(5)} " +
+            s"only-interp=${(expected -- got).take(5)}")
+        compiledCount += 1
+      } catch {
+        case _: Compiler.Unsupported => () // interpreter fallback territory
+      }
+    }
+    // most of the battery should actually exercise the compiled tier
+    assert(compiledCount >= queries.size - 4, s"only $compiledCount/${queries.size} compiled")
+  }
+}
