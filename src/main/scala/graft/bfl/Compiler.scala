@@ -373,8 +373,10 @@ object Compiler {
               case Some(f) => walk(c.getField(k), f.dataType, tail)
               case None    => missing
             }
-          case (MapType(_, vt, _), Field(n)) => walk(element_at(c, n), vt, tail)
-          case (MapType(_, vt, _), Key(k))   => walk(element_at(c, k), vt, tail)
+          // try_element_at: ANSI mode makes plain element_at THROW on a
+          // missing map key / out-of-range index; BFL semantics collapse
+          case (MapType(_, vt, _), Field(n)) => walk(try_element_at(c, lit(n)), vt, tail)
+          case (MapType(_, vt, _), Key(k))   => walk(try_element_at(c, lit(k)), vt, tail)
           case (MapType(_, vt, _), Wildcard) if tail.isEmpty =>
             Resolved(map_values(c), TArr(btOf(vt)))
           case (_: MapType, Wildcard) =>
@@ -384,7 +386,7 @@ object Compiler {
           case (ArrayType(et, _), Index(i)) =>
             // ojg is 0-based (negative = from end); element_at is 1-based
             val idx = if (i >= 0) i + 1 else i
-            walk(element_at(c, idx), et, tail)
+            walk(try_element_at(c, lit(idx)), et, tail)
           case (ArrayType(et, _), Wildcard) =>
             tail match {
               case Nil => Resolved(c, TArr(btOf(et)))

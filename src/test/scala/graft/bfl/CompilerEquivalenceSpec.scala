@@ -145,6 +145,15 @@ class CompilerEquivalenceSpec extends AnyFunSuite {
     applied.df.count() // must evaluate without throwing
   }
 
+  test("out-of-range index on a typed array collapses instead of ANSI-throwing") {
+    val df = events.withColumn("tags", array(col("event_type")))
+    // index 5 on a 1-element array: BFL collapse (row dropped), not an error
+    val plan = Compiler.compile(df, """tags[5] == "x" or event_type == "click"""")
+    assert(df.where(plan.pred).count() == 0) // collapse propagates through or
+    val plan2 = Compiler.compile(df, """(tags[5] == "x") or event_type == "click"""")
+    assert(df.where(plan2.pred).count() > 0) // paren boundary absorbs it
+  }
+
   test("integral literal vs long column compares natively (pushable)") {
     val plan = Compiler.compile(events, """user_id <= 5""")
     val got = events.where(plan.pred).select("event_id").collect().map(_.getLong(0)).toSet
