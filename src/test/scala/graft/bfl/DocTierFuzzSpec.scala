@@ -52,7 +52,27 @@ class DocTierFuzzSpec extends AnyFunSuite {
     """sub.missing == 1 or n > 50""",
     """(sub.missing == 1) or n > 50""",
     """s > 0""", // numeric coercion of strings ("42" -> 42, "alpha" -> 0)
-    """n == opt"""
+    """n == opt""",
+    // field-vs-field across types
+    """n > d""",
+    """s == n""",
+    """sub.k == opt""",
+    // regex against numbers / dynamic text
+    """n == r"^4"""",
+    """s != r"a"""",
+    // equality with nil (missing vs present)
+    """opt == nil""",
+    """opt != nil or n < 3""",
+    // literals-only and mixed
+    """5 == 5 and n >= 0""",
+    """"alpha" == s""",
+    // chained comparisons (right-nested: n < (d < 100))
+    """n < d < 100""",
+    // deep misses in different positions
+    """sub.deep.deeper == 1 and n > 0""",
+    """n > 0 and sub.deep.deeper == 1""",
+    // datetime constant against a numeric field (coerces)
+    """n < datetime("1/1/2030, 12:00:00.000 AM")"""
   )
 
   test("compiled doc tier agrees with the interpreter on 200 random docs") {
@@ -80,6 +100,6 @@ class DocTierFuzzSpec extends AnyFunSuite {
       }
     }
     // most of the battery should actually exercise the compiled tier
-    assert(compiledCount >= queries.size - 4, s"only $compiledCount/${queries.size} compiled")
+    assert(compiledCount >= queries.size - 8, s"only $compiledCount/${queries.size} compiled")
   }
 }
