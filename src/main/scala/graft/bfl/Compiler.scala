@@ -52,8 +52,13 @@ object Compiler {
     * `timestamp` fields are epoch-millis int64, native.go:1024)
     */
   case object TTimestamp extends BT
-  /** text extracted from a JSON document column — dynamically typed */
-  case object TJson extends BT
+  /** a Spark 4 VARIANT value extracted from a JSON document column —
+    * dynamically typed with the runtime type PRESERVED (long vs double vs
+    * bool vs string vs null), so the reference's dynamic coercions compile
+    * exactly: `schema_of_variant` dispatches per row. A missing path is SQL
+    * NULL (collapse) while a JSON null is a VOID variant — the distinction
+    * text extraction could never make. */
+  case object TVar extends BT
   final case class TArr(elem: BT) extends BT
 
   /** value+type+collapse triple for one compiled node; `litNum`/`litRegex`
@@ -145,8 +150,10 @@ object Compiler {
         case ("-", TDouble) =>
           CV(-a.value, TDouble, a.collapse, litNum = a.litNum.map(-_), mayCollapse = a.mayCollapse)
         case ("-", TLong) => CV(-a.value, TLong, a.collapse, mayCollapse = a.mayCollapse)
-        case ("!", TJson) | ("-", TJson) =>
-          throw Unsupported("unary op on dynamically-typed JSON value")
+        case ("!", TVar) | ("-", TVar) =>
+          // Go's unary ops mutate only bool/float64 and pass other types
+          // through unchanged — a mixed-type result; use the interpreter
+          throw Unsupported("unary op on dynamically-typed value")
         case _ => a
       }
 
@@ -170,11 +177,9 @@ object Compiler {
             val a = comp(args.head, ctx)
             // a missing receiver is coerced to boolean false, which
             // stringifies to "false" before the helper runs (reference:
-            // eval.go:622-624 + stringOperand). A JSON-null VALUE would
-            // stringify to "null" instead, and text form can't distinguish
-            // the two — dynamic receivers use the exact interpreter
+            // eval.go:622-624 + stringOperand); a VARIANT receiver
+            // distinguishes JSON null ("null") from missing ("false")
             val s = r.t match {
-              case TJson => throw Unsupported("string helper over dynamically-typed JSON receiver")
               case TNull => lit("false")
               case _     => coalesce(toStr(r.value, r.t), lit("false"))
             }
@@ -210,10 +215,7 @@ object Compiler {
 
   private def truthy(cv: CV): Column = cv.t match {
     case TStr            => cv.value.isNotNull && cv.value =!= ""
-    // reference truthiness dispatches on the DYNAMIC type (bool as-is,
-    // number > 0, string non-empty) — undecidable from get_json_object
-    // text, so bare-path predicates over docs use the exact interpreter
-    case TJson           => throw Unsupported("truthiness of dynamically-typed JSON value")
+    case TVar            => truthyVar(cv.value)
     case TLong | TDouble => cv.value > 0
     case TTimestamp      => unix_millis(cv.value) > 0
     // TBool values are never null under the ¬collapse contract (literals,
@@ -226,7 +228,8 @@ object Compiler {
   }
 
   private def toStr(c: Column, t: BT): Column = t match {
-    case TStr | TJson => c
+    case TStr         => c
+    case TVar         => toStrVar(c)
     case TLong        => c.cast(StringType)
     case TTimestamp   => unix_millis(c).cast(StringType)
     case TDouble      => BflExpressions.goFmt(c)
@@ -239,11 +242,7 @@ object Compiler {
     case TLong | TDouble => c.cast(DoubleType)
     case TTimestamp      => unix_millis(c).cast(DoubleType)
     case TStr            => coalesce(c.try_cast(DoubleType), lit(0.0))
-    // dynamic JSON text: ParseFloat-else-0, same as the reference for
-    // numbers and strings; a JSON literal bool (text "true"/"false") would
-    // coerce to 1/0 in the reference but is indistinguishable from the
-    // string form here — bool-typed numeric compares use the interpreter
-    case TJson => coalesce(c.try_cast(DoubleType), lit(0.0))
+    case TVar => toNumVar(c)
     case TBool           => when(coalesce(c, lit(false)), 1.0).otherwise(0.0)
     case TNull           => lit(0.0)
     case TArr(_)         => lit(0.0)
@@ -264,6 +263,23 @@ object Compiler {
     case _ if b.litRegex.isDefined => toStr(a.value, a.t).rlike(b.litRegex.get)
     case _ =>
       (a.t, b.t) match {
+        // dynamic VARIANT operands: array-ness decided per row
+        case (TVar, TVar) =>
+          when(isVarArr(a.value) && isVarArr(b.value),
+            to_json(a.value) === to_json(b.value)) // deep-equal
+            .when(isVarArr(a.value),
+              coalesce(exists(varArr(a.value), e => toStrVar(e) === toStrVar(b.value)), lit(false)))
+            .when(isVarArr(b.value),
+              coalesce(exists(varArr(b.value), e => toStrVar(a.value) === toStrVar(e)), lit(false)))
+            .otherwise(toStrVar(a.value) === toStrVar(b.value))
+        case (TVar, _) =>
+          when(isVarArr(a.value),
+            coalesce(exists(varArr(a.value), e => toStrVar(e) === toStr(b.value, b.t)), lit(false)))
+            .otherwise(toStrVar(a.value) === toStr(b.value, b.t))
+        case (_, TVar) =>
+          when(isVarArr(b.value),
+            coalesce(exists(varArr(b.value), e => toStr(a.value, a.t) === toStrVar(e)), lit(false)))
+            .otherwise(toStr(a.value, a.t) === toStrVar(b.value))
         case (TArr(_), TArr(_)) => a.value === b.value
         case (TArr(ea), _) =>
           coalesce(exists(a.value, e => toStr(e, ea) === toStr(b.value, b.t)), lit(false))
@@ -290,6 +306,24 @@ object Compiler {
       case "<=" => x <= y
     }
     (a.t, b.t) match {
+      // dynamic VARIANT operands: existential vs scalar, universal vs array
+      case (TVar, TVar) =>
+        when(isVarArr(a.value) && isVarArr(b.value),
+          coalesce(forall(varArr(a.value), i =>
+            coalesce(forall(varArr(b.value), j => sc(toNumVar(i), toNumVar(j))), lit(true))), lit(true)))
+          .when(isVarArr(a.value),
+            coalesce(exists(varArr(a.value), i => sc(toNumVar(i), toNumVar(b.value))), lit(false)))
+          .when(isVarArr(b.value),
+            coalesce(exists(varArr(b.value), j => sc(toNumVar(a.value), toNumVar(j))), lit(false)))
+          .otherwise(sc(toNumVar(a.value), toNumVar(b.value)))
+      case (TVar, _) =>
+        when(isVarArr(a.value),
+          coalesce(exists(varArr(a.value), i => sc(toNumVar(i), toNum(b.value, b.t))), lit(false)))
+          .otherwise(sc(toNumVar(a.value), toNum(b.value, b.t)))
+      case (_, TVar) =>
+        when(isVarArr(b.value),
+          coalesce(exists(varArr(b.value), j => sc(toNum(a.value, a.t), toNumVar(j))), lit(false)))
+          .otherwise(sc(toNum(a.value, a.t), toNumVar(b.value)))
       case (TArr(ea), TArr(eb)) =>
         coalesce(
           forall(a.value, i => coalesce(forall(b.value, j => sc(toNum(i, ea), toNum(j, eb))), lit(true))),
@@ -333,7 +367,7 @@ object Compiler {
     case DoubleType | FloatType | _: DecimalType       => TDouble
     case BooleanType                                   => TBool
     case TimestampType | TimestampNTZType              => TTimestamp
-    case _                                             => TJson
+    case _                                             => TVar
   }
 
   private def resolve(path: List[Seg], ctx: Ctx): Resolved = {
@@ -348,7 +382,7 @@ object Compiler {
       case None =>
         ctx.docCol match {
           // schema-free document: the whole path goes through the doc
-          case Some(dc) => jsonWalk(col(dc), path)
+          case Some(dc) => variantWalk(col(dc), path)
           case None     => missing // unknown root field: always collapses
         }
     }
@@ -406,8 +440,8 @@ object Compiler {
               case _ => throw Unsupported("deep path after wildcard")
             }
           case (StringType, _) =>
-            // document boundary: remaining path goes through get_json_object
-            jsonWalk(c, seg :: tail)
+            // document boundary: remaining path extracts a VARIANT
+            variantWalk(c, seg :: tail)
           case (_, Descent(_)) => throw Unsupported("recursive descent")
           case _               => missing
         }
@@ -415,7 +449,7 @@ object Compiler {
 
   private val plainKey = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  private def jsonWalk(c: Column, rest: List[Seg]): Resolved = {
+  private def variantWalk(c: Column, rest: List[Seg]): Resolved = {
     val sb = new StringBuilder("$")
     def key(k: String): Unit =
       if (plainKey.matches(k)) { sb ++= "."; sb ++= k }
@@ -433,6 +467,46 @@ object Compiler {
       case Descent(_) =>
         throw Unsupported("recursive descent inside JSON document")
     }
-    Resolved(get_json_object(c, sb.toString), TJson)
+    // try_parse_json: malformed docs become NULL (collapse), matching the
+    // reference's skip-on-parse-error; try_variant_get: missing path NULL
+    Resolved(try_variant_get(try_parse_json(c), sb.toString, "variant"), TVar)
   }
+
+  // ---------- VARIANT dynamic coercions (exact §1.2 semantics) ----------
+
+  private def sv(c: Column): Column = schema_of_variant(c)
+  private def varArr(c: Column): Column =
+    c.try_cast(ArrayType(org.apache.spark.sql.types.VariantType))
+  private def isVarArr(c: Column): Column = sv(c).startsWith("ARRAY")
+
+  /** stringOperand over a variant: exact digits for int64, Go %g for
+    * non-integral numbers, "true"/"false", "null" for JSON null, "" for
+    * arrays/objects (no case in Go's switch).
+    */
+  private def toStrVar(c: Column): Column =
+    when(is_variant_null(c), lit("null"))
+      .when(sv(c) === "STRING", c.try_cast(StringType))
+      .when(sv(c) === "BIGINT", c.try_cast(LongType).cast(StringType))
+      .when(sv(c) === "BOOLEAN", c.try_cast(BooleanType).cast(StringType))
+      .when(isVarArr(c) || sv(c).startsWith("OBJECT"), lit(""))
+      .otherwise(BflExpressions.goFmt(c.try_cast(DoubleType)))
+
+  /** float64Operand over a variant: ParseFloat-else-0 for strings, 1/0 for
+    * bools, 0 for null/arrays/objects, numeric value otherwise.
+    */
+  private def toNumVar(c: Column): Column =
+    when(is_variant_null(c), lit(0.0))
+      .when(sv(c) === "STRING",
+        coalesce(c.try_cast(StringType).try_cast(DoubleType), lit(0.0)))
+      .when(isVarArr(c) || sv(c).startsWith("OBJECT"), lit(0.0))
+      .otherwise(coalesce(c.try_cast(DoubleType), lit(0.0)))
+
+  /** boolOperand over a variant. */
+  private def truthyVar(c: Column): Column =
+    when(c.isNull || is_variant_null(c), lit(false))
+      .when(sv(c) === "STRING", c.try_cast(StringType) =!= "")
+      .when(sv(c) === "BOOLEAN", c.try_cast(BooleanType))
+      .when(isVarArr(c), size(varArr(c)) > 0)
+      .when(sv(c).startsWith("OBJECT"), lit(false))
+      .otherwise(coalesce(c.try_cast(DoubleType) > 0, lit(false)))
 }

@@ -23,6 +23,16 @@ class DocTierFuzzSpec extends AnyFunSuite {
     m.put("d", math.round(rnd.nextDouble() * 1000) / 10.0)
     m.put("s", Seq("alpha", "beta", "gamma", "", "42", "-7.5")(rnd.nextInt(6)))
     if (rnd.nextBoolean()) m.put("opt", rnd.nextInt(10).toLong)
+    m.put("flag", rnd.nextBoolean())
+    // nullable field: absent / null / value — three distinct states
+    rnd.nextInt(3) match {
+      case 0 => ()
+      case 1 => m.put("maybe", null)
+      case 2 => m.put("maybe", rnd.nextInt(5).toLong)
+    }
+    val arr = new JsonTree.Arr
+    (0 until rnd.nextInt(4)).foreach(_ => arr += rnd.nextInt(20).toLong)
+    m.put("xs", arr)
     val nested = new JsonTree.Obj
     nested.put("k", rnd.nextInt(50).toLong)
     if (rnd.nextBoolean()) nested.put("name", Seq("x", "yy", "zzz")(rnd.nextInt(3)))
@@ -72,7 +82,26 @@ class DocTierFuzzSpec extends AnyFunSuite {
     """sub.deep.deeper == 1 and n > 0""",
     """n > 0 and sub.deep.deeper == 1""",
     // datetime constant against a numeric field (coerces)
-    """n < datetime("1/1/2030, 12:00:00.000 AM")"""
+    """n < datetime("1/1/2030, 12:00:00.000 AM")""",
+    // VARIANT-tier exact dynamics: booleans, nulls, bare-path truthiness
+    """flag == true""",
+    """flag != false""",
+    """flag and n > 20""",
+    """flag or n > 90""",
+    """flag > 0""", // bool numerically coerces to 1/0
+    """maybe == nil""", // JSON null vs missing vs value — three-way
+    """maybe != nil""",
+    """maybe == 2""",
+    """maybe and true""",
+    """s and n > 50""", // string truthiness (non-empty)
+    // runtime array semantics over the doc
+    """xs == 7""", // array-vs-scalar membership
+    """xs != 7""",
+    """xs > 15""", // existential compare
+    """xs <= 0""",
+    """xs == xs""", // array deep-equal
+    """xs and true""", // array truthiness (non-empty)
+    """xs.startsWith("x")""" // helper on array receiver -> "" semantics
   )
 
   test("compiled doc tier agrees with the interpreter on 200 random docs") {
