@@ -111,7 +111,10 @@ object Compiler {
 
     case PathGet(path) =>
       val r = resolve(path, ctx)
-      CV(r.value, r.t, r.value.isNull)
+      val collapse =
+        if (r.emptyCollapses) r.value.isNull || size(r.value) === 0
+        else r.value.isNull
+      CV(r.value, r.t, collapse)
 
     case Logical(op, l, r) =>
       val a = comp(l, ctx)
@@ -149,7 +152,9 @@ object Compiler {
         case ("!", TBool)   => CV(!a.value, TBool, a.collapse, mayCollapse = a.mayCollapse)
         case ("-", TDouble) =>
           CV(-a.value, TDouble, a.collapse, litNum = a.litNum.map(-_), mayCollapse = a.mayCollapse)
-        case ("-", TLong) => CV(-a.value, TLong, a.collapse, mayCollapse = a.mayCollapse)
+        // Go's unary minus negates only float64; int64 passes through
+        // unchanged (eval.go:681-683 switch has no int64 case)
+        case ("-", TLong) => a
         case ("!", TVar) | ("-", TVar) =>
           // Go's unary ops mutate only bool/float64 and pass other types
           // through unchanged — a mixed-type result; use the interpreter
@@ -181,7 +186,12 @@ object Compiler {
             // distinguishes JSON null ("null") from missing ("false")
             val s = r.t match {
               case TNull => lit("false")
-              case _     => coalesce(toStr(r.value, r.t), lit("false"))
+              case TArr(et) =>
+                // singleton wildcard results unwrap before stringification
+                when(size(r.value) === 1,
+                  elStr(try_element_at(r.value, lit(1)), et))
+                  .otherwise(when(r.value.isNull, lit("false")).otherwise(lit("")))
+              case _ => coalesce(toStr(r.value, r.t), lit("false"))
             }
             val arg = toStr(a.value, a.t)
             val res = name match {
@@ -192,7 +202,10 @@ object Compiler {
             CV(coalesce(res, lit(false)), TBool, a.collapse, mayCollapse = a.mayCollapse)
           }
         case "datetime" =>
-          args.headOption match {
+          args.headOption.map {
+            case SubExpr(inner) => inner // paren-wrapped literal
+            case other          => other
+          } match {
             case Some(StrLit(s)) =>
               Interp.parseDatetime(s) match {
                 case Some(ms) =>
@@ -224,7 +237,20 @@ object Compiler {
     // would block Catalyst's conjunct splitting + Parquet pushdown.
     case TBool           => cv.value
     case TNull           => lit(false)
-    case TArr(_)         => size(cv.value) > 0
+    case TArr(et) =>
+      // a 1-element wildcard result unwraps to the scalar in the reference
+      // (eval.go:627-630), so [0] is falsy while [0,1] (array, len>0) is not
+      val v = cv.value
+      when(size(v) === 1, truthyScalar(try_element_at(v, lit(1)), et))
+        .otherwise(size(v) > 0)
+  }
+
+  private def truthyScalar(c: Column, t: BT): Column = t match {
+    case TStr    => coalesce(c =!= "", lit(false))
+    case TBool   => coalesce(c, lit(false))
+    case TVar    => truthyVar(c)
+    case TNull   => lit(false)
+    case _       => coalesce(c.try_cast(DoubleType) > 0, lit(false))
   }
 
   private def toStr(c: Column, t: BT): Column = t match {
@@ -280,20 +306,31 @@ object Compiler {
           when(isVarArr(b.value),
             coalesce(exists(varArr(b.value), e => toStr(a.value, a.t) === toStrVar(e)), lit(false)))
             .otherwise(toStr(a.value, a.t) === toStrVar(b.value))
-        case (TArr(_), TArr(_)) => a.value === b.value
+        case (TArr(ea), TArr(eb)) =>
+          // single-match wildcard results unwrap to scalars (eval.go:627-630)
+          val a1 = elStr(try_element_at(a.value, lit(1)), ea)
+          val b1 = elStr(try_element_at(b.value, lit(1)), eb)
+          when(size(a.value) === 1 && size(b.value) === 1, a1 === b1)
+            .when(size(a.value) === 1,
+              coalesce(exists(b.value, e => a1 === elStr(e, eb)), lit(false)))
+            .when(size(b.value) === 1,
+              coalesce(exists(a.value, e => elStr(e, ea) === b1), lit(false)))
+            .otherwise(a.value === b.value) // array-vs-array deep equal
         case (TArr(ea), _) =>
-          coalesce(exists(a.value, e => toStr(e, ea) === toStr(b.value, b.t)), lit(false))
+          coalesce(exists(a.value, e => elStr(e, ea) === toStr(b.value, b.t)), lit(false))
         case (_, TArr(eb)) =>
-          coalesce(exists(b.value, e => toStr(a.value, a.t) === toStr(e, eb)), lit(false))
+          coalesce(exists(b.value, e => toStr(a.value, a.t) === elStr(e, eb)), lit(false))
         // pushdown fast paths: native typed compare when provably equivalent
         case (TLong, _) if b.litNum.flatMap(longExact).isDefined =>
           a.value === lit(b.litNum.flatMap(longExact).get)
         case (_, TLong) if a.litNum.flatMap(longExact).isDefined =>
           b.value === lit(a.litNum.flatMap(longExact).get)
         case (TTimestamp, _) if b.litMillis.isDefined =>
-          a.value === timestamp_millis(lit(b.litMillis.get))
+          val x = b.litMillis.get // floor(ts) == X ⟺ ts ∈ [X, X+1ms)
+          a.value >= timestamp_millis(lit(x)) && a.value < timestamp_millis(lit(x + 1))
         case (_, TTimestamp) if a.litMillis.isDefined =>
-          b.value === timestamp_millis(lit(a.litMillis.get))
+          val x = a.litMillis.get
+          b.value >= timestamp_millis(lit(x)) && b.value < timestamp_millis(lit(x + 1))
         case _ => toStr(a.value, a.t) === toStr(b.value, b.t)
       }
   }
@@ -325,14 +362,21 @@ object Compiler {
           coalesce(exists(varArr(b.value), j => sc(toNum(a.value, a.t), toNumVar(j))), lit(false)))
           .otherwise(sc(toNum(a.value, a.t), toNumVar(b.value)))
       case (TArr(ea), TArr(eb)) =>
-        coalesce(
-          forall(a.value, i => coalesce(forall(b.value, j => sc(toNum(i, ea), toNum(j, eb))), lit(true))),
-          lit(true)
-        )
+        // singleton wildcard results unwrap to scalars first (eval.go:627-630)
+        val a1 = elNum(try_element_at(a.value, lit(1)), ea)
+        val b1 = elNum(try_element_at(b.value, lit(1)), eb)
+        when(size(a.value) === 1 && size(b.value) === 1, sc(a1, b1))
+          .when(size(a.value) === 1,
+            coalesce(exists(b.value, j => sc(a1, elNum(j, eb))), lit(false)))
+          .when(size(b.value) === 1,
+            coalesce(exists(a.value, i => sc(elNum(i, ea), b1)), lit(false)))
+          .otherwise(coalesce(
+            forall(a.value, i => coalesce(forall(b.value, j => sc(elNum(i, ea), elNum(j, eb))), lit(true))),
+            lit(true)))
       case (TArr(ea), _) =>
-        coalesce(exists(a.value, i => sc(toNum(i, ea), toNum(b.value, b.t))), lit(false))
+        coalesce(exists(a.value, i => sc(elNum(i, ea), toNum(b.value, b.t))), lit(false))
       case (_, TArr(eb)) =>
-        coalesce(exists(b.value, j => sc(toNum(a.value, a.t), toNum(j, eb))), lit(false))
+        coalesce(exists(b.value, j => sc(toNum(a.value, a.t), elNum(j, eb))), lit(false))
       // pushdown fast paths: numeric compare is identical to the generic
       // double-coerced compare for native numeric columns, but keeps the
       // column uncasted so the filter reaches the Parquet reader
@@ -348,17 +392,35 @@ object Compiler {
         sc(lit(a.litNum.get.toLong), b.value)
       case (TLong, _) if b.litNum.isDefined =>
         sc(a.value.cast(DoubleType), lit(b.litNum.get))
+      // millis-floor semantics as native boundaries: the reference compares
+      // epoch MILLIS (floor), so e.g. floor(ts) > X  ⟺  ts >= X+1ms; these
+      // forms stay pushable and agree for sub-millisecond timestamps
       case (TTimestamp, _) if b.litMillis.isDefined =>
-        sc(a.value, timestamp_millis(lit(b.litMillis.get)))
+        val x = b.litMillis.get
+        op match {
+          case ">"  => a.value >= timestamp_millis(lit(x + 1))
+          case ">=" => a.value >= timestamp_millis(lit(x))
+          case "<"  => a.value < timestamp_millis(lit(x))
+          case "<=" => a.value < timestamp_millis(lit(x + 1))
+        }
       case (_, TTimestamp) if a.litMillis.isDefined =>
-        sc(timestamp_millis(lit(a.litMillis.get)), b.value)
+        val x = a.litMillis.get
+        op match { // X op floor(ts) ⟺ mirrored boundaries
+          case "<"  => b.value >= timestamp_millis(lit(x + 1))
+          case "<=" => b.value >= timestamp_millis(lit(x))
+          case ">"  => b.value < timestamp_millis(lit(x))
+          case ">=" => b.value < timestamp_millis(lit(x + 1))
+        }
       case _ => sc(toNum(a.value, a.t), toNum(b.value, b.t))
     }
   }
 
   // ---------- schema-aware path resolution ----------
 
-  private final case class Resolved(value: Column, t: BT)
+  private final case class Resolved(value: Column, t: BT,
+      // wildcard-produced arrays: ZERO matches collapse the expression
+      // (jp.Get len<1, eval.go:613-624); a plain array VALUE never does
+      emptyCollapses: Boolean = false)
   private def missing: Resolved = Resolved(lit(null).cast(StringType), TNull)
 
   private def btOf(dt: DataType): BT = dt match {
@@ -412,7 +474,7 @@ object Compiler {
           case (MapType(_, vt, _), Field(n)) => walk(try_element_at(c, lit(n)), vt, tail)
           case (MapType(_, vt, _), Key(k))   => walk(try_element_at(c, lit(k)), vt, tail)
           case (MapType(_, vt, _), Wildcard) if tail.isEmpty =>
-            Resolved(map_values(c), TArr(btOf(vt)))
+            Resolved(map_values(c), TArr(btOf(vt)), emptyCollapses = true)
           case (_: MapType, Wildcard) =>
             throw Unsupported("deep path after map wildcard")
           case (_: StructType, Wildcard) =>
@@ -423,7 +485,7 @@ object Compiler {
             walk(try_element_at(c, lit(idx)), et, tail)
           case (ArrayType(et, _), Wildcard) =>
             tail match {
-              case Nil => Resolved(c, TArr(btOf(et)))
+              case Nil => Resolved(c, TArr(btOf(et)), emptyCollapses = true)
               case Field(n) :: Nil =>
                 et match {
                   case st: StructType =>
@@ -431,7 +493,8 @@ object Compiler {
                       case Some(f) =>
                         Resolved(
                           filter(transform(c, e => e.getField(n)), _.isNotNull),
-                          TArr(btOf(f.dataType))
+                          TArr(btOf(f.dataType)),
+                          emptyCollapses = true
                         )
                       case None => missing
                     }
@@ -453,6 +516,8 @@ object Compiler {
     val sb = new StringBuilder("$")
     def key(k: String): Unit =
       if (plainKey.matches(k)) { sb ++= "."; sb ++= k }
+      else if (k.contains("'") || k.contains("\\"))
+        throw Unsupported("document key needs quoting the variant path can't express")
       else { sb ++= "['"; sb ++= k; sb ++= "']" } // dotted/spaced keys
     rest.foreach {
       case Field(n) => key(n)
@@ -500,6 +565,11 @@ object Compiler {
         coalesce(c.try_cast(StringType).try_cast(DoubleType), lit(0.0)))
       .when(isVarArr(c) || sv(c).startsWith("OBJECT"), lit(0.0))
       .otherwise(coalesce(c.try_cast(DoubleType), lit(0.0)))
+
+  // null elements inside typed arrays coerce like JSON null
+  // (stringOperand(nil)="null", float64Operand(nil)=0 — eval.go:58-59,84-85)
+  private def elStr(e: Column, t: BT): Column = coalesce(toStr(e, t), lit("null"))
+  private def elNum(e: Column, t: BT): Column = coalesce(toNum(e, t), lit(0.0))
 
   /** boolOperand over a variant. */
   private def truthyVar(c: Column): Column =

@@ -26,7 +26,7 @@ final class Interp(query: Query) {
   private val regexCache = mutable.HashMap[String, Pattern]()
 
   private def pattern(p: String): Pattern =
-    regexCache.getOrElseUpdate(p, Pattern.compile(p))
+    regexCache.getOrElseUpdate(p, Pattern.compile(Interp.re2ToJava(p)))
 
   /** Evaluate against a JSON document. Returns (truth, transformed tree).
     * The tree is mutated in place by record-altering helpers (redact).
@@ -204,6 +204,11 @@ object Interp {
   def parseDatetime(s: String): Option[Long] =
     try Some(LocalDateTime.parse(s, dtFormat).toInstant(ZoneOffset.UTC).toEpochMilli)
     catch { case _: Exception => None }
+
+  /** Go/RE2 named-group syntax `(?P<name>` is `(?<name>` in Java regex —
+    * the one common RE2 construct Java rejects outright.
+    */
+  def re2ToJava(p: String): String = p.replace("(?P<", "(?<")
 
   /** Strict std-base64 sniff, matching Go base64.StdEncoding.DecodeString:
     * padding required, no whitespace (reference: server/lib/eval.go:362-365).

@@ -145,6 +145,46 @@ class CompilerEquivalenceSpec extends AnyFunSuite {
     applied.df.count() // must evaluate without throwing
   }
 
+  test("wildcard semantics: singleton unwrap, empty collapse, null elements") {
+    import spark.implicits._
+    // rows with arrays of size 0 / 1 / 2 (incl. a null element)
+    val df = Seq(
+      (0L, Seq.empty[java.lang.Long], Seq.empty[String]),
+      (1L, Seq[java.lang.Long](0L), Seq("xy")),
+      (2L, Seq[java.lang.Long](7L), Seq("ab")),
+      (3L, Seq[java.lang.Long](1L, 9L), Seq("xy", "zz")),
+      (4L, Seq[java.lang.Long](null, 5L), Seq("a", "b"))
+    ).toDF("rid", "nums", "strs")
+
+    def interpSet(q: String): Set[Long] = {
+      val in = Interp.compile(q).toOption.get
+      df.select(to_json(struct(col("rid"), col("nums"), col("strs"))))
+        .as[String].collect()
+        .flatMap { j =>
+          val root = JsonTree.parse(j)
+          val rid = JsonTree.get(root, List(Ast.Field("rid"))).head.asInstanceOf[Long]
+          if (in.eval(root)) Some(rid) else None
+        }.toSet
+    }
+    def compiledSet(q: String): Set[Long] = {
+      val plan = Compiler.compile(df, q)
+      df.where(plan.pred).select("rid").as[Long].collect().toSet
+    }
+    val qs = Seq(
+      """nums.* and true""", // [0] unwraps to falsy scalar; [] collapses
+      """nums.* == 1 or true""", // empty wildcard collapses through or
+      """nums.* > 4""", // existential incl. null element (coerces to 0)
+      """nums.* == nil""", // null element membership
+      """strs.*.startsWith("x")""", // singleton receiver unwraps
+      """nums.* > nums.*""", // array-vs-array with singletons
+      """nums.* <= nums.*""",
+      """strs.* == strs.*""" // deep equal / unwrap mix
+    )
+    qs.foreach { q =>
+      assert(compiledSet(q) == interpSet(q), s"array-semantics mismatch for `$q`")
+    }
+  }
+
   test("out-of-range index on a typed array collapses instead of ANSI-throwing") {
     val df = events.withColumn("tags", array(col("event_type")))
     // index 5 on a 1-element array: BFL collapse (row dropped), not an error
