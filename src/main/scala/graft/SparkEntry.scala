@@ -166,6 +166,32 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(decSum(col("value")), 2).as("sum_value"))
         .orderBy("hour_ms", "event_type")),
+    "left_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(decSum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+        .orderBy("c_custkey")
+    }),
+    "cube_counts" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "percentiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+    "edit_distance" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), lit("steel blue tomato")).cast("long").as("dist"))
+        .orderBy("dist", "p_partkey")
+        .limit(20)),
     "tumbling_window" -> ((s, dir) =>
       // Spark's streaming window() in batch mode; epoch-aligned 6h buckets
       ev(s, dir)
@@ -400,6 +426,22 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
          COUNT(*) AS n, round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""",
+    "left_join_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         round(CAST(SUM(CAST(COALESCE(o_totalprice,0) AS DECIMAL(18,6))) AS DOUBLE),2) AS total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 400000
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "cube_counts" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         round(quantile_cont(o_totalprice, 0.99), 4) AS p99 FROM orders""",
+    "edit_distance" ->
+      """SELECT p_partkey, levenshtein(p_name, 'steel blue tomato') AS dist
+         FROM part ORDER BY dist, p_partkey LIMIT 20""",
     "tumbling_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL 6 HOUR, ts)) AS w, COUNT(*) AS n,
          round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
