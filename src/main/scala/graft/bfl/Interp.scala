@@ -46,6 +46,14 @@ final class Interp(query: Query) {
       (t, JsonTree.serialize(root))
     }
 
+  private[bfl] def evalValue(root: Any): (Any, Boolean) =
+    query.expr match {
+      case None => (true, false)
+      case Some(e) =>
+        val r = evalExpr(e, root)
+        (r.value, r.collapse)
+    }
+
   private final case class Res(value: Any, collapse: Boolean)
   private val Collapse = Res(null, collapse = true)
 
@@ -213,8 +221,13 @@ object Interp {
   /** Strict std-base64 sniff, matching Go base64.StdEncoding.DecodeString:
     * padding required, no whitespace (reference: server/lib/eval.go:362-365).
     */
-  def tryBase64(s: String): Option[String] =
+  def tryBase64(s0: String): Option[String] =
     try {
+      // Go's StdEncoding decode skips \r and \n (trailing newlines and
+      // line-wrapped base64 decode fine)
+      val s = if (s0.indexOf('\n') >= 0 || s0.indexOf('\r') >= 0)
+        s0.filter(c => c != '\n' && c != '\r')
+      else s0
       if (s.isEmpty || s.length % 4 != 0) None
       else Some(new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => None }
@@ -249,10 +262,16 @@ object Coerce {
     case _          => "" // arrays/maps have no case in Go's switch
   }
 
+  private val goFloatRe =
+    "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r
+
   def toNum(v: Any): Double = v match {
     case s: String =>
-      try s.trim.toDouble
-      catch { case _: NumberFormatException => 0.0 }
+      // strconv.ParseFloat: no surrounding whitespace, no Java f/d suffixes
+      if (goFloatRe.matches(s))
+        try s.toDouble
+        catch { case _: NumberFormatException => 0.0 }
+      else 0.0
     case l: Long    => l.toDouble
     case i: Int     => i.toDouble
     case d: Double  => d
@@ -266,10 +285,13 @@ object Coerce {
     * (reference: server/lib/eval.go:104-135).
     */
   def eql(a: Any, b: Any, pat: String => Pattern): Boolean = (a, b) match {
+    // dispatch order mirrors Go's nested switches (eval.go:104-135):
+    // operand1 regex, operand1 array (even vs a regex RHS — existential
+    // string-compare against stringOperand(regex)=""), then operand2
     case (r: RegexVal, x)       => r.p.matcher(toStr(x)).find()
-    case (x, r: RegexVal)       => r.p.matcher(toStr(x)).find()
     case (x: Arr, y: Arr)       => deepEqual(x, y)
     case (x: Arr, y)            => x.exists(e => toStr(e) == toStr(y))
+    case (x, r: RegexVal)       => r.p.matcher(toStr(x)).find()
     case (x, y: Arr)            => y.exists(e => toStr(x) == toStr(e))
     case (x, y)                 => toStr(x) == toStr(y)
   }
@@ -279,7 +301,10 @@ object Coerce {
       x.length == y.length && x.zip(y).forall { case (i, j) => deepEqual(i, j) }
     case (x: Obj, y: Obj) =>
       x.size == y.size && x.forall { case (k, v) => y.get(k).exists(deepEqual(v, _)) }
-    case (x, y) => x == y
+    case (x, y) =>
+      // reflect.DeepEqual semantics: int64 5 != float64 5.0
+      (x == null && y == null) ||
+      (x != null && y != null && x.getClass == y.getClass && x == y)
   }
 
   /** Numeric comparison; array vs scalar ⇒ existential, array vs array ⇒

@@ -94,7 +94,7 @@ object JsonTree {
       // integral doubles print without a fraction, like ojg/Go
       if (d == math.rint(d) && !d.isInfinite && math.abs(d) < 1e15)
         g.writeNumber(d.toLong)
-      else g.writeNumber(d)
+      else g.writeNumber(GoFmt.shortest(d)) // Go 'g' layout, not Java's E-form
     case other         => g.writeString(other.toString)
   }
 

@@ -226,21 +226,16 @@ object Normalize {
     go(e.logical)
   }
 
-  /** Mini constant eval used for `limit(N)` / time-helper arguments
-    * (the reference runs the full evaluator against a nil object,
-    * server/lib/precompute.go:149).
+  /** Constant eval for `limit(N)` / time-helper arguments: the reference
+    * runs the FULL evaluator against a nil object (precompute.go:149), so
+    * `limit(5 == 5)` folds to float64Operand(true) = 1. Reuses normParam
+    * (call-expressions become false, like unprecomputed params) + the
+    * interpreter's value evaluation.
     */
   private def constNum(e: RExpression): Double = {
-    def un(u: RUnary): Double = u match {
-      case RUnaryOp("-", o) => -un(o)
-      case RUnaryOp(_, o)   => un(o)
-      case RPrimaryU(RNumber(v)) => v
-      case RPrimaryU(RBool(b))   => if (b) 1.0 else 0.0
-      case RPrimaryU(RString(s)) =>
-        try trimQuotes(s).toDouble
-        catch { case _: NumberFormatException => 0.0 }
-      case _ => 0.0
-    }
-    un(e.logical.eq.cmp.un)
+    val dummy = new Ctx(0L)
+    val norm = normParam(e, dummy)
+    val (v, collapsed) = new Interp(Query(Some(norm), None)).evalValue(null)
+    if (collapsed) 0.0 else Coerce.toNum(v)
   }
 }

@@ -138,10 +138,32 @@ object Parser extends RegexParsers {
         case _ => Left("parse failure")
       }
 
-  /** Parse + normalize (the reference's Parse + Precompute). */
+  /** Parse + normalize (the reference's Parse + Precompute). Regex literals
+    * are validated here — the reference compiles them in Precompute and
+    * rejects the query up-front (precompute.go:200-202).
+    */
   def parse(text: String): Either[String, Query] =
     parseRaw(text).flatMap {
       case None    => Right(Query(None, None))
-      case Some(r) => Normalize(r)
+      case Some(r) => Normalize(r).flatMap(validateRegexes)
     }
+
+  private def validateRegexes(q: Query): Either[String, Query] = {
+    def walk(e: Ast.Expr): Option[String] = e match {
+      case Ast.RegexLit(p) =>
+        try { java.util.regex.Pattern.compile(Interp.re2ToJava(p)); None }
+        catch { case ex: Exception => Some(s"bad regex `$p`: ${ex.getMessage}") }
+      case Ast.Logical(_, a, b)    => walk(a).orElse(walk(b))
+      case Ast.Equality(_, a, b)   => walk(a).orElse(walk(b))
+      case Ast.Comparison(_, a, b) => walk(a).orElse(walk(b))
+      case Ast.Unary(_, a)         => walk(a)
+      case Ast.SubExpr(a)          => walk(a)
+      case Ast.HelperCall(_, _, args) => args.view.flatMap(walk(_)).headOption
+      case _                       => None
+    }
+    q.expr.flatMap(walk) match {
+      case Some(err) => Left(err)
+      case None      => Right(q)
+    }
+  }
 }

@@ -74,22 +74,24 @@ object Redact {
       return
     }
 
-    jsonPath match {
-      case Descent(name) :: Nil =>
-        // walk and replace by field name at any depth; array-index frames
-        // never match (reference: server/lib/eval.go:503-518)
-        def walk(x: Any): Unit = x match {
-          case m: Obj =>
-            m.keys.toList.foreach { k =>
-              if (k == name) m.put(k, REDACTED)
-              else walk(m(k))
-            }
-          case a: Arr => a.foreach(walk)
-          case _      =>
-        }
-        walk(obj)
-      case _ =>
-        JsonTree.set(obj, jsonPath, REDACTED)
+    if (xmlParts.head.startsWith("..")) {
+      // leading-descent paths walk the tree comparing each KEY to the
+      // '..'-stripped remainder string; `..a.b` therefore only matches a
+      // literal "a.b" key (reference: server/lib/eval.go:503-518 —
+      // array-index frames never match either)
+      val ref = xmlParts.head.dropWhile(_ == '.')
+      def walk(x: Any): Unit = x match {
+        case m: Obj =>
+          m.keys.toList.foreach { k =>
+            if (k == ref) m.put(k, REDACTED)
+            else walk(m(k))
+          }
+        case a: Arr => a.foreach(walk)
+        case _      =>
+      }
+      walk(obj)
+    } else {
+      JsonTree.set(obj, jsonPath, REDACTED)
     }
   }
 

@@ -55,16 +55,11 @@ object XmlCodec {
     sb.toString
   }
 
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c   => c.toString
-    }
-
-  private def attrEscape(s: String): String =
-    xmlEscape(s).replace("\"", "&quot;")
+  // mxj's Map.Xml() does NOT escape character data or attribute values by
+  // default (XMLEscapeChars is opt-in) — raw output is the bug-compatible
+  // reference behavior
+  private def xmlEscape(s: String): String = s
+  private def attrEscape(s: String): String = s
 
   private def writeElem(sb: StringBuilder, tag: String, v: Any): Unit = v match {
     case a: Arr => a.foreach(writeElem(sb, tag, _))

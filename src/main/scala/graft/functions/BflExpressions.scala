@@ -34,11 +34,17 @@ case class BflMatchExpr(child: Expression, queryStr: String)
     extends UnaryExpression
     with CodegenFallback {
 
-  @transient private lazy val interp: Interp =
+  // parsed EAGERLY on the driver: one Normalize call means one now() fold
+  // (time helpers stay consistent across executors/partitions/retries, like
+  // the reference's single server-side compile) and malformed queries or
+  // regexes fail at submission, not per-row
+  private val parsed: graft.bfl.Ast.Query =
     Parser.parse(queryStr) match {
-      case Right(q) => new Interp(q)
+      case Right(q) => q
       case Left(e)  => throw new IllegalArgumentException(s"bad BFL query: $e")
     }
+
+  @transient private lazy val interp: Interp = new Interp(parsed)
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
@@ -65,11 +71,17 @@ case class BflTransformExpr(child: Expression, queryStr: String)
     extends UnaryExpression
     with CodegenFallback {
 
-  @transient private lazy val interp: Interp =
+  // parsed EAGERLY on the driver: one Normalize call means one now() fold
+  // (time helpers stay consistent across executors/partitions/retries, like
+  // the reference's single server-side compile) and malformed queries or
+  // regexes fail at submission, not per-row
+  private val parsed: graft.bfl.Ast.Query =
     Parser.parse(queryStr) match {
-      case Right(q) => new Interp(q)
+      case Right(q) => q
       case Left(e)  => throw new IllegalArgumentException(s"bad BFL query: $e")
     }
+
+  @transient private lazy val interp: Interp = new Interp(parsed)
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -99,11 +111,17 @@ case class BflEvalExpr(child: Expression, queryStr: String)
     extends UnaryExpression
     with CodegenFallback {
 
-  @transient private lazy val interp: Interp =
+  // parsed EAGERLY on the driver: one Normalize call means one now() fold
+  // (time helpers stay consistent across executors/partitions/retries, like
+  // the reference's single server-side compile) and malformed queries or
+  // regexes fail at submission, not per-row
+  private val parsed: graft.bfl.Ast.Query =
     Parser.parse(queryStr) match {
-      case Right(q) => new Interp(q)
+      case Right(q) => q
       case Left(e)  => throw new IllegalArgumentException(s"bad BFL query: $e")
     }
+
+  @transient private lazy val interp: Interp = new Interp(parsed)
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true

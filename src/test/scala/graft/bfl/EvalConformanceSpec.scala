@@ -370,6 +370,40 @@ class EvalConformanceSpec extends AnyFunSuite {
     assert(out.contains("\"password\":\"z\"")) // outside the prefix untouched
   }
 
+  test("go shortest float serialization (ojg layout)") {
+    assert(GoFmt.shortest(1e-7) == "1e-07")
+    assert(GoFmt.shortest(0.0001) == "0.0001")
+    assert(GoFmt.shortest(1e21) == "1e+21")
+    assert(GoFmt.shortest(1.5e15) == "1500000000000000")
+    assert(GoFmt.shortest(3.14) == "3.14")
+    assert(GoFmt.shortest(-2.5e-9) == "-2.5e-09")
+    assert(GoFmt.shortest(123.456) == "123.456")
+  }
+
+  test("reference-exact coercion corners from review") {
+    // Go base64 decode ignores \r\n
+    assert(Interp.tryBase64("eyJtIjoxfQ==\n").contains("""{"m":1}"""))
+    // ParseFloat rejects padded strings (Java toDouble would accept)
+    assert(Coerce.toNum(" 5") == 0.0)
+    assert(Coerce.toNum("5f") == 0.0)
+    assert(Coerce.toNum("5e2") == 500.0)
+    // reflect.DeepEqual: int64 5 != float64 5.0 inside arrays
+    check("a == b", """{"a":[5],"b":[5.0]}""", truth = false)
+    check("a == b", """{"a":[5],"b":[5]}""", truth = true)
+    // Arr == regex dispatches on the array first (existential vs "")
+    check("""vals == r"x"""", """{"vals":["x",""]}""", truth = true)
+    check("""vals == r"x"""", """{"vals":["x","y"]}""", truth = false)
+    // limit argument runs the full evaluator (5 == 5 -> true -> 1)
+    assert(Parser.parse("limit(5 == 5) and true").toOption.get.limit.contains(1L))
+    // leading-descent multi-segment redact is a no-op (ref compares the
+    // joined remainder string against single keys)
+    check("""redact("..brand.name") and true""",
+      """{"brand":{"name":"Chevrolet"}}""", truth = true,
+      newJson = """{"brand":{"name":"Chevrolet"}}""")
+    // bad regex is rejected at parse time, like Precompute
+    assert(Parser.parse("""a == r"[" """).isLeft)
+  }
+
   test("empty query matches everything") {
     val q = Parser.parse("").fold(e => fail(e), identity)
     assert(new Interp(q).eval(JsonTree.parse("{}")))
