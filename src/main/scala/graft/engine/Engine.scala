@@ -144,8 +144,8 @@ final class Engine(val spark: SparkSession, val dir: String) {
       case "latest"  => records().where(col("id") === meta.highWater - 1)
       case s         => records().where(col("id") > s.toLong)
     }
-    val matched = applyQuery(base, expanded, q)
-    q.limit.fold(matched)(n => matched.orderBy("id").limit(n.toInt))
+    val matched = applyQuery(base, expanded, q).orderBy("id")
+    q.limit.fold(matched)(n => matched.limit(n.toInt))
   }
 
   /** `/single` — point lookup by index; only the query's record-altering
@@ -182,11 +182,21 @@ final class Engine(val spark: SparkSession, val dir: String) {
     val docs = out.map(_.getString(1)).toSeq
     val ids = out.map(_.getLong(0))
     val total = meta.highWater - meta.removedCount
+    // resume point is one PAST the last scanned record (the reference's
+    // _leftOff counts beyond each scanned offset, native.go:732-736), so the
+    // next inclusive-forward fetch doesn't re-emit the boundary record
+    val nextLeftOff = ids.lastOption
+      .map(last => if (direction < 0) last - 1 else last + 1)
+      .getOrElse(leftOff)
+    // the log boundary being scanned also means no more data
+    val atBoundary = ids.lastOption.exists { last =>
+      if (direction < 0) last <= meta.removedCount else last >= meta.highWater - 1
+    }
     val m = FetchMeta(
       total = total,
       numberOfWritten = docs.length,
-      leftOff = ids.lastOption.getOrElse(leftOff),
-      noMoreData = docs.length < limit,
+      leftOff = nextLeftOff,
+      noMoreData = docs.length < limit || atBoundary,
       truncatedTimestamp = meta.truncatedTimestamp
     )
     (docs, m)
@@ -279,6 +289,7 @@ final class Engine(val spark: SparkSession, val dir: String) {
       case Ast.Equality(_, a, b)          => walk(a) || walk(b)
       case Ast.Comparison(_, a, b)        => walk(a) || walk(b)
       case Ast.Unary(_, a)                => walk(a)
+      case Ast.SubExpr(a)                 => walk(a) // macro expansions are paren-wrapped
       case _                              => false
     }
     q.expr.exists(walk)

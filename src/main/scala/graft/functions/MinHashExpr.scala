@@ -45,8 +45,15 @@ case class MinHashSigsExpr(child: Expression, k: Int, ngram: Int)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val text = v.toString.trim
-    val words = text.split("\\s+")
+    // replicate SPARK semantics exactly (the Column pipeline + DuckDB oracle
+    // both use them): trim() strips SPACES only (Java String.trim would also
+    // strip tabs/newlines), split keeps trailing empty tokens (limit -1)
+    val raw = v.toString
+    var a = 0; var b = raw.length
+    while (a < b && raw.charAt(a) == ' ') a += 1
+    while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+    val text = raw.substring(a, b)
+    val words = text.split("\\s+", -1)
     // shingles: sliding n-gram windows, or the whole token string when short
     // (matches Dedup.shingles / the oracle CASE)
     val shingles: Array[String] =

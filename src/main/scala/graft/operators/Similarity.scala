@@ -59,7 +59,9 @@ object Similarity {
       // element_at adds/subtracts, which stay inside whole-stage codegen
       // (an interpreted zip_with/aggregate dot cost ~2.5ms/row)
       val terms = (0 until dim).map { d =>
-        val e = element_at(vec, d + 1).cast("double")
+        // try_element_at + 0-default: vectors shorter than `dim` contribute
+        // nothing instead of ANSI-throwing
+        val e = coalesce(try_element_at(vec, lit(d + 1)).cast("double"), lit(0.0))
         if (planes(p)(d)) e else -e
       }
       val dotp = terms.reduce(_ + _)
@@ -68,9 +70,9 @@ object Similarity {
     bitCols.reduce(_ bitwiseOR _)
   }
 
-  /** ANN top-k: restrict ranking to vectors sharing the query's LSH bucket
-    * (fallback to full scan if the bucket is smaller than k — at real scale
-    * multi-probe or band-OR would be used instead).
+  /** ANN top-k: restrict ranking to vectors sharing the query's LSH bucket;
+    * a sparse bucket returns fewer than k rows (recall/latency trade-off —
+    * at real scale multi-probe or band-OR widens the candidate set).
     */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {

@@ -37,8 +37,17 @@ object Sessionize {
           var cur = state.getOption
           sorted.foreach { e =>
             cur match {
-              case Some(s) if e.tsMs - s.last <= gapMs =>
-                cur = Some(s.copy(last = e.tsMs, n = s.n + 1))
+              // merge only when the event extends the session window
+              // [start-gap, last+gap]; a cross-batch late event older than
+              // that becomes its own immediate session instead of moving
+              // `last` backwards (endMs < startMs corruption)
+              case Some(s) if e.tsMs >= s.start - gapMs && e.tsMs <= s.last + gapMs =>
+                cur = Some(s.copy(
+                  start = math.min(s.start, e.tsMs),
+                  last = math.max(s.last, e.tsMs),
+                  n = s.n + 1))
+              case Some(s) if e.tsMs < s.start - gapMs =>
+                out += Session(userId, e.tsMs, e.tsMs, 1) // late straggler
               case Some(s) =>
                 out += Session(userId, s.start, s.last, s.n)
                 cur = Some(SessionState(e.tsMs, e.tsMs, 1))

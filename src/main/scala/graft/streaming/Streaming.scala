@@ -39,9 +39,10 @@ object Streaming {
       .schema(recordSchema)
       .option("maxFilesPerTrigger", "64")
       .parquet(s"$engineDir/records/batch_*")
+    // fused match+transform: one JSON parse + one interpreter walk per row
     stream
-      .where(coalesce(BflExpressions.bflMatch(col("doc"), query), lit(false)))
-      .withColumn("doc", BflExpressions.bflTransform(col("doc"), query))
+      .withColumn("doc", BflExpressions.bflEval(col("doc"), query))
+      .where(col("doc").isNotNull)
   }
 
   /** Start a tail that pushes each micro-batch (ordered by id) to `onBatch`.

@@ -110,7 +110,8 @@ class ProtocolServerSpec extends AnyFunSuite {
       assert(records.length == 3)
       assert(records.head.contains("\"n\":5"))
       assert(metas.nonEmpty)
-      assert(metas.last.contains("\"leftOff\":\"000000000000000000000007\""))
+      // resume point is one past the last scanned record
+      assert(metas.last.contains("\"leftOff\":\"000000000000000000000008\""))
     }
   }
 
