@@ -96,8 +96,11 @@ object SparkEntry {
     "redact_transform" -> ((s, dir) => {
       val df = ev(s, dir).withColumn(
         "doc",
+        // coalesce: to_json drops null struct fields, which would silently
+        // diverge from the oracle's unconditional '[REDACTED]' if a sparse
+        // props object ever lacked k
         to_json(struct(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").as("k")))
+          coalesce(get_json_object(col("props"), "$.k"), lit("?")).as("k")))
       )
       Bfl
         .queryDocs(df, "doc", """event_type == "error" and redact("k")""")
@@ -321,7 +324,7 @@ object SparkEntry {
     "simhash_buckets" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+          operators.Dedup.simhash64Fast(col("text")).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 48))
         .orderBy("doc_id")),
     "ann_lsh_topk" -> ((s, dir) =>

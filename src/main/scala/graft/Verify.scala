@@ -21,6 +21,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale result from a previous run so the driver's
+        // compare can't false-pass a regression
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(dir)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

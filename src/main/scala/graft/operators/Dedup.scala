@@ -131,6 +131,13 @@ object Dedup {
     * native, codegen'd), bitwise vote, sign → bit. Near-dups have small
     * Hamming distance. (Engine-internal signature — no cross-engine oracle.)
     */
+  /** One-pass expression form of [[simhash64]] taking the raw TEXT column —
+    * bit-identical (same XXH64/seed, same tokenization) but one hash per
+    * token instead of 64 interpreted aggregate lambdas per row.
+    */
+  def simhash64Fast(text: Column): Column =
+    graft.functions.SimHashExpr.simhash64(text)
+
   def simhash64(tokensArr: Column): Column = {
     // votes: for each of 64 bits sum ±1 across token hashes
     val hashes = transform(tokensArr, t => xxhash64(t))

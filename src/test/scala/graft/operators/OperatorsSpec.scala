@@ -63,6 +63,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert((ann intersect brute).nonEmpty)
   }
 
+  test("one-pass SimHash64Expr equals the Column-pipeline simhash") {
+    import spark.implicits._
+    val fast = docs.select(col("doc_id"), Dedup.simhash64Fast(col("text")).as("sh"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val slow = docs.select(col("doc_id"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(fast.toSeq == slow.toSeq)
+  }
+
   test("simhash: identical texts equal, different texts differ") {
     import spark.implicits._
     val df = Seq(
