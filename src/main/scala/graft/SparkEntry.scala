@@ -250,6 +250,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+    "cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)
+        .orderBy("id_a", "id_b")),
     // --- BFL arrays / wildcards / macros / json() fallback ---
     "bfl_wildcard_exist" -> ((s, dir) => {
       // array-vs-scalar equality is existential membership (§1.2)
@@ -494,6 +497,21 @@ object SparkEntry {
              / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
               * sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS sim
          FROM embeddings e, q ORDER BY sim DESC, vec_id LIMIT 10""",
+    "cosine_neardup" ->
+      """WITH sig AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1]>=0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2]>=0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3]>=0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4]>=0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         cand AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea, b.embedding eb
+                  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT * FROM (
+           SELECT ia AS id_a, ib AS id_b, round(
+             list_sum(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS sim
+           FROM cand)
+         WHERE sim >= 0.3 ORDER BY id_a, id_b""",
     "bfl_wildcard_exist" ->
       """SELECT event_id, event_type, user_id FROM events
          WHERE list_contains([event_type, 'u'||CAST(user_id AS VARCHAR)], 'click')

@@ -29,7 +29,13 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass JVM expression, bit-identical to `dot/(norm*norm)` in HOF form
+    * (see [[graft.functions.CosineExpr]]).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineExpr.cosine(a, b)
+
+  /** HOF Column form — kept as the equivalence reference for the fast path. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against the vector with id `queryId`.
     * Output: (vec_id, label, sim) ordered by sim desc, vec_id asc.
@@ -68,6 +74,33 @@ object Similarity {
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS: bucket by the sign pattern of
+    * the first `signDims` coordinates (a deterministic coordinate-hyperplane
+    * LSH that a SQL oracle can replicate exactly), join within buckets, keep
+    * pairs with cosine ≥ threshold. At scale the join is hash-partitioned on
+    * the bucket — never all-pairs.
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      signDims: Int = 4
+  ): DataFrame = {
+    val bucket = (0 until signDims)
+      .map(d => when(try_element_at(col(vecCol), lit(d + 1)) >= 0, 1 << d).otherwise(0))
+      .reduce(_ + _)
+    val sig = emb.select(col(idCol), col(vecCol), bucket.as("bucket"))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"),
+        col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 4).as("sim"))
+      .where(col("sim") >= threshold)
   }
 
   /** ANN top-k: restrict ranking to vectors sharing the query's LSH bucket;

@@ -63,6 +63,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert((ann intersect brute).nonEmpty)
   }
 
+  test("one-pass CosineSimExpr equals the HOF cosine bit-for-bit") {
+    import spark.implicits._
+    val q = emb.where(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q.limit(1))
+      .select(
+        Similarity.cosine(col("embedding"), col("qv")).as("fast"),
+        Similarity.cosineHof(col("embedding"), col("qv")).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (f, h) => assert(f == h, s"$f != $h") }
+  }
+
   test("one-pass SimHash64Expr equals the Column-pipeline simhash") {
     import spark.implicits._
     val fast = docs.select(col("doc_id"), Dedup.simhash64Fast(col("text")).as("sh"))
