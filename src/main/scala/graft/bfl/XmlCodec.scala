@@ -15,6 +15,68 @@ object XmlCodec {
 
   def parse(xml: String): Option[Obj] =
     try {
+      // StAX pull parse (several times faster per row than building a
+      // scala.xml DOM; the interpreter tier parses XML bodies per record)
+      val f = staxFactory.get()
+      val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+      try {
+        while (r.hasNext && !r.isStartElement) r.next()
+        if (!r.isStartElement) return None
+        val (label, value) = readElem(r)
+        val m = new Obj
+        m.put(label, value)
+        Some(m)
+      } finally r.close()
+    } catch { case _: Exception => None }
+
+  private val staxFactory = new ThreadLocal[javax.xml.stream.XMLInputFactory] {
+    override def initialValue(): javax.xml.stream.XMLInputFactory = {
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      f.setProperty(javax.xml.stream.XMLInputFactory.IS_COALESCING, true)
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      f
+    }
+  }
+
+  /** reads the element the reader is positioned on; returns (label, value)
+    * with the same map shape as [[elemToValue]]
+    */
+  private def readElem(r: javax.xml.stream.XMLStreamReader): (String, Any) = {
+    val label = r.getLocalName
+    val attrs = (0 until r.getAttributeCount)
+      .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i))
+    val text = new StringBuilder
+    val grouped = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Any]]()
+    var done = false
+    while (!done && r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          val (cl, cv) = readElem(r)
+          grouped.getOrElseUpdate(cl, mutable.ArrayBuffer[Any]()) += cv
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS |
+            javax.xml.stream.XMLStreamConstants.CDATA =>
+          text ++= r.getText
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT => done = true
+        case _ => ()
+      }
+    }
+    val trimmed = text.toString.trim
+    if (attrs.isEmpty && grouped.isEmpty) (label, trimmed)
+    else {
+      val m = new Obj
+      attrs.foreach { case (k, v) => m.put("-" + k, v) }
+      grouped.foreach { case (tag, vs) =>
+        if (vs.length == 1) m.put(tag, vs.head)
+        else { val a = new Arr; a ++= vs; m.put(tag, a) }
+      }
+      if (trimmed.nonEmpty) m.put("#text", trimmed)
+      (label, m)
+    }
+  }
+
+  /** scala-xml DOM parse — kept as the equivalence reference. */
+  def parseDom(xml: String): Option[Obj] =
+    try {
       val root = XML.loadString(xml)
       val m = new Obj
       m.put(root.label, elemToValue(root))

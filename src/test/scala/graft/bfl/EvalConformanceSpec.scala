@@ -255,6 +255,19 @@ class EvalConformanceSpec extends AnyFunSuite {
   val bookstoreJson =
     """{"response":{"body":"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\r\n<bookstore><book category=\"cooking\"><title lang=\"en\">Everyday Italian</title><author>Giada De Laurentiis</author><year>2005</year><price>30.00</price></book><book category=\"children\"><title lang=\"en\">Harry Potter</title><author>J K. Rowling</author><year>2005</year><price>29.99</price></book><book category=\"web\"><title lang=\"en\">XQuery Kick Start</title><author>James McGovern</author><author>Per Bothner</author><author>Kurt Cagle</author><author>James Linn</author><author>Vaidyanathan Nagarajan</author><year>2003</year><price>49.99</price></book><book category=\"web\"><title lang=\"en\">Learning XML</title><author>Erik T. Ray</author><year>2003</year><price>39.95</price></book></bookstore>\r\n"}}"""
 
+  test("StAX xml parse equals the scala-xml DOM parse") {
+    val bodies = Seq(
+      """<r><k>87</k></r>""",
+      """<a x="1"><b>t</b><b>u</b>mixed<c/></a>""",
+      JsonTree.get(JsonTree.parse(bookstoreJson),
+        List(Ast.Field("response"), Ast.Field("body"))).head.asInstanceOf[String]
+    )
+    bodies.foreach { xml =>
+      assert(XmlCodec.parse(xml) == XmlCodec.parseDom(xml), s"mismatch for $xml")
+    }
+    assert(XmlCodec.parse("not xml").isEmpty)
+  }
+
   test("xml() helper") {
     check("response.body.xml().bookstore.book[1].title == \"Harry Potter\"", bookstoreJson, truth = true)
     check("response.body.xml().bookstore.book[1].title == \"Lord of the Rings\"", bookstoreJson, truth = false)
