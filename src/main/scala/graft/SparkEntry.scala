@@ -459,7 +459,7 @@ object SparkEntry {
                 THEN 1 ELSE 0 END AS new_s
            FROM events),
          s AS (SELECT user_id, ts,
-           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, COUNT(*) AS n_events,
            epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms

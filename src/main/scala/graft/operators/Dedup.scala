@@ -47,27 +47,29 @@ object Dedup {
         .as(s"mh$seed")
     }
 
-  /** Materialized (id, mh0..mhk-1) signature table via the one-pass
-    * [[graft.functions.MinHashExpr]] expression; persisted because the band
-    * table derived from it is self-joined.
+  /** (id, mh0..mhk-1) signature table: k independent single-seed expressions
+    * in ONE projection, each evaluated exactly once per row — no persisted
+    * intermediate to leak, no CollapseProject re-inlining (k element_at
+    * references to one array expression would re-evaluate it k times; there
+    * is no CSE for fallback expressions). Total md5 work is identical to the
+    * one-pass array form.
     */
-  def signatureTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    // persist the ARRAY column, then split to mh columns — k element_at
-    // references to an unpersisted expression would re-evaluate it k times
-    // (projection collapse, no CSE for fallback expressions)
-    val arr = df
-      .select(col(idCol), graft.functions.MinHashExpr.minhashArray(col(textCol), k).as("sigs"))
-      .persist()
-    arr.select(col(idCol) +: (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh$i")): _*)
-  }
+  def signatureTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol) +:
+      (0 until k).map(i => graft.functions.MinHashExpr.minhashOne(col(textCol), i).as(s"mh$i")): _*)
 
   /** LSH banding: docs sharing any band (md5 over r consecutive signature
     * values) are near-dup candidates. Returns (id, band_idx, band_hash) in
     * long form, ready for a self-join on (band_idx, band_hash) — the
     * scale-out path: candidates are generated per-bucket, never all-pairs.
+    * One [[graft.functions.MinHashBandsExpr]] evaluation per row produces all
+    * bands (a generator consumes its input once, so nothing is recomputed).
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame =
-    lshBandsFrom(signatureTable(df, idCol, textCol, k), idCol, k, rowsPerBand)
+    df.select(
+      col(idCol),
+      posexplode(graft.functions.MinHashExpr.bandArray(col(textCol), k, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
 
   /** Bands from a materialized signature table (see [[signatureTable]]). */
   def lshBandsFrom(withSigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
@@ -96,7 +98,15 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    val bands = lshBands(df, idCol, textCol, k, rowsPerBand)
+    // The band table is consumed by both sides of the self-join and (via the
+    // candidate list) by three more joins below. localCheckpoint materializes
+    // the COMPACT (id, band_idx, band_hash) form once so the MinHash scan
+    // runs exactly once per document — blocks are reclaimed by the
+    // ContextCleaner when the plan is GC'd (no CacheManager leak, unlike
+    // persist without a matching unpersist). This is also the 100 TB shape:
+    // signatures/bands are materialized once, everything downstream is a
+    // hash-partitioned join on them.
+    val bands = lshBands(df, idCol, textCol, k, rowsPerBand).localCheckpoint()
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a
@@ -105,21 +115,31 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+      .localCheckpoint()
 
-    // jaccard verification shingles only CANDIDATE pairs (LSH keeps these a
-    // tiny fraction of the corpus) — joining the raw text in and shingling
-    // per pair beats materializing shingle sets for every document. No
-    // distinct pass: array_intersect/array_union dedup internally, so
-    // set-jaccard over the raw multiset arrays is identical.
-    val txt = df.select(col(idCol), col(textCol))
+    // jaccard verification shingles only CANDIDATE docs (LSH keeps these a
+    // tiny fraction of the corpus): semi-join the corpus down to ids that
+    // appear in any candidate pair, project each doc's shingle array ONCE,
+    // then join the arrays to the pairs. The join is a CollapseProject
+    // barrier, so intersect+union above it reference the array attribute
+    // instead of re-inlining the shingle pipeline (which round-1 measured at
+    // 4 recomputes per pair, 21.9s of a 58.7s bench). No distinct pass:
+    // array_intersect/array_union dedup internally, so set-jaccard over the
+    // raw multiset arrays is identical.
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    val sh = df
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol)).as("sh"))
     cand
-      .join(txt.withColumnRenamed(idCol, "id_a").withColumnRenamed(textCol, "text_a"), "id_a")
-      .join(txt.withColumnRenamed(idCol, "id_b").withColumnRenamed(textCol, "text_b"), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn(
         "jaccard",
         round(
-          size(array_intersect(shingles(col("text_a")), shingles(col("text_b")))).cast("double") /
-            size(array_union(shingles(col("text_a")), shingles(col("text_b")))),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
           6
         )
       )
