@@ -323,12 +323,13 @@ object SparkEntry {
         .groupBy(TextAnalysis.bagFingerprint(col("text")).as("bag_fingerprint"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .orderBy("bag_fingerprint")),
-    // engine-internal signatures (no cross-engine oracle → rows-only check)
+    // md5-token-hash SimHash (oracle-portable: DuckDB reproduces the md5
+    // bit votes exactly; the xxhash64 form stays engine-internal)
     "simhash_buckets" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          operators.Dedup.simhash64Fast(col("text")).as("simhash"))
-        .withColumn("bucket", shiftright(col("simhash"), 48))
+          operators.Dedup.simhashMd5Hex(col("text")).as("simhash"))
+        .withColumn("bucket", substring(col("simhash"), 1, 4))
         .orderBy("doc_id")),
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
@@ -364,6 +365,13 @@ object SparkEntry {
   )
 
   // ---------- oracle SQL (DuckDB) ----------
+
+  /** Cosine similarity in DuckDB, matching [[operators.Similarity.cosine]]'s
+    * float→double elementwise products and left-fold sums exactly. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
 
   def oracleSql: Map[String, String] = Map(
     "bfl_eq" ->
@@ -497,21 +505,47 @@ object SparkEntry {
              / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
               * sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS sim
          FROM embeddings e, q ORDER BY sim DESC, vec_id LIMIT 10""",
-    "cosine_neardup" ->
-      """WITH sig AS (
-           SELECT vec_id, embedding,
-             (CASE WHEN embedding[1]>=0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2]>=0 THEN 2 ELSE 0 END)
-             + (CASE WHEN embedding[3]>=0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4]>=0 THEN 8 ELSE 0 END) AS bucket
-           FROM embeddings),
-         cand AS (SELECT a.vec_id ia, b.vec_id ib, a.embedding ea, b.embedding eb
-                  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    "cosine_neardup" -> {
+      // banded sign-LSH mirror of Similarity.cosineNearDupPairs(signDims=16,
+      // rowsPerBand=8): one UNION ALL branch per band, generated from the
+      // same constants
+      val bandBranches = (0 until 2).map { b =>
+        s"SELECT vec_id, $b AS band_idx, ${operators.Similarity.bandValSql("embedding", b, 8)} AS band_val FROM embeddings"
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH sig AS (
+           $bandBranches),
+         cand AS (SELECT DISTINCT a.vec_id ia, b.vec_id ib
+                  FROM sig a JOIN sig b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+         j AS (SELECT ia, ib, ea.embedding ea, eb.embedding eb
+               FROM cand JOIN embeddings ea ON ea.vec_id = ia
+                         JOIN embeddings eb ON eb.vec_id = ib)
          SELECT * FROM (
-           SELECT ia AS id_a, ib AS id_b, round(
-             list_sum(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS sim
-           FROM cand)
-         WHERE sim >= 0.3 ORDER BY id_a, id_b""",
+           SELECT ia AS id_a, ib AS id_b, round(${cosSql("ea", "eb")}, 4) AS sim
+           FROM j)
+         WHERE sim >= 0.3 ORDER BY id_a, id_b"""
+    },
+    "ann_lsh_topk" -> {
+      // exact mirror of Similarity.annTopK(bits=8, dim=64, seed=42): the
+      // hyperplane constants come from the same Random(42) stream
+      val sigSql = operators.Similarity.lshSignatureSql("embedding", 8, 64)
+      s"""WITH sig AS (SELECT vec_id, embedding, $sigSql AS lsh_sig FROM embeddings),
+         q AS (SELECT embedding AS qv, lsh_sig AS qs FROM sig WHERE vec_id = 0)
+         SELECT * FROM (
+           SELECT s.vec_id, round(${cosSql("s.embedding", "q.qv")}, 4) AS sim
+           FROM sig s, q WHERE s.lsh_sig = q.qs)
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
+    "simhash_buckets" ->
+      """WITH t AS (SELECT doc_id,
+           list_transform(string_split_regex(trim(text),'\s+'), w -> CAST('0x'||substr(md5(w),1,16) AS UBIGINT)) AS hs
+           FROM documents)
+         SELECT doc_id, simhash, substr(simhash,1,4) AS bucket FROM (
+           SELECT doc_id, lpad(lower(to_hex(CAST(list_sum(list_transform(range(0,64), b ->
+             CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h>>b)&1=1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS UBIGINT)<<b) ELSE CAST(0 AS UBIGINT) END)) AS UBIGINT))),16,'0') AS simhash
+           FROM t)
+         ORDER BY doc_id""",
     "bfl_wildcard_exist" ->
       """SELECT event_id, event_type, user_id FROM events
          WHERE list_contains([event_type, 'u'||CAST(user_id AS VARCHAR)], 'click')

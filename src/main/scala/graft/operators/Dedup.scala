@@ -158,6 +158,14 @@ object Dedup {
   def simhash64Fast(text: Column): Column =
     graft.functions.SimHashExpr.simhash64(text)
 
+  /** Oracle-portable SimHash variant: md5-derived token hashes, 16-char hex
+    * output (see [[graft.functions.SimHashMd5Expr]]). Use this form when the
+    * signature must be reproducible outside Spark; [[simhash64Fast]]
+    * (xxhash64) is the cheaper engine-internal form.
+    */
+  def simhashMd5Hex(text: Column): Column =
+    graft.functions.SimHashExpr.simhashMd5Hex(text)
+
   def simhash64(tokensArr: Column): Column = {
     // votes: for each of 64 bits sum ±1 across token hashes
     val hashes = transform(tokensArr, t => xxhash64(t))

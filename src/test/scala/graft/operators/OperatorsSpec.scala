@@ -108,6 +108,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hamming <= 16, s"hamming $hamming too large for a 1-token edit")
   }
 
+  test("sign-band buckets stay bounded (no quadratic within-bucket blowup)") {
+    import spark.implicits._
+    // larger fixture for a meaningful population test
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = e.count().toDouble
+    val pops = Similarity.signBands(e, "vec_id", "embedding", 16, 8)
+      .groupBy("band_idx", "band_val").count()
+      .as[(Int, Int, Long)].collect()
+    val maxShare = pops.map(_._3).max / n
+    // 256 buckets per band: uniform share ≈ 0.4%; 5% ⇒ no collapsed buckets,
+    // so within-bucket pair counts stay ~(n/256)² per band, not (n/16)²
+    assert(maxShare < 0.05, f"max bucket share $maxShare%.3f — bucketing collapsed")
+    assert(pops.map(t => (t._1, t._2)).distinct.length > 64, "too few distinct buckets")
+  }
+
+  test("banded near-dup pairs: every returned pair verified, candidates pruned") {
+    import spark.implicits._
+    val out = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect()
+    // every returned pair really has cosine >= threshold (verified stage)
+    out.foreach { case (_, _, sim) => assert(sim >= 0.3) }
+    // and pairs are canonical (a < b), unique
+    assert(out.forall { case (a, b, _) => a < b })
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length)
+  }
+
+  test("annTopK plan scans the materialized index, not a recomputed signature") {
+    val idx = Similarity.signatureIndex(emb, "vec_id", "embedding")
+    val plan = Similarity.annTopKIndexed(idx, "vec_id", "embedding", 0L, 10)
+      .queryExecution.executedPlan.toString
+    // the corpus side must come from the checkpointed index...
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected materialized-index scan in plan:\n$plan")
+    // ...and no per-row hyperplane recompute: the signature expression would
+    // show up as a chain of element_at adds in the projection
+    assert(!plan.contains("try_element_at"),
+      s"signature recomputed corpus-wide in plan:\n$plan")
+  }
+
+  test("md5 SimHash hex: deterministic, matches an independent computation") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("id", "text")
+    val got = df.select(col("id"), Dedup.simhashMd5Hex(col("text")).as("sh"))
+      .as[(Long, String)].collect().toMap
+    // independent reference: same md5-first-64-bits bit-vote, plain Scala
+    def ref(text: String): String = {
+      val words = text.trim.split("\\s+", -1)
+      val votes = new Array[Int](64)
+      for (w <- words) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(w.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseUnsignedLong(hex, 16)
+        for (b <- 0 until 64) if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      val sig = (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+      f"$sig%016x"
+    }
+    assert(got(1L) == ref("alpha beta gamma"))
+    assert(got(2L) == ref(""))
+  }
+
   test("multimodal decode stub: mapPartitions path matches column path") {
     import spark.implicits._
     val df = docs.limit(50).withColumn("blob", encode(col("text"), "UTF-8"))
