@@ -162,34 +162,58 @@ final class Engine(val spark: SparkSession, val dir: String) {
     rows.headOption.map(_.getString(0))
   }
 
-  /** `/fetch` — page of up to `limit` matching records scanning forward
-    * (direction > 0) or backward from `leftOff`; limit counts MATCHES
-    * (reference: native.go:625-827). Returns (rows, metadata).
+  /** `/fetch` scan — every SCANNED record in scan order as (id, doc-or-None):
+    * doc is present (transformed) iff the record matches. The reference emits
+    * a `/metadata` line per scanned offset (native.go:728-820), so the
+    * protocol server needs unmatched ids too. The scan stops at the record
+    * where the `limit`-th match lands (found first with a cheap pushdown-
+    * friendly matched-ids page); when fewer matches exist the scan runs to
+    * the log boundary, like the reference's offset loop. Returned iterator is
+    * partition-lazy (`toLocalIterator`) — the driver never holds the scan.
     */
-  def fetch(leftOff: Long, direction: Int, queryStr: String, limit: Int): (Seq[String], FetchMeta) = {
+  def fetchScan(leftOff: Long, direction: Int, queryStr: String, limit: Int)
+      : (Iterator[(Long, Option[String])], Long, Long) = {
     val expanded = expand(queryStr)
     parseOrThrow(expanded)
     // forward is INCLUSIVE of leftOff (offsets[leftOff:]), backward is
     // exclusive (offsets[:leftOff]) — reference: native.go:700-706, pinned
     // by the server fetch matrix (server_test.go:403-418)
     val base =
-      if (direction < 0) records().where(col("id") < leftOff).orderBy(col("id").desc)
-      else records().where(col("id") >= leftOff).orderBy(col("id"))
-    val matched = applyQueryNoLimit(base, expanded)
-      .select(col("id"), BflExpressions.bflTransform(col("doc"), expanded).as("doc"))
-      .limit(limit)
-    val out = matched.collect()
-    val docs = out.map(_.getString(1)).toSeq
-    val ids = out.map(_.getLong(0))
-    val total = meta.highWater - meta.removedCount
+      if (direction < 0) records().where(col("id") < leftOff)
+      else records().where(col("id") >= leftOff)
+    val ordered = if (direction < 0) base.orderBy(col("id").desc) else base.orderBy(col("id"))
+    // scan end = id of the limit-th match; the id-only page keeps the BFL
+    // predicate + id range pushdown-eligible
+    val matchedIds = applyQueryNoLimit(ordered, expanded)
+      .select("id").limit(limit).collect().map(_.getLong(0))
+    val bounded =
+      if (matchedIds.length < limit) ordered // scan to the boundary
+      else if (direction < 0) ordered.where(col("id") >= matchedIds.last)
+      else ordered.where(col("id") <= matchedIds.last)
+    val q = parseOrThrow(expanded)
+    val it = flagsOver(bounded, expanded, q)
+      .toLocalIterator().asScala
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1))))
+    (it, meta.highWater - meta.removedCount, meta.truncatedTimestamp)
+  }
+
+  /** `/fetch` — page of up to `limit` matching records scanning forward
+    * (direction > 0) or backward from `leftOff`; limit counts MATCHES
+    * (reference: native.go:625-827). Returns (matched docs, metadata).
+    */
+  def fetch(leftOff: Long, direction: Int, queryStr: String, limit: Int): (Seq[String], FetchMeta) = {
+    val (it, total, truncated) = fetchScan(leftOff, direction, queryStr, limit)
+    val rows = it.toVector
+    val docs = rows.flatMap(_._2)
+    val lastScanned = rows.lastOption.map(_._1)
     // resume point is one PAST the last scanned record (the reference's
     // _leftOff counts beyond each scanned offset, native.go:732-736), so the
     // next inclusive-forward fetch doesn't re-emit the boundary record
-    val nextLeftOff = ids.lastOption
+    val nextLeftOff = lastScanned
       .map(last => if (direction < 0) last - 1 else last + 1)
       .getOrElse(leftOff)
     // the log boundary being scanned also means no more data
-    val atBoundary = ids.lastOption.exists { last =>
+    val atBoundary = lastScanned.exists { last =>
       if (direction < 0) last <= meta.removedCount else last >= meta.highWater - 1
     }
     val m = FetchMeta(
@@ -197,10 +221,44 @@ final class Engine(val spark: SparkSession, val dir: String) {
       numberOfWritten = docs.length,
       leftOff = nextLeftOff,
       noMoreData = docs.length < limit || atBoundary,
-      truncatedTimestamp = meta.truncatedTimestamp
+      truncatedTimestamp = truncated
     )
     (docs, m)
   }
+
+  /** `/query` history scan — (id, doc-or-null) for EVERY record past
+    * `leftOff` in id order; doc non-null iff matched (transformed when the
+    * query alters records). Feeds the reference's per-scanned-record
+    * `/metadata` cadence (native.go:432-518). No match filter reaches the
+    * scan by design — the protocol requires touching every record — but the
+    * `leftOff` id range still prunes Parquet row groups.
+    */
+  def scanWithFlags(leftOff: String, expanded: String): DataFrame = {
+    val q = parseOrThrow(expanded)
+    val base = leftOff match {
+      case "" | null => records()
+      case "latest"  => records().where(col("id") === meta.highWater - 1)
+      case s         => records().where(col("id") > s.toLong)
+    }
+    flagsOver(base, expanded, q).orderBy("id")
+  }
+
+  /** (id, doc-or-null) projection: compiled-tier predicate inside `when`
+    * (NULL condition ⇒ no match, so no coalesce wrapper), or ONE fused
+    * interpreter eval (bflEval) on the fallback tier.
+    */
+  private def flagsOver(df: DataFrame, expanded: String, q: Ast.Query): DataFrame =
+    try {
+      val plan = Compiler.compileQuery(df.schema, q, docCol = Some("doc"))
+      val d =
+        if (usesAlteringHelpers(q)) BflExpressions.bflTransform(col("doc"), expanded)
+        else col("doc")
+      df.select(col("id"), when(plan.pred, d).as("doc"))
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(_) =>
+        df.select(col("id"), BflExpressions.bflEval(col("doc"), expanded).as("doc"))
+    }
 
   /** `/validate` — parse-only (reference: native.go:605-622). */
   def validate(queryStr: String): Either[String, Unit] =

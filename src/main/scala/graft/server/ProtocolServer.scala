@@ -66,14 +66,6 @@ final class ProtocolServer(engine: Engine, port: Int) {
     "/metadata " + JsonTree.serialize(m)
   }
 
-  /** pull the injected 24-digit id back out of a stored doc */
-  private def extractId(doc: String): Option[Long] = {
-    val m = java.util.regex.Pattern
-      .compile("\"id\":\"(\\d{24})\"")
-      .matcher(doc)
-    if (m.find()) Some(m.group(1).toLong) else None
-  }
-
   // one connection = one mode, like the reference's handleConnection
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
@@ -132,35 +124,20 @@ final class ProtocolServer(engine: Engine, port: Int) {
             case "SINGLE" =>
               args += line
               if (args.length == 2) {
-                engine.single(args(0).toLong, args(1)) match {
-                  case Some(doc) => send(out, doc)
-                  case None      => send(out, "Record does not exist!")
+                args(0).toLongOption match {
+                  case None =>
+                    // reference: native.go:528-530
+                    send(out, s"Error: While converting the index to integer: ${args(0)}")
+                  case Some(idx) =>
+                    engine.single(idx, args(1)) match {
+                      case Some(doc) => send(out, doc)
+                      case None      => send(out, "Record does not exist!")
+                    }
                 }
               }
             case "FETCH" =>
               args += line
-              if (args.length == 4) {
-                val leftOff = args(0).toLong
-                val dir = args(1).toInt
-                val (docs, m) = engine.fetch(leftOff, dir, args(2), args(3).toInt)
-                // `current` counts records SCANNED since the last metadata
-                // line (reference resets `queried` per emission,
-                // native.go:794-806); derivable from id deltas here
-                var written = 0L
-                var prevId = leftOff + (if (dir < 0) 0L else -1L)
-                docs.foreach { d =>
-                  val id = extractId(d).getOrElse(prevId)
-                  val scanned = math.abs(id - prevId)
-                  send(out, metadataJson(scanned, m.total, written, m.leftOff,
-                    m.truncatedTimestamp, m.noMoreData))
-                  send(out, d)
-                  prevId = id
-                  written += 1
-                }
-                send(out, metadataJson(0, m.total, written, m.leftOff,
-                  m.truncatedTimestamp, m.noMoreData))
-                send(out, "%quit%")
-              }
+              if (args.length == 4) handleFetch(out, args(0), args(1), args(2), args(3))
             case "QUERY" =>
               args += line
               if (args.length == 2)
@@ -173,6 +150,55 @@ final class ProtocolServer(engine: Engine, port: Int) {
       }
     } catch { case _: Exception => () }
     finally sock.close()
+  }
+
+  /** `/fetch`: the reference emits, for EVERY scanned offset, a `/metadata`
+    * line (numberOfWritten-so-far, cumulative `current`, leftOff one past the
+    * scan point) and THEN the record when it matches (native.go:728-820).
+    * The scan arrives partition-lazily from [[Engine.fetchScan]], so a page
+    * over a huge log never materializes on the driver.
+    */
+  private def handleFetch(out: OutputStream, leftOffS: String, dirS: String,
+      query: String, limitS: String): Unit = {
+    val leftOff = leftOffS.toLongOption match {
+      case Some(v) => v
+      case None =>
+        // reference: native.go:630-632
+        send(out, s"Error: Cannot parse leftOff value to int: $leftOffS"); return
+    }
+    val dir = dirS.toIntOption match {
+      case Some(v) => v
+      case None =>
+        // reference: native.go:635-639
+        send(out, s"Error: While converting the direction to integer: $dirS"); return
+    }
+    val limit = limitS.toIntOption match {
+      case Some(v) => v
+      case None =>
+        // reference: native.go:642-646
+        send(out, s"Error: While converting the limit to integer: $limitS"); return
+    }
+    val (scan, total, truncated) = engine.fetchScan(leftOff, dir, query, limit)
+    var written = 0L
+    var scanned = 0L
+    val lastId = engine.highWater - 1
+    val firstId = engine.highWater - engine.totalRecords
+    var stop = false
+    while (!stop && scan.hasNext) {
+      val (id, doc) = scan.next()
+      scanned += 1
+      // one past the scan point, per direction (native.go:732-741)
+      val nextOff = if (dir < 0) id else id + 1
+      val noMore = if (dir < 0) id <= firstId else id >= lastId
+      send(out, metadataJson(scanned, total, written, nextOff, truncated, noMore))
+      doc.foreach { d =>
+        send(out, d)
+        written += 1
+        // limit counts matches; the reference stops the offset loop there
+        if (written >= limit) stop = true
+      }
+    }
+    send(out, "%quit%")
   }
 
   /** `/query`: history + live tail. History is served in id order from the
@@ -204,39 +230,46 @@ final class ProtocolServer(engine: Engine, port: Int) {
       case Right(q) => q.limit.getOrElse(0L)
       case Left(_)  => 0L
     }
-    // history; `current` counts scanned-since-last-metadata via id deltas,
-    // like the FETCH handler
-    var prevId = leftOffSeed
-    val hist = engine.queryExpanded(leftOff, expanded).orderBy("id")
-      .select("id", "doc").collect()
-    hist.foreach { r =>
-      sendSafe(r.getString(1))
-      written += 1
+    // history: the reference writes the record (when it matches) and then a
+    // `/metadata` line for EVERY scanned offset, `current` counting scans
+    // since the last metadata emission — always 1 here, there are no skip
+    // paths — and leftOff one past the scan point (native.go:432-518). The
+    // scan streams partition-lazily (toLocalIterator): an unselective query
+    // over a large log never materializes on the driver, and breaking out at
+    // `limit` stops fetching further partitions.
+    var done = false
+    val hist = engine.scanWithFlags(leftOff, expanded).toLocalIterator()
+    while (!done && !dead && hist.hasNext) {
+      val r = hist.next()
       val id = r.getLong(0)
-      sendSafe(metadataJson(math.abs(id - prevId), engine.totalRecords, written, id,
+      if (!r.isNullAt(1)) {
+        sendSafe(r.getString(1))
+        written += 1
+      }
+      sendSafe(metadataJson(1, engine.totalRecords, written, id + 1,
         engine.truncatedTimestamp, noMore = false))
-      prevId = id
       // a record inserted DURING the history scan can exceed the pre-scan
       // high-water snapshot; advancing `last` here keeps the tail from
       // re-sending it
       last = math.max(last, id)
+      // `limit(N)` ends the stream once satisfied — no live tail
+      // (reference: native.go:513-517 returns from StreamRecords)
+      if (limit != 0 && written >= limit) done = true
     }
-    // `limit(N)` ends the stream once satisfied — no live tail
-    // (reference: native.go:513-517 returns from StreamRecords)
-    if (limit != 0 && written >= limit) return
+    if (done || dead) return
     // live tail (the streaming source replays the log; ids ≤ last are
-    // already-written history and skipped)
-    @volatile var done = false
-    val tailQ = Streaming.startTail(engine.spark, engine.dir, expanded,
+    // already-scanned history and skipped); same per-scanned-record
+    // metadata cadence as the history loop
+    val tailQ = Streaming.startTailScan(engine.spark, engine.dir, expanded,
       (rows, hw) => {
-        var prevTail = last
         rows.filter(_._1 > last).foreach { case (id, doc) =>
           if (!done) {
-            sendSafe(doc)
-            written += 1
-            sendSafe(metadataJson(math.abs(id - prevTail), engine.totalRecords, written, id,
+            doc.foreach { d =>
+              sendSafe(d)
+              written += 1
+            }
+            sendSafe(metadataJson(1, engine.totalRecords, written, id + 1,
               engine.truncatedTimestamp, noMore = false))
-            prevTail = id
             if (limit != 0 && written >= limit) done = true
           }
         }

@@ -45,6 +45,39 @@ object Streaming {
       .where(col("doc").isNotNull)
   }
 
+  /** Like [[tail]] but UNFILTERED: every new record arrives as
+    * (id, doc-or-null), doc non-null iff it matches the query — the protocol
+    * server emits a `/metadata` line per SCANNED record like the reference's
+    * watch loop (native.go:432-518), so it needs the misses too.
+    */
+  def tailScan(spark: SparkSession, engineDir: String, query: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(recordSchema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"$engineDir/records/batch_*")
+    stream.select(col("id"), BflExpressions.bflEval(col("doc"), query).as("doc"))
+  }
+
+  /** Start an unfiltered scan-tail pushing (id, doc-or-None) per record. */
+  def startTailScan(
+      spark: SparkSession,
+      engineDir: String,
+      query: String,
+      onBatch: (Seq[(Long, Option[String])], Long) => Unit
+  ): StreamingQuery =
+    tailScan(spark, engineDir, query).writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.orderBy("id").collect()
+        if (rows.nonEmpty) {
+          val docs = rows.map(r =>
+            (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1)))).toSeq
+          onBatch(docs, docs.last._1)
+        }
+      }
+      .start()
+
   /** Start a tail that pushes each micro-batch (ordered by id) to `onBatch`.
     * The per-batch high-water id is the resume point — the streaming analog
     * of the reference's per-record `/metadata.leftOff`.

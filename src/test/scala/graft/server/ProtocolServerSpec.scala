@@ -115,8 +115,22 @@ class ProtocolServerSpec extends AnyFunSuite {
     }
   }
 
+  /** read lines until `n` record (non-/metadata) lines arrived */
+  private def readUntilRecords(r: BufferedReader, n: Int): (List[String], List[String]) = {
+    var records = List.empty[String]
+    var metas = List.empty[String]
+    while (records.length < n) {
+      val l = r.readLine()
+      assert(l != null, "connection closed early")
+      if (l.startsWith("/metadata")) metas ::= l else records ::= l
+    }
+    (records.reverse, metas.reverse)
+  }
+
   test("query with limit(N) ends the stream once satisfied") {
-    // reference matrix: server_test.go:123-132 — limit stops /query
+    // reference matrix: server_test.go:123-132 — limit stops /query.
+    // cadence per reference streamRecords: matched record first, then ONE
+    // /metadata line per SCANNED record (native.go:432-518)
     withServer { (engine, port) =>
       engine.insert((0 until 20).map(i => s"""{"n":$i}"""))
       val (s, r, w) = connect(port)
@@ -124,11 +138,11 @@ class ProtocolServerSpec extends AnyFunSuite {
       w.println("/query")
       w.println("")
       w.println("n >= 4 and limit(3)")
-      val lines = (0 until 6).map(_ => r.readLine()) // 3 records + 3 metadata
-      val records = lines.filterNot(_.startsWith("/metadata"))
-      assert(records.length == 3)
+      val (records, metas) = readUntilRecords(r, 3)
       assert(records.head.contains("\"n\":4"))
       assert(records.last.contains("\"n\":6"))
+      // ids 0..3 scanned without a match, each still got a metadata line
+      assert(metas.length >= 4)
       s.close()
     }
   }
@@ -137,18 +151,77 @@ class ProtocolServerSpec extends AnyFunSuite {
     withServer { (engine, port) =>
       engine.insert((0 until 6).map(i => s"""{"n":$i,"keep":${i % 2 == 0}}"""))
       val (s, r, w) = connect(port)
+      s.setSoTimeout(30000)
       w.println("/query")
       w.println("")
       w.println("keep == true")
-      val first = (0 until 6).map(_ => r.readLine()) // 3 records + 3 metadata
-      assert(first.count(l => !l.startsWith("/metadata")) == 3)
+      val (records, _) = readUntilRecords(r, 3)
+      assert(records.count(_.contains("\"keep\":true")) == 3)
+      // drain the remaining per-scanned metadata of the history phase
+      // (ids 3..5: one line each; id 3 and 5 are misses, id 4 matched above)
+      var l = r.readLine()
+      while (l != null && !l.contains("\"leftOff\":\"" + graft.engine.Engine.indexToId(6))) l = r.readLine()
       // now a live insert must arrive through the open connection
       engine.insert(Seq("""{"n":100,"keep":true}"""))
-      s.setSoTimeout(30000)
       val tailed = Iterator.continually(r.readLine())
         .take(2).filterNot(_.startsWith("/metadata")).toList
       assert(tailed.exists(_.contains("\"n\":100")))
       s.close()
+    }
+  }
+
+  test("query history far larger than one driver batch streams incrementally") {
+    // the history phase must stream partition-lazily (toLocalIterator), not
+    // collect(): the first record has to arrive while most of the scan is
+    // still unread, and an early disconnect must not break the server
+    withServer { (engine, port) =>
+      (0 until 40).foreach(b => engine.insert((0 until 100).map(i => s"""{"n":${b * 100 + i}}""")))
+      assert(engine.totalRecords == 4000)
+      val (s, r, w) = connect(port)
+      s.setSoTimeout(60000)
+      w.println("/query")
+      w.println("")
+      w.println("") // match-all: 4000 records + 4000 metadata lines
+      val (records, _) = readUntilRecords(r, 10)
+      assert(records.head.contains("\"n\":0"))
+      assert(records(9).contains("\"n\":9"))
+      // disconnect with ~3990 records unsent; server thread must survive
+      s.close()
+      // server still serves new connections afterwards
+      val (s2, r2, w2) = connect(port)
+      w2.println("/single")
+      w2.println("42")
+      w2.println("")
+      assert(r2.readLine().contains("\"n\":42"))
+      s2.close()
+    }
+  }
+
+  test("malformed numeric args get reference error text, connection stays up") {
+    withServer { (engine, port) =>
+      engine.insert(Seq(car))
+      val (s, r, w) = connect(port)
+      w.println("/single")
+      w.println("abc")
+      w.println("")
+      assert(r.readLine() == "Error: While converting the index to integer: abc")
+      s.close()
+      val (s2, r2, w2) = connect(port)
+      w2.println("/fetch")
+      w2.println("0")
+      w2.println("not-a-dir")
+      w2.println("")
+      w2.println("5")
+      assert(r2.readLine() == "Error: While converting the direction to integer: not-a-dir")
+      s2.close()
+      val (s3, r3, w3) = connect(port)
+      w3.println("/fetch")
+      w3.println("zz")
+      w3.println("1")
+      w3.println("")
+      w3.println("5")
+      assert(r3.readLine() == "Error: Cannot parse leftOff value to int: zz")
+      s3.close()
     }
   }
 }
