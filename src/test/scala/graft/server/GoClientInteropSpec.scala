@@ -1,0 +1,142 @@
+package graft.server
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.Socket
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+
+/** The reference Go client's own test scenario, replayed wire-for-wire
+  * (reference: client/go/client_test.go:36-185 — no Go toolchain in this
+  * environment, so the exact byte-level exchanges the client performs are
+  * asserted here instead: same commands, same 15k insert volume, same
+  * redaction visibility through /single, /query and /fetch, same exact
+  * /metadata JSON the client_test pins for Fetch, same connection churn).
+  */
+class GoClientInteropSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("goclient-spec")
+    .getOrCreate()
+
+  private val payload = """{"brand":{"name":"Chevrolet"},"model":"Camaro","year":2021}"""
+  private val N = 15000
+
+  private def connect(port: Int): (Socket, BufferedReader, PrintWriter) = {
+    val s = new Socket("127.0.0.1", port)
+    s.setSoTimeout(120000)
+    (s, new BufferedReader(new InputStreamReader(s.getInputStream)),
+      new PrintWriter(s.getOutputStream, true))
+  }
+
+  /** one-shot command connection, like the Go client's Limit/Macro/... */
+  private def oneShot(port: Int, lines: String*): String = {
+    val (s, r, w) = connect(port)
+    try { lines.foreach(w.println); r.readLine() }
+    finally s.close()
+  }
+
+  test("reference client scenario end-to-end") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-gointerop").toString
+    val engine = new Engine(spark, dir)
+    val srv = new ProtocolServer(engine, 0)
+    val port = srv.start()
+    try {
+      // TestLimit / TestMacro / TestInsertionFilter
+      assert(oneShot(port, "/limit", "1000000") == "OK")
+      assert(oneShot(port, "/macro", """chevy~brand.name == "Chevrolet"""") == "OK")
+      assert(oneShot(port, "/insert-filter",
+        """brand.name == "Chevrolet" and redact("year")""") == "OK")
+
+      // TestInsert: 15000 payloads through ONE /insert connection
+      locally {
+        val (s, _, w) = connect(port)
+        w.println("/insert")
+        (0 until N).foreach(_ => w.println(payload))
+        w.flush()
+        s.close()
+      }
+      var tries = 0
+      while (engine.totalRecords < N && tries < 1200) { Thread.sleep(100); tries += 1 }
+      assert(engine.totalRecords == N, s"ingested ${engine.totalRecords}/$N")
+
+      // TestSingle: insertion-filter redaction visible via /single
+      locally {
+        val got = oneShot(port, "/single", "42", "")
+        assert(got.contains("\"id\":\"" + Engine.indexToId(42) + "\""))
+        assert(got.contains("\"year\":\"[REDACTED]\""))
+        assert(got.contains("\"model\":\"Camaro\""))
+      }
+
+      // TestValidate: good queries OK, bad queries answered with an error
+      // line (exact participle message parity is declared best-effort)
+      assert(oneShot(port, "/validate", """brand.name == "Chevrolet"""") == "OK")
+      assert(oneShot(port, "/validate",
+        """http and request.method == "GET" and request.path != "/example" and (request.query.a > 42 or request.headers["x"] == "y")""") == "OK")
+      assert(oneShot(port, "/validate", "=.=") != "OK")
+      assert(oneShot(port, "/validate", """request.path[3.14] == "hello"""") != "OK")
+
+      // TestQuery: /query "" chevy — the client reads >14000 redacted
+      // records (and as many metadata lines) then closes mid-stream
+      locally {
+        val (s, r, w) = connect(port)
+        w.println("/query")
+        w.println("")
+        w.println("chevy")
+        var records = 0
+        var metas = 0
+        while (records <= 14000) {
+          val l = r.readLine()
+          assert(l != null, "stream ended early")
+          if (l.startsWith("/metadata")) metas += 1
+          else {
+            assert(l.contains("\"year\":\"[REDACTED]\""), s"unredacted record: $l")
+            assert(l.contains("\"brand\":{\"name\":\"Chevrolet\"}"))
+            records += 1
+          }
+        }
+        assert(metas >= 14000)
+        s.close() // mid-stream close, like the client at index > 14000
+      }
+
+      // TestFetch: backward from id 100, limit 20 — client_test pins the
+      // EXACT first/last metadata JSON (client_test.go:154-159)
+      locally {
+        val (s, r, w) = connect(port)
+        w.println("/fetch")
+        w.println(Engine.indexToId(100)) // the client sends the 24-digit form
+        w.println("-1")
+        w.println("chevy")
+        w.println("20")
+        val lines = Iterator.continually(r.readLine())
+          .takeWhile(l => l != null && l != "%quit%").toList
+        s.close()
+        val metas = lines.filter(_.startsWith("/metadata ")).map(_.stripPrefix("/metadata "))
+        val records = lines.filterNot(_.startsWith("/metadata"))
+        assert(metas.head ==
+          s"""{"current":1,"total":$N,"numberOfWritten":0,"leftOff":"${Engine.indexToId(99)}","truncatedTimestamp":0,"noMoreData":false}""")
+        assert(metas.last ==
+          s"""{"current":20,"total":$N,"numberOfWritten":19,"leftOff":"${Engine.indexToId(80)}","truncatedTimestamp":0,"noMoreData":false}""")
+        assert(records.length == 20)
+        (0 until 20).foreach { i =>
+          assert(records(i).contains("\"id\":\"" + Engine.indexToId(99 - i) + "\""),
+            s"wrong record order at $i: ${records(i)}")
+          assert(records(i).contains("\"year\":\"[REDACTED]\""))
+        }
+      }
+
+      // TestTCPConnectionLeak (scaled): rapid connect/validate/close churn
+      (0 until 500).foreach { _ =>
+        assert(oneShot(port, "/validate", """brand.name == "Chevrolet"""") == "OK")
+      }
+
+      // TestFlush / TestReset
+      assert(oneShot(port, "/flush") == "OK")
+      assert(engine.totalRecords == 0L)
+      assert(oneShot(port, "/reset") == "OK")
+    } finally srv.stop()
+  }
+}
