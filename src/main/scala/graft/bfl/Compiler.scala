@@ -267,7 +267,10 @@ object Compiler {
   private def toNum(c: Column, t: BT): Column = t match {
     case TLong | TDouble => c.cast(DoubleType)
     case TTimestamp      => unix_millis(c).cast(DoubleType)
-    case TStr            => coalesce(c.try_cast(DoubleType), lit(0.0))
+    // Go ParseFloat-exact, shared with the interpreter's Coerce.toNum — a
+    // try_cast would accept Java forms ('1.5f', whitespace) Go rejects and
+    // reject Inf/Infinity/NaN forms Go accepts
+    case TStr            => coalesce(BflExpressions.goParseFloat(c), lit(0.0))
     case TVar => toNumVar(c)
     case TBool           => when(coalesce(c, lit(false)), 1.0).otherwise(0.0)
     case TNull           => lit(0.0)
@@ -342,41 +345,48 @@ object Compiler {
       case ">=" => x >= y
       case "<=" => x <= y
     }
+    // Go: ANY NaN operand makes a comparison false (float64 IEEE semantics),
+    // but Spark SQL orders NaN as the LARGEST double and NaN==NaN — so every
+    // coerced (double-typed) compare is guarded. NaN reaches here via Go
+    // ParseFloat of "nan" strings or NaN values in doc/double data. The
+    // typed fast paths below guard only double-typed columns (long/timestamp
+    // operands cannot be NaN, and isnan() doesn't type-check on them).
+    def scSafe(x: Column, y: Column): Column = sc(x, y) && !isnan(x) && !isnan(y)
     (a.t, b.t) match {
       // dynamic VARIANT operands: existential vs scalar, universal vs array
       case (TVar, TVar) =>
         when(isVarArr(a.value) && isVarArr(b.value),
           coalesce(forall(varArr(a.value), i =>
-            coalesce(forall(varArr(b.value), j => sc(toNumVar(i), toNumVar(j))), lit(true))), lit(true)))
+            coalesce(forall(varArr(b.value), j => scSafe(toNumVar(i), toNumVar(j))), lit(true))), lit(true)))
           .when(isVarArr(a.value),
-            coalesce(exists(varArr(a.value), i => sc(toNumVar(i), toNumVar(b.value))), lit(false)))
+            coalesce(exists(varArr(a.value), i => scSafe(toNumVar(i), toNumVar(b.value))), lit(false)))
           .when(isVarArr(b.value),
-            coalesce(exists(varArr(b.value), j => sc(toNumVar(a.value), toNumVar(j))), lit(false)))
-          .otherwise(sc(toNumVar(a.value), toNumVar(b.value)))
+            coalesce(exists(varArr(b.value), j => scSafe(toNumVar(a.value), toNumVar(j))), lit(false)))
+          .otherwise(scSafe(toNumVar(a.value), toNumVar(b.value)))
       case (TVar, _) =>
         when(isVarArr(a.value),
-          coalesce(exists(varArr(a.value), i => sc(toNumVar(i), toNum(b.value, b.t))), lit(false)))
-          .otherwise(sc(toNumVar(a.value), toNum(b.value, b.t)))
+          coalesce(exists(varArr(a.value), i => scSafe(toNumVar(i), toNum(b.value, b.t))), lit(false)))
+          .otherwise(scSafe(toNumVar(a.value), toNum(b.value, b.t)))
       case (_, TVar) =>
         when(isVarArr(b.value),
-          coalesce(exists(varArr(b.value), j => sc(toNum(a.value, a.t), toNumVar(j))), lit(false)))
-          .otherwise(sc(toNum(a.value, a.t), toNumVar(b.value)))
+          coalesce(exists(varArr(b.value), j => scSafe(toNum(a.value, a.t), toNumVar(j))), lit(false)))
+          .otherwise(scSafe(toNum(a.value, a.t), toNumVar(b.value)))
       case (TArr(ea), TArr(eb)) =>
         // singleton wildcard results unwrap to scalars first (eval.go:627-630)
         val a1 = elNum(try_element_at(a.value, lit(1)), ea)
         val b1 = elNum(try_element_at(b.value, lit(1)), eb)
-        when(size(a.value) === 1 && size(b.value) === 1, sc(a1, b1))
+        when(size(a.value) === 1 && size(b.value) === 1, scSafe(a1, b1))
           .when(size(a.value) === 1,
-            coalesce(exists(b.value, j => sc(a1, elNum(j, eb))), lit(false)))
+            coalesce(exists(b.value, j => scSafe(a1, elNum(j, eb))), lit(false)))
           .when(size(b.value) === 1,
-            coalesce(exists(a.value, i => sc(elNum(i, ea), b1)), lit(false)))
+            coalesce(exists(a.value, i => scSafe(elNum(i, ea), b1)), lit(false)))
           .otherwise(coalesce(
-            forall(a.value, i => coalesce(forall(b.value, j => sc(elNum(i, ea), elNum(j, eb))), lit(true))),
+            forall(a.value, i => coalesce(forall(b.value, j => scSafe(elNum(i, ea), elNum(j, eb))), lit(true))),
             lit(true)))
       case (TArr(ea), _) =>
-        coalesce(exists(a.value, i => sc(elNum(i, ea), toNum(b.value, b.t))), lit(false))
+        coalesce(exists(a.value, i => scSafe(elNum(i, ea), toNum(b.value, b.t))), lit(false))
       case (_, TArr(eb)) =>
-        coalesce(exists(b.value, j => sc(toNum(a.value, a.t), elNum(j, eb))), lit(false))
+        coalesce(exists(b.value, j => scSafe(toNum(a.value, a.t), elNum(j, eb))), lit(false))
       // pushdown fast paths: numeric compare is identical to the generic
       // double-coerced compare for native numeric columns, but keeps the
       // column uncasted so the filter reaches the Parquet reader
@@ -411,7 +421,7 @@ object Compiler {
           case ">"  => b.value < timestamp_millis(lit(x))
           case ">=" => b.value < timestamp_millis(lit(x + 1))
         }
-      case _ => sc(toNum(a.value, a.t), toNum(b.value, b.t))
+      case _ => scSafe(toNum(a.value, a.t), toNum(b.value, b.t))
     }
   }
 
@@ -562,7 +572,7 @@ object Compiler {
   private def toNumVar(c: Column): Column =
     when(is_variant_null(c), lit(0.0))
       .when(sv(c) === "STRING",
-        coalesce(c.try_cast(StringType).try_cast(DoubleType), lit(0.0)))
+        coalesce(BflExpressions.goParseFloat(c.try_cast(StringType)), lit(0.0)))
       .when(isVarArr(c) || sv(c).startsWith("OBJECT"), lit(0.0))
       .otherwise(coalesce(c.try_cast(DoubleType), lit(0.0)))
 

@@ -262,16 +262,8 @@ object Coerce {
     case _          => "" // arrays/maps have no case in Go's switch
   }
 
-  private val goFloatRe =
-    "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r
-
   def toNum(v: Any): Double = v match {
-    case s: String =>
-      // strconv.ParseFloat: no surrounding whitespace, no Java f/d suffixes
-      if (goFloatRe.matches(s))
-        try s.toDouble
-        catch { case _: NumberFormatException => 0.0 }
-      else 0.0
+    case s: String  => GoFloat.toNum(s) // strconv.ParseFloat exactly, err → 0
     case l: Long    => l.toDouble
     case i: Int     => i.toDouble
     case d: Double  => d

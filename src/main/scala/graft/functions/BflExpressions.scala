@@ -138,10 +138,27 @@ case class BflEvalExpr(child: Expression, queryStr: String)
   override def prettyName: String = "bfl_eval"
 }
 
+/** Go `strconv.ParseFloat`-exact string→double coercion (errors → 0.0), the
+  * compiled tier's twin of the interpreter's Coerce.toNum — both call
+  * [[graft.bfl.GoFloat]], so `"Inf"`/`"NaN"`/underscored/hex-float strings
+  * evaluate identically whichever tier runs the query (a `try_cast` here
+  * would accept Java forms Go rejects and reject Inf/NaN forms Go accepts).
+  */
+case class GoParseFloatExpr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(graft.bfl.GoFloat.toNum(v.toString))
+  override protected def withNewChildInternal(c: Expression): GoParseFloatExpr = copy(c)
+  override def prettyName: String = "go_parse_float"
+}
+
 object BflExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def goFmt(c: Column): Column = ColumnBridge.column(GoFormatExpr(expr(c)))
+  def goParseFloat(c: Column): Column = ColumnBridge.column(GoParseFloatExpr(expr(c)))
   def bflMatch(c: Column, query: String): Column =
     ColumnBridge.column(BflMatchExpr(expr(c), query))
   def bflTransform(c: Column, query: String): Column =

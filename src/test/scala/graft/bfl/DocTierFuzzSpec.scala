@@ -21,7 +21,12 @@ class DocTierFuzzSpec extends AnyFunSuite {
     val m = new JsonTree.Obj
     m.put("n", rnd.nextInt(100).toLong)
     m.put("d", math.round(rnd.nextDouble() * 1000) / 10.0)
-    m.put("s", Seq("alpha", "beta", "gamma", "", "42", "-7.5")(rnd.nextInt(6)))
+    m.put("s", Seq("alpha", "beta", "gamma", "", "42", "-7.5",
+      // Go ParseFloat edge forms: specials (accepted, any case), underscored
+      // and hex-float literals (accepted), Java suffix / whitespace /
+      // overflow (rejected -> 0)
+      "Inf", "-inf", "Infinity", "NaN", "nan", "1_000.5", "0x1.8p1",
+      "1.5f", " 42", "42 ", "1e1000", "+NaN")(rnd.nextInt(18)))
     if (rnd.nextBoolean()) m.put("opt", rnd.nextInt(10).toLong)
     m.put("flag", rnd.nextBoolean())
     // nullable field: absent / null / value — three distinct states
@@ -62,6 +67,12 @@ class DocTierFuzzSpec extends AnyFunSuite {
     """sub.missing == 1 or n > 50""",
     """(sub.missing == 1) or n > 50""",
     """s > 0""", // numeric coercion of strings ("42" -> 42, "alpha" -> 0)
+    // Go ParseFloat coercion parity across tiers: Inf beats any number,
+    // NaN compares false with everything, overflow/suffix/whitespace -> 0
+    """s > 1000000""",
+    """s < 1000000 and s >= 0""",
+    """s <= n""",
+    """s >= d or n > 50""",
     """n == opt""",
     // field-vs-field across types
     """n > d""",
