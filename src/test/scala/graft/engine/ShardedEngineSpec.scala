@@ -1,0 +1,68 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sharded-log design the Engine scaladoc promises for cluster scale:
+  * per-shard single writers running in parallel, (shard, id) global keys,
+  * cross-shard queries as unions of per-shard scans.
+  */
+class ShardedEngineSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[8]", 8)
+    .appName("sharded-spec")
+    .getOrCreate()
+
+  test("parallel shard writers keep per-shard ids contiguous; union query matches") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-sharded").toString
+    val se = new ShardedEngine(spark, dir, 4)
+    val docs = (0 until 2000).map(i => s"""{"n":$i,"even":${i % 2 == 0}}""")
+    se.insert(docs)
+    assert(se.totalRecords == 2000)
+    // every shard got a non-trivial slice (hash routing is uniform)
+    se.shards.foreach(e => assert(e.totalRecords > 200, s"skewed shard: ${e.totalRecords}"))
+    // per-shard ids are contiguous from 0 (single writer per log)
+    se.shards.foreach { e =>
+      val ids = e.records().select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until e.totalRecords).toSeq)
+    }
+    // a cross-shard query equals the per-document ground truth
+    val matched = se.query("even == true").select("doc").collect().map(_.getString(0))
+    assert(matched.length == 1000)
+    assert(matched.forall(_.contains("\"even\":true")))
+    // insert throughput observation (not asserted — timing is environment-
+    // bound): round-1 measured ~24k rec/s on ONE writer; four parallel
+    // writers pipeline parse/filter/append per shard
+  }
+
+  test("sharded ingest outpaces the single writer on the same batch") {
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = (0 until 40000).map(i => s"""{"n":$i,"s":"payload-$i","t":"${"x" * 200}"}""")
+    // warmup both paths once (JIT, parquet committer)
+    locally {
+      val d1 = Files.createTempDirectory("graft-w1").toString
+      new Engine(spark, d1).insert(docs.take(500))
+      val d2 = Files.createTempDirectory("graft-w2").toString
+      new ShardedEngine(spark, d2, 4).insert(docs.take(500))
+    }
+    val singleDir = Files.createTempDirectory("graft-single").toString
+    val single = new Engine(spark, singleDir)
+    val t0 = System.nanoTime()
+    single.insert(docs)
+    val tSingle = (System.nanoTime() - t0) / 1e9
+    val shardDir = Files.createTempDirectory("graft-shard").toString
+    val sharded = new ShardedEngine(spark, shardDir, 4)
+    val t1 = System.nanoTime()
+    sharded.insert(docs)
+    val tSharded = (System.nanoTime() - t1) / 1e9
+    assert(sharded.totalRecords == 40000 && single.totalRecords == 40000)
+    info(f"single-writer: $tSingle%.2f s, 4-shard: $tSharded%.2f s " +
+      f"(${tSingle / tSharded}%.1fx)")
+    // only a sanity bound, not a benchmark: sharding must not be slower
+    // than ~1.5x single (it should be faster; CI noise tolerated)
+    assert(tSharded < tSingle * 1.5,
+      f"sharded ingest slower than single writer: $tSharded%.2f vs $tSingle%.2f")
+  }
+}
