@@ -48,4 +48,10 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // plan audits read PushedFilters from plan strings; don't truncate
+      .config("spark.sql.debug.maxToStringFields", "200")
+      .config("spark.sql.maxMetadataStringLength", "10000")
+      // graft.plans.TimestampPushdown: restores Parquet pushdown for
+      // timestamp predicates over the nanos-backed event log
+      .withExtensions(new graft.plans.GraftExtensions()(_))
 }

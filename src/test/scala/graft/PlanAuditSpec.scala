@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bfl.Compiler
+
+/** Physical-plan regression tests: the scale properties the operators rely
+  * on (Parquet pushdown, broadcast joins, partial aggregation) must be
+  * visible in the executed plan, not assumed. A refactor that silently turns
+  * a pushed filter into a post-scan filter or a broadcast join into a
+  * sort-merge join fails here before it costs anything at scale.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions
+    .builder("local[4]", 4)
+    .appName("plan-audit")
+    .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("compiled BFL equality pushes to the Parquet scan") {
+    spark.sparkContext.setLogLevel("WARN")
+    val df = Tables.events(spark, sf)
+    val plan = planOf(df.where(Compiler.compile(df, """event_type == "click"""").pred))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,click\\).*"),
+      s"equality not pushed:\n$plan")
+  }
+
+  test("compiled BFL numeric comparison on a long column stays pushable") {
+    val df = Tables.events(spark, sf)
+    val plan = planOf(df.where(Compiler.compile(df, """user_id > 40""").pred))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(user_id,40\\).*"),
+      s"typed literal fast path lost pushdown:\n$plan")
+  }
+
+  test("compiled BFL conjunction splits: both conjuncts pushed") {
+    val df = Tables.events(spark, sf)
+    val plan = planOf(
+      df.where(Compiler.compile(df, """event_type == "purchase" and value > 100""").pred))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,purchase\\).*"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(value,100\\.0\\).*"), plan)
+  }
+
+  test("datetime comparison compiles to a native timestamp range (row-group pruning)") {
+    val df = Tables.events(spark, sf)
+    val plan = planOf(df.where(
+      Compiler.compile(df, """ts >= datetime("1/15/2024, 12:00:00.000 AM")""").pred))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,.*"),
+      s"timestamp compare not pushed:\n$plan")
+  }
+
+  test("small-dimension joins broadcast (q5 shape)") {
+    val plan = planOf(
+      Tables.supplier(spark, sf)
+        .join(broadcast(Tables.nation(spark, sf)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").count())
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf(
+      Tables.lineitem(spark, sf).groupBy("l_returnflag").agg(sum("l_quantity")))
+    // HashAggregate appears twice: partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val plan = planOf(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))
+    assert(plan.matches("(?s).*ReadSchema: struct<l_orderkey:[^,]+,l_quantity:[^>]+>.*"),
+      s"scan reads more than the projection:\n$plan")
+  }
+
+  test("brute-force cosine top-k plans as broadcast + TakeOrdered, no shuffle sort") {
+    val plan = planOf(operators.Similarity.cosineTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 0L, 10))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query vector not broadcast:\n$plan")
+  }
+}
