@@ -239,6 +239,12 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"),
           TextAnalysis.bagFingerprint(col("text")).as("bag_fingerprint"))
         .orderBy("doc_id")),
+    "text_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
@@ -333,6 +339,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+    "ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
     "bfl_xml_helper" -> ((s, dir) => {
       // xml() helper through the interpreter tier over constructed XML bodies
       val df = ev(s, dir).withColumn("doc",
@@ -487,6 +495,13 @@ object SparkEntry {
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))[:16] AS fingerprint,
          md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), 'string_agg', ' '))[:16] AS bag_fingerprint
          FROM documents ORDER BY doc_id""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         coalesce(CAST(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]'),
+           w -> CAST(floor((length(w)+3)/4.0) AS BIGINT))) AS BIGINT), 0) AS n_bpe
+         FROM documents ORDER BY doc_id""",
     "text_quality" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -534,6 +549,26 @@ object SparkEntry {
          SELECT * FROM (
            SELECT s.vec_id, round(${cosSql("s.embedding", "q.qv")}, 4) AS sim
            FROM sig s, q WHERE s.lsh_sig = q.qs)
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
+    "ivf_topk" -> {
+      // mirror of Similarity.ivfTopK(nCentroids=8, nProbe=2): centroid set =
+      // vec_id < 8, nearest-centroid assignment with ties to smallest cid,
+      // probe the query's top-2 centroids, exact rank within probed clusters
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         probe AS (SELECT cid FROM (
+             SELECT c.cid,
+               row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
+             FROM cent c CROSS JOIN q) WHERE rn <= 2)
+         SELECT * FROM (
+           SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
+           FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q
+           WHERE a.cid IN (SELECT cid FROM probe))
          ORDER BY sim DESC, vec_id LIMIT 10"""
     },
     "simhash_buckets" ->

@@ -171,6 +171,69 @@ object Similarity {
       bits: Int = 8, dim: Int = 64): DataFrame =
     annTopKIndexed(signatureIndex(emb, idCol, vecCol, bits, dim), idCol, vecCol, queryId, k)
 
+  // --- IVF (inverted-file) ANN --------------------------------------------
+
+  /** The deterministic IVF centroid set: the first `nCentroids` vectors of
+    * the corpus (id < nCentroids), collected once — tiny, and embedded into
+    * the assignment scan as array literals so clustering is ONE projection
+    * over the corpus with no join and no shuffle. (Real IVF runs k-means for
+    * the centroids; the assignment/probe machinery is identical and a
+    * seeded-sample centroid set keeps the construction SQL-replicable.)
+    */
+  private def centroidSet(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): Array[(Long, Seq[Float])] =
+    emb.where(col(idCol) < nCentroids)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+
+  /** (sim, -cid) ranking structs vs every centroid — greatest/sort_array
+    * over these picks max sim with ties to the SMALLEST centroid id, exactly
+    * the SQL mirror's `ORDER BY sim DESC, cid`. */
+  private def centroidSims(vec: Column, cents: Array[(Long, Seq[Float])]) =
+    cents.map { case (cid, cv) =>
+      struct(cosine(vec, typedlit(cv)).as("sim"), lit(-cid).as("negcid"))
+    }
+
+  /** IVF index: every vector assigned to its nearest centroid (cosine, ties
+    * to smallest id), materialized once. At 100 TB: a table partitioned by
+    * `cluster`, so a probe reads only the probed partitions; assignment is a
+    * scan-only projection (centroids ride along as broadcast literals).
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
+    require(nCentroids >= 2, "need at least 2 centroids")
+    val cents = centroidSet(emb, idCol, vecCol, nCentroids)
+    val best = greatest(centroidSims(col(vecCol), cents): _*)
+    emb
+      .select(col(idCol), col(vecCol),
+        (-best.getField("negcid")).cast("long").as("cluster"))
+      .localCheckpoint()
+  }
+
+  /** IVF top-k: rank the query's `nProbe` nearest centroids, then search
+    * ONLY vectors assigned to those clusters — the brute-force scan becomes
+    * a partition-pruned scan of nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val index = ivfIndex(emb, idCol, vecCol, nCentroids)
+    val cents = centroidSet(emb, idCol, vecCol, nCentroids)
+    // the query row carries its vector + probe list (top-nProbe centroids)
+    val probes = transform(
+      slice(sort_array(array(centroidSims(col(vecCol), cents): _*), asc = false),
+        1, nProbe),
+      s => -s.getField("negcid"))
+    val q = index
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"), probes.as("probes"))
+    index
+      .join(broadcast(q), array_contains(col("probes"), col("cluster")))
+      .select(col(idCol), round(cosine(col(vecCol), col("query_vec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   // --- oracle-SQL generators (DuckDB) -------------------------------------
   // The constructions above are deterministic, so their exact SQL mirror can
   // be GENERATED from the same constants — this is what lets the driver

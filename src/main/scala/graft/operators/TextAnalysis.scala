@@ -21,6 +21,27 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.!?,;:]", ""))).cast("long")
 
+  /** GPT-2-style pre-tokenization pieces: letter runs, single digits,
+    * single other-glyphs. ASCII classes only (identical in Java regex and
+    * DuckDB's RE2; `\s` differs between the engines, so whitespace is
+    * spelled out). */
+  private val bpePiecesRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+  /** BPE-ish token count estimate: each letter run of length L costs
+    * ceil(L/4) subword pieces (the ~4-chars-per-token heuristic real BPE
+    * vocabularies average on English text), digits and symbols cost 1.
+    * Oracle mirror: `list_sum(list_transform(regexp_extract_all(...)))`.
+    * One regex pass + one fold — scan-parallel, no shuffle.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    coalesce(
+      aggregate(
+        regexp_extract_all(text, lit(bpePiecesRe), lit(0)),
+        lit(0L),
+        (acc, w) => acc + floor((length(w) + lit(3)) / lit(4.0)).cast("long")
+      ),
+      lit(0L))
+
   /** Simple quality signals: chars, tokens, avg word length, punctuation
     * ratio, and a composite score in [0,1]. The formula is arbitrary but
     * deterministic and identical in the SQL oracle.

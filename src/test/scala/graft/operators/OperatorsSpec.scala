@@ -147,6 +147,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"signature recomputed corpus-wide in plan:\n$plan")
   }
 
+  test("IVF top-k: probed search finds the query and overlaps brute force") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect()
+    val brute = Similarity.cosineTopK(e, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // the query's own cluster is always probed, so the query itself is found
+    assert(ivf.contains(0L))
+    assert(ivf.length == 10)
+    // 2-of-8 probes: partial recall expected, zero overlap is a bug
+    assert(ivf.toSet.intersect(brute).nonEmpty)
+    // assignment covers every vector exactly once
+    val idx = Similarity.ivfIndex(e, "vec_id", "embedding", 8)
+    assert(idx.count() == e.count())
+    assert(idx.select("cluster").distinct().count() <= 8)
+    // the probe search scans the materialized index, not a recompute
+    val plan = Similarity.ivfTopK(e, "vec_id", "embedding", 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"IVF search not index-backed:\n$plan")
+  }
+
   test("md5 SimHash hex: deterministic, matches an independent computation") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("id", "text")
