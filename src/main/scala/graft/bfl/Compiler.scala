@@ -389,11 +389,13 @@ object Compiler {
         coalesce(exists(b.value, j => scSafe(toNum(a.value, a.t), elNum(j, eb))), lit(false))
       // pushdown fast paths: numeric compare is identical to the generic
       // double-coerced compare for native numeric columns, but keeps the
-      // column uncasted so the filter reaches the Parquet reader
+      // column uncasted so the filter reaches the Parquet reader. A double
+      // COLUMN can hold NaN data, so the isnan guard applies here too — it
+      // rides as a separate conjunct, leaving the comparison itself pushable
       case (TDouble, _) if b.litNum.isDefined && a.litNum.isEmpty =>
-        sc(a.value, lit(b.litNum.get))
+        sc(a.value, lit(b.litNum.get)) && !isnan(a.value)
       case (_, TDouble) if a.litNum.isDefined && b.litNum.isEmpty =>
-        sc(lit(a.litNum.get), b.value)
+        sc(lit(a.litNum.get), b.value) && !isnan(b.value)
       // integral literal vs long column: compare as longs (pushable);
       // equivalent to the double compare for |v| < 2^53
       case (TLong, _) if b.litNum.exists(v => v == math.rint(v) && math.abs(v) < 9e15) =>

@@ -139,13 +139,18 @@ final class Engine(val spark: SparkSession, val dir: String) {
     */
   def queryExpanded(leftOff: String, expanded: String): DataFrame = {
     val q = parseOrThrow(expanded)
-    val base = leftOff match {
-      case "" | null => records()
-      case "latest"  => records().where(col("id") === meta.highWater - 1)
-      case s         => records().where(col("id") > s.toLong)
-    }
-    val matched = applyQuery(base, expanded, q).orderBy("id")
+    val matched = applyQuery(baseFrom(leftOff), expanded, q).orderBy("id")
     q.limit.fold(matched)(n => matched.limit(n.toInt))
+  }
+
+  /** shared QUERY-mode leftOff dispatch: "" = beginning, "latest" = last
+    * record only, otherwise exclusive resume (reference:
+    * native.go:392,1158-1176 handleSpecialLeftOff).
+    */
+  private def baseFrom(leftOff: String): DataFrame = leftOff match {
+    case "" | null => records()
+    case "latest"  => records().where(col("id") === meta.highWater - 1)
+    case s         => records().where(col("id") > s.toLong)
   }
 
   /** `/single` — point lookup by index; only the query's record-altering
@@ -174,7 +179,11 @@ final class Engine(val spark: SparkSession, val dir: String) {
   def fetchScan(leftOff: Long, direction: Int, queryStr: String, limit: Int)
       : (Iterator[(Long, Option[String])], Long, Long) = {
     val expanded = expand(queryStr)
-    parseOrThrow(expanded)
+    val q = parseOrThrow(expanded)
+    val total = meta.highWater - meta.removedCount
+    // limit <= 0: the reference's `numberOfWritten >= _limit` check fires on
+    // the first loop iteration — nothing is scanned (native.go:729-731)
+    if (limit <= 0) return (Iterator.empty, total, meta.truncatedTimestamp)
     // forward is INCLUSIVE of leftOff (offsets[leftOff:]), backward is
     // exclusive (offsets[:leftOff]) — reference: native.go:700-706, pinned
     // by the server fetch matrix (server_test.go:403-418)
@@ -190,11 +199,10 @@ final class Engine(val spark: SparkSession, val dir: String) {
       if (matchedIds.length < limit) ordered // scan to the boundary
       else if (direction < 0) ordered.where(col("id") >= matchedIds.last)
       else ordered.where(col("id") <= matchedIds.last)
-    val q = parseOrThrow(expanded)
     val it = flagsOver(bounded, expanded, q)
       .toLocalIterator().asScala
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1))))
-    (it, meta.highWater - meta.removedCount, meta.truncatedTimestamp)
+    (it, total, meta.truncatedTimestamp)
   }
 
   /** `/fetch` — page of up to `limit` matching records scanning forward
@@ -206,11 +214,14 @@ final class Engine(val spark: SparkSession, val dir: String) {
     val rows = it.toVector
     val docs = rows.flatMap(_._2)
     val lastScanned = rows.lastOption.map(_._1)
-    // resume point is one PAST the last scanned record (the reference's
-    // _leftOff counts beyond each scanned offset, native.go:732-736), so the
-    // next inclusive-forward fetch doesn't re-emit the boundary record
+    // resume point is one PAST the last scanned record in scan direction
+    // (the reference's _leftOff counts beyond each scanned offset,
+    // native.go:732-741): forward resume is INCLUSIVE so one past = id+1;
+    // backward resume is EXCLUSIVE so one past = the scanned id itself —
+    // `last - 1` here would skip a record per backward page. Matches the
+    // per-record metadata the protocol server emits (handleFetch nextOff).
     val nextLeftOff = lastScanned
-      .map(last => if (direction < 0) last - 1 else last + 1)
+      .map(last => if (direction < 0) last else last + 1)
       .getOrElse(leftOff)
     // the log boundary being scanned also means no more data
     val atBoundary = lastScanned.exists { last =>
@@ -235,12 +246,7 @@ final class Engine(val spark: SparkSession, val dir: String) {
     */
   def scanWithFlags(leftOff: String, expanded: String): DataFrame = {
     val q = parseOrThrow(expanded)
-    val base = leftOff match {
-      case "" | null => records()
-      case "latest"  => records().where(col("id") === meta.highWater - 1)
-      case s         => records().where(col("id") > s.toLong)
-    }
-    flagsOver(base, expanded, q).orderBy("id")
+    flagsOver(baseFrom(leftOff), expanded, q).orderBy("id")
   }
 
   /** (id, doc-or-null) projection: compiled-tier predicate inside `when`

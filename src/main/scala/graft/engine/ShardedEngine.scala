@@ -35,19 +35,23 @@ final class ShardedEngine(val spark: SparkSession, baseDir: String, val numShard
 
   /** Parallel insert: group by shard, then every shard's single writer runs
     * concurrently (per-shard order preserved; cross-shard order is
-    * unordered, like any partitioned log).
+    * unordered, like any partitioned log). A failed shard writer fails the
+    * whole insert — same contract as [[Engine.insert]]; partial writes are
+    * reported, never swallowed.
     */
   def insert(docs: Seq[String]): Unit = {
     val byShard = docs.groupBy(shardOf)
     val pool = Executors.newFixedThreadPool(math.min(numShards, byShard.size).max(1))
     try {
-      byShard.foreach { case (s, ds) =>
-        pool.submit(new Runnable { def run(): Unit = { shards(s).insert(ds); () } })
-        ()
+      val futures = byShard.toSeq.map { case (s, ds) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { shards(s).insert(ds); () }
+        })
       }
       pool.shutdown()
-      pool.awaitTermination(10, TimeUnit.MINUTES)
-      ()
+      if (!pool.awaitTermination(10, TimeUnit.MINUTES))
+        throw new java.util.concurrent.TimeoutException("sharded insert timed out")
+      futures.foreach(_.get()) // rethrows the first shard-writer failure
     } finally { pool.shutdownNow(); () }
   }
 
@@ -60,13 +64,19 @@ final class ShardedEngine(val spark: SparkSession, baseDir: String, val numShard
       .reduce(_ unionByName _)
 
   /** Cross-shard filtered scan (same BFL tiering as [[Engine.query]]),
-    * ordered by the global (shard, id) key.
+    * ordered by the global (shard, id) key. A `limit(N)` in the query caps
+    * the GLOBAL result: each shard's own limit(N) is kept as a superset
+    * pre-filter (≤N matches per shard can contribute), then the union is
+    * re-limited — the standard distributed top-N shape.
     */
-  def query(queryStr: String): DataFrame =
-    shards.zipWithIndex
+  def query(queryStr: String): DataFrame = {
+    val union = shards.zipWithIndex
       .map { case (e, i) => e.query("", queryStr).withColumn("shard", lit(i)) }
       .reduce(_ unionByName _)
       .orderBy("shard", "id")
+    val globalLimit = graft.bfl.Parser.parse(queryStr).toOption.flatMap(_.limit)
+    globalLimit.fold(union)(n => union.limit(n.toInt))
+  }
 
   def totalRecords: Long = shards.map(_.totalRecords).sum
 }

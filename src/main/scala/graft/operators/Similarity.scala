@@ -201,9 +201,12 @@ object Similarity {
     * `cluster`, so a probe reads only the probed partitions; assignment is a
     * scan-only projection (centroids ride along as broadcast literals).
     */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
-    require(nCentroids >= 2, "need at least 2 centroids")
-    val cents = centroidSet(emb, idCol, vecCol, nCentroids)
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame =
+    ivfIndexFrom(emb, idCol, vecCol, centroidSet(emb, idCol, vecCol, nCentroids))
+
+  private def ivfIndexFrom(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Float])]): DataFrame = {
+    require(cents.length >= 2, "need at least 2 centroids")
     val best = greatest(centroidSims(col(vecCol), cents): _*)
     emb
       .select(col(idCol), col(vecCol),
@@ -217,8 +220,9 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val index = ivfIndex(emb, idCol, vecCol, nCentroids)
+    // one centroid collect feeds both the index build and the probe ranking
     val cents = centroidSet(emb, idCol, vecCol, nCentroids)
+    val index = ivfIndexFrom(emb, idCol, vecCol, cents)
     // the query row carries its vector + probe list (top-nProbe centroids)
     val probes = transform(
       slice(sort_array(array(centroidSims(col(vecCol), cents): _*), asc = false),

@@ -88,13 +88,15 @@ object TimestampPushdown extends Rule[LogicalPlan] {
     // alone (they'd need a > -d style bounds).
     case cmp @ GreaterThanOrEqual(DivExpr(a, d), LongLit(m)) if m >= 1 =>
       mulSafe(m, d).map(x => GreaterThanOrEqual(a, Literal(x, LongType))).getOrElse(cmp)
-    case cmp @ GreaterThan(DivExpr(a, d), LongLit(m)) if m >= 1 =>
+    // m+1 forms also need m < Long.MaxValue: the increment would wrap and
+    // mulSafe's self-consistency check cannot see the wrap with d == 1
+    case cmp @ GreaterThan(DivExpr(a, d), LongLit(m)) if m >= 1 && m < Long.MaxValue =>
       mulSafe(m + 1, d).map(x => GreaterThanOrEqual(a, Literal(x, LongType))).getOrElse(cmp)
     case cmp @ LessThan(DivExpr(a, d), LongLit(m)) if m >= 1 =>
       mulSafe(m, d).map(x => LessThan(a, Literal(x, LongType))).getOrElse(cmp)
-    case cmp @ LessThanOrEqual(DivExpr(a, d), LongLit(m)) if m >= 1 =>
+    case cmp @ LessThanOrEqual(DivExpr(a, d), LongLit(m)) if m >= 1 && m < Long.MaxValue =>
       mulSafe(m + 1, d).map(x => LessThan(a, Literal(x, LongType))).getOrElse(cmp)
-    case cmp @ EqualTo(DivExpr(a, d), LongLit(m)) if m >= 1 =>
+    case cmp @ EqualTo(DivExpr(a, d), LongLit(m)) if m >= 1 && m < Long.MaxValue =>
       (mulSafe(m, d), mulSafe(m + 1, d)) match {
         case (Some(lo), Some(hi)) =>
           And(GreaterThanOrEqual(a, Literal(lo, LongType)), LessThan(a, Literal(hi, LongType)))

@@ -83,6 +83,30 @@ class EngineSpec extends AnyFunSuite {
     val (tail, m3) = e.fetch(27L, 1, "even == true", 5)
     assert(tail.length == 1) // only n=28 remains
     assert(m3.noMoreData)
+    // limit <= 0: nothing scanned, graceful empty page (the reference's
+    // `numberOfWritten >= _limit` fires before the first offset)
+    val (z, mz) = e.fetch(0L, 1, "", 0)
+    assert(z.isEmpty && mz.numberOfWritten == 0)
+    val (zn, _) = e.fetch(0L, 1, "", -3)
+    assert(zn.isEmpty)
+  }
+
+  test("backward paging chain covers every record exactly once") {
+    val e = freshEngine()
+    e.insert((0 until 20).map(i => s"""{"n":$i}"""))
+    // page backward from 20 in pages of 6; resume at meta.leftOff each time
+    var leftOff = 20L
+    var seen = List.empty[String]
+    var more = true
+    while (more) {
+      val (docs, m) = e.fetch(leftOff, -1, "", 6)
+      seen = seen ++ docs
+      more = docs.nonEmpty && m.leftOff > 0 && !m.noMoreData
+      leftOff = m.leftOff
+    }
+    // every record visited once, in descending order, none skipped
+    val ns = seen.map(d => "\"n\":(\\d+)".r.findFirstMatchIn(d).get.group(1).toInt)
+    assert(ns == (19 to 0 by -1).toList, s"backward chain skipped/dup: $ns")
   }
 
   test("fetch matrix from the reference server tests (inclusive-forward)") {
