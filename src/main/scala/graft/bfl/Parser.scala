@@ -125,6 +125,49 @@ object Parser extends RegexParsers {
       RCall(segs, p.flatten, s)
     }
 
+  // ---- participle-style error formatting --------------------------------
+  // The reference surfaces participle's messages verbatim over /validate
+  // (`1:1: unexpected token "="`, server/server_test.go:267-274). Reproduce
+  // the format: lex the token at the failure offset Go-scanner-style; a
+  // failure sitting ON an unconsumed `[` reports the token INSIDE the
+  // bracket with the select production's expected clause, as participle
+  // does after committing to the bracket.
+
+  /** (token text, start offset) at `off`, Go text/scanner token classes. */
+  private def lexTokenAt(s: String, off: Int): (String, Int) = {
+    var i = off
+    while (i < s.length && " \t\r\n".indexOf(s.charAt(i)) >= 0) i += 1
+    if (i >= s.length) return ("<EOF>", i)
+    val rest = s.substring(i)
+    val tok =
+      identRe.findPrefixOf(rest)
+        .orElse("""(\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?)""".r.findPrefixOf(rest))
+        .orElse(dqStringRe.findPrefixOf(rest))
+        .orElse(sqStringRe.findPrefixOf(rest))
+        .orElse(btStringRe.findPrefixOf(rest))
+        .getOrElse(rest.substring(0, 1))
+    (tok, i)
+  }
+
+  private def lineCol(s: String, off: Int): (Int, Int) = {
+    val upTo = s.substring(0, math.min(off, s.length))
+    val line = upTo.count(_ == '\n') + 1
+    val col = off - (upTo.lastIndexOf('\n') + 1) + 1
+    (line, col)
+  }
+
+  private def participleError(text: String, failOffset: Int): String = {
+    val (tok, at) = lexTokenAt(text, failOffset)
+    if (tok == "[") {
+      val (inner, innerAt) = lexTokenAt(text, at + 1)
+      val (l, c) = lineCol(text, innerAt)
+      s"""$l:$c: unexpected token "$inner" (expected (<string> | <char> | <rawstring> | "*") "]")"""
+    } else {
+      val (l, c) = lineCol(text, at)
+      s"""$l:$c: unexpected token "$tok""""
+    }
+  }
+
   /** Parse a query string to the raw tree. Empty string = match-all
     * (reference: server/lib/parser.go:84-86).
     */
@@ -132,10 +175,9 @@ object Parser extends RegexParsers {
     if (text.trim.isEmpty) Right(None)
     else
       parseAll(expression, text) match {
-        case Success(r, _) => Right(Some(r))
-        case NoSuccess(msg, next) =>
-          Left(s"$msg (at line ${next.pos.line}, column ${next.pos.column})")
-        case _ => Left("parse failure")
+        case Success(r, _)      => Right(Some(r))
+        case NoSuccess(_, next) => Left(participleError(text, next.offset))
+        case _                  => Left("parse failure")
       }
 
   /** Parse + normalize (the reference's Parse + Precompute). Regex literals

@@ -112,6 +112,10 @@ rule(
     assert(Parser.parse("""x == "unterminated""").isLeft)
     assert(Parser.parse("path[3.14] == 1").isLeft) // float index is an error
     assert(Parser.parse("(a == 1").isLeft)
+    // participle-exact messages the reference pins (server_test.go:267-274)
+    assert(Parser.parse("=.=") == Left("""1:1: unexpected token "=""""))
+    assert(Parser.parse("""request.path[3.14] == "hello"""") ==
+      Left("""1:14: unexpected token "3.14" (expected (<string> | <char> | <rawstring> | "*") "]")"""))
   }
 
   test("validate churn: many sequential parses stay stable") {

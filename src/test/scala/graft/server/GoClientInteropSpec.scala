@@ -76,8 +76,10 @@ class GoClientInteropSpec extends AnyFunSuite {
       assert(oneShot(port, "/validate", """brand.name == "Chevrolet"""") == "OK")
       assert(oneShot(port, "/validate",
         """http and request.method == "GET" and request.path != "/example" and (request.query.a > 42 or request.headers["x"] == "y")""") == "OK")
-      assert(oneShot(port, "/validate", "=.=") != "OK")
-      assert(oneShot(port, "/validate", """request.path[3.14] == "hello"""") != "OK")
+      // the exact participle strings client_test pins (server_test.go:267-274)
+      assert(oneShot(port, "/validate", "=.=") == """1:1: unexpected token "="""")
+      assert(oneShot(port, "/validate", """request.path[3.14] == "hello"""") ==
+        """1:14: unexpected token "3.14" (expected (<string> | <char> | <rawstring> | "*") "]")""")
 
       // TestQuery: /query "" chevy — the client reads >14000 redacted
       // records (and as many metadata lines) then closes mid-stream
