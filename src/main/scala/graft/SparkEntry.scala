@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.bfl.{Bfl, Compiler, Macros}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §2, §7).
   *
@@ -239,6 +239,16 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"),
           TextAnalysis.bagFingerprint(col("text")).as("bag_fingerprint"))
         .orderBy("doc_id")),
+    // skew mitigation: result-identical to the plain forms, oracle-checked
+    "skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedSumCount(ev(s, dir), "event_type", "value",
+          col("event_id"), salts = 16)
+        .orderBy("event_type")),
+    "skew_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(Tables.orders(s, dir), Tables.customer(s, dir),
+          "o_custkey", "c_custkey", col("o_orderkey"), salts = 8)
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy("o_orderkey")),
     "text_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -495,6 +505,15 @@ object SparkEntry {
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))[:16] AS fingerprint,
          md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), 'string_agg', ' '))[:16] AS bag_fingerprint
          FROM documents ORDER BY doc_id""",
+    "skew_salted_agg" ->
+      """SELECT event_type,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
+         COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "skew_salted_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
     "text_bpe_tokens" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_words,

@@ -169,6 +169,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"IVF search not index-backed:\n$plan")
   }
 
+  test("salting splits hot keys and stays result-identical") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    // the hottest grouping key's largest (key, salt) sub-group must be a
+    // small fraction of the unsalted hot group — that's the whole point
+    val hot = ev.groupBy("event_type").count().orderBy(col("count").desc)
+      .as[(String, Long)].head()
+    val maxSub = ev
+      .withColumn("_salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy("event_type", "_salt").count()
+      .where(col("event_type") === hot._1)
+      .agg(max("count")).as[Long].head()
+    assert(maxSub <= hot._2 / 8, s"salting left a hot sub-group: $maxSub of ${hot._2}")
+    // and the two-phase result equals the one-phase aggregation exactly
+    val salted = Skew.saltedSumCount(ev, "event_type", "value", col("event_id"), 16)
+      .orderBy("event_type").as[(String, Double, Long)].collect()
+    val plain = ev.groupBy("event_type")
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").as[(String, Double, Long)].collect()
+    assert(salted.toSeq == plain.toSeq)
+    // salted join reproduces the plain join exactly
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val cust = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+    val sj = Skew.saltedJoin(orders, cust, "o_custkey", "c_custkey", col("o_orderkey"), 8)
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+    val pj = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+    assert(sj == pj)
+  }
+
   test("md5 SimHash hex: deterministic, matches an independent computation") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("id", "text")
