@@ -52,23 +52,37 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH signature: b seeded hyperplanes generated
-    * driver-side and embedded as array LITERALS (constant-folded, zero
-    * per-row construction cost). sign(dot(v,h)) per plane → b-bit signature.
-    * At scale the bucket join is hash-partitioned on the signature.
-    */
-  def lshSignature(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
+  /** The seeded ±1 hyperplane matrix shared by [[lshSignature]],
+    * [[lshSignatureColumns]] and the generated oracle SQL. */
+  def planes(bits: Int, dim: Int, seed: Int = 42): Array[Array[Boolean]] = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextBoolean()))
+    Array.fill(bits)(Array.fill(dim)(rnd.nextBoolean()))
+  }
+
+  /** Random-hyperplane LSH signature: sign(dot(v,h)) per seeded plane →
+    * b-bit signature, evaluated by the one-pass
+    * [[graft.functions.HyperplaneSigExpr]] (the plane matrix rides as a
+    * literal). At scale the bucket join is hash-partitioned on the
+    * signature.
+    */
+  def lshSignature(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column =
+    graft.functions.HyperplaneExpr.signature(vec, planes(bits, dim, seed))
+
+  /** Column-pipeline form — kept as the equivalence reference for the
+    * one-pass expression (pinned in OperatorsSpec). The ~bits×dim×4-node
+    * tree this builds costs seconds of Janino compile per invocation, which
+    * is why queries use the expression form.
+    */
+  def lshSignatureColumns(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
+    val ps = planes(bits, dim, seed)
     val bitCols = (0 until bits).map { p =>
       // ±1 hyperplane ⇒ the dot product is a signed sum — built from plain
-      // element_at adds/subtracts, which stay inside whole-stage codegen
-      // (an interpreted zip_with/aggregate dot cost ~2.5ms/row)
+      // element_at adds/subtracts
       val terms = (0 until dim).map { d =>
         // try_element_at + 0-default: vectors shorter than `dim` contribute
         // nothing instead of ANSI-throwing
         val e = coalesce(try_element_at(vec, lit(d + 1)).cast("double"), lit(0.0))
-        if (planes(p)(d)) e else -e
+        if (ps(p)(d)) e else -e
       }
       val dotp = terms.reduce(_ + _)
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
@@ -248,13 +262,12 @@ object Similarity {
     * order (left fold over d), and float→double casts.
     */
   def lshSignatureSql(vecExpr: String, bits: Int, dim: Int, seed: Int = 42): String = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextBoolean()))
+    val ps = planes(bits, dim, seed)
     (0 until bits).map { p =>
       val terms = (0 until dim).map { d =>
         val cast = s"COALESCE(CAST($vecExpr[${d + 1}] AS DOUBLE), 0.0)"
-        if (d == 0) { if (planes(p)(0)) cast else s"-$cast" }
-        else if (planes(p)(d)) s" + $cast" else s" - $cast"
+        if (d == 0) { if (ps(p)(0)) cast else s"-$cast" }
+        else if (ps(p)(d)) s" + $cast" else s" - $cast"
       }.mkString
       s"(CASE WHEN ($terms) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")

@@ -134,6 +134,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(p => (p._1, p._2)).distinct.length == out.length)
   }
 
+  test("one-pass HyperplaneSigExpr equals the Column-pipeline signature") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val both = e.select(
+        Similarity.lshSignature(col("embedding"), 8, 64).as("fast"),
+        Similarity.lshSignatureColumns(col("embedding"), 8, 64).as("cols"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (f, c) => assert(f == c, s"$f != $c") }
+    // short/absent coordinates contribute 0.0 in both forms
+    val shortVec = Seq((1L, Seq(0.5f, -1.0f))).toDF("id", "embedding")
+    val s2 = shortVec.select(
+        Similarity.lshSignature(col("embedding"), 8, 64).as("fast"),
+        Similarity.lshSignatureColumns(col("embedding"), 8, 64).as("cols"))
+      .as[(Long, Long)].head()
+    assert(s2._1 == s2._2)
+  }
+
   test("annTopK plan scans the materialized index, not a recomputed signature") {
     val idx = Similarity.signatureIndex(emb, "vec_id", "embedding")
     val plan = Similarity.annTopKIndexed(idx, "vec_id", "embedding", 0L, 10)
