@@ -243,6 +243,8 @@ object SparkEntry {
     "skew_salted_agg" -> ((s, dir) =>
       Skew.saltedSumCount(ev(s, dir), "event_type", "value",
           col("event_id"), salts = 16)
+        .select(col("event_type"),
+          round(col("sum_value").cast("double"), 2).as("sum_value"), col("n"))
         .orderBy("event_type")),
     "skew_salted_join" -> ((s, dir) =>
       Skew.saltedJoin(Tables.orders(s, dir), Tables.customer(s, dir),

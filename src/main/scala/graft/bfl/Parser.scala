@@ -141,7 +141,7 @@ object Parser extends RegexParsers {
     val rest = s.substring(i)
     val tok =
       identRe.findPrefixOf(rest)
-        .orElse("""(\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?)""".r.findPrefixOf(rest))
+        .orElse(numberRe.findPrefixOf(rest))
         .orElse(dqStringRe.findPrefixOf(rest))
         .orElse(sqStringRe.findPrefixOf(rest))
         .orElse(btStringRe.findPrefixOf(rest))

@@ -231,7 +231,9 @@ final class Engine(val spark: SparkSession, val dir: String) {
       total = total,
       numberOfWritten = docs.length,
       leftOff = nextLeftOff,
-      noMoreData = docs.length < limit || atBoundary,
+      // limit <= 0 pages never advance and never produce more data — flag
+      // them done so a noMoreData-keyed pagination loop terminates
+      noMoreData = limit <= 0 || docs.length < limit || atBoundary,
       truncatedTimestamp = truncated
     )
     (docs, m)

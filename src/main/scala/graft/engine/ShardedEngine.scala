@@ -74,9 +74,18 @@ final class ShardedEngine(val spark: SparkSession, baseDir: String, val numShard
       .map { case (e, i) => e.query("", queryStr).withColumn("shard", lit(i)) }
       .reduce(_ unionByName _)
       .orderBy("shard", "id")
-    val globalLimit = graft.bfl.Parser.parse(queryStr).toOption.flatMap(_.limit)
+    // limit extraction must see the MACRO-EXPANDED text (a macro can carry
+    // the limit); macros are fanned out by addMacro so every shard agrees
+    val expanded = shards.headOption.fold(queryStr)(_.expandMacros(queryStr))
+    val globalLimit = graft.bfl.Parser.parse(expanded).toOption.flatMap(_.limit)
     globalLimit.fold(union)(n => union.limit(n.toInt))
   }
+
+  /** Register a macro on EVERY shard — queries must expand identically on
+    * each, and [[query]]'s global-limit extraction relies on it.
+    */
+  def addMacro(name: String, expansion: String): Unit =
+    shards.foreach(_.addMacro(name, expansion))
 
   def totalRecords: Long = shards.map(_.totalRecords).sum
 }

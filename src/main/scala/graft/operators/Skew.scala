@@ -27,8 +27,10 @@ object Skew {
         sum(col(valCol).cast("decimal(18,6)")).as("_psum"),
         count(lit(1)).as("_pn"))
       .groupBy(col(keyCol))
+      // exact decimal sum out — presentation (rounding, double cast,
+      // aliases) belongs to the caller, like every other aggregate operator
       .agg(
-        round(sum(col("_psum")).cast("double"), 2).as("sum_value"),
+        sum(col("_psum")).as("sum_" + valCol),
         sum(col("_pn")).as("n"))
 
   /** Salted equi-join: the big (skewed) side gets a deterministic salt in

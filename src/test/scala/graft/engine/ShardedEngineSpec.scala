@@ -32,6 +32,11 @@ class ShardedEngineSpec extends AnyFunSuite {
     val matched = se.query("even == true").select("doc").collect().map(_.getString(0))
     assert(matched.length == 1000)
     assert(matched.forall(_.contains("\"even\":true")))
+    // limit(N) caps the GLOBAL result, even when the limit arrives through
+    // a macro expansion (per-shard limit is only a superset pre-filter)
+    assert(se.query("even == true and limit(7)").count() == 7)
+    se.addMacro("hotpage", "even == true and limit(5)")
+    assert(se.query("hotpage").count() == 5)
     // insert throughput observation (not asserted — timing is environment-
     // bound): round-1 measured ~24k rec/s on ONE writer; four parallel
     // writers pipeline parse/filter/append per shard

@@ -142,13 +142,24 @@ class OperatorsSpec extends AnyFunSuite {
         Similarity.lshSignatureColumns(col("embedding"), 8, 64).as("cols"))
       .as[(Long, Long)].collect()
     both.foreach { case (f, c) => assert(f == c, s"$f != $c") }
-    // short/absent coordinates contribute 0.0 in both forms
-    val shortVec = Seq((1L, Seq(0.5f, -1.0f))).toDF("id", "embedding")
-    val s2 = shortVec.select(
+    // short/absent coordinates contribute 0.0 in both forms; a NULL vector
+    // degenerates to the all-bits-set signature (empty sums, 0.0 >= 0) in
+    // BOTH forms — null-propagation would silently diverge from the oracle
+    val edge = Seq((1L, Some(Seq(0.5f, -1.0f))), (2L, None))
+      .toDF("id", "embedding")
+    val s2 = edge.select(
+        Similarity.lshSignature(col("embedding"), 8, 64).as("fast"),
+        Similarity.lshSignatureColumns(col("embedding"), 8, 64).as("cols"))
+      .as[(Long, Long)].collect()
+    s2.foreach { case (f, c) => assert(f == c, s"$f != $c") }
+    assert(s2(1)._1 == 255L) // 8 bits, all set
+    // double-array columns evaluate via the double accessor, same results
+    val dbl = Seq((1L, Seq(0.5, -1.0, 2.25))).toDF("id", "embedding")
+    val s3 = dbl.select(
         Similarity.lshSignature(col("embedding"), 8, 64).as("fast"),
         Similarity.lshSignatureColumns(col("embedding"), 8, 64).as("cols"))
       .as[(Long, Long)].head()
-    assert(s2._1 == s2._2)
+    assert(s3._1 == s3._2)
   }
 
   test("annTopK plan scans the materialized index, not a recomputed signature") {
@@ -201,6 +212,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(maxSub <= hot._2 / 8, s"salting left a hot sub-group: $maxSub of ${hot._2}")
     // and the two-phase result equals the one-phase aggregation exactly
     val salted = Skew.saltedSumCount(ev, "event_type", "value", col("event_id"), 16)
+      .select(col("event_type"), round(col("sum_value").cast("double"), 2), col("n"))
       .orderBy("event_type").as[(String, Double, Long)].collect()
     val plain = ev.groupBy("event_type")
       .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("s"),
