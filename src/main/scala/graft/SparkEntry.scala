@@ -336,6 +336,21 @@ object SparkEntry {
       Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 8, rowsPerBand = 2, threshold = 0.2)
         .orderBy("id_a", "id_b")),
+    "neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+          Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 8, rowsPerBand = 2, threshold = 0.2))
+        .orderBy("id")),
+    "split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
+    "vocab_topn" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
     "dedup_bag" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy(TextAnalysis.bagFingerprint(col("text")).as("bag_fingerprint"))
@@ -385,6 +400,31 @@ object SparkEntry {
   )
 
   // ---------- oracle SQL (DuckDB) ----------
+
+  /** Shared CTE chain computing the LSH near-dup candidate pairs + jaccard
+    * (`j`), used by both `neardup_pairs` and `neardup_clusters`. Mirrors
+    * Dedup.nearDupPairs(k=8, rowsPerBand=2). */
+  private val nearDupCtes: String =
+    """w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM w),
+         sig AS (SELECT doc_id, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sh),
+         bands AS (SELECT doc_id, b AS band_idx, md5(sigs[2*b+1]||'|'||sigs[2*b+2]) AS band_hash
+                   FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+                  JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id < b.doc_id),
+         j AS (SELECT id_a, id_b,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)"""
 
   /** Cosine similarity in DuckDB, matching [[operators.Similarity.cosine]]'s
     * float→double elementwise products and left-fold sums exactly. */
@@ -645,27 +685,32 @@ object SparkEntry {
            list_min(list_transform(list_distinct(sh), s -> md5('3:'||s))) AS mh3
          FROM sh ORDER BY doc_id""",
     "neardup_pairs" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
-         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
-                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
-                 ELSE [array_to_string(ws,' ')] END) AS sh FROM w),
-         sig AS (SELECT doc_id, sh,
-                 [list_min(list_transform(sh, s -> md5('0:'||s))),
-                  list_min(list_transform(sh, s -> md5('1:'||s))),
-                  list_min(list_transform(sh, s -> md5('2:'||s))),
-                  list_min(list_transform(sh, s -> md5('3:'||s))),
-                  list_min(list_transform(sh, s -> md5('4:'||s))),
-                  list_min(list_transform(sh, s -> md5('5:'||s))),
-                  list_min(list_transform(sh, s -> md5('6:'||s))),
-                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sh),
-         bands AS (SELECT doc_id, b AS band_idx, md5(sigs[2*b+1]||'|'||sigs[2*b+2]) AS band_hash
-                   FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(b)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
-                  JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id < b.doc_id),
-         j AS (SELECT id_a, id_b,
-                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-               FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      s"""WITH $nearDupCtes
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "neardup_clusters" ->
+      // connected components over the near-dup pair graph: min reachable id
+      // per node via a recursive transitive closure (tiny clusters — the
+      // closure stays small), mirroring Dedup.nearDupClusters' label
+      // propagation fixpoint
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "split_assign" ->
+      """SELECT doc_id,
+         CASE WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) < 230 THEN 'train'
+              WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) < 243 THEN 'valid'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "vocab_topn" ->
+      """SELECT token, COUNT(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
     "dedup_bag" ->
       """SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(lower(text)),'\s+'))),'string_agg',' '))[:16] AS bag_fingerprint,
          MIN(doc_id) AS keep_id, COUNT(*) AS n_docs

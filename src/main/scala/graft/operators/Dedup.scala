@@ -147,6 +147,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup PAIRS → one cluster label per doc
+    * (the min reachable id), i.e. the dedup GROUPS a training pipeline
+    * keeps one representative from. Distributed min-label propagation:
+    * every node starts labeled with itself; each round joins labels across
+    * edges (both directions) and keeps the minimum; fixpoint when no label
+    * changes. Rounds needed = graph diameter (near-dup clusters are tiny,
+    * so a handful); each round is one hash join + aggregation,
+    * localCheckpoint'ed to cut lineage — the standard Pregel-without-Pregel
+    * shape that scales to billions of edges.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaEdges = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(viaEdges, labels("id") === viaEdges("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** 64-bit SimHash over tokens: per-token 64-bit hash (xxhash64 — Spark
     * native, codegen'd), bitwise vote, sign → bit. Near-dups have small
     * Hamming distance. (Engine-internal signature — no cross-engine oracle.)

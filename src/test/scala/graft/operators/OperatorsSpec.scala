@@ -108,6 +108,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hamming <= 16, s"hamming $hamming too large for a 1-token edit")
   }
 
+  test("nearDupClusters: labels are cluster minima and respect every edge") {
+    import spark.implicits._
+    // hand-built graph: {1-2, 2-3} one component, {10-11} another, chain
+    // {20-21, 21-22, 22-23} (diameter > 1 forces multiple propagation rounds)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("sign-band buckets stay bounded (no quadratic within-bucket blowup)") {
     import spark.implicits._
     // larger fixture for a meaningful population test
