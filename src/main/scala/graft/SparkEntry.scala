@@ -702,11 +702,14 @@ object SparkEntry {
            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
     "split_assign" ->
+      // byte computed once, thresholds in one place — mirrors the
+      // Sampling.splitByte / splitOf structure
       """SELECT doc_id,
-         CASE WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) < 230 THEN 'train'
-              WHEN CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) < 243 THEN 'valid'
-              ELSE 'test' END AS split
-         FROM documents ORDER BY doc_id""",
+         CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+               FROM documents)
+         ORDER BY doc_id""",
     "vocab_topn" ->
       """SELECT token, COUNT(*) AS n FROM (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)

@@ -157,16 +157,20 @@ object Dedup {
     * localCheckpoint'ed to cut lineage — the standard Pregel-without-Pregel
     * shape that scales to billions of edges.
     */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // materialize the pair list ONCE — both edge directions (and every
+    // propagation round) read the checkpoint, not the upstream pipeline
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    p.rdd.unpersist(blocking = false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id2"))
@@ -174,12 +178,21 @@ object Dedup {
       val next = labels
         .join(viaEdges, labels("id") === viaEdges("id2"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old snapshot dies
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).count()
+      // the superseded snapshot is dead — release its blocks now instead of
+      // waiting for the ContextCleaner (rounds × |nodes| leaked rows at scale)
+      labels.rdd.unpersist(blocking = false)
       labels = next
       rounds += 1
     }
+    edges.rdd.unpersist(blocking = false)
+    // silent non-convergence would return intermediate labels that split
+    // real clusters (and mismatch the recursive-closure oracle) — fail loud
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxRounds rounds ($changed labels still moving)")
     labels.withColumnRenamed("label", "cluster_id")
   }
 
