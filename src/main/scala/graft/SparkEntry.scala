@@ -345,6 +345,22 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    // the whole training-data flow as ONE declarative plan: quality gate →
+    // exact dedup (keep min id) → stable split assignment → per-split stats.
+    // Catalyst fuses the stages; nothing materializes in between.
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = operators.TextAnalysis.withQuality(docs, "text")
+        .where(col("quality_score") >= 0.5)
+      val deduped = quality
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      deduped
+        .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    }),
     "vocab_topn" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
@@ -710,6 +726,18 @@ object SparkEntry {
                  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
                FROM documents)
          ORDER BY doc_id""",
+    "pipeline_e2e" ->
+      """WITH quality AS (
+           SELECT doc_id, text FROM documents
+           WHERE round(least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
+                 (1.0 - least((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / greatest(length(text), 1), 1.0)), 6) >= 0.5),
+         deduped AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+         assigned AS (SELECT doc_id,
+           CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'valid' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+                 FROM deduped))
+         SELECT split, COUNT(*) AS n_docs FROM assigned GROUP BY split ORDER BY split""",
     "vocab_topn" ->
       """SELECT token, COUNT(*) AS n FROM (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)
