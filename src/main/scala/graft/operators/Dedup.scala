@@ -168,19 +168,22 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id2"))
         .agg(min(col("nl")).as("nmin"))
+      // the change flag rides along in the SAME join — no second
+      // labels-vs-next join per round
       val next = labels
         .join(viaEdges, labels("id") === viaEdges("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          coalesce(col("nmin") < col("label"), lit(false)).as("chg"))
         .localCheckpoint() // eager: materialized before the old snapshot dies
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
+      changed = next.where(col("chg")).take(1).nonEmpty
       // the superseded snapshot is dead — release its blocks now instead of
       // waiting for the ContextCleaner (rounds × |nodes| leaked rows at scale)
       labels.rdd.unpersist(blocking = false)
@@ -190,10 +193,10 @@ object Dedup {
     edges.rdd.unpersist(blocking = false)
     // silent non-convergence would return intermediate labels that split
     // real clusters (and mismatch the recursive-closure oracle) — fail loud
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxRounds rounds ($changed labels still moving)")
-    labels.withColumnRenamed("label", "cluster_id")
+        s"nearDupClusters did not converge in $maxRounds rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** 64-bit SimHash over tokens: per-token 64-bit hash (xxhash64 — Spark
