@@ -103,7 +103,10 @@ object SparkEntry {
           coalesce(get_json_object(col("props"), "$.k"), lit("?")).as("k")))
       )
       Bfl
-        .queryDocs(df, "doc", """event_type == "error" and redact("k")""")
+        .queryDocs(df, "doc", """event_type == "error" and redact("k")""",
+          // doc is built from these columns verbatim, so the compilable
+          // conjunct event_type == "error" prefilters AT THE SCAN
+          backed = Map("event_id" -> "event_id", "event_type" -> "event_type"))
         .select(col("event_id"), get_json_object(col("doc"), "$.k").as("redacted_k"))
         .orderBy("event_id")
     }),
@@ -292,7 +295,10 @@ object SparkEntry {
       // json() over a JSON-in-string body via the interpreter fallback tier
       val df = ev(s, dir).withColumn("doc",
         to_json(struct(col("event_id"), col("props").as("body"))))
-      Bfl.queryDocs(df, "doc", """body.json().k >= 95""")
+      // doc.body is props verbatim, so the json() comparison prefilters via
+      // its VARIANT model (and IsNotNull(props) reaches the Parquet scan)
+      Bfl.queryDocs(df, "doc", """body.json().k >= 95""",
+          backed = Map("event_id" -> "event_id", "body" -> "props"))
         .select(col("event_id"), col("user_id"))
         .orderBy("event_id")
     }),

@@ -84,6 +84,23 @@ object Ast {
     */
   final case class Query(expr: Option[Expr], limit: Option[Long])
 
+  /** Does the query use record-ALTERING helpers (redact), i.e. does matching
+    * it mutate the document (reference: server/lib/eval.go:406-470)?
+    */
+  def usesAlteringHelpers(q: Query): Boolean = {
+    def walk(e: Expr): Boolean = e match {
+      case HelperCall("redact", _, _) => true
+      case HelperCall(_, _, args)     => args.exists(walk)
+      case Logical(_, a, b)           => walk(a) || walk(b)
+      case Equality(_, a, b)          => walk(a) || walk(b)
+      case Comparison(_, a, b)        => walk(a) || walk(b)
+      case Unary(_, a)                => walk(a)
+      case SubExpr(a)                 => walk(a) // macro expansions are paren-wrapped
+      case _                          => false
+    }
+    q.expr.exists(walk)
+  }
+
   // ----- raw parse tree (mirrors the participle grammar) -----
   object Raw {
     final case class RExpression(logical: RLogical)

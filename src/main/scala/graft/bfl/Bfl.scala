@@ -71,17 +71,46 @@ object Bfl {
     * match, with record-altering helpers (redact) applied — the exact analog
     * of the reference's query path (truth, newJson)
     * (reference: server/lib/storages/native.go:476-490).
+    *
+    * `backed` maps top-level doc fields to df COLUMNS the caller guarantees
+    * hold the identical value (true by construction when the doc is
+    * `to_json(struct(...))` over those columns, possibly renamed). A sound
+    * necessary-condition prefilter ([[Compiler.necessaryPrefilter]]) is then
+    * pushed AHEAD of the row-at-a-time interpreter, so fully-compilable
+    * conjuncts (and receiver-not-null conditions derived from json()
+    * comparisons) reach the Parquet scan as PushedFilters instead of the
+    * interpreter touching every row group. Rows the prefilter drops are rows
+    * the interpreter provably cannot match; the evaluator still decides
+    * every surviving row, so results are bit-identical with or without
+    * backing.
+    *
+    * Matched docs pass through byte-identical for non-altering queries (the
+    * reference re-marshals every matched doc — `oj.JSON(newObj)`,
+    * server/lib/eval.go:810 — which only normalizes formatting; altering
+    * queries here return the re-serialized transformed tree just like the
+    * reference).
     */
   def queryDocs(df: DataFrame, docCol: String, query: String,
-      macros: Map[String, String] = Map.empty): DataFrame = {
+      macros: Map[String, String] = Map.empty,
+      backed: Map[String, String] = Map.empty): DataFrame = {
     val expanded = Macros.expand(macros, query)
     val q = Parser.parse(expanded).fold(e => throw new IllegalArgumentException(e), identity)
-    // fused expression: one parse+eval per row returns the transformed doc
-    // or NULL (no match) — filter on non-null
-    val evaluated = df
-      .withColumn(docCol, BflExpressions.bflEval(col(docCol), expanded))
-      .where(col(docCol).isNotNull)
-    q.limit.fold(evaluated)(n => evaluated.limit(n.toInt))
+    val backedTyped = backed.flatMap { case (docField, colName) =>
+      df.schema.fields.find(_.name == colName).map(f => docField -> (colName, f.dataType))
+    }
+    val pre = Compiler.necessaryPrefilter(q, backedTyped)
+    // a Filter-only match expression (no doc-column rewrite) keeps the
+    // interpreter to ONE eval per row: the previous fused
+    // `withColumn(doc, bfl_eval).where(isNotNull)` shape let Catalyst push
+    // the filter below the Project by re-inlining the expression — two full
+    // parse+eval passes per surviving row
+    val matched = pre.fold(df)(df.where)
+      .where(coalesce(BflExpressions.bflMatch(col(docCol), expanded), lit(false)))
+    val out =
+      if (Ast.usesAlteringHelpers(q))
+        matched.withColumn(docCol, BflExpressions.bflTransform(col(docCol), expanded))
+      else matched
+    q.limit.fold(out)(n => out.limit(n.toInt))
   }
 
   /** `/validate` — parse-only check (reference: native.go:605-622). */

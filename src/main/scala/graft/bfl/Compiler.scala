@@ -97,7 +97,165 @@ object Compiler {
         BflPlan(!cv.collapse && truthy(cv), q.limit)
     }
 
-  private final case class Ctx(schema: StructType, docCol: Option[String])
+  // ---------- interpreter-tier necessary-condition prefilter ----------
+
+  /** Compile a SOUND necessary condition for an interpreter-tier query: a
+    * Column that is true on every row the exact interpreter could match, so
+    * `df.where(pre)` ahead of the row-at-a-time evaluator only discards rows
+    * that provably cannot match — restoring Parquet pushdown / row-group
+    * pruning for scans the interpreter alone would read in full.
+    *
+    * `backed` maps top-level DOC field names to (df column name, type) pairs
+    * the CALLER guarantees hold the same value as the doc field (true by
+    * construction for docs built with `to_json(struct(...))` over those
+    * columns). Soundness is local to that contract: paths through unbacked
+    * roots contribute no constraint, and shapes whose compiled semantics
+    * could diverge from the interpreter (xml(), descent, wildcards,
+    * timestamp-typed backings, possible-base64 receivers) escape to `true`
+    * rather than guess. Returns None when nothing non-trivial is derivable.
+    *
+    * Per-node derivation (match ⟹ condition, by the collapse algebra of
+    * reference server/lib/eval.go:744-776):
+    *   - fully-compilable subtree → its exact standalone predicate;
+    *   - `A and B` → nec(A) && nec(B) (a match implies BOTH standalone);
+    *   - `A or B`  → nec(A) || nec(B);
+    *   - `(A)`     → nec(A);
+    *   - comparisons/equalities over `path.json()....` → an exact VARIANT
+    *     model of the interpreter's json() helper (eval.go:358-404): missing
+    *     receiver / parse failure / missing inner path all yield the value
+    *     `false` — NOT collapse — so e.g. `body.json().k != 95` MATCHES rows
+    *     without a body (the naive `body IS NOT NULL` prefilter would be
+    *     unsound there; `body IS NOT NULL` is emitted only when
+    *     `op(false, literal)` is statically false);
+    *   - anything else → no constraint.
+    */
+  def necessaryPrefilter(q: Query, backed: Map[String, (String, DataType)]): Option[Column] =
+    if (backed.isEmpty) None
+    else q.expr.flatMap(e => nec(e, Ctx(StructType(Nil), None, Some(backed))))
+
+  /** Exact match predicate of a lone compiled subtree (the root rule:
+    * collapse ⇒ false, else truthiness — eval.go:786-790).
+    */
+  private def standalone(cv: CV): Column =
+    if (cv.mayCollapse) !cv.collapse && truthy(cv) else truthy(cv)
+
+  private def nec(e: Expr, ctx: Ctx): Option[Column] =
+    try Some(standalone(comp(e, ctx)))
+    catch {
+      case _: Unsupported =>
+        e match {
+          case Logical("and", l, r) =>
+            (nec(l, ctx), nec(r, ctx)) match {
+              case (Some(a), Some(b)) => Some(a && b)
+              case (a, b)             => a.orElse(b)
+            }
+          case Logical("or", l, r) =>
+            for { a <- nec(l, ctx); b <- nec(r, ctx) } yield a || b
+          case SubExpr(i)           => nec(i, ctx)
+          case Comparison(op, l, r) => necCmp(isEq = false, op, l, r, ctx)
+          case Equality(op, l, r)   => necCmp(isEq = true, op, l, r, ctx)
+          case _                    => None
+        }
+    }
+
+  /** One side of a json()-bearing comparison: the modeled value CV, an
+    * escape condition (true ⇒ this row must pass unexamined), and the
+    * receiver column for the optional pushable IsNotNull conjunct.
+    */
+  private final case class JsonSide(cv: CV, escape: Column, recv: Option[Column])
+
+  private def necCmp(isEq: Boolean, op: String, l: Expr, r: Expr, ctx: Ctx): Option[Column] =
+    try {
+      def side(e: Expr): Option[JsonSide] = e match {
+        case JsonGet(outer, "json", inner) => Some(jsonGetSide(outer, inner, ctx))
+        case _                             => None
+      }
+      val (sl, sr) = (side(l), side(r))
+      if (sl.isEmpty && sr.isEmpty) return None // not a json() comparison
+      val a = sl.map(_.cv).getOrElse(comp(l, ctx))
+      val b = sr.map(_.cv).getOrElse(comp(r, ctx))
+      val cmp =
+        if (isEq) { val c = equalityCol(a, b); if (op == "==") c else !c }
+        else comparisonCol(op, a, b)
+      val mayCollapse = a.mayCollapse || b.mayCollapse
+      val pred0 = if (mayCollapse) !(a.collapse || b.collapse) && cmp else cmp
+      val escape = (sl.toList ++ sr.toList).map(_.escape).reduce(_ || _)
+      val pred = escape || pred0
+      // pushable extra conjunct: when the OTHER side is a literal and the
+      // interpreter's own coercions (Coerce) say `op(false, lit)` is false,
+      // a NULL receiver can never match — IsNotNull(recv) is sound AND
+      // Parquet-pushable as a split conjunct
+      def falseSideMatches(jsonOnLeft: Boolean, other: Expr): Option[Boolean] =
+        litAny(other).map { lv =>
+          if (isEq) {
+            val eq =
+              if (jsonOnLeft) Coerce.eql(false, lv, p => compilePattern(p))
+              else Coerce.eql(lv, false, p => compilePattern(p))
+            if (op == "==") eq else !eq
+          } else if (jsonOnLeft) Coerce.cmp(op, false, lv)
+          else Coerce.cmp(op, lv, false)
+        }
+      val notNulls = List(
+        sl.flatMap(s => s.recv.filter(_ => falseSideMatches(jsonOnLeft = true, r).contains(false))),
+        sr.flatMap(s => s.recv.filter(_ => falseSideMatches(jsonOnLeft = false, l).contains(false)))
+      ).flatten.map(_.isNotNull)
+      Some(notNulls.foldLeft(pred)((acc, nn) => nn && acc))
+    } catch { case _: Unsupported => None }
+
+  /** Literal operand as the interpreter's runtime value, for static
+    * `op(false, lit)` evaluation with the REAL Coerce (no re-implementation).
+    */
+  private def litAny(e: Expr): Option[Any] = e match {
+    case NumLit(v)   => Some(v)
+    case StrLit(v)   => Some(v)
+    case BoolLit(v)  => Some(v)
+    case NilLit      => Some(null)
+    case TimeLit(ms) => Some(ms)
+    case RegexLit(p) => Some(RegexVal(compilePattern(p)))
+    case SubExpr(i)  => litAny(i)
+    case _           => None
+  }
+
+  private def compilePattern(p: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(Interp.re2ToJava(p))
+
+  /** VARIANT model of `outer.json().inner` (eval.go:358-404): receiver
+    * stringified, base64-sniffed (escape — decode output is unknowable
+    * statically), JSON-parsed (failure ⇒ value false), inner navigated
+    * (missing ⇒ value false). JSON-null inner values surface as VOID
+    * variants, which the TVar coercions already treat like the
+    * interpreter's null (toStr "null" / toNum 0 / falsy).
+    */
+  private def jsonGetSide(outer: List[Seg], inner: List[Seg], ctx: Ctx): JsonSide = {
+    val r = resolve(outer, ctx) // strict-roots: unbacked ⇒ Unsupported
+    if (r.t != TStr || r.emptyCollapses)
+      throw Unsupported("prefilter: json() receiver must be a backed string scalar")
+    val s = r.value
+    val parsed = try_parse_json(s)
+    val iv = try_variant_get(parsed, variantPath(inner, allowNegIndex = false), "variant")
+    val falseVar = try_parse_json(lit("false"))
+    val value =
+      when(s.isNull || parsed.isNull || iv.isNull, falseVar).otherwise(iv)
+    // Go tryBase64 runs BEFORE the plain parse (eval.go:362-365), so any
+    // receiver that COULD decode must escape: superset sniff of
+    // Interp.tryBase64 (strip \r\n; non-empty, length % 4 == 0, std alphabet)
+    val stripped = regexp_replace(s, "[\\r\\n]", "")
+    val b64maybe = length(stripped) > 0 && length(stripped) % 4 === 0 &&
+      stripped.rlike("^[A-Za-z0-9+/=]*$")
+    JsonSide(
+      CV(value, TVar, noCollapse, mayCollapse = false),
+      escape = s.isNotNull && b64maybe,
+      recv = Some(s)
+    )
+  }
+
+  /** `roots` switches resolution into PREFILTER mode: doc-root names resolve
+    * through the caller-supplied backing map (doc field → (df column, type))
+    * and an unbacked root throws [[Unsupported]] instead of collapsing — the
+    * prefilter must never invent a verdict for a path it cannot see.
+    */
+  private final case class Ctx(schema: StructType, docCol: Option[String],
+      roots: Option[Map[String, (String, DataType)]] = None)
 
   // ---------- recursive compilation ----------
 
@@ -451,18 +609,42 @@ object Compiler {
       case Key(k)   => k
       case other    => throw Unsupported(s"path cannot start with $other")
     }
-    ctx.schema.fields.find(_.name == head) match {
-      case Some(f) => walk(col(f.name), f.dataType, path.tail)
+    ctx.roots match {
+      case Some(backed) =>
+        backed.get(head) match {
+          case Some((cname, dt)) =>
+            val r = walk(col(cname), dt, path.tail, strict = true)
+            // a timestamp column serializes to ISO-8601 text under
+            // to_json while the compiled coercions read epoch millis —
+            // the backing contract can't hold, so never constrain on it
+            def hasTs(t: BT): Boolean = t match {
+              case TTimestamp => true
+              case TArr(e)    => hasTs(e)
+              case _          => false
+            }
+            if (hasTs(r.t))
+              throw Unsupported(s"prefilter: timestamp-typed backing for $head")
+            r
+          case None => throw Unsupported(s"prefilter: unbacked root $head")
+        }
       case None =>
-        ctx.docCol match {
-          // schema-free document: the whole path goes through the doc
-          case Some(dc) => variantWalk(col(dc), path)
-          case None     => missing // unknown root field: always collapses
+        ctx.schema.fields.find(_.name == head) match {
+          case Some(f) => walk(col(f.name), f.dataType, path.tail)
+          case None =>
+            ctx.docCol match {
+              // schema-free document: the whole path goes through the doc
+              case Some(dc) => variantWalk(col(dc), path)
+              case None     => missing // unknown root field: always collapses
+            }
         }
     }
   }
 
-  private def walk(c: Column, dt: DataType, rest: List[Seg]): Resolved =
+  /** `strict` = prefilter mode: a StringType document boundary is NOT crossed
+    * (in the interpreter's doc view the backed field is a JSON *string*
+    * scalar, so navigating into it collapses — `missing` models that exactly).
+    */
+  private def walk(c: Column, dt: DataType, rest: List[Seg], strict: Boolean = false): Resolved =
     rest match {
       case Nil =>
         dt match {
@@ -473,18 +655,18 @@ object Compiler {
         (dt, seg) match {
           case (st: StructType, Field(n)) =>
             st.fields.find(_.name == n) match {
-              case Some(f) => walk(c.getField(n), f.dataType, tail)
+              case Some(f) => walk(c.getField(n), f.dataType, tail, strict)
               case None    => missing
             }
           case (st: StructType, Key(k)) =>
             st.fields.find(_.name == k) match {
-              case Some(f) => walk(c.getField(k), f.dataType, tail)
+              case Some(f) => walk(c.getField(k), f.dataType, tail, strict)
               case None    => missing
             }
           // try_element_at: ANSI mode makes plain element_at THROW on a
           // missing map key / out-of-range index; BFL semantics collapse
-          case (MapType(_, vt, _), Field(n)) => walk(try_element_at(c, lit(n)), vt, tail)
-          case (MapType(_, vt, _), Key(k))   => walk(try_element_at(c, lit(k)), vt, tail)
+          case (MapType(_, vt, _), Field(n)) => walk(try_element_at(c, lit(n)), vt, tail, strict)
+          case (MapType(_, vt, _), Key(k))   => walk(try_element_at(c, lit(k)), vt, tail, strict)
           case (MapType(_, vt, _), Wildcard) if tail.isEmpty =>
             Resolved(map_values(c), TArr(btOf(vt)), emptyCollapses = true)
           case (_: MapType, Wildcard) =>
@@ -494,7 +676,7 @@ object Compiler {
           case (ArrayType(et, _), Index(i)) =>
             // ojg is 0-based (negative = from end); element_at is 1-based
             val idx = if (i >= 0) i + 1 else i
-            walk(try_element_at(c, lit(idx)), et, tail)
+            walk(try_element_at(c, lit(idx)), et, tail, strict)
           case (ArrayType(et, _), Wildcard) =>
             tail match {
               case Nil => Resolved(c, TArr(btOf(et)), emptyCollapses = true)
@@ -515,8 +697,10 @@ object Compiler {
               case _ => throw Unsupported("deep path after wildcard")
             }
           case (StringType, _) =>
-            // document boundary: remaining path extracts a VARIANT
-            variantWalk(c, seg :: tail)
+            if (strict) missing // prefilter: the doc field is a string SCALAR
+            else
+              // document boundary: remaining path extracts a VARIANT
+              variantWalk(c, seg :: tail)
           case (_, Descent(_)) => throw Unsupported("recursive descent")
           case _               => missing
         }
@@ -524,7 +708,11 @@ object Compiler {
 
   private val plainKey = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  private def variantWalk(c: Column, rest: List[Seg]): Resolved = {
+  /** JSONPath string for `try_variant_get`; throws [[Unsupported]] on shapes
+    * variant extraction can't mirror (wildcards, descent, and — when
+    * `allowNegIndex` is false — ojg's negative from-the-end indexes).
+    */
+  private def variantPath(rest: List[Seg], allowNegIndex: Boolean = true): String = {
     val sb = new StringBuilder("$")
     def key(k: String): Unit =
       if (plainKey.matches(k)) { sb ++= "."; sb ++= k }
@@ -534,7 +722,10 @@ object Compiler {
     rest.foreach {
       case Field(n) => key(n)
       case Key(k)   => key(k)
-      case Index(i) => sb ++= s"[$i]"
+      case Index(i) =>
+        if (i < 0 && !allowNegIndex)
+          throw Unsupported("negative index inside json() prefilter")
+        sb ++= s"[$i]"
       case Wildcard =>
         // get_json_object's `[*]` fans out over ARRAYS only, but BFL's
         // wildcard also fans out over object values (ojg semantics) — the
@@ -544,10 +735,13 @@ object Compiler {
       case Descent(_) =>
         throw Unsupported("recursive descent inside JSON document")
     }
+    sb.toString
+  }
+
+  private def variantWalk(c: Column, rest: List[Seg]): Resolved =
     // try_parse_json: malformed docs become NULL (collapse), matching the
     // reference's skip-on-parse-error; try_variant_get: missing path NULL
-    Resolved(try_variant_get(try_parse_json(c), sb.toString, "variant"), TVar)
-  }
+    Resolved(try_variant_get(try_parse_json(c), variantPath(rest), "variant"), TVar)
 
   // ---------- VARIANT dynamic coercions (exact §1.2 semantics) ----------
 

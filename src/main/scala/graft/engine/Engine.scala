@@ -347,19 +347,8 @@ final class Engine(val spark: SparkSession, val dir: String) {
         df.where(coalesce(BflExpressions.bflMatch(col("doc"), expanded), lit(false)))
     }
 
-  private def usesAlteringHelpers(q: Ast.Query): Boolean = {
-    def walk(e: Ast.Expr): Boolean = e match {
-      case Ast.HelperCall("redact", _, _) => true
-      case Ast.HelperCall(_, _, args)     => args.exists(walk)
-      case Ast.Logical(_, a, b)           => walk(a) || walk(b)
-      case Ast.Equality(_, a, b)          => walk(a) || walk(b)
-      case Ast.Comparison(_, a, b)        => walk(a) || walk(b)
-      case Ast.Unary(_, a)                => walk(a)
-      case Ast.SubExpr(a)                 => walk(a) // macro expansions are paren-wrapped
-      case _                              => false
-    }
-    q.expr.exists(walk)
-  }
+  private def usesAlteringHelpers(q: Ast.Query): Boolean =
+    Ast.usesAlteringHelpers(q)
 
   private def listBatches(): Seq[Path] =
     Files

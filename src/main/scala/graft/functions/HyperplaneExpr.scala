@@ -64,7 +64,11 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Boolean]])
         dot += (if (plane(d)) e else -e)
         d += 1
       }
-      if (dot >= 0) sig |= (1L << p)
+      // !(dot < 0), NOT (dot >= 0): a NaN dot (NaN coordinate in the data)
+      // must set the bit, because the pinned-equivalent Column form compares
+      // under Spark SQL ordering where NaN is the LARGEST double — the JVM's
+      // IEEE `NaN >= 0` is false and would silently break the equivalence
+      if (!(dot < 0)) sig |= (1L << p)
       p += 1
     }
     java.lang.Long.valueOf(sig)

@@ -157,6 +157,15 @@ object Dedup {
     * localCheckpoint'ed to cut lineage — the standard Pregel-without-Pregel
     * shape that scales to billions of edges.
     */
+  /** Eagerly drop a superseded localCheckpoint's blocks (the RDD inside its
+    * LogicalRDD leaf — see ColumnBridge.checkpointedRdd for why `df.rdd`
+    * wouldn't work).
+    */
+  private def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .checkpointedRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     // materialize the pair list ONCE — both edge directions (and every
     // propagation round) read the checkpoint, not the upstream pipeline
@@ -164,7 +173,7 @@ object Dedup {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    p.rdd.unpersist(blocking = false)
+    release(p)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -185,12 +194,14 @@ object Dedup {
         .localCheckpoint() // eager: materialized before the old snapshot dies
       changed = next.where(col("chg")).take(1).nonEmpty
       // the superseded snapshot is dead — release its blocks now instead of
-      // waiting for the ContextCleaner (rounds × |nodes| leaked rows at scale)
-      labels.rdd.unpersist(blocking = false)
+      // waiting for the ContextCleaner (rounds × |nodes| lingering rows at
+      // scale); must target the CHECKPOINTED RDD, `df.rdd` is a fresh
+      // wrapper and unpersisting it is a no-op
+      release(labels)
       labels = next
       rounds += 1
     }
-    edges.rdd.unpersist(blocking = false)
+    release(edges)
     // silent non-convergence would return intermediate labels that split
     // real clusters (and mismatch the recursive-closure oracle) — fail loud
     if (changed)

@@ -117,22 +117,32 @@ final class ProtocolServer(engine: Engine, port: Int) {
               if (s.length != 2) send(out, "Error: Provide only two expressions!")
               else { engine.addMacro(s(0).trim, s(1).trim); send(out, "OK") }
             case "LIMIT" =>
-              line.toLongOption match {
-                case Some(n) => engine.setLimit(n); send(out, "OK")
-                case None => send(out, s"Error: While converting the limit to integer: $line")
+              GoAtoi.parse(line) match {
+                case Right(n) => engine.setLimit(n); send(out, "OK")
+                case Left(e) =>
+                  // reference: native.go:852-864 interpolates Go's err.Error()
+                  send(out, s"Error: While converting the limit to integer: $e")
               }
             case "SINGLE" =>
               args += line
               if (args.length == 2) {
-                args(0).toLongOption match {
-                  case None =>
-                    // reference: native.go:528-530
-                    send(out, s"Error: While converting the index to integer: ${args(0)}")
-                  case Some(idx) =>
-                    engine.single(idx, args(1)) match {
-                      case Some(doc) => send(out, doc)
-                      case None      => send(out, "Record does not exist!")
-                    }
+                GoAtoi.parse(args(0)) match {
+                  case Left(e) =>
+                    // reference: native.go:528-530 interpolates Go's err.Error()
+                    send(out, s"Error: While converting the index to integer: $e")
+                  case Right(idx) =>
+                    // the reference checks the REMOVED-adjUSTED index: < 0 ⇒
+                    // evicted ⇒ "does not exist"; > highWater ⇒ out of range
+                    // (native.go:536-551 — its `l` bound is offsets+removed)
+                    val adjusted = idx - (engine.highWater - engine.totalRecords)
+                    if (adjusted < 0) send(out, "Record does not exist!")
+                    else if (adjusted > engine.highWater)
+                      send(out, s"Index out of range: $adjusted")
+                    else
+                      engine.single(idx, args(1)) match {
+                        case Some(doc) => send(out, doc)
+                        case None      => send(out, "Record does not exist!")
+                      }
                 }
               }
             case "FETCH" =>
@@ -160,23 +170,35 @@ final class ProtocolServer(engine: Engine, port: Int) {
     */
   private def handleFetch(out: OutputStream, leftOffS: String, dirS: String,
       query: String, limitS: String): Unit = {
-    val leftOff = leftOffS.toLongOption match {
-      case Some(v) => v
-      case None =>
-        // reference: native.go:630-632
-        send(out, s"Error: Cannot parse leftOff value to int: $leftOffS"); return
+    // special leftOff values route through the same dispatch as /query:
+    // "" → 0, "latest" → last index floored at 0 (reference:
+    // handleSpecialLeftOff, native.go:1158-1176)
+    val leftOff = leftOffS match {
+      case "" | null => 0L
+      case "latest"  => math.max(engine.highWater - 1, 0L)
+      case s =>
+        GoAtoi.parse(s) match {
+          case Right(v) => v
+          case Left(e) =>
+            // reference: native.go:630-632
+            send(out, s"Error: Cannot parse leftOff value to int: $e"); return
+        }
     }
-    val dir = dirS.toIntOption match {
-      case Some(v) => v
-      case None =>
+    val dir = GoAtoi.parse(dirS) match {
+      case Right(v) => v.toInt
+      case Left(e) =>
         // reference: native.go:635-639
-        send(out, s"Error: While converting the direction to integer: $dirS"); return
+        send(out, s"Error: While converting the direction to integer: $e"); return
     }
-    val limit = limitS.toIntOption match {
-      case Some(v) => v
-      case None =>
+    val limit = GoAtoi.parse(limitS) match {
+      case Right(v) => v.toInt
+      case Left(e) =>
         // reference: native.go:642-646
-        send(out, s"Error: While converting the limit to integer: $limitS"); return
+        send(out, s"Error: While converting the limit to integer: $e"); return
+    }
+    // the reference bounds leftOff by offsets+removed (native.go:649-656)
+    if (leftOff > engine.highWater) {
+      send(out, s"Index out of range: $leftOff"); return
     }
     val (scan, total, truncated) = engine.fetchScan(leftOff, dir, query, limit)
     var written = 0L
@@ -184,8 +206,10 @@ final class ProtocolServer(engine: Engine, port: Int) {
     val lastId = engine.highWater - 1
     val firstId = engine.highWater - engine.totalRecords
     var stop = false
+    var lastScanned = -1L
     while (!stop && scan.hasNext) {
       val (id, doc) = scan.next()
+      lastScanned = id
       scanned += 1
       // one past the scan point, per direction (native.go:732-741)
       val nextOff = if (dir < 0) id else id + 1
@@ -198,7 +222,15 @@ final class ProtocolServer(engine: Engine, port: Int) {
         if (written >= limit) stop = true
       }
     }
-    send(out, "%quit%")
+    // the reference's limit check sits at the TOP of the next iteration and
+    // `return`s WITHOUT SendClose (native.go:729-731) — so a page that ends
+    // by reaching the limit with offsets still unscanned sends no %quit%;
+    // only a page that runs to the log boundary closes the stream (the
+    // engine's scan is itself limit-bounded, so "offsets remained" is
+    // decided against the boundary ids, not scan.hasNext)
+    val offsetsRemained =
+      if (dir < 0) lastScanned > firstId else lastScanned < lastId
+    if (!(stop && offsetsRemained)) send(out, "%quit%")
   }
 
   /** `/query`: history + live tail. History is served in id order from the
@@ -281,5 +313,45 @@ final class ProtocolServer(engine: Engine, port: Int) {
     try while (!dead && !done && tailQ.isActive) Thread.sleep(100)
     catch { case _: Exception => () }
     finally tailQ.stop()
+  }
+}
+
+/** Go `strconv.Atoi` with Go's exact error STRINGS — the reference
+  * interpolates `err.Error()` into its numeric-argument replies
+  * (native.go:528-530, 630-646, 852-864), so wire parity needs
+  * `strconv.Atoi: parsing "abc": invalid syntax`, not the raw input.
+  */
+private[server] object GoAtoi {
+
+  /** `%q`-style quoting for the error message (Go strconv.Quote): printable
+    * ASCII plus the common escapes; other control bytes as \xHH.
+    */
+  private def quote(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'                     => b ++= "\\\""
+      case '\\'                    => b ++= "\\\\"
+      case '\n'                    => b ++= "\\n"
+      case '\r'                    => b ++= "\\r"
+      case '\t'                    => b ++= "\\t"
+      case c if c >= 0x20          => b += c // printable (Go keeps unicode)
+      case c                       => b ++= f"\\x${c.toInt}%02x"
+    }
+    (b += '"').toString
+  }
+
+  /** Right(value) or Left(Go error string). Atoi on a 64-bit platform is
+    * int64-ranged: optional sign + digits only (no trim, no hex).
+    */
+  def parse(s: String): Either[String, Long] = {
+    val body = if (s.nonEmpty && (s(0) == '+' || s(0) == '-')) s.substring(1) else s
+    if (body.isEmpty || !body.forall(c => c >= '0' && c <= '9'))
+      Left(s"strconv.Atoi: parsing ${quote(s)}: invalid syntax")
+    else
+      try Right(s.toLong)
+      catch {
+        case _: NumberFormatException =>
+          Left(s"strconv.Atoi: parsing ${quote(s)}: value out of range")
+      }
   }
 }

@@ -78,6 +78,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads more than the projection:\n$plan")
   }
 
+  test("interpreter-tier redact query prefilters its compilable conjunct AT THE SCAN") {
+    // event_type == "error" is fully compilable even though redact() forces
+    // the interpreter tier — the backed prefilter must reach PushedFilters
+    val plan = planOf(SparkEntry.queries("redact_transform")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,error\\).*"),
+      s"redact conjunct not pushed to the scan:\n$plan")
+    assert(plan.contains("bfl_match"), s"interpreter filter missing:\n$plan")
+  }
+
+  test("interpreter-tier json() query pushes IsNotNull on the backed receiver") {
+    val plan = planOf(SparkEntry.queries("bfl_json_helper")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(props\\).*"),
+      s"receiver not-null not pushed:\n$plan")
+    // the VARIANT prefilter itself runs ahead of the interpreter expression
+    assert(plan.contains("variant_get") || plan.contains("try_variant_get"),
+      s"variant prefilter missing from the plan:\n$plan")
+  }
+
+  test("interpreter-tier filters evaluate ONCE per row (no re-inlined eval in a Project)") {
+    // the old fused withColumn(doc, bfl_eval).where(isNotNull) shape let the
+    // filter push below the projection and re-inline the interpreter — two
+    // evals per surviving row; the match/transform split must keep exactly
+    // one bfl_match (filter) and, for altering queries, one bfl_transform
+    // the MATCH expression must live in Filter nodes only — a bfl_match (or
+    // the old bfl_eval) inside a Project means the interpreter re-runs to
+    // produce output columns (the scan node echoes filter expressions in its
+    // DataFilters metadata, so count per-line, not globally)
+    def projectLines(p: String): Seq[String] =
+      p.linesIterator.filter(_.contains("Project")).toSeq
+    val plan = planOf(SparkEntry.queries("redact_transform")(spark, sf))
+    assert(projectLines(plan).forall(l => !l.contains("bfl_match") && !l.contains("bfl_eval")),
+      s"interpreter MATCH re-inlined into a Project:\n$plan")
+    assert("bfl_transform".r.findAllIn(plan).size === 1, s"bfl_transform duplicated:\n$plan")
+    val planJson = planOf(SparkEntry.queries("bfl_json_helper")(spark, sf))
+    assert(projectLines(planJson).forall(l => !l.contains("bfl_match") && !l.contains("bfl_eval")),
+      s"interpreter MATCH re-inlined into a Project:\n$planJson")
+    assert(!planJson.contains("bfl_eval") && !planJson.contains("bfl_transform"),
+      s"non-altering query should not serialize docs:\n$planJson")
+  }
+
   test("brute-force cosine top-k plans as broadcast + TakeOrdered, no shuffle sort") {
     val plan = planOf(operators.Similarity.cosineTopK(
       Tables.embeddings(spark, sf), "vec_id", "embedding", 0L, 10))

@@ -1,0 +1,171 @@
+package graft.bfl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Soundness of the interpreter-tier necessary-condition prefilter
+  * ([[Compiler.necessaryPrefilter]] via [[Bfl.queryDocs]]'s `backed` option):
+  * with backing declared, queryDocs must return EXACTLY the rows it returns
+  * without backing (the prefilter may only discard rows the interpreter
+  * cannot match). The fixture rows deliberately cover the traps:
+  *
+  *   - json() receiver missing / JSON-null → the helper's value is `false`,
+  *     NOT collapse (reference: server/lib/eval.go:358-404 + 119-124), so
+  *     `body.json().k != 95` and `< 95` MATCH bodiless rows — a naive
+  *     `body IS NOT NULL` prefilter would silently drop them;
+  *   - receivers that are valid std-base64 (the reference sniffs base64
+  *     BEFORE the plain parse, eval.go:362-365) — including base64 that
+  *     decodes to matching JSON, and line-wrapped base64;
+  *   - malformed JSON, empty strings, "null"/"true" scalar docs;
+  *   - string/array/object/bool/float k values exercising the dynamic
+  *     coercions.
+  */
+class PrefilterSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("bfl-prefilter")
+    .getOrCreate()
+
+  import java.util.Base64
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  /** (etype, payload) fixture rows; payload backs the doc field `body`. */
+  private lazy val df = {
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.jdk.CollectionConverters._
+    val payloads: List[String] = List(
+      """{"k": 42}""",
+      """{"k": 96}""",
+      """{"k": "95"}""",
+      """{"k": "abc"}""",
+      """{"k": null}""",
+      """{}""",
+      """{"k": [1, 96]}""",
+      """{"k": {"x": 1}}""",
+      """{"a": {"b": 1}}""",
+      """{k:""", // malformed
+      "",
+      null,
+      "null",
+      "true",
+      "96",
+      "12345678", // valid base64 (decodes to garbage), also NOT valid JSON
+      b64("""{"k":96}"""), // base64 whose DECODE matches k >= 95
+      b64("""{"k":1}"""),
+      b64("""{"k":96}""").grouped(4).mkString("\r\n"), // line-wrapped base64
+      """{"k": 8.7e1}""",
+      """{"k": "NaN"}""",
+      """{"k": "Inf"}""",
+      """{"k": 1e308}""",
+      """{"k": true}""",
+      """{"k": false}"""
+    )
+    val etypes = List("error", "click", "view", "", null)
+    val rows = for {
+      (p, i) <- payloads.zipWithIndex
+      (e, j) <- etypes.zipWithIndex
+    } yield org.apache.spark.sql.Row(i.toLong * 100 + j, e, p)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("etype", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType, nullable = true)
+    ))
+    spark
+      .createDataFrame(rows.asJava, schema)
+      .withColumn("doc",
+        to_json(struct(col("id"), col("etype"), col("payload").as("body"))))
+  }
+
+  private val backing = Map("id" -> "id", "etype" -> "etype", "body" -> "payload")
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  /** Ground truth straight from the interpreter over the doc strings. */
+  private def interpIds(query: String): Set[Long] = {
+    val interp = Interp.compile(query).fold(e => fail(s"compile: $e"), identity)
+    df.select("id", "doc").collect().flatMap { r =>
+      JsonTree.tryParse(r.getString(1)).collect {
+        case root if interp.eval(root) => r.getLong(0)
+      }
+    }.toSet
+  }
+
+  private val queries = List(
+    """etype == "error"""",
+    """body.json().k >= 95""",
+    """body.json().k > 5""",
+    """body.json().k < 95""", // matches receiver-missing rows (0 < 95)
+    """body.json().k <= 0""",
+    """body.json().k != 95""", // matches receiver-missing rows
+    """body.json().k == 42""",
+    """body.json().k == "abc"""",
+    """body.json().k == nil""",
+    """body.json().k == true""",
+    """95 <= body.json().k""", // json() on the RIGHT
+    """body.json().a.b == 1""", // nested inner path
+    """body.json() == "96"""", // empty inner path → whole parsed doc
+    """etype == "click" and body.json().k > 10""",
+    """etype == "nope" or body.json().k > 10""",
+    """!(etype == "click") and body.json().k != 7""",
+    """(body.json().k >= 95) or etype == """"",
+    """unbackedfield == 1 and body.json().k >= 95""",
+    """body.json().k == r"9[0-9]"""",
+    // descent into a backed STRING field collapses in both tiers (the doc
+    // field is a string scalar) — the prefilter is allowed to know that
+    """body..k == 1""",
+    """outer..k == 1""" // unbacked root: no constraint derivable
+  )
+
+  for (q <- queries)
+    test(s"backed prefilter preserves results: $q") {
+      val plain = ids(Bfl.queryDocs(df, "doc", q))
+      val pre = ids(Bfl.queryDocs(df, "doc", q, backed = backing))
+      assert(pre === plain, s"prefilter changed the result set for: $q")
+      assert(plain === interpIds(q), s"queryDocs deviates from interpreter for: $q")
+    }
+
+  test("prefilter is non-trivial where expected, absent where not derivable") {
+    def pre(q: String): Option[_] = {
+      val parsed = Parser.parse(q).toOption.get
+      Compiler.necessaryPrefilter(
+        parsed,
+        backing.map { case (f, c) =>
+          f -> (c, df.schema.fields.find(_.name == c).get.dataType)
+        })
+    }
+    assert(pre("""etype == "error" and redact("k")""").isDefined)
+    assert(pre("""body.json().k >= 95""").isDefined)
+    // descent through an UNBACKED root and xml() have no sound Column
+    // model — nothing derivable
+    assert(pre("""outer..k == 1""").isEmpty)
+    assert(pre("""body.xml().r.k == 1""").isEmpty)
+    // a lone json() against an unbacked root constrains nothing
+    assert(pre("""nope.json().k != 1""").isEmpty)
+  }
+
+  test("redact transform still applied under a backed prefilter") {
+    // redact the etype field — present on every matched row (the match
+    // requires etype == "error"; a missing redact path is a no-op)
+    val out = Bfl
+      .queryDocs(df, "doc", """etype == "error" and redact("etype")""",
+        backed = backing)
+      .select("doc")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getString(0).contains("[REDACTED]")))
+  }
+
+  test("base64 bodies that decode to matching JSON survive the prefilter") {
+    // ground truth must include the two base64({"k":96}) rows — guards the
+    // escape hatch (and this spec) against silently testing nothing
+    val matched = interpIds("""body.json().k >= 95""")
+    val b64Rows = ids(df.where(col("payload").isin(
+      b64("""{"k":96}"""), b64("""{"k":96}""").grouped(4).mkString("\r\n"))))
+    assert(b64Rows.nonEmpty && b64Rows.subsetOf(matched))
+    assert(ids(Bfl.queryDocs(df, "doc", """body.json().k >= 95""",
+      backed = backing)) === matched)
+  }
+}

@@ -16,6 +16,19 @@ class OperatorsSpec extends AnyFunSuite {
   }
   private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
 
+  test("checkpoint release targets the RDD that actually holds blocks") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.storage.StorageLevel
+    val df = spark.range(100).toDF("x").localCheckpoint()
+    val rdd = ColumnBridge.checkpointedRdd(df)
+    assert(rdd.isDefined, "LogicalRDD leaf not found in checkpointed plan")
+    assert(rdd.get.getStorageLevel != StorageLevel.NONE, "checkpoint not persisted")
+    // the plain df.rdd wrapper was the OLD (no-op) unpersist target
+    assert(df.rdd.getStorageLevel == StorageLevel.NONE)
+    rdd.get.unpersist(blocking = true)
+    assert(rdd.get.getStorageLevel == StorageLevel.NONE, "blocks not released")
+  }
+
   test("LSH near-dup pairs ⊇ high-jaccard brute-force pairs (recall at 0.9)") {
     import spark.implicits._
     val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.9)
@@ -171,6 +184,17 @@ class OperatorsSpec extends AnyFunSuite {
         Similarity.lshSignatureColumns(col("embedding"), 8, 64).as("cols"))
       .as[(Long, Long)].head()
     assert(s3._1 == s3._2)
+    // NaN coordinates: the Column form compares under Spark SQL ordering
+    // (NaN is the LARGEST double, so every NaN dot sets its bit); the
+    // one-pass expression must agree, not follow IEEE `NaN >= 0` = false
+    val nan = Seq((1L, Seq(Double.NaN, 1.0)), (2L, Seq(-5.0, Double.NaN)))
+      .toDF("id", "embedding")
+    val s4 = nan.select(
+        Similarity.lshSignature(col("embedding"), 8, 64).as("fast"),
+        Similarity.lshSignatureColumns(col("embedding"), 8, 64).as("cols"))
+      .as[(Long, Long)].collect()
+    s4.foreach { case (f, c) => assert(f == c, s"NaN divergence: $f != $c") }
+    assert(s4.forall(_._1 == 255L)) // every dot is NaN → all 8 bits set
   }
 
   test("annTopK plan scans the materialized index, not a recomputed signature") {

@@ -113,8 +113,14 @@ class GoClientInteropSpec extends AnyFunSuite {
         w.println("-1")
         w.println("chevy")
         w.println("20")
-        val lines = Iterator.continually(r.readLine())
-          .takeWhile(l => l != null && l != "%quit%").toList
+        // every record matches, so the 20-limit is hit with offsets still
+        // unscanned: the reference `return`s without SendClose
+        // (native.go:729-731) — exactly 20 metadata + 20 record lines, then
+        // silence (NO %quit%)
+        val lines = Iterator.continually(r.readLine()).take(40).toList
+        assert(lines.forall(_ != null))
+        s.setSoTimeout(1500)
+        intercept[java.net.SocketTimeoutException](r.readLine())
         s.close()
         val metas = lines.filter(_.startsWith("/metadata ")).map(_.stripPrefix("/metadata "))
         val records = lines.filterNot(_.startsWith("/metadata"))

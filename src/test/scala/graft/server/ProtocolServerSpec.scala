@@ -94,7 +94,7 @@ class ProtocolServerSpec extends AnyFunSuite {
     }
   }
 
-  test("fetch streams records + metadata + %quit%") {
+  test("fetch streams records + metadata; limit-bounded page sends NO %quit%") {
     withServer { (engine, port) =>
       engine.insert((0 until 10).map(i => s"""{"n":$i}"""))
       val (s, r, w) = connect(port)
@@ -103,15 +103,73 @@ class ProtocolServerSpec extends AnyFunSuite {
       w.println("1")
       w.println("n >= 5")
       w.println("3")
-      val lines = Iterator.continually(r.readLine()).takeWhile(l => l != null && l != "%quit%").toList
-      s.close()
-      val records = lines.filterNot(_.startsWith("/metadata"))
-      val metas = lines.filter(_.startsWith("/metadata"))
-      assert(records.length == 3)
+      // scanned ids 0..7 → 8 metadata lines; matches 5,6,7 → 3 records
+      val (records, metas) = readUntilRecords(r, 3)
       assert(records.head.contains("\"n\":5"))
-      assert(metas.nonEmpty)
+      assert(metas.length == 8)
       // resume point is one past the last scanned record
       assert(metas.last.contains("\"leftOff\":\"000000000000000000000008\""))
+      // the reference's limit check `return`s before SendClose when offsets
+      // remain unscanned (native.go:729-731): no %quit% on this page
+      s.setSoTimeout(1500)
+      intercept[java.net.SocketTimeoutException](r.readLine())
+      s.close()
+    }
+  }
+
+  test("fetch that exhausts the log DOES close with %quit%") {
+    withServer { (engine, port) =>
+      engine.insert((0 until 10).map(i => s"""{"n":$i}"""))
+      val (s, r, w) = connect(port)
+      w.println("/fetch")
+      w.println("-1")
+      w.println("1")
+      w.println("n >= 5")
+      w.println("100") // limit beyond the log: scan runs to the boundary
+      val lines = Iterator.continually(r.readLine()).takeWhile(l => l != null && l != "%quit%").toList
+      s.close()
+      assert(lines.count(!_.startsWith("/metadata")) == 5)
+    }
+  }
+
+  test("fetch leftOff specials: \"\" starts at 0, \"latest\" at the last index") {
+    withServer { (engine, port) =>
+      engine.insert((0 until 10).map(i => s"""{"n":$i}"""))
+      // "" → 0 (reference handleSpecialLeftOff, native.go:1158-1176)
+      val (s, r, w) = connect(port)
+      w.println("/fetch")
+      w.println("")
+      w.println("1")
+      w.println("")
+      w.println("100")
+      val lines = Iterator.continually(r.readLine()).takeWhile(l => l != null && l != "%quit%").toList
+      s.close()
+      // forward from index 0 EXCLUSIVE of nothing: ids 0..9 scanned
+      assert(lines.count(!_.startsWith("/metadata")) == 10)
+      // "latest" → last index (9): a backward page serves the whole log
+      val (s2, r2, w2) = connect(port)
+      w2.println("/fetch")
+      w2.println("latest")
+      w2.println("-1")
+      w2.println("")
+      w2.println("3")
+      val (recs2, _) = readUntilRecords(r2, 3)
+      assert(recs2.head.contains("\"n\":8")) // backward is EXCLUSIVE of leftOff
+      s2.close()
+    }
+  }
+
+  test("fetch leftOff beyond the high-water mark replies Index out of range") {
+    withServer { (engine, port) =>
+      engine.insert((0 until 5).map(i => s"""{"n":$i}"""))
+      val (s, r, w) = connect(port)
+      w.println("/fetch")
+      w.println("400")
+      w.println("1")
+      w.println("")
+      w.println("5")
+      assert(r.readLine() == "Index out of range: 400")
+      s.close()
     }
   }
 
@@ -204,7 +262,9 @@ class ProtocolServerSpec extends AnyFunSuite {
       w.println("/single")
       w.println("abc")
       w.println("")
-      assert(r.readLine() == "Error: While converting the index to integer: abc")
+      // Go interpolates err.Error() (native.go:528-530): strconv parity
+      assert(r.readLine() ==
+        """Error: While converting the index to integer: strconv.Atoi: parsing "abc": invalid syntax""")
       s.close()
       val (s2, r2, w2) = connect(port)
       w2.println("/fetch")
@@ -212,7 +272,8 @@ class ProtocolServerSpec extends AnyFunSuite {
       w2.println("not-a-dir")
       w2.println("")
       w2.println("5")
-      assert(r2.readLine() == "Error: While converting the direction to integer: not-a-dir")
+      assert(r2.readLine() ==
+        """Error: While converting the direction to integer: strconv.Atoi: parsing "not-a-dir": invalid syntax""")
       s2.close()
       val (s3, r3, w3) = connect(port)
       w3.println("/fetch")
@@ -220,7 +281,8 @@ class ProtocolServerSpec extends AnyFunSuite {
       w3.println("1")
       w3.println("")
       w3.println("5")
-      assert(r3.readLine() == "Error: Cannot parse leftOff value to int: zz")
+      assert(r3.readLine() ==
+        """Error: Cannot parse leftOff value to int: strconv.Atoi: parsing "zz": invalid syntax""")
       s3.close()
     }
   }
