@@ -19,7 +19,7 @@ import graft.streaming.Streaming
   * {current,total,numberOfWritten,leftOff,truncatedTimestamp,noMoreData};
   * `/query` streams history then keeps following new inserts (live tail).
   */
-final class ProtocolServer(engine: Engine, port: Int) {
+final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
 
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
@@ -101,7 +101,15 @@ final class ProtocolServer(engine: Engine, port: Int) {
                 val more = in.readLine()
                 if (more != null) batch += more
               }
-              engine.insert(batch.toSeq)
+              // ingestShards > 1: executor-side parse/filter/write
+              // (Engine.insertDistributed) — same observable semantics,
+              // parallel pipeline; default stays the strict-parity
+              // driver-side single writer
+              if (ingestShards > 1) {
+                import engine.spark.implicits._
+                engine.insertDistributed(
+                  engine.spark.createDataset(batch.toSeq), ingestShards)
+              } else engine.insert(batch.toSeq)
             case "INSERTION_FILTER" =>
               engine.setInsertionFilter(line) match {
                 case Right(_) => send(out, "OK")

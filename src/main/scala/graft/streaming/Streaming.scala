@@ -101,21 +101,31 @@ object Streaming {
       .start()
 
   /** Streaming ingest: pipe a line-stream into the engine. Each micro-batch
-    * is drained through Engine.insert, which applies the insertion filter and
-    * assigns contiguous ids (reference: /insert wiring server.go:163-164).
+    * applies the insertion filter and assigns contiguous ids (reference:
+    * /insert wiring server.go:163-164).
+    *
+    * `ingestShards` = 1 (default) drains the batch through the driver-side
+    * single-writer `Engine.insert` — strict reference parity, but the
+    * driver's Jackson parse caps throughput. > 1 routes the batch through
+    * [[Engine.insertDistributed]]: executor-side parse/filter/id-inject and
+    * that many parallel Parquet part writers, same observable semantics.
     */
   def startIngest(
       lines: Dataset[String],
       engine: Engine,
-      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds"),
+      ingestShards: Int = 1
   ): StreamingQuery =
     lines.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[String], _: Long) =>
-        val docs = batch.collect().toSeq
-        if (docs.nonEmpty) engine.insert(docs)
-        ()
+        if (ingestShards > 1) { engine.insertDistributed(batch, ingestShards); () }
+        else {
+          val docs = batch.collect().toSeq
+          if (docs.nonEmpty) engine.insert(docs)
+          ()
+        }
       }
       .start()
 

@@ -13,6 +13,12 @@ import graft.engine.Engine
   */
 class ProtocolServerSpec extends AnyFunSuite {
 
+  /** overridden by [[ProtocolServerShardedSpec]]: the whole matrix must be
+    * observably identical when /insert routes through the executor-side
+    * distributed pipeline instead of the driver single writer
+    */
+  protected def ingestShards: Int = 1
+
   private lazy val spark = graft.Sessions
     .builder("local[4]", 4)
     .appName("protocol-spec")
@@ -22,7 +28,7 @@ class ProtocolServerSpec extends AnyFunSuite {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-proto").toString
     val engine = new Engine(spark, dir)
-    val srv = new ProtocolServer(engine, 0)
+    val srv = new ProtocolServer(engine, 0, ingestShards)
     val port = srv.start()
     try f(engine, port)
     finally srv.stop()
@@ -286,4 +292,13 @@ class ProtocolServerSpec extends AnyFunSuite {
       s3.close()
     }
   }
+}
+
+/** The full wire matrix again with /insert routed through the
+  * executor-side distributed pipeline (Engine.insertDistributed, 4 write
+  * shards): ids, fetch pages, filters and error replies must be
+  * byte-identical to the driver-writer run above.
+  */
+class ProtocolServerShardedSpec extends ProtocolServerSpec {
+  override protected def ingestShards: Int = 4
 }

@@ -80,4 +80,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(engine.totalRecords == 6)
     } finally q.stop()
   }
+
+  test("sharded streaming ingest: executor-side pipeline, same records and ids") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ingest-sharded").toString
+    val engine = new Engine(spark, dir)
+    engine.setInsertionFilter("""keep == true""")
+
+    implicit val sctx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Streaming.startIngest(source.toDS(), engine, ingestShards = 4)
+    try {
+      source.addData((0 until 200).map(i => s"""{"n":$i,"keep":${i % 2 == 0}}"""): _*)
+      q.processAllAvailable()
+      assert(engine.totalRecords == 100)
+      // contiguous global ids, injected 24-digit form, filter applied
+      val rows = engine.records().orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 100L))
+      assert(rows.forall(r => r.getString(2).contains(
+        "\"id\":\"" + Engine.indexToId(r.getLong(0)) + "\"")))
+      assert(rows.forall(_.getString(2).contains("\"keep\":true")))
+      source.addData("""{"n":900,"keep":true}""")
+      q.processAllAvailable()
+      assert(engine.totalRecords == 101)
+    } finally q.stop()
+  }
 }
