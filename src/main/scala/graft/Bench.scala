@@ -37,10 +37,104 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds keep the whole 57-query line well under 2k chars:
+    // the round-1/2 full-precision lines overflowed the driver's 2000-char
+    // output tail and were never captured (BENCH_r01/r02 `parsed: null`)
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // delta vs the previous round's driver bench (BENCH_r{N}.json in the
+    // repo root): per-query ratio current/previous, so a regression is
+    // flagged automatically instead of eyeballed once a round. Box
+    // contention routinely inflates cheap scan-bound queries 2-3x — re-run
+    // on an idle box before believing a ratio.
+    val prev = latestPrevBench()
+    prev.foreach { case (file, p) =>
+      val deltas = results.flatMap { case (k, v) =>
+        p.get(k).collect { case pv if pv > 0 && v >= 0 =>
+          "\"" + k + "\":" + f"${v / pv}%.2f"
+        }
+      }.mkString("{", ",", "}")
+      // separate line: the headline metric line below must stay compact
+      println(s"""{"metric":"delta_vs_prev","base":"$file","ratios":$deltas}""")
+      val flagged = results
+        .flatMap { case (k, v) => p.get(k).collect { case pv if pv > 0 && v >= 0 => (k, v, pv, v / pv) } }
+        .filter { case (_, v, _, r) => r >= 1.5 && v >= 0.5 }
+        .sortBy(-_._4)
+      if (flagged.nonEmpty) {
+        System.err.println(s"[bench] regressions vs $file (ratio>=1.5x and >=0.5s):")
+        flagged.foreach { case (k, v, pv, r) =>
+          System.err.println(f"[bench]   $k%-24s $pv%6.2f -> $v%6.2f  (${r}%4.2fx)")
+        }
+      } else System.err.println(s"[bench] no per-query regressions vs $file")
+    }
+    val metricLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full-precision history for the NEXT round's delta base (the driver's
+    // BENCH_r{N}.json wrapper often only carries a bounded log tail)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      metricLine.getBytes("UTF-8"))
+    catch { case _: Exception => () }
+    // silence shutdown INFO chatter, then emit the headline line LAST so a
+    // bounded output tail always contains it
+    spark.sparkContext.setLogLevel("ERROR")
+    println(metricLine)
     spark.stop()
+  }
+
+  /** Per-query seconds of the newest previous bench. Prefers the driver's
+    * BENCH_r{N}.json (top-level or `parsed` queries object; falls back to
+    * regex-recovering `"name":seconds` pairs from its bounded log `tail`,
+    * keyed to known query names), else our own BENCH_LOCAL.json.
+    */
+  private def latestPrevBench(): Option[(String, Map[String, Double])] = {
+    import graft.bfl.JsonTree
+    val known = SparkEntry.queries.keySet
+    def queriesOf(o: Any): Map[String, Double] = o match {
+      case m: JsonTree.Obj =>
+        m.get("queries") match {
+          case Some(q: JsonTree.Obj) =>
+            q.iterator.collect { case (k, v: java.lang.Number) => k -> v.doubleValue() }.toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+    def fromFile(f: java.io.File): Map[String, Double] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      JsonTree.tryParse(txt) match {
+        case Some(o: JsonTree.Obj) =>
+          val direct = queriesOf(o)
+          if (direct.nonEmpty) direct
+          else {
+            val viaParsed = o.get("parsed").map(queriesOf).getOrElse(Map.empty)
+            if (viaParsed.nonEmpty) viaParsed
+            else // bounded tail: recover what survived truncation
+              o.get("tail") match {
+                case Some(t: String) =>
+                  "\"([A-Za-z0-9_]+)\":(-?\\d+\\.\\d+)".r
+                    .findAllMatchIn(t)
+                    .collect { case m if known(m.group(1)) => m.group(1) -> m.group(2).toDouble }
+                    .toMap
+                case _ => Map.empty
+              }
+          }
+        case _ => Map.empty
+      }
+    }
+    val dir = new java.io.File("/root/repo")
+    val re = "BENCH_r(\\d+)\\.json".r
+    val driverFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap { f => f.getName match { case re(n) => Some((n.toInt, f)); case _ => None } }
+      .sortBy(-_._1)
+    val fromDriver = driverFiles.iterator
+      .map { case (_, f) => f.getName -> fromFile(f) }
+      .find(_._2.nonEmpty)
+    fromDriver.orElse {
+      val local = new java.io.File("/root/repo/BENCH_LOCAL.json")
+      if (local.exists()) Some(local.getName -> fromFile(local)).filter(_._2.nonEmpty)
+      else None
+    }
   }
 }

@@ -47,16 +47,33 @@ object Dedup {
         .as(s"mh$seed")
     }
 
-  /** (id, mh0..mhk-1) signature table: k independent single-seed expressions
-    * in ONE projection, each evaluated exactly once per row — no persisted
-    * intermediate to leak, no CollapseProject re-inlining (k element_at
-    * references to one array expression would re-evaluate it k times; there
-    * is no CSE for fallback expressions). Total md5 work is identical to the
-    * one-pass array form.
+  /** (id, mh0..mhk-1) signature table from ONE one-pass signature evaluation
+    * per row. The k column references live above a Generate barrier
+    * (`explode(array(sig))`): a generator consumes its input exactly once,
+    * so CollapseProject cannot re-inline the expression into each
+    * element_at the way it would across plain Projects (no CSE exists for
+    * fallback expressions — the per-seed form this replaces re-ran the
+    * SHINGLE pipeline k times per row, the round-2 minhash_sigs
+    * 0.19 s → 1.2 s regression).
     */
   def signatureTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol) +:
-      (0 until k).map(i => graft.functions.MinHashExpr.minhashOne(col(textCol), i).as(s"mh$i")): _*)
+    parallelize(df)
+      .select(col(idCol),
+        explode(array(graft.functions.MinHashExpr.minhashArray(col(textCol), k))).as("__sig"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+
+  /** Minimum-parallelism guard ahead of CPU-heavy per-row compute: a tiny
+    * input (one Parquet row group) otherwise runs the whole shingle+md5
+    * pipeline on ONE task no matter how many cores the session has. A real
+    * corpus arrives in many splits and passes through untouched — the guard
+    * only fires when the scan has fewer partitions than the session's
+    * parallelism, where the repartition shuffle is small by construction.
+    */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** LSH banding: docs sharing any band (md5 over r consecutive signature
     * values) are near-dup candidates. Returns (id, band_idx, band_hash) in
@@ -66,7 +83,7 @@ object Dedup {
     * bands (a generator consumes its input once, so nothing is recomputed).
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String, k: Int, rowsPerBand: Int): DataFrame =
-    df.select(
+    parallelize(df).select(
       col(idCol),
       posexplode(graft.functions.MinHashExpr.bandArray(col(textCol), k, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
