@@ -389,7 +389,8 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
     "ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10,
+        kmeansIters = 2)),
     "bfl_xml_helper" -> ((s, dir) => {
       // xml() helper through the interpreter tier over constructed XML bodies
       val df = ev(s, dir).withColumn("doc",
@@ -635,19 +636,24 @@ object SparkEntry {
          ORDER BY sim DESC, vec_id LIMIT 10"""
     },
     "ivf_topk" -> {
-      // mirror of Similarity.ivfTopK(nCentroids=8, nProbe=2): centroid set =
-      // vec_id < 8, nearest-centroid assignment with ties to smallest cid,
-      // probe the query's top-2 centroids, exact rank within probed clusters
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      // mirror of Similarity.ivfTopK(nCentroids=8, nProbe=2, kmeansIters=2):
+      // first-8 seed centroids refined by two iteration-unrolled Lloyd
+      // steps (GENERATED CTE chain — DECIMAL-exact means make the converged
+      // centroids bit-identical in both engines), then nearest-centroid
+      // assignment with ties to smallest cid, probe the query's top-2
+      // centroids, exact rank within probed clusters
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtes(
+        "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 2, dim = 64, cosSql)
+      s"""WITH $kmCtes,
          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          assign AS (SELECT vec_id, cid FROM (
              SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
-             FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
          probe AS (SELECT cid FROM (
              SELECT c.cid,
                row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
-             FROM cent c CROSS JOIN q) WHERE rn <= 2)
+             FROM $cent c CROSS JOIN q) WHERE rn <= 2)
          SELECT * FROM (
            SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q

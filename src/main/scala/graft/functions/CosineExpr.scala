@@ -18,6 +18,25 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(FloatType | DoubleType, _) => true
+      case _                                                               => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires array<float|double> operands, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  // per-side element accessor: each operand may independently be
+  // array<float> (raw embeddings) or array<double> (e.g. k-means centroid
+  // literals); lazy — child types are unresolved at construction
+  @transient private lazy val getL = CosineSimExpr.accessor(left.dataType)
+  @transient private lazy val getR = CosineSimExpr.accessor(right.dataType)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -27,23 +46,28 @@ case class CosineSimExpr(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y
+      dot += getL(a, i) * getR(b, i)
       i += 1
     }
     // norms over each FULL vector (zip_with truncates the dot to the shorter
     // length, matching the HOF form)
     i = 0
-    while (i < a.numElements()) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    while (i < a.numElements()) { val x = getL(a, i); na += x * x; i += 1 }
     i = 0
-    while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+    while (i < b.numElements()) { val y = getR(b, i); nb += y * y; i += 1 }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+object CosineSimExpr {
+  private def accessor(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case _                                                   => (a, i) => a.getFloat(i).toDouble
+  }
 }
 
 object CosineExpr {

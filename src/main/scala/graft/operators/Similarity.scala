@@ -187,25 +187,56 @@ object Similarity {
 
   // --- IVF (inverted-file) ANN --------------------------------------------
 
-  /** The deterministic IVF centroid set: the first `nCentroids` vectors of
-    * the corpus (id < nCentroids), collected once — tiny, and embedded into
-    * the assignment scan as array literals so clustering is ONE projection
-    * over the corpus with no join and no shuffle. (Real IVF runs k-means for
-    * the centroids; the assignment/probe machinery is identical and a
-    * seeded-sample centroid set keeps the construction SQL-replicable.)
+  /** The deterministic IVF SEED centroid set: the first `nCentroids` vectors
+    * of the corpus (id < nCentroids), collected once — tiny, and embedded
+    * into the assignment scan as array literals so clustering is ONE
+    * projection over the corpus with no join and no shuffle. Elements are
+    * widened to double: centroid arithmetic (and any Lloyd refinement) runs
+    * in double like every cosine here.
     */
   private def centroidSet(emb: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): Array[(Long, Seq[Float])] =
+      nCentroids: Int): Array[(Long, Seq[Double])] =
     emb.where(col(idCol) < nCentroids)
       .select(col(idCol), col(vecCol))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
+
+  /** Seeded distributed k-means (Lloyd) refinement of the first-N seed set:
+    * each iteration is (a) a scan-only assignment — centroids ride along as
+    * broadcast literals, nearest by cosine with ties to the smallest cid —
+    * and (b) an element-wise mean per (cluster, dim) via posexplode +
+    * partial-aggregated groupBy. Means accumulate through DECIMAL(18,6)
+    * (exact, order-independent) then divide in double, so the result is
+    * bit-reproducible across partitionings AND replicable by the generated
+    * DuckDB oracle ([[kmeansCentSqlCtes]]). An emptied cluster keeps its
+    * previous centroid. Only nCentroids×dim values ever reach the driver.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): Array[(Long, Seq[Double])] = {
+    var cents = centroidSet(emb, idCol, vecCol, nCentroids)
+    for (_ <- 0 until iters) {
+      val best = greatest(centroidSims(col(vecCol), cents): _*)
+      val upd = emb
+        .select((-best.getField("negcid")).cast("long").as("cluster"),
+          posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("v").cast("double").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
+    }
+    cents
+  }
 
   /** (sim, -cid) ranking structs vs every centroid — greatest/sort_array
     * over these picks max sim with ties to the SMALLEST centroid id, exactly
     * the SQL mirror's `ORDER BY sim DESC, cid`. */
-  private def centroidSims(vec: Column, cents: Array[(Long, Seq[Float])]) =
+  private def centroidSims(vec: Column, cents: Array[(Long, Seq[Double])]) =
     cents.map { case (cid, cv) =>
       struct(cosine(vec, typedlit(cv)).as("sim"), lit(-cid).as("negcid"))
     }
@@ -215,11 +246,17 @@ object Similarity {
     * `cluster`, so a probe reads only the probed partitions; assignment is a
     * scan-only projection (centroids ride along as broadcast literals).
     */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame =
-    ivfIndexFrom(emb, idCol, vecCol, centroidSet(emb, idCol, vecCol, nCentroids))
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
+      kmeansIters: Int = 0): DataFrame =
+    ivfIndexFrom(emb, idCol, vecCol, centroids(emb, idCol, vecCol, nCentroids, kmeansIters))
+
+  private def centroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, kmeansIters: Int): Array[(Long, Seq[Double])] =
+    if (kmeansIters <= 0) centroidSet(emb, idCol, vecCol, nCentroids)
+    else kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters)
 
   private def ivfIndexFrom(emb: DataFrame, idCol: String, vecCol: String,
-      cents: Array[(Long, Seq[Float])]): DataFrame = {
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
     require(cents.length >= 2, "need at least 2 centroids")
     val best = greatest(centroidSims(col(vecCol), cents): _*)
     emb
@@ -231,11 +268,14 @@ object Similarity {
   /** IVF top-k: rank the query's `nProbe` nearest centroids, then search
     * ONLY vectors assigned to those clusters — the brute-force scan becomes
     * a partition-pruned scan of nProbe/nCentroids of the corpus.
+    * `kmeansIters` > 0 refines the first-N seed centroids with that many
+    * Lloyd iterations (better-balanced clusters ⇒ better recall at the same
+    * probe budget).
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
-      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    // one centroid collect feeds both the index build and the probe ranking
-    val cents = centroidSet(emb, idCol, vecCol, nCentroids)
+      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+    // one centroid computation feeds both the index build and probe ranking
+    val cents = centroids(emb, idCol, vecCol, nCentroids, kmeansIters)
     val index = ivfIndexFrom(emb, idCol, vecCol, cents)
     // the query row carries its vector + probe list (top-nProbe centroids)
     val probes = transform(
@@ -279,4 +319,36 @@ object Similarity {
       val d = b * rowsPerBand + r
       s"(CASE WHEN $vecExpr[${d + 1}] >= 0 THEN ${1 << r} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** CTE chain `cent0 … cent<iters>` reproducing [[kmeansCentroids]] in
+    * DuckDB, iteration-unrolled: cent0 = first-N seed (double-cast), each
+    * step = nearest-centroid assignment (ties to smallest cid) then a
+    * DECIMAL(18,6)-exact element-wise mean (the same
+    * decimal-accumulate-then-double-divide both engines compute
+    * bit-identically), with an emptied cluster keeping its previous
+    * centroid via LEFT JOIN + COALESCE. `cos` renders a cosine over two SQL
+    * list expressions. Returns (cteChain, finalCteName).
+    */
+  def kmeansCentSqlCtes(table: String, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int, dim: Int,
+      cos: (String, String) => String): (String, String) = {
+    val sb = new StringBuilder
+    sb ++= s"cent0 AS (SELECT $idCol AS cid, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cvec " +
+      s"FROM $table WHERE $idCol < $nCentroids)"
+    for (t <- 1 to iters) {
+      val prev = s"cent${t - 1}"
+      sb ++= s""",
+         asg$t AS (SELECT $idCol, cid FROM (
+             SELECT e.$idCol, c.cid,
+               row_number() OVER (PARTITION BY e.$idCol ORDER BY ${cos(s"e.$vecCol", "c.cvec")} DESC, c.cid) AS rn
+             FROM $table e CROSS JOIN $prev c) WHERE rn = 1),
+         upd$t AS (SELECT a.cid, d.d AS dim,
+               CAST(SUM(CAST(CAST(e.$vecCol[d.d] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS val
+             FROM asg$t a JOIN $table e USING ($idCol) CROSS JOIN range(1, ${dim + 1}) d(d)
+             GROUP BY a.cid, d.d),
+         cent$t AS (SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+             FROM $prev p LEFT JOIN (SELECT cid, list(val ORDER BY dim) AS cvec FROM upd$t GROUP BY cid) u USING (cid))"""
+    }
+    (sb.toString, s"cent$iters")
+  }
 }

@@ -232,6 +232,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"IVF search not index-backed:\n$plan")
   }
 
+  test("k-means IVF centroids: deterministic, and recall beats the first-N seed") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // determinism: two independent runs converge to identical centroids
+    // (DECIMAL-exact means — this is what lets the oracle SQL mirror them)
+    val c1 = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, 2)
+    val c2 = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, 2)
+    assert(c1.toSeq == c2.toSeq)
+    // aggregate recall@10 over a 20-query panel vs brute force: Lloyd
+    // refinement beats the raw first-N seed at the same probe budget
+    // (measured 0.57 vs 0.54 here — per-query results vary, the panel
+    // aggregate is deterministic: same data, same exact arithmetic)
+    val qids = (0L until 500L by 25L).toSeq
+    val brute = qids.map { qid =>
+      qid -> Similarity.cosineTopK(e, "vec_id", "embedding", qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+    }.toMap
+    def recall(kmIters: Int): Double = {
+      val scores = qids.map { qid =>
+        val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", qid, 10, kmeansIters = kmIters)
+          .select("vec_id").as[Long].collect().toSet
+        ivf.intersect(brute(qid)).size.toDouble / brute(qid).size
+      }
+      scores.sum / scores.size
+    }
+    val seedRecall = recall(0)
+    val kmRecall = recall(2)
+    assert(kmRecall >= seedRecall,
+      s"k-means recall $kmRecall below first-N seed recall $seedRecall")
+  }
+
   test("salting splits hot keys and stays result-identical") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
