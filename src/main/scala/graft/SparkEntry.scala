@@ -388,6 +388,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+    "ann_multiprobe" -> ((s, dir) =>
+      Similarity.annMultiProbe(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10,
         kmeansIters = 2)),
@@ -633,6 +635,19 @@ object SparkEntry {
          SELECT * FROM (
            SELECT s.vec_id, round(${cosSql("s.embedding", "q.qv")}, 4) AS sim
            FROM sig s, q WHERE s.lsh_sig = q.qs)
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
+    "ann_multiprobe" -> {
+      // mirror of Similarity.annMultiProbe(bits=8, dim=64, seed=42): the
+      // query bucket plus its eight 1-bit-flip neighbors — membership is
+      // xor(sig, qsig) ∈ {0, 1, 2, 4, …, 128}
+      val sigSql = operators.Similarity.lshSignatureSql("embedding", 8, 64)
+      val probeSet = (0L +: (0 until 8).map(b => 1L << b)).mkString(", ")
+      s"""WITH sig AS (SELECT vec_id, embedding, $sigSql AS lsh_sig FROM embeddings),
+         q AS (SELECT embedding AS qv, lsh_sig AS qs FROM sig WHERE vec_id = 0)
+         SELECT * FROM (
+           SELECT s.vec_id, round(${cosSql("s.embedding", "q.qv")}, 4) AS sim
+           FROM sig s, q WHERE xor(s.lsh_sig, q.qs) IN ($probeSet))
          ORDER BY sim DESC, vec_id LIMIT 10"""
     },
     "ivf_topk" -> {

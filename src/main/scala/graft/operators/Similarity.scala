@@ -185,6 +185,38 @@ object Similarity {
       bits: Int = 8, dim: Int = 64): DataFrame =
     annTopKIndexed(signatureIndex(emb, idCol, vecCol, bits, dim), idCol, vecCol, queryId, k)
 
+  /** MULTI-PROBE ANN top-k: search the query's bucket plus its `bits`
+    * 1-bit-flip neighbor buckets — a signature bit flips exactly when the
+    * query sits near that hyperplane, so Hamming-1 buckets hold the likeliest
+    * missed neighbors (multi-probe LSH). Candidates stay bounded at
+    * ~(bits+1)/2^bits of the corpus (9/256 here); at scale this is 1+bits
+    * partition reads of the sig-partitioned index instead of one. The probe
+    * membership test is `xor(sig, query_sig) ∈ {0} ∪ {2^b}` — one broadcast
+    * nested-loop against a single-row query side, like the brute-force tier.
+    */
+  def annTopKMultiProbe(index: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bits: Int = 8): DataFrame = {
+    val q = index
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"), col("lsh_sig").as("query_sig"))
+    val hamming01 = {
+      val x = col("lsh_sig").bitwiseXOR(col("query_sig"))
+      x.isin(0L +: (0 until bits).map(b => 1L << b): _*)
+    }
+    index
+      .join(broadcast(q), hamming01)
+      .withColumn("sim", round(cosine(col(vecCol), col("query_vec")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .select(col(idCol), col("sim"))
+      .limit(k)
+  }
+
+  /** One-shot multi-probe ANN top-k over a fresh [[signatureIndex]]. */
+  def annMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame =
+    annTopKMultiProbe(signatureIndex(emb, idCol, vecCol, bits, dim), idCol, vecCol,
+      queryId, k, bits)
+
   // --- IVF (inverted-file) ANN --------------------------------------------
 
   /** The deterministic IVF SEED centroid set: the first `nCentroids` vectors

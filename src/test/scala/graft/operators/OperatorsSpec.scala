@@ -232,6 +232,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"IVF search not index-backed:\n$plan")
   }
 
+  test("multi-probe ANN: bounded candidates, recall@10 >= single-bucket per query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val idx = Similarity.signatureIndex(e, "vec_id", "embedding", 8, 64)
+    val qids = (0L until 500L by 25L).toSeq
+    var singleSum = 0.0
+    var multiSum = 0.0
+    qids.foreach { qid =>
+      val brute = Similarity.cosineTopK(e, "vec_id", "embedding", qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val single = Similarity.annTopKIndexed(idx, "vec_id", "embedding", qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val multi = Similarity.annTopKMultiProbe(idx, "vec_id", "embedding", qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val (rs, rm) = (single.intersect(brute).size / 10.0, multi.intersect(brute).size / 10.0)
+      // candidate-set monotonicity: the probe set is a superset of the
+      // single bucket, and top-k recall is monotone in the candidate set
+      assert(rm >= rs, s"qid $qid: multi-probe recall $rm < single $rs")
+      singleSum += rs; multiSum += rm
+    }
+    assert(multiSum > singleSum,
+      s"multi-probe panel recall ${multiSum / qids.size} did not improve on ${singleSum / qids.size}")
+    // bounded probe cost: 9 of 256 buckets ⇒ a few percent of the corpus
+    val qsig = idx.where(col("vec_id") === 0L).select("lsh_sig").as[Long].head()
+    val probeSet = (0 until 8).map(b => qsig ^ (1L << b)) :+ qsig
+    val cand = idx.where(col("lsh_sig").isin(probeSet: _*)).count()
+    assert(cand < e.count() / 8, s"multi-probe candidate set too large: $cand")
+  }
+
   test("k-means IVF centroids: deterministic, and recall beats the first-N seed") {
     import spark.implicits._
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
