@@ -421,6 +421,26 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("checksum"),
           col("width_stub"), col("height_stub"))
         .orderBy("doc_id")
+    }),
+    "multimodal_dims" -> ((s, dir) => {
+      // REAL header parsing: synthesize deterministic PNG (even doc_id) /
+      // JPEG (odd) headers carrying doc_id-derived dimensions, then recover
+      // width/height through the batched decode path's general parser
+      // (Multimodal.parseDims — IHDR layout / SOF marker scan). The oracle
+      // re-derives the same bytes and parses them back with hex arithmetic.
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val jpgHex = concat(
+        lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit("03011100021101031101"))
+      val df = Tables.documents(s, dir).select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex)).as("asset"))
+      operators.Multimodal.withDecodedMeta(df, "asset")
+        .select(col("doc_id"), col("asset_meta.format").as("format"),
+          col("asset_meta.width").as("width"), col("asset_meta.height").as("height"))
+        .orderBy("doc_id")
     })
   )
 
@@ -781,6 +801,29 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
          octet_length(encode(text)) % 640 AS width_stub,
          (octet_length(encode(text)) * 7) % 480 AS height_stub
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "multimodal_dims" ->
+      // build the SAME deterministic PNG/JPEG headers, then parse the
+      // dimensions BACK out of the bytes (hex-substring arithmetic at the
+      // fixed header offsets: PNG IHDR w/h at bytes 17-24; this JPEG
+      // layout's SOF0 h/w at bytes 26-29)
+      """WITH b AS (SELECT doc_id,
+           unhex(CASE WHEN doc_id % 2 = 0
+             THEN '89504E470D0A1A0A0000000D49484452'
+               || lpad(to_hex(CAST(doc_id % 640 + 1 AS INTEGER)), 8, '0')
+               || lpad(to_hex(CAST(doc_id % 480 + 1 AS INTEGER)), 8, '0')
+               || '0806000000'
+             ELSE 'FFD8FFE000104A46494600010100000100010000FFC0001108'
+               || lpad(to_hex(CAST(doc_id % 480 + 1 AS INTEGER)), 4, '0')
+               || lpad(to_hex(CAST(doc_id % 640 + 1 AS INTEGER)), 4, '0')
+               || '03011100021101031101'
+           END) AS asset FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(('0x' || substr(hex(asset), 33, 8)) AS INTEGER)
+                ELSE CAST(('0x' || substr(hex(asset), 55, 4)) AS INTEGER) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(('0x' || substr(hex(asset), 41, 8)) AS INTEGER)
+                ELSE CAST(('0x' || substr(hex(asset), 51, 4)) AS INTEGER) END AS height
+         FROM b ORDER BY doc_id"""
   )
 }

@@ -33,22 +33,69 @@ object Multimodal {
     StructField("checksum", StringType)
   ))
 
-  /** The stubbed decoder: in production this would be the image/audio codec
-    * call; here it derives deterministic fake dimensions from the bytes.
-    * Marked clearly as the swap-out point.
+  /** REAL header parsing for the two public container formats whose
+    * dimensions live in a fixed-layout header — no codec dependency:
+    *
+    *   - PNG: 8-byte signature, then the IHDR chunk is mandatory-first, so
+    *     width/height are the big-endian u32s at offsets 16/20
+    *     (PNG spec §5.2, §11.2.2);
+    *   - JPEG: standard marker scan from SOI — skip APPn/COM/DQT/… segments
+    *     by their u16 lengths (and standalone RSTn/TEM markers) until a
+    *     frame header SOFn (0xC0–0xCF except DHT 0xC4, JPG 0xC8, DAC 0xCC),
+    *     whose payload is precision u8, height u16, width u16 (JPEG
+    *     ISO/IEC 10918-1 B.2.2).
+    *
+    * None for truncated/other/garbage bytes — the caller falls back to the
+    * deterministic stub dimensions.
+    */
+  def parseDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Int = (u16(i) << 16) | u16(i + 2) // header dims < 2^31
+    val isPng = bytes.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+      u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+      u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
+    if (isPng) Some(("png", u32(16), u32(20)))
+    else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 1 < bytes.length) {
+        if (u8(i) != 0xFF) return None // marker desync: not a parseable JPEG
+        val m = u8(i + 1)
+        if (m == 0xFF) i += 1 // fill byte
+        else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+        else if (i + 3 < bytes.length) {
+          val len = u16(i + 2)
+          if (len < 2) return None
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+            return if (i + 9 <= bytes.length) Some(("jpeg", u16(i + 7), u16(i + 5)))
+            else None
+          i += 2 + len
+        } else return None
+      }
+      None
+    } else None
+  }
+
+  /** The decoder behind [[withDecodedMeta]]: REAL dimensions whenever the
+    * bytes carry a parseable PNG/JPEG header ([[parseDims]]); the pixel
+    * DECODE itself stays stubbed with deterministic byte-derived values
+    * (this container ships no codecs — swap-out point below).
     */
   def decodeStub(bytes: Array[Byte]): AssetMeta = {
-    // ??? <- real codec goes here (e.g. TwelveMonkeys/JCodec via JNI batch)
+    // ??? <- real pixel codec goes here (e.g. TwelveMonkeys/JCodec via JNI batch)
     val len = bytes.length.toLong
-    val fmt =
+    val parsed = parseDims(bytes)
+    val fmt = parsed.map(_._1).getOrElse {
       if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
       else "raw"
+    }
     AssetMeta(
       byteLen = len,
       format = fmt,
-      width = (len % 640).toInt,
-      height = ((len * 7) % 480).toInt,
+      width = parsed.map(_._2).getOrElse((len % 640).toInt),
+      height = parsed.map(_._3).getOrElse(((len * 7) % 480).toInt),
       checksum = java.security.MessageDigest
         .getInstance("MD5")
         .digest(bytes)

@@ -347,6 +347,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ref(""))
   }
 
+  test("image header parsing: PNG IHDR and JPEG general marker scan") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def png(w: Int, h: Int): Array[Byte] =
+      hx("89504E470D0A1A0A0000000D49484452" + f"$w%08X$h%08X" + "0806000000")
+    // JPEG whose SOF2 (progressive) sits after a VARIABLE-length APP1 and a
+    // COM segment — exercises the real marker scan, not a fixed offset
+    def jpeg(w: Int, h: Int, appJunk: Int): Array[Byte] =
+      hx("FFD8" +
+        "FFE1" + f"${appJunk + 2}%04X" + "AB" * appJunk + // APP1, junk payload
+        "FFFE0004CAFE" + // COM, 2-byte payload
+        "FFC2" + "0011" + "08" + f"$h%04X$w%04X" + "03011100021101031101")
+    assert(Multimodal.parseDims(png(640, 480)) == Some(("png", 640, 480)))
+    assert(Multimodal.parseDims(png(1, 1)) == Some(("png", 1, 1)))
+    assert(Multimodal.parseDims(jpeg(123, 77, 40)) == Some(("jpeg", 123, 77)))
+    assert(Multimodal.parseDims(jpeg(4096, 2160, 7)) == Some(("jpeg", 4096, 2160)))
+    // truncation, non-image bytes, and a PNG signature without IHDR fall back
+    assert(Multimodal.parseDims(png(9, 9).take(20)).isEmpty)
+    assert(Multimodal.parseDims(jpeg(9, 9, 5).take(6)).isEmpty)
+    assert(Multimodal.parseDims("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseDims(hx("89504E470D0A1A0A0000000D49484400" + "00" * 16)).isEmpty)
+    // decodeStub surfaces the REAL dims for parseable headers, stub otherwise
+    assert(Multimodal.decodeStub(jpeg(123, 77, 40)).width == 123)
+    assert(Multimodal.decodeStub("abc".getBytes).width == 3 % 640)
+  }
+
   test("multimodal decode stub: mapPartitions path matches column path") {
     import spark.implicits._
     val df = docs.limit(50).withColumn("blob", encode(col("text"), "UTF-8"))
