@@ -169,11 +169,18 @@ final class Engine(val spark: SparkSession, val dir: String) {
     * min/max stats prune batches a `leftOff` resume skips.
     */
   def records(): DataFrame = {
-    val batches = listBatches()
-    if (batches.isEmpty)
+    if (listBatches().isEmpty)
       spark.createDataFrame(java.util.List.of[Row](), recordSchema)
     else
-      spark.read.schema(recordSchema).parquet(batches.map(_.toString): _*)
+      // glob + ignoreMissingFiles: retention may delete an old batch under
+      // a reader between planning and execution — the reference's readers
+      // likewise skip removed partitions ("fRef == nil … pass this offset",
+      // native.go:745-755). The glob root always exists, and eviction never
+      // removes the LAST batch, so resolution cannot race to zero paths.
+      spark.read
+        .schema(recordSchema)
+        .option("ignoreMissingFiles", "true")
+        .parquet(s"$dir/records/batch_*")
   }
 
   /** `/query` — filtered scan from `leftOff` (exclusive index semantics match

@@ -234,6 +234,48 @@ class EngineSpec extends AnyFunSuite {
     assert(minId > 0)
   }
 
+  test("retention under concurrent ingest: truncatedTimestamp monotone, surface consistent") {
+    // the reference's periodicPartitioner RACES inserts on a timer
+    // (native.go:1046-1108); here eviction runs under the engine's writer
+    // lock — this spec pins the invariants that design guarantees while
+    // 4 writers hammer a 1-batch byte budget and a reader polls mid-flight
+    val e = freshEngine()
+    e.insert(Seq("""{"seed":true}"""))
+    e.setLimit(4096) // a couple of batches at most — eviction fires constantly
+    val writers = (0 until 4).map { t =>
+      new Thread(() => {
+        (0 until 12).foreach { i =>
+          e.insert((0 until 25).map(j =>
+            s"""{"t":$t,"i":$i,"j":$j,"pad":"${"x" * 40}","timestamp":${1000000L + t * 1000 + i}}"""))
+        }
+      })
+    }
+    val observed = scala.collection.mutable.ArrayBuffer[Long]()
+    @volatile var readerErr: Option[Throwable] = None
+    val reader = new Thread(() => {
+      try (0 until 60).foreach { _ =>
+        observed += e.truncatedTimestamp
+        // the read surface must stay servable mid-eviction
+        e.fetch(e.highWater - 1, -1, "", 3)
+        Thread.sleep(10)
+      } catch { case t: Throwable => readerErr = Some(t) }
+    })
+    (writers :+ reader).foreach(_.start())
+    (writers :+ reader).foreach(_.join(120000))
+    readerErr.foreach(t => fail(s"reader failed mid-eviction: $t"))
+    // truncatedTimestamp never moves backwards
+    observed.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, s"truncatedTimestamp regressed: $a -> $b")
+      case _         => ()
+    }
+    assert(e.truncatedTimestamp > 0, "retention never fired under the byte budget")
+    // accounting closes: live rows == highWater - removedCount, and the
+    // surviving ids are exactly the contiguous suffix of the id space
+    val ids = e.records().select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length.toLong == e.totalRecords)
+    assert(ids.toSeq == ((e.highWater - e.totalRecords) until e.highWater))
+  }
+
   test("insertDistributed matches the driver insert record-for-record") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
