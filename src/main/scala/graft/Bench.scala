@@ -39,8 +39,10 @@ object Bench {
     }
     // 3-decimal seconds keep the whole 57-query line well under 2k chars:
     // the round-1/2 full-precision lines overflowed the driver's 2000-char
-    // output tail and were never captured (BENCH_r01/r02 `parsed: null`)
-    def fmt(v: Double): String = f"$v%.3f"
+    // output tail and were never captured (BENCH_r01/r02 `parsed: null`).
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -53,7 +55,8 @@ object Bench {
     prev.foreach { case (file, p) =>
       val deltas = results.flatMap { case (k, v) =>
         p.get(k).collect { case pv if pv > 0 && v >= 0 =>
-          "\"" + k + "\":" + f"${v / pv}%.2f"
+          "\"" + k + "\":" +
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(v / pv))
         }
       }.mkString("{", ",", "}")
       // separate line: the headline metric line below must stay compact
@@ -74,7 +77,7 @@ object Bench {
     // full-precision history for the NEXT round's delta base (the driver's
     // BENCH_r{N}.json wrapper often only carries a bounded log tail)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(Bench.repoRoot, "BENCH_LOCAL.json"),
       metricLine.getBytes("UTF-8"))
     catch { case _: Exception => () }
     // silence shutdown INFO chatter, then emit the headline line LAST so a
@@ -123,7 +126,7 @@ object Bench {
         case _ => Map.empty
       }
     }
-    val dir = new java.io.File("/root/repo")
+    val dir = new java.io.File(repoRoot)
     val re = "BENCH_r(\\d+)\\.json".r
     val driverFiles = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap { f => f.getName match { case re(n) => Some((n.toInt, f)); case _ => None } }
@@ -132,9 +135,15 @@ object Bench {
       .map { case (_, f) => f.getName -> fromFile(f) }
       .find(_._2.nonEmpty)
     fromDriver.orElse {
-      val local = new java.io.File("/root/repo/BENCH_LOCAL.json")
+      val local = new java.io.File(repoRoot, "BENCH_LOCAL.json")
       if (local.exists()) Some(local.getName -> fromFile(local)).filter(_._2.nonEmpty)
       else None
     }
   }
+
+  /** Where BENCH_r{N}.json / BENCH_LOCAL.json live: the working directory
+    * (sbt runs mains from the repo root), overridable for other launchers.
+    */
+  private def repoRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", sys.props.getOrElse("user.dir", "."))
 }

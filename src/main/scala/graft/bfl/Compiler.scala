@@ -614,16 +614,19 @@ object Compiler {
         backed.get(head) match {
           case Some((cname, dt)) =>
             val r = walk(col(cname), dt, path.tail, strict = true)
-            // a timestamp column serializes to ISO-8601 text under
-            // to_json while the compiled coercions read epoch millis —
-            // the backing contract can't hold, so never constrain on it
-            def hasTs(t: BT): Boolean = t match {
-              case TTimestamp => true
-              case TArr(e)    => hasTs(e)
-              case _          => false
+            // reject backings the strict contract can't model: a timestamp
+            // serializes to ISO-8601 text under to_json while the compiled
+            // coercions read epoch millis; TVar here means the leaf is a
+            // struct/map/other complex column (strict mode never routes
+            // through variantWalk), over which the VARIANT coercion
+            // functions would not even analyze
+            def badLeaf(t: BT): Boolean = t match {
+              case TTimestamp | TVar => true
+              case TArr(e)           => badLeaf(e)
+              case _                 => false
             }
-            if (hasTs(r.t))
-              throw Unsupported(s"prefilter: timestamp-typed backing for $head")
+            if (badLeaf(r.t))
+              throw Unsupported(s"prefilter: unmodelable backing type for $head")
             r
           case None => throw Unsupported(s"prefilter: unbacked root $head")
         }

@@ -169,18 +169,20 @@ final class Engine(val spark: SparkSession, val dir: String) {
     * min/max stats prune batches a `leftOff` resume skips.
     */
   def records(): DataFrame = {
-    if (listBatches().isEmpty)
+    val batches = listBatches()
+    if (batches.isEmpty)
       spark.createDataFrame(java.util.List.of[Row](), recordSchema)
     else
-      // glob + ignoreMissingFiles: retention may delete an old batch under
-      // a reader between planning and execution — the reference's readers
-      // likewise skip removed partitions ("fRef == nil … pass this offset",
-      // native.go:745-755). The glob root always exists, and eviction never
-      // removes the LAST batch, so resolution cannot race to zero paths.
+      // ignoreMissingFiles: retention may delete an old batch under a
+      // reader between listing/planning and execution — the reference's
+      // readers likewise skip removed partitions ("fRef == nil … pass this
+      // offset", native.go:745-755). Explicit batch paths, NOT a glob: a
+      // data directory containing glob metacharacters ([ ] { } * ?) must
+      // not change what the scan matches.
       spark.read
         .schema(recordSchema)
         .option("ignoreMissingFiles", "true")
-        .parquet(s"$dir/records/batch_*")
+        .parquet(batches.map(_.toString): _*)
   }
 
   /** `/query` — filtered scan from `leftOff` (exclusive index semantics match

@@ -72,7 +72,10 @@ object Dedup {
     */
   private def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd, not .rdd: reads the planned partition count without building
+    // the extra deserializing RDD plan a Dataset.rdd conversion adds
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** LSH banding: docs sharing any band (md5 over r consecutive signature

@@ -139,9 +139,15 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
                     // reference: native.go:528-530 interpolates Go's err.Error()
                     send(out, s"Error: While converting the index to integer: $e")
                   case Right(idx) =>
-                    // the reference checks the REMOVED-adjUSTED index: < 0 ⇒
+                    // the reference checks the REMOVED-adjusted index: < 0 ⇒
                     // evicted ⇒ "does not exist"; > highWater ⇒ out of range
-                    // (native.go:536-551 — its `l` bound is offsets+removed)
+                    // (native.go:536-551 — its `l` bound is offsets+removed).
+                    // Comparing the ADJUSTED index against that bound (and
+                    // printing the adjusted value) is the reference's own
+                    // quirk, replicated deliberately — /fetch bounds the RAW
+                    // index, also like the reference (native.go:649-656).
+                    // Where Go would panic past the offsets slice, indexes in
+                    // the uncovered window reply "Record does not exist!".
                     val adjusted = idx - (engine.highWater - engine.totalRecords)
                     if (adjusted < 0) send(out, "Record does not exist!")
                     else if (adjusted > engine.highWater)
@@ -192,14 +198,17 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
             send(out, s"Error: Cannot parse leftOff value to int: $e"); return
         }
     }
+    // Go's Atoi is 64-bit: a raw .toInt would WRAP out-of-int32 values
+    // (direction -4294967295 → +1, flipping the scan direction) — only the
+    // sign of direction matters, and limit saturates
     val dir = GoAtoi.parse(dirS) match {
-      case Right(v) => v.toInt
+      case Right(v) => if (v < 0) -1 else 1
       case Left(e) =>
         // reference: native.go:635-639
         send(out, s"Error: While converting the direction to integer: $e"); return
     }
     val limit = GoAtoi.parse(limitS) match {
-      case Right(v) => v.toInt
+      case Right(v) => math.min(math.max(v, Int.MinValue.toLong), Int.MaxValue.toLong).toInt
       case Left(e) =>
         // reference: native.go:642-646
         send(out, s"Error: While converting the limit to integer: $e"); return
@@ -337,13 +346,15 @@ private[server] object GoAtoi {
   private def quote(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
-      case '"'                     => b ++= "\\\""
-      case '\\'                    => b ++= "\\\\"
-      case '\n'                    => b ++= "\\n"
-      case '\r'                    => b ++= "\\r"
-      case '\t'                    => b ++= "\\t"
-      case c if c >= 0x20          => b += c // printable (Go keeps unicode)
-      case c                       => b ++= f"\\x${c.toInt}%02x"
+      case '"'  => b ++= "\\\""
+      case '\\' => b ++= "\\\\"
+      case '\n' => b ++= "\\n"
+      case '\r' => b ++= "\\r"
+      case '\t' => b ++= "\\t"
+      // Go escapes every non-printable: C0 + DEL as \xhh, C1 as \u00hh
+      case c if Character.isISOControl(c) =>
+        if (c < 0x80) b ++= f"\\x${c.toInt}%02x" else b ++= f"\\u${c.toInt}%04x"
+      case c => b += c // printable (Go keeps unicode)
     }
     (b += '"').toString
   }

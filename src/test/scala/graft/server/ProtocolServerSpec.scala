@@ -165,6 +165,25 @@ class ProtocolServerSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch numeric args are 64-bit: direction keeps its sign past int32") {
+    withServer { (engine, port) =>
+      engine.insert((0 until 10).map(i => s"""{"n":$i}"""))
+      val (s, r, w) = connect(port)
+      w.println("/fetch")
+      w.println("5")
+      // Go's Atoi is 64-bit; a naive .toInt would wrap this to +1 and flip
+      // the scan FORWARD
+      w.println("-4294967295")
+      w.println("")
+      w.println("100")
+      val lines = Iterator.continually(r.readLine()).takeWhile(l => l != null && l != "%quit%").toList
+      s.close()
+      val records = lines.filterNot(_.startsWith("/metadata"))
+      assert(records.length == 5) // backward from 5 (exclusive): ids 4..0
+      assert(records.head.contains("\"n\":4"))
+    }
+  }
+
   test("fetch leftOff beyond the high-water mark replies Index out of range") {
     withServer { (engine, port) =>
       engine.insert((0 until 5).map(i => s"""{"n":$i}"""))
