@@ -425,6 +425,13 @@ object SparkEntry {
           col("width_stub"), col("height_stub"))
         .orderBy("doc_id")
     }),
+    "text_winnow" -> ((s, dir) =>
+      // winnowed rolling-hash fingerprints (MOSS): one (doc_id, fp) row per
+      // distinct window-min k-gram hash — substring-level dedup signal
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(operators.TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
     "multimodal_dims" -> ((s, dir) => {
       // REAL header parsing: synthesize deterministic PNG (even doc_id) /
       // JPEG (odd) headers carrying doc_id-derived dimensions, then recover
@@ -805,6 +812,24 @@ object SparkEntry {
          octet_length(encode(text)) % 640 AS width_stub,
          (octet_length(encode(text)) * 7) % 480 AS height_stub
          FROM documents ORDER BY doc_id""",
+    "text_winnow" ->
+      // exact mirror of TextAnalysis.winnowFingerprints(k=3, w=4): 15-hex
+      // md5 token hashes mod 1e9+7, k-step fold with % after every
+      // multiply, window-of-4 minima over 1-based inclusive list slices
+      """WITH t AS (SELECT doc_id,
+           list_transform(string_split_regex(trim(lower(text)), '\s+'),
+             tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007) AS th
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_transform(range(1, greatest(len(th) - 2, 1) + 1), i ->
+             (((COALESCE(th[i], 0) * 131 + COALESCE(th[i+1], 0)) % 1000000007)
+               * 131 + COALESCE(th[i+2], 0)) % 1000000007) AS kg
+           FROM t),
+         f AS (SELECT doc_id, list_sort(list_distinct(
+             list_transform(range(1, greatest(len(kg) - 3, 1) + 1),
+               j -> list_min(kg[j:j+3])))) AS fps
+           FROM g)
+         SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""",
     "multimodal_dims" ->
       // build the SAME deterministic PNG/JPEG headers, then parse the
       // dimensions BACK out of the bytes (hex-substring arithmetic at the

@@ -114,4 +114,42 @@ object TextAnalysis {
     */
   def bagFingerprint(text: Column): Column =
     substring(md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text)))))), 1, 16)
+
+  /** Winnowed ROLLING-HASH document fingerprints (Schleimer, Wilkerson,
+    * Aiken: "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme): a polynomial rolling hash over token k-grams, then the
+    * MINIMUM of each sliding window of `w` hashes, distinct-ed. Any shared
+    * run of ≥ w+k-1 tokens between two documents is guaranteed to share a
+    * fingerprint — substring-level (local) similarity, where MinHash only
+    * sees whole-document (global) overlap.
+    *
+    * Cross-engine exact: token base hashes are the first 15 md5 hex chars
+    * (< 2^60) mod 1e9+7, the k-step fold takes `% M` after every multiply
+    * (so every intermediate stays < 2^37), and window minima mirror DuckDB
+    * list slicing. Evaluated by the one-pass
+    * [[graft.functions.WinnowFingerprintsExpr]] — the Column-HOF reference
+    * form below re-inlines the k-gram array into every window lambda
+    * (O(n²) interpreted evaluation) and exists only as the pinned
+    * equivalence/oracle mirror.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.WinnowExpr.fingerprints(text, k, w)
+
+  /** HOF reference form of [[winnowFingerprints]] — equivalence-spec only. */
+  def winnowFingerprintsColumns(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val M = 1000000007L
+    val B = 131L
+    val th = transform(tokens(lower(text)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % M)
+    // k-gram rolling hashes; short docs (< k tokens) hash their zero-padded
+    // prefix (try_element_at + coalesce, mirrored by COALESCE in the oracle)
+    val kg = transform(
+      sequence(lit(1), greatest(size(th) - (k - 1), lit(1))),
+      i =>
+        (0 until k).foldLeft(lit(0L))((h, d) =>
+          (h * B + coalesce(try_element_at(th, i + lit(d)), lit(0L))) % M))
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(kg) - (w - 1), lit(1))),
+      j => array_min(slice(kg, j, lit(w))))))
+  }
 }

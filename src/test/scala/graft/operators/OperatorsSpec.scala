@@ -347,6 +347,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ref(""))
   }
 
+  test("winnowed fingerprints: shared token runs guarantee a shared fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // k=3, w=4: any shared run of >= w+k-1 = 6 tokens must share a window-min
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three delta epsilon zeta eta theta iota four five six"
+    val c = "totally different words with no overlap at all here now"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).nonEmpty && fps(1L).toSet.size == fps(1L).size) // distinct, sorted
+    assert(fps(1L) == fps(1L).sorted)
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "6-token shared run produced no shared fingerprint")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // identical docs fingerprint identically; tiny docs are still defined
+    val dup = Seq((1L, a), (2L, a), (3L, "x"), (4L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(dup(1L) == dup(2L))
+    assert(dup(3L).nonEmpty && dup(4L).nonEmpty)
+    // the one-pass expression equals the Column-HOF reference bit-for-bit
+    // over the real corpus (the HOF form is O(n²)-interpreted — reference
+    // only; trailing-space/tab/multi-space shapes included via fixtures)
+    val both = docs
+      .limit(50)
+      .select(
+        TextAnalysis.winnowFingerprints(col("text")).as("fast"),
+        TextAnalysis.winnowFingerprintsColumns(col("text")).as("cols"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (f, c) => assert(f == c) }
+    val edge = Seq("  spaced  out  ", "tab\tsep", "one", "").toDF("text")
+      .select(
+        TextAnalysis.winnowFingerprints(col("text")).as("fast"),
+        TextAnalysis.winnowFingerprintsColumns(col("text")).as("cols"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    edge.foreach { case (f, c) => assert(f == c) }
+  }
+
   test("image header parsing: PNG IHDR and JPEG general marker scan") {
     def hx(s: String): Array[Byte] =
       s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
