@@ -425,6 +425,20 @@ object SparkEntry {
           col("width_stub"), col("height_stub"))
         .orderBy("doc_id")
     }),
+    "asof_join" -> ((s, dir) => {
+      // as-of join: each purchase matched to the user's latest click
+      // at-or-before it — union+window plan (one keyed shuffle, no
+      // range-join explosion); DuckDB's native ASOF JOIN is the oracle
+      val ev = Tables.events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      operators.AsOfJoin.leftAsOf(p, c, "user_id", "ts", Seq("event_id", "value"), "event_id")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("right_event_id"), col("right_value"))
+        .orderBy("event_id")
+    }),
     "text_winnow" -> ((s, dir) =>
       // winnowed rolling-hash fingerprints (MOSS): one (doc_id, fp) row per
       // distinct window-min k-gram hash — substring-level dedup signal
@@ -812,6 +826,19 @@ object SparkEntry {
          octet_length(encode(text)) % 640 AS width_stub,
          (octet_length(encode(text)) * 7) % 480 AS height_stub
          FROM documents ORDER BY doc_id""",
+    "asof_join" ->
+      // DuckDB native ASOF: greatest right ts <= left ts per key; right
+      // rows deduped per (user, ts) keeping the max event_id, exactly the
+      // operator's tie-break
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c0 AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         c AS (SELECT event_id, user_id, ts, value FROM (
+             SELECT c0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             FROM c0) WHERE rn = 1)
+         SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+           c.event_id AS right_event_id, c.value AS right_value
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     "text_winnow" ->
       // exact mirror of TextAnalysis.winnowFingerprints(k=3, w=4): 15-hex
       // md5 token hashes mod 1e9+7, k-step fold with % after every

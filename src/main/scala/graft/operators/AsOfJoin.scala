@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** AS-OF join: for every left row, the single right row with the LARGEST
+  * right timestamp ≤ the left timestamp within the same key (the join
+  * time-series/feature stores need; DuckDB ships it as `ASOF JOIN`, which is
+  * exactly the generated oracle).
+  *
+  * Spark has no built-in as-of join, and the naive formulations explode:
+  * an inequality join (`l.key = r.key AND r.ts <= l.ts` + row_number) builds
+  * every (left × earlier-right) pair before pruning — O(n·m) per key — and a
+  * broadcast range join only works when one side is small. This is the
+  * UNION + WINDOW plan instead: tag both sides, hash-partition ONCE by key,
+  * sort each partition by (ts, tag) — right rows sort BEFORE left rows at
+  * equal ts, making the match inclusive — and carry the latest right row
+  * forward as ONE struct with `last(ignoreNulls = true)` (a single atomic
+  * carry: per-column lasts could stitch fields from DIFFERENT right rows
+  * when a payload value is legitimately NULL). Cost: one shuffle + one
+  * in-partition sort, linear in rows, independent of match distance. Skewed
+  * keys can ride the [[Skew]] salting the same way any keyed window does.
+  */
+object AsOfJoin {
+
+  /** Left as-of join. `rightPayload` columns come back as `right_<name>`,
+    * NULL when no right row exists at-or-before the left row. Right rows
+    * tied on (key, ts) are disambiguated by `rightTieBreak` (the LARGEST
+    * wins — deterministic, and mirrors the `ORDER BY … DESC` a SQL oracle
+    * can state).
+    */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val leftRest = leftCols.filterNot(c => c == keyCol || c == tsCol)
+    val rStruct = StructType(rightPayload.map(c => StructField(c, right.schema(c).dataType)))
+    // one right row per (key, ts): keep the max tie-break — removes the
+    // only nondeterminism an as-of match can have
+    val dedupW = Window.partitionBy(col(keyCol), col(tsCol))
+      .orderBy(col(rightTieBreak).desc)
+    val r1 = right
+      .withColumn("__rn", row_number().over(dedupW))
+      .where(col("__rn") === 1)
+    val taggedLeft = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__tag")) ++
+        leftRest.map(col) :+
+        lit(null).cast(rStruct).as("__r"): _*)
+    val taggedRight = r1.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__tag")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__r"): _*)
+    // right (tag 0) sorts before left (tag 1) at equal ts ⇒ ts-inclusive
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedLeft.unionByName(taggedRight)
+      .select(
+        Seq(col(keyCol), col(tsCol), col("__tag")) ++
+          leftRest.map(col) :+
+          last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
+      .where(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("__r").getField(c).as(s"right_$c")): _*)
+  }
+}

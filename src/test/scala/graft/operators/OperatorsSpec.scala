@@ -347,6 +347,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ref(""))
   }
 
+  test("as-of join matches brute force and plans without a range-join explosion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val c = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin.leftAsOf(p, c, "user_id", "ts", Seq("event_id"), "event_id")
+      .select(col("event_id"), col("right_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    // brute force: per purchase, max-ts click at-or-before (ties: max id)
+    val clicks = c.select("event_id", "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val purchases = p.select("event_id", "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    assert(purchases.nonEmpty && clicks.nonEmpty)
+    purchases.foreach { case (pid, u, pts) =>
+      val cand = clicks.filter(cc => cc._2 == u && cc._3 <= pts)
+      val expect =
+        if (cand.isEmpty) None
+        else Some(cand.maxBy(cc => (cc._3, cc._1))._1)
+      assert(out(pid) == expect, s"purchase $pid: got ${out(pid)}, want $expect")
+    }
+    // some purchases must have a match AND some must not, or the fixture
+    // proves nothing
+    assert(out.values.exists(_.isDefined) && out.values.exists(_.isEmpty))
+    // plan shape: union+window — no cartesian/broadcast-nested-loop, no
+    // O(n·m) inequality join
+    val plan = AsOfJoin.leftAsOf(p, c, "user_id", "ts", Seq("event_id"), "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of join planned a product join:\n$plan")
+    assert(plan.contains("Window"), s"expected window plan:\n$plan")
+  }
+
   test("winnowed fingerprints: shared token runs guarantee a shared fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
