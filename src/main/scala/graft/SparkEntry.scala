@@ -843,10 +843,13 @@ object SparkEntry {
       // exact mirror of TextAnalysis.winnowFingerprints(k=3, w=4): 15-hex
       // md5 token hashes mod 1e9+7, k-step fold with % after every
       // multiply, window-of-4 minima over 1-based inclusive list slices
+      // WHERE text IS NOT NULL: the Spark side's explode of a null
+      // fingerprint array drops the document, while DuckDB's greatest()
+      // skips NULLs and would fabricate a (doc_id, 0) row
       """WITH t AS (SELECT doc_id,
            list_transform(string_split_regex(trim(lower(text)), '\s+'),
              tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007) AS th
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          g AS (SELECT doc_id,
            list_transform(range(1, greatest(len(th) - 2, 1) + 1), i ->
              (((COALESCE(th[i], 0) * 131 + COALESCE(th[i+1], 0)) % 1000000007)

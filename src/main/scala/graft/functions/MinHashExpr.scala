@@ -46,18 +46,25 @@ private[functions] object MinHashCore {
     hex(digest.digest())
   }
 
-  /** Word n-gram shingles, replicating SPARK semantics exactly (the Column
-    * pipeline + DuckDB oracle both use them): trim() strips SPACES only
-    * (Java String.trim would also strip tabs/newlines), split keeps trailing
-    * empty tokens (limit -1); short texts yield the whole token string
-    * (matches Dedup.shingles / the oracle CASE).
+  /** Spark-exact tokenization shared by every text-hash expression:
+    * trim() strips SPACES only (Java String.trim would also strip
+    * tabs/newlines), split keeps trailing empty tokens (limit -1) —
+    * matches `TextAnalysis.tokens` / `split(trim(text), "\\s+")`. ONE
+    * definition: the MinHash/SimHash/Winnow equivalence specs all pin the
+    * Column forms against this, so copies must never drift.
     */
-  def shingles(raw: String, ngram: Int): Array[String] = {
+  def spaceTrimSplit(raw: String): Array[String] = {
     var a = 0; var b = raw.length
     while (a < b && raw.charAt(a) == ' ') a += 1
     while (b > a && raw.charAt(b - 1) == ' ') b -= 1
-    val text = raw.substring(a, b)
-    val words = text.split("\\s+", -1)
+    raw.substring(a, b).split("\\s+", -1)
+  }
+
+  /** Word n-gram shingles over [[spaceTrimSplit]] tokens; short texts yield
+    * the whole token string (matches Dedup.shingles / the oracle CASE).
+    */
+  def shingles(raw: String, ngram: Int): Array[String] = {
+    val words = spaceTrimSplit(raw)
     if (words.length >= ngram)
       Array.tabulate(words.length - ngram + 1) { i =>
         val sb = new StringBuilder(words(i))

@@ -20,14 +20,7 @@ case class SimHash64Expr(child: Expression)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any = {
-    // Spark trim/split semantics (space-only trim, keep trailing empties),
-    // matching TextAnalysis.tokens
-    val raw = v.toString
-    var a = 0; var b = raw.length
-    while (a < b && raw.charAt(a) == ' ') a += 1
-    while (b > a && raw.charAt(b - 1) == ' ') b -= 1
-    val words = raw.substring(a, b).split("\\s+", -1)
-
+    val words = MinHashCore.spaceTrimSplit(v.toString)
     val votes = new Array[Int](64)
     var i = 0
     while (i < words.length) {
@@ -68,13 +61,7 @@ case class SimHashMd5Expr(child: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.StringType
 
   override def nullSafeEval(v: Any): Any = {
-    // Spark trim/split semantics (space-only trim, keep trailing empties)
-    val raw = v.toString
-    var a = 0; var b = raw.length
-    while (a < b && raw.charAt(a) == ' ') a += 1
-    while (b > a && raw.charAt(b - 1) == ' ') b -= 1
-    val words = raw.substring(a, b).split("\\s+", -1)
-
+    val words = MinHashCore.spaceTrimSplit(v.toString)
     val votes = new Array[Int](64)
     var i = 0
     while (i < words.length) {

@@ -30,17 +30,21 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprints requires a string column, got ${other.sql}")
+    }
+
   private val M = 1000000007L
   private val B = 131L
 
   override def nullSafeEval(v: Any): Any = {
-    val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
-    // trim spaces only (Java String.trim would also strip tabs/newlines)
-    var a = 0
-    var b = lowered.length
-    while (a < b && lowered.charAt(a) == ' ') a += 1
-    while (b > a && lowered.charAt(b - 1) == ' ') b -= 1
-    val toks = lowered.substring(a, b).split("\\s+", -1)
+    val toks =
+      MinHashCore.spaceTrimSplit(v.asInstanceOf[UTF8String].toLowerCase.toString)
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {

@@ -42,24 +42,25 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val leftRest = leftCols.filterNot(c => c == keyCol || c == tsCol)
     val rStruct = StructType(rightPayload.map(c => StructField(c, right.schema(c).dataType)))
-    // one right row per (key, ts): keep the max tie-break — removes the
-    // only nondeterminism an as-of match can have
-    val dedupW = Window.partitionBy(col(keyCol), col(tsCol))
-      .orderBy(col(rightTieBreak).desc)
-    val r1 = right
-      .withColumn("__rn", row_number().over(dedupW))
-      .where(col("__rn") === 1)
+    val tbType = right.schema(rightTieBreak).dataType
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__tag")) ++
+      Seq(col(keyCol), col(tsCol), lit(1).as("__tag"),
+        lit(null).cast(tbType).as("__tb")) ++
         leftRest.map(col) :+
         lit(null).cast(rStruct).as("__r"): _*)
-    val taggedRight = r1.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__tag")) ++
+    val taggedRight = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__tag"),
+        col(rightTieBreak).as("__tb")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightPayload.map(col): _*).as("__r"): _*)
-    // right (tag 0) sorts before left (tag 1) at equal ts ⇒ ts-inclusive
+    // right (tag 0) sorts before left (tag 1) at equal ts ⇒ ts-inclusive;
+    // tie-break ASC within (ts, right) makes last(ignoreNulls) pick the
+    // MAX tie-break right row at the latest ts — folding the (key, ts)
+    // dedup into this ONE sort instead of a second shuffle+window over the
+    // right side (HashPartitioning(key, ts) would not satisfy the main
+    // window's ClusteredDistribution(key))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__tag"))
+      .orderBy(col(tsCol), col("__tag"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedLeft.unionByName(taggedRight)
       .select(

@@ -358,11 +358,15 @@ class OperatorsSpec extends AnyFunSuite {
     val out = AsOfJoin.leftAsOf(p, c, "user_id", "ts", Seq("event_id"), "event_id")
       .select(col("event_id"), col("right_event_id"))
       .as[(Long, Option[Long])].collect().toMap
-    // brute force: per purchase, max-ts click at-or-before (ties: max id)
+    // brute force: per purchase, max-ts click at-or-before (ties: max id).
+    // Compare at MICROsecond precision — the operator orders raw timestamps,
+    // and ms-truncated getTime() would build a wrong oracle for sub-ms data
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
     val clicks = c.select("event_id", "user_id", "ts")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .collect().map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2))))
     val purchases = p.select("event_id", "user_id", "ts")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .collect().map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2))))
     assert(purchases.nonEmpty && clicks.nonEmpty)
     purchases.foreach { case (pid, u, pts) =>
       val cand = clicks.filter(cc => cc._2 == u && cc._3 <= pts)
