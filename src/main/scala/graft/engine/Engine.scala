@@ -169,20 +169,32 @@ final class Engine(val spark: SparkSession, val dir: String) {
     * min/max stats prune batches a `leftOff` resume skips.
     */
   def records(): DataFrame = {
-    val batches = listBatches()
-    if (batches.isEmpty)
-      spark.createDataFrame(java.util.List.of[Row](), recordSchema)
-    else
-      // ignoreMissingFiles: retention may delete an old batch under a
-      // reader between listing/planning and execution — the reference's
-      // readers likewise skip removed partitions ("fRef == nil … pass this
-      // offset", native.go:745-755). Explicit batch paths, NOT a glob: a
-      // data directory containing glob metacharacters ([ ] { } * ?) must
-      // not change what the scan matches.
-      spark.read
-        .schema(recordSchema)
-        .option("ignoreMissingFiles", "true")
-        .parquet(batches.map(_.toString): _*)
+    // Retention may delete an old batch under a reader — the reference's
+    // readers likewise skip removed partitions ("fRef == nil … pass this
+    // offset", native.go:745-755). Two distinct race windows:
+    //   - files vanishing AFTER planning → the per-relation
+    //     ignoreMissingFiles option skips them at execution;
+    //   - a batch dir vanishing BETWEEN listing and path resolution →
+    //     PATH_NOT_FOUND at planning, handled by re-listing (bounded).
+    // Explicit batch paths, NOT a glob: a data directory containing glob
+    // metacharacters ([ ] { } * ?) must not change what the scan matches.
+    var attempt = 0
+    while (attempt < 6) {
+      val batches = listBatches()
+      if (batches.isEmpty)
+        return spark.createDataFrame(java.util.List.of[Row](), recordSchema)
+      try
+        return spark.read
+          .schema(recordSchema)
+          .option("ignoreMissingFiles", "true")
+          .parquet(batches.map(_.toString): _*)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") =>
+          attempt += 1 // eviction won the race; re-list and retry
+      }
+    }
+    throw new IllegalStateException("records(): path listing raced eviction 6 times")
   }
 
   /** `/query` — filtered scan from `leftOff` (exclusive index semantics match
@@ -220,11 +232,32 @@ final class Engine(val spark: SparkSession, val dir: String) {
   def single(index: Long, queryStr: String): Option[String] = {
     val expanded = expand(queryStr)
     parseOrThrow(expanded) // validate
-    val rows = records()
-      .where(col("id") === index)
-      .select(BflExpressions.bflTransform(col("doc"), expanded))
-      .collect()
+    val rows = retryOnEvictionRace {
+      records()
+        .where(col("id") === index)
+        .select(BflExpressions.bflTransform(col("doc"), expanded))
+        .collect()
+    }
     rows.headOption.map(_.getString(0))
+  }
+
+  /** Retry a materialized read that lost the race against retention: the
+    * parquet FOOTER open wraps its FileNotFoundException in ways
+    * `ignoreMissingFiles` cannot intercept (FAILED_READ_FILE.NO_HINT), so
+    * the read is re-planned against a fresh batch listing — the exact
+    * analog of the reference reader skipping a removed partition and
+    * carrying on (native.go:745-755). Bounded: a persistent failure is a
+    * real error, not a race.
+    */
+  private[engine] def retryOnEvictionRace[T](f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Exception if attempt < 5 && Engine.isEvictionRace(e) => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** `/fetch` scan — every SCANNED record in scan order as (id, doc-or-None):
@@ -270,8 +303,12 @@ final class Engine(val spark: SparkSession, val dir: String) {
     * (reference: native.go:625-827). Returns (matched docs, metadata).
     */
   def fetch(leftOff: Long, direction: Int, queryStr: String, limit: Int): (Seq[String], FetchMeta) = {
-    val (it, total, truncated) = fetchScan(leftOff, direction, queryStr, limit)
-    val rows = it.toVector
+    // materialized page: losing the retention race re-plans the whole page
+    // (idempotent — evicted rows legitimately vanish between attempts)
+    val (rows, total, truncated) = retryOnEvictionRace {
+      val (it, t, tr) = fetchScan(leftOff, direction, queryStr, limit)
+      (it.toVector, t, tr)
+    }
     val docs = rows.flatMap(_._2)
     val lastScanned = rows.lastOption.map(_._1)
     // resume point is one PAST the last scanned record in scan direction
@@ -459,6 +496,16 @@ object Engine {
 
   /** 24-digit zero-padded record id (reference: server/lib/helpers.go:15-17). */
   def indexToId(i: Long): String = f"$i%024d"
+
+  /** Does this failure look like a read that lost the race against
+    * retention (deleted batch file/dir mid-plan or mid-read)? Checked
+    * recursively — the parquet footer path wraps its FileNotFoundException.
+    */
+  private[graft] def isEvictionRace(e: Throwable): Boolean =
+    e != null && (String.valueOf(e.getMessage).contains("FAILED_READ_FILE") ||
+      String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") ||
+      e.isInstanceOf[java.io.FileNotFoundException] ||
+      isEvictionRace(e.getCause))
 
   /** Executor-side pass 1 of [[Engine.insertDistributed]]: parse, reject
     * non-JSON / non-object lines, run the insertion filter (its

@@ -217,26 +217,49 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
     if (leftOff > engine.highWater) {
       send(out, s"Index out of range: $leftOff"); return
     }
-    val (scan, total, truncated) = engine.fetchScan(leftOff, dir, query, limit)
     var written = 0L
     var scanned = 0L
-    val lastId = engine.highWater - 1
-    val firstId = engine.highWater - engine.totalRecords
     var stop = false
+    var exhausted = false
     var lastScanned = -1L
-    while (!stop && scan.hasNext) {
-      val (id, doc) = scan.next()
-      lastScanned = id
-      scanned += 1
-      // one past the scan point, per direction (native.go:732-741)
-      val nextOff = if (dir < 0) id else id + 1
-      val noMore = if (dir < 0) id <= firstId else id >= lastId
-      send(out, metadataJson(scanned, total, written, nextOff, truncated, noMore))
-      doc.foreach { d =>
-        send(out, d)
-        written += 1
-        // limit counts matches; the reference stops the offset loop there
-        if (written >= limit) stop = true
+    var resume = leftOff
+    var attempts = 0
+    var firstId = engine.highWater - engine.totalRecords
+    var lastId = engine.highWater - 1
+    // a scan losing the race against retention mid-stream resumes from the
+    // protocol's OWN mechanism — the one-past-the-scan-point leftOff — the
+    // way a reference reader skips a removed partition and continues
+    // (native.go:745-755); already-sent records are never re-sent
+    while (!stop && !exhausted && attempts < 6) {
+      firstId = engine.highWater - engine.totalRecords
+      lastId = engine.highWater - 1
+      try {
+        val (scan, total, truncated) =
+          engine.fetchScan(resume, dir, query, (limit - written).toInt)
+        var emitted = false
+        while (!stop && scan.hasNext) {
+          val (id, doc) = scan.next()
+          emitted = true
+          lastScanned = id
+          scanned += 1
+          // one past the scan point, per direction (native.go:732-741)
+          val nextOff = if (dir < 0) id else id + 1
+          resume = nextOff
+          val noMore = if (dir < 0) id <= firstId else id >= lastId
+          send(out, metadataJson(scanned, total, written, nextOff, truncated, noMore))
+          doc.foreach { d =>
+            send(out, d)
+            written += 1
+            // limit counts matches; the reference stops the offset loop there
+            if (written >= limit) stop = true
+          }
+        }
+        if (!stop) exhausted = true
+        if (!emitted && !stop) exhausted = true
+      } catch {
+        // ONLY retention races retry — a dead socket must propagate to the
+        // connection handler, not trigger rescans against a closed client
+        case e if Engine.isEvictionRace(e) => attempts += 1
       }
     }
     // the reference's limit check sits at the TOP of the next iteration and

@@ -385,6 +385,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"as-of join planned a product join:\n$plan")
     assert(plan.contains("Window"), s"expected window plan:\n$plan")
+    // the whole join is ONE keyed shuffle (the documented plan): a second
+    // hashpartitioning exchange would mean the tie-break dedup regressed
+    // to its own shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"as-of join should shuffle exactly once:\n$plan")
   }
 
   test("winnowed fingerprints: shared token runs guarantee a shared fingerprint") {
