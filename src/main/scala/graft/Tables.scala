@@ -48,6 +48,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's retention deletes batch files under live readers (the
+      // reference's readers skip removed partitions); Spark consults this
+      // SQL conf — NOT the per-relation option — on several read paths, so
+      // set it session-wide (static test data never loses files, no effect
+      // elsewhere). The engine's retry/resume layers cover the windows the
+      // conf can't (planning-time PATH_NOT_FOUND, footer-open wraps).
+      .config("spark.sql.files.ignoreMissingFiles", "true")
       // plan audits read PushedFilters from plan strings; don't truncate
       .config("spark.sql.debug.maxToStringFields", "200")
       .config("spark.sql.maxMetadataStringLength", "10000")

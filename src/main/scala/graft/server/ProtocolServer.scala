@@ -310,23 +310,37 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
     // over a large log never materializes on the driver, and breaking out at
     // `limit` stops fetching further partitions.
     var done = false
-    val hist = engine.scanWithFlags(leftOff, expanded).toLocalIterator()
-    while (!done && !dead && hist.hasNext) {
-      val r = hist.next()
-      val id = r.getLong(0)
-      if (!r.isNullAt(1)) {
-        sendSafe(r.getString(1))
-        written += 1
+    var histDone = false
+    var histResume = leftOff
+    var attempts = 0
+    // a history scan losing the race against retention resumes from the
+    // last id it emitted (exclusive resume — QUERY leftOff semantics), the
+    // same mechanism handleFetch uses; nothing is re-sent
+    while (!done && !dead && !histDone && attempts < 6) {
+      try {
+        val hist = engine.scanWithFlags(histResume, expanded).toLocalIterator()
+        while (!done && !dead && hist.hasNext) {
+          val r = hist.next()
+          val id = r.getLong(0)
+          if (!r.isNullAt(1)) {
+            sendSafe(r.getString(1))
+            written += 1
+          }
+          sendSafe(metadataJson(1, engine.totalRecords, written, id + 1,
+            engine.truncatedTimestamp, noMore = false))
+          // a record inserted DURING the history scan can exceed the
+          // pre-scan high-water snapshot; advancing `last` here keeps the
+          // tail from re-sending it
+          last = math.max(last, id)
+          histResume = id.toString
+          // `limit(N)` ends the stream once satisfied — no live tail
+          // (reference: native.go:513-517 returns from StreamRecords)
+          if (limit != 0 && written >= limit) done = true
+        }
+        histDone = true
+      } catch {
+        case e if Engine.isEvictionRace(e) => attempts += 1
       }
-      sendSafe(metadataJson(1, engine.totalRecords, written, id + 1,
-        engine.truncatedTimestamp, noMore = false))
-      // a record inserted DURING the history scan can exceed the pre-scan
-      // high-water snapshot; advancing `last` here keeps the tail from
-      // re-sending it
-      last = math.max(last, id)
-      // `limit(N)` ends the stream once satisfied — no live tail
-      // (reference: native.go:513-517 returns from StreamRecords)
-      if (limit != 0 && written >= limit) done = true
     }
     if (done || dead) return
     // live tail (the streaming source replays the log; ids ≤ last are

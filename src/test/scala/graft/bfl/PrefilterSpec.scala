@@ -127,6 +127,36 @@ class PrefilterSpec extends AnyFunSuite {
       assert(plain === interpIds(q), s"queryDocs deviates from interpreter for: $q")
     }
 
+  test("randomized query fuzz: backed prefilter never changes a result set") {
+    val rnd = new scala.util.Random(20260812L) // fixed seed: deterministic
+    val atoms = Array[() => String](
+      () => s"""etype == "${Seq("error", "click", "", "view")(rnd.nextInt(4))}"""",
+      () => s"""etype != "${Seq("error", "click")(rnd.nextInt(2))}"""",
+      () => s"""body.json().k ${Seq(">=", "<", "==", "!=", ">", "<=")(rnd.nextInt(6))} ${rnd.nextInt(120) - 10}""",
+      () => s"""body.json().k == "${Seq("95", "abc", "")(rnd.nextInt(3))}"""",
+      () => s"""body.json().a.b ${Seq("==", "!=")(rnd.nextInt(2))} 1""",
+      () => """body..k == 96""",
+      () => """body.xml().r.k == 87""",
+      () => """id > 500""",
+      () => """unbacked == 3""",
+      () => """redact("etype")"""
+    )
+    def gen(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) atoms(rnd.nextInt(atoms.length))()
+      else rnd.nextInt(4) match {
+        case 0 => s"${gen(depth - 1)} and ${gen(depth - 1)}"
+        case 1 => s"${gen(depth - 1)} or ${gen(depth - 1)}"
+        case 2 => s"!(${gen(depth - 1)})"
+        case _ => s"(${gen(depth - 1)})"
+      }
+    (1 to 40).foreach { i =>
+      val q = gen(2)
+      val plain = ids(Bfl.queryDocs(df, "doc", q))
+      val pre = ids(Bfl.queryDocs(df, "doc", q, backed = backing))
+      assert(pre === plain, s"fuzz #$i: prefilter changed results for: $q")
+    }
+  }
+
   test("prefilter is non-trivial where expected, absent where not derivable") {
     def pre(q: String): Option[_] = {
       val parsed = Parser.parse(q).toOption.get

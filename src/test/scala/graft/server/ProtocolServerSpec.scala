@@ -280,6 +280,41 @@ class ProtocolServerSpec extends AnyFunSuite {
     }
   }
 
+  test("query history survives retention racing the scan (resume, no re-sends)") {
+    withServer { (engine, port) =>
+      engine.insert((0 until 400).map(i => s"""{"n":$i,"pad":"${"x" * 60}"}"""))
+      engine.setLimit(16384) // eviction fires as the writer below appends
+      val writer = new Thread(() => (0 until 12).foreach { b =>
+        engine.insert((0 until 50).map(i => s"""{"n":${1000 + b * 50 + i},"pad":"${"y" * 60}"}"""))
+        Thread.sleep(30)
+      })
+      val (s, r, w) = connect(port)
+      s.setSoTimeout(60000)
+      w.println("/query")
+      w.println("")
+      w.println("")
+      writer.start()
+      // read a chunk of history while eviction churns underneath; ids must
+      // be strictly increasing (resume never re-sends) and the connection
+      // must not die mid-history
+      var seen = List.empty[Long]
+      while (seen.length < 150) {
+        val l = r.readLine()
+        assert(l != null, "query stream died under eviction")
+        if (!l.startsWith("/metadata")) {
+          val id = java.lang.Long.parseLong(
+            "\"id\":\"(\\d+)\"".r.findFirstMatchIn(l).get.group(1))
+          seen ::= id
+        }
+      }
+      writer.join(60000)
+      s.close()
+      val ids = seen.reverse
+      assert(ids == ids.distinct, "resume re-sent a record")
+      assert(ids.zip(ids.tail).forall { case (a, b) => a < b }, "ids not increasing")
+    }
+  }
+
   test("malformed numeric args get reference error text, connection stays up") {
     withServer { (engine, port) =>
       engine.insert(Seq(car))
