@@ -397,12 +397,16 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10,
         kmeansIters = 1)),
     "bfl_xml_helper" -> ((s, dir) => {
-      // xml() helper through the interpreter tier over constructed XML bodies
-      val df = ev(s, dir).withColumn("doc",
-        to_json(struct(col("event_id"),
-          concat(lit("<r><k>"), get_json_object(col("props"), "$.k"), lit("</k></r>"))
-            .as("body"))))
-      Bfl.queryDocs(df, "doc", """body.xml().r.k == 87""")
+      // xml() helper through the interpreter tier over constructed XML
+      // bodies; `body` is a real df column so the backed prefilter can
+      // derive the scan-pushable IsNotNull (a missing receiver yields the
+      // value false, and false == "87" is statically false)
+      val df = ev(s, dir)
+        .withColumn("body",
+          concat(lit("<r><k>"), get_json_object(col("props"), "$.k"), lit("</k></r>")))
+        .withColumn("doc", to_json(struct(col("event_id"), col("body"))))
+      Bfl.queryDocs(df, "doc", """body.xml().r.k == 87""",
+          backed = Map("event_id" -> "event_id", "body" -> "body"))
         .select(col("event_id"))
         .orderBy("event_id")
     }),

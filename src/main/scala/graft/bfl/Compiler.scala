@@ -90,11 +90,71 @@ object Compiler {
     q.expr match {
       case None => BflPlan(lit(true), q.limit)
       case Some(e) =>
-        val cv = comp(e, Ctx(schema, docCol))
+        val ctx = Ctx(schema, docCol)
+        val cv = comp(e, ctx)
         // NULL in a Filter is dropped like false, so no coalesce wrapper is
         // needed — keeping the predicate a plain conjunction lets Catalyst
         // split it and push the pieces into the Parquet scan.
-        BflPlan(!cv.collapse && truthy(cv), q.limit)
+        val base = !cv.collapse && truthy(cv)
+        // Derived pushable conjuncts: a match requires ¬collapse, and every
+        // root column in `matchReq` must be non-null for the expression not
+        // to collapse (all path chains — getField / try_element_at /
+        // try_parse_json / try_variant_get — propagate null). The conjuncts
+        // are implied (results unchanged) but ride as split IsNotNull
+        // attribute filters Parquet can prune on — e.g. `props.missing == "x"
+        // or A` scans only row groups where props exists instead of fully.
+        val pred = matchReq(e, ctx).toSeq.sorted
+          .foldLeft(base)((acc, c) => col(c).isNotNull && acc)
+        BflPlan(pred, q.limit)
+    }
+
+  // ---------- derived not-null requirements (compiled tier) ----------
+
+  /** Root columns that must be NON-NULL on any row the compiled predicate
+    * matches (match ⇒ ¬collapse ∧ truthy — eval.go:786-790). Collapse
+    * propagation makes these derivable statically:
+    *   - `A and B`: a match makes BOTH arms truthy and non-collapsed
+    *     (value true ⇒ ab ∧ bb; ¬collapse ∧ ab ⇒ ¬b.collapse);
+    *   - `A or B`: only ¬a.collapse is guaranteed (either arm may be the
+    *     true one), so only A's non-collapse requirements carry;
+    *   - equality/comparison collapse when EITHER side collapses;
+    *   - `(E)` is a collapse boundary, but its TRUTH still implies the inner
+    *     expression was truthy and non-collapsed;
+    *   - a path's collapse column is null-propagating from its root.
+    */
+  private def matchReq(e: Expr, ctx: Ctx): Set[String] = e match {
+    case Logical("and", l, r) => matchReq(l, ctx) ++ matchReq(r, ctx)
+    case Logical("or", l, _)  => ncReq(l, ctx)
+    case SubExpr(i)           => matchReq(i, ctx)
+    case Unary(_, o)          => ncReq(o, ctx)
+    case Equality(_, l, r)    => ncReq(l, ctx) ++ ncReq(r, ctx)
+    case Comparison(_, l, r)  => ncReq(l, ctx) ++ ncReq(r, ctx)
+    case PathGet(p)           => pathRootCols(p, ctx)
+    case _                    => Set.empty // literals, helpers (missing
+    // helper receivers coerce to "false" without collapsing — no constraint)
+  }
+
+  /** Root columns non-null whenever `e` does NOT collapse (no truthiness
+    * assumption — the weaker guarantee `or`-arms and negations provide). */
+  private def ncReq(e: Expr, ctx: Ctx): Set[String] = e match {
+    case Logical(_, l, _)    => ncReq(l, ctx) // right arm is conditional
+    case SubExpr(_)          => Set.empty // boundary never collapses
+    case Unary(_, o)         => ncReq(o, ctx)
+    case Equality(_, l, r)   => ncReq(l, ctx) ++ ncReq(r, ctx)
+    case Comparison(_, l, r) => ncReq(l, ctx) ++ ncReq(r, ctx)
+    case PathGet(p)          => pathRootCols(p, ctx)
+    case _                   => Set.empty
+  }
+
+  /** The df column a path's collapse chains from: its schema root, or the
+    * document column for schema-free roots. Unknown roots with no docCol
+    * always collapse (predicate is unsatisfiable) — no conjunct needed. */
+  private def pathRootCols(path: List[Seg], ctx: Ctx): Set[String] =
+    path.headOption.collect { case Field(n) => n; case Key(k) => k } match {
+      case Some(head) =>
+        if (ctx.schema.fields.exists(_.name == head)) Set(head)
+        else ctx.docCol.toSet
+      case None => Set.empty
     }
 
   // ---------- interpreter-tier necessary-condition prefilter ----------
@@ -166,6 +226,44 @@ object Compiler {
 
   private def necCmp(isEq: Boolean, op: String, l: Expr, r: Expr, ctx: Ctx): Option[Column] =
     try {
+      // shared with the xml() path below: when the OTHER side is a literal
+      // and the interpreter's own coercions (Coerce) say `op(false, lit)` is
+      // false, a receiver that evaluated to the value `false` can never
+      // match — so IsNotNull(recv) becomes a sound necessary condition
+      def falseSideMatches(jsonOnLeft: Boolean, other: Expr): Option[Boolean] =
+        litAny(other).map { lv =>
+          if (isEq) {
+            val eq =
+              if (jsonOnLeft) Coerce.eql(false, lv, p => compilePattern(p))
+              else Coerce.eql(lv, false, p => compilePattern(p))
+            if (op == "==") eq else !eq
+          } else if (jsonOnLeft) Coerce.cmp(op, false, lv)
+          else Coerce.cmp(op, lv, false)
+        }
+      // xml(): the VALUE is not statically modelable (mxj parse + #text
+      // extraction + entity decoding), but the reference's failure ladder
+      // still yields value `false` for a MISSING receiver (stringOperand of
+      // the missing path is "false": not base64-decodable, not XML —
+      // eval.go:379-404), so when `op(false, lit)` is statically false the
+      // receiver must be non-null on every matching row. Value-level
+      // prefiltering (incl. base64-wrapped XML) is deliberately never
+      // attempted — IsNotNull is the whole (scan-pushable) constraint.
+      def xmlRecv(e: Expr): Option[Column] = e match {
+        case JsonGet(outer, "xml", _) =>
+          val rr = resolve(outer, ctx) // strict-roots: unbacked ⇒ Unsupported
+          if (rr.t != TStr || rr.emptyCollapses)
+            throw Unsupported("prefilter: xml() receiver must be a backed string scalar")
+          Some(rr.value)
+        case _ => None
+      }
+      val (xl, xr) = (xmlRecv(l), xmlRecv(r))
+      if (xl.isDefined || xr.isDefined) {
+        val xmlNotNulls = List(
+          xl.filter(_ => falseSideMatches(jsonOnLeft = true, r).contains(false)),
+          xr.filter(_ => falseSideMatches(jsonOnLeft = false, l).contains(false))
+        ).flatten.map(_.isNotNull)
+        return if (xmlNotNulls.isEmpty) None else Some(xmlNotNulls.reduce(_ && _))
+      }
       def side(e: Expr): Option[JsonSide] = e match {
         case JsonGet(outer, "json", inner) => Some(jsonGetSide(outer, inner, ctx))
         case _                             => None
@@ -181,20 +279,7 @@ object Compiler {
       val pred0 = if (mayCollapse) !(a.collapse || b.collapse) && cmp else cmp
       val escape = (sl.toList ++ sr.toList).map(_.escape).reduce(_ || _)
       val pred = escape || pred0
-      // pushable extra conjunct: when the OTHER side is a literal and the
-      // interpreter's own coercions (Coerce) say `op(false, lit)` is false,
-      // a NULL receiver can never match — IsNotNull(recv) is sound AND
-      // Parquet-pushable as a split conjunct
-      def falseSideMatches(jsonOnLeft: Boolean, other: Expr): Option[Boolean] =
-        litAny(other).map { lv =>
-          if (isEq) {
-            val eq =
-              if (jsonOnLeft) Coerce.eql(false, lv, p => compilePattern(p))
-              else Coerce.eql(lv, false, p => compilePattern(p))
-            if (op == "==") eq else !eq
-          } else if (jsonOnLeft) Coerce.cmp(op, false, lv)
-          else Coerce.cmp(op, lv, false)
-        }
+      // pushable extra conjunct (json() tier): see falseSideMatches above
       val notNulls = List(
         sl.flatMap(s => s.recv.filter(_ => falseSideMatches(jsonOnLeft = true, r).contains(false))),
         sr.flatMap(s => s.recv.filter(_ => falseSideMatches(jsonOnLeft = false, l).contains(false)))

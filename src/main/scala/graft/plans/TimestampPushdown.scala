@@ -116,6 +116,8 @@ object TimestampPushdown extends Rule[LogicalPlan] {
   * rewritten attribute-vs-literal form and pushes it into the scan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TimestampPushdown)
+    ext.injectOptimizerRule(_ => NotNullDerivation)
+  }
 }

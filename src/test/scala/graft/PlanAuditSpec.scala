@@ -96,6 +96,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"variant prefilter missing from the plan:\n$plan")
   }
 
+  test("interpreter-tier xml() query pushes IsNotNull through the receiver chain to the scan") {
+    // body = concat(..., get_json_object(props, '$.k'), ...) — the derived
+    // receiver-not-null condition must surface as IsNotNull(props) in
+    // PushedFilters (NotNullDerivation walks the null-propagating chain)
+    val plan = planOf(SparkEntry.queries("bfl_xml_helper")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(props\\).*"),
+      s"xml receiver not-null not pushed:\n$plan")
+  }
+
+  test("compiled collapse shape derives a pushable IsNotNull on the doc-rooted path") {
+    // `props.missing == "x" or A`: a match requires the left arm NOT to
+    // collapse, so props must exist — IsNotNull(props) must reach the scan
+    val plan = planOf(SparkEntry.queries("bfl_collapse")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(props\\).*"),
+      s"collapse-derived not-null not pushed:\n$plan")
+  }
+
   test("interpreter-tier filters evaluate ONCE per row (no re-inlined eval in a Project)") {
     // the old fused withColumn(doc, bfl_eval).where(isNotNull) shape let the
     // filter push below the projection and re-inline the interpreter — two

@@ -60,7 +60,15 @@ class PrefilterSpec extends AnyFunSuite {
       """{"k": "Inf"}""",
       """{"k": 1e308}""",
       """{"k": true}""",
-      """{"k": false}"""
+      """{"k": false}""",
+      // xml() receiver coverage (value must NEVER be prefiltered — only the
+      // receiver-not-null condition is derivable)
+      "<r><k>87</k></r>",
+      "<r><k>95</k></r>",
+      "<r><k>&#56;7</k></r>", // entity-encoded "87" — byte-level ≠ value
+      b64("<r><k>87</k></r>"), // base64-wrapped XML (decodes then parses)
+      """<r><k a="1">87</k></r>""", // attribute form: value via #text
+      "<r><unclosed>" // malformed XML → helper value false
     )
     val etypes = List("error", "click", "view", "", null)
     val rows = for {
@@ -113,6 +121,12 @@ class PrefilterSpec extends AnyFunSuite {
     """(body.json().k >= 95) or etype == """"",
     """unbackedfield == 1 and body.json().k >= 95""",
     """body.json().k == r"9[0-9]"""",
+    """body.xml().r.k == 87""", // entity/base64 rows must still match
+    """body.xml().r.k != 87""", // matches receiver-missing rows → no prefilter
+    """body.xml().r.k >= 5""", // 0 >= 5 statically false → IsNotNull derived
+    """body.xml().r.k < 95""", // 0 < 95 true: missing receivers match
+    """etype == "error" and body.xml().r.k == 87""",
+    """body.xml().r.k == 87 or etype == "click"""",
     // descent into a backed STRING field collapses in both tiers (the doc
     // field is a string scalar) — the prefilter is allowed to know that
     """body..k == 1""",
@@ -168,12 +182,30 @@ class PrefilterSpec extends AnyFunSuite {
     }
     assert(pre("""etype == "error" and redact("k")""").isDefined)
     assert(pre("""body.json().k >= 95""").isDefined)
-    // descent through an UNBACKED root and xml() have no sound Column
-    // model — nothing derivable
+    // descent through an UNBACKED root has no sound Column model
     assert(pre("""outer..k == 1""").isEmpty)
-    assert(pre("""body.xml().r.k == 1""").isEmpty)
+    // xml(): the VALUE is never modeled, but `op(false, lit)` statically
+    // false yields the receiver-not-null necessary condition…
+    assert(pre("""body.xml().r.k == 1""").isDefined)
+    assert(pre("""body.xml().r.k >= 5""").isDefined)
+    // …while shapes where a missing receiver MATCHES derive nothing
+    assert(pre("""body.xml().r.k != 1""").isEmpty)
+    assert(pre("""body.xml().r.k < 95""").isEmpty)
+    assert(pre("""nope.xml().r.k == 1""").isEmpty) // unbacked receiver
     // a lone json() against an unbacked root constrains nothing
     assert(pre("""nope.json().k != 1""").isEmpty)
+  }
+
+  test("xml value rows (plain, entity-encoded, base64, #text) survive the prefilter") {
+    val matched = interpIds("""body.xml().r.k == 87""")
+    // the fixture rows that REALLY hold k=87 XML must be in the ground truth
+    val xmlRows = ids(df.where(col("payload").isin(
+      "<r><k>87</k></r>", "<r><k>&#56;7</k></r>",
+      b64("<r><k>87</k></r>"), """<r><k a="1">87</k></r>""")))
+    assert(xmlRows.nonEmpty && xmlRows.subsetOf(matched),
+      s"xml fixtures not matched: ${xmlRows -- matched}")
+    assert(ids(Bfl.queryDocs(df, "doc", """body.xml().r.k == 87""",
+      backed = backing)) === matched)
   }
 
   test("redact transform still applied under a backed prefilter") {
