@@ -297,18 +297,27 @@ object Similarity {
       .localCheckpoint()
   }
 
-  /** IVF top-k: rank the query's `nProbe` nearest centroids, then search
-    * ONLY vectors assigned to those clusters — the brute-force scan becomes
-    * a partition-pruned scan of nProbe/nCentroids of the corpus.
-    * `kmeansIters` > 0 refines the first-N seed centroids with that many
-    * Lloyd iterations (better-balanced clusters ⇒ better recall at the same
-    * probe budget).
+  /** Trained IVF artifacts: the (refined) centroid set plus the
+    * materialized (id, vec, cluster) index. Train ONCE, probe many — the
+    * serving split a real deployment uses: index construction is a
+    * once-per-corpus batch job, probes are partition-pruned lookups against
+    * its output. At 100 TB the index is a cluster-partitioned table; here
+    * it's the localCheckpoint'ed equivalent with the same plan shape.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
-      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
-    // one centroid computation feeds both the index build and probe ranking
+  def ivfTrained(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 8, kmeansIters: Int = 0): (Array[(Long, Seq[Double])], DataFrame) = {
     val cents = centroids(emb, idCol, vecCol, nCentroids, kmeansIters)
-    val index = ivfIndexFrom(emb, idCol, vecCol, cents)
+    (cents, ivfIndexFrom(emb, idCol, vecCol, cents))
+  }
+
+  /** IVF top-k PROBE against prebuilt [[ivfTrained]] artifacts: rank the
+    * query's `nProbe` nearest centroids (a driver-side computation over the
+    * literal centroid set), then search ONLY vectors assigned to those
+    * clusters — the brute-force scan becomes a partition-pruned scan of
+    * nProbe/nCentroids of the corpus. No training cost on this path.
+    */
+  def ivfTopKIndexed(cents: Array[(Long, Seq[Double])], index: DataFrame,
+      idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     // the query row carries its vector + probe list (top-nProbe centroids)
     val probes = transform(
       slice(sort_array(array(centroidSims(col(vecCol), cents): _*), asc = false),
@@ -322,6 +331,17 @@ object Similarity {
       .select(col(idCol), round(cosine(col(vecCol), col("query_vec")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** One-shot IVF top-k (train + probe). `kmeansIters` > 0 refines the
+    * first-N seed centroids with that many Lloyd iterations
+    * (better-balanced clusters ⇒ better recall at the same probe budget).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+    // one centroid computation feeds both the index build and probe ranking
+    val (cents, index) = ivfTrained(emb, idCol, vecCol, nCentroids, kmeansIters)
+    ivfTopKIndexed(cents, index, idCol, vecCol, queryId, k, nProbe)
   }
 
   // --- oracle-SQL generators (DuckDB) -------------------------------------
