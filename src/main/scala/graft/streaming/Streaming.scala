@@ -58,43 +58,63 @@ object Streaming {
     stream.select(col("id"), BflExpressions.bflEval(col("doc"), query).as("doc"))
   }
 
-  /** Start an unfiltered scan-tail pushing (id, doc-or-None) per record. */
+  /** Drain one micro-batch to the driver in GLOBAL id order without ever
+    * materializing it whole: the sort runs distributed (range exchange +
+    * in-partition sort), `toLocalIterator` then fetches ONE sorted partition
+    * at a time — range partitions are ordered, so partition-by-partition
+    * iteration IS the global order — and the callback fires per
+    * `chunk`-bounded group. Driver footprint: max(one shuffle partition,
+    * one chunk), instead of the whole micro-batch; a driver-held TCP tail
+    * over an unselective query on a large backlog stays flat.
+    */
+  private def drainOrdered(batch: Dataset[org.apache.spark.sql.Row], chunk: Int)(
+      f: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
+    batch.orderBy("id").toLocalIterator().asScala
+      .grouped(chunk)
+      .foreach(g => if (g.nonEmpty) f(g.toSeq))
+  }
+
+  /** Start an unfiltered scan-tail pushing (id, doc-or-None) per record.
+    * `onBatch` fires per bounded chunk (≤ `maxRowsPerChunk`), in global id
+    * order; the second argument is the chunk's high-water id (resume point).
+    */
   def startTailScan(
       spark: SparkSession,
       engineDir: String,
       query: String,
-      onBatch: (Seq[(Long, Option[String])], Long) => Unit
+      onBatch: (Seq[(Long, Option[String])], Long) => Unit,
+      maxRowsPerChunk: Int = 8192
   ): StreamingQuery =
     tailScan(spark, engineDir, query).writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val rows = batch.orderBy("id").collect()
-        if (rows.nonEmpty) {
+        drainOrdered(batch, maxRowsPerChunk) { rows =>
           val docs = rows.map(r =>
-            (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1)))).toSeq
+            (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1))))
           onBatch(docs, docs.last._1)
         }
       }
       .start()
 
-  /** Start a tail that pushes each micro-batch (ordered by id) to `onBatch`.
-    * The per-batch high-water id is the resume point — the streaming analog
-    * of the reference's per-record `/metadata.leftOff`.
+  /** Start a tail that pushes matched records (ordered by id) to `onBatch`
+    * in bounded chunks. The per-chunk high-water id is the resume point —
+    * the streaming analog of the reference's per-record `/metadata.leftOff`.
     */
   def startTail(
       spark: SparkSession,
       engineDir: String,
       query: String,
-      onBatch: (Seq[(Long, String)], Long) => Unit
+      onBatch: (Seq[(Long, String)], Long) => Unit,
+      maxRowsPerChunk: Int = 8192
   ): StreamingQuery =
     tail(spark, engineDir, query).writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val rows = batch.orderBy("id").select("id", "doc").collect()
-        if (rows.nonEmpty) {
-          val docs = rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+        drainOrdered(batch.select("id", "doc"), maxRowsPerChunk) { rows =>
+          val docs = rows.map(r => (r.getLong(0), r.getString(1)))
           onBatch(docs, docs.last._1)
         }
       }

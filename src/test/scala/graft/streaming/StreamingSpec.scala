@@ -39,6 +39,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tail drains a large backlog in bounded ordered chunks, never whole") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-tail-chunk").toString
+    val engine = new Engine(spark, dir)
+    // one big backlog micro-batch: 5000 records, all matching
+    engine.insert((0 until 5000).map(i => s"""{"n":$i,"keep":true}"""))
+
+    val chunks = mutable.ArrayBuffer[Seq[(Long, Option[String])]]()
+    val q = Streaming.startTailScan(spark, dir, """keep == true""",
+      (rows, _) => chunks.synchronized { chunks += rows },
+      maxRowsPerChunk = 256)
+    try {
+      q.processAllAvailable()
+      val snap = chunks.synchronized(chunks.toList)
+      // the backlog arrived split into many bounded chunks…
+      assert(snap.size >= 5000 / 256, s"expected many chunks, got ${snap.size}")
+      assert(snap.forall(_.size <= 256), "a chunk exceeded maxRowsPerChunk")
+      // …covering every record exactly once, in GLOBAL id order across
+      // chunk boundaries (the per-chunk high-water is only a valid resume
+      // point if ordering holds end-to-end)
+      val ids = snap.flatten.map(_._1)
+      assert(ids == ids.sorted && ids.distinct.size == ids.size, "ids out of order or duplicated")
+      assert(ids.size == 5000 && ids.head == 0L && ids.last == 4999L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and carries state across batches") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
