@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke (diagnostic main, not a spec): materializes a 10× slice of
+  * the bench tables the 5 most expensive queries read (events, documents,
+  * orders) and times each query at sf0.1 vs the 10× slice, printing a
+  * markdown row per query. The claim under test is the plan-audit one —
+  * no superlinear blowup: t(10×) ≲ 10 × t(1×) + constant overhead.
+  *
+  * The replicas are deterministic and STRUCTURE-PRESERVING:
+  *   - unique keys (event_id, doc_id, o_orderkey) are offset per replica so
+  *     cardinalities scale exactly 10×;
+  *   - document text is word-salted per replica (`w` → `w_rN`) so the
+  *     shingle sets of different replicas are DISJOINT — near-dup structure
+  *     per replica is identical to the original instead of every replica
+  *     pair colliding into a quadratic cross-replica candidate blowup
+  *     (which would measure a data-shape change, not engine scaling);
+  *   - events keep their user_id (per-user density ×10 — the as-of window
+  *     partitions must absorb it) with ts perturbed +rep ns to break ties.
+  */
+object ScaleSmoke {
+
+  private val QUERIES = Seq(
+    "neardup_pairs", "neardup_clusters", "bfl_xml_helper", "percentiles", "asof_join")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/repo/tmp/sf1-smoke")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPS", "10").toInt
+    val spark = Sessions.builder("local[32]", 32).appName("scale-smoke").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val rep = spark.range(reps).select(col("id").as("rep"))
+
+    def replicate(df: DataFrame, key: String, salt: DataFrame => DataFrame): DataFrame = {
+      val span = df.agg(max(col(key))).head().getLong(0) + 1
+      salt(df.crossJoin(broadcast(rep)))
+        .withColumn(key, col(key) + col("rep") * span)
+        .drop("rep")
+    }
+
+    val ev = replicate(spark.read.parquet(s"$base/events.parquet"), "event_id",
+      _.withColumn("ts", col("ts") + col("rep")))
+    val docs = replicate(spark.read.parquet(s"$base/documents.parquet"), "doc_id",
+      _.withColumn("text",
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit("_r"), col("rep"))))))
+    val ord = replicate(spark.read.parquet(s"$base/orders.parquet"), "o_orderkey", identity)
+
+    ev.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    ord.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    println(s"[smoke] wrote ${reps}x slice to $out")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // prime JVM/codegen once (untimed) so the first timed query isn't biased
+    QUERIES.foreach { q => try SparkEntry.queries(q)(spark, base).count() catch { case _: Throwable => () } }
+
+    println(f"| query | t(sf0.1) s | t(${reps}x) s | ratio |")
+    println("|---|---|---|---|")
+    QUERIES.foreach { q =>
+      val t1 = time(q, base)
+      val t10 = time(q, out)
+      println(f"| $q | $t1%.2f | $t10%.2f | ${t10 / t1}%.1fx |")
+    }
+    spark.stop()
+  }
+}
