@@ -37,9 +37,31 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
 
-/** Session config shared by Verify/Bench/tests. */
+/** Session config shared by Verify/Bench/tests.
+  *
+  * `builder` returns a thin facade whose `getOrCreate()` also performs the
+  * session-level wiring `SparkSessionExtensions` cannot express:
+  * [[graft.plans.FilterCseBinding]] must run in the "User Provided
+  * Optimizers" batch (after every pushdown batch), which only
+  * `spark.experimental.extraOptimizations` reaches.
+  */
 object Sessions {
-  def builder(master: String, cpus: Int): SparkSession.Builder =
+
+  final class Builder private[Sessions] (b: SparkSession.Builder) {
+    def appName(n: String): Builder = new Builder(b.appName(n))
+    def config(k: String, v: String): Builder = new Builder(b.config(k, v))
+    def getOrCreate(): SparkSession = {
+      val s = b.getOrCreate()
+      if (!s.experimental.extraOptimizations.contains(graft.plans.FilterCseBinding))
+        s.experimental.extraOptimizations ++= Seq(graft.plans.FilterCseBinding)
+      s
+    }
+  }
+
+  def builder(master: String, cpus: Int): Builder =
+    new Builder(rawBuilder(master, cpus))
+
+  private def rawBuilder(master: String, cpus: Int): SparkSession.Builder =
     SparkSession
       .builder()
       .master(master)

@@ -119,5 +119,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TimestampPushdown)
     ext.injectOptimizerRule(_ => NotNullDerivation)
+    // FilterCseBinding is NOT injected here: it must run after the pushdown
+    // batches (see its scaladoc) — graft.Sessions wires it into
+    // spark.experimental.extraOptimizations at session creation
   }
 }

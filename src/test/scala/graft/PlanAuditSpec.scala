@@ -96,6 +96,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"variant prefilter missing from the plan:\n$plan")
   }
 
+  test("json() prefilter parses the receiver ONCE per row (shared CSE projection)") {
+    // the VARIANT-model coercion cascade references the parsed receiver many
+    // times; unbound, every reference re-inlines parse_json into the Filter
+    // (~18 parses/row — FilterExec does no subexpression elimination).
+    // FilterCseBinding must materialize the parse in a _graft_cse projection
+    // below the filter, while keeping IsNotNull(props) in PushedFilters
+    val plan = planOf(SparkEntry.queries("bfl_json_helper")(spark, sf))
+    assert(plan.contains("_graft_cse_"), s"shared parse projection missing:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(props\\).*"),
+      s"CSE sandwich lost the pushed receiver not-null:\n$plan")
+    // the filter line itself must not re-inline the parse: at most one
+    // parseJson occurrence per plan LINE (the projection line that computes
+    // it; scan DataFilters echoes don't contain parses)
+    val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.forall(l => "parseJson\\(".r.findAllIn(l).size <= 1),
+      s"filter still re-inlines the variant parse:\n$plan")
+  }
+
   test("interpreter-tier xml() query pushes IsNotNull through the receiver chain to the scan") {
     // body = concat(..., get_json_object(props, '$.k'), ...) — the derived
     // receiver-not-null condition must surface as IsNotNull(props) in
