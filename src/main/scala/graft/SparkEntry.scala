@@ -363,6 +363,20 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    "stratified_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang", 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    "pack_shards" -> ((s, dir) =>
+      operators.Sharding.packShards(
+          Tables.documents(s, dir), "doc_id",
+          operators.TextAnalysis.tokenCount(col("text")), budget = 10000)
+        .orderBy("doc_id")),
+    "tfidf_top_terms" -> ((s, dir) =>
+      operators.TextAnalysis.tfIdf(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(20)),
     // the whole training-data flow as ONE declarative plan: quality gate →
     // exact dedup (keep min id) → stable split assignment → per-split stats.
     // Catalyst fuses the stages; nothing materializes in between.
@@ -830,6 +844,38 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "stratified_sample" ->
+      // md5-ranked exact per-stratum quota — mirrors Sampling.stratifiedSample
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('sample:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         WHERE rn <= CEIL(n * 0.1) ORDER BY doc_id""",
+    "pack_shards" ->
+      // the NAIVE single-window prefix-sum form: Sharding.packShards'
+      // two-level distributed decomposition must be invisible in the output
+      """SELECT doc_id,
+         CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS BIGINT) AS shard
+         FROM (SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+               FROM documents)
+         ORDER BY doc_id""",
+    "tfidf_top_terms" ->
+      // tf * ln(N/df) over whitespace tokens, round(4) masking libm ulps
+      """WITH tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             FROM documents)
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         total AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+         FROM tf JOIN dfreq USING (term) CROSS JOIN total
+         ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""",
     "split_assign" ->
       // byte computed once, thresholds in one place — mirrors the
       // Sampling.splitByte / splitOf structure

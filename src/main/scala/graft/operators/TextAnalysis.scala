@@ -152,4 +152,28 @@ object TextAnalysis {
       sequence(lit(1), greatest(size(kg) - (w - 1), lit(1))),
       j => array_min(slice(kg, j, lit(w))))))
   }
+
+  /** Per-(document, term) TF-IDF over whitespace tokens:
+    * `tf * ln(N / df)`, rounded to 4 decimals (the ulp-masking convention
+    * the cosine oracles use — `ln` is libm-dependent in the last bit).
+    *
+    * Plan shape at scale: one explode → ONE partial-aggregated groupBy
+    * (doc, term) → document frequency derived from the tf relation (a
+    * second partial agg, no second scan of the corpus) → shuffle join on
+    * term; the corpus size N rides along as a broadcast one-row cross join,
+    * so nothing about the corpus reaches the driver.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(
+      col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = exploded.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .select(
+        col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+  }
 }

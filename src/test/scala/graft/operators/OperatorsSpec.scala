@@ -498,4 +498,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) == "de")
     assert(out(3L) == "unknown")
   }
+
+  test("packShards equals the naive global prefix sum, with NO global window in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokenCount(col("text"))
+    val out = Sharding.packShards(docs, "doc_id", toks, budget = 2000)
+    // ground truth: the single-window form the DuckDB oracle uses
+    val naive = docs.select(col("doc_id"), toks.as("t"))
+      .withColumn("start", coalesce(sum("t").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), expr("start DIV 2000L").as("shard"))
+    assert(out.orderBy("doc_id").as[(Long, Long)].collect().toSeq ==
+      naive.orderBy("doc_id").as[(Long, Long)].collect().toSeq)
+    // shards are contiguous id ranges starting at 0
+    val shards = out.orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(shards.head == 0L)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 })
+    // the scale property: every data-bearing Window partitions by bucket —
+    // the only unpartitioned window may be the constant-size bucket-totals
+    // prefix, which consumes an Aggregate, never the corpus
+    val winLines = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("_ps_b#")), s"bucketed window missing:\n${winLines.mkString("\n")}")
+  }
+
+  test("stratifiedSample takes exactly ceil(frac * |stratum|) per stratum, deterministically") {
+    import spark.implicits._
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.1)
+      .select(col("doc_id"), col("lang"))
+    val got = sampled.as[(Long, String)].collect().toSet
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val gotSizes = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, n) =>
+      assert(gotSizes.getOrElse(lang, 0L) == math.ceil(n * 0.1).toLong,
+        s"stratum $lang quota wrong: ${gotSizes.get(lang)} of $n")
+    }
+    // stable across recomputation (pure function of ids)
+    val again = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.1)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toSet
+    assert(got == again)
+  }
+
+  test("tfIdf matches a hand-computed corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry durian")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df, "doc_id", "text")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def ln(x: Double) = math.log(x)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out((1L, "apple")) == (2L, r4(2 * ln(3.0 / 1))))
+    assert(out((1L, "banana")) == (1L, r4(1 * ln(3.0 / 2))))
+    assert(out((3L, "cherry")) == (2L, r4(2 * ln(3.0 / 2))))
+    assert(out((3L, "durian")) == (1L, r4(1 * ln(3.0 / 1))))
+    assert(out.size == 6)
+  }
 }
