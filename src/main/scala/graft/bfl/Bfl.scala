@@ -99,12 +99,22 @@ object Bfl {
       df.schema.fields.find(_.name == colName).map(f => docField -> (colName, f.dataType))
     }
     val pre = Compiler.necessaryPrefilter(q, backedTyped)
+    // doc-byte key prefilter: every match-required path key must appear as
+    // `"name"` in the raw document (OR the doc uses \u escapes — Jackson
+    // decodes those in keys, so escaped docs pass unexamined). Needs no
+    // backing, so it covers the shapes the variant prefilter can't:
+    // recursive descent and constructed docs. String.contains per key per
+    // row versus a full JSON parse + tree walk on every row.
+    val esc = col(docCol).contains("\\u")
+    val keyPre = Compiler.docKeyPrefilter(q)
+      .foldLeft(pre.fold(df)(df.where))((d, k) =>
+        d.where(col(docCol).contains("\"" + k + "\"") || esc))
     // a Filter-only match expression (no doc-column rewrite) keeps the
     // interpreter to ONE eval per row: the previous fused
     // `withColumn(doc, bfl_eval).where(isNotNull)` shape let Catalyst push
     // the filter below the Project by re-inlining the expression — two full
     // parse+eval passes per surviving row
-    val matched = pre.fold(df)(df.where)
+    val matched = keyPre
       .where(coalesce(BflExpressions.bflMatch(col(docCol), expanded), lit(false)))
     val out =
       if (Ast.usesAlteringHelpers(q))

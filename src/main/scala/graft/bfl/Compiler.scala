@@ -157,6 +157,61 @@ object Compiler {
       case None => Set.empty
     }
 
+  // ---------- doc-byte key prefilter (interpreter tier) ----------
+
+  /** Keys that must appear IN THE RAW DOCUMENT BYTES (as `"name"`) on any
+    * row the query can match — a necessary condition needing NO column
+    * backing, so it applies to every interpreter-tier query including the
+    * shapes the variant prefilter can't touch (recursive descent,
+    * constructed docs).
+    *
+    * Soundness: a missing path — including an empty recursive descent —
+    * COLLAPSES (Interp eval: `JsonTree.get == Nil ⇒ Collapse`,
+    * reference eval.go:613-624), so every key on a match-required path
+    * must exist in the parsed document, and a parsed key exists only if
+    * its quoted name appears in the bytes — except when written as a
+    * `\uXXXX` escape (Jackson decodes those), which the caller must OR in
+    * as an escape hatch (`contains(doc, "\u")`). Collected only for:
+    *   - bare paths (PathGet) in truthy / comparison / equality position —
+    *     helper receivers coerce a missing path to a non-collapsing value
+    *     (json()'s false-ladder, startsWith's ""), so helpers contribute
+    *     nothing;
+    *   - names with unambiguous JSON rendering (`[A-Za-z0-9_-]+` — no
+    *     in-name escapes possible);
+    * with the same and/or/not/paren propagation as [[matchReq]]/[[ncReq]].
+    */
+  def docKeyPrefilter(q: Query): Seq[String] =
+    q.expr.map(keysReq).getOrElse(Set.empty[String])
+      .filter(safeKeyRe.matches).toSeq.sorted
+
+  private val safeKeyRe = "[A-Za-z0-9_-]+".r
+
+  private def keyNames(p: List[Seg]): Set[String] =
+    p.collect { case Field(n) => n; case Key(k) => k; case Descent(n) => n }.toSet
+
+  /** keys required on a MATCHING row (mirrors [[matchReq]]) */
+  private def keysReq(e: Expr): Set[String] = e match {
+    case Logical("and", l, r) => keysReq(l) ++ keysReq(r)
+    case Logical("or", l, _)  => keysNc(l)
+    case SubExpr(i)           => keysReq(i)
+    case Unary(_, o)          => keysNc(o)
+    case Equality(_, l, r)    => keysNc(l) ++ keysNc(r)
+    case Comparison(_, l, r)  => keysNc(l) ++ keysNc(r)
+    case PathGet(p)           => keyNames(p)
+    case _                    => Set.empty // helpers/literals never collapse
+  }
+
+  /** keys required whenever `e` does NOT collapse (mirrors [[ncReq]]) */
+  private def keysNc(e: Expr): Set[String] = e match {
+    case Logical(_, l, _)    => keysNc(l)
+    case SubExpr(_)          => Set.empty // boundary never collapses
+    case Unary(_, o)         => keysNc(o)
+    case Equality(_, l, r)   => keysNc(l) ++ keysNc(r)
+    case Comparison(_, l, r) => keysNc(l) ++ keysNc(r)
+    case PathGet(p)          => keyNames(p)
+    case _                   => Set.empty
+  }
+
   // ---------- interpreter-tier necessary-condition prefilter ----------
 
   /** Compile a SOUND necessary condition for an interpreter-tier query: a

@@ -49,6 +49,15 @@ object FilterCseBinding extends Rule[LogicalPlan] with PredicateHelper {
   private def isParse(e: Expression): Boolean = e match {
     case _: VariantGet | _: GetJsonObject | _: RegExpReplace | _: JsonToStructs => true
     case s: StaticInvoke => s.staticObject.getName.contains("Variant")
+    // to_json lowers to Invoke(StructsToJsonEvaluator) in ReplaceExpressions;
+    // a constructed-doc query references the whole serialization per
+    // prefilter conjunct (never throws: input is already a typed struct)
+    case i: org.apache.spark.sql.catalyst.expressions.objects.Invoke =>
+      i.targetObject.dataType match {
+        case org.apache.spark.sql.types.ObjectType(cls) =>
+          cls.getName.contains("StructsToJsonEvaluator")
+        case _ => false
+      }
     case _ => false
   }
 

@@ -230,4 +230,47 @@ class PrefilterSpec extends AnyFunSuite {
     assert(ids(Bfl.queryDocs(df, "doc", """body.json().k >= 95""",
       backed = backing)) === matched)
   }
+
+  test("doc-byte key prefilter derives exactly the match-required keys") {
+    def keys(q: String): Seq[String] =
+      Compiler.docKeyPrefilter(Parser.parse(q).toOption.get)
+    assert(keys("""outer..k == 1""") === Seq("k", "outer"))
+    assert(keys("""a.b == 1 and c == 2""") === Seq("a", "b", "c"))
+    // right or-arm is conditional; left arm's collapse still gates the match
+    assert(keys("""a.b == 1 or c == 2""") === Seq("a", "b"))
+    // the paren is a collapse BOUNDARY: a.b missing ⇒ inner collapses to
+    // false ⇒ !false MATCHES with the key absent — no keys required
+    assert(keys("""!(a.b == 1)""") === Seq.empty)
+    // helper receivers coerce a missing path without collapsing — no keys
+    assert(keys("""x.startsWith("q")""") === Seq.empty)
+    assert(keys("""body.json().k >= 95""") === Seq.empty)
+    assert(keys("""redact("a")""") === Seq.empty)
+    // names that can carry in-name escapes are excluded
+    assert(keys("""a["we ird"] == 1""") === Seq("a"))
+  }
+
+  test("unicode-escaped keys match through the \\u escape hatch") {
+    import scala.jdk.CollectionConverters._
+    // Jackson decodes "k" to key "k": the descent matches even though
+    // the raw bytes contain no `"k"` — the contains-prefilter must let the
+    // doc through via the \u hatch, or this row silently disappears
+    // "\\u006b" spelled via concat: Scala 2 would decode a literal k
+    // in ANY string literal at compile time, silently testing nothing
+    val escapedKeyDoc = "{\"outer\":{\"" + "\\" + "u006b\":1}}"
+    assert(!escapedKeyDoc.contains("\"k\"") && escapedKeyDoc.contains("\\u"))
+    val docs = List(
+      (1L, escapedKeyDoc),           // escaped key, matches ..k == 1
+      (2L, """{"outer":{"k":1}}"""), // plain key, matches
+      (3L, """{"outer":{"k":2}}"""), // key present, value mismatch
+      (4L, """{"outer":{"x":1}}""")  // key absent → prefilter may drop
+    )
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType, nullable = false)))
+    val d = spark.createDataFrame(
+      docs.map { case (i, s) => org.apache.spark.sql.Row(i, s) }.asJava, schema)
+    val got = Bfl.queryDocs(d, "doc", """outer..k == 1""")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L), s"escaped-key row lost or wrong rows matched: $got")
+  }
 }
