@@ -114,6 +114,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"filter still re-inlines the variant parse:\n$plan")
   }
 
+  test("doc-byte key prefilter over a RAW stored doc column pushes StringContains to the scan") {
+    // a descent query on a raw JSON column needs the interpreter, but its
+    // derived key conjunct (contains(doc,'"k"') OR contains(doc,'\u')) is a
+    // bare-attribute predicate V1 translates — on a 100 TB stored log the
+    // parse-everything fallback becomes a dictionary/page-level scan filter
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rawdoc").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.createDataFrame(
+      List("""{"outer":{"k":1}}""", """{"outer":{"x":2}}""")
+        .map(org.apache.spark.sql.Row(_)).asJava, schema)
+      .write.mode("overwrite").parquet(tmp)
+    val raw = spark.read.parquet(tmp)
+    val plan = planOf(graft.bfl.Bfl.queryDocs(raw, "doc", """outer..k == 1"""))
+    assert(plan.contains("StringContains"),
+      s"key conjunct not pushed as StringContains:\n$plan")
+    assert(plan.contains("bfl_match"), s"interpreter filter missing:\n$plan")
+  }
+
   test("interpreter-tier xml() query pushes IsNotNull through the receiver chain to the scan") {
     // body = concat(..., get_json_object(props, '$.k'), ...) — the derived
     // receiver-not-null condition must surface as IsNotNull(props) in
