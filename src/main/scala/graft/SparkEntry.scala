@@ -48,11 +48,17 @@ object SparkEntry {
     */
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Array[(Long, Seq[Double])], DataFrame)]()
-  private def ivfArtifacts(s: SparkSession, dir: String) =
+  private def ivfArtifacts(s: SparkSession, dir: String) = {
+    // sweep entries of stopped sessions: a JVM cycling SparkSessions must
+    // not pin dead sessions + their checkpointed index blocks forever.
+    // (Fixture dirs are immutable per session — rebuilding under the same
+    // path within one session is out of contract for this memo.)
+    ivfMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     ivfMemo.computeIfAbsent((s, dir), { case (ss, d) =>
       Similarity.ivfTrained(Tables.embeddings(ss, d), "vec_id", "embedding",
         nCentroids = 8, kmeansIters = 1)
     })
+  }
 
   // ---------- queries ----------
 

@@ -45,6 +45,10 @@ object Sampling {
       salt: String = "sample"
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // withColumn would silently REPLACE same-named input columns and the
+    // final drop would then remove the caller's data — refuse instead
+    require(!df.columns.contains("_ss_rn") && !df.columns.contains("_ss_n"),
+      "stratifiedSample: input already has a _ss_rn/_ss_n column")
     val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
     val byStratum = Window.partitionBy(col(stratumCol))
     df.withColumn("_ss_rn", row_number().over(byStratum.orderBy(key, col(idCol))))

@@ -47,8 +47,18 @@ object Sharding {
         case r if r.isNullAt(0) => Array(0L, 0L) // empty input
         case r                  => Array(r.getLong(0), r.getLong(1))
       }
-    val width = math.max(1L, (maxId - minId) / buckets + 1)
-    val bucketed = base.withColumn("_ps_b", ((col("_ps_id") - minId) / width).cast("long"))
+    // span in BigInt: maxId - minId overflows Long when ids straddle the
+    // extremes (a sentinel Long.MinValue next to positive ids), which would
+    // wrap width to 1 and break bucket/id order alignment silently
+    val width = ((BigInt(maxId) - BigInt(minId)) / buckets + 1).toLong
+    // overflow-safe, order-preserving bucketing: floorDiv each side FIRST
+    // (both quotients are in range; their difference is ≤ buckets+1), and
+    // floorDiv — not truncating DIV — so negative ids stay monotone
+    def floorDiv(name: String, w: Long): Column =
+      expr(s"$name DIV ${w}L") -
+        when(col(name) % w =!= 0 && col(name) < 0, lit(1L)).otherwise(lit(0L))
+    val minBucket = Math.floorDiv(minId, width)
+    val bucketed = base.withColumn("_ps_b", floorDiv("_ps_id", width) - minBucket)
     // level 1: exclusive prefix within each bucket (shuffle key: bucket)
     val inBucket = Window.partitionBy("_ps_b").orderBy("_ps_id")
       .rowsBetween(Window.unboundedPreceding, -1)

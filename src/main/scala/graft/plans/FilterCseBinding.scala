@@ -72,6 +72,12 @@ object FilterCseBinding extends Rule[LogicalPlan] with PredicateHelper {
         case _ => true
       }
     case c: Cast => c.evalMode == EvalMode.ANSI
+    // from_json throws per row in FAILFAST mode; the mode rides in an
+    // options map this rule can't safely introspect — never hoist it
+    case _: JsonToStructs => true
+    // a literal bad regex fails on every row identically (hoisting changes
+    // nothing), but a NON-foldable pattern can be guarded per row
+    case r: RegExpReplace => !(r.regexp.foldable && r.rep.foldable)
     case _ => false
   }
 

@@ -523,6 +523,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(winLines.exists(_.contains("_ps_b#")), s"bucketed window missing:\n${winLines.mkString("\n")}")
   }
 
+  test("packShards survives an id span wider than Long (sentinel ids)") {
+    import spark.implicits._
+    // span Long.MinValue..Long.MaxValue: naive (maxId-minId) wraps negative
+    // and naive (id-minId) wraps per row — bucket order must still follow
+    // id order, so cumulative starts stay correct
+    val df = Seq(
+      (Long.MinValue, "a b c d e f g h i j"),
+      (-5L, "a b c d e f g h i j"),
+      (0L, "a b c d e f g h i j"),
+      (7L, "a b c d e f g h i j"),
+      (Long.MaxValue, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val out = Sharding.packShards(df, "doc_id", TextAnalysis.tokenCount(col("text")), budget = 25)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // exclusive cumsums 0,10,20,30,40 → DIV 25 → 0,0,0,1,1 in id order
+    assert(out.map(_._2) == Seq(0L, 0L, 0L, 1L, 1L), s"wrong shards: $out")
+  }
+
   test("stratifiedSample takes exactly ceil(frac * |stratum|) per stratum, deterministically") {
     import spark.implicits._
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.1)

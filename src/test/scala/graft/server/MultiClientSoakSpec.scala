@@ -104,20 +104,25 @@ class MultiClientSoakSpec extends AnyFunSuite {
       assert(awaitTrue(60000)(tailA.records.size >= 10 && tailB.records.size >= 10),
         s"history not served: a=${tailA.records.size} b=${tailB.records.size}")
 
-      // three wire writers interleaving kinds a/b/c concurrently
+      // three wire writers interleaving kinds a/b/c concurrently; failures
+      // inside a thread must surface in the MAIN thread — a swallowed
+      // assert would otherwise resurface later as a misleading drain-count
+      // mismatch
       val perWriter = 150
+      val writerErrors = new ConcurrentLinkedQueue[Throwable]()
       val writers = (0 until 3).map { w =>
-        val t = new Thread(() => {
-          val (s, _, pw) = connect(port)
-          pw.println("/insert")
-          (0 until perWriter).foreach { i =>
-            pw.println(s"""{"kind":"${Seq("a", "b", "c")(i % 3)}","w":$w,"i":$i}""")
-            if (i % 25 == 24) { pw.flush(); Thread.sleep(20) } // spread across micro-batches
-          }
-          pw.flush()
-          assert(!pw.checkError(), s"writer $w socket broke mid-burst")
-          s.close() // close-after-flush: TCP delivers everything already written
-        })
+        val t = new Thread(() =>
+          try {
+            val (s, _, pw) = connect(port)
+            pw.println("/insert")
+            (0 until perWriter).foreach { i =>
+              pw.println(s"""{"kind":"${Seq("a", "b", "c")(i % 3)}","w":$w,"i":$i}""")
+              if (i % 25 == 24) { pw.flush(); Thread.sleep(20) } // spread across micro-batches
+            }
+            pw.flush()
+            assert(!pw.checkError(), s"writer $w socket broke mid-burst")
+            s.close() // close-after-flush: TCP delivers everything already written
+          } catch { case e: Throwable => writerErrors.add(e) })
         t.start(); t
       }
 
@@ -143,6 +148,7 @@ class MultiClientSoakSpec extends AnyFunSuite {
       assert(fids == fids.sorted && fids == fids.distinct, "fetch page not an ordered page")
 
       writers.foreach(_.join(120000))
+      assert(writerErrors.isEmpty, s"writer thread failed: ${writerErrors.peek()}")
       // the conn threads keep draining buffered bursts AFTER the writer
       // sockets close (each burst is a parquet append): wait for the drain,
       // then the exact-count assert catches both loss and duplication
