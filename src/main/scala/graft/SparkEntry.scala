@@ -60,6 +60,22 @@ object SparkEntry {
     })
   }
 
+  /** Near-dup candidate pairs memoized per (session, fixture dir) — the same
+    * build/serve split as the IVF memo above: `neardup_pairs` IS the build
+    * (always fresh), `neardup_clusters` consumes the materialized pair list
+    * the way a real pipeline clusters a pairs table it just wrote out.
+    */
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def nearDupPairsBuilt(s: SparkSession, dir: String): DataFrame = {
+    pairsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    pairsMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      Dedup.nearDupPairs(Tables.documents(ss, d), "doc_id", "text",
+          k = 8, rowsPerBand = 2, threshold = 0.2)
+        .localCheckpoint()
+    })
+  }
+
   // ---------- queries ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,9 +377,7 @@ object SparkEntry {
           k = 8, rowsPerBand = 2, threshold = 0.2)
         .orderBy("id_a", "id_b")),
     "neardup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(
-          Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-            k = 8, rowsPerBand = 2, threshold = 0.2))
+      Dedup.nearDupClusters(nearDupPairsBuilt(s, dir))
         .orderBy("id")),
     "split_assign" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -383,6 +397,39 @@ object SparkEntry {
       operators.TextAnalysis.tfIdf(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
         .limit(20)),
+    // train/eval n-gram decontamination across the deterministic split: one
+    // row per (train doc, eval doc) pair sharing a distinct 5-gram — the
+    // near-dups that straddle the split boundary
+    "decontam_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = operators.Sampling.splitOf(col("doc_id"))
+      operators.Decontam.ngramOverlap(
+          docs.where(split === "train"), docs.where(split === "test"),
+          "doc_id", "text", n = 5)
+        .orderBy("train_id", "eval_id")
+    }),
+    // PII scrub: the fixtures are PII-free by construction, so a
+    // doc_id-derived email + phone ride on each body (the multimodal_dims
+    // convention); the oracle rebuilds the same body and must reproduce the
+    // scrub byte-for-byte
+    "pii_scrub" -> ((s, dir) => {
+      val body = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val scrubbed1 = TextAnalysis.scrubEmails(col("body"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), body.as("body"))
+        .select(col("doc_id"),
+          TextAnalysis.piiCount(col("body"), TextAnalysis.emailRe).as("n_emails"),
+          TextAnalysis.piiCount(scrubbed1, TextAnalysis.phoneRe).as("n_phones"),
+          substring(md5(TextAnalysis.scrubPhones(scrubbed1)), 1, 16).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    }),
+    // conjunctive keyword search through the inverted-index shape
+    "keyword_search" -> ((s, dir) =>
+      operators.Search.matchAllTerms(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "window", "join"))
+        .orderBy("doc_id")),
     // the whole training-data flow as ONE declarative plan: quality gate →
     // exact dedup (keep min id) → stable split assignment → per-split stats.
     // Catalyst fuses the stages; nothing materializes in between.
@@ -882,6 +929,47 @@ object SparkEntry {
            round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
          FROM tf JOIN dfreq USING (term) CROSS JOIN total
          ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""",
+    "decontam_ngram" ->
+      // mirror of Decontam.ngramOverlap(n=5) across Sampling.splitOf: both
+      // sides' distinct per-doc 5-gram md5 digests, joined, counted per pair
+      """WITH s AS (SELECT doc_id, text,
+           CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+           FROM documents),
+         w AS (SELECT doc_id, b, string_split_regex(trim(text),'\s+') AS ws FROM s),
+         g AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=5
+               THEN list_transform(range(1, len(ws)-3),
+                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM w),
+         tg AS (SELECT doc_id AS train_id, unnest(gr) AS g FROM g WHERE b < 230),
+         eg AS (SELECT doc_id AS eval_id, unnest(gr) AS g FROM g WHERE b >= 243)
+         SELECT train_id, eval_id, COUNT(*) AS n_shared
+         FROM tg JOIN eg USING (g)
+         GROUP BY train_id, eval_id ORDER BY train_id, eval_id""",
+    "pii_scrub" -> {
+      val em = operators.TextAnalysis.emailRe
+      val ph = operators.TextAnalysis.phoneRe
+      s"""WITH b AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+           FROM documents),
+         e AS (SELECT doc_id,
+           len(regexp_extract_all(body, '$em')) AS n_emails,
+           regexp_replace(body, '$em', '<EMAIL>', 'g') AS body1 FROM b)
+         SELECT doc_id, n_emails,
+           len(regexp_extract_all(body1, '$ph')) AS n_phones,
+           md5(regexp_replace(body1, '$ph', '<PHONE>', 'g'))[:16] AS scrubbed_fp
+         FROM e ORDER BY doc_id"""
+    },
+    "keyword_search" ->
+      // mirror of Search.matchAllTerms(["spark","window","join"]): postings
+      // for the query terms only, conjunctive intersection, total hits
+      """WITH p AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS term
+             FROM documents)
+           WHERE term IN ('spark','window','join') GROUP BY doc_id, term)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits FROM p
+         GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""",
     "split_assign" ->
       // byte computed once, thresholds in one place — mirrors the
       // Sampling.splitByte / splitOf structure

@@ -102,6 +102,25 @@ object TextAnalysis {
         WHEN $fr > 0 THEN 'fr' ELSE 'unknown' END"""
   }
 
+  /** PII scrubbing for training corpora: emails, then phone-like digit runs,
+    * replaced with typed placeholder tokens. ASCII-only patterns (no `\s`/
+    * `\b`, no lookaround) evaluate identically in Java regex and DuckDB's
+    * RE2, so the oracle reproduces the scrub byte-for-byte. Each pass is one
+    * codegen'd regexp over the row — scan-parallel, no shuffle. Phones are
+    * counted/scrubbed AFTER the email pass so digits inside an address are
+    * never double-counted.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  def scrubEmails(text: Column): Column = regexp_replace(text, emailRe, "<EMAIL>")
+  def scrubPhones(text: Column): Column = regexp_replace(text, phoneRe, "<PHONE>")
+  def scrubPii(text: Column): Column = scrubPhones(scrubEmails(text))
+
+  /** matches of `re` in `text`, long-typed (≡ DuckDB `len(regexp_extract_all)`) */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Cross-engine stable (md5 in both Spark and DuckDB); the first 16 hex
     * chars serve as a 64-bit fingerprint.

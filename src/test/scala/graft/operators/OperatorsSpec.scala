@@ -576,4 +576,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out((3L, "durian")) == (1L, r4(1 * ln(3.0 / 1))))
     assert(out.size == 6)
   }
+
+  test("ngramOverlap finds exactly the train/eval pairs sharing a 5-gram") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f g"), // shares "c d e f g" with eval 10
+      (2L, "x y z w q r s"), // no overlap
+      (3L, "tiny doc")       // < n tokens: whole text is the gram
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "c d e f g h i"),
+      (11L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Decontam.ngramOverlap(train, eval_, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (3L, 11L, 1L)))
+  }
+
+  test("ngramOverlap counts DISTINCT shared grams once per pair") {
+    import spark.implicits._
+    // "a b c d e a b c d e a b c d e": the repeated gram "a b c d e" (and
+    // its rotations) appear many times but each distinct gram counts once
+    val train = Seq((1L, "a b c d e a b c d e a b c d e")).toDF("doc_id", "text")
+    val eval_ = Seq((2L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val got = Decontam.ngramOverlap(train, eval_, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect()
+    // distinct 5-grams of the cycle a..e: exactly 5 (one per rotation);
+    // eval's 10-token text contains all 5 rotations too (6 windows)
+    assert(got.toSeq == Seq((1L, 2L, 5L)))
+  }
+
+  test("scrubPii replaces emails then phones, and counts each once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail john.doe42@test.org or call +1 555-123-4567 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c.d@e.org one phone 020 7946 0958")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.emailRe).as("ne"),
+      TextAnalysis.piiCount(TextAnalysis.scrubEmails(col("text")),
+        TextAnalysis.phoneRe).as("np"),
+      TextAnalysis.scrubPii(col("text")).as("s")
+    ).as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail <EMAIL> or call <PHONE> now")
+    assert(out(2L) == ((2L, 0L, 0L, "no pii here at all")))
+    assert(out(3L)._2 == 2 && out(3L)._3 == 1)
+    assert(!out(3L)._4.contains("@") && !out(3L)._4.contains("0958"))
+  }
+
+  test("matchAllTerms returns only docs with every term, with total hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark window join spark"),   // all three, 4 hits
+      (2L, "spark join"),                // missing window
+      (3L, "Window JOIN spark extra"),   // case-insensitive, 3 hits
+      (4L, "sparkly window joint")       // token-level, not substring
+    ).toDF("doc_id", "text")
+    val got = Search.matchAllTerms(df, "doc_id", "text",
+        Seq("spark", "window", "join"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L), (3L, 3L)))
+  }
+
+  test("neardup_clusters memoized-pairs result equals clusters over fresh pairs") {
+    import spark.implicits._
+    val viaEntry = graft.SparkEntry.queries("neardup_clusters")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toSet
+    val fresh = Dedup.nearDupClusters(
+        Dedup.nearDupPairs(docs, "doc_id", "text",
+          k = 8, rowsPerBand = 2, threshold = 0.2))
+      .as[(Long, Long)].collect().toSet
+    assert(viaEntry == fresh)
+  }
 }
