@@ -181,4 +181,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query vector not broadcast:\n$plan")
   }
+
+  test("keyword search gates the explode: contains() filter sits BELOW Generate") {
+    // docs failing the substring conjunction must never reach tokenization —
+    // in the root-first plan string the gate appears after (deeper than) the
+    // Generate node, between it and the scan
+    val plan = planOf(SparkEntry.queries("keyword_search")(spark, sf))
+    val gen = plan.indexOf("Generate explode")
+    val gate = plan.indexOf("Contains(lower(text")
+    assert(gen >= 0, s"no explode in the plan:\n$plan")
+    assert(gate > gen, s"contains() gate not below the explode:\n$plan")
+  }
+
+  test("decontamination joins on gram digests — no nested-loop or cartesian join") {
+    val plan = planOf(SparkEntry.queries("decontam_ngram")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated to all-pairs:\n$plan")
+    // both aggregations (pair counting) keep map-side partials
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("pii scrub reads only the two columns it uses") {
+    val plan = planOf(SparkEntry.queries("pii_scrub")(spark, sf))
+    assert(plan.matches("(?s).*ReadSchema: struct<doc_id:[^,]+,text:[^>]+>.*"),
+      s"scan reads more than (doc_id, text):\n$plan")
+  }
 }
