@@ -408,6 +408,23 @@ object SparkEntry {
           "doc_id", "text", n = 5)
         .orderBy("train_id", "eval_id")
     }),
+    // near-dup decontamination: paraphrase-level leakage the exact n-gram
+    // check misses — LSH candidates across the split, verified by Jaccard
+    "decontam_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = operators.Sampling.splitOf(col("doc_id"))
+      operators.Decontam.nearDupAcross(
+          docs.where(split === "train"), docs.where(split === "test"),
+          "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.2)
+        .orderBy("train_id", "eval_id")
+    }),
+    // Gopher-style within-doc repetition signals for quality gating
+    "repetition_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.dupNgramFrac(col("text")).as("dup_3gram_frac"),
+          TextAnalysis.topTokenFrac(col("text")).as("top_token_frac"))
+        .orderBy("doc_id")),
     // PII scrub: the fixtures are PII-free by construction, so a
     // doc_id-derived email + phone ride on each body (the multimodal_dims
     // convention); the oracle rebuilds the same body and must reproduce the
@@ -945,6 +962,46 @@ object SparkEntry {
          SELECT train_id, eval_id, COUNT(*) AS n_shared
          FROM tg JOIN eg USING (g)
          GROUP BY train_id, eval_id ORDER BY train_id, eval_id""",
+    "decontam_neardup" ->
+      // mirror of Decontam.nearDupAcross(k=8, rowsPerBand=2, threshold=0.2)
+      // across Sampling.splitOf: the nearDupCtes chain with the split byte
+      // carried through, candidates restricted to train×test
+      """WITH s AS (SELECT doc_id, text,
+           CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+           FROM documents),
+         w AS (SELECT doc_id, b, string_split_regex(trim(text),'\s+') AS ws FROM s),
+         sh AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM w),
+         sig AS (SELECT doc_id, b, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sh),
+         bands AS (SELECT doc_id, b, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
+                   FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id AS train_id, c.doc_id AS eval_id
+                  FROM bands a JOIN bands c ON a.band_idx=c.band_idx AND a.band_hash=c.band_hash
+                  WHERE a.b < 230 AND c.b >= 243),
+         j AS (SELECT train_id, eval_id,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               FROM cand JOIN sh x ON x.doc_id = train_id JOIN sh y ON y.doc_id = eval_id)
+         SELECT train_id, eval_id, jaccard FROM j WHERE jaccard >= 0.2
+         ORDER BY train_id, eval_id""",
+    "repetition_stats" ->
+      // mirror of TextAnalysis.dupNgramFrac(n=3) + topTokenFrac
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ws FROM documents),
+         g AS (SELECT doc_id, ws, CASE WHEN len(ws)>=3
+               THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+               ELSE [array_to_string(ws,' ')] END AS gr FROM w)
+         SELECT doc_id,
+           round(CAST(len(gr) - len(list_distinct(gr)) AS DOUBLE) / greatest(len(gr), 1), 6) AS dup_3gram_frac,
+           round(CAST(list_max(list_transform(list_distinct(ws), t -> len(list_filter(ws, x -> x = t)))) AS DOUBLE) / greatest(len(ws), 1), 6) AS top_token_frac
+         FROM g ORDER BY doc_id""",
     "pii_scrub" -> {
       val em = operators.TextAnalysis.emailRe
       val ph = operators.TextAnalysis.phoneRe

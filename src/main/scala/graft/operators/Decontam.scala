@@ -42,4 +42,50 @@ object Decontam {
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Near-duplicate decontamination: training documents that are MinHash/LSH
+    * near-dups of an eval document (jaccard over 3-gram shingles ≥
+    * `threshold`) — catches paraphrase-level leakage that exact n-gram
+    * matching misses. Same architecture as [[Dedup.nearDupPairs]] but across
+    * two corpora: per-side band tables, a bucketed train×eval band join for
+    * candidates, exact Jaccard verification over candidate documents only.
+    * Nothing is all-pairs; candidate volume is bounded by band-bucket
+    * occupancy exactly as in the within-corpus case.
+    */
+  def nearDupAcross(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val tb = Dedup.lshBands(train, idCol, textCol, k, rowsPerBand).as("a")
+    val eb = Dedup.lshBands(eval_, idCol, textCol, k, rowsPerBand).as("b")
+    // candidates feed three downstream joins — materialize the compact pair
+    // list once (same rationale as the within-corpus pair build)
+    val cand = tb
+      .join(eb, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash"))
+      .select(col(s"a.$idCol").as("train_id"), col(s"b.$idCol").as("eval_id"))
+      .distinct()
+      .localCheckpoint()
+    def sideShingles(df: DataFrame, pairIdCol: String, out: String) =
+      df.join(cand.select(col(pairIdCol).as(idCol)).distinct(), Seq(idCol), "left_semi")
+        .select(col(idCol).as(pairIdCol), Dedup.shingles(col(textCol)).as(out))
+    cand
+      .join(sideShingles(train, "train_id", "sh_a"), "train_id")
+      .join(sideShingles(eval_, "eval_id", "sh_b"), "eval_id")
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          6
+        )
+      )
+      .where(col("jaccard") >= threshold)
+      .select("train_id", "eval_id", "jaccard")
+  }
 }

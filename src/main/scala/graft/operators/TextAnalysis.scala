@@ -121,6 +121,32 @@ object TextAnalysis {
   def piiCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 
+  /** Within-document repetition signals (the Gopher/MassiveText-style rules
+    * a quality gate thresholds on): the fraction of token 3-grams that are
+    * repeats of an earlier 3-gram in the same document, and the share of all
+    * tokens taken by the single most frequent token. Both are pure per-row
+    * array expressions — codegen'd, scan-parallel, no shuffle — and both are
+    * exactly mirrorable in DuckDB list SQL.
+    */
+  def dupNgramFrac(text: Column, n: Int = 3): Column = {
+    val grams = Dedup.shingles(lower(text), n)
+    round(
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        greatest(size(grams), lit(1)),
+      6)
+  }
+
+  /** share of tokens taken by the most frequent token, in [0,1] */
+  def topTokenFrac(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // max multiplicity via one pass over the DISTINCT tokens: for each
+    // distinct token count its occurrences with a bounded filter — the
+    // distinct set of a natural-language doc is far smaller than the doc
+    val maxCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, w => w === t))))
+    round(maxCount.cast("double") / greatest(size(toks), lit(1)), 6)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Cross-engine stable (md5 in both Spark and DuckDB); the first 16 hex
     * chars serve as a 64-bit fingerprint.

@@ -641,6 +641,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 4L), (3L, 3L)))
   }
 
+  test("nearDupAcross: exact cross-split dup found, precision verified, no within-side pairs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training text about sbt builds"),
+      (3L, "the quick brown fox jumps over the lazy dog") // near-dup of 1, same side
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1/3
+      (11L, "another disjoint evaluation document entirely")
+    ).toDF("doc_id", "text")
+    val got = Decontam.nearDupAcross(train, eval_, "doc_id", "text",
+        k = 8, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    // identical text ⇒ identical signatures ⇒ guaranteed candidate, jaccard 1
+    assert(got.filter(r => r._1 == 1L && r._2 == 10L).map(_._3).toSeq == Seq(1.0))
+    assert(got.filter(r => r._1 == 3L && r._2 == 10L).map(_._3).toSeq == Seq(1.0))
+    // sides are directional: train ids on the left, eval ids on the right
+    assert(got.forall(r => Set(1L, 2L, 3L)(r._1) && Set(10L, 11L)(r._2)))
+    // precision: every returned pair really clears the threshold
+    assert(!pairs.contains((2L, 11L)) && !pairs.contains((2L, 10L)))
+  }
+
+  test("repetition signals: dup 3-gram fraction and top-token share") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),      // grams: [aaa, aaa] -> dup 0.5; top token 1.0
+      (2L, "a b c d"),      // 2 distinct grams -> 0.0; top 0.25
+      (3L, "x")             // short doc: whole-text gram -> 0.0; top 1.0
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.dupNgramFrac(col("text")).as("d"),
+        TextAnalysis.topTokenFrac(col("text")).as("t"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((0.5, 1.0)))
+    assert(got(2L) == ((0.0, 0.25)))
+    assert(got(3L) == ((0.0, 1.0)))
+  }
+
   test("neardup_clusters memoized-pairs result equals clusters over fresh pairs") {
     import spark.implicits._
     val viaEntry = graft.SparkEntry.queries("neardup_clusters")(
