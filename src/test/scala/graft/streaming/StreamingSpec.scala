@@ -107,6 +107,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrivals only, normalized across formatting") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamDedup.firstArrivals(
+      source.toDS().toDF("ts", "text"), "text", "ts", "10 minutes")
+    val q = deduped
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      source.addData(
+        (t(0), "alpha beta gamma"),
+        (t(1), "alpha beta gamma"),     // exact dup
+        (t(2), "  ALPHA  beta GAMMA "), // formatting-only dup (normalized key)
+        (t(3), "something else"))
+      q.processAllAvailable()
+      // a second micro-batch with one more dup and one new doc
+      source.addData((t(4), "alpha beta gamma"), (t(5), "third doc"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("text").as[String].collect().toSeq
+      assert(out.sorted == Seq("alpha beta gamma", "something else", "third doc"),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("sharded streaming ingest: executor-side pipeline, same records and ids") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
