@@ -420,10 +420,8 @@ object SparkEntry {
     }),
     // Gopher-style within-doc repetition signals for quality gating
     "repetition_stats" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          TextAnalysis.dupNgramFrac(col("text")).as("dup_3gram_frac"),
-          TextAnalysis.topTokenFrac(col("text")).as("top_token_frac"))
+      operators.TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("dup_ngram_frac", "dup_3gram_frac")
         .orderBy("doc_id")),
     // PII scrub: the fixtures are PII-free by construction, so a
     // doc_id-derived email + phone ride on each body (the multimodal_dims

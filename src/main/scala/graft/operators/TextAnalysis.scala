@@ -124,27 +124,36 @@ object TextAnalysis {
   /** Within-document repetition signals (the Gopher/MassiveText-style rules
     * a quality gate thresholds on): the fraction of token 3-grams that are
     * repeats of an earlier 3-gram in the same document, and the share of all
-    * tokens taken by the single most frequent token. Both are pure per-row
-    * array expressions — codegen'd, scan-parallel, no shuffle — and both are
-    * exactly mirrorable in DuckDB list SQL.
+    * tokens taken by the single most frequent token.
+    *
+    * Shape: relational, not per-row array HOFs — each signal is one explode
+    * followed by two hash-partitioned aggregations with map-side partials
+    * (multiplicities at (doc, item), then per-doc totals), joined on doc id.
+    * A first cut computed `transform(distinct, t -> size(filter(toks, _ ===
+    * t)))` per row; nested lambda HOFs are CodegenFallback and it benched
+    * 22 s at sf0.1 vs ~1 s for this plan — the minhash/winnow lesson again:
+    * per-row quadratic lambda work doesn't codegen and doesn't scale.
     */
-  def dupNgramFrac(text: Column, n: Int = 3): Column = {
-    val grams = Dedup.shingles(lower(text), n)
-    round(
-      (size(grams) - size(array_distinct(grams))).cast("double") /
-        greatest(size(grams), lit(1)),
-      6)
-  }
-
-  /** share of tokens taken by the most frequent token, in [0,1] */
-  def topTokenFrac(text: Column): Column = {
-    val toks = tokens(lower(text))
-    // max multiplicity via one pass over the DISTINCT tokens: for each
-    // distinct token count its occurrences with a bounded filter — the
-    // distinct set of a natural-language doc is far smaller than the doc
-    val maxCount = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, w => w === t))))
-    round(maxCount.cast("double") / greatest(size(toks), lit(1)), 6)
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val gramTf = df
+      .select(id,
+        explode(graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), n)).as("gram"))
+      .groupBy(id, col("gram")).agg(count(lit(1)).as("c"))
+    val gramStats = gramTf.groupBy(id).agg(
+      sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+    val tokTf = df
+      .select(id, explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(id, col("tok")).agg(count(lit(1)).as("c"))
+    val tokStats = tokTf.groupBy(id).agg(
+      max(col("c")).as("max_tok"), sum(col("c")).as("n_toks"))
+    gramStats.join(tokStats, idCol).select(
+      id,
+      round((col("n_grams") - col("n_distinct")).cast("double") /
+        greatest(col("n_grams"), lit(1)), 6).as("dup_ngram_frac"),
+      round(col("max_tok").cast("double") /
+        greatest(col("n_toks"), lit(1)), 6).as("top_token_frac"))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.

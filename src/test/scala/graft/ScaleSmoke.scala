@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   private val QUERIES = Seq(
-    "neardup_pairs", "neardup_clusters", "bfl_xml_helper", "percentiles", "asof_join")
+    "neardup_pairs", "neardup_clusters", "bfl_xml_helper", "percentiles", "asof_join",
+    // round-4 session-2 additions: both decontamination shapes read only the
+    // replicated documents slice
+    "decontam_ngram", "decontam_neardup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -577,6 +577,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("one-pass ShinglesExpr equals the Column-HOF shingles") {
+    import spark.implicits._
+    for (n <- Seq(3, 5)) {
+      val both = docs.select(
+        graft.functions.MinHashExpr.shinglesArray(col("text"), n).as("fast"),
+        Dedup.shingles(col("text"), n).as("hof"))
+      assert(both.where(col("fast") =!= col("hof")).count() == 0, s"n=$n drift")
+    }
+    // short-doc path: whole text as the single gram
+    val tiny = Seq("one two", " padded  ", "").toDF("text")
+    val b = tiny.select(
+      graft.functions.MinHashExpr.shinglesArray(col("text"), 3).as("fast"),
+      Dedup.shingles(col("text"), 3).as("hof"))
+    assert(b.where(col("fast") =!= col("hof")).count() == 0)
+  }
+
   test("ngramOverlap finds exactly the train/eval pairs sharing a 5-gram") {
     import spark.implicits._
     val train = Seq(
@@ -672,9 +688,7 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "a b c d"),      // 2 distinct grams -> 0.0; top 0.25
       (3L, "x")             // short doc: whole-text gram -> 0.0; top 1.0
     ).toDF("doc_id", "text")
-    val got = df.select(col("doc_id"),
-        TextAnalysis.dupNgramFrac(col("text")).as("d"),
-        TextAnalysis.topTokenFrac(col("text")).as("t"))
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
       .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got(1L) == ((0.5, 1.0)))
     assert(got(2L) == ((0.0, 0.25)))
