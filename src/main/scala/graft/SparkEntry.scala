@@ -440,6 +440,11 @@ object SparkEntry {
           substring(md5(TextAnalysis.scrubPhones(scrubbed1)), 1, 16).as("scrubbed_fp"))
         .orderBy("doc_id")
     }),
+    // context-window preparation: overlapping 32-token chunks, stride 24
+    "chunk_tokens" -> ((s, dir) =>
+      operators.Chunking.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
     // conjunctive keyword search through the inverted-index shape
     "keyword_search" -> ((s, dir) =>
       operators.Search.matchAllTerms(Tables.documents(s, dir), "doc_id", "text",
@@ -1016,6 +1021,17 @@ object SparkEntry {
            md5(regexp_replace(body1, '$ph', '<PHONE>', 'g'))[:16] AS scrubbed_fp
          FROM e ORDER BY doc_id"""
     },
+    "chunk_tokens" ->
+      // mirror of Chunking.tokenChunks(chunkSize=32, stride=24): 1-based
+      // inclusive list slices, last window start = max(0, ceil((n-32)/24))
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
+         k AS (SELECT doc_id, ws, len(ws) AS n,
+               greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) AS last FROM w),
+         c AS (SELECT doc_id, ws, n, unnest(range(0, last + 1)) AS ci FROM k)
+         SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           array_to_string(ws[ci*24 + 1 : ci*24 + 32], ' ') AS chunk_text,
+           least(32, n - ci*24) AS n_tok
+         FROM c ORDER BY doc_id, chunk_idx""",
     "keyword_search" ->
       // mirror of Search.matchAllTerms(["spark","window","join"]): postings
       // for the query terms only, conjunctive intersection, total hits

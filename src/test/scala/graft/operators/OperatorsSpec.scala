@@ -695,6 +695,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 1.0)))
   }
 
+  test("tokenChunks: overlapping windows cover every token, short docs one chunk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b")
+    ).toDF("doc_id", "text")
+    val got = Chunking.tokenChunks(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0, "t1 t2 t3 t4", 4L),
+      (1L, 1, "t4 t5 t6 t7", 4L),
+      (1L, 2, "t7 t8 t9 t10", 4L),
+      (2L, 0, "a b", 2L)))
+  }
+
   test("neardup_clusters memoized-pairs result equals clusters over fresh pairs") {
     import spark.implicits._
     val viaEntry = graft.SparkEntry.queries("neardup_clusters")(
