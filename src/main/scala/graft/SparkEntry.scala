@@ -418,6 +418,24 @@ object SparkEntry {
           "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.2)
         .orderBy("train_id", "eval_id")
     }),
+    // decontamination APPLIED: the clean training set after removing every
+    // doc flagged by either signal (exact 5-gram overlap OR LSH near-dup) —
+    // detect → anti-join, the step a pipeline actually ships
+    "decontam_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = operators.Sampling.splitOf(col("doc_id"))
+      val train = docs.where(split === "train")
+      val eval_ = docs.where(split === "test")
+      val bad = operators.Decontam.ngramOverlap(train, eval_, "doc_id", "text", n = 5)
+        .select(col("train_id").as("doc_id"))
+        .union(operators.Decontam
+          .nearDupAcross(train, eval_, "doc_id", "text",
+            k = 8, rowsPerBand = 2, threshold = 0.2)
+          .select(col("train_id").as("doc_id")))
+      train.join(bad, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style within-doc repetition signals for quality gating
     "repetition_stats" -> ((s, dir) =>
       operators.TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
@@ -445,6 +463,17 @@ object SparkEntry {
       operators.Chunking.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
+    // the pretraining prep flow end-to-end in ONE plan: chunk into context
+    // windows, then pack chunks into ~4096-token shards (chunk id = global
+    // (doc, chunk) order); output = per-shard chunk counts
+    "chunk_pack_e2e" -> ((s, dir) => {
+      val chunks = operators.Chunking.tokenChunks(
+          Tables.documents(s, dir), "doc_id", "text", chunkSize = 32, stride = 24)
+        .select((col("doc_id") * 16 + col("chunk_idx")).as("chunk_id"), col("n_tok"))
+      operators.Sharding.packShards(chunks, "chunk_id", col("n_tok"), budget = 4096)
+        .groupBy("shard").agg(count(lit(1)).as("n_chunks"))
+        .orderBy("shard")
+    }),
     // conjunctive keyword search through the inverted-index shape
     "keyword_search" -> ((s, dir) =>
       operators.Search.matchAllTerms(Tables.documents(s, dir), "doc_id", "text",
@@ -995,8 +1024,48 @@ object SparkEntry {
                FROM cand JOIN sh x ON x.doc_id = train_id JOIN sh y ON y.doc_id = eval_id)
          SELECT train_id, eval_id, jaccard FROM j WHERE jaccard >= 0.2
          ORDER BY train_id, eval_id""",
+    "decontam_apply" ->
+      // union of both decontamination signals' CTE chains (5-gram exact +
+      // banded near-dup), then the anti-join: train docs NOT flagged
+      """WITH s AS (SELECT doc_id, text,
+           CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+           FROM documents),
+         w AS (SELECT doc_id, b, string_split_regex(trim(text),'\s+') AS ws FROM s),
+         g5 AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=5
+               THEN list_transform(range(1, len(ws)-3),
+                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM w),
+         t5 AS (SELECT doc_id AS train_id, unnest(gr) AS g FROM g5 WHERE b < 230),
+         e5 AS (SELECT doc_id AS eval_id, unnest(gr) AS g FROM g5 WHERE b >= 243),
+         bad5 AS (SELECT DISTINCT train_id FROM t5 JOIN e5 USING (g)),
+         sh AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM w),
+         sig AS (SELECT doc_id, b, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sh),
+         bands AS (SELECT doc_id, b, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
+                   FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id AS train_id, c.doc_id AS eval_id
+                  FROM bands a JOIN bands c ON a.band_idx=c.band_idx AND a.band_hash=c.band_hash
+                  WHERE a.b < 230 AND c.b >= 243),
+         badnd AS (SELECT DISTINCT train_id FROM (
+               SELECT train_id,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               FROM cand JOIN sh x ON x.doc_id = train_id JOIN sh y ON y.doc_id = eval_id)
+             WHERE jaccard >= 0.2),
+         bad AS (SELECT train_id FROM bad5 UNION SELECT train_id FROM badnd)
+         SELECT doc_id FROM s
+         WHERE b < 230 AND doc_id NOT IN (SELECT train_id FROM bad)
+         ORDER BY doc_id""",
     "repetition_stats" ->
-      // mirror of TextAnalysis.dupNgramFrac(n=3) + topTokenFrac
+      // mirror of TextAnalysis.repetitionStats(n=3)
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ws FROM documents),
          g AS (SELECT doc_id, ws, CASE WHEN len(ws)>=3
                THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
@@ -1032,6 +1101,20 @@ object SparkEntry {
            array_to_string(ws[ci*24 + 1 : ci*24 + 32], ' ') AS chunk_text,
            least(32, n - ci*24) AS n_tok
          FROM c ORDER BY doc_id, chunk_idx""",
+    "chunk_pack_e2e" ->
+      // chunking CTEs + the NAIVE single-window prefix sum over chunk ids
+      // (chunk_id = doc_id*16 + chunk_idx preserves (doc, chunk) order; max
+      // 5 windows per 100-token doc at stride 24, far under 16)
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
+         k AS (SELECT doc_id, len(ws) AS n,
+               greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) AS last FROM w),
+         c AS (SELECT doc_id, n, unnest(range(0, last + 1)) AS ci FROM k),
+         ch AS (SELECT doc_id*16 + ci AS chunk_id, least(32, n - ci*24) AS n_tok FROM c),
+         p AS (SELECT chunk_id,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard
+               FROM ch)
+         SELECT shard, COUNT(*) AS n_chunks FROM p GROUP BY shard ORDER BY shard""",
     "keyword_search" ->
       // mirror of Search.matchAllTerms(["spark","window","join"]): postings
       // for the query terms only, conjunctive intersection, total hits

@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * an LLM data pipeline runs before training (n-gram collision against the
   * eval set; 8–13-gram in published practice, parameterized here).
   *
-  * Plan shape at 100 TB: each side explodes its DISTINCT per-document n-grams
-  * once (the distinct is per-row, inside codegen — no shuffle), the join key
-  * is the fixed-width 32-hex md5 of the gram rather than the raw n·word
-  * string (shuffle volume ∝ 32 B/gram instead of the gram text), and the
-  * shared-gram count is a hash-partitioned (train, eval) aggregation. Nothing
-  * is quadratic: a train document meets only eval documents it actually
-  * shares a gram digest with.
+  * Plan shape at 100 TB: each side explodes raw n-grams once (a one-pass
+  * shingle expression per row), digests them to the fixed-width 32-hex md5 in
+  * a codegen'd projection (shuffle volume ∝ 32 B/gram instead of the raw
+  * n·word string), dedups per document with a hash-partitioned aggregate, and
+  * counts shared grams with a hash-partitioned (train, eval) aggregation.
+  * Nothing is quadratic: a train document meets only eval documents it
+  * actually shares a gram digest with.
   */
 object Decontam {
 
@@ -76,22 +76,7 @@ object Decontam {
       .select(col(s"a.$idCol").as("train_id"), col(s"b.$idCol").as("eval_id"))
       .distinct()
       .localCheckpoint()
-    def sideShingles(df: DataFrame, pairIdCol: String, out: String) =
-      df.join(cand.select(col(pairIdCol).as(idCol)).distinct(), Seq(idCol), "left_semi")
-        .select(col(idCol).as(pairIdCol),
-          graft.functions.MinHashExpr.shinglesArray(col(textCol)).as(out))
-    cand
-      .join(sideShingles(train, "train_id", "sh_a"), "train_id")
-      .join(sideShingles(eval_, "eval_id", "sh_b"), "eval_id")
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
-          6
-        )
-      )
-      .where(col("jaccard") >= threshold)
-      .select("train_id", "eval_id", "jaccard")
+    Dedup.verifyJaccard(cand, train, eval_, idCol, textCol,
+      "train_id", "eval_id", threshold)
   }
 }

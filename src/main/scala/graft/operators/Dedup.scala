@@ -106,6 +106,59 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
   }
 
+  /** Exact shingle-set Jaccard verification over a candidate pair list —
+    * shared by the within-corpus ([[nearDupPairs]]) and cross-corpus
+    * ([[graft.operators.Decontam.nearDupAcross]]) paths. Semi-joins each
+    * side down to ids appearing in a candidate pair, projects each doc's
+    * shingle array ONCE (the one-pass [[graft.functions.ShinglesExpr]];
+    * the join is a CollapseProject barrier, so intersect+union above it
+    * reference the array attribute instead of re-inlining the shingle
+    * pipeline — round-1 measured 4 recomputes per pair without the
+    * barrier, 21.9 s of a 58.7 s bench). No distinct pass:
+    * array_intersect/array_union dedup internally, so set-jaccard over the
+    * raw multiset arrays is identical.
+    */
+  private[operators] def verifyJaccard(
+      cand: DataFrame,
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      leftKey: String,
+      rightKey: String,
+      threshold: Double
+  ): DataFrame = {
+    def shingled(df: DataFrame, ids: DataFrame) =
+      df.join(ids, Seq(idCol), "left_semi")
+        .select(col(idCol),
+          graft.functions.MinHashExpr.shinglesArray(col(textCol)).as("sh"))
+    // self-join case (within-corpus pairs): ONE shingle projection over the
+    // union of both key columns feeds both sides; cross-corpus keeps a
+    // projection per side
+    val (shA, shB) =
+      if (left eq right) {
+        val ids = cand.select(col(leftKey).as(idCol))
+          .union(cand.select(col(rightKey).as(idCol))).distinct()
+        val sh = shingled(left, ids)
+        (sh, sh)
+      } else (
+        shingled(left, cand.select(col(leftKey).as(idCol)).distinct()),
+        shingled(right, cand.select(col(rightKey).as(idCol)).distinct()))
+    cand
+      .join(shA.select(col(idCol).as(leftKey), col("sh").as("sh_a")), leftKey)
+      .join(shB.select(col(idCol).as(rightKey), col("sh").as("sh_b")), rightKey)
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          6
+        )
+      )
+      .where(col("jaccard") >= threshold)
+      .select(col(leftKey), col(rightKey), col("jaccard"))
+  }
+
   /** Candidate near-dup pairs via LSH, verified with exact shingle-set
     * Jaccard ≥ `threshold`. The join is per-bucket (hash-partitioned on
     * band_hash); Jaccard verification only touches candidate pairs.
@@ -138,33 +191,8 @@ object Dedup {
       .localCheckpoint()
 
     // jaccard verification shingles only CANDIDATE docs (LSH keeps these a
-    // tiny fraction of the corpus): semi-join the corpus down to ids that
-    // appear in any candidate pair, project each doc's shingle array ONCE,
-    // then join the arrays to the pairs. The join is a CollapseProject
-    // barrier, so intersect+union above it reference the array attribute
-    // instead of re-inlining the shingle pipeline (which round-1 measured at
-    // 4 recomputes per pair, 21.9s of a 58.7s bench). No distinct pass:
-    // array_intersect/array_union dedup internally, so set-jaccard over the
-    // raw multiset arrays is identical.
-    val candIds = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b").as(idCol)))
-      .distinct()
-    val sh = df
-      .join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol)).as("sh"))
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
-          6
-        )
-      )
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // tiny fraction of the corpus) — see verifyJaccard
+    verifyJaccard(cand, df, df, idCol, textCol, "id_a", "id_b", threshold)
   }
 
   /** Connected components over near-dup PAIRS → one cluster label per doc

@@ -27,7 +27,9 @@ object Search {
       terms: Seq[String]
   ): DataFrame = {
     require(terms.nonEmpty, "matchAllTerms: empty term set")
-    val lowered = terms.map(_.toLowerCase)
+    // dedupe after lowercasing: Seq("Spark", "spark") must behave as one
+    // term, not demand two distinct matches (which no doc can satisfy)
+    val lowered = terms.map(_.toLowerCase).distinct
     // necessary-condition gate BEFORE the explode: a doc can only match all
     // terms as tokens if it contains each as a substring, so docs failing the
     // cheap contains() conjunction skip tokenization entirely (at scale the
@@ -43,7 +45,7 @@ object Search {
     postings
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"))
-      .where(col("n_terms") === terms.length)
+      .where(col("n_terms") === lowered.length)
       .select(col(idCol), col("n_hits"))
   }
 }

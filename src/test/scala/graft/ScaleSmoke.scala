@@ -28,6 +28,25 @@ object ScaleSmoke {
     // replicated documents slice
     "decontam_ngram", "decontam_neardup")
 
+  /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
+    * per-(session, dir) memoized pair list in SparkEntry; timing it through
+    * the memo makes the base side warm (serve-only) and the replica side
+    * cold (build+serve) — unlike quantities — and parking checkpointed pair
+    * blocks for BOTH dirs in storage memory distorts every later
+    * measurement. The smoke times the cold build+serve composition on both
+    * dirs instead.
+    */
+  private val OVERRIDES: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("neardup_clusters" -> ((s, dir) =>
+      operators.Dedup.nearDupClusters(
+          operators.Dedup.nearDupPairs(
+            Tables.documents(s, dir), "doc_id", "text",
+            k = 8, rowsPerBand = 2, threshold = 0.2))
+        .orderBy("id")))
+
+  private def queryOf(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    OVERRIDES.getOrElse(name, SparkEntry.queries(name))
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/repo/tmp/sf1-smoke")
@@ -60,11 +79,15 @@ object ScaleSmoke {
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      queryOf(name)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // prime JVM/codegen once (untimed) so the first timed query isn't biased
-    QUERIES.foreach { q => try SparkEntry.queries(q)(spark, base).count() catch { case _: Throwable => () } }
+    // prime JVM/codegen once (untimed) so the first timed query isn't biased;
+    // base only — memoized serving paths are overridden to their cold
+    // composition above, so no per-dir memo state can skew a side
+    QUERIES.foreach { q =>
+      try queryOf(q)(spark, base).count() catch { case _: Throwable => () }
+    }
 
     println(f"| query | t(sf0.1) s | t(${reps}x) s | ratio |")
     println("|---|---|---|---|")

@@ -593,6 +593,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.where(col("fast") =!= col("hof")).count() == 0)
   }
 
+  test("ShinglesExpr fuzz: equals HOF shingles over adversarial whitespace/unicode") {
+    import spark.implicits._
+    // deterministic adversarial strings: runs of spaces/tabs/newlines at the
+    // edges, unicode glyphs, empty/blank strings — the places a hand-rolled
+    // trim/split drifts from Spark's trim (spaces only) + split('\s+', -1)
+    val rnd = new scala.util.Random(42)
+    val glyphs = Array("a", "bb", "é", "✓", "0", " ", " ", "\t", "\n", "  ")
+    val strs = ("" +: "   " +: "\t\n" +: (0 until 400).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => glyphs(rnd.nextInt(glyphs.length))).mkString
+    }).toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val drift = strs.select(
+          graft.functions.MinHashExpr.shinglesArray(col("text"), n).as("fast"),
+          Dedup.shingles(col("text"), n).as("hof"))
+        .where(col("fast") =!= col("hof"))
+      assert(drift.count() == 0,
+        s"n=$n drift: ${drift.take(3).mkString("; ")}")
+    }
+  }
+
   test("ngramOverlap finds exactly the train/eval pairs sharing a 5-gram") {
     import spark.implicits._
     val train = Seq(
@@ -655,6 +675,12 @@ class OperatorsSpec extends AnyFunSuite {
         Seq("spark", "window", "join"))
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 4L), (3L, 3L)))
+    // duplicate / case-duplicate query terms collapse to one requirement
+    // instead of demanding an unsatisfiable distinct-match count
+    val dup = Search.matchAllTerms(df, "doc_id", "text",
+        Seq("Spark", "spark", "window", "join"))
+      .as[(Long, Long)].collect().toSet
+    assert(dup == got)
   }
 
   test("nearDupAcross: exact cross-split dup found, precision verified, no within-side pairs") {

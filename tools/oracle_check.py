@@ -6,8 +6,9 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [query ...]
 Loads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB over the
 parquet tables in <sfDir>, and compares rows / schema (column names) /
 value hash against the Spark result parquet the Verify main dumped.
-Values are hashed column-name-sorted, rows sorted, floats rounded via
-repr of round(.., 10) to absorb printing noise the driver also absorbs.
+Values are hashed column-name-sorted, rows sorted, floats canonicalized
+to 10 significant digits (%.10g) to absorb printing noise the driver
+also absorbs.
 """
 import sys, json, glob, hashlib
 import duckdb
@@ -36,6 +37,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)} — "
+                 f"a typo here would silently skip the check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
