@@ -463,6 +463,15 @@ object SparkEntry {
       operators.Chunking.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
+    // vocabulary pruning + OOV remap: corpus-rare tokens become <unk>,
+    // documents reassembled in original token order
+    "vocab_prune" -> ((s, dir) =>
+      operators.TextAnalysis.pruneVocab(
+          Tables.documents(s, dir), "doc_id", "text", minCount = 500)
+        .select(col("doc_id"),
+          substring(md5(col("pruned_text")), 1, 16).as("pruned_fp"),
+          col("n_unk"))
+        .orderBy("doc_id")),
     // the pretraining prep flow end-to-end in ONE plan: chunk into context
     // windows, then pack chunks into ~4096-token shards (chunk id = global
     // (doc, chunk) order); output = per-shard chunk counts
@@ -1101,6 +1110,18 @@ object SparkEntry {
            array_to_string(ws[ci*24 + 1 : ci*24 + 32], ' ') AS chunk_text,
            least(32, n - ci*24) AS n_tok
          FROM c ORDER BY doc_id, chunk_idx""",
+    "vocab_prune" ->
+      // mirror of TextAnalysis.pruneVocab(minCount=500): vocab from the
+      // same token stream, order restored via the carried subscript
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ws FROM documents),
+         t AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS i FROM w),
+         vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok) WHERE n >= 500),
+         m AS (SELECT t.doc_id, t.i,
+               CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<unk>' END AS tok2
+               FROM t LEFT JOIN vocab v ON t.tok = v.tok)
+         SELECT doc_id, md5(string_agg(tok2, ' ' ORDER BY i))[:16] AS pruned_fp,
+           CAST(SUM(CASE WHEN tok2 = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     "chunk_pack_e2e" ->
       // chunking CTEs + the NAIVE single-window prefix sum over chunk ids
       // (chunk_id = doc_id*16 + chunk_idx preserves (doc, chunk) order; max

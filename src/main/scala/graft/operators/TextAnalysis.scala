@@ -156,6 +156,38 @@ object TextAnalysis {
         greatest(col("n_toks"), lit(1)), 6).as("top_token_frac"))
   }
 
+  /** Vocabulary pruning with OOV remapping: tokens occurring fewer than
+    * `minCount` times across the corpus become `<unk>`, and each document is
+    * reassembled in original token order — the vocab-build + out-of-vocab
+    * step ahead of tokenizer training.
+    *
+    * Plan shape at 100 TB: the kept vocabulary is a hash-partitioned
+    * aggregate (map-side partials) that is then BROADCAST to the remap join
+    * (a real vocabulary is ~10^5-10^6 terms — broadcast-sized by
+    * construction, no shuffle of the corpus on the join key); reassembly
+    * shuffles once by doc id and restores order via the carried position
+    * (sort_array over (pos, token) structs — no assumption that
+    * collect_list preserves arrival order).
+    */
+  def pruneVocab(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, unk: String = "<unk>"): DataFrame = {
+    val id = col(idCol)
+    val toks = df.select(id, posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(col("tok").as("_vt"))
+    toks
+      .join(broadcast(vocab), toks("tok") === col("_vt"), "left")
+      .select(id, col("pos"),
+        when(col("_vt").isNotNull, col("tok")).otherwise(lit(unk)).as("tok2"))
+      .groupBy(id)
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok2")))),
+            x => x.getField("tok2"))).as("pruned_text"),
+        sum(when(col("tok2") === unk, 1L).otherwise(0L)).as("n_unk"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Cross-engine stable (md5 in both Spark and DuckDB); the first 16 hex
     * chars serve as a 64-bit fingerprint.

@@ -206,4 +206,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.matches("(?s).*ReadSchema: struct<doc_id:[^,]+,text:[^>]+>.*"),
       s"scan reads more than (doc_id, text):\n$plan")
   }
+
+  test("decontam_apply: every join stays an equi/broadcast join — no all-pairs") {
+    val plan = planOf(SparkEntry.queries("decontam_apply")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination composite degenerated to all-pairs:\n$plan")
+  }
+
+  test("vocab_prune: the remap join broadcasts the vocabulary") {
+    val plan = planOf(SparkEntry.queries("vocab_prune")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab not broadcast — corpus would shuffle on the token key:\n$plan")
+  }
 }

@@ -721,6 +721,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 1.0)))
   }
 
+  test("tokenChunks fuzz: equals a Scala reference over random sizes/strides") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docsF = (0 until 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(120)).map(j => s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    val df = docsF.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((4, 3), (8, 8), (16, 5))) {
+      val got = Chunking.tokenChunks(df, "doc_id", "text", size, stride)
+        .as[(Long, Int, String, Long)].collect().toSet
+      val want = docsF.flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+", -1)
+        val last = math.max(0L, math.ceil((ws.length - size).toDouble / stride).toLong)
+        (0L to last).map { k =>
+          val start = (k * stride).toInt
+          val tok = ws.slice(start, start + size)
+          (id, k.toInt, tok.mkString(" "), math.min(size.toLong, ws.length - start))
+        }
+      }.toSet
+      assert(got == want, s"size=$size stride=$stride mismatch")
+    }
+  }
+
+  test("pruneVocab: rare tokens become <unk>, token order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa bb cc"),
+      (2L, "aa bb dd"),
+      (3L, "aa bb"),
+      (4L, "qq aa rr bb") // interleaved rare tokens pin order preservation
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pruneVocab(df, "doc_id", "text", minCount = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (("aa bb <unk>", 1L)))
+    assert(got(2L) == (("aa bb <unk>", 1L)))
+    assert(got(3L) == (("aa bb", 0L)))
+    assert(got(4L) == (("<unk> aa <unk> bb", 2L)))
+  }
+
   test("tokenChunks: overlapping windows cover every token, short docs one chunk") {
     import spark.implicits._
     val df = Seq(
