@@ -472,6 +472,27 @@ object SparkEntry {
           substring(md5(col("pruned_text")), 1, 16).as("pruned_fp"),
           col("n_unk"))
         .orderBy("doc_id")),
+    // exact duplicate-substring spans (Lee et al. 2021): per document, the
+    // maximal token spans whose every 8-token window repeats in the corpus
+    "dup_spans" -> ((s, dir) =>
+      operators.DupSpans.dupSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")),
+    // deterministic global corpus shuffle: a reproducible pretraining order
+    // assigned by the two-level bucketed rank (no single-partition window)
+    "global_shuffle" -> ((s, dir) =>
+      operators.CorpusShuffle.globalShuffle(Tables.documents(s, dir), "doc_id")
+        .orderBy("doc_id")),
+    // T=2 temperature rebalancing across languages: each stratum keeps
+    // ceil(min(n, 8*sqrt(n))) md5-ranked docs — rare langs upweighted
+    "temperature_sample" -> ((s, dir) =>
+      operators.Sampling.temperatureSample(
+          Tables.documents(s, dir), "doc_id", "lang", c = 8.0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    // unigram-LM surprise score (cheap perplexity proxy) per document
+    "unigram_logprob" -> ((s, dir) =>
+      operators.TextAnalysis.unigramLogprob(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // the pretraining prep flow end-to-end in ONE plan: chunk into context
     // windows, then pack chunks into ~4096-token shards (chunk id = global
     // (doc, chunk) order); output = per-shard chunk counts
@@ -1122,6 +1143,43 @@ object SparkEntry {
          SELECT doc_id, md5(string_agg(tok2, ' ' ORDER BY i))[:16] AS pruned_fp,
            CAST(SUM(CASE WHEN tok2 = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    "dup_spans" ->
+      // generated mirror of DupSpans.dupSpans(k=8): the naive single-engine
+      // window-function form — count per gram digest, gaps-and-islands
+      operators.DupSpans.dupSpansSql("documents", "doc_id", "text", 8),
+    "global_shuffle" ->
+      // the naive single-window rank the two-level decomposition must equal
+      operators.CorpusShuffle.globalShuffleSql("documents", "doc_id", "shuffle"),
+    "temperature_sample" ->
+      // mirror of Sampling.temperatureSample(c=8): sqrt is IEEE-exact in
+      // both engines, so the ceil threshold can never flip
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('sample:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         WHERE rn <= CEIL(least(CAST(n AS DOUBLE), 8.0 * sqrt(CAST(n AS DOUBLE))))
+         ORDER BY doc_id""",
+    "unigram_logprob" ->
+      // mirror of TextAnalysis.unigramLogprob: per-term nll rounded to 4
+      // decimals THEN summed as DECIMAL — exact, no float-order dependence;
+      // the avg divides once in double with NO final round (cast + IEEE
+      // division are correctly rounded ⇒ bit-identical; a round(4) landed
+      // on exact halves where the engines' rounding algorithms disagree)
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS term
+             FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+         fr AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+         tot AS (SELECT SUM(cnt) AS t_total FROM fr),
+         j AS (SELECT tf.doc_id, tf.tf,
+               CAST(round(ln(CAST(t_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 4)
+                 AS DECIMAL(18,4)) AS nll
+               FROM tf JOIN fr USING (term) CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+           CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
+             / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     "chunk_pack_e2e" ->
       // chunking CTEs + the NAIVE single-window prefix sum over chunk ids
       // (chunk_id = doc_id*16 + chunk_idx preserves (doc, chunk) order; max

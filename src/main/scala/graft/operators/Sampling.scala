@@ -56,4 +56,41 @@ object Sampling {
       .where(col("_ss_rn") <= ceil(col("_ss_n") * frac))
       .drop("_ss_rn", "_ss_n")
   }
+
+  /** Temperature-flattened mixture sampling (the multilingual rebalancing
+    * step: sample stratum l with probability ∝ p_l^(1/T) so rare
+    * languages/sources are upweighted relative to their corpus share).
+    * T = 2 specifically: the per-stratum target is
+    * `ceil(min(n_l, c·sqrt(n_l)))` — inverse-sqrt flattening, which keeps
+    * small strata whole and downsamples large ones toward c·sqrt(n).
+    *
+    * T = 2 is not arbitrary: sqrt is CORRECTLY ROUNDED under IEEE 754 in
+    * every engine (unlike pow/exp, which are libm-dependent in the last
+    * ulp), so `c * sqrt(n)` is bit-identical in Spark and DuckDB and the
+    * ceil threshold can never flip between engines — the target count is
+    * exactly reproducible, like everything else in this file.
+    *
+    * Same single-shuffle shape as [[stratifiedSample]]: one window per
+    * stratum serves both the md5 rank and the stratum size; selection is a
+    * pure function of ids. Skewed-stratum mitigation as documented there.
+    */
+  def temperatureSample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      stratumCol: String,
+      c: Double,
+      salt: String = "sample"
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c > 0, s"temperatureSample: need c > 0, got $c")
+    require(!df.columns.contains("_ss_rn") && !df.columns.contains("_ss_n"),
+      "temperatureSample: input already has a _ss_rn/_ss_n column")
+    val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    df.withColumn("_ss_rn", row_number().over(byStratum.orderBy(key, col(idCol))).cast("long"))
+      .withColumn("_ss_n", count(lit(1)).over(byStratum))
+      .where(col("_ss_rn") <=
+        ceil(least(col("_ss_n").cast("double"), lit(c) * sqrt(col("_ss_n").cast("double")))))
+      .drop("_ss_rn", "_ss_n")
+  }
 }

@@ -188,6 +188,49 @@ object TextAnalysis {
         sum(when(col("tok2") === unk, 1L).otherwise(0L)).as("n_unk"))
   }
 
+  /** Unigram language-model surprise score — the cheap perplexity proxy a
+    * quality gate thresholds on (rare-word-heavy garbage scores high, stock
+    * boilerplate scores low). The "model" is the corpus itself: token
+    * negative log-probability −ln(cnt(t)/T) under the corpus unigram
+    * distribution, averaged per document.
+    *
+    * Cross-engine exactness: ln is libm-dependent in the last ulp, so each
+    * per-TERM nll is rounded to 4 decimals FIRST and cast to
+    * DECIMAL(18,4) — the per-document sum is then EXACT (decimal
+    * arithmetic, no float summation-order dependence; the k-means
+    * DECIMAL-mean trick applied to log-probs). The final average divides
+    * once in double: the decimal→double cast and the IEEE division are
+    * both correctly rounded, so the result is bit-identical across
+    * engines WITHOUT a final round — a round(4) here landed on exact
+    * decimal halves (sum/n terminates at 5 in the 5th place whenever
+    * n | 10·10^4·sum) where Spark (binary-expansion HALF_UP) and DuckDB
+    * (scale-multiply-then-nearbyint) disagree by one ulp of the last
+    * kept digit.
+    *
+    * Plan shape at 100 TB: one explode → hash-partitioned (doc, term) tf
+    * agg with map-side partials → term totals derived from the tf relation
+    * (no second corpus scan) — the unigram table is vocabulary-sized, so
+    * it BROADCASTS to the per-doc join; corpus token total rides along as
+    * a broadcast one-row cross join. Nothing reaches the driver.
+    */
+  def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val tf = df.select(id, explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = freq.agg(sum("cnt").as("t_total"))
+    val nll = round(log(col("t_total").cast("double") / col("cnt").cast("double")), 4)
+      .cast("decimal(18,4)")
+    tf.join(broadcast(freq), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(id)
+      .agg(
+        sum(col("tf")).as("n_toks"),
+        sum(col("tf").cast("decimal(18,4)") * nll).as("_ul_sum"))
+      .select(id, col("n_toks"),
+        (col("_ul_sum").cast("double") / col("n_toks").cast("double")).as("avg_nll"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Cross-engine stable (md5 in both Spark and DuckDB); the first 16 hex
     * chars serve as a 64-bit fingerprint.

@@ -786,4 +786,108 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(viaEntry == fresh)
   }
+
+  test("dupSpans finds maximal cross-doc spans, merges islands, handles within-doc repeats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),       // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e z"),
+      (3L, "m n o"),                 // unique — must not appear
+      (4L, "r s r s r s r s r s")    // self-repeating: whole doc one span
+    ).toDF("doc_id", "text")
+    val got = DupSpans.dupSpans(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: windows 0..2 duplicated → span tokens [0,4]; doc 2: windows
+    // 2..4 → [2,6]; doc 4: every window repeats a later/earlier one →
+    // one island covering the doc
+    assert(got == Seq(
+      (1L, 0L, 4L, 5L, 3L),
+      (2L, 2L, 6L, 5L, 3L),
+      (4L, 0L, 9L, 10L, 8L)))
+  }
+
+  test("dupSpans clamps sub-k duplicate documents to the real document end") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q"), (2L, "p q"),       // exact short dup: span [0,1], 2 tokens
+      (3L, "only once here at all")
+    ).toDF("doc_id", "text")
+    val got = DupSpans.dupSpans(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 1L, 2L, 1L), (2L, 0L, 1L, 2L, 1L)))
+  }
+
+  test("dupSpans plan: every data-bearing window is partitioned (digest or doc)") {
+    val out = DupSpans.dupSpans(docs, "doc_id", "text", k = 8)
+    val winLines = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(l => l.contains("g#") || l.contains("doc_id#")),
+      s"unpartitioned window in dupSpans plan:\n${winLines.mkString("\n")}")
+  }
+
+  test("globalShuffle is a permutation equal to the naive global rank, stable across runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val out = CorpusShuffle.globalShuffle(docs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val key = md5(concat(lit("shuffle:"), col("doc_id").cast("string")))
+    val naive = docs.select(col("doc_id"),
+        (row_number().over(Window.orderBy(key, col("doc_id"))) - 1).cast("long").as("pos"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == naive)
+    // permutation of 0..N-1
+    assert(out.values.toSeq.sorted == (0L until out.size.toLong))
+    // and genuinely shuffled: not the identity order
+    assert(out.toSeq.sortBy(_._1).map(_._2) != (0L until out.size.toLong))
+    val again = CorpusShuffle.globalShuffle(docs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == again)
+  }
+
+  test("globalShuffle plan: corpus rank windows partition by the key-prefix bucket") {
+    val out = CorpusShuffle.globalShuffle(docs, "doc_id")
+    val winLines = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("_gs_b#")),
+      s"bucketed window missing:\n${winLines.mkString("\n")}")
+  }
+
+  test("temperatureSample keeps ceil(min(n, c*sqrt(n))) per stratum; small strata whole") {
+    import spark.implicits._
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val c = 4.0
+    val sampled = Sampling.temperatureSample(docs, "doc_id", "lang", c)
+    val gotSizes = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, n) =>
+      val want = math.ceil(math.min(n.toDouble, c * math.sqrt(n.toDouble))).toLong
+      assert(gotSizes.getOrElse(lang, 0L) == want,
+        s"stratum $lang quota wrong: ${gotSizes.get(lang)} want $want of $n")
+    }
+    // a stratum smaller than c^2 survives intact (c*sqrt(n) >= n)
+    import org.apache.spark.sql.functions.{col => fcol}
+    val tiny = docs.limit(0).union(docs.where(fcol("lang") === "en").limit(3))
+    val keptWhole = Sampling.temperatureSample(tiny, "doc_id", "lang", c).count()
+    assert(keptWhole == 3L)
+    // deterministic: pure function of ids
+    val again = Sampling.temperatureSample(docs, "doc_id", "lang", c)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sampled.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("unigramLogprob matches hand-computed corpus surprise, decimal-exact") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprob(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // counts: a=2 b=2 c=1, T=5; nll = round(ln(T/cnt), 4)
+    val nllA = BigDecimal(math.log(5.0 / 2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val nllC = BigDecimal(math.log(5.0 / 1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 2L)))
+    assert(math.abs(got(0)._3 - (nllA * 3).toDouble / 3) < 1e-12)
+    assert(math.abs(got(1)._3 - (nllA + nllC).toDouble / 2) < 1e-12)
+  }
 }
