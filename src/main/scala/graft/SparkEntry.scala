@@ -477,6 +477,21 @@ object SparkEntry {
     "dup_spans" -> ((s, dir) =>
       operators.DupSpans.dupSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")),
+    // the span APPLY step: documents with duplicated substrings cut out;
+    // fully-duplicated docs drop entirely
+    "dup_spans_strip" -> ((s, dir) =>
+      operators.DupSpans.stripDupSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+    // asymmetric containment over LSH candidates: the excerpt/quotation
+    // signal resemblance Jaccard misses
+    "containment_pairs" -> ((s, dir) =>
+      operators.Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 8, rowsPerBand = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    // per-vector symmetric int8 embedding quantization, engine-exact codes
+    "int8_quantize" -> ((s, dir) =>
+      operators.Quantize.int8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")),
     // deterministic global corpus shuffle: a reproducible pretraining order
     // assigned by the two-level bucketed rank (no single-partition window)
     "global_shuffle" -> ((s, dir) =>
@@ -1147,6 +1162,24 @@ object SparkEntry {
       // generated mirror of DupSpans.dupSpans(k=8): the naive single-engine
       // window-function form — count per gram digest, gaps-and-islands
       operators.DupSpans.dupSpansSql("documents", "doc_id", "text", 8),
+    "dup_spans_strip" ->
+      // generated mirror of DupSpans.stripDupSpans(k=8): span CTEs + token
+      // anti-join + order-restored reassembly
+      operators.DupSpans.stripDupSpansSql("documents", "doc_id", "text", 8),
+    "containment_pairs" ->
+      // the nearDupCtes chain's cand + distinct shingles, both containment
+      // directions, pair kept when either reaches 0.5
+      s"""WITH $nearDupCtes,
+         ct AS (SELECT id_a, id_b,
+             round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh), 6) AS cont_a_in_b,
+             round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh), 6) AS cont_b_in_a
+           FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM ct
+         WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5 ORDER BY id_a, id_b""",
+    "int8_quantize" ->
+      // generated mirror of Quantize.int8Quantize: IEEE-exact code arrays,
+      // md5-fingerprint equality
+      operators.Quantize.int8QuantizeSql("embeddings", "vec_id", "embedding"),
     "global_shuffle" ->
       // the naive single-window rank the two-level decomposition must equal
       operators.CorpusShuffle.globalShuffleSql("documents", "doc_id", "shuffle"),

@@ -195,6 +195,53 @@ object Dedup {
     verifyJaccard(cand, df, df, idCol, textCol, "id_a", "id_b", threshold)
   }
 
+  /** Asymmetric CONTAINMENT over LSH candidates: for each candidate pair,
+    * |S(A)∩S(B)| / |S(A)| and / |S(B)| over distinct 3-gram shingles —
+    * the excerpt/quotation signal (a short doc embedded verbatim in a long
+    * one scores containment ≈ 1 while resemblance Jaccard stays low, so a
+    * Jaccard threshold alone never surfaces it). Pairs where either
+    * direction reaches `threshold` are returned with both scores.
+    *
+    * Same architecture as [[nearDupPairs]]: bucketed band self-join for
+    * candidates, exact verification over candidates only. Candidates still
+    * come from RESEMBLANCE MinHash — the published caveat is that recall
+    * for extreme size ratios needs more bands or smaller `rowsPerBand`
+    * (P(share a band) decays with the Jaccard, which containment-heavy
+    * pairs can keep low); parameters are exposed for exactly that.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val bands = lshBands(df, idCol, textCol, k, rowsPerBand).localCheckpoint()
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a
+      .join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val ids = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    // ONE distinct-shingle projection feeds both sides (self-join case)
+    val sh = df.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(graft.functions.MinHashExpr.shinglesArray(col(textCol))).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("_ct_i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(col("_ct_i") / size(col("sh_a")), 6).as("cont_a_in_b"),
+        round(col("_ct_i") / size(col("sh_b")), 6).as("cont_b_in_a"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Connected components over near-dup PAIRS → one cluster label per doc
     * (the min reachable id), i.e. the dedup GROUPS a training pipeline
     * keeps one representative from. Distributed min-label propagation:

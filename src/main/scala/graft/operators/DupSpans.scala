@@ -74,17 +74,55 @@ object DupSpans {
         col("n_windows"))
   }
 
-  /** DuckDB SQL mirror of [[dupSpans]] over table `tbl(idCol, textCol)` —
-    * the naive single-engine form (unnest + window functions), same result.
+  /** The duplicated-span apply step: each document with its duplicated
+    * spans CUT OUT (the Lee et al. transformation — drop the repeated
+    * substring, keep the unique remainder). Documents stripped to nothing
+    * (every token inside a span, e.g. exact duplicates) drop out of the
+    * result entirely; documents with no duplicated span pass through
+    * whole.
+    *
+    * Shape: spans explode into their (bounded-by-doc-length) token
+    * positions, an anti-join on (doc, pos) keeps the untouched tokens, and
+    * the reassembly sorts by carried position inside one per-doc aggregate
+    * (the [[TextAnalysis.pruneVocab]] convention — no assumption that
+    * collect_list preserves arrival order). Two shuffles on doc id beyond
+    * the span detection itself.
     */
-  def dupSpansSql(tbl: String, idCol: String, textCol: String, k: Int): String = {
+  def stripDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val id = col(idCol)
+    val dupPos = dupSpans(df, idCol, textCol, k)
+      .select(id, explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = df.select(id,
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    toks.join(dupPos, Seq(idCol, "pos"), "left_anti")
+      .groupBy(id)
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+      .select(id, substring(md5(col("kept_text")), 1, 16).as("kept_fp"),
+        col("n_kept"))
+  }
+
+  /** Shared oracle CTE chain ending at `sp($idCol, span_start, span_end,
+    * n_windows)` — the naive single-engine window-function form of
+    * [[dupSpans]].
+    */
+  private def spanCtes(tbl: String, idCol: String, textCol: String, k: Int): String = {
     val gramExpr = {
       val parts = (0 until k).map(d => s"ws[i+$d]").mkString("||' '||")
       s"""CASE WHEN len(ws) >= $k
             THEN list_transform(range(1, len(ws)-${k - 2}), i -> $parts)
             ELSE [array_to_string(ws, ' ')] END"""
     }
-    s"""WITH w AS (SELECT $idCol, string_split_regex(trim($textCol),'\\s+') AS ws FROM $tbl),
+    s"""w AS (SELECT $idCol, string_split_regex(trim($textCol),'\\s+') AS ws FROM $tbl),
        gr AS (SELECT $idCol, CAST(len(ws) AS BIGINT) AS n_tok, $gramExpr AS grams FROM w),
        win AS (SELECT $idCol, n_tok, CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS pos,
                       md5(unnest(grams)) AS g FROM gr),
@@ -96,9 +134,27 @@ object DupSpans {
        sp AS (SELECT $idCol, MIN(pos) AS span_start,
                      least(MAX(pos) + ${k - 1}, MAX(n_tok) - 1) AS span_end,
                      COUNT(*) AS n_windows
-              FROM isl GROUP BY $idCol, grp)
+              FROM isl GROUP BY $idCol, grp)"""
+  }
+
+  /** DuckDB SQL mirror of [[dupSpans]] over table `tbl(idCol, textCol)` —
+    * the naive single-engine form (unnest + window functions), same result.
+    */
+  def dupSpansSql(tbl: String, idCol: String, textCol: String, k: Int): String =
+    s"""WITH ${spanCtes(tbl, idCol, textCol, k)}
        SELECT $idCol, span_start, span_end,
               span_end - span_start + 1 AS n_tokens, n_windows
        FROM sp ORDER BY $idCol, span_start"""
-  }
+
+  /** DuckDB SQL mirror of [[stripDupSpans]]. */
+  def stripDupSpansSql(tbl: String, idCol: String, textCol: String, k: Int): String =
+    s"""WITH ${spanCtes(tbl, idCol, textCol, k)},
+       dp AS (SELECT $idCol, unnest(range(span_start, span_end + 1)) AS pos FROM sp),
+       t AS (SELECT $idCol, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
+                    unnest(ws) AS tok FROM w),
+       kept AS (SELECT t.$idCol, t.pos, t.tok FROM t
+                ANTI JOIN dp ON t.$idCol = dp.$idCol AND t.pos = dp.pos)
+       SELECT $idCol, md5(string_agg(tok, ' ' ORDER BY pos))[:16] AS kept_fp,
+              COUNT(*) AS n_kept
+       FROM kept GROUP BY $idCol ORDER BY $idCol"""
 }

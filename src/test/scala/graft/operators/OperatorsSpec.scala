@@ -877,6 +877,92 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == sampled.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("stripDupSpans cuts exactly the duplicated spans; fully-dup docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),       // span [0,4] stripped → "f g h"
+      (2L, "x y a b c d e z"),       // span [2,6] stripped → "x y z"
+      (3L, "m n o"),                 // untouched
+      (4L, "p q"), (5L, "p q")       // fully duplicated → dropped
+    ).toDF("doc_id", "text")
+    val got = DupSpans.stripDupSpans(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    def fp(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    assert(got == Seq(
+      (1L, fp("f g h"), 3L),
+      (2L, fp("x y z"), 3L),
+      (3L, fp("m n o"), 3L)))
+  }
+
+  test("stripDupSpans handles overlapping expanded spans from separate islands") {
+    import spark.implicits._
+    // doc 1: "a b c" dup at pos 0 and "c d e" dup at pos 2 (via docs 2/3),
+    // pos 1 window "b c d" unique → two islands whose k-expanded token
+    // ranges [0,2] and [2,4] OVERLAP at token 2 — the anti-join must not
+    // double-drop or leak token 2
+    val df = Seq(
+      (1L, "a b c d e q r s"),
+      (2L, "a b c z z z"),
+      (3L, "z c d e z z")
+    ).toDF("doc_id", "text")
+    val got = DupSpans.stripDupSpans(df, "doc_id", "text", k = 3)
+      .where(col("doc_id") === 1L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(3L), s"doc 1 should keep exactly q r s: $got")
+  }
+
+  test("containmentPairs surfaces an embedded excerpt that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is a verbatim excerpt of doc 1 (first 12 tokens of 24
+    // distinct): containment(B in A) = 1.0 while jaccard = 10/22 — below
+    // any useful jaccard threshold. Single-row bands (k=16, r=1): a band
+    // collides iff that seed's corpus-wide argmin shingle lies in the
+    // shared set (p = 10/22 per seed), so 16 seeds make a collision
+    // effectively certain
+    val long =
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20 w21 w22 w23 w24"
+    val df = Seq((1L, long), (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+        k = 16, rowsPerBand = 1, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, cab, cba) = got.head
+    assert((a, b) == ((1L, 2L)))
+    assert(cba == 1.0, s"excerpt containment should be exactly 1.0: $cba")
+    assert(cab < 0.46, s"long-side containment stays low: $cab")
+    // and the jaccard path at the same threshold finds nothing
+    assert(Dedup.nearDupPairs(df, "doc_id", "text",
+      k = 16, rowsPerBand = 1, threshold = 0.9).count() == 0L)
+  }
+
+  test("int8Quantize: codes round-trip within one scale step, zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.int8Quantize(df, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    assert(out.map(_._2) == Seq(4L, 4L, 1L))
+    assert(out(0)._3 == 1.0 / 127.0)
+    assert(out(1)._3 == 0.0)
+    // codes directly: [64, -127, 32, 0] (0.5*127=63.5 → half-up 64)
+    val codes = df.where(col("vec_id") === 1L)
+      .select(Quantize.int8Codes(col("embedding"), Quantize.absMax(col("embedding"))))
+      .as[Seq[Int]].head()
+    assert(codes == Seq(64, -127, 32, 0), s"codes: $codes")
+    // dequantized max error ≤ scale/2
+    val deq = codes.map(_ * (1.0 / 127.0))
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    assert(deq.zip(orig).forall { case (d, o) => math.abs(d - o) <= 0.5 / 127.0 + 1e-12 })
+  }
+
   test("unigramLogprob matches hand-computed corpus surprise, decimal-exact") {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
