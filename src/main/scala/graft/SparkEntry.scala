@@ -226,6 +226,47 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+    // data-driven quantile banding: exact quartile breakpoints (one tiny
+    // agg row) broadcast back over the fact scan — the "band by score
+    // distribution" gate shape; no shuffle of the facts beyond the
+    // band agg itself
+    "value_bands" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val breaks = o.agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      o.crossJoin(broadcast(breaks))
+        .select(
+          when(col("o_totalprice") < col("p25"), "q1")
+            .when(col("o_totalprice") < col("p50"), "q2")
+            .when(col("o_totalprice") < col("p75"), "q3")
+            .otherwise("q4").as("band"),
+          col("o_totalprice"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2)
+            .as("sum_price"))
+        .orderBy("band")
+    }),
+    // hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    // event lands in exactly width/hop = 2 windows
+    "sliding_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          round(decSum(col("value")), 2).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("w_ms"), col("n"), col("sum_value"))
+        .orderBy("w_ms")),
+    // token frequency-of-frequency spectrum (the Good-Turing input and the
+    // quickest corpus-health fingerprint): how many distinct terms occur
+    // exactly f times
+    "freq_spectrum" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(operators.TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("n_terms"))
+        .orderBy("f")),
     "edit_distance" -> ((s, dir) =>
       Tables.part(s, dir)
         .select(col("p_partkey"),
@@ -773,6 +814,33 @@ object SparkEntry {
     "edit_distance" ->
       """SELECT p_partkey, levenshtein(p_name, 'steel blue tomato') AS dist
          FROM part ORDER BY dist, p_partkey LIMIT 20""",
+    "value_bands" ->
+      // quartile breakpoints (quantile_cont ≡ Spark percentile, round(4)
+      // masking interpolation ulps — the percentiles-query convention)
+      """WITH b AS (SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                  round(quantile_cont(o_totalprice, 0.75), 4) AS p75 FROM orders)
+         SELECT CASE WHEN o_totalprice < p25 THEN 'q1'
+                     WHEN o_totalprice < p50 THEN 'q2'
+                     WHEN o_totalprice < p75 THEN 'q3' ELSE 'q4' END AS band,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+         FROM orders CROSS JOIN b GROUP BY band ORDER BY band""",
+    "sliding_window" ->
+      // width/hop = 2 epoch-aligned starts per event; Spark window() floors
+      // to the hop exactly like time_bucket
+      """SELECT epoch_ms(s) AS w_ms, COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+         FROM (SELECT value, unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                       time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS s
+               FROM events)
+         GROUP BY 1 ORDER BY w_ms""",
+    "freq_spectrum" ->
+      """SELECT f, COUNT(*) AS n_terms FROM (
+           SELECT term, COUNT(*) AS f FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)),'\s+')) AS term
+             FROM documents) GROUP BY term)
+         GROUP BY f ORDER BY f""",
     "tumbling_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL 6 HOUR, ts)) AS w, COUNT(*) AS n,
          round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value

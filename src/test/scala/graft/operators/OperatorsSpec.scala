@@ -963,6 +963,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(deq.zip(orig).forall { case (d, o) => math.abs(d - o) <= 0.5 / 127.0 + 1e-12 })
   }
 
+  test("value_bands partitions all orders; sliding windows double-count; spectrum conserves tokens") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val bands = graft.SparkEntry.queries("value_bands")(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(bands.map(_._1) == Seq("q1", "q2", "q3", "q4"))
+    assert(bands.forall(_._2 > 0))
+    assert(bands.map(_._2).sum == graft.Tables.orders(spark, dir).count())
+    val slid = graft.SparkEntry.queries("sliding_window")(spark, dir)
+      .agg(sum("n")).as[Long].head()
+    assert(slid == 2 * graft.Tables.events(spark, dir).count(),
+      "every event must land in exactly width/hop = 2 hopping windows")
+    val spec = graft.SparkEntry.queries("freq_spectrum")(spark, dir)
+      .select(col("f") * col("n_terms")).as[Long].collect().sum
+    val toks = graft.Tables.documents(spark, dir)
+      .select(sum(TextAnalysis.tokenCount(col("text")))).as[Long].head()
+    assert(spec == toks, s"spectrum mass $spec != corpus tokens $toks")
+  }
+
   test("unigramLogprob matches hand-computed corpus surprise, decimal-exact") {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
