@@ -27,15 +27,25 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // two timed reps, min reported: single-rep numbers across an 80+-query
+    // run in one JVM showed rare one-off 10-15x spikes on queries whose
+    // isolated steady state is flat (JIT code-cache churn / GC pauses —
+    // verified not host CPU steal and not the query plan). min-of-2 keeps
+    // the number attributable to the plan; "reps"/"agg" are recorded in the
+    // JSON so no run is comparable to a different methodology unnoticed.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) Some(dt) else None
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // 3-decimal seconds keep the whole 57-query line well under 2k chars:
     // the round-1/2 full-precision lines overflowed the driver's 2000-char
@@ -73,7 +83,7 @@ object Bench {
       } else System.err.println(s"[bench] no per-query regressions vs $file")
     }
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // full-precision history for the NEXT round's delta base (the driver's
     // BENCH_r{N}.json wrapper often only carries a bounded log tail)
     try java.nio.file.Files.write(

@@ -33,7 +33,10 @@ object Chunking {
     val lastStart = greatest(
       ceil((n - lit(chunkSize)).cast("double") / lit(stride)).cast("long"),
       lit(0L))
-    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tc_ws"))
+    // min-parallelism guard: the per-row window construction is the CPU
+    // stage; a single-row-group input would otherwise run it on one task
+    Dedup.parallelize(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tc_ws"))
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0L), lastStart),

@@ -36,7 +36,7 @@ object Decontam {
     // array_distinct per row) is CodegenFallback and benched 12.7 s at sf0.1
     // vs ~1 s for this plan
     def grams(df: DataFrame, outId: String) =
-      df.select(col(idCol).as(outId),
+      Dedup.parallelize(df).select(col(idCol).as(outId),
           explode(graft.functions.MinHashExpr.shinglesArray(col(textCol), n)).as("gram"))
         .select(col(outId), md5(col("gram")).as("g"))
         .distinct()

@@ -70,7 +70,7 @@ object Dedup {
     * only fires when the scan has fewer partitions than the session's
     * parallelism, where the repartition shuffle is small by construction.
     */
-  private def parallelize(df: DataFrame): DataFrame = {
+  private[graft] def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd, not .rdd: reads the planned partition count without building
     // the extra deserializing RDD plan a Dataset.rdd conversion adds

@@ -48,8 +48,10 @@ object DupSpans {
     require(k > 0, s"dupSpans: need k > 0, got $k")
     val id = col(idCol)
     // n_tok rides along (8 bytes/row) so a sub-k document's whole-text
-    // window clamps its span to the real document end
-    val windows = df.select(
+    // window clamps its span to the real document end.
+    // Dedup.parallelize: the shingle+md5 scan is the CPU stage — a
+    // single-row-group input would otherwise run it on one task
+    val windows = Dedup.parallelize(df).select(
         id,
         TextAnalysis.tokenCount(col(textCol)).as("_ds_n"),
         posexplode(graft.functions.MinHashExpr.shinglesArray(col(textCol), k))
@@ -97,7 +99,7 @@ object DupSpans {
     val id = col(idCol)
     val dupPos = dupSpans(df, idCol, textCol, k)
       .select(id, explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val toks = df.select(id,
+    val toks = Dedup.parallelize(df).select(id,
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("pos", col("pos").cast("long"))
     toks.join(dupPos, Seq(idCol, "pos"), "left_anti")

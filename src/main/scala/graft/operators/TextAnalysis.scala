@@ -134,9 +134,12 @@ object TextAnalysis {
     * 22 s at sf0.1 vs ~1 s for this plan — the minhash/winnow lesson again:
     * per-row quadratic lambda work doesn't codegen and doesn't scale.
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+  def repetitionStats(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val id = col(idCol)
+    // explode-heavy scans get the Dedup.parallelize min-parallelism guard
+    // (single-row-group test inputs otherwise run the CPU stage on 1 task)
+    val df = Dedup.parallelize(df0)
     val gramTf = df
       .select(id,
         explode(graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), n)).as("gram"))
@@ -172,7 +175,8 @@ object TextAnalysis {
   def pruneVocab(df: DataFrame, idCol: String, textCol: String,
       minCount: Long, unk: String = "<unk>"): DataFrame = {
     val id = col(idCol)
-    val toks = df.select(id, posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val toks = Dedup.parallelize(df)
+      .select(id, posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
       .select(col("tok").as("_vt"))
@@ -215,7 +219,8 @@ object TextAnalysis {
     */
   def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val tf = df.select(id, explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = Dedup.parallelize(df)
+      .select(id, explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val total = freq.agg(sum("cnt").as("t_total"))
@@ -293,7 +298,7 @@ object TextAnalysis {
     * so nothing about the corpus reaches the driver.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(
+    val exploded = Dedup.parallelize(df).select(
       col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
     val tf = exploded.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
