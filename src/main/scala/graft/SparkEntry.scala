@@ -262,7 +262,7 @@ object SparkEntry {
     // quickest corpus-health fingerprint): how many distinct terms occur
     // exactly f times
     "freq_spectrum" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      operators.Dedup.parallelize(Tables.documents(s, dir))
         .select(explode(operators.TextAnalysis.tokens(lower(col("text")))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("f"))
         .groupBy("f").agg(count(lit(1)).as("n_terms"))
@@ -545,6 +545,14 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "lang", c = 8.0)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    // mixture epoch-weighting: per-source upsample factors (quarter-step
+    // weights 0.0..2.25 by source index — exercises drop, fractional
+    // downsample, and >1-epoch repeat in one query), exact per-stratum totals
+    "mix_upsample" -> ((s, dir) =>
+      operators.Sampling.mixUpsample(Tables.documents(s, dir), "doc_id", "source",
+          weights = (0 until 20).map(i => s"src$i" -> (i % 10) * 0.25).toMap)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx")),
     // unigram-LM surprise score (cheap perplexity proxy) per document
     "unigram_logprob" -> ((s, dir) =>
       operators.TextAnalysis.unigramLogprob(Tables.documents(s, dir), "doc_id", "text")
@@ -621,6 +629,16 @@ object SparkEntry {
       val (cents, index) = ivfArtifacts(s, dir)
       Similarity.ivfTopKIndexed(cents, index, "vec_id", "embedding", 0L, 10)
     }),
+    // SemDeDup (Abbas et al. 2023): embedding-space near-dedup bounded by
+    // the trained IVF clusters — within-cluster pairs only, min-id kept
+    "semdedup" -> ((s, dir) =>
+      // threshold 0.45 sits in the observed tail of the fixture's
+      // near-orthogonal random embeddings (top within-cluster cosines
+      // 0.44-0.51), so the drop decision is actually exercised; real
+      // corpora run ~0.95+ — the semantics don't depend on the value
+      Similarity.semDedup(ivfArtifacts(s, dir)._2, "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("vec_id")),
     "bfl_xml_helper" -> ((s, dir) => {
       // xml() helper through the interpreter tier over constructed XML
       // bodies; `body` is a real df column so the backed prefilter can
@@ -963,6 +981,25 @@ object SparkEntry {
              FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)
          SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM assign ORDER BY vec_id"""
     },
+    "semdedup" -> {
+      // mirror of Similarity.semDedup over the trained IVF index: the same
+      // generated Lloyd chain + assignment as ivf_build, then within-cluster
+      // smaller-id-neighbor EXISTS at the same rounded-cosine threshold
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtes(
+        "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 1, dim = 64, cosSql)
+      s"""WITH $kmCtes,
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         ix AS (SELECT e.vec_id, e.embedding, CAST(a.cid AS BIGINT) AS cluster
+                FROM embeddings e JOIN assign a USING (vec_id)),
+         dup AS (SELECT DISTINCT a.vec_id FROM ix a JOIN ix b
+                 ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                 AND round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.45)
+         SELECT i.vec_id, i.cluster, (d.vec_id IS NULL) AS keep
+         FROM ix i LEFT JOIN dup d USING (vec_id) ORDER BY i.vec_id"""
+    },
     "ivf_topk" -> {
       // mirror of the PROBE against ivfTrained(nCentroids=8, kmeansIters=1)
       // artifacts (the oracle retrains inline — SQL has no build/probe
@@ -1251,6 +1288,25 @@ object SparkEntry {
     "global_shuffle" ->
       // the naive single-window rank the two-level decomposition must equal
       operators.CorpusShuffle.globalShuffleSql("documents", "doc_id", "shuffle"),
+    "mix_upsample" -> {
+      // mirror of Sampling.mixUpsample: same md5 rank, same quarter-step
+      // weight table (exact doubles — the ceil can never flip), copies via
+      // range-unnest (range(0,0) is empty, so 0-copy docs drop)
+      val caseArms = (0 until 20)
+        .map(i => s"WHEN 'src$i' THEN ${(i % 10) * 0.25}").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, source,
+             CAST(CASE source $caseArms ELSE 1.0 END AS DOUBLE) AS wt,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('mix:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+         c AS (SELECT doc_id, source,
+             CAST(FLOOR(wt) AS BIGINT) +
+               (CASE WHEN rn <= CEIL((wt - FLOOR(wt)) * n) THEN 1 ELSE 0 END) AS nc
+           FROM w)
+         SELECT doc_id, source, unnest(range(0, nc)) AS copy_idx FROM c
+         ORDER BY doc_id, copy_idx"""
+    },
     "temperature_sample" ->
       // mirror of Sampling.temperatureSample(c=8): sqrt is IEEE-exact in
       // both engines, so the ceil threshold can never flip

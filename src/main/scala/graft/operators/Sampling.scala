@@ -93,4 +93,57 @@ object Sampling {
         ceil(least(col("_ss_n").cast("double"), lit(c) * sqrt(col("_ss_n").cast("double")))))
       .drop("_ss_rn", "_ss_n")
   }
+
+  /** Deterministic mixture upsampling (the epoch-weighting step of corpus
+    * assembly: "2.25 epochs of source A, 0.75 of source B"). Every document
+    * of stratum s appears `floor(w_s)` or `ceil(w_s)` times such that the
+    * stratum's output total is EXACTLY `floor(w_s)·n_s + ceil(frac(w_s)·n_s)`
+    * — not "in expectation": the fractional epoch picks the
+    * `ceil(frac·n)` md5-lowest-ranked documents of the stratum (the
+    * [[stratifiedSample]] selection rule), so the extra-copy set is a pure
+    * function of ids — stable across runs, engines and partitionings, and
+    * `w < 1` degrades gracefully into exact fractional DOWNsampling (zero
+    * copies for unranked docs).
+    *
+    * Each output row carries a 0-based `copy_idx` so a downstream global
+    * shuffle ([[CorpusShuffle]]) separates the copies. Copies come from
+    * exploding `sequence(0, n_copies−1)` — no join; one window shuffle per
+    * stratum, the same single-shuffle shape as [[stratifiedSample]], then
+    * the explode is scan-parallel. Weights ride as a map literal (a handful
+    * of sources — at 100 TB still driver-sized: mixtures name sources, not
+    * documents).
+    *
+    * Cross-engine exactness: quarter-step weights (.0/.25/.5/.75) are exact
+    * doubles, so `frac·n` and its ceil can never flip between engines.
+    */
+  def mixUpsample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      salt: String = "mix"
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "mixUpsample: weights must be >= 0")
+    require(!df.columns.exists(Set("_mu_rn", "_mu_n", "_mu_w", "copy_idx")),
+      "mixUpsample: input already has a _mu_*/copy_idx column")
+    val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val w =
+      if (weights.isEmpty) lit(defaultWeight)
+      else coalesce(
+        element_at(typedlit(weights), col(stratumCol)), lit(defaultWeight))
+    val copies = floor(col("_mu_w")) +
+      when(col("_mu_rn") <= ceil((col("_mu_w") - floor(col("_mu_w"))) * col("_mu_n")),
+        1L).otherwise(0L)
+    df.withColumn("_mu_w", w)
+      .withColumn("_mu_rn", row_number().over(byStratum.orderBy(key, col(idCol))).cast("long"))
+      .withColumn("_mu_n", count(lit(1)).over(byStratum))
+      .withColumn("copy_idx",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<long>"))))
+      .drop("_mu_rn", "_mu_n", "_mu_w")
+  }
 }

@@ -344,6 +344,42 @@ object Similarity {
     ivfTopKIndexed(cents, index, idCol, vecCol, queryId, k, nProbe)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space near-dedup
+    * bounded by clusters. Every vector is assigned to a k-means cluster (the
+    * trained IVF index — build once, reuse); within each cluster a vector is
+    * a semantic duplicate iff some SMALLER-id cluster-mate has cosine ≥
+    * `threshold` to it, so each near-dup neighborhood keeps exactly its
+    * min-id representative and the decision is a pure function of the
+    * (deterministic) clustering — no iteration, no global order.
+    *
+    * The cluster bound is the whole trick: candidate pairs exist only
+    * within a cluster, so the quadratic verify is Σ n_c² instead of n²
+    * corpus-wide, and the self-join hash-partitions on `cluster` — at
+    * 100 TB the index is a cluster-partitioned table and every partition
+    * verifies its own pairs locally (no cross-partition candidates by
+    * construction; cluster-count sizing keeps n_c bounded, the paper runs
+    * 50k clusters for 5B embeddings).
+    *
+    * Output: (id, cluster, keep) for EVERY input vector — the apply step is
+    * a `where(keep)`, kept separate so the drop rate is inspectable.
+    */
+  def semDedup(index: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val slim = index.select(col(idCol), col(vecCol), col("cluster"))
+    val dups = slim.as("a")
+      .join(slim.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col(s"b.$idCol") < col(s"a.$idCol") &&
+          round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 4) >= threshold,
+        "left_semi")
+      .select(col(idCol), lit(true).as("_sd_dup"))
+    index.select(col(idCol), col("cluster"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("_sd_dup"), lit(true)).as("keep"))
+  }
+
   // --- oracle-SQL generators (DuckDB) -------------------------------------
   // The constructions above are deterministic, so their exact SQL mirror can
   // be GENERATED from the same constants — this is what lets the driver

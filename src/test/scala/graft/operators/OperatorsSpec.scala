@@ -995,4 +995,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - (nllA * 3).toDouble / 3) < 1e-12)
     assert(math.abs(got(1)._3 - (nllA + nllC).toDouble / 2) < 1e-12)
   }
+
+  test("mixUpsample: exact per-stratum totals, 0-based copies, w=0 drops, deterministic") {
+    import spark.implicits._
+    val weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.25)
+    val out = Sampling.mixUpsample(docs, "doc_id", "source", weights)
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val gotSizes = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, n) =>
+      val w = weights.getOrElse(src, 1.0)
+      val want = math.floor(w).toLong * n + math.ceil((w - math.floor(w)) * n).toLong
+      assert(gotSizes.getOrElse(src, 0L) == want,
+        s"stratum $src total wrong: ${gotSizes.get(src)} want $want of $n (w=$w)")
+    }
+    // copy_idx is a complete 0-based range per document
+    val badCopies = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), min("copy_idx").as("lo"), max("copy_idx").as("hi"))
+      .where(col("lo") =!= 0 || col("hi") =!= col("c") - 1)
+      .count()
+    assert(badCopies == 0L, "copy_idx not a 0-based dense range")
+    // the fractional-epoch extra-copy set is the md5-lowest-ranked docs —
+    // a pure function of ids: stable across reruns
+    val again = Sampling.mixUpsample(docs, "doc_id", "source", weights)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet
+    assert(again == out.select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet)
+  }
+
+  test("semDedup: min-id kept per near-dup group; cross-cluster pairs invisible") {
+    import spark.implicits._
+    // hand-built index: semDedup consumes a clustered index, training-free
+    val index = Seq(
+      (1L, Array(1.0f, 0.0f), 0L),   // kept: min id of the (1,2) near-dup pair
+      (2L, Array(1.0f, 0.001f), 0L), // dropped: cos to vec 1 ≈ 1 ≥ 0.9
+      (3L, Array(0.0f, 1.0f), 0L),   // kept: orthogonal to its cluster-mates
+      (4L, Array(1.0f, 0.0f), 1L)    // kept: identical to vec 1 but in
+                                     // another cluster — SemDeDup by design
+                                     // never compares across clusters
+    ).toDF("vec_id", "embedding", "cluster")
+    val got = Similarity.semDedup(index, "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 0L, true), (2L, 0L, false), (3L, 0L, true), (4L, 1L, true)))
+    // the verify self-join must hash-partition on the cluster key, not
+    // fall back to a cartesian/BNL over the corpus
+    val plan = Similarity.semDedup(index, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"within-cluster verify lost its equi-join key:\n$plan")
+  }
 }
