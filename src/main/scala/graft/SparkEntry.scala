@@ -449,6 +449,17 @@ object SparkEntry {
           "doc_id", "text", n = 5)
         .orderBy("train_id", "eval_id")
     }),
+    // bloom-accelerated exact decontamination: eval grams compressed into a
+    // broadcast Bloom filter gating the train-side scan; result is exactly
+    // decontam_ngram's (FPs die at the join), so the oracle SQL is shared
+    "decontam_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = operators.Sampling.splitOf(col("doc_id"))
+      operators.Decontam.ngramOverlapBloom(
+          docs.where(split === "train"), docs.where(split === "test"),
+          "doc_id", "text", n = 5)
+        .orderBy("train_id", "eval_id")
+    }),
     // near-dup decontamination: paraphrase-level leakage the exact n-gram
     // check misses — LSH candidates across the split, verified by Jaccard
     "decontam_neardup" -> ((s, dir) => {
@@ -744,6 +755,24 @@ object SparkEntry {
 
   /** Cosine similarity in DuckDB, matching [[operators.Similarity.cosine]]'s
     * float→double elementwise products and left-fold sums exactly. */
+  // mirror of Decontam.ngramOverlap(n=5) across Sampling.splitOf: both
+  // sides' distinct per-doc 5-gram md5 digests, joined, counted per pair.
+  // Shared by decontam_ngram and decontam_bloom (same relation by design).
+  private val decontamNgramSql =
+    """WITH s AS (SELECT doc_id, text,
+         CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+         FROM documents),
+       w AS (SELECT doc_id, b, string_split_regex(trim(text),'\s+') AS ws FROM s),
+       g AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=5
+             THEN list_transform(range(1, len(ws)-3),
+               i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+             ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM w),
+       tg AS (SELECT doc_id AS train_id, unnest(gr) AS g FROM g WHERE b < 230),
+       eg AS (SELECT doc_id AS eval_id, unnest(gr) AS g FROM g WHERE b >= 243)
+       SELECT train_id, eval_id, COUNT(*) AS n_shared
+       FROM tg JOIN eg USING (g)
+       GROUP BY train_id, eval_id ORDER BY train_id, eval_id"""
+
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
@@ -1128,22 +1157,11 @@ object SparkEntry {
            round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
          FROM tf JOIN dfreq USING (term) CROSS JOIN total
          ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""",
-    "decontam_ngram" ->
-      // mirror of Decontam.ngramOverlap(n=5) across Sampling.splitOf: both
-      // sides' distinct per-doc 5-gram md5 digests, joined, counted per pair
-      """WITH s AS (SELECT doc_id, text,
-           CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
-           FROM documents),
-         w AS (SELECT doc_id, b, string_split_regex(trim(text),'\s+') AS ws FROM s),
-         g AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=5
-               THEN list_transform(range(1, len(ws)-3),
-                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
-               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM w),
-         tg AS (SELECT doc_id AS train_id, unnest(gr) AS g FROM g WHERE b < 230),
-         eg AS (SELECT doc_id AS eval_id, unnest(gr) AS g FROM g WHERE b >= 243)
-         SELECT train_id, eval_id, COUNT(*) AS n_shared
-         FROM tg JOIN eg USING (g)
-         GROUP BY train_id, eval_id ORDER BY train_id, eval_id""",
+    "decontam_ngram" -> decontamNgramSql,
+    // decontam_bloom computes the IDENTICAL relation (the bloom gate is a
+    // pure plan optimization — no false negatives, FPs die at the join), so
+    // its oracle IS decontam_ngram's
+    "decontam_bloom" -> decontamNgramSql,
     "decontam_neardup" ->
       // mirror of Decontam.nearDupAcross(k=8, rowsPerBand=2, threshold=0.2)
       // across Sampling.splitOf: the nearDupCtes chain with the split byte

@@ -30,20 +30,60 @@ object Decontam {
       textCol: String,
       n: Int = 5
   ): DataFrame = {
-    // explode RAW grams, then digest + dedup relationally: md5 runs in a
-    // codegen'd Project over the exploded rows and the per-doc distinct is a
-    // hash-partitioned aggregate — the array-HOF form (md5 inside transform,
-    // array_distinct per row) is CodegenFallback and benched 12.7 s at sf0.1
-    // vs ~1 s for this plan
-    def grams(df: DataFrame, outId: String) =
-      Dedup.parallelize(df).select(col(idCol).as(outId),
-          explode(graft.functions.MinHashExpr.shinglesArray(col(textCol), n)).as("gram"))
-        .select(col(outId), md5(col("gram")).as("g"))
-        .distinct()
     // both sides are distinct per document, so count(*) per (train, eval)
     // pair IS the number of distinct shared grams
-    grams(train, "train_id")
-      .join(grams(eval_, "eval_id"), "g")
+    grams(train, idCol, textCol, n, "train_id")
+      .join(grams(eval_, idCol, textCol, n, "eval_id"), "g")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // explode RAW grams, then digest + dedup relationally: md5 runs in a
+  // codegen'd Project over the exploded rows and the per-doc distinct is a
+  // hash-partitioned aggregate — the array-HOF form (md5 inside transform,
+  // array_distinct per row) is CodegenFallback and benched 12.7 s at sf0.1
+  // vs ~1 s for this plan. `gate` (default pass-all) filters the digested
+  // grams BEFORE the distinct, so a selective gate also shrinks that
+  // aggregate's shuffle, not just the join's.
+  private def grams(df: DataFrame, idCol: String, textCol: String, n: Int,
+      outId: String, gate: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+        = _ => lit(true)) =
+    Dedup.parallelize(df).select(col(idCol).as(outId),
+        explode(graft.functions.MinHashExpr.shinglesArray(col(textCol), n)).as("gram"))
+      .select(col(outId), md5(col("gram")).as("g"))
+      .where(gate(col("g")))
+      .distinct()
+
+  /** [[ngramOverlap]] with a broadcast-bloom gate on the TRAIN side — the
+    * 100 TB shape: the eval set is small by definition, so its distinct gram
+    * digests compress into a few-MB Bloom filter that ships to every
+    * executor; the corpus-side scan then drops non-colliding grams (the
+    * overwhelming majority) BEFORE the per-doc distinct and the join
+    * shuffle, instead of shuffling ~32 B × every gram of 100 TB to discover
+    * non-matches. Bloom false positives are eliminated by the join equality
+    * itself, so the RESULT is exactly [[ngramOverlap]]'s — the oracle SQL is
+    * shared, and the equivalence is spec-pinned.
+    *
+    * Eval grams are materialized once (localCheckpoint) and feed the bloom
+    * aggregation + the join probe; only the serialized sketch (not the gram
+    * set) reaches the driver and the broadcast.
+    */
+  def ngramOverlapBloom(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val eg = grams(eval_, idCol, textCol, n, "eval_id").localCheckpoint()
+    val evalG = eg.select("g").distinct()
+    val bloom = evalG.stat.bloomFilter("g", math.max(evalG.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(
+      graft.functions.BloomExpr.serialize(bloom))
+    grams(train, idCol, textCol, n, "train_id",
+        g => graft.functions.BloomExpr.mightContain(g, bc))
+      .join(eg, "g")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -1021,6 +1021,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet)
   }
 
+  test("ngramOverlapBloom: result identical to ngramOverlap; gate prunes the train side") {
+    import spark.implicits._
+    val split = Sampling.splitOf(col("doc_id"))
+    val train = docs.where(split === "train")
+    val eval_ = docs.where(split === "test")
+    val exact = Decontam.ngramOverlap(train, eval_, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloomed = Decontam.ngramOverlapBloom(train, eval_, "doc_id", "text", n = 5)
+    assert(bloomed.as[(Long, Long, Long)].collect().toSet == exact,
+      "bloom-gated decontam diverged from the exact relation")
+    // the gate is IN the plan (a bloom_might_contain filter on the train
+    // side) — otherwise this is just ngramOverlap with extra steps
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"bloom gate missing:\n$plan")
+    // and it actually prunes: random word-salad 5-grams rarely collide
+    // across the split, so the gated gram relation must be far smaller
+    // count gated vs ungated gram rows via the same internal shapes
+    val ungatedGrams = train
+      .select(explode(graft.functions.MinHashExpr.shinglesArray(col("text"), 5)).as("gram"))
+      .count()
+    val evalG = eval_
+      .select(explode(graft.functions.MinHashExpr.shinglesArray(col("text"), 5)).as("gram"))
+      .select(md5(col("gram")).as("g")).distinct()
+    val bloom = evalG.stat.bloomFilter("g", math.max(evalG.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(graft.functions.BloomExpr.serialize(bloom))
+    val gatedGrams = train
+      .select(explode(graft.functions.MinHashExpr.shinglesArray(col("text"), 5)).as("gram"))
+      .select(md5(col("gram")).as("g"))
+      .where(graft.functions.BloomExpr.mightContain(col("g"), bc))
+      .count()
+    assert(gatedGrams < ungatedGrams / 2,
+      s"bloom gate barely prunes: $gatedGrams of $ungatedGrams train grams pass")
+  }
+
+  test("bloom gate has no false negatives: every inserted digest passes") {
+    import spark.implicits._
+    val g = docs
+      .select(md5(col("text")).as("g"))
+    val bloom = g.stat.bloomFilter("g", 2000L, 0.01)
+    val bc = spark.sparkContext.broadcast(graft.functions.BloomExpr.serialize(bloom))
+    val missed = g.where(!graft.functions.BloomExpr.mightContain(col("g"), bc)).count()
+    assert(missed == 0L, s"$missed inserted digests answered false")
+  }
+
   test("semDedup: min-id kept per near-dup group; cross-cluster pairs invisible") {
     import spark.implicits._
     // hand-built index: semDedup consumes a clustered index, training-free
