@@ -449,6 +449,11 @@ object SparkEntry {
           "doc_id", "text", n = 5)
         .orderBy("train_id", "eval_id")
     }),
+    // cross-source duplication audit: distinct shared 8-grams per source
+    // pair — bounded output (≤ C(sources,2) rows), gram-partitioned join
+    "source_overlap" -> ((s, dir) =>
+      operators.Audit.sourceOverlap(Tables.documents(s, dir), "source", "text", k = 8)
+        .orderBy("source_a", "source_b")),
     // bloom-accelerated exact decontamination: eval grams compressed into a
     // broadcast Bloom filter gating the train-side scan; result is exactly
     // decontam_ngram's (FPs die at the join), so the oracle SQL is shared
@@ -1157,6 +1162,8 @@ object SparkEntry {
            round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
          FROM tf JOIN dfreq USING (term) CROSS JOIN total
          ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""",
+    "source_overlap" ->
+      operators.Audit.sourceOverlapSql("documents", "source", "text", k = 8),
     "decontam_ngram" -> decontamNgramSql,
     // decontam_bloom computes the IDENTICAL relation (the bloom gate is a
     // pure plan optimization — no false negatives, FPs die at the join), so

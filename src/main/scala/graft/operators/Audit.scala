@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level audit reports — the summary tables a data curator reads
+  * before training, computed corpus-wide but with bounded outputs (rows ∝
+  * sources², never documents).
+  */
+object Audit {
+
+  /** Cross-source duplication matrix: for every unordered source pair, the
+    * number of distinct k-token grams they share — the "how much of source B
+    * is already in source A" audit (mirror-site detection, scrape-overlap
+    * measurement, mixture double-counting) that per-document dedup reports
+    * can't answer directly.
+    *
+    * Shape: one (source, gram-digest) distinct relation — explode + codegen
+    * md5 + hash-partitioned distinct, exactly the [[Decontam]] gram plan —
+    * then a self-join ON the digest. The join is hash-partitioned on `g`,
+    * and its per-gram fan-out is bounded by the SOURCE count (a gram in all
+    * s sources yields C(s,2) pairs), so candidate volume is ≤ C(s,2) ×
+    * |distinct grams| worst-case and in practice ∝ shared grams only —
+    * never documents². Output: ≤ C(s,2) rows.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val sg = Dedup.parallelize(df)
+      .select(col(srcCol).as("src"),
+        explode(graft.functions.MinHashExpr.shinglesArray(col(textCol), k)).as("gram"))
+      .select(col("src"), md5(col("gram")).as("g"))
+      .distinct()
+    sg.as("a")
+      .join(sg.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** DuckDB SQL mirror of [[sourceOverlap]] over `tbl(srcCol, textCol)`. */
+  def sourceOverlapSql(tbl: String, srcCol: String, textCol: String, k: Int): String = {
+    val gramExpr = {
+      val parts = (0 until k).map(d => s"ws[i+$d]").mkString("||' '||")
+      s"""CASE WHEN len(ws) >= $k
+            THEN list_transform(range(1, len(ws)-${k - 2}), i -> $parts)
+            ELSE [array_to_string(ws, ' ')] END"""
+    }
+    s"""WITH w AS (SELECT $srcCol AS src, string_split_regex(trim($textCol),'\\s+') AS ws FROM $tbl),
+       gr AS (SELECT src, unnest($gramExpr) AS gram FROM w),
+       sg AS (SELECT DISTINCT src, md5(gram) AS g FROM gr)
+       SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+       FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+       GROUP BY a.src, b.src ORDER BY source_a, source_b"""
+  }
+}

@@ -1021,6 +1021,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet)
   }
 
+  test("sourceOverlap counts distinct shared grams per unordered source pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "s1"), // grams(k=3): "a b c", "b c d"
+      (2L, "a b c x", "s2"), // shares "a b c" with s1
+      (3L, "b c d", "s2"),   // shares "b c d" with s1 (len==k whole window)
+      (4L, "a b c y", "s2"), // duplicate shared gram within s2 — distinct'd
+      (5L, "q r", "s3")      // sub-k whole-text gram, unshared
+    ).toDF("doc_id", "text", "source")
+    val got = Audit.sourceOverlap(df, "source", "text", k = 3)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 2L)))
+  }
+
   test("ngramOverlapBloom: result identical to ngramOverlap; gate prunes the train side") {
     import spark.implicits._
     val split = Sampling.splitOf(col("doc_id"))
