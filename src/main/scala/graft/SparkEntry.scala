@@ -520,6 +520,12 @@ object SparkEntry {
       operators.Chunking.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
+    // content-defined chunking: rolling-hash boundaries stable under edits
+    // (expected 16-token chunks; insertions re-chunk only their neighborhood)
+    "cdc_chunks" -> ((s, dir) =>
+      operators.Chunking.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, modulus = 16)
+        .orderBy("doc_id", "chunk_idx")),
     // vocabulary pruning + OOV remap: corpus-rare tokens become <unk>,
     // documents reassembled in original token order
     "vocab_prune" -> ((s, dir) =>
@@ -1265,6 +1271,8 @@ object SparkEntry {
            md5(regexp_replace(body1, '$ph', '<PHONE>', 'g'))[:16] AS scrubbed_fp
          FROM e ORDER BY doc_id"""
     },
+    "cdc_chunks" ->
+      operators.Chunking.cdcChunksSql("documents", "doc_id", "text", k = 4, modulus = 16),
     "chunk_tokens" ->
       // mirror of Chunking.tokenChunks(chunkSize=32, stride=24): 1-based
       // inclusive list slices, last window start = max(0, ceil((n-32)/24))

@@ -47,4 +47,82 @@ object Chunking {
       .select(col(idCol), col("pos").as("chunk_idx"),
         col("col.chunk_text").as("chunk_text"), col("col.n_tok").as("n_tok"))
   }
+
+  /** Content-defined chunking (the LBFS/rsync boundary rule over TOKENS): a
+    * chunk boundary sits before every token position p > 0 whose k-gram
+    * digest satisfies `digest mod modulus == 0`, so boundaries are a pure
+    * function of LOCAL content — an insertion or deletion re-chunks only
+    * its neighborhood, while fixed windows ([[tokenChunks]]) shift every
+    * subsequent chunk. That stability is what makes CDC chunks the right
+    * granularity for chunk-level dedup across document revisions; expected
+    * chunk length is `modulus` tokens.
+    *
+    * Shape: one gram explode (the [[DupSpans]] window relation) filtered to
+    * boundary hits — a 1/modulus selective filter directly on the codegen'd
+    * digest projection — then ONE per-doc window over the (sparse) boundary
+    * rows assembles [start, next-boundary) chunk extents. The heavy relation
+    * never shuffles; only ~n/modulus boundary rows do.
+    *
+    * Output: (id, chunk_idx, start_pos, end_pos, n_tokens) in 0-based
+    * inclusive token offsets; documents shorter than k tokens come out as
+    * one whole-document chunk.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      modulus: Int = 16
+  ): DataFrame = {
+    require(k > 0 && modulus > 0, s"cdcChunks: need k > 0, modulus > 0, got $k/$modulus")
+    val id = col(idCol)
+    val windows = Dedup.parallelize(df).select(
+        id,
+        TextAnalysis.tokenCount(col(textCol)).as("_cc_n"),
+        posexplode(graft.functions.MinHashExpr.shinglesArray(col(textCol), k))
+          .as(Seq("pos", "gram")))
+      .select(id, col("_cc_n"), col("pos").cast("long").as("pos"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % modulus).as("_cc_h"))
+    val bounds = windows
+      .where(col("_cc_h") === 0 && col("pos") > 0)
+      .select(id, col("_cc_n"), col("pos"))
+    val starts = df
+      .select(id, TextAnalysis.tokenCount(col(textCol)).as("_cc_n"), lit(0L).as("pos"))
+      .unionByName(bounds)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
+    starts
+      .select(id,
+        (row_number().over(byDoc) - 1).cast("long").as("chunk_idx"),
+        col("pos").as("start_pos"),
+        coalesce(lead(col("pos"), 1).over(byDoc) - 1, col("_cc_n") - 1).as("end_pos"))
+      .select(id, col("chunk_idx"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("n_tokens"))
+  }
+
+  /** DuckDB SQL mirror of [[cdcChunks]] over `tbl(idCol, textCol)`. */
+  def cdcChunksSql(tbl: String, idCol: String, textCol: String,
+      k: Int, modulus: Int): String = {
+    val gramExpr = {
+      val parts = (0 until k).map(d => s"ws[i+$d]").mkString("||' '||")
+      s"""CASE WHEN len(ws) >= $k
+            THEN list_transform(range(1, len(ws)-${k - 2}), i -> $parts)
+            ELSE [array_to_string(ws, ' ')] END"""
+    }
+    s"""WITH w AS (SELECT $idCol, string_split_regex(trim($textCol),'\\s+') AS ws FROM $tbl),
+       gr AS (SELECT $idCol, CAST(len(ws) AS BIGINT) AS n, $gramExpr AS grams FROM w),
+       win AS (SELECT $idCol, n, CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS pos,
+                      unnest(grams) AS gram FROM gr),
+       b AS (SELECT $idCol, n, pos FROM win
+             WHERE pos > 0 AND CAST('0x'||substr(md5(gram),1,8) AS BIGINT) % $modulus = 0),
+       st AS (SELECT $idCol, n, CAST(0 AS BIGINT) AS pos FROM gr
+              UNION ALL SELECT $idCol, n, pos FROM b),
+       ch AS (SELECT $idCol,
+                row_number() OVER (PARTITION BY $idCol ORDER BY pos) - 1 AS chunk_idx,
+                pos AS start_pos,
+                COALESCE(lead(pos) OVER (PARTITION BY $idCol ORDER BY pos) - 1, n - 1) AS end_pos
+              FROM st)
+       SELECT $idCol, chunk_idx, start_pos, end_pos,
+              end_pos - start_pos + 1 AS n_tokens
+       FROM ch ORDER BY $idCol, chunk_idx"""
+  }
 }

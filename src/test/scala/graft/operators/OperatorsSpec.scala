@@ -1021,6 +1021,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet)
   }
 
+  test("cdcChunks tile each document exactly; boundaries are content-defined") {
+    import spark.implicits._
+    val out = Chunking.cdcChunks(docs, "doc_id", "text", k = 4, modulus = 16)
+    // chunks tile [0, n_tok-1]: starts/ends chain with no gap or overlap
+    val bad = out
+      .withColumn("nxt", lead(col("start_pos"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("chunk_idx")))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("end_pos") + 1)
+      .count()
+    assert(bad == 0L, s"$bad non-contiguous chunk seams")
+    val tokTotals = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val chunkTotals = out.groupBy("doc_id").agg(sum("n_tokens").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunkTotals == tokTotals, "chunk token totals != document token counts")
+
+    // content-defined stability: prepending a token shifts every position by
+    // one but re-chunks ONLY the neighborhood of the edit — boundaries
+    // strictly beyond the first k-gram window that saw the new token
+    // reappear at +1, where fixed-size windows would move every boundary
+    val base = docs.limit(1).select(col("doc_id"), col("text"))
+    val baseText = base.as[(Long, String)].head()._2
+    val edited = Seq((99L, "zzz " + baseText)).toDF("doc_id", "text")
+    def boundSet(df: org.apache.spark.sql.DataFrame) =
+      Chunking.cdcChunks(df, "doc_id", "text", k = 4, modulus = 16)
+        .where(col("start_pos") > 0).select("start_pos").as[Long].collect().toSet
+    val b0 = boundSet(base)
+    val b1 = boundSet(edited)
+    // every original boundary past the edit's k-wide influence zone survives
+    val influenced = 4L // the k new windows that include the prepended token
+    val survived = b0.filter(_ > influenced).map(_ + 1L)
+    assert(survived.subsetOf(b1),
+      s"content-defined boundaries did not survive a prepend: missing ${survived -- b1}")
+  }
+
   test("sourceOverlap counts distinct shared grams per unordered source pair") {
     import spark.implicits._
     val df = Seq(
