@@ -555,6 +555,11 @@ object SparkEntry {
     "int8_quantize" -> ((s, dir) =>
       operators.Quantize.int8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy("vec_id")),
+    // Matryoshka truncation: first-16-dim prefix renormalized, with the
+    // retained-norm diagnostic (the cheap-ANN serving path for MRL models)
+    "mrl_truncate" -> ((s, dir) =>
+      operators.Quantize.mrlTruncate(Tables.embeddings(s, dir), "vec_id", "embedding", d = 16)
+        .orderBy("vec_id")),
     // deterministic global corpus shuffle: a reproducible pretraining order
     // assigned by the two-level bucketed rank (no single-partition window)
     "global_shuffle" -> ((s, dir) =>
@@ -1318,6 +1323,8 @@ object SparkEntry {
       // generated mirror of Quantize.int8Quantize: IEEE-exact code arrays,
       // md5-fingerprint equality
       operators.Quantize.int8QuantizeSql("embeddings", "vec_id", "embedding"),
+    "mrl_truncate" ->
+      operators.Quantize.mrlTruncateSql("embeddings", "vec_id", "embedding", d = 16),
     "global_shuffle" ->
       // the naive single-window rank the two-level decomposition must equal
       operators.CorpusShuffle.globalShuffleSql("documents", "doc_id", "shuffle"),

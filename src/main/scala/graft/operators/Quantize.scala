@@ -56,4 +56,50 @@ object Quantize {
                 ELSE CAST(floor(CAST(x AS DOUBLE) / amax * 127.0 + 0.5) AS INTEGER) END),
            ','))[:16] AS q_fp
        FROM a ORDER BY $idCol"""
+
+  /** Matryoshka truncation (Kusupati et al. 2022): keep the first `d`
+    * coordinates and L2-renormalize — the cheap-ANN serving path for
+    * MRL-trained embeddings (a d-dim prefix search costs dim/d less per
+    * probe; candidates re-rank against the full vector). Reports
+    * `kept_norm_frac`, the fraction of the vector's L2 norm the prefix
+    * retains — the per-vector diagnostic for how truncation-tolerant the
+    * embedding actually is.
+    *
+    * Engine-exact by the [[int8Quantize]] argument: casts, ·, /, sqrt and
+    * floor are each correctly rounded, sums fold left in both engines, and
+    * the fingerprint quantizes each renormalized coordinate to
+    * floor(x·1e6 + 0.5) before hashing — no float printing is compared.
+    * All-zero prefixes renormalize to zero codes with frac 0. Pure per-row
+    * projection: scan-parallel, no shuffle.
+    */
+  def mrlTruncate(df: DataFrame, idCol: String, vecCol: String, d: Int): DataFrame = {
+    require(d > 0, s"mrlTruncate: need d > 0, got $d")
+    val pre = slice(col(vecCol), 1, d)
+    def sq(v: Column) = aggregate(v, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))
+    val preNorm = sqrt(sq(pre))
+    val fullNorm = sqrt(sq(col(vecCol)))
+    df.select(col(idCol), pre.as("_m_p"), preNorm.as("_m_pn"), fullNorm.as("_m_fn"))
+      .select(col(idCol),
+        when(col("_m_fn") === 0.0, 0.0)
+          .otherwise(round(col("_m_pn") / col("_m_fn"), 6)).as("kept_norm_frac"),
+        substring(md5(concat_ws(",",
+          transform(col("_m_p"), x =>
+            when(col("_m_pn") === 0.0, lit(0L))
+              .otherwise(floor(x.cast("double") / col("_m_pn") * 1e6 + 0.5).cast("long"))
+              .cast("string")))), 1, 16).as("t_fp"))
+  }
+
+  /** DuckDB SQL mirror of [[mrlTruncate]] over `tbl(idCol, vecCol)`. */
+  def mrlTruncateSql(tbl: String, idCol: String, vecCol: String, d: Int): String =
+    s"""WITH a AS (SELECT $idCol, $vecCol[1:$d] AS p,
+           sqrt(list_sum(list_transform($vecCol[1:$d], x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS pn,
+           sqrt(list_sum(list_transform($vecCol, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS fn
+         FROM $tbl)
+       SELECT $idCol,
+         CASE WHEN fn = 0.0 THEN 0.0 ELSE round(pn / fn, 6) END AS kept_norm_frac,
+         md5(array_to_string(list_transform(p, x ->
+           CASE WHEN pn = 0.0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) / pn * 1e6 + 0.5) AS BIGINT) END),
+           ','))[:16] AS t_fp
+       FROM a ORDER BY $idCol"""
 }

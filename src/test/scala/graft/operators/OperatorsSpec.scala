@@ -1021,6 +1021,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet)
   }
 
+  test("mrlTruncate: hand-computed renorm codes and norm fraction; zero prefix safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 12.0f)), // prefix (3,4): norm 5, full 13
+      (2L, Array(0.0f, 0.0f, 2.0f))   // zero prefix
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.mrlTruncate(df, "vec_id", "embedding", d = 2)
+      .orderBy("vec_id").as[(Long, Double, String)].collect().toSeq
+    def fp(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    // 3/5 = 0.6 → 600000; 4/5 = 0.8 → 800000; frac = round(5/13, 6)
+    assert(got == Seq(
+      (1L, BigDecimal(5.0 / 13).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        fp("600000,800000")),
+      (2L, 0.0, fp("0,0"))))
+  }
+
   test("cdcChunks tile each document exactly; boundaries are content-defined") {
     import spark.implicits._
     val out = Chunking.cdcChunks(docs, "doc_id", "text", k = 4, modulus = 16)
