@@ -483,7 +483,9 @@ object SparkEntry {
       val split = operators.Sampling.splitOf(col("doc_id"))
       val train = docs.where(split === "train")
       val eval_ = docs.where(split === "test")
-      val bad = operators.Decontam.ngramOverlap(train, eval_, "doc_id", "text", n = 5)
+      // the bloom-gated ngram path: identical relation (spec-pinned), and
+      // the apply step is exactly where a 100 TB pipeline would use it
+      val bad = operators.Decontam.ngramOverlapBloom(train, eval_, "doc_id", "text", n = 5)
         .select(col("train_id").as("doc_id"))
         .union(operators.Decontam
           .nearDupAcross(train, eval_, "doc_id", "text",

@@ -150,12 +150,26 @@ final class Engine(val spark: SparkSession, val dir: String) {
         val rows = prepped
           .zipWithIndex()
           .map { case (doc, i) => Engine.buildRecordRow(doc, base + i, now) }
+        // ATOMIC batch publication: the N shard part-files are renamed into
+        // the output dir ONE AT A TIME during commitJob, and a live tail's
+        // file listing that catches mid-commit state sees only the
+        // later-committed shards — it then advances its already-scanned
+        // high-water past the not-yet-visible shards and drops them when
+        // they appear (observed as a 1-in-3 soak failure: 158/160 tail
+        // records). Writing to a dot-prefixed dir (invisible to both the
+        // `batch_*` stream glob and listBatches) and renaming the DIRECTORY
+        // is atomic on POSIX: a batch becomes visible with all its shards
+        // or not at all. The driver path needs none of this — one part
+        // file, one rename.
+        val tmp = recordsDir.resolve(f".batch_${meta.batchSeq}%09d.tmp")
         spark
           .createDataFrame(rows, recordSchema)
           .coalesce(math.max(1, writeShards))
           .write
-          .mode(SaveMode.Append)
-          .parquet(recordsDir.resolve(f"batch_${meta.batchSeq}%09d").toString)
+          .mode(SaveMode.Overwrite) // clobber a stale tmp from a crashed run
+          .parquet(tmp.toString)
+        Files.move(tmp, recordsDir.resolve(f"batch_${meta.batchSeq}%09d"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       meta = meta.copy(highWater = base + kept, batchSeq = meta.batchSeq + 1)
       saveMeta()

@@ -26,7 +26,10 @@ object ScaleSmoke {
     "neardup_pairs", "neardup_clusters", "bfl_xml_helper", "percentiles", "asof_join",
     // round-4 session-2 additions: both decontamination shapes read only the
     // replicated documents slice
-    "decontam_ngram", "decontam_neardup")
+    "decontam_ngram", "decontam_neardup",
+    // session-3 additions: the new heaviest documents-table shapes — span
+    // detection + strip, the bloom-gated decontam, CDC chunking
+    "dup_spans", "dup_spans_strip", "decontam_bloom", "cdc_chunks")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
