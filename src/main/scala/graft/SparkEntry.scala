@@ -60,6 +60,20 @@ object SparkEntry {
     })
   }
 
+  /** Trained PQ artifacts memoized per (session, fixture dir) — the same
+    * build/serve split as the IVF memo: `pq_build` is the once-per-corpus
+    * batch job, `pq_topk` probes the prebuilt code table.
+    */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Array[(Long, Seq[Double])]], DataFrame)]()
+  private def pqArtifacts(s: SparkSession, dir: String) = {
+    pqMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      Similarity.pqTrained(Tables.embeddings(ss, d), "vec_id", "embedding",
+        numSub = 8, k = 16, iters = 1)
+    })
+  }
+
   /** Near-dup candidate pairs memoized per (session, fixture dir) — the same
     * build/serve split as the IVF memo above: `neardup_pairs` IS the build
     * (always fresh), `neardup_clusters` consumes the materialized pair list
@@ -658,6 +672,22 @@ object SparkEntry {
       val (cents, index) = ivfArtifacts(s, dir)
       Similarity.ivfTopKIndexed(cents, index, "vec_id", "embedding", 0L, 10)
     }),
+    "pq_build" -> ((s, dir) =>
+      // product-quantization BUILD: per-subspace k-means codebooks (8
+      // subspaces x 16 codewords, one joint Lloyd iteration = one shuffle)
+      // + the scan-only encode projection. The compression half of IVF-PQ:
+      // at 100 TB the code table is what ANN serving actually scans.
+      Similarity.pqTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
+          numSub = 8, k = 16, iters = 1)._2
+        .orderBy("vec_id")),
+    "pq_topk" -> ((s, dir) => {
+      // ADC probe against the prebuilt code table: reconstruct each vector
+      // from its codes (literal codebook lookup) and rank by cosine to the
+      // exact query vector. Probe-only, like ivf_topk.
+      val (books, codes) = pqArtifacts(s, dir)
+      Similarity.pqTopKIndexed(books, codes, Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0L, 10)
+    }),
     // SemDeDup (Abbas et al. 2023): embedding-space near-dedup bounded by
     // the trained IVF clusters — within-cluster pairs only, min-id kept
     "semdedup" -> ((s, dir) =>
@@ -1027,6 +1057,36 @@ object SparkEntry {
                row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
              FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)
          SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM assign ORDER BY vec_id"""
+    },
+    "pq_build" -> {
+      // mirror of Similarity.pqTrained(numSub=8, k=16, iters=1): per-subspace
+      // slice + generated L2-Lloyd chain + argmin code CTE, one chain per
+      // subspace (the Spark side fuses their execution; the math is
+      // per-subspace independent, so the unfused mirror is exact)
+      val (ctes, codeCtes, _) = Similarity.pqSqlCtes(
+        "embeddings", "vec_id", "embedding", numSub = 8, k = 16, subDim = 8, iters = 1)
+      val joins = codeCtes.zipWithIndex
+        .map { case (c, m) => s"JOIN $c k$m USING (vec_id)" }.mkString(" ")
+      val cols = codeCtes.indices
+        .map(m => s"CAST(k$m.cid AS BIGINT) AS c$m").mkString(", ")
+      s"""WITH $ctes
+         SELECT e.vec_id, $cols
+         FROM embeddings e $joins ORDER BY e.vec_id"""
+    },
+    "pq_topk" -> {
+      // ADC probe mirror: reconstruct each vector as the concatenation of
+      // its per-subspace codewords, rank by cosine to the exact query vector
+      val (ctes, codeCtes, centCtes) = Similarity.pqSqlCtes(
+        "embeddings", "vec_id", "embedding", numSub = 8, k = 16, subDim = 8, iters = 1)
+      val joins = codeCtes.zip(centCtes).zipWithIndex.map { case ((code, cent), m) =>
+        s"JOIN $code k$m USING (vec_id) JOIN $cent s$m ON s$m.cid = k$m.cid"
+      }.mkString(" ")
+      val xhat = codeCtes.indices.map(m => s"s$m.cvec").mkString(" || ")
+      s"""WITH $ctes,
+         recon AS (SELECT e.vec_id, $xhat AS xhat FROM embeddings e $joins),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT r.vec_id, round(${cosSql("q.qv", "r.xhat")}, 4) AS sim
+         FROM recon r, q ORDER BY sim DESC, vec_id LIMIT 10"""
     },
     "semdedup" -> {
       // mirror of Similarity.semDedup over the trained IVF index: the same

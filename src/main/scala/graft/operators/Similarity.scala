@@ -419,24 +419,184 @@ object Similarity {
     */
   def kmeansCentSqlCtes(table: String, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int, dim: Int,
-      cos: (String, String) => String): (String, String) = {
+      cos: (String, String) => String, prefix: String = ""): (String, String) = {
     val sb = new StringBuilder
-    sb ++= s"cent0 AS (SELECT $idCol AS cid, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cvec " +
+    sb ++= s"${prefix}cent0 AS (SELECT $idCol AS cid, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cvec " +
       s"FROM $table WHERE $idCol < $nCentroids)"
     for (t <- 1 to iters) {
-      val prev = s"cent${t - 1}"
+      val prev = s"${prefix}cent${t - 1}"
       sb ++= s""",
-         asg$t AS (SELECT $idCol, cid FROM (
+         ${prefix}asg$t AS (SELECT $idCol, cid FROM (
              SELECT e.$idCol, c.cid,
                row_number() OVER (PARTITION BY e.$idCol ORDER BY ${cos(s"e.$vecCol", "c.cvec")} DESC, c.cid) AS rn
              FROM $table e CROSS JOIN $prev c) WHERE rn = 1),
-         upd$t AS (SELECT a.cid, d.d AS dim,
+         ${prefix}upd$t AS (SELECT a.cid, d.d AS dim,
                CAST(SUM(CAST(CAST(e.$vecCol[d.d] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS val
-             FROM asg$t a JOIN $table e USING ($idCol) CROSS JOIN range(1, ${dim + 1}) d(d)
+             FROM ${prefix}asg$t a JOIN $table e USING ($idCol) CROSS JOIN range(1, ${dim + 1}) d(d)
              GROUP BY a.cid, d.d),
-         cent$t AS (SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
-             FROM $prev p LEFT JOIN (SELECT cid, list(val ORDER BY dim) AS cvec FROM upd$t GROUP BY cid) u USING (cid))"""
+         ${prefix}cent$t AS (SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+             FROM $prev p LEFT JOIN (SELECT cid, list(val ORDER BY dim) AS cvec FROM ${prefix}upd$t GROUP BY cid) u USING (cid))"""
     }
-    (sb.toString, s"cent$iters")
+    (sb.toString, s"${prefix}cent$iters")
+  }
+
+  // --- product quantization (IVF-PQ's compression half) -------------------
+
+  /** Negative squared L2 distance between `vec` and the literal codeword
+    * `cv`, as a left fold of per-dimension `(x-c)²` terms — the exact order
+    * the oracle's `list_sum(list_transform(list_zip(...)))` mirrors, so
+    * argmin comparisons are bit-identical across engines. Negated so the
+    * same greatest-of-structs machinery as cosine assignment (max sim, ties
+    * to smallest code) applies unchanged.
+    */
+  private def negSqDist(vec: Column, cv: Seq[Double]): Column =
+    -cv.zipWithIndex.map { case (c, d) =>
+      val x = element_at(vec, d + 1).cast("double") - lit(c)
+      x * x
+    }.reduceLeft(_ + _)
+
+  /** (sim, -code) ranking structs of subspace `m`'s slice of `vec` vs every
+    * codeword — greatest over these = nearest codeword by L2, ties to the
+    * smallest code. */
+  private def pqSubSims(vec: Column, cents: Array[(Long, Seq[Double])],
+      m: Int, subDim: Int): Array[Column] = {
+    val sv = slice(vec, m * subDim + 1, subDim)
+    cents.map { case (cid, cv) =>
+      struct(negSqDist(sv, cv).as("sim"), lit(-cid).as("negcid"))
+    }
+  }
+
+  private def pqBestCode(vec: Column, cents: Array[(Long, Seq[Double])],
+      m: Int, subDim: Int): Column =
+    (-greatest(pqSubSims(vec, cents, m, subDim): _*).getField("negcid")).cast("long")
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the vector is split into
+    * `numSub` contiguous subspaces and each subspace gets its own k-means
+    * codebook (`k` codewords, L2 assignment), so a 64-dim float vector
+    * compresses to `numSub` small codes — the memory side of IVF-PQ, the
+    * architecture large-scale ANN serving actually deploys.
+    *
+    * All subspaces train JOINTLY per Lloyd iteration: one scan computes
+    * every subspace's assignment (codebooks ride along as literals), one
+    * posexplode + groupBy(aggregation on (subspace, code, dim)) computes
+    * every codeword mean — so an iteration costs ONE shuffle regardless of
+    * `numSub`, and only numSub×k×subDim values reach the driver. Means
+    * accumulate through DECIMAL(18,6) exactly like [[kmeansCentroids]];
+    * an emptied code keeps its previous codeword. Seeds are the first-`k`
+    * vectors' subspace slices (requires ids 0..k-1 present, checked).
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, k: Int, iters: Int): Array[Array[(Long, Seq[Double])]] = {
+    val seed = emb.where(col(idCol) < k)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    require(seed.map(_._1).toSeq == (0L until k.toLong),
+      s"PQ seeding needs contiguous ids 0..${k - 1}, got ${seed.map(_._1).mkString(",")}")
+    val dim = seed.head._2.length
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val subDim = dim / numSub
+    var books: Array[Array[(Long, Seq[Double])]] =
+      Array.tabulate(numSub) { m =>
+        seed.map { case (cid, v) => (cid, v.slice(m * subDim, (m + 1) * subDim)) }
+      }
+    for (_ <- 0 until iters) {
+      val codes = array(books.zipWithIndex.map { case (cents, m) =>
+        pqBestCode(col(vecCol), cents, m, subDim)
+      }: _*)
+      val sub = (col("dim") / lit(subDim)).cast("int")
+      val upd = emb
+        .select(codes.as("codes"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .select(sub.as("m"), element_at(col("codes"), sub + 1).as("code"),
+          pmod(col("dim"), lit(subDim)).as("d"), col("v"))
+        .groupBy("m", "code", "d")
+        .agg((sum(col("v").cast("double").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = Array.tabulate(numSub) { m =>
+        books(m).map { case (cid, old) => (cid, upd.getOrElse((m, cid), old)) }
+      }
+    }
+    books
+  }
+
+  /** PQ-encode every vector: `numSub` code columns `c0..c<numSub-1>`, each
+    * the nearest codeword of that subspace's slice. Scan-only — codebooks
+    * are broadcast literals, no shuffle; at 100 TB this is the projection
+    * that turns a petabyte of float vectors into terabytes of codes.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[(Long, Seq[Double])]]): DataFrame = {
+    val subDim = books.head.head._2.length
+    val codeCols = books.zipWithIndex.map { case (cents, m) =>
+      pqBestCode(col(vecCol), cents, m, subDim).as(s"c$m")
+    }
+    emb.select(col(idCol) +: codeCols.toIndexedSeq: _*)
+  }
+
+  /** Trained PQ artifacts: codebooks + the materialized code table. Train
+    * once, serve many — same build/probe split as [[ivfTrained]]. */
+  def pqTrained(emb: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, k: Int, iters: Int): (Array[Array[(Long, Seq[Double])]], DataFrame) = {
+    val books = pqCodebooks(emb, idCol, vecCol, numSub, k, iters)
+    (books, pqEncode(emb, idCol, vecCol, books).localCheckpoint())
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a prebuilt PQ code table: the
+    * query keeps its exact vector, every corpus vector is reconstructed
+    * from its codes (per-subspace codebook lookup — a literal 2-D array
+    * index, no data movement) and ranked by cosine to the query. The scan
+    * reads ONLY the code table (numSub bytes-ish per vector, not the
+    * vectors); the single shuffle is the final top-k merge.
+    */
+  def pqTopKIndexed(books: Array[Array[(Long, Seq[Double])]], codes: DataFrame,
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
+    val xhat = concat(books.zipWithIndex.map { case (cents, m) =>
+      val lut = typedlit(cents.sortBy(_._1).map(_._2))
+      element_at(lut, col(s"c$m").cast("int") + 1)
+    }: _*)
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"))
+    codes
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col("query_vec"), xhat), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Negative squared L2 between two SQL list expressions, mirroring
+    * [[negSqDist]]'s fold order. */
+  def negSqDistSql(a: String, b: String): String =
+    s"""-(list_sum(list_transform(list_zip($a, $b),
+       x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)))))"""
+
+  /** Per-subspace DuckDB CTE chains reproducing [[pqCodebooks]] +
+    * [[pqEncode]]: for each subspace m, a slice CTE, the generated Lloyd
+    * chain over slices (L2 assignment), and a `pq_code<m>` argmin CTE.
+    * Joint-vs-per-subspace training fuses only execution — the per-subspace
+    * math is independent, so the unfused mirror is exact. Returns
+    * (cteChain, codeCteNames, centCteNames).
+    */
+  def pqSqlCtes(table: String, idCol: String, vecCol: String,
+      numSub: Int, k: Int, subDim: Int, iters: Int): (String, Seq[String], Seq[String]) = {
+    val parts = (0 until numSub).map { m =>
+      val sub = s"pq_sub$m"
+      val subCte = s"$sub AS (SELECT $idCol, list_slice($vecCol, ${m * subDim + 1}, ${(m + 1) * subDim}) AS svec FROM $table)"
+      val (km, cent) = kmeansCentSqlCtes(sub, idCol, "svec", k, iters, subDim,
+        negSqDistSql, prefix = s"pq${m}_")
+      val codeCte = s"""pq_code$m AS (SELECT $idCol, cid FROM (
+             SELECT e.$idCol, c.cid,
+               row_number() OVER (PARTITION BY e.$idCol ORDER BY ${negSqDistSql("e.svec", "c.cvec")} DESC, c.cid) AS rn
+             FROM $sub e CROSS JOIN $cent c) WHERE rn = 1)"""
+      (s"$subCte,\n         $km,\n         $codeCte", s"pq_code$m", cent)
+    }
+    (parts.map(_._1).mkString(",\n         "), parts.map(_._2), parts.map(_._3))
   }
 }
