@@ -74,6 +74,31 @@ object SparkEntry {
     })
   }
 
+  /** Bucketed catalog tables memoized per (session, fixture dir): the
+    * bucketed layout is paid ONCE at write (the ingest-time shuffle);
+    * `bucketed_join` then demonstrates the exchange-free join every
+    * subsequent pipeline run gets for free.
+    */
+  private val bucketedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    bucketedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    bucketedMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val ot = s"graft_bkt_orders_$tag"
+      val ct = s"graft_bkt_customer_$tag"
+      operators.Bucketing.writeBucketed(
+        Tables.orders(ss, d).select(col("o_orderkey"),
+          col("o_custkey").as("custkey"), col("o_totalprice")),
+        ot, s"$base/orders", "custkey", buckets = 8)
+      operators.Bucketing.writeBucketed(
+        Tables.customer(ss, d).select(col("c_custkey").as("custkey"), col("c_name")),
+        ct, s"$base/customer", "custkey", buckets = 8)
+      (ot, ct)
+    })
+  }
+
   /** Near-dup candidate pairs memoized per (session, fixture dir) — the same
     * build/serve split as the IVF memo above: `neardup_pairs` IS the build
     * (always fresh), `neardup_clusters` consumes the materialized pair list
@@ -600,6 +625,21 @@ object SparkEntry {
     "unigram_logprob" -> ((s, dir) =>
       operators.TextAnalysis.unigramLogprob(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // bigram-LM perplexity proxy: the next quality-gate rung — word-salad
+    // with common words passes the unigram gate but not this one
+    "bigram_logprob" -> ((s, dir) =>
+      operators.TextAnalysis.bigramLogprob(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // exchange-free join + agg over tables bucketed by the join key at
+    // write time — the pay-the-shuffle-once storage layout for 100 TB
+    "bucketed_join" -> ((s, dir) => {
+      val (ot, ct) = bucketedTables(s, dir)
+      operators.Bucketing.colocatedJoin(s, ot, ct, "custkey")
+        .groupBy("custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total_price"))
+        .orderBy("custkey")
+    }),
     // the pretraining prep flow end-to-end in ONE plan: chunk into context
     // windows, then pack chunks into ~4096-token shards (chunk id = global
     // (doc, chunk) order); output = per-shard chunk counts
@@ -1439,6 +1479,35 @@ object SparkEntry {
            CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
              / CAST(SUM(tf) AS DOUBLE) AS avg_nll
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "bigram_logprob" ->
+      // mirror of TextAnalysis.bigramLogprob: Laplace-smoothed bigram
+      // conditional nll, per-pair rounded to 4 decimals then DECIMAL-exact
+      // per-doc sum (same discipline as unigram_logprob); range(1, len)
+      // is empty for <2-token docs, matching the Spark side's no-space
+      // gram filter
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ws FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])) AS bg FROM w),
+         tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM b GROUP BY doc_id, bg),
+         c2 AS (SELECT bg, SUM(tf) AS c2 FROM tf GROUP BY bg),
+         c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS v_size FROM c2),
+         j AS (SELECT tf.doc_id, tf.tf,
+               CAST(round(ln((CAST(c1.c1 AS DOUBLE) + CAST(v.v_size AS DOUBLE))
+                 / (CAST(c2.c2 AS DOUBLE) + 1.0)), 4) AS DECIMAL(18,4)) AS nll
+               FROM tf JOIN c2 USING (bg)
+               JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.w1 CROSS JOIN v)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
+             / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "bucketed_join" ->
+      // relation check for the bucketed co-located join: the LAYOUT (zero
+      // exchanges) is pinned in BucketingSpec; the oracle proves the result
+      // is the plain join it claims to be
+      """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "chunk_pack_e2e" ->
       // chunking CTEs + the NAIVE single-window prefix sum over chunk ids
       // (chunk_id = doc_id*16 + chunk_idx preserves (doc, chunk) order; max

@@ -236,6 +236,55 @@ object TextAnalysis {
         (col("_ul_sum").cast("double") / col("n_toks").cast("double")).as("avg_nll"))
   }
 
+  /** Bigram-LM negative log-likelihood per document — the CCNet-style
+    * (Wenzek et al. 2020) perplexity quality filter one rung up from
+    * [[unigramLogprob]]: fluent text reuses common word PAIRS, so word-salad
+    * that sneaks past a unigram gate (common words, scrambled order) scores
+    * high here. Laplace-smoothed conditional
+    * `p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)` where `c(w1·)` is w1's
+    * left-context total — derived FROM the bigram relation (Σ over w2), no
+    * second corpus pass — and V the continuation-vocabulary size. Per-bigram
+    * nll rounds to 4 decimals then accumulates as DECIMAL (exact,
+    * order-independent — see [[unigramLogprob]] for why no final round);
+    * the average divides once in double. Documents with <2 tokens have no
+    * bigrams and are absent from the output.
+    *
+    * Plan shape at 100 TB: ONE one-pass shingle scan feeds everything; tf,
+    * pair totals, and context totals are successive aggregations of that
+    * relation joined back on their own grouping keys (partitioning reuse —
+    * the bigram table is NOT broadcast: at scale it is corpus-sized, so the
+    * hash join on `bg` is the honest shape); only the scalar vocabulary
+    * size broadcasts.
+    */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val tf = Dedup.parallelize(df)
+      .select(id,
+        explode(graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), 2)).as("bg"))
+      // a <2-token document yields its whole-token-string "gram" (no space):
+      // not a bigram, dropped — exactly the oracle's empty range(1, len)
+      .where(instr(col("bg"), " ") > 0)
+      .groupBy(id, col("bg")).agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("bg").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+    val vocab = c2.agg(
+      count_distinct(substring_index(col("bg"), " ", -1)).as("v_size"))
+    val nll = round(
+      log((col("c1").cast("double") + col("v_size").cast("double")) /
+        (col("c2").cast("double") + lit(1.0))), 4)
+      .cast("decimal(18,4)")
+    tf.join(c2, "bg")
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(id)
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("decimal(18,4)") * nll).as("_bl_sum"))
+      .select(id, col("n_bigrams"),
+        (col("_bl_sum").cast("double") / col("n_bigrams").cast("double")).as("avg_nll"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Cross-engine stable (md5 in both Spark and DuckDB); the first 16 hex
     * chars serve as a 64-bit fingerprint.

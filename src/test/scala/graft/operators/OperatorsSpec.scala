@@ -1232,4 +1232,79 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!encPlan.contains("Exchange"), s"PQ encode shuffles:\n$encPlan")
   }
+
+  test("bigramLogprob matches a hand-computed corpus; <2-token docs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
+      (2L, "a b"),
+      (3L, "x") // no bigrams -> absent
+    ).toDF("doc_id", "text")
+    // c2: "a b"->3, "b a"->1; c1: a->3, b->1; V = |{b, a}| = 2
+    // nll(a b) = round(ln((3+2)/(3+1)), 4) = 0.2231
+    // nll(b a) = round(ln((1+2)/(1+1)), 4) = 0.4055
+    val rows = TextAnalysis.bigramLogprob(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows(0) == ((1L, 3L, (2 * 0.2231 + 0.4055) / 3.0)), rows(0).toString)
+    assert(rows(1) == ((2L, 1L, 0.2231)), rows(1).toString)
+  }
+
+  test("bigramLogprob separates fluent repetition from word salad") {
+    import spark.implicits._
+    // same token MULTISET, different order: the unigram score is identical
+    // by construction, but the salad doc uses pairs the corpus never
+    // repeats, so its smoothed bigram nll must be strictly higher
+    val d = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLogprob(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(3L) > m(0L), s"salad ${m(3L)} not above fluent ${m(0L)}")
+    val u = TextAnalysis.unigramLogprob(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(u(3L) == u(0L), "unigram gate should NOT separate these")
+  }
+
+  test("bucketed co-located join: zero exchanges, equals the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+    val customer = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val base = java.nio.file.Files.createTempDirectory("bktspec").toString
+    Bucketing.writeBucketed(orders, "bkt_spec_orders", s"$base/o", "custkey", 4)
+    Bucketing.writeBucketed(customer, "bkt_spec_customer", s"$base/c", "custkey", 4)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // force the join shape a 100 TB run would face: neither side fits in
+      // memory, so broadcast is off — bucketing alone must kill the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing
+        .colocatedJoin(spark, "bkt_spec_orders", "bkt_spec_customer", "custkey")
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join + agg still shuffles:\n$plan")
+      val got = j.orderBy("custkey").collect().toSeq
+      val want = orders.join(customer, "custkey")
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey").collect().toSeq
+      assert(got == want)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.autoBroadcastJoinThreshold", prev)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_customer")
+    }
+  }
 }
