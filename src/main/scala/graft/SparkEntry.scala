@@ -771,6 +771,21 @@ object SparkEntry {
           col("width_stub"), col("height_stub"))
         .orderBy("doc_id")
     }),
+    "interval_join" -> ((s, dir) => {
+      // attribution: clicks in the hour before each purchase, per purchase.
+      // Same StreamJoin.intervalJoin definition the streaming pipeline runs
+      // (watermarks no-op on batch); batch/stream parity is spec-pinned.
+      val e = ev(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      streaming.StreamJoin.intervalJoin(p, "p_user", "p_ts", c, "c_user", "c_ts", 3600L)
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("p_id")
+    }),
     "asof_join" -> ((s, dir) => {
       // as-of join: each purchase matched to the user's latest click
       // at-or-before it — union+window plan (one keyed shuffle, no
@@ -1569,6 +1584,14 @@ object SparkEntry {
          octet_length(encode(text)) % 640 AS width_stub,
          (octet_length(encode(text)) * 7) % 480 AS height_stub
          FROM documents ORDER BY doc_id""",
+    "interval_join" ->
+      // mirror of StreamJoin.intervalJoin(3600s) + per-purchase count
+      """SELECT p.event_id AS p_id, COUNT(*) AS n_clicks
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         GROUP BY 1 ORDER BY 1""",
     "asof_join" ->
       // DuckDB native ASOF: greatest right ts <= left ts per key; right
       // rows deduped per (user, ts) keeping the max event_id, exactly the

@@ -135,6 +135,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch, plans symmetric hash join") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // purchases at :10 and :40; clicks land in/out of each trailing 15 min
+    val purchases = Seq((100L, 1L, t(10)), (101L, 1L, t(40)), (102L, 2L, t(20)))
+    val clicks = Seq(
+      (1L, t(0)),  // 10 min before p100: in
+      (1L, t(9)),  // in
+      (1L, t(11)), // after p100, 29 min before p101: out of both
+      (1L, t(30)), // 10 min before p101: in
+      (2L, t(1)))  // 19 min before p102: out
+    val pSrc = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cSrc = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoin.intervalJoin(
+      pSrc.toDS().toDF("p_id", "p_user", "p_ts"), "p_user", "p_ts",
+      cSrc.toDS().toDF("c_user", "c_ts"), "c_user", "c_ts",
+      horizonSeconds = 900L)
+    val q = joined
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      pSrc.addData(purchases: _*)
+      cSrc.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select("p_id", "c_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSeq.sorted
+      // the SAME operator call on batch frames is the parity reference
+      val want = StreamJoin.intervalJoin(
+        purchases.toDF("p_id", "p_user", "p_ts"), "p_user", "p_ts",
+        clicks.toDF("c_user", "c_ts"), "c_user", "c_ts", 900L)
+        .select("p_id", "c_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSeq.sorted
+      assert(got == want, s"stream $got != batch $want")
+      assert(got.map(_._1) == Seq(100L, 100L, 101L), got.toString)
+      // state-bounded join: the planner must have accepted the watermark +
+      // time-range predicate as a symmetric hash join with state eviction
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"interval join not planned as bounded-state stream join:\n$plan")
+    } finally q.stop()
+  }
+
   test("sharded streaming ingest: executor-side pipeline, same records and ids") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
