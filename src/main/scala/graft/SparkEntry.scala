@@ -656,6 +656,16 @@ object SparkEntry {
       operators.Search.matchAllTerms(Tables.documents(s, dir), "doc_id", "text",
           Seq("spark", "window", "join"))
         .orderBy("doc_id")),
+    // BM25-ranked disjunctive search over the same inverted-index shape
+    "bm25_search" -> ((s, dir) =>
+      operators.Search.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "window", "join"), k = 20)),
+    // per-language distinct-token estimate via the KMV order-statistic
+    // sketch — engine-exact where HLL never is
+    "kmv_distinct" -> ((s, dir) =>
+      operators.Sketch.kmvDistinctTokens(Tables.documents(s, dir), "lang", "text",
+          k = 256)
+        .orderBy("lang")),
     // the whole training-data flow as ONE declarative plan: quality gate →
     // exact dedup (keep min id) → stable split assignment → per-split stats.
     // Catalyst fuses the stages; nothing materializes in between.
@@ -1546,6 +1556,46 @@ object SparkEntry {
            WHERE term IN ('spark','window','join') GROUP BY doc_id, term)
          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits FROM p
          GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""",
+    "bm25_search" -> {
+      // mirror of Search.bm25Rank(k1=1.2, b=0.75, top 20). Constants are
+      // INTERPOLATED from the same Scala doubles the Column side uses
+      // (folding 1.2+1.0 independently in two engines risks a one-ulp
+      // split); association parenthesized to match idf * (tfnum / denom)
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH base AS (SELECT doc_id, trim(lower(text)) AS txt,
+             len(string_split_regex(trim(lower(text)),'\\s+')) AS dl FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM base),
+         p AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+             SELECT doc_id, dl, unnest(string_split_regex(txt,'\\s+')) AS term FROM base)
+           WHERE term IN ('spark','window','join') GROUP BY doc_id, term),
+         f AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+         sc AS (SELECT p.doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                 / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf AS DOUBLE) * ${k1 + 1})
+                 / (CAST(tf AS DOUBLE) + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE)) / avgdl))),
+               4) AS DECIMAL(18,4)) AS s
+             FROM p JOIN f USING (term) CROSS JOIN stats)
+         SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM sc
+         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+    },
+    "kmv_distinct" -> {
+      // mirror of Sketch.kmvDistinctTokens(k=256): distinct (lang, token),
+      // 15-hex md5 order statistics, shared estimator SQL (interpolated
+      // from the same Scala constants)
+      val k = 256
+      s"""WITH t AS (SELECT DISTINCT grp, term FROM (
+             SELECT lang AS grp, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS term
+             FROM documents)),
+         h AS (SELECT grp, substr(md5(term), 1, 15) AS h FROM t),
+         r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+         a AS (SELECT grp, COUNT(*) AS k_actual, ('0x' || MAX(h))::BIGINT AS hkl
+             FROM r WHERE rn <= $k GROUP BY grp)
+         SELECT grp AS lang, ${operators.Sketch.kmvEstimateSql(k)} AS est_distinct
+         FROM a ORDER BY lang"""
+    },
     "split_assign" ->
       // byte computed once, thresholds in one place — mirrors the
       // Sampling.splitByte / splitOf structure

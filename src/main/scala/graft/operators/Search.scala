@@ -48,4 +48,56 @@ object Search {
       .where(col("n_terms") === lowered.length)
       .select(col(idCol), col("n_hits"))
   }
+
+  /** BM25-ranked DISJUNCTIVE search (Robertson/Spärck Jones; the Lucene
+    * `ln(1 + (N-df+0.5)/(df+0.5))`-style non-negative idf): documents
+    * containing ANY query term, scored
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` and ranked.
+    *
+    * Cross-engine exactness, same discipline as the LM scores: every
+    * constant appears as the same decimal literal in both engines (no
+    * folded arithmetic on constants — `1.2+1.0` folds to a double one ulp
+    * off the literal `2.2`), each per-(doc,term) contribution is rounded to
+    * 4 decimals and accumulated as DECIMAL, and the corpus stats (N, avgdl)
+    * ride along as one broadcast row computed with the identical
+    * cast-then-divide.
+    *
+    * Plan shape at 100 TB: document length comes from `size(split)` on the
+    * base scan — no second explode; postings explode only rows passing the
+    * any-term contains() gate; df/N/avgdl are tiny broadcasts. Against a
+    * pre-materialized postings+doclen table the query is |terms| posting
+    * reads, no corpus scan.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank: empty term set")
+    val lowered = terms.map(_.toLowerCase).distinct
+    val base = Dedup.parallelize(df).select(col(idCol),
+      lower(col(textCol)).as("_txt"),
+      size(TextAnalysis.tokens(lower(col(textCol)))).as("dl"))
+    // corpus stats over ALL docs (one row, broadcast)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val gate = lowered.map(t => contains(col("_txt"), lit(t))).reduce(_ || _)
+    val postings = base
+      .where(gate)
+      .select(col(idCol), col("dl"), explode(TextAnalysis.tokens(col("_txt"))).as("term"))
+      .where(col("term").isin(lowered: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfw = col("tf").cast("double") * lit(k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    postings
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(round(idf * tfw, 4).cast("decimal(18,4)")).as("_s"))
+      .select(col(idCol), col("_s").cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1270,6 +1270,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u(3L) == u(0L), "unigram gate should NOT separate these")
   }
 
+  test("bm25Rank matches an independent in-test reference") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "spark join spark",
+      2L -> "spark other words here",
+      3L -> "join",
+      4L -> "unrelated text entirely")
+    val d = texts.toSeq.toDF("doc_id", "text")
+    val got = Search.bm25Rank(d, "doc_id", "text", Seq("spark", "join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // independent reference: the published formula computed directly, with
+    // the same per-(doc,term) HALF_UP 4-decimal rounding before the sum
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val dls = toks.map { case (id, s) => id -> s.length }
+    val n = texts.size.toDouble
+    val avgdl = dls.values.sum.toDouble / n
+    def ref(id: Long): Option[Double] = {
+      val parts = Seq("spark", "join").flatMap { term =>
+        val tf = toks(id).count(_ == term)
+        if (tf == 0) None
+        else {
+          val df = toks.values.count(_.contains(term))
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          val tfw = tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
+          Some(BigDecimal(idf * tfw).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+      if (parts.isEmpty) None else Some(parts.sum.toDouble)
+    }
+    val want = (1L to 4L).flatMap(id => ref(id).map(id -> _))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    // both-term doc outranks the single-term docs; no-match doc absent
+    assert(got.head._1 == 1L && !got.exists(_._1 == 4L))
+  }
+
+  test("KMV sketch: small groups exact, big groups within tolerance, merge law") {
+    import spark.implicits._
+    // a group with fewer than k distinct tokens degrades to the EXACT count
+    val tiny = Seq((1L, "a", "x b c"), (2L, "a", "b c d")).toDF("doc_id", "lang", "text")
+    val t = Sketch.kmvDistinctTokens(tiny, "lang", "text", 256).collect()
+    assert(t.length == 1 && t(0).getDouble(1) == 4.0, t.mkString(","))
+    // fixture corpus: per-lang estimate within 25% of truth at k=256
+    val d = docs
+    val est = Sketch.kmvDistinctTokens(d, "lang", "text", 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = d.select(col("lang"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+      .distinct().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((lang, ex) <- exact) {
+      val rel = math.abs(est(lang) - ex) / ex
+      assert(rel < 0.25, s"$lang: est ${est(lang)} vs exact $ex (rel $rel)")
+    }
+    // mergeability: the sketch of a union equals keeping the k smallest of
+    // the unioned sketches — estimate over two halves' union == whole
+    val (h1, h2) = (d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1))
+    val whole = Sketch.kmvDistinctTokens(d.where(col("lang") === exact.keySet.min), "lang", "text", 64)
+      .collect()(0).getDouble(1)
+    val merged = Sketch.kmvDistinctTokens(
+      h1.union(h2).where(col("lang") === exact.keySet.min), "lang", "text", 64)
+      .collect()(0).getDouble(1)
+    assert(whole == merged)
+  }
+
   test("bucketed co-located join: zero exchanges, equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, dir)
