@@ -99,6 +99,19 @@ object SparkEntry {
     })
   }
 
+  /** Trained BPE artifacts memoized per (session, fixture dir): the merge
+    * table and encoded vocabulary are one training job; `bpe_merges` and
+    * `bpe_encode` both serve from it.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, Long)], DataFrame)]()
+  private def bpeArtifacts(s: SparkSession, dir: String) = {
+    bpeMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    bpeMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      operators.Bpe.train(Tables.documents(ss, d), "text", steps = 8)
+    })
+  }
+
   /** Near-dup candidate pairs memoized per (session, fixture dir) — the same
     * build/serve split as the IVF memo above: `neardup_pairs` IS the build
     * (always fresh), `neardup_clusters` consumes the materialized pair list
@@ -660,6 +673,15 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       operators.Search.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "window", "join"), k = 20)),
+    // BPE tokenizer training: the corpus-wide merge-table construction.
+    // One corpus pass builds the vocab; every merge step is vocab-sized.
+    "bpe_merges" -> ((s, dir) => {
+      val (merges, _) = bpeArtifacts(s, dir)
+      import s.implicits._
+      merges.toDF("step", "pair", "freq").orderBy("step")
+    }),
+    "bpe_encode" -> ((s, dir) =>
+      bpeArtifacts(s, dir)._2.select("word", "repr").orderBy("word")),
     // per-language distinct-token estimate via the KMV order-statistic
     // sketch — engine-exact where HLL never is
     "kmv_distinct" -> ((s, dir) =>
@@ -1581,6 +1603,13 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM sc
          GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
     },
+    "bpe_merges" ->
+      // generated unrolled training chain: per-step pair counts + argmax
+      // (freq desc, pair asc) + doubled-separator merge application; best
+      // pairs are data-dependent scalar subqueries
+      operators.Bpe.mergesSql("documents", "text", steps = 8),
+    "bpe_encode" ->
+      operators.Bpe.encodeSql("documents", "text", steps = 8),
     "kmv_distinct" -> {
       // mirror of Sketch.kmvDistinctTokens(k=256): distinct (lang, token),
       // 15-hex md5 order statistics, shared estimator SQL (interpolated

@@ -1336,6 +1336,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole == merged)
   }
 
+  /** Classic array-based BPE reference (no string tricks): overlapping pair
+    * counts, argmax with (freq desc, pair asc), left-to-right greedy merge. */
+  private def bpeRef(words: Map[String, Long], steps: Int)
+      : (Seq[(Int, String, Long)], Map[String, Seq[String]]) = {
+    var reprs: Map[String, Seq[String]] =
+      words.map { case (w, _) => w -> (w.map(_.toString) :+ "</w>") }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var t = 1
+    var done = false
+    while (t <= steps && !done) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for ((w, syms) <- reprs; i <- 0 until syms.length - 1)
+        counts(syms(i) + " " + syms(i + 1)) =
+          counts.getOrElse(syms(i) + " " + syms(i + 1), 0L) + words(w)
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, f) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        merges += ((t, pair, f))
+        val Array(p1, p2) = pair.split(" ", 2)
+        reprs = reprs.map { case (w, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+              out += p1 + p2; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.toSeq
+        }
+        t += 1
+      }
+    }
+    (merges.toSeq, reprs)
+  }
+
+  private def bpeCheck(words: Map[String, Long], steps: Int): Unit = {
+    import spark.implicits._
+    val rows = words.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    val d = rows.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (gotMerges, gotVocab) = Bpe.train(d, "text", steps)
+    val (wantMerges, wantReprs) = bpeRef(words, steps)
+    assert(gotMerges == wantMerges,
+      s"merge tables differ:\n got $gotMerges\nwant $wantMerges")
+    val gotReprs = gotVocab.select("word", "repr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotReprs == wantReprs.map { case (w, s) => w -> s.mkString(" ") },
+      s"final reprs differ for ${words.keys}")
+  }
+
+  test("BPE training matches a classic array-based reference on a hand corpus") {
+    // "lo" merges first (low+lower+lowest share it) — the Sennrich example
+    bpeCheck(Map("low" -> 5L, "lower" -> 2L, "lowest" -> 2L, "newer" -> 6L,
+      "wider" -> 3L), steps = 6)
+  }
+
+  test("BPE fuzz: doubled-separator string merges equal the array reference") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab1"
+    for (round <- 0 until 3) {
+      val words = (0 until 30).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(4))).toMap
+      bpeCheck(words, steps = 6)
+    }
+  }
+
   test("bucketed co-located join: zero exchanges, equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, dir)
