@@ -682,6 +682,15 @@ object SparkEntry {
     }),
     "bpe_encode" -> ((s, dir) =>
       bpeArtifacts(s, dir)._2.select("word", "repr").orderBy("word")),
+    // Morton Z-values for the (user, value-bucket) filter dimensions — the
+    // write-side layout key; the skipping effect is measured in ZOrderSpec
+    "zorder_key" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_id"),
+          operators.ZOrder.interleave16(
+            pmod(col("user_id"), lit(65536L)),
+            pmod(floor(col("value")).cast("long"), lit(65536L))).as("z"))
+        .orderBy("event_id")),
     // per-language distinct-token estimate via the KMV order-statistic
     // sketch — engine-exact where HLL never is
     "kmv_distinct" -> ((s, dir) =>
@@ -1610,6 +1619,11 @@ object SparkEntry {
       operators.Bpe.mergesSql("documents", "text", steps = 8),
     "bpe_encode" ->
       operators.Bpe.encodeSql("documents", "text", steps = 8),
+    "zorder_key" -> {
+      val z = operators.ZOrder.interleave16Sql(
+        "(user_id % 65536)", "(CAST(floor(value) AS BIGINT) % 65536)")
+      s"SELECT event_id, ($z) AS z FROM events ORDER BY event_id"
+    },
     "kmv_distinct" -> {
       // mirror of Sketch.kmvDistinctTokens(k=256): distinct (lang, token),
       // 15-hex md5 order statistics, shared estimator SQL (interpolated

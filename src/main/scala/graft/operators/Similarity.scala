@@ -470,6 +470,11 @@ object Similarity {
       m: Int, subDim: Int): Column =
     (-greatest(pqSubSims(vec, cents, m, subDim): _*).getField("negcid")).cast("long")
 
+  /** One-pass all-subspace code assignment ([[graft.functions.PqCodesExpr]]);
+    * the Column form above is its pinned equivalence reference. */
+  private def pqCodesFast(vec: Column, books: Array[Array[(Long, Seq[Double])]]): Column =
+    graft.functions.PqExpr.codes(vec, books.map(_.map(_._2).toSeq).toSeq)
+
   /** Product-quantization codebooks (Jégou et al. 2011, "Product
     * quantization for nearest neighbor search"): the vector is split into
     * `numSub` contiguous subspaces and each subspace gets its own k-means
@@ -503,9 +508,7 @@ object Similarity {
         seed.map { case (cid, v) => (cid, v.slice(m * subDim, (m + 1) * subDim)) }
       }
     for (_ <- 0 until iters) {
-      val codes = array(books.zipWithIndex.map { case (cents, m) =>
-        pqBestCode(col(vecCol), cents, m, subDim)
-      }: _*)
+      val codes = pqCodesFast(col(vecCol), books)
       val sub = (col("dim") / lit(subDim)).cast("int")
       val upd = emb
         .select(codes.as("codes"), posexplode(col(vecCol)).as(Seq("dim", "v")))
@@ -532,6 +535,20 @@ object Similarity {
     * that turns a petabyte of float vectors into terabytes of codes.
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[(Long, Seq[Double])]]): DataFrame = {
+    // one-pass codes behind a Generate barrier so the k column projections
+    // read a bound attribute instead of re-evaluating the expression per
+    // column (the signatureTable pattern)
+    val codes = pqCodesFast(col(vecCol), books)
+    emb.select(col(idCol), explode(array(codes)).as("_pc"))
+      .select(col(idCol) +:
+        books.indices.map(m => element_at(col("_pc"), m + 1).as(s"c$m")): _*)
+  }
+
+  /** Column-form encode — the equivalence reference [[pqEncode]]'s one-pass
+    * expression is pinned against (PQ spec); quadratically larger plan, not
+    * for the hot path. */
+  def pqEncodeColumns(emb: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[(Long, Seq[Double])]]): DataFrame = {
     val subDim = books.head.head._2.length
     val codeCols = books.zipWithIndex.map { case (cents, m) =>

@@ -1233,6 +1233,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!encPlan.contains("Exchange"), s"PQ encode shuffles:\n$encPlan")
   }
 
+  test("one-pass PqCodesExpr equals the Column-form encode bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      numSub = 8, k = 16, iters = 1)
+    val fast = Similarity.pqEncode(e, "vec_id", "embedding", books)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val ref = Similarity.pqEncodeColumns(e, "vec_id", "embedding", books)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(fast.toSeq == ref.toSeq)
+  }
+
   test("bigramLogprob matches a hand-computed corpus; <2-token docs absent") {
     import spark.implicits._
     val d = Seq(
@@ -1401,6 +1412,49 @@ class OperatorsSpec extends AnyFunSuite {
       }.distinct.map(w => w -> (1L + rnd.nextInt(4))).toMap
       bpeCheck(words, steps = 6)
     }
+  }
+
+  test("Z-order layout skips a 2-D box query measurably better than linear sort") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("vb"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // both layouts: a global sort -> each output file covers a contiguous
+    // range of the sort key; only the KEY differs
+    // cap records per file so the sorted stream splits into many files,
+    // each covering a contiguous key range (AQE otherwise coalesces the
+    // small fixture into one file and there is nothing to skip)
+    ZOrder.zorderBy(e, col("user_id"), col("vb"))
+      .write.option("maxRecordsPerFile", 512).parquet(s"$base/z")
+    e.orderBy("event_id")
+      .write.option("maxRecordsPerFile", 512).parquet(s"$base/linear")
+    // per-file min/max boxes straight from the data (what parquet footers
+    // hold), one job per layout
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("vb").as("vlo"), max("vb").as("vhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // query box: users 10-40, value-buckets 50-150 (~20% of each dimension)
+    val (ul, uh, vl, vh) = (10L, 40L, 50L, 150L)
+    def intersecting(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count { case (ulo, uhi, vlo, vhi) =>
+        ulo <= uh && uhi >= ul && vlo <= vh && vhi >= vl
+      }
+    val (zb, lb) = (boxes(s"$base/z"), boxes(s"$base/linear"))
+    val (zHit, lHit) = (intersecting(zb), intersecting(lb))
+    // linear-by-id files span the whole (user, value) space — no skipping;
+    // z-files cover small 2-D boxes — most must be prunable
+    assert(zHit < lHit,
+      s"z-order skipped nothing: $zHit/${zb.length} vs linear $lHit/${lb.length}")
+    assert(zHit <= zb.length / 2,
+      s"z-order pruned under half: $zHit/${zb.length}")
+    // layout changes bytes on disk, never the relation
+    def rows(dir: String) = spark.read.parquet(dir)
+      .where(col("user_id").between(ul, uh) && col("vb").between(vl, vh))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows(s"$base/z") == rows(s"$base/linear"))
   }
 
   test("bucketed co-located join: zero exchanges, equals the plain join") {
