@@ -691,6 +691,12 @@ object SparkEntry {
             pmod(col("user_id"), lit(65536L)),
             pmod(floor(col("value")).cast("long"), lit(65536L))).as("z"))
         .orderBy("event_id")),
+    // sketched cross-source vocabulary Jaccard: the O(k) exchange two
+    // clusters make instead of shipping gram tables
+    "kmv_overlap" -> ((s, dir) =>
+      operators.Sketch.kmvOverlapTokens(Tables.documents(s, dir), "source", "text",
+          k = 512)
+        .orderBy("source_a", "source_b")),
     // per-language distinct-token estimate via the KMV order-statistic
     // sketch — engine-exact where HLL never is
     "kmv_distinct" -> ((s, dir) =>
@@ -1624,6 +1630,8 @@ object SparkEntry {
         "(user_id % 65536)", "(CAST(floor(value) AS BIGINT) % 65536)")
       s"SELECT event_id, ($z) AS z FROM events ORDER BY event_id"
     },
+    "kmv_overlap" ->
+      operators.Sketch.kmvOverlapSql("documents", "source", "text", k = 512),
     "kmv_distinct" -> {
       // mirror of Sketch.kmvDistinctTokens(k=256): distinct (lang, token),
       // 15-hex md5 order statistics, shared estimator SQL (interpolated

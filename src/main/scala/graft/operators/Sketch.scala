@@ -56,4 +56,69 @@ object Sketch {
   def kmvEstimateSql(k: Int): String =
     s"""CASE WHEN k_actual < $k THEN CAST(k_actual AS DOUBLE)
         ELSE ${(k - 1).toDouble} / (CAST(hkl AS DOUBLE) / ${Domain}) END"""
+
+  /** Pairwise token-set Jaccard between groups, estimated from the SKETCHES
+    * only (theta-sketch set algebra): for each group pair, the union sketch
+    * is the k smallest hashes of the combined sketches; inside that sketch
+    * the share of hashes present in BOTH groups estimates the Jaccard.
+    * When the union holds fewer than k distinct hashes the "estimate" is
+    * the exact Jaccard (θ covers both sets whole).
+    *
+    * This is the O(s²·k) cross-SOURCE overlap audit — the sketched
+    * complement to [[Audit.sourceOverlap]]'s exact shared-gram matrix: at
+    * 100 TB the sketches are the only thing two clusters ever need to
+    * exchange to estimate corpus overlap.
+    */
+  def kmvOverlapTokens(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = Dedup.parallelize(df)
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+      .select(col("grp"), substring(md5(col("term")), 1, 15).as("h"))
+      .distinct() // prefix collisions: the sketch lives in h-space
+    val w = Window.partitionBy("grp").orderBy("h")
+    val sk = hashed.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("grp", "h")
+    val groups = sk.select("grp").distinct()
+    val pairs = groups.select(col("grp").as("ga"))
+      .crossJoin(groups.select(col("grp").as("gb")))
+      .where(col("ga") < col("gb"))
+    // per (pair, h): in how many of the two sketches does h appear?
+    val u = pairs.join(sk, col("grp") === col("ga") || col("grp") === col("gb"))
+      .groupBy("ga", "gb", "h").agg(count(lit(1)).as("nsrc"))
+    val wu = Window.partitionBy("ga", "gb").orderBy("h")
+    u.withColumn("rn", row_number().over(wu))
+      .where(col("rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("union_k"),
+        sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("common"))
+      .select(col("ga").as(s"${groupCol}_a"), col("gb").as(s"${groupCol}_b"),
+        col("common"),
+        (col("common").cast("double") / col("union_k").cast("double"))
+          .as("est_jaccard"))
+  }
+
+  /** DuckDB mirror of [[kmvOverlapTokens]] over `table.textCol` grouped by
+    * `groupCol`. */
+  def kmvOverlapSql(table: String, groupCol: String, textCol: String,
+      k: Int): String =
+    s"""WITH t AS (SELECT DISTINCT grp, term FROM (
+           SELECT $groupCol AS grp, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+           FROM $table)),
+       hh AS (SELECT DISTINCT grp, substr(md5(term), 1, 15) AS h FROM t),
+       sk AS (SELECT grp, h FROM (
+           SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hh)
+         WHERE rn <= $k),
+       g AS (SELECT DISTINCT grp FROM sk),
+       pr AS (SELECT a.grp AS ga, b.grp AS gb FROM g a CROSS JOIN g b WHERE a.grp < b.grp),
+       u AS (SELECT ga, gb, h, COUNT(*) AS nsrc FROM pr
+           JOIN sk ON sk.grp = pr.ga OR sk.grp = pr.gb GROUP BY ga, gb, h),
+       r AS (SELECT ga, gb, nsrc, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM u)
+       SELECT ga AS ${groupCol}_a, gb AS ${groupCol}_b,
+         CAST(SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS common,
+         CAST(SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS est_jaccard
+       FROM r WHERE rn <= $k GROUP BY ga, gb ORDER BY ga, gb"""
 }

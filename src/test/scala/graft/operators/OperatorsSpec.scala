@@ -1457,6 +1457,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(s"$base/z") == rows(s"$base/linear"))
   }
 
+  test("KMV overlap: undersized unions give exact Jaccard, sketches track truth") {
+    import spark.implicits._
+    // 3 shared of 9 union tokens, far below k -> the exact path
+    val tiny = Seq(
+      (1L, "A", "a b c d e f"),
+      (2L, "B", "d e f g h i")).toDF("doc_id", "src", "text")
+    val t = Sketch.kmvOverlapTokens(tiny, "src", "text", 512).collect()
+    assert(t.length == 1)
+    assert(t(0).getLong(2) == 3L && t(0).getDouble(3) == 3.0 / 9.0, t(0).toString)
+    // fixture: sketched estimate within 0.15 absolute of the exact Jaccard
+    val d = docs
+    val est = Sketch.kmvOverlapTokens(d, "lang", "text", 512)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val sets = d.select(col("lang"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (g, rs) => g -> rs.map(_.getString(1)).toSet }
+    for (((a, b), e) <- est) {
+      val exact = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      assert(math.abs(e - exact) < 0.15, s"($a,$b): est $e vs exact $exact")
+    }
+  }
+
   test("bucketed co-located join: zero exchanges, equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     val orders = graft.Tables.orders(spark, dir)
