@@ -29,7 +29,10 @@ object ScaleSmoke {
     "decontam_ngram", "decontam_neardup",
     // session-3 additions: the new heaviest documents-table shapes — span
     // detection + strip, the bloom-gated decontam, CDC chunking
-    "dup_spans", "dup_spans_strip", "decontam_bloom", "cdc_chunks")
+    "dup_spans", "dup_spans_strip", "decontam_bloom", "cdc_chunks",
+    // session-5 additions: the bigram relation (vocab² keys), BM25 ranking,
+    // sketched overlap (all documents-table)
+    "bigram_logprob", "bm25_search", "kmv_overlap")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
