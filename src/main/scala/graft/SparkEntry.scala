@@ -703,6 +703,36 @@ object SparkEntry {
       operators.Sketch.kmvDistinctTokens(Tables.documents(s, dir), "lang", "text",
           k = 256)
         .orderBy("lang")),
+    // count-min φ-heavy-hitters over bigrams: constant-size mergeable
+    // counter matrix, estimate = min over d probed counters (ĉ ≥ c always)
+    "cms_heavy" -> ((s, dir) =>
+      operators.Sketch.cmsHeavyHitters(Tables.documents(s, dir), "text",
+          n = 2, phiInv = 1024)
+        .orderBy("gram")),
+    // DSIR (Xie et al. 2023): hashed-bigram importance weights of every
+    // doc against the lang='en' target slice — B-bounded feature tables
+    "dsir_weights" -> ((s, dir) =>
+      operators.Dsir.importanceWeights(Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", buckets = 1024)
+        .orderBy("doc_id")),
+    // hybrid retrieval: BM25 lexical ranks fused with brute-cosine semantic
+    // ranks by reciprocal-rank fusion (only RANKS cross the two scorers)
+    "hybrid_rrf" -> ((s, dir) => {
+      val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = operators.Search.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "window", "join"), k = 50)
+        .withColumn("rank", row_number().over(wLex).cast("long"))
+      val wSem = Window.orderBy(col("sim").desc, col("vec_id"))
+      val sem = Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 50)
+        .withColumn("rank", row_number().over(wSem).cast("long"))
+        .withColumnRenamed("vec_id", "doc_id")
+      operators.Search.rrfFuse(lex, sem, "doc_id", k = 20)
+    }),
+    // binary-quantized two-stage ANN: 64-bit sign signatures ranked by
+    // bit_count(xor) hamming, exact-cosine rescore of the top candidates
+    "hamming_rerank" -> ((s, dir) =>
+      Similarity.hammingRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryId = 1L, k = 10, candidates = 50)),
     // the whole training-data flow as ONE declarative plan: quality gate →
     // exact dedup (keep min id) → stable split assignment → per-split stats.
     // Catalyst fuses the stages; nothing materializes in between.
@@ -922,6 +952,33 @@ object SparkEntry {
        SELECT train_id, eval_id, COUNT(*) AS n_shared
        FROM tg JOIN eg USING (g)
        GROUP BY train_id, eval_id ORDER BY train_id, eval_id"""
+
+  /** Mirror of Search.bm25Rank(k1=1.2, b=0.75) as a CTE chain ending in
+    * `bm(doc_id, score)` — shared by bm25_search and hybrid_rrf. Constants
+    * are INTERPOLATED from the same Scala doubles the Column side uses
+    * (folding 1.2+1.0 independently in two engines risks a one-ulp split);
+    * association parenthesized to match idf * (tfnum / denom).
+    */
+  private val bm25SqlCtes: String = {
+    val (k1, b) = (1.2, 0.75)
+    s"""base AS (SELECT doc_id, trim(lower(text)) AS txt,
+             len(string_split_regex(trim(lower(text)),'\\s+')) AS dl FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM base),
+         p AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+             SELECT doc_id, dl, unnest(string_split_regex(txt,'\\s+')) AS term FROM base)
+           WHERE term IN ('spark','window','join') GROUP BY doc_id, term),
+         f AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+         sc AS (SELECT p.doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                 / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf AS DOUBLE) * ${k1 + 1})
+                 / (CAST(tf AS DOUBLE) + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE)) / avgdl))),
+               4) AS DECIMAL(18,4)) AS s
+             FROM p JOIN f USING (term) CROSS JOIN stats),
+         bm AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM sc GROUP BY doc_id)"""
+  }
 
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
@@ -1593,31 +1650,28 @@ object SparkEntry {
            WHERE term IN ('spark','window','join') GROUP BY doc_id, term)
          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits FROM p
          GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""",
-    "bm25_search" -> {
-      // mirror of Search.bm25Rank(k1=1.2, b=0.75, top 20). Constants are
-      // INTERPOLATED from the same Scala doubles the Column side uses
-      // (folding 1.2+1.0 independently in two engines risks a one-ulp
-      // split); association parenthesized to match idf * (tfnum / denom)
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH base AS (SELECT doc_id, trim(lower(text)) AS txt,
-             len(string_split_regex(trim(lower(text)),'\\s+')) AS dl FROM documents),
-         stats AS (SELECT COUNT(*) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM base),
-         p AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
-             SELECT doc_id, dl, unnest(string_split_regex(txt,'\\s+')) AS term FROM base)
-           WHERE term IN ('spark','window','join') GROUP BY doc_id, term),
-         f AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
-         sc AS (SELECT p.doc_id,
-             CAST(round(
-               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                 / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-               * ((CAST(tf AS DOUBLE) * ${k1 + 1})
-                 / (CAST(tf AS DOUBLE) + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE)) / avgdl))),
-               4) AS DECIMAL(18,4)) AS s
-             FROM p JOIN f USING (term) CROSS JOIN stats)
-         SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM sc
-         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
-    },
+    "bm25_search" ->
+      s"""WITH $bm25SqlCtes
+         SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20""",
+    "hybrid_rrf" ->
+      // BM25 top-50 ranks ⊕ brute-cosine top-50 ranks via reciprocal-rank
+      // fusion: each reciprocal is the same IEEE division in both engines,
+      // the two-term sum has fixed operand order, rounded to 6
+      s"""WITH $bm25SqlCtes,
+         lex AS (SELECT doc_id, r_lex FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bm)
+           WHERE r_lex <= 50),
+         q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+         cs AS (SELECT e.vec_id AS doc_id, round(${cosSql("e.embedding", "q.query_vec")}, 4) AS sim
+             FROM embeddings e, q),
+         sem AS (SELECT doc_id, r_sem FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_sem FROM cs)
+           WHERE r_sem <= 50)
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+           round(COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / (60.0 + CAST(r_sem AS DOUBLE)), 0.0), 6) AS rrf
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "bpe_merges" ->
       // generated unrolled training chain: per-step pair counts + argmax
       // (freq desc, pair asc) + doubled-separator merge application; best
@@ -1646,6 +1700,27 @@ object SparkEntry {
              FROM r WHERE rn <= $k GROUP BY grp)
          SELECT grp AS lang, ${operators.Sketch.kmvEstimateSql(k)} AS est_distinct
          FROM a ORDER BY lang"""
+    },
+    "cms_heavy" ->
+      operators.Sketch.cmsHeavyHittersSql("documents", "text", phiInv = 1024),
+    "dsir_weights" ->
+      operators.Dsir.importanceWeightsSql("documents", "doc_id", "text",
+        "lang = 'en'", buckets = 1024),
+    "hamming_rerank" -> {
+      // mirror of Similarity.hammingRerank(queryId=1, k=10, candidates=50):
+      // packed 32-bit sign halves, bit_count(xor) hamming, cosine rescore
+      val lo = operators.Similarity.binaryHalfSigSql("embedding", 0)
+      val hi = operators.Similarity.binaryHalfSigSql("embedding", 32)
+      s"""WITH s AS (SELECT vec_id, embedding,
+             CAST($lo AS BIGINT) AS sig_lo, CAST($hi AS BIGINT) AS sig_hi FROM embeddings),
+         q AS (SELECT embedding AS q_vec, sig_lo AS q_lo, sig_hi AS q_hi FROM s WHERE vec_id = 1),
+         h AS (SELECT s.vec_id, s.embedding, q.q_vec,
+             bit_count(xor(s.sig_lo, q.q_lo)) + bit_count(xor(s.sig_hi, q.q_hi)) AS ham
+             FROM s, q),
+         cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 50)
+         SELECT vec_id, CAST(ham AS INT) AS ham,
+           round(${cosSql("embedding", "q_vec")}, 4) AS sim
+         FROM cand ORDER BY sim DESC, vec_id LIMIT 10"""
     },
     "split_assign" ->
       // byte computed once, thresholds in one place — mirrors the

@@ -100,4 +100,34 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of a lexical
+    * and a semantic ranking — the standard hybrid-retrieval combiner:
+    * `rrf(d) = Σ_lists 1/(k0 + rank_list(d))`, robust to the two score
+    * scales being incomparable (only RANKS enter the fusion).
+    *
+    * Inputs are ranked lists `(id, rank)` with rank 1-based and dense per
+    * list. The fusion is a full outer join of two top-N lists — list-sized,
+    * not corpus-sized, so at 100 TB the expensive work is entirely inside
+    * the two retrievers (each already bounded: BM25 postings reads, ANN
+    * index probes) and the fusion itself touches 2N rows.
+    *
+    * Cross-engine exact: each reciprocal is the same IEEE division
+    * `1.0/(k0+rank)` in both engines, the two-term sum has a fixed operand
+    * order, and the result is rounded to 6 decimals.
+    */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame, idCol: String,
+      k: Int, k0: Int = 60): DataFrame = {
+    val lex = lexical.select(col(idCol), col("rank").as("r_lex"))
+    val sem = semantic.select(col(idCol), col("rank").as("r_sem"))
+    lex
+      .join(sem, Seq(idCol), "full_outer")
+      .select(col(idCol), col("r_lex"), col("r_sem"),
+        round(
+          coalesce(lit(1.0) / (lit(k0.toDouble) + col("r_lex").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toDouble) + col("r_sem").cast("double")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -616,4 +616,53 @@ object Similarity {
     }
     (parts.map(_._1).mkString(",\n         "), parts.map(_._2), parts.map(_._3))
   }
+
+  /** Sign-bit binary quantization of one 32-dim half of a vector: bit i is
+    * set iff `vec[lo + i] > 0`, packed into a non-negative long
+    * (Σ bit·2^i, i < 32 — two halves per 64-dim vector keeps every
+    * signature inside signed-64 with no sign-bit games in either engine).
+    */
+  def binaryHalfSig(vec: Column, lo: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L),
+      (acc, i) => acc + when(element_at(vec, i + lit(lo + 1)) > 0f,
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+
+  /** DuckDB mirror of [[binaryHalfSig]] (2^i exact in double for i<32). */
+  def binaryHalfSigSql(vecExpr: String, lo: Int): String =
+    s"""list_sum(list_transform(range(32),
+       i -> CASE WHEN $vecExpr[i + ${lo + 1}] > 0 THEN CAST(2**i AS BIGINT) ELSE 0 END))"""
+
+  /** Two-stage binary-quantized ANN (the "binary quantization + rescore"
+    * path modern vector stores ship): stage 1 ranks by Hamming distance
+    * between 64-bit sign signatures (`bit_count(xor)` over two packed
+    * halves — 16 bytes per vector, a 16× scan-size reduction at 100 TB,
+    * SIMD-friendly, no floats touched); stage 2 re-ranks the top
+    * `candidates` survivors by EXACT cosine. Hamming ties break on id, so
+    * the candidate set is deterministic in both engines.
+    *
+    * Plan shape at scale: the signature table is materialized once
+    * (scan-only projection, like [[pqEncode]]); a query is one broadcast
+    * row against the signature scan, a TakeOrdered of `candidates`
+    * ids, and exact-vector lookups for only those ids.
+    */
+  def hammingRerank(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, candidates: Int): DataFrame = {
+    val sigs = emb.select(col(idCol), col(vecCol),
+      binaryHalfSig(col(vecCol), 0).as("sig_lo"),
+      binaryHalfSig(col(vecCol), 32).as("sig_hi"))
+    val q = sigs
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    sigs
+      .crossJoin(broadcast(q))
+      .withColumn("ham",
+        bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+        bit_count(col("sig_hi").bitwiseXOR(col("q_hi"))))
+      .orderBy(col("ham").asc, col(idCol))
+      .limit(candidates)
+      .withColumn("sim", round(cosine(col(vecCol), col("q_vec")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .select(col(idCol), col("ham").cast("int").as("ham"), col("sim"))
+      .limit(k)
+  }
 }

@@ -121,4 +121,83 @@ object Sketch {
          CAST(SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS DOUBLE)
            / CAST(COUNT(*) AS DOUBLE) AS est_jaccard
        FROM r WHERE rn <= $k GROUP BY ga, gb ORDER BY ga, gb"""
+
+  /** Count-min-sketch φ-heavy-hitters (Cormode & Muthukrishnan 2005) over
+    * token n-grams: a d×w counter matrix, `counter[r][h_r(g)] += cnt(g)`,
+    * estimate `ĉ(g) = min_r counter[r][h_r(g)]` — an OVERESTIMATE by
+    * construction (ĉ ≥ c always; one-sided error ≤ 2·total/w with prob
+    * 1−2^−d), so thresholding on ĉ at `φ·total` has NO false negatives:
+    * every true heavy hitter survives. The spec pins both laws. The
+    * threshold is RELATIVE (`total/phiInv`), so the same query is
+    * meaningful at any corpus scale.
+    *
+    * Plan shape at 100 TB: the corpus collapses to the n-gram vocabulary
+    * relation first (map-side combined counts); the d×w counter matrix is
+    * ≤ d·w rows — constant-size, mergeable by plain ADDITION (counters are
+    * sums, so 1000 executors sketch independently and a final d·w-row
+    * shuffle combines them — the property HLL shares but exactness does
+    * not); the estimate join broadcasts the counter matrix back onto the
+    * candidate grams. Output: grams with ĉ ≥ total/phiInv, exact count
+    * alongside.
+    *
+    * Cross-engine exact: row hashes are the first 8 md5 hex chars of
+    * `"r:gram"` mod w — integer arithmetic end to end; the threshold
+    * compare is one IEEE division against an exact integer sum.
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, n: Int, phiInv: Int,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "cmsHeavyHitters: bad sketch shape")
+    require(n == 1 || n == 2, "cmsHeavyHitters: short-doc filter is exact only for n <= 2")
+    val vocab = Dedup.parallelize(df)
+      .select(explode(
+        graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), n)).as("gram"))
+      // docs shorter than n tokens emit their whole token string — not an
+      // n-gram, dropped (mirrors the oracle's empty range(1, len)); only
+      // n ∈ {1, 2} keeps this filter exact (a 2..n−1-token doc's whole
+      // string would also contain a space)
+      .where(if (n > 1) instr(col("gram"), " ") > 0 else lit(true))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    def bucket(r: Int, gram: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"$r:"), gram)), 1, 8), 16, 10)
+        .cast("long") % width
+    val probes = vocab
+      .select(col("gram"), col("cnt"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), bucket(r, col("gram")).as("b"))): _*)).as("rb"))
+      .select(col("gram"), col("cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
+    // (row, bucket) → counter: the d×w matrix as ≤ d·w rows
+    val counters = probes
+      .groupBy("r", "b").agg(sum(col("cnt")).as("counter"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    probes
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("gram")
+      .agg(max(col("cnt")).as("cnt"), min(col("counter")).as("est"))
+      .crossJoin(broadcast(total))
+      .where(col("est").cast("double") >=
+        col("total").cast("double") / lit(phiInv.toDouble))
+      .select(col("gram"), col("cnt"), col("est"))
+  }
+
+  /** DuckDB mirror of [[cmsHeavyHitters]] — same hash spelling, same
+    * interpolated constants (n=2 grams spelled as the bigram list
+    * transform the LM oracles use). */
+  def cmsHeavyHittersSql(table: String, textCol: String, phiInv: Int,
+      depth: Int = 4, width: Int = 256): String = {
+    val rows = (0 until depth).map(r =>
+      s"SELECT gram, cnt, $r AS r, ('0x'||substr(md5('$r:'||gram),1,8))::BIGINT % $width AS b FROM v")
+      .mkString("\n           UNION ALL\n           ")
+    s"""WITH w AS (SELECT string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $table),
+       v AS (SELECT gram, COUNT(*) AS cnt FROM (
+           SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])) AS gram FROM w)
+         GROUP BY gram),
+       p AS ($rows),
+       c AS (SELECT r, b, SUM(cnt) AS counter FROM p GROUP BY r, b),
+       t AS (SELECT SUM(cnt) AS total FROM v)
+       SELECT gram, CAST(MAX(cnt) AS BIGINT) AS cnt, CAST(MIN(counter) AS BIGINT) AS est
+       FROM p JOIN c USING (r, b) CROSS JOIN t
+       GROUP BY gram, total
+       HAVING CAST(MIN(counter) AS DOUBLE) >= CAST(total AS DOUBLE) / ${phiInv.toDouble}
+       ORDER BY gram"""
+  }
 }

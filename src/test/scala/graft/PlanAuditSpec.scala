@@ -218,4 +218,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab not broadcast — corpus would shuffle on the token key:\n$plan")
   }
+
+  test("dsir_weights: the B-bounded ratio table broadcasts back onto the tf relation") {
+    val plan = planOf(SparkEntry.queries("dsir_weights")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio table not broadcast — tf relation would shuffle on feat:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs in DSIR:\n$plan")
+  }
+
+  test("cms_heavy: the d×w counter matrix broadcasts; probes never shuffle for the join") {
+    val plan = planOf(SparkEntry.queries("cms_heavy")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counter matrix not broadcast:\n$plan")
+  }
+
+  test("hamming_rerank: signature stage is broadcast + TakeOrdered, no shuffle sort") {
+    val plan = planOf(SparkEntry.queries("hamming_rerank")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate selection should be a TakeOrdered, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query row not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
 }

@@ -1517,4 +1517,102 @@ class OperatorsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_spec_customer")
     }
   }
+
+  test("count-min sketch: one-sided error, no false negatives, exact when collision-free") {
+    import spark.implicits._
+    // skewed hand corpus: "hot pair" dominates, tail grams are rare
+    val df = (Seq.fill(40)("hot pair") ++
+      Seq("cold one", "cold two", "cold three", "rare gram here"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val exact = df
+      .select(explode(graft.functions.MinHashExpr.shinglesArray(lower(col("text")), 2)).as("g"))
+      .where(instr(col("g"), " ") > 0)
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    val phiInv = 4 // heavy = cnt >= total/4: only "hot pair" qualifies
+    // tiny width forces collisions: the overestimate law must still hold
+    val squeezed = Sketch.cmsHeavyHitters(df, "text", n = 2, phiInv = phiInv,
+      depth = 2, width = 2).as[(String, Long, Long)].collect()
+    assert(squeezed.nonEmpty)
+    squeezed.foreach { case (g, cnt, est) =>
+      assert(cnt == exact(g), s"exact count wrong for $g")
+      assert(est >= cnt, s"CMS must overestimate: $g est=$est cnt=$cnt")
+    }
+    // no false negatives regardless of width: every true heavy hitter survives
+    val trueHeavy = exact.filter { case (_, c) => c.toDouble >= total.toDouble / phiInv }.keySet
+    assert(trueHeavy == Set("hot pair"))
+    assert(trueHeavy.subsetOf(squeezed.map(_._1).toSet))
+    // wide sketch: 5 grams in 64 buckets × 4 rows — md5 is collision-free
+    // here, so estimates are EXACT and the output is exactly the heavy set
+    val wide = Sketch.cmsHeavyHitters(df, "text", n = 2, phiInv = phiInv,
+      depth = 4, width = 64).as[(String, Long, Long)].collect()
+    assert(wide.map(_._1).toSet == trueHeavy)
+    wide.foreach { case (g, cnt, est) => assert(est == cnt, s"collision-free est must be exact: $g") }
+  }
+
+  test("DSIR importance weights: target-like docs outscore off-target docs") {
+    import spark.implicits._
+    // target slice (is_en) writes about grams A; off-target about grams B;
+    // two probe docs are pure-A and pure-B — A-probe must score higher.
+    // Texts are long enough that gram totals EXCEED the 1024 smoothing
+    // buckets (the operator's intended regime: corpus >> B; a
+    // smoothing-dominated corpus shrinks every ratio toward p_t/p_r < 1)
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val corpus = Seq(
+      (1L, "en", rep("alpha beta", 200)),
+      (2L, "en", rep("alpha beta gamma", 150)),
+      (3L, "de", rep("zeta eta", 200)),
+      (4L, "de", rep("zeta eta theta", 150)),
+      (10L, "xx", rep("alpha beta", 40)), // pure target-style
+      (11L, "xx", rep("zeta eta", 40)) // pure off-target-style
+    ).toDF("doc_id", "lang", "text")
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(10L) > 0, s"target-like probe should have positive weight, got ${w(10L)}")
+    assert(w(11L) < 0, s"off-target probe should have negative weight, got ${w(11L)}")
+    assert(w(10L) > w(11L))
+    // weights are per-gram sums: a doc repeating the same grams scales its
+    // weight with length, so normalize-by-n_grams ordering also holds
+    assert(w(1L) > w(3L))
+  }
+
+  test("RRF fusion: both-list docs beat single-list docs; exact reciprocal sums") {
+    import spark.implicits._
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(lex, sem, "doc_id", k = 10)
+      .select("doc_id", "rrf").as[(Long, Double)].collect().toMap
+    def r(k: Long) = 1.0 / (60.0 + k)
+    def rnd6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(2L) == rnd6(r(2) + r(1))) // in both lists
+    assert(got(1L) == rnd6(r(1))) // lex only
+    assert(got(4L) == rnd6(r(2))) // sem only
+    // doc 2 (ranked 2nd + 1st) must beat doc 1 (ranked 1st in one list)
+    assert(got(2L) > got(1L))
+  }
+
+  test("hamming rerank: exact self-hit, packed sign signatures, candidate recall") {
+    import spark.implicits._
+    // hand vector with a known sign pattern: dims 0 and 33 positive only
+    val v = Array.fill(64)(-1.0f); v(0) = 1f; v(33) = 1f
+    val one = Seq((1L, v.toSeq)).toDF("id", "vec")
+    val sig = one.select(
+      Similarity.binaryHalfSig(col("vec"), 0).as("lo"),
+      Similarity.binaryHalfSig(col("vec"), 32).as("hi"))
+      .as[(Long, Long)].head()
+    assert(sig == ((1L, 2L)), s"expected (2^0, 2^1) halves, got $sig")
+
+    val out = Similarity.hammingRerank(emb, "vec_id", "embedding",
+      queryId = 1L, k = 10, candidates = 50)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(out.head == ((1L, 1.0)), s"query must rerank first: ${out.head}")
+    // two-stage result ⊆ brute top-50 is not guaranteed, but recall vs the
+    // brute top-10 should be substantial even on random vectors; pin a
+    // conservative floor so a broken signature (recall ≈ k/N) fails loudly
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 1L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = out.map(_._1).count(brute).toDouble / brute.size
+    assert(recall >= 0.4, s"hamming-rerank recall@10 too low: $recall")
+  }
 }
