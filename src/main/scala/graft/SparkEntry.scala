@@ -733,6 +733,27 @@ object SparkEntry {
     "hamming_rerank" -> ((s, dir) =>
       Similarity.hammingRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
           queryId = 1L, k = 10, candidates = 50)),
+    // MMR diversified retrieval: distributed candidate pool, k bounded
+    // greedy steps (one argmax row each — the BPE/k-means driver pattern)
+    "mmr_topk" -> ((s, dir) =>
+      Similarity.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+    // Johnson–Lindenstrauss 64→16 Rademacher projection, coordinates
+    // integer-quantized then fingerprinted (the mrl convention)
+    "jl_project" -> ((s, dir) =>
+      Similarity.jlProject(Tables.embeddings(s, dir), "vec_id", "embedding", k = 16)
+        .orderBy("vec_id")),
+    // exact phrase match as ONE positional-postings aggregation (shifted
+    // position-list intersection; no self-joins)
+    "phrase_search" -> ((s, dir) =>
+      operators.Search.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+          Seq("stream", "table", "hash"))
+        .orderBy("doc_id")),
+    // sequence-length bucketing: per-capacity doc/batch counts and the
+    // padding cost the bucketed batcher pays
+    "length_buckets" -> ((s, dir) =>
+      operators.Sharding.lengthBuckets(Tables.documents(s, dir), "text")
+        .orderBy("bucket")),
     // the whole training-data flow as ONE declarative plan: quality gate →
     // exact dedup (keep min id) → stable split assignment → per-split stats.
     // Catalyst fuses the stages; nothing materializes in between.
@@ -1703,6 +1724,16 @@ object SparkEntry {
     },
     "cms_heavy" ->
       operators.Sketch.cmsHeavyHittersSql("documents", "text", phiInv = 1024),
+    "jl_project" ->
+      operators.Similarity.jlProjectSql("embeddings", "vec_id", "embedding", k = 16),
+    "mmr_topk" ->
+      operators.Similarity.mmrSql("embeddings", "vec_id", "embedding",
+        queryId = 0L, k = 10, cosSql),
+    "phrase_search" ->
+      operators.Search.phraseSearchSql("documents", "doc_id", "text",
+        Seq("stream", "table", "hash")),
+    "length_buckets" ->
+      operators.Sharding.lengthBucketsSql("documents", "text"),
     "dsir_weights" ->
       operators.Dsir.importanceWeightsSql("documents", "doc_id", "text",
         "lang = 'en'", buckets = 1024),

@@ -101,6 +101,61 @@ object Search {
       .limit(k)
   }
 
+  /** Exact phrase search via POSITIONAL postings: an occurrence at token
+    * position i means `token[i+j] == phrase[j]` for every j, so the start
+    * positions are the intersection of each term's posting positions
+    * shifted left by its phrase offset. The whole match runs in ONE
+    * aggregation: posexplode → keep only the phrase's terms (below the
+    * contains() gate, like [[matchAllTerms]]) → per-doc conditional
+    * position lists per offset → chained array_intersect. No self-joins —
+    * the classic L-way positional-index merge as a single hash-partitioned
+    * groupBy. Against a pre-materialized positional postings table
+    * (term-bucketed), the same query is |phrase| posting reads.
+    *
+    * Output: (idCol, n_occurrences) for docs with ≥ 1 occurrence.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phraseSearch: need a multi-token phrase")
+    val lowered = phrase.map(_.toLowerCase)
+    val distinctTerms = lowered.distinct
+    // sound necessary condition: every phrase term must appear as a
+    // substring (adjacency can't be gated cheaply — whitespace runs vary)
+    val gate = distinctTerms.map(t => contains(lower(col(textCol)), lit(t))).reduce(_ && _)
+    val postings = df
+      .where(gate)
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .where(col("term").isin(distinctTerms: _*))
+    val starts = lowered.zipWithIndex.map { case (t, j) =>
+      collect_list(when(col("term") === t, col("pos") - j)).as(s"_p$j")
+    }
+    postings
+      .groupBy(col(idCol))
+      .agg(starts.head, starts.tail: _*)
+      .select(col(idCol),
+        size((1 until lowered.length).foldLeft(col("_p0")) { (acc, j) =>
+          array_intersect(acc, col(s"_p$j"))
+        }).cast("long").as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
+
+  /** DuckDB mirror of [[phraseSearch]] — the direct list-comprehension
+    * ground truth (`ws[i+j] = phrase[j] ∀j`), deliberately NOT the postings
+    * plan: equality proves the index form computes the definition.
+    */
+  def phraseSearchSql(table: String, idCol: String, textCol: String,
+      phrase: Seq[String]): String = {
+    val l = phrase.length
+    val conds = phrase.map(_.toLowerCase).zipWithIndex
+      .map { case (t, j) => s"ws[i + $j] = '$t'" }.mkString(" AND ")
+    s"""WITH w AS (SELECT $idCol, string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $table)
+       SELECT $idCol, CAST(len(list_filter(range(1, len(ws) - ${l - 2}), i -> $conds)) AS BIGINT)
+         AS n_occurrences
+       FROM w WHERE len(list_filter(range(1, len(ws) - ${l - 2}), i -> $conds)) > 0
+       ORDER BY $idCol"""
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of a lexical
     * and a semantic ranking — the standard hybrid-retrieval combiner:
     * `rrf(d) = Σ_lists 1/(k0 + rank_list(d))`, robust to the two score

@@ -76,4 +76,52 @@ object Sharding {
       // integer DIV: `/` on longs is double division, lossy past 2^53
       .select(col("_ps_id").as(idCol), expr(s"_ps_start DIV ${budget}L").as("shard"))
   }
+
+  /** Sequence-length bucketing for training batches: assign every document
+    * to the smallest power-of-two token capacity that holds it (clamped to
+    * [minCap, maxCap]) and report, per bucket, the document count, batch
+    * count at `batchSize`, and the padding the bucketing actually pays —
+    * the quantity a naive pad-to-max batcher multiplies by the corpus.
+    * The bucket thresholds are a CASE chain over integers (no log2
+    * float-boundary games cross-engine); the whole operator is one
+    * map-side-combined aggregation over a scan-only projection.
+    */
+  def lengthBuckets(df: DataFrame, textCol: String,
+      minCap: Int = 16, maxCap: Int = 512, batchSize: Int = 32): DataFrame = {
+    require(Integer.bitCount(minCap) == 1 && Integer.bitCount(maxCap) == 1 &&
+      minCap < maxCap, "lengthBuckets: caps must be powers of two")
+    val n = size(TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    val caps = Iterator.iterate(minCap)(_ * 2).takeWhile(_ < maxCap).toSeq
+    val bucket = caps.foldRight(lit(maxCap.toLong)) { (c, rest) =>
+      when(n <= c, lit(c.toLong)).otherwise(rest)
+    }
+    df.select(bucket.as("bucket"), n.as("_n"))
+      // overlong docs truncate to maxCap: their padding is 0, not negative
+      .select(col("bucket"), least(col("_n"), lit(maxCap.toLong)).as("_n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n")).as("total_tokens"),
+        sum(col("bucket") - col("_n")).as("padding"))
+      .select(col("bucket"), col("n_docs"),
+        expr(s"(n_docs + ${batchSize - 1}) DIV $batchSize").as("n_batches"),
+        col("total_tokens"), col("padding"),
+        round(col("padding").cast("double") /
+          (col("bucket") * col("n_docs")).cast("double"), 6).as("waste_frac"))
+  }
+
+  /** DuckDB mirror of [[lengthBuckets]]. */
+  def lengthBucketsSql(table: String, textCol: String,
+      minCap: Int = 16, maxCap: Int = 512, batchSize: Int = 32): String = {
+    val caps = Iterator.iterate(minCap)(_ * 2).takeWhile(_ < maxCap).toSeq
+    val chain = caps.map(c => s"WHEN n <= $c THEN $c").mkString(" ")
+    s"""WITH t AS (SELECT len(string_split_regex(trim(lower($textCol)),'\\s+')) AS n FROM $table),
+       b AS (SELECT CAST(CASE $chain ELSE $maxCap END AS BIGINT) AS bucket,
+             CAST(least(n, $maxCap) AS BIGINT) AS n FROM t)
+       SELECT bucket, COUNT(*) AS n_docs,
+         (COUNT(*) + ${batchSize - 1}) // $batchSize AS n_batches,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM(bucket - n) AS BIGINT) AS padding,
+         round(CAST(SUM(bucket - n) AS DOUBLE) / CAST(bucket * COUNT(*) AS DOUBLE), 6) AS waste_frac
+       FROM b GROUP BY bucket ORDER BY bucket"""
+  }
 }

@@ -617,6 +617,163 @@ object Similarity {
     (parts.map(_._1).mkString(",\n         "), parts.map(_._2), parts.map(_._3))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick `score = λ·sim(c, q) − (1−λ)·max_{s∈S} sim(c, s)`
+    * — the standard result-diversification rung on top of a similarity
+    * retriever (near-duplicate hits crowd out coverage at λ=1).
+    *
+    * Execution shape: the DISTRIBUTED work is the candidate pool (brute
+    * cosine TakeOrdered over the corpus — at scale, any ANN probe above);
+    * the greedy loop is inherently sequential and runs k bounded steps,
+    * each an aggregation over the ≤ pool-sized cached candidate relation
+    * with ONE argmax row collected per step (the BPE/k-means driver
+    * pattern: driver sees k rows total, never the corpus).
+    *
+    * Cross-engine exactness: all sims round to 4 before entering scores;
+    * λ and 1−λ are the same Scala doubles interpolated into the oracle;
+    * ties break on id; final scores round to 6.
+    */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, lambda: Double = 0.7, pool: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    val cand = emb
+      // the query is not a retrievable document: with q ∈ S every
+      // candidate's redundancy is ≥ its relevance (sim to q IS rel) and
+      // diversification collapses
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol),
+        round(cosine(col(vecCol), col("q_vec")), 4).as("rel"))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(pool)
+      .cache()
+    try {
+      var selected = Vector.empty[(Long, Int, Double)]
+      var step = 0
+      while (step < k) {
+        val ids = selected.map(_._1)
+        val rem = cand.where(!col(idCol).isin(ids: _*))
+        val scored =
+          if (selected.isEmpty)
+            rem.select(col(idCol),
+              (lit(lambda) * col("rel") - lit(1 - lambda) * lit(0.0)).as("score"))
+          else {
+            val sel = cand.where(col(idCol).isin(ids: _*))
+              .select(col(idCol).as("_m_sid"), col(vecCol).as("_m_semb"))
+            rem
+              .crossJoin(broadcast(sel))
+              .groupBy(col(idCol), col("rel"))
+              .agg(max(round(cosine(col(vecCol), col("_m_semb")), 4)).as("red"))
+              .select(col(idCol),
+                (lit(lambda) * col("rel") - lit(1 - lambda) * col("red")).as("score"))
+          }
+        val top = scored.orderBy(col("score").desc, col(idCol)).limit(1).collect()
+        if (top.isEmpty) step = k // pool exhausted
+        else {
+          selected :+= ((top(0).getLong(0), step + 1, top(0).getDouble(1)))
+          step += 1
+        }
+      }
+      import spark.implicits._
+      selected.toDF(idCol, "step", "score")
+        .select(col(idCol), col("step"), round(col("score"), 6).as("score"))
+        .orderBy("step")
+    } finally { cand.unpersist(); () }
+  }
+
+  /** DuckDB mirror of [[mmrTopK]]: iteration-unrolled greedy chain —
+    * cand pool CTE, then per step a remaining×selected max-redundancy
+    * aggregate and a single argmax row, accumulated through MATERIALIZED
+    * union CTEs (DuckDB's default inlining re-evaluates a doubly-referenced
+    * chain exponentially — the BPE lesson).
+    */
+  def mmrSql(table: String, idCol: String, vecCol: String, queryId: Long,
+      k: Int, cos: (String, String) => String,
+      lambda: Double = 0.7, pool: Int = 50): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val oneMinus = s"CAST(${1 - lambda} AS DOUBLE)"
+    val steps = (1 until k).map { i =>
+      s"""red$i AS MATERIALIZED (SELECT c.$idCol AS cid,
+             MAX(round(${cos("c.vec", "s.vec")}, 4)) AS red
+           FROM cand c JOIN selu${i - 1} s ON true
+           WHERE c.$idCol NOT IN (SELECT $idCol FROM selu${i - 1})
+           GROUP BY c.$idCol),
+         sel$i AS MATERIALIZED (SELECT c.$idCol, c.vec, c.rel,
+             ($lam * CAST(c.rel AS DOUBLE) - $oneMinus * r.red) AS score, ${i + 1} AS step
+           FROM cand c JOIN red$i r ON c.$idCol = r.cid
+           ORDER BY score DESC, c.$idCol LIMIT 1),
+         selu$i AS MATERIALIZED (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",\n         ")
+    s"""WITH q AS (SELECT $vecCol AS qv FROM $table WHERE $idCol = $queryId),
+       cand AS MATERIALIZED (SELECT $idCol, $vecCol AS vec,
+           round(${cos(vecCol, "q.qv")}, 4) AS rel
+         FROM $table, q WHERE $idCol <> $queryId
+         ORDER BY rel DESC, $idCol LIMIT $pool),
+       sel0 AS MATERIALIZED (SELECT $idCol, vec, rel,
+           ($lam * CAST(rel AS DOUBLE) - $oneMinus * 0.0) AS score, 1 AS step
+         FROM cand ORDER BY rel DESC, $idCol LIMIT 1),
+       selu0 AS MATERIALIZED (SELECT * FROM sel0),
+       $steps
+       SELECT $idCol, step, round(score, 6) AS score FROM selu${k - 1} ORDER BY step"""
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction: project each vector
+    * onto `k` seeded Rademacher (±1) directions and scale by 1/√k, so
+    * E‖y‖² = ‖x‖² and pairwise distances are preserved within the JL
+    * distortion bound — the cheap front-end that cuts every downstream
+    * ANN / clustering cost by dim/k. One scan-only projection (the
+    * [[graft.functions.RademacherProjectExpr]] loop — the k×dim Column
+    * tree repeats the PQ codegen blowup), no shuffle.
+    *
+    * Output: (idCol, jl_fp) — the projected coordinates integer-quantized
+    * (floor(x·1e6+0.5), the mrl convention: no float printing is ever
+    * compared) and fingerprinted, plus the quantized first coordinate as a
+    * direct value probe.
+    */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Int = 7): DataFrame = {
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val dim = 64
+    val proj = graft.functions.ProjectExpr.project(col(vecCol), planes(k, dim, seed))
+    emb.select(col(idCol),
+      transform(proj, x => floor(x * lit(scale) * lit(1e6) + lit(0.5)).cast("long")).as("_q"))
+      .select(col(idCol),
+        element_at(col("_q"), 1).as("q0"),
+        substring(md5(concat_ws(",", transform(col("_q"), _.cast("string")))), 1, 16).as("jl_fp"))
+  }
+
+  /** Column reference form of the projection (equivalence-spec only). */
+  def jlProjectColumns(vec: Column, k: Int, dim: Int, seed: Int = 7): Column = {
+    val ps = planes(k, dim, seed)
+    array((0 until k).map { p =>
+      (0 until dim).foldLeft(lit(0.0)) { (acc, d) =>
+        val e = coalesce(try_element_at(vec, lit(d + 1)).cast("double"), lit(0.0))
+        if (ps(p)(d)) acc + e else acc - e
+      }
+    }: _*)
+  }
+
+  /** DuckDB mirror of [[jlProject]] — same planes, same interpolated
+    * scale. */
+  def jlProjectSql(table: String, idCol: String, vecCol: String,
+      k: Int, seed: Int = 7): String = {
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val dim = 64
+    val ps = planes(k, dim, seed)
+    val coords = (0 until k).map { p =>
+      val terms = (0 until dim).map { d =>
+        val cast = s"COALESCE(CAST($vecCol[${d + 1}] AS DOUBLE), 0.0)"
+        if (d == 0) { if (ps(p)(0)) cast else s"-$cast" }
+        else if (ps(p)(d)) s" + $cast" else s" - $cast"
+      }.mkString
+      s"CAST(floor(($terms) * $scale * 1000000.0 + 0.5) AS BIGINT)"
+    }
+    s"""SELECT $idCol, q[1] AS q0, md5(array_to_string(q, ','))[:16] AS jl_fp
+       FROM (SELECT $idCol, [${coords.mkString(",\n         ")}] AS q FROM $table)
+       ORDER BY $idCol"""
+  }
+
   /** Sign-bit binary quantization of one 32-dim half of a vector: bit i is
     * set iff `vec[lo + i] > 0`, packed into a non-negative long
     * (Σ bit·2^i, i < 32 — two halves per 64-dim vector keeps every

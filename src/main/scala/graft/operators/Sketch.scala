@@ -144,26 +144,40 @@ object Sketch {
     * `"r:gram"` mod w — integer arithmetic end to end; the threshold
     * compare is one IEEE division against an exact integer sum.
     */
+  /** Exploded n-gram occurrence stream (lowercased whitespace tokens);
+    * pair with [[gramFilter]] to drop the whole-string gram short docs
+    * emit. Shared by the batch CMS and the streaming sketch. */
+  private[graft] def gramStream(text: org.apache.spark.sql.Column, n: Int) =
+    explode(graft.functions.MinHashExpr.shinglesArray(lower(text), n))
+
+  /** Filter matching [[gramStream]]'s short-doc escape (exact for n ≤ 2:
+    * a doc shorter than n tokens emits its whole token string — no space
+    * for n = 2). */
+  private[graft] def gramFilter(n: Int): org.apache.spark.sql.Column =
+    if (n > 1) instr(col("gram"), " ") > 0 else lit(true)
+
+  /** The d probed (row, bucket) cells of one gram as an exploded struct
+    * column — row hashes are the first 8 md5 hex chars of `"r:gram"`
+    * mod width. */
+  private[graft] def cmsProbes(gram: org.apache.spark.sql.Column,
+      depth: Int, width: Int) = {
+    def bucket(r: Int) =
+      conv(substring(md5(concat(lit(s"$r:"), gram)), 1, 8), 16, 10)
+        .cast("long") % width
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("b"))): _*))
+  }
+
   def cmsHeavyHitters(df: DataFrame, textCol: String, n: Int, phiInv: Int,
       depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2, "cmsHeavyHitters: bad sketch shape")
     require(n == 1 || n == 2, "cmsHeavyHitters: short-doc filter is exact only for n <= 2")
     val vocab = Dedup.parallelize(df)
-      .select(explode(
-        graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), n)).as("gram"))
-      // docs shorter than n tokens emit their whole token string — not an
-      // n-gram, dropped (mirrors the oracle's empty range(1, len)); only
-      // n ∈ {1, 2} keeps this filter exact (a 2..n−1-token doc's whole
-      // string would also contain a space)
-      .where(if (n > 1) instr(col("gram"), " ") > 0 else lit(true))
+      .select(gramStream(col(textCol), n).as("gram"))
+      .where(gramFilter(n))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
-    def bucket(r: Int, gram: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(s"$r:"), gram)), 1, 8), 16, 10)
-        .cast("long") % width
     val probes = vocab
-      .select(col("gram"), col("cnt"),
-        explode(array((0 until depth).map(r =>
-          struct(lit(r).as("r"), bucket(r, col("gram")).as("b"))): _*)).as("rb"))
+      .select(col("gram"), col("cnt"), cmsProbes(col("gram"), depth, width).as("rb"))
       .select(col("gram"), col("cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
     // (row, bucket) → counter: the d×w matrix as ≤ d·w rows
     val counters = probes

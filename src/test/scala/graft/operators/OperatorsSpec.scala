@@ -1592,6 +1592,93 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("MMR picks the diverse candidate over the redundant near-dup") {
+    import spark.implicits._
+    // q; a1/a2 near-identical and most query-aligned; b less aligned but
+    // diverse. Pure relevance ranks (q, a1, a2); MMR at λ=0.7 must demote
+    // a2 (its redundancy to a1 ≈ 1) and pick b third.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.95f, 0.3122499f, 0f, 0f)),
+      (2L, Seq(0.94f, 0.3411744f, 0f, 0f)),
+      (3L, Seq(0.8f, -0.36f, 0.48f, 0f))
+    ).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopK(vecs, "vec_id", "embedding", queryId = 0L, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L, 2L), s"expected diversified (1,3,2), got $mmr")
+    val rel = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rel == Seq(0L, 1L, 2L), s"relevance-only baseline should be (0,1,2), got $rel")
+    // scores strictly decrease along the greedy sequence
+    val scores = Similarity.mmrTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .select("score").as[Double].collect().toSeq
+    assert(scores == scores.sorted.reverse && scores.distinct == scores)
+  }
+
+  test("JL projection: one-pass expression equals Column reference; distances preserved") {
+    import spark.implicits._
+    val k = 16
+    val fast = emb.select(col("vec_id"),
+      graft.functions.ProjectExpr.project(col("embedding"), Similarity.planes(k, 64, 7)).as("p"))
+    val ref = emb.select(col("vec_id"),
+      Similarity.jlProjectColumns(col("embedding"), k, 64, 7).as("p"))
+    assert(fast.orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq ==
+      ref.orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq,
+      "expression and Column forms disagree")
+    // JL property on the fixture: scaled projected distance² vs original
+    // distance² for sampled pairs — individual ratios land in a loose band,
+    // the mean lands near 1 (E[ratio] = 1 for Rademacher projections)
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).take(40).map(_._2.map(_.toDouble).toArray)
+    val projs = fast.orderBy("vec_id").as[(Long, Seq[Double])]
+      .collect().take(40).map(_._2.map(_ / math.sqrt(k.toDouble)).toArray)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for { i <- 0 until 40; j <- (i + 1) until 40 }
+      yield d2(projs(i), projs(j)) / d2(vecs(i), vecs(j))
+    assert(ratios.forall(r => r > 0.15 && r < 4.0),
+      s"distortion outside loose JL band: min=${ratios.min} max=${ratios.max}")
+    assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.25,
+      s"mean distortion should be ~1, got ${ratios.sum / ratios.size}")
+  }
+
+  test("phrase search: overlaps, repeated terms, whitespace runs, boundary matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x stream table hash y"), // one occurrence mid-doc
+      (2L, "stream table hash stream table hash"), // two, incl. at both ends
+      (3L, "stream  table\thash"), // whitespace runs still tokenize
+      (4L, "stream table stream hash"), // near-miss: no adjacency
+      (5L, "table hash stream"), // all terms, wrong order
+      (6L, "") // empty doc
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearch(df, "doc_id", "text", Seq("stream", "table", "hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // repeated-term phrase with overlapping occurrences: "a a a a" has
+    // three starts of "a a"
+    val rep = Seq((1L, "a a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val got2 = Search.phraseSearch(rep, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 3L))
+  }
+
+  test("length buckets: pow2 capacities, boundary and overlong docs, exact padding") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val df = Seq(
+      (1L, words(10)), // → 16, pad 6
+      (2L, words(16)), // boundary: fits 16 exactly, pad 0
+      (3L, words(17)), // → 32, pad 15
+      (4L, words(600)) // overlong: clamps to 512, pad 0
+    ).toDF("doc_id", "text")
+    val got = Sharding.lengthBuckets(df, "text")
+      .select("bucket", "n_docs", "n_batches", "total_tokens", "padding")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((16L, 2L, 1L, 26L, 6L), (32L, 1L, 1L, 17L, 15L),
+      (512L, 1L, 1L, 512L, 0L)), got.toString)
+  }
+
   test("hamming rerank: exact self-hit, packed sign signatures, candidate recall") {
     import spark.implicits._
     // hand vector with a known sign pattern: dims 0 and 33 positive only

@@ -208,4 +208,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(engine.totalRecords == 101)
     } finally q.stop()
   }
+
+  test("streaming CMS: constant d·w state, final counters equal the batch sketch") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val (depth, width) = (4, 64)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val counters = StreamSketch.cmsCounters(
+      source.toDS().toDF("text"), "text", n = 2, depth = depth, width = width)
+    val q = counters
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    val b1 = Seq("hot pair hot pair hot pair", "cold one here", "another doc text")
+    val b2 = Seq("hot pair again", "late arrival doc", "cold one here")
+    try {
+      source.addData(b1: _*)
+      q.processAllAvailable()
+      source.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_out").as[(Int, Long, Long)].collect().toSeq.sorted
+      // parity: the SAME definition over the full history as a batch frame
+      val want = StreamSketch.cmsCounters(
+        (b1 ++ b2).toDF("text"), "text", n = 2, depth = depth, width = width)
+        .as[(Int, Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"stream counters != batch sketch of history")
+      assert(got.nonEmpty && got.map(_._3).sum ==
+        (b1 ++ b2).map(_.split("\\s+").length - 1).sum * depth)
+      // the selling point: state is the matrix itself, bounded by d·w
+      // regardless of stream length or vocabulary growth
+      val rows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(rows <= depth.toLong * width,
+        s"state $rows exceeds the d*w=${depth * width} bound")
+    } finally q.stop()
+  }
 }
