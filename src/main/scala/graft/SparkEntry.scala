@@ -733,6 +733,15 @@ object SparkEntry {
     "hamming_rerank" -> ((s, dir) =>
       Similarity.hammingRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
           queryId = 1L, k = 10, candidates = 50)),
+    // interpolated Kneser–Ney bigram scoring: the absolute-discount +
+    // continuation-probability smoothing, all stats from ONE bigram relation
+    "kn_logprob" -> ((s, dir) =>
+      TextAnalysis.knLogprob(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // per-doc token Shannon entropy — the diversity/repetition gate signal
+    "token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // MMR diversified retrieval: distributed candidate pool, k bounded
     // greedy steps (one argmax row each — the BPE/k-means driver pattern)
     "mmr_topk" -> ((s, dir) =>
@@ -1729,6 +1738,10 @@ object SparkEntry {
     "mmr_topk" ->
       operators.Similarity.mmrSql("embeddings", "vec_id", "embedding",
         queryId = 0L, k = 10, cosSql),
+    "kn_logprob" ->
+      TextAnalysis.knLogprobSql("documents", "doc_id", "text"),
+    "token_entropy" ->
+      TextAnalysis.tokenEntropySql("documents", "doc_id", "text"),
     "phrase_search" ->
       operators.Search.phraseSearchSql("documents", "doc_id", "text",
         Seq("stream", "table", "hash")),

@@ -122,7 +122,7 @@ object Search {
     // sound necessary condition: every phrase term must appear as a
     // substring (adjacency can't be gated cheaply — whitespace runs vary)
     val gate = distinctTerms.map(t => contains(lower(col(textCol)), lit(t))).reduce(_ && _)
-    val postings = df
+    val postings = Dedup.parallelize(df)
       .where(gate)
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "term")))

@@ -285,6 +285,112 @@ object TextAnalysis {
         (col("_bl_sum").cast("double") / col("n_bigrams").cast("double")).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing every serious n-gram LM ships): absolute discount D off
+    * every seen bigram count, redistributed through the CONTINUATION
+    * probability — `p(w2|w1) = (max(c12−D,0) + D·N1+(w1·)·pcont(w2)) / c1`
+    * with `pcont(w2) = |{w1 : c12>0}| / |bigram types|` — so rare contexts
+    * back off to how many contexts a word follows, not how often it
+    * occurs (the "san francisco" effect: "francisco" is frequent but
+    * follows one context).
+    *
+    * Relational shape mirrors [[bigramLogprob]]: every statistic (c12, c1,
+    * N1+, continuation fan-in, type count) derives from the ONE bigram
+    * relation by aggregation; the per-pair nll is rounded to 4 then
+    * accumulated DECIMAL-exact per doc. In-corpus docs always have
+    * c12 ≥ 1, so no zero-probability path exists.
+    */
+  def knLogprob(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val id = col(idCol)
+    val tf = Dedup.parallelize(df)
+      .select(id,
+        explode(graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), 2)).as("bg"))
+      .where(instr(col("bg"), " ") > 0)
+      .groupBy(id, col("bg")).agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
+    val byW1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val byW2 = c12.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n_hist"))
+    val types = c12.agg(count(lit(1)).as("n_types"))
+    val d = lit(discount)
+    val p = (greatest(col("c12").cast("double") - d, lit(0.0)) +
+      d * col("n1p").cast("double") *
+        (col("n_hist").cast("double") / col("n_types").cast("double"))) /
+      col("c1").cast("double")
+    val nll = round(-log(p), 4).cast("decimal(18,4)")
+    tf.join(c12, "bg")
+      .join(byW1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(byW2, substring_index(col("bg"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(id)
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("decimal(18,4)") * nll).as("_kn_sum"))
+      .select(id, col("n_bigrams"),
+        (col("_kn_sum").cast("double") / col("n_bigrams").cast("double")).as("avg_nll"))
+  }
+
+  /** DuckDB mirror of [[knLogprob]] — same discount interpolated, same
+    * parenthesization and cast points. */
+  def knLogprobSql(table: String, idCol: String, textCol: String,
+      discount: Double = 0.75): String =
+    s"""WITH w AS (SELECT $idCol, string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $table),
+       b AS (SELECT $idCol, unnest(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])) AS bg FROM w),
+       tf AS (SELECT $idCol, bg, COUNT(*) AS tf FROM b GROUP BY $idCol, bg),
+       c2 AS (SELECT bg, SUM(tf) AS c12 FROM tf GROUP BY bg),
+       w1s AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM c2 GROUP BY 1),
+       w2s AS (SELECT split_part(bg, ' ', 2) AS w2, COUNT(*) AS n_hist FROM c2 GROUP BY 1),
+       ty AS (SELECT COUNT(*) AS n_types FROM c2),
+       j AS (SELECT tf.$idCol, tf.tf,
+             CAST(round(-ln(
+               (greatest(CAST(c12 AS DOUBLE) - $discount, 0.0)
+                 + $discount * CAST(n1p AS DOUBLE)
+                   * (CAST(n_hist AS DOUBLE) / CAST(n_types AS DOUBLE)))
+               / CAST(c1 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS nll
+             FROM tf JOIN c2 USING (bg)
+             JOIN w1s ON split_part(tf.bg, ' ', 1) = w1s.w1
+             JOIN w2s ON split_part(tf.bg, ' ', 2) = w2s.w2
+             CROSS JOIN ty)
+       SELECT $idCol, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
+           / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+       FROM j GROUP BY $idCol ORDER BY $idCol"""
+
+  /** Per-document token Shannon entropy, `H = ln(n) − (Σ tf·ln tf)/n` —
+    * the repetition/diversity signal (a doc of one repeated token has
+    * H = 0; uniform tokens maximize it). One explode → one tf aggregation;
+    * `tf·ln tf` rounds to 4 and accumulates DECIMAL-exact so the sum is
+    * order-free, then the closed form applies once per doc.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val tf = Dedup.parallelize(df)
+      .select(id, explode(tokens(lower(col(textCol)))).as("t"))
+      .groupBy(id, col("t")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(id)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(round(col("tf").cast("double") * log(col("tf").cast("double")), 4)
+          .cast("decimal(18,4)")).as("_te_sum"))
+      .select(id, col("n_tokens"),
+        // clamp: the rounded-4 tf·ln(tf) terms can overshoot ln(n)·n by an
+        // epsilon on degenerate (single-token) docs; entropy is ≥ 0
+        greatest(lit(0.0),
+          log(col("n_tokens").cast("double")) -
+            col("_te_sum").cast("double") / col("n_tokens").cast("double")).as("entropy"))
+  }
+
+  /** DuckDB mirror of [[tokenEntropy]]. */
+  def tokenEntropySql(table: String, idCol: String, textCol: String): String =
+    s"""WITH tf AS (SELECT $idCol, t, COUNT(*) AS tf FROM (
+           SELECT $idCol, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS t FROM $table)
+         GROUP BY $idCol, t)
+       SELECT $idCol, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         greatest(0.0, ln(CAST(SUM(tf) AS DOUBLE))
+           - CAST(SUM(CAST(round(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)), 4) AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(tf) AS DOUBLE)) AS entropy
+       FROM tf GROUP BY $idCol ORDER BY $idCol"""
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Cross-engine stable (md5 in both Spark and DuckDB); the first 16 hex
     * chars serve as a 64-bit fingerprint.

@@ -32,7 +32,10 @@ object ScaleSmoke {
     "dup_spans", "dup_spans_strip", "decontam_bloom", "cdc_chunks",
     // session-5 additions: the bigram relation (vocab² keys), BM25 ranking,
     // sketched overlap (all documents-table)
-    "bigram_logprob", "bm25_search", "kmv_overlap")
+    "bigram_logprob", "bm25_search", "kmv_overlap",
+    // session-6 additions: the new documents-table shapes — DSIR feature
+    // scoring, the CMS counter matrix, positional phrase match
+    "dsir_weights", "cms_heavy", "phrase_search")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

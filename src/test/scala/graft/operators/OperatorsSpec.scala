@@ -1592,6 +1592,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("Kneser-Ney matches an independent reference; continuation beats raw frequency") {
+    import spark.implicits._
+    // the "san francisco" corpus: "francisco" is FREQUENT but follows only
+    // one context; "day" is rarer overall but follows many contexts
+    val docs = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "nice day good day long day rainy day"),
+      (3L, "one day in san francisco"))
+    val got = TextAnalysis.knLogprob(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent reference: plain-collections interpolated KN
+    val D = 0.75
+    val bgs = docs.flatMap { case (id, t) =>
+      val w = t.split("\\s+"); w.sliding(2).map(p => (id, p.mkString(" "))).toSeq
+    }
+    val c12 = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val n1p = c12.groupBy(_._1.split(" ")(0)).view.mapValues(_.size).toMap
+    val nHist = c12.groupBy(_._1.split(" ")(1)).view.mapValues(_.size).toMap
+    val nTypes = c12.size
+    def rnd4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def nll(bg: String): BigDecimal = {
+      val Array(w1, w2) = bg.split(" ")
+      val p = (math.max(c12(bg) - D, 0.0) +
+        D * n1p(w1) * (nHist(w2).toDouble / nTypes.toDouble)) / c1(w1)
+      rnd4(-math.log(p))
+    }
+    for ((id, _) <- docs) {
+      val doc = bgs.filter(_._1 == id).map(_._2)
+      val want = (doc.map(nll).sum / doc.size).toDouble
+      assert(math.abs(got(id)._2 - want) < 1e-9,
+        s"doc $id: got ${got(id)._2}, reference $want")
+      assert(got(id)._1 == doc.size.toLong)
+    }
+    // the KN signature: p(francisco | san) is near 1 - D/c1 territory yet
+    // pcont(francisco) < pcont(day) despite francisco being more frequent
+    assert(nHist("francisco") < nHist("day"))
+  }
+
+  test("token entropy: zero for repetition, ln(n) for uniform, order-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x x x x x x"), // repetition → H = 0
+      (2L, "a b c d"), // uniform → ln(4)
+      (3L, "d c b a") // permutation of 2 → same entropy
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) == 0.0, s"repeated token must have zero entropy: ${got(1L)}")
+    assert(math.abs(got(2L) - math.log(4.0)) < 1e-9)
+    assert(got(2L) == got(3L), "entropy must be order-invariant")
+  }
+
   test("MMR picks the diverse candidate over the redundant near-dup") {
     import spark.implicits._
     // q; a1/a2 near-identical and most query-aligned; b less aligned but
