@@ -472,6 +472,23 @@ object SparkEntry {
     "neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(nearDupPairsBuilt(s, dir))
         .orderBy("id")),
+    // keep-BEST per near-dup cluster (longest copy wins, id tie-break) —
+    // the selection real dedup pipelines apply to cluster members
+    "cluster_best" -> ((s, dir) =>
+      Dedup.clusterRepresentatives(
+          Dedup.nearDupClusters(nearDupPairsBuilt(s, dir)),
+          Tables.documents(s, dir), "doc_id", "n_chars")
+        .orderBy("cluster_id")),
+    // leakage-safe split: assignment is a function of the SOURCE, so
+    // within-source near-dups can never straddle train/test
+    "group_split" -> ((s, dir) =>
+      operators.Sampling.groupSplit(Tables.documents(s, dir), "doc_id", "source")
+        .orderBy("doc_id")),
+    // robust per-type outlier gate: median + MAD broadcast back over the
+    // fact scan twice; facts never shuffle
+    "mad_outliers" -> ((s, dir) =>
+      operators.Robust.madOutliers(ev(s, dir), "event_type", "value")
+        .orderBy("event_type")),
     "split_assign" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
@@ -1392,6 +1409,34 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "cluster_best" ->
+      // clusters chain + keep-best representative: (n_chars desc, id)
+      // argmax per cluster — the window mirror of Dedup.clusterRepresentatives
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         jd AS (SELECT cl.cluster_id, cl.id, d.n_chars,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                 ORDER BY d.n_chars DESC, cl.id) AS rn,
+               COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+             FROM cl JOIN documents d ON cl.id = d.doc_id)
+         SELECT cluster_id, id AS keep_id, n_chars AS keep_score, n_members
+         FROM jd WHERE rn = 1 ORDER BY cluster_id""",
+    "group_split" ->
+      """SELECT doc_id, source,
+         CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 CAST('0x'||substr(md5('gsplit:'||source),1,2) AS INT) AS b
+               FROM documents)
+         ORDER BY doc_id""",
+    "mad_outliers" ->
+      operators.Robust.madOutliersSql("events", "event_type", "value"),
     "stratified_sample" ->
       // md5-ranked exact per-stratum quota — mirrors Sampling.stratifiedSample
       """SELECT doc_id, lang FROM (

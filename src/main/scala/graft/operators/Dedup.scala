@@ -305,6 +305,31 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Keep-BEST representative per near-dup cluster (real pipelines keep the
+    * longest / highest-quality copy, not an arbitrary one — exact-dup
+    * groups have identical copies, so argmax only matters HERE, where
+    * cluster members genuinely differ). `scored` maps ids to a score
+    * column; the representative is the (score desc, id asc) argmax, so
+    * selection is total-ordered and engine-stable.
+    *
+    * Plan shape: one hash-partitioned window over the cluster relation
+    * (cluster-sized, orders of magnitude under the corpus) joined with the
+    * per-id scores; counts ride the same window partition.
+    */
+  def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = clusters.join(
+      scored.select(col(idCol).as("id"), col(scoreCol).as("_cr_score")), "id")
+    val w = Window.partitionBy("cluster_id")
+    j.withColumn("_cr_rn",
+        row_number().over(w.orderBy(col("_cr_score").desc, col("id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .where(col("_cr_rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"),
+        col("_cr_score").as("keep_score"), col("n_members"))
+  }
+
   /** 64-bit SimHash over tokens: per-token 64-bit hash (xxhash64 — Spark
     * native, codegen'd), bitwise vote, sign → bit. Near-dups have small
     * Hamming distance. (Engine-internal signature — no cross-engine oracle.)

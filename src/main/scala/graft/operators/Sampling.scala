@@ -23,6 +23,19 @@ object Sampling {
     when(b < 230, "train").when(b < 243, "valid").otherwise("test")
   }
 
+  /** GROUP-aware split (scikit's GroupShuffleSplit discipline): the split
+    * is a pure function of the GROUP key (source/domain/author), so every
+    * document of a group lands in the same split — the leakage-prevention
+    * rung doc-level splitting misses: near-dups inside one source
+    * otherwise straddle train and test and inflate eval. Same md5-byte
+    * mechanism as [[splitOf]], different salt so the two assignments are
+    * independent.
+    */
+  def groupSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, salt: String = "gsplit"): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), col(groupCol),
+      splitOf(col(groupCol), salt).as("split"))
+
   /** Deterministic stratified sampling: EXACTLY `ceil(frac * |stratum|)`
     * rows from every stratum, chosen by md5 rank — so small strata are never
     * silently dropped (the failure mode of Bernoulli `sample()` on skewed

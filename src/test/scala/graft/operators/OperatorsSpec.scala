@@ -1592,6 +1592,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("cluster representatives: score argmax with id tie-break, member counts") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 2L), (11L, 7L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.clusterRepresentatives(clusters, scored, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // cluster 1: scores (5,9,9) → id 2 wins the 9-tie; cluster 10: id 11
+    assert(got == Seq((1L, 2L, 9L, 3L), (10L, 11L, 7L, 2L)), got.toString)
+  }
+
+  test("group split: every group lands whole in exactly one split") {
+    import spark.implicits._
+    val out = Sampling.groupSplit(docs, "doc_id", "source")
+    val perSource = out.groupBy("source")
+      .agg(count_distinct(col("split")).as("k"))
+      .as[(String, Long)].collect()
+    assert(perSource.nonEmpty && perSource.forall(_._2 == 1L),
+      "a source straddles splits — leakage")
+    // doc-level assignment DOES straddle sources (what group split prevents)
+    val docLevel = docs.select(col("source"),
+      Sampling.splitOf(col("doc_id")).as("split"))
+      .groupBy("source").agg(count_distinct(col("split")).as("k"))
+      .as[(String, Long)].collect()
+    assert(docLevel.exists(_._2 > 1L), "fixture too small to show the contrast")
+  }
+
+  test("MAD outliers: extreme value flagged, uniform group clean, median robust") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10.0), ("a", 10.0), ("a", 11.0), ("a", 9.0), ("a", 1000.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)
+    ).toDF("grp", "v")
+    val got = Robust.madOutliers(df, "grp", "v")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the 1000.0 cannot drag the median: med=10, MAD=median(0,0,1,1,990)=1
+    assert(got("a")._4 == 10.0 && got("a")._5 == 1.0)
+    assert(got("a")._3 == 1L, s"exactly the extreme value flags: ${got("a")}")
+    assert(got("b")._3 == 0L && got("b")._5 == 0.0)
+  }
+
   test("Kneser-Ney matches an independent reference; continuation beats raw frequency") {
     import spark.implicits._
     // the "san francisco" corpus: "francisco" is FREQUENT but follows only
