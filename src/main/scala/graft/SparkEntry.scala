@@ -932,10 +932,11 @@ object SparkEntry {
           explode(operators.TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
         .orderBy("doc_id", "fp")),
     "multimodal_dims" -> ((s, dir) => {
-      // REAL header parsing: synthesize deterministic PNG (even doc_id) /
-      // JPEG (odd) headers carrying doc_id-derived dimensions, then recover
-      // width/height through the batched decode path's general parser
-      // (Multimodal.parseDims — IHDR layout / SOF marker scan). The oracle
+      // REAL header parsing across FOUR container formats: synthesize
+      // deterministic PNG/JPEG/GIF/BMP headers (doc_id % 4) carrying
+      // doc_id-derived dimensions, then recover width/height through the
+      // batched decode path's general parser (Multimodal.parseDims — IHDR
+      // u32be / SOF marker scan / GIF u16le / BMP i32le). The oracle
       // re-derives the same bytes and parses them back with hex arithmetic.
       val w = (col("doc_id") % 640 + 1).cast("int")
       val h = (col("doc_id") % 480 + 1).cast("int")
@@ -944,14 +945,50 @@ object SparkEntry {
       val jpgHex = concat(
         lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
         lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit("03011100021101031101"))
+      val gifHex = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
+      val bmpHex = concat(lit("424D"), le32(lit(28)), lit("00000000"),
+        le32(lit(28)), lit("28000000"), le32(w), le32(h), lit("0100"))
+      val m4 = col("doc_id") % 4
       val df = Tables.documents(s, dir).select(col("doc_id"),
-        unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex)).as("asset"))
+        unhex(when(m4 === 0, pngHex).when(m4 === 1, jpgHex)
+          .when(m4 === 2, gifHex).otherwise(bmpHex)).as("asset"))
       operators.Multimodal.withDecodedMeta(df, "asset")
         .select(col("doc_id"), col("asset_meta.format").as("format"),
           col("asset_meta.width").as("width"), col("asset_meta.height").as("height"))
         .orderBy("doc_id")
+    }),
+    "multimodal_wav" -> ((s, dir) => {
+      // audio metadata without a codec: deterministic RIFF/WAVE headers
+      // (channels/rate/payload size derived from doc_id), parsed back by
+      // the chunk scan in the batched decode shape; duration from the
+      // header's own byte-rate field
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = ((col("doc_id") % 3 + 1) * 8000).cast("int")
+      val dataSz = (col("doc_id") % 9000 + 1000).cast("int")
+      val byteRate = (rate * ch * 2).cast("int")
+      val hexStr = concat(lit("52494646"), le32(dataSz + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), le16(ch), le32(rate),
+        le32(byteRate), le16(ch * 2), lit("1000"), lit("64617461"), le32(dataSz))
+      val df = Tables.documents(s, dir)
+        .select(col("doc_id"), unhex(hexStr).as("audio"))
+      operators.Multimodal.withWavMeta(df, "audio")
+        .select(col("doc_id"),
+          col("wav_meta.channels").as("channels"),
+          col("wav_meta.sample_rate").as("sample_rate"),
+          expr("wav_meta.data_len * 1000 DIV wav_meta.byte_rate").as("duration_ms"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Little-endian hex of a u16/u32 value column (RIFF/GIF/BMP headers). */
+  private def le16(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
 
   // ---------- oracle SQL (DuckDB) ----------
 
@@ -1892,27 +1929,76 @@ object SparkEntry {
            FROM g)
          SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""",
     "multimodal_dims" ->
-      // build the SAME deterministic PNG/JPEG headers, then parse the
-      // dimensions BACK out of the bytes (hex-substring arithmetic at the
-      // fixed header offsets: PNG IHDR w/h at bytes 17-24; this JPEG
-      // layout's SOF0 h/w at bytes 26-29)
-      """WITH b AS (SELECT doc_id,
-           unhex(CASE WHEN doc_id % 2 = 0
-             THEN '89504E470D0A1A0A0000000D49484452'
+      // build the SAME deterministic PNG/JPEG/GIF/BMP headers, then parse
+      // the dimensions BACK out of the bytes (hex-substring arithmetic at
+      // the fixed header offsets: PNG IHDR w/h at bytes 17-24 big-endian;
+      // this JPEG layout's SOF0 h/w at bytes 26-29; GIF screen w/h at 6/8
+      // LITTLE-endian; BMP w/h at 18/22 little-endian)
+      s"""WITH b AS (SELECT doc_id,
+           unhex(CASE doc_id % 4
+             WHEN 0 THEN '89504E470D0A1A0A0000000D49484452'
                || lpad(to_hex(CAST(doc_id % 640 + 1 AS INTEGER)), 8, '0')
                || lpad(to_hex(CAST(doc_id % 480 + 1 AS INTEGER)), 8, '0')
                || '0806000000'
-             ELSE 'FFD8FFE000104A46494600010100000100010000FFC0001108'
+             WHEN 1 THEN 'FFD8FFE000104A46494600010100000100010000FFC0001108'
                || lpad(to_hex(CAST(doc_id % 480 + 1 AS INTEGER)), 4, '0')
                || lpad(to_hex(CAST(doc_id % 640 + 1 AS INTEGER)), 4, '0')
                || '03011100021101031101'
+             WHEN 2 THEN '474946383961'
+               || ${le16Sql("CAST(doc_id % 640 + 1 AS INTEGER)")}
+               || ${le16Sql("CAST(doc_id % 480 + 1 AS INTEGER)")}
+               || 'F70000'
+             ELSE '424D' || ${le32Sql("28")} || '00000000' || ${le32Sql("28")}
+               || '28000000'
+               || ${le32Sql("CAST(doc_id % 640 + 1 AS INTEGER)")}
+               || ${le32Sql("CAST(doc_id % 480 + 1 AS INTEGER)")}
+               || '0100'
            END) AS asset FROM documents)
          SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(('0x' || substr(hex(asset), 33, 8)) AS INTEGER)
-                ELSE CAST(('0x' || substr(hex(asset), 55, 4)) AS INTEGER) END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(('0x' || substr(hex(asset), 41, 8)) AS INTEGER)
-                ELSE CAST(('0x' || substr(hex(asset), 51, 4)) AS INTEGER) END AS height
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+           CASE doc_id % 4
+             WHEN 0 THEN CAST(('0x' || substr(hex(asset), 33, 8)) AS INTEGER)
+             WHEN 1 THEN CAST(('0x' || substr(hex(asset), 55, 4)) AS INTEGER)
+             WHEN 2 THEN CAST(('0x' || substr(hex(asset), 15, 2) || substr(hex(asset), 13, 2)) AS INTEGER)
+             ELSE CAST(('0x' || substr(hex(asset), 43, 2) || substr(hex(asset), 41, 2)
+               || substr(hex(asset), 39, 2) || substr(hex(asset), 37, 2)) AS INTEGER) END AS width,
+           CASE doc_id % 4
+             WHEN 0 THEN CAST(('0x' || substr(hex(asset), 41, 8)) AS INTEGER)
+             WHEN 1 THEN CAST(('0x' || substr(hex(asset), 51, 4)) AS INTEGER)
+             WHEN 2 THEN CAST(('0x' || substr(hex(asset), 19, 2) || substr(hex(asset), 17, 2)) AS INTEGER)
+             ELSE CAST(('0x' || substr(hex(asset), 51, 2) || substr(hex(asset), 49, 2)
+               || substr(hex(asset), 47, 2) || substr(hex(asset), 45, 2)) AS INTEGER) END AS height
+         FROM b ORDER BY doc_id""",
+    "multimodal_wav" ->
+      // RIFF/WAVE headers rebuilt field-for-field, then channels/rate/
+      // data-size parsed BACK from the little-endian bytes at their fixed
+      // offsets (22, 24, 28, 40); duration from the header's byte-rate
+      s"""WITH p AS (SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+           CAST((doc_id % 3 + 1) * 8000 AS INTEGER) AS rate,
+           CAST(doc_id % 9000 + 1000 AS INTEGER) AS ds FROM documents),
+         b AS (SELECT doc_id,
+           unhex('52494646' || ${le32Sql("ds + 36")} || '57415645'
+             || '666D7420' || '10000000' || '0100' || ${le16Sql("ch")}
+             || ${le32Sql("rate")} || ${le32Sql("rate * ch * 2")}
+             || ${le16Sql("ch * 2")} || '1000' || '64617461'
+             || ${le32Sql("ds")}) AS audio FROM p)
+         SELECT doc_id,
+           CAST(('0x' || substr(hex(audio), 47, 2) || substr(hex(audio), 45, 2)) AS INTEGER) AS channels,
+           CAST(('0x' || substr(hex(audio), 55, 2) || substr(hex(audio), 53, 2)
+             || substr(hex(audio), 51, 2) || substr(hex(audio), 49, 2)) AS INTEGER) AS sample_rate,
+           CAST(('0x' || substr(hex(audio), 87, 2) || substr(hex(audio), 85, 2)
+             || substr(hex(audio), 83, 2) || substr(hex(audio), 81, 2)) AS BIGINT) * 1000
+             // CAST(('0x' || substr(hex(audio), 63, 2) || substr(hex(audio), 61, 2)
+               || substr(hex(audio), 59, 2) || substr(hex(audio), 57, 2)) AS BIGINT) AS duration_ms
          FROM b ORDER BY doc_id"""
   )
+
+  /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */
+  private def le16Sql(e: String): String =
+    s"(substr(lpad(to_hex($e),4,'0'),3,2) || substr(lpad(to_hex($e),4,'0'),1,2))"
+  private def le32Sql(e: String): String =
+    s"""(substr(lpad(to_hex($e),8,'0'),7,2) || substr(lpad(to_hex($e),8,'0'),5,2)
+       || substr(lpad(to_hex($e),8,'0'),3,2) || substr(lpad(to_hex($e),8,'0'),1,2))"""
 }

@@ -52,11 +52,22 @@ object Multimodal {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def u32(i: Int): Int = (u16(i) << 16) | u16(i + 2) // header dims < 2^31
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def i32le(i: Int): Int = u16le(i) | (u16le(i + 2) << 16)
     val isPng = bytes.length >= 24 &&
       u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
       u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
       u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
+    val isGif = bytes.length >= 10 &&
+      u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a'
+    val isBmp = bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M'
     if (isPng) Some(("png", u32(16), u32(20)))
+    // GIF87a/89a: logical-screen w/h are the LITTLE-endian u16s at 6/8
+    else if (isGif) Some(("gif", u16le(6), u16le(8)))
+    // BMP (BITMAPINFOHEADER): w/h are the LE i32s at 18/22; |h| because a
+    // negative height encodes top-down row order, not a negative dimension
+    else if (isBmp) Some(("bmp", i32le(18), math.abs(i32le(22))))
     else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       var i = 2
       while (i + 1 < bytes.length) {
@@ -119,6 +130,64 @@ object Multimodal {
       rows.map { r =>
         val meta = decodeStub(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq :+ Row(meta.byteLen, meta.format, meta.width, meta.height, meta.checksum))
+      }
+    }(enc)
+  }
+
+  /** Parsed RIFF/WAVE audio metadata — header fields only, no sample
+    * decode. */
+  case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      byteRate: Int, dataLen: Long)
+
+  private val wavSchema = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("byte_rate", IntegerType),
+    StructField("data_len", LongType)
+  ))
+
+  /** RIFF/WAVE fmt-chunk scan (no codec): "RIFF"…"WAVE", then chunks of
+    * (4-byte id, u32le size) word-aligned per the RIFF spec; the fmt chunk
+    * carries channels/rate/bits/byte-rate, the data chunk's SIZE is the
+    * payload length (readable even when the payload itself is elsewhere —
+    * the metadata-reader shape). None for non-WAV/truncated headers.
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavMeta] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long = u16le(i).toLong | (u16le(i + 2).toLong << 16)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataLen = -1L
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = tag(i)
+      val size = u32le(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length)
+        fmt = Some((u16le(i + 10), u32le(i + 12).toInt, u32le(i + 16).toInt, u16le(i + 22)))
+      else if (id == "data") dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+    }
+    fmt.collect { case (ch, rate, byteRate, bits) if dataLen >= 0 =>
+      WavMeta(ch, rate, bits, byteRate, dataLen)
+    }
+  }
+
+  /** Batched WAV metadata extraction — same mapPartitions decode shape as
+    * [[withDecodedMeta]]; unparseable rows get a null `wav_meta`. */
+  def withWavMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = df.schema.add("wav_meta", wavSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseWav(r.getAs[Array[Byte]](binIdx)).orNull
+        val metaRow =
+          if (m == null) null
+          else Row(m.channels, m.sampleRate, m.bitsPerSample, m.byteRate, m.dataLen)
+        Row.fromSeq(r.toSeq :+ metaRow)
       }
     }(enc)
   }

@@ -459,6 +459,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub("abc".getBytes).width == 3 % 640)
   }
 
+  test("GIF/BMP dims and RIFF/WAV chunk scan, little-endian and padded chunks") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le16(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    def le32(v: Int) =
+      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    // GIF: both signature versions, LE dims
+    assert(Multimodal.parseDims(hx("474946383761" + le16(320) + le16(200) + "F70000"))
+      == Some(("gif", 320, 200)))
+    assert(Multimodal.parseDims(hx("474946383961" + le16(1) + le16(65535) + "F70000"))
+      == Some(("gif", 1, 65535)))
+    // BMP: negative height means top-down rows, dimension is |h|
+    def bmp(w: Int, h: Int) = hx("424D" + le32(28) + "00000000" + le32(28) +
+      le32(40) + le32(w) + le32(h) + "0100")
+    assert(Multimodal.parseDims(bmp(640, 480)) == Some(("bmp", 640, 480)))
+    assert(Multimodal.parseDims(bmp(8, -32)) == Some(("bmp", 8, 32)))
+    assert(Multimodal.parseDims(hx("424D" + "00" * 10)).isEmpty) // truncated
+    // WAV: an ODD-sized LIST chunk before fmt exercises RIFF word padding
+    def wav(ch: Int, rate: Int, dataSz: Int, junk: String) =
+      hx("52494646" + le32(100) + "57415645" + junk +
+        "666D7420" + le32(16) + le16(1) + le16(ch) + le32(rate) +
+        le32(rate * ch * 2) + le16(ch * 2) + le16(16) +
+        "64617461" + le32(dataSz))
+    val plain = Multimodal.parseWav(wav(2, 44100, 8000, ""))
+    assert(plain == Some(Multimodal.WavMeta(2, 44100, 16, 176400, 8000L)), plain.toString)
+    val padded = Multimodal.parseWav(
+      wav(1, 8000, 123, "4C495354" + le32(3) + "414243" + "00")) // LIST len 3 + pad
+    assert(padded == Some(Multimodal.WavMeta(1, 8000, 16, 16000, 123L)), padded.toString)
+    assert(Multimodal.parseWav("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseWav(hx("524946460400000057415645")).isEmpty) // no fmt/data
+  }
+
   test("multimodal decode stub: mapPartitions path matches column path") {
     import spark.implicits._
     val df = docs.limit(50).withColumn("blob", encode(col("text"), "UTF-8"))
