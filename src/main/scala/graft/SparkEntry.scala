@@ -489,6 +489,11 @@ object SparkEntry {
     "mad_outliers" -> ((s, dir) =>
       operators.Robust.madOutliers(ev(s, dir), "event_type", "value")
         .orderBy("event_type")),
+    // fuzzy record linkage over the distinct-name dictionary: q-gram count
+    // filter (no false negatives), exact levenshtein only on survivors
+    "fuzzy_match" -> ((s, dir) =>
+      operators.Linkage.fuzzyMatch(Tables.part(s, dir), "p_name", maxDist = 2)
+        .orderBy("name_a", "name_b")),
     "split_assign" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
@@ -1474,6 +1479,8 @@ object SparkEntry {
          ORDER BY doc_id""",
     "mad_outliers" ->
       operators.Robust.madOutliersSql("events", "event_type", "value"),
+    "fuzzy_match" ->
+      operators.Linkage.fuzzyMatchSql("part", "p_name", maxDist = 2),
     "stratified_sample" ->
       // md5-ranked exact per-stratum quota — mirrors Sampling.stratifiedSample
       """SELECT doc_id, lang FROM (

@@ -1624,6 +1624,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("fuzzy match equals all-pairs brute force; short strings take the brute branch") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // fixture dictionary: operator == brute force over all distinct names
+    val parts = graft.Tables.part(spark, "/root/testdata/sf0.001")
+    val got = Linkage.fuzzyMatch(parts, "p_name", maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    val dict = parts.select("p_name").distinct().as[String].collect()
+    val brute = (for {
+      x <- dict; y <- dict if x < y
+      d = lev(x, y) if d <= 2
+    } yield (x, y, d.toLong)).toSet
+    assert(brute.nonEmpty && got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // strings below q*(d+1)=6 chars are un-prunable — the explicit brute
+    // branch must still pair them (and mixed short/long pairs ride the
+    // gram path when the longer side reaches the bound)
+    val hand = Seq("ab", "ac", "abcd", "abcdefgh", "abcdefgi").toDF("n")
+    val hg = Linkage.fuzzyMatch(hand, "n", maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(hg.contains(("ab", "ac", 1L)), hg.toString)
+    assert(hg.contains(("ab", "abcd", 2L)), hg.toString)
+    assert(hg.contains(("abcdefgh", "abcdefgi", 1L)), hg.toString)
+  }
+
   test("cluster representatives: score argmax with id tie-break, member counts") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
