@@ -602,6 +602,14 @@ object SparkEntry {
       operators.Chunking.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
           k = 4, modulus = 16)
         .orderBy("doc_id", "chunk_idx")),
+    // corpus-level boilerplate strip (RefinedWeb repeated-line removal over
+    // CDC chunks): spans recurring in >= 3 distinct docs removed everywhere,
+    // docs reassembled losslessly from the surviving chunks
+    "boilerplate_strip" -> ((s, dir) =>
+      operators.Boilerplate.stripBoilerplate(
+          Tables.documents(s, dir), "doc_id", "text",
+          k = 4, modulus = 16, minDocs = 3)
+        .orderBy("doc_id")),
     // vocabulary pruning + OOV remap: corpus-rare tokens become <unk>,
     // documents reassembled in original token order
     "vocab_prune" -> ((s, dir) =>
@@ -1618,6 +1626,9 @@ object SparkEntry {
     },
     "cdc_chunks" ->
       operators.Chunking.cdcChunksSql("documents", "doc_id", "text", k = 4, modulus = 16),
+    "boilerplate_strip" ->
+      operators.Boilerplate.stripBoilerplateSql("documents", "doc_id", "text",
+        k = 4, modulus = 16, minDocs = 3),
     "chunk_tokens" ->
       // mirror of Chunking.tokenChunks(chunkSize=32, stride=24): 1-based
       // inclusive list slices, last window start = max(0, ceil((n-32)/24))

@@ -1862,4 +1862,68 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = out.map(_._1).count(brute).toDouble / brute.size
     assert(recall >= 0.4, s"hamming-rerank recall@10 too low: $recall")
   }
+
+  test("boilerplate strip: minDocs threshold, alignment-robust removal, lossless reassembly") {
+    import spark.implicits._
+    // a 150-token span shared by FOUR docs at four DIFFERENT offsets (CDC
+    // boundaries are content-local, so the span's interior chunks match
+    // regardless of offset); a second span shared by only TWO docs must
+    // survive minDocs = 3
+    val span = (0 until 150).map(i => s"b$i").mkString(" ")
+    val rare = (0 until 150).map(i => s"c$i").mkString(" ")
+    val rows =
+      (0 until 4).map { i =>
+        val pre = (0 to i * 7).map(j => s"p${i}x$j").mkString(" ")
+        val post = (0 until 20).map(j => s"s${i}x$j").mkString(" ")
+        (i.toLong, s"$pre $span $post")
+      } ++ Seq(
+        (10L, s"q0 q1 q2 $rare q3 q4"),
+        (11L, s"r0 r1 $rare r2 r3"))
+    val out = Boilerplate
+      .stripBoilerplate(rows.toDF("doc_id", "text"), "doc_id", "text",
+        k = 4, modulus = 16, minDocs = 3)
+      .select("doc_id", "n_chunks", "n_removed", "kept_tokens", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    (0 until 4).foreach { i =>
+      assert(out(i.toLong)._3 > 0, s"doc $i: shared span's interior chunks not removed")
+    }
+    // the four docs' removed token counts agree on the span interior: every
+    // doc loses the SAME shared chunks (offsets differ, content doesn't)
+    val removedTokens = (0 until 4).map { i =>
+      val (_, _, _, kept, _) = out(i.toLong)
+      val total = rows(i)._2.split(" ").length
+      total - kept
+    }
+    assert(removedTokens.distinct.size == 1,
+      s"offset-dependent removal: $removedTokens tokens removed per doc")
+    Seq(10L, 11L).foreach { id =>
+      val (_, _, nRemoved, kept, fp) = out(id)
+      assert(nRemoved == 0L, s"doc $id: two-doc span removed below minDocs")
+      val text = rows.find(_._1 == id).get._2
+      assert(kept == text.split(" ").length.toLong)
+      val expectFp = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == expectFp, s"doc $id: reassembly not lossless")
+    }
+  }
+
+  test("boilerplate strip matches driver-side brute force on the fixture corpus") {
+    import spark.implicits._
+    val out = Boilerplate.stripBoilerplate(docs, "doc_id", "text",
+        k = 4, modulus = 16, minDocs = 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    // independent ground truth: chunk extents from cdcChunks, texts sliced
+    // driver-side, boilerplate = chunk text in >= 3 distinct docs
+    val toks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val chunks = Chunking.cdcChunks(docs, "doc_id", "text", k = 4, modulus = 16)
+      .select("doc_id", "start_pos", "end_pos").as[(Long, Long, Long)].collect()
+      .map { case (id, s, e) => (id, toks(id).slice(s.toInt, e.toInt + 1).mkString(" ")) }
+    val boiler = chunks.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val expect = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.count(c => boiler(c._2)).toLong
+    }
+    assert(out == expect, "per-doc removed-chunk counts diverge from brute force")
+    assert(expect.values.sum > 0, "fixture should exercise the removal path")
+  }
 }
