@@ -745,6 +745,13 @@ object SparkEntry {
       operators.Dsir.importanceWeights(Tables.documents(s, dir), "doc_id", "text",
           col("lang") === "en", buckets = 1024)
         .orderBy("doc_id")),
+    // fastText-style model-based classification (language ID): closed-form
+    // multinomial NB trained on the 80% split, scored over every doc via a
+    // broadcast V×C weight table on the single tf relation
+    "nb_classify" -> ((s, dir) =>
+      operators.Classify.nbClassify(Tables.documents(s, dir), "doc_id", "text",
+          "lang", trainMod = 5)
+        .orderBy("doc_id")),
     // hybrid retrieval: BM25 lexical ranks fused with brute-cosine semantic
     // ranks by reciprocal-rank fusion (only RANKS cross the two scorers)
     "hybrid_rrf" -> ((s, dir) => {
@@ -1850,6 +1857,9 @@ object SparkEntry {
     "dsir_weights" ->
       operators.Dsir.importanceWeightsSql("documents", "doc_id", "text",
         "lang = 'en'", buckets = 1024),
+    "nb_classify" ->
+      operators.Classify.nbClassifySql("documents", "doc_id", "text",
+        "lang", trainMod = 5),
     "hamming_rerank" -> {
       // mirror of Similarity.hammingRerank(queryId=1, k=10, candidates=50):
       // packed 32-bit sign halves, bit_count(xor) hamming, cosine rescore

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus classification — the fastText-classifier stage of a
+  * CCNet/RefinedWeb-style pipeline (language ID, quality scoring against a
+  * curated slice) as a multinomial Naive Bayes over unigram counts:
+  * `argmax_c  log P(c) + Σ_t tf(t,d)·log P(t|c)` with Laplace smoothing
+  * `P(t|c) = (n_tc+1)/(n_c+V)`. Linear-model scoring is exactly what runs
+  * at pretraining scale (fastText is a linear bag-of-ngrams model); NB
+  * gives the same scan-shaped scoring pass with closed-form training — no
+  * SGD state, one aggregation builds the model.
+  *
+  * Plan shape at 100 TB: ONE explode pass builds the (doc, token, tf)
+  * relation; the model — class-conditional token counts, class totals,
+  * vocabulary size, class priors — derives from that same relation
+  * restricted to the training split (a per-doc predicate riding the rows,
+  * no second scan). The weight table is at most V×C rows and broadcasts
+  * back onto the tf relation; scoring is a broadcast join + one
+  * id-keyed aggregation. Tokens outside the training vocabulary are
+  * ignored (the fastText convention for OOV ngrams without subword
+  * fallback).
+  *
+  * Cross-engine exactness: every log weight is rounded to 6 decimals and
+  * accumulated as DECIMAL weighted by the exact integer tf (the [[Dsir]]
+  * convention), so per-(doc,class) scores are order-independent and
+  * bit-equal in any engine; argmax ties break on the class label.
+  */
+object Classify {
+
+  /** Train on docs where `idCol % trainMod != 0`, score ALL docs. Output:
+    * (idCol, <labelCol>, pred_<labelCol>, score) — score is the winning
+    * class's DECIMAL-exact log-posterior cast to double at the edge.
+    */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainMod: Int = 5): DataFrame = {
+    require(trainMod >= 2, s"nbClassify: trainMod must be >= 2, got $trainMod")
+    val id = col(idCol)
+    val isTrain: Column = id % trainMod =!= 0
+    val tf = Dedup.parallelize(df)
+      .select(id, col(labelCol), isTrain.as("_nb_train"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("_nb_tok"))
+      .groupBy(id, col(labelCol), col("_nb_train"), col("_nb_tok"))
+      .agg(count(lit(1)).as("_nb_tf"))
+    val trainTf = tf.where(col("_nb_train"))
+    // class-conditional counts, class totals, vocabulary — all V×C-bounded
+    val classCnt = trainTf.groupBy(col(labelCol).as("_nb_c"), col("_nb_tok"))
+      .agg(sum(col("_nb_tf")).as("_nb_ntc"))
+    val classTot = classCnt.groupBy("_nb_c").agg(sum(col("_nb_ntc")).as("_nb_nc"))
+    val vocab = classCnt.select("_nb_tok").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("_nb_v"))
+    val weights = vocab
+      .crossJoin(broadcast(classTot))
+      .crossJoin(broadcast(vSize))
+      .join(classCnt, Seq("_nb_tok", "_nb_c"), "left")
+      .select(col("_nb_tok"), col("_nb_c"),
+        round(log((coalesce(col("_nb_ntc"), lit(0L)).cast("double") + lit(1.0)) /
+                  (col("_nb_nc") + col("_nb_v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("_nb_logp"))
+    // priors from the training split's per-class DOC counts
+    val docCnt = df.where(isTrain).groupBy(col(labelCol).as("_nb_c"))
+      .agg(count(lit(1)).as("_nb_dc"))
+    val priors = docCnt
+      .crossJoin(broadcast(docCnt.agg(sum(col("_nb_dc")).as("_nb_dt"))))
+      .select(col("_nb_c"),
+        round(log(col("_nb_dc").cast("double") / col("_nb_dt").cast("double")), 6)
+          .cast("decimal(18,6)").as("_nb_prior"))
+    val scores = tf
+      .join(broadcast(weights), "_nb_tok")
+      .groupBy(id, col(labelCol), col("_nb_c"))
+      .agg(sum(col("_nb_tf").cast("decimal(18,6)") * col("_nb_logp")).as("_nb_s"))
+      .join(broadcast(priors), "_nb_c")
+      .select(id, col(labelCol), col("_nb_c"), (col("_nb_s") + col("_nb_prior")).as("_nb_post"))
+    val byDoc = Window.partitionBy(id).orderBy(col("_nb_post").desc, col("_nb_c"))
+    scores
+      .withColumn("_nb_rn", row_number().over(byDoc))
+      .where(col("_nb_rn") === 1)
+      .select(id, col(labelCol), col("_nb_c").as(s"pred_$labelCol"),
+        col("_nb_post").cast("double").as("score"))
+  }
+
+  /** DuckDB mirror of [[nbClassify]] — same smoothing, rounding points,
+    * DECIMAL accumulation, and tie-break.
+    */
+  def nbClassifySql(table: String, idCol: String, textCol: String,
+      labelCol: String, trainMod: Int = 5): String =
+    s"""WITH w AS (SELECT $idCol, $labelCol, $idCol % $trainMod <> 0 AS is_train,
+             string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $table),
+       tk AS (SELECT $idCol, $labelCol, is_train, unnest(ws) AS tok FROM w),
+       tf AS (SELECT $idCol, $labelCol, is_train, tok, COUNT(*) AS tf
+           FROM tk GROUP BY 1, 2, 3, 4),
+       cc AS (SELECT $labelCol AS c, tok, SUM(tf) AS ntc
+           FROM tf WHERE is_train GROUP BY 1, 2),
+       ct AS (SELECT c, SUM(ntc) AS nc FROM cc GROUP BY c),
+       vocab AS (SELECT DISTINCT tok FROM cc),
+       v AS (SELECT COUNT(*) AS vs FROM vocab),
+       wt AS (SELECT vocab.tok, ct.c,
+             CAST(round(ln((CAST(COALESCE(cc.ntc, 0) AS DOUBLE) + 1.0)
+               / CAST(ct.nc + v.vs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS logp
+           FROM vocab CROSS JOIN ct CROSS JOIN v
+           LEFT JOIN cc ON cc.tok = vocab.tok AND cc.c = ct.c),
+       dc AS (SELECT $labelCol AS c, COUNT(*) AS n FROM $table
+           WHERE $idCol % $trainMod <> 0 GROUP BY 1),
+       pr AS (SELECT c, CAST(round(ln(CAST(n AS DOUBLE)
+               / CAST((SELECT SUM(n) FROM dc) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior
+           FROM dc),
+       sc AS (SELECT tf.$idCol, tf.$labelCol, wt.c,
+             SUM(CAST(tf.tf AS DECIMAL(18,6)) * wt.logp) + ANY_VALUE(pr.prior) AS post
+           FROM tf JOIN wt ON tf.tok = wt.tok JOIN pr ON pr.c = wt.c
+           GROUP BY 1, 2, 3),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY $idCol
+               ORDER BY post DESC, c) AS rn FROM sc)
+       SELECT $idCol, $labelCol, c AS pred_$labelCol, CAST(post AS DOUBLE) AS score
+       FROM rk WHERE rn = 1 ORDER BY $idCol"""
+}

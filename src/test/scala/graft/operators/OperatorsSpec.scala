@@ -1863,6 +1863,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"hamming-rerank recall@10 too low: $recall")
   }
 
+  test("naive-bayes classifier matches a plain-collections NB reference on the fixture") {
+    import spark.implicits._
+    val out = Classify.nbClassify(docs, "doc_id", "text", "lang", trainMod = 5)
+      .select("doc_id", "pred_lang", "score").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent reference with the operator's exact arithmetic contract:
+    // round6(ln(...)) per weight, BigDecimal accumulation, label tie-break
+    val corpus = docs.select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val train = corpus.filter(_._1 % 5 != 0)
+    val classCnt = train.flatMap { case (_, c, t) => toks(t).map(tok => (c, tok)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val classes = train.map(_._2).distinct.sorted
+    val vocab = classCnt.keysIterator.map(_._2).toSet
+    val nc = classes.map(c => c -> classCnt.collect { case ((`c`, _), n) => n }.sum).toMap
+    val priors = {
+      val dc = train.groupBy(_._2).view.mapValues(_.size).toMap
+      val dt = train.length
+      classes.map(c => c -> r6(math.log(dc(c).toDouble / dt))).toMap
+    }
+    val expect = corpus.map { case (id, _, t) =>
+      val tf = toks(t).filter(vocab).groupBy(identity).view.mapValues(_.size).toMap
+      val scored = classes.map { c =>
+        val s = tf.map { case (tok, n) =>
+          r6(math.log((classCnt.getOrElse((c, tok), 0L) + 1.0) / (nc(c) + vocab.size))) * n
+        }.sum + priors(c)
+        (c, s)
+      }
+      val (pc, ps) = scored.minBy { case (c, s) => (-s, c) }
+      id -> ((pc, ps.toDouble))
+    }.toMap
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (id, (pc, ps)) =>
+      assert(pc == expect(id)._1, s"doc $id: pred $pc vs reference ${expect(id)._1}")
+      assert(math.abs(ps - expect(id)._2) < 1e-9, s"doc $id: score $ps vs ${expect(id)._2}")
+    }
+    // the fixture's lang/vocab correlation makes held-out accuracy beat chance
+    val truth = corpus.map(r => r._1 -> r._2).toMap
+    val held = corpus.collect { case (id, _, _) if id % 5 == 0 => id }
+    val acc = held.count(id => out(id)._1 == truth(id)).toDouble / held.length
+    assert(acc > 1.2 / classes.size, s"held-out accuracy $acc at chance level")
+  }
+
   test("boilerplate strip: minDocs threshold, alignment-robust removal, lossless reassembly") {
     import spark.implicits._
     // a 150-token span shared by FOUR docs at four DIFFERENT offsets (CDC
