@@ -472,6 +472,13 @@ object SparkEntry {
     "neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(nearDupPairsBuilt(s, dir))
         .orderBy("id")),
+    // content centrality: PageRank over the near-dup candidate graph — the
+    // canonical-representative / template-farm signal; per-round checkpointed
+    // power iteration, DECIMAL-exact rank sums
+    "pagerank_dups" -> ((s, dir) =>
+      operators.Graph.pageRank(nearDupPairsBuilt(s, dir), "id_a", "id_b",
+          iters = 5, damping = 0.85)
+        .orderBy("id")),
     // keep-BEST per near-dup cluster (longest copy wins, id tie-break) —
     // the selection real dedup pipelines apply to cluster members
     "cluster_best" -> ((s, dir) =>
@@ -1452,6 +1459,11 @@ object SparkEntry {
     "neardup_pairs" ->
       s"""WITH $nearDupCtes
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "pagerank_dups" ->
+      operators.Graph.pageRankSql(
+        s"""$nearDupCtes,
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""",
+        idOut = "id", iters = 5, damping = 0.85),
     "neardup_clusters" ->
       // connected components over the near-dup pair graph: min reachable id
       // per node via a recursive transitive closure (tiny clusters — the

@@ -256,7 +256,7 @@ object Dedup {
     * LogicalRDD leaf — see ColumnBridge.checkpointedRdd for why `df.rdd`
     * wouldn't work).
     */
-  private def release(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     org.apache.spark.sql.graftbridge.ColumnBridge
       .checkpointedRdd(df)
       .foreach(_.unpersist(blocking = false))
@@ -268,7 +268,7 @@ object Dedup {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    release(p)
+    releaseCheckpoint(p)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -292,11 +292,11 @@ object Dedup {
       // waiting for the ContextCleaner (rounds × |nodes| lingering rows at
       // scale); must target the CHECKPOINTED RDD, `df.rdd` is a fresh
       // wrapper and unpersisting it is a no-op
-      release(labels)
+      releaseCheckpoint(labels)
       labels = next
       rounds += 1
     }
-    release(edges)
+    releaseCheckpoint(edges)
     // silent non-convergence would return intermediate labels that split
     // real clusters (and mismatch the recursive-closure oracle) — fail loud
     if (changed)

@@ -1863,6 +1863,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"hamming-rerank recall@10 too low: $recall")
   }
 
+  test("pagerank: hand-graph structure + plain-collections power-iteration reference") {
+    import spark.implicits._
+    // star A(1)-B(2), A-C(3) plus disjoint edge D(4)-E(5)
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Graph.pageRank(pairs, "id_a", "id_b", iters = 5)
+      .select("id", "deg", "pagerank").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L)
+    assert(out(2L)._2 == out(3L)._2, "symmetric leaves must tie exactly")
+    assert(out(4L)._2 == out(5L)._2, "symmetric component must tie exactly")
+    assert(out(1L)._2 > out(2L)._2, "star center must out-rank leaves")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6,
+      s"rank mass must be conserved: ${out.values.map(_._2).sum}")
+
+    // reference replica with the operator's exact arithmetic contract
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (4L, 5L), (5L, 4L))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = deg.size
+    var pr = deg.keys.map(id => id -> r12(1.0 / n)).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        r12(pr(s).toDouble / deg(s) * 0.85)
+      }.sum).toMap
+      pr = pr.keys.map(id => id -> (r12(0.15 / n) + in.getOrElse(id, BigDecimal(0)))).toMap
+    }
+    pr.foreach { case (id, p) =>
+      assert(math.abs(out(id)._2 - p.toDouble) < 1e-12,
+        s"node $id: ${out(id)._2} vs reference $p")
+    }
+  }
+
   test("naive-bayes classifier matches a plain-collections NB reference on the fixture") {
     import spark.implicits._
     val out = Classify.nbClassify(docs, "doc_id", "text", "lang", trainMod = 5)
