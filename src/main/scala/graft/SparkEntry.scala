@@ -278,6 +278,12 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+    // bounded-state quantiles: mergeable log-histogram sketch (HDR
+    // discipline) — one row per occupied bucket shuffles, never the values;
+    // the streaming/100 TB counterpart to the exact `percentiles` sort-agg
+    "hist_quantiles" -> ((s, dir) =>
+      operators.Sketch.logHistQuantiles(ev(s, dir), "event_type", "value")
+        .orderBy("event_type")),
     // data-driven quantile banding: exact quartile breakpoints (one tiny
     // agg row) broadcast back over the fact scan — the "band by score
     // distribution" gate shape; no shuffle of the facts beyond the
@@ -1176,6 +1182,8 @@ object SparkEntry {
       """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
          round(quantile_cont(o_totalprice, 0.99), 4) AS p99 FROM orders""",
+    "hist_quantiles" ->
+      operators.Sketch.logHistQuantilesSql("events", "event_type", "value"),
     "edit_distance" ->
       """SELECT p_partkey, levenshtein(p_name, 'steel blue tomato') AS dist
          FROM part ORDER BY dist, p_partkey LIMIT 20""",

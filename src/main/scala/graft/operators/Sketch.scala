@@ -214,4 +214,72 @@ object Sketch {
        HAVING CAST(MIN(counter) AS DOUBLE) >= CAST(total AS DOUBLE) / ${phiInv.toDouble}
        ORDER BY gram"""
   }
+
+  /** Mergeable log-histogram quantiles (the HDR-histogram discipline): each
+    * positive value lands in a two-significant-decimal-digit bucket, so the
+    * per-group state is a FIXED histogram (≤ 90 buckets per decade,
+    * typically a few hundred rows total) no matter how many values flow
+    * through — counts merge by ADDITION across executors, shards, or
+    * streaming micro-batches, exactly like the CMS counter matrix. The
+    * quantile estimate is the lower bound of the first bucket whose
+    * cumulative count reaches ⌈q·n⌉, giving a guaranteed ≤10% relative
+    * error (the bucket's own width). This is the bounded-state answer to
+    * the exact `percentiles` sort-based aggregation: at 100 TB the exact
+    * form shuffles every value; this form shuffles one row per occupied
+    * bucket.
+    *
+    * Cross-engine exactness: bucketing is integer/string arithmetic end to
+    * end — s = ⌊v·1000⌋ (the same IEEE product in both engines), bucket
+    * lower bound = first two decimal digits of s zero-extended to its
+    * length. No log(), no float boundaries.
+    */
+  def logHistQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"logHistQuantiles: quantiles must be in (0, 1], got $qs")
+    val hist = df
+      .where(col(valueCol) > 0)
+      .select(col(groupCol).as("g"),
+        floor(col(valueCol).cast("double") * lit(1000.0)).cast("long").as("_lh_s"))
+      .select(col("g"),
+        expr("CAST(CASE WHEN length(CAST(_lh_s AS STRING)) <= 2 THEN CAST(_lh_s AS STRING) " +
+          "ELSE rpad(substr(CAST(_lh_s AS STRING), 1, 2), length(CAST(_lh_s AS STRING)), '0') " +
+          "END AS BIGINT)").as("lb"))
+      .groupBy("g", "lb").agg(count(lit(1)).as("cnt"))
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("lb")
+    val cum = hist
+      .select(col("g"), col("lb"), col("cnt"),
+        sum(col("cnt")).over(byG).as("cum"),
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy("g")).as("n"))
+    val aggs = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("lb")))
+        .cast("double").divide(lit(1000.0))
+        .as(s"p${(q * 100).round}")
+    }
+    cum.groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"), aggs: _*)
+  }
+
+  /** DuckDB mirror of [[logHistQuantiles]] — same string-arithmetic
+    * bucketing, same ⌈q·n⌉ rank rule. */
+  def logHistQuantilesSql(table: String, groupCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): String = {
+    val cols = qs.map { q =>
+      s"CAST(MIN(CASE WHEN cum >= ceil($q * n) THEN lb END) AS DOUBLE) / 1000.0 AS p${(q * 100).round}"
+    }.mkString(",\n         ")
+    s"""WITH s AS (SELECT $groupCol AS g,
+             CAST(floor(CAST($valueCol AS DOUBLE) * 1000.0) AS BIGINT) AS sv
+           FROM $table WHERE $valueCol > 0),
+       b AS (SELECT g, CAST(CASE WHEN length(CAST(sv AS VARCHAR)) <= 2 THEN CAST(sv AS VARCHAR)
+             ELSE rpad(substr(CAST(sv AS VARCHAR), 1, 2),
+                       CAST(length(CAST(sv AS VARCHAR)) AS INTEGER), '0')
+             END AS BIGINT) AS lb FROM s),
+       h AS (SELECT g, lb, COUNT(*) AS cnt FROM b GROUP BY g, lb),
+       c AS (SELECT g, lb, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY lb) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS n FROM h)
+       SELECT g AS $groupCol, CAST(MAX(n) AS BIGINT) AS n,
+         $cols
+       FROM c GROUP BY g ORDER BY g"""
+  }
 }

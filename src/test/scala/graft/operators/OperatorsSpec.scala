@@ -1863,6 +1863,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"hamming-rerank recall@10 too low: $recall")
   }
 
+  test("log-histogram quantiles: ≤10% error vs exact ranks, merge-by-addition law") {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Sketch.logHistQuantiles(events, "event_type", "value")
+      .select("event_type", "n", "p50", "p95", "p99")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    val vals = events.select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect().filter(_._2 > 0)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { case (g, (_, n, p50, p95, p99)) =>
+      assert(n == vals(g).length.toLong)
+      Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (q, est) =>
+        val exact = vals(g)(math.ceil(q * n).toInt - 1) // type-1 quantile
+        assert(est <= exact + 1e-9, s"$g q$q: estimate $est above exact $exact")
+        assert(exact < est * 1.1 + 1e-3, s"$g q$q: $est vs $exact breaks the 10% bound")
+      }
+    }
+
+    // merge law: the histogram of a union IS the sum of the two halves'
+    // histograms — quantiles from driver-side summed sub-histograms must
+    // equal the operator's output on the full input
+    def bucket(v: Double): Long = {
+      val s = math.floor(v * 1000.0).toLong.toString
+      (if (s.length <= 2) s else s.take(2).padTo(s.length, '0')).toLong
+    }
+    val (ha, hb) = {
+      val rows = events.select(col("event_id"), col("event_type"), col("value").cast("double"))
+        .as[(Long, String, Double)].collect().filter(_._3 > 0)
+      val (a, b) = rows.partition(_._1 % 2 == 0)
+      def h(rs: Array[(Long, String, Double)]) =
+        rs.groupBy(r => (r._2, bucket(r._3))).view.mapValues(_.size.toLong).toMap
+      (h(a), h(b))
+    }
+    val merged = (ha.keySet ++ hb.keySet).map { k =>
+      k -> (ha.getOrElse(k, 0L) + hb.getOrElse(k, 0L))
+    }.groupBy(_._1._1)
+    merged.foreach { case (g, cells) =>
+      val hist = cells.map { case ((_, lb), c) => lb -> c }.toSeq.sortBy(_._1)
+      val n = hist.map(_._2).sum
+      def est(q: Double): Double = {
+        var cum = 0L
+        hist.collectFirst { case (lb, c) if { cum += c; cum >= math.ceil(q * n) } => lb }
+          .get.toDouble / 1000.0
+      }
+      val (_, nOut, p50, p95, p99) = out(g)
+      assert(n == nOut && est(0.5) == p50 && est(0.95) == p95 && est(0.99) == p99,
+        s"$g: merged sub-histograms disagree with the one-pass sketch")
+    }
+  }
+
   test("pagerank: hand-graph structure + plain-collections power-iteration reference") {
     import spark.implicits._
     // star A(1)-B(2), A-C(3) plus disjoint edge D(4)-E(5)
