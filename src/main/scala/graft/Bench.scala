@@ -9,8 +9,9 @@ package graft
   *     sorts, timing a row-count scan instead of the query;
   *   - one discarded warmup pass (cheap `.count()`) primes JVM/codegen/
   *     Parquet footers so per-query numbers aren't ordering-biased;
-  *   - a failed query reports -1 (and is excluded from the total) instead of
-  *     masquerading as a fast run.
+  *   - a failed query reports -1 (and is excluded from the total), prints a
+  *     `[bench] BROKEN: <name>` stderr line, and flips the exit code to 1 —
+  *     a broken board can never produce a green-looking artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -95,6 +96,13 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     println(metricLine)
     spark.stop()
+    // a -1 query means the board is broken; a green-looking artifact must be
+    // impossible (round 4 shipped six silently-dropped queries behind rc:0)
+    val broken = results.collect { case (k, v) if v < 0 => k }
+    if (broken.nonEmpty) {
+      broken.foreach(k => System.err.println(s"[bench] BROKEN: $k"))
+      sys.exit(1)
+    }
   }
 
   /** Per-query seconds of the newest previous bench. Prefers the driver's

@@ -5,11 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Central table loaders for the driver-generated parquet fixtures.
   *
-  * `events.parquet` is written with TIMESTAMP(NANOS) which Spark's vectorized
-  * Parquet reader rejects; sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]), after
-  * which `ts` arrives as a Long of epoch nanoseconds and is normalized here to
-  * a microsecond TimestampType with integer arithmetic (no double rounding).
+  * `events.parquet` has carried two `ts` encodings across fixture
+  * generations, both normalized here to a microsecond TimestampType so every
+  * downstream consumer sees one type:
+  *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it unless
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]), after
+  *     which `ts` arrives as a Long of epoch nanoseconds — normalized with
+  *     integer arithmetic (no double rounding);
+  *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as TimestampNTZType —
+  *     cast to TimestampType, which is an identical instant because the
+  *     session time zone is pinned UTC ([[Sessions]]).
   */
 object Tables {
 
@@ -19,9 +24,14 @@ object Tables {
       // session (e.g. the driver's own) didn't set it at build time
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer DIV: double division would lose sub-µs precision at 1e18 ns
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV: double division would lose sub-µs precision at 1e18 ns
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
     else df
   }
 

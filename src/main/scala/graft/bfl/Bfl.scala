@@ -45,7 +45,10 @@ object Bfl {
         // through structs and arrays (map values are left as-is).
         import org.apache.spark.sql.types._
         def tsToMillis(c: Column, dt: DataType): Column = dt match {
-          case TimestampType | TimestampNTZType => unix_millis(c)
+          // unix_millis only accepts TimestampType; the NTZ cast preserves
+          // the instant under the UTC-pinned session
+          case TimestampNTZType => unix_millis(c.cast(TimestampType))
+          case TimestampType    => unix_millis(c)
           case st: StructType if containsTs(st) =>
             struct(st.fields.toSeq.map(f => tsToMillis(c.getField(f.name), f.dataType).as(f.name)): _*)
           case ArrayType(et, _) if containsTs(et) => transform(c, e => tsToMillis(e, et))

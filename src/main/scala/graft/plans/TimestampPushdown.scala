@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst rule restoring Parquet pushdown for timestamp predicates over
   * the engine's nanos-backed event logs.
@@ -58,6 +58,23 @@ object TimestampPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** `cast(ntz AS timestamp)` where the session TZ is UTC: both types store
+    * epoch micros and the UTC wall-clock reinterpretation is the identity on
+    * that Long, so comparisons may unwrap to the NTZ attribute (making the
+    * predicate pushable into the Parquet scan). Current fixtures carry `ts`
+    * as TIMESTAMP(MICROS, isAdjustedToUTC=false) which [[graft.Tables]]
+    * normalizes with exactly this cast.
+    */
+  private object UtcNtzCast {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c: Cast
+          if c.dataType == TimestampType && c.child.dataType == TimestampNTZType &&
+            conf.sessionLocalTimeZone == "UTC" =>
+        Some(c.child)
+      case _ => None
+    }
+  }
+
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     // 1. strip the micros→timestamp conversion against timestamp literals
     case GreaterThanOrEqual(MicrosToTimestamp(x), Literal(t: Long, TimestampType)) =>
@@ -79,6 +96,15 @@ object TimestampPushdown extends Rule[LogicalPlan] {
     case LessThan(Literal(t: Long, TimestampType), MicrosToTimestamp(x)) =>
       GreaterThan(x, Literal(t, LongType))
     case IsNotNull(MicrosToTimestamp(x)) => IsNotNull(x)
+
+    // 1b. strip the NTZ→TZ cast (UTC sessions only — see UtcNtzCast): both
+    // orderings compare the same epoch-micros Long, so the literal just
+    // re-types to NTZ with an identical value
+    case b @ BinaryComparison(UtcNtzCast(x), Literal(t, TimestampType)) =>
+      b.withNewChildren(Seq(x, Literal(t, TimestampNTZType)))
+    case b @ BinaryComparison(Literal(t, TimestampType), UtcNtzCast(x)) =>
+      b.withNewChildren(Seq(Literal(t, TimestampNTZType), x))
+    case IsNotNull(UtcNtzCast(x)) => IsNotNull(x)
 
     // 2. un-divide: (a div d) cmp m  →  a cmp' (m*d | (m+1)*d). Spark's div
     // truncates toward ZERO, which differs from floor on negative a — every
