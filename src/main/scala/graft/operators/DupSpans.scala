@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   *      100 TB while the window relation shuffles linearly);
   *   2. windows are digested to fixed-width md5 in a codegen'd projection
   *      (shuffle volume ∝ 32 B per window, not the raw gram text);
-  *   3. a count window partitioned by digest marks duplicated windows —
-  *      ONE shuffle on the digest, no join, map-side nothing-to-combine;
+  *   3. duplicated digests come from a `groupBy(g).count` (map-side partial
+  *      combine: the shuffle carries one partial count per digest per task,
+  *      not the window rows) and a LEFT SEMI join marks duplicated windows.
+  *      A `count() OVER (PARTITION BY g)` window computes the same thing in
+  *      one shuffle, but WindowExec must SORT each partition and buffer each
+  *      digest group whole — a hot digest (boilerplate k-grams repeated
+  *      millions of times) is one unsplittable group that spills and scales
+  *      superlinearly, and AQE cannot split a window partition the way it
+  *      splits a skewed join;
   *   4. per-document gaps-and-islands (pos − row_number) merges runs of
   *      consecutive duplicated window starts into maximal spans — ONE
   *      shuffle on doc id.
@@ -57,9 +64,9 @@ object DupSpans {
         posexplode(graft.functions.MinHashExpr.shinglesArray(col(textCol), k))
           .as(Seq("pos", "gram")))
       .select(id, col("_ds_n"), col("pos").cast("long").as("pos"), md5(col("gram")).as("g"))
-    val dup = windows
-      .withColumn("_ds_c", count(lit(1)).over(Window.partitionBy("g")))
-      .where(col("_ds_c") >= 2)
+    val dupG = windows.groupBy("g").agg(count(lit(1)).as("_ds_c"))
+      .where(col("_ds_c") >= 2).select("g")
+    val dup = windows.join(dupG, Seq("g"), "left_semi")
     val island = dup
       .withColumn("_ds_rn",
         row_number().over(Window.partitionBy(id).orderBy("pos")).cast("long"))

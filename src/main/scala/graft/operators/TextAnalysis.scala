@@ -249,38 +249,54 @@ object TextAnalysis {
     * the average divides once in double. Documents with <2 tokens have no
     * bigrams and are absent from the output.
     *
-    * Plan shape at 100 TB: ONE one-pass shingle scan feeds everything; tf,
-    * pair totals, and context totals are successive aggregations of that
-    * relation joined back on their own grouping keys (partitioning reuse —
-    * the bigram table is NOT broadcast: at scale it is corpus-sized, so the
-    * hash join on `bg` is the honest shape); only the scalar vocabulary
-    * size broadcasts.
+    * Plan shape at 100 TB: ONE one-pass shingle scan feeds everything; pair
+    * totals and context totals are successive aggregations of that relation.
+    * The statistics FOLD INTO THE TYPE TABLE before touching the doc-sized
+    * relation: c1 (and the vocab scalar) join onto `c2` — bigram-type-sized
+    * relations, orders of magnitude under the doc×bigram relation — and the
+    * per-pair nll is computed THERE, so the occurrence stream joins exactly
+    * once, on `bg`, against a (bg, nll) table. Joining c1 onto it would
+    * re-shuffle the doc-sized relation on `w1`, a power-law key ("the"
+    * contexts) that skews superlinearly with corpus size; `bg` keys are the
+    * near-uniform ones. The type table is NOT broadcast: at scale it is
+    * vocabulary²-sized, so the shuffled hash join on `bg` is the honest
+    * shape; only the scalar vocabulary size broadcasts.
     */
   def bigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val tf = Dedup.parallelize(df)
+    // per-OCCURRENCE stream, not a per-(doc, bigram) tf table: the tf
+    // pre-aggregation would shuffle AND sort the doc-sized relation once
+    // more for at best a ~10% row reduction (most bigrams occur once per
+    // doc); summing the per-type nll once per occurrence is decimal-exact
+    // equal to tf·nll
+    val raw = Dedup.parallelize(df)
       .select(id,
         explode(graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), 2)).as("bg"))
       // a <2-token document yields its whole-token-string "gram" (no space):
       // not a bigram, dropped — exactly the oracle's empty range(1, len)
       .where(instr(col("bg"), " ") > 0)
-      .groupBy(id, col("bg")).agg(count(lit(1)).as("tf"))
-    val c2 = tf.groupBy("bg").agg(sum("tf").as("c2"))
+    val c2 = raw.groupBy("bg").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum("c2").as("c1"))
-    val vocab = c2.agg(
-      count_distinct(substring_index(col("bg"), " ", -1)).as("v_size"))
+    // NOT a global count_distinct: that plan funnels every distinct
+    // continuation word through ONE final reducer (the partial phase only
+    // dedups per-partition). distinct-then-count dedups in a parallel
+    // shuffle and the single reducer sums one Long per partition.
+    val vocab = c2.select(substring_index(col("bg"), " ", -1).as("_w2"))
+      .distinct().agg(count(lit(1)).as("v_size"))
     val nll = round(
       log((col("c1").cast("double") + col("v_size").cast("double")) /
         (col("c2").cast("double") + lit(1.0))), 4)
       .cast("decimal(18,4)")
-    tf.join(c2, "bg")
+    val perBg = c2
       .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
       .crossJoin(broadcast(vocab))
+      .select(col("bg"), nll.as("_bl_nll"))
+    raw.join(perBg, "bg")
       .groupBy(id)
       .agg(
-        sum(col("tf")).as("n_bigrams"),
-        sum(col("tf").cast("decimal(18,4)") * nll).as("_bl_sum"))
+        count(lit(1)).as("n_bigrams"),
+        sum(col("_bl_nll")).as("_bl_sum"))
       .select(id, col("n_bigrams"),
         (col("_bl_sum").cast("double") / col("n_bigrams").cast("double")).as("avg_nll"))
   }
@@ -296,19 +312,22 @@ object TextAnalysis {
     *
     * Relational shape mirrors [[bigramLogprob]]: every statistic (c12, c1,
     * N1+, continuation fan-in, type count) derives from the ONE bigram
-    * relation by aggregation; the per-pair nll is rounded to 4 then
-    * accumulated DECIMAL-exact per doc. In-corpus docs always have
-    * c12 ≥ 1, so no zero-probability path exists.
+    * relation by aggregation, and all of them fold into the bigram-TYPE
+    * table (w1/w2 joins hit type-sized relations, never the doc-sized one —
+    * those keys are power-law-skewed) so the doc×bigram relation joins
+    * exactly once, on `bg`, against (bg, nll). The per-pair nll is rounded
+    * to 4 then accumulated DECIMAL-exact per doc. In-corpus docs always
+    * have c12 ≥ 1, so no zero-probability path exists.
     */
   def knLogprob(df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     val id = col(idCol)
-    val tf = Dedup.parallelize(df)
+    // per-occurrence stream — see [[bigramLogprob]] for why no tf pre-agg
+    val raw = Dedup.parallelize(df)
       .select(id,
         explode(graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), 2)).as("bg"))
       .where(instr(col("bg"), " ") > 0)
-      .groupBy(id, col("bg")).agg(count(lit(1)).as("tf"))
-    val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
+    val c12 = raw.groupBy("bg").agg(count(lit(1)).as("c12"))
     val byW1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
     val byW2 = c12.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
@@ -320,13 +339,15 @@ object TextAnalysis {
         (col("n_hist").cast("double") / col("n_types").cast("double"))) /
       col("c1").cast("double")
     val nll = round(-log(p), 4).cast("decimal(18,4)")
-    tf.join(c12, "bg")
+    val perBg = c12
       .join(byW1, substring_index(col("bg"), " ", 1) === col("w1"))
       .join(byW2, substring_index(col("bg"), " ", -1) === col("w2"))
       .crossJoin(broadcast(types))
+      .select(col("bg"), nll.as("_kn_nll"))
+    raw.join(perBg, "bg")
       .groupBy(id)
-      .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("tf").cast("decimal(18,4)") * nll).as("_kn_sum"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("_kn_nll")).as("_kn_sum"))
       .select(id, col("n_bigrams"),
         (col("_kn_sum").cast("double") / col("n_bigrams").cast("double")).as("avg_nll"))
   }

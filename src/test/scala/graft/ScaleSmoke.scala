@@ -60,6 +60,10 @@ object ScaleSmoke {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/repo/tmp/sf1-smoke")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPS", "10").toInt
+    // comma-separated subset for targeted re-measurement (default: all)
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = QUERIES.filter(q => only.forall(_.contains(q)))
     val spark = Sessions.builder("local[32]", 32).appName("scale-smoke").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -73,8 +77,17 @@ object ScaleSmoke {
         .drop("rep")
     }
 
-    val ev = replicate(spark.read.parquet(s"$base/events.parquet"), "event_id",
-      _.withColumn("ts", col("ts") + col("rep")))
+    // ts tie-break per replica: the fixtures have carried ts as nanos-Long
+    // and as TIMESTAMP_NTZ(µs) across generations — perturb in the column's
+    // own unit either way (Tables.load normalizes both on read)
+    val evTsSalt: DataFrame => DataFrame = df =>
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", col("ts") + col("rep"))
+        case _ =>
+          df.withColumn("ts", expr("timestampadd(MICROSECOND, rep, ts)"))
+      }
+    val ev = replicate(spark.read.parquet(s"$base/events.parquet"), "event_id", evTsSalt)
     val docs = replicate(spark.read.parquet(s"$base/documents.parquet"), "doc_id",
       _.withColumn("text",
         concat_ws(" ", transform(split(col("text"), " "),
@@ -86,21 +99,26 @@ object ScaleSmoke {
     ord.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
     println(s"[smoke] wrote ${reps}x slice to $out")
 
-    def time(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      queryOf(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // min of N executions: the box is shared, and a single-shot timing mixes
+    // co-tenant noise into a ratio meant to measure ENGINE scaling — the min
+    // is the least-contended observation of the same deterministic plan
+    val timedReps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_TIMED_REPS", "3").toInt
+    def time(name: String, dir: String): Double =
+      (0 until timedReps).map { _ =>
+        val t0 = System.nanoTime()
+        queryOf(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     // prime JVM/codegen once (untimed) so the first timed query isn't biased;
     // base only — memoized serving paths are overridden to their cold
     // composition above, so no per-dir memo state can skew a side
-    QUERIES.foreach { q =>
+    queries.foreach { q =>
       try queryOf(q)(spark, base).count() catch { case _: Throwable => () }
     }
 
     println(f"| query | t(sf0.1) s | t(${reps}x) s | ratio |")
     println("|---|---|---|---|")
-    QUERIES.foreach { q =>
+    queries.foreach { q =>
       val t1 = time(q, base)
       val t10 = time(q, out)
       println(f"| $q | $t1%.2f | $t10%.2f | ${t10 / t1}%.1fx |")

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch/stream parity over the REAL driver fixtures (round-4 lesson: every
+  * operator spec synthesized its own timestamps, so a fixture `ts` encoding
+  * change broke the board without a single spec going red — see
+  * [[graft.QueryBoardSmokeSpec]] for the analysis-time tripwire; this spec
+  * is the streaming-semantics counterpart).
+  *
+  * Each test drives the sf0.001 `events` table — loaded through
+  * [[graft.Tables]] exactly as the board queries load it — through the
+  * streaming operator in several time-ordered micro-batches and asserts the
+  * result equals the batch expression on the same rows. So both the ts
+  * normalization AND cross-batch state carry are exercised with the real
+  * event-time distribution (15 users, 1000 events, ~30 days).
+  */
+class FixtureStreamParitySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("fixture-stream-parity")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val gapMs = 7200000L // the board query's 2h inactivity gap
+
+  test("streaming sessionization over fixture events equals the batch sessionize query") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+
+    val events = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("ts_ms")
+      .as[(Long, Long)].collect()
+      .map { case (u, t) => Sessionize.Event(u, t) }
+
+    // a sentinel per user, 2×gap past the corpus end, closes every
+    // still-open session so Append mode emits the full session list
+    val flushMs = events.map(_.tsMs).max + 2 * gapMs + 1
+    val sentinels = events.map(_.userId).distinct.map(Sessionize.Event(_, flushMs))
+
+    val source = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionize(source.toDS(), gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fixture_sessions").start()
+    try {
+      // four time-ordered micro-batches: sessions span batch boundaries,
+      // so state carry (not just per-batch sorting) is what's under test
+      events.grouped((events.length + 3) / 4).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      source.addData(sentinels.toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.sql("SELECT userId, startMs, endMs, nEvents FROM fixture_sessions")
+        .as[(Long, Long, Long, Long)].collect()
+        .filterNot(_._2 == flushMs) // the sentinels' own one-event sessions
+        .map { case (u, s, e, n) => (u, n, e - s) }
+        .sorted.toSeq
+
+      val batch = graft.SparkEntry.queries("sessionize")(spark, dir)
+        .select(col("user_id"), col("n_events"), col("duration_ms"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+
+      assert(streamed == batch,
+        s"stream/batch session mismatch: ${streamed.size} vs ${batch.size} sessions")
+    } finally q.stop()
+  }
+
+  test("streaming tumbling-window counts over fixture events equal the batch query") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+
+    val rows = graft.Tables.events(spark, dir)
+      .select(unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .orderBy("ts_ms")
+      .as[(Long, Double)].collect()
+
+    val source = MemoryStream[(Long, Double)]
+    val windowed = source.toDS().toDF("ts_ms", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("w"), col("n"), col("sum_value"))
+    val q = windowed.writeStream.outputMode("complete")
+      .format("memory").queryName("fixture_tumbling").start()
+    try {
+      rows.grouped((rows.length + 3) / 4).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT w, n, sum_value FROM fixture_tumbling")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val batch = graft.SparkEntry.queries("tumbling_window")(spark, dir)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
