@@ -40,6 +40,15 @@ object SparkEntry {
 
   private val evCols = "event_id, event_type, user_id, value"
 
+  /** dict_tag's dictionary: corpus-frequent words AND nested/overlapping
+    * phrases ("scan" inside "table scan", "order" inside "join order") so
+    * the Aho–Corasick fail-chain output merging is exercised, not just
+    * disjoint exact words.
+    */
+  private val dictTerms = Seq(
+    "scan", "table scan", "hash scan", "join", "join order", "order", "sort",
+    "window", "filter pushdown")
+
   private def decSum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 
   /** Trained IVF artifacts memoized per (session, fixture dir): the index is
@@ -511,6 +520,24 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    // one Aho-Corasick pass counts the whole dictionary per doc (blocklist
+    // tagging) — K contains() columns would rescan the corpus K times
+    "dict_tag" -> ((s, dir) =>
+      operators.DictTag.tagCounts(Tables.documents(s, dir), "doc_id", "text", dictTerms)
+        .orderBy("doc_id", "term")),
+    // RefinedWeb-style domain cap: ≤25 best docs per source by size; the
+    // hot-source skew rides the salted two-phase TopK, not one window group
+    "source_cap" -> ((s, dir) =>
+      operators.SourceCap.capPerSource(
+          Tables.documents(s, dir), "doc_id", "source", col("n_chars"), n = 25)
+        .orderBy("source", "rank")),
+    // kNN label propagation: every 5th vector is the unlabeled query batch,
+    // majority vote of its 5 nearest labeled neighbors (exact cosine)
+    "knn_label" -> ((s, dir) =>
+      operators.Similarity.knnLabel(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          isQuery = col("vec_id") % 5 === 0, k = 5)
+        .orderBy("vec_id")),
     "stratified_sample" -> ((s, dir) =>
       operators.Sampling.stratifiedSample(
           Tables.documents(s, dir), "doc_id", "lang", 0.1)
@@ -1516,6 +1543,13 @@ object SparkEntry {
       operators.Robust.madOutliersSql("events", "event_type", "value"),
     "fuzzy_match" ->
       operators.Linkage.fuzzyMatchSql("part", "p_name", maxDist = 2),
+    "dict_tag" ->
+      operators.DictTag.tagCountsSql("documents", "doc_id", "text", dictTerms),
+    "source_cap" ->
+      operators.SourceCap.capPerSourceSql("documents", "doc_id", "source", "n_chars", 25),
+    "knn_label" ->
+      operators.Similarity.knnLabelSql(
+        "embeddings", "vec_id", "embedding", "label", "vec_id % 5 = 0", 5),
     "stratified_sample" ->
       // md5-ranked exact per-stratum quota — mirrors Sampling.stratifiedSample
       """SELECT doc_id, lang FROM (

@@ -822,4 +822,73 @@ object Similarity {
       .select(col(idCol), col("ham").cast("int").as("ham"), col("sim"))
       .limit(k)
   }
+
+  /** k-NN label propagation: classify each QUERY vector by majority vote of
+    * its k nearest REFERENCE vectors (exact cosine) — the cheap
+    * labeled-seed → whole-corpus classifier (quality tiers, topic buckets)
+    * once a small seed set is labeled.
+    *
+    * Plan shape at 100 TB: the query batch broadcasts (queries are the
+    * small side — a labeling batch vs the corpus), the reference corpus is
+    * scanned ONCE, and per-query ranking goes through [[TopK.perKey]] —
+    * each query's candidate list is corpus-sized, exactly the unsplittable
+    * window group the salted two-phase avoids. The vote argmax is a plain
+    * per-(query,label) count + one max_by struct, never a collect.
+    *
+    * sim rounds to 4 decimals before ranking (the [[cosineTopK]]
+    * convention: float-vs-double engine drift can't reorder ties) and ties
+    * break on reference id, so top-k sets are deterministic in both
+    * engines. Vote ties break toward the smallest label.
+    *
+    * Output: (vec_id, pred_label, n_votes) per query vector.
+    */
+  def knnLabel(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      isQuery: Column,
+      k: Int
+  ): DataFrame = {
+    val q = emb.where(isQuery)
+      .select(col(idCol).as("_kl_qid"), col(vecCol).as("_kl_qv"))
+    val pairs = emb.where(!isQuery)
+      .crossJoin(broadcast(q))
+      .select(col("_kl_qid"), col(idCol).as("_kl_rid"),
+        col(labelCol).as("_kl_label"),
+        round(cosine(col(vecCol), col("_kl_qv")), 4).as("_kl_sim"))
+    TopK.perKey(pairs, Seq("_kl_qid"),
+        Seq(col("_kl_sim").desc, col("_kl_rid").asc),
+        saltFrom = col("_kl_rid"), n = k)
+      .groupBy(col("_kl_qid"), col("_kl_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("_kl_qid"))
+      .agg(max(struct(col("n_votes"),
+        (-col("_kl_label")).cast("int").as("_kl_neg"))).as("_kl_w"))
+      .select(col("_kl_qid").as("vec_id"),
+        (-col("_kl_w._kl_neg")).cast("int").as("pred_label"),
+        col("_kl_w.n_votes").as("n_votes"))
+  }
+
+  /** DuckDB mirror of [[knnLabel]] — naive cross join + single window. */
+  def knnLabelSql(tbl: String, idCol: String, vecCol: String, labelCol: String,
+      queryPredSql: String, k: Int): String = {
+    val dot = s"""list_sum(list_transform(list_zip(r.$vecCol, q.qv),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"""
+    val norm = (v: String) =>
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH q AS (SELECT $idCol AS qid, $vecCol AS qv FROM $tbl WHERE $queryPredSql),
+       r AS (SELECT * FROM $tbl WHERE NOT ($queryPredSql)),
+       sims AS (SELECT q.qid, r.$idCol AS rid, r.$labelCol AS label,
+                  round($dot / (${norm(s"r.$vecCol")} * ${norm("q.qv")}), 4) AS sim
+                FROM r CROSS JOIN q),
+       topk AS (SELECT * FROM (
+                  SELECT qid, label,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, rid) AS rn
+                  FROM sims) WHERE rn <= $k),
+       votes AS (SELECT qid, label, COUNT(*) AS n FROM topk GROUP BY qid, label)
+       SELECT qid AS vec_id, label AS pred_label, n AS n_votes FROM votes
+       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1
+       ORDER BY vec_id"""
+  }
 }
