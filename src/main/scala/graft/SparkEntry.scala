@@ -520,6 +520,16 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    // windowed co-occurrence relation (GloVe X_ij / PMI input): bounded
+    // per-position probe explode + equi-join, never a range self-join
+    "cooccur_counts" -> ((s, dir) =>
+      operators.TextAnalysis.cooccurCounts(Tables.documents(s, dir), "doc_id", "text", window = 3)
+        .orderBy("w1", "w2")),
+    // PMI collocations over the same relation; marginals fold into the
+    // pair-type table, nothing re-shuffles the corpus-sized stream
+    "pmi_top" -> ((s, dir) =>
+      operators.TextAnalysis.pmiTop(Tables.documents(s, dir), "doc_id", "text",
+        window = 3, minCount = 5, topN = 30)),
     // one Aho-Corasick pass counts the whole dictionary per doc (blocklist
     // tagging) — K contains() columns would rescan the corpus K times
     "dict_tag" -> ((s, dir) =>
@@ -1543,6 +1553,11 @@ object SparkEntry {
       operators.Robust.madOutliersSql("events", "event_type", "value"),
     "fuzzy_match" ->
       operators.Linkage.fuzzyMatchSql("part", "p_name", maxDist = 2),
+    "cooccur_counts" ->
+      (operators.TextAnalysis.cooccurCountsSql("documents", "doc_id", "text", 3) +
+        " ORDER BY 1, 2"),
+    "pmi_top" ->
+      operators.TextAnalysis.pmiTopSql("documents", "doc_id", "text", 3, 5, 30),
     "dict_tag" ->
       operators.DictTag.tagCountsSql("documents", "doc_id", "text", dictTerms),
     "source_cap" ->

@@ -486,4 +486,86 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
           .as("tfidf"))
   }
+
+  /** Windowed token co-occurrence counts — the input relation of every
+    * count-based embedding / collocation method (GloVe's X_ij, PMI, χ²):
+    * c(w1, w2) = occurrences of w2 within `window` positions AFTER w1
+    * (directional; the symmetric count is c(w1,w2)+c(w2,w1)).
+    *
+    * Relational shape at 100 TB: NO self-join of the corpus-sized position
+    * relation on inequality ranges — each position row instead explodes
+    * into `window` (pos, pos+d) probes (bounded fan-out, d ∈ [1, window])
+    * and equi-joins back on (doc, pos). Both sides hash-partition on the
+    * SAME key, the pair aggregation is map-side combinable, and nothing is
+    * ever quadratic in document length.
+    */
+  def cooccurCounts(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"cooccurCounts: need window >= 1, got $window")
+    val id = col(idCol)
+    val pos = Dedup.parallelize(df)
+      .select(id, posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      .select(id, col("pos").cast("long").as("pos"), col("tok"))
+    val probes = pos
+      .withColumn("d", explode(array((1 to window).map(lit(_)): _*)))
+      .select(id, (col("pos") + col("d")).as("pos"), col("tok").as("w1"))
+    probes
+      .join(pos.select(id, col("pos"), col("tok").as("w2")), Seq(idCol, "pos"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Top collocations by pointwise mutual information over
+    * [[cooccurCounts]]: pmi(w1,w2) = ln( (n·T) / (c1·c2) ) where T is the
+    * total co-occurrence mass and c1/c2 the marginals — high for pairs that
+    * appear together far above independence. `minCount` drops the
+    * low-count noise PMI is notorious for. Marginals and T derive from the
+    * ONE pair relation by aggregation (the [[bigramLogprob]] fold-into-
+    * the-type-table discipline: w1/w2 joins hit marginal-sized relations).
+    */
+  def pmiTop(df: DataFrame, idCol: String, textCol: String, window: Int,
+      minCount: Long, topN: Int): DataFrame = {
+    val pairs = cooccurCounts(df, idCol, textCol, window)
+    val left = pairs.groupBy("w1").agg(sum("n").as("c1"))
+    val right = pairs.groupBy("w2").agg(sum("n").as("c2"))
+    val total = pairs.agg(sum("n").as("t"))
+    pairs.where(col("n") >= minCount)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log((col("n").cast("double") * col("t").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** DuckDB mirror of [[cooccurCounts]] — generate_subscripts positions +
+    * a range join (the naive single-engine form).
+    */
+  def cooccurCountsSql(tbl: String, idCol: String, textCol: String,
+      window: Int): String =
+    s"""WITH p AS (SELECT $idCol AS id,
+            CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos, unnest(ws) AS tok
+          FROM (SELECT $idCol, string_split_regex(trim(lower($textCol)), '\\s+') AS ws
+                FROM $tbl))
+        SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n
+        FROM p a JOIN p b
+          ON a.id = b.id AND b.pos > a.pos AND b.pos <= a.pos + $window
+        GROUP BY 1, 2"""
+
+  /** DuckDB mirror of [[pmiTop]]. */
+  def pmiTopSql(tbl: String, idCol: String, textCol: String, window: Int,
+      minCount: Long, topN: Int): String =
+    s"""WITH pairs AS (${cooccurCountsSql(tbl, idCol, textCol, window)}),
+        l AS (SELECT w1, SUM(n) AS c1 FROM pairs GROUP BY w1),
+        r AS (SELECT w2, SUM(n) AS c2 FROM pairs GROUP BY w2),
+        t AS (SELECT SUM(n) AS t FROM pairs)
+        SELECT pairs.w1, pairs.w2, pairs.n,
+          round(ln((CAST(n AS DOUBLE) * CAST(t.t AS DOUBLE)) /
+            (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 4) AS pmi
+        FROM pairs JOIN l ON pairs.w1 = l.w1 JOIN r ON pairs.w2 = r.w2
+        CROSS JOIN t
+        WHERE n >= $minCount
+        ORDER BY pmi DESC, pairs.w1, pairs.w2 LIMIT $topN"""
 }
