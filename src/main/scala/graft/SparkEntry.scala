@@ -520,6 +520,45 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    // canonical text normalization (NFC + control/zero-width strip +
+    // whitespace collapse) over deterministically-dirtied fixture text;
+    // both engines build the same dirty input, so the normalizer itself is
+    // what's compared
+    "text_normalize" -> ((s, dir) => {
+      val dirty = concat(lit("  "), col("text"),
+        lit("\t\t\u200Bz\r\ny\u0001  ")) // tabs, ZWSP, CRLF, a control byte, blanks
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.NormalizeTextExpr.normalize(dirty).as("_tn"))
+        .select(col("doc_id"),
+          substring(md5(col("_tn")), 1, 16).as("norm_fp"),
+          length(col("_tn")).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+    // per-source heavy hitters: the TopK.perKey salted two-phase again —
+    // the hot source with most tokens is exactly the skewed key
+    "per_source_heavy" -> ((s, dir) =>
+      operators.TopK.perKey(
+          operators.Dedup.parallelize(Tables.documents(s, dir))
+            .select(col("source"), explode(operators.TextAnalysis.tokens(lower(col("text")))).as("term"))
+            .groupBy("source", "term").agg(count(lit(1)).as("n")),
+          Seq("source"), Seq(col("n").desc, col("term").asc),
+          saltFrom = col("term"), n = 10)
+        .select(col("source"), col("rank"), col("term"), col("n"))
+        .orderBy("source", "rank")),
+    // snapshot diff: B is a deterministic mutation of the fixture corpus
+    // (drops %10, edits %7, adds %13 under new ids) built identically in
+    // both engines; the diff itself is fingerprint-reduced + one full-outer
+    "corpus_diff" -> ((s, dir) => {
+      val a = Tables.documents(s, dir)
+      val b = a.where(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(a.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      operators.CorpusDiff.diff(a, b, "doc_id", "text").orderBy("doc_id")
+    }),
     // windowed co-occurrence relation (GloVe X_ij / PMI input): bounded
     // per-position probe explode + equi-join, never a range self-join
     "cooccur_counts" -> ((s, dir) =>
@@ -1553,6 +1592,32 @@ object SparkEntry {
       operators.Robust.madOutliersSql("events", "event_type", "value"),
     "fuzzy_match" ->
       operators.Linkage.fuzzyMatchSql("part", "p_name", maxDist = 2),
+    "text_normalize" -> {
+      val dirty = "'  ' || text || chr(9) || chr(9) || chr(8203) || 'z' || " +
+        "chr(13) || chr(10) || 'y' || chr(1) || '  '"
+      s"""SELECT doc_id,
+         md5(${graft.functions.NormalizeTextExpr.sql(dirty)})[:16] AS norm_fp,
+         CAST(length(${graft.functions.NormalizeTextExpr.sql(dirty)}) AS BIGINT) AS n_chars_norm
+         FROM documents ORDER BY doc_id"""
+    },
+    "per_source_heavy" ->
+      """SELECT source, rank, term, n FROM (
+           SELECT source, term, n,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS BIGINT) AS rank
+           FROM (SELECT source, term, COUNT(*) AS n
+                 FROM (SELECT source,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+                       FROM documents)
+                 GROUP BY source, term))
+         WHERE rank <= 10 ORDER BY source, rank""",
+    "corpus_diff" ->
+      operators.CorpusDiff.diffSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0""",
+        "doc_id", "text"),
     "cooccur_counts" ->
       (operators.TextAnalysis.cooccurCountsSql("documents", "doc_id", "text", 3) +
         " ORDER BY 1, 2"),
