@@ -35,7 +35,12 @@ object ScaleSmoke {
     "bigram_logprob", "bm25_search", "kmv_overlap",
     // session-6 additions: the new documents-table shapes — DSIR feature
     // scoring, the CMS counter matrix, positional phrase match
-    "dsir_weights", "cms_heavy", "phrase_search")
+    "dsir_weights", "cms_heavy", "phrase_search",
+    // round-5 additions: the new documents-table shapes — Aho-Corasick
+    // dictionary pass, salted per-source caps/heavy-hitters, co-occurrence
+    // + PMI, one-pass normalization, fingerprint-reduced snapshot diff
+    "dict_tag", "source_cap", "per_source_heavy", "cooccur_counts", "pmi_top",
+    "text_normalize", "corpus_diff")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -32,13 +32,14 @@ class CooccurSpec extends AnyFunSuite {
     assert(out == Set(("x", "y", 2L), ("y", "x", 2L)))
   }
 
-  test("the co-occurrence join is an equi-join on (doc, pos), not a range join") {
+  test("the pair stream is join-free: one scan, one aggregation shuffle") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val plan = TextAnalysis.cooccurCounts(df, "doc_id", "text", window = 3)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"range/cartesian join leaked into the co-occurrence plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"join leaked into the co-occurrence plan (pairs come from the scan projection):\n$plan")
+    assert(plan.contains("HashAggregate"), s"pair agg missing:\n$plan")
   }
 
   test("pmi ranks a perfectly-bound pair above an independent one") {
