@@ -112,12 +112,21 @@ object Bfl {
     val keyPre = Compiler.docKeyPrefilter(q)
       .foldLeft(pre.fold(df)(df.where))((d, k) =>
         d.where(col(docCol).contains("\"" + k + "\"") || esc))
+    // min-parallelism guard BELOW the prefilters (they stay scan-pushable;
+    // the shuffle moves only surviving rows) and ABOVE the interpreter
+    // filter: a single-row-group fixture otherwise runs the per-row
+    // parse+eval pipeline on ONE task regardless of session cores — the
+    // sf0.1 events file is exactly one split, and bfl_xml_helper spent its
+    // whole 2 s there on 1/32 threads. Skipped for limit queries: limit
+    // takes the first N in record order, which a repartition would scramble.
+    val interpIn =
+      if (q.limit.isEmpty) graft.operators.Dedup.parallelize(keyPre) else keyPre
     // a Filter-only match expression (no doc-column rewrite) keeps the
     // interpreter to ONE eval per row: the previous fused
     // `withColumn(doc, bfl_eval).where(isNotNull)` shape let Catalyst push
     // the filter below the Project by re-inlining the expression — two full
     // parse+eval passes per surviving row
-    val matched = keyPre
+    val matched = interpIn
       .where(coalesce(BflExpressions.bflMatch(col(docCol), expanded), lit(false)))
     val out =
       if (Ast.usesAlteringHelpers(q))
