@@ -520,6 +520,16 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    // distinctive per-source vocabulary by Dunning G² keyness (χ² overweights
+    // rare terms, raw counts find stopwords); all folds at type-table size
+    "source_keyness" -> ((s, dir) =>
+      operators.TextAnalysis.sourceKeyness(Tables.documents(s, dir), "source", "text", topN = 10)
+        .orderBy("source", "rank")),
+    // per-type burstiness (Fano factor over 1h buckets, empty buckets
+    // counted in closed form) — no per-key event ordering anywhere
+    "burstiness" -> ((s, dir) =>
+      operators.Temporal.burstiness(ev(s, dir), "event_type", "ts", bucketSeconds = 3600L)
+        .orderBy("event_type")),
     // canonical text normalization (NFC + control/zero-width strip +
     // whitespace collapse) over deterministically-dirtied fixture text;
     // both engines build the same dirty input, so the normalizer itself is
@@ -1592,6 +1602,10 @@ object SparkEntry {
       operators.Robust.madOutliersSql("events", "event_type", "value"),
     "fuzzy_match" ->
       operators.Linkage.fuzzyMatchSql("part", "p_name", maxDist = 2),
+    "source_keyness" ->
+      operators.TextAnalysis.sourceKeynessSql("documents", "source", "text", 10),
+    "burstiness" ->
+      operators.Temporal.burstinessSql("events", "event_type", "ts", 3600L),
     "text_normalize" -> {
       val dirty = "'  ' || text || chr(9) || chr(9) || chr(8203) || 'z' || " +
         "chr(13) || chr(10) || 'y' || chr(1) || '  '"

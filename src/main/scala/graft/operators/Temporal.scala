@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temporal stream diagnostics over event logs. */
+object Temporal {
+
+  /** Per-key burstiness as the Fano factor (variance/mean of per-bucket
+    * event counts over the corpus's full time range — 1.0 for a Poisson
+    * stream, ≫1 for bursty arrivals, the standard dispersion diagnostic
+    * for ingest anomaly triage).
+    *
+    * Shape: NOTHING is ordered and nothing windows — inter-arrival-gap
+    * formulations need a per-key `lag` over event order, an unsplittable
+    * per-key sort at corpus scale; bucket counting is two map-side-
+    * combinable aggregations plus one broadcast scalar. Empty buckets
+    * count as zeros WITHOUT materializing them: with B total buckets and
+    * per-bucket counts c_i (zeros included),
+    * var = (Σc² − (Σc)²/B) / B — only non-empty buckets contribute to Σc²
+    * and Σc, so the observed (key, bucket) relation suffices.
+    */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "burstiness: bucketSeconds must be positive")
+    val bucket = floor(unix_seconds(col(tsCol)) / bucketSeconds)
+    val perBucket = df
+      .select(col(keyCol).as("key"), bucket.as("b"))
+      .groupBy("key", "b").agg(count(lit(1)).as("c"))
+    // the corpus-wide bucket span (shared across keys: a key silent for a
+    // day IS bursty relative to the stream it belongs to)
+    val span = df.agg(
+      ((floor(unix_seconds(max(col(tsCol))) / bucketSeconds) -
+        floor(unix_seconds(min(col(tsCol))) / bucketSeconds)) + 1).as("n_buckets"))
+    perBucket
+      .groupBy("key")
+      .agg(sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("_t_sumsq"))
+      .crossJoin(broadcast(span))
+      .select(col("key").as(keyCol), col("n_events"), col("n_buckets"),
+        round(
+          (col("_t_sumsq").cast("double") -
+            col("n_events").cast("double") * col("n_events").cast("double") /
+              col("n_buckets").cast("double")) /
+            col("n_buckets").cast("double") /
+            (col("n_events").cast("double") / col("n_buckets").cast("double")),
+          4).as("fano"))
+  }
+
+  /** DuckDB mirror of [[burstiness]]. */
+  def burstinessSql(tbl: String, keyCol: String, tsCol: String,
+      bucketSeconds: Long): String =
+    s"""WITH pb AS (SELECT $keyCol AS key,
+            CAST(floor(epoch($tsCol) / $bucketSeconds) AS BIGINT) AS b, COUNT(*) AS c
+          FROM $tbl GROUP BY 1, 2),
+        span AS (SELECT CAST(floor(epoch(max($tsCol)) / $bucketSeconds) AS BIGINT) -
+                        CAST(floor(epoch(min($tsCol)) / $bucketSeconds) AS BIGINT) + 1 AS n_buckets
+                 FROM $tbl),
+        agg AS (SELECT key, SUM(c) AS n_events, SUM(c * c) AS sumsq FROM pb GROUP BY key)
+        SELECT key AS $keyCol, CAST(n_events AS BIGINT) AS n_events, n_buckets,
+          round((CAST(sumsq AS DOUBLE) -
+                 CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                / CAST(n_buckets AS DOUBLE)
+                / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 4) AS fano
+        FROM agg CROSS JOIN span ORDER BY $keyCol"""
+}

@@ -489,6 +489,89 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Distinctive vocabulary per source via Dunning's log-likelihood ratio
+    * (G², Dunning 1993 — the keyness statistic corpus linguistics settled
+    * on; χ² overweights rare terms, raw counts just find stopwords): for
+    * each (source, term), compare the term's rate inside the source
+    * against the rest of the corpus with
+    * G² = 2·Σ O·ln(O/E) over the 2×2 contingency table, keeping terms
+    * OVER-represented in the source. The per-source fingerprint a mixture
+    * audit reads ("what is src7 actually full of?").
+    *
+    * Every statistic folds from ONE (source, term) count relation:
+    * term totals, source totals, and the grand total are successive
+    * aggregations joined back at type-table size ([[bigramLogprob]]
+    * discipline); ranking is the salted [[TopK.perKey]]. Zero-count cells
+    * contribute 0 to G² (lim x→0 x·ln x = 0), matching the oracle's CASE.
+    */
+  def sourceKeyness(df: DataFrame, sourceCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val st = Dedup.parallelize(df)
+      .select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val termTot = st.groupBy("term").agg(sum("a").as("t_tot"))
+    val srcTot = st.groupBy("source").agg(sum("a").as("s_tot"))
+    val grand = st.agg(sum("a").as("g_tot"))
+    // 2x2 table: a = in-source count, b = elsewhere count,
+    // c = source's other tokens, d = the rest
+    val withTots = st
+      .join(termTot.hint("shuffle_hash"), "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("t_tot") - col("a"))
+      .withColumn("c", col("s_tot") - col("a"))
+      .withColumn("d", col("g_tot") - col("t_tot") - col("c"))
+    def term(o: Column, rowTot: Column, colTot: Column, g: Column): Column = {
+      val e = rowTot.cast("double") * colTot.cast("double") / g.cast("double")
+      when(o > 0, o.cast("double") * log(o.cast("double") / e)).otherwise(lit(0.0))
+    }
+    val g2 = lit(2.0) * (
+      term(col("a"), col("s_tot"), col("t_tot"), col("g_tot")) +
+      term(col("b"), col("g_tot") - col("s_tot"), col("t_tot"), col("g_tot")) +
+      term(col("c"), col("s_tot"), col("g_tot") - col("t_tot"), col("g_tot")) +
+      term(col("d"), col("g_tot") - col("s_tot"), col("g_tot") - col("t_tot"), col("g_tot")))
+    val scored = withTots
+      // keep only OVER-represented terms: observed in-source rate > expected
+      .where(col("a").cast("double") * col("g_tot").cast("double") >
+        col("s_tot").cast("double") * col("t_tot").cast("double"))
+      .select(col("source"), col("term"), col("a").as("n"),
+        round(g2, 4).as("g2"))
+    TopK.perKey(scored, Seq("source"), Seq(col("g2").desc, col("term").asc),
+        saltFrom = col("term"), n = topN)
+      .select(col("source"), col("rank"), col("term"), col("n"), col("g2"))
+  }
+
+  /** DuckDB mirror of [[sourceKeyness]] — same folds, single-window rank. */
+  def sourceKeynessSql(tbl: String, sourceCol: String, textCol: String,
+      topN: Int): String =
+    s"""WITH st AS (SELECT $sourceCol AS source, term, COUNT(*) AS a
+           FROM (SELECT $sourceCol,
+                   unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term
+                 FROM $tbl)
+           GROUP BY 1, 2),
+       tt AS (SELECT term, SUM(a) AS t_tot FROM st GROUP BY term),
+       stot AS (SELECT source, SUM(a) AS s_tot FROM st GROUP BY source),
+       g AS (SELECT SUM(a) AS g_tot FROM st),
+       cells AS (SELECT st.source, st.term, a,
+                        t_tot - a AS b, s_tot - a AS c, g_tot - t_tot - (s_tot - a) AS d,
+                        s_tot, t_tot, g_tot
+                 FROM st JOIN tt USING (term) JOIN stot USING (source) CROSS JOIN g),
+       scored AS (SELECT source, term, CAST(a AS BIGINT) AS n,
+           round(2.0 * (
+             (CASE WHEN a > 0 THEN a * ln(a / (CAST(s_tot AS DOUBLE) * t_tot / g_tot)) ELSE 0 END) +
+             (CASE WHEN b > 0 THEN b * ln(b / (CAST(g_tot - s_tot AS DOUBLE) * t_tot / g_tot)) ELSE 0 END) +
+             (CASE WHEN c > 0 THEN c * ln(c / (CAST(s_tot AS DOUBLE) * (g_tot - t_tot) / g_tot)) ELSE 0 END) +
+             (CASE WHEN d > 0 THEN d * ln(d / (CAST(g_tot - s_tot AS DOUBLE) * (g_tot - t_tot) / g_tot)) ELSE 0 END)
+           ), 4) AS g2
+         FROM cells
+         WHERE CAST(a AS DOUBLE) * g_tot > CAST(s_tot AS DOUBLE) * t_tot)
+       SELECT source, rank, term, n, g2 FROM (
+         SELECT source, term, n, g2,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY g2 DESC, term) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= $topN ORDER BY source, rank"""
+
   /** Windowed token co-occurrence counts — the input relation of every
     * count-based embedding / collocation method (GloVe's X_ij, PMI, χ²):
     * c(w1, w2) = occurrences of w2 within `window` positions AFTER w1
