@@ -520,6 +520,11 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    // per-label embedding separability audit (centroid silhouette margin);
+    // centroids are labels×dim broadcast literals, the corpus scans once
+    "label_margin" -> ((s, dir) =>
+      operators.Similarity.labelCentroidMargin(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label")),
     // distinctive per-source vocabulary by Dunning G² keyness (χ² overweights
     // rare terms, raw counts find stopwords); all folds at type-table size
     "source_keyness" -> ((s, dir) =>
@@ -1602,6 +1607,9 @@ object SparkEntry {
       operators.Robust.madOutliersSql("events", "event_type", "value"),
     "fuzzy_match" ->
       operators.Linkage.fuzzyMatchSql("part", "p_name", maxDist = 2),
+    "label_margin" ->
+      operators.Similarity.labelCentroidMarginSql(
+        "embeddings", "vec_id", "embedding", "label", dim = 64),
     "source_keyness" ->
       operators.TextAnalysis.sourceKeynessSql("documents", "source", "text", 10),
     "burstiness" ->

@@ -891,4 +891,75 @@ object Similarity {
        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1
        ORDER BY vec_id"""
   }
+
+  /** Per-label embedding separability audit — "are my labels real clusters?"
+    * before anyone trains on them: for every vector, cosine to its OWN
+    * label centroid minus the best cosine to any OTHER label centroid (a
+    * centroid-based silhouette margin), aggregated per label.
+    *
+    * Determinism discipline (the [[kmeansCentroids]] conventions):
+    * centroid coordinates accumulate through DECIMAL(18,6) (exact,
+    * order-independent) and divide in double; per-vector sims round to 4
+    * before the margin; per-label margin MEANS accumulate the rounded
+    * margins through DECIMAL(18,4). Centroids are labels×dim — broadcast;
+    * the corpus scans once.
+    *
+    * Output: (label, n_vecs, avg_margin, frac_separated) — frac of vectors
+    * strictly closer to their own centroid than to every other.
+    */
+  def labelCentroidMargin(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = emb
+      .select(col(labelCol).as("_lm_cl"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("_lm_cl", "dim")
+      .agg((sum(col("v").cast("double").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("_lm_cl")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("_sm"))
+      .select(col("_lm_cl"), transform(col("_sm"), _.getField("m")).as("_lm_cv"))
+    val sims = emb
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col(labelCol).as("label"), col("_lm_cl"),
+        round(cosine(col(vecCol), col("_lm_cv")), 4).as("sim"))
+    val margins = sims
+      .groupBy(col(idCol), col("label"))
+      .agg(
+        max(when(col("label") === col("_lm_cl"), col("sim"))).as("_own"),
+        max(when(col("label") =!= col("_lm_cl"), col("sim"))).as("_other"))
+      .select(col("label"), (col("_own") - col("_other")).as("_margin"))
+    margins
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("_margin").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_margin"),
+        round(sum(when(col("_margin") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("frac_separated"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[labelCentroidMargin]]. */
+  def labelCentroidMarginSql(tbl: String, idCol: String, vecCol: String,
+      labelCol: String, dim: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    s"""WITH cdim AS (SELECT $labelCol AS cl, d.d AS dim,
+             CAST(SUM(CAST(CAST($vecCol[d.d] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS m
+           FROM $tbl CROSS JOIN range(1, ${dim + 1}) d(d)
+           GROUP BY 1, 2),
+       cents AS (SELECT cl, list(m ORDER BY dim) AS cv FROM cdim GROUP BY cl),
+       sims AS (SELECT e.$idCol, e.$labelCol AS label, c.cl,
+                  round(${cos(s"e.$vecCol", "c.cv")}, 4) AS sim
+                FROM $tbl e CROSS JOIN cents c),
+       marg AS (SELECT $idCol, label,
+                  MAX(CASE WHEN label = cl THEN sim END) -
+                  MAX(CASE WHEN label <> cl THEN sim END) AS margin
+                FROM sims GROUP BY 1, 2)
+       SELECT label, COUNT(*) AS n_vecs,
+         round(CAST(SUM(CAST(margin AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 4) AS avg_margin,
+         round(CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS frac_separated
+       FROM marg GROUP BY label ORDER BY label"""
+  }
 }
