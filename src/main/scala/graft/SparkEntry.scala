@@ -595,12 +595,13 @@ object SparkEntry {
       operators.SourceCap.capPerSource(
           Tables.documents(s, dir), "doc_id", "source", col("n_chars"), n = 25)
         .orderBy("source", "rank")),
-    // kNN label propagation: every 5th vector is the unlabeled query batch,
-    // majority vote of its 5 nearest labeled neighbors (exact cosine)
+    // kNN label propagation: a FIXED 100-vector query batch (a labeling
+    // batch is workload-sized, not corpus-sized) against the rest,
+    // majority vote of each query's 5 nearest labeled neighbors
     "knn_label" -> ((s, dir) =>
       operators.Similarity.knnLabel(
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",
-          isQuery = col("vec_id") % 5 === 0, k = 5)
+          isQuery = col("vec_id") < 100, k = 5)
         .orderBy("vec_id")),
     "stratified_sample" -> ((s, dir) =>
       operators.Sampling.stratifiedSample(
@@ -1651,7 +1652,7 @@ object SparkEntry {
       operators.SourceCap.capPerSourceSql("documents", "doc_id", "source", "n_chars", 25),
     "knn_label" ->
       operators.Similarity.knnLabelSql(
-        "embeddings", "vec_id", "embedding", "label", "vec_id % 5 = 0", 5),
+        "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 5),
     "stratified_sample" ->
       // md5-ranked exact per-stratum quota — mirrors Sampling.stratifiedSample
       """SELECT doc_id, lang FROM (

@@ -342,8 +342,8 @@ object TextAnalysis {
       col("c1").cast("double")
     val nll = round(-log(p), 4).cast("decimal(18,4)")
     val perBg = c12
-      .join(byW1, substring_index(col("bg"), " ", 1) === col("w1"))
-      .join(byW2, substring_index(col("bg"), " ", -1) === col("w2"))
+      .join(byW1.hint("shuffle_hash"), substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(byW2.hint("shuffle_hash"), substring_index(col("bg"), " ", -1) === col("w2"))
       .crossJoin(broadcast(types))
       .select(col("bg"), nll.as("_kn_nll"))
     raw.join(perBg.hint("shuffle_hash"), "bg")

@@ -40,7 +40,11 @@ object ScaleSmoke {
     // dictionary pass, salted per-source caps/heavy-hitters, co-occurrence
     // + PMI, one-pass normalization, fingerprint-reduced snapshot diff
     "dict_tag", "source_cap", "per_source_heavy", "cooccur_counts", "pmi_top",
-    "text_normalize", "corpus_diff")
+    "text_normalize", "corpus_diff",
+    // round-5 session-2: the heaviest remaining LM stat, the embeddings
+    // shapes (replica slice keeps vectors verbatim — ranking ties break on
+    // id deterministically), keyness folds, events burstiness
+    "kn_logprob", "source_keyness", "burstiness", "knn_label", "label_margin")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -98,10 +102,15 @@ object ScaleSmoke {
         concat_ws(" ", transform(split(col("text"), " "),
           w => concat(w, lit("_r"), col("rep"))))))
     val ord = replicate(spark.read.parquet(s"$base/orders.parquet"), "o_orderkey", identity)
+    // embeddings replicate with vectors VERBATIM (id-offset only): near-dup
+    // structure per replica is identical, and cross-replica exact ties
+    // break on id in every ranking path
+    val emb = replicate(spark.read.parquet(s"$base/embeddings.parquet"), "vec_id", identity)
 
     ev.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     ord.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[smoke] wrote ${reps}x slice to $out")
 
     // min of N executions: the box is shared, and a single-shot timing mixes
