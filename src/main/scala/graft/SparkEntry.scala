@@ -402,6 +402,22 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).as("n_words"),
           TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
+    // Gopher-style rule gate: per-row codegen'd thresholds, no shuffle
+    "gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // per-source n-gram type/token diversity (distinct-n); the distinct
+    // count is a count over the deduped type relation, never count_distinct
+    "ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text", n = 3)
+        .orderBy("source")),
+    // per-language subword fertility of the proxy BPE tokenizer
+    "tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir), "lang", "text")),
+    // perplexity-quartile curriculum buckets (percentile-broadcast banding,
+    // not a global ntile window)
+    "ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(Tables.documents(s, dir), "doc_id", "text")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
@@ -535,6 +551,26 @@ object SparkEntry {
     "burstiness" -> ((s, dir) =>
       operators.Temporal.burstiness(ev(s, dir), "event_type", "ts", bucketSeconds = 3600L)
         .orderBy("event_type")),
+    // ordered-funnel conversion over the event stream: signup → view →
+    // click → purchase, each stage within 7 days of the previous; K chained
+    // user-keyed joins, no event-time shuffle
+    "funnel" -> ((s, dir) =>
+      operators.EventSeq.funnel(ev(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L)),
+    // first-order Markov transition matrix of per-user event sequences:
+    // one lead() window + a |types|²-bounded agg
+    "event_transitions" -> ((s, dir) =>
+      operators.EventSeq.transitions(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id")),
+    // daily cohort retention (first-active-day cohorts × day offset);
+    // activity is de-duplicated per (user, day) BEFORE the cohort join
+    "cohort_retention" -> ((s, dir) =>
+      operators.EventSeq.cohortRetention(ev(s, dir), "user_id", "ts")),
+    // recency-weighted per-user engagement (half-life 3 days), DECIMAL-exact
+    // decayed sum so partitioning can't reorder the float accumulation
+    "decay_agg" -> ((s, dir) =>
+      operators.EventSeq.decayAgg(ev(s, dir), "user_id", "ts", "value",
+        halfLifeSec = 3 * 86400L)),
     // canonical text normalization (NFC + control/zero-width strip +
     // whitespace collapse) over deterministically-dirtied fixture text;
     // both engines build the same dirty input, so the normalizer itself is
@@ -603,6 +639,14 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           isQuery = col("vec_id") < 100, k = 5)
         .orderBy("vec_id")),
+    // hard-negative mining for contrastive training: per-anchor top-3
+    // different-label cosine neighbors; fixed anchor batch broadcast, one
+    // reference scan, salted per-anchor ranking
+    "hard_negatives" -> ((s, dir) =>
+      operators.Similarity.hardNegatives(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          isAnchor = col("vec_id") < 100, k = 3)
+        .orderBy("anchor_id", "rank")),
     "stratified_sample" -> ((s, dir) =>
       operators.Sampling.stratifiedSample(
           Tables.documents(s, dir), "doc_id", "lang", 0.1)
@@ -1194,6 +1238,29 @@ object SparkEntry {
        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
 
+  /** mirror of TextAnalysis.unigramLogprob: per-term nll rounded to 4
+    * decimals THEN summed as DECIMAL — exact, no float-order dependence;
+    * the avg divides once in double with NO final round (cast + IEEE
+    * division are correctly rounded ⇒ bit-identical; a round(4) landed
+    * on exact halves where the engines' rounding algorithms disagree).
+    * Shared: it is both the `unigram_logprob` oracle and the scored CTE
+    * `ppl_buckets` buckets over.
+    */
+  private val unigramLogprobOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS term
+             FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+         fr AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+         tot AS (SELECT SUM(cnt) AS t_total FROM fr),
+         j AS (SELECT tf.doc_id, tf.tf,
+               CAST(round(ln(CAST(t_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 4)
+                 AS DECIMAL(18,4)) AS nll
+               FROM tf JOIN fr USING (term) CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+           CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
+             / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+         FROM j GROUP BY doc_id ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "bfl_eq" ->
       s"SELECT $evCols FROM events WHERE event_type = 'click' ORDER BY event_id",
@@ -1615,6 +1682,17 @@ object SparkEntry {
       operators.TextAnalysis.sourceKeynessSql("documents", "source", "text", 10),
     "burstiness" ->
       operators.Temporal.burstinessSql("events", "event_type", "ts", 3600L),
+    "funnel" ->
+      operators.EventSeq.funnelSql("events", "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L),
+    "event_transitions" ->
+      operators.EventSeq.transitionsSql("events", "user_id", "ts",
+        "event_type", "event_id"),
+    "cohort_retention" ->
+      operators.EventSeq.cohortRetentionSql("events", "user_id", "ts"),
+    "decay_agg" ->
+      operators.EventSeq.decayAggSql("events", "user_id", "ts", "value",
+        halfLifeSec = 3 * 86400L),
     "text_normalize" -> {
       val dirty = "'  ' || text || chr(9) || chr(9) || chr(8203) || 'z' || " +
         "chr(13) || chr(10) || 'y' || chr(1) || '  '"
@@ -1653,6 +1731,9 @@ object SparkEntry {
     "knn_label" ->
       operators.Similarity.knnLabelSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 5),
+    "hard_negatives" ->
+      operators.Similarity.hardNegativesSql(
+        "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 3),
     "stratified_sample" ->
       // md5-ranked exact per-stratum quota — mirrors Sampling.stratifiedSample
       """SELECT doc_id, lang FROM (
@@ -1873,25 +1954,15 @@ object SparkEntry {
            FROM documents)
          WHERE rn <= CEIL(least(CAST(n AS DOUBLE), 8.0 * sqrt(CAST(n AS DOUBLE))))
          ORDER BY doc_id""",
-    "unigram_logprob" ->
-      // mirror of TextAnalysis.unigramLogprob: per-term nll rounded to 4
-      // decimals THEN summed as DECIMAL — exact, no float-order dependence;
-      // the avg divides once in double with NO final round (cast + IEEE
-      // division are correctly rounded ⇒ bit-identical; a round(4) landed
-      // on exact halves where the engines' rounding algorithms disagree)
-      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS term
-             FROM documents),
-         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
-         fr AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
-         tot AS (SELECT SUM(cnt) AS t_total FROM fr),
-         j AS (SELECT tf.doc_id, tf.tf,
-               CAST(round(ln(CAST(t_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 4)
-                 AS DECIMAL(18,4)) AS nll
-               FROM tf JOIN fr USING (term) CROSS JOIN tot)
-         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
-           CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
-             / CAST(SUM(tf) AS DOUBLE) AS avg_nll
-         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "unigram_logprob" -> unigramLogprobOracle,
+    "gopher_rules" ->
+      operators.TextAnalysis.gopherRulesSql("documents", "doc_id", "text"),
+    "ngram_diversity" ->
+      operators.TextAnalysis.ngramDiversitySql("documents", "source", "text", 3),
+    "tokenizer_fertility" ->
+      operators.TextAnalysis.tokenizerFertilitySql("documents", "lang", "text"),
+    "ppl_buckets" ->
+      operators.TextAnalysis.pplBucketsSql(unigramLogprobOracle),
     "bigram_logprob" ->
       // mirror of TextAnalysis.bigramLogprob: Laplace-smoothed bigram
       // conditional nll, per-pair rounded to 4 decimals then DECIMAL-exact

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the ingested stream — funnels, transition
+  * matrices, cohort retention, time-decayed engagement. The reference engine's
+  * domain is API-traffic analytics (continuous filtered streams over event
+  * logs, `server/lib/basenine.go`); these are the standard batch companions a
+  * deployment runs over the same log.
+  *
+  * Scale discipline shared by all four:
+  *   - every shuffle is keyed by the entity (`user_id`) or by a bounded type
+  *     pair — never by timestamp;
+  *   - per-stage funnel joins re-use ONE user-keyed partitioning (each stage's
+  *     "reached" relation is a per-user aggregate of the previous one, so AQE
+  *     sees co-partitioned sides and skips re-exchange or broadcasts the
+  *     shrinking stage table);
+  *   - decayed sums round each term to 4 decimals then accumulate in
+  *     DECIMAL(18,4) — associative and order-independent, so the result is
+  *     identical under any partitioning (and matches the DuckDB mirror).
+  */
+object EventSeq {
+
+  /** Ordered-funnel analysis: for each prefix of `stages`, how many users
+    * performed the stages IN ORDER, each within `windowSec` of the previous
+    * stage's first qualifying occurrence.
+    *
+    * Semantics (first-touch): a user's stage-0 time is their earliest stage-0
+    * event; stage-i time is their earliest stage-i event strictly after their
+    * stage-(i-1) time and within the window. This is the classic funnel
+    * definition with deterministic results (no per-event pairing ambiguity).
+    *
+    * Shape: K−1 chained `[filter → join on user → groupBy user]` rounds. All
+    * shuffles share the user key; the right side of every join is a per-user
+    * single-row aggregate that only shrinks stage over stage, so at scale the
+    * plan is K co-partitioned hash joins (or broadcasts, once the funnel
+    * narrows below the AQE threshold) — no window over an unsplittable
+    * per-user sort, no event-time shuffle.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String], windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel: at least one stage")
+    val windowMs = windowSec * 1000L
+    val base = df
+      .where(col(typeCol).isin(stages: _*))
+      .select(col(userCol).as("u"), unix_millis(col(tsCol)).as("tms"),
+        col(typeCol).as("et"))
+    var reached = base.where(col("et") === stages.head)
+      .groupBy("u").agg(min("tms").as("t"))
+    val counts = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    counts += reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(0).as("stage_idx"), lit(stages.head).as("stage"), col("n_users"))
+    for (i <- 1 until stages.length) {
+      reached = base.where(col("et") === stages(i))
+        .join(reached, "u")
+        .where(col("tms") > col("t") && col("tms") <= col("t") + windowMs)
+        .groupBy("u").agg(min("tms").as("t"))
+      counts += reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"), col("n_users"))
+    }
+    val all = counts.reduce(_ union _)
+    // conversion vs the funnel entry — the union is K rows, the window trivial
+    val w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
+    all.select(col("stage_idx"), col("stage"), col("n_users"),
+      round(col("n_users").cast("double") /
+        greatest(first("n_users").over(w).cast("double"), lit(1.0)), 4)
+        .as("conv_rate"))
+      .orderBy("stage_idx")
+  }
+
+  /** DuckDB mirror of [[funnel]] — generates one CTE per stage. */
+  def funnelSql(tbl: String, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String], windowSec: Long): String = {
+    val windowMs = windowSec * 1000L
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"""s0 AS (SELECT $userCol AS u, min(epoch_ms($tsCol)) AS t
+        FROM $tbl WHERE $typeCol = '${stages.head}' GROUP BY 1)"""
+    for (i <- 1 until stages.length) {
+      ctes += s"""s$i AS (SELECT e.$userCol AS u, min(epoch_ms(e.$tsCol)) AS t
+          FROM $tbl e JOIN s${i - 1} p ON e.$userCol = p.u
+          WHERE e.$typeCol = '${stages(i)}'
+            AND epoch_ms(e.$tsCol) > p.t AND epoch_ms(e.$tsCol) <= p.t + $windowMs
+          GROUP BY 1)"""
+    }
+    val unions = stages.indices.map { i =>
+      s"SELECT $i AS stage_idx, '${stages(i)}' AS stage, (SELECT COUNT(*) FROM s$i) AS n_users"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n         ")},
+         cnt AS ($unions)
+         SELECT stage_idx, stage, n_users,
+           round(CAST(n_users AS DOUBLE) /
+             greatest(CAST(first_value(n_users) OVER (ORDER BY stage_idx) AS DOUBLE), 1.0), 4)
+             AS conv_rate
+         FROM cnt ORDER BY stage_idx"""
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts of consecutive (from → to) event-type pairs in per-user time
+    * order, with the conditional probability per source type.
+    *
+    * Shape: ONE window (`lead` over user partitions ordered by (ts, id)) and
+    * one bounded agg — the output relation is at most |types|² rows. The
+    * window partitions by user: per-user event counts are workload-bounded in
+    * an analytics log (and a pathological hot user degrades one task, not the
+    * agg, whose key space is the type pair). `idCol` breaks timestamp ties so
+    * the sequence — and therefore the counts — are deterministic.
+    */
+  def transitions(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val wf = Window.partitionBy("from_type")
+    pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum("n").over(wf).cast("double"), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** DuckDB mirror of [[transitions]]. */
+  def transitionsSql(tbl: String, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): String =
+    s"""WITH p AS (SELECT $typeCol AS from_type,
+           lead($typeCol) OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS to_type
+         FROM $tbl),
+       c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+             WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+         round(CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+       FROM c ORDER BY from_type, to_type"""
+
+  /** Cohort retention: users are cohorted by their first active day; for each
+    * (cohort_day, day_offset) cell, how many of that cohort were active.
+    *
+    * Shape: three user-keyed aggregations — first-day per user, distinct
+    * (user, day) activity, one join on user — then a bounded (cohort, offset)
+    * agg. The distinct collapses per-user-per-day event multiplicity BEFORE
+    * the join, so the join's left side is |users|×|active days|, not |events|.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = floor(unix_millis(col(tsCol)) / 86400000L)
+    val activity = df.select(col(userCol).as("u"), day.as("day")).distinct()
+    val cohort = activity.groupBy("u").agg(min("day").as("cohort_day"))
+    activity.join(cohort, "u")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** DuckDB mirror of [[cohortRetention]]. */
+  def cohortRetentionSql(tbl: String, userCol: String, tsCol: String): String =
+    s"""WITH a AS (SELECT DISTINCT $userCol AS u,
+           CAST(floor(epoch_ms($tsCol) / 86400000) AS BIGINT) AS day FROM $tbl),
+       c AS (SELECT u, min(day) AS cohort_day FROM a GROUP BY 1)
+       SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, COUNT(*) AS n_users
+       FROM a JOIN c USING (u) GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Exponentially time-decayed per-user engagement: each event contributes
+    * `value · 0.5^(Δt / halfLife)` where Δt is its age relative to the
+    * corpus's newest event (one broadcast scalar — a recency-weighted score a
+    * ranking pipeline recomputes per snapshot).
+    *
+    * Determinism: each term is rounded to 4 decimals and accumulated in
+    * DECIMAL(18,4) — exact and associative, so partitioning cannot reorder
+    * the float sum (same discipline as the LM scorers).
+    */
+  def decayAgg(df: DataFrame, userCol: String, tsCol: String, valCol: String,
+      halfLifeSec: Long): DataFrame = {
+    val maxTs = df.agg(max(unix_millis(col(tsCol))).as("t_max"))
+    val term = round(
+      col(valCol) * pow(lit(0.5),
+        (col("t_max") - unix_millis(col(tsCol))).cast("double") /
+          (halfLifeSec * 1000.0)), 4).cast("decimal(18,4)")
+    df.crossJoin(broadcast(maxTs))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(term).cast("double").as("decayed_value"))
+      .orderBy(userCol)
+  }
+
+  /** DuckDB mirror of [[decayAgg]]. */
+  def decayAggSql(tbl: String, userCol: String, tsCol: String, valCol: String,
+      halfLifeSec: Long): String =
+    s"""WITH m AS (SELECT max(epoch_ms($tsCol)) AS t_max FROM $tbl)
+       SELECT $userCol, COUNT(*) AS n_events,
+         CAST(SUM(CAST(round($valCol * pow(0.5,
+             CAST(t_max - epoch_ms($tsCol) AS DOUBLE) / ${halfLifeSec * 1000.0}), 4)
+           AS DECIMAL(18,4))) AS DOUBLE) AS decayed_value
+       FROM $tbl CROSS JOIN m GROUP BY $userCol ORDER BY $userCol"""
+}

@@ -962,4 +962,58 @@ object Similarity {
          round(CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS frac_separated
        FROM marg GROUP BY label ORDER BY label"""
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor in a
+    * workload-sized batch, the k most-cosine-similar reference vectors whose
+    * label DIFFERS from the anchor's — the "confusable" negatives a
+    * contrastive or reranker trainer wants, vs the uninformative random ones.
+    *
+    * Scale contract (the [[knnLabel]] lesson): the anchor batch is a fixed,
+    * workload-sized set — broadcast — so the reference corpus scans ONCE and
+    * pair cardinality is |refs|·|batch|, linear in the corpus. The label
+    * mismatch filter lands BEFORE ranking (inside the same projection the
+    * cosine computes in), and per-anchor ranking goes through the salted
+    * [[TopK.perKey]] because each anchor's candidate list is corpus-sized —
+    * exactly the window partition AQE can't split. Sims round to 4 decimals
+    * pre-ranking so engine float drift can't reorder ties.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, isAnchor: Column, k: Int): DataFrame = {
+    val q = emb.where(isAnchor)
+      .select(col(idCol).as("_hn_aid"), col(vecCol).as("_hn_av"),
+        col(labelCol).as("_hn_al"))
+    val pairs = emb.where(!isAnchor)
+      .crossJoin(broadcast(q))
+      .where(col(labelCol) =!= col("_hn_al"))
+      .select(col("_hn_aid"), col(idCol).as("_hn_nid"),
+        col(labelCol).as("_hn_nl"),
+        round(cosine(col(vecCol), col("_hn_av")), 4).as("_hn_sim"))
+    TopK.perKey(pairs, Seq("_hn_aid"),
+        Seq(col("_hn_sim").desc, col("_hn_nid").asc),
+        saltFrom = col("_hn_nid"), n = k)
+      .select(col("_hn_aid").as("anchor_id"), col("rank"),
+        col("_hn_nid").as("neg_id"), col("_hn_nl").as("neg_label"),
+        col("_hn_sim").as("sim"))
+  }
+
+  /** DuckDB mirror of [[hardNegatives]] — naive cross join + single window. */
+  def hardNegativesSql(tbl: String, idCol: String, vecCol: String,
+      labelCol: String, anchorPredSql: String, k: Int): String = {
+    val dot = s"""list_sum(list_transform(list_zip(r.$vecCol, q.av),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"""
+    val norm = (v: String) =>
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH q AS (SELECT $idCol AS aid, $vecCol AS av, $labelCol AS al
+              FROM $tbl WHERE $anchorPredSql),
+       sims AS (SELECT q.aid, r.$idCol AS nid, r.$labelCol AS nl,
+                  round($dot / (${norm(s"r.$vecCol")} * ${norm("q.av")}), 4) AS sim
+                FROM $tbl r CROSS JOIN q
+                WHERE NOT ($anchorPredSql ) AND r.$labelCol <> q.al),
+       ranked AS (SELECT aid, nid, nl, sim,
+                    row_number() OVER (PARTITION BY aid ORDER BY sim DESC, nid) AS rank
+                  FROM sims)
+       SELECT aid AS anchor_id, CAST(rank AS BIGINT) AS rank, nid AS neg_id,
+         nl AS neg_label, sim
+       FROM ranked WHERE rank <= $k ORDER BY anchor_id, rank"""
+  }
 }

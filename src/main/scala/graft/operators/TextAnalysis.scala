@@ -658,4 +658,194 @@ object TextAnalysis {
         CROSS JOIN t
         WHERE n >= $minCount
         ORDER BY pmi DESC, pairs.w1, pairs.w2 LIMIT $topN"""
+
+  private val gopherStops = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Gopher/MassiveText-style rule gate (Rae et al. 2021 §A1.1): the
+    * threshold filters a corpus pass applies BEFORE any model-based scoring
+    * — word-count bounds, mean-word-length bounds, a minimum of distinct
+    * stop words present, and a symbol-ratio cap. Bounds are scaled to the
+    * fixture corpus; the rule STRUCTURE is the published one.
+    *
+    * Every signal is a per-row codegen'd Column over the scan (ASCII-only
+    * regex classes so Java regex and DuckDB RE2 agree byte-for-byte; the
+    * stop-word hit count intersects DISTINCT tokens so multiplicity can't
+    * inflate it). No shuffle anywhere — the gate scales with the scan.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 10L, maxWords: Long = 1000L): DataFrame = {
+    val t = col(textCol)
+    val nw = tokenCount(t)
+    val meanWl = length(t).cast("double") / greatest(nw, lit(1))
+    val nStop = size(array_intersect(
+      array_distinct(tokens(lower(t))),
+      array(gopherStops.map(lit): _*))).cast("long")
+    val nSym = length(regexp_replace(t, "[A-Za-z0-9 \\t\\n\\r\\f]", "")).cast("long")
+    val symRatio = nSym.cast("double") / greatest(length(t), lit(1))
+    df.select(col(idCol),
+      nw.as("n_words"),
+      round(meanWl, 6).as("mean_word_len"),
+      nStop.as("n_stop"),
+      round(symRatio, 6).as("sym_ratio"),
+      (nw >= minWords && nw <= maxWords).as("r_wordcount"),
+      (meanWl >= 3.0 && meanWl <= 10.0).as("r_wordlen"),
+      (nStop >= 2L).as("r_stopwords"),
+      (symRatio <= 0.1).as("r_symbols"),
+      (nw >= minWords && nw <= maxWords && meanWl >= 3.0 && meanWl <= 10.0 &&
+        nStop >= 2L && symRatio <= 0.1).as("keep"))
+  }
+
+  /** DuckDB mirror of [[gopherRules]]. */
+  def gopherRulesSql(tbl: String, idCol: String, textCol: String,
+      minWords: Long = 10L, maxWords: Long = 1000L): String = {
+    val stops = gopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH sig AS (SELECT $idCol,
+           CAST(len(string_split_regex(trim($textCol), '\\s+')) AS BIGINT) AS n_words,
+           CAST(length($textCol) AS DOUBLE) /
+             greatest(len(string_split_regex(trim($textCol), '\\s+')), 1) AS mwl,
+           CAST(len(list_intersect(
+             list_distinct(string_split_regex(trim(lower($textCol)), '\\s+')),
+             [$stops])) AS BIGINT) AS n_stop,
+           CAST(length(regexp_replace($textCol, '[A-Za-z0-9 \\t\\n\\r\\f]', '', 'g')) AS DOUBLE) /
+             greatest(length($textCol), 1) AS sym
+         FROM $tbl)
+       SELECT $idCol, n_words, round(mwl, 6) AS mean_word_len, n_stop,
+         round(sym, 6) AS sym_ratio,
+         n_words >= $minWords AND n_words <= $maxWords AS r_wordcount,
+         mwl >= 3.0 AND mwl <= 10.0 AS r_wordlen,
+         n_stop >= 2 AS r_stopwords,
+         sym <= 0.1 AS r_symbols,
+         n_words >= $minWords AND n_words <= $maxWords AND mwl >= 3.0 AND
+           mwl <= 10.0 AND n_stop >= 2 AND sym <= 0.1 AS keep
+       FROM sig ORDER BY $idCol"""
+  }
+
+  /** Per-group n-gram diversity (type/token ratio over token n-grams — the
+    * corpus-level repetitiveness metric generation-quality reports cite as
+    * distinct-n): total n-gram occurrences, distinct n-gram types, and
+    * their ratio, per `groupCol`.
+    *
+    * Shape: one explode, then two hash aggs — (group, gram) multiplicities
+    * with map-side partials, then per-group totals where the distinct count
+    * is a plain `count(1)` over the already-deduped type relation (never a
+    * global count_distinct funneling types through one reducer).
+    */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"ngramDiversity: need n >= 1, got $n")
+    val raw = Dedup.parallelize(df)
+      .select(col(groupCol).as("_nd_g"),
+        explode(graft.functions.MinHashExpr.shinglesArray(
+          lower(col(textCol)), n)).as("_nd_gram"))
+      // a <n-token document yields its whole-token-string shingle; a true
+      // n-gram has exactly n-1 separator spaces (tokens never contain one)
+      .where(size(split(col("_nd_gram"), " ")) === n)
+    raw.groupBy("_nd_g", "_nd_gram").agg(count(lit(1)).as("_nd_c"))
+      .groupBy("_nd_g")
+      .agg(sum("_nd_c").as("total_ngrams"), count(lit(1)).as("distinct_ngrams"))
+      .select(col("_nd_g").as(groupCol), col("total_ngrams"),
+        col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 4).as("diversity"))
+  }
+
+  /** DuckDB mirror of [[ngramDiversity]]. */
+  def ngramDiversitySql(tbl: String, groupCol: String, textCol: String,
+      n: Int): String = {
+    val gram = (1 until n).foldLeft("ws[i]")((acc, j) => s"$acc||' '||ws[i+$j]")
+    s"""WITH w AS (SELECT $groupCol AS g,
+             string_split_regex(trim(lower($textCol)), '\\s+') AS ws FROM $tbl),
+       grams AS (SELECT g, unnest(list_transform(
+             range(1, len(ws) - ${n - 2}), i -> $gram)) AS gram FROM w),
+       c AS (SELECT g, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+       SELECT g AS $groupCol, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+         COUNT(*) AS distinct_ngrams,
+         round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS diversity
+       FROM c GROUP BY g ORDER BY $groupCol"""
+  }
+
+  /** Per-language tokenizer fertility — subword tokens per word and chars
+    * per subword token, THE metric tokenizer evaluations report when
+    * comparing vocabularies across languages (fertility ≈ 1 is ideal;
+    * high fertility means the vocabulary fragments that language). Uses
+    * the [[bpeTokenEstimate]] proxy tokenizer; all sums are integer
+    * (exact under any partitioning), ratios divide once in double.
+    */
+  def tokenizerFertility(df: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(t)).as("n_words"),
+        sum(bpeTokenEstimate(t)).as("n_bpe"),
+        sum(length(t).cast("long")).as("n_chars"))
+      .select(col(langCol), col("n_docs"), col("n_words"), col("n_bpe"),
+        col("n_chars"),
+        round(col("n_bpe").cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double"), 4).as("fertility"),
+        round(col("n_chars").cast("double") /
+          greatest(col("n_bpe"), lit(1)).cast("double"), 4).as("chars_per_tok"))
+      .orderBy(langCol)
+  }
+
+  /** DuckDB mirror of [[tokenizerFertility]]. */
+  def tokenizerFertilitySql(tbl: String, langCol: String,
+      textCol: String): String = {
+    val bpe = s"""coalesce(CAST(list_sum(list_transform(
+        regexp_extract_all($textCol, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f]'),
+        w -> CAST(floor((length(w)+3)/4.0) AS BIGINT))) AS BIGINT), 0)"""
+    s"""SELECT $langCol, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim($textCol), '\\s+'))) AS BIGINT) AS n_words,
+         CAST(SUM($bpe) AS BIGINT) AS n_bpe,
+         CAST(SUM(length($textCol)) AS BIGINT) AS n_chars,
+         round(CAST(SUM($bpe) AS DOUBLE) /
+           greatest(CAST(SUM(len(string_split_regex(trim($textCol), '\\s+'))) AS DOUBLE), 1), 4)
+           AS fertility,
+         round(CAST(SUM(length($textCol)) AS DOUBLE) /
+           greatest(CAST(SUM($bpe) AS DOUBLE), 1), 4) AS chars_per_tok
+       FROM $tbl GROUP BY $langCol ORDER BY $langCol"""
+  }
+
+  /** Perplexity-quartile curriculum buckets over [[unigramLogprob]]: docs
+    * are banded by exact avg-nll quartile breakpoints (the `value_bands`
+    * percentile-broadcast discipline — one tiny breaks row broadcast over
+    * the scored relation, NOT a global ntile window, whose single ORDER BY
+    * partition cannot be split at corpus scale; the mergeable
+    * log-histogram sketch is the approximate 100 TB route when exactness
+    * isn't required). Per-bucket doc/token mass is what a curriculum
+    * mixer feeds on.
+    */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = unigramLogprob(df, idCol, textCol)
+    val breaks = scored.agg(
+      round(expr("percentile(avg_nll, 0.25)"), 4).as("p25"),
+      round(expr("percentile(avg_nll, 0.5)"), 4).as("p50"),
+      round(expr("percentile(avg_nll, 0.75)"), 4).as("p75"))
+    scored.crossJoin(broadcast(breaks))
+      .select(
+        when(col("avg_nll") < col("p25"), "q1")
+          .when(col("avg_nll") < col("p50"), "q2")
+          .when(col("avg_nll") < col("p75"), "q3")
+          .otherwise("q4").as("bucket"),
+        col("n_toks"), col("avg_nll"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        round(min("avg_nll"), 4).as("min_nll"),
+        round(max("avg_nll"), 4).as("max_nll"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of [[pplBuckets]] over the `unigram_logprob` oracle CTE. */
+  def pplBucketsSql(scoredCte: String): String =
+    s"""WITH scored AS ($scoredCte),
+       b AS (SELECT round(quantile_cont(avg_nll, 0.25), 4) AS p25,
+               round(quantile_cont(avg_nll, 0.5), 4) AS p50,
+               round(quantile_cont(avg_nll, 0.75), 4) AS p75 FROM scored)
+       SELECT CASE WHEN avg_nll < p25 THEN 'q1'
+                   WHEN avg_nll < p50 THEN 'q2'
+                   WHEN avg_nll < p75 THEN 'q3' ELSE 'q4' END AS bucket,
+         COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         round(min(avg_nll), 4) AS min_nll, round(max(avg_nll), 4) AS max_nll
+       FROM scored CROSS JOIN b GROUP BY bucket ORDER BY bucket"""
 }

@@ -44,7 +44,13 @@ object ScaleSmoke {
     // round-5 session-2: the heaviest remaining LM stat, the embeddings
     // shapes (replica slice keeps vectors verbatim — ranking ties break on
     // id deterministically), keyness folds, events burstiness
-    "kn_logprob", "source_keyness", "burstiness", "knn_label", "label_margin")
+    "kn_logprob", "source_keyness", "burstiness", "knn_label", "label_margin",
+    // round-5 session-3: event-sequence shapes (user-keyed funnel chain,
+    // transition window, cohort joins), the trigram type-table diversity,
+    // hard-negative mining over the replicated embeddings, perplexity
+    // bucketing (two corpus scans + type-table join)
+    "funnel", "event_transitions", "cohort_retention", "decay_agg",
+    "ngram_diversity", "hard_negatives", "ppl_buckets")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

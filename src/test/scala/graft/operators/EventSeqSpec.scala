@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventSeqSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("eventseq-spec")
+    .getOrCreate()
+
+  private def events(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "t_sec", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("t_sec")).as("ts"), col("event_type"), col("value"))
+  }
+
+  test("funnel: in-order within-window progression, out-of-order and late drop out") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val rows = Seq(
+      // u1 converts fully in order
+      (1L, 1L, 0L, "signup", 0.0), (2L, 1L, 10L, "view", 0.0),
+      (3L, 1L, 20L, "click", 0.0), (4L, 1L, 30L, "purchase", 0.0),
+      // u2 reaches click only
+      (5L, 2L, 0L, "signup", 0.0), (6L, 2L, 10L, "view", 0.0),
+      (7L, 2L, 20L, "click", 0.0),
+      // u3: purchase BEFORE click — purchase must not count
+      (8L, 3L, 0L, "signup", 0.0), (9L, 3L, 10L, "view", 0.0),
+      (10L, 3L, 15L, "purchase", 0.0), (11L, 3L, 20L, "click", 0.0),
+      // u4: view outside the 100 s window
+      (12L, 4L, 0L, "signup", 0.0), (13L, 4L, 500L, "view", 0.0))
+    val out = EventSeq.funnel(events(rows), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), windowSec = 100L)
+      .select("stage_idx", "n_users", "conv_rate")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((0, 4L, 1.0), (1, 3L, 0.75), (2, 3L, 0.75), (3, 1L, 0.25)),
+      s"funnel rows: $out")
+  }
+
+  test("transitions: lead pairs per user in (ts, id) order; probabilities per source") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 0L, "view", 0.0), (2L, 1L, 10L, "click", 0.0),
+      (3L, 1L, 20L, "view", 0.0),
+      (4L, 2L, 0L, "view", 0.0), (5L, 2L, 10L, "view", 0.0),
+      // same-ts tie for u3: event_id order decides view→click
+      (6L, 3L, 7L, "view", 0.0), (7L, 3L, 7L, "click", 0.0))
+    val out = EventSeq.transitions(events(rows), "user_id", "ts", "event_type", "event_id")
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSeq.sorted
+    assert(out == Seq(("click", "view", 1L, 1.0),
+      ("view", "click", 2L, 0.6667), ("view", "view", 1L, 0.3333)),
+      s"transitions: $out")
+  }
+
+  test("cohort retention: first-day cohorts, per-day distinct activity") {
+    import spark.implicits._
+    val day = 86400L
+    val rows = Seq(
+      // u1 active day0 (twice — must dedup), day1
+      (1L, 1L, 0L, "view", 0.0), (2L, 1L, 100L, "view", 0.0),
+      (3L, 1L, day + 5, "view", 0.0),
+      // u2 first active day1
+      (4L, 2L, day + 9, "view", 0.0))
+    val out = EventSeq.cohortRetention(events(rows), "user_id", "ts")
+      .select("cohort_day", "day_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)), s"cohort: $out")
+  }
+
+  test("decayed engagement halves per half-life; newest event undecayed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 0L, "view", 8.0),    // two half-lives old → 2.0
+      (2L, 1L, 100L, "view", 4.0),  // one half-life old → 2.0
+      (3L, 1L, 200L, "view", 1.0))  // newest → 1.0
+    val out = EventSeq.decayAgg(events(rows), "user_id", "ts", "value",
+        halfLifeSec = 100L)
+      .select("user_id", "n_events", "decayed_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 5.0)), s"decay: $out")
+  }
+}
