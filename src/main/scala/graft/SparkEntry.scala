@@ -639,6 +639,22 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           isQuery = col("vec_id") < 100, k = 5)
         .orderBy("vec_id")),
+    // exact d×d covariance of the embedding corpus: upper-triangle products
+    // emitted inside the scan, one (i,j)-keyed agg bounded at d(d+1)/2 rows
+    // per partition after map-side combine
+    "cov_matrix" -> ((s, dir) =>
+      operators.Pca.covMatrix(Tables.embeddings(s, dir), "embedding", dim = 64)),
+    // PCA projection onto the dominant eigenvector (driver-side power
+    // iteration over the bounded d×d covariance; no SQL oracle — an
+    // eigen-decomposition isn't portable SQL; covariance feeding it is
+    // oracle-checked and PcaSpec pins the eigen-residual)
+    "pca_project" -> ((s, dir) =>
+      operators.Pca.pcaProject(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64)),
+    // trailing 7-day per-user rolling engagement (range-frame window)
+    "rolling_7d" -> ((s, dir) =>
+      operators.EventSeq.rollingWindow(ev(s, dir), "user_id", "ts", "value",
+        "event_id", windowSec = 7 * 86400L)),
     // hard-negative mining for contrastive training: per-anchor top-3
     // different-label cosine neighbors; fixed anchor batch broadcast, one
     // reference scan, salted per-anchor ranking
@@ -1734,6 +1750,14 @@ object SparkEntry {
     "hard_negatives" ->
       operators.Similarity.hardNegativesSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 3),
+    "cov_matrix" ->
+      operators.Pca.covMatrixSql("embeddings", "embedding", 64),
+    // (no "pca_project" oracle: eigen-decomposition is not portable SQL —
+    // the driver records the weaker rows-only check for it; cov_matrix
+    // oracle-checks the distributed arithmetic feeding it)
+    "rolling_7d" ->
+      operators.EventSeq.rollingWindowSql("events", "user_id", "ts", "value",
+        "event_id", windowSec = 7 * 86400L),
     "stratified_sample" ->
       // md5-ranked exact per-stratum quota — mirrors Sampling.stratifiedSample
       """SELECT doc_id, lang FROM (

@@ -193,4 +193,41 @@ object EventSeq {
              CAST(t_max - epoch_ms($tsCol) AS DOUBLE) / ${halfLifeSec * 1000.0}), 4)
            AS DECIMAL(18,4))) AS DOUBLE) AS decayed_value
        FROM $tbl CROSS JOIN m GROUP BY $userCol ORDER BY $userCol"""
+
+  /** Trailing-window per-event rolling aggregate: for every event, the sum
+    * of `valCol` and the event count over the SAME user's events in the
+    * trailing `windowSec` (inclusive range frame — peers at the same
+    * timestamp are in each other's frames, the standard RANGE semantics
+    * both engines share).
+    *
+    * Shape: ONE user-partitioned range window — per-user partitions are
+    * workload-bounded in an analytics log; the frame is time-bounded so
+    * state per row is O(events-in-window). Sums accumulate in
+    * DECIMAL(18,6) (exact; the frame's accumulation order is
+    * engine-internal and must not show).
+    */
+  def rollingWindow(df: DataFrame, userCol: String, tsCol: String,
+      valCol: String, idCol: String, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-windowSec * 1000L, 0L)
+    df.select(col(idCol), col(userCol), unix_millis(col(tsCol)).as("ts_ms"),
+        col(valCol))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        sum(col(valCol).cast("decimal(18,6)")).over(w).cast("double"))
+      .drop(valCol)
+      .orderBy(idCol)
+  }
+
+  /** DuckDB mirror of [[rollingWindow]]. */
+  def rollingWindowSql(tbl: String, userCol: String, tsCol: String,
+      valCol: String, idCol: String, windowSec: Long): String =
+    s"""SELECT $idCol, $userCol, epoch_ms($tsCol) AS ts_ms,
+         COUNT(*) OVER w AS n_window,
+         CAST(SUM(CAST($valCol AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_window
+       FROM $tbl
+       WINDOW w AS (PARTITION BY $userCol ORDER BY epoch_ms($tsCol)
+         RANGE BETWEEN ${windowSec * 1000L} PRECEDING AND CURRENT ROW)
+       ORDER BY $idCol"""
 }

@@ -816,7 +816,11 @@ object TextAnalysis {
     * mixer feeds on.
     */
   def pplBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scored = unigramLogprob(df, idCol, textCol)
+    // both consumers (breakpoint agg + banding scan) read the scored
+    // relation: materialize it ONCE — it is doc-count-sized (id, n_toks,
+    // avg_nll), tiny next to the exploded corpus text that produces it,
+    // and without this the whole LM-scoring subtree runs twice
+    val scored = unigramLogprob(df, idCol, textCol).localCheckpoint()
     val breaks = scored.agg(
       round(expr("percentile(avg_nll, 0.25)"), 4).as("p25"),
       round(expr("percentile(avg_nll, 0.5)"), 4).as("p50"),

@@ -50,7 +50,10 @@ object ScaleSmoke {
     // hard-negative mining over the replicated embeddings, perplexity
     // bucketing (two corpus scans + type-table join)
     "funnel", "event_transitions", "cohort_retention", "decay_agg",
-    "ngram_diversity", "hard_negatives", "ppl_buckets")
+    "ngram_diversity", "hard_negatives", "ppl_buckets",
+    // round-5 session-3 (cont.): Gram-matrix covariance accumulation,
+    // per-user range-frame rolling window, driver-bounded PCA projection
+    "cov_matrix", "rolling_7d", "pca_project")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
