@@ -103,4 +103,45 @@ class FixtureStreamParitySpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming funnel advances over fixture events equal the batch funnel counts") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+
+    val stages = Seq("signup", "view", "click", "purchase")
+    val windowMs = 7 * 86400000L
+    val events = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .orderBy("ts_ms")
+      .as[(Long, Long, String)].collect()
+      .map { case (u, t, e) => StreamFunnel.Event(u, t, e) }
+
+    val source = MemoryStream[StreamFunnel.Event]
+    val q = StreamFunnel.funnel(source.toDS(), stages, windowMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fixture_funnel").start()
+    try {
+      // four time-ordered micro-batches: stage advances cross batch
+      // boundaries, so state carry is under test, not per-batch sorting
+      events.grouped((events.length + 3) / 4).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // each user emits at most one advance per stage; per-stage user
+      // counts are the batch funnel's n_users column
+      val advances = spark.sql("SELECT userId, stageIdx FROM fixture_funnel")
+        .as[(Long, Int)].collect().toSeq
+      assert(advances.distinct.size == advances.size,
+        "a user advanced the same stage twice")
+      val streamed = advances.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toMap
+      val batch = graft.SparkEntry.queries("funnel")(spark, dir)
+        .select(col("stage_idx"), col("n_users"))
+        .as[(Int, Long)].collect().toMap
+      assert(stages.indices.forall(i =>
+          streamed.getOrElse(i, 0L) == batch.getOrElse(i, 0L)),
+        s"stream/batch funnel mismatch: $streamed vs $batch")
+    } finally q.stop()
+  }
 }
