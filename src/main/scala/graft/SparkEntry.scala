@@ -551,6 +551,16 @@ object SparkEntry {
     "burstiness" -> ((s, dir) =>
       operators.Temporal.burstiness(ev(s, dir), "event_type", "ts", bucketSeconds = 3600L)
         .orderBy("event_type")),
+    // traffic-rate anomaly gate: hourly per-type counts z-scored against
+    // the trailing 24 observed buckets (all stats integer-derived — engine-
+    // identical doubles); |z| > 2.5 rows surface for alerting
+    "rate_anomaly" -> ((s, dir) =>
+      operators.Temporal.rateAnomaly(ev(s, dir), "event_type", "ts",
+        bucketSeconds = 3600L, lookback = 24, zThresh = 2.5)),
+    // per-source Zipf slope over the term type table (log-log OLS; natural
+    // text ≈ −1, template storms drift) — rank window is vocabulary-sized
+    "zipf_fit" -> ((s, dir) =>
+      operators.TextAnalysis.zipfFit(Tables.documents(s, dir), "source", "text")),
     // ordered-funnel conversion over the event stream: signup → view →
     // click → purchase, each stage within 7 days of the previous; K chained
     // user-keyed joins, no event-time shuffle
@@ -1698,6 +1708,11 @@ object SparkEntry {
       operators.TextAnalysis.sourceKeynessSql("documents", "source", "text", 10),
     "burstiness" ->
       operators.Temporal.burstinessSql("events", "event_type", "ts", 3600L),
+    "rate_anomaly" ->
+      operators.Temporal.rateAnomalySql("events", "event_type", "ts",
+        3600L, 24, 2.5),
+    "zipf_fit" ->
+      operators.TextAnalysis.zipfFitSql("documents", "source", "text"),
     "funnel" ->
       operators.EventSeq.funnelSql("events", "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L),

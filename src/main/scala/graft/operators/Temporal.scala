@@ -47,6 +47,69 @@ object Temporal {
           4).as("fano"))
   }
 
+  /** Event-rate anomaly gate: per (key, time-bucket) counts z-scored
+    * against the key's TRAILING `lookback` observed buckets (rows-frame,
+    * excluding the current one); buckets with |z| above `zThresh` — traffic
+    * spikes and droughts — are returned for alerting.
+    *
+    * Determinism: every statistic derives from integer counts (exact sums;
+    * std via the Σc²−(Σc)²/n closed form), so both engines compute
+    * bit-identical doubles; z rounds to 4. Buckets with fewer than
+    * `lookback` PRIOR observed buckets are warm-up and not judged.
+    *
+    * Shape: one map-side-combinable (key, bucket) count, then one window
+    * per key ordered by bucket — partitions are bucket-count-sized (time
+    * range / bucket width), bounded regardless of event volume. "Trailing"
+    * means observed buckets: an hour with zero events of a key does not
+    * appear in its history (the closed-form Fano diagnostic above is the
+    * empty-bucket-aware companion).
+    */
+  def rateAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long, lookback: Int, zThresh: Double): DataFrame = {
+    require(bucketSeconds > 0 && lookback > 1, "rateAnomaly: bad params")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(unix_seconds(col(tsCol)) / bucketSeconds)
+    val perBucket = df
+      .select(col(keyCol).as("key"), bucket.as("b"))
+      .groupBy("key", "b").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("key").orderBy("b").rowsBetween(-lookback, -1)
+    val stats = perBucket
+      .withColumn("n_hist", count(lit(1)).over(w))
+      .withColumn("s1", sum("c").over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .where(col("n_hist") === lookback)
+    val mean = col("s1").cast("double") / lookback
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / lookback) / lookback
+    stats
+      .select(col("key").as(keyCol), (col("b") * bucketSeconds * 1000).as("bucket_ms"),
+        col("c").as("n"),
+        round((col("c").cast("double") - mean) /
+          sqrt(greatest(variance, lit(1e-12))), 4).as("z"))
+      .where(abs(col("z")) > zThresh)
+      .orderBy(keyCol, "bucket_ms")
+  }
+
+  /** DuckDB mirror of [[rateAnomaly]]. */
+  def rateAnomalySql(tbl: String, keyCol: String, tsCol: String,
+      bucketSeconds: Long, lookback: Int, zThresh: Double): String =
+    s"""WITH pb AS (SELECT $keyCol AS key,
+            CAST(floor(epoch($tsCol) / $bucketSeconds) AS BIGINT) AS b, COUNT(*) AS c
+          FROM $tbl GROUP BY 1, 2),
+       st AS (SELECT key, b, c,
+                COUNT(*) OVER w AS n_hist, SUM(c) OVER w AS s1, SUM(c*c) OVER w AS s2
+              FROM pb
+              WINDOW w AS (PARTITION BY key ORDER BY b
+                ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)),
+       z AS (SELECT key AS $keyCol, b * ${bucketSeconds * 1000} AS bucket_ms,
+               CAST(c AS BIGINT) AS n,
+               round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / $lookback) /
+                 sqrt(greatest((CAST(s2 AS DOUBLE) -
+                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / $lookback) / $lookback,
+                   1e-12)), 4) AS z
+             FROM st WHERE n_hist = $lookback)
+       SELECT * FROM z WHERE abs(z) > $zThresh ORDER BY $keyCol, bucket_ms"""
+
   /** DuckDB mirror of [[burstiness]]. */
   def burstinessSql(tbl: String, keyCol: String, tsCol: String,
       bucketSeconds: Long): String =

@@ -806,6 +806,69 @@ object TextAnalysis {
        FROM $tbl GROUP BY $langCol ORDER BY $langCol"""
   }
 
+  /** Per-source Zipf law fit: OLS slope/intercept of ln(freq) against
+    * ln(rank) over each source's term type table — natural text sits near
+    * slope ≈ −1, and a corpus segment that drifts far from it (machine
+    * boilerplate, log spam, template storms) is a curation signal.
+    *
+    * Determinism: ranks are integers (freq desc, term asc total order);
+    * ln(rank)/ln(freq) round to 6 then every OLS sum accumulates the
+    * DOUBLE products of those exact decimals rounded to 8 into
+    * DECIMAL(28,8) — associative, partition-order-proof, engine-identical.
+    *
+    * Shape: the rank window partitions by SOURCE over the term TYPE table
+    * (vocabulary-sized, Heaps-law sublinear in the corpus — the
+    * freq_spectrum/vocab_topn discipline), then one bounded per-source agg.
+    */
+  def zipfFit(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Dedup.parallelize(df)
+      .select(col(sourceCol).as("_zf_s"),
+        explode(tokens(lower(col(textCol)))).as("_zf_t"))
+      .groupBy("_zf_s", "_zf_t").agg(count(lit(1)).as("_zf_f"))
+    val w = Window.partitionBy("_zf_s")
+      .orderBy(col("_zf_f").desc, col("_zf_t").asc)
+    val xy = types
+      .withColumn("_zf_r", row_number().over(w))
+      .select(col("_zf_s"),
+        round(log(col("_zf_r").cast("double")), 6).as("x"),
+        round(log(col("_zf_f").cast("double")), 6).as("y"))
+    def s(c: Column): Column = sum(round(c, 8).cast("decimal(28,8)")).cast("double")
+    xy.groupBy(col("_zf_s").as(sourceCol))
+      .agg(count(lit(1)).as("n_types"),
+        s(col("x")).as("_sx"), s(col("y")).as("_sy"),
+        s(col("x") * col("y")).as("_sxy"), s(col("x") * col("x")).as("_sxx"))
+      .select(col(sourceCol), col("n_types"),
+        round((col("_sxy") - col("_sx") * col("_sy") / col("n_types")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("n_types")), 4).as("slope"),
+        round(col("_sy") / col("n_types") -
+          ((col("_sxy") - col("_sx") * col("_sy") / col("n_types")) /
+           (col("_sxx") - col("_sx") * col("_sx") / col("n_types"))) *
+            (col("_sx") / col("n_types")), 4).as("intercept"))
+      .orderBy(sourceCol)
+  }
+
+  /** DuckDB mirror of [[zipfFit]]. */
+  def zipfFitSql(tbl: String, sourceCol: String, textCol: String): String =
+    s"""WITH t AS (SELECT $sourceCol AS s,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term
+           FROM $tbl),
+       f AS (SELECT s, term, COUNT(*) AS f FROM t GROUP BY 1, 2),
+       r AS (SELECT s,
+               round(ln(CAST(row_number() OVER (PARTITION BY s ORDER BY f DESC, term) AS DOUBLE)), 6) AS x,
+               round(ln(CAST(f AS DOUBLE)), 6) AS y
+             FROM f),
+       a AS (SELECT s, COUNT(*) AS n,
+               CAST(SUM(CAST(round(x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x*y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(x*x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+             FROM r GROUP BY s)
+       SELECT s AS $sourceCol, n AS n_types,
+         round((sxy - sx*sy/n) / (sxx - sx*sx/n), 4) AS slope,
+         round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 4) AS intercept
+       FROM a ORDER BY $sourceCol"""
+
   /** Perplexity-quartile curriculum buckets over [[unigramLogprob]]: docs
     * are banded by exact avg-nll quartile breakpoints (the `value_bands`
     * percentile-broadcast discipline — one tiny breaks row broadcast over

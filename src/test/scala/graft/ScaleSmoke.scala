@@ -53,7 +53,10 @@ object ScaleSmoke {
     "ngram_diversity", "hard_negatives", "ppl_buckets",
     // round-5 session-3 (cont.): Gram-matrix covariance accumulation,
     // per-user range-frame rolling window, driver-bounded PCA projection
-    "cov_matrix", "rolling_7d", "pca_project")
+    "cov_matrix", "rolling_7d", "pca_project",
+    // rate-anomaly window over per-type bucket counts; Zipf OLS over the
+    // per-source type table
+    "rate_anomaly", "zipf_fit")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
