@@ -567,6 +567,20 @@ object SparkEntry {
     "funnel" -> ((s, dir) =>
       operators.EventSeq.funnel(ev(s, dir), "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L)),
+    // stage-to-stage conversion timing over the same funnel chain
+    "funnel_timing" -> ((s, dir) =>
+      operators.EventSeq.funnelTiming(ev(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L)),
+    // last-touch attribution (as-of join + 24h lookback gate): which
+    // channel gets credit for each purchase
+    "attribution" -> ((s, dir) =>
+      operators.Attribution.lastTouch(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase", lookbackSec = 86400L)),
+    // RFM quartile segmentation per user over purchases (percentile-
+    // broadcast banding; recency inverts)
+    "rfm_scores" -> ((s, dir) =>
+      operators.EventSeq.rfmScores(ev(s, dir), "user_id", "ts", "value",
+        "event_type", convType = "purchase")),
     // first-order Markov transition matrix of per-user event sequences:
     // one lead() window + a |types|²-bounded agg
     "event_transitions" -> ((s, dir) =>
@@ -1719,6 +1733,15 @@ object SparkEntry {
     "event_transitions" ->
       operators.EventSeq.transitionsSql("events", "user_id", "ts",
         "event_type", "event_id"),
+    "funnel_timing" ->
+      operators.EventSeq.funnelTimingSql("events", "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L),
+    "attribution" ->
+      operators.Attribution.lastTouchSql("events", "user_id", "ts",
+        "event_type", "event_id", convType = "purchase", lookbackSec = 86400L),
+    "rfm_scores" ->
+      operators.EventSeq.rfmScoresSql("events", "user_id", "ts", "value",
+        "event_type", convType = "purchase"),
     "cohort_retention" ->
       operators.EventSeq.cohortRetentionSql("events", "user_id", "ts"),
     "decay_agg" ->

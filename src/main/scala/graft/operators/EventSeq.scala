@@ -96,6 +96,145 @@ object EventSeq {
          FROM cnt ORDER BY stage_idx"""
   }
 
+  /** Stage-to-stage funnel timing: for each consecutive stage pair of the
+    * [[funnel]] chain, how many users converted and their mean
+    * time-to-convert in hours. Same K chained user-keyed rounds as
+    * [[funnel]] — the "reached" relations additionally carry the previous
+    * stage's time so the per-user delta is local to the join row. Per-user
+    * deltas round to 4 then accumulate in DECIMAL(18,4) (exact mean).
+    */
+  def funnelTiming(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], windowSec: Long): DataFrame = {
+    require(stages.length >= 2, "funnelTiming: at least two stages")
+    val windowMs = windowSec * 1000L
+    val base = df
+      .where(col(typeCol).isin(stages: _*))
+      .select(col(userCol).as("u"), unix_millis(col(tsCol)).as("tms"),
+        col(typeCol).as("et"))
+    var reached = base.where(col("et") === stages.head)
+      .groupBy("u").agg(min("tms").as("t"))
+    val rows = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    for (i <- 1 until stages.length) {
+      val step = base.where(col("et") === stages(i))
+        .join(reached, "u")
+        .where(col("tms") > col("t") && col("tms") <= col("t") + windowMs)
+        .groupBy("u", "t").agg(min("tms").as("t2"))
+      val delta = round((col("t2") - col("t")).cast("double") / 3600000.0, 4)
+        .cast("decimal(18,4)")
+      rows += step.agg(
+          count(lit(1)).as("n_users"),
+          (sum(delta).cast("double") / greatest(count(lit(1)), lit(1)))
+            .as("_avg"))
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("n_users"), round(col("_avg"), 4).as("avg_hours"))
+      reached = step.select(col("u"), col("t2").as("t"))
+    }
+    rows.reduce(_ union _).orderBy("stage_idx")
+  }
+
+  /** DuckDB mirror of [[funnelTiming]]. */
+  def funnelTimingSql(tbl: String, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], windowSec: Long): String = {
+    val windowMs = windowSec * 1000L
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"""s0 AS (SELECT $userCol AS u, min(epoch_ms($tsCol)) AS t
+        FROM $tbl WHERE $typeCol = '${stages.head}' GROUP BY 1)"""
+    for (i <- 1 until stages.length) {
+      ctes += s"""s$i AS (SELECT e.$userCol AS u, p.t AS tprev,
+            min(epoch_ms(e.$tsCol)) AS t
+          FROM $tbl e JOIN s${i - 1} p ON e.$userCol = p.u
+          WHERE e.$typeCol = '${stages(i)}'
+            AND epoch_ms(e.$tsCol) > p.t AND epoch_ms(e.$tsCol) <= p.t + $windowMs
+          GROUP BY 1, 2)"""
+    }
+    val unions = (1 until stages.length).map { i =>
+      s"""SELECT $i AS stage_idx, '${stages(i)}' AS stage,
+          COUNT(*) AS n_users,
+          round(CAST(SUM(CAST(round((t - tprev) / 3600000.0, 4) AS DECIMAL(18,4)))
+              AS DOUBLE) / greatest(COUNT(*), 1), 4) AS avg_hours
+          FROM s$i"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n         ")}
+       $unions ORDER BY stage_idx"""
+  }
+
+  /** RFM scoring (recency / frequency / monetary) per user over conversion
+    * events, each metric banded into corpus quartiles — the classic
+    * customer-value segmentation, and the same percentile-broadcast
+    * discipline as `value_bands`/`ppl_buckets` (one tiny breaks row
+    * broadcast over the user relation; no global ntile window). Recency
+    * scores INVERT (smaller is better). All metrics derive from integer or
+    * DECIMAL-summed quantities, so both engines band identical doubles.
+    */
+  def rfmScores(df: DataFrame, userCol: String, tsCol: String,
+      valCol: String, typeCol: String, convType: String): DataFrame = {
+    val conv = df.where(col(typeCol) === convType)
+    val maxTs = conv.agg(max(unix_millis(col(tsCol))).as("t_max"))
+    val per = conv.groupBy(col(userCol))
+      .agg(max(unix_millis(col(tsCol))).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        sum(col(valCol).cast("decimal(18,6)")).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .select(col(userCol),
+        ((col("t_max") - col("last_ms")).cast("double") / 86400000.0)
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+    val breaks = per.agg(
+      expr("percentile(recency_days, 0.25)").as("r25"),
+      expr("percentile(recency_days, 0.5)").as("r50"),
+      expr("percentile(recency_days, 0.75)").as("r75"),
+      expr("percentile(frequency, 0.25)").as("f25"),
+      expr("percentile(frequency, 0.5)").as("f50"),
+      expr("percentile(frequency, 0.75)").as("f75"),
+      expr("percentile(monetary, 0.25)").as("m25"),
+      expr("percentile(monetary, 0.5)").as("m50"),
+      expr("percentile(monetary, 0.75)").as("m75"))
+    def bandAsc(c: Column, p25: Column, p50: Column, p75: Column): Column =
+      when(c < p25, 1).when(c < p50, 2).when(c < p75, 3).otherwise(4)
+    per.crossJoin(broadcast(breaks))
+      .select(col(userCol),
+        round(col("recency_days"), 4).as("recency_days"),
+        col("frequency"), round(col("monetary"), 2).as("monetary"),
+        (lit(5) - bandAsc(col("recency_days"), col("r25"), col("r50"), col("r75")))
+          .as("r_score"),
+        bandAsc(col("frequency").cast("double"), col("f25"), col("f50"), col("f75"))
+          .as("f_score"),
+        bandAsc(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_score"))
+      .withColumn("rfm", concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy(userCol)
+  }
+
+  /** DuckDB mirror of [[rfmScores]]. */
+  def rfmScoresSql(tbl: String, userCol: String, tsCol: String,
+      valCol: String, typeCol: String, convType: String): String = {
+    def band(c: String, p: String) =
+      s"CASE WHEN $c < ${p}25 THEN 1 WHEN $c < ${p}50 THEN 2 WHEN $c < ${p}75 THEN 3 ELSE 4 END"
+    s"""WITH conv AS (SELECT * FROM $tbl WHERE $typeCol = '$convType'),
+       mx AS (SELECT max(epoch_ms($tsCol)) AS t_max FROM conv),
+       per AS (SELECT $userCol,
+                 CAST(t_max - max(epoch_ms($tsCol)) AS DOUBLE) / 86400000.0 AS recency_days,
+                 COUNT(*) AS frequency,
+                 CAST(SUM(CAST($valCol AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+               FROM conv CROSS JOIN mx GROUP BY $userCol, t_max),
+       b AS (SELECT quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+               quantile_cont(recency_days, 0.75) AS r75,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f50,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+               quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
+               quantile_cont(monetary, 0.75) AS m75
+             FROM per)
+       SELECT $userCol, round(recency_days, 4) AS recency_days, frequency,
+         round(monetary, 2) AS monetary,
+         5 - ${band("recency_days", "r")} AS r_score,
+         ${band("CAST(frequency AS DOUBLE)", "f")} AS f_score,
+         ${band("monetary", "m")} AS m_score,
+         CAST(5 - ${band("recency_days", "r")} AS VARCHAR) ||
+           CAST(${band("CAST(frequency AS DOUBLE)", "f")} AS VARCHAR) ||
+           CAST(${band("monetary", "m")} AS VARCHAR) AS rfm
+       FROM per CROSS JOIN b ORDER BY $userCol"""
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * counts of consecutive (from → to) event-type pairs in per-user time
     * order, with the conditional probability per source type.

@@ -71,6 +71,62 @@ class EventSeqSpec extends AnyFunSuite {
     assert(out == Seq((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)), s"cohort: $out")
   }
 
+  test("funnel timing: mean stage-to-stage hours over first-touch times") {
+    import spark.implicits._
+    val h = 3600L
+    val rows = Seq(
+      // u1: signup→view 1h, view→click 2h
+      (1L, 1L, 0L, "signup", 0.0), (2L, 1L, h, "view", 0.0),
+      (3L, 1L, 3 * h, "click", 0.0),
+      // u2: signup→view 3h, stops
+      (4L, 2L, 0L, "signup", 0.0), (5L, 2L, 3 * h, "view", 0.0))
+    val out = EventSeq.funnelTiming(events(rows), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click"), windowSec = 10 * h)
+      .select("stage_idx", "n_users", "avg_hours")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1, 2L, 2.0), (2, 1L, 2.0)), s"timing: $out")
+  }
+
+  test("last-touch attribution: in-window touch credited, stale → direct, ties → max id") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: click 10s before purchase → click credited
+      (1L, 1L, 100L, "click", 0.0), (2L, 1L, 110L, "purchase", 0.0),
+      // u2: view 2h before purchase with 1h lookback → direct
+      (3L, 2L, 0L, "view", 0.0), (4L, 2L, 7200L, "purchase", 0.0),
+      // u3: view and click at the SAME ts before purchase → max id (click) wins
+      (5L, 3L, 50L, "view", 0.0), (6L, 3L, 50L, "click", 0.0),
+      (7L, 3L, 60L, "purchase", 0.0))
+    val out = Attribution.lastTouch(events(rows), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase", lookbackSec = 3600L)
+      .select("channel", "n_conv", "share")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(out == Seq(("click", 2L, 0.6667), ("direct", 1L, 0.3333)),
+      s"attribution: $out")
+  }
+
+  test("rfm scores: quartile bands with inverted recency; rfm code concatenates") {
+    import spark.implicits._
+    val day = 86400L
+    // 4 users with strictly ordered recency/frequency/monetary profiles
+    val rows =
+      // u1: 1 old cheap purchase (worst on all axes)
+      Seq((1L, 1L, 0L, "purchase", 1.0)) ++
+      // u2: 2 purchases, newer, more value
+      Seq((2L, 2L, 5 * day, "purchase", 5.0), (3L, 2L, 10 * day, "purchase", 5.0)) ++
+      // u3: 3 purchases
+      (0 until 3).map(i => (10L + i, 3L, (15 + i) * day, "purchase", 10.0)) ++
+      // u4: 4 purchases ending at the corpus max (best on all axes)
+      (0 until 4).map(i => (20L + i, 4L, (25 + i) * day, "purchase", 20.0))
+    val out = EventSeq.rfmScores(events(rows), "user_id", "ts", "value",
+        "event_type", convType = "purchase")
+      .select("user_id", "r_score", "f_score", "m_score", "rfm")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._5) == Seq("111", "222", "333", "444"),
+      s"monotone profiles → monotone codes: $out")
+    assert(out.forall(r => r._5 == s"${r._2}${r._3}${r._4}"), s"code concat: $out")
+  }
+
   test("decayed engagement halves per half-life; newest event undecayed") {
     import spark.implicits._
     val rows = Seq(
