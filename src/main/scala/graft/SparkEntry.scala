@@ -590,6 +590,11 @@ object SparkEntry {
     // activity is de-duplicated per (user, day) BEFORE the cohort join
     "cohort_retention" -> ((s, dir) =>
       operators.EventSeq.cohortRetention(ev(s, dir), "user_id", "ts")),
+    // top 3-step event-type journeys: two leads over ONE user window, a
+    // |types|³-bounded agg, TakeOrdered top-k
+    "path_trigrams" -> ((s, dir) =>
+      operators.EventSeq.pathTrigrams(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id", topN = 20)),
     // recency-weighted per-user engagement (half-life 3 days), DECIMAL-exact
     // decayed sum so partitioning can't reorder the float accumulation
     "decay_agg" -> ((s, dir) =>
@@ -697,6 +702,34 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id",
           operators.TextAnalysis.tokenCount(col("text")), budget = 10000)
         .orderBy("doc_id")),
+    // per-shard integrity manifest over the pack_shards assignment: counts,
+    // token totals, id range, md5 fingerprint of the ordered id list
+    "shard_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val assign = operators.Sharding.packShards(
+        docs, "doc_id", operators.TextAnalysis.tokenCount(col("text")), budget = 10000)
+      operators.Sharding.shardManifest(
+          assign.join(
+            docs.select(col("doc_id"),
+              operators.TextAnalysis.tokenCount(col("text")).as("tok")), "doc_id"),
+          "doc_id", col("tok"))
+        .orderBy("shard")
+    }),
+    // Efraimidis–Spirakis weighted sampling without replacement: exactly 50
+    // docs, inclusion odds ∝ n_chars, pure function of ids — one scan +
+    // TakeOrdered, no global sort
+    "weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(
+          Tables.documents(s, dir), "doc_id", col("n_chars"), k = 50)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+    // prefix-filtered all-pairs tf-idf cosine in 5-gram shingle space
+    // (exact APSS): every doc pair with cosine ≥ 0.8 — candidates from the
+    // rare-first prefix join, never all-pairs; the oracle is the brute form
+    "apss_pairs" -> ((s, dir) =>
+      operators.Apss.tfidfPairs(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")),
     "tfidf_top_terms" -> ((s, dir) =>
       operators.TextAnalysis.tfIdf(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
@@ -1744,6 +1777,9 @@ object SparkEntry {
         "event_type", convType = "purchase"),
     "cohort_retention" ->
       operators.EventSeq.cohortRetentionSql("events", "user_id", "ts"),
+    "path_trigrams" ->
+      operators.EventSeq.pathTrigramsSql("events", "user_id", "ts",
+        "event_type", "event_id", topN = 20),
     "decay_agg" ->
       operators.EventSeq.decayAggSql("events", "user_id", "ts", "value",
         halfLifeSec = 3 * 86400L),
@@ -1815,6 +1851,26 @@ object SparkEntry {
                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
                FROM documents)
          ORDER BY doc_id""",
+    "shard_manifest" ->
+      operators.Sharding.shardManifestSql(
+        """SELECT doc_id AS id, tok,
+           CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS BIGINT) AS shard
+           FROM (SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+                 FROM documents)"""),
+    "weighted_sample" ->
+      // ES key ln(u)/w desc, u = md5-unit of the id over 16^15 = 2^60
+      // (exact double literal), round(9) + id tie-break masking libm ln ulps
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+             round(ln(CAST('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                      / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), 9) AS k
+           FROM documents WHERE n_chars > 0
+           ORDER BY k DESC, doc_id LIMIT 50)
+         ORDER BY doc_id""",
+    "apss_pairs" ->
+      operators.Apss.tfidfPairsSql("documents", "doc_id", "text", threshold = 0.8),
     "tfidf_top_terms" ->
       // tf * ln(N/df) over whitespace tokens, round(4) masking libm ulps
       """WITH tf AS (

@@ -369,4 +369,37 @@ object EventSeq {
        WINDOW w AS (PARTITION BY $userCol ORDER BY epoch_ms($tsCol)
          RANGE BETWEEN ${windowSec * 1000L} PRECEDING AND CURRENT ROW)
        ORDER BY $idCol"""
+
+  /** Top user-journey paths: the most common 3-step event-type sequences
+    * across users — the "what do users actually do" path-mining readout
+    * (and, as a data shape, the order-k Markov context table
+    * [[transitions]] generalizes to).
+    *
+    * Same single-window discipline as [[transitions]]: TWO leads over one
+    * user-partitioned window (one window shuffle total), then a bounded agg
+    * (≤ |types|³ keys) and the salted-safe TakeOrdered top-k. Ties in count
+    * break on the path triple so the top-k cut is total-ordered.
+    */
+  def pathTrigrams(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, topN: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    df.select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .where(col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topN)
+  }
+
+  /** DuckDB mirror of [[pathTrigrams]]. */
+  def pathTrigramsSql(tbl: String, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, topN: Int): String =
+    s"""WITH p AS (SELECT $typeCol AS s1,
+           lead($typeCol, 1) OVER w AS s2, lead($typeCol, 2) OVER w AS s3
+         FROM $tbl
+         WINDOW w AS (PARTITION BY $userCol ORDER BY $tsCol, $idCol))
+       SELECT s1, s2, s3, COUNT(*) AS n FROM p WHERE s3 IS NOT NULL
+       GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT $topN"""
 }

@@ -159,4 +159,43 @@ object Sampling {
           .otherwise(array().cast("array<long>"))))
       .drop("_mu_rn", "_mu_n", "_mu_w")
   }
+
+  /** Weighted sampling WITHOUT replacement, deterministic: exactly `k` rows
+    * where a row's inclusion probability at each draw is proportional to its
+    * weight — the quality-weighted corpus subset selection step ("sample 1M
+    * docs, prefer high-quality ones") done in one pass instead of k draws.
+    *
+    * Efraimidis–Spirakis (IPL 2006): assign each row the key u^(1/w) for
+    * u ~ U(0,1) and take the k LARGEST keys — provably equivalent to
+    * sequential weighted draws without replacement. Here u is the md5-unit
+    * of the id (15 hex digits / 16^15 — the [[splitByte]] determinism
+    * mechanism widened to 60 bits), so the sample is a pure function of ids
+    * and weights: stable across runs, engines, partitionings.
+    *
+    * Ranking uses the order-equivalent ln(u)/w (descending) — no pow, whose
+    * last-ulp is libm-dependent; ln's possible 1-ulp cross-engine skew is
+    * masked by round(9) with the id as total-order tie-break. The float key
+    * never reaches the output. Plan shape: one scan + TakeOrderedAndProject
+    * (per-partition top-k, k rows to the driver side of the exchange) — no
+    * global sort, no corpus-sized window.
+    */
+  def weightedSample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "ws"
+  ): org.apache.spark.sql.DataFrame = {
+    val u = conv(
+      substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15),
+      // 16^15 = 2^60 as an exact double literal — not Math.pow, whose
+      // last-ulp exactness libm does not guarantee cross-engine
+      16, 10).cast("double") / lit((1L << 60).toDouble)
+    val key = round(log(u) / weight.cast("double"), 9)
+    df.where(weight > 0)
+      .withColumn("_ws_key", key)
+      .orderBy(col("_ws_key").desc, col(idCol))
+      .limit(k)
+      .drop("_ws_key")
+  }
 }

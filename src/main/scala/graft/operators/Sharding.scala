@@ -124,4 +124,41 @@ object Sharding {
          round(CAST(SUM(bucket - n) AS DOUBLE) / CAST(bucket * COUNT(*) AS DOUBLE), 6) AS waste_frac
        FROM b GROUP BY bucket ORDER BY bucket"""
   }
+
+  /** Shard manifest: the integrity record a pipeline writes next to its
+    * training shards — per shard, the document count, token total, id
+    * range, and an md5 content-ID fingerprint of the ORDERED id list, so a
+    * re-run (or a different engine) can prove shard assignment is
+    * byte-identical without diffing the shards themselves.
+    *
+    * One shuffle by shard; the per-shard id list is collected INSIDE the
+    * aggregation and is bounded by construction — [[packShards]] caps a
+    * shard at ~budget tokens, so a shard's membership is workload-sized
+    * (thousands of ids), never corpus-sized. The fingerprint hashes the
+    * canonical "id,id,..." ascending form, which DuckDB's
+    * `string_agg(... ORDER BY)` reproduces exactly.
+    */
+  def shardManifest(assign: DataFrame, idCol: String, tokens: Column): DataFrame =
+    assign
+      .select(col("shard"), col(idCol).cast("long").as("_sm_id"), tokens.cast("long").as("_sm_tok"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_sm_tok").as("total_tokens"),
+        min("_sm_id").as("min_id"),
+        max("_sm_id").as("max_id"),
+        md5(concat_ws(",", array_sort(collect_list(col("_sm_id").cast("string")))))
+          .as("id_fp"))
+
+  /** DuckDB mirror of [[shardManifest]] — NOTE: Spark sorts the id STRINGS
+    * (array_sort over cast ids); the mirror must order lexicographically
+    * too, not numerically.
+    */
+  def shardManifestSql(assignSql: String): String =
+    s"""WITH a AS ($assignSql)
+       SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         MIN(id) AS min_id, MAX(id) AS max_id,
+         md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))) AS id_fp
+       FROM a GROUP BY shard ORDER BY shard"""
 }

@@ -56,7 +56,12 @@ object ScaleSmoke {
     "cov_matrix", "rolling_7d", "pca_project",
     // rate-anomaly window over per-type bucket counts; Zipf OLS over the
     // per-source type table
-    "rate_anomaly", "zipf_fit")
+    "rate_anomaly", "zipf_fit",
+    // round-5 session-4: attribution/timing/RFM event shapes, journey
+    // trigrams, exact APSS over shingle tf-idf, ES weighted sampling,
+    // manifest agg over the pack_shards assignment
+    "attribution", "funnel_timing", "rfm_scores", "path_trigrams",
+    "apss_pairs", "weighted_sample", "shard_manifest")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
