@@ -510,6 +510,11 @@ object SparkEntry {
       operators.Graph.pageRank(nearDupPairsBuilt(s, dir), "id_a", "id_b",
           iters = 5, damping = 0.85)
         .orderBy("id")),
+    // triangle census of the near-dup graph: clique-density vs chain
+    // transitivity readout — degree-ordered Schank–Wagner, O(√E) wedge
+    // fan-out regardless of hub nodes
+    "neardup_triangles" -> ((s, dir) =>
+      operators.Graph.triangles(nearDupPairsBuilt(s, dir))),
     // keep-BEST per near-dup cluster (longest copy wins, id tie-break) —
     // the selection real dedup pipelines apply to cluster members
     "cluster_best" -> ((s, dir) =>
@@ -925,6 +930,12 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       operators.Search.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "window", "join"), k = 20)),
+    // pseudo-relevance-feedback expansion: BM25 top-10 as the feedback
+    // set (broadcast semi-join), expansion terms by feedback-tf × corpus
+    // idf, original query terms excluded
+    "prf_expand" -> ((s, dir) =>
+      operators.Search.prfExpand(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "window", "join"), nDocs = 10, nTerms = 15)),
     // BPE tokenizer training: the corpus-wide merge-table construction.
     // One corpus pass builds the vocab; every merge step is vocab-sized.
     "bpe_merges" -> ((s, dir) => {
@@ -1704,6 +1715,10 @@ object SparkEntry {
         s"""$nearDupCtes,
          ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""",
         idOut = "id", iters = 5, damping = 0.85),
+    "neardup_triangles" ->
+      operators.Graph.trianglesSql(
+        s"""$nearDupCtes,
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
     "neardup_clusters" ->
       // connected components over the near-dup pair graph: min reachable id
       // per node via a recursive transitive closure (tiny clusters — the
@@ -2136,6 +2151,9 @@ object SparkEntry {
     "bm25_search" ->
       s"""WITH $bm25SqlCtes
          SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20""",
+    "prf_expand" ->
+      operators.Search.prfExpandSql(bm25SqlCtes, "documents", "doc_id", "text",
+        Seq("spark", "window", "join"), nDocs = 10, nTerms = 15),
     "hybrid_rrf" ->
       // BM25 top-50 ranks ⊕ brute-cosine top-50 ranks via reciprocal-rank
       // fusion: each reciprocal is the same IEEE division in both engines,

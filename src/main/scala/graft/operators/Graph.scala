@@ -96,4 +96,75 @@ object Graph {
        SELECT id AS $idOut, deg, CAST(pr AS DOUBLE) AS pagerank
        FROM pr$iters ORDER BY id"""
   }
+
+  /** Triangle count + global clustering coefficient over a pair list —
+    * the cluster-density readout of a near-dup graph: a high triangle
+    * count relative to wedges means duplicates form tight cliques (true
+    * copy clusters); low means chains/stars (transitive false positives a
+    * Jaccard threshold lets through). Schank–Wagner node-iterator with
+    * DEGREE ORDERING, relationally:
+    *
+    *   1. orient every undirected edge from its lower-(deg, id) endpoint
+    *      to the higher — out-degree is then bounded by O(√E) regardless
+    *      of hubs (a hot node's unbounded degree becomes IN-degree, which
+    *      no join fans out on);
+    *   2. wedges = oriented ⋈ oriented on src, (deg, id)-ordering the two
+    *      tips so each triangle forms exactly ONE wedge at its minimum
+    *      vertex;
+    *   3. close each wedge against the canonical (a<b) edge set — a
+    *      semi-join; every triangle is counted exactly once.
+    *
+    * Open-wedge total Σ C(deg,2) folds from the degree relation. Output is
+    * ONE row: (n_triangles, n_wedges, clustering = 3Δ / wedges, round(6)).
+    * All counts integer-exact; the single division is one IEEE op.
+    */
+  def triangles(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    // canonicalize to a<b BEFORE distinct so reversed duplicates collapse
+    val e = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+    val w1 = o.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val w2 = o.select(col("src"), col("dst").as("z"), col("ddst").as("dz"))
+    val wedges = w1.join(w2, "src")
+      .where(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+      .select(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b"))
+    val tri = wedges.join(e, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wtot = deg.agg((sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    tri.crossJoin(wtot).select(
+      col("n_triangles"), col("n_wedges"),
+      when(col("n_wedges") > 0,
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+        .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** DuckDB mirror of [[triangles]] — id-ordered closure (x<y<z with all
+    * three edges present), which counts the same set orientation-free.
+    */
+  def trianglesSql(edgePairsCtes: String): String =
+    s"""WITH $edgePairsCtes,
+         ed AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                FROM ep WHERE id_a <> id_b),
+         t AS (SELECT COUNT(*) AS n_triangles
+               FROM ed e1 JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+               JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+         dg AS (SELECT n, COUNT(*) AS deg FROM (
+                 SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY n),
+         wd AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM dg)
+       SELECT n_triangles, n_wedges,
+         CASE WHEN n_wedges > 0
+           THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END AS clustering
+       FROM t CROSS JOIN wd"""
 }

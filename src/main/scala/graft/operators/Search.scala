@@ -185,4 +185,67 @@ object Search {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3-lite): run the
+    * query, treat the BM25 top-`nDocs` as relevant, and surface the
+    * `nTerms` terms that best characterize that feedback set by tf-idf
+    * (feedback term frequency × corpus idf), excluding the original query
+    * terms — the classic recall-widening step between first-pass retrieval
+    * and rerank.
+    *
+    * Scale shape: the feedback doc list is `nDocs` rows (TakeOrdered from
+    * [[bm25Rank]]) and BROADCASTS into a semi-join against the corpus scan
+    * — the expansion tf aggregation then runs over nDocs documents, not
+    * the corpus. Corpus df (for idf) folds from the feedback terms only:
+    * the df count semi-joins the corpus posting stream against the
+    * (feedback-term)-sized key set. Nothing corpus-sized is ranked; the
+    * final top-k is TakeOrdered over a feedback-vocabulary-sized relation.
+    */
+  def prfExpand(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], nDocs: Int = 10, nTerms: Int = 15): DataFrame = {
+    val lowered = terms.map(_.toLowerCase).distinct
+    val top = bm25Rank(df, idCol, textCol, terms, nDocs).select(col(idCol))
+    val fb = df.join(broadcast(top), idCol)
+    // term frequency across the feedback set (nDocs docs — tiny)
+    val ftf = fb.select(
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .where(!col("term").isin(lowered: _*))
+      .groupBy("term").agg(count(lit(1)).as("ftf"))
+    // corpus document frequency, only for terms the feedback set surfaced
+    val dfreq = Dedup.parallelize(df)
+      .select(col(idCol), explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .join(broadcast(ftf.select("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(count_distinct(col(idCol)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    ftf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(total))
+      .select(col("term"),
+        round(col("ftf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(nTerms)
+  }
+
+  /** DuckDB mirror of [[prfExpand]]: `bmCtes` must define a `bm` relation
+    * (doc_id, score) over `table` — the [[bm25Rank]] mirror.
+    */
+  def prfExpandSql(bmCtes: String, table: String, idCol: String,
+      textCol: String, terms: Seq[String], nDocs: Int = 10,
+      nTerms: Int = 15): String = {
+    val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    s"""WITH $bmCtes,
+         top AS (SELECT $idCol FROM bm ORDER BY score DESC, $idCol LIMIT $nDocs),
+         ftf AS (SELECT term, COUNT(*) AS ftf FROM (
+             SELECT unnest(string_split_regex(trim(lower(t.$textCol)),'\\s+')) AS term
+             FROM $table t JOIN top USING ($idCol))
+           WHERE term NOT IN ($termList) GROUP BY term),
+         fdf AS (SELECT term, COUNT(DISTINCT $idCol) AS df FROM (
+             SELECT $idCol, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+             FROM $table)
+           WHERE term IN (SELECT term FROM ftf) GROUP BY term),
+         tot AS (SELECT COUNT(*) AS n_docs FROM $table)
+       SELECT term, round(ftf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS weight
+       FROM ftf JOIN fdf USING (term) CROSS JOIN tot
+       ORDER BY weight DESC, term LIMIT $nTerms"""
+  }
 }

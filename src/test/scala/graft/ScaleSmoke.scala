@@ -61,7 +61,10 @@ object ScaleSmoke {
     // trigrams, exact APSS over shingle tf-idf, ES weighted sampling,
     // manifest agg over the pack_shards assignment
     "attribution", "funnel_timing", "rfm_scores", "path_trigrams",
-    "apss_pairs", "weighted_sample", "shard_manifest")
+    "apss_pairs", "weighted_sample", "shard_manifest",
+    // triangle census over the near-dup graph; PRF expansion (feedback
+    // semi-join + df fold)
+    "neardup_triangles", "prf_expand")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -72,12 +75,19 @@ object ScaleSmoke {
     * dirs instead.
     */
   private val OVERRIDES: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("neardup_clusters" -> ((s, dir) =>
-      operators.Dedup.nearDupClusters(
+    Map(
+      "neardup_clusters" -> ((s, dir) =>
+        operators.Dedup.nearDupClusters(
+            operators.Dedup.nearDupPairs(
+              Tables.documents(s, dir), "doc_id", "text",
+              k = 8, rowsPerBand = 2, threshold = 0.2))
+          .orderBy("id")),
+      // same memo-bypass rationale for the triangle census
+      "neardup_triangles" -> ((s, dir) =>
+        operators.Graph.triangles(
           operators.Dedup.nearDupPairs(
             Tables.documents(s, dir), "doc_id", "text",
-            k = 8, rowsPerBand = 2, threshold = 0.2))
-        .orderBy("id")))
+            k = 8, rowsPerBand = 2, threshold = 0.2))))
 
   private def queryOf(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
     OVERRIDES.getOrElse(name, SparkEntry.queries(name))
