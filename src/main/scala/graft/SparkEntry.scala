@@ -566,6 +566,10 @@ object SparkEntry {
     // text ≈ −1, template storms drift) — rank window is vocabulary-sized
     "zipf_fit" -> ((s, dir) =>
       operators.TextAnalysis.zipfFit(Tables.documents(s, dir), "source", "text")),
+    // per-source PSI between deterministic md5-halves over length buckets
+    // — the distribution-drift gate; one scan, bounded aggs
+    "psi_drift" -> ((s, dir) =>
+      operators.Drift.psiDrift(Tables.documents(s, dir), "doc_id", "source", "text")),
     // ordered-funnel conversion over the event stream: signup → view →
     // click → purchase, each stage within 7 days of the previous; K chained
     // user-keyed joins, no event-time shuffle
@@ -1775,6 +1779,8 @@ object SparkEntry {
         3600L, 24, 2.5),
     "zipf_fit" ->
       operators.TextAnalysis.zipfFitSql("documents", "source", "text"),
+    "psi_drift" ->
+      operators.Drift.psiDriftSql("documents", "doc_id", "source", "text"),
     "funnel" ->
       operators.EventSeq.funnelSql("events", "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L),

@@ -63,8 +63,8 @@ object ScaleSmoke {
     "attribution", "funnel_timing", "rfm_scores", "path_trigrams",
     "apss_pairs", "weighted_sample", "shard_manifest",
     // triangle census over the near-dup graph; PRF expansion (feedback
-    // semi-join + df fold)
-    "neardup_triangles", "prf_expand")
+    // semi-join + df fold); PSI drift (one-scan bounded aggs)
+    "neardup_triangles", "prf_expand", "psi_drift")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

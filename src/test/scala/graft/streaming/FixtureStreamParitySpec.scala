@@ -104,6 +104,49 @@ class FixtureStreamParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rate anomalies over fixture events equal the batch gate") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+
+    val (bucketSec, lookback, zThresh) = (3600L, 24, 2.5) // the board params
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("ts_ms")
+      .as[(String, Long)].collect()
+      .map { case (k, t) => StreamRateAnomaly.Event(k, t) }
+
+    // one sentinel per key past the corpus end closes the final real
+    // bucket (the batch gate judges every observed bucket; a live stream's
+    // open bucket is legitimately unjudged until it closes)
+    val flushMs = events.map(_.tsMs).max + 2 * bucketSec * 1000L
+    val sentinels = events.map(_.key).distinct
+      .map(StreamRateAnomaly.Event(_, flushMs))
+
+    val source = MemoryStream[StreamRateAnomaly.Event]
+    val q = StreamRateAnomaly.anomalies(source.toDS(), bucketSec, lookback, zThresh)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fixture_rate_anomaly").start()
+    try {
+      events.grouped((events.length + 3) / 4).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      source.addData(sentinels.toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+          "SELECT key, bucketMs, n, z FROM fixture_rate_anomaly")
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+      val batch = graft.SparkEntry.queries("rate_anomaly")(spark, dir)
+        .select(col("event_type"), col("bucket_ms"), col("n"), col("z"))
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+      assert(batch.nonEmpty, "fixture should contain rate anomalies")
+      assert(streamed == batch,
+        s"stream/batch anomaly mismatch: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming funnel advances over fixture events equal the batch funnel counts") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
