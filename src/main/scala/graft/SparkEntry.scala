@@ -1072,6 +1072,12 @@ object SparkEntry {
           operators.Dedup.simhashMd5Hex(col("text")).as("simhash"))
         .withColumn("bucket", substring(col("simhash"), 1, 4))
         .orderBy("doc_id")),
+    // Manku-style simhash dedup: pairs within hamming 3 via the 4-block
+    // pigeonhole equi-join + two-popcount verify — never all-pairs
+    "simhash_pairs" -> ((s, dir) =>
+      operators.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
     "ann_multiprobe" -> ((s, dir) =>
@@ -1659,6 +1665,24 @@ object SparkEntry {
            WHERE a.cid IN (SELECT cid FROM probe))
          ORDER BY sim DESC, vec_id LIMIT 10"""
     },
+    "simhash_pairs" ->
+      // brute hamming over the same md5-simhash mirror: the block
+      // pigeonhole is exact-pruning-only, so brute ≡ filtered
+      """WITH t AS (SELECT doc_id,
+           list_transform(string_split_regex(trim(text),'\s+'), w -> CAST('0x'||substr(md5(w),1,16) AS UBIGINT)) AS hs
+           FROM documents),
+         sh AS (SELECT doc_id, lpad(lower(to_hex(CAST(list_sum(list_transform(range(0,64), b ->
+             CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h>>b)&1=1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS UBIGINT)<<b) ELSE CAST(0 AS UBIGINT) END)) AS UBIGINT))),16,'0') AS simhash
+           FROM t),
+         v AS (SELECT doc_id,
+             CAST('0x'||substr(simhash,1,8) AS BIGINT) AS hi,
+             CAST('0x'||substr(simhash,9,8) AS BIGINT) AS lo FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+         FROM v a JOIN v b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
     "simhash_buckets" ->
       """WITH t AS (SELECT doc_id,
            list_transform(string_split_regex(trim(text),'\s+'), w -> CAST('0x'||substr(md5(w),1,16) AS UBIGINT)) AS hs

@@ -363,4 +363,51 @@ object Dedup {
       .map { case (v, i) => when(v > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)) }
       .reduce(_ bitwiseOR _)
   }
+
+  /** SimHash near-dup PAIRS within `maxHamming` bits — the Manku/Jain/
+    * Sarma web-dedup shape (WWW'07): split each 64-bit signature into 4
+    * 16-bit blocks; by pigeonhole, two signatures within hamming 3 agree
+    * on at least one block, so candidates are exactly the pairs colliding
+    * on some (block_idx, block_value) — a fixed-width equi-join, never
+    * all-pairs — and each candidate is verified with two popcounts.
+    *
+    * Complements [[nearDupPairs]] (MinHash estimates set Jaccard; SimHash
+    * hamming tracks weighted cosine of the token multiset) at a fraction
+    * of the signature cost: 8 bytes/doc vs k hex minima.
+    *
+    * Scale shape: signatures materialize once (one scan, one expression);
+    * the block join fans out 4 rows/doc with 16-bit values — hot blocks
+    * (e.g. the all-zeros block of short docs) are the documented skew key,
+    * bounded by block-value cardinality 4·2^16. Verification joins
+    * candidates back to the 2-long signature relation on each side.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "simhashPairs: 4-block pigeonhole is sound only for maxHamming <= 3")
+    val sigs = parallelize(df).select(
+        col(idCol).as("id"), simhashMd5Hex(col(textCol)).as("sig"))
+      // two 32-bit halves: conv()→long is overflow-safe (< 2^32), and
+      // hamming = popcount(hi⊕hi') + popcount(lo⊕lo')
+      .select(col("id"),
+        conv(substring(col("sig"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("sig"), 9, 8), 16, 10).cast("long").as("lo"))
+      .localCheckpoint()
+    val blocks = sigs.select(col("id"), posexplode(array(
+      shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(0xFFFFL)))))
+      .toDF("id", "blk", "v")
+    val cands = blocks.select(col("id").as("id_a"), col("blk"), col("v"))
+      .join(blocks.select(col("id").as("id_b"), col("blk"), col("v")),
+        Seq("blk", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = sigs.select(col("id").as("id_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = sigs.select(col("id").as("id_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+         bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -106,6 +106,26 @@ class ApssSamplingSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- simhash pairs
+
+  test("simhash pairs: block pigeonhole equals brute hamming on fixtures") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val filtered = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // brute: every pair's popcount over the same signatures
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhashMd5Hex(col("text")).as("s"))
+      .as[(Long, String)].collect()
+      .map { case (id, s) => (id, java.lang.Long.parseUnsignedLong(s, 16)) }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).sortBy(p => (p._1, p._2)).toSeq
+    assert(filtered.nonEmpty && filtered == brute)
+  }
+
   // ------------------------------------------------------- path trigrams
 
   test("path trigrams: hand-computed journeys, ts+id ordering, top-k ties") {
