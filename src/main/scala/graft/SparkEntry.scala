@@ -1187,6 +1187,20 @@ object SparkEntry {
           col("right_event_id"), col("right_value"))
         .orderBy("event_id")
     }),
+    // FORWARD as-of: each click matched to the user's NEXT purchase
+    // at-or-after it — the time-reversed union+window traversal
+    "asof_join_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      operators.AsOfJoin.leftAsOfForward(c, p, "user_id", "ts",
+          Seq("event_id", "value"), "event_id")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("right_event_id"), col("right_value"))
+        .orderBy("event_id")
+    }),
     "text_winnow" -> ((s, dir) =>
       // winnowed rolling-hash fingerprints (MOSS): one (doc_id, fp) row per
       // distinct window-min k-gram hash — substring-level dedup signal
@@ -2329,6 +2343,18 @@ object SparkEntry {
            c.event_id AS right_event_id, c.value AS right_value
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "asof_join_fwd" ->
+      // DuckDB native forward ASOF: smallest right ts >= left ts per key;
+      // right rows deduped per (user, ts) keeping the max event_id
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         p0 AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT event_id, user_id, ts, value FROM (
+             SELECT p0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             FROM p0) WHERE rn = 1)
+         SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+           p.event_id AS right_event_id, p.value AS right_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.event_id""",
     "text_winnow" ->
       // exact mirror of TextAnalysis.winnowFingerprints(k=3, w=4): 15-hex
       // md5 token hashes mod 1e9+7, k-step fold with % after every

@@ -38,6 +38,34 @@ object AsOfJoin {
       tsCol: String,
       rightPayload: Seq[String],
       rightTieBreak: String
+  ): DataFrame =
+    asOf(left, right, keyCol, tsCol, rightPayload, rightTieBreak, forward = false)
+
+  /** FORWARD as-of: the single right row with the SMALLEST right ts ≥ the
+    * left ts per key — "the user's NEXT purchase after this click" — the
+    * time-reversed traversal of the same union+window plan: one keyed
+    * shuffle, partition sort by ts DESC (right before left at equal ts, so
+    * the match stays inclusive), latest-seen carry = nearest forward row.
+    * Same (LARGEST tie-break wins) convention at equal right ts.
+    */
+  def leftAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String
+  ): DataFrame =
+    asOf(left, right, keyCol, tsCol, rightPayload, rightTieBreak, forward = true)
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String,
+      forward: Boolean
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val leftRest = leftCols.filterNot(c => c == keyCol || c == tsCol)
@@ -59,8 +87,11 @@ object AsOfJoin {
     // dedup into this ONE sort instead of a second shuffle+window over the
     // right side (HashPartitioning(key, ts) would not satisfy the main
     // window's ClusteredDistribution(key))
+    // forward = the time-reversed traversal: ts DESC carries the nearest
+    // at-or-after right row; tag/tie-break order is direction-independent
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__tag"), col("__tb"))
+      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc,
+        col("__tag"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedLeft.unionByName(taggedRight)
       .select(

@@ -64,7 +64,8 @@ object ScaleSmoke {
     "apss_pairs", "weighted_sample", "shard_manifest",
     // triangle census over the near-dup graph; PRF expansion (feedback
     // semi-join + df fold); PSI drift (one-scan bounded aggs)
-    "neardup_triangles", "prf_expand", "psi_drift", "simhash_pairs")
+    "neardup_triangles", "prf_expand", "psi_drift", "simhash_pairs",
+    "asof_join_fwd")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

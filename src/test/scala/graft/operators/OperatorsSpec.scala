@@ -392,6 +392,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"as-of join should shuffle exactly once:\n$plan")
   }
 
+  test("forward as-of join matches brute force (nearest at-or-after, max-id ties)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val c = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val p = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin.leftAsOfForward(c, p, "user_id", "ts", Seq("event_id"), "event_id")
+      .select(col("event_id"), col("right_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    val clicks = c.select("event_id", "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2))))
+    val purchases = p.select("event_id", "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2))))
+    clicks.foreach { case (cid, u, cts) =>
+      val cand = purchases.filter(pp => pp._2 == u && pp._3 >= cts)
+      val expect =
+        if (cand.isEmpty) None
+        // nearest forward; ties at the same ts keep the max id
+        else Some(cand.minBy(pp => (pp._3, -pp._1))._1)
+      assert(out(cid) == expect, s"click $cid: got ${out(cid)}, want $expect")
+    }
+    assert(out.values.exists(_.isDefined) && out.values.exists(_.isEmpty))
+  }
+
   test("winnowed fingerprints: shared token runs guarantee a shared fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
