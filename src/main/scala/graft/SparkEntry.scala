@@ -570,6 +570,28 @@ object SparkEntry {
     // — the distribution-drift gate; one scan, bounded aggs
     "psi_drift" -> ((s, dir) =>
       operators.Drift.psiDrift(Tables.documents(s, dir), "doc_id", "source", "text")),
+    // per-source vocabulary coverage curve (top-100/1k/10k type share) —
+    // tokenizer-budget sizing; zipfFit's source-partitioned rank window
+    "vocab_coverage" -> ((s, dir) =>
+      operators.TextAnalysis.vocabCoverage(Tables.documents(s, dir), "source", "text")),
+    // per-shard source-mix entropy over the pack_shards assignment
+    "shard_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val assign = operators.Sharding.packShards(
+        docs, "doc_id", operators.TextAnalysis.tokenCount(col("text")), budget = 10000)
+      operators.Sharding.shardMixEntropy(assign,
+        docs.select(col("doc_id"), col("source")), "doc_id", "source")
+    }),
+    // duplication inflation factor: corpus token mass over post-dedup mass
+    // (one representative per near-dup cluster)
+    "dup_inflation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Audit.dupInflation(
+        operators.Dedup.nearDupClusters(nearDupPairsBuilt(s, dir)),
+        docs.select(col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("text")).as("tok")),
+        "doc_id", "tok")
+    }),
     // ordered-funnel conversion over the event stream: signup → view →
     // click → purchase, each stage within 7 days of the previous; K chained
     // user-keyed joins, no event-time shuffle
@@ -1819,6 +1841,40 @@ object SparkEntry {
       operators.TextAnalysis.zipfFitSql("documents", "source", "text"),
     "psi_drift" ->
       operators.Drift.psiDriftSql("documents", "doc_id", "source", "text"),
+    "vocab_coverage" ->
+      operators.TextAnalysis.vocabCoverageSql("documents", "source", "text"),
+    "shard_mix" ->
+      operators.Sharding.shardMixEntropySql(
+        """SELECT doc_id AS id,
+           CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS BIGINT) AS shard
+           FROM (SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+                 FROM documents)""",
+        "documents", "doc_id", "source"),
+    "dup_inflation" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         tok AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+           FROM documents),
+         pc AS (SELECT cluster_id, SUM(tok.tok) AS ct,
+                  SUM(CASE WHEN cl.id = cluster_id THEN tok.tok ELSE 0 END) AS keep
+                FROM cl JOIN tok ON cl.id = tok.doc_id GROUP BY cluster_id),
+         rem AS (SELECT COALESCE(SUM(ct - keep), 0) AS removable_tokens FROM pc),
+         tot AS (SELECT SUM(tok) AS total_tokens FROM tok)
+         SELECT CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(removable_tokens AS BIGINT) AS removable_tokens,
+           round(CAST(total_tokens AS DOUBLE) /
+             CAST(total_tokens - removable_tokens AS DOUBLE), 6) AS inflation
+         FROM tot CROSS JOIN rem""",
     "funnel" ->
       operators.EventSeq.funnelSql("events", "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"), windowSec = 7 * 86400L),

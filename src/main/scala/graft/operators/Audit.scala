@@ -56,4 +56,32 @@ object Audit {
        FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
        GROUP BY a.src, b.src ORDER BY source_a, source_b"""
   }
+
+  /** Duplication inflation factor — the headline "how much of my corpus is
+    * copies" number a dedup run is justified by: total token mass over the
+    * token mass that would remain after keeping ONE representative (the
+    * cluster label = min id, [[Dedup.nearDupClusters]]'s convention) per
+    * near-dup cluster.
+    *
+    * Shape: the cluster relation (near-dup docs only — a small fraction of
+    * the corpus) joins doc token counts once; removable mass folds per
+    * cluster with a conditional sum (no window); the corpus total is one
+    * map-side-combined agg. One row out.
+    */
+  def dupInflation(clusters: DataFrame, docTokens: DataFrame,
+      idCol: String, tokCol: String): DataFrame = {
+    val joined = clusters.join(docTokens, clusters("id") === docTokens(idCol))
+    val perCluster = joined.groupBy("cluster_id")
+      .agg(sum(col(tokCol)).as("_ct"),
+        sum(when(col("id") === col("cluster_id"), col(tokCol)).otherwise(0L))
+          .as("_keep"))
+    val removable = perCluster
+      .agg(coalesce(sum(col("_ct") - col("_keep")), lit(0L)).as("removable_tokens"))
+    val total = docTokens.agg(sum(col(tokCol)).as("total_tokens"))
+    total.crossJoin(broadcast(removable))
+      .select(col("total_tokens"), col("removable_tokens"),
+        round(col("total_tokens").cast("double") /
+          (col("total_tokens") - col("removable_tokens")).cast("double"), 6)
+          .as("inflation"))
+  }
 }

@@ -154,6 +154,52 @@ object Sharding {
     * (array_sort over cast ids); the mirror must order lexicographically
     * too, not numerically.
     */
+  /** Per-shard source-mix entropy — the "are my training shards well
+    * mixed" diagnostic: Shannon entropy (nats) of each shard's source
+    * distribution; a shard packed from one source scores 0 and starves
+    * the mixture objective locally even when the global mixture is right.
+    *
+    * Shape: the assignment joins doc sources once (doc-keyed), then two
+    * bounded aggs — (shard, source) counts and the entropy fold. Entropy
+    * terms round(6)-then-DECIMAL sum (partition-order-proof doubles).
+    */
+  def shardMixEntropy(assign: DataFrame, docSources: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    val counts = assign.join(docSources, idCol)
+      .groupBy(col("shard"), col(sourceCol).as("_sm_src"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("shard").agg(sum("c").as("tot"),
+      count(lit(1)).as("n_sources"))
+    counts.join(totals, "shard")
+      .select(col("shard"), col("n_sources"), col("tot"),
+        round(lit(-1.0) * (col("c").cast("double") / col("tot").cast("double")) *
+          log(col("c").cast("double") / col("tot").cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy("shard")
+      .agg(max(col("n_sources")).as("n_sources"),
+        max(col("tot")).as("n_docs"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB mirror of [[shardMixEntropy]]: `assignSql` yields (id, shard);
+    * sources come from `table`.
+    */
+  def shardMixEntropySql(assignSql: String, table: String, idCol: String,
+      sourceCol: String): String =
+    s"""WITH a AS ($assignSql),
+       c AS (SELECT shard, $sourceCol AS src, COUNT(*) AS c
+             FROM a JOIN $table t ON a.id = t.$idCol GROUP BY 1, 2),
+       tt AS (SELECT shard, SUM(c) AS tot, COUNT(*) AS n_sources
+              FROM c GROUP BY shard)
+       SELECT shard, MAX(n_sources) AS n_sources,
+         CAST(MAX(tot) AS BIGINT) AS n_docs,
+         round(CAST(SUM(CAST(round(
+           -1.0 * (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) *
+             ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS DECIMAL(18,6)))
+           AS DOUBLE), 6) AS entropy
+       FROM c JOIN tt USING (shard) GROUP BY shard ORDER BY shard"""
+
   def shardManifestSql(assignSql: String): String =
     s"""WITH a AS ($assignSql)
        SELECT shard, COUNT(*) AS n_docs,

@@ -915,4 +915,52 @@ object TextAnalysis {
          COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
          round(min(avg_nll), 4) AS min_nll, round(max(avg_nll), 4) AS max_nll
        FROM scored CROSS JOIN b GROUP BY bucket ORDER BY bucket"""
+
+  /** Per-source vocabulary coverage curve: the share of a source's token
+    * mass covered by its top-100/1k/10k most frequent types — the
+    * tokenizer-budget sizing readout (how small a vocab still covers X%
+    * of source tokens; compare across sources to spot template storms,
+    * which cover ~everything with a handful of types).
+    *
+    * Shape: the [[zipfFit]] discipline — one (source, type) count agg,
+    * ONE source-partitioned rank window (vocabulary-sized partitions),
+    * conditional sums per cutoff (no cumulative scan), bounded output.
+    * Coverage divides exact integer sums once in double, round 6.
+    */
+  def vocabCoverage(df: DataFrame, sourceCol: String, textCol: String,
+      cutoffs: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted, "sorted cutoffs")
+    val types = Dedup.parallelize(df)
+      .select(col(sourceCol).as("_vc_s"),
+        explode(tokens(lower(col(textCol)))).as("_vc_t"))
+      .groupBy("_vc_s", "_vc_t").agg(count(lit(1)).as("_vc_f"))
+    val w = Window.partitionBy("_vc_s")
+      .orderBy(col("_vc_f").desc, col("_vc_t").asc)
+    val ranked = types.withColumn("_vc_r", row_number().over(w))
+    val covCols = cutoffs.map(n =>
+      round(sum(when(col("_vc_r") <= n, col("_vc_f")).otherwise(0L)).cast("double") /
+        sum(col("_vc_f")).cast("double"), 6).as(s"cov_$n"))
+    ranked.groupBy(col("_vc_s").as(sourceCol))
+      .agg(count(lit(1)).as("n_types"), covCols: _*)
+      .orderBy(sourceCol)
+  }
+
+  /** DuckDB mirror of [[vocabCoverage]]. */
+  def vocabCoverageSql(tbl: String, sourceCol: String, textCol: String,
+      cutoffs: Seq[Int] = Seq(100, 1000, 10000)): String = {
+    val covs = cutoffs.map(n =>
+      s"""round(CAST(SUM(CASE WHEN r <= $n THEN f ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(f) AS DOUBLE), 6) AS cov_$n""").mkString(",\n         ")
+    s"""WITH t AS (SELECT $sourceCol AS s,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term
+           FROM $tbl),
+       f AS (SELECT s, term, COUNT(*) AS f FROM t GROUP BY 1, 2),
+       r AS (SELECT s, f,
+               row_number() OVER (PARTITION BY s ORDER BY f DESC, term) AS r
+             FROM f)
+       SELECT s AS $sourceCol, COUNT(*) AS n_types,
+         $covs
+       FROM r GROUP BY s ORDER BY $sourceCol"""
+  }
 }

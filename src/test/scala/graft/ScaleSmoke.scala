@@ -65,7 +65,7 @@ object ScaleSmoke {
     // triangle census over the near-dup graph; PRF expansion (feedback
     // semi-join + df fold); PSI drift (one-scan bounded aggs)
     "neardup_triangles", "prf_expand", "psi_drift", "simhash_pairs",
-    "asof_join_fwd")
+    "asof_join_fwd", "vocab_coverage", "shard_mix", "dup_inflation")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -88,7 +88,19 @@ object ScaleSmoke {
         operators.Graph.triangles(
           operators.Dedup.nearDupPairs(
             Tables.documents(s, dir), "doc_id", "text",
-            k = 8, rowsPerBand = 2, threshold = 0.2))))
+            k = 8, rowsPerBand = 2, threshold = 0.2))),
+      // ... and the inflation factor
+      "dup_inflation" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        operators.Audit.dupInflation(
+          operators.Dedup.nearDupClusters(
+            operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+              k = 8, rowsPerBand = 2, threshold = 0.2)),
+          docs.select(org.apache.spark.sql.functions.col("doc_id"),
+            operators.TextAnalysis.tokenCount(
+              org.apache.spark.sql.functions.col("text")).as("tok")),
+          "doc_id", "tok")
+      }))
 
   private def queryOf(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
     OVERRIDES.getOrElse(name, SparkEntry.queries(name))
