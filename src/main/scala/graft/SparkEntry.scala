@@ -574,6 +574,11 @@ object SparkEntry {
     // tokenizer-budget sizing; zipfFit's source-partitioned rank window
     "vocab_coverage" -> ((s, dir) =>
       operators.TextAnalysis.vocabCoverage(Tables.documents(s, dir), "source", "text")),
+    // Jelinek–Mercer interpolated bigram LM (λ=0.7) — the linear-interp
+    // rung between Laplace and KN; same one-occurrence-join plan
+    "jm_logprob" -> ((s, dir) =>
+      operators.TextAnalysis.jmLogprob(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // per-shard source-mix entropy over the pack_shards assignment
     "shard_mix" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -2213,6 +2218,29 @@ object SparkEntry {
                  / (CAST(c2.c2 AS DOUBLE) + 1.0)), 4) AS DECIMAL(18,4)) AS nll
                FROM tf JOIN c2 USING (bg)
                JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.w1 CROSS JOIN v)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
+             / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "jm_logprob" ->
+      // mirror of TextAnalysis.jmLogprob (λ=0.7): per-type interpolated
+      // nll rounded to 4 then DECIMAL-summed per doc occurrence
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ws FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])) AS bg FROM w),
+         tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM b GROUP BY doc_id, bg),
+         c2 AS (SELECT bg, SUM(tf) AS c12 FROM tf GROUP BY bg),
+         c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1 FROM c2 GROUP BY 1),
+         cw2 AS (SELECT split_part(bg, ' ', 2) AS w2, SUM(c12) AS cdot2 FROM c2 GROUP BY 1),
+         t AS (SELECT SUM(c12) AS t_tot FROM c2),
+         j AS (SELECT tf.doc_id, tf.tf,
+               CAST(round(-ln(
+                 0.7 * CAST(c2.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) +
+                 0.30000000000000004 * CAST(cw2.cdot2 AS DOUBLE) / CAST(t.t_tot AS DOUBLE)), 4)
+                 AS DECIMAL(18,4)) AS nll
+               FROM tf JOIN c2 USING (bg)
+               JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.w1
+               JOIN cw2 ON split_part(tf.bg, ' ', 2) = cw2.w2
+               CROSS JOIN t)
          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
            CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
              / CAST(SUM(tf) AS DOUBLE) AS avg_nll

@@ -303,6 +303,51 @@ object TextAnalysis {
         (col("_bl_sum").cast("double") / col("n_bigrams").cast("double")).as("avg_nll"))
   }
 
+  /** Jelinek–Mercer interpolated bigram scoring (Jelinek & Mercer 1980):
+    * `p(w2|w1) = λ·c12/c1 + (1−λ)·c·2(w2)/T` — the linear-interpolation
+    * rung of the smoothing ladder between Laplace ([[bigramLogprob]]) and
+    * Kneser–Ney ([[knLogprob]]); the unigram leg uses the CONTINUATION
+    * count (occurrences of w2 as a second token over total bigram
+    * occurrences), so the two legs share one normalization universe.
+    *
+    * Same relational discipline as [[bigramLogprob]]: every statistic
+    * (c12, c1, c·2, T) folds into the bigram TYPE table by aggregation —
+    * the w1/w2 joins hit type-sized relations (shuffle-hash, power-law
+    * keys never touch the doc-sized stream) — and the doc×bigram
+    * occurrence stream joins exactly ONCE on `bg`. Per-type nll rounds to
+    * 4 then DECIMAL-sums per doc.
+    */
+  def jmLogprob(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, "jmLogprob: need 0 < lambda < 1")
+    val id = col(idCol)
+    val raw = Dedup.parallelize(df)
+      .select(id,
+        explode(graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), 2)).as("bg"))
+      .where(instr(col("bg"), " ") > 0)
+    val c2 = raw.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val cw2 = c2.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum("c12").as("cdot2"))
+    val t = c2.agg(sum("c12").as("t_tot"))
+    val nll = round(
+      lit(-1.0) * log(
+        lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
+        lit(1 - lambda) * col("cdot2").cast("double") / col("t_tot").cast("double")),
+      4).cast("decimal(18,4)")
+    val perBg = c2
+      .join(c1.hint("shuffle_hash"), substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(cw2.hint("shuffle_hash"), substring_index(col("bg"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(t))
+      .select(col("bg"), nll.as("_jm_nll"))
+    raw.join(perBg.hint("shuffle_hash"), "bg")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_jm_nll")).as("_jm_sum"))
+      .select(id, col("n_bigrams"),
+        (col("_jm_sum").cast("double") / col("n_bigrams").cast("double")).as("avg_nll"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
     * smoothing every serious n-gram LM ships): absolute discount D off
     * every seen bigram count, redistributed through the CONTINUATION

@@ -52,6 +52,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((70L, 50L, 3.5)))
   }
 
+  test("jm logprob: hand-computed interpolation on a two-doc corpus") {
+    import spark.implicits._
+    // corpus bigrams: "a b" ×2 (doc1), "a c" ×1 (doc2) → c1(a)=3, T=3,
+    // cdot2(b)=2, cdot2(c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.jmLogprob(docs, "doc_id", "text", lambda = 0.7)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    def nll(c12: Double, c1: Double, cdot2: Double, t: Double): Double =
+      BigDecimal(-math.log(0.7 * c12 / c1 + (1 - 0.7) * cdot2 / t))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == nll(2, 3, 2, 3) && out(2L) == out(1L))
+    assert(out(3L) == nll(1, 3, 1, 3))
+  }
+
   test("dup inflation: no clusters means inflation exactly 1") {
     import spark.implicits._
     val clusters = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
