@@ -240,4 +240,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query row not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
+
+  test("apss_pairs: every join is an equi-join (checkpointed postings feed it)") {
+    // the postings+prefix window lives in the localCheckpoint's own job;
+    // this audits the candidate/verify stage the checkpoint feeds
+    val plan = planOf(SparkEntry.queries("apss_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure leaked into the APSS plan:\n$plan")
+  }
+
+  test("simhash_pairs: block candidates and popcount verify stay equi-joins") {
+    val plan = planOf(SparkEntry.queries("simhash_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure in the simhash plan:\n$plan")
+  }
+
+  test("weighted_sample: one scan + TakeOrdered, no global sort or window") {
+    val plan = planOf(SparkEntry.queries("weighted_sample")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ES top-k should be TakeOrdered:\n$plan")
+  }
+
+  test("neardup_triangles: wedge join and closure stay equi-joins") {
+    val plan = planOf(SparkEntry.queries("neardup_triangles")(spark, sf))
+    // the one-row (triangles × wedges) scalar crossJoin legitimately plans
+    // as a BroadcastNestedLoopJoin; the structural hazard is a product
+    // join over EDGES — pinned by the absence of CartesianProduct and by
+    // the wedge join being a hash equi-join
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle census planned a cartesian join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+      s"wedge join should be a keyed equi-join:\n$plan")
+  }
+
+  test("prf_expand: the feedback set and df fold broadcast; no corpus shuffle join") {
+    val plan = planOf(SparkEntry.queries("prf_expand")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"feedback semi-join should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product join in PRF:\n$plan")
+  }
 }
