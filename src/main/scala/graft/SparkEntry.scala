@@ -515,6 +515,13 @@ object SparkEntry {
     // fan-out regardless of hub nodes
     "neardup_triangles" -> ((s, dir) =>
       operators.Graph.triangles(nearDupPairsBuilt(s, dir))),
+    // contrastive (anchor, positive, negative) triplets: near-dup pairs as
+    // positives, negatives from a broadcast 2-per-bucket representative
+    // table keyed by the pair's md5 — no corpus-sized join per pair
+    "contrastive_triplets" -> ((s, dir) =>
+      operators.Contrastive.triplets(nearDupPairsBuilt(s, dir),
+          Tables.documents(s, dir), "doc_id")
+        .orderBy("anchor", "positive")),
     // keep-BEST per near-dup cluster (longest copy wins, id tie-break) —
     // the selection real dedup pipelines apply to cluster members
     "cluster_best" -> ((s, dir) =>
@@ -1261,6 +1268,24 @@ object SparkEntry {
           col("asset_meta.width").as("width"), col("asset_meta.height").as("height"))
         .orderBy("doc_id")
     }),
+    // modality profile: the corpus-curation rollup over the SAME parsed
+    // header stream — per format: counts, dimension ranges, orientation
+    // mix, mean aspect (integer-derived doubles, deterministic)
+    "multimodal_profile" -> ((s, dir) =>
+      queries("multimodal_dims")(s, dir)
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"),
+          min("width").as("min_w"), max("width").as("max_w"),
+          min("height").as("min_h"), max("height").as("max_h"),
+          sum(when(col("width") > col("height"), 1L).otherwise(0L)).as("n_landscape"),
+          sum(when(col("width") < col("height"), 1L).otherwise(0L)).as("n_portrait"),
+          sum(when(col("width") === col("height"), 1L).otherwise(0L)).as("n_square"),
+          // round-then-DECIMAL (house convention): a float avg's summation
+          // order differs between engines
+          round((sum(round(col("width").cast("double") / col("height").cast("double"), 6)
+              .cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double")), 4)
+            .as("avg_aspect"))
+        .orderBy("format")),
     "multimodal_wav" -> ((s, dir) => {
       // audio metadata without a codec: deterministic RIFF/WAVE headers
       // (channels/rate/payload size derived from doc_id), parsed back by
@@ -1788,6 +1813,11 @@ object SparkEntry {
       operators.Graph.trianglesSql(
         s"""$nearDupCtes,
          ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
+    "contrastive_triplets" ->
+      operators.Contrastive.tripletsSql(
+        s"""$nearDupCtes,
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""",
+        "documents", "doc_id"),
     "neardup_clusters" ->
       // connected components over the near-dup pair graph: min reachable id
       // per node via a recursive transitive closure (tiny clusters — the
@@ -2502,6 +2532,25 @@ object SparkEntry {
              ELSE CAST(('0x' || substr(hex(asset), 51, 2) || substr(hex(asset), 49, 2)
                || substr(hex(asset), 47, 2) || substr(hex(asset), 45, 2)) AS INTEGER) END AS height
          FROM b ORDER BY doc_id""",
+    "multimodal_profile" ->
+      // the aggregation mirror over the PLANTED dims (doc_id-derived by
+      // construction; header parsing itself is oracle-checked by
+      // multimodal_dims — this checks the rollup)
+      """WITH d AS (SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+           CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 1 AS INTEGER) AS height
+         FROM documents)
+         SELECT format, COUNT(*) AS n,
+           MIN(width) AS min_w, MAX(width) AS max_w,
+           MIN(height) AS min_h, MAX(height) AS max_h,
+           CAST(SUM(CASE WHEN width > height THEN 1 ELSE 0 END) AS BIGINT) AS n_landscape,
+           CAST(SUM(CASE WHEN width < height THEN 1 ELSE 0 END) AS BIGINT) AS n_portrait,
+           CAST(SUM(CASE WHEN width = height THEN 1 ELSE 0 END) AS BIGINT) AS n_square,
+           round(CAST(SUM(CAST(round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_aspect
+         FROM d GROUP BY format ORDER BY format""",
     "multimodal_wav" ->
       // RIFF/WAVE headers rebuilt field-for-field, then channels/rate/
       // data-size parsed BACK from the little-endian bytes at their fixed

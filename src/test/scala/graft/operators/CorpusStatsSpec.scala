@@ -52,6 +52,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((70L, 50L, 3.5)))
   }
 
+  test("contrastive triplets: negatives never collide with anchor/positive") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (50L, 60L)).toDF("id_a", "id_b")
+    val out = Contrastive.triplets(pairs, docs, "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length == 3)
+    out.foreach { case (a, p, n) =>
+      assert(n != a && n != p && (1L to 100L).contains(n))
+    }
+    // determinism: identical invocation, identical triplets
+    val again = Contrastive.triplets(pairs, docs, "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+  }
+
   test("jm logprob: hand-computed interpolation on a two-doc corpus") {
     import spark.implicits._
     // corpus bigrams: "a b" ×2 (doc1), "a c" ×1 (doc2) → c1(a)=3, T=3,
