@@ -90,6 +90,14 @@ object ScaleSmoke {
           operators.Dedup.nearDupPairs(
             Tables.documents(s, dir), "doc_id", "text",
             k = 8, rowsPerBand = 2, threshold = 0.2))),
+      // ... and the triplet generator
+      "contrastive_triplets" -> ((s, dir) =>
+        operators.Contrastive.triplets(
+          operators.Dedup.nearDupPairs(
+            Tables.documents(s, dir), "doc_id", "text",
+            k = 8, rowsPerBand = 2, threshold = 0.2),
+          Tables.documents(s, dir), "doc_id")
+          .orderBy("anchor", "positive")),
       // ... and the inflation factor
       "dup_inflation" -> ((s, dir) => {
         val docs = Tables.documents(s, dir)
