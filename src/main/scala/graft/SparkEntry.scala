@@ -638,6 +638,11 @@ object SparkEntry {
     "path_trigrams" -> ((s, dir) =>
       operators.EventSeq.pathTrigrams(ev(s, dir), "user_id", "ts",
         "event_type", "event_id", topN = 20)),
+    // two-proportion experiment readout: md5-parity arms, pooled z — one
+    // user-keyed agg + a 2-row rollup
+    "ab_conversion" -> ((s, dir) =>
+      operators.EventSeq.abConversion(ev(s, dir), "user_id", "event_type",
+        convType = "purchase", minCount = 15)),
     // recency-weighted per-user engagement (half-life 3 days), DECIMAL-exact
     // decayed sum so partitioning can't reorder the float accumulation
     "decay_agg" -> ((s, dir) =>
@@ -1930,6 +1935,9 @@ object SparkEntry {
     "path_trigrams" ->
       operators.EventSeq.pathTrigramsSql("events", "user_id", "ts",
         "event_type", "event_id", topN = 20),
+    "ab_conversion" ->
+      operators.EventSeq.abConversionSql("events", "user_id", "event_type",
+        convType = "purchase", minCount = 15),
     "decay_agg" ->
       operators.EventSeq.decayAggSql("events", "user_id", "ts", "value",
         halfLifeSec = 3 * 86400L),

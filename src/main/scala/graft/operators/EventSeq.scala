@@ -393,6 +393,67 @@ object EventSeq {
       .limit(topN)
   }
 
+  /** Two-proportion experiment readout (A/B test): users are assigned to
+    * arms by the md5 parity of their id (the [[graft.operators.Sampling]]
+    * determinism mechanic standing in for a real assignment column),
+    * conversion is "user emitted ≥ `minCount` `convType` events", and the arms are
+    * compared with the pooled two-proportion z statistic — the analytics
+    * primitive an event engine's dashboard computes on every experiment.
+    *
+    * Shape: one scan → per-user (arm, converted) aggregation (user-keyed,
+    * map-side combinable) → a 2-row arm rollup → one output row. Every
+    * statistic derives from integer counts, so both engines compute
+    * identical doubles; z rounds to 4.
+    */
+  def abConversion(df: DataFrame, userCol: String, typeCol: String,
+      convType: String, minCount: Int = 1, salt: String = "arm"): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val perUser = df.select(col(userCol).as("u"), arm,
+        (col(typeCol) === convType).cast("int").as("cv"))
+      .groupBy("u", "arm")
+      .agg((sum("cv") >= minCount).cast("int").as("converted"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("converted").as("c"))
+    val a = arms.where(col("arm") === 0).select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = arms.where(col("arm") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a").cast("double")
+    val pb = col("c_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(pa, 6).as("conv_a"), round(pb, 6).as("conv_b"),
+        // 1e-12 variance floor (the rateAnomaly convention): a degenerate
+        // experiment where EVERY user converts has zero pooled variance
+        round((pa - pb) /
+          sqrt(greatest(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double")), lit(1e-12))), 4).as("z"))
+  }
+
+  /** DuckDB mirror of [[abConversion]]. */
+  def abConversionSql(tbl: String, userCol: String, typeCol: String,
+      convType: String, minCount: Int = 1, salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol AS u,
+           CAST('0x'||substr(md5('$salt:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CASE WHEN SUM(CASE WHEN $typeCol = '$convType' THEN 1 ELSE 0 END) >= $minCount
+                THEN 1 ELSE 0 END AS converted
+         FROM $tbl GROUP BY 1, 2),
+       arms AS (SELECT arm, COUNT(*) AS n, SUM(converted) AS c FROM pu GROUP BY arm),
+       a AS (SELECT n AS n_a, c AS c_a FROM arms WHERE arm = 0),
+       b AS (SELECT n AS n_b, c AS c_b FROM arms WHERE arm = 1)
+       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+         CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+         round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS conv_a,
+         round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS conv_b,
+         round((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+           sqrt(greatest((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)), 1e-12)), 4) AS z
+       FROM a CROSS JOIN b"""
+
   /** DuckDB mirror of [[pathTrigrams]]. */
   def pathTrigramsSql(tbl: String, userCol: String, tsCol: String,
       typeCol: String, idCol: String, topN: Int): String =

@@ -66,7 +66,8 @@ object ScaleSmoke {
     // semi-join + df fold); PSI drift (one-scan bounded aggs)
     "neardup_triangles", "prf_expand", "psi_drift", "simhash_pairs",
     "asof_join_fwd", "vocab_coverage", "shard_mix", "dup_inflation",
-    "jm_logprob", "multimodal_profile", "contrastive_triplets")
+    "jm_logprob", "multimodal_profile", "contrastive_triplets",
+    "ab_conversion")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -82,6 +82,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3L) == nll(1, 3, 1, 3))
   }
 
+  test("ab conversion: hand-built arms, pooled z sign and magnitude") {
+    import spark.implicits._
+    // find user ids for each md5-arm, then plant conversions only in arm 0
+    val armOf: Long => Int = u => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      (md(0) & 0xff) % 2
+    }
+    val users = (1L to 40L)
+    val ev = users.flatMap { u =>
+      val conv = armOf(u) == 0 // arm 0 always converts, arm 1 never
+      Seq((u, if (conv) "purchase" else "view"))
+    }.toDF("user_id", "event_type")
+    val r = EventSeq.abConversion(ev, "user_id", "event_type", "purchase").head()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb == 40 && ca == na && cb == 0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0)
+    assert(r.getDouble(6) > 3.0, s"planted total separation should be significant, z=${r.getDouble(6)}")
+  }
+
   test("dup inflation: no clusters means inflation exactly 1") {
     import spark.implicits._
     val clusters = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
