@@ -522,6 +522,31 @@ object SparkEntry {
       operators.Contrastive.triplets(nearDupPairsBuilt(s, dir),
           Tables.documents(s, dir), "doc_id")
         .orderBy("anchor", "positive")),
+    // sketch-accuracy calibration: per estimated-similarity band, MinHash
+    // estimate vs exact Jaccard over the candidate pairs — bounded by the
+    // pair list, DECIMAL-exact means
+    "minhash_calib" -> ((s, dir) =>
+      Dedup.minhashCalibration(nearDupPairsBuilt(s, dir),
+        Tables.documents(s, dir), "doc_id", "text", k = 8, buckets = 4)),
+    // SCD2 versioned upsert: fold a derived update batch (changed / no-op
+    // redelivered / inserted docs) into the snapshot — one broadcast
+    // id-keyed join, fingerprint change detection, history preserved
+    "scd2_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val changed = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+      val redelivered = docs.where(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val inserted = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new: "), col("text")).as("text"))
+      operators.Scd.merge2(docs,
+        changed.unionAll(redelivered).unionAll(inserted), "doc_id", "text")
+    }),
+    // rank-normalized quality blend via bucketized empirical CDFs — zero
+    // corpus sorts (the percent_rank plan is one global sort PER signal)
+    "quality_blend" -> ((s, dir) =>
+      operators.QualityBlend.blend(Tables.documents(s, dir), "doc_id", "text")),
     // keep-BEST per near-dup cluster (longest copy wins, id tie-break) —
     // the selection real dedup pipelines apply to cluster members
     "cluster_best" -> ((s, dir) =>
@@ -1809,6 +1834,37 @@ object SparkEntry {
     "neardup_pairs" ->
       s"""WITH $nearDupCtes
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "minhash_calib" -> {
+      val matches = (1 to 8)
+        .map(i => s"(CASE WHEN x.sigs[$i] = y.sigs[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $nearDupCtes,
+         p AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2),
+         e AS (SELECT p.jaccard, CAST($matches AS DOUBLE) / 8 AS est
+               FROM p JOIN sig x ON x.doc_id = p.id_a
+                      JOIN sig y ON y.doc_id = p.id_b),
+         bk AS (SELECT least(3, CAST(floor(est * 4) AS BIGINT)) AS bucket,
+                  est, jaccard FROM e)
+         SELECT bucket, COUNT(*) AS n_pairs,
+           round(CAST(SUM(CAST(est AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_est,
+           round(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_exact,
+           round(CAST(SUM(CAST(abs(est - jaccard) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mae
+         FROM bk GROUP BY bucket ORDER BY bucket"""
+    },
+    "scd2_merge" ->
+      s"""WITH scd_base AS (SELECT doc_id AS id, substr(md5(text), 1, 16) AS fp FROM documents),
+         scd_upd AS (
+           SELECT doc_id AS id, substr(md5(text || ' [rev2]'), 1, 16) AS ufp
+             FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, substr(md5(text), 1, 16)
+             FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, substr(md5('new: ' || text), 1, 16)
+             FROM documents WHERE doc_id % 13 = 0),
+         ${operators.Scd.merge2Sql()}""",
+    "quality_blend" ->
+      operators.QualityBlend.blendSql("documents", "doc_id", "text"),
     "pagerank_dups" ->
       operators.Graph.pageRankSql(
         s"""$nearDupCtes,

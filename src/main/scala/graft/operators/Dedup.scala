@@ -364,6 +364,43 @@ object Dedup {
       .reduce(_ bitwiseOR _)
   }
 
+  /** Sketch-accuracy calibration: per estimated-similarity band, how far is
+    * the MinHash ESTIMATE (matching signature components / k) from the exact
+    * shingle-set Jaccard? Real pipelines pick thresholds from exactly this
+    * readout before trusting the sketch at full scale — and it costs almost
+    * nothing: everything is bounded by the CANDIDATE pair list (the verified
+    * pairs already carry exact Jaccard), the signature relation is
+    * semi-joined down to candidate docs, and the output is `buckets` rows.
+    * All means accumulate via DECIMAL(18,6) (estimates are multiples of 1/k
+    * and Jaccard is pre-rounded to 6 decimals, so the sums are exact and
+    * partitioning-order-immune).
+    */
+  def minhashCalibration(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, buckets: Int = 4): DataFrame = {
+    val ids = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sigs = signatureTable(df.join(ids, Seq(idCol), "left_semi"),
+      idCol, textCol, k)
+    val a = sigs.select(col(idCol).as("id_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"_ca$i")): _*)
+    val b = sigs.select(col(idCol).as("id_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"_cb$i")): _*)
+    val est = (0 until k)
+      .map(i => when(col(s"_ca$i") === col(s"_cb$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    def decMean(c: Column, n: Column): Column =
+      round(sum(c.cast("decimal(18,6)")).cast("double") / n, 6)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("jaccard"), est.as("est"))
+      .withColumn("bucket", least(lit(buckets - 1L), floor(col("est") * buckets)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        decMean(col("est"), count(lit(1))).as("mean_est"),
+        decMean(col("jaccard"), count(lit(1))).as("mean_exact"),
+        decMean(abs(col("est") - col("jaccard")), count(lit(1))).as("mae"))
+      .orderBy("bucket")
+  }
+
   /** SimHash near-dup PAIRS within `maxHamming` bits — the Manku/Jain/
     * Sarma web-dedup shape (WWW'07): split each 64-bit signature into 4
     * 16-bit blocks; by pigeonhole, two signatures within hamming 3 agree

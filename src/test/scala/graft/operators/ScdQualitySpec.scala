@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-5 session-5 operators: SCD2 merge, histogram-CDF quality blend,
+  * MinHash calibration audit.
+  */
+class ScdQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("scd-quality-spec")
+    .getOrCreate()
+  private lazy val sf = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- SCD2
+
+  test("scd2: changed id yields closed v0 + open v1; no-op and new ids covered") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val upd = Seq((2L, "beta v2"), (3L, "gamma"), (9L, "delta")).toDF("id", "text")
+    val out = Scd.merge2(base, upd, "id", "text")
+      .select($"id", $"version", $"valid_from", $"valid_to")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, None),          // untouched
+      (2L, 0L, 0L, Some(1L)),      // superseded, closed at batch 1
+      (2L, 1L, 1L, None),          // new current version
+      (3L, 0L, 0L, None),          // idempotent redelivery: no new version
+      (9L, 0L, 1L, None)           // insert, valid from batch 1
+    ))
+  }
+
+  test("scd2: empty update batch carries every base row open and unversioned") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val upd = Seq.empty[(Long, String)].toDF("id", "text")
+    val out = Scd.merge2(base, upd, "id", "text")
+      .select($"id", $"version", $"valid_from", $"valid_to")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(out == Set((1L, 0L, 0L, None), (2L, 0L, 0L, None)))
+  }
+
+  test("scd2: exactly one open row per id at all times") {
+    val docs = graft.Tables.documents(spark, sf)
+    val changed = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"))
+    val out = Scd.merge2(docs, changed, "doc_id", "text")
+    val openPerId = out.where(col("valid_to").isNull)
+      .groupBy("id").count().where(col("count") =!= 1)
+    assert(openPerId.count() == 0)
+    // history: closed rows exist exactly for the changed ids
+    assert(out.where(col("valid_to").isNotNull).count() ==
+      docs.where(col("doc_id") % 7 === 0).count())
+  }
+
+  // ------------------------------------------------------- quality blend
+
+  test("quality blend: scores in [0,1], deciles in [0,9], one row per doc") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = QualityBlend.blend(docs, "doc_id", "text").cache()
+    try {
+      assert(out.count() == docs.count())
+      assert(out.where(col("blend") < 0 || col("blend") > 1).count() == 0)
+      assert(out.where(col("decile") < 0 || col("decile") > 9).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("quality blend: monotone — higher raw signals never get a lower CDF") {
+    import spark.implicits._
+    // one-signal-dominant corpus: token count strictly increases with id
+    // while the other signals stay constant — doc i holds the first i of 40
+    // DISTINCT fixed-width tokens (ttr = 1, mean length = 3 for every doc),
+    // so blend must be nondecreasing in id
+    val docs = (1 to 40)
+      .map(i => (i.toLong, (1 to i).map(j => f"t$j%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = QualityBlend.blend(docs, "doc_id", "text")
+      .orderBy("doc_id").select("blend").as[Double].collect()
+    assert(rows.zip(rows.tail).forall { case (a, b) => a <= b })
+  }
+
+  // --------------------------------------------------- minhash calibration
+
+  test("minhash calibration: bucket-bounded output, means in [0,1], pairs conserved") {
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      k = 8, rowsPerBand = 2, threshold = 0.2).localCheckpoint()
+    val out = Dedup.minhashCalibration(pairs, docs, "doc_id", "text").cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty && rows.length <= 4)
+      assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.count())
+      rows.foreach { r =>
+        assert(r.getAs[Double]("mean_est") >= 0 && r.getAs[Double]("mean_est") <= 1)
+        assert(r.getAs[Double]("mean_exact") >= 0 && r.getAs[Double]("mean_exact") <= 1)
+        assert(r.getAs[Double]("mae") >= 0 && r.getAs[Double]("mae") <= 1)
+      }
+    } finally out.unpersist()
+  }
+}
