@@ -8,20 +8,25 @@ import org.apache.spark.sql.functions._
   * FineWeb-style pipelines blend several per-document quality signals into
   * one score by rank-normalizing each signal first (raw signals live on
   * incomparable scales). The naive plan — `percent_rank()` per signal — is
-  * one GLOBAL sort of the corpus per signal: at 100 TB that is S total
-  * sorts, each all-to-all. This operator replaces exact ranks with a
-  * B-bucket empirical CDF, which needs only:
+  * one GLOBAL sort of the corpus per signal (Exchange SinglePartition +
+  * Sort): at 100 TB that is S total sorts, each all-to-all. This operator
+  * replaces exact ranks with a B-bucket empirical CDF, which needs only:
   *
-  *   1. one scan for per-signal min/max (a 2S-value aggregate, broadcast);
+  *   1. one scan for per-signal min/max — a single aggregate row read on
+  *      the driver (2S doubles);
   *   2. one scan for the per-(signal, bucket) histogram — a map-side-
-  *      combinable groupBy whose output is S·B rows total;
-  *   3. a running-sum window over the S·B-row histogram (driver-trivial)
-  *      broadcast back over one scoring scan.
+  *      combinable groupBy whose output is ≤ S·B rows, driver-collected;
+  *   3. the running-sum CDF folded into S B-length LITERAL lookup arrays
+  *      (≤ S·B doubles — driver-bounded by construction), applied in one
+  *      scoring projection: the final plan is scan → project → sort, with
+  *      ZERO joins (an earlier draft joined a tiny CDF relation back three
+  *      times, and each broadcast leg re-executed the whole histogram
+  *      subtree — literal lookup makes that shape impossible).
   *
-  * Three corpus scans, zero corpus sorts, zero corpus-keyed shuffles. The
-  * CDF value of a doc is `cum_count(bucket ≤ own) / N` — within-bucket ties
-  * share a rank, the documented approximation (error ≤ 1/B of the mass per
-  * signal; raise `buckets` to tighten).
+  * Three corpus scans, zero corpus sorts, zero corpus-keyed shuffles, zero
+  * joins. The CDF value of a doc is `cum_count(bucket ≤ own) / N` —
+  * within-bucket ties share a rank, the documented approximation (error ≤
+  * 1/B of the mass per signal; raise `buckets` to tighten).
   *
   * Signals are rounded to 6 decimals BEFORE bucketing and the bucket index
   * uses one fixed expression shape `((s - min) / (max - min)) * B` so a SQL
@@ -46,55 +51,55 @@ object QualityBlend {
   /** (doc_id, blend, decile): blend = mean of the S bucket-CDF values. */
   def blend(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 32): DataFrame = {
-    val spark = df.sparkSession
     val sigs = signals(col(textCol))
     val sigNames = sigs.map(_._1)
 
-    // pass 1: per-signal min/max — one tiny aggregate row, broadcast
-    val statsRow = df.agg(
+    // pass 1: per-signal min/max — ONE aggregate row on the driver
+    val sr = df.agg(
       count(lit(1)).as("_n"),
       sigs.flatMap { case (nm, c) =>
         Seq(min(c).as(s"_min_$nm"), max(c).as(s"_max_$nm"))
-      }: _*)
-    val stats = broadcast(statsRow)
+      }: _*).head()
+    val n = sr.getAs[Long]("_n")
+    val rng = sigs.map { case (nm, _) =>
+      nm -> ((sr.getAs[Double](s"_min_$nm"), sr.getAs[Double](s"_max_$nm")))
+    }.toMap
 
-    // shared bucket-index expression: identical shape on the scoring and
-    // histogram sides (and in the SQL mirror) so every doc lands once
-    def bucketIdx(nm: String, c: Column): Column =
-      when(col(s"_max_$nm") === col(s"_min_$nm"), lit(0L))
-        .otherwise(least(lit(buckets - 1L),
-          floor(((c - col(s"_min_$nm")) / (col(s"_max_$nm") - col(s"_min_$nm")))
-            * buckets)))
-
-    // pass 2: histogram — (signal, bucket) counts, map-side combined to S·B
-    val withB = df.crossJoin(stats).select(
+    // shared bucket-index expression: identical arithmetic on the histogram
+    // and scoring sides (and in the SQL mirror) so every doc lands once
+    def bucketIdx(nm: String, c: Column): Column = {
+      val (lo, hi) = rng(nm)
+      if (hi == lo) lit(0L)
+      else least(lit(buckets - 1L), floor(((c - lit(lo)) / lit(hi - lo)) * buckets))
+    }
+    def withB(base: DataFrame): DataFrame = base.select(
       col(idCol) +: sigs.map { case (nm, c) => bucketIdx(nm, c).as(s"_b_$nm") }: _*)
-    val hist = withB
+
+    // pass 2: histogram — map-side combined to ≤ S·B rows, driver-collected
+    val hist = withB(df)
       .select(explode(array(sigNames.map(nm =>
         struct(lit(nm).as("sig"), col(s"_b_$nm").as("bucket"))): _*)).as("sb"))
       .groupBy(col("sb.sig").as("sig"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .collect()
 
-    // pass 3: running-sum CDF over the S·B-row histogram, broadcast back
-    import org.apache.spark.sql.expressions.Window
-    val cdf = hist.withColumn("cum",
-      sum(col("cnt")).over(
-        Window.partitionBy("sig").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = broadcast(statsRow.select(col("_n")))
-    val cdfT = broadcast(
-      cdf.crossJoin(n).select(col("sig"), col("bucket"),
-        (col("cum").cast("double") / col("_n")).as("cdfv")))
+    // running-sum CDF per signal as a B-length literal lookup array
+    val cdfArr: Map[String, Seq[Double]] = sigNames.map { nm =>
+      val counts = hist.filter(_.getAs[String]("sig") == nm)
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+      var cum = 0L
+      nm -> (0 until buckets).map { b =>
+        cum += counts.getOrElse(b.toLong, 0L)
+        cum.toDouble / n
+      }
+    }.toMap
 
-    val joined = sigNames.foldLeft(withB) { (acc, nm) =>
-      acc.join(
-        cdfT.where(col("sig") === nm)
-          .select(col("bucket").as(s"_b_$nm"), col("cdfv").as(s"_cdf_$nm")),
-        Seq(s"_b_$nm"))
-    }
-    joined.select(col(idCol),
-        round(sigNames.map(nm => col(s"_cdf_$nm")).reduce(_ + _) / sigNames.size, 6)
-          .as("blend"))
+    // pass 3: scoring — a pure projection, zero joins
+    withB(df)
+      .select(col(idCol),
+        round(sigNames.map(nm =>
+            element_at(typedLit(cdfArr(nm)), col(s"_b_$nm").cast("int") + 1))
+          .reduce(_ + _) / sigNames.size, 6).as("blend"))
       .withColumn("decile", least(lit(9L), floor(col("blend") * 10)))
       .orderBy(idCol)
   }

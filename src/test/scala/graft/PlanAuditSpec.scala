@@ -279,4 +279,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"feedback semi-join should broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"product join in PRF:\n$plan")
   }
+
+  test("scd2_merge: update batch broadcasts; the snapshot never shuffle-joins") {
+    val plan = planOf(SparkEntry.queries("scd2_merge")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"snapshot shuffled for a join (the anti-join must run against the " +
+        s"batch-bounded matched set, not the corpus):\n$plan")
+    assert(plan.contains("Generate"),
+      s"version legs should come from ONE generator pass:\n$plan")
+  }
+
+  test("quality_blend: scoring is scan → project → sort — zero joins, zero windows") {
+    // the percent_rank plan this replaces is Exchange SinglePartition + Sort
+    // per signal; here the CDF is a driver-folded literal lookup, so the
+    // returned (scoring) plan must have no join or window at all and only
+    // the final presentation ORDER BY
+    val plan = planOf(SparkEntry.queries("quality_blend")(spark, sf))
+    assert("rangepartitioning".r.findAllIn(plan).size <= 1,
+      s"corpus-sized sort beyond the final ORDER BY:\n$plan")
+    assert(!plan.contains("Join"), s"CDF lookup should be a literal, not a join:\n$plan")
+    assert(!plan.contains("Window"), s"no window should survive into scoring:\n$plan")
+  }
+
+  test("minhash_calib: pair-bounded equi-joins, partial agg before the bucket shuffle") {
+    val plan = planOf(SparkEntry.queries("minhash_calib")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure in the calibration plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"bucket aggregation should map-side combine:\n$plan")
+  }
 }

@@ -67,7 +67,11 @@ object ScaleSmoke {
     "neardup_triangles", "prf_expand", "psi_drift", "simhash_pairs",
     "asof_join_fwd", "vocab_coverage", "shard_mix", "dup_inflation",
     "jm_logprob", "multimodal_profile", "contrastive_triplets",
-    "ab_conversion")
+    "ab_conversion",
+    // round-5 session-5: SCD2 broadcast upsert, histogram-CDF blend (three
+    // scans, zero corpus sorts), calibration over cold-built pairs; plus
+    // gopher_rules (session-3, never smoked)
+    "scd2_merge", "quality_blend", "minhash_calib", "gopher_rules")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -99,6 +103,14 @@ object ScaleSmoke {
             k = 8, rowsPerBand = 2, threshold = 0.2),
           Tables.documents(s, dir), "doc_id")
           .orderBy("anchor", "positive")),
+      // ... and the calibration audit (cold pair build + calibrate)
+      "minhash_calib" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        operators.Dedup.minhashCalibration(
+          operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+            k = 8, rowsPerBand = 2, threshold = 0.2),
+          docs, "doc_id", "text", k = 8, buckets = 4)
+      }),
       // ... and the inflation factor
       "dup_inflation" -> ((s, dir) => {
         val docs = Tables.documents(s, dir)
