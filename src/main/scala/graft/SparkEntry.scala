@@ -673,6 +673,30 @@ object SparkEntry {
     "decay_agg" -> ((s, dir) =>
       operators.EventSeq.decayAgg(ev(s, dir), "user_id", "ts", "value",
         halfLifeSec = 3 * 86400L)),
+    // per-user daily series on a complete day grid, missing days forward-
+    // filled — resample+ffill; per-key windows sort calendar spans, not
+    // event counts
+    "gap_fill" -> ((s, dir) =>
+      operators.Temporal.gapFill(ev(s, dir), "user_id", "ts", "value")),
+    // long→wide pivot with an explicit value set (one agg shuffle; the
+    // values-discovery distinct job never runs)
+    "pivot_counts" -> ((s, dir) =>
+      operators.Reshape.pivotCounts(ev(s, dir), "user_id", "event_type",
+        Seq("click", "view", "purchase", "signup", "error"))),
+    // wide→long melt of the pivot — the round trip reproduces the plain
+    // groupBy counts, which is exactly what the oracle checks
+    "unpivot_wide" -> ((s, dir) =>
+      operators.Reshape.meltCounts(
+          operators.Reshape.pivotCounts(ev(s, dir), "user_id", "event_type",
+            Seq("click", "view", "purchase", "signup", "error")),
+          "user_id", Seq("click", "view", "purchase", "signup", "error"),
+          "event_type", "n")
+        .where(col("n") > 0)
+        .orderBy("user_id", "event_type")),
+    // embedding-table hygiene gate: dim consistency, zero vectors, norm
+    // range per label — one scan, label-bounded agg
+    "embed_hygiene" -> ((s, dir) =>
+      operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
     // canonical text normalization (NFC + control/zero-width strip +
     // whitespace collapse) over deterministically-dirtied fixture text;
     // both engines build the same dirty input, so the normalizer itself is
@@ -1997,6 +2021,18 @@ object SparkEntry {
     "decay_agg" ->
       operators.EventSeq.decayAggSql("events", "user_id", "ts", "value",
         halfLifeSec = 3 * 86400L),
+    "gap_fill" ->
+      operators.Temporal.gapFillSql("events", "user_id", "ts", "value"),
+    "pivot_counts" ->
+      operators.Reshape.pivotCountsSql("events", "user_id", "event_type",
+        Seq("click", "view", "purchase", "signup", "error")),
+    // the melt(pivot(x)) round trip must land back on the plain counts —
+    // an oracle independent of both reshaping operators
+    "unpivot_wide" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+         GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "embed_hygiene" ->
+      operators.Audit.embedHygieneSql("embeddings", "embedding", "label"),
     "text_normalize" -> {
       val dirty = "'  ' || text || chr(9) || chr(9) || chr(8203) || 'z' || " +
         "chr(13) || chr(10) || 'y' || chr(1) || '  '"

@@ -84,4 +84,45 @@ object Audit {
           (col("total_tokens") - col("removable_tokens")).cast("double"), 6)
           .as("inflation"))
   }
+
+  /** Embedding-table hygiene report: per label, the counts and norm
+    * statistics a vector pipeline gates ingest on — dimension consistency
+    * (a ragged dim means a broken producer), zero vectors (cosine is
+    * undefined on them; they silently poison ANN indexes), and the norm
+    * range (collapsed or exploding norms flag a bad encoder checkpoint).
+    *
+    * Shape: ONE scan, one label-bounded aggregation; norms are the same
+    * float→double left-fold [[Similarity.norm]] the retrieval operators
+    * use, rounded to 6 decimals BEFORE aggregating so the DECIMAL(18,6)
+    * mean is exact and partitioning-order-immune.
+    */
+  def embedHygiene(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val nrm = round(Similarity.norm(col(vecCol)), 6)
+    df.select(col(labelCol).as("label"),
+        size(col(vecCol)).cast("long").as("_dim"),
+        nrm.as("_nrm"),
+        when(nrm === 0.0, 1L).otherwise(0L).as("_z"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min("_dim").as("dim_min"), max("_dim").as("dim_max"),
+        sum("_z").as("n_zero"),
+        round(sum(col("_nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_norm"),
+        min("_nrm").as("min_norm"), max("_nrm").as("max_norm"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[embedHygiene]]. */
+  def embedHygieneSql(tbl: String, vecCol: String, labelCol: String): String =
+    s"""WITH e AS (SELECT $labelCol AS label,
+            CAST(len($vecCol) AS BIGINT) AS dim,
+            round(sqrt(list_sum(list_transform($vecCol,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+          FROM $tbl)
+        SELECT label, COUNT(*) AS n,
+          MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+          CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+          MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+        FROM e GROUP BY label ORDER BY label"""
 }

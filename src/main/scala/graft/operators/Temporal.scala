@@ -126,4 +126,56 @@ object Temporal {
                 / CAST(n_buckets AS DOUBLE)
                 / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 4) AS fano
         FROM agg CROSS JOIN span ORDER BY $keyCol"""
+
+  /** Daily gap fill with forward fill (time-series densification): per key,
+    * the daily value series on a COMPLETE day grid between that key's first
+    * and last active day, missing days carrying the last observed value —
+    * the resample-and-ffill primitive behind per-entity rate dashboards and
+    * any model that needs a dense regular series from a sparse event log.
+    *
+    * Shape: daily totals are one map-side-combinable (key, day) aggregation;
+    * the grid materializes per key via `sequence()` explode (output is
+    * Σ per-key span-days — the densified series itself, nothing bigger);
+    * the fill is one `last(_, ignoreNulls)` window per key ordered by day.
+    * Per-key windows sort only that key's days (bounded by the calendar
+    * span, never the event count) — no global sort anywhere. Daily sums
+    * accumulate via DECIMAL(18,6), so partitioning cannot reorder float
+    * addition.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast("decimal(18,6)")).cast("double").as("v"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_fill"),
+        col("v").isNull.as("filled"))
+      .orderBy(keyCol, "day")
+  }
+
+  /** DuckDB mirror of [[gapFill]]. */
+  def gapFillSql(tbl: String, keyCol: String, tsCol: String,
+      valCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day,
+            CAST(SUM(CAST($valCol AS DECIMAL(18,6))) AS DOUBLE) AS v
+          FROM $tbl GROUP BY 1, 2),
+        span AS (SELECT $keyCol, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        grid AS (SELECT $keyCol, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                   CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        g AS (SELECT grid.$keyCol, grid.day, daily.v
+              FROM grid LEFT JOIN daily USING ($keyCol, day))
+        SELECT $keyCol, strftime(day, '%Y-%m-%d') AS day,
+          round(last_value(v IGNORE NULLS) OVER (PARTITION BY $keyCol ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_fill,
+          v IS NULL AS filled
+        FROM g ORDER BY $keyCol, day"""
 }

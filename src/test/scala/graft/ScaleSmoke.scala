@@ -71,7 +71,10 @@ object ScaleSmoke {
     // round-5 session-5: SCD2 broadcast upsert, histogram-CDF blend (three
     // scans, zero corpus sorts), calibration over cold-built pairs; plus
     // gopher_rules (session-3, never smoked)
-    "scd2_merge", "quality_blend", "minhash_calib", "gopher_rules")
+    "scd2_merge", "quality_blend", "minhash_calib", "gopher_rules",
+    // gap-fill grid (per-key calendar windows), pivot/melt reshaping,
+    // embedding hygiene scan
+    "gap_fill", "pivot_counts", "unpivot_wide", "embed_hygiene")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

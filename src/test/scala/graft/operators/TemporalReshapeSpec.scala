@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-5 session-5 operators: daily gap fill, pivot/melt, embedding
+  * hygiene.
+  */
+class TemporalReshapeSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("temporal-reshape-spec")
+    .getOrCreate()
+
+  // ------------------------------------------------------------- gap fill
+
+  test("gap fill: missing days appear, carry the last value, and are flagged") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 11:00:00", 7.0), // day 1 total 12
+      (1L, "2024-01-04 09:00:00", 3.0), // days 2-3 missing
+      (2L, "2024-01-02 08:00:00", 1.0)  // single-day key: no gaps
+    ).toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    val out = Temporal.gapFill(ev, "user_id", "ts", "value")
+      .select($"user_id", $"day", $"v_fill", $"filled")
+      .as[(Long, String, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 12.0, false),
+      (1L, "2024-01-02", 12.0, true),
+      (1L, "2024-01-03", 12.0, true),
+      (1L, "2024-01-04", 3.0, false),
+      (2L, "2024-01-02", 1.0, false)
+    ))
+  }
+
+  test("gap fill on fixture events: grid is complete and per-key contiguous") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Temporal.gapFill(ev, "user_id", "ts", "value").cache()
+    try {
+      // every key's row count equals its inclusive day span
+      val spans = out.groupBy("user_id")
+        .agg(count(lit(1)).as("rows"),
+          datediff(max(to_date(col("day"))), min(to_date(col("day")))).as("span"))
+      assert(spans.where(col("rows") =!= col("span") + 1).count() == 0)
+      assert(out.where(col("v_fill").isNull).count() == 0)
+    } finally out.unpersist()
+  }
+
+  // ---------------------------------------------------------- pivot/melt
+
+  test("pivot then melt round-trips to the plain groupBy counts") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val vals = Seq("click", "view", "purchase", "signup", "error")
+    val wide = Reshape.pivotCounts(ev, "user_id", "event_type", vals)
+    val melted = Reshape.meltCounts(wide, "user_id", vals, "event_type", "n")
+      .where(col("n") > 0)
+    val direct = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    assert(melted.exceptAll(direct).isEmpty && direct.exceptAll(melted).isEmpty)
+  }
+
+  test("pivot: absent (key, value) combos are zero, not null") {
+    import spark.implicits._
+    val ev = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("user_id", "event_type")
+    val wide = Reshape.pivotCounts(ev, "user_id", "event_type", Seq("a", "b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L, 0L), (2L, 0L, 1L)))
+  }
+
+  // ------------------------------------------------------ embed hygiene
+
+  test("embed hygiene: zero vectors and ragged dims are surfaced per label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),       // norm 5
+      (2L, Seq(0.0f, 0.0f), 0),       // zero vector
+      (3L, Seq(1.0f, 0.0f, 0.0f), 1)  // dim 3
+    ).toDF("vec_id", "embedding", "label")
+    val out = Audit.embedHygiene(emb, "embedding", "label")
+      .select($"label", $"n", $"dim_min", $"dim_max", $"n_zero", $"min_norm", $"max_norm")
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(out == Set(
+      (0, 2L, 2L, 2L, 1L, 0.0, 5.0),
+      (1, 1L, 3L, 3L, 0L, 1.0, 1.0)
+    ))
+  }
+}
