@@ -697,6 +697,18 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // gate-agreement governance: confusion matrix + Cohen's kappa between
+    // the Gopher rule gate and the token-entropy gate (threshold at the
+    // corpus median) — one id join of two boolean relations, one row out
+    "filter_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Audit.filterAgreement(
+        TextAnalysis.gopherRules(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep")),
+        TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), (col("entropy") >= 3.1).as("keep_e")),
+        "doc_id", "keep", "keep_e")
+    }),
     // canonical text normalization (NFC + control/zero-width strip +
     // whitespace collapse) over deterministically-dirtied fixture text;
     // both engines build the same dirty input, so the normalizer itself is
@@ -2033,6 +2045,12 @@ object SparkEntry {
          GROUP BY user_id, event_type ORDER BY user_id, event_type""",
     "embed_hygiene" ->
       operators.Audit.embedHygieneSql("embeddings", "embedding", "label"),
+    "filter_agreement" ->
+      s"""WITH ga AS (SELECT doc_id, keep AS a FROM (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})),
+         gb AS (SELECT doc_id, entropy >= 3.1 AS b FROM (
+             ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")})),
+         ${operators.Audit.filterAgreementSql("doc_id")}""",
     "text_normalize" -> {
       val dirty = "'  ' || text || chr(9) || chr(9) || chr(8203) || 'z' || " +
         "chr(13) || chr(10) || 'y' || chr(1) || '  '"

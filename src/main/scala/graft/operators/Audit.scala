@@ -112,6 +112,63 @@ object Audit {
       .orderBy("label")
   }
 
+  /** Filter-agreement audit: the 2×2 confusion matrix and Cohen's kappa
+    * between two document gates (e.g. a rule gate vs a statistical gate) —
+    * the governance readout that tells a curator whether a cheap filter can
+    * replace an expensive one, and how much of the corpus the gates fight
+    * over. Kappa corrects raw agreement for chance agreement of the gates'
+    * marginal keep-rates.
+    *
+    * Shape: one id-keyed join of two (id, flag) relations (compact booleans
+    * — the gates themselves run in their own scans), one 4-cell aggregate,
+    * one output row. Chance agreement multiplies counts as doubles so the
+    * products cannot overflow at any corpus size.
+    */
+  def filterAgreement(gateA: DataFrame, gateB: DataFrame, idCol: String,
+      aCol: String, bCol: String): DataFrame = {
+    val j = gateA.select(col(idCol), col(aCol).cast("boolean").as("_fa_a"))
+      .join(gateB.select(col(idCol), col(bCol).cast("boolean").as("_fa_b")),
+        Seq(idCol))
+    val cells = j.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_fa_a") && col("_fa_b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("_fa_a") && !col("_fa_b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("_fa_a") && col("_fa_b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("_fa_a") && !col("_fa_b"), 1L).otherwise(0L)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")).cast("double") *
+        (col("n11") + col("n01")).cast("double") +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00")).cast("double")) / (nD * nD)
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(pe === 1.0, lit(1.0))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** DuckDB mirror of [[filterAgreement]] over CTEs `ga(id, a)` and
+    * `gb(id, b)` that the caller prepends (id column named `idCol`).
+    */
+  def filterAgreementSql(idCol: String): String =
+    s"""j AS (SELECT ga.a AS a, gb.b AS b FROM ga JOIN gb USING ($idCol)),
+       c AS (SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         FROM j),
+       k AS (SELECT n, n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+            CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         FROM c)
+       SELECT n, n11, n10, n01, n00, round(po, 6) AS po, round(pe, 6) AS pe,
+         CASE WHEN pe = 1.0 THEN 1.0
+              ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+       FROM k"""
+
   /** DuckDB mirror of [[embedHygiene]]. */
   def embedHygieneSql(tbl: String, vecCol: String, labelCol: String): String =
     s"""WITH e AS (SELECT $labelCol AS label,

@@ -74,7 +74,8 @@ object ScaleSmoke {
     "scd2_merge", "quality_blend", "minhash_calib", "gopher_rules",
     // gap-fill grid (per-key calendar windows), pivot/melt reshaping,
     // embedding hygiene scan
-    "gap_fill", "pivot_counts", "unpivot_wide", "embed_hygiene")
+    "gap_fill", "pivot_counts", "unpivot_wide", "embed_hygiene",
+    "filter_agreement")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -82,6 +82,27 @@ class ScdQualitySpec extends AnyFunSuite {
     assert(rows.zip(rows.tail).forall { case (a, b) => a <= b })
   }
 
+  // ----------------------------------------------------- filter agreement
+
+  test("filter agreement: independent gates score kappa 0, identical gates 1") {
+    import spark.implicits._
+    // 2x2 balanced: po = 0.5 equals chance agreement pe = 0.5 -> kappa 0
+    val a = Seq((1L, true), (2L, true), (3L, false), (4L, false)).toDF("id", "ka")
+    val b = Seq((1L, true), (2L, false), (3L, true), (4L, false)).toDF("id", "kb")
+    val r0 = Audit.filterAgreement(a, b, "id", "ka", "kb").collect().head
+    assert(r0.getAs[Double]("kappa") == 0.0 && r0.getAs[Long]("n") == 4L &&
+      r0.getAs[Long]("n11") == 1L && r0.getAs[Long]("n00") == 1L)
+    // identical mixed gates -> po = 1, pe < 1 -> kappa 1
+    val r1 = Audit.filterAgreement(a, a.withColumnRenamed("ka", "kb"), "id", "ka", "kb")
+      .collect().head
+    assert(r1.getAs[Double]("kappa") == 1.0)
+    // degenerate: both gates all-true -> pe = 1, kappa pinned to 1
+    val t = Seq((1L, true), (2L, true)).toDF("id", "ka")
+    val r2 = Audit.filterAgreement(t, t.withColumnRenamed("ka", "kb"), "id", "ka", "kb")
+      .collect().head
+    assert(r2.getAs[Double]("kappa") == 1.0)
+  }
+
   // --------------------------------------------------- minhash calibration
 
   test("minhash calibration: bucket-bounded output, means in [0,1], pairs conserved") {
