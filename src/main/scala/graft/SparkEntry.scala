@@ -697,6 +697,19 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // incremental aggregate maintenance: merge(agg(A), agg(B)) over md5
+    // event halves must equal agg(A ∪ B) — counts add, DECIMAL sums add
+    // exactly, min/max via least/greatest; the oracle is the DIRECT
+    // aggregate, independent of the merge path
+    "incr_agg_merge" -> ((s, dir) => {
+      val evts = ev(s, dir)
+      val half = conv(substring(md5(concat(lit("incr:"),
+        col("event_id").cast("string"))), 1, 2), 16, 10).cast("int") % 2
+      operators.Incremental.merge(
+        operators.Incremental.aggState(evts.where(half === 0), "event_type", "value"),
+        operators.Incremental.aggState(evts.where(half === 1), "event_type", "value"),
+        "event_type")
+    }),
     // gate-agreement governance: confusion matrix + Cohen's kappa between
     // the Gopher rule gate and the token-entropy gate (threshold at the
     // corpus median) — one id join of two boolean relations, one row out
@@ -2045,6 +2058,11 @@ object SparkEntry {
          GROUP BY user_id, event_type ORDER BY user_id, event_type""",
     "embed_hygiene" ->
       operators.Audit.embedHygieneSql("embeddings", "embedding", "label"),
+    "incr_agg_merge" ->
+      """SELECT event_type, COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total,
+         round(MIN(value), 6) AS vmin, round(MAX(value), 6) AS vmax
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "filter_agreement" ->
       s"""WITH ga AS (SELECT doc_id, keep AS a FROM (
              ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})),

@@ -82,6 +82,35 @@ class ScdQualitySpec extends AnyFunSuite {
     assert(rows.zip(rows.tail).forall { case (a, b) => a <= b })
   }
 
+  // ------------------------------------------------- incremental agg merge
+
+  test("incr agg merge: merge of split states equals the direct aggregate") {
+    import spark.implicits._
+    val evts = graft.Tables.events(spark, sf)
+    val half = pmod(col("event_id"), lit(2))
+    val merged = Incremental.merge(
+      Incremental.aggState(evts.where(half === 0), "event_type", "value"),
+      Incremental.aggState(evts.where(half === 1), "event_type", "value"),
+      "event_type")
+    val direct = evts.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("total"),
+        round(min("value"), 6).as("vmin"), round(max("value"), 6).as("vmax"))
+      .orderBy("event_type")
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("incr agg merge: keys unique to either side carry through") {
+    import spark.implicits._
+    val a = Seq(("x", 1.0), ("x", 2.0)).toDF("k", "v")
+    val b = Seq(("y", 5.0)).toDF("k", "v")
+    val out = Incremental.merge(
+        Incremental.aggState(a, "k", "v"), Incremental.aggState(b, "k", "v"), "k")
+      .select($"k", $"n", $"total", $"vmin", $"vmax")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("x", 2L, 3.0, 1.0, 2.0), ("y", 1L, 5.0, 5.0, 5.0)))
+  }
+
   // ----------------------------------------------------- filter agreement
 
   test("filter agreement: independent gates score kappa 0, identical gates 1") {
