@@ -697,6 +697,12 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // expanding-window time-based CV folds: fold i trains on days ≤ b_i,
+    // validates on (b_i, b_i+1] — event-mass-balanced boundaries, all
+    // integer-derived; everything past the day agg runs on the bounded
+    // day relation
+    "time_folds" -> ((s, dir) =>
+      operators.Temporal.timeFolds(ev(s, dir), "ts", k = 4)),
     // incremental aggregate maintenance: merge(agg(A), agg(B)) over md5
     // event halves must equal agg(A ∪ B) — counts add, DECIMAL sums add
     // exactly, min/max via least/greatest; the oracle is the DIRECT
@@ -2058,6 +2064,8 @@ object SparkEntry {
          GROUP BY user_id, event_type ORDER BY user_id, event_type""",
     "embed_hygiene" ->
       operators.Audit.embedHygieneSql("embeddings", "embedding", "label"),
+    "time_folds" ->
+      operators.Temporal.timeFoldsSql("events", "ts", k = 4),
     "incr_agg_merge" ->
       """SELECT event_type, COUNT(*) AS n,
          round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total,

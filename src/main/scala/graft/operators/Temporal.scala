@@ -162,6 +162,78 @@ object Temporal {
       .orderBy(keyCol, "day")
   }
 
+  /** Expanding-window time-based cross-validation folds — the
+    * leakage-safe split discipline for anything trained on a time series
+    * (random splits leak the future into training; rolling-retrain
+    * evaluation needs fold i to train strictly before it validates).
+    * Fold i of k trains on days ≤ b_i and validates on (b_i, b_(i+1)],
+    * where b_i is the first day whose cumulative event count reaches
+    * ⌈i·N/k⌉ — so folds are event-mass-balanced, not calendar-balanced,
+    * and every boundary statistic is integer-derived (engine-identical).
+    *
+    * Shape: one map-side-combinable (day, count) aggregation of the fact
+    * stream; everything after runs on the DAY relation — calendar-span-
+    * sized, so its global cumulative window is bounded no matter the event
+    * volume. Output: k−1 fold rows.
+    */
+  def timeFolds(df: DataFrame, tsCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"timeFolds: need k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val days = df.groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("c"))
+    // window over the day relation only (bounded by the calendar span)
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = days.withColumn("cum", sum("c").over(w))
+    val tot = cum.agg(max(col("cum")).as("n"))
+    val withT = cum.crossJoin(broadcast(tot))
+    def thresh(i: Int) = expr(s"CAST((n * $i + ${k - 1}) DIV $k AS BIGINT)")
+    val bounds = withT.agg(
+      min(when(col("cum") >= thresh(1), col("day"))).as("b1"),
+      ((2 to k - 1).flatMap { i =>
+        Seq(min(when(col("cum") >= thresh(i), col("day"))).as(s"b$i"),
+          min(when(col("cum") >= thresh(i), col("cum"))).as(s"cum$i"))
+      } ++ Seq(
+        min(when(col("cum") >= thresh(1), col("cum"))).as("cum1"),
+        max(col("day")).as(s"b$k"), max(col("cum")).as(s"cum$k"))): _*)
+    bounds.select(explode(array((1 until k).map { i =>
+        struct(lit(i.toLong).as("fold"),
+          date_format(col(s"b$i"), "yyyy-MM-dd").as("train_end"),
+          date_format(col(s"b${i + 1}"), "yyyy-MM-dd").as("val_end"),
+          col(s"cum$i").as("n_train"),
+          (col(s"cum${i + 1}") - col(s"cum$i")).as("n_val"))
+      }: _*)).as("f"))
+      .select(col("f.fold").as("fold"), col("f.train_end").as("train_end"),
+        col("f.val_end").as("val_end"), col("f.n_train").as("n_train"),
+        col("f.n_val").as("n_val"))
+      .orderBy("fold")
+  }
+
+  /** DuckDB mirror of [[timeFolds]]. */
+  def timeFoldsSql(tbl: String, tsCol: String, k: Int): String = {
+    val boundCols = (1 until k).flatMap { i =>
+      Seq(
+        s"MIN(CASE WHEN cum >= (n * $i + ${k - 1}) // $k THEN day END) AS b$i",
+        s"MIN(CASE WHEN cum >= (n * $i + ${k - 1}) // $k THEN cum END) AS cum$i")
+    }.mkString(",\n           ") +
+      s",\n           MAX(day) AS b$k, MAX(cum) AS cum$k"
+    val foldRows = (1 until k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS fold,
+          strftime(b$i, '%Y-%m-%d') AS train_end,
+          strftime(b${i + 1}, '%Y-%m-%d') AS val_end,
+          cum$i AS n_train, cum${i + 1} - cum$i AS n_val FROM b"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH days AS (SELECT CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1),
+         cum AS (SELECT day, CAST(SUM(c) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM days),
+         tot AS (SELECT MAX(cum) AS n FROM cum),
+         b AS (SELECT
+           $boundCols
+           FROM cum CROSS JOIN tot)
+         $foldRows
+         ORDER BY fold"""
+  }
+
   /** DuckDB mirror of [[gapFill]]. */
   def gapFillSql(tbl: String, keyCol: String, tsCol: String,
       valCol: String): String =

@@ -50,6 +50,38 @@ class TemporalReshapeSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  // ---------------------------------------------------------- time folds
+
+  test("time folds: uniform mass splits on exact day boundaries") {
+    import spark.implicits._
+    // 2 events/day over 4 days, k=4: thresholds 2i land exactly on day i
+    val ev = (1 to 4).flatMap(d => Seq(1, 2).map(h =>
+        (s"2024-03-0$d 0$h:00:00", 1.0)))
+      .toDF("s", "value")
+      .select(to_timestamp($"s").as("ts"), $"value")
+    val out = Temporal.timeFolds(ev, "ts", k = 4)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-03-01", "2024-03-02", 2L, 2L),
+      (2L, "2024-03-02", "2024-03-03", 4L, 2L),
+      (3L, "2024-03-03", "2024-03-04", 6L, 2L)))
+  }
+
+  test("time folds on fixture events: expanding, conserving, never leaking") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val total = ev.count()
+    val folds = Temporal.timeFolds(ev, "ts", k = 4).collect()
+    assert(folds.length == 3)
+    val nTrain = folds.map(_.getAs[Long]("n_train"))
+    assert(nTrain.zip(nTrain.tail).forall { case (a, b) => a < b })
+    folds.foreach { f =>
+      assert(f.getAs[String]("train_end") < f.getAs[String]("val_end"))
+    }
+    // last fold's train+val mass is the whole corpus
+    val last = folds.last
+    assert(last.getAs[Long]("n_train") + last.getAs[Long]("n_val") == total)
+  }
+
   // ---------------------------------------------------------- pivot/melt
 
   test("pivot then melt round-trips to the plain groupBy counts") {
