@@ -697,6 +697,17 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // ANALYZE-style table profile of the event log: exact per-column
+    // distinct via distinct-then-count; doubles printf'd so both engines
+    // format identically
+    "profile_stats" -> ((s, dir) =>
+      operators.Profile.stats(ev(s, dir), Seq(
+        ("event_id", col("event_id"), false),
+        ("user_id", col("user_id"), false),
+        ("event_type", col("event_type"), false),
+        ("value", col("value"), true),
+        ("props", col("props"), false),
+        ("ts_ms", unix_millis(col("ts")), false)))),
     // expanding-window time-based CV folds: fold i trains on days ≤ b_i,
     // validates on (b_i, b_i+1] — event-mass-balanced boundaries, all
     // integer-derived; everything past the day agg runs on the bounded
@@ -2066,6 +2077,14 @@ object SparkEntry {
       operators.Audit.embedHygieneSql("embeddings", "embedding", "label"),
     "time_folds" ->
       operators.Temporal.timeFoldsSql("events", "ts", k = 4),
+    "profile_stats" ->
+      operators.Profile.statsSql("events", Seq(
+        ("event_id", "event_id", false),
+        ("user_id", "user_id", false),
+        ("event_type", "event_type", false),
+        ("value", "value", true),
+        ("props", "props", false),
+        ("ts_ms", "epoch_ms(ts)", false))),
     "incr_agg_merge" ->
       """SELECT event_type, COUNT(*) AS n,
          round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total,

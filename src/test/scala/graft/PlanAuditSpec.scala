@@ -303,6 +303,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window should survive into scoring:\n$plan")
   }
 
+  test("runtime bloom-filter join: a selective build side injects might_contain on the probe") {
+    // the 100 TB fact-fact join lever beyond AQE: with runtime bloom
+    // filters on, a selective dimension slice plants a bloom probe on the
+    // fact scan so non-joining rows die before the shuffle. Spec-only (the
+    // conf is session-global, so board queries never flip it).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // force the shuffle join regime the filter exists for (broadcast
+      // joins prune by themselves)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ord = Tables.orders(spark, sf).where(col("o_totalprice") > 400000)
+      val li = Tables.lineitem(spark, sf)
+      val plan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("minhash_calib: pair-bounded equi-joins, partial agg before the bucket shuffle") {
     val plan = planOf(SparkEntry.queries("minhash_calib")(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -75,7 +75,7 @@ object ScaleSmoke {
     // gap-fill grid (per-key calendar windows), pivot/melt reshaping,
     // embedding hygiene scan
     "gap_fill", "pivot_counts", "unpivot_wide", "embed_hygiene",
-    "filter_agreement", "incr_agg_merge", "time_folds")
+    "filter_agreement", "incr_agg_merge", "time_folds", "profile_stats")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

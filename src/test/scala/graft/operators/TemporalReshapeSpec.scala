@@ -102,6 +102,26 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(wide == Set((1L, 2L, 0L), (2L, 0L, 1L)))
   }
 
+  // ------------------------------------------------------- table profile
+
+  test("profile stats: nulls counted, distincts exclude nulls, strings digest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("aa"), Some(1.5)),
+      (2L, None, Some(1.5)),
+      (3L, Some("bb"), None),
+      (4L, Some("aa"), Some(2.0))
+    ).toDF("id", "s", "v")
+    val out = Profile.stats(df, Seq(
+        ("id", col("id"), false), ("s", col("s"), false), ("v", col("v"), true)))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(out("id").getAs[Long]("n_null") == 0 && out("id").getAs[Long]("n_distinct") == 4)
+    assert(out("s").getAs[Long]("n_null") == 1 && out("s").getAs[Long]("n_distinct") == 2)
+    assert(out("s").getAs[String]("vmin") == "aa" && out("s").getAs[String]("vmax") == "bb")
+    assert(out("v").getAs[Long]("n_null") == 1 && out("v").getAs[Long]("n_distinct") == 2)
+    assert(out("v").getAs[String]("vmax") == "2.000000")
+  }
+
   // ------------------------------------------------------ embed hygiene
 
   test("embed hygiene: zero vectors and ragged dims are surfaced per label") {
