@@ -75,6 +75,52 @@ class StreamKmvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bootstrapped state: batch-built sketch + streamed tail equals full-history batch") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val k = 16
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .orderBy("doc_id")
+      .select(col("source"), col("term"))
+      .as[(String, String)].collect()
+    val (head, tail) = pairs.splitAt(pairs.length / 2)
+
+    // offline recompute of the first half → initial state
+    val init = StreamKmv.batchState(
+      head.toSeq.toDF("source", "term"), "source", "term", k)
+
+    val source = MemoryStream[(String, String)]
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, RocksDb)
+    val q =
+      try StreamKmv.estimatesBootstrapped(source.toDS(), init, k)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("kmv_boot").start()
+      finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    try {
+      tail.grouped((tail.length + 1) / 2).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        """SELECT key, est_distinct FROM (
+             SELECT key, est_distinct,
+               row_number() OVER (PARTITION BY key ORDER BY n_seen DESC) AS rn
+             FROM kmv_boot) WHERE rn = 1""")
+        .as[(String, Double)].collect().toMap
+      val batch = graft.operators.Sketch
+        .kmvDistinctTokens(docs, "source", "text", k)
+        .as[(String, Double)].collect().toMap
+      // KMV merge is associative: bootstrap + tail ≡ full history, exactly
+      // (every fixture source gets tail data, so each emits post-bootstrap)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("sub-k keys report exact counts while the sketch is unsaturated") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
