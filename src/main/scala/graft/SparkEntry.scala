@@ -697,6 +697,42 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // sketch-accuracy audit #2 (the hist_quantiles counterpart of
+    // minhash_calib): per type, log-histogram quantile estimates vs exact
+    // percentiles, relative error — the readout that justifies trusting
+    // the bounded-state sketch at full scale
+    "quantile_calib" -> ((s, dir) => {
+      val evts = ev(s, dir)
+      val sk = operators.Sketch.logHistQuantiles(evts, "event_type", "value",
+        qs = Seq(0.5, 0.95, 0.99))
+      val ex = evts.where(col("value") > 0).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("e50"),
+        round(expr("percentile(value, 0.95)"), 4).as("e95"),
+        round(expr("percentile(value, 0.99)"), 4).as("e99"))
+      def err(p: Column, e: Column) = round(abs(p - e) / e, 6)
+      sk.join(ex, "event_type")
+        .select(col("event_type"), col("n"),
+          col("p50"), col("e50"), err(col("p50"), col("e50")).as("err50"),
+          col("p95"), col("e95"), err(col("p95"), col("e95")).as("err95"),
+          col("p99"), col("e99"), err(col("p99"), col("e99")).as("err99"))
+        .orderBy("event_type")
+    }),
+    // sketch-accuracy audit #3: KMV estimate vs exact distinct per source
+    "kmv_calib" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val est = operators.Sketch.kmvDistinctTokens(docs, "source", "text", k = 128)
+      val ex = docs
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .distinct()
+        .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      est.join(ex, "source")
+        .select(col("source"), col("exact_distinct"),
+          round(col("est_distinct"), 6).as("est_distinct"),
+          round(abs(col("est_distinct") - col("exact_distinct")) /
+            col("exact_distinct"), 6).as("rel_err"))
+        .orderBy("source")
+    }),
     // ANALYZE-style table profile of the event log: exact per-column
     // distinct via distinct-then-count; doubles printf'd so both engines
     // format identically
@@ -2077,6 +2113,40 @@ object SparkEntry {
       operators.Audit.embedHygieneSql("embeddings", "embedding", "label"),
     "time_folds" ->
       operators.Temporal.timeFoldsSql("events", "ts", k = 4),
+    "quantile_calib" -> {
+      val sk = operators.Sketch.logHistQuantilesSql("events", "event_type", "value",
+        qs = Seq(0.5, 0.95, 0.99))
+      s"""WITH sk AS ($sk),
+         ex AS (SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS e50,
+             round(quantile_cont(value, 0.95), 4) AS e95,
+             round(quantile_cont(value, 0.99), 4) AS e99
+           FROM events WHERE value > 0 GROUP BY event_type)
+         SELECT sk.event_type, n,
+           p50, e50, round(abs(p50 - e50) / e50, 6) AS err50,
+           p95, e95, round(abs(p95 - e95) / e95, 6) AS err95,
+           p99, e99, round(abs(p99 - e99) / e99, 6) AS err99
+         FROM sk JOIN ex ON sk.event_type = ex.event_type
+         ORDER BY sk.event_type"""
+    },
+    "kmv_calib" -> {
+      val k = 128
+      s"""WITH t AS (SELECT DISTINCT grp, term FROM (
+             SELECT source AS grp, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS term
+             FROM documents)),
+         h AS (SELECT grp, substr(md5(term), 1, 15) AS h FROM t),
+         r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+         a AS (SELECT grp, COUNT(*) AS k_actual, ('0x' || MAX(h))::BIGINT AS hkl
+             FROM r WHERE rn <= $k GROUP BY grp),
+         est AS (SELECT grp AS source, ${operators.Sketch.kmvEstimateSql(k)} AS est_distinct FROM a),
+         ex AS (SELECT grp AS source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+             FROM t GROUP BY grp)
+         SELECT est.source, exact_distinct,
+           round(est_distinct, 6) AS est_distinct,
+           round(abs(est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+         FROM est JOIN ex ON est.source = ex.source
+         ORDER BY est.source"""
+    },
     "profile_stats" ->
       operators.Profile.statsSql("events", Seq(
         ("event_id", "event_id", false),

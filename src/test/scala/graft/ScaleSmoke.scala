@@ -75,7 +75,8 @@ object ScaleSmoke {
     // gap-fill grid (per-key calendar windows), pivot/melt reshaping,
     // embedding hygiene scan
     "gap_fill", "pivot_counts", "unpivot_wide", "embed_hygiene",
-    "filter_agreement", "incr_agg_merge", "time_folds", "profile_stats")
+    "filter_agreement", "incr_agg_merge", "time_folds", "profile_stats",
+    "quantile_calib", "kmv_calib")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
