@@ -697,6 +697,11 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // Poisson-bootstrap CI of the mean event value: B deterministic
+    // Poisson(1) weights per row from md5 uniforms — one scan, a B-row
+    // aggregate, order statistics over B replica means; never B·N copies
+    "bootstrap_ci" -> ((s, dir) =>
+      operators.Bootstrap.meanCi(ev(s, dir), "event_id", "value", b = 32)),
     // sketch-accuracy audit #2 (the hist_quantiles counterpart of
     // minhash_calib): per type, log-histogram quantile estimates vs exact
     // percentiles, relative error — the readout that justifies trusting
@@ -2113,6 +2118,8 @@ object SparkEntry {
       operators.Audit.embedHygieneSql("embeddings", "embedding", "label"),
     "time_folds" ->
       operators.Temporal.timeFoldsSql("events", "ts", k = 4),
+    "bootstrap_ci" ->
+      operators.Bootstrap.meanCiSql("events", "event_id", "value", b = 32),
     "quantile_calib" -> {
       val sk = operators.Sketch.logHistQuantilesSql("events", "event_type", "value",
         qs = Seq(0.5, 0.95, 0.99))

@@ -102,6 +102,27 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(wide == Set((1L, 2L, 0L), (2L, 0L, 1L)))
   }
 
+  // ------------------------------------------------------ bootstrap CI
+
+  test("bootstrap CI brackets the mean on fixture events and is deterministic") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val r1 = Bootstrap.meanCi(ev, "event_id", "value", b = 64).collect().head
+    val r2 = Bootstrap.meanCi(ev, "event_id", "value", b = 64).collect().head
+    assert(r1 == r2) // fully deterministic resampling
+    val (lo, m, hi) = (r1.getAs[Double]("ci_lo"), r1.getAs[Double]("mean"),
+      r1.getAs[Double]("ci_hi"))
+    assert(lo < m && m < hi, s"CI [$lo, $hi] must bracket mean $m")
+    assert((hi - lo) / m < 0.5, s"CI implausibly wide: [$lo, $hi] around $m")
+  }
+
+  test("bootstrap CI degenerates to the point value on a constant column") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 7.5)).toDF("id", "v")
+    val r = Bootstrap.meanCi(df, "id", "v", b = 32).collect().head
+    assert(r.getAs[Double]("mean") == 7.5)
+    assert(r.getAs[Double]("ci_lo") == 7.5 && r.getAs[Double]("ci_hi") == 7.5)
+  }
+
   // ------------------------------------------------------- table profile
 
   test("profile stats: nulls counted, distincts exclude nulls, strings digest") {
