@@ -697,6 +697,11 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // Welch's t on purchase values between md5 arms — the continuous-
+    // metric companion to ab_conversion; DECIMAL-exact moments, one scan
+    "ab_value_ttest" -> ((s, dir) =>
+      operators.EventSeq.abValueTtest(ev(s, dir), "user_id", "event_type",
+        "value", convType = "purchase")),
     // Poisson-bootstrap CI of the mean event value: B deterministic
     // Poisson(1) weights per row from md5 uniforms — one scan, a B-row
     // aggregate, order statistics over B replica means; never B·N copies
@@ -2120,6 +2125,9 @@ object SparkEntry {
       operators.Temporal.timeFoldsSql("events", "ts", k = 4),
     "bootstrap_ci" ->
       operators.Bootstrap.meanCiSql("events", "event_id", "value", b = 32),
+    "ab_value_ttest" ->
+      operators.EventSeq.abValueTtestSql("events", "user_id", "event_type",
+        "value", convType = "purchase"),
     "quantile_calib" -> {
       val sk = operators.Sketch.logHistQuantilesSql("events", "event_type", "value",
         qs = Seq(0.5, 0.95, 0.99))

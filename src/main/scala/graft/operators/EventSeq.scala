@@ -432,6 +432,72 @@ object EventSeq {
              lit(1.0) / col("n_b").cast("double")), lit(1e-12))), 4).as("z"))
   }
 
+  /** Welch's t-test on per-event VALUES between the same md5 arms — the
+    * continuous-metric companion to [[abConversion]]'s proportions z
+    * (revenue-per-purchase experiments, where variances differ by arm and
+    * pooled-variance t would be wrong). Every moment folds from DECIMAL
+    * Σx / Σx² (exact, order-free); the t statistic and Welch–Satterthwaite
+    * df derive from those exact sums in one fixed double-arithmetic shape,
+    * so both engines agree bit-for-bit. One scan, a 2-row arm aggregate,
+    * one output row.
+    */
+  def abValueTtest(df: DataFrame, userCol: String, typeCol: String,
+      valCol: String, convType: String, salt: String = "arm"): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val x = col(valCol).cast("decimal(18,6)")
+    val arms = df.where(col(typeCol) === convType)
+      .select(arm, x.as("x"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val a = arms.where(col("arm") === 0)
+      .select(col("n").as("n_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = arms.where(col("arm") === 1)
+      .select(col("n").as("n_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    def m(sx: Column, n: Column) = sx.cast("double") / n.cast("double")
+    def v(sxx: Column, sx: Column, n: Column) =
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n.cast("double")) /
+        (n.cast("double") - 1.0)
+    val (ma, mb) = (m(col("sx_a"), col("n_a")), m(col("sx_b"), col("n_b")))
+    val (va, vb) = (v(col("sxx_a"), col("sx_a"), col("n_a")),
+      v(col("sxx_b"), col("sx_b"), col("n_b")))
+    val (wa, wb) = (va / col("n_a").cast("double"), vb / col("n_b").cast("double"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((ma - mb) / sqrt(greatest(wa + wb, lit(1e-12))), 4).as("t"),
+        round((wa + wb) * (wa + wb) /
+          greatest(wa * wa / (col("n_a").cast("double") - 1.0) +
+            wb * wb / (col("n_b").cast("double") - 1.0), lit(1e-12)), 2).as("df"))
+  }
+
+  /** DuckDB mirror of [[abValueTtest]]. */
+  def abValueTtestSql(tbl: String, userCol: String, typeCol: String,
+      valCol: String, convType: String, salt: String = "arm"): String =
+    s"""WITH e AS (SELECT
+           CAST('0x'||substr(md5('$salt:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST($valCol AS DECIMAL(18,6)) AS x
+         FROM $tbl WHERE $typeCol = '$convType'),
+       arms AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+         FROM e GROUP BY arm),
+       a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM arms WHERE arm = 0),
+       b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM arms WHERE arm = 1),
+       s AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+           (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE) AS wa,
+           (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS wb
+         FROM a CROSS JOIN b)
+       SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+         round((ma - mb) / sqrt(greatest(wa + wb, 1e-12)), 4) AS t,
+         round((wa + wb) * (wa + wb) /
+           greatest(wa * wa / (CAST(n_a AS DOUBLE) - 1.0) +
+             wb * wb / (CAST(n_b AS DOUBLE) - 1.0), 1e-12), 2) AS df
+       FROM s"""
+
   /** DuckDB mirror of [[abConversion]]. */
   def abConversionSql(tbl: String, userCol: String, typeCol: String,
       convType: String, minCount: Int = 1, salt: String = "arm"): String =

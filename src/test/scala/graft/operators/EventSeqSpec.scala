@@ -139,4 +139,27 @@ class EventSeqSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 3L, 5.0)), s"decay: $out")
   }
+
+  test("Welch t: planted arm separation yields a large |t|; counts conserve") {
+    import spark.implicits._
+    // value deterministically derived FROM the md5 arm: arm 0 → 10, arm 1
+    // → 20, plus a user-specific wobble so variances are nonzero
+    val users = (1L to 60L)
+    def armOf(u: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      ((h(0) & 0xff) % 2 + 2) % 2
+    }
+    val rows = users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, i.toLong * 1000L, "purchase",
+        10.0 + armOf(u) * 10.0 + (u % 3) * 0.1)
+    }.toSeq
+    val out = EventSeq.abValueTtest(events(rows), "user_id", "event_type",
+        "value", convType = "purchase").collect().head
+    assert(out.getAs[Long]("n_a") + out.getAs[Long]("n_b") == 60L)
+    assert(out.getAs[Double]("mean_b") - out.getAs[Double]("mean_a") > 9.0)
+    assert(math.abs(out.getAs[Double]("t")) > 50.0,
+      s"planted 10-unit separation must dominate the 0.1 wobble: $out")
+    assert(out.getAs[Double]("df") > 10.0)
+  }
 }
