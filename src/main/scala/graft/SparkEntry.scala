@@ -697,6 +697,14 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // per-type daily-count OLS trend with empty days as closed-form zeros
+    // (the burstiness discipline applied to regression)
+    "daily_trend" -> ((s, dir) =>
+      operators.Temporal.dailyTrend(ev(s, dir), "event_type", "ts")),
+    // day-of-week seasonality profile; dow computed portably as
+    // (epoch_days + 4) mod 7 — engine date-part functions disagree
+    "dow_profile" -> ((s, dir) =>
+      operators.Temporal.dowProfile(ev(s, dir), "event_type", "ts")),
     // Welch's t on purchase values between md5 arms — the continuous-
     // metric companion to ab_conversion; DECIMAL-exact moments, one scan
     "ab_value_ttest" -> ((s, dir) =>
@@ -2128,6 +2136,10 @@ object SparkEntry {
     "ab_value_ttest" ->
       operators.EventSeq.abValueTtestSql("events", "user_id", "event_type",
         "value", convType = "purchase"),
+    "daily_trend" ->
+      operators.Temporal.dailyTrendSql("events", "event_type", "ts"),
+    "dow_profile" ->
+      operators.Temporal.dowProfileSql("events", "event_type", "ts"),
     "quantile_calib" -> {
       val sk = operators.Sketch.logHistQuantilesSql("events", "event_type", "value",
         qs = Seq(0.5, 0.95, 0.99))

@@ -162,6 +162,92 @@ object Temporal {
       .orderBy(keyCol, "day")
   }
 
+  /** Per-key linear trend of DAILY event counts (is this stream growing,
+    * shrinking, or flat?): OLS slope of count-vs-day-index over the
+    * corpus's full calendar span, with EMPTY days participating as zeros
+    * WITHOUT being materialized — the [[burstiness]] closed-form trick
+    * applied to regression: with x = 0..D−1 over all days, Σx and Σx² are
+    * closed-form in D, Σy is the key's event total, and Σxy only receives
+    * contributions from non-empty days. One (key, day) aggregation, one
+    * bounded fold; every statistic integer-derived, so both engines emit
+    * identical doubles.
+    */
+  def dailyTrend(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("long").as("d"))
+    val withX = daily.crossJoin(broadcast(span))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+    val g = withX.groupBy(col(keyCol))
+      .agg(max(col("d")).as("days"),
+        sum(col("c")).as("n_events"),
+        sum(col("x").cast("double") * col("c").cast("double")).as("_sxy"))
+    val dd = col("days").cast("double")
+    val sx = dd * (dd - 1.0) / 2.0
+    val sxx = dd * (dd - 1.0) * (dd * 2.0 - 1.0) / 6.0
+    g.select(col(keyCol), col("days"), col("n_events"),
+        round(
+          (col("_sxy") - sx * col("n_events").cast("double") / dd) /
+            (sxx - sx * sx / dd), 6).as("slope_per_day"),
+        round(col("n_events").cast("double") / dd, 6).as("mean_per_day"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[dailyTrend]]. */
+  def dailyTrendSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+         span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+             CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+               MAX(CAST($tsCol AS DATE))) + 1 AS BIGINT) AS d
+           FROM $tbl),
+         wx AS (SELECT $keyCol, c,
+             CAST(date_diff('day', d0, day) AS BIGINT) AS x, d
+           FROM daily CROSS JOIN span),
+         a AS (SELECT $keyCol, MAX(d) AS days, SUM(c) AS n_events,
+             SUM(CAST(x AS DOUBLE) * CAST(c AS DOUBLE)) AS sxy,
+             CAST(MAX(d) AS DOUBLE) AS dd
+           FROM wx GROUP BY $keyCol)
+         SELECT $keyCol, CAST(days AS BIGINT) AS days,
+           CAST(n_events AS BIGINT) AS n_events,
+           round((sxy - (dd * (dd - 1.0) / 2.0) * CAST(n_events AS DOUBLE) / dd)
+             / ((dd * (dd - 1.0) * (2.0 * dd - 1.0) / 6.0)
+                - (dd * (dd - 1.0) / 2.0) * (dd * (dd - 1.0) / 2.0) / dd), 6)
+             AS slope_per_day,
+           round(CAST(n_events AS DOUBLE) / dd, 6) AS mean_per_day
+         FROM a ORDER BY $keyCol"""
+
+  /** Per-key day-of-week seasonality profile: counts and share per dow.
+    * Day-of-week is computed PORTABLY as (epoch_days + 4) mod 7 (0=Sunday)
+    * — Spark's `dayofweek` is 1-based-Sunday while DuckDB's is 0-based,
+    * and locale-dependent date part functions are an oracle trap.
+    */
+  def dowProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val dow = pmod(datediff(to_date(col(tsCol)), lit("1970-01-01")) + 4, lit(7))
+      .cast("long")
+    val counts = df.select(col(keyCol), dow.as("dow"))
+      .groupBy(col(keyCol), col("dow")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col(keyCol)).agg(sum(col("n")).as("_t"))
+    counts.join(totals, keyCol)
+      .select(col(keyCol), col("dow"), col("n"),
+        round(col("n").cast("double") / col("_t").cast("double"), 6).as("share"))
+      .orderBy(keyCol, "dow")
+  }
+
+  /** DuckDB mirror of [[dowProfile]]. */
+  def dowProfileSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH c AS (SELECT $keyCol,
+           CAST((date_diff('day', DATE '1970-01-01', CAST($tsCol AS DATE)) + 4) % 7 AS BIGINT) AS dow,
+           COUNT(*) AS n
+         FROM $tbl GROUP BY 1, 2),
+       t AS (SELECT $keyCol, SUM(n) AS tt FROM c GROUP BY 1)
+       SELECT c.$keyCol, dow, CAST(n AS BIGINT) AS n,
+         round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share
+       FROM c JOIN t ON c.$keyCol = t.$keyCol
+       ORDER BY c.$keyCol, dow"""
+
   /** Expanding-window time-based cross-validation folds — the
     * leakage-safe split discipline for anything trained on a time series
     * (random splits leak the future into training; rolling-retrain

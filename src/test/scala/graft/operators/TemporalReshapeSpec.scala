@@ -50,6 +50,40 @@ class TemporalReshapeSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  // -------------------------------------------------- trend / seasonality
+
+  test("daily trend: planted growth is positive, flat stream is zero, empty days count") {
+    import spark.implicits._
+    // key g: counts 1,2,3,4 over 4 days (slope 1.0); key f: 2/day (slope 0)
+    // key s: active on days 1 and 4 only — empty middle days must count as
+    // zeros (slope from {5,0,0,5} is 0, NOT the slope of {5,5})
+    val rows =
+      (1 to 4).flatMap(d => (1 to d).map(i => ("g", s"2024-02-0$d 0${i}:00:00"))) ++
+      (1 to 4).flatMap(d => Seq(1, 2).map(i => ("f", s"2024-02-0$d 0${i}:00:00"))) ++
+      Seq("2024-02-01", "2024-02-04").flatMap(d => (1 to 5).map(i => ("s", s"$d 0$i:00:00")))
+    val df = rows.toDF("k", "t").select($"k", to_timestamp($"t").as("ts"))
+    val out = Temporal.dailyTrend(df, "k", "ts")
+      .select("k", "slope_per_day").as[(String, Double)].collect().toMap
+    assert(out("g") == 1.0, s"planted unit growth: $out")
+    assert(out("f") == 0.0, s"flat stream: $out")
+    assert(out("s") == 0.0, s"symmetric gaps must cancel: $out")
+  }
+
+  test("dow profile: portable day-of-week and shares summing to one") {
+    import spark.implicits._
+    // 1970-01-04 was a Sunday: (3 + 4) % 7 = 0
+    val df = Seq(("k", "1970-01-04 10:00:00"), ("k", "1970-01-05 10:00:00"),
+        ("k", "1970-01-05 11:00:00"))
+      .toDF("k", "t").select($"k", to_timestamp($"t").as("ts"))
+    val out = Temporal.dowProfile(df, "k", "ts")
+      .select("dow", "n", "share").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 0.333333), (1L, 2L, 0.666667)), s"got $out")
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val shares = Temporal.dowProfile(ev, "event_type", "ts")
+      .groupBy("event_type").agg(round(sum(col("share")), 4).as("s"))
+    assert(shares.where(col("s") =!= 1.0).count() == 0)
+  }
+
   // ---------------------------------------------------------- time folds
 
   test("time folds: uniform mass splits on exact day boundaries") {
