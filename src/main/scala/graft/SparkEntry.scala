@@ -697,6 +697,10 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // CUSUM level-shift detection on daily counts — the changepoint a
+    // local z-score cannot see; gap endpoints evaluated in closed form
+    "changepoint" -> ((s, dir) =>
+      operators.Temporal.changepoint(ev(s, dir), "event_type", "ts")),
     // per-type daily-count OLS trend with empty days as closed-form zeros
     // (the burstiness discipline applied to regression)
     "daily_trend" -> ((s, dir) =>
@@ -2138,6 +2142,8 @@ object SparkEntry {
         "value", convType = "purchase"),
     "daily_trend" ->
       operators.Temporal.dailyTrendSql("events", "event_type", "ts"),
+    "changepoint" ->
+      operators.Temporal.changepointSql("events", "event_type", "ts"),
     "dow_profile" ->
       operators.Temporal.dowProfileSql("events", "event_type", "ts"),
     "quantile_calib" -> {

@@ -219,6 +219,94 @@ object Temporal {
            round(CAST(n_events AS DOUBLE) / dd, 6) AS mean_per_day
          FROM a ORDER BY $keyCol"""
 
+  /** CUSUM change-point detection over per-key DAILY counts: the day where
+    * the cumulative deviation from the key's mean daily rate peaks — the
+    * level-shift detector ("traffic doubled on the 14th") that a local
+    * z-score gate ([[rateAnomaly]]) structurally cannot see, because after
+    * a shift every bucket is normal RELATIVE TO ITS NEIGHBORS.
+    *
+    * Gap-aware WITHOUT densification: with mean μ = N/D over the full
+    * span, CUSUM declines linearly by μ per empty day, so on any gap the
+    * extremum sits at an endpoint — it suffices to evaluate CUSUM at each
+    * ACTIVE day x (cum − μ·(x+1)) and at the day before the next active
+    * day x'−1 (cum − μ·x'), one lead() over the per-key DAY relation
+    * (calendar-span-bounded). All inputs integer-derived; argmax
+    * tie-breaks on the earliest day, so the answer is total-ordered.
+    */
+  def changepoint(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("long").as("d"))
+    val totals = daily.groupBy(col(keyCol)).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+    val rel = daily.crossJoin(broadcast(span))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("x_next", lead(col("x"), 1).over(w))
+      .join(totals, keyCol)
+    val mu = col("n").cast("double") / col("d").cast("double")
+    // candidate (day, cusum) pairs: at the active day, and at the day
+    // before the next active day (the gap endpoint)
+    val atDay = struct(col("day").as("day"),
+      (col("cum").cast("double") - mu * (col("x").cast("double") + 1.0)).as("v"))
+    val preNext = struct(date_add(col("d0"),
+        (col("x_next") - 1).cast("int")).as("day"),
+      (col("cum").cast("double") - mu * col("x_next").cast("double")).as("v"))
+    val cands = rel.select(col(keyCol),
+        explode(when(col("x_next").isNotNull, array(atDay, preNext))
+          .otherwise(array(atDay))).as("cp"))
+      .select(col(keyCol), col("cp.day").as("day"),
+        round(col("cp.v"), 4).as("v"))
+    // argmax over the calendar-span-bounded candidate relation
+    val wBest = Window.partitionBy(keyCol)
+      .orderBy(abs(col("v")).desc, col("day").asc)
+    cands.withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col(keyCol),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        col("v").as("cusum"),
+        when(col("v") >= 0, lit("up")).otherwise(lit("down")).as("direction"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[changepoint]]. */
+  def changepointSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+         span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+             CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+               MAX(CAST($tsCol AS DATE))) + 1 AS BIGINT) AS d
+           FROM $tbl),
+         tot AS (SELECT $keyCol, SUM(c) AS n FROM daily GROUP BY 1),
+         rel AS (SELECT daily.$keyCol, day, c,
+             CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+             CAST(SUM(c) OVER (PARTITION BY daily.$keyCol ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             lead(CAST(date_diff('day', d0, day) AS BIGINT))
+               OVER (PARTITION BY daily.$keyCol ORDER BY day) AS x_next,
+             d0, d, n
+           FROM daily CROSS JOIN span JOIN tot ON daily.$keyCol = tot.$keyCol),
+         cands AS (
+           SELECT $keyCol, day,
+             round(CAST(cum AS DOUBLE)
+               - (CAST(n AS DOUBLE) / CAST(d AS DOUBLE)) * (CAST(x AS DOUBLE) + 1.0), 4) AS v
+           FROM rel
+           UNION ALL
+           SELECT $keyCol, d0 + CAST(x_next - 1 AS INT) AS day,
+             round(CAST(cum AS DOUBLE)
+               - (CAST(n AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(x_next AS DOUBLE), 4) AS v
+           FROM rel WHERE x_next IS NOT NULL),
+         best AS (SELECT $keyCol, day, v,
+             row_number() OVER (PARTITION BY $keyCol ORDER BY abs(v) DESC, day ASC) AS rn
+           FROM cands)
+         SELECT $keyCol, strftime(day, '%Y-%m-%d') AS cp_day, v AS cusum,
+           CASE WHEN v >= 0 THEN 'up' ELSE 'down' END AS direction
+         FROM best WHERE rn = 1 ORDER BY $keyCol"""
+
   /** Per-key day-of-week seasonality profile: counts and share per dow.
     * Day-of-week is computed PORTABLY as (epoch_days + 4) mod 7 (0=Sunday)
     * — Spark's `dayofweek` is 1-based-Sunday while DuckDB's is 0-based,

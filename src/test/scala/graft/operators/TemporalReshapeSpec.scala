@@ -69,6 +69,27 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(out("s") == 0.0, s"symmetric gaps must cancel: $out")
   }
 
+  test("CUSUM changepoint: planted level shift found; gap endpoint wins when extremal") {
+    import spark.implicits._
+    // key u: 1/day for days 1-10 then 5/day for 11-20 — mean 3/day, CUSUM
+    // most extreme (-20) at day 10, the boundary before the shift
+    val u = (1 to 10).map(d => ("u", d, 1)) ++ (11 to 20).map(d => ("u", d, 5))
+    // key g: 2 events on day 1, 38 on day 20 — CUSUM declines through the
+    // gap to -36 on day 19, the day BEFORE the next active day: the gap
+    // ENDPOINT is the argmax even though no event happened there
+    val g = Seq(("g", 1, 2), ("g", 20, 38))
+    val rows = (u ++ g).flatMap { case (k, d, n) =>
+      (1 to n).map(i => (k, f"2024-03-$d%02d ${i % 24}%02d:30:00"))
+    }
+    val df = rows.toDF("k", "t").select($"k", to_timestamp($"t").as("ts"))
+    val out = Temporal.changepoint(df, "k", "ts")
+      .select("k", "cp_day", "cusum", "direction")
+      .as[(String, String, Double, String)].collect()
+      .map { case (k, d, v, dir) => k -> ((d, v, dir)) }.toMap
+    assert(out("u") == (("2024-03-10", -20.0, "down")), s"got ${out("u")}")
+    assert(out("g") == (("2024-03-19", -36.0, "down")), s"got ${out("g")}")
+  }
+
   test("dow profile: portable day-of-week and shares summing to one") {
     import spark.implicits._
     // 1970-01-04 was a Sunday: (3 + 4) % 7 = 0
