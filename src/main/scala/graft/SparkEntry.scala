@@ -697,6 +697,11 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // token-mass concentration (bucketized-Lorenz Gini) per source — the
+    // size-skew audit behind chunking/sampling policy; no per-group sort
+    "gini_tokens" -> ((s, dir) =>
+      operators.Audit.giniConcentration(Tables.documents(s, dir), "source",
+        TextAnalysis.tokenCount(col("text")))),
     // CUSUM level-shift detection on daily counts — the changepoint a
     // local z-score cannot see; gap endpoints evaluated in closed form
     "changepoint" -> ((s, dir) =>
@@ -2144,6 +2149,11 @@ object SparkEntry {
       operators.Temporal.dailyTrendSql("events", "event_type", "ts"),
     "changepoint" ->
       operators.Temporal.changepointSql("events", "event_type", "ts"),
+    "gini_tokens" ->
+      s"""WITH gc_base AS (SELECT source AS k,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS v
+           FROM documents),
+         ${operators.Audit.giniConcentrationSql("source")}""",
     "dow_profile" ->
       operators.Temporal.dowProfileSql("events", "event_type", "ts"),
     "quantile_calib" -> {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level audit reports — the summary tables a data curator reads
@@ -111,6 +111,81 @@ object Audit {
         min("_nrm").as("min_norm"), max("_nrm").as("max_norm"))
       .orderBy("label")
   }
+
+  /** Token-mass concentration (Gini) per group — "is this source 10 000
+    * uniform documents or three megadocs and dust?", the size-skew audit
+    * that decides chunking and sampling policy. Exact Gini needs a
+    * per-group SORT of all documents (an unsplittable skew hazard at
+    * corpus scale); this uses the bucketized-Lorenz form on a B-bucket
+    * histogram — the [[QualityBlend]] discipline — with the grouped-data
+    * identity G = 1 − Σ w_b·(2·CumS_b − s_b) over value-ordered buckets
+    * (within-bucket mass treated uniform: error ≤ 1/B of a bucket's
+    * share; raise `buckets` to tighten). Per-bucket Gini terms round to 9
+    * decimals then accumulate as DECIMAL, so the ≤B-term sum is immune to
+    * partition order in both engines.
+    */
+  def giniConcentration(df: DataFrame, keyCol: String, value: Column,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("k"), value.cast("double").as("v"))
+    val mm = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+    val (lo, hi) = (mm.getAs[Double]("lo"), mm.getAs[Double]("hi"))
+    val b =
+      if (hi == lo) lit(0L)
+      else least(lit(buckets - 1L),
+        floor(((col("v") - lit(lo)) / lit(hi - lo)) * buckets))
+    val hist = base.select(col("k"), b.as("b"), col("v"))
+      .groupBy("k", "b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).as("m"))
+    val w = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("k")
+    val terms = hist
+      .withColumn("cumM", sum(col("m")).over(w))
+      .withColumn("nT", sum(col("n")).over(tot))
+      .withColumn("mT", sum(col("m")).over(tot))
+      .select(col("k"), col("nT"), col("mT"),
+        round((col("n").cast("double") / col("nT").cast("double")) *
+          ((col("cumM").cast("double") / col("mT").cast("double")) * 2.0 -
+            col("m").cast("double") / col("mT").cast("double")), 9)
+          .cast("decimal(18,9)").as("term"))
+    terms.groupBy(col("k").as(keyCol))
+      .agg(max(col("nT")).as("n_docs"),
+        round(max(col("mT")).cast("double"), 6).as("total_mass"),
+        round(lit(1.0) - sum(col("term")).cast("double"), 6).as("gini"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[giniConcentration]] over a CTE `gc_base(k, v)` the
+    * caller prepends. The oracle re-derives lo/hi in SQL — identical
+    * doubles to the Column side's driver-read min/max (same set, same IEEE
+    * subtraction), the [[QualityBlend]] mirror precedent.
+    */
+  def giniConcentrationSql(keyOut: String, buckets: Int = 64): String =
+    s"""st AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM gc_base),
+       h AS (SELECT k,
+           CASE WHEN hi = lo THEN 0
+                ELSE least(${buckets - 1},
+                  CAST(floor(((v - lo) / (hi - lo)) * $buckets) AS BIGINT)) END AS b,
+           COUNT(*) AS n,
+           SUM(CAST(v AS DECIMAL(18,6))) AS m
+         FROM gc_base CROSS JOIN st GROUP BY 1, 2),
+       c AS (SELECT k, b, n, m,
+           SUM(m) OVER (PARTITION BY k ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumM,
+           SUM(n) OVER (PARTITION BY k) AS nT,
+           SUM(m) OVER (PARTITION BY k) AS mT
+         FROM h),
+       t AS (SELECT k, nT, mT,
+           CAST(round((CAST(n AS DOUBLE) / CAST(nT AS DOUBLE)) *
+             ((CAST(cumM AS DOUBLE) / CAST(mT AS DOUBLE)) * 2.0 -
+               CAST(m AS DOUBLE) / CAST(mT AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term
+         FROM c)
+       SELECT k AS $keyOut, CAST(MAX(nT) AS BIGINT) AS n_docs,
+         round(CAST(MAX(mT) AS DOUBLE), 6) AS total_mass,
+         round(1.0 - CAST(SUM(term) AS DOUBLE), 6) AS gini
+       FROM t GROUP BY k ORDER BY $keyOut"""
 
   /** Filter-agreement audit: the 2×2 confusion matrix and Cohen's kappa
     * between two document gates (e.g. a rule gate vs a statistical gate) —

@@ -157,6 +157,21 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(wide == Set((1L, 2L, 0L), (2L, 0L, 1L)))
   }
 
+  // ------------------------------------------------- Gini concentration
+
+  test("gini: uniform source scores zero, one-megadoc source scores high") {
+    import spark.implicits._
+    val uniform = (1 to 10).map(i => ("u", Seq.fill(50)("w").mkString(" ")))
+    val skewed = (1 to 9).map(i => ("s", "w")) :+
+      ("s", Seq.fill(1000)("w").mkString(" "))
+    val df = (uniform ++ skewed).toDF("source", "text")
+    val out = Audit.giniConcentration(df, "source",
+        TextAnalysis.tokenCount(col("text")))
+      .select("source", "gini").as[(String, Double)].collect().toMap
+    assert(out("u") == 0.0, s"uniform docs must score 0: $out")
+    assert(out("s") > 0.8, s"megadoc concentration must dominate: $out")
+  }
+
   // ------------------------------------------------------ bootstrap CI
 
   test("bootstrap CI brackets the mean on fixture events and is deterministic") {
