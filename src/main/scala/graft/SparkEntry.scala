@@ -697,6 +697,11 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // seasonality-adjusted daily anomaly: each grid day z-scored against
+    // the key's same-day-of-week mean — silent busy-days alarm, quiet
+    // Sundays don't
+    "seasonal_residuals" -> ((s, dir) =>
+      operators.Temporal.seasonalResiduals(ev(s, dir), "event_type", "ts", zThresh = 1.8)),
     // token-mass concentration (bucketized-Lorenz Gini) per source — the
     // size-skew audit behind chunking/sampling policy; no per-group sort
     "gini_tokens" -> ((s, dir) =>
@@ -2149,6 +2154,8 @@ object SparkEntry {
       operators.Temporal.dailyTrendSql("events", "event_type", "ts"),
     "changepoint" ->
       operators.Temporal.changepointSql("events", "event_type", "ts"),
+    "seasonal_residuals" ->
+      operators.Temporal.seasonalResidualsSql("events", "event_type", "ts", zThresh = 1.8),
     "gini_tokens" ->
       s"""WITH gc_base AS (SELECT source AS k,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS v

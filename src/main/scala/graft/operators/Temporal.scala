@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Temporal stream diagnostics over event logs. */
@@ -306,6 +306,91 @@ object Temporal {
          SELECT $keyCol, strftime(day, '%Y-%m-%d') AS cp_day, v AS cusum,
            CASE WHEN v >= 0 THEN 'up' ELSE 'down' END AS direction
          FROM best WHERE rn = 1 ORDER BY $keyCol"""
+
+  /** Seasonality-adjusted daily anomaly gate: each (key, day) on the
+    * COMPLETE calendar grid is z-scored against the key's mean count for
+    * that DAY OF WEEK — so a quiet-every-Sunday stream doesn't alarm every
+    * Sunday (the trailing-window gate [[rateAnomaly]] would), and a silent
+    * TUESDAY on a stream that is always busy on Tuesdays does alarm even
+    * though zero events arrived (no data-driven bucket gate can see it).
+    * Expected(day) = per-key mean count over the span's days of that dow;
+    * residual z = (c − e)/√max(e, ε), the Poisson standardization. Flags
+    * |z| ≥ `zThresh`.
+    *
+    * Shape: everything beyond the (key, day) count aggregation runs on
+    * calendar-bounded relations — the grid is keys × span-days
+    * (`sequence()` explode), dow means are a (key, 7) fold, span dow
+    * counts a 7-row broadcast. All statistics integer-derived.
+    */
+  def seasonalResiduals(df: DataFrame, keyCol: String, tsCol: String,
+      zThresh: Double = 2.5): DataFrame = {
+    val dowOf = (d: Column) => pmod(datediff(d, lit("1970-01-01")) + 4, lit(7)).cast("long")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      max(to_date(col(tsCol))).as("d1"))
+    // span-days per dow: a 7-row relation derived from the span itself
+    val spanDays = span
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .groupBy(dowOf(col("day")).as("dow")).agg(count(lit(1)).as("n_days"))
+    val dowMeans = daily
+      .groupBy(col(keyCol), dowOf(col("day")).as("dow"))
+      .agg(sum(col("c")).as("c_dow"))
+      .join(broadcast(spanDays), "dow")
+      .select(col(keyCol), col("dow"),
+        (col("c_dow").cast("double") / col("n_days").cast("double")).as("e"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .withColumn("dow", dowOf(col("day")))
+    grid
+      .join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(dowMeans, Seq(keyCol, "dow"), "left")
+      .withColumn("e", coalesce(col("e"), lit(0.0)))
+      .withColumn("z",
+        round((col("c").cast("double") - col("e")) /
+          sqrt(greatest(col("e"), lit(1e-9))), 4))
+      .where(abs(col("z")) >= zThresh)
+      .select(col(keyCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c").as("n"), round(col("e"), 4).as("expected"), col("z"))
+      .orderBy(keyCol, "day")
+  }
+
+  /** DuckDB mirror of [[seasonalResiduals]]. */
+  def seasonalResidualsSql(tbl: String, keyCol: String, tsCol: String,
+      zThresh: Double = 2.5): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+         span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+             MAX(CAST($tsCol AS DATE)) AS d1 FROM $tbl),
+         sd AS (SELECT CAST((date_diff('day', DATE '1970-01-01',
+               CAST(gd AS DATE)) + 4) % 7 AS BIGINT) AS dow, COUNT(*) AS n_days
+           FROM (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+               CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS gd FROM span)
+           GROUP BY 1),
+         dm AS (SELECT $keyCol, dow, CAST(SUM(c) AS DOUBLE) / CAST(n_days AS DOUBLE) AS e
+           FROM (SELECT $keyCol,
+               CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS BIGINT) AS dow, c
+             FROM daily)
+           JOIN sd USING (dow) GROUP BY $keyCol, dow, n_days),
+         grid AS (SELECT k.$keyCol, CAST(gd AS DATE) AS day,
+             CAST((date_diff('day', DATE '1970-01-01', CAST(gd AS DATE)) + 4) % 7 AS BIGINT) AS dow
+           FROM (SELECT DISTINCT $keyCol FROM daily) k
+           CROSS JOIN (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+               CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS gd FROM span)),
+         r AS (SELECT grid.$keyCol, grid.day,
+             COALESCE(daily.c, 0) AS c, COALESCE(dm.e, 0.0) AS e
+           FROM grid
+           LEFT JOIN daily ON grid.$keyCol = daily.$keyCol AND grid.day = daily.day
+           LEFT JOIN dm ON grid.$keyCol = dm.$keyCol AND grid.dow = dm.dow),
+         z AS (SELECT $keyCol, day, c,
+             round((CAST(c AS DOUBLE) - e) / sqrt(greatest(e, 1e-9)), 4) AS z, e
+           FROM r)
+         SELECT $keyCol, strftime(day, '%Y-%m-%d') AS day, CAST(c AS BIGINT) AS n,
+           round(e, 4) AS expected, z
+         FROM z WHERE abs(z) >= $zThresh ORDER BY $keyCol, day"""
 
   /** Per-key day-of-week seasonality profile: counts and share per dow.
     * Day-of-week is computed PORTABLY as (epoch_days + 4) mod 7 (0=Sunday)

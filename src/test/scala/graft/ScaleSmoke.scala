@@ -77,7 +77,8 @@ object ScaleSmoke {
     "gap_fill", "pivot_counts", "unpivot_wide", "embed_hygiene",
     "filter_agreement", "incr_agg_merge", "time_folds", "profile_stats",
     "quantile_calib", "kmv_calib", "bootstrap_ci", "ab_value_ttest",
-    "daily_trend", "dow_profile", "changepoint", "gini_tokens")
+    "daily_trend", "dow_profile", "changepoint", "gini_tokens",
+    "seasonal_residuals")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -90,6 +90,25 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(out("g") == (("2024-03-19", -36.0, "down")), s"got ${out("g")}")
   }
 
+  test("seasonal residuals: weekly quiet days never alarm; a silent busy day does") {
+    import spark.implicits._
+    // 4 weeks from Mon 2024-03-04: 10 events every Mon-Sat, ZERO every
+    // Sunday (expected for Sundays is 0 → no alarm), and one silent
+    // Tuesday (2024-03-19) on an otherwise-busy weekday
+    val days = (0 until 28).map(i => java.time.LocalDate.of(2024, 3, 4).plusDays(i))
+    val rows = days.flatMap { d =>
+      val isSunday = d.getDayOfWeek == java.time.DayOfWeek.SUNDAY
+      val silent = d.toString == "2024-03-19"
+      if (isSunday || silent) Seq.empty
+      else (1 to 10).map(h => ("k", f"$d ${h}%02d:00:00"))
+    }
+    val df = rows.toDF("k", "t").select($"k", to_timestamp($"t").as("ts"))
+    val out = Temporal.seasonalResiduals(df, "k", "ts", zThresh = 2.5)
+      .select("day", "n", "z").as[(String, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("2024-03-19"), s"only the silent Tuesday alarms: $out")
+    assert(out.head._2 == 0L && out.head._3 < -2.5)
+  }
+
   test("dow profile: portable day-of-week and shares summing to one") {
     import spark.implicits._
     // 1970-01-04 was a Sunday: (3 + 4) % 7 = 0
