@@ -697,6 +697,15 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // ranker-quality audit: precision@k of BM25 against the deterministic
+    // conjunctive-match relevance set — measure the ranker before trusting
+    // its top-k
+    "retrieval_eval" -> ((s, dir) =>
+      // 'dup' is the corpus's one rare term — the conjunctive relevance
+      // set is small, so the disjunctive ranker's precision is actually
+      // discriminative (common-term queries saturate p@k at 1.0)
+      operators.Search.precisionAtK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("dup", "spark", "window"))),
     // seasonality-adjusted daily anomaly: each grid day z-scored against
     // the key's same-day-of-week mean — silent busy-days alarm, quiet
     // Sundays don't
@@ -1536,15 +1545,16 @@ object SparkEntry {
     * (folding 1.2+1.0 independently in two engines risks a one-ulp split);
     * association parenthesized to match idf * (tfnum / denom).
     */
-  private val bm25SqlCtes: String = {
+  private def bm25SqlCtes(terms: Seq[String] = Seq("spark", "window", "join")): String = {
     val (k1, b) = (1.2, 0.75)
+    val inList = terms.map(t => s"'$t'").mkString(",")
     s"""base AS (SELECT doc_id, trim(lower(text)) AS txt,
              len(string_split_regex(trim(lower(text)),'\\s+')) AS dl FROM documents),
          stats AS (SELECT COUNT(*) AS n_docs,
              CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM base),
          p AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
              SELECT doc_id, dl, unnest(string_split_regex(txt,'\\s+')) AS term FROM base)
-           WHERE term IN ('spark','window','join') GROUP BY doc_id, term),
+           WHERE term IN ($inList) GROUP BY doc_id, term),
          f AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
          sc AS (SELECT p.doc_id,
              CAST(round(
@@ -2156,6 +2166,19 @@ object SparkEntry {
       operators.Temporal.changepointSql("events", "event_type", "ts"),
     "seasonal_residuals" ->
       operators.Temporal.seasonalResidualsSql("events", "event_type", "ts", zThresh = 1.8),
+    "retrieval_eval" ->
+      s"""WITH ${bm25SqlCtes(Seq("dup", "spark", "window"))},
+         topk AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm),
+         rel AS (SELECT doc_id FROM p GROUP BY doc_id HAVING COUNT(*) = 3),
+         pr AS (SELECT
+             round(CAST(SUM(CASE WHEN rk <= 5 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 4) AS p5,
+             round(CAST(SUM(CASE WHEN rk <= 10 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10, 4) AS p10,
+             round(CAST(SUM(CASE WHEN rk <= 20 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 20, 4) AS p20
+           FROM topk LEFT JOIN rel ON topk.doc_id = rel.doc_id
+           WHERE rk <= 20),
+         nr AS (SELECT COUNT(*) AS n_relevant FROM rel)
+         SELECT n_relevant, p5, p10, p20 FROM nr CROSS JOIN pr""",
     "gini_tokens" ->
       s"""WITH gc_base AS (SELECT source AS k,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS v
@@ -2590,16 +2613,16 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits FROM p
          GROUP BY doc_id HAVING COUNT(*) = 3 ORDER BY doc_id""",
     "bm25_search" ->
-      s"""WITH $bm25SqlCtes
+      s"""WITH ${bm25SqlCtes()}
          SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20""",
     "prf_expand" ->
-      operators.Search.prfExpandSql(bm25SqlCtes, "documents", "doc_id", "text",
+      operators.Search.prfExpandSql(bm25SqlCtes(), "documents", "doc_id", "text",
         Seq("spark", "window", "join"), nDocs = 10, nTerms = 15),
     "hybrid_rrf" ->
       // BM25 top-50 ranks ⊕ brute-cosine top-50 ranks via reciprocal-rank
       // fusion: each reciprocal is the same IEEE division in both engines,
       // the two-term sum has fixed operand order, rounded to 6
-      s"""WITH $bm25SqlCtes,
+      s"""WITH ${bm25SqlCtes()},
          lex AS (SELECT doc_id, r_lex FROM (
              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bm)
            WHERE r_lex <= 50),

@@ -248,4 +248,36 @@ object Search {
        FROM ftf JOIN fdf USING (term) CROSS JOIN tot
        ORDER BY weight DESC, term LIMIT $nTerms"""
   }
+
+  /** Ranker-quality audit: precision@k of the BM25 ranking against a
+    * DETERMINISTIC relevance set — documents matching ALL query terms as
+    * tokens ([[matchAllTerms]]), the strictest lexical notion of "surely
+    * relevant". The measure-your-ranker companion of the sketch
+    * calibration audits: the number a retrieval stack publishes before
+    * anyone trusts its top-k at corpus scale.
+    *
+    * Shape: the ranked list is k_max rows (global window over k_max rows
+    * only — TakeOrdered delivers it); relevance is the gated conjunctive
+    * match; the join is k_max × 1 columns. One output row.
+    */
+  def precisionAtK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "precisionAtK: bad k list")
+    import org.apache.spark.sql.expressions.Window
+    val kmax = ks.max
+    val ranked = bm25Rank(df, idCol, textCol, terms, kmax)
+      .select(col(idCol),
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).as("rk"))
+    val rel = matchAllTerms(df, idCol, textCol, terms)
+      .select(col(idCol), lit(1L).as("_rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val aggs = ks.map { k =>
+      round(sum(when(col("rk") <= k && col("_rel").isNotNull, 1L).otherwise(0L))
+        .cast("double") / k, 4).as(s"p$k")
+    }
+    ranked.join(rel, Seq(idCol), "left")
+      .agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(nRel))
+      .select(col("n_relevant") +: ks.map(k => col(s"p$k")): _*)
+  }
 }

@@ -176,6 +176,20 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(wide == Set((1L, 2L, 0L), (2L, 0L, 1L)))
   }
 
+  // --------------------------------------------------- retrieval eval
+
+  test("precision@k: fully-relevant top ranks score 1, dilution shows at larger k") {
+    import spark.implicits._
+    // docs 1-5 contain every query term many times (rank at the top AND
+    // are the conjunctive-relevant set); 6-15 contain a single term
+    val docs = ((1 to 5).map(i => (i.toLong, "alpha beta gamma alpha beta gamma")) ++
+      (6 to 15).map(i => (i.toLong, "alpha filler filler filler"))).toDF("doc_id", "text")
+    val out = Search.precisionAtK(docs, "doc_id", "text",
+        Seq("alpha", "beta", "gamma"), ks = Seq(5, 10))
+      .select("n_relevant", "p5", "p10").as[(Long, Double, Double)].collect().head
+    assert(out == ((5L, 1.0, 0.5)), s"got $out")
+  }
+
   // ------------------------------------------------- Gini concentration
 
   test("gini: uniform source scores zero, one-megadoc source scores high") {
