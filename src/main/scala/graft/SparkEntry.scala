@@ -697,6 +697,10 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // Theil-Sen robust trend: median of pairwise day slopes — a spike
+    // reads as a spike, not a trend (29% breakdown vs OLS's zero)
+    "theil_sen" -> ((s, dir) =>
+      operators.Temporal.theilSenTrend(ev(s, dir), "event_type", "ts")),
     // ranker-quality audit: precision@k of BM25 against the deterministic
     // conjunctive-match relevance set — measure the ranker before trusting
     // its top-k
@@ -2166,6 +2170,8 @@ object SparkEntry {
       operators.Temporal.changepointSql("events", "event_type", "ts"),
     "seasonal_residuals" ->
       operators.Temporal.seasonalResidualsSql("events", "event_type", "ts", zThresh = 1.8),
+    "theil_sen" ->
+      operators.Temporal.theilSenTrendSql("events", "event_type", "ts"),
     "retrieval_eval" ->
       s"""WITH ${bm25SqlCtes(Seq("dup", "spark", "window"))},
          topk AS (SELECT doc_id,

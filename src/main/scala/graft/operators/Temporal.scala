@@ -307,6 +307,67 @@ object Temporal {
            CASE WHEN v >= 0 THEN 'up' ELSE 'down' END AS direction
          FROM best WHERE rn = 1 ORDER BY $keyCol"""
 
+  /** Theil–Sen robust trend of daily counts: the MEDIAN of all pairwise
+    * day-to-day slopes — the robust companion of [[dailyTrend]]'s OLS (one
+    * anomalous day drags a least-squares slope arbitrarily; the median of
+    * slopes has a 29% breakdown point, so a spike reads as a spike, not a
+    * trend). Computed over the COMPLETE day grid (empty days as zeros,
+    * materialized here — unlike OLS there is no closed form over gaps).
+    *
+    * Scale note: the pairwise self-join is CALENDAR²-bounded per key
+    * (D(D−1)/2 pairs for a D-day span — ~400 rows for a month, never a
+    * function of event volume); for decade-long logs, window the span.
+    * Slopes are ratios of integer deltas (engine-identical doubles); the
+    * median is the interpolated percentile rounded to 4 (the
+    * percentiles-query convention).
+    */
+  def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      max(to_date(col(tsCol))).as("d1"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col(keyCol), col("x").as("xa"), col("c").as("ca"))
+    val b = grid.select(col(keyCol), col("x").as("xb"), col("c").as("cb"))
+    a.join(b, Seq(keyCol)).where(col("xa") < col("xb"))
+      .select(col(keyCol),
+        ((col("cb") - col("ca")).cast("double") /
+          (col("xb") - col("xa")).cast("double")).as("slope"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 4).as("ts_slope"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[theilSenTrend]]. */
+  def theilSenTrendSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+         span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+             MAX(CAST($tsCol AS DATE)) AS d1 FROM $tbl),
+         grid AS (SELECT k.$keyCol,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(gd AS DATE)) AS BIGINT) AS x,
+             COALESCE(daily.c, 0) AS c
+           FROM (SELECT DISTINCT $keyCol FROM daily) k
+           CROSS JOIN (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+               CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS gd FROM span)
+           LEFT JOIN daily ON k.$keyCol = daily.$keyCol
+             AND CAST(gd AS DATE) = daily.day),
+         pairs AS (SELECT a.$keyCol,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+           FROM grid a JOIN grid b
+             ON a.$keyCol = b.$keyCol AND a.x < b.x)
+         SELECT $keyCol, COUNT(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) AS ts_slope
+         FROM pairs GROUP BY $keyCol ORDER BY $keyCol"""
+
   /** Seasonality-adjusted daily anomaly gate: each (key, day) on the
     * COMPLETE calendar grid is z-scored against the key's mean count for
     * that DAY OF WEEK — so a quiet-every-Sunday stream doesn't alarm every

@@ -90,6 +90,22 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(out("g") == (("2024-03-19", -36.0, "down")), s"got ${out("g")}")
   }
 
+  test("Theil-Sen: one spike day bends OLS but not the median of slopes") {
+    import spark.implicits._
+    // 10/day for 29 days, then a 300-event spike on day 30
+    val rows = (1 to 30).flatMap { d =>
+      val n = if (d == 30) 300 else 10
+      (1 to n).map(i => ("r", f"2024-03-$d%02d ${i % 24}%02d:30:00"))
+    }
+    val df = rows.toDF("k", "t").select($"k", to_timestamp($"t").as("ts"))
+    val ts = Temporal.theilSenTrend(df, "k", "ts")
+      .select("ts_slope").as[Double].collect().head
+    val ols = Temporal.dailyTrend(df, "k", "ts")
+      .select("slope_per_day").as[Double].collect().head
+    assert(ts == 0.0, s"median of slopes must ignore the spike: $ts")
+    assert(ols > 1.0, s"OLS must be bent by the same spike: $ols")
+  }
+
   test("seasonal residuals: weekly quiet days never alarm; a silent busy day does") {
     import spark.implicits._
     // 4 weeks from Mon 2024-03-04: 10 events every Mon-Sat, ZERO every
