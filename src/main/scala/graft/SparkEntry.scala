@@ -697,6 +697,11 @@ object SparkEntry {
     // range per label — one scan, label-bounded agg
     "embed_hygiene" -> ((s, dir) =>
       operators.Audit.embedHygiene(Tables.embeddings(s, dir), "embedding", "label")),
+    // inter-arrival latency profile per type — the distribution the
+    // sessionize gap threshold should be picked from
+    "gap_quantiles" -> ((s, dir) =>
+      operators.Temporal.gapQuantiles(ev(s, dir), "event_type", "user_id",
+        "ts", "event_id")),
     // Theil-Sen robust trend: median of pairwise day slopes — a spike
     // reads as a spike, not a trend (29% breakdown vs OLS's zero)
     "theil_sen" -> ((s, dir) =>
@@ -2172,6 +2177,9 @@ object SparkEntry {
       operators.Temporal.seasonalResidualsSql("events", "event_type", "ts", zThresh = 1.8),
     "theil_sen" ->
       operators.Temporal.theilSenTrendSql("events", "event_type", "ts"),
+    "gap_quantiles" ->
+      operators.Temporal.gapQuantilesSql("events", "event_type", "user_id",
+        "ts", "event_id"),
     "retrieval_eval" ->
       s"""WITH ${bm25SqlCtes(Seq("dup", "spark", "window"))},
          topk AS (SELECT doc_id,

@@ -307,6 +307,51 @@ object Temporal {
            CASE WHEN v >= 0 THEN 'up' ELSE 'down' END AS direction
          FROM best WHERE rn = 1 ORDER BY $keyCol"""
 
+  /** Inter-arrival latency profile: per event type, quantiles of the gap
+    * (seconds) between a user's consecutive events — the "how long until
+    * the next action" readout behind session-gap tuning (pick the
+    * sessionize threshold FROM this distribution, not folklore) and
+    * engagement monitoring.
+    *
+    * Shape: one lag() over per-USER windows ordered by (ts, id) — the
+    * [[graft.streaming.Sessionize]]/transitions discipline (user activity
+    * bounds the partition, never the corpus); gaps attribute to the LATER
+    * event's type; quantiles are exact percentiles rounded to 4 (the
+    * interpolation-ulp convention).
+    */
+  def gapQuantiles(df: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    df.select(col(typeCol).as("_gq_t"), col(userCol), col(tsCol), col(idCol))
+      .withColumn("_gq_prev", lag(unix_millis(col(tsCol)), 1).over(w))
+      .where(col("_gq_prev").isNotNull)
+      .select(col("_gq_t"),
+        ((unix_millis(col(tsCol)) - col("_gq_prev")).cast("double") / 1000.0)
+          .as("gap_s"))
+      .groupBy(col("_gq_t").as(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_s"),
+        round(expr("percentile(gap_s, 0.9)"), 4).as("p90_s"),
+        round(expr("percentile(gap_s, 0.99)"), 4).as("p99_s"))
+      .orderBy(typeCol)
+  }
+
+  /** DuckDB mirror of [[gapQuantiles]]. */
+  def gapQuantilesSql(tbl: String, typeCol: String, userCol: String,
+      tsCol: String, idCol: String): String =
+    s"""WITH g AS (SELECT $typeCol,
+           CAST(epoch_ms($tsCol) - lag(epoch_ms($tsCol), 1)
+             OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS DOUBLE)
+             / 1000.0 AS gap_s
+         FROM $tbl)
+       SELECT $typeCol, COUNT(*) AS n_gaps,
+         round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+         round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+         round(quantile_cont(gap_s, 0.99), 4) AS p99_s
+       FROM g WHERE gap_s IS NOT NULL
+       GROUP BY $typeCol ORDER BY $typeCol"""
+
   /** Theil–Sen robust trend of daily counts: the MEDIAN of all pairwise
     * day-to-day slopes — the robust companion of [[dailyTrend]]'s OLS (one
     * anomalous day drags a least-squares slope arbitrarily; the median of

@@ -78,7 +78,7 @@ object ScaleSmoke {
     "filter_agreement", "incr_agg_merge", "time_folds", "profile_stats",
     "quantile_calib", "kmv_calib", "bootstrap_ci", "ab_value_ttest",
     "daily_trend", "dow_profile", "changepoint", "gini_tokens",
-    "seasonal_residuals", "retrieval_eval", "theil_sen")
+    "seasonal_residuals", "retrieval_eval", "theil_sen", "gap_quantiles")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -90,6 +90,22 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(out("g") == (("2024-03-19", -36.0, "down")), s"got ${out("g")}")
   }
 
+  test("gap quantiles: same-user consecutive gaps, attributed to the later event") {
+    import spark.implicits._
+    // u1: a at 0s, b at 10s, a at 40s → gaps 10 (type b), 30 (type a);
+    // u2: b at 0s, b at 5s → gap 5 (type b). First events yield no gap.
+    val rows = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 40L, "a"),
+      (4L, 2L, 0L, "b"), (5L, 2L, 5L, "b"))
+    val df = rows.toDF("event_id", "user_id", "t", "event_type")
+      .select($"event_id", $"user_id", timestamp_seconds($"t").as("ts"), $"event_type")
+    val out = Temporal.gapQuantiles(df, "event_type", "user_id", "ts", "event_id")
+      .select("event_type", "n_gaps", "p50_s")
+      .as[(String, Long, Double)].collect()
+      .map { case (t, n, p) => t -> ((n, p)) }.toMap
+    assert(out == Map("a" -> ((1L, 30.0)), "b" -> ((2L, 7.5))), s"got $out")
+  }
+
   test("Theil-Sen: one spike day bends OLS but not the median of slopes") {
     import spark.implicits._
     // 10/day for 29 days, then a 300-event spike on day 30
