@@ -522,6 +522,10 @@ object SparkEntry {
       operators.Contrastive.triplets(nearDupPairsBuilt(s, dir),
           Tables.documents(s, dir), "doc_id")
         .orderBy("anchor", "positive")),
+    // dedup-policy threshold sweep: surviving pairs + affected docs per
+    // candidate threshold — pick the dedup threshold FROM this curve
+    "dedup_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(nearDupPairsBuilt(s, dir))),
     // sketch-accuracy calibration: per estimated-similarity band, MinHash
     // estimate vs exact Jaccard over the candidate pairs — bounded by the
     // pair list, DECIMAL-exact means
@@ -1987,6 +1991,20 @@ object SparkEntry {
     "neardup_pairs" ->
       s"""WITH $nearDupCtes
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "dedup_sweep" ->
+      s"""WITH $nearDupCtes,
+         p AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2),
+         pt AS (SELECT t.threshold, id_a, id_b FROM p
+                CROSS JOIN (SELECT CAST(unnest([0.3, 0.5, 0.7, 0.9, 0.95, 0.97, 0.99]) AS DOUBLE) AS threshold) t
+                WHERE jaccard >= t.threshold),
+         c AS (SELECT threshold, COUNT(*) AS n_pairs FROM pt GROUP BY 1),
+         d AS (SELECT threshold, COUNT(*) AS n_docs_affected FROM (
+             SELECT DISTINCT threshold, id FROM (
+               SELECT threshold, id_a AS id FROM pt
+               UNION ALL SELECT threshold, id_b FROM pt))
+           GROUP BY 1)
+         SELECT c.threshold, n_pairs, n_docs_affected
+         FROM c JOIN d USING (threshold) ORDER BY threshold""",
     "minhash_calib" -> {
       val matches = (1 to 8)
         .map(i => s"(CASE WHEN x.sigs[$i] = y.sigs[$i] THEN 1 ELSE 0 END)")

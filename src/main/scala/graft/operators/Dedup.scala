@@ -401,6 +401,30 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** Dedup-policy threshold sweep: for each candidate Jaccard threshold,
+    * how many pairs survive and how many distinct documents they touch —
+    * the curve a curator reads to PICK the dedup threshold (the knee where
+    * affected-doc count stops falling) instead of inheriting 0.8 from a
+    * paper with a different corpus. The calibration-audit discipline
+    * applied to policy: everything is bounded by the verified pair list
+    * (pairs × |thresholds| rows through one explode; affected docs via a
+    * pair-bounded distinct), never the corpus.
+    */
+  def thresholdSweep(pairs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9, 0.95, 0.97, 0.99)): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: empty threshold list")
+    val t = explode(array(thresholds.map(lit): _*)).as("threshold")
+    val perT = pairs.select(col("id_a"), col("id_b"), col("jaccard"), t)
+      .where(col("jaccard") >= col("threshold"))
+    val counts = perT.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docs = perT.select(col("threshold"), col("id_a").as("id"))
+      .union(perT.select(col("threshold"), col("id_b").as("id")))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs_affected"))
+    counts.join(docs, Seq("threshold"))
+      .orderBy("threshold")
+  }
+
   /** SimHash near-dup PAIRS within `maxHamming` bits — the Manku/Jain/
     * Sarma web-dedup shape (WWW'07): split each 64-bit signature into 4
     * 16-bit blocks; by pigeonhole, two signatures within hamming 3 agree

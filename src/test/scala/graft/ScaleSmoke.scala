@@ -78,7 +78,8 @@ object ScaleSmoke {
     "filter_agreement", "incr_agg_merge", "time_folds", "profile_stats",
     "quantile_calib", "kmv_calib", "bootstrap_ci", "ab_value_ttest",
     "daily_trend", "dow_profile", "changepoint", "gini_tokens",
-    "seasonal_residuals", "retrieval_eval", "theil_sen", "gap_quantiles")
+    "seasonal_residuals", "retrieval_eval", "theil_sen", "gap_quantiles",
+    "dedup_sweep")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -110,6 +111,11 @@ object ScaleSmoke {
             k = 8, rowsPerBand = 2, threshold = 0.2),
           Tables.documents(s, dir), "doc_id")
           .orderBy("anchor", "positive")),
+      // ... and the threshold sweep (cold pair build + sweep)
+      "dedup_sweep" -> ((s, dir) =>
+        operators.Dedup.thresholdSweep(
+          operators.Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 8, rowsPerBand = 2, threshold = 0.2))),
       // ... and the calibration audit (cold pair build + calibrate)
       "minhash_calib" -> ((s, dir) => {
         val docs = Tables.documents(s, dir)

@@ -132,6 +132,20 @@ class ScdQualitySpec extends AnyFunSuite {
     assert(r2.getAs[Double]("kappa") == 1.0)
   }
 
+  // ------------------------------------------------------ threshold sweep
+
+  test("dedup sweep: monotone nonincreasing curve; zero-survivor thresholds drop out") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.95), (3L, 4L, 0.80), (5L, 6L, 0.80), (7L, 8L, 0.40))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.thresholdSweep(pairs, Seq(0.3, 0.5, 0.9, 0.99))
+      .select($"threshold", $"n_pairs", $"n_docs_affected")
+      .as[(Double, Long, Long)].collect().toSeq
+    // 0.99 has zero survivors and drops out of the curve entirely
+    assert(out == Seq((0.3, 4L, 8L), (0.5, 3L, 6L), (0.9, 1L, 2L)), s"got $out")
+  }
+
   // --------------------------------------------------- minhash calibration
 
   test("minhash calibration: bucket-bounded output, means in [0,1], pairs conserved") {
