@@ -812,9 +812,11 @@ object SparkEntry {
       val evts = ev(s, dir)
       val half = conv(substring(md5(concat(lit("incr:"),
         col("event_id").cast("string"))), 1, 2), 16, 10).cast("int") % 2
-      operators.Incremental.merge(
-        operators.Incremental.aggState(evts.where(half === 0), "event_type", "value"),
-        operators.Incremental.aggState(evts.where(half === 1), "event_type", "value"),
+      operators.Incremental.present(
+        operators.Incremental.merge(
+          operators.Incremental.aggState(evts.where(half === 0), "event_type", "value"),
+          operators.Incremental.aggState(evts.where(half === 1), "event_type", "value"),
+          "event_type"),
         "event_type")
     }),
     // gate-agreement governance: confusion matrix + Cohen's kappa between
@@ -1560,7 +1562,7 @@ object SparkEntry {
     */
   private def bm25SqlCtes(terms: Seq[String] = Seq("spark", "window", "join")): String = {
     val (k1, b) = (1.2, 0.75)
-    val inList = terms.map(t => s"'$t'").mkString(",")
+    val inList = terms.map(t => operators.OracleSql.lit(t)).mkString(",")
     s"""base AS (SELECT doc_id, trim(lower(text)) AS txt,
              len(string_split_regex(trim(lower(text)),'\\s+')) AS dl FROM documents),
          stats AS (SELECT COUNT(*) AS n_docs,
@@ -2204,9 +2206,9 @@ object SparkEntry {
              row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm),
          rel AS (SELECT doc_id FROM p GROUP BY doc_id HAVING COUNT(*) = 3),
          pr AS (SELECT
-             round(CAST(SUM(CASE WHEN rk <= 5 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 4) AS p5,
-             round(CAST(SUM(CASE WHEN rk <= 10 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10, 4) AS p10,
-             round(CAST(SUM(CASE WHEN rk <= 20 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 20, 4) AS p20
+             round(CAST(SUM(CASE WHEN rk <= 5 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / least(CAST(5 AS DOUBLE), CAST(COUNT(*) AS DOUBLE)), 4) AS p5,
+             round(CAST(SUM(CASE WHEN rk <= 10 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / least(CAST(10 AS DOUBLE), CAST(COUNT(*) AS DOUBLE)), 4) AS p10,
+             round(CAST(SUM(CASE WHEN rk <= 20 AND rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / least(CAST(20 AS DOUBLE), CAST(COUNT(*) AS DOUBLE)), 4) AS p20
            FROM topk LEFT JOIN rel ON topk.doc_id = rel.doc_id
            WHERE rk <= 20),
          nr AS (SELECT COUNT(*) AS n_relevant FROM rel)

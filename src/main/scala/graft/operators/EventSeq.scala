@@ -80,12 +80,12 @@ object EventSeq {
     for (i <- 1 until stages.length) {
       ctes += s"""s$i AS (SELECT e.$userCol AS u, min(epoch_ms(e.$tsCol)) AS t
           FROM $tbl e JOIN s${i - 1} p ON e.$userCol = p.u
-          WHERE e.$typeCol = '${stages(i)}'
+          WHERE e.$typeCol = ${OracleSql.lit(stages(i))}
             AND epoch_ms(e.$tsCol) > p.t AND epoch_ms(e.$tsCol) <= p.t + $windowMs
           GROUP BY 1)"""
     }
     val unions = stages.indices.map { i =>
-      s"SELECT $i AS stage_idx, '${stages(i)}' AS stage, (SELECT COUNT(*) FROM s$i) AS n_users"
+      s"SELECT $i AS stage_idx, ${OracleSql.lit(stages(i))} AS stage, (SELECT COUNT(*) FROM s$i) AS n_users"
     }.mkString("\n           UNION ALL ")
     s"""WITH ${ctes.mkString(",\n         ")},
          cnt AS ($unions)
@@ -143,12 +143,12 @@ object EventSeq {
       ctes += s"""s$i AS (SELECT e.$userCol AS u, p.t AS tprev,
             min(epoch_ms(e.$tsCol)) AS t
           FROM $tbl e JOIN s${i - 1} p ON e.$userCol = p.u
-          WHERE e.$typeCol = '${stages(i)}'
+          WHERE e.$typeCol = ${OracleSql.lit(stages(i))}
             AND epoch_ms(e.$tsCol) > p.t AND epoch_ms(e.$tsCol) <= p.t + $windowMs
           GROUP BY 1, 2)"""
     }
     val unions = (1 until stages.length).map { i =>
-      s"""SELECT $i AS stage_idx, '${stages(i)}' AS stage,
+      s"""SELECT $i AS stage_idx, ${OracleSql.lit(stages(i))} AS stage,
           COUNT(*) AS n_users,
           round(CAST(SUM(CAST(round((t - tprev) / 3600000.0, 4) AS DECIMAL(18,4)))
               AS DOUBLE) / greatest(COUNT(*), 1), 4) AS avg_hours
@@ -209,7 +209,7 @@ object EventSeq {
       valCol: String, typeCol: String, convType: String): String = {
     def band(c: String, p: String) =
       s"CASE WHEN $c < ${p}25 THEN 1 WHEN $c < ${p}50 THEN 2 WHEN $c < ${p}75 THEN 3 ELSE 4 END"
-    s"""WITH conv AS (SELECT * FROM $tbl WHERE $typeCol = '$convType'),
+    s"""WITH conv AS (SELECT * FROM $tbl WHERE $typeCol = ${OracleSql.lit(convType)}),
        mx AS (SELECT max(epoch_ms($tsCol)) AS t_max FROM conv),
        per AS (SELECT $userCol,
                  CAST(t_max - max(epoch_ms($tsCol)) AS DOUBLE) / 86400000.0 AS recency_days,
@@ -476,9 +476,9 @@ object EventSeq {
   def abValueTtestSql(tbl: String, userCol: String, typeCol: String,
       valCol: String, convType: String, salt: String = "arm"): String =
     s"""WITH e AS (SELECT
-           CAST('0x'||substr(md5('$salt:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
            CAST($valCol AS DECIMAL(18,6)) AS x
-         FROM $tbl WHERE $typeCol = '$convType'),
+         FROM $tbl WHERE $typeCol = ${OracleSql.lit(convType)}),
        arms AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
          FROM e GROUP BY arm),
        a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM arms WHERE arm = 0),
@@ -502,8 +502,8 @@ object EventSeq {
   def abConversionSql(tbl: String, userCol: String, typeCol: String,
       convType: String, minCount: Int = 1, salt: String = "arm"): String =
     s"""WITH pu AS (SELECT $userCol AS u,
-           CAST('0x'||substr(md5('$salt:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
-           CASE WHEN SUM(CASE WHEN $typeCol = '$convType' THEN 1 ELSE 0 END) >= $minCount
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CASE WHEN SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) >= $minCount
                 THEN 1 ELSE 0 END AS converted
          FROM $tbl GROUP BY 1, 2),
        arms AS (SELECT arm, COUNT(*) AS n, SUM(converted) AS c FROM pu GROUP BY arm),

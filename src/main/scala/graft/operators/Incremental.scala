@@ -30,8 +30,11 @@ object Incremental {
         max(col(valCol)).as("vmax"))
 
   /** Fold state `b` into state `a` (full-outer on the key: keys new to the
-    * delta appear, keys absent from it carry through). Presentation casts
-    * the exact DECIMAL sum to double and rounds — AFTER the merge.
+    * delta appear, keys absent from it carry through). CLOSED over the
+    * state schema — the output is again (key, n, s DECIMAL, vmin, vmax),
+    * so merges chain: `merge(merge(s1, s2), s3)` folds nightly deltas
+    * indefinitely with the exact-DECIMAL invariant intact. Rounding and
+    * the double cast happen only in [[present]].
     */
   def merge(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
     val an = a.select(col(keyCol), col("n").as("_na"), col("s").as("_sa"),
@@ -41,13 +44,23 @@ object Incremental {
     an.join(bn, Seq(keyCol), "full_outer")
       .select(col(keyCol),
         (coalesce(col("_na"), lit(0L)) + coalesce(col("_nb"), lit(0L))).as("n"),
-        round((coalesce(col("_sa"), lit(0).cast("decimal(18,6)")) +
-          coalesce(col("_sb"), lit(0).cast("decimal(18,6)"))).cast("double"), 6)
-          .as("total"),
-        round(least(coalesce(col("_mina"), col("_minb")),
-          coalesce(col("_minb"), col("_mina"))), 6).as("vmin"),
-        round(greatest(coalesce(col("_maxa"), col("_maxb")),
-          coalesce(col("_maxb"), col("_maxa"))), 6).as("vmax"))
-      .orderBy(keyCol)
+        (coalesce(col("_sa"), lit(0).cast("decimal(18,6)")) +
+          coalesce(col("_sb"), lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("s"),
+        least(coalesce(col("_mina"), col("_minb")),
+          coalesce(col("_minb"), col("_mina"))).as("vmin"),
+        greatest(coalesce(col("_maxa"), col("_maxb")),
+          coalesce(col("_maxb"), col("_maxa"))).as("vmax"))
   }
+
+  /** Finalize a state table for display: exact DECIMAL sum → rounded
+    * double `total`, rounded min/max, ordered by key. Terminal — the
+    * output is NOT mergeable; keep the state table for further folds.
+    */
+  def present(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol), col("n"),
+        round(col("s").cast("double"), 6).as("total"),
+        round(col("vmin"), 6).as("vmin"),
+        round(col("vmax"), 6).as("vmax"))
+      .orderBy(keyCol)
 }

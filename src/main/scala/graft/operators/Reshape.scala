@@ -19,19 +19,21 @@ object Reshape {
     * (key, value) combination never occurs — `pivot` yields null there).
     */
   def pivotCounts(df: DataFrame, keyCol: String, pivotCol: String,
-      values: Seq[String]): DataFrame =
+      values: Seq[String]): DataFrame = {
+    values.foreach(OracleSql.ident) // values become output column names
     df.groupBy(col(keyCol))
       .pivot(pivotCol, values)
       .agg(count(lit(1)))
       .select(col(keyCol) +:
         values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
       .orderBy(keyCol)
+  }
 
   /** DuckDB mirror of [[pivotCounts]] (conditional aggregation form). */
   def pivotCountsSql(tbl: String, keyCol: String, pivotCol: String,
       values: Seq[String]): String = {
     val cols = values
-      .map(v => s"CAST(SUM(CASE WHEN $pivotCol = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS $v")
+      .map(v => s"CAST(SUM(CASE WHEN $pivotCol = ${OracleSql.lit(v)} THEN 1 ELSE 0 END) AS BIGINT) AS ${OracleSql.ident(v)}")
       .mkString(",\n           ")
     s"""SELECT $keyCol,
            $cols

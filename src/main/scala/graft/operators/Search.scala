@@ -148,7 +148,7 @@ object Search {
       phrase: Seq[String]): String = {
     val l = phrase.length
     val conds = phrase.map(_.toLowerCase).zipWithIndex
-      .map { case (t, j) => s"ws[i + $j] = '$t'" }.mkString(" AND ")
+      .map { case (t, j) => s"ws[i + $j] = ${OracleSql.lit(t)}" }.mkString(" AND ")
     s"""WITH w AS (SELECT $idCol, string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $table)
        SELECT $idCol, CAST(len(list_filter(range(1, len(ws) - ${l - 2}), i -> $conds)) AS BIGINT)
          AS n_occurrences
@@ -232,7 +232,7 @@ object Search {
   def prfExpandSql(bmCtes: String, table: String, idCol: String,
       textCol: String, terms: Seq[String], nDocs: Int = 10,
       nTerms: Int = 15): String = {
-    val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    val termList = terms.map(t => OracleSql.lit(t.toLowerCase)).mkString(", ")
     s"""WITH $bmCtes,
          top AS (SELECT $idCol FROM bm ORDER BY score DESC, $idCol LIMIT $nDocs),
          ftf AS (SELECT term, COUNT(*) AS ftf FROM (
@@ -271,9 +271,13 @@ object Search {
     val rel = matchAllTerms(df, idCol, textCol, terms)
       .select(col(idCol), lit(1L).as("_rel"))
     val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    // denominator: least(k, ranked rows) — on a small corpus or rare terms
+    // the ranked list may hold fewer than k docs; dividing by the fixed k
+    // would silently deflate p@k by counting absent slots as misses
     val aggs = ks.map { k =>
       round(sum(when(col("rk") <= k && col("_rel").isNotNull, 1L).otherwise(0L))
-        .cast("double") / k, 4).as(s"p$k")
+        .cast("double") /
+        least(lit(k.toDouble), count(lit(1)).cast("double")), 4).as(s"p$k")
     }
     ranked.join(rel, Seq(idCol), "left")
       .agg(aggs.head, aggs.tail: _*)

@@ -188,9 +188,14 @@ object Temporal {
     val sx = dd * (dd - 1.0) / 2.0
     val sxx = dd * (dd - 1.0) * (dd * 2.0 - 1.0) / 6.0
     g.select(col(keyCol), col("days"), col("n_events"),
-        round(
-          (col("_sxy") - sx * col("n_events").cast("double") / dd) /
-            (sxx - sx * sx / dd), 6).as("slope_per_day"),
+        // single-day span: OLS denominator is 0 (0/0) and the slope is
+        // undefined; emit NULL explicitly so both engines agree instead of
+        // relying on each engine's division-by-zero convention
+        when(col("days") > 1,
+          round(
+            (col("_sxy") - sx * col("n_events").cast("double") / dd) /
+              (sxx - sx * sx / dd), 6)).otherwise(lit(null).cast("double"))
+          .as("slope_per_day"),
         round(col("n_events").cast("double") / dd, 6).as("mean_per_day"))
       .orderBy(keyCol)
   }
@@ -212,10 +217,11 @@ object Temporal {
            FROM wx GROUP BY $keyCol)
          SELECT $keyCol, CAST(days AS BIGINT) AS days,
            CAST(n_events AS BIGINT) AS n_events,
-           round((sxy - (dd * (dd - 1.0) / 2.0) * CAST(n_events AS DOUBLE) / dd)
-             / ((dd * (dd - 1.0) * (2.0 * dd - 1.0) / 6.0)
-                - (dd * (dd - 1.0) / 2.0) * (dd * (dd - 1.0) / 2.0) / dd), 6)
-             AS slope_per_day,
+           CASE WHEN days > 1 THEN
+             round((sxy - (dd * (dd - 1.0) / 2.0) * CAST(n_events AS DOUBLE) / dd)
+               / ((dd * (dd - 1.0) * (2.0 * dd - 1.0) / 6.0)
+                  - (dd * (dd - 1.0) / 2.0) * (dd * (dd - 1.0) / 2.0) / dd), 6)
+             ELSE NULL END AS slope_per_day,
            round(CAST(n_events AS DOUBLE) / dd, 6) AS mean_per_day
          FROM a ORDER BY $keyCol"""
 
@@ -247,20 +253,30 @@ object Temporal {
       .withColumn("cum", sum(col("c")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("x_next", lead(col("x"), 1).over(w))
+      .withColumn("x_prev", lag(col("x"), 1).over(w))
       .join(totals, keyCol)
     val mu = col("n").cast("double") / col("d").cast("double")
-    // candidate (day, cusum) pairs: at the active day, and at the day
-    // before the next active day (the gap endpoint)
+    // candidate (day, cusum) pairs: at the active day, at the day before
+    // the next active day (trailing-gap endpoint), and — for a key whose
+    // first active day x1 > 0 — at day x1−1, where the LEADING gap's
+    // linear decline bottoms out at CUSUM = −μ·x1 (cum before the first
+    // active day is 0). Without that third candidate a key that starts
+    // late reports 0 instead of its true negative excursion.
     val atDay = struct(col("day").as("day"),
       (col("cum").cast("double") - mu * (col("x").cast("double") + 1.0)).as("v"))
     val preNext = struct(date_add(col("d0"),
         (col("x_next") - 1).cast("int")).as("day"),
       (col("cum").cast("double") - mu * col("x_next").cast("double")).as("v"))
-    val cands = rel.select(col(keyCol),
+    val midCands = rel.select(col(keyCol),
         explode(when(col("x_next").isNotNull, array(atDay, preNext))
           .otherwise(array(atDay))).as("cp"))
       .select(col(keyCol), col("cp.day").as("day"),
         round(col("cp.v"), 4).as("v"))
+    val leadGap = rel.where(col("x_prev").isNull && col("x") > 0)
+      .select(col(keyCol),
+        date_add(col("d0"), (col("x") - 1).cast("int")).as("day"),
+        round(-mu * col("x").cast("double"), 4).as("v"))
+    val cands = midCands.unionByName(leadGap)
     // argmax over the calendar-span-bounded candidate relation
     val wBest = Window.partitionBy(keyCol)
       .orderBy(abs(col("v")).desc, col("day").asc)
@@ -288,6 +304,8 @@ object Temporal {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
              lead(CAST(date_diff('day', d0, day) AS BIGINT))
                OVER (PARTITION BY daily.$keyCol ORDER BY day) AS x_next,
+             lag(CAST(date_diff('day', d0, day) AS BIGINT))
+               OVER (PARTITION BY daily.$keyCol ORDER BY day) AS x_prev,
              d0, d, n
            FROM daily CROSS JOIN span JOIN tot ON daily.$keyCol = tot.$keyCol),
          cands AS (
@@ -299,7 +317,11 @@ object Temporal {
            SELECT $keyCol, d0 + CAST(x_next - 1 AS INT) AS day,
              round(CAST(cum AS DOUBLE)
                - (CAST(n AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(x_next AS DOUBLE), 4) AS v
-           FROM rel WHERE x_next IS NOT NULL),
+           FROM rel WHERE x_next IS NOT NULL
+           UNION ALL
+           SELECT $keyCol, d0 + CAST(x - 1 AS INT) AS day,
+             round(- (CAST(n AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(x AS DOUBLE), 4) AS v
+           FROM rel WHERE x_prev IS NULL AND x > 0),
          best AS (SELECT $keyCol, day, v,
              row_number() OVER (PARTITION BY $keyCol ORDER BY abs(v) DESC, day ASC) AS rn
            FROM cands)

@@ -88,10 +88,10 @@ class ScdQualitySpec extends AnyFunSuite {
     import spark.implicits._
     val evts = graft.Tables.events(spark, sf)
     val half = pmod(col("event_id"), lit(2))
-    val merged = Incremental.merge(
+    val merged = Incremental.present(Incremental.merge(
       Incremental.aggState(evts.where(half === 0), "event_type", "value"),
       Incremental.aggState(evts.where(half === 1), "event_type", "value"),
-      "event_type")
+      "event_type"), "event_type")
     val direct = evts.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("total"),
@@ -104,11 +104,33 @@ class ScdQualitySpec extends AnyFunSuite {
     import spark.implicits._
     val a = Seq(("x", 1.0), ("x", 2.0)).toDF("k", "v")
     val b = Seq(("y", 5.0)).toDF("k", "v")
-    val out = Incremental.merge(
-        Incremental.aggState(a, "k", "v"), Incremental.aggState(b, "k", "v"), "k")
+    val out = Incremental.present(Incremental.merge(
+        Incremental.aggState(a, "k", "v"), Incremental.aggState(b, "k", "v"), "k"),
+        "k")
       .select($"k", $"n", $"total", $"vmin", $"vmax")
       .as[(String, Long, Double, Double, Double)].collect().toSeq
     assert(out == Seq(("x", 2L, 3.0, 1.0, 2.0), ("y", 1L, 5.0, 5.0, 5.0)))
+  }
+
+  test("incr agg merge: merge is closed over the state schema and chains") {
+    import spark.implicits._
+    val a = Seq(("x", 1.0), ("x", 2.0)).toDF("k", "v")
+    val b = Seq(("y", 5.0), ("x", 0.5)).toDF("k", "v")
+    val c = Seq(("z", 7.0), ("y", 0.25)).toDF("k", "v")
+    // three-way chained fold == direct aggregate over the union
+    val chained = Incremental.present(
+      Incremental.merge(
+        Incremental.merge(
+          Incremental.aggState(a, "k", "v"), Incremental.aggState(b, "k", "v"), "k"),
+        Incremental.aggState(c, "k", "v"), "k"),
+      "k")
+    val direct = Incremental.present(
+      Incremental.aggState(a.union(b).union(c), "k", "v"), "k")
+    assert(chained.collect().toSeq == direct.collect().toSeq)
+    // and the merged state keeps the exact-DECIMAL column for further folds
+    val st = Incremental.merge(
+      Incremental.aggState(a, "k", "v"), Incremental.aggState(b, "k", "v"), "k")
+    assert(st.schema("s").dataType.typeName.startsWith("decimal"))
   }
 
   // ----------------------------------------------------- filter agreement
