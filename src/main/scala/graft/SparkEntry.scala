@@ -905,9 +905,9 @@ object SparkEntry {
     "cov_matrix" -> ((s, dir) =>
       operators.Pca.covMatrix(Tables.embeddings(s, dir), "embedding", dim = 64)),
     // PCA projection onto the dominant eigenvector (driver-side power
-    // iteration over the bounded d×d covariance; no SQL oracle — an
-    // eigen-decomposition isn't portable SQL; covariance feeding it is
-    // oracle-checked and PcaSpec pins the eigen-residual)
+    // iteration over the bounded d×d covariance; the oracle replays the
+    // identical fixed-count iteration as a DuckDB recursive CTE — the
+    // contraction damps per-step float ulps far below the round(4))
     "pca_project" -> ((s, dir) =>
       operators.Pca.pcaProject(Tables.embeddings(s, dir), "vec_id",
         "embedding", dim = 64)),
@@ -2316,9 +2316,8 @@ object SparkEntry {
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 3),
     "cov_matrix" ->
       operators.Pca.covMatrixSql("embeddings", "embedding", 64),
-    // (no "pca_project" oracle: eigen-decomposition is not portable SQL —
-    // the driver records the weaker rows-only check for it; cov_matrix
-    // oracle-checks the distributed arithmetic feeding it)
+    "pca_project" ->
+      operators.Pca.pcaProjectSql("embeddings", "vec_id", "embedding", 64),
     "rolling_7d" ->
       operators.EventSeq.rollingWindowSql("events", "user_id", "ts", "value",
         "event_id", windowSec = 7 * 86400L),
