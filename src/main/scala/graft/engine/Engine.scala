@@ -504,6 +504,37 @@ final class Engine(val spark: SparkSession, val dir: String) {
         total = batches.map(dirBytes).sum
       }
     }
+
+  // ---- background retention ticker --------------------------------------
+  // The reference's periodicPartitioner runs on a 1 s ticker
+  // (native.go:149,1049-1057) and evicts even while the log is idle;
+  // mutation-time enforcement alone leaves a pending budget breach (e.g. a
+  // /limit issued after the last insert) unevicted until the next write.
+  // The tick is a no-op without a limit (one volatile read); with one, the
+  // steady-state pass is a driver-side directory listing — no Spark job
+  // unless the budget is actually exceeded.
+  private val tickerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+  locally {
+    val t = new Thread(() => {
+      var interrupted = false
+      while (!tickerStop.get() && !interrupted) {
+        try {
+          if (meta.limitBytes.isDefined) synchronized { enforceRetention() }
+          Thread.sleep(1000)
+        } catch {
+          case _: InterruptedException => interrupted = true
+          case _: Exception            => ()
+        }
+      }
+    }, "graft-retention-ticker")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  /** Stop the background retention ticker (idempotent). The engine stays
+    * usable — retention still runs at mutation time.
+    */
+  def close(): Unit = tickerStop.set(true)
 }
 
 object Engine {

@@ -624,14 +624,17 @@ object Similarity {
     *
     * Execution shape: the DISTRIBUTED work is the candidate pool (brute
     * cosine TakeOrdered over the corpus — at scale, any ANN probe above);
-    * the greedy loop is inherently sequential and runs k bounded steps,
-    * each an aggregation over the ≤ pool-sized cached candidate relation
-    * with ONE argmax row collected per step (the BPE/k-means driver
-    * pattern: driver sees k rows total, never the corpus).
+    * the greedy loop is inherently sequential over a ≤ pool-sized set, so
+    * the pool is collected ONCE (bounded driver state — pool × d floats,
+    * the BPE/k-means discipline) and the Carbonell–Goldstein greedy runs
+    * in plain Scala: ONE Spark job total, not k argmax jobs with growing
+    * isin() literals.
     *
     * Cross-engine exactness: all sims round to 4 before entering scores;
-    * λ and 1−λ are the same Scala doubles interpolated into the oracle;
-    * ties break on id; final scores round to 6.
+    * the driver cosine replicates [[graft.functions.CosineSimExpr]]'s
+    * left-to-right double fold bit-for-bit; λ and 1−λ are the same Scala
+    * doubles interpolated into the oracle; ties break on id; final scores
+    * round to 6 (HALF_UP, like `round`).
     */
   def mmrTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int, lambda: Double = 0.7, pool: Int = 50): DataFrame = {
@@ -647,39 +650,42 @@ object Similarity {
         round(cosine(col(vecCol), col("q_vec")), 4).as("rel"))
       .orderBy(col("rel").desc, col(idCol))
       .limit(pool)
-      .cache()
-    try {
-      var selected = Vector.empty[(Long, Int, Double)]
-      var step = 0
-      while (step < k) {
-        val ids = selected.map(_._1)
-        val rem = cand.where(!col(idCol).isin(ids: _*))
-        val scored =
-          if (selected.isEmpty)
-            rem.select(col(idCol),
-              (lit(lambda) * col("rel") - lit(1 - lambda) * lit(0.0)).as("score"))
-          else {
-            val sel = cand.where(col(idCol).isin(ids: _*))
-              .select(col(idCol).as("_m_sid"), col(vecCol).as("_m_semb"))
-            rem
-              .crossJoin(broadcast(sel))
-              .groupBy(col(idCol), col("rel"))
-              .agg(max(round(cosine(col(vecCol), col("_m_semb")), 4)).as("red"))
-              .select(col(idCol),
-                (lit(lambda) * col("rel") - lit(1 - lambda) * col("red")).as("score"))
-          }
-        val top = scored.orderBy(col("score").desc, col(idCol)).limit(1).collect()
-        if (top.isEmpty) step = k // pool exhausted
-        else {
-          selected :+= ((top(0).getLong(0), step + 1, top(0).getDouble(1)))
-          step += 1
-        }
-      }
-      import spark.implicits._
-      selected.toDF(idCol, "step", "score")
-        .select(col(idCol), col("step"), round(col("score"), 6).as("score"))
-        .orderBy("step")
-    } finally { cand.unpersist(); () }
+      .collect()
+    // driver-side mirrors of the expression arithmetic (same fold order as
+    // CosineSimExpr; same HALF_UP decimal rounding as functions.round)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rnd(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val cs = cand.map { r =>
+      val vec = r.getSeq[Any](1).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }.toArray
+      (r.getLong(0), vec, r.getDouble(2))
+    }
+    var selected = Vector.empty[(Long, Int, Double)]
+    var remaining = cs.toVector
+    while (selected.length < k && remaining.nonEmpty) {
+      val sel = selected.map(s => cs.find(_._1 == s._1).get)
+      val best = remaining.map { case (id, vec, rel) =>
+        val red = if (sel.isEmpty) 0.0
+          else sel.map(s => rnd(cos(vec, s._2), 4)).max
+        (id, lambda * rel - (1 - lambda) * red)
+      }.minBy { case (id, score) => (-score, id) }
+      selected :+= ((best._1, selected.length + 1, best._2))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.toDF(idCol, "step", "score")
+      .select(col(idCol), col("step"), round(col("score"), 6).as("score"))
+      .orderBy("step")
   }
 
   /** DuckDB mirror of [[mmrTopK]]: iteration-unrolled greedy chain —

@@ -19,7 +19,8 @@ import graft.streaming.Streaming
   * {current,total,numberOfWritten,leftOff,truncatedTimestamp,noMoreData};
   * `/query` streams history then keeps following new inserts (live tail).
   */
-final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
+final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1,
+    maxLineChars: Int = ProtocolServer.MaxLineChars) {
 
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
@@ -48,6 +49,33 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
       } catch { case _: Exception => /* socket closed */ }
     }
 
+  /** Per-line size cap, mirroring the reference's scanner buffer of
+    * 209,715,200 bytes (server/server.go:115): a line that exceeds it
+    * kills the connection, exactly as Go's bufio.Scanner stops scanning
+    * on ErrTooLong and handleConnection returns. Also the DoS guard — an
+    * unterminated stream can no longer grow an unbounded StringBuilder.
+    * (Cap counted in chars; the reference counts UTF-8 bytes — for the
+    * protocol's ASCII-framed traffic these coincide.)
+    */
+  private final class LineTooLong extends Exception
+
+  /** `BufferedReader.readLine` semantics ('\n' terminator, trailing '\r'
+    * stripped, null at EOF) with the [[MaxLineChars]] cap enforced while
+    * reading — the unbounded aggregation is the whole bug.
+    */
+  private def readLineCapped(in: BufferedReader): String = {
+    var c = in.read()
+    if (c == -1) return null
+    val sb = new java.lang.StringBuilder
+    while (c != -1 && c != '\n') {
+      sb.append(c.toChar)
+      if (sb.length > maxLineChars) throw new LineTooLong
+      c = in.read()
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
   private def send(out: OutputStream, msg: String): Unit = {
     out.write((msg + "\n").getBytes(StandardCharsets.UTF_8))
     out.flush()
@@ -73,7 +101,7 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
     var mode = "NONE"
     val args = scala.collection.mutable.ArrayBuffer[String]()
     try {
-      var line = in.readLine()
+      var line = readLineCapped(in)
       while (line != null) {
         if (mode == "NONE" && line.startsWith("/")) {
           line.split(" ", 2)(0) match {
@@ -98,7 +126,7 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
               // its append is a cheap WriteAt; ours is a columnar batch)
               val batch = scala.collection.mutable.ListBuffer(line)
               while (in.ready()) {
-                val more = in.readLine()
+                val more = readLineCapped(in)
                 if (more != null) batch += more
               }
               // ingestShards > 1: executor-side parse/filter/write
@@ -170,7 +198,7 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1) {
             case _ => ()
           }
         }
-        line = in.readLine()
+        line = readLineCapped(in)
       }
     } catch { case _: Exception => () }
     finally sock.close()
@@ -410,4 +438,9 @@ private[server] object GoAtoi {
           Left(s"strconv.Atoi: parsing ${quote(s)}: value out of range")
       }
   }
+}
+
+object ProtocolServer {
+  /** Reference scanner-buffer cap (server/server.go:115): 209,715,200 B. */
+  val MaxLineChars: Int = 209715200
 }

@@ -234,6 +234,29 @@ class EngineSpec extends AnyFunSuite {
     assert(minId > 0)
   }
 
+  test("background ticker evicts a pending budget breach with no intervening insert") {
+    // reference parity: periodicPartitioner runs on a 1 s ticker
+    // (native.go:149,1049-1057) — a /limit issued AFTER the last insert
+    // must still evict, without waiting for the next write
+    val e = freshEngine()
+    try {
+      val rnd = new scala.util.Random(7)
+      val mkBatch = (b: Int) =>
+        (0 until 200).map { i =>
+          val pad = Seq.fill(8)(rnd.nextLong().toHexString).mkString
+          s"""{"batch":$b,"i":$i,"timestamp":${1700000000000L + b * 1000 + i},"pad":"$pad"}"""
+        }
+      (0 until 6).foreach(b => e.insert(mkBatch(b)))
+      assert(e.totalRecords == 1200 && e.truncatedTimestamp == 0)
+      e.setLimit(60 * 1024) // breach exists NOW; no further inserts follow
+      val deadline = System.currentTimeMillis() + 15000
+      while (e.truncatedTimestamp == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(e.truncatedTimestamp > 0, "idle engine never evicted")
+      assert(e.totalRecords < 1200)
+    } finally e.close()
+  }
+
   test("retention under concurrent ingest: truncatedTimestamp monotone, surface consistent") {
     // the reference's periodicPartitioner RACES inserts on a timer
     // (native.go:1046-1108); here eviction runs under the engine's writer

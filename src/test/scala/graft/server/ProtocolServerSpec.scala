@@ -315,6 +315,33 @@ class ProtocolServerSpec extends AnyFunSuite {
     }
   }
 
+  test("line over the scanner cap kills the connection; normal lines survive") {
+    // reference parity: server.go:115 sizes the scanner buffer at
+    // 209,715,200 B — a longer line stops the scan and ends the
+    // connection. Tested with a tiny cap (the guard's code path is
+    // identical; the production default is the reference constant).
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-proto-cap").toString
+    val engine = new Engine(spark, dir)
+    val srv = new ProtocolServer(engine, 0, ingestShards, maxLineChars = 1024)
+    val port = srv.start()
+    try {
+      val (s1, r1, w1) = connect(port)
+      w1.println("/insert")
+      w1.println("x" * 5000) // exceeds the cap mid-line
+      s1.setSoTimeout(5000)
+      assert(r1.readLine() == null) // server closed the connection
+      s1.close()
+      // engine unharmed; a compliant connection still works
+      val (s2, r2, w2) = connect(port)
+      w2.println("/insert")
+      w2.println(car)
+      Thread.sleep(300)
+      assert(engine.totalRecords == 1)
+      s2.close(); r2.close()
+    } finally { srv.stop(); engine.close() }
+  }
+
   test("malformed numeric args get reference error text, connection stays up") {
     withServer { (engine, port) =>
       engine.insert(Seq(car))

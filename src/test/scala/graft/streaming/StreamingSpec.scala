@@ -107,6 +107,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driver-path ingest (ingestShards = 1) keeps identical semantics") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ingest-driver").toString
+    val engine = new Engine(spark, dir)
+    engine.setInsertionFilter("""keep == true""")
+
+    implicit val sctx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Streaming.startIngest(source.toDS(), engine, ingestShards = 1)
+    try {
+      source.addData((0 until 10).map(i => s"""{"n":$i,"keep":${i % 2 == 0}}"""): _*)
+      q.processAllAvailable()
+      assert(engine.totalRecords == 5)
+      val rows = engine.records().orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 5L))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrivals only, normalized across formatting") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
