@@ -87,8 +87,11 @@ class GoClientInteropSpec extends AnyFunSuite {
         """1:14: unexpected token "3.14" (expected (<string> | <char> | <rawstring> | "*") "]")""")
 
       // TestQuery: /query "" chevy — the client reads >14000 redacted
-      // records (and as many metadata lines) then closes mid-stream
+      // records (and as many metadata lines) then closes mid-stream; the
+      // Go test fails the whole run if this takes over 20 s
+      // (client_test.go:147-149 waitTimeout) — pin the same budget
       locally {
+        val t0 = System.nanoTime()
         val (s, r, w) = connect(port)
         w.println("/query")
         w.println("")
@@ -107,6 +110,8 @@ class GoClientInteropSpec extends AnyFunSuite {
         }
         assert(metas >= 14000)
         s.close() // mid-stream close, like the client at index > 14000
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(secs < 20.0, f"14k-record query stream took $secs%.1f s (client budget 20 s)")
       }
 
       // TestFetch: backward from id 100, limit 20 — client_test pins the
@@ -141,9 +146,25 @@ class GoClientInteropSpec extends AnyFunSuite {
         }
       }
 
-      // TestTCPConnectionLeak (scaled): rapid connect/validate/close churn
-      (0 until 500).foreach { _ =>
-        assert(oneShot(port, "/validate", """brand.name == "Chevrolet"""") == "OK")
+      // TestTCPConnectionLeak: the reference volume — 10,000
+      // connect/validate/close cycles (client_test.go:179-185; its 1 ms
+      // inter-iteration sleep only slows the Go test down — omitting it
+      // makes the churn STRICTER). A leak would surface as accumulating
+      // per-connection handler threads; assert they drain back to idle.
+      locally {
+        (0 until 10000).foreach { _ =>
+          assert(oneShot(port, "/validate", """brand.name == "Chevrolet"""") == "OK")
+        }
+        val deadline = System.currentTimeMillis() + 10000
+        def connThreads(): Int = {
+          val arr = new Array[Thread](Thread.activeCount() * 2 + 8)
+          Thread.enumerate(arr)
+          arr.count(t => t != null && t.getName == "graft-protocol-conn" && t.isAlive)
+        }
+        while (connThreads() > 8 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(connThreads() <= 8,
+          s"${connThreads()} handler threads alive after churn — connection leak")
       }
 
       // TestFlush / TestReset
