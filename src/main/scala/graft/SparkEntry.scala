@@ -411,6 +411,12 @@ object SparkEntry {
     "ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text", n = 3)
         .orderBy("source")),
+    // per-doc 3-gram novelty vs all earlier docs (corpus-growth
+    // redundancy curve): distinct types → gram-keyed first-occurrence
+    // fold → one type-table join; no corpus window, no text self-join
+    "ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+        n = 3)),
     // per-language subword fertility of the proxy BPE tokenizer
     "tokenizer_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(Tables.documents(s, dir), "lang", "text")),
@@ -526,6 +532,13 @@ object SparkEntry {
     // candidate threshold — pick the dedup threshold FROM this curve
     "dedup_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(nearDupPairsBuilt(s, dir))),
+    // duplication-debiased draw: weight 1/cluster-size from the near-dup
+    // clusters (singletons weigh 1), deterministic E–S TakeOrdered — the
+    // soft dedup-then-sample operator; no global sort
+    "cluster_balanced_sample" -> ((s, dir) =>
+      operators.Sampling.clusterBalancedSample(Tables.documents(s, dir),
+        "doc_id", Dedup.nearDupClusters(nearDupPairsBuilt(s, dir)),
+        "id", "cluster_id", k = 50)),
     // sketch-accuracy calibration: per estimated-similarity band, MinHash
     // estimate vs exact Jaccard over the candidate pairs — bounded by the
     // pair list, DECIMAL-exact means
@@ -746,6 +759,12 @@ object SparkEntry {
     "ab_value_ttest" -> ((s, dir) =>
       operators.EventSeq.abValueTtest(ev(s, dir), "user_id", "event_type",
         "value", convType = "purchase")),
+    // CUPED variance-reduced A/B on per-user event value: pre-period
+    // (before Jan 16) covariate X, post-period metric Y, pooled θ —
+    // DECIMAL-exact moments, one scan, one output row
+    "cuped_adjust" -> ((s, dir) =>
+      operators.Cuped.adjust(ev(s, dir), "user_id", "ts", "value",
+        splitMs = 1705363200000L)),
     // Poisson-bootstrap CI of the mean event value: B deterministic
     // Poisson(1) weights per row from md5 uniforms — one scan, a B-row
     // aggregate, order statistics over B replica means; never B·N copies
@@ -2066,6 +2085,31 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "cluster_balanced_sample" ->
+      // clusters chain + inverse-cluster-size weights + the weighted_sample
+      // ES draw (ln(u)/w desc, round(9), id tie-break)
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         sz AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY cluster_id),
+         wdoc AS (SELECT d.doc_id, COALESCE(sz.sz, 1) AS cluster_size,
+             CAST(1 AS DOUBLE) / CAST(COALESCE(sz.sz, 1) AS DOUBLE) AS w
+           FROM documents d LEFT JOIN cl ON CAST(d.doc_id AS BIGINT) = cl.id
+           LEFT JOIN sz USING (cluster_id))
+         SELECT doc_id, cluster_size, weight FROM (
+           SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+             round(w, 6) AS weight,
+             round(ln(CAST('0x'||substr(md5('cbs:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                      / 1152921504606846976.0) / w, 9) AS k
+           FROM wdoc WHERE w > 0
+           ORDER BY k DESC, doc_id LIMIT 50)
+         ORDER BY doc_id""",
     "cluster_best" ->
       // clusters chain + keep-best representative: (n_chars desc, id)
       // argmax per cluster — the window mirror of Dedup.clusterRepresentatives
@@ -2189,6 +2233,9 @@ object SparkEntry {
     "ab_value_ttest" ->
       operators.EventSeq.abValueTtestSql("events", "user_id", "event_type",
         "value", convType = "purchase"),
+    "cuped_adjust" ->
+      operators.Cuped.adjustSql("events", "user_id", "ts", "value",
+        splitMs = 1705363200000L),
     "daily_trend" ->
       operators.Temporal.dailyTrendSql("events", "event_type", "ts"),
     "changepoint" ->
@@ -2566,6 +2613,8 @@ object SparkEntry {
       operators.TextAnalysis.gopherRulesSql("documents", "doc_id", "text"),
     "ngram_diversity" ->
       operators.TextAnalysis.ngramDiversitySql("documents", "source", "text", 3),
+    "ngram_novelty" ->
+      operators.TextAnalysis.ngramNoveltySql("documents", "doc_id", "text", 3),
     "tokenizer_fertility" ->
       operators.TextAnalysis.tokenizerFertilitySql("documents", "lang", "text"),
     "ppl_buckets" ->

@@ -198,4 +198,39 @@ object Sampling {
       .limit(k)
       .drop("_ws_key")
   }
+
+  /** Duplication-debiased sampling: weight each document by the inverse of
+    * its near-duplicate CLUSTER size (singletons weigh 1), then draw the
+    * deterministic Efraimidis–Spirakis sample — so a template farm that
+    * near-duplicated itself 1000× contributes ~one expected draw, not
+    * 1000, without hard-deleting anything (C4-style dedup-THEN-sample as
+    * one soft operator; the keep-probability view of [[Dedup]]'s
+    * representative picking).
+    *
+    * `clusters` is the (id, cluster-label) relation —
+    * [[Dedup.nearDupClusters]] output; docs absent from it are singleton
+    * clusters. The cluster-size table is |clusters|-bounded (≪ corpus) and
+    * broadcast; the draw itself is the [[weightedSample]] TakeOrdered — no
+    * global sort, no corpus-sized window.
+    */
+  def clusterBalancedSample(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, clusters: org.apache.spark.sql.DataFrame,
+      clusterIdCol: String, clusterLabelCol: String, k: Int,
+      salt: String = "cbs"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sizes = clusters
+      .groupBy(col(clusterLabelCol).as("_cb_l"))
+      .agg(count(lit(1)).as("_cb_sz"))
+    val labeled = clusters.select(col(clusterIdCol).cast("long").as("_cb_id"),
+      col(clusterLabelCol).as("_cb_l"))
+    val weighted = docs
+      .join(broadcast(labeled), docs(idCol).cast("long") === col("_cb_id"), "left")
+      .join(broadcast(sizes), Seq("_cb_l"), "left")
+      .withColumn("_cb_w",
+        lit(1.0) / coalesce(col("_cb_sz"), lit(1L)).cast("double"))
+    weightedSample(weighted, idCol, col("_cb_w"), k, salt)
+      .select(col(idCol), coalesce(col("_cb_sz"), lit(1L)).as("cluster_size"),
+        round(col("_cb_w"), 6).as("weight"))
+      .orderBy(idCol)
+  }
 }

@@ -794,6 +794,59 @@ object TextAnalysis {
           col("total_ngrams").cast("double"), 4).as("diversity"))
   }
 
+  /** Per-document n-gram NOVELTY against everything that came before it
+    * (by id order): the fraction of the doc's distinct n-grams whose
+    * global FIRST occurrence is this document — the corpus-growth
+    * redundancy curve ("are new documents still adding new content, or
+    * re-treading the corpus?") that dedup thresholds and crawl-stop
+    * decisions get judged by; per-doc it is also a cheap
+    * memorization-risk proxy (a low-novelty doc is mostly assembled from
+    * text the model already saw).
+    *
+    * Shape: one explode → distinct (doc, gram) type relation → a
+    * gram-keyed min(doc_id) fold → one join of the two type tables →
+    * per-doc counts. The [[ngramDiversity]] distinct-then-count
+    * discipline; no window over the corpus, no self-join on text.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"ngramNovelty: need n >= 1, got $n")
+    val types = Dedup.parallelize(df)
+      .select(col(idCol).cast("long").as("_nn_id"),
+        explode(graft.functions.MinHashExpr.shinglesArray(
+          lower(col(textCol)), n)).as("_nn_gram"))
+      .where(size(split(col("_nn_gram"), " ")) === n)
+      .distinct()
+    val first = types.groupBy("_nn_gram").agg(min(col("_nn_id")).as("_nn_first"))
+    types.join(first, "_nn_gram")
+      .groupBy(col("_nn_id").as(idCol))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("_nn_first") === col("_nn_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_distinct"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_distinct").cast("double"), 4).as("novelty"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB mirror of [[ngramNovelty]]. */
+  def ngramNoveltySql(tbl: String, idCol: String, textCol: String,
+      n: Int): String = {
+    val gram = (1 until n).foldLeft("ws[i]")((acc, j) => s"$acc||' '||ws[i+$j]")
+    s"""WITH w AS (SELECT CAST($idCol AS BIGINT) AS id,
+             string_split_regex(trim(lower($textCol)), '\\s+') AS ws FROM $tbl),
+       types AS (SELECT DISTINCT id, gram FROM (
+           SELECT id, unnest(list_transform(
+             range(1, len(ws) - ${n - 2}), i -> $gram)) AS gram FROM w)),
+       fo AS (SELECT gram, MIN(id) AS first_id FROM types GROUP BY gram)
+       SELECT id AS $idCol, COUNT(*) AS n_distinct,
+         CAST(SUM(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         round(CAST(SUM(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+       FROM types JOIN fo USING (gram)
+       GROUP BY id ORDER BY id"""
+  }
+
   /** DuckDB mirror of [[ngramDiversity]]. */
   def ngramDiversitySql(tbl: String, groupCol: String, textCol: String,
       n: Int): String = {

@@ -72,6 +72,25 @@ class ApssSamplingSpec extends AnyFunSuite {
       s"weighted sample mean $sampledMean should exceed corpus mean $corpusMean")
   }
 
+  test("cluster-balanced sample: weights invert cluster size, singletons weigh 1") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // docs 1-3 form one near-dup cluster; 4-6 are singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val out = Sampling.clusterBalancedSample(docs, "doc_id", clusters,
+        "id", "cluster_id", k = 6)
+      .select("doc_id", "cluster_size", "weight")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (1L to 6L), s"k >= corpus keeps everything: $out")
+    assert(out.filter(_._1 <= 3).forall(r => r._2 == 3L && r._3 == 0.333333))
+    assert(out.filter(_._1 > 3).forall(r => r._2 == 1L && r._3 == 1.0))
+    // expected draws per cluster equalize: with k=2 the clustered trio can
+    // place at most 2 but its TOTAL weight equals one singleton's
+    val k2 = Sampling.clusterBalancedSample(docs, "doc_id", clusters,
+      "id", "cluster_id", k = 2).select("doc_id").as[Long].collect().toSet
+    assert(k2.size == 2)
+  }
+
   test("weighted sample: zero/negative weights never selected") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 10L), (5L, 10L))

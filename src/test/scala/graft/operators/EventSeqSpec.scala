@@ -162,4 +162,27 @@ class EventSeqSpec extends AnyFunSuite {
       s"planted 10-unit separation must dominate the 0.1 wobble: $out")
     assert(out.getAs[Double]("df") > 10.0)
   }
+
+  test("cuped: theta recovers the planted pre/post slope, variance collapses") {
+    spark.sparkContext.setLogLevel("WARN")
+    // user u: pre-period X = u mod 10 at t=0s, post-period Y = 2X + wobble
+    // at t=100s; split at 50s. Y is almost a deterministic function of X,
+    // so CUPED must find theta ~ 2 and residual variance near zero.
+    val rows = (1L to 200L).flatMap { u =>
+      val x = (u % 10).toDouble
+      Seq((u * 2, u, 0L, "view", x),
+        (u * 2 + 1, u, 100L, "view", 2.0 * x + (u % 3) * 0.1))
+    }
+    val out = Cuped.adjust(events(rows), "user_id", "ts", "value",
+      splitMs = 50000L).collect().head
+    assert(out.getAs[Long]("n_a") + out.getAs[Long]("n_b") == 200L)
+    val theta = out.getAs[Double]("theta")
+    assert(theta > 1.9 && theta < 2.1, s"theta $theta, expected ~2")
+    assert(out.getAs[Double]("var_ratio") < 0.05,
+      s"near-deterministic X->Y must collapse variance: $out")
+    // no planted arm effect: adjusted means differ by less than the raw
+    // X-imbalance the adjustment removes
+    assert(math.abs(out.getAs[Double]("mean_a_adj") -
+      out.getAs[Double]("mean_b_adj")) < 1.0)
+  }
 }

@@ -45,6 +45,20 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(out == Seq(("rep", 10L, 3L, 0.3), ("uniq", 8L, 8L, 1.0)), s"$out")
   }
 
+  test("ngram novelty: first doc fully novel, verbatim repeat fully stale") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),          // trigrams {a b c, b c d} — all first here
+      (2L, "a b c d"),          // same trigrams — novelty 0
+      (3L, "a b c x y z")       // {a b c(seen), b c x, c x y, x y z} — 3/4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_distinct", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 4L, 3L, 0.75)), s"$out")
+  }
+
   test("tokenizer fertility: letter runs cost ceil(len/4) pieces per word") {
     import spark.implicits._
     // "internationalization" = 20 letters → 5 pieces for 1 word → fertility 5
