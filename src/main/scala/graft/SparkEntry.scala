@@ -532,6 +532,15 @@ object SparkEntry {
     // candidate threshold — pick the dedup threshold FROM this curve
     "dedup_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(nearDupPairsBuilt(s, dir))),
+    // per-doc dedup decision record (keep / exact_dup / near_dup + the
+    // keeper id): the reviewable audit trail of the dedup stage — exact
+    // tier wins, near tier from the keep-best representatives
+    "dedup_decisions" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupDecisions(docs, "doc_id", "text",
+        Dedup.nearDupClusters(nearDupPairsBuilt(s, dir)),
+        docs.select(col("doc_id"), col("n_chars")), "n_chars")
+    }),
     // duplication-debiased draw: weight 1/cluster-size from the near-dup
     // clusters (singletons weigh 1), deterministic E–S TakeOrdered — the
     // soft dedup-then-sample operator; no global sort
@@ -817,6 +826,11 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // EWMA last-day anomaly gate: per-type smoothed daily level via a
+    // bounded array fold (list_reduce convention), last-day residual +
+    // 3·sqrt(level+1) Poisson-ish gate — the smoothed rateAnomaly
+    "ewma_daily" -> ((s, dir) =>
+      operators.Temporal.ewmaDaily(ev(s, dir), "event_type", "ts")),
     // expanding-window time-based CV folds: fold i trains on days ≤ b_i,
     // validates on (b_i, b_i+1] — event-mass-balanced boundaries, all
     // integer-derived; everything past the day agg runs on the bounded
@@ -2085,6 +2099,35 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "dedup_decisions" ->
+      // exact tier: md5(text) min-id groups; near tier: clusters chain +
+      // keep-best window; exact wins, keeper named in dup_of
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         reps AS (SELECT cluster_id, id AS keep_id FROM (
+             SELECT cl.cluster_id, cl.id,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                 ORDER BY d.n_chars DESC, cl.id) AS rn
+             FROM cl JOIN documents d ON cl.id = d.doc_id) WHERE rn = 1),
+         near AS (SELECT cl.id, reps.keep_id FROM cl JOIN reps USING (cluster_id)),
+         ex AS (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS h FROM documents),
+         exk AS (SELECT h, MIN(id) AS keep FROM ex GROUP BY h)
+         SELECT ex.id AS doc_id,
+           CASE WHEN exk.keep <> ex.id THEN 'exact_dup'
+                WHEN near.keep_id IS NOT NULL AND near.keep_id <> ex.id THEN 'near_dup'
+                ELSE 'keep' END AS decision,
+           CASE WHEN exk.keep <> ex.id THEN exk.keep
+                WHEN near.keep_id IS NOT NULL AND near.keep_id <> ex.id THEN near.keep_id
+           END AS dup_of
+         FROM ex JOIN exk USING (h) LEFT JOIN near ON near.id = ex.id
+         ORDER BY doc_id""",
     "cluster_balanced_sample" ->
       // clusters chain + inverse-cluster-size weights + the weighted_sample
       // ES draw (ln(u)/w desc, round(9), id tie-break)
@@ -2238,6 +2281,8 @@ object SparkEntry {
         splitMs = 1705363200000L),
     "daily_trend" ->
       operators.Temporal.dailyTrendSql("events", "event_type", "ts"),
+    "ewma_daily" ->
+      operators.Temporal.ewmaDailySql("events", "event_type", "ts"),
     "changepoint" ->
       operators.Temporal.changepointSql("events", "event_type", "ts"),
     "seasonal_residuals" ->

@@ -330,6 +330,40 @@ object Dedup {
         col("_cr_score").as("keep_score"), col("n_members"))
   }
 
+  /** Per-document dedup DECISION record — the audit trail a production
+    * dedup stage ships alongside the cleaned corpus (every drop must name
+    * its keeper, or the pipeline can't be reviewed or reversed): exact
+    * duplicates collapse to the min-id copy of their content hash,
+    * near-dup cluster members collapse to the cluster's keep-best
+    * representative, everything else is `keep`. Exact-dup wins when both
+    * apply (a byte-identical copy is the stronger claim).
+    *
+    * Shape: one md5-groupBy for the exact tier (16-byte shuffle keys);
+    * the near tier joins the cluster-bounded representative relation
+    * (≪ corpus, broadcast); one left join stitches the verdicts.
+    */
+  def dedupDecisions(docs: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame, scored: DataFrame, scoreCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).cast("long").as("_dd_id"),
+      md5(col(textCol)).as("_dd_h"))
+    val exKeep = ex.groupBy("_dd_h").agg(min("_dd_id").as("_dd_keep"))
+    val exact = ex.join(exKeep, "_dd_h").select(col("_dd_id"), col("_dd_keep"))
+    val reps = clusterRepresentatives(clusters, scored, idCol, scoreCol)
+      .select(col("cluster_id"), col("keep_id"))
+    val near = clusters.join(reps, "cluster_id")
+      .select(col("id").as("_dd_nid"), col("keep_id").as("_dd_nkeep"))
+    val isExactDup = col("_dd_keep") =!= col("_dd_id")
+    val isNearDup = col("_dd_nkeep").isNotNull && col("_dd_nkeep") =!= col("_dd_id")
+    exact.join(broadcast(near), col("_dd_id") === col("_dd_nid"), "left")
+      .select(col("_dd_id").as(idCol),
+        when(isExactDup, lit("exact_dup"))
+          .when(isNearDup, lit("near_dup"))
+          .otherwise(lit("keep")).as("decision"),
+        when(isExactDup, col("_dd_keep"))
+          .when(isNearDup, col("_dd_nkeep")).as("dup_of"))
+      .orderBy(idCol)
+  }
+
   /** 64-bit SimHash over tokens: per-token 64-bit hash (xxhash64 — Spark
     * native, codegen'd), bitwise vote, sign → bit. Near-dups have small
     * Hamming distance. (Engine-internal signature — no cross-engine oracle.)

@@ -637,4 +637,92 @@ object Temporal {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_fill,
           v IS NULL AS filled
         FROM g ORDER BY $keyCol, day"""
+
+  /** EWMA last-day anomaly gate: per key, exponentially-weighted moving
+    * average of DAILY counts over the complete calendar grid (empty days
+    * as zeros), the last day's residual against the level the PRIOR days
+    * predicted, and a Poisson-ish 3√(level+1) gate — the smoothed
+    * complement of [[rateAnomaly]]'s windowed z (EWMA discounts history
+    * smoothly instead of cliff-dropping it at the lookback edge; it is
+    * what monitoring systems actually run).
+    *
+    * Recursion without a recursive engine: s_t = α·c_t + (1−α)·s_{t−1} is
+    * a LEFT FOLD, so the day-grid counts collapse to a bounded per-key
+    * array (calendar-span-sized, like [[timeFolds]]) and the fold runs
+    * inside one `aggregate` HOF — seeded with c_0, exactly DuckDB's
+    * `list_reduce` convention, so both engines chain the identical
+    * IEEE ops in the identical order and agree bit-for-bit (α and 1−α
+    * interpolated from the same Scala doubles).
+    */
+  def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
+      alpha: Double = 0.3): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val keys = daily.select(col(keyCol)).distinct()
+    val grid = keys.crossJoin(broadcast(span))
+      .select(col(keyCol), col("d"),
+        explode(sequence(lit(0), col("d") - 1)).as("x"))
+    val dailyX = daily.crossJoin(broadcast(span))
+      .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+        col("c"))
+    val arrs = grid.join(dailyX, Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("d"), col("x"),
+        coalesce(col("c"), lit(0L)).cast("double").as("c0"))
+      .groupBy(col(keyCol), col("d"))
+      .agg(transform(array_sort(collect_list(struct(col("x"), col("c0")))),
+        e => e.getField("c0")).as("arr"))
+    val a = lit(alpha)
+    val b = lit(1 - alpha)
+    val levelPrev = when(col("d") >= 2,
+      aggregate(slice(col("arr"), lit(2), greatest(col("d") - 2, lit(0))),
+        element_at(col("arr"), 1),
+        (s, c) => a * c + b * s)).otherwise(lit(null).cast("double"))
+    arrs
+      .withColumn("_ew_lp", levelPrev)
+      .select(col(keyCol), col("d").cast("long").as("days"),
+        element_at(col("arr"), col("d")).cast("long").as("c_last"),
+        round(col("_ew_lp"), 6).as("level_prev"),
+        round(element_at(col("arr"), col("d")) - col("_ew_lp"), 6).as("resid"),
+        (abs(element_at(col("arr"), col("d")) - col("_ew_lp")) >
+          lit(3.0) * sqrt(col("_ew_lp") + lit(1.0))).as("anomaly"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[ewmaDaily]] (`list_reduce` seeds with the first
+    * element — the same convention the Spark fold replicates).
+    */
+  def ewmaDailySql(tbl: String, keyCol: String, tsCol: String,
+      alpha: Double = 0.3): String = {
+    val a = alpha.toString
+    val b = (1 - alpha).toString
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       keys AS (SELECT DISTINCT $keyCol FROM daily),
+       grid AS (SELECT $keyCol, d, CAST(unnest(range(0, d)) AS INT) AS x
+         FROM keys CROSS JOIN span),
+       dx AS (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+         FROM daily CROSS JOIN span),
+       arrs AS (SELECT $keyCol, MAX(d) AS d,
+           list(CAST(COALESCE(c, 0) AS DOUBLE) ORDER BY x) AS arr
+         FROM grid LEFT JOIN dx USING ($keyCol, x) GROUP BY $keyCol),
+       f AS (SELECT $keyCol, d, arr,
+           CASE WHEN d >= 2 THEN
+             list_reduce(list_slice(arr, 1, d - 1),
+               (s, c) -> CAST($a AS DOUBLE) * c + CAST($b AS DOUBLE) * s)
+           END AS lp
+         FROM arrs)
+       SELECT $keyCol, CAST(d AS BIGINT) AS days,
+         CAST(arr[d] AS BIGINT) AS c_last,
+         round(lp, 6) AS level_prev,
+         round(arr[d] - lp, 6) AS resid,
+         abs(arr[d] - lp) > CAST(3.0 AS DOUBLE) * sqrt(lp + CAST(1.0 AS DOUBLE))
+           AS anomaly
+       FROM f ORDER BY $keyCol"""
+  }
 }

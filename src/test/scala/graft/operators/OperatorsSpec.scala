@@ -132,6 +132,39 @@ class OperatorsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("dedupDecisions: exact tier wins, near tier names the keep-best keeper") {
+    import spark.implicits._
+    // docs 1 and 2 byte-identical (exact pair, keeper 1); docs 3,4 a
+    // near-dup cluster where 4 is LONGER (keep-best keeps 4); doc 5 clean
+    val docs = Seq(
+      (1L, "same text body"), (2L, "same text body"),
+      (3L, "near dup short"), (4L, "near dup short but longer"),
+      (5L, "unique")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((3L, 3L), (4L, 3L)).toDF("id", "cluster_id")
+    val scored = docs.select($"doc_id", length($"text").as("n_chars"))
+    val out = Dedup.dedupDecisions(docs, "doc_id", "text", clusters,
+        scored, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "keep", -1L), (2L, "exact_dup", 1L),
+      (3L, "near_dup", 4L), (4L, "keep", -1L), (5L, "keep", -1L)), s"$out")
+  }
+
+  test("dedupDecisions: a doc both exact- and near-dup reports the exact tier") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "twin"), (2L, "twin"), (3L, "twin sibling")).toDF("doc_id", "text")
+    // 2 is in a near-dup cluster with 3 AND byte-equal to 1
+    val clusters = Seq((2L, 2L), (3L, 2L)).toDF("id", "cluster_id")
+    val scored = docs.select($"doc_id", length($"text").as("n_chars"))
+    val out = Dedup.dedupDecisions(docs, "doc_id", "text", clusters,
+        scored, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(2L) == "exact_dup", s"$out")
+  }
+
   test("sign-band buckets stay bounded (no quadratic within-bucket blowup)") {
     import spark.implicits._
     // larger fixture for a meaningful population test

@@ -37,6 +37,29 @@ class TemporalReshapeSpec extends AnyFunSuite {
     ))
   }
 
+  test("ewma: hand-computed fold, empty days as zeros, spike trips the gate") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // key "a": days 0..3 counts 2, 0(empty), 2, 20 — EWMA(α=0.3) over the
+    // first 3 days: s0=2, s1=.3*0+.7*2=1.4, s2=.3*2+.7*1.4=1.58;
+    // resid = 20−1.58 = 18.42 > 3·sqrt(2.58) → anomaly
+    // key "b": flat 1/day, last day 1 → resid small, no anomaly
+    val rows =
+      Seq.fill(2)(("a", "2024-01-01 10:00:00")) ++
+      Seq.fill(2)(("a", "2024-01-03 10:00:00")) ++
+      Seq.fill(20)(("a", "2024-01-04 10:00:00")) ++
+      (1 to 4).map(d => ("b", f"2024-01-0$d 10:00:00"))
+    val ev = rows.toDF("k", "s").select($"k", to_timestamp($"s").as("ts"))
+    val out = Temporal.ewmaDaily(ev, "k", "ts")
+      .select($"k", $"days", $"c_last", $"level_prev", $"resid", $"anomaly")
+      .as[(String, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.length == 2)
+    val a = out.head
+    assert(a == (("a", 4L, 20L, 1.58, 18.42, true)), s"$a")
+    val b = out(1)
+    assert(b._1 == "b" && b._3 == 1L && !b._6, s"$b")
+  }
+
   test("gap fill on fixture events: grid is complete and per-key contiguous") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val out = Temporal.gapFill(ev, "user_id", "ts", "value").cache()
