@@ -670,6 +670,14 @@ object SparkEntry {
     "attribution" -> ((s, dir) =>
       operators.Attribution.lastTouch(ev(s, dir), "user_id", "ts",
         "event_type", "event_id", convType = "purchase", lookbackSec = 86400L)),
+    // Markov-chain attribution with removal effects: absorbing-chain
+    // conversion probability, re-solved with each channel redirected to
+    // NULL — distributed path/transition extraction, bounded-state value
+    // iteration (the pca recursive-oracle pattern)
+    "markov_attribution" -> ((s, dir) =>
+      operators.Attribution.markovRemoval(ev(s, dir), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase",
+        channels = Seq("click", "error", "signup", "view"))),
     // RFM quartile segmentation per user over purchases (percentile-
     // broadcast banding; recency inverts)
     "rfm_scores" -> ((s, dir) =>
@@ -2243,6 +2251,10 @@ object SparkEntry {
     "attribution" ->
       operators.Attribution.lastTouchSql("events", "user_id", "ts",
         "event_type", "event_id", convType = "purchase", lookbackSec = 86400L),
+    "markov_attribution" ->
+      operators.Attribution.markovRemovalSql("events", "user_id", "ts",
+        "event_type", "event_id", convType = "purchase",
+        channels = Seq("click", "error", "signup", "view")),
     "rfm_scores" ->
       operators.EventSeq.rfmScoresSql("events", "user_id", "ts", "value",
         "event_type", convType = "purchase"),

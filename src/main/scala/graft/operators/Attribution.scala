@@ -47,6 +47,195 @@ object Attribution {
       .orderBy("channel")
   }
 
+  /** Markov-chain attribution with REMOVAL EFFECTS (Anderl et al. 2014,
+    * "Mapping the customer journey"): model each user's pre-conversion
+    * event path as a first-order Markov chain over channel states with
+    * absorbing CONV (conversion) and NULL (journey ended unconverted)
+    * states, then credit each channel by how much the corpus conversion
+    * probability DROPS when that channel is removed (its transitions
+    * redirected to NULL) — the causal-flavored upgrade of [[lastTouch]]
+    * (a channel that only ever appears mid-journey gets zero last-touch
+    * credit but a real removal effect).
+    *
+    * Execution shape: the DISTRIBUTED work is path extraction (one lag/
+    * lead window per user, truncated at the first conversion) and the
+    * (from, to) transition count — a ≤(C+2)²-row relation. Absorption
+    * probabilities then come from a FIXED-COUNT value iteration
+    * p ← M·p over the bounded state space (driver-side, the k-means/BPE
+    * bounded-state pattern), once for the base chain and once per removed
+    * channel. The oracle replays the identical iterations as one
+    * recursive CTE keyed by variant (the [[Pca.pcaProjectSql]] trick), so
+    * the scores are hash-exact, not rows-only.
+    *
+    * Determinism: states are indexed in a FIXED order (START, channels in
+    * the caller-given order, CONV, NULL); the matrix-vector product sums
+    * in state order; transition probabilities divide once in double; both
+    * engines chain identical IEEE ops. CONV/NULL are self-loop absorbing
+    * rows, seed p₀ = e_CONV, so p_k(s) = P(absorbed in CONV within k
+    * steps) — monotone convergent, iterations fixed at `iters`.
+    */
+  def markovRemoval(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, convType: String,
+      channels: Seq[String], iters: Int = 100): DataFrame = {
+    require(channels.nonEmpty && !channels.contains(convType),
+      "markovRemoval: channels must be non-empty and exclude the conversion type")
+    val spark = df.sparkSession
+    // ---- distributed: per-user path -> (from, to) transition counts ----
+    val st = when(col(typeCol) === convType, lit("CONV"))
+      .otherwise(col(typeCol)).as("st")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val convBefore = sum(when(col("st") === "CONV", 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val kept = df.select(col(userCol), col(tsCol), col(idCol), st)
+      .withColumn("_mk_cb", coalesce(convBefore, lit(0L)))
+      .where(col("_mk_cb") === 0L) // events up to and incl. the first CONV
+    val wk = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val steps = kept
+      .withColumn("_mk_rn", row_number().over(wk))
+      .withColumn("_mk_next", lead(col("st"), 1).over(wk))
+    val fromFirst = steps.where(col("_mk_rn") === 1)
+      .select(lit("START").as("from"), col("st").as("to"))
+    val mids = steps.where(col("_mk_next").isNotNull)
+      .select(col("st").as("from"), col("_mk_next").as("to"))
+    val tails = steps
+      .where(col("_mk_next").isNull && col("st") =!= "CONV")
+      .select(col("st").as("from"), lit("NULL").as("to"))
+    val counts = fromFirst.unionByName(mids).unionByName(tails)
+      .groupBy("from", "to").agg(count(lit(1)).as("n"))
+      .collect() // bounded: ≤ (C+2)² rows
+    // ---- driver: bounded-state value iteration, base + per-removal ----
+    val states = ("START" +: channels) ++ Seq("CONV", "NULL")
+    val idx = states.zipWithIndex.toMap
+    val s = states.length
+    val convI = idx("CONV"); val nullI = idx("NULL")
+    val base = Array.ofDim[Double](s, s)
+    val rowTot = Array.ofDim[Double](s)
+    counts.foreach { r =>
+      (idx.get(r.getString(0)), idx.get(r.getString(1))) match {
+        case (Some(i), Some(j)) =>
+          base(i)(j) += r.getLong(2).toDouble; rowTot(i) += r.getLong(2).toDouble
+        case _ => () // types outside the declared channel set are ignored
+      }
+    }
+    for (i <- 0 until s if rowTot(i) > 0; j <- 0 until s)
+      base(i)(j) = base(i)(j) / rowTot(i)
+    base(convI)(convI) = 1.0; base(nullI)(nullI) = 1.0
+    def absorb(m: Array[Array[Double]]): Double = {
+      var p = Array.tabulate(s)(i => if (i == convI) 1.0 else 0.0)
+      for (_ <- 0 until iters)
+        p = Array.tabulate(s) { i =>
+          var acc = 0.0; var j = 0
+          while (j < s) { acc += m(i)(j) * p(j); j += 1 }
+          acc
+        }
+      p(idx("START"))
+    }
+    val pBase = absorb(base)
+    def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = channels.map { c =>
+      val ci = idx(c)
+      // removal: transitions INTO c go to NULL instead (row sums keep);
+      // c's own row is unreachable and untouched
+      val m = Array.tabulate(s, s) { (i, j) =>
+        if (j == ci) 0.0
+        else if (j == nullI) base(i)(nullI) + base(i)(ci)
+        else base(i)(j)
+      }
+      m(convI)(convI) = 1.0; m(nullI)(nullI) = 1.0
+      val pc = absorb(m)
+      val eff = if (pBase > 0) (pBase - pc) / pBase else 0.0
+      (c, rnd6(pBase), rnd6(pc), rnd6(eff))
+    }
+    import spark.implicits._
+    rows.toDF("channel", "p_conv", "p_removed", "removal_effect")
+      .orderBy("channel")
+  }
+
+  /** DuckDB mirror of [[markovRemoval]]: identical path/transition
+    * extraction, then ONE recursive CTE carrying each variant's p-vector
+    * (base + one per removed channel) through the same fixed-count value
+    * iteration.
+    */
+  def markovRemovalSql(tbl: String, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, convType: String,
+      channels: Seq[String], iters: Int = 100): String = {
+    val states = ("START" +: channels) ++ Seq("CONV", "NULL")
+    val s = states.length
+    val stateIdx = states.zipWithIndex.map { case (n, i) => (n, i + 1) }.toMap
+    val convI = stateIdx("CONV"); val nullI = stateIdx("NULL")
+    val idxCase = states.map(n =>
+      s"WHEN ${OracleSql.lit(n)} THEN ${stateIdx(n)}").mkString(" ")
+    // variants: 0 = base, k = channel k removed (state index k+1)
+    val variants = (0 +: channels.indices.map(_ + 2).toList)
+      .map(v => s"($v)").mkString(", ")
+    s"""WITH RECURSIVE ev AS (SELECT $userCol AS u, $tsCol AS ts, $idCol AS eid,
+           CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 'CONV'
+                ELSE $typeCol END AS st
+         FROM $tbl),
+       kept AS (SELECT * FROM (SELECT u, ts, eid, st,
+           COALESCE(SUM(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY u ORDER BY ts, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM ev) WHERE cb = 0),
+       steps AS (SELECT u, st,
+           row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn,
+           lead(st) OVER (PARTITION BY u ORDER BY ts, eid) AS nxt
+         FROM kept),
+       trans AS (
+         SELECT 'START' AS f, st AS t FROM steps WHERE rn = 1
+         UNION ALL SELECT st, nxt FROM steps WHERE nxt IS NOT NULL
+         UNION ALL SELECT st, 'NULL' FROM steps WHERE nxt IS NULL AND st <> 'CONV'),
+       cnt AS (SELECT CASE f $idxCase END AS fi, CASE t $idxCase END AS ti,
+           COUNT(*) AS n
+         FROM trans
+         WHERE (CASE f $idxCase END) IS NOT NULL
+           AND (CASE t $idxCase END) IS NOT NULL
+         GROUP BY 1, 2),
+       tot AS (SELECT fi, SUM(n) AS tn FROM cnt GROUP BY fi),
+       cells AS (SELECT a.i, b.j,
+           COALESCE(CASE
+             WHEN a.i = $convI THEN CASE WHEN b.j = $convI THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+             WHEN a.i = $nullI THEN CASE WHEN b.j = $nullI THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+             ELSE (SELECT CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)
+                   FROM cnt JOIN tot USING (fi)
+                   WHERE fi = a.i AND ti = b.j) END, CAST(0 AS DOUBLE)) AS p
+         FROM (SELECT CAST(x AS INT) AS i FROM range(1, ${s + 1}) r(x)) a
+         CROSS JOIN (SELECT CAST(x AS INT) AS j FROM range(1, ${s + 1}) r(x)) b),
+       vars(v) AS (SELECT CAST(x AS INT) FROM (VALUES $variants) t(x)),
+       vcells AS (SELECT v, i, j,
+           CASE WHEN i = $convI OR i = $nullI THEN p
+                WHEN v = 0 THEN p
+                WHEN j = v THEN CAST(0 AS DOUBLE)
+                WHEN j = $nullI THEN p + (SELECT p FROM cells c2
+                  WHERE c2.i = vcells0.i AND c2.j = vcells0.v)
+                ELSE p END AS p
+         FROM (SELECT v, i, j, p FROM vars CROSS JOIN cells) vcells0),
+       mats AS (SELECT v, list(r ORDER BY i) AS mm FROM (
+           SELECT v, i, list(p ORDER BY j) AS r FROM vcells GROUP BY v, i)
+         GROUP BY v),
+       it(k, v, p) AS (
+         SELECT 0, v, list_transform(range(1, ${s + 1}),
+             d -> CAST(CASE WHEN d = $convI THEN 1 ELSE 0 END AS DOUBLE))
+           FROM vars
+         UNION ALL
+         SELECT k + 1, it.v,
+           list_transform(range(1, ${s + 1}), i ->
+             list_sum(list_transform(range(1, ${s + 1}), j -> mm[i][j] * it.p[j])))
+         FROM it JOIN mats ON it.v = mats.v WHERE k < $iters),
+       fin AS (SELECT v, p[1] AS pstart FROM it WHERE k = $iters),
+       basep AS (SELECT pstart AS pb FROM fin WHERE v = 0)
+       SELECT ch AS channel, round(pb, 6) AS p_conv,
+         round(pstart, 6) AS p_removed,
+         round(CASE WHEN pb > 0 THEN (pb - pstart) / pb ELSE 0 END, 6)
+           AS removal_effect
+       FROM fin JOIN (SELECT * FROM (VALUES ${channels.zipWithIndex
+           .map { case (c, i) => s"(${OracleSql.lit(c)}, ${i + 2})" }
+           .mkString(", ")}) t(ch, v)) chs USING (v)
+       CROSS JOIN basep
+       ORDER BY channel"""
+  }
+
   /** DuckDB mirror of [[lastTouch]] — native ASOF LEFT JOIN over the
     * (user, ts)-deduped touch stream, same lookback gate and tie-break.
     */

@@ -163,6 +163,42 @@ class EventSeqSpec extends AnyFunSuite {
     assert(out.getAs[Double]("df") > 10.0)
   }
 
+  test("markov removal: mandatory channel scores total effect, unused scores zero") {
+    spark.sparkContext.setLogLevel("WARN")
+    // every converting journey is START -> a -> CONV; "b" appears only in
+    // non-converting journeys. Removing a kills ALL conversion (effect 1);
+    // removing b changes nothing (effect 0).
+    val rows = Seq(
+      (1L, 1L, 0L, "a", 0.0), (2L, 1L, 10L, "purchase", 0.0),
+      (3L, 2L, 0L, "a", 0.0), (4L, 2L, 10L, "purchase", 0.0),
+      (5L, 3L, 0L, "b", 0.0), (6L, 3L, 10L, "b", 0.0))
+    val out = Attribution.markovRemoval(events(rows), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase",
+        channels = Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3))).toSeq
+    // base chain: START->a (2/3), START->b (1/3); a->CONV always; b->b->NULL
+    val pBase = 2.0 / 3.0
+    assert(out.map(_._1) == Seq("a", "b"))
+    assert(math.abs(out.head._2 - pBase) < 1e-6, s"$out")
+    assert(out.head._3 == 1.0, s"removing the mandatory channel: $out")
+    assert(out(1)._3 == 0.0, s"removing the unused channel: $out")
+  }
+
+  test("markov removal: chain truncates at the FIRST conversion") {
+    spark.sparkContext.setLogLevel("WARN")
+    // events after the first purchase must not create transitions: the
+    // post-conversion "b" here would otherwise give b a removal effect
+    val rows = Seq(
+      (1L, 1L, 0L, "a", 0.0), (2L, 1L, 10L, "purchase", 0.0),
+      (3L, 1L, 20L, "b", 0.0), (4L, 1L, 30L, "purchase", 0.0))
+    val out = Attribution.markovRemoval(events(rows), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase",
+        channels = Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(out("b") == 0.0, s"post-conversion events leaked into the chain: $out")
+    assert(out("a") == 1.0, s"$out")
+  }
+
   test("cuped: theta recovers the planted pre/post slope, variance collapses") {
     spark.sparkContext.setLogLevel("WARN")
     // user u: pre-period X = u mod 10 at t=0s, post-period Y = 2X + wobble
