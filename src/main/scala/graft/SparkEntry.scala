@@ -417,6 +417,11 @@ object SparkEntry {
     "ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
         n = 3)),
+    // per-source Unicode script composition + dominant script: the
+    // script-level gate beside token-level langid — codegen'd regexp
+    // counts inside the scan, one bounded group agg
+    "script_profile" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(Tables.documents(s, dir), "source", "text")),
     // per-language subword fertility of the proxy BPE tokenizer
     "tokenizer_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(Tables.documents(s, dir), "lang", "text")),
@@ -532,6 +537,11 @@ object SparkEntry {
     // candidate threshold — pick the dedup threshold FROM this curve
     "dedup_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(nearDupPairsBuilt(s, dir))),
+    // near-dup cluster size spectrum: clusters/members/pairwise-comparison
+    // mass per size k — the dedup capacity-planning shape readout
+    "cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeSpectrum(
+        Dedup.nearDupClusters(nearDupPairsBuilt(s, dir)))),
     // per-doc dedup decision record (keep / exact_dup / near_dup + the
     // keeper id): the reviewable audit trail of the dedup stage — exact
     // tier wins, near tier from the keep-best representatives
@@ -2107,6 +2117,21 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "cluster_sizes" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         ks AS (SELECT cluster_id, COUNT(*) AS k FROM cl GROUP BY cluster_id)
+         SELECT k AS cluster_size, COUNT(*) AS n_clusters,
+           CAST(k * COUNT(*) AS BIGINT) AS n_members,
+           CAST(k * (k - 1) / 2 * COUNT(*) AS BIGINT) AS n_comparisons
+         FROM ks GROUP BY k ORDER BY k""",
     "dedup_decisions" ->
       // exact tier: md5(text) min-id groups; near tier: clusters chain +
       // keep-best window; exact wins, keeper named in dup_of
@@ -2672,6 +2697,8 @@ object SparkEntry {
       operators.TextAnalysis.ngramDiversitySql("documents", "source", "text", 3),
     "ngram_novelty" ->
       operators.TextAnalysis.ngramNoveltySql("documents", "doc_id", "text", 3),
+    "script_profile" ->
+      operators.TextAnalysis.scriptProfileSql("documents", "source", "text"),
     "tokenizer_fertility" ->
       operators.TextAnalysis.tokenizerFertilitySql("documents", "lang", "text"),
     "ppl_buckets" ->

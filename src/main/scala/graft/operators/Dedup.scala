@@ -330,6 +330,25 @@ object Dedup {
         col("_cr_score").as("keep_score"), col("n_members"))
   }
 
+  /** Near-dup cluster SIZE SPECTRUM: how many clusters have exactly k
+    * members, with the member and pairwise-comparison mass per size — the
+    * shape readout behind dedup capacity planning (one 10k-member
+    * template-farm cluster dominates verify cost quadratically; many
+    * 2-clusters dominate representative churn). Two bounded aggregations
+    * over the cluster relation; comparisons = k(k−1)/2 per cluster.
+    */
+  def clusterSizeSpectrum(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("k"))
+      .groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_members"),
+        // Spark's `/` is double division — k(k−1) is always even, so the
+        // long cast is exact and matches the BIGINT oracle
+        (col("cluster_size") * (col("cluster_size") - 1) / 2 *
+          col("n_clusters")).cast("long").as("n_comparisons"))
+      .orderBy("cluster_size")
+
   /** Per-document dedup DECISION record — the audit trail a production
     * dedup stage ships alongside the cleaned corpus (every drop must name
     * its keeper, or the pipeline can't be reviewed or reversed): exact

@@ -794,6 +794,67 @@ object TextAnalysis {
           col("total_ngrams").cast("double"), 4).as("diversity"))
   }
 
+  /** Per-source Unicode SCRIPT composition: character counts per script
+    * block (Latin / Cyrillic / Han / Greek / digits) and the dominant
+    * script — the script-level gate multilingual pipelines run beside
+    * token-level [[langId]] (langid confuses languages; script counts
+    * can't, and a Latin-labeled corpus with a Cyrillic tail is a
+    * mojibake/spam signal langid misses). Zero shuffle beyond the group
+    * agg: every count is a codegen'd regexp length inside the scan.
+    *
+    * Both engines count via `length(regexp_replace(text,
+    * '[^\\p{Script}]', ''))` — Java and RE2 agree on Unicode script
+    * classes; counts are chars, exact.
+    */
+  def scriptProfile(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      length(regexp_replace(t, s"[^\\p{Is$cls}]", "")).cast("long")
+    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val g = df.groupBy(col(groupCol)).agg(
+      sum(length(t).cast("long")).as("n_chars"),
+      sum(cnt("Latin")).as("latin"),
+      sum(cnt("Cyrillic")).as("cyrillic"),
+      sum(cnt("Han")).as("han"),
+      sum(cnt("Greek")).as("greek"),
+      sum(digits).as("digit"))
+    val dom = when(col("latin") >= col("cyrillic") &&
+        col("latin") >= col("han") && col("latin") >= col("greek"), "latin")
+      .when(col("cyrillic") >= col("han") && col("cyrillic") >= col("greek"),
+        "cyrillic")
+      .when(col("han") >= col("greek"), "han")
+      .otherwise("greek")
+    g.select(col(groupCol), col("n_chars"), col("latin"), col("cyrillic"),
+        col("han"), col("greek"), col("digit"),
+        round(col("latin").cast("double") / col("n_chars").cast("double"), 6)
+          .as("share_latin"),
+        dom.as("dominant"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[scriptProfile]]. */
+  def scriptProfileSql(tbl: String, groupCol: String,
+      textCol: String): String = {
+    def cnt(cls: String) =
+      s"length(regexp_replace($textCol, '[^\\p{$cls}]', '', 'g'))"
+    s"""WITH g AS (SELECT $groupCol,
+           CAST(SUM(length($textCol)) AS BIGINT) AS n_chars,
+           CAST(SUM(${cnt("Latin")}) AS BIGINT) AS latin,
+           CAST(SUM(${cnt("Cyrillic")}) AS BIGINT) AS cyrillic,
+           CAST(SUM(${cnt("Han")}) AS BIGINT) AS han,
+           CAST(SUM(${cnt("Greek")}) AS BIGINT) AS greek,
+           CAST(SUM(length(regexp_replace($textCol, '[^0-9]', '', 'g'))) AS BIGINT) AS digit
+         FROM $tbl GROUP BY $groupCol)
+       SELECT $groupCol, n_chars, latin, cyrillic, han, greek, digit,
+         round(CAST(latin AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS share_latin,
+         CASE WHEN latin >= cyrillic AND latin >= han AND latin >= greek THEN 'latin'
+              WHEN cyrillic >= han AND cyrillic >= greek THEN 'cyrillic'
+              WHEN han >= greek THEN 'han'
+              ELSE 'greek' END AS dominant
+       FROM g ORDER BY $groupCol"""
+  }
+
   /** Per-document n-gram NOVELTY against everything that came before it
     * (by id order): the fraction of the doc's distinct n-grams whose
     * global FIRST occurrence is this document — the corpus-growth

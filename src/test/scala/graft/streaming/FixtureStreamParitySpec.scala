@@ -147,6 +147,58 @@ class FixtureStreamParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA final-day readout equals the batch ewma_daily gate") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("ts_ms")
+      .as[(String, Long)].collect()
+      .map { case (k, t) => StreamEwma.Event(k, t) }
+
+    // seeding parity precondition: the stream seeds each key at ITS first
+    // observed day (no corpus span exists on an unbounded stream), the
+    // batch fold at the CORPUS first day — identical only when every key
+    // is active on day 0. Assert that precondition so the equality claim
+    // below is honest rather than accidental.
+    val day0 = events.map(e => Math.floorDiv(e.tsMs, 86400000L)).min
+    val firstDayByKey = events.groupBy(_.key)
+      .map { case (k, es) => k -> es.map(e => Math.floorDiv(e.tsMs, 86400000L)).min }
+    assert(firstDayByKey.values.forall(_ == day0),
+      s"fixture precondition: every key active on corpus day 0: $firstDayByKey")
+
+    val lastDay = events.map(e => Math.floorDiv(e.tsMs, 86400000L)).max
+    val sentinels = events.map(_.key).distinct
+      .map(StreamEwma.Event(_, (lastDay + 1) * 86400000L + 1))
+
+    val source = MemoryStream[StreamEwma.Event]
+    // gateMult 0: every closed day emits its readout, so the final-day
+    // comparison below is a FULL-readout parity, not empty-vs-empty on a
+    // smooth fixture
+    val q = StreamEwma.anomalies(source.toDS(), gateMult = 0.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fixture_ewma").start()
+    try {
+      events.grouped((events.length + 3) / 4).foreach { chunk =>
+        source.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      source.addData(sentinels.toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val streamedFinal = spark.sql(
+          s"SELECT key, n, levelPrev, resid FROM fixture_ewma WHERE dayMs = ${lastDay * 86400000L}")
+        .as[(String, Long, Double, Double)].collect().sorted.toSeq
+      val batch = graft.SparkEntry.queries("ewma_daily")(spark, dir)
+        .select(col("event_type"), col("c_last"), col("level_prev"), col("resid"))
+        .as[(String, Long, Double, Double)].collect().sorted.toSeq
+      assert(batch.nonEmpty && streamedFinal == batch,
+        s"stream final-day vs batch gate: $streamedFinal vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming funnel advances over fixture events equal the batch funnel counts") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -126,6 +126,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA folds gap days as zeros and seeds at the first closed day") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val day = 86400000L
+    // key "a": day0×2, day1 empty (gap), day2×2, day3×20 (spike), sentinel.
+    // fold: seed 2, gap → .7·2=1.4, day2 → .3·2+.7·1.4=1.58; day3 resid
+    // 20−1.58=18.42 — same numbers as the batch hand spec
+    val evs =
+      Seq.fill(2)(StreamEwma.Event("a", 0L)) ++
+      Seq.fill(2)(StreamEwma.Event("a", 2 * day)) ++
+      Seq.fill(20)(StreamEwma.Event("a", 3 * day)) :+
+      StreamEwma.Event("a", 5 * day)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamEwma.Event]
+    val q = StreamEwma.anomalies(source.toDS(), gateMult = 0.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_gap").start()
+    try {
+      source.addData(evs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT dayMs, n, levelPrev, resid FROM ewma_gap")
+        .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+      // day0 seeds (unjudged), day2 judged against .7·2, day3 the spike
+      assert(out == Seq((2 * day, 2L, 1.4, 0.6), (3 * day, 20L, 1.58, 18.42)),
+        s"$out")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrivals only, normalized across formatting") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
