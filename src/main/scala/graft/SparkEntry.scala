@@ -422,6 +422,17 @@ object SparkEntry {
     // counts inside the scan, one bounded group agg
     "script_profile" -> ((s, dir) =>
       TextAnalysis.scriptProfile(Tables.documents(s, dir), "source", "text")),
+    // k-anonymity audit over (source, lang) quasi-identifiers: class-size
+    // spectrum + share of rows below each candidate k — one QI hash agg,
+    // two bounded rollups
+    "k_anonymity" -> ((s, dir) =>
+      operators.Privacy.kAnonymity(Tables.documents(s, dir),
+        Seq("source", "lang"))),
+    // Laplace-noised count release (seeded inverse-CDF noise — the ε-DP
+    // counting mechanism, reproducible for cross-engine testing)
+    "dp_counts" -> ((s, dir) =>
+      operators.Privacy.laplaceCounts(ev(s, dir), "event_type",
+        epsilon = 0.5)),
     // per-language subword fertility of the proxy BPE tokenizer
     "tokenizer_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(Tables.documents(s, dir), "lang", "text")),
@@ -2699,6 +2710,10 @@ object SparkEntry {
       operators.TextAnalysis.ngramNoveltySql("documents", "doc_id", "text", 3),
     "script_profile" ->
       operators.TextAnalysis.scriptProfileSql("documents", "source", "text"),
+    "k_anonymity" ->
+      operators.Privacy.kAnonymitySql("documents", Seq("source", "lang")),
+    "dp_counts" ->
+      operators.Privacy.laplaceCountsSql("events", "event_type", epsilon = 0.5),
     "tokenizer_fertility" ->
       operators.TextAnalysis.tokenizerFertilitySql("documents", "lang", "text"),
     "ppl_buckets" ->
