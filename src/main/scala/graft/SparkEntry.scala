@@ -247,6 +247,30 @@ object SparkEntry {
         .agg(round(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q6 (forecast-revenue change): the pushdown showcase — three
+    // range predicates reach the parquet scan, one scan-agg, one row out
+    "q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(decSum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+    // TPC-H Q14 (promo revenue share): broadcast part join, conditional
+    // DECIMAL-exact aggregation
+    "q14_promo" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-10-01")))
+      val p = Tables.part(s, dir)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0.0)).cast("decimal(18,6)")).cast("double") /
+          decSum(rev), 4).as("promo_revenue_pct"))
+    }),
     "topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1728,6 +1752,20 @@ object SparkEntry {
          WHERE r_name = 'EUROPE'
            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_forecast" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q14_promo" ->
+      """SELECT round(100.0 *
+           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+             THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+             ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS promo_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
     "topk_orders" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "window_rank" ->

@@ -340,4 +340,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"bucket aggregation should map-side combine:\n$plan")
   }
+
+  test("q6: all three range predicates reach the parquet scan, schema pruned") {
+    val plan = planOf(SparkEntry.queries("q6_forecast")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      s"shipdate range not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_discount,0\\.05\\).*"),
+      s"discount range not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(l_quantity,24\\.0\\).*"),
+      s"quantity bound not pushed:\n$plan")
+    // projection pruning: the scan must not read the 11-column table
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_returnflag"),
+      s"scan reads columns Q6 never uses:\n$plan")
+  }
+
+  test("q14: the part side broadcasts; no sort-merge join") {
+    val plan = planOf(SparkEntry.queries("q14_promo")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"part join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("cov_matrix: the moment fold executes ONCE (AQE reuses its exchange)") {
+    val df = SparkEntry.queries("cov_matrix")(spark, sf)
+    df.collect() // adaptive reuse is a RUNTIME property — finalize the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed Aggregator missing from the plan:\n$plan")
+    // sums + means(i) + means(j) all read the same folded buffer: the
+    // scan-side partial fold must run once, the other branches reusing
+    // its exchange — otherwise the corpus is folded three times
+    assert("ReusedExchange".r.findAllIn(plan).size >= 2,
+      s"moment fold not reused across branches:\n$plan")
+    // and every Generate is the single-row posexplode of the folded
+    // buffer — products never enter the row stream pre-aggregate
+    assert(!plan.contains("Generate explode"),
+      s"unexpected pre-aggregate fan-out:\n$plan")
+  }
+
+  test("cluster_balanced_sample: size/label joins broadcast, draw is TakeOrdered") {
+    val plan = planOf(SparkEntry.queries("cluster_balanced_sample")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ES draw should be TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cluster-bounded relations must broadcast, not SMJ:\n$plan")
+  }
+
+  test("markov_attribution: path extraction is windows + bounded agg, no self-join") {
+    val plan = planOf(SparkEntry.queries("markov_attribution")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("SortMergeJoin"),
+      s"transition extraction should not join at all:\n$plan")
+  }
+
+  test("dedup_decisions: near-tier verdicts broadcast onto the exact tier") {
+    val plan = planOf(SparkEntry.queries("dedup_decisions")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the cluster-bounded near relation should broadcast:\n$plan")
+  }
 }
