@@ -446,6 +446,18 @@ object SparkEntry {
     // counts inside the scan, one bounded group agg
     "script_profile" -> ((s, dir) =>
       TextAnalysis.scriptProfile(Tables.documents(s, dir), "source", "text")),
+    // Kaplan–Meier gap survival with right-censoring: waiting-time curve
+    // over inter-event gaps, each user's final OPEN gap entering as a
+    // censored observation (the bias gap_quantiles silently carries) —
+    // one user-keyed lag window, then the bounded bucket relation
+    "km_gap_survival" -> ((s, dir) =>
+      operators.Survival.kmGapSurvival(ev(s, dir), "user_id", "ts",
+        "event_id")),
+    // per-label embedding drift between md5-halves: centroid cosine +
+    // norm ratio — representation-rot monitor; labels×2 centroid relation
+    "embed_drift" -> ((s, dir) =>
+      operators.Drift.embedDrift(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label")),
     // k-anonymity audit over (source, lang) quasi-identifiers: class-size
     // spectrum + share of rows below each candidate k — one QI hash agg,
     // two bounded rollups
@@ -2748,6 +2760,12 @@ object SparkEntry {
       operators.TextAnalysis.ngramNoveltySql("documents", "doc_id", "text", 3),
     "script_profile" ->
       operators.TextAnalysis.scriptProfileSql("documents", "source", "text"),
+    "km_gap_survival" ->
+      operators.Survival.kmGapSurvivalSql("events", "user_id", "ts",
+        "event_id"),
+    "embed_drift" ->
+      operators.Drift.embedDriftSql("embeddings", "vec_id", "embedding",
+        "label", dim = 64),
     "k_anonymity" ->
       operators.Privacy.kAnonymitySql("documents", Seq("source", "lang")),
     "dp_counts" ->

@@ -84,4 +84,72 @@ object Drift {
            AS DOUBLE), 6) AS psi
        FROM ab GROUP BY source ORDER BY source"""
   }
+
+  /** Per-label EMBEDDING drift between two deterministic md5-halves of the
+    * corpus (the [[psiDrift]] split mechanism applied to vectors — in
+    * production the halves are two model/snapshot versions): cosine
+    * between the halves' per-label centroids and the relative centroid-
+    * norm shift. Cosine near 1 with stable norms ⇒ the embedding space
+    * didn't move for that label; a low cosine flags representation rot
+    * BEFORE downstream retrieval quality decays.
+    *
+    * Shape: one posexplode → (label, half, dim) DECIMAL-exact mean fold
+    * (the [[Similarity.labelCentroidMargin]] centroid discipline) → the
+    * centroid relation is labels×2 rows; everything after is bounded.
+    */
+  def embedDrift(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, salt: String = "ed"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val half = (conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("half")
+    val cents = emb
+      .select(col(labelCol).as("label"), half,
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("label", "half", "dim")
+      .agg((sum(col("v").cast("double").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("_ed_sm"), count(lit(1)).as("_ed_n"))
+      .groupBy("label", "half")
+      .agg(array_sort(collect_list(struct(col("dim"), col("_ed_sm")))).as("_s"),
+        max(col("_ed_n")).as("n"))
+      .select(col("label"), col("half"),
+        transform(col("_s"), _.getField("_ed_sm")).as("cv"), col("n"))
+    val a = cents.where(col("half") === 0)
+      .select(col("label"), col("cv").as("cv_a"), col("n").as("n_a"))
+    val b = cents.where(col("half") === 1)
+      .select(col("label"), col("cv").as("cv_b"), col("n").as("n_b"))
+    def norm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+    a.join(b, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(Similarity.cosine(col("cv_a"), col("cv_b")), 6).as("centroid_cos"),
+        round(norm(col("cv_b")) / norm(col("cv_a")), 6).as("norm_ratio"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[embedDrift]]. */
+  def embedDriftSql(tbl: String, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, salt: String = "ed"): String = {
+    val cos =
+      s"""(list_sum(list_transform(list_zip(cv_a, cv_b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(cv_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(cv_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+    def nrm(c: String) =
+      s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH h AS (SELECT $labelCol AS label, $vecCol AS vec,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($idCol AS VARCHAR)),1,2) AS INT) % 2 AS half
+         FROM $tbl),
+       cdim AS (SELECT label, half, d.d AS dim,
+           CAST(SUM(CAST(CAST(vec[d.d] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS m,
+           COUNT(*) AS nd
+         FROM h CROSS JOIN range(1, ${dim + 1}) d(d) GROUP BY 1, 2, 3),
+       cents AS (SELECT label, half, list(m ORDER BY dim) AS cv, MAX(nd) AS n
+         FROM cdim GROUP BY label, half),
+       a AS (SELECT label, cv AS cv_a, n AS n_a FROM cents WHERE half = 0),
+       b AS (SELECT label, cv AS cv_b, n AS n_b FROM cents WHERE half = 1)
+       SELECT label, n_a, n_b,
+         round($cos, 6) AS centroid_cos,
+         round(${nrm("cv_b")} / ${nrm("cv_a")}, 6) AS norm_ratio
+       FROM a JOIN b USING (label) ORDER BY label"""
+  }
 }

@@ -52,3 +52,66 @@ class PrivacySpec extends AnyFunSuite {
     }
   }
 }
+// (Survival + embedding-drift specs share this file's session)
+class SurvivalDriftSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("survival-drift-spec")
+    .getOrCreate()
+
+  test("KM gap survival: hand-computed risk sets, censored gaps enter the risk set") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // u1: events at 0h, 1h, 3h -> complete gaps t=1, t=2, censored tail t=0
+    // u2: one event at 0h -> fully censored gap t=3 (corpus tmax = 3h)
+    val H = 3600L
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, H), (3L, 1L, 3 * H), (4L, 2L, 0L))
+      .toDF("event_id", "user_id", "t_sec")
+      .select($"event_id", $"user_id", timestamp_seconds($"t_sec").as("ts"))
+    val out = graft.operators.Survival.kmGapSurvival(ev, "user_id", "ts", "event_id")
+      .select("t_buckets", "n_risk", "d_done", "factor")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // risk sets: t=1 -> 3 at risk (censored t=3 and complete t=2 included),
+    // t=2 -> 2 at risk; the censored t=0 and t=3 rows never emit
+    assert(out == Seq((1L, 3L, 1L, 0.666667), (2L, 2L, 1L, 0.5)), s"$out")
+    val s = graft.operators.Survival.kmGapSurvival(ev, "user_id", "ts", "event_id")
+      .select("survival").as[Double].collect().toSeq
+    assert(math.abs(s.head - 2.0 / 3) < 1e-4 && math.abs(s(1) - 1.0 / 3) < 1e-4, s"$s")
+  }
+
+  test("KM gap survival: all-complete final bucket drops S to exactly 0") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one user, events at 0h and 1h, and tmax == last event: the censored
+    // tail gap has length 0 (t=0), the only complete gap is t=1 where
+    // every at-risk observation completes -> factor 0 -> S = 0
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 3600L))
+      .toDF("event_id", "user_id", "t_sec")
+      .select($"event_id", $"user_id", timestamp_seconds($"t_sec").as("ts"))
+    val out = graft.operators.Survival.kmGapSurvival(ev, "user_id", "ts", "event_id")
+      .select("t_buckets", "factor", "survival")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 0.0, 0.0)), s"$out")
+  }
+
+  test("embedding drift: identical halves score centroid cosine 1, norm ratio 1") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // every vector identical within a label -> both half-centroids equal
+    val rows = (1L to 40L).map { i =>
+      val lab = (i % 2).toInt
+      (i, lab, Array.fill(4)(if (lab == 0) 1.0f else 0.5f))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Drift.embedDrift(df, "vec_id", "embedding", "label")
+      .select("label", "n_a", "n_b", "centroid_cos", "norm_ratio")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r._4 == 1.0 && r._5 == 1.0, s"$r")
+      assert(r._2 + r._3 == 20L, s"$r")
+    }
+  }
+}
