@@ -446,6 +446,10 @@ object SparkEntry {
     // counts inside the scan, one bounded group agg
     "script_profile" -> ((s, dir) =>
       TextAnalysis.scriptProfile(Tables.documents(s, dir), "source", "text")),
+    // per-source Flesch ease / FK grade with the vowel-group syllable
+    // proxy: three codegen'd regexp folds in the scan, one bounded agg
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir), "source", "text")),
     // Kaplan–Meier gap survival with right-censoring: waiting-time curve
     // over inter-event gaps, each user's final OPEN gap entering as a
     // censored observation (the bias gap_quantiles silently carries) —
@@ -1119,6 +1123,33 @@ object SparkEntry {
       train.join(bad, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy("doc_id")
+    }),
+    // decontamination REPORT: one row per flagged train doc with both
+    // signals' evidence (distinct eval hits via 5-grams, near-dup hits +
+    // max jaccard) and a combined verdict — the reviewable artifact
+    // behind decontam_apply's anti-join
+    "decontam_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = operators.Sampling.splitOf(col("doc_id"))
+      val train = docs.where(split === "train")
+      val eval_ = docs.where(split === "test")
+      val ng = operators.Decontam.ngramOverlap(train, eval_, "doc_id", "text", n = 5)
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_ngram_evals"))
+      val nd = operators.Decontam.nearDupAcross(train, eval_, "doc_id", "text",
+          k = 8, rowsPerBand = 2, threshold = 0.2)
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_near_evals"), max(col("jaccard")).as("max_jaccard"))
+      ng.join(nd, Seq("train_id"), "full_outer")
+        .select(col("train_id"),
+          coalesce(col("n_ngram_evals"), lit(0L)).as("n_ngram_evals"),
+          coalesce(col("n_near_evals"), lit(0L)).as("n_near_evals"),
+          col("max_jaccard"),
+          when(col("n_ngram_evals").isNotNull && col("n_near_evals").isNotNull,
+            lit("both"))
+            .when(col("n_ngram_evals").isNotNull, lit("ngram"))
+            .otherwise(lit("neardup")).as("verdict"))
+        .orderBy("train_id")
     }),
     // Gopher-style within-doc repetition signals for quality gating
     "repetition_stats" -> ((s, dir) =>
@@ -2640,6 +2671,53 @@ object SparkEntry {
          SELECT doc_id FROM s
          WHERE b < 230 AND doc_id NOT IN (SELECT train_id FROM bad)
          ORDER BY doc_id""",
+    "decontam_report" ->
+      // same dual CTE chain as decontam_apply, but emitting the per-doc
+      // evidence instead of the anti-join
+      """WITH s AS (SELECT doc_id, text,
+           CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+           FROM documents),
+         w AS (SELECT doc_id, b, string_split_regex(trim(text),'\s+') AS ws FROM s),
+         g5 AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=5
+               THEN list_transform(range(1, len(ws)-3),
+                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM w),
+         t5 AS (SELECT doc_id AS train_id, unnest(gr) AS g FROM g5 WHERE b < 230),
+         e5 AS (SELECT doc_id AS eval_id, unnest(gr) AS g FROM g5 WHERE b >= 243),
+         ng AS (SELECT train_id, COUNT(*) AS n_ngram_evals FROM (
+               SELECT DISTINCT train_id, eval_id FROM t5 JOIN e5 USING (g))
+             GROUP BY train_id),
+         sh AS (SELECT doc_id, b, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM w),
+         sig AS (SELECT doc_id, b, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sh),
+         bands AS (SELECT doc_id, b, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
+                   FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id AS train_id, c.doc_id AS eval_id
+                  FROM bands a JOIN bands c ON a.band_idx=c.band_idx AND a.band_hash=c.band_hash
+                  WHERE a.b < 230 AND c.b >= 243),
+         jj AS (SELECT train_id, eval_id,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               FROM cand JOIN sh x ON x.doc_id = train_id JOIN sh y ON y.doc_id = eval_id),
+         nd AS (SELECT train_id, COUNT(*) AS n_near_evals, MAX(jaccard) AS max_jaccard
+               FROM jj WHERE jaccard >= 0.2 GROUP BY train_id)
+         SELECT COALESCE(ng.train_id, nd.train_id) AS train_id,
+           CAST(COALESCE(n_ngram_evals, 0) AS BIGINT) AS n_ngram_evals,
+           CAST(COALESCE(n_near_evals, 0) AS BIGINT) AS n_near_evals,
+           max_jaccard,
+           CASE WHEN ng.train_id IS NOT NULL AND nd.train_id IS NOT NULL THEN 'both'
+                WHEN ng.train_id IS NOT NULL THEN 'ngram'
+                ELSE 'neardup' END AS verdict
+         FROM ng FULL OUTER JOIN nd ON ng.train_id = nd.train_id
+         ORDER BY train_id""",
     "repetition_stats" ->
       // mirror of TextAnalysis.repetitionStats(n=3)
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ws FROM documents),
@@ -2760,6 +2838,8 @@ object SparkEntry {
       operators.TextAnalysis.ngramNoveltySql("documents", "doc_id", "text", 3),
     "script_profile" ->
       operators.TextAnalysis.scriptProfileSql("documents", "source", "text"),
+    "readability" ->
+      operators.TextAnalysis.readabilitySql("documents", "source", "text"),
     "km_gap_survival" ->
       operators.Survival.kmGapSurvivalSql("events", "user_id", "ts",
         "event_id"),

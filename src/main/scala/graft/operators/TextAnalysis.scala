@@ -794,6 +794,56 @@ object TextAnalysis {
           col("total_ngrams").cast("double"), 4).as("diversity"))
   }
 
+  /** Per-source readability (Flesch reading-ease and Flesch–Kincaid
+    * grade) with the standard automated syllable proxy — syllables ≈
+    * vowel GROUPS per word (`[aeiouy]+` runs), sentences ≈ `[.!?]+` runs
+    * — the quality gate curricula and audience filters actually apply at
+    * corpus scale (exact syllabification needs a dictionary; every
+    * published large-scale readability number uses a proxy of this
+    * shape). All three counts are codegen'd regexp folds inside the
+    * scan; one bounded group agg; the FK constants appear as the same
+    * literals in both engines.
+    */
+  def readability(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val words = tokenCount(col(textCol))
+    // vowel groups: strip everything that is not a vowel-run boundary,
+    // then count runs = length after collapsing each run to one char
+    val syllables = size(split(t, "[aeiouy]+")) - 1
+    val sentences = greatest(size(split(col(textCol), "[.!?]+")) - 1, lit(1))
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(words.cast("long")).as("n_words"),
+      sum(syllables.cast("long")).as("n_syllables"),
+      sum(sentences.cast("long")).as("n_sentences"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    g.select(col(groupCol), col("n_docs"), col("n_words"), col("n_syllables"),
+        col("n_sentences"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[readability]]. */
+  def readabilitySql(tbl: String, groupCol: String,
+      textCol: String): String =
+    s"""WITH g AS (SELECT $groupCol,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim($textCol), '\\s+'))) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split_regex(lower($textCol), '[aeiouy]+')) - 1) AS BIGINT) AS n_syllables,
+           CAST(SUM(greatest(len(string_split_regex($textCol, '[.!?]+')) - 1, 1)) AS BIGINT) AS n_sentences
+         FROM $tbl GROUP BY $groupCol)
+       SELECT $groupCol, n_docs, n_words, n_syllables, n_sentences,
+         round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch_ease,
+         round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade
+       FROM g ORDER BY $groupCol"""
+
   /** Per-source Unicode SCRIPT composition: character counts per script
     * block (Latin / Cyrillic / Han / Greek / digits) and the dominant
     * script — the script-level gate multilingual pipelines run beside
