@@ -79,7 +79,17 @@ object ScaleSmoke {
     "quantile_calib", "kmv_calib", "bootstrap_ci", "ab_value_ttest",
     "daily_trend", "dow_profile", "changepoint", "gini_tokens",
     "seasonal_residuals", "retrieval_eval", "theil_sen", "gap_quantiles",
-    "dedup_sweep")
+    "dedup_sweep",
+    // round-6 additions: CUPED + Markov attribution (event shapes), the
+    // novelty type-table fold, cluster-derived sampling/decisions/sizes,
+    // EWMA + KM gap survival (bounded calendar/bucket relations), privacy
+    // rollups, readability/script scans, contamination report, the TPC-H
+    // pushdown pair, the collected-pool MMR
+    "cuped_adjust", "markov_attribution", "ngram_novelty",
+    "cluster_balanced_sample", "dedup_decisions", "cluster_sizes",
+    "ewma_daily", "km_gap_survival", "k_anonymity", "dp_counts",
+    "readability", "script_profile", "embed_drift", "decontam_report",
+    "q6_forecast", "q14_promo", "mmr_topk")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

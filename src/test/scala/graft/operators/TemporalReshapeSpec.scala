@@ -113,6 +113,24 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(out("g") == (("2024-03-19", -36.0, "down")), s"got ${out("g")}")
   }
 
+  test("CUSUM changepoint: a LEADING gap's excursion is evaluated (late-start key)") {
+    import spark.implicits._
+    // key "l" is active ONLY on the last day of the span (day 10, 20
+    // events); key "e" anchors the span from day 1. For "l": mean μ = 2,
+    // CUSUM declines by μ per empty day, bottoming at −μ·9 = −18 on day 9
+    // — the day BEFORE its first activity. Pre-fix the leading gap was
+    // never evaluated and "l" reported cusum 2 at day 10.
+    val rows =
+      (1 to 10).map(d => ("e", f"2024-03-$d%02d 01:30:00")) ++
+      (1 to 20).map(i => ("l", f"2024-03-10 ${i % 24}%02d:30:00"))
+    val df = rows.toDF("k", "t").select($"k", to_timestamp($"t").as("ts"))
+    val out = Temporal.changepoint(df, "k", "ts")
+      .select("k", "cp_day", "cusum", "direction")
+      .as[(String, String, Double, String)].collect()
+      .map { case (k, d, v, dir) => k -> ((d, v, dir)) }.toMap
+    assert(out("l") == (("2024-03-09", -18.0, "down")), s"got ${out("l")}")
+  }
+
   test("gap quantiles: same-user consecutive gaps, attributed to the later event") {
     import spark.implicits._
     // u1: a at 0s, b at 10s, a at 40s → gaps 10 (type b), 30 (type a);
