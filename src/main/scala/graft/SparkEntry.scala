@@ -450,6 +450,20 @@ object SparkEntry {
     // proxy: three codegen'd regexp folds in the scan, one bounded agg
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir), "source", "text")),
+    // isotonic calibration of the Gopher keep-rate against length
+    // buckets via the Barlow minimax closed form — corpus work is one
+    // scan into B buckets; the O(B³) fit is relational algebra over a
+    // broadcast-sized relation, no sequential PAV loop
+    "isotonic_calib" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("int").as("y"))
+      val bucketed = docs
+        .select(col("doc_id"),
+          least(expr("n_chars DIV 200"), lit(15L)).as("bucket"))
+        .join(scored, "doc_id")
+      operators.Isotonic.calibrate(bucketed, "bucket", "y")
+    }),
     // Kaplan–Meier gap survival with right-censoring: waiting-time curve
     // over inter-event gaps, each user's final OPEN gap entering as a
     // censored observation (the bias gap_quantiles silently carries) —
@@ -2840,6 +2854,13 @@ object SparkEntry {
       operators.TextAnalysis.scriptProfileSql("documents", "source", "text"),
     "readability" ->
       operators.TextAnalysis.readabilitySql("documents", "source", "text"),
+    "isotonic_calib" ->
+      s"""WITH gr AS (${operators.TextAnalysis.gopherRulesSql("documents", "doc_id", "text")}),
+         bucketed AS (SELECT least(d.n_chars // 200, 15) AS bucket,
+             CAST(g.keep AS INT) AS y
+           FROM documents d JOIN gr g ON d.doc_id = g.doc_id),
+         ${operators.Isotonic.calibrateSql("bucketed", "bucket", "y")
+            .stripPrefix("WITH ")}""",
     "km_gap_survival" ->
       operators.Survival.kmGapSurvivalSql("events", "user_id", "ts",
         "event_id"),

@@ -187,6 +187,9 @@ object ScaleSmoke {
         concat_ws(" ", transform(split(col("text"), " "),
           w => concat(w, lit("_r"), col("rep"))))))
     val ord = replicate(spark.read.parquet(s"$base/orders.parquet"), "o_orderkey", identity)
+    // lineitem replicates fact-style (orderkey offset); part stays VERBATIM
+    // — it's the dimension: facts scale 10×, the broadcast side must not
+    val li = replicate(spark.read.parquet(s"$base/lineitem.parquet"), "l_orderkey", identity)
     // embeddings replicate with vectors VERBATIM (id-offset only): near-dup
     // structure per replica is identical, and cross-replica exact ties
     // break on id in every ranking path
@@ -195,6 +198,9 @@ object ScaleSmoke {
     ev.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     ord.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    li.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    spark.read.parquet(s"$base/part.parquet")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
     emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[smoke] wrote ${reps}x slice to $out")
 

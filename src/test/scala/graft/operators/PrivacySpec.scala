@@ -115,3 +115,40 @@ class SurvivalDriftSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+class IsotonicSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("isotonic-spec")
+    .getOrCreate()
+
+  test("isotonic calibration: adjacent violators pool to the weighted mean") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // bucket rates [0.8, 0.2, 0.6] (5 docs each): PAV pools the (0.8,0.2)
+    // violation to 0.5; 0.6 already respects monotonicity
+    val rows =
+      (1 to 5).map(i => (0L, if (i <= 4) 1 else 0)) ++
+      (1 to 5).map(i => (1L, if (i <= 1) 1 else 0)) ++
+      (1 to 5).map(i => (2L, if (i <= 3) 1 else 0))
+    val out = graft.operators.Isotonic.calibrate(
+        rows.toDF("bucket", "y"), "bucket", "y")
+      .select("bucket", "n", "raw_rate", "iso_rate")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0L, 5L, 0.8, 0.5), (1L, 5L, 0.2, 0.5),
+      (2L, 5L, 0.6, 0.6)), s"$out")
+  }
+
+  test("isotonic calibration: already-monotone input is a fixed point") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val rows =
+      (1 to 4).map(i => (0L, if (i <= 1) 1 else 0)) ++
+      (1 to 4).map(i => (1L, if (i <= 2) 1 else 0)) ++
+      (1 to 4).map(i => (2L, if (i <= 3) 1 else 0))
+    val out = graft.operators.Isotonic.calibrate(
+        rows.toDF("bucket", "y"), "bucket", "y")
+      .select("raw_rate", "iso_rate").as[(Double, Double)].collect().toSeq
+    assert(out.forall(r => r._1 == r._2), s"$out")
+    assert(out.map(_._2) == out.map(_._2).sorted, s"$out")
+  }
+}
