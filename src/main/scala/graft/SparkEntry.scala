@@ -909,6 +909,15 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // lead/lag daily cross-correlation of click vs purchase: does the
+    // click series lead purchases by k days? bounded grid × lags
+    "daily_xcorr" -> ((s, dir) =>
+      operators.Temporal.dailyXcorr(ev(s, dir), "event_type", "ts",
+        "click", "purchase")),
+    // Benford first-digit audit of order totals: observed vs log10(1+1/d)
+    // with chi-square terms — float-free digit via DECIMAL cents → BIGINT
+    "benford_audit" -> ((s, dir) =>
+      operators.Audit.benford(Tables.orders(s, dir), "o_totalprice")),
     // EWMA last-day anomaly gate: per-type smoothed daily level via a
     // bounded array fold (list_reduce convention), last-day residual +
     // 3·sqrt(level+1) Poisson-ish gate — the smoothed rateAnomaly
@@ -2426,6 +2435,11 @@ object SparkEntry {
       operators.Temporal.dailyTrendSql("events", "event_type", "ts"),
     "ewma_daily" ->
       operators.Temporal.ewmaDailySql("events", "event_type", "ts"),
+    "daily_xcorr" ->
+      operators.Temporal.dailyXcorrSql("events", "event_type", "ts",
+        "click", "purchase"),
+    "benford_audit" ->
+      operators.Audit.benfordSql("orders", "o_totalprice"),
     "changepoint" ->
       operators.Temporal.changepointSql("events", "event_type", "ts"),
     "seasonal_residuals" ->

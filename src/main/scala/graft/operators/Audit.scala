@@ -257,4 +257,59 @@ object Audit {
           round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
         FROM e GROUP BY label ORDER BY label"""
+
+  /** Benford first-digit audit of a positive numeric column: observed
+    * leading-digit shares vs the Benford expectation log10(1 + 1/d), with
+    * the χ² statistic — the fabricated-/truncated-data tripwire finance
+    * and data-quality reviews run on amount columns (organically-grown
+    * magnitudes follow Benford; capped, minimum-priced, or synthetic ones
+    * visibly don't — the AUDIT is the point, not a pass).
+    *
+    * Digit extraction is float-free: the value rounds into DECIMAL cents
+    * (the cross-engine-stable cast both engines share), lands in a
+    * BIGINT, and the first digit comes from the INTEGER's string form —
+    * identical in both engines, unlike log10/pow whose last-ulp at
+    * exact powers of ten could flip a floor. One scan, a 9-row rollup.
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val byD = df.where(col(valCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    byD
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("observed"),
+        round((log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))), 6)
+          .as("benford"),
+        round(
+          (col("n").cast("double") -
+            col("total").cast("double") *
+              (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))) *
+          (col("n").cast("double") -
+            col("total").cast("double") *
+              (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))) /
+          (col("total").cast("double") *
+            (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))), 6)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** DuckDB mirror of [[benford]]. */
+  def benfordSql(tbl: String, valCol: String): String =
+    s"""WITH d AS (SELECT CAST(substr(CAST(CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         FROM $tbl WHERE $valCol > 0),
+       byd AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+       t AS (SELECT digit, n, SUM(n) OVER () AS total FROM byd)
+       SELECT digit, n,
+         round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed,
+         round((ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE))), 6) AS benford,
+         round((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE))))
+             * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE))))
+             / (CAST(total AS DOUBLE) * (ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE)))), 6) AS chi2_term
+       FROM t ORDER BY digit"""
 }

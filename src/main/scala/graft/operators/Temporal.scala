@@ -638,6 +638,91 @@ object Temporal {
           v IS NULL AS filled
         FROM g ORDER BY $keyCol, day"""
 
+  /** Lead/lag CROSS-CORRELATION of two event types' daily series: Pearson
+    * r between a[t] and b[t+k] for each lag k ∈ [−maxLag, maxLag] over
+    * the complete calendar grid (empty days as zeros) — the "does A lead
+    * B by k days?" readout behind funnel latency and campaign-echo
+    * analysis, where a peak at k > 0 means A precedes B.
+    *
+    * Exactness: the series are integer counts, every moment sum is
+    * integer (exact under any partitioning/order), and r derives from
+    * them in one fixed double shape — both engines agree bit-for-bit.
+    * Shape: one (day, type) aggregation of the corpus; everything after
+    * lives on the D-row grid × (2·maxLag+1) lag relation, all broadcast-
+    * sized. Zero-variance windows yield NULL r, identically.
+    */
+  def dailyXcorr(df: DataFrame, typeCol: String, tsCol: String,
+      typeA: String, typeB: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "dailyXcorr: maxLag >= 1")
+    val spark = df.sparkSession
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("long").as("d"))
+    val daily = df.where(col(typeCol).isin(typeA, typeB))
+      .crossJoin(broadcast(span))
+      .groupBy(datediff(to_date(col(tsCol)), col("d0")).cast("long").as("t"))
+      .agg(sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("nb"))
+    val grid = span.select(explode(sequence(lit(0L), col("d") - 1)).as("t"))
+      .join(daily, Seq("t"), "left")
+      .select(col("t"), coalesce(col("na"), lit(0L)).as("a"),
+        coalesce(col("nb"), lit(0L)).as("b"))
+    import spark.implicits._
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val pairs = broadcast(lags)
+      .join(broadcast(grid.select(col("t"), col("a"))), expr("true"))
+      .join(broadcast(grid.select(col("t").as("t2"), col("b"))),
+        col("t2") === col("t") + col("lag"))
+    val g = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("a")).as("sx"), sum(col("b")).as("sy"),
+      sum(col("a") * col("b")).as("sxy"),
+      sum(col("a") * col("a")).as("sxx"),
+      sum(col("b") * col("b")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    g.select(col("lag"), col("n").as("n_days"),
+        when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6))
+          .otherwise(lit(null).cast("double")).as("r"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB mirror of [[dailyXcorr]]. */
+  def dailyXcorrSql(tbl: String, typeCol: String, tsCol: String,
+      typeA: String, typeB: String, maxLag: Int = 7): String =
+    s"""WITH span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS BIGINT) AS d FROM $tbl),
+       daily AS (SELECT CAST(date_diff('day', d0, CAST($tsCol AS DATE)) AS BIGINT) AS t,
+           CAST(SUM(CASE WHEN $typeCol = ${OracleSql.lit(typeA)} THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN $typeCol = ${OracleSql.lit(typeB)} THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM $tbl CROSS JOIN span
+         WHERE $typeCol IN (${OracleSql.lit(typeA)}, ${OracleSql.lit(typeB)})
+         GROUP BY 1),
+       grid AS (SELECT CAST(g.t AS BIGINT) AS t,
+           COALESCE(na, 0) AS a, COALESCE(nb, 0) AS b
+         FROM (SELECT unnest(range(0, d)) AS t FROM span) g
+         LEFT JOIN daily ON daily.t = g.t),
+       lags AS (SELECT CAST(x AS BIGINT) AS lag FROM range(${-maxLag}, ${maxLag + 1}) r(x)),
+       p AS (SELECT lag, x.a, y.b FROM lags
+         JOIN grid x ON true JOIN grid y ON y.t = x.t + lag),
+       m AS (SELECT lag, COUNT(*) AS n,
+           CAST(SUM(a) AS BIGINT) AS sx, CAST(SUM(b) AS BIGINT) AS sy,
+           CAST(SUM(a * b) AS BIGINT) AS sxy,
+           CAST(SUM(a * a) AS BIGINT) AS sxx,
+           CAST(SUM(b * b) AS BIGINT) AS syy
+         FROM p GROUP BY lag)
+       SELECT lag, n AS n_days,
+         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+               AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+           THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS r
+       FROM m ORDER BY lag"""
+
   /** EWMA last-day anomaly gate: per key, exponentially-weighted moving
     * average of DAILY counts over the complete calendar grid (empty days
     * as zeros), the last day's residual against the level the PRIOR days

@@ -152,3 +152,51 @@ class IsotonicSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.map(_._2) == out.map(_._2).sorted, s"$out")
   }
 }
+class XcorrBenfordSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("xcorr-benford-spec")
+    .getOrCreate()
+
+  test("daily xcorr: a planted 2-day lead peaks at lag +2") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "a" bursts on days 3 and 8; "b" echoes exactly 2 days later — the
+    // anchor rows on days 0/13 pin the span without adding structure
+    val burst = Seq(3, 8).flatMap(d => Seq.fill(10)(("a", d))) ++
+      Seq(5, 10).flatMap(d => Seq.fill(10)(("b", d))) ++
+      Seq(("a", 0), ("b", 0), ("a", 13), ("b", 13))
+    val ev = burst.zipWithIndex.map { case ((t, d), i) =>
+      (i.toLong, t, d.toLong) }
+      .toDF("event_id", "event_type", "day")
+      .select($"event_id", $"event_type",
+        timestamp_seconds($"day" * 86400L).as("ts"))
+    val out = graft.operators.Temporal.dailyXcorr(ev, "event_type", "ts",
+        "a", "b", maxLag = 4)
+      .where($"r".isNotNull)
+      .select($"lag", $"r").as[(Long, Double)].collect().toMap
+    val best = out.maxBy(_._2)
+    assert(best._1 == 2L, s"planted lead is +2 days: $out")
+    assert(best._2 > 0.9, s"echo should correlate near 1: $out")
+  }
+
+  test("benford: geometric data tracks Benford, digit extraction is float-free") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // log-uniform sample: v = 10^(u*3) for deterministic u — first-digit
+    // law holds to a few percent at n=3000
+    val vals = (1 to 3000).map(i => math.pow(10.0, (i % 1000) / 1000.0 * 3.0 + 0.001))
+    val out = graft.operators.Audit.benford(vals.toDF("v"), "v")
+      .select("digit", "observed", "benford")
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 9), s"$out")
+    out.foreach { case (d, obs, exp) =>
+      assert(math.abs(obs - exp) < 0.02, s"digit $d: $obs vs $exp")
+    }
+    // and the exact boundary: 999.995 rounds into cents 100000 -> digit 1
+    val edge = graft.operators.Audit.benford(Seq(999.995).toDF("v"), "v")
+      .select("digit").as[Int].collect().toSeq
+    assert(edge == Seq(1), s"$edge")
+  }
+}
