@@ -909,6 +909,24 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // Fleiss' kappa across a 3-gate quality panel (gopher, entropy,
+    // length) — does the ensemble agree beyond chance as a panel?
+    "fleiss_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g1 = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("v"))
+      val g2 = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("entropy") >= 3.1).as("v"))
+      val g3 = docs.select(col("doc_id"),
+        (col("n_chars") >= 150 && col("n_chars") <= 450).as("v"))
+      operators.Audit.fleissKappa(g1.unionByName(g2).unionByName(g3),
+        "doc_id", "v")
+    }),
+    // Mann–Kendall monotone-trend significance per type (tie-corrected,
+    // continuity-corrected z) — the significance companion of theil_sen;
+    // integer-derived, D²-bounded pair join on the day grid
+    "mann_kendall" -> ((s, dir) =>
+      operators.Temporal.mannKendall(ev(s, dir), "event_type", "ts")),
     // lead/lag daily cross-correlation of click vs purchase: does the
     // click series lead purchases by k days? bounded grid × lags
     "daily_xcorr" -> ((s, dir) =>
@@ -2438,6 +2456,17 @@ object SparkEntry {
     "daily_xcorr" ->
       operators.Temporal.dailyXcorrSql("events", "event_type", "ts",
         "click", "purchase"),
+    "mann_kendall" ->
+      operators.Temporal.mannKendallSql("events", "event_type", "ts"),
+    "fleiss_kappa" ->
+      operators.Audit.fleissKappaSql(
+        s"""SELECT doc_id, keep AS v FROM (
+              ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})
+            UNION ALL SELECT doc_id, entropy >= 3.1 AS v FROM (
+              ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")})
+            UNION ALL SELECT doc_id, n_chars >= 150 AND n_chars <= 450 AS v
+            FROM documents""",
+        "doc_id", "v"),
     "benford_audit" ->
       operators.Audit.benfordSql("orders", "o_totalprice"),
     "changepoint" ->

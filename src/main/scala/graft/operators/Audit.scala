@@ -258,6 +258,70 @@ object Audit {
           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
         FROM e GROUP BY label ORDER BY label"""
 
+  /** Fleiss' κ over G boolean gates (long format: one vote row per
+    * (item, gate)) — the multi-rater generalization of the pairwise
+    * Cohen κ in [[filterAgreement]]: with an ENSEMBLE of quality gates,
+    * pairwise κ's G(G−1)/2 numbers obscure the one question ("do the
+    * gates agree beyond chance as a panel?") this answers. Uses the
+    * per-item-n generalized form, so a gate abstaining on some items
+    * doesn't break the statistic.
+    *
+    * Exactness: per-item agreement P_i = [k(k−1)+(n−k)(n−k−1)]/(n(n−1))
+    * is one fixed double shape from integers, rounded to 9 and summed as
+    * DECIMAL (partition-order-immune — the [[giniConcentration]] term
+    * discipline); the chance term derives from integer vote totals.
+    * One item-keyed aggregation; one row out.
+    */
+  def fleissKappa(votes: DataFrame, idCol: String,
+      voteCol: String): DataFrame = {
+    val per = votes.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(voteCol).cast("long")).as("k"))
+      .where(col("n") >= 2) // agreement undefined on single-vote items
+    def d(c: Column) = c.cast("double")
+    val pi = (d(col("k")) * (d(col("k")) - 1.0) +
+      (d(col("n")) - d(col("k"))) * (d(col("n")) - d(col("k")) - 1.0)) /
+      (d(col("n")) * (d(col("n")) - 1.0))
+    val agg = per.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("n")).as("n_votes"),
+      sum(col("k")).as("k_total"),
+      sum(round(pi, 9).cast("decimal(18,9)")).as("_p_sum"))
+    val p = d(col("k_total")) / d(col("n_votes"))
+    val pbar = d(col("_p_sum")) / d(col("n_items"))
+    val pe = p * p + (lit(1.0) - p) * (lit(1.0) - p)
+    agg.select(col("n_items"), col("n_votes"),
+      round(p, 6).as("p_pos"),
+      round(pbar, 6).as("p_bar"),
+      when(pe < 1.0, round((pbar - pe) / (lit(1.0) - pe), 4))
+        .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
+  /** DuckDB mirror of [[fleissKappa]]. */
+  def fleissKappaSql(votesSql: String, idCol: String,
+      voteCol: String): String =
+    s"""WITH fkv AS ($votesSql),
+       per AS (SELECT $idCol, COUNT(*) AS n,
+           CAST(SUM(CAST($voteCol AS BIGINT)) AS BIGINT) AS k
+         FROM fkv GROUP BY $idCol HAVING COUNT(*) >= 2),
+       a AS (SELECT COUNT(*) AS n_items,
+           CAST(SUM(n) AS BIGINT) AS n_votes,
+           CAST(SUM(k) AS BIGINT) AS k_total,
+           SUM(CAST(round((CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)
+             + (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE) - 1.0))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 9) AS DECIMAL(18,9))) AS p_sum
+         FROM per),
+       f AS (SELECT n_items, n_votes,
+           CAST(k_total AS DOUBLE) / CAST(n_votes AS DOUBLE) AS p,
+           CAST(p_sum AS DOUBLE) / CAST(n_items AS DOUBLE) AS pbar
+         FROM a)
+       SELECT n_items, n_votes, round(p, 6) AS p_pos, round(pbar, 6) AS p_bar,
+         CASE WHEN p * p + (1.0 - p) * (1.0 - p) < 1.0
+           THEN round((pbar - (p * p + (1.0 - p) * (1.0 - p)))
+             / (1.0 - (p * p + (1.0 - p) * (1.0 - p))), 4)
+         END AS kappa
+       FROM f"""
+
   /** Benford first-digit audit of a positive numeric column: observed
     * leading-digit shares vs the Benford expectation log10(1 + 1/d), with
     * the χ² statistic — the fabricated-/truncated-data tripwire finance

@@ -413,6 +413,95 @@ object Temporal {
       .orderBy(keyCol)
   }
 
+  /** Mann–Kendall trend TEST over per-key daily counts on the complete
+    * calendar grid — the significance companion of [[theilSenTrend]]
+    * (Theil–Sen says how steep; Mann–Kendall says whether the monotone
+    * trend is real): S = Σ_{i<j} sign(x_j − x_i), with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 (counts tie
+    * often — empty days especially — so the correction is not optional),
+    * and the continuity-corrected z. Everything is INTEGER-derived (S,
+    * n, tie sizes), so both engines compute identical doubles in the one
+    * fixed z shape.
+    *
+    * Shape: the same bounded day grid as Theil–Sen (D rows per key), a
+    * D²-bounded pair self-join, and a tie fold over the value histogram.
+    */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      max(to_date(col(tsCol))).as("d1"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col(keyCol), col("x").as("xa"), col("c").as("ca"))
+    val b = grid.select(col(keyCol), col("x").as("xb"), col("c").as("cb"))
+    val s = a.join(b, Seq(keyCol)).where(col("xa") < col("xb"))
+      .groupBy(col(keyCol))
+      .agg(sum(signum((col("cb") - col("ca")).cast("double")).cast("long"))
+        .as("s_stat"))
+    val nRel = grid.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val ties = grid.groupBy(col(keyCol), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_corr"))
+    def d(c: Column) = c.cast("double")
+    val varS = (d(col("n")) * (d(col("n")) - 1.0) * (d(col("n")) * 2.0 + 5.0) -
+      d(col("tie_corr"))) / 18.0
+    val z = when(col("s_stat") > 0, (d(col("s_stat")) - 1.0) / sqrt(varS))
+      .when(col("s_stat") < 0, (d(col("s_stat")) + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    s.join(nRel, Seq(keyCol)).join(ties, Seq(keyCol))
+      .select(col(keyCol), col("n").as("n_days"), col("s_stat"),
+        round(varS, 4).as("var_s"),
+        round(z, 4).as("z"),
+        when(col("s_stat") > 0, lit("up"))
+          .when(col("s_stat") < 0, lit("down"))
+          .otherwise(lit("flat")).as("direction"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[mannKendall]]. */
+  def mannKendallSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+         span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+             MAX(CAST($tsCol AS DATE)) AS d1 FROM $tbl),
+         grid AS (SELECT k.$keyCol,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(gd AS DATE)) AS BIGINT) AS x,
+             COALESCE(daily.c, 0) AS c
+           FROM (SELECT DISTINCT $keyCol FROM daily) k
+           CROSS JOIN (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+               CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS gd FROM span)
+           LEFT JOIN daily ON k.$keyCol = daily.$keyCol
+             AND CAST(gd AS DATE) = daily.day),
+         s AS (SELECT a.$keyCol,
+             CAST(SUM(CAST(sign(CAST(b.c - a.c AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+           FROM grid a JOIN grid b ON a.$keyCol = b.$keyCol AND a.x < b.x
+           GROUP BY 1),
+         nrel AS (SELECT $keyCol, COUNT(*) AS n FROM grid GROUP BY 1),
+         ties AS (SELECT $keyCol,
+             CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie_corr
+           FROM (SELECT $keyCol, c, COUNT(*) AS t FROM grid GROUP BY 1, 2)
+           GROUP BY 1),
+         f AS (SELECT s.$keyCol, n, s_stat, tie_corr,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) * 2.0 + 5.0)
+               - CAST(tie_corr AS DOUBLE)) / 18.0 AS var_s
+           FROM s JOIN nrel USING ($keyCol) JOIN ties USING ($keyCol))
+         SELECT $keyCol, CAST(n AS BIGINT) AS n_days, s_stat,
+           round(var_s, 4) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                      ELSE 0.0 END, 4) AS z,
+           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+                ELSE 'flat' END AS direction
+         FROM f ORDER BY $keyCol"""
+
   /** DuckDB mirror of [[theilSenTrend]]. */
   def theilSenTrendSql(tbl: String, keyCol: String, tsCol: String): String =
     s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c

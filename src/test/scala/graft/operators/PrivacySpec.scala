@@ -200,3 +200,42 @@ class XcorrBenfordSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(edge == Seq(1), s"$edge")
   }
 }
+class TrendAgreementSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("trend-agreement-spec")
+    .getOrCreate()
+
+  test("mann-kendall: strictly increasing counts give S = C(n,2), z > 0") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key "up": d+1 events on day d (0..9) -> every pair increases, no ties
+    val rows = (0 to 9).flatMap(d => (0 to d).map(i => ("up", d)))
+    val ev = rows.zipWithIndex.map { case ((k, d), i) => (i.toLong, k, d.toLong) }
+      .toDF("event_id", "k", "day")
+      .select($"k", timestamp_seconds($"day" * 86400L).as("ts"))
+    val out = graft.operators.Temporal.mannKendall(ev, "k", "ts").collect().head
+    assert(out.getAs[Long]("n_days") == 10L)
+    assert(out.getAs[Long]("s_stat") == 45L, s"$out") // C(10,2), all up
+    assert(out.getAs[String]("direction") == "up")
+    assert(out.getAs[Double]("z") > 3.0, s"$out")
+  }
+
+  test("fleiss kappa: unanimous gates score 1, coin-flip gates near 0") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // unanimous: 3 gates agree on every item (half keep, half drop)
+    val unan = (1L to 40L).flatMap { i =>
+      (1 to 3).map(_ => (i, i % 2 == 0)) }
+    val k1 = graft.operators.Audit.fleissKappa(unan.toDF("id", "v"), "id", "v")
+      .collect().head
+    assert(k1.getAs[Double]("kappa") == 1.0, s"$k1")
+    // independent-ish: deterministic phase-shifted votes with keep-rate 1/2
+    val indep = (1L to 120L).flatMap { i =>
+      Seq((i, i % 2 == 0), (i, (i / 2) % 2 == 0), (i, (i / 4) % 2 == 0)) }
+    val k0 = graft.operators.Audit.fleissKappa(indep.toDF("id", "v"), "id", "v")
+      .collect().head
+    assert(math.abs(k0.getAs[Double]("kappa")) < 0.15, s"$k0")
+  }
+}
