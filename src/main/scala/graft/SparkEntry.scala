@@ -909,6 +909,17 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // one-row corpus datasheet (Gebru et al.): volume, length, exact-dup
+    // rate, dominant language share, gate pass rate — two corpus scans +
+    // bounded broadcast rollups
+    "corpus_datasheet" -> ((s, dir) =>
+      operators.Datasheet.summarize(Tables.documents(s, dir), "doc_id",
+        "text", "lang")),
+    // 5–95 trimmed-mean A/B on purchase values (pooled thresholds so
+    // trimming can't induce an arm difference) — the robust metric
+    "trimmed_mean_ab" -> ((s, dir) =>
+      operators.EventSeq.trimmedMeanAb(ev(s, dir), "user_id", "event_type",
+        "value", convType = "purchase")),
     // Fleiss' kappa across a 3-gate quality panel (gopher, entropy,
     // length) — does the ensemble agree beyond chance as a panel?
     "fleiss_kappa" -> ((s, dir) => {
@@ -2458,6 +2469,12 @@ object SparkEntry {
         "click", "purchase"),
     "mann_kendall" ->
       operators.Temporal.mannKendallSql("events", "event_type", "ts"),
+    "corpus_datasheet" ->
+      operators.Datasheet.summarizeSql("documents", "doc_id", "text", "lang",
+        s"SELECT doc_id, keep FROM (${operators.TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})"),
+    "trimmed_mean_ab" ->
+      operators.EventSeq.trimmedMeanAbSql("events", "user_id", "event_type",
+        "value", convType = "purchase"),
     "fleiss_kappa" ->
       operators.Audit.fleissKappaSql(
         s"""SELECT doc_id, keep AS v FROM (

@@ -472,6 +472,69 @@ object EventSeq {
             wb * wb / (col("n_b").cast("double") - 1.0), lit(1e-12)), 2).as("df"))
   }
 
+  /** TRIMMED-mean A/B readout: per-arm means of the conversion values
+    * with the pooled tails cut at the [lo, hi] percentiles — the robust
+    * metric large experiment platforms report beside the raw mean (one
+    * whale order drags a mean arbitrarily; the 5–95 trimmed mean has a
+    * bounded influence function). Thresholds come from the POOLED
+    * distribution (both arms), so trimming is assignment-independent and
+    * cannot itself induce an arm difference.
+    *
+    * Exactness: thresholds are exact percentiles rounded to 4 (the
+    * percentiles-query convention), the gate compares against the
+    * rounded values in both engines, and the kept-row means are
+    * DECIMAL-exact sums divided once in double.
+    */
+  def trimmedMeanAb(df: DataFrame, userCol: String, typeCol: String,
+      valCol: String, convType: String, lo: Double = 0.05,
+      hi: Double = 0.95, salt: String = "arm"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "trimmedMeanAb: bad trim bounds")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val conv_ = df.where(col(typeCol) === convType)
+      .select(arm, col(valCol).cast("double").as("v"))
+    val th = conv_.agg(
+      round(expr(s"percentile(v, $lo)"), 4).as("q_lo"),
+      round(expr(s"percentile(v, $hi)"), 4).as("q_hi"))
+    val kept = conv_.crossJoin(broadcast(th))
+      .where(col("v") >= col("q_lo") && col("v") <= col("q_hi"))
+    val arms = kept.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,6)")).as("s"))
+    val a = arms.where(col("arm") === 0)
+      .select(col("n").as("n_a"), col("s").as("s_a"))
+    val b = arms.where(col("arm") === 1)
+      .select(col("n").as("n_b"), col("s").as("s_b"))
+    val ma = col("s_a").cast("double") / col("n_a").cast("double")
+    val mb = col("s_b").cast("double") / col("n_b").cast("double")
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(th))
+      .select(col("q_lo"), col("q_hi"), col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(ma - mb, 6).as("diff"))
+  }
+
+  /** DuckDB mirror of [[trimmedMeanAb]]. */
+  def trimmedMeanAbSql(tbl: String, userCol: String, typeCol: String,
+      valCol: String, convType: String, lo: Double = 0.05,
+      hi: Double = 0.95, salt: String = "arm"): String =
+    s"""WITH c AS (SELECT
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST($valCol AS DOUBLE) AS v
+         FROM $tbl WHERE $typeCol = ${OracleSql.lit(convType)}),
+       th AS (SELECT round(quantile_cont(v, $lo), 4) AS q_lo,
+           round(quantile_cont(v, $hi), 4) AS q_hi FROM c),
+       kept AS (SELECT arm, v FROM c CROSS JOIN th
+         WHERE v >= q_lo AND v <= q_hi),
+       arms AS (SELECT arm, COUNT(*) AS n,
+           SUM(CAST(v AS DECIMAL(18,6))) AS s FROM kept GROUP BY arm),
+       a AS (SELECT n AS n_a, s AS s_a FROM arms WHERE arm = 0),
+       b AS (SELECT n AS n_b, s AS s_b FROM arms WHERE arm = 1)
+       SELECT q_lo, q_hi, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+         round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b,
+         round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff
+       FROM a CROSS JOIN b CROSS JOIN th"""
+
   /** DuckDB mirror of [[abValueTtest]]. */
   def abValueTtestSql(tbl: String, userCol: String, typeCol: String,
       valCol: String, convType: String, salt: String = "arm"): String =

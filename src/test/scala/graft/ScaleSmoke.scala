@@ -89,7 +89,11 @@ object ScaleSmoke {
     "cluster_balanced_sample", "dedup_decisions", "cluster_sizes",
     "ewma_daily", "km_gap_survival", "k_anonymity", "dp_counts",
     "readability", "script_profile", "embed_drift", "decontam_report",
-    "q6_forecast", "q14_promo", "mmr_topk")
+    "q6_forecast", "q14_promo", "mmr_topk",
+    // round-6 session-2: bucket-bounded calibration/trend/agreement/audit
+    // shapes + the grid cross-correlation
+    "isotonic_calib", "daily_xcorr", "benford_audit", "mann_kendall",
+    "fleiss_kappa", "corpus_datasheet", "trimmed_mean_ab")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

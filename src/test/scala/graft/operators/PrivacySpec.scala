@@ -239,3 +239,44 @@ class TrendAgreementSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(k0.getAs[Double]("kappa")) < 0.15, s"$k0")
   }
 }
+class DatasheetTrimSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("datasheet-trim-spec")
+    .getOrCreate()
+
+  test("datasheet: dup rate, language share and counts on a hand corpus") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // 4 docs, one exact dup pair -> dup rate 1/4; langs en,en,en,de
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "alpha beta gamma", "en"),
+      (3L, "delta epsilon", "en"), (4L, "zeta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.Datasheet.summarize(docs, "doc_id", "text", "lang")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 9L)
+    assert(r.getAs[Double]("exact_dup_rate") == 0.25)
+    assert(r.getAs[String]("top_lang") == "en")
+    assert(r.getAs[Double]("top_lang_share") == 0.75)
+  }
+
+  test("trimmed mean: a planted whale is cut, the raw mean is not") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 99 purchases of ~10 and one 10000 whale: the 5-95 trim removes it
+    val rows = (1L to 99L).map(u => (u, "purchase", 10.0 + (u % 5))) :+
+      ((100L, "purchase", 10000.0))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+    val r = graft.operators.EventSeq.trimmedMeanAb(ev, "user_id",
+      "event_type", "value", convType = "purchase").collect().head
+    assert(r.getAs[Double]("q_hi") < 100.0, s"whale must fall above q_hi: $r")
+    assert(r.getAs[Double]("mean_a") < 20.0 && r.getAs[Double]("mean_b") < 20.0,
+      s"trimmed means must ignore the whale: $r")
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") < 100L, s"$r")
+  }
+}
