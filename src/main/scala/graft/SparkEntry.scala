@@ -909,6 +909,17 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // corpus entropy rate H(w2|w1) + perplexity: the model-free ceiling
+    // the LM-scoring family converges to; one bigram type table, terms
+    // rounded-then-DECIMAL
+    "entropy_rate" -> ((s, dir) =>
+      TextAnalysis.entropyRate(Tables.documents(s, dir), "text")),
+    // shuffle-quality audit: same-source run length in globalShuffle
+    // order vs the iid expectation 1/(1-sum p^2); adjacency via a
+    // position equi-join — no corpus-wide single-partition window
+    "shuffle_runs" -> ((s, dir) =>
+      operators.CorpusShuffle.shuffleRunAudit(Tables.documents(s, dir),
+        "doc_id", "source")),
     // one-row corpus datasheet (Gebru et al.): volume, length, exact-dup
     // rate, dominant language share, gate pass rate — two corpus scans +
     // bounded broadcast rollups
@@ -2469,6 +2480,11 @@ object SparkEntry {
         "click", "purchase"),
     "mann_kendall" ->
       operators.Temporal.mannKendallSql("events", "event_type", "ts"),
+    "entropy_rate" ->
+      operators.TextAnalysis.entropyRateSql("documents", "text"),
+    "shuffle_runs" ->
+      operators.CorpusShuffle.shuffleRunAuditSql("documents", "doc_id",
+        "source"),
     "corpus_datasheet" ->
       operators.Datasheet.summarizeSql("documents", "doc_id", "text", "lang",
         s"SELECT doc_id, keep FROM (${operators.TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})"),

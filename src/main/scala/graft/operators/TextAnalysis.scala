@@ -794,6 +794,76 @@ object TextAnalysis {
           col("total_ngrams").cast("double"), 4).as("diversity"))
   }
 
+  /** Corpus ENTROPY RATE: the conditional entropy H(w₂|w₁) of the bigram
+    * relation (nats/token) and its perplexity — the model-free ceiling
+    * diagnostic the LM-scoring family reports against ([[bigramLogprob]]
+    * scores documents under a fitted LM; this is the corpus's own
+    * irreducible next-token uncertainty, what any bigram LM's average nll
+    * converges to). Gap to the unigram entropy H(w) = how much one token
+    * of context buys on this corpus.
+    *
+    * Exactness: all counts integer; each −(c₁₂/N)·ln(c₁₂/c₁) term is one
+    * fixed double shape rounded to 9 and summed as DECIMAL (partition-
+    * order-immune, the [[giniConcentration]] discipline). Shape: one
+    * explode into the bigram type table; context totals fold FROM that
+    * table (no second corpus scan); one row out.
+    */
+  def entropyRate(df: DataFrame, textCol: String): DataFrame = {
+    val big = Dedup.parallelize(df)
+      .select(explode(graft.functions.MinHashExpr.shinglesArray(
+        lower(col(textCol)), 2)).as("_er_g"))
+      .where(size(split(col("_er_g"), " ")) === 2)
+      .groupBy("_er_g").agg(count(lit(1)).as("c12"))
+      .withColumn("_er_w1", split(col("_er_g"), " ").getItem(0))
+    val ctx = big.groupBy("_er_w1").agg(sum(col("c12")).as("c1"))
+    val tot = big.agg(sum(col("c12")).as("n"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val joined = big.join(ctx, "_er_w1").crossJoin(broadcast(tot))
+    val condTerm = round(
+      (d(col("c12")) / d(col("n"))) * log(d(col("c12")) / d(col("c1"))), 9)
+    val uniTerm = round(
+      (d(col("c1")) / d(col("n"))) * log(d(col("c1")) / d(col("n"))), 9)
+    val h2 = joined.agg(
+      max(col("n")).as("n_bigrams"),
+      count(lit(1)).as("n_bigram_types"),
+      (-sum(condTerm.cast("decimal(18,9)"))).cast("double").as("_h2"))
+    val h1 = ctx.crossJoin(broadcast(tot)).agg(
+      count(lit(1)).as("n_contexts"),
+      (-sum(uniTerm.cast("decimal(18,9)"))).cast("double").as("_h1"))
+    h2.crossJoin(broadcast(h1))
+      .select(col("n_bigrams"), col("n_bigram_types"), col("n_contexts"),
+        round(col("_h2"), 6).as("h_cond"),
+        round(col("_h1"), 6).as("h_uni"),
+        round(exp(col("_h2")), 4).as("ppl_cond"))
+  }
+
+  /** DuckDB mirror of [[entropyRate]]. */
+  def entropyRateSql(tbl: String, textCol: String): String =
+    s"""WITH w AS (SELECT string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $tbl),
+       big AS (SELECT gram AS g, COUNT(*) AS c12,
+           string_split(gram, ' ')[1] AS w1
+         FROM (SELECT unnest(CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1])
+             ELSE [array_to_string(ws, ' ')] END) AS gram FROM w)
+         WHERE len(string_split(gram, ' ')) = 2
+         GROUP BY gram),
+       ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+       tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM big),
+       h2 AS (SELECT MAX(n) AS n_bigrams, COUNT(*) AS n_bigram_types,
+           CAST(-SUM(CAST(round((CAST(c12 AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h2
+         FROM big JOIN ctx USING (w1) CROSS JOIN tot),
+       h1 AS (SELECT COUNT(*) AS n_contexts,
+           CAST(-SUM(CAST(round((CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h1
+         FROM ctx CROSS JOIN tot)
+       SELECT CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         CAST(n_bigram_types AS BIGINT) AS n_bigram_types,
+         CAST(n_contexts AS BIGINT) AS n_contexts,
+         round(h2, 6) AS h_cond, round(h1, 6) AS h_uni,
+         round(exp(h2), 4) AS ppl_cond
+       FROM h2 CROSS JOIN h1"""
+
   /** Per-source readability (Flesch reading-ease and Flesch–Kincaid
     * grade) with the standard automated syllable proxy — syllables ≈
     * vowel GROUPS per word (`[aeiouy]+` runs), sentences ≈ `[.!?]+` runs

@@ -93,7 +93,8 @@ object ScaleSmoke {
     // round-6 session-2: bucket-bounded calibration/trend/agreement/audit
     // shapes + the grid cross-correlation
     "isotonic_calib", "daily_xcorr", "benford_audit", "mann_kendall",
-    "fleiss_kappa", "corpus_datasheet", "trimmed_mean_ab")
+    "fleiss_kappa", "corpus_datasheet", "trimmed_mean_ab",
+    "entropy_rate", "shuffle_runs")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -280,3 +280,39 @@ class DatasheetTrimSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") < 100L, s"$r")
   }
 }
+class EntropyShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("entropy-shuffle-spec")
+    .getOrCreate()
+
+  test("entropy rate: deterministic chain scores 0, uniform chain ln(k)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // "a b a b ..." — every context fully determines the next token
+    val det = Seq((1L, ("a b " * 50).trim)).toDF("doc_id", "text")
+    val r0 = graft.operators.TextAnalysis.entropyRate(det, "text").collect().head
+    assert(r0.getAs[Double]("h_cond") == 0.0, s"$r0")
+    assert(r0.getAs[Double]("ppl_cond") == 1.0, s"$r0")
+    // after every 'x': y or z equally often -> H = ln 2
+    val unif = Seq((1L, ("x y x z " * 50).trim)).toDF("doc_id", "text")
+    val r1 = graft.operators.TextAnalysis.entropyRate(unif, "text").collect().head
+    // contexts y/z always -> x (0 bits); x -> {y,z} uniform (ln 2); the
+    // x-context carries ~half the bigram mass
+    assert(math.abs(r1.getAs[Double]("h_cond") - math.log(2) / 2) < 0.02, s"$r1")
+  }
+
+  test("shuffle runs: mixed corpus sits near the iid expectation") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // 4 sources x 250 docs: expected run length = 1/(1 - 4*(1/4)^2) = 4/3
+    val docs = (1L to 1000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val r = graft.operators.CorpusShuffle.shuffleRunAudit(docs, "doc_id",
+      "source").collect().head
+    val exp = r.getAs[Double]("expected_run_len")
+    assert(math.abs(exp - 4.0 / 3.0) < 1e-6, s"$r")
+    val obs = r.getAs[Double]("mean_run_len")
+    assert(math.abs(obs - exp) / exp < 0.1,
+      s"md5 shuffle should mix to within 10% of iid: $r")
+  }
+}
