@@ -909,6 +909,11 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // 1-D Wasserstein drift of doc length between md5-halves: the
+    // in-units EMD companion of psi_drift; B-bucket bounded
+    "wasserstein_drift" -> ((s, dir) =>
+      operators.Drift.wassersteinDrift(Tables.documents(s, dir), "doc_id",
+        "n_chars")),
     // corpus entropy rate H(w2|w1) + perplexity: the model-free ceiling
     // the LM-scoring family converges to; one bigram type table, terms
     // rounded-then-DECIMAL
@@ -2482,6 +2487,8 @@ object SparkEntry {
       operators.Temporal.mannKendallSql("events", "event_type", "ts"),
     "entropy_rate" ->
       operators.TextAnalysis.entropyRateSql("documents", "text"),
+    "wasserstein_drift" ->
+      operators.Drift.wassersteinDriftSql("documents", "doc_id", "n_chars"),
     "shuffle_runs" ->
       operators.CorpusShuffle.shuffleRunAuditSql("documents", "doc_id",
         "source"),

@@ -85,6 +85,97 @@ object Drift {
        FROM ab GROUP BY source ORDER BY source"""
   }
 
+  /** 1-D Wasserstein-1 (earth-mover) distance between two md5-halves'
+    * distributions of a value column, bucketized — the METRIC companion
+    * of [[psiDrift]] (PSI is a binned divergence: it says *that* the
+    * distributions differ, in unstable units near empty bins; W₁ says *by
+    * how much, in the value's own units*, via the closed 1-D form
+    * W₁ = Σ_b |CDF_a(b) − CDF_b(b)| · width). Same deterministic split
+    * mechanism, so the two drift numbers are directly comparable.
+    *
+    * Exactness: bucket counts are integers; the CDF difference is one
+    * fixed double shape per bucket, rounded to 9 and summed as DECIMAL —
+    * partition-order-immune. One scan → B-bucket histogram; everything
+    * after is bounded.
+    */
+  def wassersteinDrift(df: DataFrame, idCol: String, valCol: String,
+      buckets: Int = 64, salt: String = "wd"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "wassersteinDrift: buckets >= 2")
+    val half = (conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("half")
+    val base = df.select(half, col(valCol).cast("double").as("v"))
+    val mm = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+    val (lo, hi) = (mm.getAs[Double]("lo"), mm.getAs[Double]("hi"))
+    val width = (hi - lo) / buckets
+    val b =
+      if (hi == lo) lit(0L)
+      else least(lit(buckets - 1L),
+        floor(((col("v") - lit(lo)) / lit(hi - lo)) * buckets))
+    val hist = base.select(col("half"), b.as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val terms = hist
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .withColumn("ta", sum(col("na")).over(tot))
+      .withColumn("tb", sum(col("nb")).over(tot))
+      .select(col("ta"), col("tb"),
+        round(abs(d(col("ca")) / d(col("ta")) - d(col("cb")) / d(col("tb"))) *
+          lit(width), 9).cast("decimal(18,9)").as("term"))
+    terms.agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+      .crossJoin(broadcast(
+        terms.agg(round(sum(col("term")).cast("double"), 6).as("w1"))))
+      .select(col("n_a"), col("n_b"), lit(buckets).as("buckets"),
+        round(lit(width), 6).as("bucket_width"), col("w1"))
+  }
+
+  /** DuckDB mirror of [[wassersteinDrift]]. The Spark side collects
+    * lo/hi with one `.head()` and folds them as literals; here they come
+    * from the same MIN/MAX in SQL — selections of existing doubles, so
+    * the two engines hold bit-identical values, and every derived double
+    * (hi−lo, width) is one identical subtraction/division away.
+    */
+  def wassersteinDriftSql(tbl: String, idCol: String, valCol: String,
+      buckets: Int = 64, salt: String = "wd"): String = {
+    s"""WITH mm AS (SELECT MIN(CAST($valCol AS DOUBLE)) AS lo,
+           MAX(CAST($valCol AS DOUBLE)) AS hi FROM $tbl),
+       base AS (SELECT
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($idCol AS VARCHAR)),1,2) AS INT) % 2 AS half,
+           CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+             ELSE least(CAST(${buckets - 1} AS BIGINT),
+               CAST(floor(((CAST($valCol AS DOUBLE) - lo) / (hi - lo)) * $buckets) AS BIGINT))
+           END AS b
+         FROM $tbl CROSS JOIN mm),
+       hist AS (SELECT b,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM base GROUP BY b),
+       c AS (SELECT
+           CAST(SUM(na) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+           CAST(SUM(nb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+           CAST(SUM(na) OVER () AS BIGINT) AS ta,
+           CAST(SUM(nb) OVER () AS BIGINT) AS tb
+         FROM hist),
+       t AS (SELECT ta, tb,
+           CAST(round(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+             - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+             * ((SELECT (hi - lo) / $buckets FROM mm)), 9)
+             AS DECIMAL(18,9)) AS term
+         FROM c)
+       SELECT MAX(ta) AS n_a, MAX(tb) AS n_b,
+         CAST($buckets AS INT) AS buckets,
+         round((SELECT (hi - lo) / $buckets FROM mm), 6) AS bucket_width,
+         round(CAST(SUM(term) AS DOUBLE), 6) AS w1
+       FROM t"""
+  }
+
   /** Per-label EMBEDDING drift between two deterministic md5-halves of the
     * corpus (the [[psiDrift]] split mechanism applied to vectors — in
     * production the halves are two model/snapshot versions): cosine

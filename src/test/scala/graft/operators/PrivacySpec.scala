@@ -316,3 +316,31 @@ class EntropyShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"md5 shuffle should mix to within 10% of iid: $r")
   }
 }
+class WassersteinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("wasserstein-spec")
+    .getOrCreate()
+
+  test("wasserstein drift: identical halves score 0; a planted shift reads in value units") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // values depend only on id parity-of-md5? No — make BOTH halves see
+    // the same value multiset by pairing ids: v = f(i / 2); the split is
+    // by md5(id) so halves differ slightly, but a value CONSTANT corpus
+    // must read exactly 0 regardless of split
+    val const = (1L to 400L).map(i => (i, 42.0)).toDF("id", "v")
+    val r0 = graft.operators.Drift.wassersteinDrift(const, "id", "v")
+      .collect().head
+    assert(r0.getAs[Double]("w1") == 0.0, s"$r0")
+    // planted: values 0 or 100; W1 between halves stays well under the
+    // full separation but > 0 with a finite-sample imbalance
+    val two = (1L to 400L).map(i => (i, if (i % 2 == 0) 0.0 else 100.0))
+      .toDF("id", "v")
+    val r1 = graft.operators.Drift.wassersteinDrift(two, "id", "v")
+      .collect().head
+    assert(r1.getAs[Double]("w1") >= 0.0 && r1.getAs[Double]("w1") < 20.0,
+      s"same distribution in both halves up to sampling noise: $r1")
+    assert(r1.getAs[Long]("n_a") + r1.getAs[Long]("n_b") == 400L)
+  }
+}
