@@ -909,6 +909,16 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // lift/gain chart: does token entropy RANK gopher-keepworthiness?
+    // percentile-broadcast deciles, bounded band relation
+    "lift_gain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sc = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("entropy"))
+      val oc = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      operators.Audit.liftGain(sc.join(oc, "doc_id"), "entropy", "keep")
+    }),
     // 1-D Wasserstein drift of doc length between md5-halves: the
     // in-units EMD companion of psi_drift; B-bucket bounded
     "wasserstein_drift" -> ((s, dir) =>
@@ -2489,6 +2499,13 @@ object SparkEntry {
       operators.TextAnalysis.entropyRateSql("documents", "text"),
     "wasserstein_drift" ->
       operators.Drift.wassersteinDriftSql("documents", "doc_id", "n_chars"),
+    "lift_gain" ->
+      operators.Audit.liftGainSql(
+        s"""SELECT e.entropy, g.keep
+            FROM (${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")}) e
+            JOIN (${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")}) g
+              ON e.doc_id = g.doc_id""",
+        "entropy", "keep"),
     "shuffle_runs" ->
       operators.CorpusShuffle.shuffleRunAuditSql("documents", "doc_id",
         "source"),

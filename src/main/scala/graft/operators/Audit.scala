@@ -258,6 +258,82 @@ object Audit {
           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
         FROM e GROUP BY label ORDER BY label"""
 
+  /** Lift/gain chart of a continuous score against a boolean outcome:
+    * decile bands by score, per-band response rate, lift vs the overall
+    * rate, and the cumulative gain reading from the BEST band down — the
+    * table that answers "does this score actually rank the outcome?"
+    * before anyone ships the score as a gate (a flat lift column means
+    * the score is noise at ranking granularity even if its AUC looks
+    * respectable).
+    *
+    * Determinism: band boundaries are exact percentiles rounded to 4
+    * (the percentiles-query convention) broadcast as one row; banding
+    * compares the raw score against those rounded thresholds — identical
+    * comparisons in both engines; everything after lives on the ≤bands
+    * relation.
+    */
+  def liftGain(scored: DataFrame, scoreCol: String, outcomeCol: String,
+      bands: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bands >= 2, "liftGain: bands >= 2")
+    val qs = (1 until bands).map(i => i.toDouble / bands)
+    val th = scored.agg(
+      transform(expr(s"percentile($scoreCol, array(${qs.mkString(",")}))"),
+        q => round(q, 4)).as("_lg_q"))
+    val banded = scored.crossJoin(broadcast(th))
+      .select(
+        (lit(1) + qs.indices.map(i =>
+          when(col(scoreCol) >= element_at(col("_lg_q"), i + 1), 1)
+            .otherwise(0)).reduce(_ + _)).as("band"),
+        col(outcomeCol).cast("long").as("y"))
+    val byBand = banded.groupBy("band")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val tot = Window.partitionBy()
+    val wTop = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    byBand
+      .withColumn("nT", sum(col("n")).over(tot))
+      .withColumn("posT", sum(col("pos")).over(tot))
+      .withColumn("cumPos", sum(col("pos")).over(wTop))
+      .select(col("band"), col("n"), col("pos"),
+        round(d(col("pos")) / d(col("n")), 6).as("rate"),
+        round((d(col("pos")) / d(col("n"))) /
+          (d(col("posT")) / d(col("nT"))), 4).as("lift"),
+        round(d(col("cumPos")) / d(col("posT")), 6).as("cum_gain"))
+      .orderBy(col("band").desc)
+  }
+
+  /** DuckDB mirror of [[liftGain]] — `scoredSql` yields
+    * (scoreCol, outcomeCol).
+    */
+  def liftGainSql(scoredSql: String, scoreCol: String, outcomeCol: String,
+      bands: Int = 10): String = {
+    val qs = (1 until bands).map(i => i.toDouble / bands)
+    s"""WITH lgs AS ($scoredSql),
+       th AS (SELECT list_transform(
+           [${qs.map(q => s"quantile_cont($scoreCol, $q)").mkString(", ")}],
+           q -> round(q, 4)) AS qarr FROM lgs),
+       banded AS (SELECT
+           1 + len(list_filter(qarr, t -> $scoreCol >= t)) AS band,
+           CAST($outcomeCol AS BIGINT) AS y
+         FROM lgs CROSS JOIN th),
+       byb AS (SELECT band, COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos FROM banded GROUP BY band),
+       c AS (SELECT band, n, pos,
+           CAST(SUM(n) OVER () AS BIGINT) AS nt,
+           CAST(SUM(pos) OVER () AS BIGINT) AS post,
+           CAST(SUM(pos) OVER (ORDER BY band DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumpos
+         FROM byb)
+       SELECT CAST(band AS INT) AS band, n, pos,
+         round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+         round((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 4) AS lift,
+         round(CAST(cumpos AS DOUBLE) / CAST(post AS DOUBLE), 6) AS cum_gain
+       FROM c ORDER BY band DESC"""
+  }
+
   /** Fleiss' κ over G boolean gates (long format: one vote row per
     * (item, gate)) — the multi-rater generalization of the pairwise
     * Cohen κ in [[filterAgreement]]: with an ENSEMBLE of quality gates,

@@ -344,3 +344,34 @@ class WassersteinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r1.getAs[Long]("n_a") + r1.getAs[Long]("n_b") == 400L)
   }
 }
+class LiftGainSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("lift-gain-spec")
+    .getOrCreate()
+
+  test("lift gain: a perfect ranker concentrates gain in the top bands") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // score == outcome signal: top 20% of scores are the only positives
+    val rows = (1 to 100).map(i => (i.toDouble, i > 80))
+    val out = graft.operators.Audit.liftGain(rows.toDF("s", "y"), "s", "y",
+        bands = 5)
+      .select("band", "n", "pos", "lift", "cum_gain")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // best band (5) holds ALL positives: lift 5, cum_gain 1; others 0
+    assert(out.head == ((5, 20L, 20L, 5.0, 1.0)), s"$out")
+    assert(out.tail.forall(r => r._3 == 0L && r._4 == 0.0), s"$out")
+  }
+
+  test("lift gain: a constant outcome rate gives flat lift 1") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // alternate outcome regardless of score: every band rate == overall
+    val rows = (1 to 200).map(i => (i.toDouble, i % 2 == 0))
+    val out = graft.operators.Audit.liftGain(rows.toDF("s", "y"), "s", "y",
+        bands = 4)
+      .select("lift").as[Double].collect().toSeq
+    assert(out.forall(_ == 1.0), s"$out")
+  }
+}
