@@ -909,6 +909,17 @@ object SparkEntry {
         ("value", col("value"), true),
         ("props", col("props"), false),
         ("ts_ms", unix_millis(col("ts")), false)))),
+    // threshold-free AUC of the same score/outcome pair (tie-aware
+    // Mann–Whitney over the distinct-value type relation — no pair
+    // stream; ×2-integer numerator, exact under any partitioning)
+    "score_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sc = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("entropy"))
+      val oc = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      operators.Audit.scoreAuc(sc.join(oc, "doc_id"), "entropy", "keep")
+    }),
     // lift/gain chart: does token entropy RANK gopher-keepworthiness?
     // percentile-broadcast deciles, bounded band relation
     "lift_gain" -> ((s, dir) => {
@@ -2499,6 +2510,13 @@ object SparkEntry {
       operators.TextAnalysis.entropyRateSql("documents", "text"),
     "wasserstein_drift" ->
       operators.Drift.wassersteinDriftSql("documents", "doc_id", "n_chars"),
+    "score_auc" ->
+      operators.Audit.scoreAucSql(
+        s"""SELECT e.entropy, g.keep
+            FROM (${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")}) e
+            JOIN (${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")}) g
+              ON e.doc_id = g.doc_id""",
+        "entropy", "keep"),
     "lift_gain" ->
       operators.Audit.liftGainSql(
         s"""SELECT e.entropy, g.keep

@@ -334,6 +334,62 @@ object Audit {
        FROM c ORDER BY band DESC"""
   }
 
+  /** Exact AUC of a continuous score against a boolean outcome — the
+    * threshold-free companion of [[liftGain]] (the gain table shows WHERE
+    * the ranking pays; AUC is the single Mann–Whitney number reviews
+    * compare). Computed WITHOUT the n_pos×n_neg pair stream: scores
+    * collapse to their distinct-value TYPE relation with per-value
+    * positive/negative counts, and AUC = Σ_s n⁺_s·(cumN⁻_{<s} + ½n⁻_s) /
+    * (P·N) — one hash aggregation plus a value-type-bounded cumulative
+    * window. All counts integer, one double division at the end.
+    */
+  def scoreAuc(scored: DataFrame, scoreCol: String,
+      outcomeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = scored.groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(sum(when(col(outcomeCol), 1L).otherwise(0L)).as("np"),
+        sum(when(!col(outcomeCol), 1L).otherwise(0L)).as("nn"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy()
+    def d(c: Column) = c.cast("double")
+    // ×2 keeps the numerator INTEGER (the ½-tie term doubles away), so
+    // the sum is exact under any partition order; DECIMAL(38,0) for
+    // overflow headroom at corpus scale (terms are O(P·N))
+    val terms = byV
+      .withColumn("cumNegBelow", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .withColumn("p", sum(col("np")).over(tot))
+      .withColumn("n", sum(col("nn")).over(tot))
+      .select(col("p"), col("n"),
+        (col("np") * (col("cumNegBelow") * 2 + col("nn")))
+          .cast("decimal(38,0)").as("_auc_t2"))
+    terms.agg(max(col("p")).as("n_pos"), max(col("n")).as("n_neg"),
+        sum(col("_auc_t2")).as("_s2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(d(col("_s2")) /
+          (d(col("n_pos")) * d(col("n_neg")) * 2.0), 6).as("auc"))
+  }
+
+  /** DuckDB mirror of [[scoreAuc]]. `scoredSql` yields
+    * (scoreCol, outcomeCol).
+    */
+  def scoreAucSql(scoredSql: String, scoreCol: String,
+      outcomeCol: String): String =
+    s"""WITH sa AS ($scoredSql),
+       byv AS (SELECT CAST($scoreCol AS DOUBLE) AS s,
+           CAST(SUM(CASE WHEN $outcomeCol THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           CAST(SUM(CASE WHEN $outcomeCol THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         FROM sa GROUP BY 1),
+       c AS (SELECT np, nn,
+           CAST(COALESCE(SUM(nn) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnb,
+           CAST(SUM(np) OVER () AS BIGINT) AS p,
+           CAST(SUM(nn) OVER () AS BIGINT) AS n
+         FROM byv)
+       SELECT MAX(p) AS n_pos, MAX(n) AS n_neg,
+         round(CAST(SUM(CAST(np * (cnb * 2 + nn) AS DECIMAL(38,0))) AS DOUBLE)
+           / (CAST(MAX(p) AS DOUBLE) * CAST(MAX(n) AS DOUBLE) * 2.0), 6) AS auc
+       FROM c"""
+
   /** Fleiss' κ over G boolean gates (long format: one vote row per
     * (item, gate)) — the multi-rater generalization of the pairwise
     * Cohen κ in [[filterAgreement]]: with an ENSEMBLE of quality gates,

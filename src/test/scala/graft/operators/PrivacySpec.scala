@@ -375,3 +375,34 @@ class LiftGainSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.forall(_ == 1.0), s"$out")
   }
 }
+class AucSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("auc-spec")
+    .getOrCreate()
+
+  test("auc: perfect separation 1, reversed 0, all-tied 0.5") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val perfect = (1 to 100).map(i => (i.toDouble, i > 50)).toDF("s", "y")
+    assert(graft.operators.Audit.scoreAuc(perfect, "s", "y")
+      .collect().head.getAs[Double]("auc") == 1.0)
+    val reversed = (1 to 100).map(i => (i.toDouble, i <= 50)).toDF("s", "y")
+    assert(graft.operators.Audit.scoreAuc(reversed, "s", "y")
+      .collect().head.getAs[Double]("auc") == 0.0)
+    val tied = (1 to 100).map(i => (7.0, i % 2 == 0)).toDF("s", "y")
+    assert(graft.operators.Audit.scoreAuc(tied, "s", "y")
+      .collect().head.getAs[Double]("auc") == 0.5)
+  }
+
+  test("auc: hand case with partial ties matches the rank formula") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // scores: pos {3, 2}, neg {2, 1}: pairs = 4; wins: (3>2), (3>1), (2>1)
+    // = 3; ties: (2,2) = 0.5 -> AUC = 3.5/4 = 0.875
+    val df = Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false))
+      .toDF("s", "y")
+    assert(graft.operators.Audit.scoreAuc(df, "s", "y")
+      .collect().head.getAs[Double]("auc") == 0.875)
+  }
+}
