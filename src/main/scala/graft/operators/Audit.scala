@@ -298,9 +298,13 @@ object Audit {
       .withColumn("cumPos", sum(col("pos")).over(wTop))
       .select(col("band"), col("n"), col("pos"),
         round(d(col("pos")) / d(col("n")), 6).as("rate"),
-        round((d(col("pos")) / d(col("n"))) /
-          (d(col("posT")) / d(col("nT"))), 4).as("lift"),
-        round(d(col("cumPos")) / d(col("posT")), 6).as("cum_gain"))
+        // a corpus with ZERO positives (every gate false) must read as
+        // NULL lift/gain, not a divide-by-zero under ANSI mode
+        when(col("posT") > 0,
+          round((d(col("pos")) / d(col("n"))) /
+            (d(col("posT")) / d(col("nT"))), 4)).as("lift"),
+        when(col("posT") > 0,
+          round(d(col("cumPos")) / d(col("posT")), 6)).as("cum_gain"))
       .orderBy(col("band").desc)
   }
 
@@ -328,9 +332,11 @@ object Audit {
          FROM byb)
        SELECT CAST(band AS INT) AS band, n, pos,
          round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
-         round((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
-           / (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 4) AS lift,
-         round(CAST(cumpos AS DOUBLE) / CAST(post AS DOUBLE), 6) AS cum_gain
+         CASE WHEN post > 0 THEN round((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 4) END AS lift,
+         CASE WHEN post > 0
+           THEN round(CAST(cumpos AS DOUBLE) / CAST(post AS DOUBLE), 6)
+         END AS cum_gain
        FROM c ORDER BY band DESC"""
   }
 
@@ -365,8 +371,11 @@ object Audit {
     terms.agg(max(col("p")).as("n_pos"), max(col("n")).as("n_neg"),
         sum(col("_auc_t2")).as("_s2"))
       .select(col("n_pos"), col("n_neg"),
-        round(d(col("_s2")) /
-          (d(col("n_pos")) * d(col("n_neg")) * 2.0), 6).as("auc"))
+        // one-class corpora have no ranking to score: NULL, not a
+        // divide-by-zero under ANSI mode
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(d(col("_s2")) /
+            (d(col("n_pos")) * d(col("n_neg")) * 2.0), 6)).as("auc"))
   }
 
   /** DuckDB mirror of [[scoreAuc]]. `scoredSql` yields
@@ -386,8 +395,10 @@ object Audit {
            CAST(SUM(nn) OVER () AS BIGINT) AS n
          FROM byv)
        SELECT MAX(p) AS n_pos, MAX(n) AS n_neg,
-         round(CAST(SUM(CAST(np * (cnb * 2 + nn) AS DECIMAL(38,0))) AS DOUBLE)
-           / (CAST(MAX(p) AS DOUBLE) * CAST(MAX(n) AS DOUBLE) * 2.0), 6) AS auc
+         CASE WHEN MAX(p) > 0 AND MAX(n) > 0 THEN
+           round(CAST(SUM(CAST(np * (cnb * 2 + nn) AS DECIMAL(38,0))) AS DOUBLE)
+             / (CAST(MAX(p) AS DOUBLE) * CAST(MAX(n) AS DOUBLE) * 2.0), 6)
+         END AS auc
        FROM c"""
 
   /** Fleiss' κ over G boolean gates (long format: one vote row per
