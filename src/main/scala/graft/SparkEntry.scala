@@ -970,6 +970,10 @@ object SparkEntry {
       operators.Audit.fleissKappa(g1.unionByName(g2).unionByName(g3),
         "doc_id", "v")
     }),
+    // per-type daily autocorrelation: the ACF finds whatever cycle is
+    // there (dow_profile assumes the week); calendar-bounded relations
+    "autocorr_daily" -> ((s, dir) =>
+      operators.Temporal.autocorrDaily(ev(s, dir), "event_type", "ts")),
     // Mann–Kendall monotone-trend significance per type (tie-corrected,
     // continuity-corrected z) — the significance companion of theil_sen;
     // integer-derived, D²-bounded pair join on the day grid
@@ -2506,6 +2510,8 @@ object SparkEntry {
         "click", "purchase"),
     "mann_kendall" ->
       operators.Temporal.mannKendallSql("events", "event_type", "ts"),
+    "autocorr_daily" ->
+      operators.Temporal.autocorrDailySql("events", "event_type", "ts"),
     "entropy_rate" ->
       operators.TextAnalysis.entropyRateSql("documents", "text"),
     "wasserstein_drift" ->

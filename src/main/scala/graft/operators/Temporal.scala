@@ -812,6 +812,100 @@ object Temporal {
            END AS r
        FROM m ORDER BY lag"""
 
+  /** Per-key daily AUTOCORRELATION function: Pearson r of the key's daily
+    * count series against itself at lags 1..maxLag over the complete
+    * calendar grid — the periodicity detector ([[dowProfile]] ASSUMES the
+    * week; the ACF finds whatever cycle is actually there, weekly or
+    * otherwise, as the peak lag). Output one row per (key, lag) plus the
+    * peak flag; the [[dailyXcorr]] exactness contract (integer moment
+    * sums, one fixed double shape, zero-variance → NULL).
+    *
+    * Shape: one (day, key) aggregation; the lag pairing is a D-row grid
+    * self-join per key — keys × lags × D rows, all bounded by the
+    * calendar, never by event volume.
+    */
+  def autocorrDaily(df: DataFrame, keyCol: String, tsCol: String,
+      maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1, "autocorrDaily: maxLag >= 1")
+    val spark = df.sparkSession
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("long").as("d"))
+    val daily = df.crossJoin(broadcast(span))
+      .groupBy(col(keyCol),
+        datediff(to_date(col(tsCol)), col("d0")).cast("long").as("t"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0L), col("d") - 1)).as("t"))
+      .join(daily, Seq(keyCol, "t"), "left")
+      .select(col(keyCol), col("t"), coalesce(col("c"), lit(0L)).as("c"))
+    import spark.implicits._
+    val lags = (1 to maxLag).map(_.toLong).toDF("lag")
+    val pairs = grid
+      .join(broadcast(lags), expr("true"))
+      .join(grid.select(col(keyCol), col("t").as("t2"), col("c").as("c2")),
+        Seq(keyCol))
+      .where(col("t2") === col("t") + col("lag"))
+    val g = pairs.groupBy(col(keyCol), col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("c")).as("sx"), sum(col("c2")).as("sy"),
+      sum(col("c") * col("c2")).as("sxy"),
+      sum(col("c") * col("c")).as("sxx"),
+      sum(col("c2") * col("c2")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val r = when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6))
+      .otherwise(lit(null).cast("double"))
+    val withR = g.select(col(keyCol), col("lag"), col("n").as("n_days"),
+      r.as("r"))
+    val wBest = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(col("r").desc_nulls_last, col("lag").asc)
+    withR
+      .withColumn("is_peak",
+        row_number().over(wBest) === 1 && col("r").isNotNull)
+      .orderBy(keyCol, "lag")
+  }
+
+  /** DuckDB mirror of [[autocorrDaily]]. */
+  def autocorrDailySql(tbl: String, keyCol: String, tsCol: String,
+      maxLag: Int = 14): String =
+    s"""WITH span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS BIGINT) AS d FROM $tbl),
+       daily AS (SELECT $keyCol,
+           CAST(date_diff('day', d0, CAST($tsCol AS DATE)) AS BIGINT) AS t,
+           COUNT(*) AS c
+         FROM $tbl CROSS JOIN span GROUP BY 1, 2),
+       grid AS (SELECT k.$keyCol, CAST(g.t AS BIGINT) AS t, COALESCE(daily.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS t FROM span) g
+         LEFT JOIN daily ON daily.$keyCol = k.$keyCol AND daily.t = g.t),
+       lags AS (SELECT CAST(x AS BIGINT) AS lag FROM range(1, ${maxLag + 1}) r(x)),
+       p AS (SELECT a.$keyCol, lag, a.c AS ca, b.c AS cb
+         FROM grid a CROSS JOIN lags
+         JOIN grid b ON b.$keyCol = a.$keyCol AND b.t = a.t + lag),
+       m AS (SELECT $keyCol, lag, COUNT(*) AS n,
+           CAST(SUM(ca) AS BIGINT) AS sx, CAST(SUM(cb) AS BIGINT) AS sy,
+           CAST(SUM(ca * cb) AS BIGINT) AS sxy,
+           CAST(SUM(ca * ca) AS BIGINT) AS sxx,
+           CAST(SUM(cb * cb) AS BIGINT) AS syy
+         FROM p GROUP BY 1, 2),
+       withr AS (SELECT $keyCol, lag, n AS n_days,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+             THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             END AS r
+         FROM m)
+       SELECT $keyCol, lag, n_days, r,
+         (row_number() OVER (PARTITION BY $keyCol
+            ORDER BY r DESC NULLS LAST, lag ASC) = 1 AND r IS NOT NULL) AS is_peak
+       FROM withr ORDER BY $keyCol, lag"""
+
   /** EWMA last-day anomaly gate: per key, exponentially-weighted moving
     * average of DAILY counts over the complete calendar grid (empty days
     * as zeros), the last day's residual against the level the PRIOR days

@@ -406,3 +406,30 @@ class AucSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().head.getAs[Double]("auc") == 0.875)
   }
 }
+class AutocorrSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("autocorr-spec")
+    .getOrCreate()
+
+  test("autocorr: a planted 3-day cycle peaks at lag 3") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 days, burst every 3rd day: ACF must peak at lag 3 (and echo at 6)
+    val rows = (0 until 30).flatMap { d =>
+      val n = if (d % 3 == 0) 9 else 1
+      (1 to n).map(_ => ("k", d.toLong))
+    }
+    val ev = rows.toDF("k", "day")
+      .select($"k", timestamp_seconds($"day" * 86400L).as("ts"))
+    val out = graft.operators.Temporal.autocorrDaily(ev, "k", "ts", maxLag = 7)
+      .select($"lag", $"r", $"is_peak")
+      .as[(Long, Option[Double], Boolean)].collect().toSeq
+    val peak = out.find(_._3).get
+    assert(peak._1 == 3L, s"planted cycle is 3 days: $out")
+    assert(peak._2.get > 0.9, s"$out")
+    assert(out.find(_._1 == 6L).get._2.get > 0.8, s"echo at 6: $out")
+    assert(out.find(_._1 == 1L).get._2.get < 0.0, s"off-cycle negative: $out")
+  }
+}
