@@ -970,6 +970,10 @@ object SparkEntry {
       operators.Audit.fleissKappa(g1.unionByName(g2).unionByName(g3),
         "doc_id", "v")
     }),
+    // STL-lite decomposition: c = trend (centered 7d MA) + dow seasonal
+    // + residual per (type, day) — the table behind the anomaly gate
+    "stl_decompose" -> ((s, dir) =>
+      operators.Temporal.stlDecompose(ev(s, dir), "event_type", "ts")),
     // per-type daily autocorrelation: the ACF finds whatever cycle is
     // there (dow_profile assumes the week); calendar-bounded relations
     "autocorr_daily" -> ((s, dir) =>
@@ -2512,6 +2516,8 @@ object SparkEntry {
       operators.Temporal.mannKendallSql("events", "event_type", "ts"),
     "autocorr_daily" ->
       operators.Temporal.autocorrDailySql("events", "event_type", "ts"),
+    "stl_decompose" ->
+      operators.Temporal.stlDecomposeSql("events", "event_type", "ts"),
     "entropy_rate" ->
       operators.TextAnalysis.entropyRateSql("documents", "text"),
     "wasserstein_drift" ->

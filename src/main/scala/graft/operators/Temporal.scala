@@ -812,6 +812,102 @@ object Temporal {
            END AS r
        FROM m ORDER BY lag"""
 
+  /** STL-lite seasonal DECOMPOSITION of per-key daily counts: the
+    * classical additive split c = trend + seasonal + residual with a
+    * centered 7-day moving-average trend, day-of-week seasonal means of
+    * the detrended series, and the leftover residual — the full
+    * decomposition TABLE behind [[seasonalResiduals]]' anomaly gate (the
+    * gate answers "is today odd?"; this shows the trend/seasonal split
+    * an analyst plots). Edge days without a full centered window are
+    * excluded (the classical convention).
+    *
+    * Exactness: the trend is an integer 7-day sum divided once; the
+    * detrended value is one subtraction; seasonal means accumulate
+    * round(6)-then-DECIMAL (partition-order-immune); the residual is one
+    * more subtraction of already-identical doubles. All relations are
+    * calendar-bounded after the one (key, day) aggregation.
+    */
+  def stlDecompose(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("long").as("d"))
+    val daily = df.crossJoin(broadcast(span))
+      .groupBy(col(keyCol),
+        datediff(to_date(col(tsCol)), col("d0")).cast("long").as("t"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), col("d0"), col("d"),
+        explode(sequence(lit(0L), col("d") - 1)).as("t"))
+      .join(daily, Seq(keyCol, "t"), "left")
+      .select(col(keyCol), col("d0"), col("d"), col("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wMa = Window.partitionBy(keyCol).orderBy("t").rowsBetween(-3, 3)
+    val trended = grid
+      .withColumn("_st_sum", sum(col("c")).over(wMa))
+      .withColumn("_st_n", count(lit(1)).over(wMa))
+      .where(col("_st_n") === 7) // full centered window only
+      .withColumn("trend", col("_st_sum").cast("double") / lit(7.0))
+      .withColumn("detr", col("c").cast("double") - col("trend"))
+      // portable dow: (epoch_days + 4) mod 7 — the dowProfile convention
+      .withColumn("dow",
+        pmod(datediff(date_add(col("d0"), col("t").cast("int")),
+          lit("1970-01-01")) + 4, lit(7)))
+    val seasonal = trended.groupBy(col(keyCol), col("dow"))
+      .agg((sum(round(col("detr"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("seasonal"))
+    // NO final round: every value here derives from integer sums and
+    // DECIMAL-exact folds through identical IEEE divisions/subtractions
+    // in both engines, so the doubles are bit-identical — while a
+    // round(6) lands on exact halves (e.g. a /4 seasonal mean) where the
+    // engines' rounding algorithms split (the unigramLogprob lesson)
+    trended.join(seasonal, Seq(keyCol, "dow"))
+      .select(col(keyCol),
+        date_format(date_add(col("d0"), col("t").cast("int")), "yyyy-MM-dd")
+          .as("day"),
+        col("c"),
+        col("trend"),
+        col("seasonal"),
+        (col("detr") - col("seasonal")).as("resid"))
+      .orderBy(keyCol, "day")
+  }
+
+  /** DuckDB mirror of [[stlDecompose]]. */
+  def stlDecomposeSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS BIGINT) AS d FROM $tbl),
+       daily AS (SELECT $keyCol,
+           CAST(date_diff('day', d0, CAST($tsCol AS DATE)) AS BIGINT) AS t,
+           COUNT(*) AS c
+         FROM $tbl CROSS JOIN span GROUP BY 1, 2),
+       grid AS (SELECT k.$keyCol, sp.d0, sp.d, CAST(g.t AS BIGINT) AS t,
+           COALESCE(daily.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN span sp
+         CROSS JOIN (SELECT unnest(range(0, (SELECT d FROM span))) AS t) g
+         LEFT JOIN daily ON daily.$keyCol = k.$keyCol AND daily.t = g.t),
+       tr AS (SELECT *,
+           CAST(SUM(c) OVER w AS BIGINT) AS ssum,
+           COUNT(*) OVER w AS sn
+         FROM grid
+         WINDOW w AS (PARTITION BY $keyCol ORDER BY t
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       dtr AS (SELECT $keyCol, d0, t, c,
+           CAST(ssum AS DOUBLE) / CAST(7.0 AS DOUBLE) AS trend,
+           CAST(c AS DOUBLE) - CAST(ssum AS DOUBLE) / CAST(7.0 AS DOUBLE) AS detr,
+           CAST((date_diff('day', DATE '1970-01-01', d0 + CAST(t AS INT)) + 4) % 7 AS INT) AS dow
+         FROM tr WHERE sn = 7),
+       seas AS (SELECT $keyCol, dow,
+           CAST(SUM(CAST(round(detr, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS seasonal
+         FROM dtr GROUP BY 1, 2)
+       SELECT d.$keyCol, strftime(d.d0 + CAST(d.t AS INT), '%Y-%m-%d') AS day,
+         d.c, d.trend, s.seasonal,
+         d.detr - s.seasonal AS resid
+       FROM dtr d JOIN seas s ON d.$keyCol = s.$keyCol AND d.dow = s.dow
+       ORDER BY d.$keyCol, day"""
+
   /** Per-key daily AUTOCORRELATION function: Pearson r of the key's daily
     * count series against itself at lags 1..maxLag over the complete
     * calendar grid — the periodicity detector ([[dowProfile]] ASSUMES the

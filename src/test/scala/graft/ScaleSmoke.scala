@@ -94,7 +94,7 @@ object ScaleSmoke {
     // shapes + the grid cross-correlation
     "isotonic_calib", "daily_xcorr", "benford_audit", "mann_kendall",
     "fleiss_kappa", "corpus_datasheet", "trimmed_mean_ab",
-    "entropy_rate", "shuffle_runs", "wasserstein_drift", "lift_gain", "score_auc", "autocorr_daily")
+    "entropy_rate", "shuffle_runs", "wasserstein_drift", "lift_gain", "score_auc", "autocorr_daily", "stl_decompose")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

