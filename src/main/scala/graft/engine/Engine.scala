@@ -29,17 +29,37 @@ import graft.functions.BflExpressions
   * has the 24-digit zero-padded id injected, exactly like the reference
   * (reference: native.go:302-311, helpers.go:15-17).
   */
-final class Engine(val spark: SparkSession, val dir: String) {
+final class Engine(
+    val spark: SparkSession,
+    val dir: String,
+    /** Batch-log compaction policy (the reference's periodicPartitioner
+      * consolidation role, native.go:1046-1108): bin-pack contiguous runs of
+      * small `batch_%09d` dirs into one consolidated batch so a long-running
+      * trickle ingest (one dir per 500 ms trigger = ~170k dirs/day) keeps a
+      * BOUNDED listing/planning cost. Ids are immutable, so compaction is a
+      * rewrite + atomic dir swap; correctness is unchanged by construction.
+      */
+    val compactMinRun: Int = 16,       // smallest run worth rewriting
+    val compactKeepRecent: Int = 4,    // newest dirs are the live tail region — never touched
+    val compactTargetBytes: Long = 128L << 20, // consolidated dir size target (~1 HDFS block)
+    val compactMinAgeMs: Long = 10000L, // only dirs at least this old (tail grace window)
+    val compactInBackground: Boolean = true // ticker-driven; false = caller ticks (tests)
+) {
 
   import Engine._
 
   private val recordsDir = Paths.get(dir, "records")
   private val metaPath = Paths.get(dir, "meta.json")
+  private val compactManifestPath = Paths.get(dir, "compact_manifest.json")
 
   Files.createDirectories(recordsDir)
 
   // ---- durable metadata (the reference's gob core dump analog) ----
   @volatile private var meta: Meta = loadMeta()
+
+  // finish or roll back a compaction swap interrupted by a crash BEFORE any
+  // reader can list the records dir (constructor runs before first use)
+  recoverCompaction()
 
   private def loadMeta(): Meta =
     if (Files.exists(metaPath)) Meta.fromJson(new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8))
@@ -183,11 +203,14 @@ final class Engine(val spark: SparkSession, val dir: String) {
     * min/max stats prune batches a `leftOff` resume skips.
     */
   def records(): DataFrame = {
-    // Retention may delete an old batch under a reader — the reference's
-    // readers likewise skip removed partitions ("fRef == nil … pass this
-    // offset", native.go:745-755). Two distinct race windows:
-    //   - files vanishing AFTER planning → the per-relation
-    //     ignoreMissingFiles option skips them at execution;
+    // Retention or compaction may remove a batch dir under a reader — the
+    // reference's readers likewise skip removed partitions ("fRef == nil …
+    // pass this offset", native.go:745-755). Two distinct race windows:
+    //   - files vanishing AFTER planning → FAILED_READ_FILE at execution;
+    //     every materialization site replans via retryOnEvictionRace. NOT
+    //     ignoreMissingFiles: a silent skip is correct for retention (rows
+    //     legitimately evicted) but LOSES rows a compaction merely moved —
+    //     throw-and-replan is correct for both.
     //   - a batch dir vanishing BETWEEN listing and path resolution →
     //     PATH_NOT_FOUND at planning, handled by re-listing (bounded).
     // Explicit batch paths, NOT a glob: a data directory containing glob
@@ -200,7 +223,6 @@ final class Engine(val spark: SparkSession, val dir: String) {
       try
         return spark.read
           .schema(recordSchema)
-          .option("ignoreMissingFiles", "true")
           .parquet(batches.map(_.toString): _*)
       catch {
         case e: org.apache.spark.sql.AnalysisException
@@ -406,6 +428,14 @@ final class Engine(val spark: SparkSession, val dir: String) {
   /** `/flush` — drop records, keep macros/filters (reference: native.go:888-903). */
   def flush(): Unit = synchronized {
     deleteBatches(listBatches())
+    // a pending compaction swap would resurrect flushed records — drop its
+    // journal and any hidden (tmp/trash) dirs along with the live batches
+    Files.deleteIfExists(compactManifestPath)
+    Files.list(recordsDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".compact_") ||
+        p.getFileName.toString.startsWith(".trash_"))
+      .toSeq
+      .foreach(p => deleteBatches(Seq(p)))
     meta = meta.copy(highWater = 0L, removedCount = 0L, truncatedTimestamp = 0L, batchSeq = 0L)
     saveMeta()
   }
@@ -461,7 +491,11 @@ final class Engine(val spark: SparkSession, val dir: String) {
   private def usesAlteringHelpers(q: Ast.Query): Boolean =
     Ast.usesAlteringHelpers(q)
 
-  private def listBatches(): Seq[Path] =
+  /** Synchronized against the compaction swap: a listing observes the batch
+    * set strictly before or strictly after a swap, never mid-rename. The
+    * swap itself is a handful of directory renames — microseconds held.
+    */
+  private def listBatches(): Seq[Path] = synchronized {
     Files
       .list(recordsDir)
       .iterator()
@@ -469,6 +503,7 @@ final class Engine(val spark: SparkSession, val dir: String) {
       .filter(p => p.getFileName.toString.startsWith("batch_"))
       .toSeq
       .sortBy(_.getFileName.toString)
+  }
 
   private def deleteBatches(batches: Seq[Path]): Unit =
     batches.foreach { p =>
@@ -505,6 +540,133 @@ final class Engine(val spark: SparkSession, val dir: String) {
       }
     }
 
+  // ---- batch-log compaction ----------------------------------------------
+  // Long-running trickle ingest writes one batch dir per micro-batch; left
+  // alone, a day at a 500 ms trigger is ~170k dirs and driver-side listing +
+  // parquet footer opens dominate every query (the 100 TB scale-killer). The
+  // reference's periodicPartitioner keeps ≤2 live partitions by rotation
+  // (native.go:1046-1108); here the analog is LSM-style consolidation:
+  // contiguous runs of small dirs are rewritten into one id-sorted dir and
+  // atomically swapped in. Steady-state listing is O(total/target +
+  // minRun + keepRecent) dirs; write amplification is the standard
+  // size-tiered ~log(target/batch) per record.
+
+  /** One bounded unit of compaction work per ticker tick: at most one group
+    * rewritten + swapped. No-op (a directory listing) when nothing qualifies.
+    * Overlap-guarded: the rewrite runs outside the engine lock, so a manual
+    * tick racing the ticker must not double-write the same tmp dir.
+    */
+  private[engine] def compactionTick(): Unit =
+    if (compactionInFlight.compareAndSet(false, true))
+      try planCompactionGroup().foreach(compactGroup)
+      finally compactionInFlight.set(false)
+
+  private val compactionInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** First contiguous run of ≥ minRun small dirs that bin-packs under
+    * targetBytes — excluding the newest keepRecent dirs (the live tail
+    * region) and anything younger than minAge (grace for in-flight tail
+    * micro-batches planned against the old paths).
+    */
+  private def planCompactionGroup(): Option[Seq[Path]] = {
+    val now = System.currentTimeMillis()
+    val eligible = listBatches()
+      .dropRight(compactKeepRecent)
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis >= compactMinAgeMs)
+    var group = List.empty[Path]
+    var bytes = 0L
+    for (p <- eligible) {
+      val b = dirBytes(p)
+      if (b >= compactTargetBytes || (bytes + b > compactTargetBytes && group.nonEmpty)) {
+        // run closes: a full-size dir, or the pack is full
+        if (group.length >= compactMinRun) return Some(group.reverse)
+        group = Nil
+        bytes = 0L
+      }
+      if (b < compactTargetBytes) { group ::= p; bytes += b }
+    }
+    if (group.length >= compactMinRun) Some(group.reverse) else None
+  }
+
+  /** Rewrite `group` into one id-sorted consolidated dir and swap it in
+    * under the engine lock. The consolidated dir reuses the FIRST member's
+    * name, so the name-sorted listing order (= id order) is preserved. The
+    * swap is journaled in `compact_manifest.json`; [[recoverCompaction]]
+    * replays or completes it after a crash, so no interleaving of crash and
+    * rename loses or duplicates a record. The expensive rewrite runs
+    * OUTSIDE the lock — ids are immutable and members are frozen.
+    */
+  private def compactGroup(group: Seq[Path]): Unit = {
+    val finalName = group.head.getFileName.toString
+    val tmp = recordsDir.resolve(s".compact_$finalName.tmp")
+    spark.read
+      .schema(recordSchema)
+      .parquet(group.map(_.toString): _*)
+      .coalesce(1)                 // one output file — no shuffle
+      .sortWithinPartitions("id")  // id-sorted → row-group min/max pruning intact
+      .write
+      .mode(SaveMode.Overwrite)    // clobber a stale tmp from a crashed run
+      .parquet(tmp.toString)
+    synchronized {
+      // retention may have evicted members while we rewrote — abort stale swaps
+      val live = listBatches().toSet
+      if (!group.forall(live.contains)) { deleteBatches(Seq(tmp)); return }
+      val mf = new JsonTree.Obj
+      mf.put("final", finalName)
+      val names = group.map(_.getFileName.toString)
+      mf.put("old", names.mkString(","))
+      Files.write(compactManifestPath, JsonTree.serialize(mf).getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      names.foreach { n =>
+        Files.move(recordsDir.resolve(n), recordsDir.resolve(s".trash_$n"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.move(tmp, recordsDir.resolve(finalName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      names.foreach(n => deleteBatches(Seq(recordsDir.resolve(s".trash_$n"))))
+      Files.deleteIfExists(compactManifestPath)
+      ()
+    }
+  }
+
+  /** Crash recovery for an interrupted swap. Invariants: the manifest is
+    * written only after the consolidated tmp is COMPLETE; the tmp is renamed
+    * to the final name only after every member is renamed to trash; trash is
+    * deleted only after the final rename. So with a manifest present:
+    * tmp still exists → finish the swap; tmp gone → the swap completed, only
+    * trash cleanup remains. Hidden dirs without a manifest are incomplete
+    * rewrites (data still lives in the original members) — deleted.
+    */
+  private def recoverCompaction(): Unit = synchronized {
+    if (Files.exists(compactManifestPath)) {
+      val m = JsonTree.parse(
+        new String(Files.readAllBytes(compactManifestPath), StandardCharsets.UTF_8)
+      ).asInstanceOf[JsonTree.Obj]
+      val finalName = m.get("final").collect { case s: String => s }.get
+      val names = m.get("old").collect { case s: String => s }.get.split(',').toSeq
+      val tmp = recordsDir.resolve(s".compact_$finalName.tmp")
+      if (Files.exists(tmp)) {
+        names.foreach { n =>
+          val p = recordsDir.resolve(n)
+          if (Files.exists(p))
+            Files.move(p, recordsDir.resolve(s".trash_$n"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        Files.move(tmp, recordsDir.resolve(finalName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      names.foreach(n => deleteBatches(Seq(recordsDir.resolve(s".trash_$n"))
+        .filter(Files.exists(_))))
+      Files.deleteIfExists(compactManifestPath)
+    }
+    // orphan hidden dirs (incomplete rewrite, no manifest) are safe to drop
+    Files.list(recordsDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".compact_") ||
+        p.getFileName.toString.startsWith(".trash_"))
+      .toSeq
+      .foreach(p => deleteBatches(Seq(p)))
+  }
+
   // ---- background retention ticker --------------------------------------
   // The reference's periodicPartitioner runs on a 1 s ticker
   // (native.go:149,1049-1057) and evicts even while the log is idle;
@@ -520,11 +682,15 @@ final class Engine(val spark: SparkSession, val dir: String) {
       while (!tickerStop.get() && !interrupted) {
         try {
           if (meta.limitBytes.isDefined) synchronized { enforceRetention() }
-          Thread.sleep(1000)
+          if (compactInBackground) compactionTick()
         } catch {
           case _: InterruptedException => interrupted = true
           case _: Exception            => ()
         }
+        // Sleep outside the try: a persistently-throwing tick (transient FS
+        // error) must not skip the pause, or the daemon busy-spins at 100%.
+        try Thread.sleep(1000)
+        catch { case _: InterruptedException => interrupted = true }
       }
     }, "graft-retention-ticker")
     t.setDaemon(true)

@@ -35,9 +35,15 @@ object Streaming {
     * Caller attaches a sink (`.writeStream.foreachBatch(...)` / memory).
     */
   def tail(spark: SparkSession, engineDir: String, query: String): DataFrame = {
+    // ignoreMissingFiles: engine compaction renames old batch dirs away
+    // mid-micro-batch; the consolidated dir is a NEW file the source picks up
+    // next trigger, so skipped rows are re-delivered (at-least-once) and the
+    // consumer's monotonic id filter (ids ≤ resume point dropped, as the
+    // protocol server's tail does) restores exactly-once.
     val stream = spark.readStream
       .schema(recordSchema)
       .option("maxFilesPerTrigger", "64")
+      .option("ignoreMissingFiles", "true")
       .parquet(s"$engineDir/records/batch_*")
     // fused match+transform: one JSON parse + one interpreter walk per row
     stream
@@ -54,6 +60,7 @@ object Streaming {
     val stream = spark.readStream
       .schema(recordSchema)
       .option("maxFilesPerTrigger", "64")
+      .option("ignoreMissingFiles", "true") // see tail(): compaction re-delivery
       .parquet(s"$engineDir/records/batch_*")
     stream.select(col("id"), BflExpressions.bflEval(col("doc"), query).as("doc"))
   }
