@@ -1720,6 +1720,38 @@ object SparkEntry {
           col("wav_meta.sample_rate").as("sample_rate"),
           expr("wav_meta.data_len * 1000 DIV wav_meta.byte_rate").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+    "multimodal_pixels" -> ((s, dir) => {
+      // REAL pixel decode end-to-end: synthesize BMP24 / PNG-RGB / PNG-gray
+      // assets whose pixels follow a doc_id formula (Multimodal.synthPixel),
+      // run the full decoder (zlib inflate + all five PNG unfilters — the
+      // encoder cycles filter types per row), and emit floor channel means
+      // + the 9×8 box-downsampled dHash. The oracle reproduces the FORMULA,
+      // never the bytes: a hash match proves encode→decode is pixel-exact.
+      val assets = operators.Multimodal.syntheticAssets(Tables.documents(s, dir))
+      operators.Multimodal.withDecodedPixels(assets, "asset")
+        .select(col("doc_id"),
+          col("pixel_meta.format").as("format"),
+          col("pixel_meta.width").as("width"),
+          col("pixel_meta.height").as("height"),
+          col("pixel_meta.mean_r").as("mean_r"),
+          col("pixel_meta.mean_g").as("mean_g"),
+          col("pixel_meta.mean_b").as("mean_b"),
+          col("pixel_meta.dhash_hi").as("dhash_hi"),
+          col("pixel_meta.dhash_lo").as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+    "image_neardup" -> ((s, dir) => {
+      // perceptual near-dup: decode engineered 9×8 gray PNGs (same-family
+      // images differ by ≤ 1 dHash bit), then Manku 4×16-bit pigeonhole
+      // equi-join + popcount verify — no all-pairs anywhere
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 500)
+      val hashed = operators.Multimodal
+        .withDecodedPixels(operators.Multimodal.nearDupAssets(docs, 97), "asset")
+        .select(col("doc_id"),
+          col("pixel_meta.dhash_hi").as("hi"), col("pixel_meta.dhash_lo").as("lo"))
+      operators.Multimodal.dHashPairs(hashed, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3347,7 +3379,85 @@ object SparkEntry {
              || substr(hex(audio), 83, 2) || substr(hex(audio), 81, 2)) AS BIGINT) * 1000
              // CAST(('0x' || substr(hex(audio), 63, 2) || substr(hex(audio), 61, 2)
                || substr(hex(audio), 59, 2) || substr(hex(audio), 57, 2)) AS BIGINT) AS duration_ms
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+    "multimodal_pixels" ->
+      // INDEPENDENT re-derivation from the pixel FORMULA (never the bytes):
+      // channel c at (x,y) is (doc_id*7 + x*13 + y*31 + c*101) % 256, gray
+      // uses c=0; floor means; dHash = 9×8 integer box-downsample of the
+      // ITU-601 integer luma, bit (r,c) = cell<next, packed as hi/lo u32
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 + 9 AS INTEGER) AS w,
+           CAST(doc_id % 7 + 8 AS INTEGER) AS h, doc_id % 3 AS f FROM documents),
+         px AS (SELECT d.doc_id, d.w, d.h, d.f, tx.x, ty.y,
+             (d.doc_id*7 + tx.x*13 + ty.y*31) % 256 AS r0,
+             (d.doc_id*7 + tx.x*13 + ty.y*31 + 101) % 256 AS g0,
+             (d.doc_id*7 + tx.x*13 + ty.y*31 + 202) % 256 AS b0
+           FROM d, range(0, 16) tx(x), range(0, 14) ty(y)
+           WHERE tx.x < d.w AND ty.y < d.h),
+         ch AS (SELECT doc_id, w, h, f, x, y,
+             CASE WHEN f = 2 THEN r0 ELSE r0 END AS cr,
+             CASE WHEN f = 2 THEN r0 ELSE g0 END AS cg,
+             CASE WHEN f = 2 THEN r0 ELSE b0 END AS cb
+           FROM px),
+         lum AS (SELECT doc_id, w, h, f, x, y, cr, cg, cb,
+             (299*cr + 587*cg + 114*cb) // 1000 AS luma FROM ch),
+         means AS (SELECT doc_id, w, h, f,
+             CAST(SUM(cr) // COUNT(*) AS BIGINT) AS mean_r,
+             CAST(SUM(cg) // COUNT(*) AS BIGINT) AS mean_g,
+             CAST(SUM(cb) // COUNT(*) AS BIGINT) AS mean_b
+           FROM lum GROUP BY doc_id, w, h, f),
+         cells AS (SELECT doc_id, (y*8)//h AS r, (x*9)//w AS c,
+             CAST(SUM(luma) // COUNT(*) AS BIGINT) AS cl
+           FROM lum GROUP BY doc_id, (y*8)//h, (x*9)//w),
+         dh AS (SELECT doc_id, r, c, cl,
+             lead(cl) OVER (PARTITION BY doc_id, r ORDER BY c) AS nx FROM cells),
+         bits AS (SELECT doc_id, r, c,
+             CASE WHEN cl < nx THEN 1 ELSE 0 END AS bit FROM dh WHERE c < 8),
+         hash AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN r < 4 AND bit = 1
+               THEN (CAST(1 AS BIGINT) << CAST(31 - (r*8+c) AS INTEGER)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN r >= 4 AND bit = 1
+               THEN (CAST(1 AS BIGINT) << CAST(31 - ((r-4)*8+c) AS INTEGER)) ELSE 0 END) AS BIGINT) AS dhash_lo
+           FROM bits GROUP BY doc_id)
+         SELECT m.doc_id,
+           CASE m.f WHEN 0 THEN 'bmp' ELSE 'png' END AS format,
+           m.w AS width, m.h AS height, m.mean_r, m.mean_g, m.mean_b,
+           hash.dhash_hi, hash.dhash_lo
+         FROM means m JOIN hash ON m.doc_id = hash.doc_id ORDER BY m.doc_id""",
+    "image_neardup" ->
+      // mirror of the 4×16-bit pigeonhole + popcount verify over dHashes
+      // derived straight from the engineered 9×8 gray pattern (identity
+      // downsample at exactly 9×8): base (g²·31+g·17+x·(23+g%7)+y·(5+g%5))
+      // % 251, variant parity perturbs pixel (0,0) by +128 mod 251
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS g, (doc_id // 97) % 2 AS v
+           FROM documents WHERE doc_id < 500),
+         px AS (SELECT doc_id, tx.x, ty.y,
+             CASE WHEN v = 1 AND tx.x = 0 AND ty.y = 0
+               THEN ((g*g*31 + g*17 + tx.x*(23 + g%7) + ty.y*(5 + g%5)) % 251 + 128) % 251
+               ELSE (g*g*31 + g*17 + tx.x*(23 + g%7) + ty.y*(5 + g%5)) % 251 END AS p
+           FROM d, range(0, 9) tx(x), range(0, 8) ty(y)),
+         bits AS (SELECT a.doc_id, a.y AS r, a.x AS c,
+             CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+           FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 8),
+         hash AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN r < 4 AND bit = 1
+               THEN (CAST(1 AS BIGINT) << CAST(31 - (r*8+c) AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN r >= 4 AND bit = 1
+               THEN (CAST(1 AS BIGINT) << CAST(31 - ((r-4)*8+c) AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id),
+         blocks AS (SELECT doc_id, hi, lo, t.b_idx,
+             CASE t.b_idx WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
+               WHEN 2 THEN lo >> 16 ELSE lo & 65535 END AS b_val
+           FROM hash, unnest([0, 1, 2, 3]) t(b_idx)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+           FROM blocks a JOIN blocks b
+             ON a.b_idx = b.b_idx AND a.b_val = b.b_val AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+             CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+           FROM cand)
+         WHERE hamming <= 3 ORDER BY id_a, id_b"""
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real pixel decode: BMP24 and baseline PNG (inflate + unfilter) round
+  * trips, dHash invariants, and the pigeonhole near-dup join verified
+  * against brute force.
+  */
+class PixelDecodeSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("pixel-decode-spec")
+    .getOrCreate()
+
+  private def px(x: Int, y: Int, c: Int): Int = (x * 13 + y * 31 + c * 101) % 256
+
+  test("BMP24 encode→decode round trip recovers every pixel, incl. row padding widths") {
+    for (w <- Seq(1, 3, 4, 9, 16); h <- Seq(1, 2, 8, 11)) {
+      val bytes = Multimodal.encodeBmp24(w, h,
+        (x, y) => (px(x, y, 0) << 16) | (px(x, y, 1) << 8) | px(x, y, 2))
+      val img = Multimodal.decodeBmp24(bytes).get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      for (x <- 0 until w; y <- 0 until h; c <- 0 until 3)
+        assert(img.channel(x, y, c) == px(x, y, c), s"($w x $h) at ($x,$y,$c)")
+    }
+  }
+
+  test("PNG round trip exercises all five filter types (encoder cycles per row)") {
+    for (channels <- Seq(1, 3); w <- Seq(1, 2, 9, 16); h <- Seq(6, 8, 14)) {
+      // h >= 6 guarantees rows with filters 0..4 all occur
+      val bytes = Multimodal.encodePng(w, h, channels, px)
+      val img = Multimodal.decodePng(bytes).get
+      assert(img.width == w && img.height == h && img.channels == channels)
+      for (x <- 0 until w; y <- 0 until h; c <- 0 until channels)
+        assert(img.channel(x, y, c) == px(x, y, c),
+          s"($w x $h x $channels) at ($x,$y,$c) filter ${y % 5}")
+    }
+  }
+
+  test("decode rejects truncated and foreign bytes instead of fabricating pixels") {
+    val good = Multimodal.encodePng(9, 8, 1, px)
+    assert(Multimodal.decodePng(good.take(40)).isEmpty)   // truncated IDAT
+    assert(Multimodal.decodePng("plain text".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp24("BMshort".getBytes).isEmpty)
+    // 32-bit BMPs are out of the uncompressed-24 contract
+    val bmp = Multimodal.encodeBmp24(4, 4, (_, _) => 0)
+    bmp(28) = 32 // patch bit count
+    assert(Multimodal.decodeBmp24(bmp).isEmpty)
+  }
+
+  test("dHash: identical images collide, one-pixel perturbation flips at most one bit") {
+    val a = Multimodal.decodePng(Multimodal.encodePng(9, 8, 1, (x, y, _) => (x * 20 + y) % 200)).get
+    val b = Multimodal.decodePng(Multimodal.encodePng(9, 8, 1, (x, y, _) => (x * 20 + y) % 200)).get
+    assert(Multimodal.dHash64(a) == Multimodal.dHash64(b))
+    val c = Multimodal.decodePng(Multimodal.encodePng(9, 8, 1,
+      (x, y, _) => if (x == 0 && y == 0) 255 else (x * 20 + y) % 200)).get
+    assert(java.lang.Long.bitCount(Multimodal.dHash64(a) ^ Multimodal.dHash64(c)) <= 1)
+    // dHash is resolution-tolerant by construction: same gradient at 2× size
+    val big = Multimodal.decodePng(Multimodal.encodePng(18, 16, 1,
+      (x, y, _) => ((x / 2) * 20 + (y / 2)) % 200)).get
+    assert(Multimodal.dHash64(big) == Multimodal.dHash64(a))
+  }
+
+  test("dHashPairs pigeonhole join == brute-force all-pairs at hamming <= 3") {
+    import spark.implicits._
+    val docs = spark.range(0, 240).select(col("id").as("doc_id"))
+    val hashed = Multimodal
+      .withDecodedPixels(Multimodal.nearDupAssets(docs, 37), "asset")
+      .select(col("doc_id"),
+        col("pixel_meta.dhash_hi").as("hi"), col("pixel_meta.dhash_lo").as("lo"))
+    val fast = Multimodal.dHashPairs(hashed, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val local = hashed.as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (ia, hiA, loA) <- local; (ib, hiB, loB) <- local if ia < ib
+      d = java.lang.Long.bitCount(hiA ^ hiB) + java.lang.Long.bitCount(loA ^ loB)
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty, "engineered families must actually produce near-dups")
+  }
+
+  test("withDecodedPixels yields null meta for undecodable rows, stats for real ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.encodeBmp24(9, 8, (_, _) => 0x808080)),
+      (2L, "not an image".getBytes)
+    ).toDF("doc_id", "asset")
+    val out = Multimodal.withDecodedPixels(df, "asset")
+      .select(col("doc_id"), col("pixel_meta")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) == false && out(2L) == true)
+    val m = Multimodal.withDecodedPixels(df.where(col("doc_id") === 1L), "asset")
+      .select(col("pixel_meta.mean_r"), col("pixel_meta.format")).collect()(0)
+    assert(m.getLong(0) == 0x80 && m.getString(1) == "bmp")
+  }
+}
