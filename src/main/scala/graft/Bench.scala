@@ -7,8 +7,9 @@ package graft
   *   - results are fully materialized through the `noop` sink — a bare
   *     `.count()` would let Catalyst prune the projections and eliminate the
   *     sorts, timing a row-count scan instead of the query;
-  *   - one discarded warmup pass (cheap `.count()`) primes JVM/codegen/
-  *     Parquet footers so per-query numbers aren't ordering-biased;
+  *   - per query: one discarded warm-up rep through the same noop sink
+  *     (primes JVM/codegen/Parquet footers for the actual plan right before
+  *     timing), then N timed reps with the min reported;
   *   - a failed query reports -1 (and is excluded from the total), prints a
   *     `[bench] BROKEN: <name>` stderr line, and flips the exit code to 1 —
   *     a broken board can never produce a green-looking artifact.
@@ -23,20 +24,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toList.sortBy(_._1)
-    // warmup (not timed)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    // two timed reps, min reported: single-rep numbers across an 80+-query
-    // run in one JVM showed rare one-off 10-15x spikes on queries whose
-    // isolated steady state is flat (JIT code-cache churn / GC pauses —
-    // verified not host CPU steal and not the query plan). min-of-2 keeps
-    // the number attributable to the plan; "reps"/"agg" are recorded in the
-    // JSON so no run is comparable to a different methodology unnoticed.
+    // Idle-protocol discipline EVERYWHERE the bench runs (a loaded driver
+    // box produced 14x phantom regressions in round 6's BENCH_LOCAL):
+    // per query, ONE discarded warm-up rep through the SAME noop-sink path
+    // (primes codegen for the actual plan immediately before timing, not a
+    // whole board earlier where code-cache churn evicts it), then N timed
+    // reps with the MIN reported. min-of-N keeps the number attributable to
+    // the plan — single-rep numbers across a 200+-query run in one JVM show
+    // rare 10-15x one-off spikes (JIT/GC, verified not the plan).
+    // "reps"/"agg" are recorded in the JSON so no run is comparable to a
+    // different methodology unnoticed.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -46,6 +46,8 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) Some(dt) else None
       }
+      rep() // warm-up, discarded
+      val times = (1 to reps).flatMap(_ => rep())
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // 3-decimal seconds keep the whole 57-query line well under 2k chars:

@@ -1418,6 +1418,22 @@ object SparkEntry {
       operators.Sketch.kmvDistinctTokens(Tables.documents(s, dir), "lang", "text",
           k = 256)
         .orderBy("lang")),
+    // per-source HyperLogLog distinct tokens beside the exact count — the
+    // register fold is exact-integer (bitwise bucket/rank, BIGINT harmonic
+    // sum), so even THIS sketch oracles bit-for-bit
+    "hll_distinct" -> ((s, dir) =>
+      operators.Sketch.hllDistinctTokens(Tables.documents(s, dir), "source", "text")),
+    // per-doc encoding-quality audit: U+FFFD / mojibake digraphs / control
+    // chars, over a deterministically-corrupted text column (both engines
+    // synthesize the same damage — the fixtures are clean ASCII)
+    "mojibake_scan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("dirty",
+        when(col("doc_id") % 7 === 0, concat(lit("Ã©â€™ "), col("text")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" �")))
+          .when(col("doc_id") % 13 === 0, concat(col("text"), lit("\u0007")))
+          .otherwise(col("text")))
+      operators.TextAnalysis.mojibakeScan(d, "doc_id", "dirty")
+    }),
     // count-min φ-heavy-hitters over bigrams: constant-size mergeable
     // counter matrix, estimate = min over d probed counters (ĉ ≥ c always)
     "cms_heavy" -> ((s, dir) =>
@@ -1588,12 +1604,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "bfl_descent" -> ((s, dir) => {
-      // recursive descent `..k` through the interpreter tier
+      // recursive descent `..k` on the COMPILED tier: the path evaluates
+      // through the dedicated bfl_descent expression (JsonTree walk only),
+      // the ==/collapse predicate around it stays native Columns — no
+      // query-level interpreter in the plan (PlanAuditSpec-pinned)
       val df = ev(s, dir).withColumn("doc",
         to_json(struct(col("event_id"),
           struct(struct(get_json_object(col("props"), "$.k").as("k")).as("inner"))
             .as("outer"))))
-      Bfl.queryDocs(df, "doc", """outer..k == 87""")
+      Bfl.filter(df, """outer..k == 87""", docCol = Some("doc")).df
         .select(col("event_id"))
         .orderBy("event_id")
     }),
@@ -3165,6 +3184,19 @@ object SparkEntry {
              FROM r WHERE rn <= $k GROUP BY grp)
          SELECT grp AS lang, ${operators.Sketch.kmvEstimateSql(k)} AS est_distinct
          FROM a ORDER BY lang"""
+    },
+    "hll_distinct" ->
+      operators.Sketch.hllDistinctTokensSql("documents", "source", "text"),
+    "mojibake_scan" -> {
+      // same deterministic damage, same literals: chr(65533)=U+FFFD,
+      // chr(7)=BEL; the mojibake prefix is the identical UTF-8 string
+      s"""WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'Ã©â€™ ' || text
+                  WHEN doc_id % 11 = 0 THEN text || ' ' || chr(65533)
+                  WHEN doc_id % 13 = 0 THEN text || chr(7)
+                  ELSE text END AS dirty
+           FROM documents)
+         ${operators.TextAnalysis.mojibakeScanSql("d", "doc_id", "dirty")}"""
     },
     "cms_heavy" ->
       operators.Sketch.cmsHeavyHittersSql("documents", "text", phiInv = 1024),

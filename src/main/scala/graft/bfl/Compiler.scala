@@ -60,6 +60,14 @@ object Compiler {
     * text extraction could never make. */
   case object TVar extends BT
   final case class TArr(elem: BT) extends BT
+  /** `..name` descent over a schema-free document, compiled through
+    * [[BflExpressions.bflDescent]]: a struct of (`single`, `els`) where
+    * `single` marks the interpreter's one-scalar-match case and each
+    * element carries every Coerce view (s/n/b) of a matched node — so
+    * equality/comparison/truthiness compile to native exists/getField
+    * Columns with zero per-row query interpretation. NULL = zero matches
+    * (collapse), exactly the interpreter's jp.Get len<1 rule. */
+  case object TDescent extends BT
 
   /** value+type+collapse triple for one compiled node; `litNum`/`litRegex`
     * capture literal operands for the pushdown fast paths.
@@ -453,7 +461,7 @@ object Compiler {
         // Go's unary minus negates only float64; int64 passes through
         // unchanged (eval.go:681-683 switch has no int64 case)
         case ("-", TLong) => a
-        case ("!", TVar) | ("-", TVar) =>
+        case ("!", TVar) | ("-", TVar) | ("!", TDescent) | ("-", TDescent) =>
           // Go's unary ops mutate only bool/float64 and pass other types
           // through unchanged — a mixed-type result; use the interpreter
           throw Unsupported("unary op on dynamically-typed value")
@@ -541,7 +549,16 @@ object Compiler {
       val v = cv.value
       when(size(v) === 1, truthyScalar(try_element_at(v, lit(1)), et))
         .otherwise(size(v) > 0)
+    case TDescent =>
+      // single scalar match → its own toBool; array-valued results (single
+      // array match or multi-match wrap) → nonEmpty (Coerce.toBool on Arr)
+      when(cv.value.getField("single"), descentEl(cv.value).getField("b"))
+        .otherwise(size(cv.value.getField("els")) > 0)
   }
+
+  /** First coerced element of a TDescent value (the `single` scalar case). */
+  private def descentEl(c: Column): Column =
+    try_element_at(c.getField("els"), lit(1))
 
   private def truthyScalar(c: Column, t: BT): Column = t match {
     case TStr    => coalesce(c =!= "", lit(false))
@@ -560,6 +577,9 @@ object Compiler {
     case TBool        => c.cast(StringType)
     case TNull        => lit("null")
     case TArr(_)      => lit("")
+    // single scalar match stringifies itself; array-valued results are ""
+    case TDescent     =>
+      when(c.getField("single"), descentEl(c).getField("s")).otherwise(lit(""))
   }
 
   private def toNum(c: Column, t: BT): Column = t match {
@@ -573,6 +593,8 @@ object Compiler {
     case TBool           => when(coalesce(c, lit(false)), 1.0).otherwise(0.0)
     case TNull           => lit(0.0)
     case TArr(_)         => lit(0.0)
+    case TDescent        =>
+      when(c.getField("single"), descentEl(c).getField("n")).otherwise(lit(0.0))
   }
 
   /** Is `%g`-string equality on this double literal equivalent to native
@@ -585,11 +607,33 @@ object Compiler {
     else None
 
   private def equalityCol(a: CV, b: CV): Column = (a, b) match {
-    // regex operand ⇒ unanchored match (Go MatchString ≡ rlike)
+    // regex operand ⇒ unanchored match (Go MatchString ≡ rlike). A regex
+    // LEFT of a descent matches toStr(value) (single → its string, arrays →
+    // "") — the toStr(TDescent) case covers it. A regex RIGHT of an
+    // array-valued descent hits Go's (Arr, y) dispatch FIRST: existential
+    // string-compare against stringOperand(regex) = "" (eval.go:104-135),
+    // NOT a regex match — mirror that exactly.
     case _ if a.litRegex.isDefined => toStr(b.value, b.t).rlike(a.litRegex.get)
+    case _ if b.litRegex.isDefined && a.t == TDescent =>
+      when(a.value.getField("single"),
+        descentEl(a.value).getField("s").rlike(b.litRegex.get))
+        .otherwise(coalesce(
+          exists(a.value.getField("els"), e => e.getField("s") === ""), lit(false)))
     case _ if b.litRegex.isDefined => toStr(a.value, a.t).rlike(b.litRegex.get)
     case _ =>
       (a.t, b.t) match {
+        // descent operands: dynamic-vs-dynamic shapes stay on the interp
+        // tier; vs a static operand, the existential over coerced strings
+        // (a singleton element IS the scalar compare)
+        case (TDescent, TDescent) | (TDescent, TVar) | (TVar, TDescent) |
+            (TDescent, TArr(_)) | (TArr(_), TDescent) =>
+          throw Unsupported("descent vs dynamic operand")
+        case (TDescent, _) =>
+          coalesce(exists(a.value.getField("els"),
+            e => e.getField("s") === toStr(b.value, b.t)), lit(false))
+        case (_, TDescent) =>
+          coalesce(exists(b.value.getField("els"),
+            e => toStr(a.value, a.t) === e.getField("s")), lit(false))
         // dynamic VARIANT operands: array-ness decided per row
         case (TVar, TVar) =>
           when(isVarArr(a.value) && isVarArr(b.value),
@@ -651,6 +695,18 @@ object Compiler {
     // operands cannot be NaN, and isnan() doesn't type-check on them).
     def scSafe(x: Column, y: Column): Column = sc(x, y) && !isnan(x) && !isnan(y)
     (a.t, b.t) match {
+      // descent operands: existential over the coerced numeric view
+      // (Coerce.cmp's (Arr, y)/(x, Arr) exists; a singleton element IS the
+      // scalar compare); dynamic-vs-dynamic shapes stay on the interp tier
+      case (TDescent, TDescent) | (TDescent, TVar) | (TVar, TDescent) |
+          (TDescent, TArr(_)) | (TArr(_), TDescent) =>
+        throw Unsupported("descent vs dynamic operand")
+      case (TDescent, _) =>
+        coalesce(exists(a.value.getField("els"),
+          i => scSafe(i.getField("n"), toNum(b.value, b.t))), lit(false))
+      case (_, TDescent) =>
+        coalesce(exists(b.value.getField("els"),
+          j => scSafe(toNum(a.value, a.t), j.getField("n"))), lit(false))
       // dynamic VARIANT operands: existential vs scalar, universal vs array
       case (TVar, TVar) =>
         when(isVarArr(a.value) && isVarArr(b.value),
@@ -882,9 +938,15 @@ object Compiler {
   }
 
   private def variantWalk(c: Column, rest: List[Seg]): Resolved =
-    // try_parse_json: malformed docs become NULL (collapse), matching the
-    // reference's skip-on-parse-error; try_variant_get: missing path NULL
-    Resolved(try_variant_get(try_parse_json(c), variantPath(rest), "variant"), TVar)
+    // a path with `..name` routes through the dedicated descent expression
+    // (JsonTree.get — the interpreter's own walk — evaluated for the PATH
+    // only; the predicate around it stays native Columns)
+    if (rest.exists(_.isInstanceOf[Descent]))
+      Resolved(BflExpressions.bflDescent(c, rest), TDescent)
+    else
+      // try_parse_json: malformed docs become NULL (collapse), matching the
+      // reference's skip-on-parse-error; try_variant_get: missing path NULL
+      Resolved(try_variant_get(try_parse_json(c), variantPath(rest), "variant"), TVar)
 
   // ---------- VARIANT dynamic coercions (exact §1.2 semantics) ----------
 

@@ -43,8 +43,14 @@ final class Engine(
     val compactKeepRecent: Int = 4,    // newest dirs are the live tail region — never touched
     val compactTargetBytes: Long = 128L << 20, // consolidated dir size target (~1 HDFS block)
     val compactMinAgeMs: Long = 10000L, // only dirs at least this old (tail grace window)
-    val compactInBackground: Boolean = true // ticker-driven; false = caller ticks (tests)
-) {
+    val compactInBackground: Boolean = true, // ticker-driven; false = caller ticks (tests)
+    /** Replaced/evicted dirs stay ON DISK this long after leaving the
+      * manifest, so every scan planned before the swap keeps reading files
+      * that still exist (the LSM/Iceberg deferred-GC discipline). 0 = delete
+      * immediately (tests that count directories).
+      */
+    val gcGraceMs: Long = 15000L
+) extends Storage {
 
   import Engine._
 
@@ -57,20 +63,26 @@ final class Engine(
   // ---- durable metadata (the reference's gob core dump analog) ----
   @volatile private var meta: Meta = loadMeta()
 
-  // finish or roll back a compaction swap interrupted by a crash BEFORE any
-  // reader can list the records dir (constructor runs before first use)
-  recoverCompaction()
+  // replay a pre-manifest crash journal, adopt/garbage-collect the on-disk
+  // state against the manifest — BEFORE any reader can list the log
+  // (constructor runs before first use)
+  reconcileLog()
 
   private def loadMeta(): Meta =
     if (Files.exists(metaPath)) Meta.fromJson(new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8))
     else Meta()
 
-  private def saveMeta(): Unit =
-    Files.write(
-      metaPath,
-      meta.toJson.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING
-    )
+  /** Atomic: the manifest inside meta.json is the log's commit point, so a
+    * torn write must be impossible, not just unlikely.
+    */
+  private def saveMeta(): Unit = {
+    val tmp = metaPath.resolveSibling(".meta.json.tmp")
+    Files.write(tmp, meta.toJson.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, metaPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   private val recordSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -118,16 +130,22 @@ final class Engine(
           }
       }
     }
-    if (rows.nonEmpty) {
-      val batch = spark.createDataFrame(rows.asJava, recordSchema)
-      batch
-        .coalesce(1) // no shuffle — preserves id order inside the batch file
-        .write
-        .mode(SaveMode.Append)
-        .parquet(recordsDir.resolve(f"batch_${meta.batchSeq}%09d").toString)
-    }
+    val newBatch =
+      if (rows.isEmpty) None
+      else {
+        val name = f"batch_${meta.batchSeq}%09d"
+        spark.createDataFrame(rows.asJava, recordSchema)
+          .coalesce(1) // no shuffle — preserves id order inside the batch file
+          .write
+          .mode(SaveMode.Append)
+          .parquet(recordsDir.resolve(name).toString)
+        Some(name)
+      }
     val assigned = (meta.highWater until nextId).toList
-    meta = meta.copy(highWater = nextId, batchSeq = meta.batchSeq + 1)
+    // manifest commit AFTER the dir is complete: a crash in between leaves
+    // an unacked orphan the open-time reconcile deletes
+    meta = meta.copy(highWater = nextId, batchSeq = meta.batchSeq + 1,
+      batches = meta.batches ++ newBatch)
     saveMeta()
     enforceRetention()
     assigned
@@ -191,7 +209,10 @@ final class Engine(
         Files.move(tmp, recordsDir.resolve(f"batch_${meta.batchSeq}%09d"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-      meta = meta.copy(highWater = base + kept, batchSeq = meta.batchSeq + 1)
+      meta = meta.copy(highWater = base + kept, batchSeq = meta.batchSeq + 1,
+        batches =
+          if (kept > 0) meta.batches :+ f"batch_${meta.batchSeq}%09d"
+          else meta.batches)
       saveMeta()
       enforceRetention()
       (base until base + kept).toList
@@ -425,18 +446,24 @@ final class Engine(
     saveMeta()
   }
 
-  /** `/flush` — drop records, keep macros/filters (reference: native.go:888-903). */
+  /** `/flush` — drop records, keep macros/filters (reference: native.go:888-903).
+    * Explicitly destructive: deletes immediately (no GC grace) and drains
+    * the deferred queue, so nothing can resurrect or collide with the
+    * restarting batchSeq.
+    */
   def flush(): Unit = synchronized {
     deleteBatches(listBatches())
-    // a pending compaction swap would resurrect flushed records — drop its
-    // journal and any hidden (tmp/trash) dirs along with the live batches
+    gcTick(force = true)
+    // a pending legacy compaction journal would resurrect flushed records —
+    // drop it and any hidden (tmp/trash) dirs along with the live batches
     Files.deleteIfExists(compactManifestPath)
     Files.list(recordsDir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(".compact_") ||
         p.getFileName.toString.startsWith(".trash_"))
       .toSeq
       .foreach(p => deleteBatches(Seq(p)))
-    meta = meta.copy(highWater = 0L, removedCount = 0L, truncatedTimestamp = 0L, batchSeq = 0L)
+    meta = meta.copy(highWater = 0L, removedCount = 0L, truncatedTimestamp = 0L,
+      batchSeq = 0L, batches = Vector.empty)
     saveMeta()
   }
 
@@ -491,18 +518,42 @@ final class Engine(
   private def usesAlteringHelpers(q: Ast.Query): Boolean =
     Ast.usesAlteringHelpers(q)
 
-  /** Synchronized against the compaction swap: a listing observes the batch
-    * set strictly before or strictly after a swap, never mid-rename. The
-    * swap itself is a handful of directory renames — microseconds held.
+  /** The live log, from the MANIFEST — never the filesystem. A listing
+    * observes the batch set strictly before or strictly after a manifest
+    * commit, and every listed dir is guaranteed to exist for at least
+    * `gcGraceMs` after leaving the manifest, so a scan planned against this
+    * snapshot reads files that still exist even if compaction or retention
+    * replaces them mid-flight. (The old fs-listing design made every scan
+    * race the compactor's renames — routine FAILED_READ retries under
+    * steady ingest, livelock under churn.)
     */
   private def listBatches(): Seq[Path] = synchronized {
-    Files
-      .list(recordsDir)
-      .iterator()
-      .asScala
-      .filter(p => p.getFileName.toString.startsWith("batch_"))
-      .toSeq
-      .sortBy(_.getFileName.toString)
+    meta.batches.map(recordsDir.resolve(_))
+  }
+
+  // ---- deferred GC of replaced/evicted dirs --------------------------------
+  // (path, wall-clock deadline); insertion order = deadline order
+  private val pendingDeletes =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Path, Long)]()
+
+  private def scheduleDelete(ps: Seq[Path]): Unit = {
+    val deadline = System.currentTimeMillis() + gcGraceMs
+    ps.foreach(p => pendingDeletes.add((p, deadline)))
+    if (gcGraceMs <= 0) gcTick() // tests that count directories: synchronous
+  }
+
+  /** Delete every queued dir whose grace expired (`force` = all of them). */
+  private[engine] def gcTick(force: Boolean = false): Unit = {
+    val now = System.currentTimeMillis()
+    var done = false
+    while (!done) {
+      val head = pendingDeletes.peek()
+      if (head == null || (!force && head._2 > now)) done = true
+      else {
+        pendingDeletes.poll()
+        if (Files.exists(head._1)) deleteBatches(Seq(head._1))
+      }
+    }
   }
 
   private def deleteBatches(batches: Seq[Path]): Unit =
@@ -523,18 +574,22 @@ final class Engine(
       var total = batches.map(dirBytes).sum
       while (total > budget && batches.length > 1) {
         val oldest = batches.head
-        // read evicted ids/ts for the truncation bookkeeping
+        // read evicted ids/ts for the truncation bookkeeping (the dir is
+        // still on disk — manifest entries always are)
         val stats = spark.read.schema(recordSchema).parquet(oldest.toString)
           .agg(max("ts").as("maxTs"), count(lit(1)).as("n"), max("id").as("maxId"))
           .collect()(0)
         val evictedN = stats.getLong(1)
         val maxTs = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-        deleteBatches(Seq(oldest))
+        // manifest commit is the eviction; the dir lingers through the GC
+        // grace so scans planned before this commit finish cleanly
         meta = meta.copy(
           removedCount = meta.removedCount + evictedN,
-          truncatedTimestamp = math.max(meta.truncatedTimestamp, maxTs + 1)
+          truncatedTimestamp = math.max(meta.truncatedTimestamp, maxTs + 1),
+          batches = meta.batches.filterNot(_ == oldest.getFileName.toString)
         )
         saveMeta()
+        scheduleDelete(Seq(oldest))
         batches = batches.tail
         total = batches.map(dirBytes).sum
       }
@@ -558,8 +613,20 @@ final class Engine(
     */
   private[engine] def compactionTick(): Unit =
     if (compactionInFlight.compareAndSet(false, true))
-      try planCompactionGroup().foreach(compactGroup)
-      finally compactionInFlight.set(false)
+      try {
+        // consume up to 4 runs per tick: one-run-per-second cannot keep up
+        // with a bursty wire ingest (each burst = one dir; a 5-burst/s
+        // client outruns a 1-group/s compactor and the listing grows
+        // without bound). Bounded so a tick never monopolizes the engine.
+        var rounds = 0
+        var planned = planCompactionGroup()
+        while (planned.isDefined && rounds < 4) {
+          compactGroup(planned.get)
+          rounds += 1
+          planned = if (rounds < 4) planCompactionGroup() else None
+        }
+        gcTick() // manual-tick tests (background off) still age out replaced dirs
+      } finally compactionInFlight.set(false)
 
   private val compactionInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -588,17 +655,23 @@ final class Engine(
     if (group.length >= compactMinRun) Some(group.reverse) else None
   }
 
-  /** Rewrite `group` into one id-sorted consolidated dir and swap it in
-    * under the engine lock. The consolidated dir reuses the FIRST member's
-    * name, so the name-sorted listing order (= id order) is preserved. The
-    * swap is journaled in `compact_manifest.json`; [[recoverCompaction]]
-    * replays or completes it after a crash, so no interleaving of crash and
-    * rename loses or duplicates a record. The expensive rewrite runs
-    * OUTSIDE the lock — ids are immutable and members are frozen.
+  /** Rewrite `group` into one id-sorted consolidated dir under a FRESH name
+    * (head member's number + a bumped `_cN` generation — sorts into exactly
+    * the head's position), then commit by patching the manifest. Members are
+    * never renamed or touched: in-flight scans planned against the old
+    * manifest keep reading them until the GC grace expires. Crash safety is
+    * positional, no journal needed:
+    *   - before the manifest commit → the consolidated dir is an orphan the
+    *     open-time reconcile deletes; members intact;
+    *   - after the commit → members are off-manifest garbage the reconcile
+    *     deletes.
+    * The expensive rewrite runs OUTSIDE the lock — ids are immutable and
+    * members are frozen.
     */
   private def compactGroup(group: Seq[Path]): Unit = {
-    val finalName = group.head.getFileName.toString
-    val tmp = recordsDir.resolve(s".compact_$finalName.tmp")
+    val names = group.map(_.getFileName.toString)
+    val newName = Engine.bumpGeneration(names.head)
+    val tmp = recordsDir.resolve(s".compact_$newName.tmp")
     spark.read
       .schema(recordSchema)
       .parquet(group.map(_.toString): _*)
@@ -608,24 +681,17 @@ final class Engine(
       .mode(SaveMode.Overwrite)    // clobber a stale tmp from a crashed run
       .parquet(tmp.toString)
     synchronized {
-      // retention may have evicted members while we rewrote — abort stale swaps
-      val live = listBatches().toSet
-      if (!group.forall(live.contains)) { deleteBatches(Seq(tmp)); return }
-      val mf = new JsonTree.Obj
-      mf.put("final", finalName)
-      val names = group.map(_.getFileName.toString)
-      mf.put("old", names.mkString(","))
-      Files.write(compactManifestPath, JsonTree.serialize(mf).getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      names.foreach { n =>
-        Files.move(recordsDir.resolve(n), recordsDir.resolve(s".trash_$n"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-      Files.move(tmp, recordsDir.resolve(finalName),
+      // retention may have evicted members while we rewrote — abort stale
+      // swaps (the group must still be one contiguous manifest run)
+      val idx = meta.batches.indexOf(names.head)
+      val stillLive = idx >= 0 &&
+        meta.batches.slice(idx, idx + names.length) == names
+      if (!stillLive) { deleteBatches(Seq(tmp)); return }
+      Files.move(tmp, recordsDir.resolve(newName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      names.foreach(n => deleteBatches(Seq(recordsDir.resolve(s".trash_$n"))))
-      Files.deleteIfExists(compactManifestPath)
-      ()
+      meta = meta.copy(batches = meta.batches.patch(idx, Seq(newName), names.length))
+      saveMeta()
+      scheduleDelete(group)
     }
   }
 
@@ -637,8 +703,24 @@ final class Engine(
     * trash cleanup remains. Hidden dirs without a manifest are incomplete
     * rewrites (data still lives in the original members) — deleted.
     */
-  private def recoverCompaction(): Unit = synchronized {
+  /** Open-time reconcile of disk vs manifest.
+    *
+    *   1. Replay a PRE-MANIFEST crash journal (compact_manifest.json from an
+    *      older engine version) so legacy logs open losslessly.
+    *   2. A legacy meta.json (no `batches` key) adopts the filesystem
+    *      listing as its first manifest.
+    *   3. Every on-disk batch dir NOT in the manifest is garbage by
+    *      construction (an unacked crashed insert, or a replaced/evicted
+    *      member whose deferred GC never ran) — deleted. This is also what
+    *      makes a crashed mid-insert append safe: the unacked dir would
+    *      otherwise collide with the next insert's batchSeq name.
+    *   4. Manifest entries whose dir vanished (manual deletion) are dropped.
+    *   5. Hidden (tmp/trash) dirs are incomplete rewrites — deleted.
+    */
+  private def reconcileLog(): Unit = synchronized {
     if (Files.exists(compactManifestPath)) {
+      // legacy journal: the old swap renamed members away and reused the
+      // head's name; finish or roll it back exactly as the old code did
       val m = JsonTree.parse(
         new String(Files.readAllBytes(compactManifestPath), StandardCharsets.UTF_8)
       ).asInstanceOf[JsonTree.Obj]
@@ -659,10 +741,27 @@ final class Engine(
         .filter(Files.exists(_))))
       Files.deleteIfExists(compactManifestPath)
     }
-    // orphan hidden dirs (incomplete rewrite, no manifest) are safe to drop
+    def onDisk(): Seq[String] = Files.list(recordsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("batch_"))
+      .toSeq.sorted
+    if (!meta.batchesKnown) {
+      meta = meta.copy(batches = onDisk().toVector, batchesKnown = true)
+      saveMeta()
+    } else {
+      val live = meta.batches.toSet
+      onDisk().filterNot(live).foreach(n => deleteBatches(Seq(recordsDir.resolve(n))))
+      val missing = meta.batches.filterNot(n => Files.exists(recordsDir.resolve(n)))
+      if (missing.nonEmpty) {
+        meta = meta.copy(batches = meta.batches.filterNot(missing.toSet))
+        saveMeta()
+      }
+    }
+    // hidden dirs (incomplete rewrites) are safe to drop
     Files.list(recordsDir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(".compact_") ||
-        p.getFileName.toString.startsWith(".trash_"))
+        p.getFileName.toString.startsWith(".trash_") ||
+        p.getFileName.toString.endsWith(".tmp"))
       .toSeq
       .foreach(p => deleteBatches(Seq(p)))
   }
@@ -683,6 +782,7 @@ final class Engine(
         try {
           if (meta.limitBytes.isDefined) synchronized { enforceRetention() }
           if (compactInBackground) compactionTick()
+          gcTick()
         } catch {
           case _: InterruptedException => interrupted = true
           case _: Exception            => ()
@@ -698,15 +798,33 @@ final class Engine(
   }
 
   /** Stop the background retention ticker (idempotent). The engine stays
-    * usable — retention still runs at mutation time.
+    * usable — retention still runs at mutation time. Drains the deferred-GC
+    * queue (no reader of THIS engine remains to race; a dir missed here is
+    * collected by the next open's reconcile anyway).
     */
-  def close(): Unit = tickerStop.set(true)
+  def close(): Unit = {
+    tickerStop.set(true)
+    gcTick(force = true)
+  }
 }
 
 object Engine {
 
   /** 24-digit zero-padded record id (reference: server/lib/helpers.go:15-17). */
   def indexToId(i: Long): String = f"$i%024d"
+
+  /** Fresh consolidated-dir name: the head member's fixed-width number plus
+    * a bumped `_cN` generation. `batch_000000007` → `batch_000000007_c1`,
+    * `batch_000000007_c1` → `batch_000000007_c2`. Name-sorts into exactly
+    * the head's manifest position (`_` > digit never matters: the next
+    * batch number differs in the fixed-width digits first).
+    */
+  private[engine] def bumpGeneration(headName: String): String =
+    headName match {
+      case Engine.GenRe(base, gen) => s"${base}_c${gen.toInt + 1}"
+      case _                       => s"${headName}_c1"
+    }
+  private val GenRe = "(batch_\\d+)_c(\\d+)".r
 
   /** Does this failure look like a read that lost the race against
     * retention (deleted batch file/dir mid-plan or mid-read)? Checked
@@ -770,7 +888,20 @@ object Engine {
       truncatedTimestamp: Long = 0L,
       limitBytes: Option[Long] = None,
       insertionFilter: Option[String] = None,
-      macros: Map[String, String] = Map.empty
+      macros: Map[String, String] = Map.empty,
+      /** The LIVE batch manifest, in id (= name-sort) order. Readers list
+        * the log from here, never from the filesystem — so a dir leaving
+        * the manifest (compaction swap, retention evict) can stay on disk
+        * through a GC grace window without any reader ever seeing both the
+        * old and new copy. The manifest commit (atomic meta.json rename) IS
+        * the swap; on-disk dirs not in the manifest are garbage.
+        */
+      batches: Vector[String] = Vector.empty,
+      /** false only for a meta.json written before the manifest existed —
+        * the open-time reconcile then adopts the filesystem listing once.
+        * Never serialized.
+        */
+      batchesKnown: Boolean = true
   ) {
     def toJson: String = {
       val m = new JsonTree.Obj
@@ -783,6 +914,9 @@ object Engine {
       val mm = new JsonTree.Obj
       macros.foreach { case (k, v) => mm.put(k, v) }
       m.put("macros", mm)
+      val bb = new JsonTree.Arr
+      batches.foreach(bb += _)
+      m.put("batches", bb)
       JsonTree.serialize(m)
     }
   }
@@ -805,7 +939,12 @@ object Engine {
           case Some(mm: JsonTree.Obj) =>
             mm.collect { case (k, v: String) => k -> v }.toMap
           case _ => Map.empty
-        }
+        },
+        batches = m.get("batches") match {
+          case Some(a: JsonTree.Arr) => a.toList.collect { case s: String => s }.toVector
+          case _                     => Vector.empty
+        },
+        batchesKnown = m.get("batches").isDefined
       )
     }
   }

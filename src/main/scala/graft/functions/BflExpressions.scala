@@ -154,10 +154,75 @@ case class GoParseFloatExpr(child: Expression)
   override def prettyName: String = "go_parse_float"
 }
 
+/** Compiled tier for `..name` recursive descent over a schema-free JSON doc
+  * (the one path shape that previously always fell back to the full
+  * per-row interpreter). Evaluates ONLY the path — `JsonTree.get`, the same
+  * walk the interpreter uses — and emits every Coerce view of the matches so
+  * the surrounding predicate stays native Columns:
+  *
+  *   - `single` TRUE iff exactly one match that is NOT an array (the
+  *     interpreter's scalar `Res(v)` case; a single array match and the
+  *     multi-match wrap share identical existential semantics, so both
+  *     encode as `single = false` + the elements);
+  *   - `els[i] = (s, n, b)` — Coerce.toStr / toNum / toBool of each match
+  *     (containers: "" / 0 / arr-nonEmpty, exactly eval.go:27-88);
+  *   - NULL for zero matches (the collapse signal) or an unparseable doc.
+  */
+case class BflDescentExpr(child: Expression, segs: List[graft.bfl.Ast.Seg])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = BflDescentExpr.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    JsonTree.tryParse(v.toString) match {
+      case None => null
+      case Some(root) =>
+        val matches = JsonTree.get(root, segs)
+        if (matches.isEmpty) null
+        else {
+          val (single, els) = matches match {
+            case (a: JsonTree.Arr) :: Nil => (false, a.toList)
+            case m :: Nil                 => (true, List(m))
+            case ms                       => (false, ms)
+          }
+          val coerced = els.map { e =>
+            InternalRow(
+              UTF8String.fromString(graft.bfl.Coerce.toStr(e)),
+              graft.bfl.Coerce.toNum(e),
+              graft.bfl.Coerce.toBool(e))
+          }
+          InternalRow(single, new GenericArrayData(coerced))
+        }
+    }
+
+  override protected def withNewChildInternal(c: Expression): BflDescentExpr =
+    copy(child = c)
+  override def prettyName: String = "bfl_descent"
+}
+
+object BflDescentExpr {
+  import org.apache.spark.sql.types._
+  val elSchema: StructType = StructType(Seq(
+    StructField("s", StringType, nullable = false),
+    StructField("n", DoubleType, nullable = false),
+    StructField("b", BooleanType, nullable = false)))
+  val schema: StructType = StructType(Seq(
+    StructField("single", BooleanType, nullable = false),
+    StructField("els", ArrayType(elSchema, containsNull = false), nullable = false)))
+}
+
 object BflExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def goFmt(c: Column): Column = ColumnBridge.column(GoFormatExpr(expr(c)))
+  def bflDescent(c: Column, segs: List[graft.bfl.Ast.Seg]): Column =
+    ColumnBridge.column(BflDescentExpr(expr(c), segs))
   def goParseFloat(c: Column): Column = ColumnBridge.column(GoParseFloatExpr(expr(c)))
   def bflMatch(c: Column, query: String): Column =
     ColumnBridge.column(BflMatchExpr(expr(c), query))

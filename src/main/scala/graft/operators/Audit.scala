@@ -482,7 +482,11 @@ object Audit {
     import org.apache.spark.sql.expressions.Window
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
-    val byD = df.where(col(valCol) > 0)
+    // gate on the ROUNDED cents, not the raw value: (0, 0.005) rounds to 0
+    // cents (whose "digit" 0 has Benford expectation ln(1+1/0) = Inf), and
+    // values >= 1e16 overflow the DECIMAL(18,2) cast to a NULL digit — both
+    // excluded identically here and in the mirror (cents >= 1 is NULL-false)
+    val byD = df.where(cents >= 1)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val wAll = Window.partitionBy()
@@ -509,7 +513,7 @@ object Audit {
   /** DuckDB mirror of [[benford]]. */
   def benfordSql(tbl: String, valCol: String): String =
     s"""WITH d AS (SELECT CAST(substr(CAST(CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-         FROM $tbl WHERE $valCol > 0),
+         FROM $tbl WHERE CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) >= 1),
        byd AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
        t AS (SELECT digit, n, SUM(n) OVER () AS total FROM byd)
        SELECT digit, n,

@@ -64,9 +64,16 @@ object Bpe {
   /** Train `steps` merges. Returns the merge table rows (step, pair, freq)
     * and the final (word, repr, freq) vocabulary — the encode artifact.
     * Stops early if no pair is left (every word a single symbol).
+    *
+    * Driver rounds are BATCHED: each round counts pairs once, collects a
+    * bounded top slice, and accepts a run of merges provably identical to
+    * applying them one recount at a time (see [[selectBatch]]) — so a real
+    * 32k-merge tokenizer train runs ~`maxBatch`× fewer Spark jobs while the
+    * merge table stays bit-identical to the classic sequential algorithm
+    * (the unrolled sequential DuckDB oracle pins exactly that).
     */
-  def train(df: DataFrame, textCol: String,
-      steps: Int): (Seq[(Int, String, Long)], DataFrame) = {
+  def train(df: DataFrame, textCol: String, steps: Int,
+      maxBatch: Int = 8): (Seq[(Int, String, Long)], DataFrame) = {
     var v = vocab(df, textCol)
       .select(col("word"), spaced(col("word")).as("repr"), col("freq"))
       .localCheckpoint()
@@ -74,7 +81,9 @@ object Bpe {
     var t = 1
     var exhausted = false
     while (t <= steps && !exhausted) {
-      val best = v
+      val want = math.min(maxBatch, steps - t + 1)
+      val limit = math.max(2 * want + 32, 48)
+      val top = v
         .select(explode(
           graft.functions.MinHashExpr.shinglesArray(col("repr"), 2)).as("pair"),
           col("freq"))
@@ -83,18 +92,59 @@ object Bpe {
         .where(instr(col("pair"), " ") > 0)
         .groupBy("pair").agg(sum("freq").as("f"))
         .orderBy(col("f").desc, col("pair").asc)
-        .limit(1)
+        .limit(limit)
         .collect()
-      if (best.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (pair, f) = (best(0).getString(0), best(0).getLong(1))
-        merges += ((t, pair, f))
-        v = v.select(col("word"), applyMerge(col("repr"), pair).as("repr"),
-          col("freq")).localCheckpoint()
-        t += 1
+        val accepted = selectBatch(top, want, listComplete = top.length < limit)
+        accepted.foreach { case (pair, f) => merges += ((t, pair, f)); t += 1 }
+        val mergedRepr = accepted.foldLeft(col("repr")) {
+          case (c, (pair, _)) => applyMerge(c, pair)
+        }
+        v = v.select(col("word"), mergedRepr.as("repr"), col("freq"))
+          .localCheckpoint()
       }
     }
     (merges.toSeq, v)
+  }
+
+  /** The batch-selection rule, chosen so the batch is BIT-IDENTICAL to
+    * sequential recount-per-merge training. From the descending
+    * (freq, pair-asc) list, take the maximal prefix of pairwise
+    * symbol-DISJOINT pairs, then keep only those strictly above `stopF`,
+    * the count of the first pair sharing a symbol with the prefix (or the
+    * list tail when none was seen — anything uncollected counts ≤ it).
+    *
+    * Why that is sequentially exact: applying a merge (a b) only changes
+    * counts of pairs touching a or b — they can only DECREASE — and any
+    * NEW pair contains the merged symbol, with count bounded by a
+    * pre-count of some touching pair (e.g. count(x, ab) ≤ count(x, a)).
+    * All of those pre-counts are ≤ stopF, so at every sub-step each kept
+    * pair still strictly outranks every changed or derived pair, and kept
+    * pairs keep their own counts and relative (freq, pair) order — the
+    * sequential argmax walks exactly this list. Falls back to the plain
+    * single best merge when the rule keeps nothing (always sequentially
+    * correct).
+    */
+  private[operators] def selectBatch(top: Seq[(String, Long)], want: Int,
+      listComplete: Boolean): Seq[(String, Long)] = {
+    val used = scala.collection.mutable.Set[String]()
+    val prefix = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var i = 0
+    var stopped = false
+    while (i < top.length && !stopped && prefix.length < want) {
+      val (pair, f) = top(i)
+      val syms = pair.split(' ')
+      if (syms.exists(used)) stopped = true
+      else { prefix += ((pair, f)); syms.foreach(used += _); i += 1 }
+    }
+    val stopF: Long =
+      if (i < top.length) top(i)._2 // first sharing pair, or first past the cap
+      else if (listComplete) -1L    // the list was everything: nothing uncollected
+      else top.last._2              // uncollected pairs all count <= the tail
+    val kept = prefix.takeWhile(_._2 > stopF)
+    if (kept.nonEmpty) kept.toSeq else Seq(top.head)
   }
 
   // --- generated DuckDB oracle --------------------------------------------

@@ -106,11 +106,14 @@ object Pca {
     val cells = moments(emb, vecCol, dim)
       .select(col("n"), posexplode(col("sums")).as(Seq("pos", "s")))
     val sums = cells.where(col("pos") < nProd)
-      .select(col("pos"), col("s").cast("decimal(28,12)").as("sxy"), col("n"))
+      // (38,12): the fold's exact sum can exceed DECIMAL(28,12)'s 16 integer
+      // digits on a large corpus; 38 matches DuckDB's widened SUM type, so
+      // both engines null out (or not) at the same magnitude
+      .select(col("pos"), col("s").cast("decimal(38,12)").as("sxy"), col("n"))
       .join(broadcast(posToIj), "pos")
     val means = cells.where(col("pos") >= nProd)
       .select((col("pos") - nProd + 1).as("d"),
-        (col("s").cast("decimal(28,12)").cast("double") / col("n")).as("m"))
+        (col("s").cast("decimal(38,12)").cast("double") / col("n")).as("m"))
     sums
       .join(broadcast(means.select(col("d").as("i"), col("m").as("mi"))), "i")
       .join(broadcast(means.select(col("d").as("j"), col("m").as("mj"))), "j")

@@ -282,4 +282,96 @@ object Sketch {
          $cols
        FROM c GROUP BY g ORDER BY g"""
   }
+
+  // --- HyperLogLog (integer-exact registers) -------------------------------
+
+  /** m=32 buckets (b=5); payload width 55 bits; rank ∈ [1, 56]. */
+  private val HllM = 32
+  private val HllRankMax = 56 // = payload width 55 + 1 (the w == 0 case)
+  private val HllAlphaM2TwoPow: Double =
+    0.697 * HllM * HllM * math.pow(2, HllRankMax) // α₃₂·m²·2^56, ONE Scala literal
+
+  /** Per-group HyperLogLog distinct-token estimate (Flajolet et al. 2007)
+    * beside the exact count — the calibration row a release audit reads.
+    *
+    * The file-header Scaladoc says HLL "never could" oracle bit-for-bit;
+    * this one does, by making every register fold EXACT-INTEGER:
+    *
+    *   - hash = first 15 md5 hex chars (60 bits); bucket = `h & 31`,
+    *     payload `w = h >> 5` (55 bits) — bitwise, no float division;
+    *   - rank = 56 − bitlength(w), with bitlength = length(ltrim(bin(w),
+    *     '0')) — string ops, identical in Spark and DuckDB (w = 0 folds to
+    *     rank 56, the correct W+1 sentinel);
+    *   - the harmonic denominator Σ 2^(−M_j) is carried as the exact
+    *     BIGINT S = Σ 2^(56−M_j) (≤ 32·2^56 = 2^61 — no overflow), so sum
+    *     ORDER cannot perturb it; empty buckets contribute 2^56 exactly;
+    *   - the only float ops are one division of two exact numbers and the
+    *     small-range `m·ln(m/zeros)` branch — identical literals both
+    *     sides, rounded at the edge.
+    *
+    * Scale: the distinct (group, token) relation is vocabulary-sized; the
+    * register table is 32 rows per group; sketches merge by MAX per bucket
+    * (the property that lets 1000 executors fold 100 TB into 32 longs).
+    */
+  def hllDistinctTokens(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.parallelize(df)
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val regs = toks
+      .select(col("grp"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("grp"), col("h").bitwiseAND(lit((HllM - 1).toLong)).as("bucket"),
+        shiftright(col("h"), 5).as("w"))
+      .withColumn("rank", lit(HllRankMax) - length(ltrim(bin(col("w")), "0")))
+      .groupBy("grp", "bucket").agg(max("rank").as("reg"))
+    val agg = regs.groupBy("grp").agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRankMax - reg AS INT))")).as("s_present"),
+      count(lit(1)).as("n_present"))
+    val exact = toks.groupBy("grp").agg(count(lit(1)).as("exact_distinct"))
+    val raw = lit(HllAlphaM2TwoPow) / col("s_total").cast("double")
+    agg.join(exact, "grp")
+      .withColumn("zeros", lit(HllM.toLong) - col("n_present"))
+      .withColumn("s_total",
+        col("s_present") + col("zeros") * lit(1L << HllRankMax))
+      .withColumn("e",
+        when(raw <= lit(2.5 * HllM) && col("zeros") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
+          .otherwise(raw))
+      .select(col("grp").as(groupCol),
+        round(col("e"), 3).as("est_hll"),
+        col("exact_distinct"),
+        round((col("e") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 4).as("rel_err"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[hllDistinctTokens]] — same bit ops, same exact
+    * integer register fold, same interpolated float literals.
+    */
+  def hllDistinctTokensSql(table: String, groupCol: String, textCol: String): String =
+    s"""WITH t AS (SELECT DISTINCT grp, term FROM (
+             SELECT $groupCol AS grp,
+                    unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term
+             FROM $table)),
+       h AS (SELECT grp, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM t),
+       b AS (SELECT grp, h & ${HllM - 1} AS bucket, h >> 5 AS w FROM h),
+       r AS (SELECT grp, bucket, $HllRankMax - length(ltrim(bin(w), '0')) AS rank FROM b),
+       regs AS (SELECT grp, bucket, MAX(rank) AS reg FROM r GROUP BY grp, bucket),
+       agg AS (SELECT grp,
+             CAST(SUM(1::BIGINT << ($HllRankMax - reg)) AS BIGINT) AS s_present,
+             COUNT(*) AS n_present FROM regs GROUP BY grp),
+       ex AS (SELECT grp, COUNT(*) AS exact_distinct FROM t GROUP BY grp),
+       fin AS (SELECT agg.grp, exact_distinct, ($HllM - n_present) AS zeros,
+             s_present + ($HllM - n_present) * (1::BIGINT << $HllRankMax) AS s_total
+           FROM agg JOIN ex ON agg.grp = ex.grp),
+       est AS (SELECT grp, exact_distinct,
+             CASE WHEN $HllAlphaM2TwoPow / CAST(s_total AS DOUBLE) <= ${2.5 * HllM}
+                       AND zeros > 0
+                  THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))
+                  ELSE $HllAlphaM2TwoPow / CAST(s_total AS DOUBLE) END AS e
+           FROM fin)
+       SELECT grp AS $groupCol, round(e, 3) AS est_hll, exact_distinct,
+         round((e - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+       FROM est ORDER BY $groupCol"""
 }

@@ -1247,4 +1247,49 @@ object TextAnalysis {
          $covs
        FROM r GROUP BY s ORDER BY $sourceCol"""
   }
+
+  // --- encoding-quality / mojibake audit ------------------------------------
+
+  /** The classic UTF-8-decoded-as-Latin-1 signatures: a stray 'Ã' or the
+    * 'â€¦'-family digraph opener followed by anything. */
+  val MojibakeRe = "Ã.|â€."
+
+  /** C0 control characters (minus \t\n\r, legitimate in text) + DEL. */
+  val CtrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Per-doc encoding-quality audit — the byte-level corruption gate a crawl
+    * pipeline runs before any token-level scoring (script_profile sees
+    * script MIX; this sees decode DAMAGE the script histogram can't):
+    *
+    *   - `n_repl`   U+FFFD replacement characters (a decoder already gave up)
+    *   - `n_moji`   mojibake signatures (UTF-8 bytes re-decoded as Latin-1:
+    *                'Ã·'/'â€¦' digraphs — the most common crawl corruption)
+    *   - `n_ctrl`   C0 control chars (minus tab/newline/CR) + DEL
+    *   - `suspect`  any of the above — the drop/re-decode routing flag
+    *
+    * Everything is a codegen'd length/regexp expression inside the scan —
+    * one pass, no shuffle; per-doc rows keep it a filter input, not a
+    * report. Counts are exact so the oracle is bit-for-bit.
+    */
+  def mojibakeScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nRepl = (length(t) - length(replace(t, lit("�"), lit("")))).cast("long")
+    val nMoji = size(regexp_extract_all(t, lit(MojibakeRe), lit(0))).cast("long")
+    val nCtrl = (length(t) - length(regexp_replace(t, CtrlRe, ""))).cast("long")
+    df.select(col(idCol), nRepl.as("n_repl"), nMoji.as("n_moji"), nCtrl.as("n_ctrl"))
+      .withColumn("suspect",
+        col("n_repl") > 0 || col("n_moji") > 0 || col("n_ctrl") > 0)
+      .orderBy(idCol)
+  }
+
+  /** DuckDB mirror of [[mojibakeScan]] over the same text expression. */
+  def mojibakeScanSql(tbl: String, idCol: String, textExpr: String): String =
+    s"""SELECT $idCol,
+         CAST(length($textExpr) - length(replace($textExpr, chr(65533), '')) AS BIGINT) AS n_repl,
+         CAST(len(regexp_extract_all($textExpr, '${MojibakeRe}')) AS BIGINT) AS n_moji,
+         CAST(length($textExpr) - length(regexp_replace($textExpr, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS BIGINT) AS n_ctrl,
+         (length($textExpr) - length(replace($textExpr, chr(65533), '')) > 0
+          OR len(regexp_extract_all($textExpr, '${MojibakeRe}')) > 0
+          OR length($textExpr) - length(regexp_replace($textExpr, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) > 0) AS suspect
+       FROM $tbl ORDER BY $idCol"""
 }

@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import java.util.concurrent.atomic.AtomicBoolean
 
 import graft.bfl.JsonTree
-import graft.engine.Engine
+import graft.engine.{Engine, Storage}
 import graft.streaming.Streaming
 
 /** The reference's line-based TCP protocol over the Spark engine, so a
@@ -19,14 +19,18 @@ import graft.streaming.Streaming
   * {current,total,numberOfWritten,leftOff,truncatedTimestamp,noMoreData};
   * `/query` streams history then keeps following new inserts (live tail).
   */
-final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1,
-    maxLineChars: Int = ProtocolServer.MaxLineChars) {
+final class ProtocolServer(engine: Storage, port: Int, ingestShards: Int = 1,
+    maxLineChars: Int = ProtocolServer.MaxLineChars,
+    bindAddr: String = "") {
 
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
 
   def start(): Int = {
-    server = new ServerSocket(port)
+    // "" = all interfaces, like the reference's -addr default (server.go:33)
+    server =
+      if (bindAddr.isEmpty) new ServerSocket(port)
+      else new ServerSocket(port, 50, java.net.InetAddress.getByName(bindAddr))
     running.set(true)
     val t = new Thread(() => acceptLoop(), "graft-protocol-accept")
     t.setDaemon(true)
@@ -134,9 +138,9 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1,
               // parallel pipeline; default stays the strict-parity
               // driver-side single writer
               if (ingestShards > 1) {
-                import engine.spark.implicits._
                 engine.insertDistributed(
-                  engine.spark.createDataset(batch.toSeq), ingestShards)
+                  engine.spark.createDataset(batch.toSeq)(
+                    org.apache.spark.sql.Encoders.STRING), ingestShards)
               } else engine.insert(batch.toSeq)
             case "INSERTION_FILTER" =>
               engine.setInsertionFilter(line) match {
@@ -189,7 +193,14 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1,
               }
             case "FETCH" =>
               args += line
-              if (args.length == 4) handleFetch(out, args(0), args(1), args(2), args(3))
+              if (args.length == 4) {
+                if (ProtocolServer.debugTrace)
+                  System.err.println(s"[psrv ${System.currentTimeMillis()}] handleFetch enter " +
+                    s"peer=${sock.getPort} args=$args")
+                handleFetch(out, args(0), args(1), args(2), args(3))
+                if (ProtocolServer.debugTrace)
+                  System.err.println(s"[psrv ${System.currentTimeMillis()}] handleFetch exit peer=${sock.getPort}")
+              }
             case "QUERY" =>
               args += line
               if (args.length == 2)
@@ -287,9 +298,15 @@ final class ProtocolServer(engine: Engine, port: Int, ingestShards: Int = 1,
       } catch {
         // ONLY retention races retry — a dead socket must propagate to the
         // connection handler, not trigger rescans against a closed client
-        case e if Engine.isEvictionRace(e) => attempts += 1
+        case e if Engine.isEvictionRace(e) =>
+          attempts += 1
+          if (ProtocolServer.debugTrace)
+            System.err.println(s"[psrv ${System.currentTimeMillis()}] fetch race #$attempts: ${e.getMessage.take(120)}")
       }
     }
+    if (ProtocolServer.debugTrace)
+      System.err.println(s"[psrv ${System.currentTimeMillis()}] fetch loop done " +
+        s"attempts=$attempts scanned=$scanned written=$written stop=$stop exhausted=$exhausted")
     // the reference's limit check sits at the TOP of the next iteration and
     // `return`s WITHOUT SendClose (native.go:729-731) — so a page that ends
     // by reaching the limit with offsets still unscanned sends no %quit%;
@@ -443,4 +460,7 @@ private[server] object GoAtoi {
 object ProtocolServer {
   /** Reference scanner-buffer cap (server/server.go:115): 209,715,200 B. */
   val MaxLineChars: Int = 209715200
+
+  /** stderr tracing of verb handling (diagnostics; off by default). */
+  val debugTrace: Boolean = sys.env.contains("SPARK_GRAFT_PROTO_TRACE")
 }

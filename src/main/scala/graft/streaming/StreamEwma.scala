@@ -12,11 +12,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * day's count is judged against the level the PRIOR days predicted with
   * the same 3·√(level+1) Poisson-ish gate.
   *
-  * Bit-parity with the batch fold under the per-key stream-order
-  * assumption (the [[StreamRateAnomaly]] discipline): the level after
-  * processing days 0..t equals the batch `aggregate` fold over the
-  * day-count array prefix — same seed convention (first observed day's
-  * count), same α/1−α doubles, same IEEE op order (gap days apply the
+  * Bit-parity with the batch fold under TWO preconditions: per-key
+  * stream order (the [[StreamRateAnomaly]] discipline), and EVERY KEY
+  * ACTIVE ON THE CORPUS'S FIRST CALENDAR DAY. The seeds differ otherwise:
+  * this stream seeds at each key's own first observed day, while the
+  * batch fold's complete calendar grid starts every key at the
+  * corpus-wide first day and folds the leading days as zero counts — a
+  * key idle on day 0 diverges by those leading (1−α) factors. (Callers
+  * needing batch parity for late-starting keys should fold leading zero
+  * days from a stream epoch before feeding events.) Given the
+  * preconditions — which the parity spec asserts — the level after days
+  * 0..t equals the batch `aggregate` fold over the day-count prefix:
+  * same seed, same α/1−α doubles, same IEEE op order (gap days apply the
   * SAME fold step with c = 0, in day order). The still-open last day is
   * unjudged until a flush sentinel closes it.
   *

@@ -174,6 +174,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"non-altering query should not serialize docs:\n$planJson")
   }
 
+  test("recursive descent compiles to the descent expression, not the full interpreter") {
+    // `outer..k == 87` must run the path-only bfl_descent expression inside
+    // a native exists(...) predicate — the query-level interpreter
+    // (bfl_eval/bfl_match) must be absent from the plan entirely
+    val plan = planOf(SparkEntry.queries("bfl_descent")(spark, sf))
+    assert(plan.contains("bfl_descent"), s"descent tier not engaged:\n$plan")
+    assert(!plan.contains("bfl_eval") && !plan.contains("bfl_match"),
+      s"descent query fell back to the row interpreter:\n$plan")
+  }
+
   test("brute-force cosine top-k plans as broadcast + TakeOrdered, no shuffle sort") {
     val plan = planOf(operators.Similarity.cosineTopK(
       Tables.embeddings(spark, sf), "vec_id", "embedding", 0L, 10))

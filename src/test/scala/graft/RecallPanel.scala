@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN retrieval-quality panel (diagnostic main, not a spec): recall@10 of
+  * every approximate top-k operator vs the brute-force cosine ground truth,
+  * at 1× (sf0.1, 2k vectors) and a 10× replica corpus (20k) — hash parity
+  * in CORRECTNESS proves the operators are deterministic, not that they
+  * still RETRIEVE at density; this measures that, panel-averaged.
+  *
+  * The replica corpus is deterministic and density-HONEST: replica r keeps
+  * ids offset (vec_id + r·2000) and circularly shifts each vector's
+  * elements by 7·r positions — an orthogonal transform, so every replica
+  * internally has exactly the original similarity structure while
+  * cross-replica directions are scrambled (verbatim copies would hand every
+  * index 10 exact duplicates per query and measure nothing).
+  *
+  *   SPARK_GRAFT_RECALL_REPS=10 sbt "Test/runMain graft.RecallPanel"
+  */
+object RecallPanel {
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_RECALL_REPS", "10").toInt
+    val k = 10
+    val spark = Sessions.builder("local[32]", 32).appName("recall-panel").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb1 = spark.read.parquet(s"$base/embeddings.parquet")
+    val span = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dim = emb1.select(size(col("embedding"))).head().getInt(0)
+    val repDf = spark.range(reps).select(col("id").as("rep"))
+    val embN = emb1.crossJoin(broadcast(repDf))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("embedding"), ((i + col("rep") * 7) % dim).cast("int") + 1)))
+      .withColumn("vec_id", col("vec_id") + col("rep") * span)
+      .drop("rep")
+      .repartition(32)
+      .localCheckpoint() // freeze: every variant sees the same corpus bits
+
+    // rep-0 originals as the query panel: 20 spread ids
+    val qids = (0 until 20).map(i => (i * 97L) % span)
+
+    def topIds(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    def recallOf(retrieve: Long => DataFrame, truth: Map[Long, Set[Long]]): Double =
+      qids.map(q => (topIds(retrieve(q)) & truth(q)).size.toDouble / k).sum / qids.size
+
+    def panel(tag: String, emb: DataFrame): Unit = {
+      val truth = qids.map(q =>
+        q -> topIds(operators.Similarity.cosineTopK(emb, "vec_id", "embedding", q, k))).toMap
+
+      // board-default artifacts, trained ONCE (the serving posture)
+      val (cents8, idx8) = operators.Similarity.ivfTrained(emb, "vec_id", "embedding",
+        nCentroids = 8, kmeansIters = 1)
+      val (cents32, idx32) = operators.Similarity.ivfTrained(emb, "vec_id", "embedding",
+        nCentroids = 32, kmeansIters = 1)
+      val (books, codes) = operators.Similarity.pqTrained(emb, "vec_id", "embedding",
+        numSub = 8, k = 16, iters = 1)
+
+      val rows = Seq(
+        "ivf_topk (C=8, probe=2 — board)" -> recallOf(q =>
+          operators.Similarity.ivfTopKIndexed(cents8, idx8, "vec_id", "embedding", q, k, nProbe = 2), truth),
+        "ivf_topk (C=8, probe=4)" -> recallOf(q =>
+          operators.Similarity.ivfTopKIndexed(cents8, idx8, "vec_id", "embedding", q, k, nProbe = 4), truth),
+        "ivf_topk (C=32, probe=4)" -> recallOf(q =>
+          operators.Similarity.ivfTopKIndexed(cents32, idx32, "vec_id", "embedding", q, k, nProbe = 4), truth),
+        "ivf_topk (C=32, probe=8)" -> recallOf(q =>
+          operators.Similarity.ivfTopKIndexed(cents32, idx32, "vec_id", "embedding", q, k, nProbe = 8), truth),
+        "pq_topk (8x16, board)" -> recallOf(q =>
+          operators.Similarity.pqTopKIndexed(books, codes, emb, "vec_id", "embedding", q, k), truth),
+        "hamming_rerank (cand=50 — board)" -> recallOf(q =>
+          operators.Similarity.hammingRerank(emb, "vec_id", "embedding", q, k, candidates = 50), truth),
+        "hamming_rerank (cand=200)" -> recallOf(q =>
+          operators.Similarity.hammingRerank(emb, "vec_id", "embedding", q, k, candidates = 200), truth),
+        "ann_multiprobe (bits=8 — board)" -> recallOf(q =>
+          operators.Similarity.annMultiProbe(emb, "vec_id", "embedding", q, k), truth)
+      )
+      println(s"\n### recall@$k vs brute cosine — $tag (${emb.count()} vectors, panel=${qids.size})")
+      println("| variant | recall@10 |")
+      println("|---|---|")
+      rows.foreach { case (n, r) => println(f"| $n | $r%.3f |") }
+    }
+
+    panel("1x", emb1.localCheckpoint())
+    panel(s"${reps}x", embN)
+    spark.stop()
+  }
+}

@@ -42,6 +42,19 @@ class DocTierFuzzSpec extends AnyFunSuite {
     nested.put("k", rnd.nextInt(50).toLong)
     if (rnd.nextBoolean()) nested.put("name", Seq("x", "yy", "zzz")(rnd.nextInt(3)))
     m.put("sub", nested)
+    // descent playground: `sub2..k` hits 2 nodes (multi-match wrap),
+    // `sub2..ka` hits 1 array node (single-array semantics), `sub2..name`
+    // hits 0 or 1 (collapse vs scalar)
+    val nested2 = new JsonTree.Obj
+    nested2.put("k", rnd.nextInt(50).toLong)
+    val inner2 = new JsonTree.Obj
+    inner2.put("k", rnd.nextInt(50).toLong)
+    if (rnd.nextBoolean()) inner2.put("name", Seq("x", "yy")(rnd.nextInt(2)))
+    nested2.put("inner", inner2)
+    val ka = new JsonTree.Arr
+    (0 until rnd.nextInt(3)).foreach(_ => ka += rnd.nextInt(20).toLong)
+    nested2.put("ka", ka)
+    m.put("sub2", nested2)
     JsonTree.serialize(m)
   }
 
@@ -112,7 +125,29 @@ class DocTierFuzzSpec extends AnyFunSuite {
     """xs <= 0""",
     """xs == xs""", // array deep-equal
     """xs and true""", // array truthiness (non-empty)
-    """xs.startsWith("x")""" // helper on array receiver -> "" semantics
+    """xs.startsWith("x")""", // helper on array receiver -> "" semantics
+    // recursive descent on the compiled tier (TDescent): single-scalar,
+    // multi-match existential, single-array flatten, zero-match collapse
+    // (bare and inside and/or), regex dispatch quirks, helper receiver
+    """sub..k >= 25""",
+    """sub2..k == 25""",
+    """sub2..k > 25""",
+    """sub2..k != 7""",
+    """sub2..k <= sub2..k""", // descent vs descent -> interp fallback
+    """sub2..ka > 15""",
+    """sub2..ka == 7""",
+    """sub2..name == "yy"""",
+    """sub2..name == "yy" or n > 50""",
+    """(sub2..name == "yy") or n > 50""",
+    """sub2..missing == 1 or n > 50""",
+    """n > 50 or sub2..missing == 1""",
+    """n > 0 and sub2..missing == 1""",
+    """sub2..k == r"^1"""", // regex RIGHT of array-valued descent: Go's (Arr, y) arm
+    """sub..name == r"y"""",
+    """sub2..k and n > 0""",
+    """sub..k and n > 0""",
+    """sub2..k.startsWith("1")""",
+    """sub2..inner.k == 25""" // descent then select continues the walk
   )
 
   test("compiled doc tier agrees with the interpreter on 200 random docs") {

@@ -22,7 +22,8 @@ class CompactionSpec extends AnyFunSuite {
     new Engine(spark, dir,
       compactMinRun = minRun, compactKeepRecent = keepRecent,
       compactTargetBytes = 128L << 20, compactMinAgeMs = 0L,
-      compactInBackground = false) // deterministic: the spec ticks manually
+      compactInBackground = false, // deterministic: the spec ticks manually
+      gcGraceMs = 0L) // this spec counts directories — GC synchronously
   }
 
   private def batchDirs(dir: String): Seq[Path] =
@@ -60,7 +61,7 @@ class CompactionSpec extends AnyFunSuite {
     } finally e.close()
   }
 
-  test("compaction is id-sorted and name-ordered: consolidated dir keeps the run head's name") {
+  test("compaction is id-sorted and name-ordered: consolidated dir keeps the run head's slot") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val e = compactingEngine(dir)
     try {
@@ -68,7 +69,9 @@ class CompactionSpec extends AnyFunSuite {
       val firstName = batchDirs(dir).head.getFileName.toString
       e.compactionTick()
       val dirs = batchDirs(dir)
-      assert(dirs.head.getFileName.toString == firstName)
+      // FRESH generation name (never a reused member name — in-flight scans
+      // must keep their planned paths), sorted into the head's position
+      assert(dirs.head.getFileName.toString == s"${firstName}_c1")
       // consolidated file is globally id-sorted (row-group pruning intact)
       val ids = spark.read.parquet(dirs.head.toString).select("id")
         .collect().map(_.getLong(0))
@@ -114,6 +117,53 @@ class CompactionSpec extends AnyFunSuite {
       assert(ids.lastOption.contains(9L))
       assert(e.totalRecords == ids.length)
     } finally e.close()
+  }
+
+  test("deferred GC: a scan planned BEFORE the swap still reads cleanly after it") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    // nonzero grace: members must stay on disk after leaving the manifest
+    val e = new Engine(spark, dir,
+      compactMinRun = 4, compactKeepRecent = 2,
+      compactTargetBytes = 128L << 20, compactMinAgeMs = 0L,
+      compactInBackground = false, gcGraceMs = 60000L)
+    try {
+      (0 until 12).foreach(i => e.insert(Seq(s"""{"n":$i}""")))
+      val preSwap = e.records() // plan now, against the pre-swap manifest
+      val preCount = batchDirs(dir).length
+      e.compactionTick()
+      // manifest swapped (fresh listing shrinks) but members still on disk
+      assert(e.records().inputFiles.length < preSwap.inputFiles.length)
+      assert(batchDirs(dir).length == preCount + 1, "members linger through grace")
+      // THE guarantee: the stale plan materializes without a FAILED_READ
+      val ids = preSwap.orderBy("id").collect().map(_.getLong(0))
+      assert(ids.toSeq == (0L until 12L).toSeq)
+      e.gcTick(force = true)
+      assert(batchDirs(dir).length == preCount + 1 - 10,
+        "grace expiry collects the replaced members")
+    } finally e.close()
+  }
+
+  test("reconcile: an unacked (crashed mid-insert) orphan dir is dropped at open") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val e = compactingEngine(dir)
+    (0 until 4).foreach(i => e.insert(Seq(s"""{"n":$i}""")))
+    e.close()
+    // simulate a crash AFTER the batch dir write but BEFORE the manifest
+    // commit: copy an existing dir under the next batchSeq name
+    val src = batchDirs(dir).head
+    val orphan = Paths.get(dir, "records", "batch_000000004")
+    Files.createDirectories(orphan)
+    Files.list(src).iterator().asScala.foreach(f =>
+      Files.copy(f, orphan.resolve(f.getFileName.toString)))
+    val e2 = compactingEngine(dir)
+    try {
+      assert(!Files.exists(orphan), "unacked orphan deleted at open")
+      assert(e2.records().count() == 4)
+      // the next insert reuses batchSeq 4 with no id collision
+      e2.insert(Seq("""{"n":99}"""))
+      val ids = e2.records().select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L to 4L).toSeq)
+    } finally e2.close()
   }
 
   test("crash recovery: orphan tmp dirs are dropped, a journaled swap completes") {

@@ -1507,6 +1507,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE batched rounds == sequential rounds merge-for-merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 40).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (0 until len).map(_ => "abc2"(rnd.nextInt(4))).mkString
+    }.distinct.map(w => w -> (1L + rnd.nextInt(5)))
+    val d = words.zipWithIndex.map { case ((w, _), i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val dd = words.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (seq1, _) = Bpe.train(dd, "text", steps = 10, maxBatch = 1)
+    val (bat8, _) = Bpe.train(dd, "text", steps = 10, maxBatch = 8)
+    assert(bat8 == seq1, s"batched diverged:\n got $bat8\nwant $seq1")
+    assert(d.count() > 0) // keep both frames materialized paths exercised
+  }
+
+  test("BPE selectBatch: disjoint prefix, strict stop at shared-symbol count") {
+    // shared symbol stops the batch; equal-count shared pair trims to strict
+    val top = Seq(("a b", 10L), ("c d", 9L), ("a x", 9L), ("e f", 8L))
+    assert(Bpe.selectBatch(top, want = 4, listComplete = true) == Seq(("a b", 10L)))
+    // no sharing anywhere and a complete list: the whole prefix is safe
+    val disjoint = Seq(("a b", 10L), ("c d", 9L), ("e f", 8L))
+    assert(Bpe.selectBatch(disjoint, want = 4, listComplete = true) == disjoint)
+    // incomplete list: uncollected pairs may tie the tail — trim to strict
+    assert(Bpe.selectBatch(disjoint, want = 4, listComplete = false) ==
+      Seq(("a b", 10L), ("c d", 9L)))
+    // want caps the batch even when more would be safe
+    assert(Bpe.selectBatch(disjoint, want = 1, listComplete = true) == Seq(("a b", 10L)))
+  }
+
   test("Z-order layout skips a 2-D box query measurably better than linear sort") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
       .select(col("event_id"), col("user_id"),
