@@ -482,6 +482,24 @@ object SparkEntry {
     "k_anonymity" -> ((s, dir) =>
       operators.Privacy.kAnonymity(Tables.documents(s, dir),
         Seq("source", "lang"))),
+    // l-diversity: the k-anonymity follow-up — distinct sensitive values
+    // (user_id) per (event_type, hour) class, integer-exact summary
+    "l_diversity" -> ((s, dir) =>
+      operators.Privacy.lDiversity(
+        ev(s, dir).withColumn("hr", hour(col("ts"))),
+        Seq("event_type", "hr"), "user_id")),
+    // t-closeness: per-class ordered EMD of the value distribution vs the
+    // corpus, cross-multiplied integer arithmetic until one division
+    "t_closeness" -> ((s, dir) =>
+      operators.Privacy.tCloseness(ev(s, dir), Seq("event_type"), "value")),
+    // χ²-independence + Cramér's V between source and lang — the
+    // confounding audit a stratified sampling plan runs first
+    "chi2_assoc" -> ((s, dir) =>
+      operators.Audit.chi2Independence(Tables.documents(s, dir), "source", "lang")),
+    // exact two-sample KS between md5-halves of n_chars — supremum-gap
+    // companion to psi_drift/wasserstein_drift, integer cross-multiplied
+    "ks_drift" -> ((s, dir) =>
+      operators.Drift.ksDrift(Tables.documents(s, dir), "doc_id", "n_chars")),
     // Laplace-noised count release (seeded inverse-CDF noise — the ε-DP
     // counting mechanism, reproducible for cross-engine testing)
     "dp_counts" -> ((s, dir) =>
@@ -1561,7 +1579,12 @@ object SparkEntry {
       // reused, so this benches the serving path — not training (which made
       // the headline number regress every time training changed)
       val (cents, index) = ivfArtifacts(s, dir)
-      Similarity.ivfTopKIndexed(cents, index, "vec_id", "embedding", 0L, 10)
+      // nProbe=4 of 8 (was 2): the round-7 recall panel measured 0.595 ->
+      // 0.800 recall@10 at the 10x density for one extra probed cluster --
+      // on near-orthogonal fixtures recall tracks scan share, and half the
+      // clusters is the knee of that curve
+      Similarity.ivfTopKIndexed(cents, index, "vec_id", "embedding", 0L, 10,
+        nProbe = 4)
     }),
     "pq_build" -> ((s, dir) =>
       // product-quantization BUILD: per-subspace k-means codebooks (8
@@ -2191,8 +2214,9 @@ object SparkEntry {
       // first-8 seed centroids refined by an iteration-unrolled Lloyd step
       // (GENERATED CTE chain — DECIMAL-exact means make the converged
       // centroids bit-identical in both engines), then nearest-centroid
-      // assignment with ties to smallest cid, probe the query's top-2
-      // centroids, exact rank within probed clusters
+      // assignment with ties to smallest cid, probe the query's top-4
+      // centroids (recall-panel-tuned, round 7), exact rank within probed
+      // clusters
       val (kmCtes, cent) = Similarity.kmeansCentSqlCtes(
         "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 1, dim = 64, cosSql)
       s"""WITH $kmCtes,
@@ -2204,7 +2228,7 @@ object SparkEntry {
          probe AS (SELECT cid FROM (
              SELECT c.cid,
                row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
-             FROM $cent c CROSS JOIN q) WHERE rn <= 2)
+             FROM $cent c CROSS JOIN q) WHERE rn <= 4)
          SELECT * FROM (
            SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q
@@ -3050,6 +3074,16 @@ object SparkEntry {
         "label", dim = 64),
     "k_anonymity" ->
       operators.Privacy.kAnonymitySql("documents", Seq("source", "lang")),
+    "l_diversity" ->
+      operators.Privacy.lDiversitySql(
+        "(SELECT event_type, hour(ts) AS hr, user_id FROM events)",
+        Seq("event_type", "hr"), "user_id"),
+    "t_closeness" ->
+      operators.Privacy.tClosenessSql("events", Seq("event_type"), "value"),
+    "chi2_assoc" ->
+      operators.Audit.chi2IndependenceSql("documents", "source", "lang"),
+    "ks_drift" ->
+      operators.Drift.ksDriftSql("documents", "doc_id", "n_chars"),
     "dp_counts" ->
       operators.Privacy.laplaceCountsSql("events", "event_type", epsilon = 0.5),
     "tokenizer_fertility" ->

@@ -523,4 +523,58 @@ object Audit {
              * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE))))
              / (CAST(total AS DOUBLE) * (ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE)))), 6) AS chi2_term
        FROM t ORDER BY digit"""
+
+  /** Pearson χ² test of independence between two categorical columns plus
+    * Cramér's V effect size — the "is source confounded with language?"
+    * audit a stratified-sampling plan runs first. Expected counts come
+    * from the FULL r×c grid (absent cells still contribute e to χ²), built
+    * by crossing the two bounded marginal relations; each χ² term is
+    * rounded-then-DECIMAL so the sum is order-free and engine-exact; the
+    * fact table shuffles once into the contingency counts.
+    */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("a").agg(sum("o").as("na"))
+    val cb = obs.groupBy("b").agg(sum("o").as("nb"))
+    val n = obs.agg(sum("o")).head().getLong(0)
+    val grid = ra.crossJoin(broadcast(cb))
+      .join(obs, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
+    val e = (col("na") * col("nb")).cast("double") / lit(n.toDouble)
+    val term = round((col("o").cast("double") - e) * (col("o").cast("double") - e) / e, 9)
+      .cast("decimal(28,9)")
+    val rc = grid.agg(
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"),
+      sum(term).as("chi2d")).head()
+    val (r, c, chi2) = (rc.getLong(0), rc.getLong(1),
+      rc.getDecimal(2).doubleValue())
+    val dof = (r - 1) * (c - 1)
+    val minDim = math.min(r - 1, c - 1)
+    grid.sparkSession.range(1).select(
+      lit(n).as("n"), lit(r).as("r"), lit(c).as("c"), lit(dof).as("dof"),
+      round(lit(chi2), 6).as("chi2"),
+      round(sqrt(lit(chi2) / lit((n * minDim).toDouble)), 6).as("cramers_v"))
+  }
+
+  /** DuckDB mirror of [[chi2Independence]]. */
+  def chi2IndependenceSql(tbl: String, aCol: String, bCol: String): String =
+    s"""WITH obs AS (SELECT $aCol AS a, $bCol AS b, COUNT(*) AS o FROM $tbl GROUP BY 1, 2),
+       ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS na FROM obs GROUP BY a),
+       cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS nb FROM obs GROUP BY b),
+       tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+       grid AS (SELECT ra.a, cb.b, na, nb, COALESCE(obs.o, 0) AS o
+         FROM ra CROSS JOIN cb LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+       t AS (SELECT
+           CAST(round((CAST(o AS DOUBLE) - CAST(na * nb AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(na * nb AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+             / (CAST(na * nb AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term,
+           a, b
+         FROM grid),
+       agg AS (SELECT COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+           CAST(SUM(term) AS DOUBLE) AS chi2 FROM t)
+       SELECT (SELECT n FROM tot) AS n, r, c, (r - 1) * (c - 1) AS dof,
+         round(chi2, 6) AS chi2,
+         round(sqrt(chi2 / CAST((SELECT n FROM tot) * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
+       FROM agg"""
 }

@@ -243,4 +243,72 @@ object Drift {
          round(${nrm("cv_b")} / ${nrm("cv_a")}, 6) AS norm_ratio
        FROM a JOIN b USING (label) ORDER BY label"""
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift between the md5-halves of a
+    * numeric column — the EXACT supremum-of-ECDF-gap companion to
+    * [[psiDrift]] (bucketized) and [[wassersteinDrift]] (in-value-units):
+    * D = max_v |F_a(v) − F_b(v)| evaluated at every distinct value.
+    *
+    * Engine-exact: cumulative counts are integers, the per-value gap is
+    * carried CROSS-MULTIPLIED (|ca·nb − cb·na| as BIGINT — one shared
+    * denominator na·nb), the max is an integer max, and the only float
+    * ops are two final divisions. The α=0.05 rejection bound
+    * c(α)·√((na+nb)/(na·nb)) with c = 1.358 uses the same exact integers.
+    * Shape: distinct-value relation (bounded for any real measurement
+    * column) + one ordered window over it; the fact table aggregates once.
+    */
+  def ksDrift(df: DataFrame, idCol: String, valCol: String,
+      salt: String = "ks"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val half = (conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("half")
+    val counts = df.select(half, col(valCol).cast("double").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .withColumn("ta", sum(col("na")).over(tot))
+      .withColumn("tb", sum(col("nb")).over(tot))
+      .withColumn("num", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        max(col("num")).as("maxnum"))
+      .select(col("n_a"), col("n_b"),
+        round(col("maxnum").cast("double") / (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("d_stat"),
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")), 6).as("crit_05"))
+      .withColumn("drifted", col("d_stat") > col("crit_05"))
+  }
+
+  /** DuckDB mirror of [[ksDrift]]. */
+  def ksDriftSql(tbl: String, idCol: String, valCol: String,
+      salt: String = "ks"): String =
+    s"""WITH base AS (SELECT
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($idCol AS VARCHAR)),1,2) AS INT) % 2 AS half,
+           CAST($valCol AS DOUBLE) AS v
+         FROM $tbl),
+       counts AS (SELECT v,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM base GROUP BY v),
+       c AS (SELECT
+           CAST(SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+           CAST(SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+           CAST(SUM(na) OVER () AS BIGINT) AS ta,
+           CAST(SUM(nb) OVER () AS BIGINT) AS tb
+         FROM counts),
+       agg AS (SELECT MAX(ta) AS n_a, MAX(tb) AS n_b,
+           MAX(abs(ca * tb - cb * ta)) AS maxnum FROM c)
+       SELECT n_a, n_b,
+         round(CAST(maxnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat,
+         round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_05,
+         round(CAST(maxnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6)
+           > round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS drifted
+       FROM agg"""
 }

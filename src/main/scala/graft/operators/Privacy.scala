@@ -100,4 +100,135 @@ object Privacy {
          CAST($epsilon AS DOUBLE) AS epsilon
        FROM u ORDER BY $groupCol"""
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the gap k-anonymity
+    * leaves open: a class of 50 identical rows is 50-anonymous yet leaks
+    * its sensitive value outright if all 50 share it. Per QI class, l =
+    * COUNT(DISTINCT sensitive); the release row reports the class count,
+    * the worst (min) l, and the share of ROWS living in classes below each
+    * candidate l — entirely integer arithmetic plus one rounded division,
+    * so the audit is engine-exact. Shape: one partial-aggregatable
+    * (QI, sens) distinct + one class agg + one bounded rollup.
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String], sensCol: String,
+      ls: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    require(quasiIds.nonEmpty && ls.nonEmpty && ls.forall(_ >= 2),
+      "lDiversity: need quasi-identifiers and ls >= 2")
+    val classes = df.groupBy(quasiIds.map(col): _*)
+      .agg(countDistinct(col(sensCol)).as("_l"), count(lit(1)).as("_sz"))
+    val total = sum(col("_sz"))
+    val aggs =
+      Seq(count(lit(1)).cast("long").as("n_classes"),
+        total.as("n_rows"),
+        min(col("_l")).as("min_l"),
+        max(col("_l")).as("max_l")) ++
+      ls.map(l =>
+        round(sum(when(col("_l") < l, col("_sz")).otherwise(0L)).cast("double")
+          / total.cast("double"), 6).as(s"share_rows_below_l$l"))
+    classes.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB mirror of [[lDiversity]]. */
+  def lDiversitySql(tbl: String, quasiIds: Seq[String], sensCol: String,
+      ls: Seq[Int] = Seq(2, 3, 5)): String = {
+    val qi = quasiIds.mkString(", ")
+    val shares = ls.map(l =>
+      s"""round(CAST(SUM(CASE WHEN l < $l THEN sz ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(sz) AS DOUBLE), 6) AS share_rows_below_l$l""")
+      .mkString(",\n         ")
+    s"""WITH cls AS (SELECT $qi, COUNT(DISTINCT $sensCol) AS l, COUNT(*) AS sz
+           FROM $tbl GROUP BY $qi)
+       SELECT COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows,
+         MIN(l) AS min_l, MAX(l) AS max_l,
+         $shares
+       FROM cls"""
+  }
+
+  /** t-closeness audit (Li et al. 2007) for a NUMERIC sensitive attribute:
+    * per QI class, the ordered earth-mover's distance between the class's
+    * sensitive distribution and the corpus-wide one, over a shared
+    * equi-width bucket grid — t = (1/(m−1))·Σ_b |cumP_class − cumP_global|.
+    *
+    * Engine-exact by construction: cumulative counts are integers, each
+    * per-bucket |p−q| is carried CROSS-MULTIPLIED (|cumC·nG − cumG·nC| as
+    * BIGINT — same denominator nC·nG for every bucket of a class, so the
+    * bucket SUM is one exact integer), and the single float division
+    * happens once per class at the end. Shape: class×bucket grid
+    * (bounded), one window cumsum over it; the fact table shuffles once.
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensCol: String,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiIds.nonEmpty && buckets >= 2, "tCloseness: need QI cols, buckets >= 2")
+    val v = col(sensCol).cast("double")
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi")).head()
+    val (lo, hi) = (mm.getAs[Double]("lo"), mm.getAs[Double]("hi"))
+    val b =
+      if (hi == lo) lit(0L)
+      else least(lit(buckets - 1L), floor(((v - lit(lo)) / lit(hi - lo)) * buckets))
+    val qis = quasiIds.map(col)
+    val counts = df.select((qis :+ b.as("b")): _*)
+      .groupBy((quasiIds.map(col) :+ col("b")): _*)
+      .agg(count(lit(1)).as("nc"))
+    val globalCounts = counts.groupBy("b").agg(sum("nc").as("ng"))
+    // full class×bucket grid: EMD accumulates |cumdiff| at EVERY step,
+    // including buckets the class never hits
+    val grid = counts.select(qis: _*).distinct()
+      .crossJoin(broadcast(df.sparkSession.range(buckets).select(col("id").as("b"))))
+    val cells = grid
+      .join(counts, quasiIds :+ "b", "left")
+      .join(broadcast(globalCounts), Seq("b"), "left")
+      .na.fill(0L, Seq("nc", "ng"))
+    val wCls = Window.partitionBy(qis: _*).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(qis: _*)
+    val terms = cells
+      .withColumn("cumC", sum(col("nc")).over(wCls))
+      .withColumn("cumG", sum(col("ng")).over(wCls))
+      .withColumn("nC", sum(col("nc")).over(wTot))
+      .withColumn("nG", sum(col("ng")).over(wTot))
+      .withColumn("num", abs(col("cumC") * col("nG") - col("cumG") * col("nC")))
+    terms.groupBy(qis: _*)
+      .agg(max(col("nC")).as("n_class"),
+        round(sum(col("num")).cast("double")
+          / (max(col("nC")) * max(col("nG")) * lit((buckets - 1).toLong)).cast("double"), 6)
+          .as("t"))
+      .orderBy(qis: _*)
+  }
+
+  /** DuckDB mirror of [[tCloseness]] — same grid, same cross-multiplied
+    * integer EMD, lo/hi from the same MIN/MAX selection.
+    */
+  def tClosenessSql(tbl: String, quasiIds: Seq[String], sensCol: String,
+      buckets: Int = 32): String = {
+    val qi = quasiIds.mkString(", ")
+    val qiG = quasiIds.map(q => s"g.$q").mkString(", ")
+    s"""WITH mm AS (SELECT MIN(CAST($sensCol AS DOUBLE)) AS lo,
+           MAX(CAST($sensCol AS DOUBLE)) AS hi FROM $tbl),
+       base AS (SELECT $qi,
+           CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+             ELSE least(CAST(${buckets - 1} AS BIGINT),
+               CAST(floor(((CAST($sensCol AS DOUBLE) - lo) / (hi - lo)) * $buckets) AS BIGINT))
+           END AS b
+         FROM $tbl CROSS JOIN mm),
+       counts AS (SELECT $qi, b, COUNT(*) AS nc FROM base GROUP BY $qi, b),
+       gl AS (SELECT b, CAST(SUM(nc) AS BIGINT) AS ng FROM counts GROUP BY b),
+       grid AS (SELECT DISTINCT $qi FROM counts),
+       cells AS (SELECT $qiG, r.b,
+           COALESCE(c.nc, 0) AS nc, COALESCE(gl.ng, 0) AS ng
+         FROM grid g
+         CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range($buckets)) r
+         LEFT JOIN counts c ON ${quasiIds.map(q => s"c.$q = g.$q").mkString(" AND ")} AND c.b = r.b
+         LEFT JOIN gl ON gl.b = r.b),
+       t AS (SELECT $qi, b,
+           CAST(SUM(nc) OVER (PARTITION BY $qi ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumC,
+           CAST(SUM(ng) OVER (PARTITION BY $qi ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumG,
+           CAST(SUM(nc) OVER (PARTITION BY $qi) AS BIGINT) AS nC,
+           CAST(SUM(ng) OVER (PARTITION BY $qi) AS BIGINT) AS nG
+         FROM cells)
+       SELECT $qi, MAX(nC) AS n_class,
+         round(CAST(SUM(abs(cumC * nG - cumG * nC)) AS DOUBLE)
+           / CAST(MAX(nC) * MAX(nG) * ${(buckets - 1).toLong} AS DOUBLE), 6) AS t
+       FROM t GROUP BY $qi ORDER BY $qi"""
+  }
 }
