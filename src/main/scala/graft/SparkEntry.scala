@@ -228,6 +228,89 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    // TPC-H Q4 (adapted to the reduced schema: no l_commitdate, so "late"
+    // means shipped > 90 days after the order date): order count by
+    // priority over orders with at least one late line — the EXISTS
+    // (left-semi) + bounded-agg shape
+    "q4_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey")).distinct()
+      o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q7 volume shipping: revenue between two nations by year and
+    // direction — the two-aliased-nation join (n1 supplier side, n2
+    // customer side), both broadcast; year from l_shipdate
+    "q7_volume" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // TPC-H Q10 returned-item reporting: top-20 customers by lost revenue
+    // from 'R' lines in one quarter — selective scan + TakeOrdered top-k
+    "q10_returned" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        // exact DECIMAL end-to-end: prices/discounts are cents-exact, so
+        // decimal(12,2) x decimal(4,2) terms sum exactly and the final
+        // (18,2) rounding is engine-pinned -- per-customer sums are small
+        // enough that the usual round(double,2) pattern hits a half-cent
+        // boundary here (observed: 307843.595)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))), 2)
+          .cast("decimal(18,2)").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q18 large-volume customers: the aggregate-then-join-back shape
+    // (HAVING sum(qty) over the fact table, then rejoin the dimensions)
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(decSum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    // TPC-H Q19 (adapted: brand × quantity brackets; the reduced schema
+    // has no container/shipmode): the OR-of-conjuncts predicate that must
+    // still reach the scans as a pushable disjunction
+    "q19_brackets" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
+        .agg(round(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
     "q5_region_rev" -> ((s, dir) => {
       val r = Tables.region(s, dir).where(col("r_name") === "EUROPE")
       val n = Tables.nation(s, dir)
@@ -1954,6 +2037,52 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1999-01-01'
            AND l_shipdate > TIMESTAMP '1999-01-01'
          GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(18,2)) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150)
+         SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+           o_totalprice, sum_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q19_brackets" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""",
     "q5_region_rev" ->
       """SELECT n_name,
          round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue

@@ -370,6 +370,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("q18: lineitem partially aggregates BEFORE the orders/customer joins") {
+    val plan = planOf(SparkEntry.queries("q18_large_orders")(spark, sf))
+    // the HAVING-aggregate must fold the fact table first (partial_sum on
+    // l_quantity below the joins) and top-100 must be TakeOrdered, never a
+    // global sort of the joined result
+    assert(plan.matches("(?s).*partial_sum\\(.*l_quantity.*"),
+      s"no map-side partial aggregation on the fact table:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 not TakeOrdered:\n$plan")
+  }
+
+  test("q19: brand brackets keep quantity-range pushdown and a broadcast part join") {
+    val plan = planOf(SparkEntry.queries("q19_brackets")(spark, sf))
+    // the disjunction spans both tables, but its residual per-table
+    // conjuncts (quantity range / brand set) must still reach each scan
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*Or\\(.*l_quantity.*"),
+      s"quantity-bracket disjunction not pushed to the lineitem scan:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*p_brand.*"),
+      s"brand disjunction not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part join should broadcast:\n$plan")
+  }
+
   test("cov_matrix: the moment fold executes ONCE (AQE reuses its exchange)") {
     val df = SparkEntry.queries("cov_matrix")(spark, sf)
     df.collect() // adaptive reuse is a RUNTIME property — finalize the plan
