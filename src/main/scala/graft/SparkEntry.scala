@@ -1846,6 +1846,38 @@ object SparkEntry {
           expr("wav_meta.data_len * 1000 DIV wav_meta.byte_rate").as("duration_ms"))
         .orderBy("doc_id")
     }),
+    "multimodal_mp4" -> ((s, dir) => {
+      // video container metadata without a codec: deterministic ISO-BMFF
+      // boxes (ftyp + moov/mvhd-v0 + a declared-only mdat, timescale/
+      // duration/payload from doc_id), walked back by the generic box scan
+      // in the batched decode shape; every asset reads truncated because
+      // mdat's declared payload is never materialized — the header-only
+      // crawl reality the gate exists for
+      val ts = ((col("doc_id") % 3 + 1) * 600).cast("int")
+      val dur = (col("doc_id") % 9000 + 600).cast("int")
+      val mdatSz = (col("doc_id") % 5000 + 100).cast("int")
+      val mvhd = concat(lit("0000006c"), lit("6d766864"),
+        lit("00000000"), lit("00000000"), lit("00000000"), // ver/flags, ctime, mtime
+        be32(ts), be32(dur),
+        lit("00010000"), lit("0100"), lit("0000"), lit("0000000000000000"), // rate, vol, reserved
+        lit("000100000000000000000000000000000001000000000000000000000000000040000000"), // unity matrix
+        lit("000000000000000000000000000000000000000000000000"), // pre_defined
+        lit("00000002")) // next_track_ID
+      val hexStr = concat(
+        lit("00000010"), lit("66747970"), lit("69736f6d"), lit("00000000"), // ftyp
+        lit("00000074"), lit("6d6f6f76"), mvhd, // moov
+        be32(mdatSz + 8), lit("6d646174")) // mdat header, payload declared only
+      val df = Tables.documents(s, dir)
+        .select(col("doc_id"), unhex(hexStr).as("video"))
+      operators.Multimodal.withMp4Meta(df, "video")
+        .select(col("doc_id"),
+          col("mp4_meta.n_boxes").as("n_boxes"),
+          col("mp4_meta.timescale").as("timescale"),
+          col("mp4_meta.duration_ms").as("duration_ms"),
+          col("mp4_meta.mdat_declared").as("mdat_declared"),
+          col("mp4_meta.truncated").as("truncated"))
+        .orderBy("doc_id")
+    }),
     "multimodal_pixels" -> ((s, dir) => {
       // REAL pixel decode end-to-end: synthesize BMP24 / PNG-RGB / PNG-gray
       // assets whose pixels follow a doc_id formula (Multimodal.synthPixel),
@@ -1889,6 +1921,7 @@ object SparkEntry {
     val h = lpad(hex(c), 8, "0")
     concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
   }
+  private def be32(c: Column): Column = lpad(hex(c), 8, "0")
 
   // ---------- oracle SQL (DuckDB) ----------
 
@@ -3552,6 +3585,34 @@ object SparkEntry {
            round(CAST(SUM(CAST(round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 6)
                AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_aspect
          FROM d GROUP BY format ORDER BY format""",
+    "multimodal_mp4" ->
+      // ISO-BMFF boxes rebuilt field-for-field (ftyp + moov/mvhd-v0 +
+      // declared-only mdat), then timescale/duration/mdat parsed BACK from
+      // the big-endian hex at their fixed offsets (bytes 44, 48, 132);
+      // n_boxes is the walk's count over this 3-box layout; truncated
+      // because mdat's payload is declared, never materialized
+      s"""WITH p AS (SELECT doc_id,
+           CAST((doc_id % 3 + 1) * 600 AS INTEGER) AS ts,
+           CAST(doc_id % 9000 + 600 AS INTEGER) AS dur,
+           CAST(doc_id % 5000 + 100 AS INTEGER) AS ms FROM documents),
+         b AS (SELECT doc_id,
+           '00000010' || '66747970' || '69736f6d' || '00000000'
+           || '00000074' || '6d6f6f76'
+           || '0000006c' || '6d766864' || '00000000' || '00000000' || '00000000'
+           || lpad(to_hex(ts),8,'0') || lpad(to_hex(dur),8,'0')
+           || '00010000' || '0100' || '0000' || '0000000000000000'
+           || '000100000000000000000000000000000001000000000000000000000000000040000000'
+           || '000000000000000000000000000000000000000000000000'
+           || '00000002'
+           || lpad(to_hex(ms + 8),8,'0') || '6d646174' AS h
+           FROM p)
+         SELECT doc_id,
+           3 AS n_boxes,
+           ('0x' || substr(h, 89, 8))::BIGINT AS timescale,
+           (('0x' || substr(h, 97, 8))::BIGINT * 1000) // ('0x' || substr(h, 89, 8))::BIGINT AS duration_ms,
+           ('0x' || substr(h, 265, 8))::BIGINT - 8 AS mdat_declared,
+           (('0x' || substr(h, 265, 8))::BIGINT - 8) > 0 AS truncated
+         FROM b ORDER BY doc_id""",
     "multimodal_wav" ->
       // RIFF/WAVE headers rebuilt field-for-field, then channels/rate/
       // data-size parsed BACK from the little-endian bytes at their fixed

@@ -618,4 +618,87 @@ object Multimodal {
         )
       ).as(Seq("frame_idx", "frame_bytes"))
     )
+
+  // --- ISO-BMFF (MP4) container walk --------------------------------------
+
+  case class Mp4Meta(nBoxes: Int, timescale: Long, durationTicks: Long,
+      durationMs: Long, mdatDeclared: Long, truncated: Boolean)
+
+  private val mp4Schema = StructType(Seq(
+    StructField("n_boxes", IntegerType),
+    StructField("timescale", LongType),
+    StructField("duration_ticks", LongType),
+    StructField("duration_ms", LongType),
+    StructField("mdat_declared", LongType),
+    StructField("truncated", BooleanType)
+  ))
+
+  /** ISO-BMFF top-level box walk (ISO/IEC 14496-12 §4.2, no codec): count
+    * the `[size(BE32)][type(4cc)]` boxes, descend into `moov` for the
+    * `mvhd` movie header (version-0 layout: timescale at +12, duration at
+    * +16 past the box header), and read `mdat`'s DECLARED payload size —
+    * a declared size running past the actual bytes marks the asset
+    * truncated (the crawl-corpus reality this gate exists for). Foreign or
+    * malformed bytes (no leading well-formed `ftyp`/`moov`/`mdat` walk, a
+    * box size < 8, a 64-bit `size == 1` largesize we do not model) → None,
+    * never fabricated metadata.
+    */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32be(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 8) return None
+    var i = 0
+    var boxes = 0
+    var sawFtyp = false
+    var ts = -1L
+    var dur = -1L
+    var mdat = -1L
+    var truncated = false
+    while (i + 8 <= bytes.length) {
+      val size = u32be(i)
+      val t = tag(i + 4)
+      if (size < 8) return None // size==1 (largesize) and size==0 unmodeled
+      boxes += 1
+      if (t == "ftyp" && i == 0) sawFtyp = true
+      if (t == "moov") {
+        // child walk, bounded by the moov box's own extent
+        var j = i + 8
+        val end = math.min(i + size, bytes.length.toLong).toInt
+        while (j + 8 <= end) {
+          val csz = u32be(j)
+          if (csz < 8) return None
+          if (tag(j + 4) == "mvhd" && j + 8 + 20 <= end && bytes(j + 8) == 0) {
+            ts = u32be(j + 8 + 12)
+            dur = u32be(j + 8 + 16)
+          }
+          j += csz.toInt
+        }
+      }
+      if (t == "mdat") mdat = size - 8
+      if (i + size > bytes.length) truncated = true
+      i += size.toInt
+    }
+    if (!sawFtyp || ts <= 0 || dur < 0) None
+    else Some(Mp4Meta(boxes, ts, dur, dur * 1000L / ts, math.max(mdat, 0L), truncated))
+  }
+
+  /** Batched MP4 metadata extraction — the [[withWavMeta]] mapPartitions
+    * decode shape; unparseable rows get a null `mp4_meta`. */
+  def withMp4Meta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = df.schema.add("mp4_meta", mp4Schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseMp4(r.getAs[Array[Byte]](binIdx)).orNull
+        val metaRow =
+          if (m == null) null
+          else Row(m.nBoxes, m.timescale, m.durationTicks, m.durationMs,
+            m.mdatDeclared, m.truncated)
+        Row.fromSeq(r.toSeq :+ metaRow)
+      }
+    }(enc)
+  }
 }

@@ -94,7 +94,13 @@ object ScaleSmoke {
     // shapes + the grid cross-correlation
     "isotonic_calib", "daily_xcorr", "benford_audit", "mann_kendall",
     "fleiss_kappa", "corpus_datasheet", "trimmed_mean_ab",
-    "entropy_rate", "shuffle_runs", "wasserstein_drift", "lift_gain", "score_auc", "autocorr_daily", "stl_decompose")
+    "entropy_rate", "shuffle_runs", "wasserstein_drift", "lift_gain", "score_auc", "autocorr_daily", "stl_decompose",
+    // round-7 additions: the integer-exact HLL sketch, encoding audit,
+    // privacy/association/drift tests, and the new TPC-H fact shapes
+    "hll_distinct", "mojibake_scan", "l_diversity", "t_closeness",
+    "chi2_assoc", "ks_drift", "q4_priority", "q7_volume", "q10_returned",
+    "q18_large_orders", "q19_brackets", "bfl_descent", "multimodal_pixels",
+    "image_neardup")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -204,8 +210,11 @@ object ScaleSmoke {
     docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     ord.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
     li.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    spark.read.parquet(s"$base/part.parquet")
-      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // dimensions stay VERBATIM — facts scale 10×, broadcast sides must not
+    Seq("part", "customer", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[smoke] wrote ${reps}x slice to $out")
 
