@@ -680,6 +680,28 @@ object SparkEntry {
     "neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(nearDupPairsBuilt(s, dir))
         .orderBy("id")),
+    // duplication-aware loss weights: 1/|cluster| per doc (singletons 1) —
+    // the keep-everything alternative to dropping near-dups
+    "dedup_weights" -> ((s, dir) =>
+      Dedup.dedupWeights(Tables.documents(s, dir), "doc_id",
+        nearDupPairsBuilt(s, dir))),
+    // train/valid/test LEAKAGE audit: near-dup pairs crossing split
+    // boundaries — the contamination a random split leaves behind
+    "split_leakage" -> ((s, dir) => {
+      val sp = Tables.documents(s, dir)
+        .select(col("doc_id"), operators.Sampling.splitOf(col("doc_id")).as("split"))
+      nearDupPairsBuilt(s, dir)
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaked", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    }),
+    // DoReMi-style mixture reweighting: per-source excess unigram NLL →
+    // softmax sampling weights (hard domains upweighted)
+    "mixture_reweight" -> ((s, dir) =>
+      operators.Sampling.mixtureReweight(Tables.documents(s, dir), "source", "text")),
     // content centrality: PageRank over the near-dup candidate graph — the
     // canonical-representative / template-farm signal; per-round checkpointed
     // power iteration, DECIMAL-exact rank sums
@@ -2543,6 +2565,39 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "dedup_weights" ->
+      // cluster sizes from the same transitive closure, 1/size broadcast
+      // back over every doc id (absent from any cluster → singleton)
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         sz AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY cluster_id),
+         ws AS (SELECT cl.id, sz.sz FROM cl JOIN sz USING (cluster_id))
+         SELECT d.doc_id, COALESCE(ws.sz, 1) AS cluster_size,
+           round(CAST(1.0 AS DOUBLE) / CAST(COALESCE(ws.sz, 1) AS DOUBLE), 6) AS weight
+         FROM documents d LEFT JOIN ws ON d.doc_id = ws.id
+         ORDER BY d.doc_id""",
+    "split_leakage" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         sp AS (SELECT doc_id,
+             CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'valid' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+                 FROM documents))
+         SELECT split_a, split_b, n_pairs, split_a <> split_b AS leaked FROM (
+           SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs
+           FROM pairs JOIN sp sa ON pairs.id_a = sa.doc_id
+           JOIN sp sb ON pairs.id_b = sb.doc_id
+           GROUP BY 1, 2) ORDER BY 1, 2""",
+    "mixture_reweight" ->
+      operators.Sampling.mixtureReweightSql("documents", "source", "text"),
     "cluster_sizes" ->
       s"""WITH RECURSIVE $nearDupCtes,
          pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),

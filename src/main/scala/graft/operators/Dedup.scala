@@ -524,4 +524,24 @@ object Dedup {
          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Duplication-aware LOSS WEIGHTS — the keep-everything alternative to
+    * dropping near-duplicates: every document gets weight 1/|its near-dup
+    * cluster| (singletons weigh 1), so a template repeated 40× contributes
+    * one document's worth of gradient instead of 40 (the soft form of the
+    * [[exact]]/[[nearDupClusters]] hard dedup, and what `dup_inflation`
+    * measures the need for). Shape: clusters are pair-graph-sized (tiny),
+    * broadcast back over the id relation — the corpus never reshuffles.
+    */
+  def dedupWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(pairs) // (id, cluster_id)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val weighted = clusters.join(broadcast(sizes), "cluster_id")
+    df.select(col(idCol))
+      .join(broadcast(weighted.select(col("id").as(idCol), col("sz"))), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("sz"), lit(1L)).cast("double"), 6).as("weight"))
+      .orderBy(idCol)
+  }
 }

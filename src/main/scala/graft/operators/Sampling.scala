@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines: the split a
@@ -233,4 +233,58 @@ object Sampling {
         round(col("_cb_w"), 6).as("weight"))
       .orderBy(idCol)
   }
+
+  /** DoReMi-style mixture reweighting (Xie et al. 2023, simplified to one
+    * proxy round): per-source token-weighted average unigram NLL under the
+    * CORPUS-WIDE model, excess over the easiest source, and a softmax of
+    * `eta * excess` as the next-epoch sampling weight — hard domains (high
+    * excess loss) get upweighted, the DoReMi direction.
+    *
+    * Engine-exact discipline: the NLL fold is [[TextAnalysis.unigramLogprob]]
+    * grouped AT SOURCE GRANULARITY (rounded-then-DECIMAL term sums — no
+    * float-order sensitivity), the reference point is a MIN (order-free),
+    * and the softmax terms are rounded to 8 decimals then summed as DECIMAL
+    * before the one normalizing division. Shape: one corpus token scan into
+    * a source x term relation; everything downstream is type-table-sized.
+    */
+  def mixtureReweight(df: DataFrame, sourceCol: String, textCol: String,
+      eta: Double = 1.0): DataFrame = {
+    val perSource = TextAnalysis.unigramLogprob(df, sourceCol, textCol)
+    val ref = broadcast(perSource.agg(min(col("avg_nll")).as("ref_nll")))
+    perSource.crossJoin(ref)
+      .withColumn("excess", col("avg_nll") - col("ref_nll"))
+      .withColumn("_mw_raw",
+        round(exp(lit(eta) * col("excess")), 8).cast("decimal(28,8)"))
+      .withColumn("_mw_sum",
+        sum(col("_mw_raw")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(sourceCol), col("n_toks"),
+        round(col("avg_nll"), 6).as("avg_nll"),
+        round(col("excess"), 6).as("excess"),
+        round(col("_mw_raw").cast("double") / col("_mw_sum").cast("double"), 6)
+          .as("weight"))
+      .orderBy(sourceCol)
+  }
+
+  /** DuckDB mirror of [[mixtureReweight]] -- the unigramLogprob fold at
+    * source granularity, then the same min-ref/softmax arithmetic. */
+  def mixtureReweightSql(tbl: String, sourceCol: String, textCol: String,
+      eta: Double = 1.0): String =
+    s"""WITH tf AS (SELECT $sourceCol AS src, term, COUNT(*) AS tf FROM (
+           SELECT $sourceCol, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+           FROM $tbl) GROUP BY 1, 2),
+       freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM freq),
+       nll AS (SELECT term, CAST(round(ln(CAST((SELECT t_total FROM tot) AS DOUBLE) / CAST(cnt AS DOUBLE)), 4) AS DECIMAL(18,4)) AS nll FROM freq),
+       ps AS (SELECT src, CAST(SUM(tf) AS BIGINT) AS n_toks,
+           CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+         FROM tf JOIN nll USING (term) GROUP BY src),
+       r AS (SELECT src, n_toks, avg_nll,
+           avg_nll - (SELECT MIN(avg_nll) FROM ps) AS excess FROM ps),
+       w AS (SELECT src, n_toks, avg_nll, excess,
+           CAST(round(exp($eta * excess), 8) AS DECIMAL(28,8)) AS raw FROM r)
+       SELECT src AS $sourceCol, n_toks,
+         round(avg_nll, 6) AS avg_nll, round(excess, 6) AS excess,
+         round(CAST(raw AS DOUBLE) / CAST((SELECT CAST(SUM(raw) AS DECIMAL(38,8)) FROM w) AS DOUBLE), 6) AS weight
+       FROM w ORDER BY $sourceCol"""
 }
