@@ -1376,6 +1376,22 @@ object SparkEntry {
       operators.TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
         .withColumnRenamed("dup_ngram_frac", "dup_3gram_frac")
         .orderBy("doc_id")),
+    // degenerate-generation loop detector: longest CONSECUTIVE identical
+    // trigram run per doc (gaps-and-islands over the positional shingle
+    // stream); loops planted on doc_id % 9 == 0 in both engines — the
+    // fixtures are random words, genuinely loop-free
+    "loop_detector" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("dirty",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" loop loop loop loop loop")))
+          .otherwise(col("text")))
+      operators.TextAnalysis.loopDetector(d, "doc_id", "dirty")
+    }),
+    // quality-gate funnel: cumulative survivor counts through the
+    // length → punctuation → language gates, one corpus scan
+    "quality_funnel" -> ((s, dir) =>
+      operators.TextAnalysis.qualityFunnel(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
     // PII scrub: the fixtures are PII-free by construction, so a
     // doc_id-derived email + phone ride on each body (the multimodal_dims
     // convention); the oracle rebuilds the same body and must reproduce the
@@ -3154,6 +3170,13 @@ object SparkEntry {
                 ELSE 'neardup' END AS verdict
          FROM ng FULL OUTER JOIN nd ON ng.train_id = nd.train_id
          ORDER BY train_id""",
+    "loop_detector" ->
+      operators.TextAnalysis.loopDetectorSql(
+        """(SELECT doc_id, CASE WHEN doc_id % 9 = 0
+             THEN text || ' loop loop loop loop loop' ELSE text END AS dirty
+           FROM documents)""", "doc_id", "dirty"),
+    "quality_funnel" ->
+      operators.TextAnalysis.qualityFunnelSql("documents", "doc_id", "text", "lang"),
     "repetition_stats" ->
       // mirror of TextAnalysis.repetitionStats(n=3)
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ws FROM documents),

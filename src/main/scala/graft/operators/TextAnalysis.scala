@@ -1248,6 +1248,112 @@ object TextAnalysis {
        FROM r GROUP BY s ORDER BY $sourceCol"""
   }
 
+  // --- degenerate-loop detection --------------------------------------------
+
+  /** Generation-loop detector: the longest run of CONSECUTIVE identical
+    * n-grams per document — the signature of degenerate model output
+    * ("the the the…", looped phrases) that [[repetitionStats]]' global
+    * dup-fraction can miss (a doc can repeat a trigram 40× scattered
+    * without ever looping). Classic gaps-and-islands over the positional
+    * shingle stream: change-flag via lag, run ids via a prefix sum, run
+    * lengths via one count — every window PARTITIONED BY doc, so the shape
+    * is embarrassingly parallel at any corpus size.
+    */
+  def loopDetector(df0: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minRun: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val grams = Dedup.parallelize(df0)
+      .select(id, posexplode(
+        graft.functions.MinHashExpr.shinglesArray(lower(col(textCol)), n))
+        .as(Seq("pos", "gram")))
+    val w = Window.partitionBy(id).orderBy("pos")
+    val chg = when(lag(col("gram"), 1).over(w).isNull ||
+      lag(col("gram"), 1).over(w) =!= col("gram"), 1L).otherwise(0L)
+    grams
+      .withColumn("rid", sum(chg).over(w))
+      .groupBy(id, col("rid")).agg(count(lit(1)).as("rl"))
+      .groupBy(id).agg(max(col("rl")).as("max_run"))
+      .withColumn("looped", col("max_run") >= minRun)
+      .orderBy(idCol)
+  }
+
+  /** DuckDB mirror of [[loopDetector]] over `textExpr` (same shingle rule
+    * as the near-dup CTEs: <n tokens → one whole-string gram). */
+  def loopDetectorSql(tbl: String, idCol: String, textExpr: String,
+      n: Int = 3, minRun: Int = 3): String =
+    s"""WITH w AS (SELECT $idCol, string_split_regex(trim(lower($textExpr)),'\\s+') AS ws FROM $tbl),
+       g AS (SELECT $idCol, i AS pos,
+           CASE WHEN len(ws) >= $n
+                THEN ${(0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")}
+                ELSE array_to_string(ws, ' ') END AS gram
+         FROM w, UNNEST(range(1, CASE WHEN len(ws) >= $n THEN len(ws) - ${n - 2} ELSE 2 END)) AS t(i)),
+       r AS (SELECT $idCol, pos, gram,
+           CASE WHEN lag(gram) OVER (PARTITION BY $idCol ORDER BY pos)
+                     IS DISTINCT FROM gram THEN 1 ELSE 0 END AS chg
+         FROM g),
+       runs AS (SELECT $idCol, gram,
+           SUM(chg) OVER (PARTITION BY $idCol ORDER BY pos) AS rid FROM r),
+       rl AS (SELECT $idCol, rid, COUNT(*) AS rl FROM runs GROUP BY 1, 2)
+       SELECT $idCol, MAX(rl) AS max_run, MAX(rl) >= $minRun AS looped
+       FROM rl GROUP BY $idCol ORDER BY $idCol"""
+
+  // --- quality-gate funnel --------------------------------------------------
+
+  /** Quality-gate FUNNEL: how many documents survive each successive gate —
+    * the attrition table a pipeline review reads before touching any gate
+    * threshold. Gates are cumulative (a doc is counted at stage k only if
+    * it passed 0..k−1), each a codegen'd predicate in ONE corpus scan:
+    * stage sums are `sum(when(...))` aggregates, so the funnel costs one
+    * pass regardless of gate count.
+    */
+  def qualityFunnel(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val t = col(textCol)
+    val g1 = tokenCount(t) >= 20
+    val g2 = g1 && punctCount(t).cast("double") / greatest(length(t), lit(1)).cast("double") < 0.1
+    val g3 = g2 && col(langCol) === "en"
+    val agg = df.agg(
+      count(lit(1)).as("n0"),
+      sum(when(g1, 1L).otherwise(0L)).as("n1"),
+      sum(when(g2, 1L).otherwise(0L)).as("n2"),
+      sum(when(g3, 1L).otherwise(0L)).as("n3"))
+    agg.select(explode(array(
+      struct(lit(0).as("stage"), lit("all").as("gate"), col("n0").as("n_docs"), col("n0").as("prev")),
+      struct(lit(1).as("stage"), lit("tok_ge_20").as("gate"), col("n1").as("n_docs"), col("n0").as("prev")),
+      struct(lit(2).as("stage"), lit("+punct_lt_10pct").as("gate"), col("n2").as("n_docs"), col("n1").as("prev")),
+      struct(lit(3).as("stage"), lit("+lang_en").as("gate"), col("n3").as("n_docs"), col("n2").as("prev"))
+    )).as("s"))
+      .select(col("s.stage").as("stage"), col("s.gate").as("gate"),
+        col("s.n_docs").as("n_docs"),
+        round(col("s.n_docs").cast("double") /
+          greatest(col("s.prev"), lit(1L)).cast("double"), 6).as("pass_rate"))
+      .orderBy("stage")
+  }
+
+  /** DuckDB mirror of [[qualityFunnel]]. */
+  def qualityFunnelSql(tbl: String, idCol: String, textCol: String,
+      langCol: String): String = {
+    val tok = s"len(string_split_regex(trim($textCol), '\\s+'))"
+    val punct = s"(length($textCol) - length(regexp_replace($textCol, '[.!?,;:]', '', 'g')))"
+    val g1 = s"$tok >= 20"
+    val g2 = s"$g1 AND CAST($punct AS DOUBLE) / CAST(greatest(length($textCol), 1) AS DOUBLE) < 0.1"
+    val g3 = s"$g2 AND $langCol = 'en'"
+    s"""WITH a AS (SELECT COUNT(*) AS n0,
+           CAST(SUM(CASE WHEN $g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN $g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN $g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         FROM $tbl)
+       SELECT stage, gate, n_docs,
+         round(CAST(n_docs AS DOUBLE) / CAST(greatest(prev, 1) AS DOUBLE), 6) AS pass_rate
+       FROM (
+         SELECT 0 AS stage, 'all' AS gate, n0 AS n_docs, n0 AS prev FROM a
+         UNION ALL SELECT 1, 'tok_ge_20', n1, n0 FROM a
+         UNION ALL SELECT 2, '+punct_lt_10pct', n2, n1 FROM a
+         UNION ALL SELECT 3, '+lang_en', n3, n2 FROM a)
+       ORDER BY stage"""
+  }
+
   // --- encoding-quality / mojibake audit ------------------------------------
 
   /** The classic UTF-8-decoded-as-Latin-1 signatures: a stray 'Ã' or the
