@@ -330,6 +330,240 @@ object SparkEntry {
         .agg(round(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q2 (adapted: no partsupp table — a supplier's "supply cost" for
+    // a part is its average unit sell price from lineitem): for mid-size
+    // LARGE parts, the EUROPE supplier(s) achieving the per-part minimum —
+    // the correlated-scalar-min + join-back-on-equality shape. The dims
+    // (candidate parts, EU suppliers) broadcast; only lineitem shuffles,
+    // once, on (partkey, suppkey).
+    "q2_mincost" -> ((s, dir) => {
+      val cand = Tables.part(s, dir)
+        .where(col("p_size").between(10, 15) && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val eu = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = Tables.lineitem(s, dir)
+        .join(broadcast(cand), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu.select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(round(decSum(col("l_extendedprice")) / decSum(col("l_quantity")), 4)
+          .as("unit_price"))
+      val mn = ps.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("unit_price")).as("min_price"))
+      ps.join(mn, col("l_partkey") === col("mk") && col("unit_price") === col("min_price"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("min_price"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+    // TPC-H Q8 (national market share): NATION_1's share of STANDARD-part
+    // revenue sold into ASIA by year — conditional-sum ratio over the
+    // two-sided nation join (supplier nation vs customer region)
+    "q8_share" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val asiaN = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val suppN = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaN), col("c_nationkey") === col("cnk"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppN), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).cast("double") /
+          sum(vol.cast("decimal(18,6)")).cast("double"), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    // TPC-H Q9 (product-type profit, adapted: no partsupp — supply cost is
+    // modeled as 60% of p_retailprice per unit): profit by supplier nation
+    // and order year over 'red' parts
+    "q9_profit" -> ((s, dir) => {
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(decSum(amount), 2).as("sum_profit"))
+        .orderBy("nation", "o_year")
+    }),
+    // TPC-H Q11 (important stock, adapted: no partsupp — a part's "value"
+    // is NATION_1-supplied revenue): parts whose value exceeds 0.1% of the
+    // total — the scalar-subquery-threshold (one-row broadcast) shape
+    "q11_important" -> ((s, dir) => {
+      val n1 = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, dir)
+        .join(broadcast(n1), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+      val tot = vals.agg(decSum(col("v")).as("total_v"))
+      vals.crossJoin(broadcast(tot))
+        .where(col("v") > lit(0.001) * col("total_v"))
+        .select(col("p_partkey"), round(col("v"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+    // TPC-H Q12 (shipmode priority split, adapted: no l_shipmode — grouped
+    // by l_linestatus): late lines (shipped >60d after order) in 1997,
+    // urgent-vs-other order counts via conditional aggregation
+    "q12_latestatus" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")),
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join with a
+    // non-key join condition, then the double aggregation (orders per
+    // customer → customers per order-count)
+    "q13_custdist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).where(col("o_orderpriority") =!= "5-LOW")
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, scalar MAX
+    // broadcast back as the filter — the create-view + max-equality shape
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(round(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.crossJoin(broadcast(mx)).where(col("total_revenue") === col("mr"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    // TPC-H Q16 (supplier count by part attributes, adapted: supply
+    // relationships come from lineitem; the NOT-IN complaint-supplier
+    // subquery becomes an acctbal >= 0 gate): COUNT DISTINCT suppliers per
+    // (brand, type, size) over the filtered part families
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(5, 10, 15, 20, 25, 30))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val ok = Tables.supplier(s, dir).where(col("s_acctbal") >= 0).select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(ok), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // TPC-H Q17 (small-quantity-order revenue): the correlated per-part
+    // AVG subquery — per-part averages aggregate once, broadcast back
+    // against the same fact scan; one row out
+    "q17_small_qty" -> ((s, dir) => {
+      val pk = Tables.part(s, dir).where(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy(col("l_partkey").as("ak"))
+        .agg((decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(avgq), col("l_partkey") === col("ak"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(decSum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+    }),
+    // TPC-H Q20 (part promotion, adapted: no partsupp availqty — a
+    // supplier "holds excess stock" of a part when it shipped more than
+    // half of that part's 1997 PROMO flow): EUROPE suppliers holding any
+    // dominant share — the nested-subquery semi-join chain
+    "q20_promo_suppliers" -> ((s, dir) => {
+      val flow = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(Tables.part(s, dir).where(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(decSum(col("l_quantity")).as("sq"))
+      val tot = flow.groupBy(col("l_partkey").as("tk")).agg(decSum(col("sq")).as("tq"))
+      val dominant = flow.join(tot, col("l_partkey") === col("tk"))
+        .where(col("sq") > lit(0.5) * col("tq"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+    // TPC-H Q21 (suppliers who kept orders waiting, adapted: late =
+    // shipped >60d after order date): the EXISTS(other supplier) +
+    // NOT EXISTS(other late supplier) pair expressed as per-order
+    // distinct-supplier counts — one fact shuffle instead of two
+    // correlated self-joins
+    "q21_waiting" -> ((s, dir) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val f = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+      val st = f.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      f.where(col("is_late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(st, col("l_orderkey") === col("ok"))
+        .where(col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+    // TPC-H Q22 (global sales opportunity, adapted: "no recent orders"
+    // replaces the 7-year dormancy window since every customer has
+    // history): above-average-balance customers dormant since 1999, by
+    // nation — scalar AVG broadcast + LEFT ANTI join
+    "q22_opportunity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg((decSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), round(decSum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
     // TPC-H Q6 (forecast-revenue change): the pushdown showcase — three
     // range predicates reach the parquet scan, one scan-agg, one row out
     "q6_forecast" -> ((s, dir) =>
@@ -2166,6 +2400,149 @@ object SparkEntry {
          WHERE r_name = 'EUROPE'
            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q2_mincost" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         ps AS (SELECT l_partkey, l_suppkey,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS unit_price
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN eu ON l_suppkey = s_suppkey
+           WHERE p_size BETWEEN 10 AND 15 AND p_type = 'LARGE'
+           GROUP BY 1, 2),
+         mn AS (SELECT l_partkey AS mk, min(unit_price) AS min_price FROM ps GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, min_price
+         FROM ps JOIN mn ON l_partkey = mk AND unit_price = min_price
+         JOIN eu ON l_suppkey = s_suppkey
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q8_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+             THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+             ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY o_year""",
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+             - 0.6*p_retailprice*l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY nation, o_year""",
+    "q11_important" ->
+      """WITH n1 AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_1'),
+         vals AS (SELECT l_partkey AS p_partkey,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM lineitem JOIN n1 ON l_suppkey = s_suppkey GROUP BY 1),
+         tot AS (SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total_v FROM vals)
+         SELECT p_partkey, round(v, 2) AS part_value
+         FROM vals CROSS JOIN tot WHERE v > 0.001 * total_v
+         ORDER BY part_value DESC, p_partkey""",
+    "q12_latestatus" ->
+      """SELECT l_linestatus,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1 ORDER BY l_linestatus""",
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+           round(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE p_brand <> 'Brand#1' AND p_size IN (5,10,15,20,25,30)
+           AND s_acctbal >= 0
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q17_small_qty" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+         avgq AS (SELECT l_partkey AS ak,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+           FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY 1)
+         SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly
+         FROM lineitem JOIN avgq ON l_partkey = ak
+         WHERE l_quantity < 0.2 * avg_qty""",
+    "q20_promo_suppliers" ->
+      """WITH flow AS (SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'PROMO'
+             AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2),
+         tot AS (SELECT l_partkey AS tk, CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS tq
+           FROM flow GROUP BY 1),
+         dominant AS (SELECT DISTINCT l_suppkey FROM flow JOIN tot ON l_partkey = tk
+           WHERE sq > 0.5 * tq)
+         SELECT s_suppkey, s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+         ORDER BY s_suppkey""",
+    "q21_waiting" ->
+      """WITH f AS (SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         st AS (SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+           FROM f GROUP BY 1),
+         lw AS (SELECT DISTINCT l_orderkey, l_suppkey FROM f WHERE is_late)
+         SELECT s_name, COUNT(*) AS numwait
+         FROM lw JOIN st ON l_orderkey = ok
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE n_supp > 1 AND n_late = 1
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q22_opportunity" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_bal
+           FROM customer WHERE c_acctbal > 0),
+         recent AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+         SELECT c_nationkey, COUNT(*) AS numcust,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+         FROM customer CROSS JOIN a
+         WHERE c_acctbal > avg_bal
+           AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q6_forecast" ->
       """SELECT round(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
          FROM lineitem

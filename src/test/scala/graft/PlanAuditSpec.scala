@@ -391,6 +391,71 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"part join should broadcast:\n$plan")
   }
 
+  test("q2: candidate-part and EU-supplier dims broadcast; size range pushed") {
+    val plan = planOf(SparkEntry.queries("q2_mincost")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dim joins should broadcast:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*p_size.*"),
+      s"size range not pushed to the part scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("q8: part-type equality and orderdate range reach their scans") {
+    val plan = planOf(SparkEntry.queries("q8_share")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(p_type,STANDARD\\).*"),
+      s"p_type not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate.*"),
+      s"orderdate range not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"nation/part dims should broadcast:\n$plan")
+  }
+
+  test("q9: the LIKE '%red%' part filter pushes as StringContains") {
+    val plan = planOf(SparkEntry.queries("q9_profit")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*StringContains\\(p_name,red\\).*"),
+      s"name substring not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part/nation dims should broadcast:\n$plan")
+  }
+
+  test("q15: supplier revenue partially aggregates; scalar max broadcasts back") {
+    val plan = planOf(SparkEntry.queries("q15_top_supplier")(spark, sf))
+    assert(plan.matches("(?s).*partial_sum\\(.*"),
+      s"no map-side partial aggregation under the revenue fold:\n$plan")
+    // the one-row MAX joins back as a broadcast (nested-loop on a 1-row
+    // build side), never by re-sorting the fact table
+    assert(plan.contains("Broadcast"), s"scalar max not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("q17: per-part averages broadcast back against the fact scan") {
+    val plan = planOf(SparkEntry.queries("q17_small_qty")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(p_brand,Brand#3\\).*"),
+      s"brand filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"correlated-avg join-back should broadcast:\n$plan")
+    assert(plan.matches("(?s).*partial_sum\\(.*"),
+      s"no partial aggregation in the avg fold:\n$plan")
+  }
+
+  test("q21: per-order supplier stats fold with partial aggregation, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q21_waiting")(spark, sf))
+    // the two COUNT(DISTINCT supplier) columns rewrite to ONE Expand +
+    // FILTERed partial counts with a map-side pair-dedup below the shuffle
+    // — the shape that keeps the per-order fold one pass at scale
+    assert(plan.contains("Expand"),
+      s"multi-distinct Expand rewrite missing:\n$plan")
+    assert(plan.matches("(?s).*partial_count\\(.*FILTER.*"),
+      s"filtered partial distinct counts missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 not TakeOrdered:\n$plan")
+  }
+
+  test("q22: dormancy is a LEFT ANTI join; the scalar average broadcasts") {
+    val plan = planOf(SparkEntry.queries("q22_opportunity")(spark, sf))
+    assert(plan.contains("LeftAnti"), s"no-recent-orders should be an anti join:\n$plan")
+    assert(plan.contains("Broadcast"), s"scalar avg not broadcast:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate.*"),
+      s"recent-orders date bound not pushed:\n$plan")
+  }
+
   test("cov_matrix: the moment fold executes ONCE (AQE reuses its exchange)") {
     val df = SparkEntry.queries("cov_matrix")(spark, sf)
     df.collect() // adaptive reuse is a RUNTIME property — finalize the plan
