@@ -73,12 +73,16 @@ object Classify {
       .agg(sum(col("_nb_tf").cast("decimal(18,6)") * col("_nb_logp")).as("_nb_s"))
       .join(broadcast(priors), "_nb_c")
       .select(id, col(labelCol), col("_nb_c"), (col("_nb_s") + col("_nb_prior")).as("_nb_post"))
-    val byDoc = Window.partitionBy(id).orderBy(col("_nb_post").desc, col("_nb_c"))
+    // argmax as a hash aggregation, not a sort window: min of
+    // (-post, class) orders by post DESC then class ASC — identical
+    // tie-break to the row_number formulation it replaces, without the
+    // per-doc sort (the scores relation is docs×C rows; at corpus scale
+    // the extra window sort was the only non-hash stage left)
     scores
-      .withColumn("_nb_rn", row_number().over(byDoc))
-      .where(col("_nb_rn") === 1)
-      .select(id, col(labelCol), col("_nb_c").as(s"pred_$labelCol"),
-        col("_nb_post").cast("double").as("score"))
+      .groupBy(id, col(labelCol))
+      .agg(min(struct((-col("_nb_post")).as("_nb_neg"), col("_nb_c"))).as("_nb_w"))
+      .select(id, col(labelCol), col("_nb_w._nb_c").as(s"pred_$labelCol"),
+        (-col("_nb_w._nb_neg")).cast("double").as("score"))
   }
 
   /** DuckDB mirror of [[nbClassify]] — same smoothing, rounding points,

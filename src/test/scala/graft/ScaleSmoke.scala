@@ -100,7 +100,13 @@ object ScaleSmoke {
     "hll_distinct", "mojibake_scan", "l_diversity", "t_closeness",
     "chi2_assoc", "ks_drift", "q4_priority", "q7_volume", "q10_returned",
     "q18_large_orders", "q19_brackets", "bfl_descent", "multimodal_pixels",
-    "image_neardup")
+    "image_neardup",
+    // round-7 session-2: the TPC-H completion — every remaining fact-table
+    // shape (dims replicate verbatim, so broadcast sides stay small while
+    // lineitem/orders scale 10×)
+    "q2_mincost", "q8_share", "q9_profit", "q11_important", "q12_latestatus",
+    "q13_custdist", "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
+    "q20_promo_suppliers", "q21_waiting", "q22_opportunity")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
