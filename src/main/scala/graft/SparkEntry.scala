@@ -588,6 +588,17 @@ object SparkEntry {
             .otherwise(lit(0.0)).cast("decimal(18,6)")).cast("double") /
           decSum(rev), 4).as("promo_revenue_pct"))
     }),
+    // 2-D Pareto frontier (price vs recency): the NOT-EXISTS-free skyline
+    // — local per-bucket frontier prune, then a global sweep over the
+    // frontier-sized candidate union (never the quadratic self-join)
+    "skyline_orders" -> ((s, dir) =>
+      operators.Skyline.frontier(
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          "o_totalprice", "o_orderdate")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+        .orderBy("o_orderkey")),
     "topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -2557,6 +2568,11 @@ object SparkEntry {
            AS promo_revenue_pct
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "skyline_orders" ->
+      s"""SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS odate_ms
+         FROM (${operators.Skyline.frontierSql(
+        "orders", "o_orderkey", "o_totalprice", "o_orderdate")})
+         ORDER BY o_orderkey""",
     "topk_orders" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "window_rank" ->
