@@ -32,7 +32,24 @@ object Bfl {
     val expanded = Macros.expand(macros, query)
     try {
       val plan = Compiler.compile(df, expanded, docCol)
-      val filtered = df.where(plan.pred)
+      // the `..` descent expression is a per-row JSON parse + walk — the
+      // same cost class as the interpreter tier, so it gets the same
+      // min-parallelism guard (a one-split scan otherwise runs the walk on
+      // ONE task regardless of session cores). parallelize is a no-op on
+      // any input with >= defaultParallelism splits, so a real corpus keeps
+      // its scan pushdown untouched; only the degenerate small-file case —
+      // where row-group pruning buys nothing — pays the repartition.
+      val hasDescent = org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(plan.pred)
+        .exists {
+          case _: graft.functions.BflDescentExpr    => true
+          case _: graft.functions.BflDescentCmpExpr => true
+          case _                                    => false
+        }
+      val base =
+        if (hasDescent && plan.limit.isEmpty) graft.operators.Dedup.parallelize(df)
+        else df
+      val filtered = base.where(plan.pred)
       Applied(plan.limit.fold(filtered)(n => filtered.limit(n.toInt)), usedCompiled = true)
     } catch {
       // Unsupported shapes AND analysis failures (e.g. mixed-type array

@@ -79,6 +79,7 @@ object Compiler {
       litNum: Option[Double] = None,
       litMillis: Option[Long] = None,
       litRegex: Option[String] = None,
+      litStr: Option[String] = None,
       // static: can `collapse` ever be true? (false for literals/helpers,
       // used by the SubExpr boundary to pass through unchanged)
       mayCollapse: Boolean = true
@@ -409,7 +410,7 @@ object Compiler {
 
   private def comp(e: Expr, ctx: Ctx): CV = e match {
     case NumLit(v)   => CV(lit(v), TDouble, noCollapse, litNum = Some(v), mayCollapse = false)
-    case StrLit(v)   => CV(lit(v), TStr, noCollapse, mayCollapse = false)
+    case StrLit(v)   => CV(lit(v), TStr, noCollapse, litStr = Some(v), mayCollapse = false)
     case BoolLit(v)  => CV(lit(v), TBool, noCollapse, mayCollapse = false)
     case NilLit      => CV(lit(null).cast(StringType), TNull, noCollapse, mayCollapse = false)
     case TimeLit(ms) => CV(lit(ms), TLong, noCollapse, litMillis = Some(ms), mayCollapse = false)
@@ -442,15 +443,19 @@ object Compiler {
     case Equality(op, l, r) =>
       val a = comp(l, ctx)
       val b = comp(r, ctx)
-      val eq = equalityCol(a, b)
-      CV(if (op == "==") eq else !eq, TBool, a.collapse || b.collapse,
-        mayCollapse = a.mayCollapse || b.mayCollapse)
+      fusedDescentCmp(a, b, eq = true, op)
+        .getOrElse {
+          val eq = equalityCol(a, b)
+          CV(if (op == "==") eq else !eq, TBool, a.collapse || b.collapse,
+            mayCollapse = a.mayCollapse || b.mayCollapse)
+        }
 
     case Comparison(op, l, r) =>
       val a = comp(l, ctx)
       val b = comp(r, ctx)
-      CV(comparisonCol(op, a, b), TBool, a.collapse || b.collapse,
-        mayCollapse = a.mayCollapse || b.mayCollapse)
+      fusedDescentCmp(a, b, eq = false, op)
+        .getOrElse(CV(comparisonCol(op, a, b), TBool, a.collapse || b.collapse,
+          mayCollapse = a.mayCollapse || b.mayCollapse))
 
     case Unary(op, operand) =>
       val a = comp(operand, ctx)
@@ -605,6 +610,50 @@ object Compiler {
     if (v == math.rint(v) && math.abs(v) < 1e15 &&
       GoFmt.format(v) == v.toLong.toString) Some(v.toLong)
     else None
+
+  /** Compile-time (toStr, toNum) views of a provably-static literal operand
+    * — the build-time mirror of the toStr/toNum Column forms, gated on the
+    * CV actually carrying literal evidence (litStr/litNum/litMillis; TNull
+    * is only ever the nil literal).
+    */
+  private def staticOperand(cv: CV): Option[(String, Double)] =
+    if (cv.litRegex.isDefined) None
+    else (cv.t, cv.litStr, cv.litNum, cv.litMillis) match {
+      case (TStr, Some(s), _, _)    => Some((s, GoFloat.toNum(s)))
+      case (TDouble, _, Some(v), _) => Some((GoFmt.format(v), v))
+      case (TLong, _, _, Some(ms))  => Some((ms.toString, ms.toDouble))
+      case (TNull, _, _, _)         => Some(("null", 0.0))
+      case _                        => None
+    }
+
+  /** `..name OP static-literal` fuses path walk + existential compare into
+    * ONE boolean expression per row ([[BflExpressions.bflDescentCmp]]) —
+    * semantics identical to the generic (TDescent, static) existential
+    * below, minus the per-row struct building the predicate never reads.
+    * NULL from the fused expression IS the descent CV's collapse
+    * (value.isNull — the descent Resolved never sets emptyCollapses), so
+    * the (value, collapse) pair derives from the one expression and
+    * [[graft.plans.FilterCseBinding]] shares its evaluation.
+    */
+  private def fusedDescentCmp(a: CV, b: CV, eq: Boolean, op: String): Option[CV] = {
+    def build(descent: CV, operand: CV, flipped: Boolean): Option[CV] =
+      staticOperand(operand).flatMap { case (s, n) =>
+        val fusedOp =
+          if (eq) "=="
+          else if (flipped) "l" + op
+          else op
+        BflExpressions.bflDescentCmp(descent.value, fusedOp, s, n).map { cmp =>
+          val value = if (eq && op == "!=") !cmp else cmp
+          CV(value, TBool, cmp.isNull)
+        }
+      }
+    (a.t, b.t) match {
+      case (TDescent, TDescent) => None // dynamic-vs-dynamic: interp tier
+      case (TDescent, _)        => build(a, b, flipped = false)
+      case (_, TDescent)        => build(b, a, flipped = true)
+      case _                    => None
+    }
+  }
 
   private def equalityCol(a: CV, b: CV): Column = (a, b) match {
     // regex operand ⇒ unanchored match (Go MatchString ≡ rlike). A regex

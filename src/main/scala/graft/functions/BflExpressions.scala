@@ -217,12 +217,88 @@ object BflDescentExpr {
     StructField("els", ArrayType(elSchema, containsNull = false), nullable = false)))
 }
 
+/** Fused `..name OP static-literal` — the boolean fast path of
+  * [[BflDescentExpr]] for the dominant descent shape (a comparison against
+  * an operand known at compile time): ONE JsonTree parse + walk per row,
+  * the existential compare evaluated inline over the raw match values — no
+  * per-match struct/array building, no UTF8String conversion of views the
+  * predicate never reads. Exactly [[BflDescentExpr]]'s semantics composed
+  * with the compiled existential tier:
+  *
+  *   - equality (`op` "=="): ∃ element whose Coerce.toStr equals
+  *     `strOperand` (Compiler.equalityCol's (TDescent, static) case);
+  *   - ordering (`op` ">" "<" ">=" "<=", literal RIGHT; "l"-prefixed forms
+  *     for literal LEFT): ∃ element whose Coerce.toNum satisfies the
+  *     NaN-guarded compare against `numOperand` (comparisonCol's case);
+  *   - NULL for zero matches or an unparseable doc — the collapse signal
+  *     the surrounding (value, collapse) algebra reads via IsNull.
+  *
+  * `!=` is `Not` over this expression at the CV layer (three-valued Not
+  * preserves the NULL collapse channel). Both predicate references (value +
+  * IsNull collapse) share one evaluation via [[graft.plans.FilterCseBinding]].
+  */
+case class BflDescentCmpExpr(child: Expression, segs: List[graft.bfl.Ast.Seg],
+    op: String, strOperand: String, numOperand: Double)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    JsonTree.tryParse(v.toString) match {
+      case None => null
+      case Some(root) =>
+        val matches = JsonTree.get(root, segs)
+        if (matches.isEmpty) null
+        else {
+          val els = matches match {
+            case (a: JsonTree.Arr) :: Nil => a.toList
+            case m :: Nil                 => List(m)
+            case ms                       => ms
+          }
+          val r = op match {
+            case "==" => els.exists(e => graft.bfl.Coerce.toStr(e) == strOperand)
+            case _ =>
+              !numOperand.isNaN && els.exists { e =>
+                val n = graft.bfl.Coerce.toNum(e)
+                !n.isNaN && (op match {
+                  case ">"   => n > numOperand
+                  case "<"   => n < numOperand
+                  case ">="  => n >= numOperand
+                  case "<="  => n <= numOperand
+                  case "l>"  => numOperand > n
+                  case "l<"  => numOperand < n
+                  case "l>=" => numOperand >= n
+                  case "l<=" => numOperand <= n
+                })
+              }
+          }
+          java.lang.Boolean.valueOf(r)
+        }
+    }
+
+  override protected def withNewChildInternal(c: Expression): BflDescentCmpExpr =
+    copy(child = c)
+  override def prettyName: String = "bfl_descent_cmp"
+}
+
 object BflExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def goFmt(c: Column): Column = ColumnBridge.column(GoFormatExpr(expr(c)))
   def bflDescent(c: Column, segs: List[graft.bfl.Ast.Seg]): Column =
     ColumnBridge.column(BflDescentExpr(expr(c), segs))
+  /** Some(fused compare) when `c` wraps a [[BflDescentExpr]] — the Compiler
+    * probes this at Equality/Comparison nodes with a static operand.
+    */
+  def bflDescentCmp(c: Column, op: String, strOperand: String,
+      numOperand: Double): Option[Column] =
+    ColumnBridge.expression(c) match {
+      case BflDescentExpr(child, segs) =>
+        Some(ColumnBridge.column(BflDescentCmpExpr(child, segs, op, strOperand, numOperand)))
+      case _ => None
+    }
   def goParseFloat(c: Column): Column = ColumnBridge.column(GoParseFloatExpr(expr(c)))
   def bflMatch(c: Column, query: String): Column =
     ColumnBridge.column(BflMatchExpr(expr(c), query))

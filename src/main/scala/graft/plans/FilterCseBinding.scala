@@ -48,6 +48,11 @@ object FilterCseBinding extends Rule[LogicalPlan] with PredicateHelper {
   /** expensive-to-recompute node worth sharing */
   private def isParse(e: Expression): Boolean = e match {
     case _: VariantGet | _: GetJsonObject | _: RegExpReplace | _: JsonToStructs => true
+    // the compiled `..` descent walk parses the whole doc per evaluation;
+    // a descent predicate references it twice (collapse IsNotNull/IsNull +
+    // the compare) — without hoisting, two parses per row
+    case _: graft.functions.BflDescentExpr    => true
+    case _: graft.functions.BflDescentCmpExpr => true
     case s: StaticInvoke => s.staticObject.getName.contains("Variant")
     // to_json lowers to Invoke(StructsToJsonEvaluator) in ReplaceExpressions;
     // a constructed-doc query references the whole serialization per
