@@ -2057,6 +2057,12 @@ object SparkEntry {
           col("right_event_id"), col("right_value"))
         .orderBy("event_id")
     }),
+    // MOSS match step: pairs sharing >= 3 rare winnowed fingerprints —
+    // fingerprint equi-join gated by a document-frequency cap (never
+    // all-pairs; hot boilerplate fingerprints dropped before the join)
+    "winnow_overlap" -> ((s, dir) =>
+      operators.TextAnalysis.winnowOverlap(
+        Tables.documents(s, dir), "doc_id", "text")),
     "text_winnow" -> ((s, dir) =>
       // winnowed rolling-hash fingerprints (MOSS): one (doc_id, fp) row per
       // distinct window-min k-gram hash — substring-level dedup signal
@@ -3974,6 +3980,8 @@ object SparkEntry {
            p.event_id AS right_event_id, p.value AS right_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
+    "winnow_overlap" ->
+      operators.TextAnalysis.winnowOverlapSql("documents", "doc_id", "text"),
     "text_winnow" ->
       // exact mirror of TextAnalysis.winnowFingerprints(k=3, w=4): 15-hex
       // md5 token hashes mod 1e9+7, k-step fold with % after every

@@ -492,6 +492,63 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
     graft.functions.WinnowExpr.fingerprints(text, k, w)
 
+  /** Pairwise winnow-fingerprint overlap — the MOSS match step: document
+    * pairs sharing at least `minShared` winnowed fingerprints, with the
+    * shared count (substring-level plagiarism/near-dup evidence, where
+    * MinHash-Jaccard only sees whole-document overlap).
+    *
+    * Scale design: candidates come from an equi-join on the fingerprint
+    * value — never all-pairs — and fingerprints appearing in more than
+    * `maxDf` documents are dropped FIRST (the standard MOSS index cap:
+    * a ubiquitous fingerprint is boilerplate, carries no match signal,
+    * and is exactly the hot key that would turn the self-join quadratic).
+    * Per-fingerprint pair fan-out is therefore ≤ maxDf², and the df gate
+    * is itself one hash aggregation over the fingerprint relation.
+    */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+    val fp = Dedup.parallelize(df)
+      .select(col(idCol), explode(winnowFingerprints(col(textCol))).as("fp"))
+    val rare = fp.groupBy("fp")
+      .agg(count(lit(1)).as("_wo_df"))
+      .where(col("_wo_df") <= maxDf)
+      .select(col("fp"))
+    val gated = fp.join(rare, "fp")
+    gated.select(col(idCol).as("id_a"), col("fp"))
+      .join(gated.select(col(idCol).as("id_b"), col("fp")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB mirror of [[winnowOverlap]] (composes the text_winnow
+    * fingerprint CTE with the df gate + pair join).
+    */
+  def winnowOverlapSql(table: String, idCol: String, textCol: String,
+      minShared: Int = 3, maxDf: Int = 20): String =
+    s"""WITH t AS (SELECT $idCol,
+           list_transform(string_split_regex(trim(lower($textCol)), '\\s+'),
+             tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007) AS th
+           FROM $table WHERE $textCol IS NOT NULL),
+         g AS (SELECT $idCol,
+           list_transform(range(1, greatest(len(th) - 2, 1) + 1), i ->
+             (((COALESCE(th[i], 0) * 131 + COALESCE(th[i+1], 0)) % 1000000007)
+               * 131 + COALESCE(th[i+2], 0)) % 1000000007) AS kg
+           FROM t),
+         f AS (SELECT $idCol, list_distinct(
+             list_transform(range(1, greatest(len(kg) - 3, 1) + 1),
+               j -> list_min(kg[j:j+3]))) AS fps
+           FROM g),
+         fp AS (SELECT $idCol, unnest(fps) AS fp FROM f),
+         rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= $maxDf),
+         gated AS (SELECT $idCol, fp.fp FROM fp JOIN rare ON fp.fp = rare.fp)
+       SELECT a.$idCol AS id_a, b.$idCol AS id_b, COUNT(*) AS shared
+       FROM gated a JOIN gated b ON a.fp = b.fp AND a.$idCol < b.$idCol
+       GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+       ORDER BY id_a, id_b"""
+
   /** HOF reference form of [[winnowFingerprints]] — equivalence-spec only. */
   def winnowFingerprintsColumns(text: Column, k: Int = 3, w: Int = 4): Column = {
     val M = 1000000007L

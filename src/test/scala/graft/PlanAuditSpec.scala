@@ -391,6 +391,60 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"part join should broadcast:\n$plan")
   }
 
+  test("q3: BUILDING-segment customer dim broadcasts; top-10 is TakeOrdered") {
+    val plan = planOf(SparkEntry.queries("q3_topsales")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"customer dim should broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment,BUILDING\\).*"),
+      s"segment filter not pushed:\n$plan")
+  }
+
+  test("q4: the late-line EXISTS is a left-semi join with partial distinct below") {
+    val plan = planOf(SparkEntry.queries("q4_priority")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS should plan as left-semi:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("q5/q7/q10: nation/region dims broadcast in every multi-join chain") {
+    Seq("q5_region_rev", "q7_volume", "q10_returned").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"), s"$q: dims should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$plan")
+    }
+  }
+
+  test("q12: both shipdate bounds and the late-line residual reach the scan") {
+    val plan = planOf(SparkEntry.queries("q12_latestatus")(spark, sf))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      s"shipdate lower bound not pushed:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(l_shipdate.*"),
+      s"shipdate upper bound not pushed:\n$plan")
+  }
+
+  test("q13: left-outer double aggregation — two hash-agg levels, no sort agg") {
+    val plan = planOf(SparkEntry.queries("q13_custdist")(spark, sf))
+    assert(plan.contains("LeftOuter"), s"customer-orders join should be left outer:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, // partial+final per level
+      s"double aggregation should be hash-based at both levels:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"unexpected sort aggregate:\n$plan")
+  }
+
+  test("q16: part and supplier gates broadcast; size IN-set pushes to the scan") {
+    val plan = planOf(SparkEntry.queries("q16_supplier_cnt")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dims should broadcast:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(p_size.*"),
+      s"size IN-set not pushed:\n$plan")
+  }
+
+  test("q20: PROMO flow aggregates before the dominance join; supplier is left-semi") {
+    val plan = planOf(SparkEntry.queries("q20_promo_suppliers")(spark, sf))
+    assert(plan.matches("(?s).*partial_sum\\(.*"),
+      s"flow fold should partially aggregate:\n$plan")
+    assert(plan.contains("LeftSemi"), s"dominant-supplier gate should be left-semi:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(p_type,PROMO\\).*"),
+      s"PROMO filter not pushed:\n$plan")
+  }
+
   test("q2: candidate-part and EU-supplier dims broadcast; size range pushed") {
     val plan = planOf(SparkEntry.queries("q2_mincost")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"dim joins should broadcast:\n$plan")
@@ -446,6 +500,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"filtered partial distinct counts missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-100 not TakeOrdered:\n$plan")
+  }
+
+  test("winnow_overlap: df-gated fingerprint equi-join, never all-pairs") {
+    val plan = planOf(SparkEntry.queries("winnow_overlap")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be an equi-join on the fingerprint value:\n$plan")
+    assert(plan.matches("(?s).*partial_count\\(.*"),
+      s"df gate / shared-count folds should partially aggregate:\n$plan")
   }
 
   test("q22: dormancy is a LEFT ANTI join; the scalar average broadcasts") {
