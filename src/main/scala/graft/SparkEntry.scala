@@ -2057,6 +2057,11 @@ object SparkEntry {
           col("right_event_id"), col("right_value"))
         .orderBy("event_id")
     }),
+    // pairwise Jensen-Shannon divergence between per-source unigram
+    // distributions (nats) — the corpus-similarity matrix for mixture
+    // design; entropy-decomposed so no per-pair union-vocab outer join
+    "js_divergence" -> ((s, dir) =>
+      operators.CorpusDiff.jsDivergence(Tables.documents(s, dir), "source", "text")),
     // MOSS match step: pairs sharing >= 3 rare winnowed fingerprints —
     // fingerprint equi-join gated by a document-frequency cap (never
     // all-pairs; hot boilerplate fingerprints dropped before the join)
@@ -3980,6 +3985,8 @@ object SparkEntry {
            p.event_id AS right_event_id, p.value AS right_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
+    "js_divergence" ->
+      operators.CorpusDiff.jsDivergenceSql("documents", "source", "text"),
     "winnow_overlap" ->
       operators.TextAnalysis.winnowOverlapSql("documents", "doc_id", "text"),
     "text_winnow" ->

@@ -106,7 +106,12 @@ object ScaleSmoke {
     // lineitem/orders scale 10×)
     "q2_mincost", "q8_share", "q9_profit", "q11_important", "q12_latestatus",
     "q13_custdist", "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
-    "q20_promo_suppliers", "q21_waiting", "q22_opportunity")
+    "q20_promo_suppliers", "q21_waiting", "q22_opportunity",
+    // round-7 session-2: the late-batch pipeline ops, the MOSS overlap
+    // join, the two-phase skyline, the NB classifier, the MP4 walk
+    "dedup_weights", "split_leakage", "mixture_reweight", "loop_detector",
+    "quality_funnel", "multimodal_mp4", "winnow_overlap", "skyline_orders",
+    "nb_classify")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
