@@ -1466,6 +1466,24 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           isQuery = col("vec_id") < 100, k = 5)
         .orderBy("vec_id")),
+    // Local Outlier Factor over the banded-LSH candidate kNN graph: the
+    // density-based OOD audit of the embedding corpus; exact LOF is
+    // all-pairs, the scale-honest form scores against the bucket cohort
+    "lof_outliers" -> ((s, dir) =>
+      operators.Similarity.lofOutliers(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+    // DBSCAN core/border/noise over the same candidate machinery: density
+    // clustering with no preset k, leaving junk unclustered; clusters =
+    // bounded-round CC over core-core eps edges
+    "dbscan_clusters" -> ((s, dir) =>
+      operators.Similarity.dbscanClusters(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps = 0.68, minPts = 3)),
+    // kNN in-degree hubness audit (Radovanović et al.): hub vectors poison
+    // every kNN-derived signal; one hash agg over the shared candidate kNN
+    "hubness" -> ((s, dir) =>
+      operators.Similarity.hubness(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
     // exact d×d covariance of the embedding corpus: upper-triangle products
     // emitted inside the scan, one (i,j)-keyed agg bounded at d(d+1)/2 rows
     // per partition after map-side combine
@@ -3388,6 +3406,13 @@ object SparkEntry {
     "knn_label" ->
       operators.Similarity.knnLabelSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 5),
+    "lof_outliers" ->
+      operators.Similarity.lofOutliersSql("embeddings", "vec_id", "embedding", 5),
+    "dbscan_clusters" ->
+      operators.Similarity.dbscanClustersSql("embeddings", "vec_id", "embedding",
+        eps = 0.68, minPts = 3),
+    "hubness" ->
+      operators.Similarity.hubnessSql("embeddings", "vec_id", "embedding", 5),
     "hard_negatives" ->
       operators.Similarity.hardNegativesSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 3),

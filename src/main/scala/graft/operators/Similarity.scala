@@ -1002,6 +1002,302 @@ object Similarity {
         col("_hn_sim").as("sim"))
   }
 
+  /** Candidate kNN graph shared by [[lofOutliers]] and [[hubness]]:
+    * symmetric banded-LSH candidate closure (both directions, self
+    * excluded), exact rounded cosine distance on candidates only, salted
+    * top-k per id. Columns: (_lof_id, _lof_nbr, _lof_d).
+    */
+  private def candidateKnn(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, signDims: Int, rowsPerBand: Int): DataFrame = {
+    val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a
+      .join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("_lof_id"), col(s"b.$idCol").as("_lof_nbr"))
+      .distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    val dists = cand
+      .join(vecs.select(col(idCol).as("_lof_id"), col(vecCol).as("_lof_v1")), "_lof_id")
+      .join(vecs.select(col(idCol).as("_lof_nbr"), col(vecCol).as("_lof_v2")), "_lof_nbr")
+      .select(col("_lof_id"), col("_lof_nbr"),
+        round(lit(1.0) - cosine(col("_lof_v1"), col("_lof_v2")), 4).as("_lof_d"))
+    TopK.perKey(dists, Seq("_lof_id"),
+        Seq(col("_lof_d").asc, col("_lof_nbr").asc),
+        saltFrom = col("_lof_nbr"), n = k)
+      .select(col("_lof_id"), col("_lof_nbr"), col("_lof_d"))
+  }
+
+  /** Shared DuckDB CTE chain ending in `knn(id, nbr, d)` — the SQL mirror
+    * of [[candidateKnn]]. */
+  private def knnSqlCtes(tbl: String, idCol: String, vecCol: String, k: Int,
+      signDims: Int, rowsPerBand: Int): String = {
+    val nBands = signDims / rowsPerBand
+    val bandRows = (0 until nBands).map { bi =>
+      s"SELECT $idCol AS id, $bi AS band_idx, ${bandValSql(vecCol, bi, rowsPerBand)} AS band_val FROM $tbl"
+    }.mkString(" UNION ALL ")
+    val cos = (x: String, y: String) =>
+      s"""(list_sum(list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($x, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+          * sqrt(list_sum(list_transform($y, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))))"""
+    s"""bands AS ($bandRows),
+       cand AS (SELECT DISTINCT a.id AS id, b.id AS nbr
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.id <> b.id),
+       dists AS (SELECT c.id, c.nbr,
+                   round(1.0 - ${cos(s"v1.$vecCol", s"v2.$vecCol")}, 4) AS d
+                 FROM cand c
+                 JOIN $tbl v1 ON v1.$idCol = c.id
+                 JOIN $tbl v2 ON v2.$idCol = c.nbr),
+       knn AS (SELECT id, nbr, d FROM (
+                 SELECT id, nbr, d,
+                   row_number() OVER (PARTITION BY id ORDER BY d, nbr) AS rn
+                 FROM dists) WHERE rn <= $k)"""
+  }
+
+  /** kNN-graph HUBNESS audit: how often each vector appears in OTHER
+    * vectors' k-nearest lists (in-degree of the directed kNN graph) — the
+    * classic high-dimensional pathology (Radovanović et al. 2010): a few
+    * "hub" vectors show up in everyone's neighbor lists and poison
+    * retrieval/kNN-label quality, while "anti-hubs" are never retrieved at
+    * all. Run this before trusting any kNN-derived signal.
+    *
+    * Same scale contract as [[lofOutliers]] (shared [[candidateKnn]]);
+    * the in-degree is one hash agg over the kNN edge list. Hubs are flagged
+    * at in-degree ≥ 2k, anti-hubs at 0.
+    *
+    * Output: (vec_id, in_degree, is_hub, is_antihub) ordered by vec_id.
+    */
+  def hubness(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val knn = candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand)
+    val indeg = knn.groupBy(col("_lof_nbr").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    emb.select(col(idCol).as("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        (coalesce(col("in_degree"), lit(0L)) >= 2L * k).as("is_hub"),
+        (coalesce(col("in_degree"), lit(0L)) === 0L).as("is_antihub"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[hubness]]. */
+  def hubnessSql(tbl: String, idCol: String, vecCol: String, k: Int,
+      signDims: Int = 16, rowsPerBand: Int = 4): String =
+    s"""WITH ${knnSqlCtes(tbl, idCol, vecCol, k, signDims, rowsPerBand)},
+       indeg AS (SELECT nbr AS vec_id, COUNT(*) AS in_degree FROM knn GROUP BY nbr)
+       SELECT t.$idCol AS vec_id,
+         COALESCE(in_degree, 0) AS in_degree,
+         COALESCE(in_degree, 0) >= ${2 * k} AS is_hub,
+         COALESCE(in_degree, 0) = 0 AS is_antihub
+       FROM $tbl t LEFT JOIN indeg ON indeg.vec_id = t.$idCol
+       ORDER BY vec_id"""
+
+  /** Local Outlier Factor (Breunig et al. 2000) over the banded-LSH
+    * candidate graph: density-based outlier scoring of the embedding corpus
+    * — "is this vector in a sparser neighborhood than its neighbors?" — the
+    * audit that catches mis-embedded / out-of-distribution rows a global
+    * distance threshold misses.
+    *
+    * Scale contract: exact LOF needs the kNN graph, which is all-pairs; at
+    * 100 TB the honest construction is LOF over CANDIDATE kNN — the same
+    * banded sign-LSH candidate generation as [[cosineNearDupPairs]]
+    * (symmetric closure, so every id's candidate list is its LSH bucket
+    * cohort, cardinality Σ_bucket pop² per band, never n²). Every stage
+    * after candidates is an equi-join or per-id agg:
+    * knn (salted top-k per id) → k-distance (per-id max) → reachability
+    * (join neighbor's k-distance) → lrd (per-id fold) → LOF (join neighbor
+    * lrd, per-id fold). Ids whose bucket cohort is empty drop out (no
+    * neighborhood ⇒ no score) — deterministically in both engines.
+    *
+    * Determinism discipline: distances round(4) BEFORE ranking with id
+    * tie-break; every cross-row sum accumulates through DECIMAL (exact,
+    * order-independent); divisions happen once, in double, on identical
+    * inputs; lrd rounds to 6, lof to 4.
+    *
+    * Output: (vec_id, n_nbrs, lrd, lof) ordered by vec_id.
+    */
+  def lofOutliers(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val knn = candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand)
+    // k-distance + realized neighbor count per id (may be < k in a sparse bucket)
+    val kdist = knn.groupBy("_lof_id")
+      .agg(max(col("_lof_d")).as("_lof_kd"), count(lit(1)).as("_lof_n"))
+    // reachability distance: max(k-distance(nbr), d(id,nbr)); the symmetric
+    // candidate closure guarantees every nbr has its own kdist row
+    val reach = knn
+      .join(kdist.select(col("_lof_id").as("_lof_nbr"),
+        col("_lof_kd").as("_lof_nkd")), "_lof_nbr")
+      .select(col("_lof_id"), col("_lof_nbr"),
+        greatest(col("_lof_nkd"), col("_lof_d")).as("_lof_r"))
+    val lrd = reach.groupBy("_lof_id")
+      .agg(round(count(lit(1)).cast("double") /
+        sum(col("_lof_r").cast("decimal(18,4)")).cast("double"), 6).as("_lof_lrd"))
+    knn
+      .join(lrd.select(col("_lof_id").as("_lof_nbr"),
+        col("_lof_lrd").as("_lof_nlrd")), "_lof_nbr")
+      .groupBy("_lof_id")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(col("_lof_nlrd").cast("decimal(18,6)")).as("_lof_s"))
+      .join(lrd, "_lof_id")
+      .select(col("_lof_id").as("vec_id"), col("n_nbrs"),
+        col("_lof_lrd").as("lrd"),
+        round((col("_lof_s").cast("double") / col("n_nbrs")) / col("_lof_lrd"), 4)
+          .as("lof"))
+      .orderBy("vec_id")
+  }
+
+  /** DBSCAN over the banded-LSH candidate eps-graph: density clustering of
+    * the embedding corpus into core / border / noise — the clustering that
+    * needs no cluster count and leaves outliers OUT (vs k-means forcing
+    * every vector somewhere), i.e. the topic-discovery + junk-separation
+    * pass of an embedding-curated corpus.
+    *
+    * Same scale contract as [[lofOutliers]]: the eps-neighborhood is
+    * evaluated over LSH bucket cohorts (never n²); cluster formation is the
+    * bounded-round label-propagation fixpoint [[Dedup.nearDupClusters]]
+    * runs, over CORE-CORE edges only (the classic DBSCAN equivalence:
+    * clusters = connected components of core points under eps-adjacency,
+    * borders attach to a neighboring core's cluster). Border assignment is
+    * the deterministic min-cluster variant (classic DBSCAN is
+    * scan-order-dependent there; a distributed engine must not be).
+    *
+    * Output: one row per vector — (vec_id, kind core|border|noise,
+    * cluster_id nullable) ordered by vec_id. Distances round(4) before the
+    * eps test so engine float drift can't flip an edge.
+    */
+  def dbscanClusters(emb: DataFrame, idCol: String, vecCol: String,
+      eps: Double, minPts: Int,
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a
+      .join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("_db_id"), col(s"b.$idCol").as("_db_nbr"))
+      .distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    // symmetric eps-edges (both directions present by candidate symmetry)
+    val edges = cand
+      .join(vecs.select(col(idCol).as("_db_id"), col(vecCol).as("_db_v1")), "_db_id")
+      .join(vecs.select(col(idCol).as("_db_nbr"), col(vecCol).as("_db_v2")), "_db_nbr")
+      .where(round(lit(1.0) - cosine(col("_db_v1"), col("_db_v2")), 4) <= eps)
+      .select(col("_db_id"), col("_db_nbr"))
+      .localCheckpoint()
+    // core = (eps-neighbor count + self) >= minPts
+    val cores = edges.groupBy("_db_id").agg(count(lit(1)).as("_db_n"))
+      .where(col("_db_n") + 1 >= minPts)
+      .select(col("_db_id").as("_db_core"))
+    // clusters = CC over core-core edges; an isolated core (no core
+    // neighbor) is its own singleton cluster
+    val coreEdges = edges
+      .join(cores.select(col("_db_core").as("_db_id")), "_db_id")
+      .join(cores.select(col("_db_core").as("_db_nbr")), "_db_nbr")
+      .where(col("_db_id") < col("_db_nbr"))
+      .select(col("_db_id").as("id_a"), col("_db_nbr").as("id_b"))
+    val cc = Dedup.nearDupClusters(coreEdges)
+    val coreClusters = cores
+      .join(cc.select(col("id").as("_db_core"), col("cluster_id")), Seq("_db_core"), "left")
+      .select(col("_db_core"), coalesce(col("cluster_id"), col("_db_core")).as("_db_cl"))
+    // border = non-core with >= 1 core eps-neighbor; attaches to the MIN
+    // cluster id among its core neighbors (deterministic)
+    val borderClusters = edges
+      .join(coreClusters.select(col("_db_core").as("_db_nbr"),
+        col("_db_cl").as("_db_ncl")), "_db_nbr")
+      .join(cores.withColumnRenamed("_db_core", "_db_id"), Seq("_db_id"), "left_anti")
+      .groupBy("_db_id")
+      .agg(min(col("_db_ncl")).as("_db_cl"))
+    emb.select(col(idCol).as("vec_id"))
+      .join(coreClusters.select(col("_db_core").as("vec_id"),
+        col("_db_cl").as("_core_cl")), Seq("vec_id"), "left")
+      .join(borderClusters.select(col("_db_id").as("vec_id"),
+        col("_db_cl").as("_bord_cl")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("_core_cl").isNotNull, "core")
+          .when(col("_bord_cl").isNotNull, "border")
+          .otherwise("noise").as("kind"),
+        coalesce(col("_core_cl"), col("_bord_cl")).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[dbscanClusters]] — same band values, same rounded
+    * eps test, recursive transitive closure in place of label propagation.
+    */
+  def dbscanClustersSql(tbl: String, idCol: String, vecCol: String,
+      eps: Double, minPts: Int,
+      signDims: Int = 16, rowsPerBand: Int = 4): String = {
+    val nBands = signDims / rowsPerBand
+    val bandRows = (0 until nBands).map { bi =>
+      s"SELECT $idCol AS id, $bi AS band_idx, ${bandValSql(vecCol, bi, rowsPerBand)} AS band_val FROM $tbl"
+    }.mkString(" UNION ALL ")
+    val cos = (x: String, y: String) =>
+      s"""(list_sum(list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($x, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+          * sqrt(list_sum(list_transform($y, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))))"""
+    s"""WITH RECURSIVE bands AS ($bandRows),
+       cand AS (SELECT DISTINCT a.id AS id, b.id AS nbr
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.id <> b.id),
+       edges AS (SELECT c.id, c.nbr FROM cand c
+                 JOIN $tbl v1 ON v1.$idCol = c.id
+                 JOIN $tbl v2 ON v2.$idCol = c.nbr
+                 WHERE round(1.0 - ${cos(s"v1.$vecCol", s"v2.$vecCol")}, 4) <= $eps),
+       cores AS (SELECT id AS core FROM edges GROUP BY id
+                 HAVING COUNT(*) + 1 >= $minPts),
+       ce AS (SELECT e.id AS src, e.nbr AS dst FROM edges e
+              JOIN cores c1 ON c1.core = e.id
+              JOIN cores c2 ON c2.core = e.nbr),
+       reach(id, r) AS (
+         SELECT src, src FROM ce
+         UNION
+         SELECT reach.id, ce.dst FROM reach JOIN ce ON reach.r = ce.src),
+       cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       corecl AS (SELECT cores.core, COALESCE(cc.cluster_id, cores.core) AS cl
+                  FROM cores LEFT JOIN cc ON cc.id = cores.core),
+       bordcl AS (SELECT e.id, MIN(k.cl) AS cl
+                  FROM edges e JOIN corecl k ON k.core = e.nbr
+                  WHERE e.id NOT IN (SELECT core FROM cores)
+                  GROUP BY e.id)
+       SELECT t.$idCol AS vec_id,
+         CASE WHEN corecl.cl IS NOT NULL THEN 'core'
+              WHEN bordcl.cl IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS kind,
+         COALESCE(corecl.cl, bordcl.cl) AS cluster_id
+       FROM $tbl t
+       LEFT JOIN corecl ON corecl.core = t.$idCol
+       LEFT JOIN bordcl ON bordcl.id = t.$idCol
+       ORDER BY vec_id"""
+  }
+
+  /** DuckDB mirror of [[lofOutliers]] — same band values, same rounded-dist
+    * ranking, same DECIMAL folds, naive window in place of the salted top-k.
+    */
+  def lofOutliersSql(tbl: String, idCol: String, vecCol: String, k: Int,
+      signDims: Int = 16, rowsPerBand: Int = 4): String = {
+    s"""WITH ${knnSqlCtes(tbl, idCol, vecCol, k, signDims, rowsPerBand)},
+       kdist AS (SELECT id, MAX(d) AS kd, COUNT(*) AS n FROM knn GROUP BY id),
+       reach AS (SELECT knn.id, knn.nbr, GREATEST(kd2.kd, knn.d) AS r
+                 FROM knn JOIN kdist kd2 ON kd2.id = knn.nbr),
+       lrd AS (SELECT id,
+                 round(CAST(COUNT(*) AS DOUBLE) /
+                   CAST(SUM(CAST(r AS DECIMAL(18,4))) AS DOUBLE), 6) AS lrd
+               FROM reach GROUP BY id),
+       agg AS (SELECT knn.id, COUNT(*) AS n_nbrs,
+                 SUM(CAST(l2.lrd AS DECIMAL(18,6))) AS s
+               FROM knn JOIN lrd l2 ON l2.id = knn.nbr GROUP BY knn.id)
+       SELECT agg.id AS vec_id, n_nbrs, lrd.lrd AS lrd,
+         round((CAST(s AS DOUBLE) / n_nbrs) / lrd.lrd, 4) AS lof
+       FROM agg JOIN lrd ON lrd.id = agg.id
+       ORDER BY vec_id"""
+  }
+
   /** DuckDB mirror of [[hardNegatives]] — naive cross join + single window. */
   def hardNegativesSql(tbl: String, idCol: String, vecCol: String,
       labelCol: String, anchorPredSql: String, k: Int): String = {
