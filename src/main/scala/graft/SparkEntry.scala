@@ -1067,6 +1067,31 @@ object SparkEntry {
     // text ≈ −1, template storms drift) — rank window is vocabulary-sized
     "zipf_fit" -> ((s, dir) =>
       operators.TextAnalysis.zipfFit(Tables.documents(s, dir), "source", "text")),
+    // Heaps' law vocabulary-growth fit (V ≈ k·n^β) along the doc order —
+    // the vocab-at-100× estimator; cumulative counts ride the packShards
+    // two-level prefix sum, never one global window
+    "heaps_law" -> ((s, dir) =>
+      operators.TextAnalysis.heapsLaw(Tables.documents(s, dir), "doc_id", "text")),
+    // Spearman ρ between token count and char count — the gate-redundancy
+    // audit (ρ≈1 ⇒ one signal is dead weight); average ranks from the
+    // distinct-value type relation, ×2-integer moments, exact under any
+    // partitioning
+    "spearman_corr" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+      operators.Correlation.spearman(t,
+        operators.TextAnalysis.tokenCount(col("text")),
+        col("n_chars"))
+    }),
+    // Wilson 95% interval on each source's quality-gate pass rate — the
+    // error bar that behaves at small n and extreme p
+    "wilson_ci" -> ((s, dir) =>
+      operators.Audit.wilsonCi(Tables.documents(s, dir), "source",
+        col("n_chars") >= 200)),
+    // leave-one-source-out influence on mean doc length — the cheap
+    // data-ablation readout per source
+    "jackknife_source" -> ((s, dir) =>
+      operators.Audit.jackknifeSource(Tables.documents(s, dir), "source",
+        col("n_chars"))),
     // per-source PSI between deterministic md5-halves over length buckets
     // — the distribution-drift gate; one scan, bounded aggs
     "psi_drift" -> ((s, dir) =>
@@ -3147,6 +3172,16 @@ object SparkEntry {
         3600L, 24, 2.5),
     "zipf_fit" ->
       operators.TextAnalysis.zipfFitSql("documents", "source", "text"),
+    "heaps_law" ->
+      operators.TextAnalysis.heapsLawSql("documents", "doc_id", "text"),
+    "spearman_corr" ->
+      operators.Correlation.spearmanSql(
+        """SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x,
+           n_chars AS y FROM documents"""),
+    "wilson_ci" ->
+      operators.Audit.wilsonCiSql("documents", "source", "n_chars >= 200"),
+    "jackknife_source" ->
+      operators.Audit.jackknifeSourceSql("documents", "source", "n_chars"),
     "psi_drift" ->
       operators.Drift.psiDriftSql("documents", "doc_id", "source", "text"),
     "vocab_coverage" ->

@@ -577,4 +577,103 @@ object Audit {
          round(chi2, 6) AS chi2,
          round(sqrt(chi2 / CAST((SELECT n FROM tot) * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
        FROM agg"""
+
+  /** Wilson score interval per group for a boolean gate's pass rate — the
+    * interval that stays inside [0,1] and behaves at small n / extreme p
+    * where the naive normal interval fails, i.e. the right error bar for
+    * "source X passes the quality gate 97% of the time (n=34)".
+    *
+    * One map-side-combined aggregation (two integer counts per group);
+    * the closed-form double formula runs on identical integers in both
+    * engines. z defaults to the 95% two-sided normal quantile.
+    */
+  def wilsonCi(df: DataFrame, groupCol: String, pass: Column,
+      z: Double = 1.96): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(when(pass, 1L).otherwise(0L)).as("k"))
+    def d(c: Column) = c.cast("double")
+    val p = d(col("k")) / d(col("n"))
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / d(col("n"))
+    val center = (p + z2 / (d(col("n")) * 2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / d(col("n")) +
+      z2 / (d(col("n")) * d(col("n")) * 4.0))) / denom
+    agg.select(col(groupCol), col("n"), col("k"),
+        round(p, 4).as("p_hat"),
+        round(center - half, 4).as("ci_lo"),
+        round(center + half, 4).as("ci_hi"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[wilsonCi]]. `passSql` is a boolean expression. */
+  def wilsonCiSql(tbl: String, groupCol: String, passSql: String,
+      z: Double = 1.96): String = {
+    val z2 = z * z
+    s"""WITH a AS (SELECT $groupCol, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN $passSql THEN 1 ELSE 0 END) AS BIGINT) AS k
+         FROM $tbl GROUP BY $groupCol),
+       f AS (SELECT $groupCol, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           1.0 + $z2 / CAST(n AS DOUBLE) AS denom,
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + $z2 / (CAST(n AS DOUBLE) * 2.0)) AS cnum,
+           ($z * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             + $z2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0))) AS hnum
+         FROM a)
+       SELECT $groupCol, n, k,
+         round(p, 4) AS p_hat,
+         round(cnum / denom - hnum / denom, 4) AS ci_lo,
+         round(cnum / denom + hnum / denom, 4) AS ci_hi
+       FROM f ORDER BY $groupCol"""
+  }
+
+  /** Leave-one-source-out (jackknife) influence of each source on the
+    * corpus mean of a metric — the cheap data-ablation signal: "if I drop
+    * source X, does mean document quality move?" Per-source exact
+    * DECIMAL sums + one corpus total; LOO mean = (total − source) /
+    * (n_total − n_source). Influence = overall mean − LOO mean (positive ⇒
+    * the source pulls the metric UP).
+    *
+    * One aggregation over the corpus; the totals ride a window over the
+    * source-bounded relation (never a second scan).
+    */
+  def jackknifeSource(df: DataFrame, sourceCol: String,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy()
+    def d(c: Column) = c.cast("double")
+    val per = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(value.cast("decimal(28,6)")).as("_jk_s"))
+      .withColumn("_jk_ts", sum(col("_jk_s")).over(tot))
+      .withColumn("_jk_tn", sum(col("n_docs")).over(tot))
+    per.select(col(sourceCol), col("n_docs"),
+        round(d(col("_jk_s")) / d(col("n_docs")), 6).as("mean_src"),
+        when(col("_jk_tn") > col("n_docs"),
+          round(d(col("_jk_ts") - col("_jk_s")) /
+            d(col("_jk_tn") - col("n_docs")), 6)).as("mean_loo"),
+        when(col("_jk_tn") > col("n_docs"),
+          round(d(col("_jk_ts")) / d(col("_jk_tn")) -
+            d(col("_jk_ts") - col("_jk_s")) /
+              d(col("_jk_tn") - col("n_docs")), 6)).as("influence"))
+      .orderBy(sourceCol)
+  }
+
+  /** DuckDB mirror of [[jackknifeSource]]. `valueSql` is numeric. */
+  def jackknifeSourceSql(tbl: String, sourceCol: String,
+      valueSql: String): String =
+    s"""WITH a AS (SELECT $sourceCol, COUNT(*) AS n_docs,
+           SUM(CAST($valueSql AS DECIMAL(28,6))) AS s
+         FROM $tbl GROUP BY $sourceCol),
+       t AS (SELECT $sourceCol, n_docs, s,
+           SUM(s) OVER () AS ts, SUM(n_docs) OVER () AS tn FROM a)
+       SELECT $sourceCol, n_docs,
+         round(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_src,
+         CASE WHEN tn > n_docs THEN
+           round(CAST(ts - s AS DOUBLE) / CAST(tn - n_docs AS DOUBLE), 6)
+         END AS mean_loo,
+         CASE WHEN tn > n_docs THEN
+           round(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+             - CAST(ts - s AS DOUBLE) / CAST(tn - n_docs AS DOUBLE), 6)
+         END AS influence
+       FROM t ORDER BY $sourceCol"""
 }

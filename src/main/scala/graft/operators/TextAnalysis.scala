@@ -1210,6 +1210,113 @@ object TextAnalysis {
          round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 4) AS intercept
        FROM a ORDER BY $sourceCol"""
 
+  /** Heaps' law fit: V(n) ≈ k·n^β — vocabulary growth against token count
+    * along the doc_id order. The companion diagnostic to [[zipfFit]]
+    * (natural text sits near β ≈ 0.4–0.6; template/boilerplate corpora
+    * flatten, random noise inflates toward 1) and the estimator behind
+    * "how big will the vocab be at 100× the corpus".
+    *
+    * Construction: each term contributes its FIRST document (min doc_id —
+    * one vocab-sized agg), so per-doc new-type counts need no sequential
+    * scan; cumulative (tokens, types) per doc then rides the
+    * [[Sharding.packShards]] two-level distributed prefix sum (the naive
+    * single-window form is the oracle, invisible in the output). OLS of
+    * ln V on ln n over per-doc checkpoints with the [[zipfFit]]
+    * rounded-DECIMAL fold discipline.
+    *
+    * Output: one row (n_docs, n_tokens, n_types, beta, ln_k).
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Dedup.parallelize(df).select(col(idCol).cast("long").as("_hl_id"),
+      tokens(lower(col(textCol))).as("_hl_ts"))
+    val newTypes = base
+      .select(col("_hl_id"), explode(col("_hl_ts")).as("_hl_t"))
+      .groupBy("_hl_t").agg(min("_hl_id").as("_hl_id"))
+      .groupBy("_hl_id").agg(count(lit(1)).as("_hl_new"))
+    val perDoc = base
+      .select(col("_hl_id"), size(col("_hl_ts")).cast("long").as("_hl_tok"))
+      .join(newTypes, Seq("_hl_id"), "left")
+      .select(col("_hl_id"), col("_hl_tok"),
+        coalesce(col("_hl_new"), lit(0L)).as("_hl_new"))
+    // two-level inclusive prefix sums over the doc axis (packShards shape)
+    val Array(minId, maxId) = perDoc.agg(min("_hl_id"), max("_hl_id")).head() match {
+      case r if r.isNullAt(0) => Array(0L, 0L)
+      case r                  => Array(r.getLong(0), r.getLong(1))
+    }
+    val width = ((BigInt(maxId) - BigInt(minId)) / buckets + 1).toLong
+    val minBucket = Math.floorDiv(minId, width)
+    def floorDiv(name: String): Column =
+      expr(s"$name DIV ${width}L") -
+        when(col(name) % width =!= 0 && col(name) < 0, lit(1L)).otherwise(lit(0L))
+    val bucketed = perDoc.withColumn("_hl_b", floorDiv("_hl_id") - minBucket)
+    val inB = Window.partitionBy("_hl_b").orderBy("_hl_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("_hl_ltok", sum("_hl_tok").over(inB))
+      .withColumn("_hl_lnew", sum("_hl_new").over(inB))
+    val exB = Window.orderBy("_hl_b").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("_hl_b")
+      .agg(sum("_hl_tok").as("_bt"), sum("_hl_new").as("_bn"))
+      .select(col("_hl_b"),
+        coalesce(sum(col("_bt")).over(exB), lit(0L)).as("_hl_otok"),
+        coalesce(sum(col("_bn")).over(exB), lit(0L)).as("_hl_onew"))
+    val xy = local.join(broadcast(offs), "_hl_b")
+      .select((col("_hl_otok") + col("_hl_ltok")).as("_ct"),
+        (col("_hl_onew") + col("_hl_lnew")).as("_cv"))
+      .where(col("_ct") > 0 && col("_cv") > 0)
+      .select(col("_ct"), col("_cv"),
+        round(log(col("_ct").cast("double")), 6).as("x"),
+        round(log(col("_cv").cast("double")), 6).as("y"))
+    def s(c: Column): Column = sum(round(c, 8).cast("decimal(28,8)")).cast("double")
+    xy.agg(count(lit(1)).as("n_docs"),
+        max(col("_ct")).as("n_tokens"), max(col("_cv")).as("n_types"),
+        s(col("x")).as("_sx"), s(col("y")).as("_sy"),
+        s(col("x") * col("y")).as("_sxy"), s(col("x") * col("x")).as("_sxx"))
+      .select(col("n_docs"), col("n_tokens"), col("n_types"),
+        round((col("_sxy") - col("_sx") * col("_sy") / col("n_docs")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("n_docs")), 4).as("beta"),
+        round(col("_sy") / col("n_docs") -
+          ((col("_sxy") - col("_sx") * col("_sy") / col("n_docs")) /
+           (col("_sxx") - col("_sx") * col("_sx") / col("n_docs"))) *
+            (col("_sx") / col("n_docs")), 4).as("ln_k"))
+  }
+
+  /** DuckDB mirror of [[heapsLaw]] — the naive single-window cumulative
+    * form; the distributed decomposition must be invisible in the output.
+    */
+  def heapsLawSql(tbl: String, idCol: String, textCol: String): String =
+    s"""WITH d AS (SELECT $idCol AS id,
+             CAST(len(string_split_regex(trim(lower($textCol)), '\\s+')) AS BIGINT) AS tok
+           FROM $tbl),
+       nt AS (SELECT id, COUNT(*) AS nw FROM (
+                SELECT term, MIN(id) AS id FROM (
+                  SELECT $idCol AS id,
+                    unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term
+                  FROM $tbl) GROUP BY term) GROUP BY id),
+       p AS (SELECT d.id,
+               SUM(d.tok) OVER (ORDER BY d.id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+               SUM(COALESCE(nt.nw, 0)) OVER (ORDER BY d.id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+             FROM d LEFT JOIN nt ON nt.id = d.id),
+       xy AS (SELECT ct, cv,
+                round(ln(CAST(ct AS DOUBLE)), 6) AS x,
+                round(ln(CAST(cv AS DOUBLE)), 6) AS y
+              FROM p WHERE ct > 0 AND cv > 0),
+       a AS (SELECT COUNT(*) AS n,
+               CAST(MAX(ct) AS BIGINT) AS n_tokens, CAST(MAX(cv) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(round(x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x*y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(x*x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+             FROM xy)
+       SELECT n AS n_docs, n_tokens, n_types,
+         round((sxy - sx*sy/n) / (sxx - sx*sx/n), 4) AS beta,
+         round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 4) AS ln_k
+       FROM a"""
+
   /** Perplexity-quartile curriculum buckets over [[unigramLogprob]]: docs
     * are banded by exact avg-nll quartile breakpoints (the `value_bands`
     * percentile-broadcast discipline — one tiny breaks row broadcast over
