@@ -1067,6 +1067,13 @@ object SparkEntry {
     // text ≈ −1, template storms drift) — rank window is vocabulary-sized
     "zipf_fit" -> ((s, dir) =>
       operators.TextAnalysis.zipfFit(Tables.documents(s, dir), "source", "text")),
+    // feature-hashed BoW text embedding (hashing trick): text→vector with
+    // bounded width at any vocab size; compared in long nonzero form
+    "hash_embed" -> ((s, dir) =>
+      operators.TextAnalysis.hashEmbed(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "w")))
+        .where(col("w") =!= 0.0)
+        .orderBy("doc_id", "dim")),
     // Heaps' law vocabulary-growth fit (V ≈ k·n^β) along the doc order —
     // the vocab-at-100× estimator; cumulative counts ride the packShards
     // two-level prefix sum, never one global window
@@ -3172,6 +3179,8 @@ object SparkEntry {
         3600L, 24, 2.5),
     "zipf_fit" ->
       operators.TextAnalysis.zipfFitSql("documents", "source", "text"),
+    "hash_embed" ->
+      operators.TextAnalysis.hashEmbedLongSql("documents", "doc_id", "text"),
     "heaps_law" ->
       operators.TextAnalysis.heapsLawSql("documents", "doc_id", "text"),
     "spearman_corr" ->

@@ -286,9 +286,9 @@ object Sketch {
   // --- HyperLogLog (integer-exact registers) -------------------------------
 
   /** m=32 buckets (b=5); payload width 55 bits; rank ∈ [1, 56]. */
-  private val HllM = 32
-  private val HllRankMax = 56 // = payload width 55 + 1 (the w == 0 case)
-  private val HllAlphaM2TwoPow: Double =
+  private[graft] val HllM = 32
+  private[graft] val HllRankMax = 56 // = payload width 55 + 1 (the w == 0 case)
+  private[graft] val HllAlphaM2TwoPow: Double =
     0.697 * HllM * HllM * math.pow(2, HllRankMax) // α₃₂·m²·2^56, ONE Scala literal
 
   /** Per-group HyperLogLog distinct-token estimate (Flajolet et al. 2007)

@@ -1210,6 +1210,58 @@ object TextAnalysis {
          round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 4) AS intercept
        FROM a ORDER BY $sourceCol"""
 
+  /** Feature-hashed bag-of-words embedding (the hashing trick): every doc
+    * becomes a dense `dim`-vector — bucket = md5(token) mod dim, weight =
+    * L2-normalized token count. The deterministic text→vector operator that
+    * feeds the [[Similarity]] stack when no learned encoder is in the loop
+    * (cheap near-dup candidates, cold-start retrieval, drift fingerprints),
+    * and the classic trick for bounding feature width at 100 TB: vocabulary
+    * can grow without bound, the vector never does.
+    *
+    * One explode + one (id, bucket)-keyed count agg (map-side combined,
+    * ≤ dim rows per doc) + a per-doc fold into the dense array. Counts and
+    * the squared norm are integer-exact; one double division per slot,
+    * round(6).
+    *
+    * Output: (idCol, embedding array<double> of length dim). Docs with no
+    * tokens produce no row.
+    */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    val counts = Dedup.parallelize(df)
+      .select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("_he_t"))
+      .select(col(idCol),
+        (conv(substring(md5(col("_he_t")), 1, 15), 16, 10).cast("long") %
+          dim).cast("int").as("_he_b"))
+      .groupBy(col(idCol), col("_he_b")).agg(count(lit(1)).as("_he_c"))
+    counts.groupBy(col(idCol))
+      .agg(
+        map_from_entries(collect_list(struct(col("_he_b"), col("_he_c")))).as("_he_m"),
+        sqrt(sum(col("_he_c") * col("_he_c")).cast("double")).as("_he_n"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => round(coalesce(element_at(col("_he_m"), i), lit(0L)).cast("double") /
+            col("_he_n"), 6)).as("embedding"))
+  }
+
+  /** DuckDB mirror of [[hashEmbed]] in LONG form (doc, dim, weight), the
+    * shape the oracle compares; zeros are omitted on both sides.
+    */
+  def hashEmbedLongSql(tbl: String, idCol: String, textCol: String,
+      dim: Int = 64): String =
+    s"""WITH t AS (SELECT $idCol AS id,
+             CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % $dim AS INT) AS b
+           FROM (SELECT $idCol,
+                   unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term
+                 FROM $tbl)),
+       c AS (SELECT id, b, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+       n AS (SELECT id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+             FROM c GROUP BY id)
+       SELECT c.id AS $idCol, b AS dim,
+         round(CAST(cnt AS DOUBLE) / nrm, 6) AS w
+       FROM c JOIN n USING (id) ORDER BY $idCol, dim"""
+
   /** Heaps' law fit: V(n) ≈ k·n^β — vocabulary growth against token count
     * along the doc_id order. The companion diagnostic to [[zipfFit]]
     * (natural text sits near β ≈ 0.4–0.6; template/boilerplate corpora
