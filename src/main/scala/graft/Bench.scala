@@ -23,7 +23,11 @@ object Bench {
       .appName("graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional args: restrict to the named queries (local iteration; the
+    // driver always invokes with no args = full board)
+    val only = args.toSet
     val ordered = SparkEntry.queries.toList.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     // Idle-protocol discipline EVERYWHERE the bench runs (a loaded driver
     // box produced 14x phantom regressions in round 6's BENCH_LOCAL):
     // per query, ONE discarded warm-up rep through the SAME noop-sink path

@@ -1176,12 +1176,16 @@ object Similarity {
     val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
     val a = bands.as("a")
     val b = bands.as("b")
+    // candidates are NOT deduped before the eps test: a pair agreeing on
+    // multiple bands costs a few extra codegen'd cosines, while deduping
+    // first would shuffle the FULL candidate volume — the eps filter drops
+    // the overwhelming share (≈99.5% at the board's settings), so the
+    // distinct shuffles only surviving edges
     val cand = a
       .join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("_db_id"), col(s"b.$idCol").as("_db_nbr"))
-      .distinct()
     val vecs = emb.select(col(idCol), col(vecCol))
     // symmetric eps-edges (both directions present by candidate symmetry)
     val edges = cand
@@ -1189,6 +1193,7 @@ object Similarity {
       .join(vecs.select(col(idCol).as("_db_nbr"), col(vecCol).as("_db_v2")), "_db_nbr")
       .where(round(lit(1.0) - cosine(col("_db_v1"), col("_db_v2")), 4) <= eps)
       .select(col("_db_id"), col("_db_nbr"))
+      .distinct()
       .localCheckpoint()
     // core = (eps-neighbor count + self) >= minPts
     val cores = edges.groupBy("_db_id").agg(count(lit(1)).as("_db_n"))

@@ -132,6 +132,22 @@ class OperatorsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("nearDupClusters: the driver union-find and distributed propagation paths agree") {
+    import spark.implicits._
+    // long chains + a star + singletons-with-one-edge; run both paths by
+    // toggling the local-solve edge budget
+    val rnd = new scala.util.Random(7)
+    val chain = (0 until 200).map(i => (i.toLong, (i + 1).toLong))
+    val star = (500 until 560).map(i => (400L, i.toLong))
+    val extra = (0 until 100).map(_ => (rnd.nextInt(300).toLong, (300 + rnd.nextInt(300)).toLong))
+    val pairs = (chain ++ star ++ extra).toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.nearDupClusters(pairs, localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(200L) == 0L) // 200-link chain fully collapsed
+  }
+
   test("dedupDecisions: exact tier wins, near tier names the keep-best keeper") {
     import spark.implicits._
     // docs 1 and 2 byte-identical (exact pair, keeper 1); docs 3,4 a
