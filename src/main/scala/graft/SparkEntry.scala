@@ -1074,6 +1074,22 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "w")))
         .where(col("w") =!= 0.0)
         .orderBy("doc_id", "dim")),
+    // sqrt-smoothed data-budget planner: per-source sampling weights,
+    // allocated tokens, and EPOCHS at a fixed token budget
+    "epoch_planner" -> ((s, dir) =>
+      operators.Sampling.epochPlanner(Tables.documents(s, dir), "source",
+        "text", budgetTokens = 1000000L)),
+    // truncated Rank-Biased Overlap between the n_chars and token-count
+    // rankings — top-weighted scorer agreement; only top-depth materializes
+    "rbo_overlap" -> ((s, dir) =>
+      operators.Correlation.rboOverlap(Tables.documents(s, dir), "doc_id",
+        col("n_chars"),
+        operators.TextAnalysis.tokenCount(col("text")), depth = 50)),
+    // Hill tail-index of each source's term-frequency head — the proper
+    // heavy-tail statistic next to zipf_fit's whole-curve OLS
+    "tail_index" -> ((s, dir) =>
+      operators.TextAnalysis.hillTail(Tables.documents(s, dir), "source",
+        "text", k = 30)),
     // Heaps' law vocabulary-growth fit (V ≈ k·n^β) along the doc order —
     // the vocab-at-100× estimator; cumulative counts ride the packShards
     // two-level prefix sum, never one global window
@@ -3183,6 +3199,15 @@ object SparkEntry {
       operators.TextAnalysis.hashEmbedLongSql("documents", "doc_id", "text"),
     "heaps_law" ->
       operators.TextAnalysis.heapsLawSql("documents", "doc_id", "text"),
+    "epoch_planner" ->
+      operators.Sampling.epochPlannerSql("documents", "source", "text", 1000000L),
+    "rbo_overlap" ->
+      operators.Correlation.rboOverlapSql(
+        """SELECT doc_id AS id, n_chars AS sa,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS sb
+           FROM documents""", depth = 50),
+    "tail_index" ->
+      operators.TextAnalysis.hillTailSql("documents", "source", "text", 30),
     "spearman_corr" ->
       operators.Correlation.spearmanSql(
         """SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x,

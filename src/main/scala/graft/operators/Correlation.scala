@@ -58,6 +58,78 @@ object Correlation {
           .as("rho"))
   }
 
+  /** Rank-Biased Overlap (Webber et al. 2010), truncated at `depth`:
+    * top-weighted agreement between two document rankings — the IR-native
+    * complement of [[spearman]] (which weights every rank equally; two
+    * quality scorers that agree on the head but scramble the tail should
+    * read as "interchangeable for top-k curation", and RBO is the metric
+    * that says so). RBO = (1−p)·Σ_{d≤D} p^{d−1}·|A_d ∩ B_d|/d.
+    *
+    * Scale contract: only the top-`depth` of each ranking is ever
+    * materialized (TakeOrderedAndProject — no global rank window); the
+    * depth sweep is an explode over a ≤2·depth-row relation. The geometric
+    * weights (1−p)·p^{d−1} are computed ONCE in Scala and interpolated
+    * into both engines as literals (two independent pow() chains could
+    * split by an ulp); per-depth terms round to 9 and sum through DECIMAL.
+    *
+    * Output: one row (depth, overlap_at_depth, rbo).
+    */
+  def rboOverlap(df: DataFrame, idCol: String, scoreA: Column, scoreB: Column,
+      depth: Int = 50, p: Double = 0.9): DataFrame = {
+    val spark = df.sparkSession
+    val weights = Array.tabulate(depth)(d => (1 - p) * math.pow(p, d)) // d = rank-1
+    val wCol = array(weights.map(lit): _*)
+    def top(score: Column, rankName: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      df.select(col(idCol).as("id"), score.as("s"))
+        .orderBy(col("s").desc, col("id"))
+        .limit(depth)
+        .withColumn(rankName,
+          row_number().over(Window.orderBy(col("s").desc, col("id"))))
+        .drop("s")
+    }
+    val pos = top(scoreA, "ra").join(top(scoreB, "rb"), Seq("id"), "full")
+    val depths = spark.range(1, depth + 1).select(col("id").cast("int").as("d"))
+    val terms = pos.join(broadcast(depths),
+        col("ra") <= col("d") && col("rb") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("ov"))
+    terms
+      .select(col("d"), col("ov"),
+        round(element_at(wCol, col("d")) * col("ov").cast("double") /
+          col("d").cast("double"), 9).cast("decimal(28,9)").as("_rbo_t"))
+      .agg(max(when(col("d") === depth, col("ov"))).as("overlap_at_depth"),
+        sum(col("_rbo_t")).cast("double").as("_rbo"))
+      .select(lit(depth).as("depth"), col("overlap_at_depth"),
+        round(col("_rbo"), 6).as("rbo"))
+  }
+
+  /** DuckDB mirror of [[rboOverlap]]. `scoredSql` yields (id, sa, sb);
+    * the geometric weights are interpolated from the SAME Scala doubles.
+    */
+  def rboOverlapSql(scoredSql: String, depth: Int = 50,
+      p: Double = 0.9): String = {
+    val weights = Array.tabulate(depth)(d => (1 - p) * math.pow(p, d))
+    val wList = weights.map(w => s"CAST($w AS DOUBLE)").mkString("[", ",", "]")
+    s"""WITH sc AS ($scoredSql),
+       ta AS (SELECT id, row_number() OVER (ORDER BY sa DESC, id) AS ra
+              FROM (SELECT id, sa FROM sc ORDER BY sa DESC, id LIMIT $depth)),
+       tb AS (SELECT id, row_number() OVER (ORDER BY sb DESC, id) AS rb
+              FROM (SELECT id, sb FROM sc ORDER BY sb DESC, id LIMIT $depth)),
+       pos AS (SELECT COALESCE(ta.id, tb.id) AS id, ra, rb
+               FROM ta FULL OUTER JOIN tb ON ta.id = tb.id),
+       ds AS (SELECT CAST(unnest(range(1, ${depth + 1})) AS INT) AS d),
+       terms AS (SELECT d, COUNT(*) AS ov FROM pos JOIN ds
+                   ON ra <= d AND rb <= d GROUP BY d),
+       t2 AS (SELECT d, ov,
+                CAST(round(($wList)[d] * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE), 9)
+                  AS DECIMAL(28,9)) AS t
+              FROM terms)
+       SELECT $depth AS depth,
+         MAX(CASE WHEN d = $depth THEN ov END) AS overlap_at_depth,
+         round(CAST(SUM(t) AS DOUBLE), 6) AS rbo
+       FROM t2"""
+  }
+
   /** DuckDB mirror of [[spearman]]. `xySql` yields columns (x, y). */
   def spearmanSql(xySql: String): String =
     s"""WITH base AS (SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM ($xySql)),

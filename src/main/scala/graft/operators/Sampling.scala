@@ -247,6 +247,54 @@ object Sampling {
     * before the one normalizing division. Shape: one corpus token scan into
     * a source x term relation; everything downstream is type-table-sized.
     */
+  /** Data-budget epoch planner (the Muennighoff-style question: "with a
+    * token budget B and sqrt-smoothed source mixture, how many EPOCHS of
+    * each source will training see?"): per-source token mass → smoothed
+    * sampling weight w_s ∝ √tokens_s → allocated tokens B·w_s → epochs =
+    * allocated / available. Epochs > 1 flag the sources that will repeat
+    * (and should worry a dedup-conscious curator); the √ smoothing is the
+    * standard low-resource boost (α = 0.5 exactly, BECAUSE sqrt is
+    * IEEE-correctly-rounded in every engine while pow(x, 0.55) is not).
+    *
+    * One token-count aggregation per source; the corpus total rides a
+    * window over the source-bounded relation. √tokens rounds to 8 and
+    * sums through DECIMAL — exact under any partition order.
+    */
+  def epochPlanner(df: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy()
+    def d(c: Column) = c.cast("double")
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("_ep_w", round(sqrt(d(col("n_tokens"))), 8))
+      .withColumn("_ep_tot",
+        sum(col("_ep_w").cast("decimal(28,8)")).over(tot).cast("double"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("_ep_w") / col("_ep_tot"), 6).as("weight"),
+        round(lit(budgetTokens.toDouble) * col("_ep_w") / col("_ep_tot"), 3)
+          .as("alloc_tokens"),
+        round(lit(budgetTokens.toDouble) * col("_ep_w") / col("_ep_tot") /
+          d(col("n_tokens")), 4).as("epochs"))
+      .orderBy(sourceCol)
+  }
+
+  /** DuckDB mirror of [[epochPlanner]]. */
+  def epochPlannerSql(tbl: String, sourceCol: String, textCol: String,
+      budgetTokens: Long): String =
+    s"""WITH a AS (SELECT $sourceCol, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim($textCol), '\\s+'))) AS BIGINT) AS n_tokens
+         FROM $tbl GROUP BY $sourceCol),
+       w AS (SELECT $sourceCol, n_docs, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)), 8) AS ww FROM a),
+       t AS (SELECT *, CAST(SUM(CAST(ww AS DECIMAL(28,8))) OVER () AS DOUBLE) AS tot FROM w)
+       SELECT $sourceCol, n_docs, n_tokens,
+         round(ww / tot, 6) AS weight,
+         round(CAST($budgetTokens AS DOUBLE) * ww / tot, 3) AS alloc_tokens,
+         round(CAST($budgetTokens AS DOUBLE) * ww / tot / CAST(n_tokens AS DOUBLE), 4) AS epochs
+       FROM t ORDER BY $sourceCol"""
+
   def mixtureReweight(df: DataFrame, sourceCol: String, textCol: String,
       eta: Double = 1.0): DataFrame = {
     val perSource = TextAnalysis.unigramLogprob(df, sourceCol, textCol)

@@ -1189,6 +1189,70 @@ object TextAnalysis {
       .orderBy(sourceCol)
   }
 
+  /** Hill tail-index estimator over each source's term-frequency
+    * distribution: α̂ = k / Σ_{i≤k} (ln f_(i) − ln f_(k+1)) on the top-k
+    * order statistics — the PROPER tail-heaviness statistic next to
+    * [[zipfFit]]'s whole-curve OLS (the OLS slope is biased by the mid-rank
+    * mass; Hill reads only the head, which is what decides whether a few
+    * mega-frequent tokens dominate a source). Small α̂ = heavy tail.
+    *
+    * k adapts per source to min(k, n_types − 1); a source with one type, or
+    * a flat head (Σ = 0, all top-(k+1) frequencies equal), yields NULL.
+    * Shape: the [[zipfFit]] rank window over the vocabulary-sized type
+    * relation; ln(f) rounds to 6, differences sum through DECIMAL.
+    */
+  def hillTail(df: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Dedup.parallelize(df)
+      .select(col(sourceCol).as("_ht_s"),
+        explode(tokens(lower(col(textCol)))).as("_ht_t"))
+      .groupBy("_ht_s", "_ht_t").agg(count(lit(1)).as("_ht_f"))
+    val w = Window.partitionBy("_ht_s")
+    val ranked = types
+      .withColumn("_ht_r", row_number().over(w.orderBy(col("_ht_f").desc, col("_ht_t").asc)))
+      .withColumn("_ht_n", count(lit(1)).over(w))
+      .withColumn("_ht_k", least(lit(k.toLong), col("_ht_n") - 1))
+      .where(col("_ht_r") <= col("_ht_k") + 1 && col("_ht_k") >= 1)
+      .select(col("_ht_s"), col("_ht_r"), col("_ht_k"),
+        round(log(col("_ht_f").cast("double")), 6).as("_ht_lf"))
+    val fk1 = ranked.where(col("_ht_r") === col("_ht_k") + 1)
+      .select(col("_ht_s"), col("_ht_lf").as("_ht_lfk1"))
+    ranked.where(col("_ht_r") <= col("_ht_k"))
+      .join(fk1, "_ht_s")
+      .groupBy(col("_ht_s").as(sourceCol))
+      .agg(max(col("_ht_k")).as("k_used"),
+        sum((col("_ht_lf") - col("_ht_lfk1")).cast("decimal(28,6)"))
+          .cast("double").as("_ht_sum"))
+      .select(col(sourceCol), col("k_used"),
+        when(col("_ht_sum") > 0,
+          round(col("k_used").cast("double") / col("_ht_sum"), 4)).as("alpha"))
+      .orderBy(sourceCol)
+  }
+
+  /** DuckDB mirror of [[hillTail]]. */
+  def hillTailSql(tbl: String, sourceCol: String, textCol: String,
+      k: Int = 30): String =
+    s"""WITH t AS (SELECT $sourceCol AS s,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term
+           FROM $tbl),
+       f AS (SELECT s, term, COUNT(*) AS f FROM t GROUP BY 1, 2),
+       r AS (SELECT s,
+               row_number() OVER (PARTITION BY s ORDER BY f DESC, term) AS r,
+               COUNT(*) OVER (PARTITION BY s) AS n,
+               round(ln(CAST(f AS DOUBLE)), 6) AS lf
+             FROM f),
+       rk AS (SELECT s, r, least($k, n - 1) AS k, lf FROM r
+              WHERE r <= least($k, n - 1) + 1 AND least($k, n - 1) >= 1),
+       fk1 AS (SELECT s, lf AS lfk1 FROM rk WHERE r = k + 1),
+       a AS (SELECT rk.s, MAX(k) AS k_used,
+               CAST(SUM(CAST(rk.lf - fk1.lfk1 AS DECIMAL(28,6))) AS DOUBLE) AS sm
+             FROM rk JOIN fk1 ON rk.s = fk1.s
+             WHERE rk.r <= rk.k GROUP BY rk.s)
+       SELECT s AS $sourceCol, CAST(k_used AS BIGINT) AS k_used,
+         CASE WHEN sm > 0 THEN round(CAST(k_used AS DOUBLE) / sm, 4) END AS alpha
+       FROM a ORDER BY $sourceCol"""
+
   /** DuckDB mirror of [[zipfFit]]. */
   def zipfFitSql(tbl: String, sourceCol: String, textCol: String): String =
     s"""WITH t AS (SELECT $sourceCol AS s,

@@ -61,6 +61,48 @@ class StatOpsSpec extends AnyFunSuite {
     assert(out("a")._5.get > 0 && out("b")._5.get < 0) // pulls up vs down
   }
 
+  test("rboOverlap: identical rankings score 1, disjoint rankings score 0") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, i, i)).toDF("id", "a", "b")
+    val same = Correlation.rboOverlap(df, "id", col("a"), col("b"), depth = 20)
+      .as[(Int, Long, Double)].head()
+    assert(same._1 == 20 && same._2 == 20L)
+    // truncated RBO of identical lists = (1-p)·Σ p^(d-1) = 1 - p^D
+    assert(math.abs(same._3 - (1 - math.pow(0.9, 20))) < 1e-5, s"rbo ${same._3}")
+    // a rises with id, b falls: top-20 sets are disjoint over 60 docs
+    val opp = Correlation.rboOverlap(df, "id", col("a"), -col("b"), depth = 20)
+      .as[(Int, Option[Long], Option[Double])].head()
+    assert(opp._2.isEmpty && opp._3.isEmpty) // zero overlap at every depth
+  }
+
+  test("hillTail: a heavier tail yields a smaller alpha") {
+    import spark.implicits._
+    // heavy: word w_i repeated ~1000/i times (zipf-ish); light: near-flat
+    def corpus(f: Int => Int): String =
+      (1 to 12).flatMap(i => Seq.fill(f(i))(s"w$i")).mkString(" ")
+    val df = Seq(
+      ("heavy", corpus(i => 1000 / i)),
+      ("light", corpus(i => 100 - i))).toDF("source", "text")
+    val out = TextAnalysis.hillTail(df, "source", "text", k = 8)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    assert(out("heavy") < out("light"),
+      s"heavy ${out("heavy")} should be < light ${out("light")}")
+  }
+
+  test("epochPlanner: weights sum to 1 and epochs reflect the budget") {
+    import spark.implicits._
+    val df = Seq(("a", "x " * 99 + "x"), ("b", "y")).toDF("source", "text")
+    val out = Sampling.epochPlanner(df, "source", "text", budgetTokens = 1000L)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-5)
+    // a: 100 tokens, b: 1 → weights 10/11, 1/11; epochs = alloc/available
+    assert(math.abs(out("a")._4 - 10.0 / 11) < 1e-4)
+    assert(math.abs(out("a")._6 - (1000.0 * 10 / 11 / 100)) < 1e-2)
+    assert(out("b")._6 > 80) // tiny source repeats wildly — the flag
+  }
+
   test("heapsLaw: growing vocabulary fits beta near 1; saturated vocabulary fits near 0") {
     import spark.implicits._
     // each doc introduces 2 brand-new words: V(n) = n exactly, beta = 1
