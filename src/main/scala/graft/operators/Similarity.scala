@@ -1134,19 +1134,29 @@ object Similarity {
         col("_lof_kd").as("_lof_nkd")), "_lof_nbr")
       .select(col("_lof_id"), col("_lof_nbr"),
         greatest(col("_lof_nkd"), col("_lof_d")).as("_lof_r"))
+    // an all-zero reachability sum (k exact-duplicate neighbors — replicas,
+    // byte-identical embeddings) is the classic LOF degenerate case: lrd is
+    // formally infinite. NULL, deterministically in both engines, is the
+    // honest score; dedup such vectors first.
     val lrd = reach.groupBy("_lof_id")
-      .agg(round(count(lit(1)).cast("double") /
-        sum(col("_lof_r").cast("decimal(18,4)")).cast("double"), 6).as("_lof_lrd"))
+      .agg(when(sum(col("_lof_r").cast("decimal(18,4)")) > 0,
+        round(count(lit(1)).cast("double") /
+          sum(col("_lof_r").cast("decimal(18,4)")).cast("double"), 6))
+        .as("_lof_lrd"))
     knn
       .join(lrd.select(col("_lof_id").as("_lof_nbr"),
         col("_lof_lrd").as("_lof_nlrd")), "_lof_nbr")
       .groupBy("_lof_id")
       .agg(count(lit(1)).as("n_nbrs"),
-        sum(col("_lof_nlrd").cast("decimal(18,6)")).as("_lof_s"))
+        sum(col("_lof_nlrd").cast("decimal(18,6)")).as("_lof_s"),
+        // SQL SUM skips nulls — a degenerate neighbor must null the WHOLE
+        // score, not silently shrink the average
+        sum(when(col("_lof_nlrd").isNull, 1L).otherwise(0L)).as("_lof_degen"))
       .join(lrd, "_lof_id")
       .select(col("_lof_id").as("vec_id"), col("n_nbrs"),
         col("_lof_lrd").as("lrd"),
-        round((col("_lof_s").cast("double") / col("n_nbrs")) / col("_lof_lrd"), 4)
+        when(col("_lof_degen") === 0,
+          round((col("_lof_s").cast("double") / col("n_nbrs")) / col("_lof_lrd"), 4))
           .as("lof"))
       .orderBy("vec_id")
   }
@@ -1291,14 +1301,19 @@ object Similarity {
        reach AS (SELECT knn.id, knn.nbr, GREATEST(kd2.kd, knn.d) AS r
                  FROM knn JOIN kdist kd2 ON kd2.id = knn.nbr),
        lrd AS (SELECT id,
-                 round(CAST(COUNT(*) AS DOUBLE) /
-                   CAST(SUM(CAST(r AS DECIMAL(18,4))) AS DOUBLE), 6) AS lrd
+                 CASE WHEN SUM(CAST(r AS DECIMAL(18,4))) > 0 THEN
+                   round(CAST(COUNT(*) AS DOUBLE) /
+                     CAST(SUM(CAST(r AS DECIMAL(18,4))) AS DOUBLE), 6)
+                 END AS lrd
                FROM reach GROUP BY id),
        agg AS (SELECT knn.id, COUNT(*) AS n_nbrs,
-                 SUM(CAST(l2.lrd AS DECIMAL(18,6))) AS s
+                 SUM(CAST(l2.lrd AS DECIMAL(18,6))) AS s,
+                 SUM(CASE WHEN l2.lrd IS NULL THEN 1 ELSE 0 END) AS degen
                FROM knn JOIN lrd l2 ON l2.id = knn.nbr GROUP BY knn.id)
        SELECT agg.id AS vec_id, n_nbrs, lrd.lrd AS lrd,
-         round((CAST(s AS DOUBLE) / n_nbrs) / lrd.lrd, 4) AS lof
+         CASE WHEN degen = 0 THEN
+           round((CAST(s AS DOUBLE) / n_nbrs) / lrd.lrd, 4)
+         END AS lof
        FROM agg JOIN lrd ON lrd.id = agg.id
        ORDER BY vec_id"""
   }

@@ -557,4 +557,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the cluster-bounded near relation should broadcast:\n$plan")
   }
+
+  test("lof_outliers: candidate kNN stays equi-join; cosine runs codegen'd") {
+    val plan = planOf(SparkEntry.queries("lof_outliers")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure leaked into LOF:\n$plan")
+    // the codegen'd one-pass cosine, never the interpreted HOF chain
+    assert(plan.contains("cosine_sim"), s"cosine expression missing:\n$plan")
+    assert(!plan.contains("aggregate(zip_with"),
+      s"HOF cosine (interpreted) leaked into the hot path:\n$plan")
+  }
+
+  test("dbscan_clusters: eps edges and core/border joins stay equi-joins") {
+    val plan = planOf(SparkEntry.queries("dbscan_clusters")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure leaked into DBSCAN:\n$plan")
+  }
+
+  test("hubness: the in-degree is one hash agg over the kNN edges") {
+    val plan = planOf(SparkEntry.queries("hubness")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure:\n$plan")
+    assert(plan.contains("HashAggregate"), s"in-degree should hash-agg:\n$plan")
+  }
+
+  test("rbo_overlap: both rankings materialize via TakeOrdered, not a global sort") {
+    val plan = planOf(SparkEntry.queries("rbo_overlap")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-depth should be TakeOrdered:\n$plan")
+  }
+
+  test("hash_embed: one explode, hash partial agg, no join at all") {
+    val plan = planOf(SparkEntry.queries("hash_embed")(spark, sf))
+    assert(!plan.contains("Join"), s"hash_embed should not join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"bucket counts should hash-agg:\n$plan")
+  }
+
+  test("spearman_corr: rank joins broadcast the distinct-value type relations") {
+    val plan = planOf(SparkEntry.queries("spearman_corr")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"value-type rank tables should broadcast back:\n$plan")
+  }
 }

@@ -111,7 +111,14 @@ object ScaleSmoke {
     // join, the two-phase skyline, the NB classifier, the MP4 walk
     "dedup_weights", "split_leakage", "mixture_reweight", "loop_detector",
     "quality_funnel", "multimodal_mp4", "winnow_overlap", "skyline_orders",
-    "nb_classify")
+    "nb_classify",
+    // round-7 session-3: the density suite over the LSH candidate graph
+    // (bucket cohorts grow 10× at fixed band width — the quadratic-share
+    // stress case), the hashing-trick embedding, vocab-growth/rank stats,
+    // the budget planner
+    "lof_outliers", "dbscan_clusters", "hubness", "hash_embed", "heaps_law",
+    "spearman_corr", "tail_index", "rbo_overlap", "epoch_planner",
+    "wilson_ci", "jackknife_source", "js_divergence")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
