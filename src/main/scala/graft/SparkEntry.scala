@@ -2269,7 +2269,65 @@ object SparkEntry {
           col("pixel_meta.dhash_hi").as("hi"), col("pixel_meta.dhash_lo").as("lo"))
       operators.Multimodal.dHashPairs(hashed, maxHamming = 3)
         .orderBy("id_a", "id_b")
-    })
+    }),
+    // split-conformal 90% bands per event_type: calibration-half mean ±
+    // the ceil((n+1)(1−α))-th abs residual, realized coverage on the eval
+    // half — finite-sample distribution-free intervals for score gates
+    "conformal_intervals" -> ((s, dir) =>
+      operators.Conformal.intervals(ev(s, dir), "event_type", "event_id", "value")
+        .orderBy("event_type")),
+    // ordered first-occurrence pair support (PrefixSpan cut to length-2
+    // over first occurrences): corpus collapses ONCE to (user, type,
+    // first_ts); the pair join is per-user over that bounded relation
+    "seq_support" -> ((s, dir) =>
+      operators.SeqMine.pairSupport(ev(s, dir), "user_id", "event_type", "ts")
+        .orderBy("ante", "cons")),
+    // NEAREST as-of: each purchase matched to the closest click on EITHER
+    // side (exact ties resolve backward) — one keyed shuffle, two
+    // in-partition sorts sharing the exchange
+    "asof_nearest" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      operators.AsOfJoin.leftAsOfNearest(p, c, "user_id", "ts",
+          Seq("event_id", "value"), "event_id")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("right_event_id"), col("right_value"), col("matched_dir"))
+        .orderBy("event_id")
+    }),
+    // in-engine recall@10 of the IVF probe path vs exact brute cosine over
+    // a 1%-of-ids query panel — the ANN quality regression test, now
+    // oracle-checkable instead of spec-only
+    "ann_recall" -> ((s, dir) => {
+      val (cents, index) = ivfArtifacts(s, dir)
+      Similarity.annRecallPanel(cents, index, "vec_id", "embedding",
+          queryMod = 100, k = 10, nProbe = 4)
+        .orderBy("qid")
+    }),
+    // quantile normalization of per-doc length across sources onto the
+    // pooled 21-point corpus profile — cross-source score comparability
+    // before any global threshold
+    "quantile_norm" -> ((s, dir) =>
+      operators.QuantileNorm.normalize(Tables.documents(s, dir),
+        "doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+    // anytime-valid mSPRT A/B readout: p_always_valid stays correct under
+    // continuous peeking — the sequential companion to ab_conversion's
+    // fixed-n z statistic
+    "msprt_ab" -> ((s, dir) =>
+      operators.EventSeq.msprtAb(ev(s, dir), "user_id", "event_type", "purchase")),
+    // GROUPING SETS (rollup/cube's general form): the source×lang mixture
+    // tally at four chosen granularities in ONE Expand pass
+    "grouping_sets_mix" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first))
   )
 
   /** Little-endian hex of a u16/u32 value column (RIFF/GIF/BMP headers). */
@@ -4293,7 +4351,52 @@ object SparkEntry {
            SELECT id_a, id_b,
              CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
            FROM cand)
-         WHERE hamming <= 3 ORDER BY id_a, id_b"""
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "conformal_intervals" ->
+      s"""${operators.Conformal.intervalsSql("events", "event_type", "event_id", "value")}
+         ORDER BY event_type""",
+    "seq_support" ->
+      s"""${operators.SeqMine.pairSupportSql("events", "user_id", "event_type", "ts")}
+         ORDER BY ante, cons""",
+    "asof_nearest" ->
+      // two native ASOF traversals (right rows deduped per (user, ts)
+      // keeping the max event_id — the operator's tie-break), then the
+      // same nearer-pick with ties to the backward match
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c0 AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         c AS (SELECT event_id, user_id, ts, value FROM (
+             SELECT c0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             FROM c0) WHERE rn = 1),
+         bk AS (SELECT p.event_id, c.event_id AS r_id, c.value AS r_val, c.ts AS r_ts
+                FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+         fw AS (SELECT p.event_id, c.event_id AS r_id, c.value AS r_val, c.ts AS r_ts
+                FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts),
+         m AS (SELECT p.event_id, p.user_id, p.ts,
+             bk.r_id AS b_id, bk.r_val AS b_val, bk.r_ts AS b_ts,
+             fw.r_id AS f_id, fw.r_val AS f_val, fw.r_ts AS f_ts,
+             (bk.r_id IS NULL OR (fw.r_id IS NOT NULL
+               AND epoch_ms(fw.r_ts) - epoch_ms(p.ts) < epoch_ms(p.ts) - epoch_ms(bk.r_ts))) AS pickfwd
+           FROM p JOIN bk ON p.event_id = bk.event_id
+                  JOIN fw ON p.event_id = fw.event_id)
+         SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CASE WHEN pickfwd THEN f_id ELSE b_id END AS right_event_id,
+           CASE WHEN pickfwd THEN f_val ELSE b_val END AS right_value,
+           CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                WHEN pickfwd THEN 'fwd' ELSE 'back' END AS matched_dir
+         FROM m ORDER BY event_id""",
+    "ann_recall" ->
+      s"""${operators.Similarity.annRecallPanelSql("embeddings", "vec_id", "embedding",
+        queryMod = 100, k = 10, nProbe = 4, nCentroids = 8, iters = 1, dim = 64, cosSql)}
+         ORDER BY qid""",
+    "quantile_norm" ->
+      s"""${operators.QuantileNorm.normalizeSql("documents", "doc_id", "source", "n_chars")}
+         ORDER BY doc_id""",
+    "msprt_ab" ->
+      operators.EventSeq.msprtAbSql("events", "user_id", "event_type", "purchase"),
+    "grouping_sets_mix" ->
+      """SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+         ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST"""
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

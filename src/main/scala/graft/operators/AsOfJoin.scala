@@ -58,6 +58,65 @@ object AsOfJoin {
   ): DataFrame =
     asOf(left, right, keyCol, tsCol, rightPayload, rightTieBreak, forward = true)
 
+  /** NEAREST as-of: per left row, whichever of the latest at-or-before /
+    * earliest at-or-after right rows is closer in time (the sensor-fusion
+    * alignment: "the reading nearest this sample, either side"). Exact
+    * ties in distance — including a right row AT the left timestamp, which
+    * both traversals see at distance 0 — resolve to the BACKWARD match, so
+    * the operator degrades to plain as-of when right rows are dense.
+    *
+    * Plan: the same union relation as the directional traversals, ONE hash
+    * shuffle on the key, TWO in-partition sorts (ts ASC and ts DESC
+    * cumulative windows share the exchange), then a row-local nearer-pick.
+    * `matched_dir` reports back/fwd/NULL for the audit trail.
+    */
+  def leftAsOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val leftRest = leftCols.filterNot(c => c == keyCol || c == tsCol)
+    val rStruct = StructType(
+      StructField("__ts", right.schema(tsCol).dataType) +:
+        rightPayload.map(c => StructField(c, right.schema(c).dataType)))
+    val tbType = right.schema(rightTieBreak).dataType
+    val taggedLeft = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__tag"),
+        lit(null).cast(tbType).as("__tb")) ++
+        leftRest.map(col) :+
+        lit(null).cast(rStruct).as("__r"): _*)
+    val taggedRight = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__tag"),
+        col(rightTieBreak).as("__tb")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(tsCol).as("__ts") +: rightPayload.map(col): _*).as("__r"): _*)
+    val wB = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = taggedLeft.unionByName(taggedRight)
+      .select(
+        Seq(col(keyCol), col(tsCol), col("__tag")) ++
+          leftRest.map(col) :+
+          last(col("__r"), ignoreNulls = true).over(wB).as("__b") :+
+          last(col("__r"), ignoreNulls = true).over(wF).as("__f"): _*)
+      .where(col("__tag") === 1)
+    val db = unix_millis(col(tsCol)) - unix_millis(col("__b").getField("__ts"))
+    val df_ = unix_millis(col("__f").getField("__ts")) - unix_millis(col(tsCol))
+    val pickFwd = col("__b").isNull || (col("__f").isNotNull && df_ < db)
+    val chosen = when(pickFwd, col("__f")).otherwise(col("__b"))
+    both.select(leftCols.map(col) ++
+      rightPayload.map(c => chosen.getField(c).as(s"right_$c")) :+
+      when(col("__b").isNull && col("__f").isNull, lit(null).cast("string"))
+        .when(pickFwd, lit("fwd")).otherwise(lit("back")).as("matched_dir"): _*)
+  }
+
   private def asOf(
       left: DataFrame,
       right: DataFrame,

@@ -583,6 +583,86 @@ object EventSeq {
              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)), 1e-12)), 4) AS z
        FROM a CROSS JOIN b"""
 
+  /** Always-valid (anytime) A/B readout via the mixture sequential
+    * probability ratio test — mSPRT (Johari, Koomen, Pekelis, Walsh,
+    * KDD 2017 / "Always Valid Inference"; the construction behind
+    * industrial sequential stats engines). The fixed-n z-test's p-value is
+    * only valid at a PRE-COMMITTED sample size; peeking every day inflates
+    * false positives badly. The mSPRT likelihood ratio
+    * Λ = √(se²/(se²+τ²)) · exp(θ̂²τ² / (2·se²·(se²+τ²))) is a
+    * nonnegative supermartingale under H0: θ=0, so p_av = min(1, 1/Λ) is
+    * valid at EVERY interim look simultaneously — the experiment can stop
+    * the moment it crosses α.
+    *
+    * θ̂ is the conversion-rate difference between the md5 arms, se² its
+    * plug-in variance, τ² the mixture scale (a fixed analysis constant).
+    * Everything derives from the same integer per-arm counts as
+    * [[abConversion]] in one fixed double-arithmetic shape; Λ and p_av
+    * round to 6. Same scan shape: per-user agg → 2-row rollup → one row.
+    */
+  def msprtAb(df: DataFrame, userCol: String, typeCol: String,
+      convType: String, tauSq: Double = 0.01, minCount: Int = 1,
+      salt: String = "arm"): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val perUser = df.select(col(userCol).as("u"), arm,
+        (col(typeCol) === convType).cast("int").as("cv"))
+      .groupBy("u", "arm")
+      .agg((sum("cv") >= minCount).cast("int").as("converted"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("converted").as("c"))
+    val a = arms.where(col("arm") === 0).select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = arms.where(col("arm") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a").cast("double")
+    val pb = col("c_b").cast("double") / col("n_b").cast("double")
+    val theta = pb - pa
+    // 1e-12 variance floor (the abConversion convention) for the
+    // degenerate all-convert / none-convert arms
+    val seSq = greatest(
+      pa * (lit(1.0) - pa) / col("n_a").cast("double") +
+        pb * (lit(1.0) - pb) / col("n_b").cast("double"), lit(1e-12))
+    val lam = sqrt(seSq / (seSq + lit(tauSq))) *
+      exp(theta * theta * lit(tauSq) / (lit(2.0) * seSq * (seSq + lit(tauSq))))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        round(theta, 6).as("theta"),
+        round(lam, 6).as("lambda"),
+        round(least(lit(1.0) / lam, lit(1.0)), 6).as("p_always_valid"),
+        (least(lit(1.0) / lam, lit(1.0)) < lit(0.05)).as("significant"))
+  }
+
+  /** DuckDB mirror of [[msprtAb]]. */
+  def msprtAbSql(tbl: String, userCol: String, typeCol: String,
+      convType: String, tauSq: Double = 0.01, minCount: Int = 1,
+      salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol AS u,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CASE WHEN SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) >= $minCount
+                THEN 1 ELSE 0 END AS converted
+         FROM $tbl GROUP BY 1, 2),
+       arms AS (SELECT arm, COUNT(*) AS n, SUM(converted) AS c FROM pu GROUP BY arm),
+       a AS (SELECT n AS n_a, c AS c_a FROM arms WHERE arm = 0),
+       b AS (SELECT n AS n_b, c AS c_b FROM arms WHERE arm = 1),
+       s AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS theta,
+           greatest(
+             (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a AS DOUBLE)
+             + (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b AS DOUBLE),
+             1e-12) AS se_sq
+         FROM a CROSS JOIN b),
+       l AS (SELECT *, sqrt(se_sq / (se_sq + $tauSq))
+             * exp(theta * theta * $tauSq / (2.0 * se_sq * (se_sq + $tauSq))) AS lam
+         FROM s)
+       SELECT n_a, c_a, n_b, c_b, round(theta, 6) AS theta,
+         round(lam, 6) AS lambda,
+         round(least(1.0 / lam, 1.0), 6) AS p_always_valid,
+         least(1.0 / lam, 1.0) < 0.05 AS significant
+       FROM l"""
+
   /** DuckDB mirror of [[pathTrigrams]]. */
   def pathTrigramsSql(tbl: String, userCol: String, tsCol: String,
       typeCol: String, idCol: String, topN: Int): String =

@@ -316,13 +316,19 @@ object Similarity {
     * clusters — the brute-force scan becomes a partition-pruned scan of
     * nProbe/nCentroids of the corpus. No training cost on this path.
     */
-  def ivfTopKIndexed(cents: Array[(Long, Seq[Double])], index: DataFrame,
-      idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
-    // the query row carries its vector + probe list (top-nProbe centroids)
-    val probes = transform(
+  /** Top-`nProbe` centroid ids for the vector in `vecCol` (sim DESC, ties
+    * to smallest cid) — the probe list a query row carries. */
+  private def probesExpr(cents: Array[(Long, Seq[Double])], vecCol: String,
+      nProbe: Int): Column =
+    transform(
       slice(sort_array(array(centroidSims(col(vecCol), cents): _*), asc = false),
         1, nProbe),
       s => -s.getField("negcid"))
+
+  def ivfTopKIndexed(cents: Array[(Long, Seq[Double])], index: DataFrame,
+      idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    // the query row carries its vector + probe list (top-nProbe centroids)
+    val probes = probesExpr(cents, vecCol, nProbe)
     val q = index
       .where(col(idCol) === queryId)
       .select(col(vecCol).as("query_vec"), probes.as("probes"))
@@ -342,6 +348,81 @@ object Similarity {
     // one centroid computation feeds both the index build and probe ranking
     val (cents, index) = ivfTrained(emb, idCol, vecCol, nCentroids, kmeansIters)
     ivfTopKIndexed(cents, index, idCol, vecCol, queryId, k, nProbe)
+  }
+
+  /** Recall@k audit of the IVF probe path against exact brute-force cosine,
+    * IN-ENGINE and oracle-checkable — the quality regression test an ANN
+    * serving deployment runs after every index rebuild (the round-7 recall
+    * panel promoted from a spec harness to a first-class operator). The
+    * query panel is every id divisible by `queryMod`; both rankings use the
+    * same round-to-4 sim and (sim DESC, id) tie-break, so the top-k SETS
+    * are engine-deterministic and recall is exact arithmetic, not a
+    * tolerance comparison. Self-matches count for both sides (consistent,
+    * and standard for fixed-k panel audits).
+    *
+    * Scale shape: the panel is corpus-fraction-bounded (1/queryMod); truth
+    * is one broadcast-panel scan of the corpus, candidates one
+    * probe-pruned scan; per-query ranking is a window partitioned by qid
+    * (panel-keyed sort, never global). Nothing quadratic in the corpus.
+    */
+  def annRecallPanel(cents: Array[(Long, Seq[Double])], index: DataFrame,
+      idCol: String, vecCol: String, queryMod: Long, k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = probesExpr(cents, vecCol, nProbe)
+    val q = index
+      .where(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), probes.as("probes"))
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    val truth = index
+      .crossJoin(broadcast(q.select("qid", "qv")))
+      .select(col("qid"), col(idCol), round(cosine(col(vecCol), col("qv")), 4).as("sim"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= k)
+      .select("qid", idCol)
+    val cand = index
+      .join(broadcast(q), array_contains(col("probes"), col("cluster")))
+      .select(col("qid"), col(idCol), round(cosine(col(vecCol), col("qv")), 4).as("sim"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= k)
+      .select(col("qid"), col(idCol), lit(1L).as("hit"))
+    truth
+      .join(cand, Seq("qid", idCol), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
+  }
+
+  /** DuckDB mirror of [[annRecallPanel]] over [[ivfTrained]] artifacts
+    * (retrains the centroid chain inline, like the ivf_topk oracle). */
+  def annRecallPanelSql(table: String, idCol: String, vecCol: String,
+      queryMod: Long, k: Int, nProbe: Int, nCentroids: Int, iters: Int,
+      dim: Int, cos: (String, String) => String): String = {
+    val (kmCtes, cent) = kmeansCentSqlCtes(table, idCol, vecCol, nCentroids, iters, dim, cos)
+    s"""WITH $kmCtes,
+       q AS (SELECT $idCol AS qid, $vecCol AS qv FROM $table WHERE $idCol % $queryMod = 0),
+       probe AS (SELECT qid, cid FROM (
+           SELECT q.qid, c.cid,
+             row_number() OVER (PARTITION BY q.qid ORDER BY ${cos("q.qv", "c.cvec")} DESC, c.cid) AS rn
+           FROM $cent c CROSS JOIN q) WHERE rn <= $nProbe),
+       assign AS (SELECT $idCol AS vid, cid FROM (
+           SELECT e.$idCol, c.cid,
+             row_number() OVER (PARTITION BY e.$idCol ORDER BY ${cos(s"e.$vecCol", "c.cvec")} DESC, c.cid) AS rn
+           FROM $table e CROSS JOIN $cent c) WHERE rn = 1),
+       truth AS (SELECT qid, vid FROM (
+           SELECT q.qid, e.$idCol AS vid,
+             row_number() OVER (PARTITION BY q.qid ORDER BY round(${cos(s"e.$vecCol", "q.qv")}, 4) DESC, e.$idCol) AS rn
+           FROM $table e CROSS JOIN q) WHERE rn <= $k),
+       cand AS (SELECT qid, vid FROM (
+           SELECT q.qid, e.$idCol AS vid,
+             row_number() OVER (PARTITION BY q.qid ORDER BY round(${cos(s"e.$vecCol", "q.qv")}, 4) DESC, e.$idCol) AS rn
+           FROM $table e JOIN assign a ON e.$idCol = a.vid
+           JOIN q ON TRUE JOIN probe p ON p.qid = q.qid AND p.cid = a.cid) WHERE rn <= $k)
+       SELECT t.qid AS qid, CAST(COUNT(c.vid) AS BIGINT) AS n_hits,
+         round(CAST(COUNT(c.vid) AS DOUBLE) / $k.0, 4) AS recall
+       FROM truth t LEFT JOIN cand c ON t.qid = c.qid AND t.vid = c.vid
+       GROUP BY t.qid"""
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
