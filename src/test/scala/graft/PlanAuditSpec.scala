@@ -600,4 +600,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"value-type rank tables should broadcast back:\n$plan")
   }
+
+  test("asof_nearest: both direction sorts share ONE keyed exchange, no join") {
+    val plan = planOf(SparkEntry.queries("asof_nearest")(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one keyed shuffle, saw $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"nearest as-of must stay join-free:\n$plan")
+  }
+
+  test("conformal_intervals: per-group stats broadcast back, no cartesian") {
+    val plan = planOf(SparkEntry.queries("conformal_intervals")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group stats/qhat should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("seq_support: firsts fold with partial min; pair join is equi-only") {
+    val plan = planOf(SparkEntry.queries("seq_support")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure leaked:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"first-occurrence agg should map-side combine:\n$plan")
+  }
+
+  test("ann_recall: panel broadcasts over the corpus; rank prunes via group limit") {
+    val plan = planOf(SparkEntry.queries("ann_recall")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"un-broadcast cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"query panel should broadcast, not shuffle the corpus:\n$plan")
+    // rank-k prune must engage BEFORE the per-qid shuffle: top-k per query
+    // flows through WindowGroupLimit, never a full sorted materialization
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number <= k should plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("quantile_norm: grid is a broadcast scalar; rank sort is source-keyed") {
+    val plan = planOf(SparkEntry.queries("quantile_norm")(spark, sf))
+    assert(plan.contains("Window"), s"percent_rank window missing:\n$plan")
+    assert("Exchange hashpartitioning\\(source".r.findFirstIn(plan).isDefined,
+      s"rank must partition by source, not sort globally:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("grouping_sets_mix plans as ONE Expand pass with partial aggregation") {
+    val plan = planOf(SparkEntry.queries("grouping_sets_mix")(spark, sf))
+    assert(plan.contains("Expand"), s"grouping sets should Expand:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count") ||
+      "HashAggregate.*partial".r.findFirstIn(plan).isDefined,
+      s"tally should map-side combine:\n$plan")
+  }
 }
