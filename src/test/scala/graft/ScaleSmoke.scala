@@ -118,7 +118,13 @@ object ScaleSmoke {
     // the budget planner
     "lof_outliers", "dbscan_clusters", "hubness", "hash_embed", "heaps_law",
     "spearman_corr", "tail_index", "rbo_overlap", "epoch_planner",
-    "wilson_ci", "jackknife_source", "js_divergence")
+    "wilson_ci", "jackknife_source", "js_divergence",
+    // round-7 session-3 (cont.): conformal bands + sequential A/B (event
+    // rollups), first-occurrence pair mining, the two-sort nearest as-of,
+    // the broadcast-panel ANN recall audit, source-keyed quantile
+    // normalization, the Expand grouping-sets tally
+    "conformal_intervals", "seq_support", "asof_nearest", "ann_recall",
+    "quantile_norm", "msprt_ab", "grouping_sets_mix")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
