@@ -2318,6 +2318,33 @@ object SparkEntry {
     // fixed-n z statistic
     "msprt_ab" -> ((s, dir) =>
       operators.EventSeq.msprtAb(ev(s, dir), "user_id", "event_type", "purchase")),
+    // per-type KS drift battery under Benjamini-Hochberg FDR control —
+    // the multiple-testing correction a drift dashboard needs before
+    // paging; per-group windows, then m-row BH step-up
+    "bh_fdr" -> ((s, dir) =>
+      operators.Drift.ksDriftFdr(ev(s, dir), "event_type", "event_id", "value")
+        .orderBy("rank")),
+    // reliability diagram + ECE of the NB source classifier on its
+    // held-out split: is the confidence that gates corpus admission
+    // actually calibrated?
+    "ece_reliability" -> ((s, dir) =>
+      operators.Classify.nbReliability(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+        .orderBy("bin")),
+    // two-period difference-in-differences on the md5 arms: per-user
+    // post-minus-pre deltas difference out baselines AND the common shock
+    "diff_in_diff" -> ((s, dir) =>
+      operators.Cuped.diffInDiff(ev(s, dir), "user_id", "ts", "value",
+        splitMs = 1705363200000L)),
+    // structural format triage (json/xml/csv/markdown/plain) over a
+    // deterministically container-wrapped corpus — the sniffer recovers
+    // the wrapper, self-validating in both engines
+    "format_sniff" -> ((s, dir) =>
+      operators.FormatSniff.sniff(
+        operators.FormatSniff.withWrapped(Tables.documents(s, dir),
+          "doc_id", "text", "lang", "n_chars"),
+        "doc_id", "raw")
+        .orderBy("doc_id")),
     // GROUPING SETS (rollup/cube's general form): the source×lang mixture
     // tally at four chosen granularities in ONE Expand pass
     "grouping_sets_mix" -> ((s, dir) =>
@@ -4396,7 +4423,18 @@ object SparkEntry {
     "grouping_sets_mix" ->
       """SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
-         ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST"""
+         ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""",
+    "bh_fdr" ->
+      s"""${operators.Drift.ksDriftFdrSql("events", "event_type", "event_id", "value")}
+         ORDER BY rank""",
+    "ece_reliability" ->
+      operators.Classify.nbReliabilitySql("documents", "doc_id", "text", "source"),
+    "diff_in_diff" ->
+      operators.Cuped.diffInDiffSql("events", "user_id", "ts", "value",
+        splitMs = 1705363200000L),
+    "format_sniff" ->
+      s"""${operators.FormatSniff.wrappedSniffSql("documents", "doc_id", "text", "lang", "n_chars")}
+         ORDER BY doc_id"""
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

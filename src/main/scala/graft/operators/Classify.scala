@@ -36,6 +36,25 @@ object Classify {
     */
   def nbClassify(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, trainMod: Int = 5): DataFrame = {
+    val scores = posteriorScores(df, idCol, textCol, labelCol, trainMod)
+    val id = col(idCol)
+    // argmax as a hash aggregation, not a sort window: min of
+    // (-post, class) orders by post DESC then class ASC — identical
+    // tie-break to the row_number formulation it replaces, without the
+    // per-doc sort (the scores relation is docs×C rows; at corpus scale
+    // the extra window sort was the only non-hash stage left)
+    scores
+      .groupBy(id, col(labelCol))
+      .agg(min(struct((-col("_nb_post")).as("_nb_neg"), col("_nb_c"))).as("_nb_w"))
+      .select(id, col(labelCol), col("_nb_w._nb_c").as(s"pred_$labelCol"),
+        (-col("_nb_w._nb_neg")).cast("double").as("score"))
+  }
+
+  /** The docs×C log-posterior relation (id, label, _nb_c, _nb_post) both
+    * [[nbClassify]] and [[nbReliability]] consume — train on the
+    * id % trainMod != 0 split, score ALL docs. */
+  private def posteriorScores(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainMod: Int): DataFrame = {
     require(trainMod >= 2, s"nbClassify: trainMod must be >= 2, got $trainMod")
     val id = col(idCol)
     val isTrain: Column = id % trainMod =!= 0
@@ -73,16 +92,64 @@ object Classify {
       .agg(sum(col("_nb_tf").cast("decimal(18,6)") * col("_nb_logp")).as("_nb_s"))
       .join(broadcast(priors), "_nb_c")
       .select(id, col(labelCol), col("_nb_c"), (col("_nb_s") + col("_nb_prior")).as("_nb_post"))
-    // argmax as a hash aggregation, not a sort window: min of
-    // (-post, class) orders by post DESC then class ASC — identical
-    // tie-break to the row_number formulation it replaces, without the
-    // per-doc sort (the scores relation is docs×C rows; at corpus scale
-    // the extra window sort was the only non-hash stage left)
     scores
+  }
+
+  /** Reliability diagram + expected calibration error (ECE — Naeini et al.,
+    * AAAI 2015; Guo et al., ICML 2017) of the [[nbClassify]] model on its
+    * HELD-OUT split: softmax the per-doc log-posteriors, bin the winning
+    * confidence into `bins` fixed-width bins, and compare each bin's mean
+    * confidence against its empirical accuracy. A classifier gating corpus
+    * admission ("keep if P(good) > .8") is only as meaningful as this
+    * curve — NB is notoriously over-confident, and ECE is the number that
+    * says by how much.
+    *
+    * Exactness: confidence = 1/Σ exp(post_c − post_max) from the same
+    * DECIMAL posteriors as the classifier, rounded to 6 BEFORE binning and
+    * DECIMAL-summed per bin; accuracy from integer counts; the final ECE
+    * folds gap·n as DECIMAL (order-free) with one double division at the
+    * edge. One extra docs×C aggregation over the shared scores relation,
+    * everything after is bins-bounded.
+    */
+  def nbReliability(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainMod: Int = 5, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val scores = posteriorScores(df, idCol, textCol, labelCol, trainMod)
+    val best = scores
       .groupBy(id, col(labelCol))
       .agg(min(struct((-col("_nb_post")).as("_nb_neg"), col("_nb_c"))).as("_nb_w"))
-      .select(id, col(labelCol), col("_nb_w._nb_c").as(s"pred_$labelCol"),
-        (-col("_nb_w._nb_neg")).cast("double").as("score"))
+      .select(id, col(labelCol), col("_nb_w._nb_c").as("_nb_pred"),
+        (-col("_nb_w._nb_neg")).as("_nb_maxpost"))
+    val conf = scores
+      .join(best.drop(labelCol), idCol)
+      .groupBy(id, col(labelCol), col("_nb_pred"), col("_nb_maxpost"))
+      .agg(sum(exp((col("_nb_post") - col("_nb_maxpost")).cast("double"))).as("_nb_z"))
+      .where(id % trainMod === 0)
+      .select(id,
+        (col("_nb_pred") === col(labelCol)).cast("long").as("correct"),
+        round(lit(1.0) / col("_nb_z"), 6).as("conf"))
+    val per = conf
+      .withColumn("bin",
+        least(floor(col("conf") * bins), lit(bins - 1)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("conf").cast("decimal(18,6)")).as("_sconf"),
+        sum(col("correct")).as("_scorr"))
+      .select(col("bin"), col("n"),
+        round(col("_sconf").cast("double") / col("n").cast("double"), 6)
+          .as("avg_conf"),
+        round(col("_scorr").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"))
+    val w = Window.partitionBy()
+    per
+      .withColumn("gap",
+        round(abs(col("accuracy") - col("avg_conf")), 6).cast("decimal(18,6)"))
+      .withColumn("ece",
+        round(sum(col("gap") * col("n")).over(w).cast("double") /
+          sum(col("n")).over(w).cast("double"), 6))
+      .select(col("bin"), col("n"), col("avg_conf"), col("accuracy"),
+        col("gap").cast("double").as("gap"), col("ece"))
   }
 
   /** DuckDB mirror of [[nbClassify]] — same smoothing, rounding points,
@@ -90,7 +157,47 @@ object Classify {
     */
   def nbClassifySql(table: String, idCol: String, textCol: String,
       labelCol: String, trainMod: Int = 5): String =
-    s"""WITH w AS (SELECT $idCol, $labelCol, $idCol % $trainMod <> 0 AS is_train,
+    s"""WITH ${nbCtes(table, idCol, textCol, labelCol, trainMod)},
+       rk AS (SELECT *, row_number() OVER (PARTITION BY $idCol
+               ORDER BY post DESC, c) AS rn FROM sc)
+       SELECT $idCol, $labelCol, c AS pred_$labelCol, CAST(post AS DOUBLE) AS score
+       FROM rk WHERE rn = 1 ORDER BY $idCol"""
+
+  /** DuckDB mirror of [[nbReliability]]. */
+  def nbReliabilitySql(table: String, idCol: String, textCol: String,
+      labelCol: String, trainMod: Int = 5, bins: Int = 10): String =
+    s"""WITH ${nbCtes(table, idCol, textCol, labelCol, trainMod)},
+       best AS (SELECT $idCol, $labelCol, c AS pred, post AS maxpost FROM (
+           SELECT *, row_number() OVER (PARTITION BY $idCol
+             ORDER BY post DESC, c) AS rn FROM sc) WHERE rn = 1),
+       cf AS (SELECT sc.$idCol,
+           MAX(CASE WHEN best.pred = best.$labelCol THEN 1 ELSE 0 END) AS correct,
+           round(1.0 / SUM(exp(CAST(sc.post - best.maxpost AS DOUBLE))), 6) AS conf
+         FROM sc JOIN best ON sc.$idCol = best.$idCol
+         WHERE sc.$idCol % $trainMod = 0
+         GROUP BY sc.$idCol),
+       per AS (SELECT least(CAST(floor(conf * $bins) AS INT), ${bins - 1}) AS bin,
+           COUNT(*) AS n,
+           SUM(CAST(conf AS DECIMAL(18,6))) AS sconf,
+           SUM(correct) AS scorr
+         FROM cf GROUP BY 1),
+       g AS (SELECT bin, CAST(n AS BIGINT) AS n,
+           round(CAST(sconf AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_conf,
+           round(CAST(scorr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy
+         FROM per),
+       g2 AS (SELECT *,
+           CAST(round(abs(accuracy - avg_conf), 6) AS DECIMAL(18,6)) AS gap
+         FROM g)
+       SELECT bin, n, avg_conf, accuracy, CAST(gap AS DOUBLE) AS gap,
+         round(CAST(SUM(gap * n) OVER () AS DOUBLE)
+           / CAST(SUM(n) OVER () AS DOUBLE), 6) AS ece
+       FROM g2 ORDER BY bin"""
+
+  /** Shared CTE chain through `sc` (the docs×C posterior relation) — same
+    * smoothing, rounding points, DECIMAL accumulation as the Spark side. */
+  private def nbCtes(table: String, idCol: String, textCol: String,
+      labelCol: String, trainMod: Int): String =
+    s"""w AS (SELECT $idCol, $labelCol, $idCol % $trainMod <> 0 AS is_train,
              string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $table),
        tk AS (SELECT $idCol, $labelCol, is_train, unnest(ws) AS tok FROM w),
        tf AS (SELECT $idCol, $labelCol, is_train, tok, COUNT(*) AS tf
@@ -113,9 +220,5 @@ object Classify {
        sc AS (SELECT tf.$idCol, tf.$labelCol, wt.c,
              SUM(CAST(tf.tf AS DECIMAL(18,6)) * wt.logp) + ANY_VALUE(pr.prior) AS post
            FROM tf JOIN wt ON tf.tok = wt.tok JOIN pr ON pr.c = wt.c
-           GROUP BY 1, 2, 3),
-       rk AS (SELECT *, row_number() OVER (PARTITION BY $idCol
-               ORDER BY post DESC, c) AS rn FROM sc)
-       SELECT $idCol, $labelCol, c AS pred_$labelCol, CAST(post AS DOUBLE) AS score
-       FROM rk WHERE rn = 1 ORDER BY $idCol"""
+           GROUP BY 1, 2, 3)"""
 }

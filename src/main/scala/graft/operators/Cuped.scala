@@ -163,4 +163,105 @@ object Cuped {
            va_adj / CAST(n_a AS DOUBLE) + vb_adj / CAST(n_b AS DOUBLE),
            1e-12)), 4) AS z
        FROM f"""
+
+  /** Two-period difference-in-differences (Card & Krueger, AER 1994
+    * canonical design): per-user Δ = post-period sum − pre-period sum, and
+    * the effect estimate is mean(Δ_treatment) − mean(Δ_control) — the
+    * parallel-trends estimator that differences out both user-level
+    * baselines and the common temporal shock a raw post-period comparison
+    * confounds. The rung between the raw Welch t ([[EventSeq.abValueTtest]])
+    * and [[adjust]]'s variance-reduction regression: DiD needs NO
+    * pre-period independence assumption — the pre-period difference
+    * subtracts out by construction.
+    *
+    * Same exactness discipline as [[adjust]]: md5 arms, DECIMAL per-user
+    * sums, DECIMAL Δ and Δ² folds (order-free), Welch SE on Δ in one fixed
+    * double shape. One scan → per-user agg → 2-row rollup → one row.
+    */
+  def diffInDiff(df: DataFrame, userCol: String, tsCol: String, valCol: String,
+      splitMs: Long, salt: String = "arm"): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val pre = unix_millis(col(tsCol)) < splitMs
+    val dec = col(valCol).cast("decimal(18,6)")
+    val perUser = df
+      .select(col(userCol).as("u"), arm, pre.as("pre"), dec.as("v"))
+      .groupBy("u", "arm")
+      .agg(
+        coalesce(sum(when(col("pre"), col("v"))), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("x"),
+        coalesce(sum(when(!col("pre"), col("v"))), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("y"))
+      .withColumn("delta", (col("y") - col("x")).cast("decimal(18,6)"))
+    val arms = perUser.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("delta")).as("sd"),
+      sum(col("delta") * col("delta")).as("sdd"))
+    val a = arms.where(col("arm") === 0).select(col("n").as("n_a"),
+      col("sx").as("sx_a"), col("sy").as("sy_a"),
+      col("sd").as("sd_a"), col("sdd").as("sdd_a"))
+    val b = arms.where(col("arm") === 1).select(col("n").as("n_b"),
+      col("sx").as("sx_b"), col("sy").as("sy_b"),
+      col("sd").as("sd_b"), col("sdd").as("sdd_b"))
+    def d(c: Column) = c.cast("double")
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val dMeanA = d(col("sd_a")) / na
+    val dMeanB = d(col("sd_b")) / nb
+    val did = dMeanB - dMeanA
+    val varA = (d(col("sdd_a")) - d(col("sd_a")) * d(col("sd_a")) / na) / (na - 1.0)
+    val varB = (d(col("sdd_b")) - d(col("sd_b")) * d(col("sd_b")) / nb) / (nb - 1.0)
+    val se = sqrt(greatest(varA / na + varB / nb, lit(1e-12)))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        round(d(col("sx_a")) / na, 6).as("pre_a"),
+        round(d(col("sy_a")) / na, 6).as("post_a"),
+        round(d(col("sx_b")) / nb, 6).as("pre_b"),
+        round(d(col("sy_b")) / nb, 6).as("post_b"),
+        round(did, 6).as("did"),
+        round(se, 6).as("se"),
+        round(did / se, 4).as("t"))
+  }
+
+  /** DuckDB mirror of [[diffInDiff]]. */
+  def diffInDiffSql(tbl: String, userCol: String, tsCol: String,
+      valCol: String, splitMs: Long, salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol AS u,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST(COALESCE(SUM(CASE WHEN epoch_ms($tsCol) < $splitMs
+             THEN CAST($valCol AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6)) AS x,
+           CAST(COALESCE(SUM(CASE WHEN epoch_ms($tsCol) >= $splitMs
+             THEN CAST($valCol AS DECIMAL(18,6)) END), 0) AS DECIMAL(18,6)) AS y
+         FROM $tbl GROUP BY 1, 2),
+       pd AS (SELECT *, CAST(y - x AS DECIMAL(18,6)) AS delta FROM pu),
+       arms AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(delta) AS sd,
+           -- DECIMAL(19,6) operands force the INT128 multiply path (the
+           -- adjustSql convention); exact either way
+           SUM(CAST(delta AS DECIMAL(19,6)) * CAST(delta AS DECIMAL(19,6))) AS sdd
+         FROM pd GROUP BY arm),
+       a AS (SELECT n AS n_a, sx AS sx_a, sy AS sy_a, sd AS sd_a, sdd AS sdd_a
+         FROM arms WHERE arm = 0),
+       b AS (SELECT n AS n_b, sx AS sx_b, sy AS sy_b, sd AS sd_b, sdd AS sdd_b
+         FROM arms WHERE arm = 1),
+       s AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pre_a,
+           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS post_a,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pre_b,
+           CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS post_b,
+           CAST(sd_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(sd_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS did,
+           (CAST(sdd_a AS DOUBLE) - CAST(sd_a AS DOUBLE) * CAST(sd_a AS DOUBLE)
+              / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+           (CAST(sdd_b AS DOUBLE) - CAST(sd_b AS DOUBLE) * CAST(sd_b AS DOUBLE)
+              / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+         FROM a CROSS JOIN b)
+       SELECT n_a, n_b, round(pre_a, 6) AS pre_a, round(post_a, 6) AS post_a,
+         round(pre_b, 6) AS pre_b, round(post_b, 6) AS post_b,
+         round(did, 6) AS did,
+         round(sqrt(greatest(var_a / CAST(n_a AS DOUBLE)
+           + var_b / CAST(n_b AS DOUBLE), 1e-12)), 6) AS se,
+         round(did / sqrt(greatest(var_a / CAST(n_a AS DOUBLE)
+           + var_b / CAST(n_b AS DOUBLE), 1e-12)), 4) AS t
+       FROM s"""
 }

@@ -311,4 +311,108 @@ object Drift {
          round(CAST(maxnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6)
            > round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS drifted
        FROM agg"""
+
+  /** Per-GROUP two-sample KS battery with Benjamini–Hochberg FDR control
+    * (Benjamini & Hochberg, JRSS-B 1995): one [[ksDrift]] per group (same
+    * md5 halves, same integer cross-multiplied supremum), an asymptotic
+    * p-value per group (Stephens' effective-n λ and the 3-term
+    * Kolmogorov series — one fixed double shape), then the BH step-up:
+    * reject every group ranked ≤ the LARGEST i with p₍ᵢ₎ ≤ i·q/m. Running
+    * m marginal tests at α each inflates family-wise false alarms; this is
+    * the correction a per-source/per-type drift dashboard must apply
+    * before paging anyone.
+    *
+    * Scale shape: the KS folds are the [[ksDrift]] windows partitioned by
+    * group (per-group sorts over the distinct-value relation); everything
+    * after is windows over the m-row group relation (type-table-bounded).
+    * p rounds to 6 BEFORE ranking (ties break on group name), so the BH
+    * ordering is engine-deterministic.
+    */
+  def ksDriftFdr(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, q: Double = 0.1, salt: String = "ks"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val half = (conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("half")
+    val counts = df.select(col(groupCol).as("g"), half,
+        col(valCol).cast("double").as("v"))
+      .groupBy("g", "v")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("g")
+    val per = counts
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .withColumn("ta", sum(col("na")).over(tot))
+      .withColumn("tb", sum(col("nb")).over(tot))
+      .withColumn("num", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+      .groupBy("g")
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        max(col("num")).as("maxnum"))
+    val d = col("maxnum").cast("double") / (col("n_a") * col("n_b")).cast("double")
+    val ne = (col("n_a") * col("n_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * d
+    // 3-term Kolmogorov tail: 2Σ(-1)^{k-1} exp(-2k²λ²), clamped to [0,1]
+    val pRaw = lit(2.0) * (exp(lit(-2.0) * lam * lam)
+      - exp(lit(-8.0) * lam * lam) + exp(lit(-18.0) * lam * lam))
+    val scored = per.select(col("g"), round(d, 6).as("d_stat"),
+      round(least(greatest(pRaw, lit(0.0)), lit(1.0)), 6).as("p_value"))
+    val m = Window.partitionBy()
+    val byP = Window.orderBy(col("p_value"), col("g"))
+    val ranked = scored
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rank", row_number().over(byP))
+      .withColumn("bh_thresh",
+        round(col("rank").cast("double") * lit(q) / col("m").cast("double"), 6))
+    val maxPass = max(when(col("p_value") <= col("bh_thresh"), col("rank"))
+      .otherwise(lit(0L))).over(m)
+    ranked
+      .withColumn("rejected", col("rank") <= maxPass)
+      .select(col("g").as(groupCol), col("d_stat"), col("p_value"),
+        col("rank"), col("bh_thresh"), col("rejected"))
+  }
+
+  /** DuckDB mirror of [[ksDriftFdr]]. */
+  def ksDriftFdrSql(tbl: String, groupCol: String, idCol: String,
+      valCol: String, q: Double = 0.1, salt: String = "ks"): String =
+    s"""WITH base AS (SELECT $groupCol AS g,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($idCol AS VARCHAR)),1,2) AS INT) % 2 AS half,
+           CAST($valCol AS DOUBLE) AS v
+         FROM $tbl),
+       counts AS (SELECT g, v,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM base GROUP BY g, v),
+       c AS (SELECT g,
+           CAST(SUM(na) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+           CAST(SUM(nb) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+           CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+           CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+         FROM counts),
+       agg AS (SELECT g, MAX(ta) AS n_a, MAX(tb) AS n_b,
+           MAX(abs(ca * tb - cb * ta)) AS maxnum FROM c GROUP BY g),
+       sc AS (SELECT g,
+           round(CAST(maxnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat,
+           round(least(greatest(
+             2.0 * (exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam) + exp(-18.0 * lam * lam)),
+             0.0), 1.0), 6) AS p_value
+         FROM (SELECT *,
+             (sqrt(ne) + 0.12 + 0.11 / sqrt(ne))
+               * (CAST(maxnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) AS lam
+           FROM (SELECT *,
+               CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS ne
+             FROM agg))),
+       rk AS (SELECT *, COUNT(*) OVER () AS m,
+           row_number() OVER (ORDER BY p_value, g) AS rank
+         FROM sc),
+       th AS (SELECT *,
+           round(CAST(rank AS DOUBLE) * $q / CAST(m AS DOUBLE), 6) AS bh_thresh
+         FROM rk)
+       SELECT g AS $groupCol, d_stat, p_value, CAST(rank AS BIGINT) AS rank,
+         bh_thresh,
+         rank <= MAX(CASE WHEN p_value <= bh_thresh THEN rank ELSE 0 END) OVER () AS rejected
+       FROM th"""
 }

@@ -124,7 +124,10 @@ object ScaleSmoke {
     // the broadcast-panel ANN recall audit, source-keyed quantile
     // normalization, the Expand grouping-sets tally
     "conformal_intervals", "seq_support", "asof_nearest", "ann_recall",
-    "quantile_norm", "msprt_ab", "grouping_sets_mix")
+    "quantile_norm", "msprt_ab", "grouping_sets_mix",
+    // batch 2: per-group KS windows + BH step-up, the NB reliability pass
+    // (docs×C posterior relation), DiD arm rollup, the one-pass sniffer
+    "bh_fdr", "ece_reliability", "diff_in_diff", "format_sniff")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
