@@ -115,7 +115,11 @@ object Classify {
       labelCol: String, trainMod: Int = 5, bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
+    // the docs×C posterior relation feeds BOTH the argmax and the softmax
+    // join below — materialize it once (it is C-bounded per doc; without
+    // this the whole NB train pipeline runs twice)
     val scores = posteriorScores(df, idCol, textCol, labelCol, trainMod)
+      .localCheckpoint()
     val best = scores
       .groupBy(id, col(labelCol))
       .agg(min(struct((-col("_nb_post")).as("_nb_neg"), col("_nb_c"))).as("_nb_w"))
