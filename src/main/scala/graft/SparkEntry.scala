@@ -2318,6 +2318,36 @@ object SparkEntry {
     // fixed-n z statistic
     "msprt_ab" -> ((s, dir) =>
       operators.EventSeq.msprtAb(ev(s, dir), "user_id", "event_type", "purchase")),
+    // Luhn-validated card-shape PII audit: per-doc synthesized 16-digit
+    // candidates (even ids carry the correct check digit, odd ids an
+    // off-by-one) — the checksum pass a bare digit-run regex cannot do
+    "pii_luhn" -> ((s, dir) => {
+      val base = lpad(((col("doc_id") + lit(7)) * lit(7919L) % lit(1000000000000000L))
+        .cast("string"), 15, "0")
+      val check = operators.Privacy.luhnCheckDigit(base)
+      val digit = when(col("doc_id") % 2 === 0, check)
+        .otherwise((check + 1) % 10)
+      val wrapped = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" card "), base, digit.cast("string")).as("body"))
+      operators.Privacy.luhnScan(wrapped, "doc_id", "body")
+        .orderBy("doc_id", "candidate")
+    }),
+    // held-out unigram perplexity: model fit on the train split only, OOV
+    // priced at the unseen mass — the honest deployment form of the
+    // perplexity quality gate
+    "heldout_ppl" -> ((s, dir) =>
+      TextAnalysis.heldoutPpl(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // fixed-n power analysis from the observed per-arm moments: the
+    // required n per arm to detect a 5% lift at alpha=.05, power .8
+    "power_planner" -> ((s, dir) =>
+      operators.EventSeq.powerPlanner(ev(s, dir), "user_id", "value")),
+    // seasonal-naive forecast eval with MASE scaling: does weekly
+    // seasonality beat persistence, per event type?
+    "mase_eval" -> ((s, dir) =>
+      operators.Temporal.maseEval(ev(s, dir), "event_type", "ts")
+        .orderBy("event_type")),
     // per-type KS drift battery under Benjamini-Hochberg FDR control —
     // the multiple-testing correction a drift dashboard needs before
     // paging; per-group windows, then m-row BH step-up
@@ -4434,7 +4464,29 @@ object SparkEntry {
         splitMs = 1705363200000L),
     "format_sniff" ->
       s"""${operators.FormatSniff.wrappedSniffSql("documents", "doc_id", "text", "lang", "n_chars")}
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "pii_luhn" -> {
+      val base = "lpad(CAST((doc_id + 7) * 7919 % 1000000000000000 AS VARCHAR), 15, '0')"
+      s"""WITH syn AS (SELECT doc_id, $base AS base,
+           ${operators.Privacy.luhnCheckDigitSql(base)} AS chk
+         FROM documents),
+         wrapped AS (SELECT d.doc_id,
+             d.text || ' card ' || s.base ||
+             CAST(CASE WHEN d.doc_id % 2 = 0 THEN s.chk ELSE (s.chk + 1) % 10 END AS VARCHAR) AS body
+           FROM documents d JOIN syn s ON d.doc_id = s.doc_id),
+         cand AS (SELECT doc_id,
+             unnest(regexp_extract_all(body, '\\d{13,19}')) AS candidate
+           FROM wrapped)
+         SELECT doc_id, candidate, ${operators.Privacy.luhnValidSql("candidate")} AS luhn_valid
+         FROM cand ORDER BY doc_id, candidate"""
+    },
+    "heldout_ppl" ->
+      operators.TextAnalysis.heldoutPplSql("documents", "doc_id", "text"),
+    "power_planner" ->
+      operators.EventSeq.powerPlannerSql("events", "user_id", "value"),
+    "mase_eval" ->
+      s"""${operators.Temporal.maseEvalSql("events", "event_type", "ts")}
+         ORDER BY event_type"""
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

@@ -663,6 +663,79 @@ object EventSeq {
          least(1.0 / lam, 1.0) < 0.05 AS significant
        FROM l"""
 
+  /** Experiment sample-size planner (fixed-n power analysis, the standard
+    * two-sample normal approximation): given the CURRENT per-arm user-value
+    * moments, the per-arm n required to detect a `liftFrac` relative lift
+    * of the pooled mean at two-sided α = 0.05 with power 0.8:
+    *   n = (z_{α/2} + z_β)² · (s²_a + s²_b) / δ²,  δ = liftFrac · pooled mean.
+    * The planning readout that should gate STARTING an experiment — an A/B
+    * run without it either wastes traffic or is doomed to inconclusiveness.
+    * Same DECIMAL moment folds as [[abValueTtest]]; z constants are fixed
+    * literals so both engines compute one identical double shape.
+    */
+  def powerPlanner(df: DataFrame, userCol: String, valCol: String,
+      liftFrac: Double = 0.05, salt: String = "arm"): DataFrame = {
+    val zAlpha = 1.959964 // two-sided 0.05
+    val zBeta = 0.841621  // power 0.8
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val perUser = df.select(col(userCol).as("u"), arm,
+        col(valCol).cast("decimal(18,6)").as("v"))
+      .groupBy("u", "arm")
+      .agg(sum(col("v")).cast("decimal(18,6)").as("y"))
+    val arms = perUser.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"))
+    val a = arms.where(col("arm") === 0).select(col("n").as("n_a"),
+      col("sy").as("sy_a"), col("syy").as("syy_a"))
+    val b = arms.where(col("arm") === 1).select(col("n").as("n_b"),
+      col("sy").as("sy_b"), col("syy").as("syy_b"))
+    def d(c: Column) = c.cast("double")
+    val na = d(col("n_a")); val nb = d(col("n_b"))
+    val pooledMean = (d(col("sy_a")) + d(col("sy_b"))) / (na + nb)
+    val varA = (d(col("syy_a")) - d(col("sy_a")) * d(col("sy_a")) / na) / (na - 1.0)
+    val varB = (d(col("syy_b")) - d(col("sy_b")) * d(col("sy_b")) / nb) / (nb - 1.0)
+    val delta = greatest(abs(pooledMean) * lit(liftFrac), lit(1e-12))
+    val zz = lit((zAlpha + zBeta) * (zAlpha + zBeta))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        round(pooledMean, 6).as("pooled_mean"),
+        round(varA, 6).as("var_a"), round(varB, 6).as("var_b"),
+        round(delta, 6).as("delta"),
+        ceil(zz * (varA + varB) / (delta * delta)).cast("bigint")
+          .as("n_required_per_arm"))
+  }
+
+  /** DuckDB mirror of [[powerPlanner]]. */
+  def powerPlannerSql(tbl: String, userCol: String, valCol: String,
+      liftFrac: Double = 0.05, salt: String = "arm"): String = {
+    val zz = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    s"""WITH pu AS (SELECT $userCol AS u,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST(SUM(CAST($valCol AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+         FROM $tbl GROUP BY 1, 2),
+       arms AS (SELECT arm, COUNT(*) AS n, SUM(y) AS sy,
+           SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy
+         FROM pu GROUP BY arm),
+       a AS (SELECT n AS n_a, sy AS sy_a, syy AS syy_a FROM arms WHERE arm = 0),
+       b AS (SELECT n AS n_b, sy AS sy_b, syy AS syy_b FROM arms WHERE arm = 1),
+       s AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           (CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled_mean,
+           (CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE)
+              / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+           (CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE)
+              / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+         FROM a CROSS JOIN b),
+       s2 AS (SELECT *, greatest(abs(pooled_mean) * $liftFrac, 1e-12) AS delta FROM s)
+       SELECT n_a, n_b, round(pooled_mean, 6) AS pooled_mean,
+         round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+         round(delta, 6) AS delta,
+         CAST(ceil($zz * (var_a + var_b) / (delta * delta)) AS BIGINT)
+           AS n_required_per_arm
+       FROM s2"""
+  }
+
   /** DuckDB mirror of [[pathTrigrams]]. */
   def pathTrigramsSql(tbl: String, userCol: String, tsCol: String,
       typeCol: String, idCol: String, topN: Int): String =

@@ -231,4 +231,66 @@ object Privacy {
            / CAST(MAX(nC) * MAX(nG) * ${(buckets - 1).toLong} AS DOUBLE), 6) AS t
        FROM t GROUP BY $qi ORDER BY $qi"""
   }
+
+  /** Luhn mod-10 validity (ISO/IEC 7812) of a digit-string column: from the
+    * RIGHT, double every second digit, subtract 9 when the double exceeds
+    * 9, and the total must divide by 10. The checksum pass that separates
+    * card-shaped PII from phone numbers, order ids, and timestamps a bare
+    * `\\d{13,19}` regex cannot tell apart — regex-only PII audits
+    * over-report by exactly this class.
+    */
+  def luhnValid(c: Column): Column = {
+    val terms = transform(sequence(lit(1), length(c)), i => {
+      val d = c.substr(i, lit(1)).cast("int")
+      val r = (length(c) - i) % 2
+      when(r === 1, when(d * 2 > lit(9), d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** SQL mirror of [[luhnValid]] over digit-string expression `c`. */
+  def luhnValidSql(c: String): String =
+    s"""(list_sum(list_transform(range(1, length($c) + 1), i ->
+        CASE WHEN (length($c) - i) % 2 = 1
+          THEN CASE WHEN CAST(substr($c, CAST(i AS INT), 1) AS INT) * 2 > 9
+            THEN CAST(substr($c, CAST(i AS INT), 1) AS INT) * 2 - 9
+            ELSE CAST(substr($c, CAST(i AS INT), 1) AS INT) * 2 END
+          ELSE CAST(substr($c, CAST(i AS INT), 1) AS INT) END)) % 10 = 0)"""
+
+  /** The check digit that makes `base || digit` Luhn-valid (positions
+    * computed for the appended length) — the fixture-synthesis helper that
+    * lets the board query plant known-valid/invalid candidates. */
+  def luhnCheckDigit(base: Column): Column = {
+    val terms = transform(sequence(lit(1), length(base)), i => {
+      val d = base.substr(i, lit(1)).cast("int")
+      val r = (length(base) + 1 - i) % 2
+      when(r === 1, when(d * 2 > lit(9), d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    (lit(10) - aggregate(terms, lit(0), (acc, x) => acc + x) % 10) % 10
+  }
+
+  /** SQL mirror of [[luhnCheckDigit]]. */
+  def luhnCheckDigitSql(base: String): String =
+    s"""((10 - list_sum(list_transform(range(1, length($base) + 1), i ->
+        CASE WHEN (length($base) + 1 - i) % 2 = 1
+          THEN CASE WHEN CAST(substr($base, CAST(i AS INT), 1) AS INT) * 2 > 9
+            THEN CAST(substr($base, CAST(i AS INT), 1) AS INT) * 2 - 9
+            ELSE CAST(substr($base, CAST(i AS INT), 1) AS INT) * 2 END
+          ELSE CAST(substr($base, CAST(i AS INT), 1) AS INT) END)) % 10) % 10)"""
+
+  /** Card-number candidate extraction + Luhn validation: every 13-19 digit
+    * run in `textCol`, with its checksum verdict — explode-bounded by
+    * candidate count, validation is a pure codegen'd expression. */
+  def luhnScan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(expr(s"regexp_extract_all($textCol, '\\\\d{13,19}', 0)")).as("candidate"))
+      .select(col(idCol), col("candidate"), luhnValid(col("candidate")).as("luhn_valid"))
+
+  /** DuckDB mirror of [[luhnScan]]. */
+  def luhnScanSql(tbl: String, idCol: String, textCol: String): String =
+    s"""WITH cand AS (SELECT $idCol,
+           unnest(regexp_extract_all($textCol, '\\d{13,19}')) AS candidate
+         FROM $tbl)
+       SELECT $idCol, candidate, ${luhnValidSql("candidate")} AS luhn_valid
+       FROM cand"""
 }

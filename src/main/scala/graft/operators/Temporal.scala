@@ -1089,4 +1089,60 @@ object Temporal {
            AS anomaly
        FROM f ORDER BY $keyCol"""
   }
+
+  /** Seasonal-naive forecast error with MASE scaling (Hyndman & Koehler,
+    * IJF 2006, "Another look at measures of forecast accuracy"): per key,
+    * score the forecast "tomorrow = same weekday last week" (ŷ_t = y_{t−7})
+    * against the realized daily counts, scaled by the one-step naive
+    * ŷ_t = y_{t−1} error — MASE < 1 means weekly seasonality genuinely
+    * beats persistence, the go/no-go for shipping the q6-style seasonal
+    * forecaster on a key. Absolute errors are INTEGER (daily counts), so
+    * both means and their ratio are exact-until-one-division.
+    *
+    * Gap discipline: a "day" exists only if observed; lag terms require the
+    * EXACT calendar offset to exist (d−7 / d−1 present), expressed as
+    * equi-joins of the per-key day relation against itself — no
+    * densification, no window over a gap-filled grid. The day relation is
+    * calendar-span-bounded, so both self-joins are type-table-sized.
+    */
+  def maseEval(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val l7 = daily.select(col("k"), date_add(col("day"), 7).as("day"),
+      col("c").as("c7"))
+    val l1 = daily.select(col("k"), date_add(col("day"), 1).as("day"),
+      col("c").as("c1"))
+    daily
+      .join(l7, Seq("k", "day"))
+      .join(l1, Seq("k", "day"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("c") - col("c7"))).as("ae7"),
+        sum(abs(col("c") - col("c1"))).as("ae1"))
+      .where(col("ae1") > 0)
+      .select(col("k").as(keyCol), col("n_eval"),
+        round(col("ae7").cast("double") / col("n_eval").cast("double"), 6)
+          .as("mae_seasonal"),
+        round(col("ae1").cast("double") / col("n_eval").cast("double"), 6)
+          .as("mae_naive"),
+        round(col("ae7").cast("double") / col("ae1").cast("double"), 4)
+          .as("mase"))
+  }
+
+  /** DuckDB mirror of [[maseEval]]. */
+  def maseEvalSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol AS k, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       j AS (SELECT d.k, d.day, d.c, l7.c AS c7, l1.c AS c1
+         FROM daily d
+         JOIN daily l7 ON l7.k = d.k AND l7.day + 7 = d.day
+         JOIN daily l1 ON l1.k = d.k AND l1.day + 1 = d.day),
+       agg AS (SELECT k, COUNT(*) AS n_eval,
+           SUM(abs(c - c7)) AS ae7, SUM(abs(c - c1)) AS ae1
+         FROM j GROUP BY k)
+       SELECT k AS $keyCol, CAST(n_eval AS BIGINT) AS n_eval,
+         round(CAST(ae7 AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS mae_seasonal,
+         round(CAST(ae1 AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS mae_naive,
+         round(CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE), 4) AS mase
+       FROM agg WHERE ae1 > 0"""
 }

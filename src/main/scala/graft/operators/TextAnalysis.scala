@@ -236,6 +236,64 @@ object TextAnalysis {
         (col("_ul_sum").cast("double") / col("n_toks").cast("double")).as("avg_nll"))
   }
 
+  /** HELD-OUT unigram perplexity — the methodologically honest version of
+    * [[unigramLogprob]]: counts come from the id % trainMod != 0 TRAIN
+    * split only (add-1 smoothing over the train vocabulary, out-of-vocab
+    * terms priced at the unseen mass 1/(N+V+1)), and only HELD-OUT docs
+    * are scored. A model scored on the corpus it was fit on
+    * under-reports perplexity by exactly the memorized mass — this split
+    * is what a CCNet-style quality gate should actually deploy.
+    *
+    * Same exactness discipline as [[unigramLogprob]]: per-term nll rounds
+    * to 4 then accumulates as DECIMAL; OOV terms fold through the same
+    * rounded constant. Plan: train counts fold to the type table, held-out
+    * occurrences LEFT-join it on term (coalesce to the OOV price), one
+    * broadcast scalar for (N, V).
+    */
+  def heldoutPpl(df: DataFrame, idCol: String, textCol: String,
+      trainMod: Int = 5): DataFrame = {
+    val id = col(idCol)
+    val tf = Dedup.parallelize(df)
+      .select(id, explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val freq = tf.where(id % trainMod =!= 0)
+      .groupBy("term").agg(sum("tf").as("cnt"))
+    val scal = freq.agg(sum(col("cnt")).as("n_train"),
+      count(lit(1)).as("v_size"))
+    val denom = (col("n_train") + col("v_size") + lit(1)).cast("double")
+    val nll = round(log(denom /
+      (coalesce(col("cnt"), lit(0L)).cast("double") + lit(1.0))), 4)
+      .cast("decimal(18,4)")
+    tf.where(id % trainMod === 0)
+      .join(broadcast(freq), Seq("term"), "left")
+      .crossJoin(broadcast(scal))
+      .groupBy(id)
+      .agg(
+        sum(col("tf")).as("n_toks"),
+        sum(col("tf").cast("decimal(18,4)") * nll).as("_hp_sum"))
+      .select(id, col("n_toks"),
+        (col("_hp_sum").cast("double") / col("n_toks").cast("double")).as("avg_nll"))
+  }
+
+  /** DuckDB mirror of [[heldoutPpl]]. */
+  def heldoutPplSql(tbl: String, idCol: String, textCol: String,
+      trainMod: Int = 5): String =
+    s"""WITH t AS (SELECT $idCol, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+           FROM $tbl),
+       tf AS (SELECT $idCol, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       fr AS (SELECT term, SUM(tf) AS cnt FROM tf WHERE $idCol % $trainMod <> 0 GROUP BY term),
+       sc AS (SELECT SUM(cnt) AS n_train, COUNT(*) AS v_size FROM fr),
+       j AS (SELECT tf.$idCol, tf.tf,
+             CAST(round(ln(CAST(n_train + v_size + 1 AS DOUBLE)
+               / (CAST(COALESCE(fr.cnt, 0) AS DOUBLE) + 1.0)), 4)
+               AS DECIMAL(18,4)) AS nll
+             FROM tf LEFT JOIN fr USING (term) CROSS JOIN sc
+             WHERE tf.$idCol % $trainMod = 0)
+       SELECT $idCol, CAST(SUM(tf) AS BIGINT) AS n_toks,
+         CAST(SUM(CAST(tf AS DECIMAL(18,4)) * nll) AS DOUBLE)
+           / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+       FROM j GROUP BY $idCol ORDER BY $idCol"""
+
   /** Bigram-LM negative log-likelihood per document — the CCNet-style
     * (Wenzek et al. 2020) perplexity quality filter one rung up from
     * [[unigramLogprob]]: fluent text reuses common word PAIRS, so word-salad

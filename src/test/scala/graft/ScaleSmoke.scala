@@ -127,7 +127,10 @@ object ScaleSmoke {
     "quantile_norm", "msprt_ab", "grouping_sets_mix",
     // batch 2: per-group KS windows + BH step-up, the NB reliability pass
     // (docs×C posterior relation), DiD arm rollup, the one-pass sniffer
-    "bh_fdr", "ece_reliability", "diff_in_diff", "format_sniff")
+    "bh_fdr", "ece_reliability", "diff_in_diff", "format_sniff",
+    // batch 3: per-doc Luhn candidate explode, the train/held-out unigram
+    // split, arm-moment power closed form, the calendar self-join MASE
+    "pii_luhn", "heldout_ppl", "power_planner", "mase_eval")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
