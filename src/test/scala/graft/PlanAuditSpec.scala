@@ -643,6 +643,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
+  test("bh_fdr: per-group KS windows partition by group, no cartesian") {
+    val plan = planOf(SparkEntry.queries("bh_fdr")(spark, sf))
+    assert("Window.*\\[g#".r.findFirstIn(plan).isDefined ||
+      plan.contains("PARTITION BY") || plan.contains("windowspecdefinition(g#"),
+      s"KS fold must window per group:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("mase_eval: calendar-offset self-joins stay equi-only with partial agg") {
+    val plan = planOf(SparkEntry.queries("mase_eval")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lag joins must be equi-joins:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"daily counts should map-side combine:\n$plan")
+  }
+
+  test("pii_luhn: candidate explode with NO join — validation is pure expression") {
+    val plan = planOf(SparkEntry.queries("pii_luhn")(spark, sf))
+    assert(!plan.contains("Join"), s"Luhn scan must stay join-free:\n$plan")
+    assert(plan.contains("Generate"), s"candidates should explode:\n$plan")
+  }
+
+  test("heldout_ppl: train frequencies broadcast back onto the held-out stream") {
+    val plan = planOf(SparkEntry.queries("heldout_ppl")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"type-table frequencies should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
   test("grouping_sets_mix plans as ONE Expand pass with partial aggregation") {
     val plan = planOf(SparkEntry.queries("grouping_sets_mix")(spark, sf))
     assert(plan.contains("Expand"), s"grouping sets should Expand:\n$plan")
