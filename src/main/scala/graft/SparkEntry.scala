@@ -1579,6 +1579,16 @@ object SparkEntry {
           "doc_id", col("tok"))
         .orderBy("shard")
     }),
+    // per-shard CONTENT digest over the same pack_shards assignment: the
+    // dataset-card provenance fingerprint — two builds match iff every
+    // member's bytes match
+    "shard_digest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val assign = operators.Sharding.packShards(
+        docs, "doc_id", operators.TextAnalysis.tokenCount(col("text")), budget = 10000)
+      operators.Sharding.shardContentDigest(assign, docs, "doc_id", "text")
+        .orderBy("shard")
+    }),
     // Efraimidis–Spirakis weighted sampling without replacement: exactly 50
     // docs, inclusion odds ∝ n_chars, pure function of ids — one scan +
     // TakeOrdered, no global sort
@@ -4486,7 +4496,16 @@ object SparkEntry {
       operators.EventSeq.powerPlannerSql("events", "user_id", "value"),
     "mase_eval" ->
       s"""${operators.Temporal.maseEvalSql("events", "event_type", "ts")}
-         ORDER BY event_type"""
+         ORDER BY event_type""",
+    "shard_digest" ->
+      operators.Sharding.shardContentDigestSql(
+        """SELECT doc_id AS id,
+           CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS BIGINT) AS shard
+           FROM (SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+                 FROM documents)""",
+        "documents", "doc_id", "text")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

@@ -207,4 +207,38 @@ object Sharding {
          MIN(id) AS min_id, MAX(id) AS max_id,
          md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))) AS id_fp
        FROM a GROUP BY shard ORDER BY shard"""
+
+  /** Per-shard CONTENT digest — the provenance fingerprint a dataset card
+    * publishes: md5 over the id-ordered concatenation of each member's
+    * content md5. Two shard builds match iff every member document's BYTES
+    * match, regardless of build order or partitioning — [[shardManifest]]'s
+    * id fingerprint can't see a silently mutated document; this can.
+    *
+    * Shape: docs contribute one 32-hex digest each (never the text) to a
+    * per-shard collect bounded by the pack budget — the shardManifest
+    * collect discipline; the join onto the assignment is doc-keyed.
+    */
+  def shardContentDigest(assign: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    assign
+      .select(col("shard"), col(idCol))
+      .join(docs.select(col(idCol), md5(col(textCol)).as("_sd_h")), idCol)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(
+            sort_array(collect_list(struct(
+              col(idCol).cast("long").as("i"), col("_sd_h").as("h")))),
+            s => s.getField("h")))).as("content_root"))
+
+  /** DuckDB mirror of [[shardContentDigest]]: `assignSql` provides (id,
+    * shard); content hashes order by id NUMERICALLY (the struct sort). */
+  def shardContentDigestSql(assignSql: String, tbl: String, idCol: String,
+      textCol: String): String =
+    s"""WITH a AS ($assignSql),
+       h AS (SELECT $idCol AS hid, md5($textCol) AS h FROM $tbl)
+       SELECT shard, COUNT(*) AS n_docs,
+         md5(string_agg(h.h, '' ORDER BY a.id)) AS content_root
+       FROM a JOIN h ON a.id = h.hid
+       GROUP BY shard ORDER BY shard"""
 }

@@ -64,6 +64,27 @@ class LuhnPowerSpec extends AnyFunSuite {
     assert(ratio > 14.0 && ratio < 18.0, s"n ∝ 1/δ²: ratio $ratio")
   }
 
+  test("shard digest: partitioning-invariant; one mutated doc flips only its shard") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val assign = Sharding.packShards(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 10000)
+    def digest(d: org.apache.spark.sql.DataFrame) =
+      Sharding.shardContentDigest(assign, d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val base = digest(docs)
+    assert(base == digest(docs.repartition(7)), "digest must not see partitioning")
+    val mutatedId = 3L
+    val mutShard = assign.where(col("doc_id") === mutatedId)
+      .collect().head.getAs[Long]("shard")
+    val mutated = digest(docs.withColumn("text",
+      when(col("doc_id") === mutatedId, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text"))))
+    assert(mutated(mutShard) != base(mutShard), "tampered shard must flip")
+    (base.keySet - mutShard).foreach(s =>
+      assert(mutated(s) == base(s), s"untouched shard $s must not flip"))
+  }
+
   test("mase: perfect weekly cycle scores 0, linear growth scores 7") {
     import spark.implicits._
     def ts(d: Int, i: Int) = new Timestamp(d * 86400000L + i * 1000L)
