@@ -236,17 +236,25 @@ object ScaleSmoke {
     // break on id in every ranking path
     val emb = replicate(spark.read.parquet(s"$base/embeddings.parquet"), "vec_id", identity)
 
-    ev.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
-    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    ord.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
-    li.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    // dimensions stay VERBATIM — facts scale 10×, broadcast sides must not
-    Seq("part", "customer", "supplier", "nation", "region").foreach { t =>
-      spark.read.parquet(s"$base/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // SPARK_GRAFT_SMOKE_REUSE=1 skips the (expensive at 100×+) slice write
+    // when a prior run already materialized it — targeted re-measurement
+    // after tuning driver memory must not pay the build again
+    if (sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1") &&
+        new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists()) {
+      println(s"[smoke] reusing existing ${reps}x slice at $out")
+    } else {
+      ev.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+      docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      ord.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+      li.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // dimensions stay VERBATIM — facts scale 10×, broadcast sides must not
+      Seq("part", "customer", "supplier", "nation", "region").foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[smoke] wrote ${reps}x slice to $out")
     }
-    emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"[smoke] wrote ${reps}x slice to $out")
 
     // min of N executions: the box is shared, and a single-shot timing mixes
     // co-tenant noise into a ratio meant to measure ENGINE scaling — the min
