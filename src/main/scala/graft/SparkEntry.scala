@@ -849,6 +849,19 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // confusion matrix of the n-gram langid vs the labeled lang, with
+    // per-true-label recall — the detector's eval card (which languages
+    // leak into which) in one scan + a label²-bounded agg
+    "lang_confusion" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("recall",
+          round(col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("lang")).cast("double"), 6))
+        .orderBy("lang", "pred")),
     "cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
     "cosine_neardup" -> ((s, dir) =>
@@ -2888,6 +2901,12 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "lang_detect" ->
       s"SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
+    "lang_confusion" ->
+      s"""WITH p AS (SELECT lang, ${TextAnalysis.langIdSql("text")} AS pred FROM documents),
+         c AS (SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred)
+         SELECT lang, pred, n,
+           round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS recall
+         FROM c ORDER BY lang, pred""",
     "cosine_topk" ->
       """WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,
