@@ -2263,8 +2263,9 @@ object SparkEntry {
     }),
     "multimodal_pixels" -> ((s, dir) => {
       // REAL pixel decode end-to-end: synthesize BMP24 / PNG-RGB / PNG-gray
-      // assets whose pixels follow a doc_id formula (Multimodal.synthPixel),
-      // run the full decoder (zlib inflate + all five PNG unfilters — the
+      // / GIF-gray assets whose pixels follow a doc_id formula
+      // (Multimodal.synthPixel), run the full decoders (zlib inflate + all
+      // five PNG unfilters; general variable-width LZW for GIF — the
       // encoder cycles filter types per row), and emit floor channel means
       // + the 9×8 box-downsampled dHash. The oracle reproduces the FORMULA,
       // never the bytes: a hash match proves encode→decode is pixel-exact.
@@ -4366,7 +4367,7 @@ object SparkEntry {
       // uses c=0; floor means; dHash = 9×8 integer box-downsample of the
       // ITU-601 integer luma, bit (r,c) = cell<next, packed as hi/lo u32
       """WITH d AS (SELECT doc_id, CAST(doc_id % 8 + 9 AS INTEGER) AS w,
-           CAST(doc_id % 7 + 8 AS INTEGER) AS h, doc_id % 3 AS f FROM documents),
+           CAST(doc_id % 7 + 8 AS INTEGER) AS h, doc_id % 4 AS f FROM documents),
          px AS (SELECT d.doc_id, d.w, d.h, d.f, tx.x, ty.y,
              (d.doc_id*7 + tx.x*13 + ty.y*31) % 256 AS r0,
              (d.doc_id*7 + tx.x*13 + ty.y*31 + 101) % 256 AS g0,
@@ -4374,9 +4375,11 @@ object SparkEntry {
            FROM d, range(0, 16) tx(x), range(0, 14) ty(y)
            WHERE tx.x < d.w AND ty.y < d.h),
          ch AS (SELECT doc_id, w, h, f, x, y,
-             CASE WHEN f = 2 THEN r0 ELSE r0 END AS cr,
-             CASE WHEN f = 2 THEN r0 ELSE g0 END AS cg,
-             CASE WHEN f = 2 THEN r0 ELSE b0 END AS cb
+             -- f 2 (PNG gray) and f 3 (GIF gray palette) carry c=0 on all
+             -- channels; BMP/PNG-RGB carry the three-channel formula
+             CASE WHEN f >= 2 THEN r0 ELSE r0 END AS cr,
+             CASE WHEN f >= 2 THEN r0 ELSE g0 END AS cg,
+             CASE WHEN f >= 2 THEN r0 ELSE b0 END AS cb
            FROM px),
          lum AS (SELECT doc_id, w, h, f, x, y, cr, cg, cb,
              (299*cr + 587*cg + 114*cb) // 1000 AS luma FROM ch),
@@ -4399,7 +4402,7 @@ object SparkEntry {
                THEN (CAST(1 AS BIGINT) << CAST(31 - ((r-4)*8+c) AS INTEGER)) ELSE 0 END) AS BIGINT) AS dhash_lo
            FROM bits GROUP BY doc_id)
          SELECT m.doc_id,
-           CASE m.f WHEN 0 THEN 'bmp' ELSE 'png' END AS format,
+           CASE m.f WHEN 0 THEN 'bmp' WHEN 3 THEN 'gif' ELSE 'png' END AS format,
            m.w AS width, m.h AS height, m.mean_r, m.mean_g, m.mean_b,
            hash.dhash_hi, hash.dhash_lo
          FROM means m JOIN hash ON m.doc_id = hash.doc_id ORDER BY m.doc_id""",

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with typed metadata structs alongside.
   *
   * Pixel decode is REAL for the pure-JVM-decodable formats: 24-bit BMP
-  * ([[decodeBmp24]]) and baseline PNG ([[decodePng]] — zlib Inflater +
-  * per-row unfilter, the full public spec pipeline), feeding per-channel
-  * stats and a perceptual [[dHash64]] through the batched
-  * [[withDecodedPixels]] shape. Formats needing an entropy codec this
-  * container doesn't ship (JPEG DCT, video) keep the header-parse tier
+  * ([[decodeBmp24]]), baseline PNG ([[decodePng]] — zlib Inflater +
+  * per-row unfilter, the full public spec pipeline), and GIF
+  * ([[decodeGif]] — general variable-width LZW up to 12 bits, palette
+  * mapping), feeding per-channel stats and a perceptual [[dHash64]]
+  * through the batched [[withDecodedPixels]] shape. Formats needing an
+  * entropy codec this container doesn't ship (JPEG DCT, video) keep the
+  * header-parse tier
   * ([[parseDims]]) + deterministic stub values in [[decodeStub]]; the
   * mapPartitions batch shape is identical, so a codec swap-in is local.
   */
@@ -92,7 +94,7 @@ object Multimodal {
 
   /** The decoder behind [[withDecodedMeta]]: REAL dimensions whenever the
     * bytes carry a parseable PNG/JPEG/GIF/BMP header ([[parseDims]]).
-    * Pixel-level work lives in [[withDecodedPixels]] (real for PNG/BMP);
+    * Pixel-level work lives in [[withDecodedPixels]] (real for PNG/BMP/GIF);
     * here JPEG and friends keep deterministic byte-derived fallbacks —
     * the swap-in point for an entropy codec (e.g. TwelveMonkeys via JNI).
     */
@@ -273,7 +275,7 @@ object Multimodal {
 
   /** PNG or 24-bit BMP pixel decode; None otherwise. */
   def decodeImage(bytes: Array[Byte]): Option[Image] =
-    decodePng(bytes).orElse(decodeBmp24(bytes))
+    decodePng(bytes).orElse(decodeBmp24(bytes)).orElse(decodeGif(bytes))
 
   /** 24-bit uncompressed BMP encoder (the decoder's inverse): `px(x, y)` is
     * packed 0xRRGGBB, rows written bottom-up with 4-byte padding.
@@ -363,6 +365,160 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** GIF87a encoder, 8-bit grayscale palette (index i → RGB (i,i,i)),
+    * single frame. The LZW stream uses the standard "uncompressed GIF"
+    * discipline: every pixel emitted as its own literal code with a CLEAR
+    * every 253 codes, so the dictionary never grows past 9-bit width —
+    * a valid stream ANY conforming decoder (including [[decodeGif]]'s
+    * general LZW) reads back bit-exactly.
+    */
+  def encodeGifGray(w: Int, h: Int, sample: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16le(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16le(w); u16le(h)
+    out.write(0xF7) // global color table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2C) // image descriptor
+    u16le(0); u16le(0); u16le(w); u16le(h)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    val clear = 256; val eoi = 257
+    var bitBuf = 0L; var bitCnt = 0
+    val data = new java.io.ByteArrayOutputStream()
+    def putCode(code: Int): Unit = { // 9-bit codes, LSB-first packing
+      bitBuf |= code.toLong << bitCnt; bitCnt += 9
+      while (bitCnt >= 8) { data.write((bitBuf & 0xFF).toInt); bitBuf >>= 8; bitCnt -= 8 }
+    }
+    putCode(clear)
+    var sinceClear = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        putCode(sample(x, y) & 0xFF)
+        sinceClear += 1
+        if (sinceClear == 253) { putCode(clear); sinceClear = 0 }
+        x += 1
+      }
+      y += 1
+    }
+    putCode(eoi)
+    if (bitCnt > 0) data.write((bitBuf & 0xFF).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) { // 255-byte sub-blocks
+      val len = math.min(255, bytes.length - off)
+      out.write(len); out.write(bytes, off, len); off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF first-frame decode: full GENERAL LZW (variable code width up to
+    * 12 bits, cScSc case, per-CLEAR dictionary reset), global or local
+    * palette, 89a extensions skipped. Interlaced frames and truncated
+    * streams → None. Output is palette-mapped RGB.
+    */
+  def decodeGif(bytes: Array[Byte]): Option[Image] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    try {
+      val flags = u8(10)
+      val gctSize = if ((flags & 0x80) != 0) 1 << ((flags & 7) + 1) else 0
+      var p = 13
+      val gct = if (gctSize > 0) { val t = bytes.slice(p, p + 3 * gctSize); p += 3 * gctSize; t }
+        else Array.emptyByteArray
+      while (p < bytes.length) {
+        u8(p) match {
+          case 0x21 => // extension: label + sub-blocks
+            p += 2
+            while (u8(p) != 0) p += u8(p) + 1
+            p += 1
+          case 0x3B => return None // trailer before any image
+          case 0x2C =>
+            val iw = u16le(p + 5); val ih = u16le(p + 7)
+            val iflags = u8(p + 9)
+            p += 10
+            if ((iflags & 0x40) != 0) return None // interlaced: out of scope
+            val pal = if ((iflags & 0x80) != 0) {
+              val sz = 1 << ((iflags & 7) + 1)
+              val t = bytes.slice(p, p + 3 * sz); p += 3 * sz; t
+            } else gct
+            if (pal.isEmpty) return None
+            val minCode = u8(p); p += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (u8(p) != 0) { data.write(bytes, p + 1, u8(p)); p += u8(p) + 1 }
+            val d = data.toByteArray
+            // general LZW decode
+            val clear = 1 << minCode; val eoi = clear + 1
+            var codeSize = minCode + 1
+            var nextCode = eoi + 1
+            val prefix = new Array[Int](4096)
+            val suffix = new Array[Byte](4096)
+            for (i <- 0 until clear) { prefix(i) = -1; suffix(i) = i.toByte }
+            val px = new java.io.ByteArrayOutputStream(iw * ih)
+            var bitPos = 0
+            def readCode(): Int = {
+              if ((bitPos + codeSize + 7) / 8 > d.length) return eoi
+              var v = 0; var i = 0
+              while (i < codeSize) {
+                val byteI = (bitPos + i) >> 3
+                if (((d(byteI) >> ((bitPos + i) & 7)) & 1) != 0) v |= 1 << i
+                i += 1
+              }
+              bitPos += codeSize
+              v
+            }
+            def expand(code: Int): Array[Byte] = {
+              var c = code
+              val sb = scala.collection.mutable.ArrayBuffer[Byte]()
+              while (c >= 0) { sb += suffix(c); c = prefix(c) }
+              sb.reverse.toArray
+            }
+            var prev = -1
+            var done = false
+            while (!done) {
+              val code = readCode()
+              if (code == eoi) done = true
+              else if (code == clear) { codeSize = minCode + 1; nextCode = eoi + 1; prev = -1 }
+              else {
+                val seq =
+                  if (code < nextCode) expand(code)
+                  else if (prev >= 0) { val pe = expand(prev); pe :+ pe(0) } // cScSc
+                  else return None
+                px.write(seq, 0, seq.length)
+                if (prev >= 0 && nextCode < 4096) {
+                  prefix(nextCode) = prev; suffix(nextCode) = seq(0)
+                  nextCode += 1
+                  if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+                }
+                prev = code
+              }
+            }
+            val idx = px.toByteArray
+            if (idx.length < iw * ih) return None
+            val out = new Array[Byte](iw * ih * 3)
+            var i = 0
+            while (i < iw * ih) {
+              val pi = (idx(i) & 0xFF) * 3
+              if (pi + 2 >= pal.length) return None
+              out(i * 3) = pal(pi); out(i * 3 + 1) = pal(pi + 1); out(i * 3 + 2) = pal(pi + 2)
+              i += 1
+            }
+            return Some(Image(iw, ih, 3, out))
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Perceptual 64-bit difference hash: integer box-downsample to a 9×8
     * luma grid — pixel (x, y) maps to cell (y·8/h, x·9/w), cell value is the
     * floor mean, all integer math so any engine reproduces it — then bit
@@ -430,7 +586,10 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val metaRow = decodeImage(bytes).map { img =>
-          val fmt = if ((bytes(0) & 0xFF) == 0x89) "png" else "bmp"
+          val fmt =
+            if ((bytes(0) & 0xFF) == 0x89) "png"
+            else if ((bytes(0) & 0xFF) == 'G') "gif"
+            else "bmp"
           val n = img.width.toLong * img.height
           var sr = 0L; var sg = 0L; var sb = 0L
           var y = 0
@@ -464,7 +623,8 @@ object Multimodal {
     case 0 => encodeBmp24(w, h, (x, y) =>
       (synthPixel(docId, x, y, 0) << 16) | (synthPixel(docId, x, y, 1) << 8) | synthPixel(docId, x, y, 2))
     case 1 => encodePng(w, h, 3, (x, y, c) => synthPixel(docId, x, y, c))
-    case _ => encodePng(w, h, 1, (x, y, _) => synthPixel(docId, x, y, 0))
+    case 2 => encodePng(w, h, 1, (x, y, _) => synthPixel(docId, x, y, 0))
+    case _ => encodeGifGray(w, h, (x, y) => synthPixel(docId, x, y, 0))
   }
 
   /** documents → (doc_id, asset bytes): doc_id-derived dims (9..16 × 8..14,
@@ -481,7 +641,7 @@ object Multimodal {
         val id = r.getLong(0)
         val w = (id % 8 + 9).toInt
         val h = (id % 7 + 8).toInt
-        Row(id, synthAsset(id, w, h, (id % 3).toInt))
+        Row(id, synthAsset(id, w, h, (id % 4).toInt))
       }
     }(enc)
   }

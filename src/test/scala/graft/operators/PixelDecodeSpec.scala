@@ -96,4 +96,78 @@ class PixelDecodeSpec extends AnyFunSuite {
       .select(col("pixel_meta.mean_r"), col("pixel_meta.format")).collect()(0)
     assert(m.getLong(0) == 0x80 && m.getString(1) == "bmp")
   }
+
+  test("GIF gray encode→decode round trip recovers every pixel") {
+    for ((w, h) <- Seq((9, 8), (16, 14), (300, 2))) { // 300*2=600 codes spans clears
+      val img = Multimodal.decodeGif(
+        Multimodal.encodeGifGray(w, h, (x, y) => (x * 13 + y * 31) % 256)).get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(img.channel(x, y, c) == (x * 13 + y * 31) % 256)
+    }
+  }
+
+  test("GIF decoder handles REAL compressed LZW (dictionary growth + cScSc)") {
+    // a genuine GIF-LZW compressor (greedy longest-match dictionary,
+    // growing code width, 12-bit cap) written HERE so the repo decoder is
+    // tested against streams its own literal-code encoder never produces;
+    // the all-runs pattern forces composite codes and the cScSc case
+    def compress(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u16le(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF89a".getBytes("US-ASCII")); u16le(w); u16le(h)
+      out.write(0xF7); out.write(0); out.write(0)
+      for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+      out.write(0x2C); u16le(0); u16le(0); u16le(w); u16le(h); out.write(0)
+      out.write(8)
+      val clear = 256; val eoi = 257
+      var dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+      var nextCode = 258; var codeSize = 9
+      var bitBuf = 0L; var bitCnt = 0
+      val data = new java.io.ByteArrayOutputStream()
+      def put(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+        while (bitCnt >= 8) { data.write((bitBuf & 0xFF).toInt); bitBuf >>= 8; bitCnt -= 8 }
+      }
+      put(clear)
+      var cur: Seq[Byte] = Seq.empty
+      px.foreach { b =>
+        val ext = cur :+ b
+        if (ext.length == 1 || dict.contains(ext)) cur = ext
+        else {
+          put(if (cur.length == 1) cur.head & 0xFF else dict(cur))
+          if (nextCode < 4096) {
+            dict(ext) = nextCode
+            // width grows when nextCode reaches the current code range —
+            // mirror of the decoder's growth rule
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+            nextCode += 1
+          }
+          cur = Seq(b)
+        }
+      }
+      if (cur.nonEmpty) put(if (cur.length == 1) cur.head & 0xFF else dict(cur))
+      put(eoi)
+      if (bitCnt > 0) data.write((bitBuf & 0xFF).toInt)
+      val bytes = data.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val len = math.min(255, bytes.length - off)
+        out.write(len); out.write(bytes, off, len); off += len
+      }
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    val w = 64; val h = 48
+    // long runs (cScSc trigger) + structure
+    val px = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      (if (y % 3 == 0) 7 else (x / 8 * 16 + y % 5)).toByte
+    }
+    val img = Multimodal.decodeGif(compress(w, h, px)).get
+    assert(img.width == w && img.height == h)
+    for (i <- 0 until w * h)
+      assert(img.channel(i % w, i / w, 0) == (px(i) & 0xFF),
+        s"pixel $i: ${img.channel(i % w, i / w, 0)} != ${px(i) & 0xFF}")
+  }
 }
