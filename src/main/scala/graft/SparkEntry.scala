@@ -972,6 +972,16 @@ object SparkEntry {
     // fan-out regardless of hub nodes
     "neardup_triangles" -> ((s, dir) =>
       operators.Graph.triangles(nearDupPairsBuilt(s, dir))),
+    // per-doc 1-hop vs <=2-hop reach over the near-dup graph: the blast
+    // radius ranking — which documents anchor transitive duplication
+    "two_hop_reach" -> ((s, dir) =>
+      operators.Graph.twoHopReach(nearDupPairsBuilt(s, dir))
+        .orderBy("id")),
+    // degree assortativity of the near-dup graph: hubs-link-hubs (template
+    // tangle) vs hubs-link-leaves (star families) — the regimes want
+    // different dedup strategies
+    "dup_assortativity" -> ((s, dir) =>
+      operators.Graph.assortativity(nearDupPairsBuilt(s, dir))),
     // contrastive (anchor, positive, negative) triplets: near-dup pairs as
     // positives, negatives from a broadcast 2-per-bucket representative
     // table keyed by the pair's md5 — no corpus-sized join per pair
@@ -3175,6 +3185,15 @@ object SparkEntry {
         idOut = "id", iters = 5, damping = 0.85),
     "neardup_triangles" ->
       operators.Graph.trianglesSql(
+        s"""$nearDupCtes,
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
+    "two_hop_reach" ->
+      s"""${operators.Graph.twoHopReachSql(
+        s"""$nearDupCtes,
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""")}
+         ORDER BY id""",
+    "dup_assortativity" ->
+      operators.Graph.assortativitySql(
         s"""$nearDupCtes,
          ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
     "contrastive_triplets" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank over a pair list — content-centrality for a dedup/curation
@@ -149,6 +149,105 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
         .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Per-node 1-hop and ≤2-hop reach over the undirected pair graph — the
+    * "blast radius" of a near-dup family: how many documents are one
+    * rewrite away vs two. Ranks hub documents whose removal most shrinks
+    * transitive duplication, which cluster size alone (a symmetric count
+    * for every member) cannot.
+    *
+    * Shape: edges canonicalize + distinct once; the 2-hop relation is ONE
+    * self-join through the shared midpoint (fan-out Σ deg² — bounded on
+    * candidate-bounded dup graphs, and the [[Skew]] salting applies to the
+    * mid key if a hub ever dominates), then distinct + count per node.
+    */
+  def twoHopReach(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val nb = e.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+    val oneHop = nb.groupBy("x").agg(count(lit(1)).as("n_1hop"))
+    val two = nb.select(col("x"), col("y").as("m"))
+      .join(nb.select(col("x").as("m"), col("y")), "m")
+      .where(col("x") =!= col("y"))
+      .select("x", "y")
+      .unionByName(nb)
+      .distinct()
+      .groupBy("x").agg(count(lit(1)).as("n_2hop"))
+    oneHop.join(two, "x")
+      .select(col("x").as("id"), col("n_1hop"), col("n_2hop"))
+  }
+
+  /** DuckDB mirror of [[twoHopReach]]. */
+  def twoHopReachSql(edgePairsCtes: String): String =
+    s"""WITH $edgePairsCtes,
+         ed AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                FROM ep WHERE id_a <> id_b),
+         nb AS (SELECT a AS x, b AS y FROM ed UNION ALL SELECT b, a FROM ed),
+         h1 AS (SELECT x, COUNT(*) AS n_1hop FROM nb GROUP BY x),
+         h2 AS (SELECT x, COUNT(*) AS n_2hop FROM (
+             SELECT DISTINCT x, y FROM (
+               SELECT n1.x, n2.y FROM nb n1 JOIN nb n2 ON n1.y = n2.x
+               WHERE n1.x <> n2.y
+               UNION ALL SELECT x, y FROM nb)) GROUP BY x)
+       SELECT h1.x AS id, n_1hop, n_2hop
+       FROM h1 JOIN h2 ON h1.x = h2.x"""
+
+  /** Degree assortativity (Newman, PRL 2002): Pearson correlation of
+    * endpoint degrees over both orientations of every edge. Positive =
+    * hubs link hubs (one giant tangle of templates), negative = hubs link
+    * leaves (star-shaped boilerplate families) — the two regimes want
+    * different dedup strategies (cut the hub vs keep one leaf).
+    *
+    * Integer degree sums (BIGINT, exact) → one fixed double shape; with
+    * both orientations the marginals coincide, so
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²). Variance floor 1e-12 for
+    * regular graphs (every degree equal ⇒ r undefined ⇒ 0).
+    */
+  def assortativity(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val or2 = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+    val both = or2.unionByName(or2.select(col("y").as("x"), col("x").as("y")))
+    val s = both.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    s.select((col("m") / 2).cast("long").as("n_edges"),
+      round((d(col("m")) * d(col("sxy")) - d(col("sx")) * d(col("sx"))) /
+        greatest(d(col("m")) * d(col("sxx")) - d(col("sx")) * d(col("sx")),
+          lit(1e-12)), 6).as("assortativity"))
+  }
+
+  /** DuckDB mirror of [[assortativity]]. */
+  def assortativitySql(edgePairsCtes: String): String =
+    s"""WITH $edgePairsCtes,
+         ed AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                FROM ep WHERE id_a <> id_b),
+         dg AS (SELECT n, COUNT(*) AS deg FROM (
+                 SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY n),
+         o2 AS (SELECT da.deg AS x, db.deg AS y FROM ed
+                JOIN dg da ON da.n = ed.a JOIN dg db ON db.n = ed.b),
+         bo AS (SELECT x, y FROM o2 UNION ALL SELECT y, x FROM o2),
+         s AS (SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy FROM bo)
+       SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+         round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / greatest(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+               1e-12), 6) AS assortativity
+       FROM s"""
 
   /** DuckDB mirror of [[triangles]] — id-ordered closure (x<y<z with all
     * three edges present), which counts the same set orientation-free.

@@ -130,7 +130,9 @@ object ScaleSmoke {
     "bh_fdr", "ece_reliability", "diff_in_diff", "format_sniff",
     // batch 3: per-doc Luhn candidate explode, the train/held-out unigram
     // split, arm-moment power closed form, the calendar self-join MASE
-    "pii_luhn", "heldout_ppl", "power_planner", "mase_eval", "shard_digest")
+    "pii_luhn", "heldout_ppl", "power_planner", "mase_eval", "shard_digest",
+    // graph diagnostics over the near-dup pair graph + the langid eval
+    "two_hop_reach", "dup_assortativity", "lang_confusion")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

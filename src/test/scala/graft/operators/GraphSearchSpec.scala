@@ -61,4 +61,26 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(terms.intersect(Set("spark", "window", "join")).isEmpty)
     assert(out.map(_._2).toSeq == out.map(_._2).sorted.reverse.toSeq)
   }
+
+  test("two-hop reach: path graph a-b-c-d counts neighbors-of-neighbors") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Graph.twoHopReach(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_1hop"), r.getAs[Long]("n_2hop"))).toMap
+    assert(out(1L) == (1L, 2L)) // b; b,c
+    assert(out(2L) == (2L, 3L)) // a,c; a,c,d
+    assert(out(3L) == (2L, 3L))
+    assert(out(4L) == (1L, 2L))
+  }
+
+  test("assortativity: perfect star scores -1, regular triangle scores 0") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val rStar = Graph.assortativity(star).collect().head
+    assert(rStar.getAs[Long]("n_edges") == 3L)
+    assert(rStar.getAs[Double]("assortativity") == -1.0)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.assortativity(tri).collect().head
+      .getAs[Double]("assortativity") == 0.0)
+  }
 }
