@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * per-row unfilter, the full public spec pipeline), and GIF
   * ([[decodeGif]] — general variable-width LZW up to 12 bits, palette
   * mapping), feeding per-channel stats and a perceptual [[dHash64]]
-  * through the batched [[withDecodedPixels]] shape. Formats needing an
-  * entropy codec this container doesn't ship (JPEG DCT, video) keep the
+  * through the batched [[withDecodedPixels]] shape — and baseline JPEG
+  * decodes through the pure-JVM [[Jpeg]] codec (lossy, so spec-pinned by
+  * round-trip error bounds rather than oracle hashes). Video keeps the
   * header-parse tier
   * ([[parseDims]]) + deterministic stub values in [[decodeStub]]; the
   * mapPartitions batch shape is identical, so a codec swap-in is local.
@@ -94,9 +95,9 @@ object Multimodal {
 
   /** The decoder behind [[withDecodedMeta]]: REAL dimensions whenever the
     * bytes carry a parseable PNG/JPEG/GIF/BMP header ([[parseDims]]).
-    * Pixel-level work lives in [[withDecodedPixels]] (real for PNG/BMP/GIF);
-    * here JPEG and friends keep deterministic byte-derived fallbacks —
-    * the swap-in point for an entropy codec (e.g. TwelveMonkeys via JNI).
+    * Pixel-level work lives in [[withDecodedPixels]] (real for
+    * PNG/BMP/GIF/baseline-JPEG); video formats keep deterministic
+    * byte-derived fallbacks here.
     */
   def decodeStub(bytes: Array[Byte]): AssetMeta = {
     val len = bytes.length.toLong
@@ -276,6 +277,7 @@ object Multimodal {
   /** PNG or 24-bit BMP pixel decode; None otherwise. */
   def decodeImage(bytes: Array[Byte]): Option[Image] =
     decodePng(bytes).orElse(decodeBmp24(bytes)).orElse(decodeGif(bytes))
+      .orElse(Jpeg.decode(bytes))
 
   /** 24-bit uncompressed BMP encoder (the decoder's inverse): `px(x, y)` is
     * packed 0xRRGGBB, rows written bottom-up with 4-byte padding.
@@ -589,6 +591,7 @@ object Multimodal {
           val fmt =
             if ((bytes(0) & 0xFF) == 0x89) "png"
             else if ((bytes(0) & 0xFF) == 'G') "gif"
+            else if ((bytes(0) & 0xFF) == 0xFF) "jpeg"
             else "bmp"
           val n = img.width.toLong * img.height
           var sr = 0L; var sg = 0L; var sb = 0L
