@@ -2239,6 +2239,22 @@ object SparkEntry {
           expr("wav_meta.data_len * 1000 DIV wav_meta.byte_rate").as("duration_ms"))
         .orderBy("doc_id")
     }),
+    // REAL audio decode end-to-end: PCM16 WAV bytes synthesized from a
+    // doc_id sample formula (with planted full-scale clipping), decoded
+    // back to samples, integer amplitude/zero-cross/clip features — the
+    // audio twin of multimodal_pixels; the oracle re-derives the FORMULA
+    "wav_features" -> ((s, dir) => {
+      val assets = operators.Multimodal.syntheticWavAssets(Tables.documents(s, dir))
+      operators.Multimodal.withAudioFeatures(assets, "audio")
+        .select(col("doc_id"),
+          col("audio_meta.n_samples").as("n_samples"),
+          col("audio_meta.mean_abs").as("mean_abs"),
+          round(sqrt(col("audio_meta.sum_sq").cast("double") /
+            col("audio_meta.n_samples").cast("double")), 4).as("rms"),
+          col("audio_meta.zero_cross").as("zero_cross"),
+          col("audio_meta.clip_count").as("clip_count"))
+        .orderBy("doc_id")
+    }),
     "multimodal_mp4" -> ((s, dir) => {
       // video container metadata without a codec: deterministic ISO-BMFF
       // boxes (ftyp + moov/mvhd-v0 + a declared-only mdat, timescale/
@@ -3196,6 +3212,24 @@ object SparkEntry {
       operators.Graph.assortativitySql(
         s"""$nearDupCtes,
          ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
+    "wav_features" ->
+      // independent re-derivation from the SAMPLE FORMULA (never the
+      // bytes): s_i = clamp((id*31 + i*17) % 70001 - 35000) — a hash match
+      // proves the PCM16 encode→decode round trip is sample-exact
+      """WITH d AS (SELECT doc_id, CAST(200 + doc_id % 50 AS INT) AS n FROM documents),
+         s AS (SELECT doc_id, n, i.i AS i,
+             greatest(-32768, least(32767,
+               CAST((doc_id*31 + i.i*17) % 70001 - 35000 AS BIGINT))) AS v
+           FROM d, range(0, 250) i(i) WHERE i.i < n),
+         l AS (SELECT doc_id, n, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+         SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(abs(v)) // MAX(n) AS BIGINT) AS mean_abs,
+           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)), 4) AS rms,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND
+             ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+           CAST(SUM(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS clip_count
+         FROM l GROUP BY doc_id ORDER BY doc_id""",
     "contrastive_triplets" ->
       operators.Contrastive.tripletsSql(
         s"""$nearDupCtes,

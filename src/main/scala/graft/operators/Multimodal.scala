@@ -743,6 +743,107 @@ object Multimodal {
     }
   }
 
+  /** Minimal PCM16-mono WAV encoder (RIFF + fmt + data, the decoder's
+    * inverse) — fixture synthesis for the audio-feature queries. */
+  def encodeWavPcm16(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16le(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32le(v: Long): Unit = { u16le((v & 0xFFFF).toInt); u16le(((v >> 16) & 0xFFFF).toInt) }
+    val dataLen = samples.length * 2
+    out.write("RIFF".getBytes("US-ASCII")); u32le(36L + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); u32le(16)
+    u16le(1); u16le(1); u32le(rate); u32le(rate.toLong * 2); u16le(2); u16le(16)
+    out.write("data".getBytes("US-ASCII")); u32le(dataLen)
+    samples.foreach(s => u16le(s & 0xFFFF))
+    out.toByteArray
+  }
+
+  /** PCM16-mono sample decode: RIFF walk to the data chunk, 16-bit LE
+    * signed samples. None for other encodings/widths/channel counts. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    parseWav(bytes).filter(m => m.channels == 1 && m.bitsPerSample == 16).flatMap { m =>
+      def u8(i: Int) = bytes(i) & 0xFF
+      def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val size = (u8(i + 4).toLong | (u8(i + 5).toLong << 8) |
+          (u8(i + 6).toLong << 16) | (u8(i + 7).toLong << 24))
+        if (tag(i) == "data") {
+          val n = math.min(size, (bytes.length - i - 8).toLong).toInt / 2
+          return Some(Array.tabulate(n) { k =>
+            val lo = u8(i + 8 + 2 * k); val hi = bytes(i + 9 + 2 * k).toInt
+            (hi << 8) | lo
+          })
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      None
+    }
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("mean_abs", LongType),   // floor mean |s|
+    StructField("sum_sq", LongType),     // Σ s² (exact; rms derives in SQL-able form)
+    StructField("zero_cross", LongType), // strict sign alternations
+    StructField("clip_count", LongType)  // samples at full scale ±32767/−32768
+  ))
+
+  /** REAL audio feature extraction over decoded PCM16 samples — the audio
+    * twin of [[withDecodedPixels]]: integer-exact amplitude stats any
+    * engine can re-derive (mean |s| floored, Σs² for RMS, strict
+    * sign-change count, full-scale clip count). Null struct for
+    * non-PCM16-mono payloads.
+    */
+  def withAudioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val schema = df.schema.add("audio_meta", audioSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val metaRow = decodeWavSamples(r.getAs[Array[Byte]](binIdx)).map { s =>
+          val n = s.length.toLong
+          var sumAbs = 0L; var sumSq = 0L; var zc = 0L; var clip = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            sumAbs += math.abs(v.toLong); sumSq += v.toLong * v
+            if (v == 32767 || v == -32768) clip += 1
+            if (i > 0 && ((s(i - 1) < 0 && v >= 0) || (s(i - 1) >= 0 && v < 0))) zc += 1
+            i += 1
+          }
+          Row(n, if (n > 0) sumAbs / n else 0L, sumSq, zc, clip)
+        }.orNull
+        Row.fromSeq(r.toSeq :+ metaRow)
+      }
+    }(enc)
+  }
+
+  /** Deterministic PCM16 fixture audio: doc_id-derived length and a sample
+    * formula whose raw range ±35000 EXCEEDS full scale, so clamping plants
+    * real clipped samples — `s_i = clamp((id·31 + i·17) mod 70001 − 35000)`.
+    * The oracle reproduces the FORMULA, never the bytes (the
+    * [[syntheticAssets]] discipline). */
+  def syntheticWavAssets(docs: DataFrame): DataFrame = {
+    val in = docs.select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("audio", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (200 + id % 50).toInt
+        val samples = Array.tabulate(n) { i =>
+          val v = ((id * 31 + i.toLong * 17) % 70001L - 35000L).toInt
+          math.max(-32768, math.min(32767, v))
+        }
+        Row(id, encodeWavPcm16(16000, samples))
+      }
+    }(enc)
+  }
+
   /** Batched WAV metadata extraction — same mapPartitions decode shape as
     * [[withDecodedMeta]]; unparseable rows get a null `wav_meta`. */
   def withWavMeta(df: DataFrame, binCol: String): DataFrame = {

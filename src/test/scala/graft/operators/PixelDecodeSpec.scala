@@ -97,6 +97,17 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(m.getLong(0) == 0x80 && m.getString(1) == "bmp")
   }
 
+  test("PCM16 WAV encode→decode round trip recovers every sample incl. negatives") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 255, -256)
+    val back = Multimodal.decodeWavSamples(
+      Multimodal.encodeWavPcm16(16000, samples)).get
+    assert(back.toSeq == samples.toSeq)
+    // non-PCM16 payloads refuse rather than fabricate
+    assert(Multimodal.decodeWavSamples("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWavSamples(
+      Multimodal.encodeBmp24(9, 8, (_, _) => 0)).isEmpty)
+  }
+
   test("GIF gray encode→decode round trip recovers every pixel") {
     for ((w, h) <- Seq((9, 8), (16, 14), (300, 2))) { // 300*2=600 codes spans clears
       val img = Multimodal.decodeGif(
