@@ -132,7 +132,9 @@ object ScaleSmoke {
     // split, arm-moment power closed form, the calendar self-join MASE
     "pii_luhn", "heldout_ppl", "power_planner", "mase_eval", "shard_digest",
     // graph diagnostics over the near-dup pair graph + the langid eval
-    "two_hop_reach", "dup_assortativity", "lang_confusion")
+    "two_hop_reach", "dup_assortativity", "lang_confusion",
+    // real-decode multimodal: PCM16 feature pass (mapPartitions batch)
+    "wav_features")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
