@@ -917,6 +917,63 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
+    // MASS-weighted quantiles: "the median TOKEN lives in a doc of length
+    // X" per source — the weighted distribution shard planning actually
+    // budgets against (unweighted quantiles over-represent short docs).
+    // Thresholds are integer cross-multiplied (2·cum ≥ tot etc.), so the
+    // order statistic is exact in both engines; per-source window sort.
+    "weighted_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("v"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars").as("v"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("wt"))
+        .withColumn("cum", sum(col("wt")).over(w))
+        .withColumn("tot", sum(col("wt")).over(tot))
+        .groupBy("source")
+        .agg(max(col("tot")).as("total_tokens"),
+          min(when(col("cum") * 2 >= col("tot"), col("v"))).as("p50_w"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("v"))).as("p90_w"),
+          min(when(col("cum") * 100 >= col("tot") * 99, col("v"))).as("p99_w"))
+        .orderBy("source")
+    }),
+    // INTERSECT / EXCEPT surface: nations present among customers AND
+    // suppliers, and customers-only nations — Spark plans both as
+    // semi-/anti-joins over distinct inputs
+    "intersect_except" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).withColumn("side", lit("both"))
+        .unionByName(c.except(su).withColumn("side", lit("customer_only")))
+        .unionByName(su.except(c).withColumn("side", lit("supplier_only")))
+        .orderBy("side", "nationkey")
+    }),
+    // Cohen's κ of the langid detector vs the labeled lang: the
+    // chance-corrected agreement the raw confusion accuracy overstates
+    "cohen_kappa" -> ((s, dir) => {
+      val p = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      val grid = p.groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+      val obs = grid.agg(
+        sum(when(col("lang") === col("pred"), col("c")).otherwise(lit(0L)))
+          .as("agree"),
+        sum(col("c")).as("n"))
+      // Σ_k rowSum_k·colSum_k — labels absent on either side contribute 0,
+      // so the inner join over the bounded label set is exact
+      val chance = grid.groupBy("lang").agg(sum(col("c")).as("r"))
+        .join(grid.groupBy(col("pred").as("lang")).agg(sum(col("c")).as("cl")), "lang")
+        .agg(sum(col("r") * col("cl")).as("chance_num"))
+      val pObs = col("agree").cast("double") / col("n").cast("double")
+      val pCh = col("chance_num").cast("double") / (col("n") * col("n")).cast("double")
+      obs.crossJoin(broadcast(chance))
+        .select(col("n"),
+          round(pObs, 6).as("p_obs"),
+          round(pCh, 6).as("p_chance"),
+          round((pObs - pCh) / (lit(1.0) - pCh), 6).as("kappa"))
+    }),
     "union_distinct" -> ((s, dir) =>
       Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
         .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
@@ -993,6 +1050,28 @@ object SparkEntry {
     // candidate threshold — pick the dedup threshold FROM this curve
     "dedup_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(nearDupPairsBuilt(s, dir))),
+    // dedup COST model: tokens actually saved per candidate threshold
+    // under the min-id-keeper rule — the curve that turns the sweep into a
+    // budget decision ("0.7 drops 9% of docs but only 4% of tokens")
+    "dedup_savings" -> ((s, dir) => {
+      val ths = Seq(0.3, 0.5, 0.7, 0.9)
+      val dropped = nearDupPairsBuilt(s, dir)
+        .select(explode(array(ths.map(lit): _*)).as("threshold"),
+          col("id_b").as("doc_id"), col("jaccard"))
+        .where(col("jaccard") >= col("threshold"))
+        .select("threshold", "doc_id").distinct()
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("wt"))
+      val totals = toks.agg(count(lit(1)).as("n_docs"), sum(col("wt")).as("tot_w"))
+      dropped.join(toks, "doc_id")
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_dropped"), sum(col("wt")).as("tokens_dropped"))
+        .crossJoin(broadcast(totals))
+        .select(col("threshold"), col("n_dropped"), col("tokens_dropped"),
+          round(col("tokens_dropped").cast("double") / col("tot_w").cast("double"), 6)
+            .as("frac_tokens"))
+        .orderBy("threshold")
+    }),
     // near-dup cluster size spectrum: clusters/members/pairwise-comparison
     // mass per size k — the dedup capacity-planning shape readout
     "cluster_sizes" -> ((s, dir) =>
@@ -3212,6 +3291,63 @@ object SparkEntry {
       operators.Graph.assortativitySql(
         s"""$nearDupCtes,
          ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
+    "intersect_except" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         SELECT nationkey, side FROM (
+           SELECT nationkey, 'both' AS side
+             FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+           UNION ALL
+           SELECT nationkey, 'customer_only'
+             FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+           UNION ALL
+           SELECT nationkey, 'supplier_only'
+             FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c))
+         ORDER BY side, nationkey""",
+    "dedup_savings" ->
+      s"""WITH $nearDupCtes,
+         p AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2),
+         dropped AS (SELECT DISTINCT t.threshold, id_b AS doc_id
+           FROM p CROSS JOIN (SELECT CAST(unnest([0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS threshold) t
+           WHERE jaccard >= t.threshold),
+         tk AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wt
+           FROM documents),
+         tot AS (SELECT SUM(wt) AS tot_w FROM tk)
+         SELECT threshold, COUNT(*) AS n_dropped,
+           CAST(SUM(wt) AS BIGINT) AS tokens_dropped,
+           round(CAST(SUM(wt) AS DOUBLE) / CAST(MAX(tot_w) AS DOUBLE), 6) AS frac_tokens
+         FROM dropped JOIN tk USING (doc_id) CROSS JOIN tot
+         GROUP BY threshold ORDER BY threshold""",
+    "weighted_quantiles" ->
+      """WITH b AS (SELECT source, doc_id, n_chars AS v,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt
+         FROM documents),
+         c AS (SELECT source, v,
+             SUM(wt) OVER (PARTITION BY source ORDER BY v, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY source) AS tot
+           FROM b)
+         SELECT source, CAST(MAX(tot) AS BIGINT) AS total_tokens,
+           MIN(CASE WHEN cum * 2 >= tot THEN v END) AS p50_w,
+           MIN(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS p90_w,
+           MIN(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS p99_w
+         FROM c GROUP BY source ORDER BY source""",
+    "cohen_kappa" ->
+      s"""WITH p AS (SELECT lang, ${operators.TextAnalysis.langIdSql("text")} AS pred FROM documents),
+         g AS (SELECT lang, pred, COUNT(*) AS c FROM p GROUP BY lang, pred),
+         o AS (SELECT CAST(SUM(CASE WHEN lang = pred THEN c ELSE 0 END) AS BIGINT) AS agree,
+             CAST(SUM(c) AS BIGINT) AS n FROM g),
+         rs AS (SELECT lang, SUM(c) AS r FROM g GROUP BY lang),
+         cs AS (SELECT pred AS lang, SUM(c) AS cl FROM g GROUP BY pred),
+         ch AS (SELECT CAST(SUM(r * cl) AS BIGINT) AS chance_num
+           FROM rs JOIN cs USING (lang))
+         SELECT n, round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
+           round(CAST(chance_num AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS p_chance,
+           round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(chance_num AS DOUBLE) / CAST(n * n AS DOUBLE))
+             / (1.0 - CAST(chance_num AS DOUBLE) / CAST(n * n AS DOUBLE)), 6) AS kappa
+         FROM o CROSS JOIN ch""",
     "wav_features" ->
       // independent re-derivation from the SAMPLE FORMULA (never the
       // bytes): s_i = clamp((id*31 + i*17) % 70001 - 35000) — a hash match

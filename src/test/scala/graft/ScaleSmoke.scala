@@ -134,7 +134,10 @@ object ScaleSmoke {
     // graph diagnostics over the near-dup pair graph + the langid eval
     "two_hop_reach", "dup_assortativity", "lang_confusion",
     // real-decode multimodal: PCM16 feature pass (mapPartitions batch)
-    "wav_features")
+    "wav_features",
+    // batch 5: set ops, chance-corrected agreement, token-mass quantiles
+    // (per-source window), the dedup token-savings curve
+    "intersect_except", "cohen_kappa", "weighted_quantiles", "dedup_savings")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
