@@ -672,6 +672,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
+  test("intersect_except plans as hash joins over distinct inputs, no cartesian") {
+    val plan = planOf(SparkEntry.queries("intersect_except")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"set ops must stay equi-joins:\n$plan")
+    assert(plan.contains("LeftSemi") || plan.contains("LeftAnti"),
+      s"INTERSECT/EXCEPT should plan as semi/anti joins:\n$plan")
+  }
+
+  test("weighted_quantiles: mass window partitions by source, never global") {
+    val plan = planOf(SparkEntry.queries("weighted_quantiles")(spark, sf))
+    assert("Exchange hashpartitioning\\(source".r.findFirstIn(plan).isDefined,
+      s"cumulative mass must shuffle by source:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup_savings: threshold explode joins token table equi-only") {
+    val plan = planOf(SparkEntry.queries("dedup_savings")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("Generate"), s"thresholds should explode:\n$plan")
+  }
+
+  test("wav_features: pure mapPartitions decode, no join, no window") {
+    val plan = planOf(SparkEntry.queries("wav_features")(spark, sf))
+    assert(!plan.contains("Join"), s"audio features must stay join-free:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("mapPartitions") ||
+      plan.contains("SerializeFromObject"),
+      s"decode should run as the batched partition map:\n$plan")
+  }
+
   test("grouping_sets_mix plans as ONE Expand pass with partial aggregation") {
     val plan = planOf(SparkEntry.queries("grouping_sets_mix")(spark, sf))
     assert(plan.contains("Expand"), s"grouping sets should Expand:\n$plan")
