@@ -2513,8 +2513,40 @@ object SparkEntry {
             Seq(col("lang")), Seq()),
           col("source"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+    // corpus BLEU-4 against a deterministically thinned hypothesis (drop
+    // every k-th token, k keyed on doc_id) — integer clipped n-gram counts
+    // end to end, floating point only in the final BP/geometric mean
+    "bleu_eval" -> ((s, dir) =>
+      operators.TextEval.bleuEval(Tables.documents(s, dir), "doc_id", "text")),
+    // graded-relevance ranking quality: NDCG@10 of the BM25 ranker over a
+    // 3-query panel, ideal ranking derived from the grade histogram (no
+    // per-query corpus sort)
+    "ndcg_eval" -> ((s, dir) =>
+      operators.Search.ndcgAtK(Tables.documents(s, dir), "doc_id", "text",
+        NdcgPanel)),
+    // blocked Jaro-Winkler entity resolution over distinct part names —
+    // the native expression Spark lacks, verified bit-for-bit against
+    // DuckDB's jaro_winkler_similarity
+    "jw_linkage" -> ((s, dir) =>
+      operators.Linkage.jaroWinklerPairs(Tables.part(s, dir), "p_name")),
+    // Holt double exponential smoothing of per-type daily counts (level +
+    // trend state), gap days as zeros; fixed-op-order double fold ==
+    // DuckDB recursive CTE
+    "holt_linear" -> ((s, dir) =>
+      operators.Temporal.holtLinear(ev(s, dir), "event_type", "ts")),
+    // Simpson concentration / effective vocabulary per source — the
+    // integer-exact head-heaviness diagnostic next to Shannon entropy
+    "simpson_diversity" -> ((s, dir) =>
+      operators.TextAnalysis.simpsonDiversity(Tables.documents(s, dir),
+        "source", "text"))
   )
+
+  /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
+  private val NdcgPanel: Seq[(String, Seq[String])] = Seq(
+    ("q_dup_window", Seq("dup", "window")),
+    ("q_merge_scan_table", Seq("merge", "scan", "table")),
+    ("q_spark_join", Seq("spark", "join")))
 
   /** Little-endian hex of a u16/u32 value column (RIFF/GIF/BMP headers). */
   private def le16(c: Column): Column = {
@@ -4716,7 +4748,17 @@ object SparkEntry {
            FROM (SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
                  FROM documents)""",
-        "documents", "doc_id", "text")
+        "documents", "doc_id", "text"),
+    "bleu_eval" ->
+      operators.TextEval.bleuEvalSql("documents", "doc_id", "text"),
+    "ndcg_eval" ->
+      operators.Search.ndcgAtKSql("documents", "doc_id", "text", NdcgPanel),
+    "jw_linkage" ->
+      operators.Linkage.jaroWinklerPairsSql("part", "p_name"),
+    "holt_linear" ->
+      operators.Temporal.holtLinearSql("events", "event_type", "ts"),
+    "simpson_diversity" ->
+      operators.TextAnalysis.simpsonDiversitySql("documents", "source", "text")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

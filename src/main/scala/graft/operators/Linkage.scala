@@ -87,4 +87,53 @@ object Linkage {
        FROM u WHERE levenshtein(name_a, name_b) <= $maxDist
        ORDER BY name_a, name_b"""
   }
+
+  /** Blocked Jaro-Winkler entity resolution (Winkler 1990; the Fellegi-
+    * Sunter string comparator): DISTINCT-name pairs with similarity in
+    * `[minSim, 1)` under standard last-token blocking — two product names
+    * are candidate duplicates only if they share their head noun, the
+    * blocking key deduplication systems use when a fielded key exists.
+    *
+    * Shape at 100 TB: the corpus collapses once to its distinct-name
+    * dictionary (vocabulary-sized, with carrier counts), the self-join is
+    * an equi-join on the block key — per-block fan-out is block-size
+    * bounded, never |dict|² — and the comparator
+    * ([[graft.functions.JaroWinklerExpr]], integer arithmetic to three
+    * final divisions) runs inside the join filter. Exact name matches are
+    * excluded by `name_a < name_b` over distinct names; sim 1.0 cannot
+    * appear, so every row is a genuine near-miss.
+    *
+    * Output: (name_a, name_b, sim, n_a, n_b) — sim rounded to 6 dp, n_* =
+    * carrier record counts, ordered by pair.
+    */
+  def jaroWinklerPairs(df: DataFrame, nameCol: String,
+      minSim: Double = 0.8): DataFrame = {
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("name").as("name_a"), col("n").as("n_a"), col("blk"))
+    val b = names.select(col("name").as("name_b"), col("n").as("n_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("sim", round(
+        graft.functions.JaroWinklerExpr.jaroWinkler(col("name_a"), col("name_b")), 6))
+      .where(col("sim") >= minSim)
+      .select(col("name_a"), col("name_b"), col("sim"), col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** DuckDB mirror of [[jaroWinklerPairs]] — `jaro_winkler_similarity` is
+    * the engine built-in the Spark expression was verified against.
+    */
+  def jaroWinklerPairsSql(table: String, nameCol: String,
+      minSim: Double = 0.8): String =
+    s"""WITH names AS (SELECT $nameCol AS name, COUNT(*) AS n,
+             string_split($nameCol, ' ')[-1] AS blk
+           FROM $table GROUP BY 1)
+       SELECT a.name AS name_a, b.name AS name_b,
+         round(jaro_winkler_similarity(a.name, b.name), 6) AS sim,
+         a.n AS n_a, b.n AS n_b
+       FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+       WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= $minSim
+       ORDER BY name_a, name_b"""
 }

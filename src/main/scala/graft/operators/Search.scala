@@ -260,6 +260,150 @@ object Search {
     * only — TakeOrdered delivers it); relevance is the gated conjunctive
     * match; the join is k_max × 1 columns. One output row.
     */
+  /** NDCG@k of the BM25 ranker over a PANEL of queries (Järvelin &
+    * Kekäläinen 2002) — graded relevance where [[precisionAtK]] is binary:
+    * grade(doc) = number of DISTINCT query terms the doc contains as
+    * tokens, gain 2^g − 1, log2 positional discount.
+    *
+    * Everything is bounded-relation algebra: one corpus scan builds the
+    * postings for the union of all panels' terms (contains() gate below
+    * the explode, exactly [[bm25Rank]]); scores are per-(query, doc) with
+    * the round(·,4)-DECIMAL sum discipline so ranking ties are exact; the
+    * per-query top-k is a rank-filtered window (WindowGroupLimit prunes it
+    * map-side); and the IDEAL ranking never materializes — it derives from
+    * the per-query GRADE HISTOGRAM (≤ max-grade rows per query), whose
+    * descending-cumulative join against the k positions yields the ideal
+    * grade at every position. No collect, no per-query corpus sort.
+    *
+    * Output: one row per query — docs scored, DCG@k, IDCG@k, NDCG@k.
+    */
+  def ndcgAtK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "ndcgAtK: empty panel")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t.toLowerCase)) }
+      .distinct.toDF("qid", "term")
+    val allTerms = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+    val base = Dedup.parallelize(df).select(col(idCol).as("_n_id"),
+      lower(col(textCol)).as("_txt"),
+      size(TextAnalysis.tokens(lower(col(textCol)))).as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val gate = allTerms.map(t => contains(col("_txt"), lit(t))).reduce(_ || _)
+    val postings = base
+      .where(gate)
+      .select(col("_n_id"), col("dl"),
+        explode(TextAnalysis.tokens(col("_txt"))).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("_n_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfw = col("tf").cast("double") * lit(k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    // per-(query, doc): DECIMAL-exact score + grade (postings are unique per
+    // (doc, term), so count(*) IS the distinct-term match count)
+    val scores = postings
+      .join(broadcast(docFreq), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("_n_id"))
+      .agg(sum(round(idf * tfw, 4).cast("decimal(18,4)")).as("_s"),
+        count(lit(1)).as("g"))
+    val ranked = scores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_s").desc, col("_n_id"))))
+      .where(col("rk") <= k)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dcgTerm = round((pow(lit(2.0), d(col("g"))) - lit(1.0)) /
+      (log(d(col("rk")) + lit(1.0)) / log(lit(2.0))), 9)
+    val dcg = ranked.groupBy("qid")
+      .agg(sum(dcgTerm.cast("decimal(18,9)")).as("_dcg"))
+    val nScored = scores.groupBy("qid").agg(count(lit(1)).as("n_scored"))
+    // ideal grades from the descending-cumulative grade histogram
+    val cum = scores.groupBy("qid", "g").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("qid").orderBy(col("g").desc)))
+    val positions = qterms.select("qid").distinct()
+      .select(col("qid"), explode(sequence(lit(1), lit(k))).as("p"))
+    val ideal = positions.join(cum, Seq("qid"))
+      .where(col("cum") >= col("p"))
+      .groupBy("qid", "p").agg(max(col("g")).as("ig"))
+    val idcgTerm = round((pow(lit(2.0), d(col("ig"))) - lit(1.0)) /
+      (log(d(col("p")) + lit(1.0)) / log(lit(2.0))), 9)
+    val idcg = ideal.groupBy("qid")
+      .agg(sum(idcgTerm.cast("decimal(18,9)")).as("_idcg"))
+    dcg.join(idcg, "qid").join(nScored, "qid")
+      .select(col("qid"), col("n_scored"),
+        round(d(col("_dcg")), 6).as("dcg"),
+        round(d(col("_idcg")), 6).as("idcg"),
+        round(d(col("_dcg")) / d(col("_idcg")), 6).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB mirror of [[ndcgAtK]] — same postings/score/histogram algebra. */
+  def ndcgAtKSql(table: String, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val qtVals = queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t.toLowerCase)) }
+      .distinct
+      .map { case (q, t) => s"(${OracleSql.lit(q)}, ${OracleSql.lit(t)})" }
+      .mkString(", ")
+    val allTerms = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+      .map(OracleSql.lit).mkString(",")
+    s"""WITH qt(qid, term) AS (VALUES $qtVals),
+       base AS (SELECT $idCol AS id, trim(lower($textCol)) AS txt,
+           len(string_split_regex(trim(lower($textCol)),'\\s+')) AS dl
+         FROM $table),
+       stats AS (SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM base),
+       p AS (SELECT id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+           SELECT id, dl, unnest(string_split_regex(txt,'\\s+')) AS term FROM base)
+         WHERE term IN ($allTerms) GROUP BY id, term),
+       f AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+       sc AS (SELECT qid, id,
+           SUM(CAST(round(
+             ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+               / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             * ((CAST(tf AS DOUBLE) * ${k1 + 1})
+               / (CAST(tf AS DOUBLE) + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE)) / avgdl))),
+             4) AS DECIMAL(18,4))) AS s,
+           COUNT(*) AS g
+         FROM p JOIN f USING (term) JOIN qt USING (term) CROSS JOIN stats
+         GROUP BY qid, id),
+       rk AS (SELECT qid, id, g,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+         FROM sc),
+       dcg AS (SELECT qid, SUM(CAST(round(
+             (power(2.0, CAST(g AS DOUBLE)) - 1.0)
+             / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0)), 9) AS DECIMAL(18,9))) AS dcg
+         FROM rk WHERE rk <= $k GROUP BY qid),
+       nsc AS (SELECT qid, COUNT(*) AS n_scored FROM sc GROUP BY qid),
+       cum AS (SELECT qid, g, SUM(c) OVER (PARTITION BY qid ORDER BY g DESC) AS cum
+         FROM (SELECT qid, g, COUNT(*) AS c FROM sc GROUP BY qid, g)),
+       pos AS (SELECT qid, unnest(range(1, ${k + 1})) AS p
+         FROM (SELECT DISTINCT qid FROM qt)),
+       ideal AS (SELECT qid, p, MAX(g) AS ig
+         FROM pos JOIN cum USING (qid) WHERE cum >= p GROUP BY qid, p),
+       idcg AS (SELECT qid, SUM(CAST(round(
+             (power(2.0, CAST(ig AS DOUBLE)) - 1.0)
+             / (ln(CAST(p AS DOUBLE) + 1.0) / ln(2.0)), 9) AS DECIMAL(18,9))) AS idcg
+         FROM ideal GROUP BY qid)
+       SELECT qid, n_scored,
+         round(CAST(dcg AS DOUBLE), 6) AS dcg,
+         round(CAST(idcg AS DOUBLE), 6) AS idcg,
+         round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+       FROM dcg JOIN idcg USING (qid) JOIN nsc USING (qid)
+       ORDER BY qid"""
+  }
+
   def precisionAtK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "precisionAtK: bad k list")

@@ -1145,4 +1145,119 @@ object Temporal {
          round(CAST(ae1 AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS mae_naive,
          round(CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE), 4) AS mase
        FROM agg WHERE ae1 > 0"""
+
+  /** Holt's linear-trend smoothing (double exponential smoothing) of the
+    * per-key daily count series, gap days as explicit zeros — the
+    * trend-aware sibling of [[ewmaDaily]]: EWMA tracks a LEVEL and reads a
+    * trending series as perpetually anomalous; Holt carries (level, trend)
+    * state so a steady climb forecasts forward instead of alarming.
+    *
+    * Recurrence (with the standard two-point init, which makes the t=2
+    * one-step error identically zero — so SSE starts at t=3):
+    * l₂ = y₂, b₂ = y₂ − y₁; for t ≥ 3:
+    * ŷ = l + b;  l' = α·y + (1−α)·ŷ;  b' = β·(l' − l) + (1−β)·b.
+    *
+    * Exactness: counts are integers; the fold is one fixed-op-order double
+    * recursion — Spark runs it as a single higher-order `aggregate` over
+    * the densified per-key array (struct accumulator), DuckDB as a
+    * recursive CTE with textually identical arithmetic, INCLUDING the
+    * complement coefficients (1−α is written 0.7, never computed, so both
+    * engines fold with bit-identical constants). Per-key state is 3
+    * doubles; arrays are calendar-span-bounded, never corpus-sized.
+    *
+    * Output per key: days, final level/trend, h-step forecast, one-step
+    * SSE — all at 6 dp.
+    */
+  def holtLinear(df: DataFrame, keyCol: String, tsCol: String,
+      alpha: Double = 0.3, beta: Double = 0.2, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "holtLinear: bad smoothing")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val keys = daily.select(col(keyCol)).distinct()
+    val grid = keys.crossJoin(broadcast(span))
+      .select(col(keyCol), col("d"),
+        explode(sequence(lit(0), col("d") - 1)).as("x"))
+    val dailyX = daily.crossJoin(broadcast(span))
+      .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+        col("c"))
+    val arrs = grid.join(dailyX, Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("d"), col("x"),
+        coalesce(col("c"), lit(0L)).cast("double").as("c0"))
+      .groupBy(col(keyCol), col("d"))
+      .agg(transform(array_sort(collect_list(struct(col("x"), col("c0")))),
+        e => e.getField("c0")).as("arr"))
+    val a = lit(alpha)
+    val ca = lit(1 - alpha) // parses the same decimal literal as the SQL text
+    val bt = lit(beta)
+    val cb = lit(1 - beta)
+    val seed = struct(
+      element_at(col("arr"), 2).as("l"),
+      (element_at(col("arr"), 2) - element_at(col("arr"), 1)).as("b"),
+      lit(0.0).as("sse"))
+    val folded = aggregate(
+      slice(col("arr"), lit(3), greatest(col("d") - 2, lit(0))),
+      seed,
+      (s, y) => {
+        val pred = s.getField("l") + s.getField("b")
+        val lNew = a * y + ca * pred
+        struct(
+          lNew.as("l"),
+          (bt * (lNew - s.getField("l")) + cb * s.getField("b")).as("b"),
+          (s.getField("sse") + (y - pred) * (y - pred)).as("sse"))
+      })
+    arrs
+      .where(col("d") >= 2)
+      .withColumn("_h", folded)
+      .select(col(keyCol), col("d").cast("long").as("days"),
+        round(col("_h").getField("l"), 6).as("level"),
+        round(col("_h").getField("b"), 6).as("trend"),
+        round(col("_h").getField("l") + lit(horizon.toDouble) * col("_h").getField("b"), 6)
+          .as(s"forecast_$horizon"),
+        round(col("_h").getField("sse"), 6).as("sse"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[holtLinear]] — a recursive CTE carrying (l, b, sse)
+    * with the same literal coefficients and op order as the Spark fold.
+    */
+  def holtLinearSql(tbl: String, keyCol: String, tsCol: String,
+      alpha: Double = 0.3, beta: Double = 0.2, horizon: Int = 7): String = {
+    val a = alpha.toString
+    val ca = (1 - alpha).toString
+    val bt = beta.toString
+    val cb = (1 - beta).toString
+    s"""WITH RECURSIVE daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       keys AS (SELECT DISTINCT $keyCol FROM daily),
+       grid AS (SELECT $keyCol, d, CAST(unnest(range(0, d)) AS INT) AS x
+         FROM keys CROSS JOIN span),
+       dx AS (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+         FROM daily CROSS JOIN span),
+       arrs AS (SELECT $keyCol, MAX(d) AS d,
+           list(CAST(COALESCE(c, 0) AS DOUBLE) ORDER BY x) AS arr
+         FROM grid LEFT JOIN dx USING ($keyCol, x)
+         GROUP BY $keyCol),
+       r AS (
+         SELECT $keyCol, d, arr, 2 AS t,
+             arr[2] AS l, arr[2] - arr[1] AS b, CAST(0.0 AS DOUBLE) AS sse
+           FROM arrs WHERE d >= 2
+         UNION ALL
+         SELECT $keyCol, d, arr, t + 1,
+             $a * arr[t+1] + $ca * (l + b),
+             $bt * (($a * arr[t+1] + $ca * (l + b)) - l) + $cb * b,
+             sse + (arr[t+1] - (l + b)) * (arr[t+1] - (l + b))
+           FROM r WHERE t < d)
+       SELECT $keyCol, CAST(d AS BIGINT) AS days,
+         round(l, 6) AS level,
+         round(b, 6) AS trend,
+         round(l + ${horizon.toDouble} * b, 6) AS forecast_$horizon,
+         round(sse, 6) AS sse
+       FROM r WHERE t = d ORDER BY $keyCol"""
+  }
 }

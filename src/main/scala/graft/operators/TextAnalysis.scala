@@ -1736,4 +1736,58 @@ object TextAnalysis {
           OR len(regexp_extract_all($textExpr, '${MojibakeRe}')) > 0
           OR length($textExpr) - length(regexp_replace($textExpr, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) > 0) AS suspect
        FROM $tbl ORDER BY $idCol"""
+
+  /** Simpson concentration / diversity of the per-group token distribution
+    * (Simpson 1949): λ = Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two
+    * tokens drawn WITHOUT replacement are the same type — and its inverse,
+    * the "effective vocabulary" (Hill number of order 2). The pair with
+    * [[tokenEntropy]]'s Shannon view: entropy weights rare types, inverse
+    * Simpson is dominated by the head, so the two diverge exactly when a
+    * corpus slice is head-heavy — the mode-collapse signature.
+    *
+    * Exactness: everything is integer until TWO final divisions — the pair
+    * counts fold as DECIMAL(38,0) (nᵢ up to 10¹⁸ before the product
+    * saturates, far past any real shard), so unlike a double Σpᵢ² there is
+    * no float-order dependence and no catastrophic cancellation for
+    * near-uniform distributions.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = Dedup.parallelize(df)
+      .select(col(groupCol).as("_sd_g"),
+        explode(tokens(trim(lower(col(textCol))))).as("_sd_t"))
+      .groupBy("_sd_g", "_sd_t").agg(count(lit(1)).as("n"))
+    def d(c: Column) = c.cast("double")
+    val nDec = col("n").cast("decimal(19,0)")
+    counts.groupBy("_sd_g")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("n")).as("n_tokens"),
+        sum((nDec * (nDec - lit(1))).cast("decimal(38,0)")).as("pairs"))
+      .select(col("_sd_g").as(groupCol), col("vocab"), col("n_tokens"),
+        col("pairs").cast("long").as("pair_matches"),
+        round(d(col("pairs")) /
+          (d(col("n_tokens")) * d(col("n_tokens") - lit(1))), 6).as("simpson"),
+        round((d(col("n_tokens")) * d(col("n_tokens") - lit(1))) /
+          d(col("pairs")), 4).as("inv_simpson"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[simpsonDiversity]]. */
+  def simpsonDiversitySql(tbl: String, groupCol: String,
+      textCol: String): String =
+    s"""WITH c AS (SELECT $groupCol AS g, term, COUNT(*) AS n FROM (
+           SELECT $groupCol, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+           FROM $tbl)
+         GROUP BY 1, 2),
+       agg AS (SELECT g, COUNT(*) AS vocab, SUM(n) AS n_tokens,
+           SUM(CAST(CAST(n AS DECIMAL(19,0)) * (CAST(n AS DECIMAL(19,0)) - 1) AS DECIMAL(38,0))) AS pairs
+         FROM c GROUP BY g)
+       SELECT g AS $groupCol, CAST(vocab AS BIGINT) AS vocab,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(pairs AS BIGINT) AS pair_matches,
+         round(CAST(pairs AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 6) AS simpson,
+         round((CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+           / CAST(pairs AS DOUBLE), 4) AS inv_simpson
+       FROM agg ORDER BY $groupCol"""
 }

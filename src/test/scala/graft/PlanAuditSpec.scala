@@ -708,4 +708,47 @@ class PlanAuditSpec extends AnyFunSuite {
       "HashAggregate.*partial".r.findFirstIn(plan).isDefined,
       s"tally should map-side combine:\n$plan")
   }
+
+  test("bleu_eval: gram clip is a single equi-join keyed (doc, n, gram)") {
+    val plan = planOf(SparkEntry.queries("bleu_eval")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"clip join must stay hashed:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(plan).isDefined, s"clip should hash-join:\n$plan")
+  }
+
+  test("ndcg_eval: term/query dims broadcast; top-k prunes via group limit") {
+    val plan = planOf(SparkEntry.queries("ndcg_eval")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"docFreq/qterms/stats should broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk<=k should prune map-side:\n$plan")
+  }
+
+  test("jw_linkage: block self-join is equi-only over the name dictionary") {
+    val plan = planOf(SparkEntry.queries("jw_linkage")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the join equi-only:\n$plan")
+    assert(plan.contains("jaro_winkler"),
+      s"comparator should be the native expression:\n$plan")
+  }
+
+  test("holt_linear: per-key fold aggregates with partial combine, no window") {
+    val plan = planOf(SparkEntry.queries("holt_linear")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    // the calendar span is a broadcast scalar; the fold itself is agg-side
+    assert(plan.contains("BroadcastExchange"), s"span should broadcast:\n$plan")
+  }
+
+  test("simpson_diversity: one explode, hash agg with map-side partials") {
+    val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
+    assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")
+    assert(!plan.contains("Join"), s"diversity is join-free:\n$plan")
+    assert("partial_count|partial count|HashAggregate".r.findFirstIn(plan).isDefined,
+      s"token counts should combine map-side:\n$plan")
+  }
 }
