@@ -2539,7 +2539,20 @@ object SparkEntry {
     // integer-exact head-heaviness diagnostic next to Shannon entropy
     "simpson_diversity" -> ((s, dir) =>
       operators.TextAnalysis.simpsonDiversity(Tables.documents(s, dir),
-        "source", "text"))
+        "source", "text")),
+    // ROUGE-1/2 over the same thinned hypothesis as bleu_eval — recall
+    // against the REFERENCE total, the summarization-side denominator
+    "rouge_eval" -> ((s, dir) =>
+      operators.TextEval.rougeEval(Tables.documents(s, dir), "doc_id", "text")),
+    // chrF (β=2) — tokenizer-free character n-gram F over the same pair;
+    // per-n rows plus the n=0 macro-average summary row
+    "chrf_eval" -> ((s, dir) =>
+      operators.TextEval.chrfEval(Tables.documents(s, dir), "doc_id", "text")),
+    // rank-sum A/B on purchase values: tie-corrected Mann-Whitney z plus
+    // Cliff's delta, folded over the value TYPE TABLE (no global row rank)
+    "mann_whitney" -> ((s, dir) =>
+      operators.EventSeq.mannWhitney(ev(s, dir), "user_id", "event_type",
+        "value", convType = "purchase"))
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4758,7 +4771,14 @@ object SparkEntry {
     "holt_linear" ->
       operators.Temporal.holtLinearSql("events", "event_type", "ts"),
     "simpson_diversity" ->
-      operators.TextAnalysis.simpsonDiversitySql("documents", "source", "text")
+      operators.TextAnalysis.simpsonDiversitySql("documents", "source", "text"),
+    "rouge_eval" ->
+      operators.TextEval.rougeEvalSql("documents", "doc_id", "text"),
+    "chrf_eval" ->
+      operators.TextEval.chrfEvalSql("documents", "doc_id", "text"),
+    "mann_whitney" ->
+      operators.EventSeq.mannWhitneySql("events", "user_id", "event_type",
+        "value", convType = "purchase")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

@@ -561,6 +561,94 @@ object EventSeq {
              wb * wb / (CAST(n_b AS DOUBLE) - 1.0), 1e-12), 2) AS df
        FROM s"""
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) between the two md5 arms on the
+    * conversion-value metric — the distribution-free companion to
+    * [[abValueTtest]]: no normality assumption, robust to the heavy right
+    * tail purchase values always have. Tie-corrected normal approximation
+    * with continuity correction, plus Cliff's delta (= 2U/(n₁n₂) − 1),
+    * the effect size U already determines.
+    *
+    * Exactness/scale: values are DECIMAL(18,6), so the engine collapses
+    * the metric to its VALUE TYPE TABLE first (the [[Audit.scoreAuc]]
+    * discipline — U never enumerates pairs and no per-row global rank is
+    * assigned); 2U and the tie cubes fold as DECIMAL(38,0) integers, and
+    * the single ordered window runs over value groups, not rows. Floating
+    * point enters only in the final variance/z arithmetic, one fixed op
+    * order in both engines.
+    */
+  def mannWhitney(df: DataFrame, userCol: String, typeCol: String,
+      valCol: String, convType: String, salt: String = "arm"): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val byV = df.where(col(typeCol) === convType)
+      .select(arm, col(valCol).cast("decimal(18,6)").as("s"))
+      .groupBy("s")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val terms = byV
+      .withColumn("cum1", coalesce(sum(col("c1")).over(w), lit(0L)))
+      .select(col("c0"), col("c1"),
+        (col("c0") * (col("cum1") * 2 + col("c1"))).cast("decimal(38,0)").as("u2t"),
+        ((col("c0") + col("c1")) * (col("c0") + col("c1")) * (col("c0") + col("c1"))
+          - (col("c0") + col("c1"))).cast("decimal(38,0)").as("t3t"))
+    def d(c: Column) = c.cast("double")
+    val agg = terms.agg(sum(col("c0")).as("n_a"), sum(col("c1")).as("n_b"),
+      sum(col("u2t")).as("u2"), sum(col("t3t")).as("t3"))
+    val (na, nb) = (d(col("n_a")), d(col("n_b")))
+    val bigN = na + nb
+    val varU = (na * nb / lit(12.0)) *
+      ((bigN + lit(1.0)) - d(col("t3")) / (bigN * (bigN - lit(1.0))))
+    val diff2 = d(col("u2")) - na * nb // 2·(U − mean)
+    val z = when(diff2 === 0.0, lit(0.0))
+      .otherwise((diff2 - signum(diff2)) / (lit(2.0) * sqrt(varU)))
+    agg.select(col("n_a"), col("n_b"),
+      round(d(col("u2")) / lit(2.0), 1).as("u"),
+      round(d(col("u2")) / (na * nb) - lit(1.0), 6).as("cliff_delta"),
+      when(varU > 0, round(z, 4)).as("z"),
+      when(varU > 0, abs(z) > lit(1.96)).as("sig_95"),
+      when(varU > 0, abs(z) > lit(2.576)).as("sig_99"))
+  }
+
+  /** DuckDB mirror of [[mannWhitney]]. */
+  def mannWhitneySql(tbl: String, userCol: String, typeCol: String,
+      valCol: String, convType: String, salt: String = "arm"): String =
+    s"""WITH e AS (SELECT
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST($valCol AS DECIMAL(18,6)) AS s
+         FROM $tbl WHERE $typeCol = ${OracleSql.lit(convType)}),
+       byv AS (SELECT s,
+           SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+           SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+         FROM e GROUP BY s),
+       terms AS (SELECT c0, c1,
+           CAST(c0 * (COALESCE(SUM(c1) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + c1)
+             AS DECIMAL(38,0)) AS u2t,
+           CAST((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)
+             AS DECIMAL(38,0)) AS t3t
+         FROM byv),
+       agg AS (SELECT CAST(SUM(c0) AS BIGINT) AS n_a, CAST(SUM(c1) AS BIGINT) AS n_b,
+           SUM(u2t) AS u2, SUM(t3t) AS t3 FROM terms),
+       f AS (SELECT n_a, n_b,
+           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+           CAST(u2 AS DOUBLE) AS u2d, CAST(t3 AS DOUBLE) AS t3d
+         FROM agg),
+       g AS (SELECT n_a, n_b, na, nb, u2d,
+           (na * nb / 12.0) * ((na + nb + 1.0) - t3d / ((na + nb) * (na + nb - 1.0))) AS varu,
+           u2d - na * nb AS diff2
+         FROM f)
+       SELECT n_a, n_b,
+         round(u2d / 2.0, 1) AS u,
+         round(u2d / (na * nb) - 1.0, 6) AS cliff_delta,
+         CASE WHEN varu > 0 THEN round(CASE WHEN diff2 = 0.0 THEN 0.0
+           ELSE (diff2 - sign(diff2)) / (2.0 * sqrt(varu)) END, 4) END AS z,
+         CASE WHEN varu > 0 THEN abs(CASE WHEN diff2 = 0.0 THEN 0.0
+           ELSE (diff2 - sign(diff2)) / (2.0 * sqrt(varu)) END) > 1.96 END AS sig_95,
+         CASE WHEN varu > 0 THEN abs(CASE WHEN diff2 = 0.0 THEN 0.0
+           ELSE (diff2 - sign(diff2)) / (2.0 * sqrt(varu)) END) > 2.576 END AS sig_99
+       FROM g"""
+
   /** DuckDB mirror of [[abConversion]]. */
   def abConversionSql(tbl: String, userCol: String, typeCol: String,
       convType: String, minCount: Int = 1, salt: String = "arm"): String =

@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object TextEval {
 
+  /** Shared reference/hypothesis synthesis: tokens of the lowered text
+    * plus the thinned hypothesis (drop every k-th token, k = 3 + id % 5).
+    */
+  private def refHyp(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.parallelize(df).select(
+      col(idCol).as("_b_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("_b_ref"),
+      (lit(3) + pmod(col(idCol), lit(5))).cast("int").as("_b_k"))
+      .withColumn("_b_hyp",
+        filter(col("_b_ref"), (t, i) => ((i + lit(1)) % col("_b_k")) =!= lit(0)))
+
+  /** Per-(doc, n, gram) multiset counts of token n-grams for n = 1..maxN. */
+  private def tokenGramCounts(withHyp: DataFrame, arrCol: String,
+      maxN: Int, out: String): DataFrame =
+    withHyp
+      .select(col("_b_id"), col(arrCol).as("_b_arr"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+      .select(col("_b_id"), col("n"),
+        explode(when(size(col("_b_arr")) >= col("n"),
+          transform(
+            sequence(lit(1), size(col("_b_arr")) - col("n") + lit(1)),
+            i => array_join(slice(col("_b_arr"), i, col("n")), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("_b_id", "n", "gram")
+      .agg(count(lit(1)).as(out))
+
   /** Corpus BLEU-N (Papineni et al. 2002): clipped n-gram precision for
     * n = 1..maxN plus the brevity penalty, computed corpus-level (sum of
     * per-document clipped matches over sum of hypothesis n-gram totals —
@@ -33,33 +59,15 @@ object TextEval {
   def bleuEval(df: DataFrame, idCol: String, textCol: String,
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"bleuEval: maxN out of range: $maxN")
-    val base = Dedup.parallelize(df).select(
-      col(idCol).as("_b_id"),
-      split(trim(lower(col(textCol))), "\\s+").as("_b_ref"),
-      (lit(3) + pmod(col(idCol), lit(5))).cast("int").as("_b_k"))
     // hypothesis: drop every k-th token (0-based lambda index, so i+1 is
     // the 1-based position — DuckDB's lambda index is already 1-based)
-    val withHyp = base.withColumn("_b_hyp",
-      filter(col("_b_ref"), (t, i) => ((i + lit(1)) % col("_b_k")) =!= lit(0)))
+    val withHyp = refHyp(df, idCol, textCol)
     val lens = withHyp.agg(
       sum(size(col("_b_ref"))).as("ref_len"),
       sum(size(col("_b_hyp"))).as("hyp_len"))
 
-    def gramCounts(arrCol: String, out: String): DataFrame =
-      withHyp
-        .select(col("_b_id"), col(arrCol).as("_b_arr"),
-          explode(sequence(lit(1), lit(maxN))).as("n"))
-        .select(col("_b_id"), col("n"),
-          explode(when(size(col("_b_arr")) >= col("n"),
-            transform(
-              sequence(lit(1), size(col("_b_arr")) - col("n") + lit(1)),
-              i => array_join(slice(col("_b_arr"), i, col("n")), " ")))
-            .otherwise(array().cast("array<string>"))).as("gram"))
-        .groupBy("_b_id", "n", "gram")
-        .agg(count(lit(1)).as(out))
-
-    val refC = gramCounts("_b_ref", "_b_rc")
-    val hypC = gramCounts("_b_hyp", "_b_hc")
+    val refC = tokenGramCounts(withHyp, "_b_ref", maxN, "_b_rc")
+    val hypC = tokenGramCounts(withHyp, "_b_hyp", maxN, "_b_hc")
     val matches = hypC
       .join(refC, Seq("_b_id", "n", "gram"), "left")
       .groupBy("n")
@@ -70,8 +78,9 @@ object TextEval {
       .groupBy("n")
       .agg(sum(greatest(col("_b_hl") - col("n") + lit(1), lit(0))).as("t"))
 
+    // coalesce: an n with no hypothesis grams at all has no `matches` row
     def pick(src: String, v: String, n: Int): Column =
-      max(when(col("n") === n, col(v))).as(s"${src}_$n")
+      coalesce(max(when(col("n") === n, col(v))), lit(0L)).as(s"${src}_$n")
     val mRow = matches.agg(
       pick("match", "m", 1), (2 to maxN).map(pick("match", "m", _)): _*)
     val tRow = totals.agg(
@@ -106,9 +115,9 @@ object TextEval {
       maxN: Int = 4): String = {
     val ns = (1 to maxN).mkString(",")
     val matchCols = (1 to maxN)
-      .map(n => s"MAX(CASE WHEN n=$n THEN m END) AS match_$n").mkString(", ")
+      .map(n => s"COALESCE(MAX(CASE WHEN n=$n THEN m END), 0) AS match_$n").mkString(", ")
     val totalCols = (1 to maxN)
-      .map(n => s"MAX(CASE WHEN n=$n THEN t END) AS total_$n").mkString(", ")
+      .map(n => s"COALESCE(MAX(CASE WHEN n=$n THEN t END), 0) AS total_$n").mkString(", ")
     val logSum = (1 to maxN)
       .map(n => s"ln(CAST(match_$n AS DOUBLE) / CAST(total_$n AS DOUBLE))")
       .mkString(" + ")
@@ -148,5 +157,221 @@ object TextEval {
          round(CASE WHEN ${(1 to maxN).map(n => s"total_$n > 0").mkString(" AND ")}
            THEN ($bp) * exp(${1.0 / maxN} * ($logSum)) ELSE 0.0 END, 6) AS bleu
        FROM mrow CROSS JOIN trow CROSS JOIN lens"""
+  }
+
+  /** Corpus ROUGE-N (Lin 2004) over the same synthesized hypothesis:
+    * clipped n-gram matches scored BOTH ways — precision against the
+    * hypothesis total (BLEU's denominator) and recall against the
+    * REFERENCE total (ROUGE's defining denominator) — plus their F1, for
+    * n = 1..maxN. Same (doc, n, gram) single-join shape as [[bleuEval]];
+    * the reference totals ride the same pass.
+    *
+    * Output: one row per n — match/hyp_total/ref_total, precision,
+    * recall, f1 (6 dp).
+    */
+  def rougeEval(df: DataFrame, idCol: String, textCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"rougeEval: maxN out of range: $maxN")
+    val withHyp = refHyp(df, idCol, textCol)
+    val refC = tokenGramCounts(withHyp, "_b_ref", maxN, "_b_rc")
+    val hypC = tokenGramCounts(withHyp, "_b_hyp", maxN, "_b_hc")
+    val matches = hypC
+      .join(refC, Seq("_b_id", "n", "gram"), "left")
+      .groupBy("n")
+      .agg(sum(least(col("_b_hc"), coalesce(col("_b_rc"), lit(0L)))).as("n_match"))
+    def totalsOf(arrCol: String, out: String): DataFrame = withHyp
+      .select(explode(sequence(lit(1), lit(maxN))).as("n"),
+        size(col(arrCol)).as("_b_l"))
+      .groupBy("n")
+      .agg(sum(greatest(col("_b_l") - col("n") + lit(1), lit(0))).as(out))
+    def dd(c: Column) = c.cast("double")
+    val p = dd(col("n_match")) / dd(col("hyp_total"))
+    val r = dd(col("n_match")) / dd(col("ref_total"))
+    // totals come from the unconditional n-explode, so every n has a row
+    // even when no document reaches n tokens; matches may not
+    totalsOf("_b_hyp", "hyp_total")
+      .join(totalsOf("_b_ref", "ref_total"), "n")
+      .join(matches, Seq("n"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .select(col("n"), col("n_match"), col("hyp_total"), col("ref_total"),
+        round(when(col("hyp_total") > 0, p).otherwise(lit(0.0)), 6).as("prec"),
+        round(when(col("ref_total") > 0, r).otherwise(lit(0.0)), 6).as("rec"),
+        round(when(col("n_match") > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), 6).as("f1"))
+      .orderBy("n")
+  }
+
+  /** DuckDB mirror of [[rougeEval]]. */
+  def rougeEvalSql(table: String, idCol: String, textCol: String,
+      maxN: Int = 2): String = {
+    val ns = (1 to maxN).mkString(",")
+    s"""WITH base AS (SELECT $idCol AS id,
+             string_split_regex(trim(lower($textCol)),'\\s+') AS ref,
+             CAST(3 + $idCol % 5 AS INT) AS k
+           FROM $table),
+       h AS (SELECT id, ref, list_filter(ref, (x, i) -> (i % k) != 0) AS hyp
+           FROM base),
+       rg AS (SELECT id, n, gram, COUNT(*) AS rc FROM (
+           SELECT id, n, unnest(CASE WHEN len(ref) >= n
+               THEN list_transform(range(1, len(ref)-n+2),
+                 i -> array_to_string(ref[i:i+n-1], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+             FROM (SELECT id, ref, unnest([$ns]) AS n FROM h))
+         GROUP BY 1, 2, 3),
+       hg AS (SELECT id, n, gram, COUNT(*) AS hc FROM (
+           SELECT id, n, unnest(CASE WHEN len(hyp) >= n
+               THEN list_transform(range(1, len(hyp)-n+2),
+                 i -> array_to_string(hyp[i:i+n-1], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+             FROM (SELECT id, hyp, unnest([$ns]) AS n FROM h))
+         GROUP BY 1, 2, 3),
+       mm AS (SELECT n, SUM(least(hc, COALESCE(rc, 0))) AS n_match FROM hg
+           LEFT JOIN rg USING (id, n, gram) GROUP BY n),
+       ht AS (SELECT n, SUM(greatest(len(hyp) - n + 1, 0)) AS hyp_total
+           FROM (SELECT hyp, unnest([$ns]) AS n FROM h) GROUP BY n),
+       rt AS (SELECT n, SUM(greatest(len(ref) - n + 1, 0)) AS ref_total
+           FROM (SELECT ref, unnest([$ns]) AS n FROM h) GROUP BY n),
+       j AS (SELECT n, COALESCE(n_match, 0) AS n_match, hyp_total, ref_total
+           FROM ht JOIN rt USING (n) LEFT JOIN mm USING (n))
+       SELECT n, n_match, hyp_total, ref_total,
+         round(CASE WHEN hyp_total > 0
+           THEN CAST(n_match AS DOUBLE) / CAST(hyp_total AS DOUBLE) ELSE 0.0 END, 6) AS prec,
+         round(CASE WHEN ref_total > 0
+           THEN CAST(n_match AS DOUBLE) / CAST(ref_total AS DOUBLE) ELSE 0.0 END, 6) AS rec,
+         round(CASE WHEN n_match > 0
+           THEN 2.0 * (CAST(n_match AS DOUBLE) / CAST(hyp_total AS DOUBLE))
+             * (CAST(n_match AS DOUBLE) / CAST(ref_total AS DOUBLE))
+             / ((CAST(n_match AS DOUBLE) / CAST(hyp_total AS DOUBLE))
+               + (CAST(n_match AS DOUBLE) / CAST(ref_total AS DOUBLE)))
+           ELSE 0.0 END, 6) AS f1
+       FROM j
+       ORDER BY n"""
+  }
+
+  /** Corpus chrF (Popović 2015): character n-gram F-β over the same
+    * synthesized hypothesis, n = 1..maxN (default 6), β = 2 (recall
+    * weighted double) — the tokenizer-free eval metric that survives
+    * morphology and segmentation differences BLEU's word n-grams break
+    * on. Whitespace is removed entirely (sacrebleu's default), so the
+    * character stream crosses token boundaries.
+    *
+    * Same clipped-count algebra as [[bleuEval]] at character granularity:
+    * integer (doc, n, gram) counts, one hash join, maxN partial sums. The
+    * gram relation is ~maxN× the character count — linear, partitioned,
+    * and the dominant cost, which is inherent to the metric.
+    *
+    * Output: one row per n with match/totals/P/R/F_β, plus a summary row
+    * n = 0 carrying the macro-averaged chrF in `fbeta` (counts NULL).
+    */
+  def chrfEval(df: DataFrame, idCol: String, textCol: String,
+      maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, s"chrfEval: maxN out of range: $maxN")
+    val withHyp = refHyp(df, idCol, textCol)
+      .select(col("_b_id"),
+        array_join(col("_b_ref"), "").as("_c_ref"),
+        array_join(col("_b_hyp"), "").as("_c_hyp"))
+    def charGrams(strCol: String, out: String): DataFrame =
+      withHyp
+        .select(col("_b_id"), col(strCol).as("_c_s"),
+          explode(sequence(lit(1), lit(maxN))).as("n"))
+        .select(col("_b_id"), col("n"),
+          explode(when(length(col("_c_s")) >= col("n"),
+            transform(
+              sequence(lit(1), length(col("_c_s")) - col("n") + lit(1)),
+              i => col("_c_s").substr(i, col("n"))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .groupBy("_b_id", "n", "gram")
+        .agg(count(lit(1)).as(out))
+    val refC = charGrams("_c_ref", "_c_rc")
+    val hypC = charGrams("_c_hyp", "_c_hc")
+    val matches = hypC
+      .join(refC, Seq("_b_id", "n", "gram"), "left")
+      .groupBy("n")
+      .agg(sum(least(col("_c_hc"), coalesce(col("_c_rc"), lit(0L)))).as("n_match"))
+    def totalsOf(strCol: String, out: String): DataFrame = withHyp
+      .select(explode(sequence(lit(1), lit(maxN))).as("n"),
+        length(col(strCol)).as("_c_l"))
+      .groupBy("n")
+      .agg(sum(greatest(col("_c_l") - col("n") + lit(1), lit(0))).as(out))
+    def dd(c: Column) = c.cast("double")
+    val b2 = beta * beta
+    val p = dd(col("n_match")) / dd(col("hyp_total"))
+    val r = dd(col("n_match")) / dd(col("ref_total"))
+    val fb = when(col("n_match") > 0,
+      lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
+    // left-join from the unconditional totals so short-corpus n rows survive
+    val perN = totalsOf("_c_hyp", "hyp_total")
+      .join(totalsOf("_c_ref", "ref_total"), "n")
+      .join(matches, Seq("n"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .select(col("n"), col("n_match"), col("hyp_total"), col("ref_total"),
+        round(when(col("hyp_total") > 0, p).otherwise(lit(0.0)), 6).as("prec"),
+        round(when(col("ref_total") > 0, r).otherwise(lit(0.0)), 6).as("rec"),
+        round(fb, 6).as("fbeta"))
+    // macro chrF: mean of the ROUNDED per-n F values (exact DECIMAL mean
+    // of maxN 6-dp terms — engine-order-immune by construction)
+    val summary = perN.agg(
+      round(sum(col("fbeta").cast("decimal(18,6)")).cast("double") /
+        lit(maxN.toDouble), 6).as("fbeta"))
+      .select(lit(0).as("n"), lit(null).cast("long").as("n_match"),
+        lit(null).cast("long").as("hyp_total"), lit(null).cast("long").as("ref_total"),
+        lit(null).cast("double").as("prec"), lit(null).cast("double").as("rec"),
+        col("fbeta"))
+    perN.unionByName(summary).orderBy("n")
+  }
+
+  /** DuckDB mirror of [[chrfEval]]. */
+  def chrfEvalSql(table: String, idCol: String, textCol: String,
+      maxN: Int = 6, beta: Double = 2.0): String = {
+    val ns = (1 to maxN).mkString(",")
+    val b2 = beta * beta
+    s"""WITH base AS (SELECT $idCol AS id,
+             string_split_regex(trim(lower($textCol)),'\\s+') AS toks,
+             CAST(3 + $idCol % 5 AS INT) AS k
+           FROM $table),
+       h AS (SELECT id, array_to_string(toks, '') AS ref,
+             array_to_string(list_filter(toks, (x, i) -> (i % k) != 0), '') AS hyp
+           FROM base),
+       rg AS (SELECT id, n, gram, COUNT(*) AS rc FROM (
+           SELECT id, n, unnest(CASE WHEN length(ref) >= n
+               THEN list_transform(range(1, length(ref)-n+2),
+                 i -> substr(ref, CAST(i AS INT), n))
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+             FROM (SELECT id, ref, unnest([$ns]) AS n FROM h))
+         GROUP BY 1, 2, 3),
+       hg AS (SELECT id, n, gram, COUNT(*) AS hc FROM (
+           SELECT id, n, unnest(CASE WHEN length(hyp) >= n
+               THEN list_transform(range(1, length(hyp)-n+2),
+                 i -> substr(hyp, CAST(i AS INT), n))
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+             FROM (SELECT id, hyp, unnest([$ns]) AS n FROM h))
+         GROUP BY 1, 2, 3),
+       mm AS (SELECT n, SUM(least(hc, COALESCE(rc, 0))) AS n_match FROM hg
+           LEFT JOIN rg USING (id, n, gram) GROUP BY n),
+       ht AS (SELECT n, SUM(greatest(length(hyp) - n + 1, 0)) AS hyp_total
+           FROM (SELECT hyp, unnest([$ns]) AS n FROM h) GROUP BY n),
+       rt AS (SELECT n, SUM(greatest(length(ref) - n + 1, 0)) AS ref_total
+           FROM (SELECT ref, unnest([$ns]) AS n FROM h) GROUP BY n),
+       j AS (SELECT n, COALESCE(n_match, 0) AS n_match, hyp_total, ref_total
+           FROM ht JOIN rt USING (n) LEFT JOIN mm USING (n)),
+       pern AS (SELECT n, n_match, hyp_total, ref_total,
+           round(CASE WHEN hyp_total > 0
+             THEN CAST(n_match AS DOUBLE) / CAST(hyp_total AS DOUBLE) ELSE 0.0 END, 6) AS prec,
+           round(CASE WHEN ref_total > 0
+             THEN CAST(n_match AS DOUBLE) / CAST(ref_total AS DOUBLE) ELSE 0.0 END, 6) AS rec,
+           round(CASE WHEN n_match > 0
+             THEN ${1.0 + b2} * (CAST(n_match AS DOUBLE) / CAST(hyp_total AS DOUBLE))
+               * (CAST(n_match AS DOUBLE) / CAST(ref_total AS DOUBLE))
+               / ($b2 * (CAST(n_match AS DOUBLE) / CAST(hyp_total AS DOUBLE))
+                 + (CAST(n_match AS DOUBLE) / CAST(ref_total AS DOUBLE)))
+             ELSE 0.0 END, 6) AS fbeta
+         FROM j)
+       SELECT n, n_match, hyp_total, ref_total, prec, rec, fbeta FROM pern
+       UNION ALL
+       SELECT 0 AS n, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         round(CAST(SUM(CAST(fbeta AS DECIMAL(18,6))) AS DOUBLE) / ${maxN.toDouble}, 6)
+       FROM pern
+       ORDER BY n"""
   }
 }

@@ -744,6 +744,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), s"span should broadcast:\n$plan")
   }
 
+  test("rouge_eval / chrf_eval: clip joins stay equi-keyed, no cartesian") {
+    for (q <- Seq("rouge_eval", "chrf_eval")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian leaked:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+        .findFirstIn(plan).isDefined, s"$q clip should hash-join:\n$plan")
+    }
+  }
+
+  test("mann_whitney: rank fold runs over the value type table, no pair join") {
+    val plan = planOf(SparkEntry.queries("mann_whitney")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"U must come from the grouped-value window, not a join:\n$plan")
+    assert(plan.contains("Window"), s"cumulative fold expected:\n$plan")
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"value-group counts should combine map-side:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

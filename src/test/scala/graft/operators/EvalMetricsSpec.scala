@@ -82,6 +82,96 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("bleu") == 0.0)
   }
 
+  test("rougeEval: recall denominates on the reference, precision on the hypothesis") {
+    import spark.implicits._
+    val df = Seq((0L, "x y z w v u"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextEval.rougeEval(df, "doc_id", "text")
+      .as[(Int, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, m1, h1, r1, p1, rec1, f1) = out(1)
+    assert(m1 == 8L && h1 == 8L && r1 == 11L)
+    assert(p1 == 1.0 && math.abs(rec1 - 8.0 / 11.0) < 1e-6)
+    val ef1 = 2.0 * 1.0 * (8.0 / 11.0) / (1.0 + 8.0 / 11.0)
+    assert(math.abs(f1 - ef1) < 1e-6)
+    val (_, m2, h2, r2, p2, rec2, f2) = out(2)
+    assert(m2 == 5L && h2 == 6L && r2 == 9L)
+    val (ep, er) = (5.0 / 6.0, 5.0 / 9.0)
+    assert(math.abs(p2 - ep) < 1e-6 && math.abs(rec2 - er) < 1e-6)
+    assert(math.abs(f2 - 2.0 * ep * er / (ep + er)) < 1e-6)
+  }
+
+  test("chrfEval: perfect hypothesis is capped only by missing 6-gram coverage") {
+    import spark.implicits._
+    // doc_id 1 → k=4; 2 tokens lose nothing; chars "abcde" has no 6-grams
+    val df = Seq((1L, "abc de")).toDF("doc_id", "text")
+    val rows = TextEval.chrfEval(df, "doc_id", "text")
+      .as[(Int, Option[Long], Option[Long], Option[Long],
+        Option[Double], Option[Double], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 7)
+    (1 to 5).foreach { n =>
+      assert(rows(n)._7 == 1.0, s"F at n=$n")
+      assert(rows(n)._2 == rows(n)._3 && rows(n)._3 == rows(n)._4)
+    }
+    assert(rows(6)._7 == 0.0 && rows(6)._3.contains(0L))
+    // macro row: mean of the six F values
+    assert(math.abs(rows(0)._7 - 5.0 / 6.0) < 1e-6)
+    assert(rows(0)._2.isEmpty && rows(0)._5.isEmpty)
+  }
+
+  // --- Mann-Whitney ---------------------------------------------------------
+
+  /** The operator's md5 arm for each user id, computed in one query. */
+  private def armsOf(ids: Seq[Long]): Map[Long, Int] = {
+    import spark.implicits._
+    ids.toDF("u").select(col("u"),
+      (conv(substring(md5(concat(lit("arm:"), col("u").cast("string"))), 1, 2),
+        16, 10).cast("int") % 2).as("a"))
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("mannWhitney: hand-computed U, ties, continuity-corrected z") {
+    import spark.implicits._
+    // recover the md5 arm split the operator uses, then plant 3 users per arm
+    val armOf = armsOf(1L to 40L)
+    val arm0 = (1L to 40L).filter(armOf(_) == 0).take(3)
+    val arm1 = (1L to 40L).filter(armOf(_) == 1).take(3)
+    assert(arm0.size == 3 && arm1.size == 3)
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val rows =
+      arm0.zip(Seq(1.0, 2.0, 3.0)).map { case (u, v) => (u, "purchase", v, ts) } ++
+      arm1.zip(Seq(2.0, 3.0, 4.0)).map { case (u, v) => (u, "purchase", v, ts) } ++
+      Seq((arm0.head, "click", 99.0, ts)) // non-conversion rows are ignored
+    val df = rows.toDF("user_id", "event_type", "value", "ts")
+    val r = EventSeq.mannWhitney(df, "user_id", "event_type", "value", "purchase")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    // U = 0 + 0.5 + 1.5 = 2 (arm0 over arm1, ties half)
+    assert(r.getAs[Double]("u") == 2.0)
+    assert(math.abs(r.getAs[Double]("cliff_delta") - (2.0 * 2.0 / 9.0 - 1.0)) < 1e-6)
+    // ties t³−t = 12; var = 0.75·(7 − 12/30) = 4.95; z = −2/sqrt(4.95)/...
+    val z = (2.0 - 4.5 + 0.5) / math.sqrt(4.95)
+    assert(math.abs(r.getAs[Double]("z") - math.rint(z * 1e4) / 1e4) < 1e-9)
+    assert(!r.getAs[Boolean]("sig_95"))
+  }
+
+  test("mannWhitney: identical arm distributions give z 0 and cliff 0") {
+    import spark.implicits._
+    val armOf = armsOf(1L to 40L)
+    val arm0 = (1L to 40L).filter(armOf(_) == 0).take(2)
+    val arm1 = (1L to 40L).filter(armOf(_) == 1).take(2)
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val rows = (arm0 ++ arm1).zipWithIndex.map { case (u, i) =>
+      (u, "purchase", (i % 2 + 1).toDouble, ts) }
+    // arm0 gets {1,2}, arm1 gets {1,2} — perfectly matched
+    val df = rows.toDF("user_id", "event_type", "value", "ts")
+    val r = EventSeq.mannWhitney(df, "user_id", "event_type", "value", "purchase")
+      .collect()(0)
+    assert(r.getAs[Double]("u") == 2.0) // n1n2/2
+    assert(r.getAs[Double]("cliff_delta") == 0.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
   // --- NDCG ----------------------------------------------------------------
 
   test("ndcgAtK: ideal-histogram IDCG and the perfect-ranking identity") {
