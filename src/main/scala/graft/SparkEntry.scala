@@ -2552,7 +2552,27 @@ object SparkEntry {
     // Cliff's delta, folded over the value TYPE TABLE (no global row rank)
     "mann_whitney" -> ((s, dir) =>
       operators.EventSeq.mannWhitney(ev(s, dir), "user_id", "event_type",
-        "value", convType = "purchase"))
+        "value", convType = "purchase")),
+    // Hirsch-Slack seasonal MK: per-day-of-week trend pairs, combined S
+    // and variance — drift under weekly cycles, 7× less pair fan-out
+    "seasonal_mk" -> ((s, dir) =>
+      operators.Temporal.seasonalMannKendall(ev(s, dir), "event_type", "ts")),
+    // byte-level quality floor: per-doc character entropy in bits
+    "char_entropy" -> ((s, dir) =>
+      operators.TextAnalysis.charEntropy(Tables.documents(s, dir),
+        "doc_id", "text")),
+    // length-invariant lexical diversity over fixed 50-token windows
+    "mattr_ttr" -> ((s, dir) =>
+      operators.TextAnalysis.mattr(Tables.documents(s, dir), "doc_id", "text")),
+    // stylometric source distance: z-scored top-k word profiles
+    "burrows_delta" -> ((s, dir) =>
+      operators.TextAnalysis.burrowsDelta(Tables.documents(s, dir),
+        "source", "text")),
+    // paragraph-granularity dedup audit: cross-doc duplicated paragraph
+    // mass per source (the boilerplate share a para-dedup pass deletes)
+    "para_dedup" -> ((s, dir) =>
+      operators.Dedup.paraDedup(Tables.documents(s, dir), "doc_id",
+        "source", "text"))
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4778,7 +4798,17 @@ object SparkEntry {
       operators.TextEval.chrfEvalSql("documents", "doc_id", "text"),
     "mann_whitney" ->
       operators.EventSeq.mannWhitneySql("events", "user_id", "event_type",
-        "value", convType = "purchase")
+        "value", convType = "purchase"),
+    "seasonal_mk" ->
+      operators.Temporal.seasonalMannKendallSql("events", "event_type", "ts"),
+    "char_entropy" ->
+      operators.TextAnalysis.charEntropySql("documents", "doc_id", "text"),
+    "mattr_ttr" ->
+      operators.TextAnalysis.mattrSql("documents", "doc_id", "text"),
+    "burrows_delta" ->
+      operators.TextAnalysis.burrowsDeltaSql("documents", "source", "text"),
+    "para_dedup" ->
+      operators.Dedup.paraDedupSql("documents", "doc_id", "source", "text")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

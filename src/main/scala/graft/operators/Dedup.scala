@@ -596,4 +596,67 @@ object Dedup {
         round(lit(1.0) / coalesce(col("sz"), lit(1L)).cast("double"), 6).as("weight"))
       .orderBy(idCol)
   }
+
+  /** PARAGRAPH-level exact dedup audit (the RefinedWeb/CCNet granularity
+    * between [[exact]] whole-document hashing and [[DupSpans]]' substring
+    * spans): segment each document into fixed `paraTokens`-token
+    * paragraphs, hash each, and report per source how much paragraph mass
+    * is duplicated ACROSS documents — the boilerplate share a
+    * paragraph-dedup pass would delete.
+    *
+    * The corpus has no layout breaks, so segmentation is positional
+    * (deterministic in both engines); a real pipeline swaps in the
+    * newline segmenter and the algebra is unchanged. Shape: one explode
+    * to (doc, para-hash); the cross-doc test is a hash-keyed count
+    * (distinct docs ≥ 2 — md5 over a vocabulary-bounded paragraph space
+    * collides only for equal text); per-source rollup. All integers until
+    * the final ratio.
+    */
+  def paraDedup(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, paraTokens: Int = 12): DataFrame = {
+    require(paraTokens >= 2, s"paraDedup: paragraph too short: $paraTokens")
+    val paras = parallelize(df)
+      .select(col(idCol), col(groupCol),
+        split(trim(lower(col(textCol))), "\\s+").as("_pd_a"))
+      .select(col(idCol), col(groupCol),
+        explode(transform(
+          sequence(lit(0), floor((size(col("_pd_a")) - 1) / lit(paraTokens)).cast("int")),
+          i => md5(array_join(
+            slice(col("_pd_a"), i * lit(paraTokens) + lit(1), lit(paraTokens)), " "))))
+          .as("h"))
+    val crossDoc = paras.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    paras.join(crossDoc, Seq("h"), "left_semi")
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_dup_paras"))
+      .join(paras.groupBy(col(groupCol)).agg(count(lit(1)).as("n_paras")),
+        Seq(groupCol), "right")
+      .select(col(groupCol), col("n_paras"),
+        coalesce(col("n_dup_paras"), lit(0L)).as("n_dup_paras"),
+        round(coalesce(col("n_dup_paras"), lit(0L)).cast("double") /
+          col("n_paras").cast("double"), 6).as("dup_para_ratio"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[paraDedup]]. */
+  def paraDedupSql(tbl: String, idCol: String, groupCol: String,
+      textCol: String, paraTokens: Int = 12): String =
+    s"""WITH paras AS (SELECT $idCol, $groupCol,
+             md5(array_to_string(ws[(i*$paraTokens+1):((i+1)*$paraTokens)], ' ')) AS h
+           FROM (SELECT $idCol, $groupCol,
+               string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $tbl),
+             UNNEST(range(0, (len(ws) - 1) // $paraTokens + 1)) AS u(i)),
+       crossdoc AS (SELECT h FROM (
+           SELECT h, COUNT(DISTINCT $idCol) AS nd FROM paras GROUP BY h)
+         WHERE nd >= 2),
+       dup AS (SELECT $groupCol, COUNT(*) AS n_dup_paras FROM paras
+           WHERE h IN (SELECT h FROM crossdoc) GROUP BY $groupCol),
+       tot AS (SELECT $groupCol, COUNT(*) AS n_paras FROM paras GROUP BY $groupCol)
+       SELECT tot.$groupCol, n_paras,
+         COALESCE(n_dup_paras, 0) AS n_dup_paras,
+         round(CAST(COALESCE(n_dup_paras, 0) AS DOUBLE) / CAST(n_paras AS DOUBLE), 6)
+           AS dup_para_ratio
+       FROM tot LEFT JOIN dup ON tot.$groupCol = dup.$groupCol
+       ORDER BY tot.$groupCol"""
 }

@@ -1790,4 +1790,184 @@ object TextAnalysis {
          round((CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
            / CAST(pairs AS DOUBLE), 4) AS inv_simpson
        FROM agg ORDER BY $groupCol"""
+
+  /** Per-document CHARACTER entropy (bits/char) — the byte-level quality
+    * signal below [[tokenEntropy]]'s word view: binary junk, base64 blobs
+    * and single-char floods all shift it while leaving token counts
+    * plausible. One regexp explode into the (doc, char) type table;
+    * per-term −p·ln p rounded to 9 then DECIMAL-summed (the
+    * [[entropyRate]] fold discipline), one division to bits.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = Dedup.parallelize(df)
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("."), lit(0))).as("_ce_ch"))
+      .groupBy(col(idCol), col("_ce_ch")).agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("charset"), sum(col("c")).as("n_chars_tok"))
+    def d(c: Column) = c.cast("double")
+    val term = round(
+      (d(col("c")) / d(col("n_chars_tok"))) *
+        log(d(col("c")) / d(col("n_chars_tok"))), 9)
+    counts.join(perDoc, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(max(col("charset")).as("charset"),
+        max(col("n_chars_tok")).as("n_chars"),
+        (-sum(term.cast("decimal(18,9)"))).cast("double").as("_h"))
+      .select(col(idCol), col("charset"), col("n_chars"),
+        round(col("_h") / lit(math.log(2.0)), 6).as("entropy_bits"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB mirror of [[charEntropy]] — chars via regexp '.', identical
+    * term shape. ln(2) is written as ln(2.0) in BOTH engines (same libm
+    * double), never a decimal constant.
+    */
+  def charEntropySql(tbl: String, idCol: String, textCol: String): String =
+    s"""WITH ch AS (SELECT $idCol, unnest(regexp_extract_all($textCol, '.')) AS c0
+           FROM $tbl),
+       counts AS (SELECT $idCol, c0, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+       per AS (SELECT $idCol, COUNT(*) AS charset, SUM(c) AS n FROM counts GROUP BY 1)
+       SELECT counts.$idCol, MAX(charset) AS charset,
+         CAST(MAX(n) AS BIGINT) AS n_chars,
+         round(CAST(-SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE)
+           / ln(2.0), 6) AS entropy_bits
+       FROM counts JOIN per USING ($idCol)
+       GROUP BY counts.$idCol ORDER BY counts.$idCol"""
+
+  /** Moving-Average Type-Token Ratio (Covington & McFall, JQL 2010):
+    * lexical diversity that — unlike raw TTR — does not shrink with
+    * document length, because it averages the type ratio over fixed
+    * non-overlapping windows of `w` tokens (partial trailing windows are
+    * dropped; only same-length windows are comparable). Integer-exact to
+    * ONE final division: Σ distinct-counts / (w · windows).
+    */
+  def mattr(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 50): DataFrame = {
+    require(w >= 2, s"mattr: window too small: $w")
+    val toks = Dedup.parallelize(df)
+      .select(col(idCol),
+        tokens(trim(lower(col(textCol)))).as("_mt_a"))
+      .select(col(idCol), size(col("_mt_a")).as("n_tokens"),
+        posexplode(col("_mt_a")).as(Seq("_mt_p", "_mt_t")))
+      .withColumn("_mt_w", (col("_mt_p") / w).cast("long"))
+    val full = toks.groupBy(col(idCol), col("n_tokens"), col("_mt_w"))
+      .agg(count(lit(1)).as("wn"), countDistinct(col("_mt_t")).as("wd"))
+      .where(col("wn") === w)
+    def d(c: Column) = c.cast("double")
+    full.groupBy(col(idCol))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_windows"), sum(col("wd")).as("_mt_d"))
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        round(d(col("_mt_d")) / (lit(w.toDouble) * d(col("n_windows"))), 6)
+          .as("mattr"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB mirror of [[mattr]] — 0-based window index from the 1-based
+    * unnest ordinality.
+    */
+  def mattrSql(tbl: String, idCol: String, textCol: String,
+      w: Int = 50): String =
+    s"""WITH t AS (SELECT $idCol, len(ws) AS n_tokens,
+             unnest(ws) AS tok,
+             CAST((unnest(range(1, len(ws) + 1)) - 1) // $w AS BIGINT) AS win
+           FROM (SELECT $idCol,
+               string_split_regex(trim(lower($textCol)),'\\s+') AS ws FROM $tbl)),
+       full_w AS (SELECT $idCol, n_tokens, win,
+             COUNT(*) AS wn, COUNT(DISTINCT tok) AS wd
+           FROM t GROUP BY 1, 2, 3 HAVING COUNT(*) = $w)
+       SELECT $idCol, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_windows,
+         round(CAST(SUM(wd) AS DOUBLE) / (${w.toDouble} * CAST(COUNT(*) AS DOUBLE)), 6)
+           AS mattr
+       FROM full_w GROUP BY $idCol ORDER BY $idCol"""
+
+  /** Burrows's Delta (Burrows, LLC 2002) between per-source token
+    * distributions — the stylometric distance: z-score each source's
+    * relative frequency of the corpus's top-`k` words against the
+    * across-source mean/std, Delta(a,b) = mean |z_a − z_b|. The mixture
+    * diagnostic that reads as AUTHORSHIP/register distance where
+    * [[graft.operators.Audit]]'s sourceOverlap reads as content overlap.
+    *
+    * Bounded algebra end to end: the corpus collapses to (source, word)
+    * counts for k words; every later relation is sources×k or pairs×k.
+    * Relative frequencies round to 9 dp then fold as DECIMAL, so the
+    * across-source moments are partition-order-immune; z and |z_a − z_b|
+    * are fixed-shape doubles with a final rounded DECIMAL mean.
+    */
+  def burrowsDelta(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 2, s"burrowsDelta: need k >= 2: $k")
+    val tok = Dedup.parallelize(df)
+      .select(col(groupCol).as("_bd_g"),
+        explode(tokens(trim(lower(col(textCol))))).as("_bd_t"))
+    val bySrc = tok.groupBy("_bd_g", "_bd_t").agg(count(lit(1)).as("c"))
+    val srcLen = bySrc.groupBy("_bd_g").agg(sum(col("c")).as("len"))
+    val topK = bySrc.groupBy("_bd_t").agg(sum(col("c")).as("cf"))
+      .orderBy(col("cf").desc, col("_bd_t")).limit(k)
+    val nSrc = srcLen.count()   // driver scalars: #sources and #profile
+    val nWords = topK.count()   // words — both type-table-bounded
+    def d(c: Column) = c.cast("double")
+    // dense (source × top-k) grid: absent words count zero
+    val grid = srcLen.crossJoin(broadcast(topK.select(col("_bd_t"))))
+      .join(bySrc, Seq("_bd_g", "_bd_t"), "left")
+      .select(col("_bd_g"), col("_bd_t"),
+        round(d(coalesce(col("c"), lit(0L))) / d(col("len")), 9)
+          .cast("decimal(18,9)").as("f"))
+    // moments leave DECIMAL via one double division each (never decimal
+    // division — the engines' decimal scale rules differ)
+    val moments = grid.groupBy("_bd_t")
+      .agg(sum(col("f")).as("sf"), sum(col("f") * col("f")).as("sff"))
+      .select(col("_bd_t"),
+        (d(col("sf")) / lit(nSrc.toDouble)).as("mu"),
+        col("sff"))
+      .select(col("_bd_t"), col("mu"),
+        sqrt(d(col("sff")) / lit(nSrc.toDouble) - col("mu") * col("mu"))
+          .as("sigma"))
+    val z = grid.join(broadcast(moments), "_bd_t")
+      .select(col("_bd_g"), col("_bd_t"),
+        ((d(col("f")) - col("mu")) / col("sigma")).as("z"))
+    val za = z.select(col("_bd_g").as("source_a"), col("_bd_t"), col("z").as("za"))
+    val zb = z.select(col("_bd_g").as("source_b"), col("_bd_t"), col("z").as("zb"))
+    za.join(zb, Seq("_bd_t"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg((sum(round(abs(col("za") - col("zb")), 9).cast("decimal(18,9)"))
+        .cast("double") / lit(nWords.toDouble)).as("_delta"))
+      .select(col("source_a"), col("source_b"), round(col("_delta"), 6).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB mirror of [[burrowsDelta]]. */
+  def burrowsDeltaSql(tbl: String, groupCol: String, textCol: String,
+      k: Int = 20): String =
+    s"""WITH tok AS (SELECT $groupCol AS g,
+             unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS t
+           FROM $tbl),
+       bysrc AS (SELECT g, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       srclen AS (SELECT g, SUM(c) AS len FROM bysrc GROUP BY g),
+       nsrc AS (SELECT COUNT(*) AS ns FROM srclen),
+       topk AS (SELECT t FROM (SELECT t, SUM(c) AS cf FROM bysrc GROUP BY t)
+           ORDER BY cf DESC, t LIMIT $k),
+       grid AS (SELECT srclen.g, topk.t,
+             CAST(round(CAST(COALESCE(bysrc.c, 0) AS DOUBLE) / CAST(len AS DOUBLE), 9)
+               AS DECIMAL(18,9)) AS f
+           FROM srclen CROSS JOIN topk
+           LEFT JOIN bysrc ON bysrc.g = srclen.g AND bysrc.t = topk.t),
+       moments AS (SELECT t, SUM(f) AS sf, SUM(f * f) AS sff FROM grid GROUP BY t),
+       sig AS (SELECT t,
+             CAST(sf AS DOUBLE) / CAST((SELECT ns FROM nsrc) AS DOUBLE) AS mu,
+             sqrt(CAST(sff AS DOUBLE) / CAST((SELECT ns FROM nsrc) AS DOUBLE)
+               - (CAST(sf AS DOUBLE) / CAST((SELECT ns FROM nsrc) AS DOUBLE))
+                 * (CAST(sf AS DOUBLE) / CAST((SELECT ns FROM nsrc) AS DOUBLE))) AS sigma
+           FROM moments),
+       z AS (SELECT g, grid.t,
+             (CAST(f AS DOUBLE) - mu) / sigma AS z
+           FROM grid JOIN sig ON grid.t = sig.t)
+       SELECT a.g AS source_a, b.g AS source_b,
+         round(CAST(SUM(CAST(round(abs(a.z - b.z), 9) AS DECIMAL(18,9))) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM topk) AS DOUBLE), 6) AS delta
+       FROM z a JOIN z b ON a.t = b.t AND a.g < b.g
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 }

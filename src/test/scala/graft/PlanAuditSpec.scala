@@ -762,6 +762,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"value-group counts should combine map-side:\n$plan")
   }
 
+  test("seasonal_mk: pair join keyed (key, season) — 7x less fan-out than MK") {
+    val plan = planOf(SparkEntry.queries("seasonal_mk")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"span should broadcast:\n$plan")
+  }
+
+  test("burrows_delta: profile relations broadcast; pair join equi-keyed on word") {
+    val plan = planOf(SparkEntry.queries("burrows_delta")(spark, sf))
+    // the k-word × source grid builds via an INTENDED broadcast cross of
+    // two type tables; the z-pair join itself must be hash-keyed on word
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert("BroadcastHashJoin \\[_bd_t".r.findFirstIn(plan).isDefined,
+      s"pair join should hash on the word key:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"top-k/moments should broadcast:\n$plan")
+  }
+
+  test("para_dedup: cross-doc test is a semi-join on the hash key") {
+    val plan = planOf(SparkEntry.queries("para_dedup")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"dup gate should semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("char_entropy / mattr_ttr: explode then partial hash agg, no window") {
+    for (q <- Seq("char_entropy", "mattr_ttr")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("Generate"), s"$q should explode:\n$plan")
+      assert(!plan.contains("Window"), s"$q needs no window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian leaked:\n$plan")
+    }
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

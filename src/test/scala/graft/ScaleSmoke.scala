@@ -137,7 +137,16 @@ object ScaleSmoke {
     "wav_features",
     // batch 5: set ops, chance-corrected agreement, token-mass quantiles
     // (per-source window), the dedup token-savings curve
-    "intersect_except", "cohen_kappa", "weighted_quantiles", "dedup_savings")
+    "intersect_except", "cohen_kappa", "weighted_quantiles", "dedup_savings",
+    // session-4 eval-metric batch: clipped n-gram joins (token + char),
+    // BM25 NDCG panel, the value-type-table rank-sum, the calendar Holt
+    // fold, token-pair diversity; jw_linkage is dictionary-bounded (part
+    // stays verbatim — flat ratio IS the claim)
+    "bleu_eval", "rouge_eval", "chrf_eval", "ndcg_eval", "mann_whitney",
+    "holt_linear", "simpson_diversity", "jw_linkage",
+    // session-4 diversity/style batch: seasonal pair join, char type
+    // table, window TTR, z-profile pairs, paragraph-hash semi-join
+    "seasonal_mk", "char_entropy", "mattr_ttr", "burrows_delta", "para_dedup")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
