@@ -2572,7 +2572,24 @@ object SparkEntry {
     // mass per source (the boilerplate share a para-dedup pass deletes)
     "para_dedup" -> ((s, dir) =>
       operators.Dedup.paraDedup(Tables.documents(s, dir), "doc_id",
-        "source", "text"))
+        "source", "text")),
+    // imbalance-honest classifier card for the langid heuristic: accuracy,
+    // macro-F1, multiclass Matthews correlation off one confusion matrix
+    "mcc_eval" -> ((s, dir) =>
+      operators.Classify.mccEval(
+        Tables.documents(s, dir).select(col("lang"),
+          operators.TextAnalysis.langId(col("text")).as("pred")),
+        "lang", "pred")),
+    // do sources differ in MEAN length — F and eta^2 from DECIMAL moments
+    "anova_length" -> ((s, dir) =>
+      operators.Anova.oneWay(Tables.documents(s, dir), "source", "n_chars")),
+    // ...and in SPREAD — Brown-Forsythe on |x − group median|
+    "levene_test" -> ((s, dir) =>
+      operators.Anova.brownForsythe(Tables.documents(s, dir), "source",
+        "n_chars")),
+    // whiteness gate: Ljung-Box portmanteau over the autocorr_daily panel
+    "ljung_box" -> ((s, dir) =>
+      operators.Temporal.ljungBox(ev(s, dir), "event_type", "ts"))
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4808,7 +4825,17 @@ object SparkEntry {
     "burrows_delta" ->
       operators.TextAnalysis.burrowsDeltaSql("documents", "source", "text"),
     "para_dedup" ->
-      operators.Dedup.paraDedupSql("documents", "doc_id", "source", "text")
+      operators.Dedup.paraDedupSql("documents", "doc_id", "source", "text"),
+    "mcc_eval" ->
+      operators.Classify.mccEvalSql(
+        s"SELECT lang, ${operators.TextAnalysis.langIdSql("text")} AS pred FROM documents",
+        "lang", "pred"),
+    "anova_length" ->
+      operators.Anova.oneWaySql("documents", "source", "n_chars"),
+    "levene_test" ->
+      operators.Anova.brownForsytheSql("documents", "source", "n_chars"),
+    "ljung_box" ->
+      operators.Temporal.ljungBoxSql("events", "event_type", "ts")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

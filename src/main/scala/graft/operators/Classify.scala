@@ -199,6 +199,89 @@ object Classify {
 
   /** Shared CTE chain through `sc` (the docs×C posterior relation) — same
     * smoothing, rounding points, DECIMAL accumulation as the Spark side. */
+  /** Multiclass Matthews correlation (Gorodkin 2004, R_K) plus accuracy
+    * and macro-F1 from a (label, prediction) relation — the single-number
+    * classifier card that, unlike accuracy, stays honest under class
+    * imbalance (a majority-class guesser scores MCC 0, accuracy 0.9).
+    *
+    *   R_K = (c·s − Σ_k p_k t_k) / sqrt((s² − Σp_k²)(s² − Σt_k²))
+    *
+    * Everything folds from the confusion matrix (a classes² type table):
+    * counts are integers, the cross products go DECIMAL(38,0), and floats
+    * appear only in the two final sqrt/divisions. Macro-F1 averages
+    * per-TRUE-class F1 (prediction-only classes contribute to precision
+    * denominators, not to the class mean), each rounded to 9 then
+    * DECIMAL-folded.
+    */
+  def mccEval(labeled: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val conf = labeled.groupBy(col(labelCol).as("y"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val t = conf.groupBy(col("y").as("k")).agg(sum(col("n")).as("tk"))
+    val pc = conf.groupBy(col("p").as("k")).agg(sum(col("n")).as("pk"))
+    val tot = conf.agg(sum(col("n")).as("s"),
+      sum(when(col("y") === col("p"), col("n")).otherwise(lit(0L))).as("c"))
+    val kj = t.join(pc, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("tk"), lit(0L)).as("tk"),
+        coalesce(col("pk"), lit(0L)).as("pk"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val sums = kj.agg(
+      sum((dec(col("tk")) * dec(col("pk"))).cast("decimal(38,0)")).as("spt"),
+      sum((dec(col("pk")) * dec(col("pk"))).cast("decimal(38,0)")).as("spp"),
+      sum((dec(col("tk")) * dec(col("tk"))).cast("decimal(38,0)")).as("stt"))
+    val tp = conf.where(col("y") === col("p"))
+      .select(col("y").as("k"), col("n").as("tp"))
+    def d(c: Column) = c.cast("double")
+    val f1k = kj.where(col("tk") > 0)
+      .join(tp, Seq("k"), "left")
+      .select(round(lit(2.0) * d(coalesce(col("tp"), lit(0L))) /
+        (d(col("tk")) + d(col("pk"))), 9).cast("decimal(18,9)").as("f1"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("f1")).as("sf1"))
+    val s2 = d(col("s")) * d(col("s"))
+    val num = d(col("c")) * d(col("s")) - d(col("spt"))
+    val den = sqrt((s2 - d(col("spp"))) * (s2 - d(col("stt"))))
+    tot.crossJoin(broadcast(sums)).crossJoin(broadcast(f1k))
+      .select(col("s").as("n"), col("c").as("correct"), col("n_classes"),
+        round(d(col("c")) / d(col("s")), 6).as("accuracy"),
+        round(d(col("sf1")) / d(col("n_classes")), 6).as("macro_f1"),
+        when(den > 0, round(num / den, 6)).as("mcc"))
+  }
+
+  /** DuckDB mirror of [[mccEval]]; `labeledSql` yields (labelCol, predCol). */
+  def mccEvalSql(labeledSql: String, labelCol: String,
+      predCol: String): String =
+    s"""WITH lab AS ($labeledSql),
+       conf AS (SELECT $labelCol AS y, $predCol AS p, COUNT(*) AS n
+         FROM lab GROUP BY 1, 2),
+       t AS (SELECT y AS k, SUM(n) AS tk FROM conf GROUP BY y),
+       pc AS (SELECT p AS k, SUM(n) AS pk FROM conf GROUP BY p),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS s,
+           CAST(SUM(CASE WHEN y = p THEN n ELSE 0 END) AS BIGINT) AS c FROM conf),
+       kj AS (SELECT COALESCE(t.k, pc.k) AS k,
+           CAST(COALESCE(tk, 0) AS BIGINT) AS tk,
+           CAST(COALESCE(pk, 0) AS BIGINT) AS pk
+         FROM t FULL OUTER JOIN pc ON t.k = pc.k),
+       sums AS (SELECT
+           SUM(CAST(CAST(tk AS DECIMAL(19,0)) * CAST(pk AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS spt,
+           SUM(CAST(CAST(pk AS DECIMAL(19,0)) * CAST(pk AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS spp,
+           SUM(CAST(CAST(tk AS DECIMAL(19,0)) * CAST(tk AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS stt
+         FROM kj),
+       tp AS (SELECT y AS k, n AS tp FROM conf WHERE y = p),
+       f1k AS (SELECT COUNT(*) AS n_classes,
+           SUM(CAST(round(2.0 * CAST(COALESCE(tp, 0) AS DOUBLE)
+             / (CAST(tk AS DOUBLE) + CAST(pk AS DOUBLE)), 9) AS DECIMAL(18,9))) AS sf1
+         FROM kj LEFT JOIN tp ON kj.k = tp.k WHERE tk > 0)
+       SELECT s AS n, c AS correct, n_classes,
+         round(CAST(c AS DOUBLE) / CAST(s AS DOUBLE), 6) AS accuracy,
+         round(CAST(sf1 AS DOUBLE) / CAST(n_classes AS DOUBLE), 6) AS macro_f1,
+         CASE WHEN sqrt((CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(spp AS DOUBLE))
+                * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(stt AS DOUBLE))) > 0
+           THEN round((CAST(c AS DOUBLE) * CAST(s AS DOUBLE) - CAST(spt AS DOUBLE))
+             / sqrt((CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(spp AS DOUBLE))
+                  * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(stt AS DOUBLE))), 6)
+           END AS mcc
+       FROM tot CROSS JOIN sums CROSS JOIN f1k"""
+
   private def nbCtes(table: String, idCol: String, textCol: String,
       labelCol: String, trainMod: Int): String =
     s"""w AS (SELECT $idCol, $labelCol, $idCol % $trainMod <> 0 AS is_train,

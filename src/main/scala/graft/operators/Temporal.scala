@@ -1360,4 +1360,62 @@ object Temporal {
            CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
                 ELSE 'flat' END AS direction
          FROM f ORDER BY $keyCol"""
+
+  /** Ljung-Box portmanteau over the [[autocorrDaily]] per-lag panel:
+    * Q = n(n+2) Σ_{k≤m} r_k²/(n−k) — "is there ANY autocorrelation left",
+    * the one-number whiteness gate a residual series (e.g. after
+    * [[stlDecompose]] or [[holtLinear]]) must pass. r_k is autocorr_daily's
+    * per-lag Pearson estimator (documented variant: same panel, same
+    * rounding, so the two operators can never disagree about a lag).
+    *
+    * r_k²/(n−k) terms round to 9 then fold as DECIMAL; the χ²₀.₉₅ gate is
+    * emitted only when every requested lag had a defined r (else NULL —
+    * a degenerate flat series has no whiteness to test). Composition adds
+    * ONE bounded aggregation over the (key × maxLag) panel.
+    */
+  def ljungBox(df: DataFrame, keyCol: String, tsCol: String,
+      maxLag: Int = 10): DataFrame = {
+    // upper χ²(df=maxLag) 95% quantiles for the gate, df 1..14
+    val chi = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488, 5 -> 11.070,
+      6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919, 10 -> 18.307,
+      11 -> 19.675, 12 -> 21.026, 13 -> 22.362, 14 -> 23.685)
+    require(chi.contains(maxLag), s"ljungBox: unsupported maxLag $maxLag")
+    val ac = autocorrDaily(df, keyCol, tsCol, maxLag)
+    def d(c: Column) = c.cast("double")
+    val term = round(col("r") * col("r") / d(col("n_days")), 9)
+    ac.groupBy(col(keyCol))
+      .agg(max(col("n_days") + col("lag")).as("n_series"),
+        count(col("r")).as("lags_used"),
+        sum(when(col("r").isNotNull, term).cast("decimal(18,9)")).as("_lb_s"))
+      .select(col(keyCol), col("n_series"), col("lags_used"),
+        round(d(col("n_series")) * (d(col("n_series")) + lit(2.0)) *
+          d(col("_lb_s")), 4).as("q_stat"),
+        when(col("lags_used") === maxLag,
+          d(col("n_series")) * (d(col("n_series")) + lit(2.0)) * d(col("_lb_s"))
+            > lit(chi(maxLag))).as("reject_95"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[ljungBox]] — composes [[autocorrDailySql]]. */
+  def ljungBoxSql(tbl: String, keyCol: String, tsCol: String,
+      maxLag: Int = 10): String = {
+    val chi = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488, 5 -> 11.070,
+      6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919, 10 -> 18.307,
+      11 -> 19.675, 12 -> 21.026, 13 -> 22.362, 14 -> 23.685)
+    s"""WITH ac AS (${autocorrDailySql(tbl, keyCol, tsCol, maxLag)}),
+       agg AS (SELECT $keyCol,
+           CAST(MAX(n_days + lag) AS BIGINT) AS n_series,
+           COUNT(r) AS lags_used,
+           SUM(CASE WHEN r IS NOT NULL
+             THEN CAST(round(r * r / CAST(n_days AS DOUBLE), 9) AS DECIMAL(18,9))
+             END) AS s
+         FROM ac GROUP BY $keyCol)
+       SELECT $keyCol, n_series, lags_used,
+         round(CAST(n_series AS DOUBLE) * (CAST(n_series AS DOUBLE) + 2.0)
+           * CAST(s AS DOUBLE), 4) AS q_stat,
+         CASE WHEN lags_used = $maxLag
+           THEN CAST(n_series AS DOUBLE) * (CAST(n_series AS DOUBLE) + 2.0)
+             * CAST(s AS DOUBLE) > ${chi(maxLag)} END AS reject_95
+       FROM agg ORDER BY $keyCol"""
+  }
 }

@@ -794,6 +794,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("mcc_eval: confusion algebra is type-table joins, no corpus reshuffle") {
+    val plan = planOf(SparkEntry.queries("mcc_eval")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"class-count relations should broadcast:\n$plan")
+  }
+
+  test("anova_length / levene_test: group-moment folds with partial agg") {
+    for (q <- Seq("anova_length", "levene_test")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian leaked:\n$plan")
+      assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+        s"$q moments should combine map-side:\n$plan")
+    }
+  }
+
+  test("ljung_box: composes the autocorr panel, lag join stays equi-keyed") {
+    val plan = planOf(SparkEntry.queries("ljung_box")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"span/lags should broadcast:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

@@ -146,7 +146,10 @@ object ScaleSmoke {
     "holt_linear", "simpson_diversity", "jw_linkage",
     // session-4 diversity/style batch: seasonal pair join, char type
     // table, window TTR, z-profile pairs, paragraph-hash semi-join
-    "seasonal_mk", "char_entropy", "mattr_ttr", "burrows_delta", "para_dedup")
+    "seasonal_mk", "char_entropy", "mattr_ttr", "burrows_delta", "para_dedup",
+    // session-4 stat-test batch: confusion-matrix MCC, group-moment ANOVA
+    // pair, the autocorr-panel portmanteau
+    "mcc_eval", "anova_length", "levene_test", "ljung_box")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-7 statistical-test batch: multiclass MCC, one-way
+  * ANOVA, Brown-Forsythe, Ljung-Box.
+  */
+class StatTestsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("stat-tests-spec")
+    .getOrCreate()
+
+  test("mccEval: perfect prediction 1, majority-class guesser 0") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c"))
+      .toDF("y", "p")
+    val rp = Classify.mccEval(perfect, "y", "p").collect()(0)
+    assert(rp.getAs[Double]("mcc") == 1.0 && rp.getAs[Double]("accuracy") == 1.0)
+    assert(rp.getAs[Double]("macro_f1") == 1.0)
+    // 9:1 imbalance, always predict the majority: accuracy .9, MCC NULL
+    // (degenerate single-prediction-class → zero denominator)
+    val guess = ((1 to 9).map(_ => ("maj", "maj")) :+ (("min", "maj")))
+      .toDF("y", "p")
+    val rg = Classify.mccEval(guess, "y", "p").collect()(0)
+    assert(rg.getAs[Double]("accuracy") == 0.9)
+    assert(rg.isNullAt(rg.fieldIndex("mcc")))
+    // near-degenerate: one dissenting prediction — MCC collapses toward 0
+    // while accuracy stays high
+    val near = ((1 to 8).map(_ => ("maj", "maj")) ++
+      Seq(("min", "maj"), ("maj", "min"))).toDF("y", "p")
+    val rn = Classify.mccEval(near, "y", "p").collect()(0)
+    assert(rn.getAs[Double]("accuracy") == 0.8)
+    assert(math.abs(rn.getAs[Double]("mcc")) < 0.2)
+  }
+
+  test("mccEval: hand-computed binary confusion matches the closed form") {
+    import spark.implicits._
+    // TP=4 TN=3 FP=2 FN=1 → MCC = (TP·TN−FP·FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    val rows = (1 to 4).map(_ => ("pos", "pos")) ++
+      (1 to 3).map(_ => ("neg", "neg")) ++
+      (1 to 2).map(_ => ("neg", "pos")) ++
+      Seq(("pos", "neg"))
+    val r = Classify.mccEval(rows.toDF("y", "p"), "y", "p").collect()(0)
+    val want = (4.0 * 3 - 2.0 * 1) / math.sqrt(6.0 * 5 * 5 * 4)
+    assert(math.abs(r.getAs[Double]("mcc") - want) < 1e-6)
+  }
+
+  test("oneWay: equal group means give F 0; separated means dominate") {
+    import spark.implicits._
+    val same = Seq(("a", 10), ("a", 20), ("b", 10), ("b", 20)).toDF("g", "v")
+    val r0 = Anova.oneWay(same, "g", "v").collect()(0)
+    assert(r0.getAs[Double]("f_stat") == 0.0 && r0.getAs[Double]("eta_sq") == 0.0)
+    val apart = Seq(("a", 10), ("a", 11), ("b", 100), ("b", 101)).toDF("g", "v")
+    val r1 = Anova.oneWay(apart, "g", "v").collect()(0)
+    assert(r1.getAs[Double]("f_stat") > 1000)
+    assert(r1.getAs[Double]("eta_sq") > 0.99)
+    // hand check: groups {1,2,3},{4,5,6}: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)
+    val hand = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6))
+      .toDF("g", "v")
+    val rh = Anova.oneWay(hand, "g", "v").collect()(0)
+    assert(rh.getAs[Double]("ss_between") == 13.5)
+    assert(rh.getAs[Double]("ss_within") == 4.0)
+    assert(rh.getAs[Double]("f_stat") == 13.5 / 1.0)
+  }
+
+  test("brownForsythe: equal spreads flat, one wide group rejects") {
+    import spark.implicits._
+    val even = Seq(("a", 1), ("a", 3), ("b", 11), ("b", 13)).toDF("g", "v")
+    val r0 = Anova.brownForsythe(even, "g", "v").collect()(0)
+    // |x−med| is 1 everywhere → SSB = SSW = 0 → degenerate, F undefined
+    assert(r0.isNullAt(r0.fieldIndex("f_stat")))
+    assert(r0.getAs[Double]("ss_between") == 0.0)
+    // three-point groups so |x−med| varies WITHIN groups too:
+    // tight {100,101,102} → z {1,0,1}; wide {100,200,300} → z {100,0,100}
+    val wide = (1 to 21).map(i => ("tight", 100 + (i % 3))) ++
+      (1 to 21).map(i => ("wide", 100 + (i % 3) * 100))
+    val r1 = Anova.brownForsythe(wide.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r1.getAs[Double]("f_stat") > 20)
+  }
+
+  test("ljungBox: white noise accepts, strong weekly cycle rejects") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    // cycle: counts 5,5,5,5,5,5,25 repeating — huge lag-7 autocorrelation
+    val cyc = (0 until 56).flatMap { d =>
+      val n = if (d % 7 == 6) 25 else 5
+      (0 until n).map(i => ("cyc", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    // pseudo-noise: deterministic md5-derived counts, no lag structure
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val noise = (0 until 56).flatMap { d =>
+      val h = md.digest(s"lb:$d".getBytes("UTF-8"))(0) & 0xff
+      val n = 5 + h % 13
+      (0 until n).map(i => ("noise", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.ljungBox((cyc ++ noise).toDF("event_type", "ts"),
+      "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("cyc").getAs[Boolean]("reject_95"))
+    assert(out("cyc").getAs[Long]("n_series") == 56L)
+    assert(out("cyc").getAs[Double]("q_stat") >
+      out("noise").getAs[Double]("q_stat"))
+  }
+}
