@@ -2589,7 +2589,27 @@ object SparkEntry {
         "n_chars")),
     // whiteness gate: Ljung-Box portmanteau over the autocorr_daily panel
     "ljung_box" -> ((s, dir) =>
-      operators.Temporal.ljungBox(ev(s, dir), "event_type", "ts"))
+      operators.Temporal.ljungBox(ev(s, dir), "event_type", "ts")),
+    // tie-corrected rank correlation WITHOUT ranking rows: tau-b from the
+    // bucketed contingency grid (chars x tokens)
+    "kendall_tau" -> ((s, dir) =>
+      operators.Correlation.kendallTauGrid(Tables.documents(s, dir),
+        col("n_chars"),
+        operators.TextAnalysis.tokenCount(trim(col("text"))),
+        xWidth = 100L, yWidth = 20L)),
+    // Dunning G2 bigram collocations — count-weighted evidence where PMI
+    // explodes at low counts
+    "collocation_llr" -> ((s, dir) =>
+      operators.TextAnalysis.collocationLlr(Tables.documents(s, dir),
+        "doc_id", "text")),
+    // 1-in-52-weeks peak-day estimate: Gumbel MOM fit on weekly block
+    // maxima of the dense daily grid
+    "extreme_value" -> ((s, dir) =>
+      operators.Temporal.extremeValue(ev(s, dir), "event_type", "ts")),
+    // clique-like vs bridge near-dups: Watts-Strogatz local clustering
+    // per node over the near-dup pair graph
+    "clustering_coeff" -> ((s, dir) =>
+      operators.Graph.localClustering(nearDupPairsBuilt(s, dir)))
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4835,7 +4855,20 @@ object SparkEntry {
     "levene_test" ->
       operators.Anova.brownForsytheSql("documents", "source", "n_chars"),
     "ljung_box" ->
-      operators.Temporal.ljungBoxSql("events", "event_type", "ts")
+      operators.Temporal.ljungBoxSql("events", "event_type", "ts"),
+    "kendall_tau" ->
+      operators.Correlation.kendallTauGridSql(
+        """SELECT n_chars AS x,
+           len(string_split_regex(trim(text),'\s+')) AS y FROM documents""",
+        xWidth = 100L, yWidth = 20L),
+    "collocation_llr" ->
+      operators.TextAnalysis.collocationLlrSql("documents", "doc_id", "text"),
+    "extreme_value" ->
+      operators.Temporal.extremeValueSql("events", "event_type", "ts"),
+    "clustering_coeff" ->
+      operators.Graph.localClusteringSql(
+        s"""$nearDupCtes,
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

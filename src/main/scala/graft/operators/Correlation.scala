@@ -153,4 +153,83 @@ object Correlation {
              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
          END AS rho
        FROM a"""
+
+  /** Kendall's τ-b from the BUCKETED contingency grid — rank correlation
+    * with the tie correction [[spearman]] lacks a significance story for,
+    * computed without ranking any row: bucket both variables (fixed
+    * widths, so the grid is value-range-bounded), then count concordant /
+    * discordant pairs as products over strictly-ordered CELL pairs.
+    *
+    *   τ_b = 2(C − D) / sqrt( (n(n−1) − Σ t_x(t_x−1)) (n(n−1) − Σ t_y(t_y−1)) )
+    *
+    * Everything is integer (DECIMAL(38,0) products — pair counts reach
+    * n²) until the one sqrt/division. Scale: the corpus collapses to the
+    * grid in one aggregation; the cell-pair join is grid², never rows².
+    * Bucketing coarsens τ toward its grouped-data value — that is the
+    * documented estimator (Kendall on grouped data), not an approximation
+    * of the raw-value τ.
+    */
+  def kendallTauGrid(df: DataFrame, x: Column, y: Column,
+      xWidth: Long, yWidth: Long): DataFrame = {
+    require(xWidth > 0 && yWidth > 0, "kendallTauGrid: bad bucket widths")
+    val grid = Dedup.parallelize(df)
+      .select(floor(x / xWidth).as("bx"), floor(y / yWidth).as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val g1 = grid.select(col("bx"), col("by"), col("c"))
+    val g2 = grid.select(col("bx").as("bx2"), col("by").as("by2"),
+      col("c").as("c2"))
+    val pairs = g1.join(broadcast(g2), col("bx2") > col("bx"))
+      .select(
+        when(col("by2") > col("by"), (dec(col("c")) * dec(col("c2"))).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")).as("conc"),
+        when(col("by2") < col("by"), (dec(col("c")) * dec(col("c2"))).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")).as("disc"))
+      .agg(sum(col("conc")).as("cc"), sum(col("disc")).as("dd"))
+    val n = grid.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val tx = grid.groupBy("bx").agg(sum(col("c")).as("t"))
+      .agg(sum((dec(col("t")) * (dec(col("t")) - lit(1))).cast("decimal(38,0)")).as("tiex"))
+    val ty = grid.groupBy("by").agg(sum(col("c")).as("t"))
+      .agg(sum((dec(col("t")) * (dec(col("t")) - lit(1))).cast("decimal(38,0)")).as("tiey"))
+    def d(c: Column) = c.cast("double")
+    val nn = d(col("n")) * (d(col("n")) - lit(1.0))
+    val den = sqrt((nn - d(col("tiex"))) * (nn - d(col("tiey"))))
+    n.crossJoin(broadcast(pairs)).crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"), col("n_cells"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        when(den > 0,
+          round(lit(2.0) * (d(col("cc")) - d(col("dd"))) / den, 6)).as("tau_b"))
+  }
+
+  /** DuckDB mirror of [[kendallTauGrid]]; `xySql` yields (x, y). */
+  def kendallTauGridSql(xySql: String, xWidth: Long, yWidth: Long): String =
+    s"""WITH xy AS ($xySql),
+       grid AS (SELECT CAST(floor(x / $xWidth) AS BIGINT) AS bx,
+           CAST(floor(y / $yWidth) AS BIGINT) AS by, COUNT(*) AS c
+         FROM xy GROUP BY 1, 2),
+       pairs AS (SELECT
+           SUM(CASE WHEN b.by > a.by
+             THEN CAST(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)) AS DECIMAL(38,0))
+             ELSE CAST(0 AS DECIMAL(38,0)) END) AS cc,
+           SUM(CASE WHEN b.by < a.by
+             THEN CAST(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)) AS DECIMAL(38,0))
+             ELSE CAST(0 AS DECIMAL(38,0)) END) AS dd
+         FROM grid a JOIN grid b ON b.bx > a.bx),
+       nrow AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_cells FROM grid),
+       tx AS (SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1) AS DECIMAL(38,0))) AS tiex
+         FROM (SELECT bx, SUM(c) AS t FROM grid GROUP BY bx)),
+       ty AS (SELECT SUM(CAST(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1) AS DECIMAL(38,0))) AS tiey
+         FROM (SELECT by, SUM(c) AS t FROM grid GROUP BY by))
+       SELECT n, n_cells,
+         CAST(cc AS BIGINT) AS concordant,
+         CAST(dd AS BIGINT) AS discordant,
+         CASE WHEN sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - CAST(tiex AS DOUBLE))
+                * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - CAST(tiey AS DOUBLE))) > 0
+           THEN round(2.0 * (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - CAST(tiex AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - CAST(tiey AS DOUBLE))), 6)
+           END AS tau_b
+       FROM nrow CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty"""
 }

@@ -266,4 +266,65 @@ object Graph {
          CASE WHEN n_wedges > 0
            THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END AS clustering
        FROM t CROSS JOIN wd"""
+
+  /** LOCAL clustering coefficient per node (Watts-Strogatz 1998):
+    * c_i = 2·tri_i / (deg_i(deg_i − 1)) — which near-dup documents sit in
+    * CLIQUE-LIKE template families (c → 1, safe to collapse to one
+    * representative) vs in bridge positions between families (c → 0,
+    * where collapsing merges distinct content). The global [[triangles]]
+    * census averages this away.
+    *
+    * Shape: triangles enumerate once per triangle via the oriented
+    * (a < b < c on id) wedge join — Σdeg² fan-out like [[triangles]],
+    * never all-pairs — then explode to their three corners and count per
+    * node. Degree-1 nodes report coefficient 0 (no wedge to close).
+    */
+  def localClustering(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // id-oriented enumeration: wedge (x<y), (x<z), y<z closed by (y,z)
+    val w1 = e.select(col("a").as("x"), col("b").as("y"))
+    val w2 = e.select(col("a").as("x"), col("b").as("z"))
+    val tris = w1.join(w2, "x").where(col("y") < col("z"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    def d(c: Column) = c.cast("double")
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * d(coalesce(col("tri"), lit(0L))) /
+            (d(col("deg")) * (d(col("deg")) - lit(1.0))), 6))
+          .otherwise(lit(0.0)).as("local_cc"))
+      .orderBy("id")
+  }
+
+  /** DuckDB mirror of [[localClustering]]. */
+  def localClusteringSql(edgePairsCtes: String): String =
+    s"""WITH $edgePairsCtes,
+         ed AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                FROM ep WHERE id_a <> id_b),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM ed e1 JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+               JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pn AS (SELECT n, COUNT(*) AS tri FROM (
+                 SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY n),
+         dg AS (SELECT n, COUNT(*) AS deg FROM (
+                 SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY n)
+       SELECT dg.n AS id, CAST(deg AS BIGINT) AS deg,
+         CAST(COALESCE(tri, 0) AS BIGINT) AS n_triangles,
+         CASE WHEN deg >= 2
+           THEN round(2.0 * CAST(COALESCE(tri, 0) AS DOUBLE)
+             / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)), 6)
+           ELSE 0.0 END AS local_cc
+       FROM dg LEFT JOIN pn ON dg.n = pn.n
+       ORDER BY id"""
 }

@@ -1418,4 +1418,99 @@ object Temporal {
              * CAST(s AS DOUBLE) > ${chi(maxLag)} END AS reject_95
        FROM agg ORDER BY $keyCol"""
   }
+
+  /** Extreme-value (Gumbel) capacity estimate from weekly BLOCK MAXIMA of
+    * the per-key daily counts — "what is the 1-in-T-weeks peak day": by
+    * Fisher-Tippett the max of a block of light-tailed daily counts is
+    * Gumbel-attracted, so fit by method of moments
+    *   β̂ = s·√6/π,  μ̂ = m − γ·β̂   (γ Euler-Mascheroni)
+    * and read the T-block return level μ̂ − β̂·ln(−ln(1 − 1/T)) — the
+    * provisioning number a mean+3σ rule silently underestimates (the max
+    * distribution is skew). Blocks are calendar weeks of the dense
+    * zero-filled grid; moments fold as exact integers, the fit is one
+    * fixed-shape double expression. Only FULL 7-day blocks count.
+    */
+  def extremeValue(df: DataFrame, keyCol: String, tsCol: String,
+      returnBlocks: Int = 52): DataFrame = {
+    require(returnBlocks >= 2, s"extremeValue: bad horizon $returnBlocks")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"),
+        col("d"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("x"), col("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val blocks = grid
+      .where((col("x") / 7).cast("int") < (col("d") / 7).cast("int"))
+      .groupBy(col(keyCol), (col("x") / 7).cast("int").as("wk"))
+      .agg(max(col("c")).as("mx"))
+    def d(c: Column) = c.cast("double")
+    val mom = blocks.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("mx")).as("sx"),
+        sum(col("mx") * col("mx")).as("sxx"))
+    val m = d(col("sx")) / d(col("n_blocks"))
+    val sd = sqrt((d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n_blocks"))) /
+      (d(col("n_blocks")) - lit(1.0)))
+    val gamma = 0.5772156649015329
+    val beta = sd * lit(math.sqrt(6.0) / math.Pi)
+    val mu = m - lit(gamma) * beta
+    val rl = mu - beta * log(-log(lit(1.0) - lit(1.0 / returnBlocks)))
+    mom.where(col("n_blocks") >= 2)
+      .select(col(keyCol), col("n_blocks"),
+        round(m, 4).as("block_mean"),
+        round(sd, 4).as("block_std"),
+        round(mu, 4).as("gumbel_mu"),
+        round(beta, 4).as("gumbel_beta"),
+        round(rl, 4).as(s"return_level_$returnBlocks"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[extremeValue]] — the √6/π and −ln(−ln(…))
+    * constants are emitted as the SAME Scala doubles the Column form
+    * folds, so both engines multiply identical IEEE values.
+    */
+  def extremeValueSql(tbl: String, keyCol: String, tsCol: String,
+      returnBlocks: Int = 52): String = {
+    val c1 = math.sqrt(6.0) / math.Pi
+    val gamma = 0.5772156649015329
+    val lnln = -math.log(-math.log(1.0 - 1.0 / returnBlocks))
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, CAST(g.x AS INT) AS x, d, COALESCE(daily.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x, d FROM span) g
+         LEFT JOIN (SELECT $keyCol,
+             CAST(date_diff('day', d0, day) AS INT) AS x, c
+           FROM daily CROSS JOIN span) daily
+           ON daily.$keyCol = k.$keyCol AND daily.x = g.x),
+       blocks AS (SELECT $keyCol, x // 7 AS wk, MAX(c) AS mx FROM grid
+         WHERE x // 7 < d // 7 GROUP BY 1, 2),
+       mom AS (SELECT $keyCol, COUNT(*) AS n_blocks,
+           CAST(SUM(mx) AS BIGINT) AS sx, CAST(SUM(mx * mx) AS BIGINT) AS sxx
+         FROM blocks GROUP BY 1),
+       f AS (SELECT $keyCol, n_blocks,
+           CAST(sx AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS m,
+           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+             / (CAST(n_blocks AS DOUBLE) - 1.0)) AS sd
+         FROM mom WHERE n_blocks >= 2)
+       SELECT $keyCol, n_blocks,
+         round(m, 4) AS block_mean,
+         round(sd, 4) AS block_std,
+         round(m - $gamma * (sd * $c1), 4) AS gumbel_mu,
+         round(sd * $c1, 4) AS gumbel_beta,
+         round((m - $gamma * (sd * $c1)) + (sd * $c1) * $lnln, 4)
+           AS return_level_$returnBlocks
+       FROM f ORDER BY $keyCol"""
+  }
 }

@@ -1970,4 +1970,80 @@ object TextAnalysis {
            / CAST((SELECT COUNT(*) FROM topk) AS DOUBLE), 6) AS delta
        FROM z a JOIN z b ON a.t = b.t AND a.g < b.g
        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Bigram collocations by Dunning's log-likelihood ratio (G², Dunning
+    * 1993) — [[sourceKeyness]]'s statistic turned from (source, term)
+    * association onto ADJACENT WORD PAIRS: the 2×2 table for (w₁, w₂) is
+    * a = c(w₁w₂), row = c(w₁ ·), col = c(· w₂), N = total bigrams. The
+    * robust replacement for [[pmiTop]] at low counts (PMI explodes for
+    * rare pairs; G² is count-weighted evidence).
+    *
+    * Shape: bigrams materialize inside the scan projection (the
+    * [[cooccurCounts]] zip-shift, no join), then everything folds over
+    * the bigram TYPE TABLE; marginal joins are type-keyed. Over-
+    * represented pairs only (observed > expected), global top-N by
+    * (G² desc, pair) — a TakeOrdered, never a full sort.
+    */
+  def collocationLlr(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 30): DataFrame = {
+    require(topN >= 1, s"collocationLlr: bad topN $topN")
+    val ws = tokens(trim(lower(col(textCol))))
+    val bigrams = Dedup.parallelize(df)
+      .select(explode(zip_with(
+        ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .where(col("p.w2").isNotNull) // zip_with pads the shorter side
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("a"))
+    val rowT = bigrams.groupBy("w1").agg(sum("a").as("r_tot"))
+    val colT = bigrams.groupBy("w2").agg(sum("a").as("c_tot"))
+    val grand = bigrams.agg(sum("a").as("n_tot"))
+    val cells = bigrams
+      .join(rowT.hint("shuffle_hash"), "w1")
+      .join(colT.hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("r_tot") - col("a"))
+      .withColumn("c", col("c_tot") - col("a"))
+      .withColumn("d", col("n_tot") - col("r_tot") - col("c"))
+    def term(o: Column, rowTot: Column, colTot: Column, g: Column): Column = {
+      val e = rowTot.cast("double") * colTot.cast("double") / g.cast("double")
+      when(o > 0, o.cast("double") * log(o.cast("double") / e)).otherwise(lit(0.0))
+    }
+    val g2 = lit(2.0) * (
+      term(col("a"), col("r_tot"), col("c_tot"), col("n_tot")) +
+      term(col("b"), col("r_tot"), col("n_tot") - col("c_tot"), col("n_tot")) +
+      term(col("c"), col("n_tot") - col("r_tot"), col("c_tot"), col("n_tot")) +
+      term(col("d"), col("n_tot") - col("r_tot"), col("n_tot") - col("c_tot"), col("n_tot")))
+    cells
+      .where(col("a").cast("double") * col("n_tot").cast("double") >
+        col("r_tot").cast("double") * col("c_tot").cast("double"))
+      .select(col("w1"), col("w2"), col("a").as("n"), round(g2, 4).as("g2"))
+      .orderBy(col("g2").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** DuckDB mirror of [[collocationLlr]]. */
+  def collocationLlrSql(tbl: String, idCol: String, textCol: String,
+      topN: Int = 30): String =
+    s"""WITH w AS (SELECT string_split_regex(trim(lower($textCol)),'\\s+') AS ws
+           FROM $tbl),
+       bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS a FROM w,
+           UNNEST(range(1, greatest(len(ws), 1))) AS u(i)
+         GROUP BY 1, 2),
+       rt AS (SELECT w1, SUM(a) AS r_tot FROM bg GROUP BY w1),
+       ct AS (SELECT w2, SUM(a) AS c_tot FROM bg GROUP BY w2),
+       g AS (SELECT SUM(a) AS n_tot FROM bg),
+       cells AS (SELECT w1, w2, a, r_tot, c_tot, n_tot,
+           r_tot - a AS b, c_tot - a AS c, n_tot - r_tot - (c_tot - a) AS d
+         FROM bg JOIN rt USING (w1) JOIN ct USING (w2) CROSS JOIN g)
+       SELECT w1, w2, CAST(a AS BIGINT) AS n,
+         round(2.0 * (
+           (CASE WHEN a > 0 THEN a * ln(a / (CAST(r_tot AS DOUBLE) * c_tot / n_tot)) ELSE 0 END) +
+           (CASE WHEN b > 0 THEN b * ln(b / (CAST(r_tot AS DOUBLE) * (n_tot - c_tot) / n_tot)) ELSE 0 END) +
+           (CASE WHEN c > 0 THEN c * ln(c / (CAST(n_tot - r_tot AS DOUBLE) * c_tot / n_tot)) ELSE 0 END) +
+           (CASE WHEN d > 0 THEN d * ln(d / (CAST(n_tot - r_tot AS DOUBLE) * (n_tot - c_tot) / n_tot)) ELSE 0 END)
+         ), 4) AS g2
+       FROM cells
+       WHERE CAST(a AS DOUBLE) * n_tot > CAST(r_tot AS DOUBLE) * c_tot
+       ORDER BY g2 DESC, w1, w2 LIMIT $topN"""
 }

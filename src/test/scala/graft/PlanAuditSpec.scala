@@ -817,6 +817,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"span/lags should broadcast:\n$plan")
   }
 
+  test("kendall_tau: corpus collapses to the grid; cell pairs broadcast") {
+    val plan = planOf(SparkEntry.queries("kendall_tau")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"grid side should broadcast:\n$plan")
+    assert("partial_count|partial count".r.findFirstIn(plan).isDefined,
+      s"grid build should combine map-side:\n$plan")
+  }
+
+  test("collocation_llr: no join to build bigrams; top-N is a TakeOrdered") {
+    val plan = planOf(SparkEntry.queries("collocation_llr")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must not global-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("extreme_value: block maxima fold with partial max, span broadcast") {
+    val plan = planOf(SparkEntry.queries("extreme_value")(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"span should broadcast:\n$plan")
+    assert("partial_max|partial max".r.findFirstIn(plan).isDefined,
+      s"block maxima should combine map-side:\n$plan")
+  }
+
+  test("clustering_coeff: wedge join equi-keyed, closure is a semi-join") {
+    val plan = planOf(SparkEntry.queries("clustering_coeff")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"closure should semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

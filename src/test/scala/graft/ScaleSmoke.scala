@@ -149,7 +149,10 @@ object ScaleSmoke {
     "seasonal_mk", "char_entropy", "mattr_ttr", "burrows_delta", "para_dedup",
     // session-4 stat-test batch: confusion-matrix MCC, group-moment ANOVA
     // pair, the autocorr-panel portmanteau
-    "mcc_eval", "anova_length", "levene_test", "ljung_box")
+    "mcc_eval", "anova_length", "levene_test", "ljung_box",
+    // session-4 batch 5: grid tau, bigram type-table LLR, weekly block
+    // maxima, local clustering over the near-dup graph
+    "kendall_tau", "collocation_llr", "extreme_value", "clustering_coeff")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
