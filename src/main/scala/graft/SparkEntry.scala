@@ -2609,7 +2609,19 @@ object SparkEntry {
     // clique-like vs bridge near-dups: Watts-Strogatz local clustering
     // per node over the near-dup pair graph
     "clustering_coeff" -> ((s, dir) =>
-      operators.Graph.localClustering(nearDupPairsBuilt(s, dir)))
+      operators.Graph.localClustering(nearDupPairsBuilt(s, dir))),
+    // nonparametric repeated-measures: do event types consistently
+    // out-rank each other across days (integer doubled-rank algebra)
+    "friedman_test" -> ((s, dir) =>
+      operators.Temporal.friedmanTest(ev(s, dir), "event_type", "ts")),
+    // additive inequality split: how much length inequality is
+    // source-vs-source (mixture problem) vs inside sources (filter problem)
+    "theil_decomp" -> ((s, dir) =>
+      operators.Audit.theilDecomp(Tables.documents(s, dir), "source",
+        "n_chars")),
+    // long-range dependence of daily load: rescaled-range Hurst slope
+    "hurst_exponent" -> ((s, dir) =>
+      operators.Temporal.hurstExponent(ev(s, dir), "event_type", "ts"))
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4868,7 +4880,13 @@ object SparkEntry {
     "clustering_coeff" ->
       operators.Graph.localClusteringSql(
         s"""$nearDupCtes,
-         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""")
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
+    "friedman_test" ->
+      operators.Temporal.friedmanTestSql("events", "event_type", "ts"),
+    "theil_decomp" ->
+      operators.Audit.theilDecompSql("documents", "source", "n_chars"),
+    "hurst_exponent" ->
+      operators.Temporal.hurstExponentSql("events", "event_type", "ts")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

@@ -676,4 +676,70 @@ object Audit {
              - CAST(ts - s AS DOUBLE) / CAST(tn - n_docs AS DOUBLE), 6)
          END AS influence
        FROM t ORDER BY $sourceCol"""
+
+  /** Theil T inequality of a positive size column WITH its group
+    * decomposition (Theil 1967): T = T_between + T_within, where
+    * T_between = Σ_g (X_g/X)·ln((X_g/X)/(N_g/N)) is the share of
+    * inequality explained by which GROUP a row is in. The additive story
+    * a Gini cannot give: "how much of the length inequality is
+    * source-vs-source, how much inside sources" — the former is a mixture
+    * decision, the latter a filtering one.
+    *
+    * Per-row terms (xᵢ/X)·ln(xᵢ·N/X) round to 9 and fold as DECIMAL with
+    * the corpus totals broadcast; the between layer is groups-bounded.
+    * T_within is reported as T − T_between (the decomposition identity,
+    * exact up to the declared 1e-9 term rounding).
+    */
+  def theilDecomp(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val rows = Dedup.parallelize(df)
+      .select(col(groupCol).as("g"), col(valCol).cast("long").as("x"))
+      .where(col("x") > 0)
+    val tot = rows.agg(count(lit(1)).as("n"), sum(col("x")).as("xs"))
+    val tTot = rows.crossJoin(broadcast(tot))
+      .select(round((d(col("x")) / d(col("xs"))) *
+        log(d(col("x")) * d(col("n")) / d(col("xs"))), 9)
+        .cast("decimal(18,9)").as("term"))
+      .agg(sum(col("term")).as("t_total"))
+    val byG = rows.groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"))
+    val tB = byG.crossJoin(broadcast(tot))
+      .select(round((d(col("xg")) / d(col("xs"))) *
+        log((d(col("xg")) / d(col("xs"))) / (d(col("ng")) / d(col("n")))), 9)
+        .cast("decimal(18,9)").as("term"))
+      .agg(sum(col("term")).as("t_between"), count(lit(1)).as("k_groups"))
+    tot.crossJoin(broadcast(tTot)).crossJoin(broadcast(tB))
+      .select(col("n"), col("k_groups"),
+        round(d(col("t_total")), 6).as("theil_t"),
+        round(d(col("t_between")), 6).as("t_between"),
+        round(d(col("t_total")) - d(col("t_between")), 6).as("t_within"),
+        when(d(col("t_total")) > 0,
+          round(d(col("t_between")) / d(col("t_total")), 6)).as("share_between"))
+  }
+
+  /** DuckDB mirror of [[theilDecomp]]. */
+  def theilDecompSql(tbl: String, groupCol: String, valCol: String): String =
+    s"""WITH rows_ AS (SELECT $groupCol AS g, CAST($valCol AS BIGINT) AS x
+           FROM $tbl WHERE $valCol > 0),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS xs
+         FROM rows_),
+       tt AS (SELECT SUM(CAST(round((CAST(x AS DOUBLE) / CAST(xs AS DOUBLE))
+             * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(xs AS DOUBLE)), 9)
+           AS DECIMAL(18,9))) AS t_total
+         FROM rows_ CROSS JOIN tot),
+       byg AS (SELECT g, COUNT(*) AS ng, CAST(SUM(x) AS BIGINT) AS xg
+         FROM rows_ GROUP BY g),
+       tb AS (SELECT SUM(CAST(round((CAST(xg AS DOUBLE) / CAST(xs AS DOUBLE))
+             * ln((CAST(xg AS DOUBLE) / CAST(xs AS DOUBLE))
+               / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+           AS DECIMAL(18,9))) AS t_between, COUNT(*) AS k_groups
+         FROM byg CROSS JOIN tot)
+       SELECT n, k_groups,
+         round(CAST(t_total AS DOUBLE), 6) AS theil_t,
+         round(CAST(t_between AS DOUBLE), 6) AS t_between,
+         round(CAST(t_total AS DOUBLE) - CAST(t_between AS DOUBLE), 6) AS t_within,
+         CASE WHEN CAST(t_total AS DOUBLE) > 0
+           THEN round(CAST(t_between AS DOUBLE) / CAST(t_total AS DOUBLE), 6)
+           END AS share_between
+       FROM tot CROSS JOIN tt CROSS JOIN tb"""
 }

@@ -1513,4 +1513,234 @@ object Temporal {
            AS return_level_$returnBlocks
        FROM f ORDER BY $keyCol"""
   }
+
+  /** Friedman test (Friedman 1937) across keys using calendar days as
+    * BLOCKS: rank the k key counts within every day (average ranks for
+    * ties), then ask whether any key consistently out-ranks the others —
+    * the nonparametric repeated-measures ANOVA, immune to the day-level
+    * volume swings that wreck a raw-count comparison. Reported with the
+    * tie-corrected statistic χ²/C, C = 1 − ΣT/(n·k·(k²−1)).
+    *
+    * Rank arithmetic stays INTEGER by working in doubled ranks:
+    * 2·avgrank = 2·|{cᵢ < c_j}| + |{cᵢ = c_j}| + 1, computed by a per-day
+    * self-join of the (day × key) relation — k² rows per day, bounded by
+    * the type table, never by events. One double expression at the end.
+    */
+  def friedmanTest(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+    val other = grid.select(col("x"), col("c").as("ci"))
+    val rank2 = grid.join(other, Seq("x"))
+      .groupBy(col(keyCol), col("x"), col("c"))
+      .agg((sum(when(col("ci") < col("c"), 2L).otherwise(0L)) +
+        sum(when(col("ci") === col("c"), 1L).otherwise(0L)) + 1L).as("r2"))
+    val perKey = rank2.groupBy(col(keyCol)).agg(sum(col("r2")).as("rsum2"))
+    val sumR2sq = perKey.agg(
+      sum((col("rsum2").cast("decimal(19,0)") * col("rsum2").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("sr2"),
+      count(lit(1)).as("k"))
+    val ties = grid.groupBy(col("x"), col("c")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"),
+        countDistinct(col("x")).as("n"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    val k = d(col("k"))
+    // ΣR² = ΣR2²/4; χ² = 12/(nk(k+1))·ΣR² − 3n(k+1)
+    val chi2 = lit(12.0) / (n * k * (k + lit(1.0))) * (d(col("sr2")) / lit(4.0)) -
+      lit(3.0) * n * (k + lit(1.0))
+    val corr = lit(1.0) - d(col("tie3")) / (n * k * (k * k - lit(1.0)))
+    // χ²(k−1) upper 5% for k−1 = 1..14
+    val chiCrit = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
+      5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919,
+      10 -> 18.307, 11 -> 19.675, 12 -> 21.026, 13 -> 22.362, 14 -> 23.685)
+    val critArr = array((1 to 14).map(i => lit(chiCrit(i))): _*)
+    sumR2sq.crossJoin(broadcast(ties))
+      .select(col("n").cast("long").as("n_blocks"), col("k").as("k_keys"),
+        round(chi2, 4).as("chi2"),
+        when(corr > 0, round(chi2 / corr, 4)).as("chi2_tied"),
+        when(corr > 0 && col("k") >= 2 && col("k") <= 15,
+          chi2 / corr > element_at(critArr, (col("k") - 1).cast("int")))
+          .as("reject_95"))
+  }
+
+  /** DuckDB mirror of [[friedmanTest]]. */
+  def friedmanTestSql(tbl: String, keyCol: String, tsCol: String): String = {
+    val chiCrit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+      15.507, 16.919, 18.307, 19.675, 21.026, 22.362, 23.685)
+    val critList = chiCrit.mkString("[", ", ", "]")
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, CAST(g.x AS INT) AS x, COALESCE(dd.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x FROM span) g
+         LEFT JOIN (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+             FROM daily CROSS JOIN span) dd
+           ON dd.$keyCol = k.$keyCol AND dd.x = g.x),
+       r2 AS (SELECT a.$keyCol, a.x, a.c,
+           SUM(CASE WHEN b.c < a.c THEN 2 ELSE 0 END)
+             + SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) + 1 AS r2
+         FROM grid a JOIN grid b ON b.x = a.x
+         GROUP BY 1, 2, 3),
+       pk AS (SELECT $keyCol, CAST(SUM(r2) AS BIGINT) AS rsum2 FROM r2 GROUP BY 1),
+       sq AS (SELECT SUM(CAST(CAST(rsum2 AS DECIMAL(19,0)) * CAST(rsum2 AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sr2,
+           COUNT(*) AS k FROM pk),
+       tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3,
+           COUNT(DISTINCT x) AS n
+         FROM (SELECT x, c, COUNT(*) AS t FROM grid GROUP BY x, c)),
+       f AS (SELECT n, k,
+           12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+             * (CAST(sr2 AS DOUBLE) / 4.0)
+             - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS chi2,
+           1.0 - CAST(tie3 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) AS corr
+         FROM sq CROSS JOIN tie)
+       SELECT CAST(n AS BIGINT) AS n_blocks, k AS k_keys,
+         round(chi2, 4) AS chi2,
+         CASE WHEN corr > 0 THEN round(chi2 / corr, 4) END AS chi2_tied,
+         CASE WHEN corr > 0 AND k >= 2 AND k <= 15
+           THEN chi2 / corr > ($critList)[CAST(k AS INT) - 1] END AS reject_95
+       FROM f"""
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    * Mandelbrot-Wallis 1969) of the per-key daily count series: H ≈ 0.5
+    * for memoryless traffic, H → 1 for long-range-dependent load (slow
+    * regime drift [[autocorrDaily]]'s fixed-lag panel underestimates),
+    * H < 0.5 for mean-reverting. For each window size s, the series
+    * splits into full blocks; each block contributes log(R/S) (range of
+    * cumulative deviations over the block std); H is the OLS slope of the
+    * per-size mean log(R/S) against log(s).
+    *
+    * Every relation is calendar×sizes-bounded; block folds are windowed
+    * cumsums inside (key, size, block) partitions; log terms round to 9
+    * and fold as DECIMAL; the 3-point OLS is closed-form.
+    */
+  def hurstExponent(df: DataFrame, keyCol: String, tsCol: String,
+      sizes: Seq[Int] = Seq(5, 10, 15)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(_ >= 2), "hurstExponent: bad sizes")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"),
+        col("d"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("x"), col("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val withSize = grid
+      .crossJoin(broadcast(sizes.toDF("s")))
+      .where(col("x") < (col("d") / col("s")).cast("int") * col("s"))
+      .withColumn("blk", (col("x") / col("s")).cast("int"))
+    def d(c: Column) = c.cast("double")
+    val blockStats = withSize.groupBy(col(keyCol), col("s"), col("blk"))
+      .agg(sum(col("c")).as("bs"), sum(col("c") * col("c")).as("bss"),
+        count(lit(1)).as("bn"))
+    val withMean = withSize.join(blockStats, Seq(keyCol, "s", "blk"))
+      .withColumn("dev", d(col("c")) - d(col("bs")) / d(col("bn")))
+    val w = Window.partitionBy(keyCol, "s", "blk").orderBy("x")
+    val cum = withMean.withColumn("wt", sum(col("dev")).over(w))
+    val rs = cum.groupBy(col(keyCol), col("s"), col("blk"),
+        col("bs"), col("bss"), col("bn"))
+      .agg(max(col("wt")).as("wmax"), min(col("wt")).as("wmin"))
+      .withColumn("sd", sqrt(greatest(
+        d(col("bss")) / d(col("bn")) -
+          (d(col("bs")) / d(col("bn"))) * (d(col("bs")) / d(col("bn"))),
+        lit(0.0))))
+      .where(col("sd") > 0)
+      .select(col(keyCol), col("s"),
+        round(log((col("wmax") - col("wmin")) / col("sd")), 9)
+          .cast("decimal(18,9)").as("lrs"))
+    val bySize = rs.groupBy(col(keyCol), col("s"))
+      .agg(sum(col("lrs")).as("slrs"), count(lit(1)).as("nb"))
+      .select(col(keyCol), log(d(col("s"))).as("lx"),
+        (d(col("slrs")) / d(col("nb"))).as("ly"))
+    val ols = bySize.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("np"),
+        sum(round(col("lx"), 9).cast("decimal(18,9)")).as("sx"),
+        sum(round(col("ly"), 9).cast("decimal(18,9)")).as("sy"),
+        sum(round(col("lx") * col("ly"), 9).cast("decimal(18,9)")).as("sxy"),
+        sum(round(col("lx") * col("lx"), 9).cast("decimal(18,9)")).as("sxx"))
+    ols.where(col("np") >= 2)
+      .select(col(keyCol), col("np").as("n_sizes"),
+        round((d(col("np")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("np")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 4)
+          .as("hurst"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[hurstExponent]]. */
+  def hurstExponentSql(tbl: String, keyCol: String, tsCol: String,
+      sizes: Seq[Int] = Seq(5, 10, 15)): String = {
+    val sizeList = sizes.mkString("[", ", ", "]")
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, CAST(g.x AS INT) AS x, g.d, COALESCE(dd.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x, d FROM span) g
+         LEFT JOIN (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+             FROM daily CROSS JOIN span) dd
+           ON dd.$keyCol = k.$keyCol AND dd.x = g.x),
+       ws AS (SELECT $keyCol, x, c, s, x // s AS blk
+         FROM grid CROSS JOIN (SELECT unnest($sizeList) AS s)
+         WHERE x < (d // s) * s),
+       bstat AS (SELECT $keyCol, s, blk, CAST(SUM(c) AS BIGINT) AS bs,
+           CAST(SUM(c * c) AS BIGINT) AS bss, COUNT(*) AS bn
+         FROM ws GROUP BY 1, 2, 3),
+       cum AS (SELECT ws.$keyCol, ws.s, ws.blk, bs, bss, bn,
+           SUM(CAST(c AS DOUBLE) - CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))
+             OVER (PARTITION BY ws.$keyCol, ws.s, ws.blk ORDER BY x) AS wt
+         FROM ws JOIN bstat USING ($keyCol, s, blk)),
+       rsin AS (SELECT $keyCol, s, blk, bs, bss, bn,
+           MAX(wt) AS wmax, MIN(wt) AS wmin
+         FROM cum GROUP BY 1, 2, 3, 4, 5, 6),
+       rs AS (SELECT $keyCol, s,
+           CAST(round(ln((wmax - wmin) / sd), 9) AS DECIMAL(18,9)) AS lrs
+         FROM (SELECT $keyCol, s, wmax, wmin,
+             sqrt(greatest(CAST(bss AS DOUBLE) / CAST(bn AS DOUBLE)
+               - (CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))
+                 * (CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE)), 0.0)) AS sd
+           FROM rsin)
+         WHERE sd > 0),
+       bysize AS (SELECT $keyCol, ln(CAST(s AS DOUBLE)) AS lx,
+           CAST(SUM(lrs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ly
+         FROM rs GROUP BY $keyCol, s),
+       ols AS (SELECT $keyCol, COUNT(*) AS np,
+           SUM(CAST(round(lx, 9) AS DECIMAL(18,9))) AS sx,
+           SUM(CAST(round(ly, 9) AS DECIMAL(18,9))) AS sy,
+           SUM(CAST(round(lx * ly, 9) AS DECIMAL(18,9))) AS sxy,
+           SUM(CAST(round(lx * lx, 9) AS DECIMAL(18,9))) AS sxx
+         FROM bysize GROUP BY $keyCol)
+       SELECT $keyCol, np AS n_sizes,
+         round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+           AS hurst
+       FROM ols WHERE np >= 2 ORDER BY $keyCol"""
+  }
 }

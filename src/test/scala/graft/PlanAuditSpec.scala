@@ -846,6 +846,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
+  test("friedman_test: rank self-join is day-keyed over the type grid") {
+    val plan = planOf(SparkEntry.queries("friedman_test")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(plan).isDefined, s"rank join should be equi-keyed:\n$plan")
+  }
+
+  test("theil_decomp: corpus totals broadcast back, one scan per layer") {
+    val plan = planOf(SparkEntry.queries("theil_decomp")(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"totals should broadcast:\n$plan")
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"terms should combine map-side:\n$plan")
+  }
+
+  test("hurst_exponent: block cumsums window inside (key,size,block) only") {
+    val plan = planOf(SparkEntry.queries("hurst_exponent")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("Window"), s"cumdev needs the block window:\n$plan")
+    // the only windows run partitioned — no global (empty-partition) sort
+    assert(!"Window \\[[^\\]]*\\]$".r.findFirstIn(plan).exists(_.contains("PartitionBy: \\[\\]")),
+      s"window must stay partitioned:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

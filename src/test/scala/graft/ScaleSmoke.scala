@@ -152,7 +152,10 @@ object ScaleSmoke {
     "mcc_eval", "anova_length", "levene_test", "ljung_box",
     // session-4 batch 5: grid tau, bigram type-table LLR, weekly block
     // maxima, local clustering over the near-dup graph
-    "kendall_tau", "collocation_llr", "extreme_value", "clustering_coeff")
+    "kendall_tau", "collocation_llr", "extreme_value", "clustering_coeff",
+    // session-4 batch 6: doubled-rank Friedman, Theil decomposition,
+    // R/S Hurst slope
+    "friedman_test", "theil_decomp", "hurst_exponent")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

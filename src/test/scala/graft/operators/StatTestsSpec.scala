@@ -82,6 +82,65 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("f_stat") > 20)
   }
 
+  test("friedmanTest: planted dominance rejects; full ties degenerate") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    // A > B > C every one of 14 days → ranks constant → chi2 = 2n = 28
+    val dom = (0 until 14).flatMap { d =>
+      (0 until 30).map(i => ("A", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until 20).map(i => ("B", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until 10).map(i => ("C", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val r = Temporal.friedmanTest(dom.toDF("event_type", "ts"),
+      "event_type", "ts").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 14L && r.getAs[Long]("k_keys") == 3L)
+    assert(r.getAs[Double]("chi2") == 28.0)
+    assert(r.getAs[Boolean]("reject_95"))
+    // identical counts every day: everything ties → correction hits 0
+    val tied = (0 until 14).flatMap { d =>
+      Seq("A", "B", "C").flatMap(k =>
+        (0 until 10).map(i => (k, new java.sql.Timestamp(d * MsPerDay + i))))
+    }
+    val rt = Temporal.friedmanTest(tied.toDF("event_type", "ts"),
+      "event_type", "ts").collect()(0)
+    assert(rt.getAs[Double]("chi2") == 0.0)
+    assert(rt.isNullAt(rt.fieldIndex("chi2_tied")))
+  }
+
+  test("theilDecomp: equal rows give 0; pure between-group inequality") {
+    import spark.implicits._
+    val flat = (1 to 10).map(i => (s"g${i % 2}", 25L)).toDF("source", "n_chars")
+    val r0 = Audit.theilDecomp(flat, "source", "n_chars").collect()(0)
+    assert(r0.getAs[Double]("theil_t") == 0.0)
+    // 5×10 vs 5×40: within-group inequality exactly zero
+    val between = ((1 to 5).map(_ => ("lo", 10L)) ++ (1 to 5).map(_ => ("hi", 40L)))
+      .toDF("source", "n_chars")
+    val r1 = Audit.theilDecomp(between, "source", "n_chars").collect()(0)
+    val want = 0.2 * math.log(0.4) + 0.8 * math.log(1.6)
+    assert(math.abs(r1.getAs[Double]("t_between") - want) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("t_within")) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("share_between") - 1.0) < 1e-4)
+  }
+
+  test("hurstExponent: trending series persistent, alternating anti-persistent") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    val rows = (0 until 30).flatMap { d =>
+      val trend = 10 + 3 * d
+      val alt = if (d % 2 == 0) 5 else 15
+      (0 until trend).map(i => ("trend", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until alt).map(i => ("alt", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.hurstExponent(rows.toDF("event_type", "ts"),
+      "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("trend").getAs[Long]("n_sizes") == 3L)
+    val hTrend = out("trend").getAs[Double]("hurst")
+    val hAlt = out("alt").getAs[Double]("hurst")
+    assert(hTrend > 0.8, s"trend H=$hTrend")
+    assert(hAlt < 0.5, s"alt H=$hAlt")
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
