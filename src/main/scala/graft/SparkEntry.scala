@@ -2621,7 +2621,45 @@ object SparkEntry {
         "n_chars")),
     // long-range dependence of daily load: rescaled-range Hurst slope
     "hurst_exponent" -> ((s, dir) =>
-      operators.Temporal.hurstExponent(ev(s, dir), "event_type", "ts"))
+      operators.Temporal.hurstExponent(ev(s, dir), "event_type", "ts")),
+    // nonparametric one-way: does any source's LENGTH DISTRIBUTION sit
+    // higher, without anova_length's normality assumption (doubled-rank
+    // histogram algebra, no per-row rank window)
+    "kruskal_wallis" -> ((s, dir) =>
+      operators.Anova.kruskalWallis(Tables.documents(s, dir), "source",
+        "n_chars")),
+    // normality gate per event type: skew/kurtosis moments → JB ~ χ²(2);
+    // the check before any z/t readout leans on its approximation
+    "jarque_bera" -> ((s, dir) =>
+      operators.Robust.jarqueBera(ev(s, dir), "event_type", "value")),
+    // paired gate strictness: among filter_agreement's disagreements, is
+    // one gate systematically stricter (continuity-corrected McNemar)
+    "mcnemar_gates" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Audit.mcnemarGates(
+        TextAnalysis.gopherRules(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep")),
+        TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), (col("entropy") >= 3.1).as("keep_e")),
+        "doc_id", "keep", "keep_e")
+    }),
+    // gate-panel omnibus: do the three quality gates pass different
+    // fractions of the same docs (Cochran's Q over k=3 booleans)
+    "cochran_q" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g1 = docs.select(col("doc_id"), (col("n_chars") >= 200).as("g1"))
+      val g2 = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("g2"))
+      val g3 = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("entropy") >= 3.1).as("g3"))
+      operators.Audit.cochranQ(
+        g1.join(g2, "doc_id").join(g3, "doc_id"), "doc_id",
+        Seq("g1", "g2", "g3"))
+    }),
+    // exchangeability gate per type: runs of above/below-median days vs
+    // the randomness expectation — regime clustering or oscillation
+    "runs_test" -> ((s, dir) =>
+      operators.Temporal.runsTest(ev(s, dir), "event_type", "ts"))
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4886,7 +4924,28 @@ object SparkEntry {
     "theil_decomp" ->
       operators.Audit.theilDecompSql("documents", "source", "n_chars"),
     "hurst_exponent" ->
-      operators.Temporal.hurstExponentSql("events", "event_type", "ts")
+      operators.Temporal.hurstExponentSql("events", "event_type", "ts"),
+    "kruskal_wallis" ->
+      operators.Anova.kruskalWallisSql("documents", "source", "n_chars"),
+    "jarque_bera" ->
+      operators.Robust.jarqueBeraSql("events", "event_type", "value"),
+    "mcnemar_gates" ->
+      s"""WITH ga AS (SELECT doc_id, keep AS a FROM (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})),
+         gb AS (SELECT doc_id, entropy >= 3.1 AS b FROM (
+             ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")})),
+         ${operators.Audit.mcnemarGatesSql("doc_id")}""",
+    "cochran_q" ->
+      s"""WITH gl AS (SELECT doc_id, n_chars >= 200 AS g1 FROM documents),
+         gr AS (SELECT doc_id, keep AS g2 FROM (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})),
+         ge AS (SELECT doc_id, entropy >= 3.1 AS g3 FROM (
+             ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")})),
+         gj AS (SELECT gl.doc_id, g1, g2, g3
+           FROM gl JOIN gr USING (doc_id) JOIN ge USING (doc_id)),
+         ${operators.Audit.cochranQSql(3)}""",
+    "runs_test" ->
+      operators.Temporal.runsTestSql("events", "event_type", "ts")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

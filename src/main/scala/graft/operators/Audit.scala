@@ -244,6 +244,118 @@ object Audit {
               ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
        FROM k"""
 
+  /** McNemar's test (McNemar 1947) on two boolean gates over the SAME
+    * docs: [[filterAgreement]]'s kappa says how often the gates agree;
+    * McNemar asks the sharper paired question — among the DISAGREEMENTS,
+    * is one gate systematically stricter? Only the off-diagonal cells
+    * carry information: χ² = (|b−c|−1)²/(b+c) (continuity-corrected)
+    * ~ χ²(1) under the null that disagreements split evenly. The test to
+    * run before swapping gate A for gate B "because they mostly agree" —
+    * mostly-agreeing gates can still drop disjoint corpus slices.
+    *
+    * Same id equi-join + one-row integer fold as [[filterAgreement]].
+    */
+  def mcnemarGates(gateA: DataFrame, gateB: DataFrame, idCol: String,
+      aCol: String, bCol: String): DataFrame = {
+    val j = gateA.select(col(idCol), col(aCol).cast("boolean").as("_mn_a"))
+      .join(gateB.select(col(idCol), col(bCol).cast("boolean").as("_mn_b")),
+        Seq(idCol))
+    val cells = j.agg(count(lit(1)).as("n"),
+      sum(when(col("_mn_a") && !col("_mn_b"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("_mn_a") && col("_mn_b"), 1L).otherwise(0L)).as("c"))
+    def d(c: Column) = c.cast("double")
+    val disc = d(abs(col("b") - col("c")))
+    val chi2 = (disc - lit(1.0)) * (disc - lit(1.0)) /
+      d(col("b") + col("c"))
+    cells.select(col("n"), col("b").as("n_only_a"), col("c").as("n_only_b"),
+      when(col("b") + col("c") > 0, round(chi2, 4)).as("chi2"),
+      when(col("b") + col("c") > 0, chi2 > 3.841).as("reject_95"))
+  }
+
+  /** DuckDB mirror of [[mcnemarGates]] over caller-prepended CTEs
+    * `ga(id, a)` / `gb(id, b)` — the [[filterAgreementSql]] convention.
+    */
+  def mcnemarGatesSql(idCol: String): String =
+    s"""j AS (SELECT ga.a AS a, gb.b AS b FROM ga JOIN gb USING ($idCol)),
+       c AS (SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS c
+         FROM j),
+       f AS (SELECT n, b, c,
+           (abs(CAST(b - c AS DOUBLE)) - 1.0)
+             * (abs(CAST(b - c AS DOUBLE)) - 1.0)
+             / CAST(b + c AS DOUBLE) AS chi2
+         FROM c)
+       SELECT n, b AS n_only_a, c AS n_only_b,
+         CASE WHEN b + c > 0 THEN round(chi2, 4) END AS chi2,
+         CASE WHEN b + c > 0 THEN chi2 > 3.841 END AS reject_95
+       FROM f"""
+
+  /** Cochran's Q (Cochran 1950): the k-gate generalization of McNemar —
+    * do k binary quality gates pass systematically different FRACTIONS of
+    * the same corpus? Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_i²) ~ χ²(k−1),
+    * with C_j the per-gate pass totals, R_i the per-doc pass counts, T the
+    * grand total. The one-number governance check across a whole gate
+    * panel before reading any pairwise kappa.
+    *
+    * Input: one relation carrying `idCol` and k boolean gate columns.
+    * One scan; everything integer until the final ratio.
+    */
+  def cochranQ(df: DataFrame, idCol: String,
+      gateCols: Seq[String]): DataFrame = {
+    require(gateCols.size >= 2, "cochranQ: need >= 2 gates")
+    val k = gateCols.size
+    val gi = gateCols.map(g => when(col(g), 1L).otherwise(0L))
+    val r = gi.reduce(_ + _)
+    val aggs =
+      count(lit(1)).as("n") +:
+      sum(r).as("t") +:
+      sum(r * r).as("sr2") +:
+      gateCols.zipWithIndex.map { case (g, i) =>
+        sum(when(col(g), 1L).otherwise(0L)).as(s"c$i")
+      }
+    val cells = df.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val sc2 = (0 until k).map(i => col(s"c$i") * col(s"c$i"))
+      .reduce(_ + _)
+    val num = lit((k - 1).toDouble) *
+      (lit(k.toDouble) * d(sc2) - d(col("t")) * d(col("t")))
+    val den = lit(k.toDouble) * d(col("t")) - d(col("sr2"))
+    val q = num / den
+    val crit = Seq(3.841, 5.991, 7.815, 9.488, 11.070)(k - 2)
+    cells.select(col("n") +:
+      (0 until k).map(i => col(s"c$i").as(s"pass_g${i + 1}")) :+
+      when(den > 0, round(q, 4)).as("q") :+
+      when(den > 0, q > crit).as("reject_95"): _*)
+  }
+
+  /** DuckDB mirror of [[cochranQ]] over a caller-prepended CTE
+    * `gj(id, g1..gk)` with boolean gate columns named `g1`, `g2`, ….
+    */
+  def cochranQSql(k: Int): String = {
+    require(k >= 2 && k <= 6, "cochranQSql: k out of range")
+    val gs = (1 to k).map(i => s"g$i")
+    val r = gs.map(g => s"CASE WHEN $g THEN 1 ELSE 0 END").mkString(" + ")
+    val cSums = gs.zipWithIndex.map { case (g, i) =>
+      s"CAST(SUM(CASE WHEN $g THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(", ")
+    val sc2 = (0 until k).map(i => s"c$i * c$i").mkString(" + ")
+    val crit = Seq(3.841, 5.991, 7.815, 9.488, 11.070)(k - 2)
+    val passCols = (0 until k).map(i => s"c$i AS pass_g${i + 1}").mkString(", ")
+    s"""c AS (SELECT COUNT(*) AS n, CAST(SUM($r) AS BIGINT) AS t,
+           CAST(SUM(($r) * ($r)) AS BIGINT) AS sr2, $cSums
+         FROM gj),
+       f AS (SELECT *,
+           ${k - 1}.0 * ($k.0 * CAST($sc2 AS DOUBLE)
+             - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS num,
+           $k.0 * CAST(t AS DOUBLE) - CAST(sr2 AS DOUBLE) AS den
+         FROM c)
+       SELECT n, $passCols,
+         CASE WHEN den > 0 THEN round(num / den, 4) END AS q,
+         CASE WHEN den > 0 THEN num / den > $crit END AS reject_95
+       FROM f"""
+  }
+
   /** DuckDB mirror of [[embedHygiene]]. */
   def embedHygieneSql(tbl: String, vecCol: String, labelCol: String): String =
     s"""WITH e AS (SELECT $labelCol AS label,

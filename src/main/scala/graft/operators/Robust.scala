@@ -41,6 +41,79 @@ object Robust {
         max(col("_mo_mad")).as("mad"))
   }
 
+  /** Jarque–Bera normality test (Jarque & Bera 1980) per group: skewness
+    * and excess kurtosis from exact central moments, combined as
+    * JB = n/6·(S² + (K−3)²/4) ~ χ²(2) under normality. The gate that says
+    * whether a t/z readout (value A/B tests, CUPED, diff-in-diff) can
+    * lean on its normal approximation for THIS metric, per segment.
+    *
+    * Two passes: per-group (n, Σx) in DECIMAL gives an exact-derived mean
+    * broadcast back; the deviation powers d², d³, d⁴ round to 6 and fold
+    * as DECIMAL(38,6) — partition-order-immune, one fixed double shape at
+    * the end. Group-bounded output.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def d(c: Column) = c.cast("double")
+    val base = Dedup.parallelize(df).select(col(groupCol).as("g"),
+      col(valueCol).cast("decimal(18,6)").as("x"))
+    val mean = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("g"), col("n"), (d(col("sx")) / d(col("n"))).as("m"))
+    val dev = base.join(broadcast(mean), "g")
+      .withColumn("dv", d(col("x")) - col("m"))
+    val mom = dev.groupBy("g")
+      .agg(max(col("n")).as("n"),
+        sum(round(col("dv") * col("dv"), 6).cast("decimal(38,6)")).as("s2"),
+        sum(round(col("dv") * col("dv") * col("dv"), 6)
+          .cast("decimal(38,6)")).as("s3"),
+        sum(round(col("dv") * col("dv") * col("dv") * col("dv"), 6)
+          .cast("decimal(38,6)")).as("s4"))
+    val n = d(col("n"))
+    val m2 = d(col("s2")) / n
+    val m3 = d(col("s3")) / n
+    val m4 = d(col("s4")) / n
+    val skew = m3 / pow(m2, 1.5)
+    val kurt = m4 / (m2 * m2)
+    val jb = n / lit(6.0) * (skew * skew +
+      (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    mom.where(col("s2") > 0)
+      .select(col("g").as(groupCol), col("n"),
+        round(skew, 4).as("skewness"),
+        round(kurt, 4).as("kurtosis"),
+        round(jb, 4).as("jb"),
+        (jb > 5.991).as("reject_95"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[jarqueBera]]. */
+  def jarqueBeraSql(tbl: String, groupCol: String, valueCol: String): String =
+    s"""WITH base AS (SELECT $groupCol AS g, CAST($valueCol AS DECIMAL(18,6)) AS x
+           FROM $tbl),
+       mn AS (SELECT g, COUNT(*) AS n,
+           CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m FROM base GROUP BY g),
+       dev AS (SELECT base.g, n, CAST(x AS DOUBLE) - m AS dv
+         FROM base JOIN mn USING (g)),
+       mom AS (SELECT g, MAX(n) AS n,
+           SUM(CAST(round(dv * dv, 6) AS DECIMAL(38,6))) AS s2,
+           SUM(CAST(round(dv * dv * dv, 6) AS DECIMAL(38,6))) AS s3,
+           SUM(CAST(round(dv * dv * dv * dv, 6) AS DECIMAL(38,6))) AS s4
+         FROM dev GROUP BY g),
+       f AS (SELECT g, n,
+           CAST(s3 AS DOUBLE) / n / pow(CAST(s2 AS DOUBLE) / n, 1.5) AS skew,
+           (CAST(s4 AS DOUBLE) / n)
+             / ((CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)) AS kurt
+         FROM mom WHERE s2 > 0),
+       jbq AS (SELECT g, n, skew, kurt,
+           CAST(n AS DOUBLE) / 6.0
+             * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+         FROM f)
+       SELECT g AS $groupCol, n, round(skew, 4) AS skewness,
+         round(kurt, 4) AS kurtosis, round(jb, 4) AS jb,
+         jb > 5.991 AS reject_95
+       FROM jbq ORDER BY $groupCol"""
+
   /** DuckDB mirror — same k interpolated, same rounding points. */
   def madOutliersSql(table: String, groupCol: String, valueCol: String,
       k: Double = DefaultK): String =

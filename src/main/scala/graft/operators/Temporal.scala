@@ -1743,4 +1743,107 @@ object Temporal {
            AS hurst
        FROM ols WHERE np >= 2 ORDER BY $keyCol"""
   }
+
+  /** Wald–Wolfowitz runs test per key on the daily-count series: code
+    * each calendar day above/below the key's own median (ties-and-below
+    * are one symbol), count the RUNS of identical symbols, and z-score
+    * against the randomness expectation μ = 2·n₁·n₀/n + 1. Too FEW runs
+    * = clustered regimes (the slow drift a fixed-lag autocorrelation
+    * panel can miss); too MANY = oscillation. The cheapest "is this
+    * series even exchangeable" gate before trend machinery runs.
+    *
+    * The per-key median is the exact interpolated percentile over the
+    * zero-filled calendar grid; run boundaries are a lag window inside
+    * each key partition — calendar-bounded relations throughout.
+    */
+  def runsTest(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+    val med = grid.groupBy(keyCol)
+      .agg(round(percentile(col("c").cast("double"), lit(0.5)), 4).as("m"))
+    val signs = grid.join(broadcast(med), Seq(keyCol))
+      .select(col(keyCol), col("x"),
+        when(col("c").cast("double") > col("m"), 1).otherwise(0).as("s"))
+    val w = Window.partitionBy(keyCol).orderBy("x")
+    val runs = signs
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), sum(col("s")).cast("long").as("n1"),
+        sum(col("brk")).as("r"))
+    def d(c: Column) = c.cast("double")
+    val n1 = d(col("n1"))
+    val n0 = d(col("n")) - n1
+    val n = d(col("n"))
+    val mu = lit(2.0) * n1 * n0 / n + lit(1.0)
+    val v = lit(2.0) * n1 * n0 * (lit(2.0) * n1 * n0 - n) /
+      (n * n * (n - lit(1.0)))
+    val z = (d(col("r")) - mu) / sqrt(v)
+    runs.select(col(keyCol), col("n").as("n_days"),
+        col("n1").as("n_above"), (col("n") - col("n1")).as("n_below"),
+        col("r").as("runs"),
+        when(col("n1") > 0 && col("n") - col("n1") > 0 && col("n") > 1,
+          round(z, 4)).as("z"),
+        when(col("n1") > 0 && col("n") - col("n1") > 0 && col("n") > 1,
+          abs(z) > 1.96).as("reject_95"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[runsTest]] (`quantile_cont` = Spark
+    * `percentile`, both interpolated, both rounded to 4).
+    */
+  def runsTestSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, CAST(g.x AS INT) AS x, COALESCE(dd.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x FROM span) g
+         LEFT JOIN (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+             FROM daily CROSS JOIN span) dd
+           ON dd.$keyCol = k.$keyCol AND dd.x = g.x),
+       med AS (SELECT $keyCol, round(quantile_cont(CAST(c AS DOUBLE), 0.5), 4) AS m
+         FROM grid GROUP BY 1),
+       signs AS (SELECT grid.$keyCol, x,
+           CASE WHEN CAST(c AS DOUBLE) > m THEN 1 ELSE 0 END AS s
+         FROM grid JOIN med USING ($keyCol)),
+       runs AS (SELECT $keyCol, COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS n1,
+           CAST(SUM(brk) AS BIGINT) AS r
+         FROM (SELECT $keyCol, s,
+             CASE WHEN lag(s) OVER (PARTITION BY $keyCol ORDER BY x) IS NULL
+                    OR lag(s) OVER (PARTITION BY $keyCol ORDER BY x) <> s
+                  THEN 1 ELSE 0 END AS brk
+           FROM signs)
+         GROUP BY $keyCol),
+       f AS (SELECT $keyCol, n, n1, CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE) AS n0d,
+           CAST(n1 AS DOUBLE) AS n1d, CAST(n AS DOUBLE) AS nd,
+           CAST(r AS DOUBLE) AS rd, r
+         FROM runs),
+       g2 AS (SELECT $keyCol, n, n1, r, n0d, n1d, nd, rd,
+           2.0 * n1d * n0d / nd + 1.0 AS mu,
+           2.0 * n1d * n0d * (2.0 * n1d * n0d - nd)
+             / (nd * nd * (nd - 1.0)) AS v
+         FROM f)
+       SELECT $keyCol, n AS n_days, n1 AS n_above,
+         CAST(n - n1 AS BIGINT) AS n_below, r AS runs,
+         CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1
+           THEN round((rd - mu) / sqrt(v), 4) END AS z,
+         CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1
+           THEN abs((rd - mu) / sqrt(v)) > 1.96 END AS reject_95
+       FROM g2 ORDER BY $keyCol"""
 }

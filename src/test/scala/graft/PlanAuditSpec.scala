@@ -870,6 +870,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window must stay partitioned:\n$plan")
   }
 
+  test("kruskal_wallis: histogram rank algebra, no per-row rank window") {
+    val plan = planOf(SparkEntry.queries("kruskal_wallis")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"counts should combine map-side:\n$plan")
+    // the only window runs over the distinct-value histogram AFTER a
+    // hash agg — the fact scan itself is never globally sorted
+    assert(plan.contains("Window"), s"cum-rank window expected:\n$plan")
+  }
+
+  test("jarque_bera: broadcast means back onto one deviation scan") {
+    val plan = planOf(SparkEntry.queries("jarque_bera")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group means should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("runs_test: lag window stays partitioned by key") {
+    val plan = planOf(SparkEntry.queries("runs_test")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("Window"), s"lag window expected:\n$plan")
+    assert(!"Window.*PartitionBy: \\[\\]".r.findFirstIn(plan).isDefined,
+      s"window must not collapse to one partition:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

@@ -155,7 +155,11 @@ object ScaleSmoke {
     "kendall_tau", "collocation_llr", "extreme_value", "clustering_coeff",
     // session-4 batch 6: doubled-rank Friedman, Theil decomposition,
     // R/S Hurst slope
-    "friedman_test", "theil_decomp", "hurst_exponent")
+    "friedman_test", "theil_decomp", "hurst_exponent",
+    // session-4 batch 7: Kruskal-Wallis ranks, Jarque-Bera normality,
+    // McNemar + Cochran gate tests, Wald-Wolfowitz runs
+    "kruskal_wallis", "jarque_bera", "mcnemar_gates", "cochran_q",
+    "runs_test")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

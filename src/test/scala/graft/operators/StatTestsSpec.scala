@@ -141,6 +141,97 @@ class StatTestsSpec extends AnyFunSuite {
     assert(hAlt < 0.5, s"alt H=$hAlt")
   }
 
+  test("kruskalWallis: shifted group rejects, identical groups accept") {
+    import spark.implicits._
+    // group c sits 100 higher than a/b → H large, reject
+    val shifted = ((1 to 20).map(i => ("a", (i % 10) + 1L)) ++
+      (1 to 20).map(i => ("b", (i % 10) + 2L)) ++
+      (1 to 20).map(i => ("c", (i % 10) + 100L))).toDF("source", "n_chars")
+    val r = Anova.kruskalWallis(shifted, "source", "n_chars").collect()(0)
+    assert(r.getAs[Long]("n") == 60L && r.getAs[Long]("k_groups") == 3L)
+    assert(r.getAs[Double]("h_tied") > 20)
+    assert(r.getAs[Boolean]("reject_95"))
+    // identical distributions → H ≈ 0, accept
+    val same = (1 to 60).map(i => (s"g${i % 3}", (i % 10) + 1L))
+      .toDF("source", "n_chars")
+    val r0 = Anova.kruskalWallis(same, "source", "n_chars").collect()(0)
+    assert(r0.getAs[Double]("h_tied") < 2)
+    assert(!r0.getAs[Boolean]("reject_95"))
+  }
+
+  test("jarqueBera: symmetric binomial accepts, skewed squares reject") {
+    import spark.implicits._
+    // popcount of 0..255 = Binomial(8, .5): skew 0, excess kurtosis −.25
+    val binom = (0 until 256)
+      .map(i => ("sym", java.lang.Integer.bitCount(i).toDouble))
+    // i² is heavily right-skewed
+    val skewed = (1 to 256).map(i => ("skw", (i * i).toDouble))
+    val out = Robust.jarqueBera((binom ++ skewed).toDF("event_type", "value"),
+      "event_type", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("sym").getAs[Double]("skewness")) < 1e-6)
+    assert(!out("sym").getAs[Boolean]("reject_95"),
+      s"binomial should pass: jb=${out("sym").getAs[Double]("jb")}")
+    assert(out("skw").getAs[Double]("skewness") > 0.5)
+    assert(out("skw").getAs[Boolean]("reject_95"))
+  }
+
+  test("mcnemarGates: symmetric disagreement accepts, one-sided rejects") {
+    import spark.implicits._
+    def gates(rows: Seq[(Long, Boolean, Boolean)]) = {
+      val df = rows.toDF("id", "a", "b")
+      Audit.mcnemarGates(df.select(col("id"), col("a")),
+        df.select(col("id"), col("b")), "id", "a", "b").collect()(0)
+    }
+    // 10 vs 10 disagreements → chi2 tiny
+    val r = gates((1L to 10L).map(i => (i, true, false)) ++
+      (11L to 20L).map(i => (i, false, true)) ++
+      (21L to 40L).map(i => (i, true, true)))
+    assert(r.getAs[Long]("n_only_a") == 10L && r.getAs[Long]("n_only_b") == 10L)
+    assert(!r.getAs[Boolean]("reject_95"))
+    // 15 vs 1: gate A clearly stricter on its side
+    val r1 = gates((1L to 15L).map(i => (i, true, false)) ++
+      Seq((16L, false, true)) ++ (17L to 40L).map(i => (i, false, false)))
+    assert(r1.getAs[Boolean]("reject_95"))
+    assert(r1.getAs[Double]("chi2") > 10)
+  }
+
+  test("cochranQ: identical gates accept, one strict gate rejects") {
+    import spark.implicits._
+    val same = (1L to 30L).map(i => (i, i % 2 == 0, i % 2 == 0, i % 2 == 0))
+      .toDF("id", "g1", "g2", "g3")
+    val r0 = Audit.cochranQ(same, "id", Seq("g1", "g2", "g3")).collect()(0)
+    assert(r0.getAs[Double]("q") == 0.0 && !r0.getAs[Boolean]("reject_95"))
+    // g3 passes almost nothing the others pass
+    val strict = (1L to 30L).map(i => (i, i % 2 == 0, i % 2 == 0, i == 2L))
+      .toDF("id", "g1", "g2", "g3")
+    val r1 = Audit.cochranQ(strict, "id", Seq("g1", "g2", "g3")).collect()(0)
+    assert(r1.getAs[Long]("pass_g3") == 1L)
+    assert(r1.getAs[Boolean]("reject_95"), s"q=${r1.getAs[Double]("q")}")
+  }
+
+  test("runsTest: alternating oscillates (+z), blocked clusters (−z)") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    val rows = (0 until 28).flatMap { d =>
+      // alternating high/low day counts → far too many runs
+      val alt = if (d % 2 == 0) 2 else 10
+      // two regimes: 14 high days then 14 low → 2 runs, far too few
+      val blk = if (d < 14) 10 else 2
+      (0 until alt).map(i => ("alt", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until blk).map(i => ("blk", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.runsTest(rows.toDF("event_type", "ts"),
+      "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("alt").getAs[Long]("runs") == 28L)
+    assert(out("alt").getAs[Double]("z") > 1.96)
+    assert(out("alt").getAs[Boolean]("reject_95"))
+    assert(out("blk").getAs[Long]("runs") == 2L)
+    assert(out("blk").getAs[Double]("z") < -1.96)
+    assert(out("blk").getAs[Boolean]("reject_95"))
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
