@@ -2659,7 +2659,16 @@ object SparkEntry {
     // exchangeability gate per type: runs of above/below-median days vs
     // the randomness expectation — regime clustering or oscillation
     "runs_test" -> ((s, dir) =>
-      operators.Temporal.runsTest(ev(s, dir), "event_type", "ts"))
+      operators.Temporal.runsTest(ev(s, dir), "event_type", "ts")),
+    // rank-sensitive ranker audit: average precision + MRR of BM25
+    // against the conjunctive relevance set (p@k is blind to position)
+    "map_eval" -> ((s, dir) =>
+      operators.Search.apEval(Tables.documents(s, dir), "doc_id", "text",
+        Seq("dup", "spark", "window"))),
+    // dense-template mass: 2-/3-core of the near-dup graph — clique-like
+    // boilerplate vs star fan-out, which pair counts can't separate
+    "kcore_dups" -> ((s, dir) =>
+      operators.Graph.kcore(nearDupPairsBuilt(s, dir)))
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4945,7 +4954,38 @@ object SparkEntry {
            FROM gl JOIN gr USING (doc_id) JOIN ge USING (doc_id)),
          ${operators.Audit.cochranQSql(3)}""",
     "runs_test" ->
-      operators.Temporal.runsTestSql("events", "event_type", "ts")
+      operators.Temporal.runsTestSql("events", "event_type", "ts"),
+    "map_eval" ->
+      s"""WITH ${bm25SqlCtes(Seq("dup", "spark", "window"))},
+         topk AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm),
+         rel AS (SELECT doc_id FROM p GROUP BY doc_id HAVING COUNT(*) = 3),
+         hits AS (SELECT rk, r,
+             SUM(r) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM (SELECT rk,
+               CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r
+             FROM topk LEFT JOIN rel ON topk.doc_id = rel.doc_id
+             WHERE rk <= 100)),
+         ps AS (SELECT
+             CASE WHEN r = 1 THEN CAST(round(CAST(cum AS DOUBLE)
+               / CAST(rk AS DOUBLE), 6) AS DECIMAL(18,6)) END AS p,
+             CASE WHEN r = 1 THEN rk END AS rrk
+           FROM hits),
+         a AS (SELECT SUM(p) AS sp, MIN(rrk) AS frk,
+             COUNT(p) AS hits_ranked FROM ps),
+         nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel)
+         SELECT n_relevant, hits_ranked,
+           CASE WHEN n_relevant > 0 THEN round(
+             COALESCE(CAST(sp AS DOUBLE), 0.0) / CAST(n_relevant AS DOUBLE), 6)
+             END AS ap,
+           CASE WHEN frk IS NOT NULL
+             THEN round(1.0 / CAST(frk AS DOUBLE), 6) END AS mrr
+         FROM a CROSS JOIN nr""",
+    "kcore_dups" ->
+      operators.Graph.kcoreSql(
+        s"""$nearDupCtes,
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""")
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

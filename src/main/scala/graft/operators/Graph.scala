@@ -196,6 +196,87 @@ object Graph {
        SELECT h1.x AS id, n_1hop, n_2hop
        FROM h1 JOIN h2 ON h1.x = h2.x"""
 
+  /** k-core summary of the near-dup graph (Seidman 1983): repeatedly
+    * peel nodes of degree < k; what survives is the maximal subgraph of
+    * minimum degree k — the dense template families that near-dup PAIR
+    * counts understate (a hub with 50 leaves has 50 pairs but an empty
+    * 2-core; a 10-clique has 45 pairs and IS its 2-core). The 2-/3-core
+    * sizes say how much of the dup mass is clique-like boilerplate versus
+    * star-shaped single-source fan-out — the former dedups to one doc per
+    * family, the latter wants the hub cut.
+    *
+    * Peeling runs a FIXED `rounds` iterations in both engines (the
+    * fixpoint is order-independent, and a fixed unroll keeps the oracle
+    * bit-identical even if a pathological graph hasn't converged; the
+    * spec pins convergence at `rounds` on the fixture family). Each round
+    * is a degree agg + two semi-joins over the surviving edge relation —
+    * cluster-bounded, lineage cut per round.
+    */
+  def kcore(pairs: DataFrame, ks: Seq[Int] = Seq(2, 3),
+      rounds: Int = 8): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "kcore: bad k list")
+    val e0 = pairs.select(
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    ks.map { k =>
+      var e = e0
+      (0 until rounds).foreach { _ =>
+        val deg = e.select(col("a").as("n"))
+          .unionByName(e.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val keep = deg.where(col("deg") >= k).select("n")
+        e = e
+          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select("a", "b").localCheckpoint()
+      }
+      val nodes = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n"))).distinct()
+        .agg(count(lit(1)).as("n_core"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(nodes))
+        .select(lit(k).as("k"), col("n_core"), col("n_edges"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
+  /** DuckDB mirror of [[kcore]] — the peel unrolled as a CTE chain per k
+    * (same fixed round count as the Spark side). Every round's CTEs are
+    * MATERIALIZED: each references its predecessor three times, so the
+    * default inlining would re-expand the upstream near-dup pipeline
+    * 3^rounds times (observed as a file-handle explosion at rounds=8).
+    */
+  def kcoreSql(edgePairsCtes: String, ks: Seq[Int] = Seq(2, 3),
+      rounds: Int = 8): String = {
+    val chains = ks.map { k =>
+      val steps = (1 to rounds).map { r =>
+        val prev = if (r == 1) "e0" else s"e_k${k}_r${r - 1}"
+        s"""d_k${k}_r$r AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM (
+             SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev)
+           GROUP BY n),
+         e_k${k}_r$r AS MATERIALIZED (SELECT a, b FROM $prev
+           WHERE a IN (SELECT n FROM d_k${k}_r$r WHERE deg >= $k)
+             AND b IN (SELECT n FROM d_k${k}_r$r WHERE deg >= $k))"""
+      }.mkString(",\n         ")
+      steps
+    }.mkString(",\n         ")
+    val finals = ks.map { k =>
+      val last = s"e_k${k}_r$rounds"
+      s"""SELECT $k AS k,
+           (SELECT COUNT(*) FROM (SELECT a AS n FROM $last
+              UNION SELECT b FROM $last)) AS n_core,
+           (SELECT COUNT(*) FROM $last) AS n_edges"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $edgePairsCtes,
+       e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a,
+              greatest(id_a, id_b) AS b
+              FROM ep WHERE id_a <> id_b),
+       $chains
+       SELECT k, CAST(n_core AS BIGINT) AS n_core,
+         CAST(n_edges AS BIGINT) AS n_edges
+       FROM ($finals) ORDER BY k"""
+  }
+
   /** Degree assortativity (Newman, PRL 2002): Pearson correlation of
     * endpoint degrees over both orientations of every edge. Positive =
     * hubs link hubs (one giant tangle of templates), negative = hubs link

@@ -404,6 +404,46 @@ object Search {
        ORDER BY qid"""
   }
 
+  /** Average precision + MRR of the BM25 ranking against the conjunctive
+    * relevance set — the rank-sensitive companion to [[precisionAtK]]:
+    * p@k is blind to WHERE in the top-k the relevant docs sit; AP
+    * integrates precision at every relevant hit (so burying relevant docs
+    * at the bottom of the window costs score), and MRR isolates the
+    * first-hit experience. AP's denominator is the FULL corpus relevance
+    * count, so relevant docs the ranker never surfaces count as misses.
+    *
+    * Shape: same ranked-topk ⋈ relevance left-join as precisionAtK; the
+    * cumulative-hits window runs over the ≤kmax ranked rows only.
+    */
+  def apEval(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], kmax: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = bm25Rank(df, idCol, textCol, terms, kmax)
+      .select(col(idCol),
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).as("rk"))
+    val rel = matchAllTerms(df, idCol, textCol, terms)
+      .select(col(idCol), lit(1L).as("_rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val w = Window.orderBy("rk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = ranked.join(rel, Seq(idCol), "left")
+      .select(col("rk"), when(col("_rel").isNotNull, 1L).otherwise(0L).as("r"))
+      .withColumn("cum", sum(col("r")).over(w))
+      .select(when(col("r") === 1,
+          round(col("cum").cast("double") / col("rk").cast("double"), 6)
+            .cast("decimal(18,6)")).as("p"),
+        when(col("r") === 1, col("rk")).as("rrk"))
+    val agg = hits.agg(sum(col("p")).as("sp"), min(col("rrk")).as("frk"),
+      count(col("p")).as("hits_ranked"))
+    agg.crossJoin(broadcast(nRel))
+      .select(col("n_relevant"), col("hits_ranked"),
+        when(col("n_relevant") > 0,
+          round(coalesce(col("sp").cast("double"), lit(0.0)) /
+            col("n_relevant").cast("double"), 6)).as("ap"),
+        when(col("frk").isNotNull,
+          round(lit(1.0) / col("frk").cast("double"), 6)).as("mrr"))
+  }
+
   def precisionAtK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "precisionAtK: bad k list")

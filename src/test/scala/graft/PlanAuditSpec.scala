@@ -895,6 +895,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window must not collapse to one partition:\n$plan")
   }
 
+  test("map_eval: TakeOrdered top-k, broadcast df/corpus stats") {
+    val plan = planOf(SparkEntry.queries("map_eval")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should TakeOrdered, not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"doc-freq/corpus stats should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

@@ -159,7 +159,9 @@ object ScaleSmoke {
     // session-4 batch 7: Kruskal-Wallis ranks, Jarque-Bera normality,
     // McNemar + Cochran gate tests, Wald-Wolfowitz runs
     "kruskal_wallis", "jarque_bera", "mcnemar_gates", "cochran_q",
-    "runs_test")
+    "runs_test",
+    // session-4 batch 7b: rank-sensitive retrieval eval, k-core peel
+    "map_eval", "kcore_dups")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -108,4 +108,27 @@ class GraphExtremesSpec extends AnyFunSuite {
     assert(math.abs(rk(1L)._4 - 1.0 / 3.0) < 1e-6)
     assert(rk(2L)._4 == 1.0 && rk(4L)._4 == 0.0)
   }
+
+  test("kcore: pendant chain peels off K4, cycle survives 2 dies at 3") {
+    import spark.implicits._
+    // K4 on 1-4 with a pendant chain 4-5-6: the chain must peel in TWO
+    // rounds (6 first, then 5), leaving K4 as both the 2- and 3-core
+    val k4chain = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val rc = Graph.kcore(k4chain).as[(Int, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rc(2) == ((2, 4L, 6L)), rc(2))
+    assert(rc(3) == ((3, 4L, 6L)), rc(3))
+    // a 5-cycle: entirely its own 2-core, empty 3-core
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("id_a", "id_b")
+    val ry = Graph.kcore(cyc).as[(Int, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(ry(2) == ((2, 5L, 5L)) && ry(3) == ((3, 0L, 0L)))
+    // fixed-round peel has CONVERGED on the fixture family: one more
+    // round changes nothing (the oracle's bit-identity precondition)
+    val r9 = Graph.kcore(k4chain, rounds = 9).as[(Int, Long, Long)]
+      .collect().toSet
+    assert(r9 == rc.values.toSet)
+  }
 }

@@ -263,6 +263,40 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(out == ((5L, 1.0, 0.5)), s"got $out")
   }
 
+  test("apEval: matches direct AP over the bm25 ranking; window-miss costs AP") {
+    import spark.implicits._
+    // doc 1: all terms, high tf → top. doc 14: all terms once, buried by
+    // a long body. docs 2-13: one high-tf term each.
+    val docs = (Seq((1L, "alpha beta gamma alpha beta gamma")) ++
+      (2 to 13).map(i => (i.toLong,
+        Seq.fill(5)(if (i % 2 == 0) "beta" else "gamma").mkString(" "))) ++
+      Seq((14L, "alpha beta gamma " + Seq.fill(100)("pad").mkString(" "))))
+      .toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta", "gamma")
+    val r = Search.apEval(docs, "doc_id", "text", terms).collect().head
+    assert(r.getAs[Long]("n_relevant") == 2L)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    // direct AP from the ranked list + the known relevance set {1, 14}
+    val ranked = Search.bm25Rank(docs, "doc_id", "text", terms, 100)
+      .orderBy(col("score").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    val rel = Set(1L, 14L)
+    var cum = 0; var sp = 0.0
+    ranked.zipWithIndex.foreach { case (id, i) =>
+      if (rel(id)) {
+        cum += 1
+        sp += math.floor(cum.toDouble / (i + 1) * 1e6 + 0.5) / 1e6
+      } }
+    assert(math.abs(r.getAs[Double]("ap") - sp / rel.size) < 1e-6)
+    // doc 14 must actually be buried for the test to mean anything
+    assert(ranked.indexOf(14L) > 1, s"ranking=${ranked.toSeq}")
+    // a relevant doc outside the ranked window counts as a miss
+    val narrow = Search.apEval(docs, "doc_id", "text", terms, kmax = 1)
+      .collect().head
+    assert(narrow.getAs[Long]("hits_ranked") == 1L)
+    assert(narrow.getAs[Double]("ap") == 0.5)
+  }
+
   // ------------------------------------------------- Gini concentration
 
   test("gini: uniform source scores zero, one-megadoc source scores high") {
