@@ -2668,7 +2668,27 @@ object SparkEntry {
     // dense-template mass: 2-/3-core of the near-dup graph — clique-like
     // boilerplate vs star fan-out, which pair counts can't separate
     "kcore_dups" -> ((s, dir) =>
-      operators.Graph.kcore(nearDupPairsBuilt(s, dir)))
+      operators.Graph.kcore(nearDupPairsBuilt(s, dir))),
+    // parametric variance homogeneity (powerful under normality, fragile
+    // off it — run after jarque_bera): Bartlett vs levene_test's robust F
+    "bartlett_test" -> ((s, dir) =>
+      operators.Anova.bartlett(Tables.documents(s, dir), "source",
+        "n_chars")),
+    // heteroscedastic mean comparison: Welch's W* over event values per
+    // type — the ANOVA to trust when bartlett/levene reject
+    "welch_anova" -> ((s, dir) =>
+      operators.Anova.welchAnova(ev(s, dir), "event_type", "value")),
+    // exact-inference A/B: B deterministic md5 user relabelings build the
+    // null distribution; no normality or variance model
+    "permutation_test" -> ((s, dir) =>
+      operators.EventSeq.permutationTest(ev(s, dir), "user_id",
+        "event_type", "value", convType = "purchase", b = 128)),
+    // index-quality eval: per-cluster simplified silhouette of the
+    // trained IVF assignment — are the probe partitions actually separated
+    "silhouette_ivf" -> ((s, dir) => {
+      val (cents, index) = ivfArtifacts(s, dir)
+      operators.Similarity.silhouette(cents, index, "vec_id", "embedding")
+    })
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
@@ -4985,7 +5005,26 @@ object SparkEntry {
     "kcore_dups" ->
       operators.Graph.kcoreSql(
         s"""$nearDupCtes,
-         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)""")
+         ep AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2)"""),
+    "bartlett_test" ->
+      operators.Anova.bartlettSql("documents", "source", "n_chars"),
+    "welch_anova" ->
+      operators.Anova.welchAnovaSql("events", "event_type", "value"),
+    "permutation_test" ->
+      operators.EventSeq.permutationTestSql("events", "user_id",
+        "event_type", "value", convType = "purchase", b = 128),
+    "silhouette_ivf" -> {
+      val (kmCtes, cent) = operators.Similarity.kmeansCentSqlCtes(
+        "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 1,
+        dim = 64, cosSql)
+      s"""WITH $kmCtes,
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         ${operators.Similarity.silhouetteSql(cent, "embeddings", "vec_id",
+           "embedding", cosSql)}"""
+    }
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

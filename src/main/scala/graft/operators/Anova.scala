@@ -83,6 +83,194 @@ object Anova {
       JOIN (SELECT $groupCol AS g, median(CAST($valCol AS DOUBLE)) AS m
             FROM $tbl GROUP BY 1) md ON b.g = md.g""")
 
+  /** Bartlett's test (Bartlett 1937) for homogeneity of variance: the
+    * PARAMETRIC companion to [[brownForsythe]] — more powerful when the
+    * data really are normal, badly oversensitive when they are not (run
+    * the Jarque–Bera gate first; that asymmetry is why both ship).
+    * T = [(N−k)·ln s_p² − Σ(n_g−1)·ln s_g²] / C ~ χ²(k−1), with
+    * C = 1 + (Σ1/(n_g−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * One scan: per-group (n, Σx, Σx²) DECIMAL moments; the log terms
+    * round to 9 and fold as DECIMAL over the groups-bounded relation.
+    */
+  def bartlett(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val byG = Dedup.parallelize(df)
+      .select(col(groupCol).as("g"), col(valCol).cast("decimal(18,6)").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .where(col("ng") >= 2)
+    val s2 = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("ng"))) /
+      (d(col("ng")) - lit(1.0))
+    val terms = byG.select(col("ng"),
+      round((d(col("ng")) - lit(1.0)) * s2, 6).cast("decimal(38,6)").as("ss"),
+      when(s2 > 0, round((d(col("ng")) - lit(1.0)) * log(s2), 9)
+        .cast("decimal(28,9)")).as("lg"),
+      round(lit(1.0) / (d(col("ng")) - lit(1.0)), 9)
+        .cast("decimal(28,9)").as("inv"))
+    val agg = terms.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("ss")).as("sst"), sum(col("lg")).as("slg"),
+      sum(col("inv")).as("sinv"),
+      sum(when(col("lg").isNull, 1L).otherwise(0L)).as("n_degen"))
+    val n = d(col("n"))
+    val k = d(col("k"))
+    val sp2 = d(col("sst")) / (n - k)
+    val t = (n - k) * log(sp2) - d(col("slg"))
+    val c = lit(1.0) + (d(col("sinv")) - lit(1.0) / (n - k)) /
+      (lit(3.0) * (k - lit(1.0)))
+    val critArr = array(chiCrit95.map(lit): _*)
+    agg.select(col("n").cast("long").as("n"), col("k").as("k_groups"),
+      when(col("n_degen") === 0 && sp2 > 0, round(t / c, 4)).as("t_stat"),
+      when(col("n_degen") === 0 && sp2 > 0 &&
+          col("k") >= 2 && col("k") <= 15,
+        t / c > element_at(critArr, (col("k") - 1).cast("int")))
+        .as("reject_95"))
+  }
+
+  /** DuckDB mirror of [[bartlett]]. */
+  def bartlettSql(tbl: String, groupCol: String, valCol: String): String = {
+    val critList = chiCrit95.mkString("[", ", ", "]")
+    s"""WITH byg AS (SELECT $groupCol AS g, COUNT(*) AS ng,
+           SUM(CAST($valCol AS DECIMAL(18,6))) AS sx,
+           SUM(CAST($valCol AS DECIMAL(18,6)) * CAST($valCol AS DECIMAL(18,6))) AS sxx
+         FROM $tbl GROUP BY 1 HAVING COUNT(*) >= 2),
+       terms AS (SELECT ng,
+           CAST(round((CAST(ng AS DOUBLE) - 1.0) *
+             ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(ng AS DOUBLE)) / (CAST(ng AS DOUBLE) - 1.0)), 6)
+             AS DECIMAL(38,6)) AS ss,
+           CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(ng AS DOUBLE)) / (CAST(ng AS DOUBLE) - 1.0) > 0
+             THEN CAST(round((CAST(ng AS DOUBLE) - 1.0) *
+               ln((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(ng AS DOUBLE)) / (CAST(ng AS DOUBLE) - 1.0)), 9)
+               AS DECIMAL(28,9)) END AS lg,
+           CAST(round(1.0 / (CAST(ng AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9)) AS inv
+         FROM byg),
+       agg AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, COUNT(*) AS k,
+           SUM(ss) AS sst, SUM(lg) AS slg, SUM(inv) AS sinv,
+           CAST(SUM(CASE WHEN lg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_degen
+         FROM terms),
+       f AS (SELECT n, k, n_degen,
+           CAST(sst AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS sp2,
+           (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+             * ln(CAST(sst AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+             - CAST(slg AS DOUBLE) AS t,
+           1.0 + (CAST(sinv AS DOUBLE)
+             - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+             / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS c
+         FROM agg)
+       SELECT n, k AS k_groups,
+         CASE WHEN n_degen = 0 AND sp2 > 0 THEN round(t / c, 4) END AS t_stat,
+         CASE WHEN n_degen = 0 AND sp2 > 0 AND k >= 2 AND k <= 15
+           THEN t / c > ($critList)[CAST(k AS INT) - 1] END AS reject_95
+       FROM f"""
+  }
+
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951): the k-group
+    * generalization of Welch's t — does any group MEAN differ, without
+    * [[oneWay]]'s equal-variance assumption. W* compares
+    * variance-weighted means (w_g = n_g/s_g²); df₂ comes from the
+    * Satterthwaite-style Λ term. The right default when [[bartlett]] /
+    * [[brownForsythe]] reject. `reject_95` uses the χ²(k−1)/(k−1) limit
+    * of F(k−1, df₂) — documented approximation, exact as df₂ → ∞.
+    *
+    * Same one-scan group-moment fold as [[oneWay]]; the weighted layers
+    * are groups-bounded with round-then-DECIMAL terms.
+    */
+  def welchAnova(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val byG = Dedup.parallelize(df)
+      .select(col(groupCol).as("g"), col(valCol).cast("decimal(18,6)").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .where(col("ng") >= 2)
+    val s2 = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("ng"))) /
+      (d(col("ng")) - lit(1.0))
+    val t1 = byG.select(col("ng"), col("sx"), col("sxx"),
+      when(s2 > 0, round(d(col("ng")) / s2, 9).cast("decimal(28,9)")).as("w"),
+      (d(col("sx")) / d(col("ng"))).as("m"))
+    val wm = t1.select(col("ng"), col("w"), col("m"),
+      round(d(col("w")) * col("m"), 9).cast("decimal(38,9)").as("wm"))
+    val tot = wm.agg(sum(col("w")).as("wt"), sum(col("wm")).as("wmt"),
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(when(col("w").isNull, 1L).otherwise(0L)).as("n_degen"))
+    val joined = wm.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"), col("n_degen"), col("wt"),
+        round(d(col("w")) *
+          (col("m") - d(col("wmt")) / d(col("wt"))) *
+          (col("m") - d(col("wmt")) / d(col("wt"))), 9)
+          .cast("decimal(38,9)").as("num_t"),
+        round((lit(1.0) - d(col("w")) / d(col("wt"))) *
+          (lit(1.0) - d(col("w")) / d(col("wt"))) /
+          (d(col("ng")) - lit(1.0)), 9).cast("decimal(28,9)").as("lam_t"))
+    val agg = joined.groupBy("k", "n", "n_degen")
+      .agg(sum(col("num_t")).as("snum"), sum(col("lam_t")).as("slam"))
+    val k = d(col("k"))
+    val lam = d(col("slam"))
+    val w = (d(col("snum")) / (k - lit(1.0))) /
+      (lit(1.0) + lit(2.0) * (k - lit(2.0)) / (k * k - lit(1.0)) * lam)
+    val df2 = (k * k - lit(1.0)) / (lit(3.0) * lam)
+    val critArr = array(chiCrit95.map(lit): _*)
+    agg.select(col("n").cast("long").as("n"), col("k").as("k_groups"),
+      when(col("n_degen") === 0, round(w, 4)).as("w_stat"),
+      when(col("n_degen") === 0 && lam > 0, round(df2, 2)).as("df2"),
+      when(col("n_degen") === 0 && col("k") >= 2 && col("k") <= 15,
+        w * (k - lit(1.0)) >
+          element_at(critArr, (col("k") - 1).cast("int"))).as("reject_95"))
+  }
+
+  /** DuckDB mirror of [[welchAnova]]. */
+  def welchAnovaSql(tbl: String, groupCol: String, valCol: String): String = {
+    val critList = chiCrit95.mkString("[", ", ", "]")
+    s"""WITH byg AS (SELECT $groupCol AS g, COUNT(*) AS ng,
+           SUM(CAST($valCol AS DECIMAL(18,6))) AS sx,
+           SUM(CAST($valCol AS DECIMAL(18,6)) * CAST($valCol AS DECIMAL(18,6))) AS sxx
+         FROM $tbl GROUP BY 1 HAVING COUNT(*) >= 2),
+       t1 AS (SELECT ng,
+           CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(ng AS DOUBLE)) / (CAST(ng AS DOUBLE) - 1.0) > 0
+             THEN CAST(round(CAST(ng AS DOUBLE)
+               / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(ng AS DOUBLE)) / (CAST(ng AS DOUBLE) - 1.0)), 9)
+               AS DECIMAL(28,9)) END AS w,
+           CAST(sx AS DOUBLE) / CAST(ng AS DOUBLE) AS m
+         FROM byg),
+       wm AS (SELECT ng, w, m,
+           CAST(round(CAST(w AS DOUBLE) * m, 9) AS DECIMAL(38,9)) AS wmv
+         FROM t1),
+       tot AS (SELECT SUM(w) AS wt, SUM(wmv) AS wmt, COUNT(*) AS k,
+           CAST(SUM(ng) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_degen
+         FROM wm),
+       j AS (SELECT k, n, n_degen, wt,
+           CAST(round(CAST(w AS DOUBLE)
+             * (m - CAST(wmt AS DOUBLE) / CAST(wt AS DOUBLE))
+             * (m - CAST(wmt AS DOUBLE) / CAST(wt AS DOUBLE)), 9)
+             AS DECIMAL(38,9)) AS num_t,
+           CAST(round((1.0 - CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))
+             * (1.0 - CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))
+             / (CAST(ng AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9)) AS lam_t
+         FROM wm CROSS JOIN tot),
+       agg AS (SELECT k, n, n_degen, SUM(num_t) AS snum, SUM(lam_t) AS slam
+         FROM j GROUP BY 1, 2, 3),
+       f AS (SELECT n, k, n_degen, CAST(slam AS DOUBLE) AS lam,
+           (CAST(snum AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+             / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                * CAST(slam AS DOUBLE)) AS w,
+           (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+             / (3.0 * CAST(slam AS DOUBLE)) AS df2
+         FROM agg)
+       SELECT n, k AS k_groups,
+         CASE WHEN n_degen = 0 THEN round(w, 4) END AS w_stat,
+         CASE WHEN n_degen = 0 AND lam > 0 THEN round(df2, 2) END AS df2,
+         CASE WHEN n_degen = 0 AND k >= 2 AND k <= 15
+           THEN w * (CAST(k AS DOUBLE) - 1.0) > ($critList)[CAST(k AS INT) - 1]
+           END AS reject_95
+       FROM f"""
+  }
+
   /** χ²(df) upper 5% critical values, df = 1..14 (Abramowitz & Stegun
     * table 26.8) — the same fixed-shape lookup the Friedman test uses.
     */

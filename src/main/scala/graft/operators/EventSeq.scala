@@ -441,6 +441,103 @@ object EventSeq {
     * so both engines agree bit-for-bit. One scan, a 2-row arm aggregate,
     * one output row.
     */
+  /** Permutation test (Fisher 1935) of the arm mean difference: the
+    * EXACT-inference companion to [[abValueTtest]] — no normality, no
+    * variance model, the null distribution is the data itself under B
+    * deterministic relabelings. Each replica reassigns every USER (not
+    * event — cluster-consistent, the same unit the real arm hash uses) via
+    * md5("perm:r:user"), so both engines build bit-identical replicas
+    * (the [[graft.operators.Bootstrap]] discipline applied to labels).
+    * p = (1 + #{|Δ_r| ≥ |Δ_obs|}) / (B+1), the add-one unbiased form.
+    *
+    * Shape: one scan exploded ×B with map-side combine straight down to B
+    * rows; diffs round to 6 pre-compare so the ≥ is deterministic.
+    */
+  def permutationTest(df: DataFrame, userCol: String, typeCol: String,
+      valCol: String, convType: String, b: Int = 256,
+      salt: String = "arm"): DataFrame = {
+    require(b >= 16, "permutationTest: need b >= 16 replicas")
+    def d(c: Column) = c.cast("double")
+    val base = Dedup.parallelize(df).where(col(typeCol) === convType)
+      .select(col(userCol).cast("string").as("u"),
+        col(valCol).cast("decimal(18,6)").as("v"))
+    def armOf(prefix: Column) =
+      conv(substring(md5(concat(prefix, col("u"))), 1, 2), 16, 10)
+        .cast("int") % 2
+    def diffOf(grouped: DataFrame, keyCols: Seq[String]) = {
+      val aggd = grouped
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(when(col("arm") === 0, col("v"))).as("s0"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, col("v"))).as("s1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      aggd.withColumn("diff",
+        when(col("n0") > 0 && col("n1") > 0,
+          round(d(col("s0")) / d(col("n0")) - d(col("s1")) / d(col("n1")), 6)))
+    }
+    val obs = diffOf(base.select(armOf(lit(salt + ":")).as("arm"), col("v")),
+        Seq())
+      .select(col("n0").as("n_a"), col("n1").as("n_b"),
+        col("diff").as("diff_obs"))
+    val reps = diffOf(
+      base.select(col("u"), col("v"),
+          explode(sequence(lit(0L), lit(b - 1L))).as("r"))
+        .select(col("r"),
+          armOf(concat(lit("perm:"), col("r").cast("string"), lit(":")))
+            .as("arm"),
+          col("v")),
+      Seq("r"))
+    reps.crossJoin(broadcast(obs))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("diff_obs")).as("da"),
+        sum(when(col("diff").isNotNull, 1L).otherwise(0L)).as("b_valid"),
+        sum(when(col("diff").isNotNull &&
+          abs(col("diff")) >= abs(col("diff_obs")), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("n_a"), col("n_b"), col("da").as("diff_obs"),
+        lit(b.toLong).as("b"), col("b_valid"),
+        round((d(col("n_ge")) + lit(1.0)) / (d(col("b_valid")) + lit(1.0)), 6)
+          .as("p_value"))
+  }
+
+  /** DuckDB mirror of [[permutationTest]]. */
+  def permutationTestSql(tbl: String, userCol: String, typeCol: String,
+      valCol: String, convType: String, b: Int = 256,
+      salt: String = "arm"): String =
+    s"""WITH base AS (SELECT CAST($userCol AS VARCHAR) AS u,
+           CAST($valCol AS DECIMAL(18,6)) AS v
+         FROM $tbl WHERE $typeCol = ${OracleSql.lit(convType)}),
+       oarm AS (SELECT CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||u),1,2) AS INT) % 2 AS arm, v
+         FROM base),
+       obs AS (SELECT
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           round(CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE)
+               / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE)
+               / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 6) AS diff_obs
+         FROM oarm),
+       reps AS (SELECT r,
+           CAST('0x'||substr(md5('perm:'||CAST(r AS VARCHAR)||':'||u),1,2) AS INT) % 2 AS arm,
+           v
+         FROM base CROSS JOIN range($b) AS t(r)),
+       rd AS (SELECT r,
+           CASE WHEN SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+                 AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+             THEN round(CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE)
+                 / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+               - CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE)
+                 / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 6) END AS diff
+         FROM reps GROUP BY r)
+       SELECT n_a, n_b, diff_obs, CAST($b AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN diff IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_valid,
+         round((CAST(SUM(CASE WHEN diff IS NOT NULL
+               AND abs(diff) >= abs(diff_obs) THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+           / (CAST(SUM(CASE WHEN diff IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) + 1.0),
+           6) AS p_value
+       FROM rd CROSS JOIN obs
+       GROUP BY n_a, n_b, diff_obs"""
+
   def abValueTtest(df: DataFrame, userCol: String, typeCol: String,
       valCol: String, convType: String, salt: String = "arm"): DataFrame = {
     val arm = (conv(substring(md5(concat(lit(salt + ":"),

@@ -445,6 +445,64 @@ object Similarity {
     * Output: (id, cluster, keep) for EVERY input vector — the apply step is
     * a `where(keep)`, kept separate so the drop rate is inspectable.
     */
+  /** Simplified silhouette (Rousseeuw 1987; the centroid form used at
+    * scale): per vector, a = cosine distance to OWN centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b) — is each cluster
+    * actually separated, per cluster. The index-quality eval that should
+    * gate an IVF rebuild alongside [[annRecallPanel]]: low-silhouette
+    * clusters are the ones whose members leak into neighbor probes.
+    *
+    * Full silhouette is Σn_c² pairwise work; the centroid form is ONE
+    * scan with the trained centroid set riding as broadcast literals —
+    * the [[ivfIndexFrom]] assignment shape with k distances instead of
+    * argmax. Per-vector s rounds to 6 and folds as DECIMAL per cluster.
+    */
+  def silhouette(cents: Array[(Long, Seq[Double])], index: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    require(cents.length >= 2, "silhouette: need >= 2 centroids")
+    val dists = cents.map { case (cid, cv) =>
+      (cid, lit(1.0) - cosine(col(vecCol), typedlit(cv)))
+    }
+    val own = dists.tail.foldLeft(
+      when(col("cluster") === dists.head._1, dists.head._2)) {
+      case (acc, (cid, dc)) => acc.when(col("cluster") === cid, dc)
+    }
+    val other = least(dists.map { case (cid, dc) =>
+      when(col("cluster") === cid, lit(Double.MaxValue)).otherwise(dc)
+    }: _*)
+    val s = when(greatest(own, other) > 0,
+      (other - own) / greatest(own, other)).otherwise(lit(0.0))
+    index
+      .select(col("cluster"), round(s, 6).cast("decimal(18,6)").as("s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6)
+          .as("mean_sil"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB mirror of [[silhouette]] over caller-prepended CTEs: the
+    * trained centroid relation `cname(cid, cvec)` and the assignment
+    * `assign(vec_id, cid)` (the `ivf_build` oracle's own CTEs).
+    */
+  def silhouetteSql(cname: String, embTbl: String, idCol: String,
+      vecCol: String, cos: (String, String) => String): String =
+    s"""pd AS (SELECT a.$idCol, a.cid AS cluster, c.cid AS ocid,
+           1.0 - ${cos(s"e.$vecCol", "c.cvec")} AS dist
+         FROM assign a JOIN $embTbl e USING ($idCol) CROSS JOIN $cname c),
+       pv AS (SELECT $idCol, cluster,
+           MIN(CASE WHEN ocid = cluster THEN dist END) AS a,
+           MIN(CASE WHEN ocid <> cluster THEN dist END) AS b
+         FROM pd GROUP BY 1, 2),
+       sv AS (SELECT cluster,
+           CAST(round(CASE WHEN greatest(a, b) > 0
+             THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6)
+             AS DECIMAL(18,6)) AS s
+         FROM pv)
+       SELECT cluster, COUNT(*) AS n,
+         round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_sil
+       FROM sv GROUP BY cluster ORDER BY cluster"""
+
   def semDedup(index: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val slim = index.select(col(idCol), col(vecCol), col("cluster"))

@@ -905,6 +905,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
+  test("permutation_test: one exploded scan, map-side combine to B rows") {
+    val plan = planOf(SparkEntry.queries("permutation_test")(spark, sf))
+    assert(plan.contains("Generate"), s"replica explode expected:\n$plan")
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"replica sums should combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("silhouette_ivf: one scan, centroid literals, no joins at all") {
+    val plan = planOf(SparkEntry.queries("silhouette_ivf")(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"silhouette must not shuffle-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert("partial_count|partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"per-cluster fold should combine map-side:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

@@ -121,6 +121,37 @@ class SequentialConformalSpec extends AnyFunSuite {
       r.getAs[Double]("recall") >= 0.0))
   }
 
+  test("silhouette: tight clusters near 1, boundary 0, misassignment negative") {
+    import spark.implicits._
+    val cents = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    // cluster 0 members hug (1,0); cluster 1 hugs (0,1); vec 100 sits on
+    // the bisector (s ≈ 0); vec 101 is assigned AGAINST its geometry
+    val index = (Seq(
+      (1L, Seq(1.0f, 0.0f), 0L), (2L, Seq(0.99f, 0.01f), 0L),
+      (3L, Seq(0.0f, 1.0f), 1L), (4L, Seq(0.01f, 0.99f), 1L),
+      (100L, Seq(0.7071f, 0.7071f), 0L),
+      (101L, Seq(0.0f, 1.0f), 0L)))
+      .toDF("vec_id", "embedding", "cluster")
+    val out = Similarity.silhouette(cents, index, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n") == 2L)
+    assert(out(1L).getAs[Double]("mean_sil") > 0.9)
+    assert(out(0L).getAs[Long]("n") == 4L)
+    // cluster 0 mix: two tight (≈1), one boundary (≈0), one wrong (−1)
+    val tight = Similarity.silhouette(cents,
+      index.where(col("vec_id") <= 2), "vec_id", "embedding")
+      .collect()(0)
+    assert(tight.getAs[Double]("mean_sil") > 0.9)
+    val wrong = Similarity.silhouette(cents,
+      index.where(col("vec_id") === 101L), "vec_id", "embedding")
+      .collect()(0)
+    assert(wrong.getAs[Double]("mean_sil") < -0.9)
+    val boundary = Similarity.silhouette(cents,
+      index.where(col("vec_id") === 100L), "vec_id", "embedding")
+      .collect()(0)
+    assert(math.abs(boundary.getAs[Double]("mean_sil")) < 0.01)
+  }
+
   // -------------------------------------------------------- quantile norm
 
   test("quantile norm: monotone within source, shared profile across sources") {

@@ -232,6 +232,68 @@ class StatTestsSpec extends AnyFunSuite {
     assert(out("blk").getAs[Boolean]("reject_95"))
   }
 
+  test("bartlett: equal spreads accept, one wild group rejects") {
+    import spark.implicits._
+    // same 1..10 cycle in each of 3 groups → pooled = every group
+    val same = (1 to 60).map(i => (s"g${i % 3}", ((i / 3) % 10 + 1).toLong))
+      .toDF("source", "n_chars")
+    val r0 = Anova.bartlett(same, "source", "n_chars").collect()(0)
+    assert(r0.getAs[Double]("t_stat") < 1.0)
+    assert(!r0.getAs[Boolean]("reject_95"))
+    // group c spread ×20
+    val wild = ((1 to 20).map(i => ("a", (i % 10 + 1).toLong)) ++
+      (1 to 20).map(i => ("b", (i % 10 + 1).toLong)) ++
+      (1 to 20).map(i => ("c", ((i % 10 + 1) * 20).toLong)))
+      .toDF("source", "n_chars")
+    val r1 = Anova.bartlett(wild, "source", "n_chars").collect()(0)
+    assert(r1.getAs[Boolean]("reject_95"), s"t=${r1.getAs[Double]("t_stat")}")
+  }
+
+  test("welchAnova: shift under unequal variances rejects, null accepts") {
+    import spark.implicits._
+    // equal means, very different spreads → W small, accept
+    val nullCase = ((1 to 30).map(i => ("lo", 50.0 + (i % 3) - 1)) ++
+      (1 to 30).map(i => ("hi", 50.0 + ((i % 21) - 10) * 2.0)))
+      .toDF("event_type", "value")
+    val r0 = Anova.welchAnova(nullCase, "event_type", "value").collect()(0)
+    assert(!r0.getAs[Boolean]("reject_95"),
+      s"w=${r0.getAs[Double]("w_stat")}")
+    // one group shifted +30 → reject despite heteroscedasticity
+    val shift = ((1 to 30).map(i => ("lo", 50.0 + (i % 3) - 1)) ++
+      (1 to 30).map(i => ("hi", 80.0 + ((i % 21) - 10) * 2.0)))
+      .toDF("event_type", "value")
+    val r1 = Anova.welchAnova(shift, "event_type", "value").collect()(0)
+    assert(r1.getAs[Boolean]("reject_95"))
+    assert(r1.getAs[Double]("w_stat") > 20)
+  }
+
+  test("permutationTest: constant values p=1, arm-aligned effect p≈min") {
+    import spark.implicits._
+    def md5Arm(salt: String, u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$u".getBytes("UTF-8"))
+      Integer.parseInt(f"${d(0)}%02x", 16) % 2
+    }
+    // constant metric: diff_obs = 0, every replica ties → p = 1
+    val const = (1L to 40L).map(u => (u, "purchase", 5.0))
+      .toDF("user_id", "event_type", "value")
+    val r0 = EventSeq.permutationTest(const, "user_id", "event_type",
+      "value", "purchase", b = 64).collect()(0)
+    assert(r0.getAs[Double]("diff_obs") == 0.0)
+    assert(r0.getAs[Double]("p_value") == 1.0)
+    assert(r0.getAs[Long]("b_valid") == 64L)
+    // metric = f(true arm): the observed split is as extreme as any
+    // relabeling can produce → p near 1/(b+1)
+    val planted = (1L to 40L).map(u =>
+      (u, "purchase", if (md5Arm("arm", u) == 0) 100.0 else 1.0))
+      .toDF("user_id", "event_type", "value")
+    val r1 = EventSeq.permutationTest(planted, "user_id", "event_type",
+      "value", "purchase", b = 64).collect()(0)
+    assert(math.abs(r1.getAs[Double]("diff_obs")) == 99.0)
+    assert(r1.getAs[Double]("p_value") < 0.05,
+      s"p=${r1.getAs[Double]("p_value")}")
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
