@@ -2688,6 +2688,40 @@ object SparkEntry {
     "silhouette_ivf" -> ((s, dir) => {
       val (cents, index) = ivfArtifacts(s, dir)
       operators.Similarity.silhouette(cents, index, "vec_id", "embedding")
+    }),
+    // value-weighted cohorts: cumulative per-member worth by cohort age —
+    // the monetization curve cohort_retention's counts can't show
+    "cohort_ltv" -> ((s, dir) =>
+      operators.EventSeq.cohortLtv(ev(s, dir), "user_id", "ts", "value")),
+    // whale concentration: revenue share of customers above the
+    // p90/p80/p50 spend thresholds (value_bands pattern, no global sort)
+    "pareto_share" -> ((s, dir) =>
+      operators.Audit.paretoShare(Tables.orders(s, dir), "o_custkey",
+        "o_totalprice")),
+    // gate-panel agreement beyond margins: nominal Krippendorff's alpha
+    // with the three gates as raters (integer until one division)
+    "kripp_alpha" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g1 = docs.select(col("doc_id"), (col("n_chars") >= 200).as("g1"))
+      val g2 = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("g2"))
+      val g3 = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("entropy") >= 3.1).as("g3"))
+      operators.Audit.krippAlpha(
+        g1.join(g2, "doc_id").join(g3, "doc_id"), "doc_id",
+        Seq("g1", "g2", "g3"))
+    }),
+    // Murphy split of the entropy-gate's Brier score: miscalibration vs
+    // inability to separate — two gates with equal Brier differ here
+    "brier_decomp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val p = round(lit(1.0) /
+        (lit(1.0) + exp(-(col("entropy") - lit(3.1)) * lit(2.0))), 6)
+      val pb = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), p.as("p"))
+        .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep")), "doc_id")
+      operators.Audit.brierDecomp(pb, "p", "keep")
     })
   )
 
@@ -5024,7 +5058,29 @@ object SparkEntry {
              FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
          ${operators.Similarity.silhouetteSql(cent, "embeddings", "vec_id",
            "embedding", cosSql)}"""
-    }
+    },
+    "cohort_ltv" ->
+      operators.EventSeq.cohortLtvSql("events", "user_id", "ts", "value"),
+    "pareto_share" ->
+      operators.Audit.paretoShareSql("orders", "o_custkey", "o_totalprice"),
+    "kripp_alpha" ->
+      s"""WITH gl AS (SELECT doc_id, n_chars >= 200 AS g1 FROM documents),
+         gr AS (SELECT doc_id, keep AS g2 FROM (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})),
+         ge AS (SELECT doc_id, entropy >= 3.1 AS g3 FROM (
+             ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")})),
+         gj AS (SELECT gl.doc_id, g1, g2, g3
+           FROM gl JOIN gr USING (doc_id) JOIN ge USING (doc_id)),
+         ${operators.Audit.krippAlphaSql(3)}""",
+    "brier_decomp" ->
+      s"""WITH pe AS (SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(entropy - 3.1) * 2.0)), 6) AS p FROM (
+             ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")})),
+         gk AS (SELECT doc_id, keep FROM (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})),
+         pb AS (SELECT p, CASE WHEN keep THEN 1 ELSE 0 END AS y
+           FROM pe JOIN gk USING (doc_id)),
+         ${operators.Audit.brierDecompSql()}"""
   )
 
   /** DuckDB little-endian hex builders matching [[le16]]/[[le32]]. */

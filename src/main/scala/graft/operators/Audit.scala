@@ -356,6 +356,191 @@ object Audit {
        FROM f"""
   }
 
+  /** Pareto concentration ("80/20") of a positive per-key total: the
+    * share of total value held by keys above the p90/p80/p50 spend
+    * percentiles. The one-row readout behind capacity planning and
+    * whale-risk review — how much of the corpus value walks away with the
+    * top decile of keys.
+    *
+    * Scale shape: one per-key agg, exact percentile THRESHOLDS (rounded
+    * to 4, the percentiles convention) broadcast back as one row, then a
+    * second threshold-compare agg — keys are never globally sorted (the
+    * value_bands pattern; at petabyte key counts swap the percentile for
+    * the histogram sketch, the folds are unchanged).
+    */
+  def paretoShare(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val spend = Dedup.parallelize(df)
+      .select(col(keyCol).as("k"), col(valCol).cast("decimal(18,2)").as("v"))
+      .groupBy("k").agg(sum(col("v")).as("s"))
+    val th = spend.agg(
+      round(percentile(d(col("s")), lit(0.9)), 4).as("t90"),
+      round(percentile(d(col("s")), lit(0.8)), 4).as("t80"),
+      round(percentile(d(col("s")), lit(0.5)), 4).as("t50"))
+    spend.crossJoin(broadcast(th))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("s")).as("total"),
+        sum(when(d(col("s")) >= col("t90"), col("s"))).as("s90"),
+        sum(when(d(col("s")) >= col("t80"), col("s"))).as("s80"),
+        sum(when(d(col("s")) >= col("t50"), col("s"))).as("s50"))
+      .select(col("n_keys"),
+        round(d(col("total")), 2).as("total"),
+        round(d(col("s90")) / d(col("total")), 6).as("share_top10"),
+        round(d(col("s80")) / d(col("total")), 6).as("share_top20"),
+        round(d(col("s50")) / d(col("total")), 6).as("share_top50"))
+  }
+
+  /** DuckDB mirror of [[paretoShare]]. */
+  def paretoShareSql(tbl: String, keyCol: String, valCol: String): String =
+    s"""WITH spend AS (SELECT $keyCol AS k,
+           SUM(CAST($valCol AS DECIMAL(18,2))) AS s FROM $tbl GROUP BY 1),
+       th AS (SELECT round(quantile_cont(CAST(s AS DOUBLE), 0.9), 4) AS t90,
+           round(quantile_cont(CAST(s AS DOUBLE), 0.8), 4) AS t80,
+           round(quantile_cont(CAST(s AS DOUBLE), 0.5), 4) AS t50
+         FROM spend),
+       a AS (SELECT COUNT(*) AS n_keys, SUM(s) AS total,
+           SUM(CASE WHEN CAST(s AS DOUBLE) >= t90 THEN s END) AS s90,
+           SUM(CASE WHEN CAST(s AS DOUBLE) >= t80 THEN s END) AS s80,
+           SUM(CASE WHEN CAST(s AS DOUBLE) >= t50 THEN s END) AS s50
+         FROM spend CROSS JOIN th)
+       SELECT n_keys, round(CAST(total AS DOUBLE), 2) AS total,
+         round(CAST(s90 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_top10,
+         round(CAST(s80 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_top20,
+         round(CAST(s50 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_top50
+       FROM a"""
+
+  /** Krippendorff's alpha (Krippendorff 1970), nominal data, k raters per
+    * item: the agreement coefficient that generalizes past two raters
+    * (Cohen) without Fleiss's fixed-marginal assumption. Applied to the
+    * quality-gate panel, the gates ARE the raters and their boolean
+    * verdicts the codes: α = 1 − D_o/D_e over the pairable-values
+    * coincidence matrix. α ≈ 0 means the panel agrees no better than its
+    * pass-rate margins force; the reading [[cochranQ]]'s "rates differ"
+    * verdict needs as its companion.
+    *
+    * For constant n_i = k binary verdicts:
+    * α = 1 − [Σ_i r_i(k−r_i)·(n−1)] / [(k−1)·n_T·n_F], n = k·N — every
+    * fold INTEGER until one final division.
+    */
+  def krippAlpha(df: DataFrame, idCol: String,
+      gateCols: Seq[String]): DataFrame = {
+    require(gateCols.size >= 2, "krippAlpha: need >= 2 raters")
+    val k = gateCols.size
+    val r = gateCols.map(g => when(col(g), 1L).otherwise(0L)).reduce(_ + _)
+    val cells = df.agg(count(lit(1)).as("n_items"),
+      sum(r).as("nt"), sum(r * (lit(k.toLong) - r)).as("dsum"))
+    def d(c: Column) = c.cast("double")
+    val nt = d(col("nt"))
+    val nf = lit(k.toDouble) * d(col("n_items")) - nt
+    val alpha = lit(1.0) -
+      d(col("dsum")) * (lit(k.toDouble) * d(col("n_items")) - lit(1.0)) /
+        (lit((k - 1).toDouble) * nt * nf)
+    cells.select(col("n_items"), lit(k).as("k_raters"),
+      col("nt").as("n_true"),
+      when(col("nt") > 0 && col("nt") < lit(k.toLong) * col("n_items"),
+        round(alpha, 6)).as("alpha"))
+  }
+
+  /** DuckDB mirror of [[krippAlpha]] over a caller-prepended CTE
+    * `gj(id, g1..gk)` — the [[cochranQSql]] convention.
+    */
+  def krippAlphaSql(k: Int): String = {
+    require(k >= 2 && k <= 6, "krippAlphaSql: k out of range")
+    val r = (1 to k).map(g => s"CASE WHEN g$g THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""c AS (SELECT COUNT(*) AS n_items,
+           CAST(SUM($r) AS BIGINT) AS nt,
+           CAST(SUM(($r) * ($k - ($r))) AS BIGINT) AS dsum
+         FROM gj)
+       SELECT n_items, $k AS k_raters, nt AS n_true,
+         CASE WHEN nt > 0 AND nt < $k * n_items THEN round(
+           1.0 - CAST(dsum AS DOUBLE)
+             * ($k.0 * CAST(n_items AS DOUBLE) - 1.0)
+             / (${k - 1}.0 * CAST(nt AS DOUBLE)
+                * ($k.0 * CAST(n_items AS DOUBLE) - CAST(nt AS DOUBLE))), 6)
+           END AS alpha
+       FROM c"""
+  }
+
+  /** Murphy decomposition of the Brier score (Murphy 1973):
+    * Brier = reliability − resolution + uncertainty over probability
+    * bins — splits a probabilistic gate's error into "its probabilities
+    * are miscalibrated" (reliability, want 0) vs "it can't separate
+    * outcomes" (resolution, want large). The companion to an ECE readout:
+    * two gates with equal Brier can fail for opposite reasons.
+    *
+    * Input: a relation with `probCol` ∈ [0,1] (pre-rounded to 6 by the
+    * caller for cross-engine determinism) and boolean `outcomeCol`.
+    * Probabilities bin on a fixed 0.1 grid; every layer folds
+    * round-then-DECIMAL over the ≤10-bin relation.
+    */
+  def brierDecomp(df: DataFrame, probCol: String,
+      outcomeCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = Dedup.parallelize(df).select(
+      col(probCol).cast("double").as("p"),
+      when(col(outcomeCol), 1L).otherwise(0L).as("y"))
+    val byBin = base
+      .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nb"),
+        sum(round(col("p"), 6).cast("decimal(18,6)")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum(round((col("p") - col("y")) * (col("p") - col("y")), 9)
+          .cast("decimal(28,9)")).as("sb"))
+    val tot = byBin.agg(sum(col("nb")).as("n"), sum(col("sy")).as("syt"),
+      sum(col("sb")).as("sbt"))
+    val terms = byBin.crossJoin(broadcast(tot))
+      .select(col("n"), col("syt"), col("sbt"),
+        round(d(col("nb")) *
+          (d(col("sp")) / d(col("nb")) - d(col("sy")) / d(col("nb"))) *
+          (d(col("sp")) / d(col("nb")) - d(col("sy")) / d(col("nb"))), 9)
+          .cast("decimal(28,9)").as("rel_t"),
+        round(d(col("nb")) *
+          (d(col("sy")) / d(col("nb")) - d(col("syt")) / d(col("n"))) *
+          (d(col("sy")) / d(col("nb")) - d(col("syt")) / d(col("n"))), 9)
+          .cast("decimal(28,9)").as("res_t"))
+    val ybar = d(col("syt")) / d(col("n"))
+    terms.groupBy("n", "syt", "sbt")
+      .agg(sum(col("rel_t")).as("srel"), sum(col("res_t")).as("sres"))
+      .select(col("n").cast("long").as("n"),
+        round(d(col("sbt")) / d(col("n")), 6).as("brier"),
+        round(d(col("srel")) / d(col("n")), 6).as("reliability"),
+        round(d(col("sres")) / d(col("n")), 6).as("resolution"),
+        round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"))
+  }
+
+  /** DuckDB mirror of [[brierDecomp]] over a caller-prepended CTE
+    * `pb(p, y)` with p DOUBLE in [0,1] and y in {0,1}.
+    */
+  def brierDecompSql(): String =
+    s"""byb AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+           COUNT(*) AS nb,
+           SUM(CAST(round(p, 6) AS DECIMAL(18,6))) AS sp,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           SUM(CAST(round((p - y) * (p - y), 9) AS DECIMAL(28,9))) AS sb
+         FROM pb GROUP BY 1),
+       tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+           CAST(SUM(sy) AS BIGINT) AS syt, SUM(sb) AS sbt FROM byb),
+       terms AS (SELECT n, syt, sbt,
+           CAST(round(CAST(nb AS DOUBLE)
+             * (CAST(sp AS DOUBLE) / nb - CAST(sy AS DOUBLE) / nb)
+             * (CAST(sp AS DOUBLE) / nb - CAST(sy AS DOUBLE) / nb), 9)
+             AS DECIMAL(28,9)) AS rel_t,
+           CAST(round(CAST(nb AS DOUBLE)
+             * (CAST(sy AS DOUBLE) / nb - CAST(syt AS DOUBLE) / n)
+             * (CAST(sy AS DOUBLE) / nb - CAST(syt AS DOUBLE) / n), 9)
+             AS DECIMAL(28,9)) AS res_t
+         FROM byb CROSS JOIN tot),
+       f AS (SELECT n, syt, sbt, SUM(rel_t) AS srel, SUM(res_t) AS sres
+         FROM terms GROUP BY 1, 2, 3)
+       SELECT n, round(CAST(sbt AS DOUBLE) / n, 6) AS brier,
+         round(CAST(srel AS DOUBLE) / n, 6) AS reliability,
+         round(CAST(sres AS DOUBLE) / n, 6) AS resolution,
+         round((CAST(syt AS DOUBLE) / n) * (1.0 - CAST(syt AS DOUBLE) / n), 6)
+           AS uncertainty
+       FROM f"""
+
   /** DuckDB mirror of [[embedHygiene]]. */
   def embedHygieneSql(tbl: String, vecCol: String, labelCol: String): String =
     s"""WITH e AS (SELECT $labelCol AS label,

@@ -292,6 +292,61 @@ object EventSeq {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Cohort LTV curve: [[cohortRetention]] counts who comes BACK; this
+    * accumulates what each cohort is WORTH — per (cohort day, day offset),
+    * the cumulative summed value per original cohort member. Flat curves
+    * say a cohort monetized once; steadily rising ones compound. The
+    * value-weighted reading a retention matrix alone cannot give.
+    *
+    * Per-(cohort, offset) day sums fold as DECIMAL; the cumulative sum is
+    * a window PARTITIONED by cohort over the calendar²-bounded curve
+    * relation (never over events); one division per output row.
+    */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = floor(unix_millis(col(tsCol)) / 86400000L)
+    val base = df.select(col(userCol).as("u"), day.as("day"),
+      col(valCol).cast("decimal(18,6)").as("v"))
+    val cohort = base.groupBy("u").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+    val daily = base.join(cohort, "u")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("v")).as("day_value"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_value", sum(col("day_value")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        round(col("cum_value").cast("double"), 4).as("cum_value"),
+        round(col("cum_value").cast("double") /
+          col("n_users").cast("double"), 6).as("ltv_per_user"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** DuckDB mirror of [[cohortLtv]]. */
+  def cohortLtvSql(tbl: String, userCol: String, tsCol: String,
+      valCol: String): String =
+    s"""WITH base AS (SELECT $userCol AS u,
+           CAST(floor(epoch_ms($tsCol) / 86400000) AS BIGINT) AS day,
+           CAST($valCol AS DECIMAL(18,6)) AS v FROM $tbl),
+       c AS (SELECT u, MIN(day) AS cohort_day FROM base GROUP BY 1),
+       sz AS (SELECT cohort_day, COUNT(*) AS n_users FROM c GROUP BY 1),
+       d AS (SELECT c.cohort_day, base.day - c.cohort_day AS day_offset,
+           SUM(v) AS day_value
+         FROM base JOIN c USING (u) GROUP BY 1, 2),
+       cum AS (SELECT cohort_day, day_offset,
+           SUM(day_value) OVER (PARTITION BY cohort_day ORDER BY day_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+         FROM d)
+       SELECT cum.cohort_day, day_offset, n_users,
+         round(CAST(cum_value AS DOUBLE), 4) AS cum_value,
+         round(CAST(cum_value AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+           AS ltv_per_user
+       FROM cum JOIN sz USING (cohort_day)
+       ORDER BY cohort_day, day_offset"""
+
   /** DuckDB mirror of [[cohortRetention]]. */
   def cohortRetentionSql(tbl: String, userCol: String, tsCol: String): String =
     s"""WITH a AS (SELECT DISTINCT $userCol AS u,

@@ -922,6 +922,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-cluster fold should combine map-side:\n$plan")
   }
 
+  test("cohort_ltv: cumulative window partitioned by cohort, sizes broadcast") {
+    val plan = planOf(SparkEntry.queries("cohort_ltv")(spark, sf))
+    assert(plan.contains("Window"), s"cumulative window expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort sizes should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("pareto_share: percentile thresholds broadcast, no key sort") {
+    val plan = planOf(SparkEntry.queries("pareto_share")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"thresholds should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(!plan.contains("Window"), s"no rank window should appear:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

@@ -164,7 +164,10 @@ object ScaleSmoke {
     "map_eval", "kcore_dups",
     // session-4 batch 8: Bartlett, Welch ANOVA, permutation inference,
     // IVF silhouette
-    "bartlett_test", "welch_anova", "permutation_test", "silhouette_ivf")
+    "bartlett_test", "welch_anova", "permutation_test", "silhouette_ivf",
+    // session-4 batch 9: cohort LTV curve, Pareto share, Krippendorff
+    // alpha, Brier decomposition
+    "cohort_ltv", "pareto_share", "kripp_alpha", "brier_decomp")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

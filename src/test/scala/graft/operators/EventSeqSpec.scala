@@ -71,6 +71,38 @@ class EventSeqSpec extends AnyFunSuite {
     assert(out == Seq((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)), s"cohort: $out")
   }
 
+  test("cohort LTV: cumulative value per member along cohort age") {
+    import spark.implicits._
+    val day = 86400L
+    val rows = Seq(
+      // cohort day0: u1 and u2; u1 spends 10 on d0 and 6 on d2, u2 spends
+      // 4 on d0 — curve: offset0 = 14/2, offset2 = 20/2
+      (1L, 1L, 0L, "purchase", 10.0), (2L, 2L, 50L, "purchase", 4.0),
+      (3L, 1L, 2 * day, "purchase", 6.0),
+      // cohort day1: u3 alone, spends 8 then 1
+      (4L, 3L, day, "purchase", 8.0), (5L, 3L, day + 10, "purchase", 1.0))
+    val out = EventSeq.cohortLtv(events(rows), "user_id", "ts", "value")
+      .select("cohort_day", "day_offset", "n_users", "ltv_per_user")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(out == Seq((0L, 0L, 2L, 7.0), (0L, 2L, 2L, 10.0),
+      (1L, 0L, 1L, 9.0)), s"ltv: $out")
+  }
+
+  test("paretoShare: distinct spends give exact top-decile share, whale dominates") {
+    import spark.implicits._
+    val even = (1 to 10).map(i => (i.toLong, i * 10.0)).toDF("k", "v")
+    val r = Audit.paretoShare(even, "k", "v").collect()(0)
+    assert(r.getAs[Long]("n_keys") == 10L)
+    // t90 interpolates to 91 → only key 10 (spend 100) qualifies
+    assert(math.abs(r.getAs[Double]("share_top10") - 100.0 / 550.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("share_top50") -
+      (60 + 70 + 80 + 90 + 100) / 550.0) < 1e-6)
+    val whale = ((1 to 9).map(i => (i.toLong, 10.0)) :+ ((10L, 1000.0)))
+      .toDF("k", "v")
+    val rw = Audit.paretoShare(whale, "k", "v").collect()(0)
+    assert(rw.getAs[Double]("share_top10") > 0.9)
+  }
+
   test("funnel timing: mean stage-to-stage hours over first-touch times") {
     import spark.implicits._
     val h = 3600L

@@ -294,6 +294,43 @@ class StatTestsSpec extends AnyFunSuite {
       s"p=${r1.getAs[Double]("p_value")}")
   }
 
+  test("krippAlpha: unanimous panel 1, coin-flip panel ≈ 0, inversion < 0") {
+    import spark.implicits._
+    val perfect = (1L to 20L).map(i => (i, i % 2 == 0, i % 2 == 0, i % 2 == 0))
+      .toDF("id", "g1", "g2", "g3")
+    val r1 = Audit.krippAlpha(perfect, "id", Seq("g1", "g2", "g3")).collect()(0)
+    assert(r1.getAs[Double]("alpha") == 1.0)
+    // three raters marking disjoint thirds: maximal systematic disagreement
+    val inv = (0L until 30L).map(i => (i, i % 3 == 0, i % 3 == 1, i % 3 == 2))
+      .toDF("id", "g1", "g2", "g3")
+    val r2 = Audit.krippAlpha(inv, "id", Seq("g1", "g2", "g3")).collect()(0)
+    assert(r2.getAs[Double]("alpha") < -0.3, r2.getAs[Double]("alpha"))
+    // degenerate: everyone says true on everything → alpha undefined
+    val allT = (1L to 10L).map(i => (i, true, true, true))
+      .toDF("id", "g1", "g2", "g3")
+    val r3 = Audit.krippAlpha(allT, "id", Seq("g1", "g2", "g3")).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("alpha")))
+  }
+
+  test("brierDecomp: sharp forecast decomposes to pure resolution") {
+    import spark.implicits._
+    // perfect sharp: p=1 on positives, p=0 on negatives
+    val sharp = (1L to 40L).map(i => (if (i % 4 == 0) 1.0 else 0.0, i % 4 == 0))
+      .toDF("p", "y")
+    val r1 = Audit.brierDecomp(sharp, "p", "y").collect()(0)
+    assert(r1.getAs[Double]("brier") == 0.0)
+    assert(r1.getAs[Double]("reliability") == 0.0)
+    assert(math.abs(r1.getAs[Double]("resolution") -
+      r1.getAs[Double]("uncertainty")) < 1e-6)
+    assert(r1.getAs[Double]("uncertainty") == 0.1875) // .25·.75
+    // constant base-rate forecast: zero resolution, brier = uncertainty
+    val flat = (1L to 40L).map(i => (0.25, i % 4 == 0)).toDF("p", "y")
+    val r2 = Audit.brierDecomp(flat, "p", "y").collect()(0)
+    assert(r2.getAs[Double]("resolution") == 0.0)
+    assert(math.abs(r2.getAs[Double]("brier") - 0.1875) < 1e-6)
+    assert(r2.getAs[Double]("reliability") < 1e-6)
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
