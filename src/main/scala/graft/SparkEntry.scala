@@ -2711,6 +2711,25 @@ object SparkEntry {
         g1.join(g2, "doc_id").join(g3, "doc_id"), "doc_id",
         Seq("g1", "g2", "g3"))
     }),
+    // post-hoc pairwise: WHICH sources differ in mean length once
+    // anova_length rejects — Tukey-Kramer at family-wise 5%
+    "tukey_hsd" -> ((s, dir) =>
+      operators.Anova.tukeyHsd(Tables.documents(s, dir), "source",
+        "n_chars")),
+    // effect-size companion to chi2_assoc on the same pair: nats of
+    // information source carries about lang, min-entropy normalized
+    "mutual_info" -> ((s, dir) =>
+      operators.Audit.mutualInfo(Tables.documents(s, dir), "source", "lang")),
+    // feature-or-leak audit: per-source weight of evidence + IV terms
+    // against the gopher keep outcome
+    "woe_iv" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Audit.woeIv(
+        docs.select(col("doc_id"), col("source"))
+          .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+            .select(col("doc_id"), col("keep")), "doc_id"),
+        "source", "keep")
+    }),
     // Murphy split of the entropy-gate's Brier score: miscalibration vs
     // inability to separate — two gates with equal Brier differ here
     "brier_decomp" -> ((s, dir) => {
@@ -5063,6 +5082,16 @@ object SparkEntry {
       operators.EventSeq.cohortLtvSql("events", "user_id", "ts", "value"),
     "pareto_share" ->
       operators.Audit.paretoShareSql("orders", "o_custkey", "o_totalprice"),
+    "tukey_hsd" ->
+      operators.Anova.tukeyHsdSql("documents", "source", "n_chars"),
+    "mutual_info" ->
+      operators.Audit.mutualInfoSql("documents", "source", "lang"),
+    "woe_iv" ->
+      s"""WITH wj AS (SELECT d.source, g.keep FROM documents d JOIN (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")}) g
+           ON d.doc_id = g.doc_id),
+         ${operators.Audit.woeIvSql("wj", "source", "keep")
+            .stripPrefix("WITH ")}""",
     "kripp_alpha" ->
       s"""WITH gl AS (SELECT doc_id, n_chars >= 200 AS g1 FROM documents),
          gr AS (SELECT doc_id, keep AS g2 FROM (

@@ -271,6 +271,89 @@ object Anova {
        FROM f"""
   }
 
+  /** Studentized-range upper 5% critical values q(k, ∞) for k = 2..10
+    * treatments (Harter 1960 tables, df → ∞ row) — the fixed-shape lookup
+    * [[tukeyHsd]] compares against; finite-df corrections only push the
+    * bar UP, so at corpus group sizes the ∞ row is the honest constant.
+    */
+  private val qCrit95Inf = Seq(2.772, 3.314, 3.633, 3.858, 4.030, 4.170,
+    4.286, 4.387, 4.474)
+
+  /** Tukey-Kramer HSD post-hoc (Tukey 1949): WHICH group pairs differ,
+    * once [[oneWay]] says some pair does — every pairwise mean contrast
+    * against the studentized range, with the family-wise error held at
+    * 5% (running k² two-sample t-tests instead inflates it badly).
+    * q = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j)), the Kramer form for
+    * unequal n.
+    *
+    * One scan for group moments; the pair layer is a k²-bounded
+    * self-join of the group relation (never of rows). MSW derives from
+    * the same DECIMAL fold as [[oneWay]].
+    */
+  def tukeyHsd(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val byG = Dedup.parallelize(df)
+      .select(col(groupCol).as("g"), col(valCol).cast("decimal(18,6)").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val withBt = byG.select(col("g"), col("ng"), col("sx"),
+      col("sxx"), round(d(col("sx")) * d(col("sx")) / d(col("ng")), 6)
+        .cast("decimal(38,6)").as("bt"))
+    val msw = withBt.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("sxx")).as("ss"), sum(col("bt")).as("sbt"))
+      .select(col("k"),
+        ((d(col("ss")) - d(col("sbt"))) / (d(col("n")) - d(col("k"))))
+          .as("msw"))
+    val a = withBt.select(col("g").as("g_a"), col("ng").as("na"),
+      (d(col("sx")) / d(col("ng"))).as("ma"))
+    val b = withBt.select(col("g").as("g_b"), col("ng").as("nb"),
+      (d(col("sx")) / d(col("ng"))).as("mb"))
+    val critArr = array(qCrit95Inf.map(lit): _*)
+    val q = abs(col("ma") - col("mb")) /
+      sqrt(col("msw") / lit(2.0) *
+        (lit(1.0) / d(col("na")) + lit(1.0) / d(col("nb"))))
+    a.join(b, col("g_a") < col("g_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("g_a"), col("g_b"),
+        round(col("ma") - col("mb"), 4).as("mean_diff"),
+        when(col("msw") > 0, round(q, 4)).as("q_stat"),
+        when(col("msw") > 0 && col("k") >= 2 && col("k") <= 10,
+          q > element_at(critArr, (col("k") - 1).cast("int")))
+          .as("significant_95"))
+      .orderBy("g_a", "g_b")
+  }
+
+  /** DuckDB mirror of [[tukeyHsd]]. */
+  def tukeyHsdSql(tbl: String, groupCol: String, valCol: String): String = {
+    val critList = qCrit95Inf.mkString("[", ", ", "]")
+    s"""WITH byg AS (SELECT $groupCol AS g, COUNT(*) AS ng,
+           SUM(CAST($valCol AS DECIMAL(18,6))) AS sx,
+           SUM(CAST($valCol AS DECIMAL(18,6)) * CAST($valCol AS DECIMAL(18,6))) AS sxx
+         FROM $tbl GROUP BY 1),
+       wb AS (SELECT g, ng, sx, sxx,
+           CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6)) AS bt
+         FROM byg),
+       msw AS (SELECT COUNT(*) AS k,
+           (CAST(SUM(sxx) AS DOUBLE) - CAST(SUM(bt) AS DOUBLE))
+             / (CAST(SUM(ng) AS DOUBLE) - COUNT(*)) AS msw
+         FROM wb),
+       pairs AS (SELECT a.g AS g_a, b.g AS g_b,
+           a.ng AS na, b.ng AS nb,
+           CAST(a.sx AS DOUBLE) / a.ng AS ma,
+           CAST(b.sx AS DOUBLE) / b.ng AS mb
+         FROM wb a JOIN wb b ON a.g < b.g),
+       f AS (SELECT g_a, g_b, ma, mb, k, msw,
+           abs(ma - mb) / sqrt(msw / 2.0
+             * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS q
+         FROM pairs CROSS JOIN msw)
+       SELECT g_a, g_b, round(ma - mb, 4) AS mean_diff,
+         CASE WHEN msw > 0 THEN round(q, 4) END AS q_stat,
+         CASE WHEN msw > 0 AND k >= 2 AND k <= 10
+           THEN q > ($critList)[CAST(k AS INT) - 1] END AS significant_95
+       FROM f ORDER BY g_a, g_b"""
+  }
+
   /** χ²(df) upper 5% critical values, df = 1..14 (Abramowitz & Stegun
     * table 26.8) — the same fixed-shape lookup the Friedman test uses.
     */

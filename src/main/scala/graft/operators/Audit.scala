@@ -875,6 +875,123 @@ object Audit {
          round(sqrt(chi2 / CAST((SELECT n FROM tot) * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
        FROM agg"""
 
+  /** Mutual information (nats) between two categorical columns, with the
+    * min-entropy-normalized form: the effect-size companion to
+    * [[chi2Independence]] — χ² says WHETHER the columns associate, MI says
+    * how many nats one carries about the other (and NMI puts it on [0,1]
+    * so columns of different cardinality compare). The redundancy check
+    * before keeping both columns as stratification keys.
+    *
+    * Zero cells contribute 0 to MI, so only OBSERVED cells are touched:
+    * one (a,b) count agg, marginals broadcast back, terms
+    * round-then-DECIMAL. Type-table-bounded throughout.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val obs = Dedup.parallelize(df)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("a").agg(sum("o").as("na"))
+    val cb = obs.groupBy("b").agg(sum("o").as("nb"))
+    val tot = obs.agg(sum("o").as("n"))
+    val mi = obs.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .select(round((d(col("o")) / d(col("n"))) *
+        log(d(col("o")) * d(col("n")) / (d(col("na")) * d(col("nb")))), 9)
+        .cast("decimal(28,9)").as("t"))
+      .agg(sum(col("t")).as("mi"))
+    def entropyOf(m: DataFrame, cnt: String) = m.crossJoin(broadcast(tot))
+      .select(round(-(d(col(cnt)) / d(col("n"))) *
+        log(d(col(cnt)) / d(col("n"))), 9).cast("decimal(28,9)").as("t"))
+      .agg(sum(col("t")).as("h"))
+    val ha = entropyOf(ra, "na").select(col("h").as("ha"))
+    val hb = entropyOf(cb, "nb").select(col("h").as("hb"))
+    val dims = obs.agg(countDistinct(col("a")).as("r"),
+      countDistinct(col("b")).as("c"))
+    tot.crossJoin(broadcast(dims)).crossJoin(broadcast(mi))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), col("r"), col("c"),
+        round(d(col("mi")), 6).as("mi_nats"),
+        when(least(d(col("ha")), d(col("hb"))) > 0,
+          round(d(col("mi")) / least(d(col("ha")), d(col("hb"))), 6))
+          .as("nmi"))
+  }
+
+  /** DuckDB mirror of [[mutualInfo]]. */
+  def mutualInfoSql(tbl: String, aCol: String, bCol: String): String =
+    s"""WITH obs AS (SELECT $aCol AS a, $bCol AS b, COUNT(*) AS o
+           FROM $tbl GROUP BY 1, 2),
+       ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS na FROM obs GROUP BY a),
+       cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS nb FROM obs GROUP BY b),
+       tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+       mi AS (SELECT SUM(CAST(round((CAST(o AS DOUBLE) / n)
+             * ln(CAST(o AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)), 9)
+           AS DECIMAL(28,9))) AS mi
+         FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+       ha AS (SELECT SUM(CAST(round(-(CAST(na AS DOUBLE) / n)
+             * ln(CAST(na AS DOUBLE) / n), 9) AS DECIMAL(28,9))) AS ha
+         FROM ra CROSS JOIN tot),
+       hb AS (SELECT SUM(CAST(round(-(CAST(nb AS DOUBLE) / n)
+             * ln(CAST(nb AS DOUBLE) / n), 9) AS DECIMAL(28,9))) AS hb
+         FROM cb CROSS JOIN tot),
+       dims AS (SELECT COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c FROM obs)
+       SELECT n, r, c, round(CAST(mi AS DOUBLE), 6) AS mi_nats,
+         CASE WHEN least(CAST(ha AS DOUBLE), CAST(hb AS DOUBLE)) > 0
+           THEN round(CAST(mi AS DOUBLE)
+             / least(CAST(ha AS DOUBLE), CAST(hb AS DOUBLE)), 6) END AS nmi
+       FROM tot CROSS JOIN dims CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
+
+  /** Weight of evidence + information value (the credit-scoring WOE/IV
+    * audit, Siddiqi 2006) of a categorical column against a boolean
+    * outcome: WOE_c = ln((good_c/G)/(bad_c/B)) says which way and how
+    * hard category c leans; IV_c = (good_c/G − bad_c/B)·WOE_c sums to the
+    * variable's total predictive value (rule of thumb: <0.02 useless,
+    * >0.5 suspicious). The per-category readout behind "should `source`
+    * be a feature or a leak?".
+    *
+    * One scan to category-bounded counts; totals broadcast back; terms
+    * integer until the log. Categories with a zero side report NULL WOE
+    * (the standard degenerate-cell treatment) rather than a fabricated
+    * smoothing constant.
+    */
+  def woeIv(df: DataFrame, catCol: String, outcomeCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val byC = Dedup.parallelize(df)
+      .select(col(catCol).as("category"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("y"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_good"))
+      .withColumn("n_bad", col("n") - col("n_good"))
+    val tot = byC.agg(sum(col("n_good")).as("gt"), sum(col("n_bad")).as("bt"))
+    val woe = log((d(col("n_good")) / d(col("gt"))) /
+      (d(col("n_bad")) / d(col("bt"))))
+    byC.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("n_good"), col("n_bad"),
+        when(col("n_good") > 0 && col("n_bad") > 0, round(woe, 4)).as("woe"),
+        when(col("n_good") > 0 && col("n_bad") > 0,
+          round((d(col("n_good")) / d(col("gt")) -
+            d(col("n_bad")) / d(col("bt"))) * woe, 6)).as("iv_term"))
+      .orderBy("category")
+  }
+
+  /** DuckDB mirror of [[woeIv]]. */
+  def woeIvSql(tbl: String, catCol: String, outcomeCol: String): String =
+    s"""WITH byc AS (SELECT $catCol AS category, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN $outcomeCol THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN $outcomeCol THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+         FROM $tbl GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS gt,
+           CAST(SUM(n_bad) AS BIGINT) AS bt FROM byc),
+       f AS (SELECT category, n, n_good, n_bad, gt, bt,
+           ln((CAST(n_good AS DOUBLE) / gt) / (CAST(n_bad AS DOUBLE) / bt)) AS woe
+         FROM byc CROSS JOIN tot)
+       SELECT category, n, n_good, n_bad,
+         CASE WHEN n_good > 0 AND n_bad > 0 THEN round(woe, 4) END AS woe,
+         CASE WHEN n_good > 0 AND n_bad > 0 THEN round(
+           (CAST(n_good AS DOUBLE) / gt - CAST(n_bad AS DOUBLE) / bt) * woe, 6)
+           END AS iv_term
+       FROM f ORDER BY category"""
+
   /** Wilson score interval per group for a boolean gate's pass rate — the
     * interval that stays inside [0,1] and behaves at small n / extreme p
     * where the naive normal interval fails, i.e. the right error bar for

@@ -939,6 +939,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no rank window should appear:\n$plan")
   }
 
+  test("tukey_hsd: pair layer joins the group relation, not rows") {
+    val plan = planOf(SparkEntry.queries("tukey_hsd")(spark, sf))
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"group moments should combine map-side:\n$plan")
+    // the k² pair join rides the tiny group relation — broadcast, and the
+    // only nested-loop is the one-row msw attach
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair join must not shuffle the fact relation:\n$plan")
+  }
+
+  test("woe_iv: category-bounded counts, totals broadcast back") {
+    val plan = planOf(SparkEntry.queries("woe_iv")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"totals should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")

@@ -167,7 +167,9 @@ object ScaleSmoke {
     "bartlett_test", "welch_anova", "permutation_test", "silhouette_ivf",
     // session-4 batch 9: cohort LTV curve, Pareto share, Krippendorff
     // alpha, Brier decomposition
-    "cohort_ltv", "pareto_share", "kripp_alpha", "brier_decomp")
+    "cohort_ltv", "pareto_share", "kripp_alpha", "brier_decomp",
+    // session-4 batch 10: Tukey post-hoc, categorical MI, WOE/IV
+    "tukey_hsd", "mutual_info", "woe_iv")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

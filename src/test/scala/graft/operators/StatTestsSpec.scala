@@ -331,6 +331,56 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("reliability") < 1e-6)
   }
 
+  test("tukeyHsd: only the shifted group's pairs flag") {
+    import spark.implicits._
+    val rows = ((1 to 20).map(i => ("a", (i % 5 + 10).toLong)) ++
+      (1 to 20).map(i => ("b", (i % 5 + 10).toLong)) ++
+      (1 to 20).map(i => ("c", (i % 5 + 40).toLong)))
+      .toDF("source", "n_chars")
+    val out = Anova.tukeyHsd(rows, "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    assert(!out(("a", "b")).getAs[Boolean]("significant_95"))
+    assert(out(("a", "c")).getAs[Boolean]("significant_95"))
+    assert(out(("b", "c")).getAs[Boolean]("significant_95"))
+    assert(out(("a", "c")).getAs[Double]("mean_diff") == -30.0)
+  }
+
+  test("mutualInfo: independent columns ≈ 0, determined column NMI = 1") {
+    import spark.implicits._
+    // a cycles mod 2, b cycles mod 3 over 60 rows → exactly independent
+    val ind = (0 until 60).map(i => (s"a${i % 2}", s"b${i % 3}"))
+      .toDF("source", "lang")
+    val r0 = Audit.mutualInfo(ind, "source", "lang").collect()(0)
+    assert(r0.getAs[Double]("mi_nats") == 0.0)
+    // b = f(a): MI = H(b) → NMI 1
+    val dep = (0 until 60).map(i => (s"a${i % 3}", s"b${i % 3}"))
+      .toDF("source", "lang")
+    val r1 = Audit.mutualInfo(dep, "source", "lang").collect()(0)
+    assert(math.abs(r1.getAs[Double]("mi_nats") - math.log(3)) < 1e-6)
+    assert(r1.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("woeIv: balanced category 0, leaning categories split signs") {
+    import spark.implicits._
+    // cat "bal": 10/10; cat "good": 15 good 5 bad; cat "bad": 5/15
+    val rows = ((1 to 20).map(i => ("bal", i % 2 == 0)) ++
+      (1 to 20).map(i => ("good", i % 4 != 0)) ++
+      (1 to 20).map(i => ("bad", i % 4 == 0))).toDF("source", "keep")
+    val out = Audit.woeIv(rows, "source", "keep")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("good").getAs[Double]("woe") > 0.5)
+    assert(out("bad").getAs[Double]("woe") < -0.5)
+    assert(math.abs(out("bal").getAs[Double]("woe")) < 0.2)
+    assert(out.values.map(_.getAs[Double]("iv_term")).forall(_ >= 0))
+    // degenerate all-good category → NULL woe
+    val degen = ((1 to 5).map(_ => ("pure", true)) ++
+      (1 to 10).map(i => ("mix", i % 2 == 0))).toDF("source", "keep")
+    val rd = Audit.woeIv(degen, "source", "keep")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rd("pure").isNullAt(rd("pure").fieldIndex("woe")))
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
