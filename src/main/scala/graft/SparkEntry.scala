@@ -2660,6 +2660,22 @@ object SparkEntry {
     // the randomness expectation — regime clustering or oscillation
     "runs_test" -> ((s, dir) =>
       operators.Temporal.runsTest(ev(s, dir), "event_type", "ts")),
+    // concordance effect size on the friedman fold: how STRONGLY days
+    // agree on the key ordering, on [0,1]
+    "kendall_w" -> ((s, dir) =>
+      operators.Temporal.kendallW(ev(s, dir), "event_type", "ts")),
+    // dedup recall without labels: Chapman capture-recapture over the
+    // LSH and SimHash catches — how many near-dup pairs exist UNSEEN
+    "capture_recapture" -> ((s, dir) =>
+      operators.Dedup.captureRecapture(
+        nearDupPairsBuilt(s, dir).where(col("jaccard") >= 0.2),
+        operators.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id",
+          "text", maxHamming = 3))),
+    // multiplicative-scale A/B readout: OR/RR with Woolf CI over the
+    // same per-user 2x2 as ab_conversion
+    "odds_ratio" -> ((s, dir) =>
+      operators.EventSeq.oddsRatio(ev(s, dir), "user_id", "event_type",
+        convType = "purchase")),
     // rank-sensitive ranker audit: average precision + MRR of BM25
     // against the conjunctive relevance set (p@k is blind to position)
     "map_eval" -> ((s, dir) =>
@@ -5028,6 +5044,28 @@ object SparkEntry {
          ${operators.Audit.cochranQSql(3)}""",
     "runs_test" ->
       operators.Temporal.runsTestSql("events", "event_type", "ts"),
+    "kendall_w" ->
+      operators.Temporal.kendallWSql("events", "event_type", "ts"),
+    "capture_recapture" ->
+      s"""WITH $nearDupCtes,
+         epa AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         t2 AS (SELECT doc_id,
+           list_transform(string_split_regex(trim(text),'\\s+'), w -> CAST('0x'||substr(md5(w),1,16) AS UBIGINT)) AS hs
+           FROM documents),
+         sh2 AS (SELECT doc_id, lpad(lower(to_hex(CAST(list_sum(list_transform(range(0,64), b ->
+             CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h>>b)&1=1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS UBIGINT)<<b) ELSE CAST(0 AS UBIGINT) END)) AS UBIGINT))),16,'0') AS simhash
+           FROM t2),
+         v2 AS (SELECT doc_id,
+             CAST('0x'||substr(simhash,1,8) AS BIGINT) AS hi,
+             CAST('0x'||substr(simhash,9,8) AS BIGINT) AS lo FROM sh2),
+         epb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM v2 a JOIN v2 b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+         ${operators.Dedup.captureRecaptureSql()}""",
+    "odds_ratio" ->
+      operators.EventSeq.oddsRatioSql("events", "user_id", "event_type",
+        convType = "purchase"),
     "map_eval" ->
       s"""WITH ${bm25SqlCtes(Seq("dup", "spark", "window"))},
          topk AS (SELECT doc_id,

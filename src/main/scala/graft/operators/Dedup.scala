@@ -659,4 +659,60 @@ object Dedup {
            AS dup_para_ratio
        FROM tot LEFT JOIN dup ON tot.$groupCol = dup.$groupCol
        ORDER BY tot.$groupCol"""
+
+  /** Chapman capture-recapture (Chapman 1951, the bias-corrected
+    * Lincoln-Petersen) over two INDEPENDENT near-dup detectors: treat the
+    * MinHash-LSH catch and the SimHash catch as two samplings of the same
+    * unknown pair population; from the overlap,
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates how many near-dup pairs EXIST
+    * — including the ones neither method saw. The honest answer to "what's
+    * our dedup recall?" without labeling anything: each catch's estimated
+    * completeness is nᵢ/N̂. Reported with the Seber variance CI.
+    *
+    * Both inputs are (id_a, id_b) with id_a < id_b; the overlap is one
+    * pair-keyed equi-join of two already-bounded candidate relations.
+    */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val a = pairsA.select(col("id_a"), col("id_b")).distinct()
+    val b = pairsB.select(col("id_a"), col("id_b")).distinct()
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val m = a.join(b, Seq("id_a", "id_b")).agg(count(lit(1)).as("m"))
+    val nHat = (d(col("n_a")) + lit(1.0)) * (d(col("n_b")) + lit(1.0)) /
+      (d(col("m")) + lit(1.0)) - lit(1.0)
+    val varN = (d(col("n_a")) + lit(1.0)) * (d(col("n_b")) + lit(1.0)) *
+      (d(col("n_a")) - d(col("m"))) * (d(col("n_b")) - d(col("m"))) /
+      ((d(col("m")) + lit(1.0)) * (d(col("m")) + lit(1.0)) *
+        (d(col("m")) + lit(2.0)))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+      .select(col("n_a"), col("n_b"), col("m").as("n_both"),
+        round(nHat, 2).as("n_hat"),
+        round(sqrt(varN), 2).as("se"),
+        when(nHat > 0, round(d(col("n_a")) / nHat, 6)).as("recall_a"),
+        when(nHat > 0, round(d(col("n_b")) / nHat, 6)).as("recall_b"))
+  }
+
+  /** DuckDB mirror of [[captureRecapture]] over caller-prepended CTEs
+    * `epa(id_a, id_b)` and `epb(id_a, id_b)`.
+    */
+  def captureRecaptureSql(): String =
+    s"""na AS (SELECT COUNT(*) AS n_a FROM (SELECT DISTINCT id_a, id_b FROM epa)),
+       nb AS (SELECT COUNT(*) AS n_b FROM (SELECT DISTINCT id_a, id_b FROM epb)),
+       m AS (SELECT COUNT(*) AS m FROM
+         (SELECT DISTINCT id_a, id_b FROM epa) x
+         JOIN (SELECT DISTINCT id_a, id_b FROM epb) y USING (id_a, id_b)),
+       f AS (SELECT n_a, n_b, m,
+           (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+             / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS nhat,
+           (CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+             * (CAST(n_a AS DOUBLE) - m) * (CAST(n_b AS DOUBLE) - m)
+             / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+                * (CAST(m AS DOUBLE) + 2.0)) AS varn
+         FROM na CROSS JOIN nb CROSS JOIN m)
+       SELECT n_a, n_b, m AS n_both, round(nhat, 2) AS n_hat,
+         round(sqrt(varn), 2) AS se,
+         CASE WHEN nhat > 0 THEN round(CAST(n_a AS DOUBLE) / nhat, 6) END AS recall_a,
+         CASE WHEN nhat > 0 THEN round(CAST(n_b AS DOUBLE) / nhat, 6) END AS recall_b
+       FROM f"""
 }

@@ -496,6 +496,68 @@ object EventSeq {
     * so both engines agree bit-for-bit. One scan, a 2-row arm aggregate,
     * one output row.
     */
+  /** Odds ratio + risk ratio with Woolf log-CIs for the md5-arm × conversion
+    * 2×2 — the epidemiology-standard readout alongside [[abConversion]]'s
+    * z: the z answers "is there an effect", OR/RR answer "how big, on the
+    * multiplicative scale a stakeholder compares across experiments".
+    * CI95 via ln OR ± 1.96·√(1/a+1/b+1/c+1/d) (Woolf 1955) and the
+    * analogous Katz interval for RR.
+    *
+    * Same per-user integer 2×2 as abConversion; one fixed double shape.
+    */
+  def oddsRatio(df: DataFrame, userCol: String, typeCol: String,
+      convType: String, minCount: Int = 1, salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val pu = df.groupBy(col(userCol), arm)
+      .agg((sum(when(col(typeCol) === convType, 1L).otherwise(0L)) >=
+        minCount).as("conv"))
+    val cells = pu.agg(
+      sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 0 && !col("conv"), 1L).otherwise(0L)).as("b"),
+      sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L)).as("c"),
+      sum(when(col("arm") === 1 && !col("conv"), 1L).otherwise(0L)).as("d"))
+    val orv = (d(col("a")) * d(col("d"))) / (d(col("b")) * d(col("c")))
+    val rr = (d(col("a")) / (d(col("a")) + d(col("b")))) /
+      (d(col("c")) / (d(col("c")) + d(col("d"))))
+    val seLnOr = sqrt(lit(1.0) / d(col("a")) + lit(1.0) / d(col("b")) +
+      lit(1.0) / d(col("c")) + lit(1.0) / d(col("d")))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    cells.select(col("a").as("conv_a"), col("b").as("noconv_a"),
+      col("c").as("conv_b"), col("d").as("noconv_b"),
+      when(ok, round(orv, 4)).as("odds_ratio"),
+      when(ok, round(exp(log(orv) - lit(1.96) * seLnOr), 4)).as("or_lo95"),
+      when(ok, round(exp(log(orv) + lit(1.96) * seLnOr), 4)).as("or_hi95"),
+      when(ok, round(rr, 4)).as("risk_ratio"))
+  }
+
+  /** DuckDB mirror of [[oddsRatio]]. */
+  def oddsRatioSql(tbl: String, userCol: String, typeCol: String,
+      convType: String, minCount: Int = 1, salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) >= $minCount AS conv
+         FROM $tbl GROUP BY 1, 2),
+       c2 AS (SELECT
+           CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN arm = 0 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN arm = 1 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
+         FROM pu),
+       f AS (SELECT a, b, c, d,
+           (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) AS orv,
+           (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)) AS rr,
+           sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se,
+           a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok
+         FROM c2)
+       SELECT a AS conv_a, b AS noconv_a, c AS conv_b, d AS noconv_b,
+         CASE WHEN ok THEN round(orv, 4) END AS odds_ratio,
+         CASE WHEN ok THEN round(exp(ln(orv) - 1.96 * se), 4) END AS or_lo95,
+         CASE WHEN ok THEN round(exp(ln(orv) + 1.96 * se), 4) END AS or_hi95,
+         CASE WHEN ok THEN round(rr, 4) END AS risk_ratio
+       FROM f"""
+
   /** Permutation test (Fisher 1935) of the arm mean difference: the
     * EXACT-inference companion to [[abValueTtest]] — no normality, no
     * variance model, the null distribution is the data itself under B

@@ -1526,7 +1526,11 @@ object Temporal {
     * self-join of the (day × key) relation — k² rows per day, bounded by
     * the type table, never by events. One double expression at the end.
     */
-  def friedmanTest(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+  /** Shared doubled-rank fold behind [[friedmanTest]] and [[kendallW]]:
+    * one row with (n, k, sr2, tie3) over the day×key grid.
+    */
+  private def friedmanCore(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
     val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("c"))
     val span = df.agg(min(to_date(col(tsCol))).as("d0"),
@@ -1553,6 +1557,10 @@ object Temporal {
     val ties = grid.groupBy(col("x"), col("c")).agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"),
         countDistinct(col("x")).as("n"))
+    sumR2sq.crossJoin(broadcast(ties))
+  }
+
+  def friedmanTest(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
     val n = d(col("n"))
     val k = d(col("k"))
@@ -1565,7 +1573,7 @@ object Temporal {
       5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919,
       10 -> 18.307, 11 -> 19.675, 12 -> 21.026, 13 -> 22.362, 14 -> 23.685)
     val critArr = array((1 to 14).map(i => lit(chiCrit(i))): _*)
-    sumR2sq.crossJoin(broadcast(ties))
+    friedmanCore(df, keyCol, tsCol)
       .select(col("n").cast("long").as("n_blocks"), col("k").as("k_keys"),
         round(chi2, 4).as("chi2"),
         when(corr > 0, round(chi2 / corr, 4)).as("chi2_tied"),
@@ -1574,12 +1582,48 @@ object Temporal {
           .as("reject_95"))
   }
 
-  /** DuckDB mirror of [[friedmanTest]]. */
-  def friedmanTestSql(tbl: String, keyCol: String, tsCol: String): String = {
-    val chiCrit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
-      15.507, 16.919, 18.307, 19.675, 21.026, 22.362, 23.685)
-    val critList = chiCrit.mkString("[", ", ", "]")
-    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+  /** Kendall's coefficient of concordance W (Kendall & Babington Smith
+    * 1939): HOW STRONGLY the calendar days agree on the key ordering, on
+    * [0,1] — the effect size behind [[friedmanTest]]'s yes/no (they share
+    * the doubled-rank fold; W = χ²_tied/(n(k−1))). W ≈ 1 means every day
+    * ranks the keys identically (a stable traffic hierarchy); W ≈ 0 means
+    * the daily orderings are noise even if χ² happens to reject at huge n.
+    */
+  def kendallW(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    val k = d(col("k"))
+    val chi2 = lit(12.0) / (n * k * (k + lit(1.0))) * (d(col("sr2")) / lit(4.0)) -
+      lit(3.0) * n * (k + lit(1.0))
+    val corr = lit(1.0) - d(col("tie3")) / (n * k * (k * k - lit(1.0)))
+    friedmanCore(df, keyCol, tsCol)
+      .select(col("n").cast("long").as("n_blocks"), col("k").as("k_keys"),
+        when(corr > 0 && col("k") >= 2,
+          round(chi2 / corr / (n * (k - lit(1.0))), 6)).as("w"))
+  }
+
+  /** DuckDB mirror of [[kendallW]]. */
+  def kendallWSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH ${friedmanCoreSql(tbl, keyCol, tsCol)},
+       f AS (SELECT n, k,
+           12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+             * (CAST(sr2 AS DOUBLE) / 4.0)
+             - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS chi2,
+           1.0 - CAST(tie3 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) AS corr
+         FROM sq CROSS JOIN tie)
+       SELECT CAST(n AS BIGINT) AS n_blocks, k AS k_keys,
+         CASE WHEN corr > 0 AND k >= 2 THEN round(chi2 / corr
+           / (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)), 6) END AS w
+       FROM f"""
+
+  /** Shared CTE chain behind [[friedmanTestSql]] and [[kendallWSql]]:
+    * ends with `sq(sr2, k)` and `tie(tie3, n)`.
+    */
+  private def friedmanCoreSql(tbl: String, keyCol: String,
+      tsCol: String): String =
+    s"""daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
            FROM $tbl GROUP BY 1, 2),
        span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
            CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
@@ -1600,7 +1644,14 @@ object Temporal {
            COUNT(*) AS k FROM pk),
        tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3,
            COUNT(DISTINCT x) AS n
-         FROM (SELECT x, c, COUNT(*) AS t FROM grid GROUP BY x, c)),
+         FROM (SELECT x, c, COUNT(*) AS t FROM grid GROUP BY x, c))"""
+
+  /** DuckDB mirror of [[friedmanTest]]. */
+  def friedmanTestSql(tbl: String, keyCol: String, tsCol: String): String = {
+    val chiCrit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+      15.507, 16.919, 18.307, 19.675, 21.026, 22.362, 23.685)
+    val critList = chiCrit.mkString("[", ", ", "]")
+    s"""WITH ${friedmanCoreSql(tbl, keyCol, tsCol)},
        f AS (SELECT n, k,
            12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
              * (CAST(sr2 AS DOUBLE) / 4.0)

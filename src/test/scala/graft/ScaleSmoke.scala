@@ -169,7 +169,9 @@ object ScaleSmoke {
     // alpha, Brier decomposition
     "cohort_ltv", "pareto_share", "kripp_alpha", "brier_decomp",
     // session-4 batch 10: Tukey post-hoc, categorical MI, WOE/IV
-    "tukey_hsd", "mutual_info", "woe_iv")
+    "tukey_hsd", "mutual_info", "woe_iv",
+    // session-4 batch 11: Kendall W, Chapman capture-recapture, OR/RR
+    "kendall_w", "capture_recapture", "odds_ratio")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

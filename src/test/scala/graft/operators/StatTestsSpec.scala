@@ -381,6 +381,64 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rd("pure").isNullAt(rd("pure").fieldIndex("woe")))
   }
 
+  test("kendallW: constant ordering W=1, shuffled ordering near 0") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    // A > B > C every day → perfect concordance
+    val stable = (0 until 12).flatMap { d =>
+      (0 until 30).map(i => ("A", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until 20).map(i => ("B", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until 10).map(i => ("C", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val r1 = Temporal.kendallW(stable.toDF("event_type", "ts"),
+      "event_type", "ts").collect()(0)
+    assert(r1.getAs[Double]("w") == 1.0)
+    // rotate the winner daily → orderings cancel
+    val rot = (0 until 12).flatMap { d =>
+      Seq("A", "B", "C").zipWithIndex.flatMap { case (k, i) =>
+        val n = 10 + 10 * (((i + d) % 3))
+        (0 until n).map(j => (k, new java.sql.Timestamp(d * MsPerDay + j)))
+      }
+    }
+    val r2 = Temporal.kendallW(rot.toDF("event_type", "ts"),
+      "event_type", "ts").collect()(0)
+    assert(r2.getAs[Double]("w") < 0.1, s"w=${r2.getAs[Double]("w")}")
+  }
+
+  test("captureRecapture: known overlap recovers the Chapman estimate") {
+    import spark.implicits._
+    // population of 100 true pairs: catch A sees 1..60, catch B sees 41..100
+    // → m = 20, N̂ = 61·61/21 − 1 ≈ 176.2 (biased high here by DESIGN —
+    // the catches are disjoint-heavy, not independent; the arithmetic is
+    // what's under test)
+    val a = (1 to 60).map(i => (i.toLong, (i + 1000).toLong)).toDF("id_a", "id_b")
+    val b = (41 to 100).map(i => (i.toLong, (i + 1000).toLong)).toDF("id_a", "id_b")
+    val r = Dedup.captureRecapture(a, b).collect()(0)
+    assert(r.getAs[Long]("n_a") == 60L && r.getAs[Long]("n_b") == 60L)
+    assert(r.getAs[Long]("n_both") == 20L)
+    assert(math.abs(r.getAs[Double]("n_hat") - (61.0 * 61 / 21 - 1)) < 0.01)
+    assert(math.abs(r.getAs[Double]("recall_a") -
+      60.0 / (61.0 * 61 / 21 - 1)) < 1e-4)
+    // identical catches: N̂ = n — the estimator says nothing is unseen
+    val rSame = Dedup.captureRecapture(a, a).collect()(0)
+    assert(math.abs(rSame.getAs[Double]("n_hat") - 60.0) < 0.01)
+    assert(rSame.getAs[Double]("se") == 0.0)
+  }
+
+  test("oddsRatio: balanced arms OR ≈ 1 with CI covering 1") {
+    import spark.implicits._
+    // conversion independent of user id → arms statistically identical
+    val rows = (1L to 400L).map(u =>
+      (u, if (u % 4 == 0) "purchase" else "view"))
+      .toDF("user_id", "event_type")
+    val r = EventSeq.oddsRatio(rows, "user_id", "event_type", "purchase")
+      .collect()(0)
+    val or = r.getAs[Double]("odds_ratio")
+    assert(or > 0.5 && or < 2.0, s"or=$or")
+    assert(r.getAs[Double]("or_lo95") < 1.0 && r.getAs[Double]("or_hi95") > 1.0)
+    assert(r.getAs[Double]("or_lo95") < or && or < r.getAs[Double]("or_hi95"))
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
