@@ -2676,6 +2676,33 @@ object SparkEntry {
     "odds_ratio" -> ((s, dir) =>
       operators.EventSeq.oddsRatio(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // is daily traffic Poisson? variance-to-mean index with χ² gate —
+    // the assumption every rate threshold silently makes
+    "dispersion_test" -> ((s, dir) =>
+      operators.Temporal.dispersionTest(ev(s, dir), "event_type", "ts")),
+    // co-audience association per type pair: support/confidence/lift +
+    // audience jaccard over per-user distinct type sets
+    "basket_lift" -> ((s, dir) =>
+      operators.EventSeq.basketLift(ev(s, dir), "user_id", "event_type")),
+    // tail CLASS per type: POT/GPD shape over all p90 exceedances —
+    // bounded vs exponential vs heavy, which Gumbel assumes away
+    "pot_tail" -> ((s, dir) =>
+      operators.Temporal.potTail(ev(s, dir), "event_type", "ts")),
+    // boxplot-rule outliers per type: asymmetric 1.5/3-IQR fence counts
+    // on event values — the dashboard-standard complement to MAD
+    "tukey_fences" -> ((s, dir) =>
+      operators.Robust.tukeyFences(ev(s, dir), "event_type", "value")),
+    // dose-response gate audit: does keep-rate trend monotonically with
+    // length bucket (Cochran-Armitage linear contrast)
+    "trend_test" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Audit.trendTest(
+        docs.select(col("doc_id"),
+            least(floor(col("n_chars") / 100), lit(5)).as("bucket"))
+          .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+            .select(col("doc_id"), col("keep")), "doc_id"),
+        "bucket", "keep")
+    }),
     // rank-sensitive ranker audit: average precision + MRR of BM25
     // against the conjunctive relevance set (p@k is blind to position)
     "map_eval" -> ((s, dir) =>
@@ -5066,6 +5093,22 @@ object SparkEntry {
     "odds_ratio" ->
       operators.EventSeq.oddsRatioSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "dispersion_test" ->
+      operators.Temporal.dispersionTestSql("events", "event_type", "ts"),
+    "pot_tail" ->
+      operators.Temporal.potTailSql("events", "event_type", "ts"),
+    "tukey_fences" ->
+      operators.Robust.tukeyFencesSql("events", "event_type", "value"),
+    "basket_lift" ->
+      operators.EventSeq.basketLiftSql("events", "user_id", "event_type"),
+    "trend_test" ->
+      s"""WITH tb AS (SELECT d.doc_id,
+             least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bucket, keep
+           FROM documents d JOIN (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")}) g
+             ON d.doc_id = g.doc_id),
+         ${operators.Audit.trendTestSql("tb", "bucket", "keep")
+            .stripPrefix("WITH ")}""",
     "map_eval" ->
       s"""WITH ${bm25SqlCtes(Seq("dup", "spark", "window"))},
          topk AS (SELECT doc_id,

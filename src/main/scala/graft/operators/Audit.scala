@@ -875,6 +875,70 @@ object Audit {
          round(sqrt(chi2 / CAST((SELECT n FROM tot) * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
        FROM agg"""
 
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955): does a
+    * boolean outcome's rate move MONOTONICALLY across ordered buckets?
+    * χ² independence treats buckets as unordered and wastes the ordering;
+    * CA scores them 0..k−1 and tests the linear contrast
+    * Z = Σsᵢ(rᵢ − nᵢp̄) / √(p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N)) — the
+    * dose-response question "does quality degrade as docs get longer"
+    * asked properly.
+    *
+    * Input provides an INTEGER `bucketCol` (the ordering is the score)
+    * and boolean `outcomeCol`. One scan to the k-bounded bucket relation;
+    * integer sums until the final ratio.
+    */
+  def trendTest(df: DataFrame, bucketCol: String,
+      outcomeCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val byB = Dedup.parallelize(df)
+      .select(col(bucketCol).cast("long").as("s"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("rb"))
+    val agg = byB.agg(sum(col("nb")).as("n"), sum(col("rb")).as("r"),
+      count(lit(1)).as("k"),
+      sum(col("s") * col("rb")).as("sr"),
+      sum(col("s") * col("nb")).as("sn"),
+      sum(col("s") * col("s") * col("nb")).as("ssn"))
+    val p = d(col("r")) / d(col("n"))
+    val num = d(col("sr")) - d(col("sn")) * p
+    val varT = p * (lit(1.0) - p) *
+      (d(col("ssn")) - d(col("sn")) * d(col("sn")) / d(col("n")))
+    val z = num / sqrt(varT)
+    agg.select(col("n"), col("k").as("k_buckets"),
+      round(p, 6).as("overall_rate"),
+      when(varT > 0, round(z, 4)).as("z"),
+      when(varT > 0, abs(z) > 1.96).as("reject_95"),
+      when(varT > 0,
+        when(z > 0, lit("increasing")).otherwise(lit("decreasing")))
+        .as("direction"))
+  }
+
+  /** DuckDB mirror of [[trendTest]]. */
+  def trendTestSql(tbl: String, bucketCol: String,
+      outcomeCol: String): String =
+    s"""WITH byb AS (SELECT CAST($bucketCol AS BIGINT) AS s, COUNT(*) AS nb,
+           CAST(SUM(CASE WHEN $outcomeCol THEN 1 ELSE 0 END) AS BIGINT) AS rb
+         FROM $tbl GROUP BY 1),
+       agg AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(rb) AS BIGINT) AS r,
+           COUNT(*) AS k,
+           CAST(SUM(s * rb) AS BIGINT) AS sr,
+           CAST(SUM(s * nb) AS BIGINT) AS sn,
+           CAST(SUM(s * s * nb) AS BIGINT) AS ssn
+         FROM byb),
+       f AS (SELECT n, k, CAST(r AS DOUBLE) / n AS p,
+           CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * (CAST(r AS DOUBLE) / n) AS num,
+           (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+             * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / n) AS vart
+         FROM agg)
+       SELECT n, k AS k_buckets, round(p, 6) AS overall_rate,
+         CASE WHEN vart > 0 THEN round(num / sqrt(vart), 4) END AS z,
+         CASE WHEN vart > 0 THEN abs(num / sqrt(vart)) > 1.96 END AS reject_95,
+         CASE WHEN vart > 0 THEN
+           CASE WHEN num / sqrt(vart) > 0 THEN 'increasing'
+                ELSE 'decreasing' END END AS direction
+       FROM f"""
+
   /** Mutual information (nats) between two categorical columns, with the
     * min-entropy-normalized form: the effect-size companion to
     * [[chi2Independence]] — χ² says WHETHER the columns associate, MI says

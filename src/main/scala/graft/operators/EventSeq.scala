@@ -496,6 +496,69 @@ object EventSeq {
     * so both engines agree bit-for-bit. One scan, a 2-row arm aggregate,
     * one output row.
     */
+  /** Market-basket association over per-user event-type sets (Agrawal
+    * et al. 1993 support/confidence/lift, plus audience Jaccard): for
+    * every unordered type pair, how much more often do the SAME users do
+    * both than independence predicts? lift > 1 = complementary behaviors
+    * (bundle them in the funnel), lift < 1 = substitutes. The
+    * type-pair-level companion to [[eventTransitions]]' sequence view —
+    * co-audience, not co-occurrence-in-time.
+    *
+    * The corpus collapses once to distinct (user, type); the pair layer
+    * is a per-user self-join bounded by |types|² per user; marginals
+    * broadcast back. Integer counts until the final ratios.
+    */
+  def basketLift(df: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val ut = Dedup.parallelize(df)
+      .select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    val nUsers = ut.select("u").distinct().agg(count(lit(1)).as("n_users"))
+    val marg = ut.groupBy("t").agg(count(lit(1)).as("nt"))
+    val pairs = ut.join(ut.select(col("u"), col("t").as("t2")), "u")
+      .where(col("t") < col("t2"))
+      .groupBy(col("t").as("type_a"), col("t2").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("t").as("type_a"), col("nt").as("n_a"))),
+        "type_a")
+      .join(broadcast(marg.select(col("t").as("type_b"), col("nt").as("n_b"))),
+        "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(d(col("n_both")) / d(col("n_users")), 6).as("support"),
+        round(d(col("n_both")) / d(col("n_a")), 6).as("conf_a_b"),
+        round(d(col("n_both")) / d(col("n_b")), 6).as("conf_b_a"),
+        round(d(col("n_users")) * d(col("n_both")) /
+          (d(col("n_a")) * d(col("n_b"))), 6).as("lift"),
+        round(d(col("n_both")) /
+          (d(col("n_a")) + d(col("n_b")) - d(col("n_both"))), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB mirror of [[basketLift]]. */
+  def basketLiftSql(tbl: String, userCol: String, typeCol: String): String =
+    s"""WITH ut AS (SELECT DISTINCT $userCol AS u, $typeCol AS t FROM $tbl),
+       nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM ut),
+       marg AS (SELECT t, COUNT(*) AS nt FROM ut GROUP BY t),
+       pairs AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+         FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+         GROUP BY 1, 2)
+       SELECT type_a, type_b,
+         ma.nt AS n_a, mb.nt AS n_b, n_both,
+         round(CAST(n_both AS DOUBLE) / n_users, 6) AS support,
+         round(CAST(n_both AS DOUBLE) / ma.nt, 6) AS conf_a_b,
+         round(CAST(n_both AS DOUBLE) / mb.nt, 6) AS conf_b_a,
+         round(CAST(n_users AS DOUBLE) * n_both
+           / (CAST(ma.nt AS DOUBLE) * mb.nt), 6) AS lift,
+         round(CAST(n_both AS DOUBLE) / (ma.nt + mb.nt - n_both), 6) AS jaccard
+       FROM pairs
+       JOIN marg ma ON ma.t = type_a
+       JOIN marg mb ON mb.t = type_b
+       CROSS JOIN nu
+       ORDER BY type_a, type_b"""
+
   /** Odds ratio + risk ratio with Woolf log-CIs for the md5-arm × conversion
     * 2×2 — the epidemiology-standard readout alongside [[abConversion]]'s
     * z: the z answers "is there an effect", OR/RR answer "how big, on the

@@ -41,6 +41,62 @@ object Robust {
         max(col("_mo_mad")).as("mad"))
   }
 
+  /** Tukey boxplot fences per group (Tukey 1977): inner (1.5·IQR) and
+    * outer (3·IQR) outlier counts on each side. The quartile-based
+    * complement to [[madOutliers]] — the IQR rule is what every boxplot
+    * and most data-quality dashboards mean by "outlier", it's asymmetric
+    * (distinguishes a heavy RIGHT tail from a heavy left one), and it
+    * degrades differently under skew than the symmetric MAD gate. Both
+    * ship so a pipeline can report the number its consumers expect.
+    *
+    * Same two-pass value_bands shape: exact q1/q3 (rounded 4) broadcast,
+    * then one counting scan. Swap the percentile for the histogram sketch
+    * at petabyte group sizes; folds unchanged.
+    */
+  def tukeyFences(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def d(c: Column) = c.cast("double")
+    val q = df.groupBy(groupCol)
+      .agg(round(expr(s"percentile($valueCol, 0.25)"), 4).as("q1"),
+        round(expr(s"percentile($valueCol, 0.75)"), 4).as("q3"))
+    val iqr = col("q3") - col("q1")
+    df.select(col(groupCol), d(col(valueCol)).as("_tf_v"))
+      .join(broadcast(q), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        max(round(iqr, 4)).as("iqr"),
+        sum(when(col("_tf_v") < col("q1") - lit(1.5) * iqr, 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("_tf_v") > col("q3") + lit(1.5) * iqr, 1L).otherwise(0L))
+          .as("n_high"),
+        sum(when(col("_tf_v") < col("q1") - lit(3.0) * iqr, 1L).otherwise(0L))
+          .as("n_low_far"),
+        sum(when(col("_tf_v") > col("q3") + lit(3.0) * iqr, 1L).otherwise(0L))
+          .as("n_high_far"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[tukeyFences]]. */
+  def tukeyFencesSql(tbl: String, groupCol: String,
+      valueCol: String): String =
+    s"""WITH q AS (SELECT $groupCol,
+           round(quantile_cont(CAST($valueCol AS DOUBLE), 0.25), 4) AS q1,
+           round(quantile_cont(CAST($valueCol AS DOUBLE), 0.75), 4) AS q3
+         FROM $tbl GROUP BY 1)
+       SELECT t.$groupCol, COUNT(*) AS n,
+         MAX(round(q3 - q1, 4)) AS iqr,
+         CAST(SUM(CASE WHEN CAST($valueCol AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         CAST(SUM(CASE WHEN CAST($valueCol AS DOUBLE) > q3 + 1.5 * (q3 - q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         CAST(SUM(CASE WHEN CAST($valueCol AS DOUBLE) < q1 - 3.0 * (q3 - q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_low_far,
+         CAST(SUM(CASE WHEN CAST($valueCol AS DOUBLE) > q3 + 3.0 * (q3 - q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_high_far
+       FROM $tbl t JOIN q USING ($groupCol)
+       GROUP BY t.$groupCol ORDER BY t.$groupCol"""
+
   /** Jarque–Bera normality test (Jarque & Bera 1980) per group: skewness
     * and excess kurtosis from exact central moments, combined as
     * JB = n/6·(S² + (K−3)²/4) ~ χ²(2) under normality. The gate that says

@@ -1795,6 +1795,183 @@ object Temporal {
        FROM ols WHERE np >= 2 ORDER BY $keyCol"""
   }
 
+  /** Index-of-dispersion test (Fisher 1950) per key: is daily traffic
+    * Poisson, or overdispersed (bursty/clustered) / underdispersed
+    * (rate-limited)? D = (n−1)·s²/x̄ ~ χ²(n−1) under Poisson; the
+    * variance-to-mean ratio is the effect size every capacity model and
+    * anomaly threshold silently assumes equals 1. Critical value at large
+    * df via the Wilson–Hilferty cube approximation (closed form, both
+    * engines bit-identical).
+    *
+    * Calendar grid with explicit zero days; DECIMAL moment folds; one
+    * row per key.
+    */
+  def dispersionTest(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), coalesce(col("c"), lit(0L)).as("c"))
+    def d(c: Column) = c.cast("double")
+    val mom = grid.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    val n = d(col("n"))
+    val mean = d(col("s")) / n
+    val variance = (d(col("ss")) - d(col("s")) * d(col("s")) / n) /
+      (n - lit(1.0))
+    val chi2 = (n - lit(1.0)) * variance / mean
+    val dfree = n - lit(1.0)
+    // Wilson-Hilferty: χ²_{.95}(df) ≈ df·(1 − 2/(9df) + 1.645·√(2/(9df)))³
+    val wh = lit(1.0) - lit(2.0) / (lit(9.0) * dfree) +
+      lit(1.645) * sqrt(lit(2.0) / (lit(9.0) * dfree))
+    val crit = dfree * wh * wh * wh
+    mom.where(col("n") >= 2 && col("s") > 0)
+      .select(col(keyCol), col("n").as("n_days"),
+        round(mean, 4).as("mean"), round(variance, 4).as("variance"),
+        round(variance / mean, 4).as("dispersion"),
+        round(chi2, 2).as("chi2"),
+        (chi2 > crit).as("overdispersed_95"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[dispersionTest]]. */
+  def dispersionTestSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, COALESCE(dd.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x FROM span) g
+         LEFT JOIN (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+             FROM daily CROSS JOIN span) dd
+           ON dd.$keyCol = k.$keyCol AND dd.x = g.x),
+       mom AS (SELECT $keyCol, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ss
+         FROM grid GROUP BY 1),
+       f AS (SELECT $keyCol, n,
+           CAST(s AS DOUBLE) / n AS mean,
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (CAST(n AS DOUBLE) - 1.0) AS var,
+           CAST(n AS DOUBLE) - 1.0 AS dfree
+         FROM mom WHERE n >= 2 AND s > 0),
+       g2 AS (SELECT $keyCol, n, mean, var,
+           dfree * var / mean AS chi2,
+           dfree * pow(1.0 - 2.0 / (9.0 * dfree)
+             + 1.645 * sqrt(2.0 / (9.0 * dfree)), 3) AS crit
+         FROM f)
+       SELECT $keyCol, n AS n_days, round(mean, 4) AS mean,
+         round(var, 4) AS variance, round(var / mean, 4) AS dispersion,
+         round(chi2, 2) AS chi2, chi2 > crit AS overdispersed_95
+       FROM g2 ORDER BY $keyCol"""
+
+  /** Peaks-over-threshold tail fit (Pickands 1975; method-of-moments GPD,
+    * Hosking & Wallis 1987): [[extremeValue]]'s Gumbel uses one maximum
+    * per week and discards every other large day; POT keeps ALL
+    * exceedances over the p90 daily-count threshold and fits the
+    * generalized Pareto to the excesses — more data in the tail, and the
+    * shape ξ says whether the tail is bounded (ξ<0), exponential (ξ≈0),
+    * or heavy/power-law (ξ>0), which Gumbel assumes away. MoM closed
+    * form: ξ = ½(1 − m²/s²), σ = ½m(1 + m²/s²); the 365-day return level
+    * is u + σ/ξ·((365·ζᵤ)^ξ − 1).
+    *
+    * Calendar grid, per-key p90 threshold (rounded 4) broadcast back,
+    * DECIMAL excess moments — the [[graft.operators.Robust]] two-pass
+    * value_bands shape on the day relation.
+    */
+  def potTail(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), coalesce(col("c"), lit(0L)).as("c"))
+    def d(c: Column) = c.cast("double")
+    val th = grid.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        round(percentile(d(col("c")), lit(0.9)), 4).as("u"))
+    val exc = grid.join(broadcast(th), Seq(keyCol))
+      .where(d(col("c")) > col("u"))
+      .select(col(keyCol), col("n"), col("u"),
+        round(d(col("c")) - col("u"), 4).cast("decimal(18,4)").as("e"))
+    val mom = exc.groupBy(col(keyCol), col("n"), col("u"))
+      .agg(count(lit(1)).as("ne"), sum(col("e")).as("se"),
+        sum(col("e") * col("e")).as("see"))
+      .where(col("ne") >= 2)
+    val m = d(col("se")) / d(col("ne"))
+    val s2 = (d(col("see")) - d(col("se")) * d(col("se")) / d(col("ne"))) /
+      (d(col("ne")) - lit(1.0))
+    val xi = lit(0.5) * (lit(1.0) - m * m / s2)
+    val sigma = lit(0.5) * m * (lit(1.0) + m * m / s2)
+    val zeta = d(col("ne")) / d(col("n"))
+    val rl = col("u") + sigma / xi *
+      (pow(lit(365.0) * zeta, xi) - lit(1.0))
+    mom.where(s2 > 0)
+      .select(col(keyCol), col("u").as("threshold"),
+        col("ne").as("n_exceed"),
+        round(xi, 4).as("xi"), round(sigma, 4).as("sigma"),
+        when(abs(xi) > 1e-9, round(rl, 4)).as("return_level_365"),
+        (xi > 0.05).as("heavy_tail"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[potTail]]. */
+  def potTailSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, COALESCE(dd.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x FROM span) g
+         LEFT JOIN (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+             FROM daily CROSS JOIN span) dd
+           ON dd.$keyCol = k.$keyCol AND dd.x = g.x),
+       th AS (SELECT $keyCol, COUNT(*) AS n,
+           round(quantile_cont(CAST(c AS DOUBLE), 0.9), 4) AS u
+         FROM grid GROUP BY 1),
+       exc AS (SELECT grid.$keyCol, n, u,
+           CAST(round(CAST(c AS DOUBLE) - u, 4) AS DECIMAL(18,4)) AS e
+         FROM grid JOIN th USING ($keyCol) WHERE CAST(c AS DOUBLE) > u),
+       mom AS (SELECT $keyCol, n, u, COUNT(*) AS ne, SUM(e) AS se,
+           SUM(e * e) AS see
+         FROM exc GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+       f AS (SELECT $keyCol, n, u, ne,
+           CAST(se AS DOUBLE) / ne AS m,
+           (CAST(see AS DOUBLE) - CAST(se AS DOUBLE) * CAST(se AS DOUBLE) / ne)
+             / (CAST(ne AS DOUBLE) - 1.0) AS s2
+         FROM mom),
+       g2 AS (SELECT $keyCol, u, ne, n, m, s2,
+           0.5 * (1.0 - m * m / s2) AS xi,
+           0.5 * m * (1.0 + m * m / s2) AS sigma,
+           CAST(ne AS DOUBLE) / n AS zeta
+         FROM f WHERE s2 > 0)
+       SELECT $keyCol, u AS threshold, ne AS n_exceed,
+         round(xi, 4) AS xi, round(sigma, 4) AS sigma,
+         CASE WHEN abs(xi) > 1e-9 THEN round(
+           u + sigma / xi * (pow(365.0 * zeta, xi) - 1.0), 4) END
+           AS return_level_365,
+         xi > 0.05 AS heavy_tail
+       FROM g2 ORDER BY $keyCol"""
+
   /** Wald–Wolfowitz runs test per key on the daily-count series: code
     * each calendar day above/below the key's own median (ties-and-below
     * are one symbol), count the RUNS of identical symbols, and z-score

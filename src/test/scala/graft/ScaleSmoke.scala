@@ -171,7 +171,11 @@ object ScaleSmoke {
     // session-4 batch 10: Tukey post-hoc, categorical MI, WOE/IV
     "tukey_hsd", "mutual_info", "woe_iv",
     // session-4 batch 11: Kendall W, Chapman capture-recapture, OR/RR
-    "kendall_w", "capture_recapture", "odds_ratio")
+    "kendall_w", "capture_recapture", "odds_ratio",
+    // session-4 batch 12: dispersion index, basket lift, CA trend
+    "dispersion_test", "basket_lift", "trend_test",
+    // session-4 batch 13: POT/GPD tail class, Tukey fences
+    "pot_tail", "tukey_fences")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

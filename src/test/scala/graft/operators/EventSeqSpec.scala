@@ -103,6 +103,26 @@ class EventSeqSpec extends AnyFunSuite {
     assert(rw.getAs[Double]("share_top10") > 0.9)
   }
 
+  test("basketLift: bundled types lift > 1, disjoint audiences lift < 1") {
+    import spark.implicits._
+    // users 1-10 do BOTH a and b (perfect bundle); users 11-20 do c only,
+    // 21-30 do d only (perfect substitutes); all 30 do "base"
+    val rows = (1L to 10L).flatMap(u => Seq((u, "a"), (u, "b"))) ++
+      (11L to 20L).map(u => (u, "c")) ++ (21L to 30L).map(u => (u, "d")) ++
+      (1L to 30L).map(u => (u, "base"))
+    val out = EventSeq.basketLift(rows.toDF("user_id", "event_type"),
+        "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_both") == 10L)
+    assert(ab.getAs[Double]("lift") == 3.0) // 30·10/(10·10)
+    assert(ab.getAs[Double]("jaccard") == 1.0)
+    assert(ab.getAs[Double]("conf_a_b") == 1.0)
+    assert(!out.contains(("c", "d"))) // no shared user → no pair row
+    // a vs base: conf(a→base)=1, lift = 30·10/(10·30) = 1 (independent-ish)
+    assert(out(("a", "base")).getAs[Double]("lift") == 1.0)
+  }
+
   test("funnel timing: mean stage-to-stage hours over first-touch times") {
     import spark.implicits._
     val h = 3600L

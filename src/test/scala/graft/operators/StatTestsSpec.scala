@@ -439,6 +439,78 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("or_lo95") < or && or < r.getAs[Double]("or_hi95"))
   }
 
+  test("dispersionTest: constant days ≈ underdispersed, bursty overdispersed") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    val rows = (0 until 30).flatMap { d =>
+      // constant 10/day: variance 0 → dispersion 0
+      val burst = if (d % 10 == 0) 100 else 1 // heavy bursts
+      (0 until 10).map(i => ("flat", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until burst).map(i => ("burst", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.dispersionTest(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getAs[Double]("dispersion") == 0.0)
+    assert(!out("flat").getAs[Boolean]("overdispersed_95"))
+    assert(out("burst").getAs[Double]("dispersion") > 10)
+    assert(out("burst").getAs[Boolean]("overdispersed_95"))
+  }
+
+  test("trendTest: monotone rate rejects with direction, flat accepts") {
+    import spark.implicits._
+    // keep-rate rises with bucket: 10%, 50%, 90%
+    val up = (0 until 300).map { i =>
+      val b = i % 3
+      (i.toLong, b.toLong, (i % 10) < (1 + 4 * b))
+    }.toDF("id", "bucket", "keep")
+    val r1 = Audit.trendTest(up, "bucket", "keep").collect()(0)
+    assert(r1.getAs[Boolean]("reject_95"))
+    assert(r1.getAs[String]("direction") == "increasing")
+    val flat = (0 until 300).map(i => (i.toLong, (i % 3).toLong, i % 2 == 0))
+      .toDF("id", "bucket", "keep")
+    val r0 = Audit.trendTest(flat, "bucket", "keep").collect()(0)
+    assert(!r0.getAs[Boolean]("reject_95"), s"z=${r0.getAs[Double]("z")}")
+  }
+
+  test("potTail: bounded jitter xi < 0, planted power-law bursts xi > 0") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    val rows = (0 until 60).flatMap { d =>
+      // bounded: base 10 with excursions capped at 15 — excesses over the
+      // p90 threshold (13) are {1,1,1,2,2,2}: short, bounded tail
+      val b = if (d % 20 == 0) 15 else if (d % 10 == 0) 14
+        else if (d % 5 == 0) 13 else 10
+      // heavy: mostly 5, but every 7th day bursts DOUBLE — geometric
+      // excesses, CV > 1, the power-law-ish tail MoM reads as ξ > 0
+      val h = if (d % 7 == 3) 5 + (1 << (d / 7 + 1)) else 5
+      (0 until b).map(i => ("bounded", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until h).map(i => ("heavy", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.potTail(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("bounded").getAs[Double]("xi") < 0)
+    assert(!out("bounded").getAs[Boolean]("heavy_tail"))
+    assert(out("heavy").getAs[Double]("xi") > 0.05,
+      s"xi=${out("heavy").getAs[Double]("xi")}")
+    assert(out("heavy").getAs[Boolean]("heavy_tail"))
+    assert(out("heavy").getAs[Double]("return_level_365") >
+      out("heavy").getAs[Double]("threshold"))
+  }
+
+  test("tukeyFences: asymmetric right tail counted on the right only") {
+    import spark.implicits._
+    val rows = ((1 to 100).map(i => ("t", (i % 10 + 10).toDouble)) ++
+      Seq(("t", 500.0), ("t", 800.0))).toDF("event_type", "value")
+    val r = Robust.tukeyFences(rows, "event_type", "value").collect()(0)
+    assert(r.getAs[Long]("n_high") == 2L && r.getAs[Long]("n_low") == 0L)
+    assert(r.getAs[Long]("n_high_far") == 2L)
+    // symmetric data: nothing outside the fences
+    val sym = (1 to 100).map(i => ("s", (i % 10).toDouble))
+      .toDF("event_type", "value")
+    val rs = Robust.tukeyFences(sym, "event_type", "value").collect()(0)
+    assert(rs.getAs[Long]("n_high") == 0L && rs.getAs[Long]("n_low") == 0L)
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
