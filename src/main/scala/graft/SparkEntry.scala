@@ -2688,6 +2688,16 @@ object SparkEntry {
     // bounded vs exponential vs heavy, which Gumbel assumes away
     "pot_tail" -> ((s, dir) =>
       operators.Temporal.potTail(ev(s, dir), "event_type", "ts")),
+    // SPC individuals chart: moving-range limits x̄ ± 2.66·MRbar per
+    // type, violation count — drift-immune unlike a global ±3σ band
+    "xmr_chart" -> ((s, dir) =>
+      operators.Temporal.xmrChart(ev(s, dir), "event_type", "ts")),
+    // cluster-overlap validity: per-cluster worst scatter/separation
+    // ratio over the trained IVF — the pairwise companion to silhouette
+    "davies_bouldin" -> ((s, dir) => {
+      val (cents, index) = ivfArtifacts(s, dir)
+      operators.Similarity.daviesBouldin(cents, index, "vec_id", "embedding")
+    }),
     // boxplot-rule outliers per type: asymmetric 1.5/3-IQR fence counts
     // on event values — the dashboard-standard complement to MAD
     "tukey_fences" -> ((s, dir) =>
@@ -5097,6 +5107,20 @@ object SparkEntry {
       operators.Temporal.dispersionTestSql("events", "event_type", "ts"),
     "pot_tail" ->
       operators.Temporal.potTailSql("events", "event_type", "ts"),
+    "xmr_chart" ->
+      operators.Temporal.xmrChartSql("events", "event_type", "ts"),
+    "davies_bouldin" -> {
+      val (kmCtes, cent) = operators.Similarity.kmeansCentSqlCtes(
+        "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 1,
+        dim = 64, cosSql)
+      s"""WITH $kmCtes,
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         ${operators.Similarity.daviesBouldinSql(cent, "embeddings",
+           "vec_id", "embedding", cosSql)}"""
+    },
     "tukey_fences" ->
       operators.Robust.tukeyFencesSql("events", "event_type", "value"),
     "basket_lift" ->

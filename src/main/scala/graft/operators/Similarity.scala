@@ -503,6 +503,80 @@ object Similarity {
          round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_sil
        FROM sv GROUP BY cluster ORDER BY cluster"""
 
+  /** Davies–Bouldin index (Davies & Bouldin 1979), centroid form: for
+    * each cluster, its worst (s_i + s_j)/d(c_i, c_j) against any other —
+    * scatter-to-separation. Lower is better; a component > 1 says that
+    * cluster overlaps its nearest neighbor more than it coheres, i.e.
+    * the probe partition boundary cuts through real density. Reads the
+    * same trained IVF artifacts as [[silhouette]] but penalizes PAIRS of
+    * confusable clusters rather than averaging per-point margins — the
+    * two disagree exactly when clusters are unevenly sized, which is why
+    * index-quality dashboards carry both.
+    *
+    * Per-cluster scatter = one corpus scan with centroid literals;
+    * centroid pair distances are DRIVER-side literals (k² doubles, same
+    * left-fold arithmetic as the oracle's list_sum, rounded to 9); the
+    * pair layer is a k²-bounded join of the k-row scatter relation.
+    */
+  def daviesBouldin(cents: Array[(Long, Seq[Double])], index: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    require(cents.length >= 2, "daviesBouldin: need >= 2 centroids")
+    def d(c: Column) = c.cast("double")
+    val distTo = cents.map { case (cid, cv) =>
+      (cid, lit(1.0) - cosine(col(vecCol), typedlit(cv)))
+    }
+    val own = distTo.tail.foldLeft(
+      when(col("cluster") === distTo.head._1, distTo.head._2)) {
+      case (acc, (cid, dc)) => acc.when(col("cluster") === cid, dc)
+    }
+    val scatter = index
+      .select(col("cluster"), round(own, 6).cast("decimal(18,6)").as("dv"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dv")).cast("double") / count(lit(1))).as("s"))
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      1.0 - dot / (na * nb)
+    }
+    val spark = index.sparkSession
+    import spark.implicits._
+    val pairD = (for {
+      (i, ci) <- cents; (j, cj) <- cents if i != j
+    } yield (i, j, BigDecimal(cosD(ci, cj))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.toDF("ca", "cb", "dc")
+    scatter.select(col("cluster").as("ca"), col("n"), col("s").as("sa"))
+      .join(broadcast(pairD), "ca")
+      .join(broadcast(scatter.select(col("cluster").as("cb"),
+        col("s").as("sb"))), "cb")
+      .groupBy(col("ca").as("cluster"), col("n"))
+      .agg(round(max((col("sa") + col("sb")) / col("dc")), 6)
+        .as("db_component"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB mirror of [[daviesBouldin]] over the `ivf_build` oracle's
+    * CTEs: trained centroids `cname(cid, cvec)` + `assign(vec_id, cid)`.
+    */
+  def daviesBouldinSql(cname: String, embTbl: String, idCol: String,
+      vecCol: String, cos: (String, String) => String): String =
+    s"""sc AS (SELECT a.cid AS cluster, COUNT(*) AS n,
+           CAST(SUM(CAST(round(1.0 - ${cos(s"e.$vecCol", "c.cvec")}, 6)
+             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS s
+         FROM assign a JOIN $embTbl e USING ($idCol)
+         JOIN $cname c ON c.cid = a.cid
+         GROUP BY 1),
+       pd AS (SELECT a.cid AS ca, b.cid AS cb,
+           round(1.0 - ${cos("a.cvec", "b.cvec")}, 9) AS dc
+         FROM $cname a JOIN $cname b ON a.cid <> b.cid)
+       SELECT sa.cluster, sa.n,
+         round(MAX((sa.s + sb.s) / pd.dc), 6) AS db_component
+       FROM sc sa JOIN pd ON pd.ca = sa.cluster
+       JOIN sc sb ON sb.cluster = pd.cb
+       GROUP BY 1, 2 ORDER BY sa.cluster"""
+
   def semDedup(index: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val slim = index.select(col(idCol), col(vecCol), col("cluster"))

@@ -1875,6 +1875,91 @@ object Temporal {
          round(chi2, 2) AS chi2, chi2 > crit AS overdispersed_95
        FROM g2 ORDER BY $keyCol"""
 
+  /** XmR individuals control chart (Shewhart 1931; Wheeler's XmR form):
+    * process limits x̄ ± 2.66·M̄R from the MOVING RANGE of consecutive
+    * daily counts — the SPC readout ops teams actually chart. The
+    * moving-range basis makes the limits immune to slow drift inflating
+    * a global σ, which is exactly what wrecks naive ±3σ bands; 2.66 is
+    * 3/d₂ for n=2 subgroups. Violations = days outside [LCL, UCL].
+    *
+    * Calendar grid with explicit zeros; MR via one lag window per key
+    * partition; DECIMAL folds; one row per key.
+    */
+  def xmrChart(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(keyCol).orderBy("x")
+    val withMr = grid.withColumn("mr",
+      abs(col("c") - lag(col("c"), 1).over(w)))
+    def d(c: Column) = c.cast("double")
+    val stats = withMr.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("mr")).as("smr"), count(col("mr")).as("nmr"))
+      .where(col("nmr") >= 1)
+      .select(col(keyCol), col("n"),
+        round(d(col("s")) / d(col("n")), 4).as("center"),
+        round(d(col("smr")) / d(col("nmr")), 4).as("mr_bar"))
+      .withColumn("ucl", round(col("center") + lit(2.66) * col("mr_bar"), 4))
+      .withColumn("lcl",
+        round(greatest(col("center") - lit(2.66) * col("mr_bar"), lit(0.0)), 4))
+    grid.join(broadcast(stats), Seq(keyCol))
+      .groupBy(col(keyCol), col("n"), col("center"), col("mr_bar"),
+        col("ucl"), col("lcl"))
+      .agg(
+        sum(when(d(col("c")) > col("ucl") || d(col("c")) < col("lcl"), 1L)
+          .otherwise(0L)).as("n_violations"),
+        min(when(d(col("c")) > col("ucl") || d(col("c")) < col("lcl"),
+          col("x"))).as("first_violation_day"))
+      .select(col(keyCol), col("n").as("n_days"), col("center"),
+        col("mr_bar"), col("ucl"), col("lcl"), col("n_violations"),
+        col("first_violation_day"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[xmrChart]]. */
+  def xmrChartSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, CAST(g.x AS INT) AS x, COALESCE(dd.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x FROM span) g
+         LEFT JOIN (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+             FROM daily CROSS JOIN span) dd
+           ON dd.$keyCol = k.$keyCol AND dd.x = g.x),
+       mr AS (SELECT $keyCol, x, c,
+           abs(c - lag(c) OVER (PARTITION BY $keyCol ORDER BY x)) AS mrv
+         FROM grid),
+       st AS (SELECT $keyCol, COUNT(*) AS n,
+           round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS center,
+           round(CAST(SUM(mrv) AS DOUBLE) / COUNT(mrv), 4) AS mr_bar
+         FROM mr GROUP BY 1 HAVING COUNT(mrv) >= 1),
+       lim AS (SELECT $keyCol, n, center, mr_bar,
+           round(center + 2.66 * mr_bar, 4) AS ucl,
+           round(greatest(center - 2.66 * mr_bar, 0.0), 4) AS lcl
+         FROM st)
+       SELECT grid.$keyCol, n AS n_days, center, mr_bar, ucl, lcl,
+         CAST(SUM(CASE WHEN CAST(c AS DOUBLE) > ucl OR CAST(c AS DOUBLE) < lcl
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         MIN(CASE WHEN CAST(c AS DOUBLE) > ucl OR CAST(c AS DOUBLE) < lcl
+           THEN x END) AS first_violation_day
+       FROM grid JOIN lim USING ($keyCol)
+       GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY grid.$keyCol"""
+
   /** Peaks-over-threshold tail fit (Pickands 1975; method-of-moments GPD,
     * Hosking & Wallis 1987): [[extremeValue]]'s Gumbel uses one maximum
     * per week and discards every other large day; POT keeps ALL

@@ -175,7 +175,9 @@ object ScaleSmoke {
     // session-4 batch 12: dispersion index, basket lift, CA trend
     "dispersion_test", "basket_lift", "trend_test",
     // session-4 batch 13: POT/GPD tail class, Tukey fences
-    "pot_tail", "tukey_fences")
+    "pot_tail", "tukey_fences",
+    // session-4 batch 14: XmR control chart, Davies-Bouldin validity
+    "xmr_chart", "davies_bouldin")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -511,6 +511,46 @@ class StatTestsSpec extends AnyFunSuite {
     assert(rs.getAs[Long]("n_high") == 0L && rs.getAs[Long]("n_low") == 0L)
   }
 
+  test("xmrChart: tight process is in-control, one spike flags its day") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    val rows = (0 until 30).flatMap { d =>
+      // steady: 10/11 alternating — MRbar 1, limits ~10.5±2.66
+      val s = 10 + (d % 2)
+      // spike: same steady base but day 20 explodes to 60
+      val p = if (d == 20) 60 else 10 + (d % 2)
+      (0 until s).map(i => ("steady", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until p).map(i => ("spike", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.xmrChart(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("steady").getAs[Long]("n_violations") == 0L)
+    assert(out("spike").getAs[Long]("n_violations") == 1L)
+    assert(out("spike").getAs[Int]("first_violation_day") == 20)
+    assert(out("steady").getAs[Double]("mr_bar") == 1.0)
+  }
+
+  test("daviesBouldin: separated clusters < overlapping clusters") {
+    import spark.implicits._
+    val centsFar = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val centsNear = Array((0L, Seq(1.0, 0.05)), (1L, Seq(1.0, -0.05)))
+    def idx(cs: Array[(Long, Seq[Double])], spread: Double) =
+      (0 until 20).map { i =>
+        val c = i % 2
+        val base = cs(c)._2
+        // jitter members around their centroid
+        val v = Seq((base(0) + spread * (i % 5 - 2) / 10.0).toFloat,
+          (base(1) + spread * ((i / 2) % 5 - 2) / 10.0).toFloat)
+        (i.toLong, v, c.toLong)
+      }.toDF("vec_id", "embedding", "cluster")
+    val far = Similarity.daviesBouldin(centsFar, idx(centsFar, 0.2),
+      "vec_id", "embedding").collect().map(_.getAs[Double]("db_component"))
+    val near = Similarity.daviesBouldin(centsNear, idx(centsNear, 0.2),
+      "vec_id", "embedding").collect().map(_.getAs[Double]("db_component"))
+    assert(far.max < 1.0, s"far=${far.toSeq}")
+    assert(near.min > far.max, s"near=${near.toSeq} vs far=${far.toSeq}")
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
