@@ -2718,6 +2718,15 @@ object SparkEntry {
     "map_eval" -> ((s, dir) =>
       operators.Search.apEval(Tables.documents(s, dir), "doc_id", "text",
         Seq("dup", "spark", "window"))),
+    // the macro view: per-query AP/MRR rows over the shared ndcg panel —
+    // what a ranker regression gate actually tracks
+    "map_panel" -> ((s, dir) =>
+      operators.Search.apEvalPanel(Tables.documents(s, dir), "doc_id",
+        "text", NdcgPanel)),
+    // when do we lose users: per-lifetime-age churn hazard — localizes
+    // the drop the KM curve smooths over
+    "churn_hazard" -> ((s, dir) =>
+      operators.EventSeq.churnHazard(ev(s, dir), "user_id", "ts")),
     // dense-template mass: 2-/3-core of the near-dup graph — clique-like
     // boilerplate vs star fan-out, which pair counts can't separate
     "kcore_dups" -> ((s, dir) =>
@@ -2803,7 +2812,44 @@ object SparkEntry {
     ("q_merge_scan_table", Seq("merge", "scan", "table")),
     ("q_spark_join", Seq("spark", "join")))
 
-  /** Little-endian hex of a u16/u32 value column (RIFF/GIF/BMP headers). */
+  /** DuckDB AP/MRR readout for one query's term set — the `map_eval`
+    * oracle body, with an optional leading label column for the panel
+    * form. Relevance = docs matching ALL terms; denominator = full-corpus
+    * relevance count.
+    */
+  private def mapEvalSqlFor(terms: Seq[String], label: Option[String]): String = {
+    val labelCol = label.map(l =>
+      s"'${operators.OracleSql.esc(l)}' AS query, ").getOrElse("")
+    s"""WITH ${bm25SqlCtes(terms)},
+       topk AS (SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm),
+       rel AS (SELECT doc_id FROM p GROUP BY doc_id
+         HAVING COUNT(*) = ${terms.map(_.toLowerCase).distinct.length}),
+       hits AS (SELECT rk, r,
+           SUM(r) OVER (ORDER BY rk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM (SELECT rk,
+             CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r
+           FROM topk LEFT JOIN rel ON topk.doc_id = rel.doc_id
+           WHERE rk <= 100)),
+       ps AS (SELECT
+           CASE WHEN r = 1 THEN CAST(round(CAST(cum AS DOUBLE)
+             / CAST(rk AS DOUBLE), 6) AS DECIMAL(18,6)) END AS p,
+           CASE WHEN r = 1 THEN rk END AS rrk
+         FROM hits),
+       a AS (SELECT SUM(p) AS sp, MIN(rrk) AS frk,
+           COUNT(p) AS hits_ranked FROM ps),
+       nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel)
+       SELECT ${labelCol}n_relevant, hits_ranked,
+         CASE WHEN n_relevant > 0 THEN round(
+           COALESCE(CAST(sp AS DOUBLE), 0.0) / CAST(n_relevant AS DOUBLE), 6)
+           END AS ap,
+         CASE WHEN frk IS NOT NULL
+           THEN round(1.0 / CAST(frk AS DOUBLE), 6) END AS mrr
+       FROM a CROSS JOIN nr"""
+  }
+
+  /** Little-endian hex of a u16/u32 value column (RIFF/BMP headers). */
   private def le16(c: Column): Column = {
     val h = lpad(hex(c), 4, "0")
     concat(substring(h, 3, 2), substring(h, 1, 2))
@@ -5109,6 +5155,8 @@ object SparkEntry {
       operators.Temporal.potTailSql("events", "event_type", "ts"),
     "xmr_chart" ->
       operators.Temporal.xmrChartSql("events", "event_type", "ts"),
+    "churn_hazard" ->
+      operators.EventSeq.churnHazardSql("events", "user_id", "ts"),
     "davies_bouldin" -> {
       val (kmCtes, cent) = operators.Similarity.kmeansCentSqlCtes(
         "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 1,
@@ -5133,33 +5181,13 @@ object SparkEntry {
              ON d.doc_id = g.doc_id),
          ${operators.Audit.trendTestSql("tb", "bucket", "keep")
             .stripPrefix("WITH ")}""",
-    "map_eval" ->
-      s"""WITH ${bm25SqlCtes(Seq("dup", "spark", "window"))},
-         topk AS (SELECT doc_id,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm),
-         rel AS (SELECT doc_id FROM p GROUP BY doc_id HAVING COUNT(*) = 3),
-         hits AS (SELECT rk, r,
-             SUM(r) OVER (ORDER BY rk
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM (SELECT rk,
-               CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r
-             FROM topk LEFT JOIN rel ON topk.doc_id = rel.doc_id
-             WHERE rk <= 100)),
-         ps AS (SELECT
-             CASE WHEN r = 1 THEN CAST(round(CAST(cum AS DOUBLE)
-               / CAST(rk AS DOUBLE), 6) AS DECIMAL(18,6)) END AS p,
-             CASE WHEN r = 1 THEN rk END AS rrk
-           FROM hits),
-         a AS (SELECT SUM(p) AS sp, MIN(rrk) AS frk,
-             COUNT(p) AS hits_ranked FROM ps),
-         nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel)
-         SELECT n_relevant, hits_ranked,
-           CASE WHEN n_relevant > 0 THEN round(
-             COALESCE(CAST(sp AS DOUBLE), 0.0) / CAST(n_relevant AS DOUBLE), 6)
-             END AS ap,
-           CASE WHEN frk IS NOT NULL
-             THEN round(1.0 / CAST(frk AS DOUBLE), 6) END AS mrr
-         FROM a CROSS JOIN nr""",
+    "map_eval" -> mapEvalSqlFor(Seq("dup", "spark", "window"), None),
+    "map_panel" ->
+      s"""SELECT * FROM (
+         ${NdcgPanel.map { case (name, terms) =>
+           s"(${mapEvalSqlFor(terms, Some(name))})"
+         }.mkString("\n         UNION ALL ")}
+         ) ORDER BY query""",
     "kcore_dups" ->
       operators.Graph.kcoreSql(
         s"""$nearDupCtes,

@@ -496,6 +496,49 @@ object EventSeq {
     * so both engines agree bit-for-bit. One scan, a 2-row arm aggregate,
     * one output row.
     */
+  /** Discrete-time churn hazard over observed user lifetimes: for each
+    * lifetime age a (days between first and last activity), the hazard
+    * h(a) = (users whose lifetime ENDED at a) / (users still alive at a).
+    * The per-age readout behind "when do we lose people" —
+    * [[graft.operators.Survival]]'s KM curve integrates this; the raw
+    * hazard localizes WHICH age the drop concentrates at (day-1 churn vs
+    * slow decay), which the smoothed curve hides.
+    *
+    * One per-user agg to lifetimes, one age-bounded count relation, a
+    * reverse cumulative window over ≤span ages. Integer until the ratio.
+    */
+  def churnHazard(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val day = floor(unix_millis(col(tsCol)) / 86400000L)
+    val life = df.select(col(userCol).as("u"), day.as("day"))
+      .groupBy("u").agg((max("day") - min("day")).as("l"))
+    val byAge = life.groupBy(col("l").as("age"))
+      .agg(count(lit(1)).as("n_churned"))
+    val w = Window.orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge
+      .withColumn("at_risk", sum(col("n_churned")).over(w))
+      .select(col("age"), col("at_risk"), col("n_churned"),
+        round(d(col("n_churned")) / d(col("at_risk")), 6).as("hazard"))
+      .orderBy("age")
+  }
+
+  /** DuckDB mirror of [[churnHazard]]. */
+  def churnHazardSql(tbl: String, userCol: String, tsCol: String): String =
+    s"""WITH life AS (SELECT $userCol AS u,
+           MAX(CAST(floor(epoch_ms($tsCol) / 86400000) AS BIGINT))
+             - MIN(CAST(floor(epoch_ms($tsCol) / 86400000) AS BIGINT)) AS l
+         FROM $tbl GROUP BY 1),
+       byage AS (SELECT l AS age, COUNT(*) AS n_churned FROM life GROUP BY 1),
+       cum AS (SELECT age, n_churned,
+           SUM(n_churned) OVER (ORDER BY age DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+         FROM byage)
+       SELECT age, CAST(at_risk AS BIGINT) AS at_risk, n_churned,
+         round(CAST(n_churned AS DOUBLE) / at_risk, 6) AS hazard
+       FROM cum ORDER BY age"""
+
   /** Market-basket association over per-user event-type sets (Agrawal
     * et al. 1993 support/confidence/lift, plus audience Jaccard): for
     * every unordered type pair, how much more often do the SAME users do

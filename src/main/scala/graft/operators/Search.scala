@@ -444,6 +444,22 @@ object Search {
           round(lit(1.0) / col("frk").cast("double"), 6)).as("mrr"))
   }
 
+  /** [[apEval]] across a query panel: one (query, n_relevant, ap, mrr)
+    * row per panel entry — the macro view a ranker regression gate
+    * actually tracks (single-query AP swings on one relevance set; the
+    * panel mean doesn't). Union of per-query apEval relations; each
+    * panel entry costs one ranked scan, the panel is constant-bounded.
+    */
+  def apEvalPanel(df: DataFrame, idCol: String, textCol: String,
+      panel: Seq[(String, Seq[String])], kmax: Int = 100): DataFrame = {
+    require(panel.nonEmpty, "apEvalPanel: empty panel")
+    panel.map { case (name, terms) =>
+      apEval(df, idCol, textCol, terms, kmax)
+        .select(lit(name).as("query"), col("n_relevant"),
+          col("hits_ranked"), col("ap"), col("mrr"))
+    }.reduce(_ unionByName _).orderBy("query")
+  }
+
   def precisionAtK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "precisionAtK: bad k list")

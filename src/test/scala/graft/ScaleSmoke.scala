@@ -177,7 +177,9 @@ object ScaleSmoke {
     // session-4 batch 13: POT/GPD tail class, Tukey fences
     "pot_tail", "tukey_fences",
     // session-4 batch 14: XmR control chart, Davies-Bouldin validity
-    "xmr_chart", "davies_bouldin")
+    "xmr_chart", "davies_bouldin",
+    // session-4 batch 15: AP/MRR panel, churn hazard
+    "map_panel", "churn_hazard")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -123,6 +123,24 @@ class EventSeqSpec extends AnyFunSuite {
     assert(out(("a", "base")).getAs[Double]("lift") == 1.0)
   }
 
+  test("churnHazard: day-1 cliff localized, survivors drain at the end") {
+    import spark.implicits._
+    val day = 86400L
+    // 6 users churn immediately (lifetime 0), 3 live 5 days, 1 lives 10
+    val rows =
+      (1L to 6L).map(u => (u, 0L)) ++
+      (7L to 9L).flatMap(u => Seq((u, 0L), (u, 5 * day))) ++
+      Seq((10L, 0L), (10L, 10 * day))
+    val out = EventSeq.churnHazard(
+        rows.toDF("user_id", "t_sec")
+          .select(col("user_id"), timestamp_seconds(col("t_sec")).as("ts")),
+        "user_id", "ts")
+      .select("age", "at_risk", "n_churned", "hazard")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(out == Seq((0L, 10L, 6L, 0.6), (5L, 4L, 3L, 0.75),
+      (10L, 1L, 1L, 1.0)), s"hazard: $out")
+  }
+
   test("funnel timing: mean stage-to-stage hours over first-touch times") {
     import spark.implicits._
     val h = 3600L
