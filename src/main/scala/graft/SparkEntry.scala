@@ -2727,6 +2727,39 @@ object SparkEntry {
     // the drop the KM curve smooths over
     "churn_hazard" -> ((s, dir) =>
       operators.EventSeq.churnHazard(ev(s, dir), "user_id", "ts")),
+    // does the gate panel cohere as ONE quality axis (Cronbach's α over
+    // the three boolean gates as items)
+    "cronbach_alpha" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g1 = docs.select(col("doc_id"), (col("n_chars") >= 200).as("g1"))
+      val g2 = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("g2"))
+      val g3 = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("entropy") >= 3.1).as("g3"))
+      operators.Audit.cronbachAlpha(
+        g1.join(g2, "doc_id").join(g3, "doc_id"), "doc_id",
+        Seq("g1", "g2", "g3"))
+    }),
+    // collinearity audit: entropy~length with token count held fixed —
+    // first-order partial correlation over one moment scan
+    "partial_corr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Audit.partialCorr(
+        docs.select(col("doc_id"), col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .join(TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+            .select(col("doc_id"), col("entropy")), "doc_id"),
+        "entropy", "n_chars", "n_tokens")
+    }),
+    // assignment integrity: χ² of the md5 arm split vs designed 50/50 —
+    // run before believing any A/B readout
+    "srm_check" -> ((s, dir) =>
+      operators.EventSeq.srmCheck(ev(s, dir), "user_id")),
+    // stakeholder-scale A/B: Beta-Binomial posterior means + P(A>B) via
+    // the A&S erf polynomial (bit-consistent in both engines)
+    "bayes_ab" -> ((s, dir) =>
+      operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
+        convType = "purchase")),
     // dense-template mass: 2-/3-core of the near-dup graph — clique-like
     // boilerplate vs star fan-out, which pair counts can't separate
     "kcore_dups" -> ((s, dir) =>
@@ -5157,6 +5190,28 @@ object SparkEntry {
       operators.Temporal.xmrChartSql("events", "event_type", "ts"),
     "churn_hazard" ->
       operators.EventSeq.churnHazardSql("events", "user_id", "ts"),
+    "cronbach_alpha" ->
+      s"""WITH gl AS (SELECT doc_id, n_chars >= 200 AS g1 FROM documents),
+         gr AS (SELECT doc_id, keep AS g2 FROM (
+             ${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")})),
+         ge AS (SELECT doc_id, entropy >= 3.1 AS g3 FROM (
+             ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")})),
+         gj AS (SELECT gl.doc_id, g1, g2, g3
+           FROM gl JOIN gr USING (doc_id) JOIN ge USING (doc_id)),
+         ${operators.Audit.cronbachAlphaSql(3)}""",
+    "partial_corr" ->
+      operators.Audit.partialCorrSql(
+        s"""(SELECT e.entropy, d.n_chars,
+             len(string_split_regex(trim(d.text),'\\s+')) AS n_tokens
+           FROM documents d JOIN (
+             ${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")}) e
+             ON d.doc_id = e.doc_id)""",
+        "entropy", "n_chars", "n_tokens"),
+    "srm_check" ->
+      operators.EventSeq.srmCheckSql("events", "user_id"),
+    "bayes_ab" ->
+      operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
+        convType = "purchase"),
     "davies_bouldin" -> {
       val (kmCtes, cent) = operators.Similarity.kmeansCentSqlCtes(
         "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 1,

@@ -291,6 +291,130 @@ object Audit {
          CASE WHEN b + c > 0 THEN chi2 > 3.841 END AS reject_95
        FROM f"""
 
+  /** Cronbach's alpha (Cronbach 1951) over k boolean gate "items":
+    * internal consistency — do the gates measure ONE underlying quality
+    * axis (α → 1) or unrelated things (α → 0)? The scale-reliability
+    * reading the agreement coefficients don't give: [[krippAlpha]] asks
+    * "do raters agree per item", Cronbach asks "does the gate PANEL
+    * cohere as a composite score". α = k/(k−1)·(1 − Σσ²ᵢ/σ²_T) with σ²_T
+    * the variance of the summed score. One scan; integer sums until the
+    * final ratios.
+    */
+  def cronbachAlpha(df: DataFrame, idCol: String,
+      gateCols: Seq[String]): DataFrame = {
+    require(gateCols.size >= 2, "cronbachAlpha: need >= 2 items")
+    val k = gateCols.size
+    def d(c: Column) = c.cast("double")
+    val r = gateCols.map(g => when(col(g), 1L).otherwise(0L)).reduce(_ + _)
+    val aggs =
+      count(lit(1)).as("n") +: sum(r).as("sr") +: sum(r * r).as("srr") +:
+      gateCols.zipWithIndex.map { case (g, i) =>
+        sum(when(col(g), 1L).otherwise(0L)).as(s"c$i")
+      }
+    val cells = df.agg(aggs.head, aggs.tail: _*)
+    val n = d(col("n"))
+    // sample variances: item i is Bernoulli with cᵢ successes
+    val itemVar = (0 until k).map { i =>
+      (d(col(s"c$i")) - d(col(s"c$i")) * d(col(s"c$i")) / n) / (n - lit(1.0))
+    }.reduce(_ + _)
+    val totVar = (d(col("srr")) - d(col("sr")) * d(col("sr")) / n) /
+      (n - lit(1.0))
+    val alpha = lit(k.toDouble / (k - 1)) * (lit(1.0) - itemVar / totVar)
+    cells.select(col("n"), lit(k).as("k_items"),
+      round(totVar, 6).as("score_var"),
+      when(totVar > 0, round(alpha, 6)).as("alpha"))
+  }
+
+  /** DuckDB mirror of [[cronbachAlpha]] over the `gj(id, g1..gk)` CTE
+    * convention.
+    */
+  def cronbachAlphaSql(k: Int): String = {
+    require(k >= 2 && k <= 6, "cronbachAlphaSql: k out of range")
+    val r = (1 to k).map(g => s"CASE WHEN g$g THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val cSums = (1 to k).map(g =>
+      s"CAST(SUM(CASE WHEN g$g THEN 1 ELSE 0 END) AS BIGINT) AS c$g")
+      .mkString(", ")
+    val itemVar = (1 to k).map(g =>
+      s"(CAST(c$g AS DOUBLE) - CAST(c$g AS DOUBLE) * c$g / n) / (n - 1.0)")
+      .mkString(" + ")
+    s"""c AS (SELECT COUNT(*) AS n, CAST(SUM($r) AS BIGINT) AS sr,
+           CAST(SUM(($r) * ($r)) AS BIGINT) AS srr, $cSums
+         FROM gj),
+       f AS (SELECT n,
+           (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n) / (n - 1.0) AS totvar,
+           $itemVar AS itemvar
+         FROM c)
+       SELECT n, $k AS k_items, round(totvar, 6) AS score_var,
+         CASE WHEN totvar > 0 THEN round(
+           ${k}.0 / ${k - 1} * (1.0 - itemvar / totvar), 6) END AS alpha
+       FROM f"""
+  }
+
+  /** First-order partial correlation (Yule 1907): r of x,y with z held
+    * fixed — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). The
+    * collinearity audit behind feature panels: length and token count
+    * both "predict" entropy until one is controlled for. One scan folds
+    * every pairwise DECIMAL moment; the correlation algebra is a fixed
+    * one-row double shape.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val base = Dedup.parallelize(df).select(
+      col(xCol).cast("decimal(18,6)").as("x"),
+      col(yCol).cast("decimal(18,6)").as("y"),
+      col(zCol).cast("decimal(18,6)").as("z"))
+    val mom = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+    val n = d(col("n"))
+    def corr(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column) =
+      (d(sab) - d(sa) * d(sb) / n) /
+        sqrt((d(saa) - d(sa) * d(sa) / n) * (d(sbb) - d(sb) * d(sb) / n))
+    val rxy = corr(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = corr(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = corr(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    val part = (rxy - rxz * ryz) /
+      sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    mom.select(col("n"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      when(abs(rxz) < 1.0 && abs(ryz) < 1.0, round(part, 6))
+        .as("r_xy_given_z"))
+  }
+
+  /** DuckDB mirror of [[partialCorr]]. */
+  def partialCorrSql(tbl: String, xCol: String, yCol: String,
+      zCol: String): String = {
+    def c(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      s"""(CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * $sb / n)
+         / sqrt((CAST($saa AS DOUBLE) - CAST($sa AS DOUBLE) * $sa / n)
+              * (CAST($sbb AS DOUBLE) - CAST($sb AS DOUBLE) * $sb / n))"""
+    s"""WITH base AS (SELECT CAST($xCol AS DECIMAL(18,6)) AS x,
+           CAST($yCol AS DECIMAL(18,6)) AS y,
+           CAST($zCol AS DECIMAL(18,6)) AS z FROM $tbl),
+       mom AS (SELECT COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+           SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+         FROM base),
+       f AS (SELECT n,
+           ${c("sxy", "sx", "sy", "sxx", "syy")} AS rxy,
+           ${c("sxz", "sx", "sz", "sxx", "szz")} AS rxz,
+           ${c("syz", "sy", "sz", "syy", "szz")} AS ryz
+         FROM mom)
+       SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+         round(ryz, 6) AS r_yz,
+         CASE WHEN abs(rxz) < 1.0 AND abs(ryz) < 1.0 THEN round(
+           (rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+           END AS r_xy_given_z
+       FROM f"""
+  }
+
   /** Cochran's Q (Cochran 1950): the k-gate generalization of McNemar —
     * do k binary quality gates pass systematically different FRACTIONS of
     * the same corpus? Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_i²) ~ χ²(k−1),

@@ -602,6 +602,138 @@ object EventSeq {
        CROSS JOIN nu
        ORDER BY type_a, type_b"""
 
+  /** Sample-ratio mismatch check (the experimentation-platform staple):
+    * χ²(1) of the observed arm split against the designed 50/50. A
+    * significant SRM means the assignment itself is broken (bot
+    * filtering, logging loss, redirect asymmetry) and EVERY downstream
+    * readout on this experiment is suspect — the test to run before any
+    * of [[abConversion]]/[[oddsRatio]]/[[msprtAb]] is believed.
+    */
+  def srmCheck(df: DataFrame, userCol: String,
+      salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val cells = df.select(col(userCol), arm).distinct()
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val n = d(col("n_a")) + d(col("n_b"))
+    val chi2 = (d(col("n_a")) - d(col("n_b"))) *
+      (d(col("n_a")) - d(col("n_b"))) / n
+    cells.select(col("n_a"), col("n_b"),
+      round(d(col("n_a")) / n, 6).as("share_a"),
+      round(chi2, 4).as("chi2"),
+      (chi2 > 3.841).as("srm_detected"))
+  }
+
+  /** DuckDB mirror of [[srmCheck]]. */
+  def srmCheckSql(tbl: String, userCol: String,
+      salt: String = "arm"): String =
+    s"""WITH u AS (SELECT DISTINCT $userCol,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm
+         FROM $tbl),
+       c2 AS (SELECT
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         FROM u),
+       f AS (SELECT n_a, n_b,
+           (CAST(n_a AS DOUBLE) - n_b) * (CAST(n_a AS DOUBLE) - n_b)
+             / (CAST(n_a AS DOUBLE) + n_b) AS chi2
+         FROM c2)
+       SELECT n_a, n_b,
+         round(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS share_a,
+         round(chi2, 4) AS chi2, chi2 > 3.841 AS srm_detected
+       FROM f"""
+
+  /** Φ(z) via the Abramowitz & Stegun 7.1.26 erf polynomial (|ε| <
+    * 1.5e-7) — pure fixed-shape arithmetic both engines can evaluate
+    * bit-consistently, unlike a native erf neither ships.
+    */
+  private def phiAs(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (lit(0.254829592) * t - lit(0.284496736) * t * t +
+      lit(1.421413741) * t * t * t - lit(1.453152027) * t * t * t * t +
+      lit(1.061405429) * t * t * t * t * t)
+    val erf = lit(1.0) - poly * exp(-(x * x))
+    when(z >= 0, lit(0.5) * (lit(1.0) + erf))
+      .otherwise(lit(0.5) * (lit(1.0) - erf))
+  }
+
+  /** Bayesian A/B readout (Beta-Binomial with uniform priors): posterior
+    * conversion means and P(A beats B) via the normal approximation to
+    * the posterior difference — the stakeholder-readable "there's a 97%
+    * chance A is better" that a p-value is not. Same per-user integer
+    * 2×2 as [[abConversion]]; Φ via the A&S erf polynomial so both
+    * engines agree bit-for-bit.
+    */
+  def bayesAb(df: DataFrame, userCol: String, typeCol: String,
+      convType: String, minCount: Int = 1, salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val pu = df.groupBy(col(userCol), arm)
+      .agg((sum(when(col(typeCol) === convType, 1L).otherwise(0L)) >=
+        minCount).as("conv"))
+    val cells = pu.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L)).as("c_b"))
+    def postMean(c: Column, n: Column) =
+      (d(c) + lit(1.0)) / (d(n) + lit(2.0))
+    def postVar(c: Column, n: Column) = {
+      val m = postMean(c, n)
+      m * (lit(1.0) - m) / (d(n) + lit(3.0))
+    }
+    val ma = postMean(col("c_a"), col("n_a"))
+    val mb = postMean(col("c_b"), col("n_b"))
+    val z = (ma - mb) / sqrt(postVar(col("c_a"), col("n_a")) +
+      postVar(col("c_b"), col("n_b")))
+    cells.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(ma, 6).as("post_mean_a"), round(mb, 6).as("post_mean_b"),
+      round(phiAs(z), 6).as("p_a_beats_b"))
+  }
+
+  /** DuckDB mirror of [[bayesAb]] (same A&S 7.1.26 polynomial). */
+  def bayesAbSql(tbl: String, userCol: String, typeCol: String,
+      convType: String, minCount: Int = 1, salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) >= $minCount AS conv
+         FROM $tbl GROUP BY 1, 2),
+       c2 AS (SELECT
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         FROM pu),
+       f AS (SELECT n_a, c_a, n_b, c_b,
+           (CAST(c_a AS DOUBLE) + 1.0) / (n_a + 2.0) AS ma,
+           (CAST(c_b AS DOUBLE) + 1.0) / (n_b + 2.0) AS mb,
+           ((CAST(c_a AS DOUBLE) + 1.0) / (n_a + 2.0))
+             * (1.0 - (CAST(c_a AS DOUBLE) + 1.0) / (n_a + 2.0)) / (n_a + 3.0)
+           + ((CAST(c_b AS DOUBLE) + 1.0) / (n_b + 2.0))
+             * (1.0 - (CAST(c_b AS DOUBLE) + 1.0) / (n_b + 2.0)) / (n_b + 3.0)
+             AS v
+         FROM c2),
+       g AS (SELECT n_a, c_a, n_b, c_b, ma, mb,
+           (ma - mb) / sqrt(v) AS z FROM f),
+       h AS (SELECT n_a, c_a, n_b, c_b, ma, mb, z,
+           abs(z) / sqrt(2.0) AS x FROM g),
+       i AS (SELECT n_a, c_a, n_b, c_b, ma, mb, z, x,
+           1.0 / (1.0 + 0.3275911 * x) AS t FROM h),
+       j AS (SELECT n_a, c_a, n_b, c_b, ma, mb, z,
+           1.0 - (0.254829592 * t - 0.284496736 * t * t
+             + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+             + 1.061405429 * t * t * t * t * t) * exp(-(x * x)) AS erf
+         FROM i)
+       SELECT n_a, c_a, n_b, c_b,
+         round(ma, 6) AS post_mean_a, round(mb, 6) AS post_mean_b,
+         round(CASE WHEN z >= 0 THEN 0.5 * (1.0 + erf)
+                    ELSE 0.5 * (1.0 - erf) END, 6) AS p_a_beats_b
+       FROM j"""
+
   /** Odds ratio + risk ratio with Woolf log-CIs for the md5-arm × conversion
     * 2×2 — the epidemiology-standard readout alongside [[abConversion]]'s
     * z: the z answers "is there an effect", OR/RR answer "how big, on the

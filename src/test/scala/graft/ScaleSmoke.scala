@@ -179,7 +179,9 @@ object ScaleSmoke {
     // session-4 batch 14: XmR control chart, Davies-Bouldin validity
     "xmr_chart", "davies_bouldin",
     // session-4 batch 15: AP/MRR panel, churn hazard
-    "map_panel", "churn_hazard")
+    "map_panel", "churn_hazard",
+    // session-4 batch 16: Cronbach alpha, partial corr, SRM, Bayes A/B
+    "cronbach_alpha", "partial_corr", "srm_check", "bayes_ab")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -551,6 +551,76 @@ class StatTestsSpec extends AnyFunSuite {
     assert(near.min > far.max, s"near=${near.toSeq} vs far=${far.toSeq}")
   }
 
+  test("cronbachAlpha: identical items 1, independent items near 0") {
+    import spark.implicits._
+    val same = (1L to 30L).map(i => (i, i % 2 == 0, i % 2 == 0, i % 2 == 0))
+      .toDF("id", "g1", "g2", "g3")
+    val r1 = Audit.cronbachAlpha(same, "id", Seq("g1", "g2", "g3")).collect()(0)
+    assert(r1.getAs[Double]("alpha") == 1.0)
+    // items cycling at coprime periods → pairwise near-independent
+    val ind = (0L until 210L).map(i => (i, i % 2 == 0, i % 3 == 0, i % 5 == 0))
+      .toDF("id", "g1", "g2", "g3")
+    val r0 = Audit.cronbachAlpha(ind, "id", Seq("g1", "g2", "g3")).collect()(0)
+    assert(math.abs(r0.getAs[Double]("alpha")) < 0.15,
+      s"alpha=${r0.getAs[Double]("alpha")}")
+  }
+
+  test("partialCorr: mediated correlation vanishes when z is controlled") {
+    import spark.implicits._
+    // x and y both driven by z: marginally correlated, partially not
+    val rows = (1 to 200).map { i =>
+      val z = (i % 20).toDouble
+      (i.toLong, 2 * z + (i % 3) - 1, 3 * z + ((i / 3) % 3) - 1, z)
+    }.toDF("id", "x", "y", "z")
+    val r = Audit.partialCorr(rows, "x", "y", "z").collect()(0)
+    assert(r.getAs[Double]("r_xy") > 0.9)
+    assert(math.abs(r.getAs[Double]("r_xy_given_z")) < 0.15,
+      s"partial=${r.getAs[Double]("r_xy_given_z")}")
+  }
+
+  test("srmCheck: md5 split passes, biased filter trips the alarm") {
+    import spark.implicits._
+    def md5Arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      Integer.parseInt(f"${d(0)}%02x", 16) % 2
+    }
+    val all = (1L to 2000L).map(u => Tuple1(u)).toDF("user_id")
+    val ok = EventSeq.srmCheck(all, "user_id").collect()(0)
+    assert(!ok.getAs[Boolean]("srm_detected"),
+      s"chi2=${ok.getAs[Double]("chi2")}")
+    // drop 30% of ONE arm (a logging-loss bug) → SRM fires
+    val biased = (1L to 2000L).filter(u => md5Arm(u) == 0 || u % 10 < 7)
+      .map(u => Tuple1(u)).toDF("user_id")
+    val bad = EventSeq.srmCheck(biased, "user_id").collect()(0)
+    assert(bad.getAs[Boolean]("srm_detected"))
+  }
+
+  test("bayesAb: planted winner near certainty, symmetric arms near half") {
+    import spark.implicits._
+    def md5Arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      Integer.parseInt(f"${d(0)}%02x", 16) % 2
+    }
+    // arm 0 converts at ~60%, arm 1 at ~20%
+    val planted = (1L to 800L).map { u =>
+      val conv = if (md5Arm(u) == 0) u % 5 < 3 else u % 5 < 1
+      (u, if (conv) "purchase" else "view")
+    }.toDF("user_id", "event_type")
+    val r = EventSeq.bayesAb(planted, "user_id", "event_type", "purchase")
+      .collect()(0)
+    assert(r.getAs[Double]("p_a_beats_b") > 0.999)
+    assert(r.getAs[Double]("post_mean_a") > r.getAs[Double]("post_mean_b"))
+    // same conversion rule for both arms → P(A>B) near 0.5
+    val sym = (1L to 800L).map(u => (u, if (u % 5 < 2) "purchase" else "view"))
+      .toDF("user_id", "event_type")
+    val rs = EventSeq.bayesAb(sym, "user_id", "event_type", "purchase")
+      .collect()(0)
+    val p = rs.getAs[Double]("p_a_beats_b")
+    assert(p > 0.1 && p < 0.9, s"p=$p")
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
