@@ -2760,6 +2760,19 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // length-invariant vocabulary richness per source (Yule's K over the
+    // frequency-of-frequencies spectrum)
+    "yule_k" -> ((s, dir) =>
+      TextAnalysis.yuleK(Tables.documents(s, dir), "source", "text")),
+    // which terms CLUMP into few docs vs scatter (Church-Gale df vs
+    // Poisson expectation) — the term-level topical/boilerplate signal
+    "term_burstiness" -> ((s, dir) =>
+      TextAnalysis.termBurstiness(Tables.documents(s, dir), "doc_id",
+        "text")),
+    // foundation audit: χ²(255) uniformity of the md5 bucketing every
+    // split/arm/salt on this board relies on, over real user ids
+    "hash_uniformity" -> ((s, dir) =>
+      operators.Audit.hashUniformity(ev(s, dir), "user_id")),
     // dense-template mass: 2-/3-core of the near-dup graph — clique-like
     // boilerplate vs star fan-out, which pair counts can't separate
     "kcore_dups" -> ((s, dir) =>
@@ -5212,6 +5225,12 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "yule_k" ->
+      TextAnalysis.yuleKSql("documents", "source", "text"),
+    "term_burstiness" ->
+      TextAnalysis.termBurstinessSql("documents", "doc_id", "text"),
+    "hash_uniformity" ->
+      operators.Audit.hashUniformitySql("events", "user_id"),
     "davies_bouldin" -> {
       val (kmCtes, cent) = operators.Similarity.kmeansCentSqlCtes(
         "embeddings", "vec_id", "embedding", nCentroids = 8, iters = 1,

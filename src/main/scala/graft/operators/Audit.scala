@@ -415,6 +415,60 @@ object Audit {
        FROM f"""
   }
 
+  /** Hash-uniformity audit: χ²(255) of the first-md5-byte bucket counts
+    * against uniform. Every arm assignment, split, salt, and sampling
+    * decision on this board rides md5 bucketing — this is the one query
+    * that VALIDATES that foundation on the actual key population (a
+    * pathological id scheme can't break md5, but a truncated or
+    * whitespace-damaged key column can collapse buckets). Critical value
+    * via Wilson–Hilferty, the [[graft.operators.Temporal.dispersionTest]]
+    * closed form.
+    */
+  def hashUniformity(df: DataFrame, keyCol: String,
+      salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val bucket = conv(substring(md5(concat(lit(salt + ":"),
+      col(keyCol).cast("string"))), 1, 2), 16, 10).cast("int")
+    val byB = df.select(col(keyCol)).distinct()
+      .groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+    val agg = byB.agg(sum(col("c")).as("n"), count(lit(1)).as("k_seen"),
+      sum((col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("scc"),
+      max(col("c")).as("cmax"), min(col("c")).as("cmin"))
+    val n = d(col("n"))
+    // χ² = 256/n·Σc² − n over the FULL 256-cell grid (absent cells add 0
+    // to Σc² and their expectation is inside the −n term)
+    val chi2 = lit(256.0) / n * d(col("scc")) - n
+    val dfree = lit(255.0)
+    val wh = lit(1.0) - lit(2.0) / (lit(9.0) * dfree) +
+      lit(1.645) * sqrt(lit(2.0) / (lit(9.0) * dfree))
+    val crit = dfree * wh * wh * wh
+    agg.select(col("n").cast("long").as("n_keys"), col("k_seen"),
+      col("cmax"), col("cmin"),
+      round(chi2, 4).as("chi2"),
+      (chi2 > crit).as("nonuniform_95"))
+  }
+
+  /** DuckDB mirror of [[hashUniformity]]. */
+  def hashUniformitySql(tbl: String, keyCol: String,
+      salt: String = "arm"): String =
+    s"""WITH byb AS (SELECT
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($keyCol AS VARCHAR)),1,2) AS INT) AS b,
+           COUNT(*) AS c
+         FROM (SELECT DISTINCT $keyCol FROM $tbl) GROUP BY 1),
+       agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k_seen,
+           SUM(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS scc,
+           CAST(MAX(c) AS BIGINT) AS cmax, CAST(MIN(c) AS BIGINT) AS cmin
+         FROM byb),
+       f AS (SELECT n, k_seen, cmax, cmin,
+           256.0 / n * CAST(scc AS DOUBLE) - n AS chi2,
+           255.0 * pow(1.0 - 2.0 / (9.0 * 255.0)
+             + 1.645 * sqrt(2.0 / (9.0 * 255.0)), 3) AS crit
+         FROM agg)
+       SELECT n AS n_keys, k_seen, cmax, cmin,
+         round(chi2, 4) AS chi2, chi2 > crit AS nonuniform_95
+       FROM f"""
+
   /** Cochran's Q (Cochran 1950): the k-gate generalization of McNemar —
     * do k binary quality gates pass systematically different FRACTIONS of
     * the same corpus? Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_i²) ~ χ²(k−1),

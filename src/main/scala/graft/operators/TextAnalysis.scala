@@ -2046,4 +2046,96 @@ object TextAnalysis {
        FROM cells
        WHERE CAST(a AS DOUBLE) * n_tot > CAST(r_tot AS DOUBLE) * c_tot
        ORDER BY g2 DESC, w1, w2 LIMIT $topN"""
+
+  /** Yule's characteristic K (Yule 1944) per source: the repeat-rate
+    * constant 10⁴·(Σm²·V_m − N)/N² over the frequency-of-frequencies
+    * spectrum — a length-INVARIANT vocabulary-richness number where raw
+    * TTR shrinks with corpus size (that invariance is the whole point:
+    * sources of different volumes become comparable). High K = heavy
+    * word reuse (template/boilerplate prose), low K = lexically rich.
+    * Complements [[heapsLaw]] (growth exponent) and MATTR (windowed):
+    * one constant per source, no fitting.
+    *
+    * Two aggs over the per-source type table (term → m), then the
+    * m-bounded spectrum; integer throughout until the final ratio.
+    */
+  def yuleK(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val tf = Dedup.parallelize(df)
+      .select(col(sourceCol).as("src"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as("m"))
+    val spec = tf.groupBy(col("src"), col("m")).agg(count(lit(1)).as("vm"))
+    spec.groupBy("src")
+      .agg(sum(col("m") * col("vm")).as("n_tokens"),
+        sum(col("vm")).as("v_types"),
+        sum(col("m") * col("m") * col("vm")).as("smm"))
+      .select(col("src").as(sourceCol), col("n_tokens"), col("v_types"),
+        round(lit(1e4) * (d(col("smm")) - d(col("n_tokens"))) /
+          (d(col("n_tokens")) * d(col("n_tokens"))), 4).as("yule_k"))
+      .orderBy(sourceCol)
+  }
+
+  /** DuckDB mirror of [[yuleK]]. */
+  def yuleKSql(tbl: String, sourceCol: String, textCol: String): String =
+    s"""WITH tf AS (SELECT $sourceCol AS src, term, COUNT(*) AS m FROM (
+           SELECT $sourceCol, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+           FROM $tbl) GROUP BY 1, 2),
+       spec AS (SELECT src, m, COUNT(*) AS vm FROM tf GROUP BY 1, 2),
+       agg AS (SELECT src, CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+           CAST(SUM(vm) AS BIGINT) AS v_types,
+           CAST(SUM(m * m * vm) AS BIGINT) AS smm
+         FROM spec GROUP BY 1)
+       SELECT src AS $sourceCol, n_tokens, v_types,
+         round(1e4 * (CAST(smm AS DOUBLE) - n_tokens)
+           / (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k
+       FROM agg ORDER BY $sourceCol"""
+
+  /** Term burstiness (Church & Gale 1995): observed document frequency
+    * vs the Poisson expectation E[df] = D·(1 − e^(−cf/D)) for a term
+    * scattered independently at its corpus rate. ratio << 1 = the term
+    * CLUMPS into few documents (topical/boilerplate; a great dedup or
+    * topic signal), ratio ≈ 1 = function-word-like spread. Reports the
+    * `topN` most bursty terms above a frequency floor — the term-level
+    * diagnostic [[sourceKeyness]]'s source-level contrasts can't give.
+    *
+    * One explode → (term, cf, df) type-table agg; corpus doc count
+    * broadcast; TakeOrdered top-N, ties by term.
+    */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      minCf: Long = 20, topN: Int = 20): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val dTot = df.agg(count(lit(1)).as("n_docs"))
+    val stats = Dedup.parallelize(df)
+      .select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cf"), countDistinct(col(idCol)).as("df"))
+      .where(col("cf") >= minCf)
+    stats.crossJoin(broadcast(dTot))
+      .select(col("term"), col("cf"), col("df"), col("n_docs"),
+        round(d(col("n_docs")) *
+          (lit(1.0) - exp(-d(col("cf")) / d(col("n_docs")))), 4)
+          .as("expected_df"))
+      .withColumn("burstiness",
+        round(d(col("df")) / col("expected_df"), 6))
+      .orderBy(col("burstiness").asc, col("term").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB mirror of [[termBurstiness]]. */
+  def termBurstinessSql(tbl: String, idCol: String, textCol: String,
+      minCf: Long = 20, topN: Int = 20): String =
+    s"""WITH dt AS (SELECT COUNT(*) AS n_docs FROM $tbl),
+       st AS (SELECT term, COUNT(*) AS cf,
+           COUNT(DISTINCT $idCol) AS df FROM (
+           SELECT $idCol, unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+           FROM $tbl) GROUP BY 1 HAVING COUNT(*) >= $minCf),
+       f AS (SELECT term, cf, df, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+             * (1.0 - exp(-CAST(cf AS DOUBLE) / n_docs)), 4) AS expected_df
+         FROM st CROSS JOIN dt)
+       SELECT term, cf, df, n_docs, expected_df,
+         round(CAST(df AS DOUBLE) / expected_df, 6) AS burstiness
+       FROM f ORDER BY burstiness ASC, term ASC LIMIT $topN"""
 }

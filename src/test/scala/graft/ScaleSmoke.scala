@@ -181,7 +181,9 @@ object ScaleSmoke {
     // session-4 batch 15: AP/MRR panel, churn hazard
     "map_panel", "churn_hazard",
     // session-4 batch 16: Cronbach alpha, partial corr, SRM, Bayes A/B
-    "cronbach_alpha", "partial_corr", "srm_check", "bayes_ab")
+    "cronbach_alpha", "partial_corr", "srm_check", "bayes_ab",
+    // session-4 batch 17: Yule K, term burstiness, hash uniformity
+    "yule_k", "term_burstiness", "hash_uniformity")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

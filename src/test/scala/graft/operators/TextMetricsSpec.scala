@@ -112,4 +112,34 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(out.contains((0L, 1L, 11L, 1)), s"hardest negative first: $out")
     assert(out.contains((0L, 2L, 12L, 1)), s"orthogonal second: $out")
   }
+
+  test("yuleK: all-distinct tokens score 0, pure repetition scores high") {
+    import spark.implicits._
+    // rich: 100 distinct words once each → Σm²V = N → K = 0
+    val rich = ("rich", (1 to 100).map(i => s"w$i").mkString(" "))
+    // loop: one word 100 times → K = 1e4·(100² − 100)/100² = 9900
+    val loop = ("loop", Seq.fill(100)("w").mkString(" "))
+    val out = TextAnalysis.yuleK(Seq(rich, loop).toDF("source", "text"),
+      "source", "text").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("rich").getAs[Double]("yule_k") == 0.0)
+    assert(out("loop").getAs[Double]("yule_k") == 9900.0)
+    assert(out("rich").getAs[Long]("v_types") == 100L)
+  }
+
+  test("termBurstiness: clumped term ranks burstier than scattered term") {
+    import spark.implicits._
+    // "clump" appears 40 times inside 2 docs; "spread" once in each of 40
+    val docs = ((1 to 2).map(i =>
+      (i.toLong, Seq.fill(20)("clump").mkString(" "))) ++
+      (3 to 42).map(i => (i.toLong, "spread filler")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.termBurstiness(docs, "doc_id", "text",
+      minCf = 20, topN = 5).collect()
+    assert(out.head.getAs[String]("term") == "clump")
+    val clump = out.head
+    assert(clump.getAs[Long]("df") == 2L && clump.getAs[Long]("cf") == 40L)
+    assert(clump.getAs[Double]("burstiness") < 0.1)
+    val spread = out.find(_.getAs[String]("term") == "spread").get
+    assert(spread.getAs[Double]("burstiness") > 0.9)
+  }
 }
