@@ -2760,6 +2760,17 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // mix-shift-corrected A/B: raw vs post-stratified diff over the
+    // first-activity-dow strata — disagreement = the raw read was
+    // confounded
+    "post_strat" -> ((s, dir) =>
+      operators.EventSeq.postStrat(ev(s, dir), "user_id", "event_type",
+        "ts", convType = "purchase")),
+    // the aggregation-artifact alarm: do all strata agree on a sign the
+    // pooled diff contradicts
+    "simpsons_check" -> ((s, dir) =>
+      operators.EventSeq.simpsonsCheck(ev(s, dir), "user_id", "event_type",
+        "ts", convType = "purchase")),
     // length-invariant vocabulary richness per source (Yule's K over the
     // frequency-of-frequencies spectrum)
     "yule_k" -> ((s, dir) =>
@@ -5225,6 +5236,12 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "post_strat" ->
+      operators.EventSeq.postStratSql("events", "user_id", "event_type",
+        "ts", convType = "purchase"),
+    "simpsons_check" ->
+      operators.EventSeq.simpsonsCheckSql("events", "user_id", "event_type",
+        "ts", convType = "purchase"),
     "yule_k" ->
       TextAnalysis.yuleKSql("documents", "source", "text"),
     "term_burstiness" ->

@@ -602,6 +602,175 @@ object EventSeq {
        CROSS JOIN nu
        ORDER BY type_a, type_b"""
 
+  /** Post-stratified A/B estimate (Miratrix et al. 2013): the arm
+    * difference re-weighted within strata of a PRE-treatment covariate
+    * (the user's first-activity day-of-week) — removes the variance and
+    * bias a lumpy covariate mix injects into the raw difference. Reports
+    * raw vs post-stratified diff + SE: when the two disagree, the raw
+    * readout was confounded by the mix.
+    *
+    * One per-user pass (arm, stratum, converted), a strata-bounded 2×2
+    * layer, round-then-DECIMAL weighted folds.
+    */
+  def postStrat(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, convType: String, minCount: Int = 1,
+      salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val pu = df.groupBy(col(userCol), arm)
+      .agg(
+        ((pmod(floor(min(unix_millis(col(tsCol))) / 86400000L) + 4, lit(7)))
+          .cast("int")).as("stratum"),
+        (sum(when(col(typeCol) === convType, 1L).otherwise(0L)) >=
+          minCount).as("conv"))
+    val byS = pu.groupBy("stratum")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L)).as("cb"))
+      .where(col("na") > 0 && col("nb") > 0)
+    val tot = byS.agg(sum(col("na") + col("nb")).as("n"),
+      sum(col("na")).as("nat"), sum(col("ca")).as("cat"),
+      sum(col("nb")).as("nbt"), sum(col("cb")).as("cbt"))
+    val pa = d(col("ca")) / d(col("na"))
+    val pb = d(col("cb")) / d(col("nb"))
+    val w = (d(col("na")) + d(col("nb"))) / d(col("n"))
+    val terms = byS.crossJoin(broadcast(tot))
+      .select(col("n"), col("nat"), col("cat"), col("nbt"), col("cbt"),
+        round(w * (pa - pb), 9).cast("decimal(28,9)").as("wd"),
+        round(w * w * (pa * (lit(1.0) - pa) / d(col("na")) +
+          pb * (lit(1.0) - pb) / d(col("nb"))), 9)
+          .cast("decimal(28,9)").as("wv"),
+        lit(1L).as("one"))
+    val agg = terms.groupBy("n", "nat", "cat", "nbt", "cbt")
+      .agg(sum(col("wd")).as("psd"), sum(col("wv")).as("psv"),
+        sum(col("one")).as("k_strata"))
+    val rawDiff = d(col("cat")) / d(col("nat")) - d(col("cbt")) / d(col("nbt"))
+    val z = d(col("psd")) / sqrt(d(col("psv")))
+    agg.select(col("n").cast("long").as("n_users"), col("k_strata"),
+      round(rawDiff, 6).as("raw_diff"),
+      round(d(col("psd")), 6).as("poststrat_diff"),
+      round(sqrt(d(col("psv"))), 6).as("se"),
+      when(col("psv") > 0, round(z, 4)).as("z"),
+      when(col("psv") > 0, abs(z) > 1.96).as("sig_95"))
+  }
+
+  /** DuckDB mirror of [[postStrat]] (dow = (epoch_days + 4) mod 7, the
+    * board's portable day-of-week).
+    */
+  def postStratSql(tbl: String, userCol: String, typeCol: String,
+      tsCol: String, convType: String, minCount: Int = 1,
+      salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST((CAST(floor(MIN(epoch_ms($tsCol)) / 86400000) AS BIGINT) + 4) % 7 AS INT) AS stratum,
+           SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) >= $minCount AS conv
+         FROM $tbl GROUP BY 1, 2),
+       bys AS (SELECT stratum,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM pu GROUP BY 1 HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0),
+       tot AS (SELECT CAST(SUM(na + nb) AS BIGINT) AS n,
+           CAST(SUM(na) AS BIGINT) AS nat, CAST(SUM(ca) AS BIGINT) AS cat,
+           CAST(SUM(nb) AS BIGINT) AS nbt, CAST(SUM(cb) AS BIGINT) AS cbt
+         FROM bys),
+       terms AS (SELECT n, nat, cat, nbt, cbt,
+           CAST(round((CAST(na + nb AS DOUBLE) / n)
+             * (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb), 9)
+             AS DECIMAL(28,9)) AS wd,
+           CAST(round((CAST(na + nb AS DOUBLE) / n) * (CAST(na + nb AS DOUBLE) / n)
+             * ((CAST(ca AS DOUBLE) / na) * (1.0 - CAST(ca AS DOUBLE) / na) / na
+              + (CAST(cb AS DOUBLE) / nb) * (1.0 - CAST(cb AS DOUBLE) / nb) / nb), 9)
+             AS DECIMAL(28,9)) AS wv
+         FROM bys CROSS JOIN tot),
+       agg AS (SELECT n, nat, cat, nbt, cbt, SUM(wd) AS psd, SUM(wv) AS psv,
+           COUNT(*) AS k_strata
+         FROM terms GROUP BY 1, 2, 3, 4, 5)
+       SELECT n AS n_users, k_strata,
+         round(CAST(cat AS DOUBLE) / nat - CAST(cbt AS DOUBLE) / nbt, 6) AS raw_diff,
+         round(CAST(psd AS DOUBLE), 6) AS poststrat_diff,
+         round(sqrt(CAST(psv AS DOUBLE)), 6) AS se,
+         CASE WHEN psv > 0 THEN round(CAST(psd AS DOUBLE) / sqrt(CAST(psv AS DOUBLE)), 4) END AS z,
+         CASE WHEN psv > 0 THEN abs(CAST(psd AS DOUBLE) / sqrt(CAST(psv AS DOUBLE))) > 1.96 END AS sig_95
+       FROM agg"""
+
+  /** Simpson's-paradox detector over the same stratification as
+    * [[postStrat]]: the paradox fires when EVERY stratum's arm difference
+    * carries one sign and the pooled difference carries the other — the
+    * aggregation artifact that makes a harmful variant look good (or vice
+    * versa) purely through mix shift. Reported with the stratum sign
+    * census so a near-paradox (most-but-not-all strata flipped) is
+    * visible before it matures into a full one.
+    */
+  def simpsonsCheck(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, convType: String, minCount: Int = 1,
+      salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val pu = df.groupBy(col(userCol), arm)
+      .agg(
+        ((pmod(floor(min(unix_millis(col(tsCol))) / 86400000L) + 4, lit(7)))
+          .cast("int")).as("stratum"),
+        (sum(when(col(typeCol) === convType, 1L).otherwise(0L)) >=
+          minCount).as("conv"))
+    val byS = pu.groupBy("stratum")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L)).as("cb"))
+      .where(col("na") > 0 && col("nb") > 0)
+    // integer cross-multiplied sign: ca·nb − cb·na
+    val sgn = col("ca") * col("nb") - col("cb") * col("na")
+    val census = byS.agg(count(lit(1)).as("k_strata"),
+      sum(when(sgn > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(sgn < 0, 1L).otherwise(0L)).as("n_neg"),
+      sum(col("na")).as("nat"), sum(col("ca")).as("cat"),
+      sum(col("nb")).as("nbt"), sum(col("cb")).as("cbt"))
+    val overall = col("cat") * col("nbt") - col("cbt") * col("nat")
+    census.select(col("k_strata"), col("n_pos").as("n_strata_pos"),
+      col("n_neg").as("n_strata_neg"),
+      round(d(col("cat")) / d(col("nat")) - d(col("cbt")) / d(col("nbt")), 6)
+        .as("overall_diff"),
+      ((overall > 0 && col("n_pos") === 0 && col("n_neg") > 0) ||
+        (overall < 0 && col("n_neg") === 0 && col("n_pos") > 0))
+        .as("paradox"))
+  }
+
+  /** DuckDB mirror of [[simpsonsCheck]]. */
+  def simpsonsCheckSql(tbl: String, userCol: String, typeCol: String,
+      tsCol: String, convType: String, minCount: Int = 1,
+      salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           CAST((CAST(floor(MIN(epoch_ms($tsCol)) / 86400000) AS BIGINT) + 4) % 7 AS INT) AS stratum,
+           SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) >= $minCount AS conv
+         FROM $tbl GROUP BY 1, 2),
+       bys AS (SELECT stratum,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM pu GROUP BY 1 HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0),
+       c AS (SELECT COUNT(*) AS k_strata,
+           CAST(SUM(CASE WHEN ca * nb - cb * na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN ca * nb - cb * na < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(SUM(na) AS BIGINT) AS nat, CAST(SUM(ca) AS BIGINT) AS cat,
+           CAST(SUM(nb) AS BIGINT) AS nbt, CAST(SUM(cb) AS BIGINT) AS cbt
+         FROM bys)
+       SELECT k_strata, n_pos AS n_strata_pos, n_neg AS n_strata_neg,
+         round(CAST(cat AS DOUBLE) / nat - CAST(cbt AS DOUBLE) / nbt, 6)
+           AS overall_diff,
+         (cat * nbt - cbt * nat > 0 AND n_pos = 0 AND n_neg > 0)
+           OR (cat * nbt - cbt * nat < 0 AND n_neg = 0 AND n_pos > 0)
+           AS paradox
+       FROM c"""
+
   /** Sample-ratio mismatch check (the experimentation-platform staple):
     * χ²(1) of the observed arm split against the designed 50/50. A
     * significant SRM means the assignment itself is broken (bot

@@ -183,7 +183,9 @@ object ScaleSmoke {
     // session-4 batch 16: Cronbach alpha, partial corr, SRM, Bayes A/B
     "cronbach_alpha", "partial_corr", "srm_check", "bayes_ab",
     // session-4 batch 17: Yule K, term burstiness, hash uniformity
-    "yule_k", "term_burstiness", "hash_uniformity")
+    "yule_k", "term_burstiness", "hash_uniformity",
+    // session-4 batch 18: post-stratification, Simpson's paradox alarm
+    "post_strat", "simpsons_check")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -621,6 +621,44 @@ class StatTestsSpec extends AnyFunSuite {
     assert(p > 0.1 && p < 0.9, s"p=$p")
   }
 
+  test("simpsonsCheck + postStrat: planted mix-shift paradox detected and corrected") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    def md5Arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      Integer.parseInt(f"${d(0)}%02x", 16) % 2
+    }
+    // pick deterministic users of each true arm
+    val armOf = (1L to 5000L).groupBy(md5Arm)
+    val a = armOf(0).toSeq.sorted
+    val b = armOf(1).toSeq.sorted
+    // stratum HIGH (day 0): A-heavy, both convert often, B slightly better
+    //   A: 80 users, 72 convert; B: 20 users, 19 convert
+    // stratum LOW (day 3): B-heavy, both convert rarely, B slightly better
+    //   A: 20 users, 2 convert;  B: 80 users, 12 convert
+    def mk(users: Seq[Long], day: Int, nConv: Int) =
+      users.zipWithIndex.map { case (u, i) =>
+        (u, if (i < nConv) "purchase" else "view",
+          new java.sql.Timestamp(day * MsPerDay + i))
+      }
+    val rows = mk(a.take(80), 0, 72) ++ mk(b.take(20), 0, 19) ++
+      mk(a.slice(80, 100), 3, 2) ++ mk(b.slice(20, 100), 3, 12)
+    val df = rows.toDF("user_id", "event_type", "ts")
+    val sc = EventSeq.simpsonsCheck(df, "user_id", "event_type", "ts",
+      "purchase").collect()(0)
+    assert(sc.getAs[Long]("k_strata") == 2L)
+    assert(sc.getAs[Long]("n_strata_pos") == 0L)
+    assert(sc.getAs[Long]("n_strata_neg") == 2L)
+    assert(sc.getAs[Double]("overall_diff") > 0.3)
+    assert(sc.getAs[Boolean]("paradox"))
+    val ps = EventSeq.postStrat(df, "user_id", "event_type", "ts",
+      "purchase").collect()(0)
+    assert(ps.getAs[Double]("raw_diff") > 0.3)
+    assert(ps.getAs[Double]("poststrat_diff") < 0,
+      s"poststrat=${ps.getAs[Double]("poststrat_diff")}")
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
