@@ -957,6 +957,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
+  test("basket_lift: distinct collapse first, marginals broadcast, no cartesian") {
+    val plan = planOf(SparkEntry.queries("basket_lift")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"marginals should broadcast:\n$plan")
+    assert("partial_count|partial count".r.findFirstIn(plan).isDefined ||
+      "partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"pair counts should combine map-side:\n$plan")
+  }
+
+  test("pot_tail: per-key thresholds broadcast back onto the day grid") {
+    val plan = planOf(SparkEntry.queries("pot_tail")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("churn_hazard: lifetimes are one hash agg; window rides the age relation") {
+    val plan = planOf(SparkEntry.queries("churn_hazard")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert("partial_min|partial_max|partial min|partial max".r
+      .findFirstIn(plan).isDefined,
+      s"lifetime agg should combine map-side:\n$plan")
+    assert(plan.contains("Window"), s"reverse-cum window expected:\n$plan")
+  }
+
+  test("post_strat: one per-user pass, strata layer is agg-bounded") {
+    val plan = planOf(SparkEntry.queries("post_strat")(spark, sf))
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"only the one-row total may nest:\n$plan")
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"user pass should combine map-side:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")
