@@ -2760,6 +2760,15 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // the product pulse: exact DAU/WAU/MAU + stickiness via a bounded
+    // 28-day fan-out of the user-day relation
+    "active_users" -> ((s, dir) =>
+      operators.EventSeq.activeUsers(ev(s, dir), "user_id", "ts")),
+    // magnitude companions to the tests: Cohen's h (proportions) and d
+    // (values) between the md5 arms in one row
+    "effect_sizes" -> ((s, dir) =>
+      operators.EventSeq.effectSizes(ev(s, dir), "user_id", "event_type",
+        "value", convType = "purchase")),
     // mix-shift-corrected A/B: raw vs post-stratified diff over the
     // first-activity-dow strata — disagreement = the raw read was
     // confounded
@@ -5236,6 +5245,11 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "active_users" ->
+      operators.EventSeq.activeUsersSql("events", "user_id", "ts"),
+    "effect_sizes" ->
+      operators.EventSeq.effectSizesSql("events", "user_id", "event_type",
+        "value", convType = "purchase"),
     "post_strat" ->
       operators.EventSeq.postStratSql("events", "user_id", "event_type",
         "ts", convType = "purchase"),

@@ -496,6 +496,154 @@ object EventSeq {
     * so both engines agree bit-for-bit. One scan, a 2-row arm aggregate,
     * one output row.
     */
+  /** DAU/WAU/MAU active-user curves with the DAU/MAU stickiness ratio —
+    * the product-analytics pulse. Trailing windows are EXACT distinct
+    * counts: the (user, day) relation fans out to the ≤28 future days
+    * each activity keeps a user "active" for, then one distinct-agg per
+    * horizon — a deliberate 28× expansion of the user-day relation
+    * (documented cost; the HLL sketch drops in for the approximate
+    * variant at extreme scale, fold unchanged). Calendar-bounded output.
+    */
+  def activeUsers(df: DataFrame, userCol: String, tsCol: String,
+      wauDays: Int = 7, mauDays: Int = 28): DataFrame = {
+    require(wauDays < mauDays, "activeUsers: wau must be < mau")
+    def d(c: Column) = c.cast("double")
+    val day = floor(unix_millis(col(tsCol)) / 86400000L)
+    val ud = df.select(col(userCol).as("u"), day.as("day")).distinct()
+    val span = ud.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val grid = span.select(
+      explode(sequence(col("dmin"), col("dmax"))).as("day"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val fan = ud.crossJoin(broadcast(span))
+      .select(col("u"), col("day"),
+        explode(sequence(col("day"), least(col("day") + (mauDays - 1),
+          col("dmax")))).as("t"))
+      .select(col("u"), col("t"), (col("t") - col("day")).as("off"))
+    val wau = fan.where(col("off") < wauDays)
+      .select(col("t"), col("u")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("wau"))
+    val mau = fan.select(col("t"), col("u")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("mau"))
+    grid
+      .join(dau, Seq("day"), "left")
+      .join(wau, grid("day") === wau("t"), "left").drop("t")
+      .join(mau, grid("day") === mau("t"), "left").drop("t")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness",
+        when(col("mau") > 0,
+          round(d(col("dau")) / d(col("mau")), 6)))
+      .orderBy("day")
+  }
+
+  /** DuckDB mirror of [[activeUsers]]. */
+  def activeUsersSql(tbl: String, userCol: String, tsCol: String,
+      wauDays: Int = 7, mauDays: Int = 28): String =
+    s"""WITH ud AS (SELECT DISTINCT $userCol AS u,
+           CAST(floor(epoch_ms($tsCol) / 86400000) AS BIGINT) AS day
+         FROM $tbl),
+       span AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ud),
+       grid AS (SELECT CAST(g.d AS BIGINT) AS day FROM span,
+         unnest(range(dmin, dmax + 1)) AS g(d)),
+       dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+       fan AS (SELECT u, CAST(t AS BIGINT) AS t, CAST(t AS BIGINT) - day AS off
+         FROM ud CROSS JOIN span,
+           unnest(range(day, least(day + $mauDays, dmax + 1))) AS g(t)),
+       wau AS (SELECT t, COUNT(*) AS wau FROM
+         (SELECT DISTINCT t, u FROM fan WHERE off < $wauDays) GROUP BY t),
+       mau AS (SELECT t, COUNT(*) AS mau FROM
+         (SELECT DISTINCT t, u FROM fan) GROUP BY t)
+       SELECT grid.day, COALESCE(dau, 0) AS dau, COALESCE(wau, 0) AS wau,
+         COALESCE(mau, 0) AS mau,
+         CASE WHEN COALESCE(mau, 0) > 0
+           THEN round(CAST(COALESCE(dau, 0) AS DOUBLE) / mau, 6) END
+           AS stickiness
+       FROM grid LEFT JOIN dau ON dau.day = grid.day
+       LEFT JOIN wau ON wau.t = grid.day
+       LEFT JOIN mau ON mau.t = grid.day
+       ORDER BY grid.day"""
+
+  /** Cohen's effect sizes for the md5-arm experiment, both families in
+    * one row: h = 2·(asin√p_a − asin√p_b) for the conversion proportions
+    * (the arcsine-stabilized gap [[graft.operators]] power planning uses)
+    * and d = (m_a − m_b)/s_pooled for the continuous value metric. The
+    * MAGNITUDE companions to the yes/no tests — two experiments with
+    * equal p-values can carry wildly different h/d.
+    */
+  def effectSizes(df: DataFrame, userCol: String, typeCol: String,
+      valCol: String, convType: String, minCount: Int = 1,
+      salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val pu = df.groupBy(col(userCol), arm)
+      .agg((sum(when(col(typeCol) === convType, 1L).otherwise(0L)) >=
+        minCount).as("conv"))
+    val props = pu.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L)).as("c_b"))
+    val vals = df.where(col(typeCol) === convType)
+      .select(arm, col(valCol).cast("decimal(18,6)").as("x"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("nv"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val va = vals.where(col("arm") === 0)
+      .select(col("nv").as("nva"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val vb = vals.where(col("arm") === 1)
+      .select(col("nv").as("nvb"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+    val pa = d(col("c_a")) / d(col("n_a"))
+    val pb = d(col("c_b")) / d(col("n_b"))
+    val h = lit(2.0) * (asin(sqrt(pa)) - asin(sqrt(pb)))
+    val ma = d(col("sxa")) / d(col("nva"))
+    val mb = d(col("sxb")) / d(col("nvb"))
+    val ssA = d(col("sxxa")) - d(col("sxa")) * d(col("sxa")) / d(col("nva"))
+    val ssB = d(col("sxxb")) - d(col("sxb")) * d(col("sxb")) / d(col("nvb"))
+    val sp = sqrt((ssA + ssB) / (d(col("nva")) + d(col("nvb")) - lit(2.0)))
+    props.crossJoin(broadcast(va)).crossJoin(broadcast(vb))
+      .select(col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(h, 6).as("cohens_h"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        when(sp > 0, round((ma - mb) / sp, 6)).as("cohens_d"))
+  }
+
+  /** DuckDB mirror of [[effectSizes]]. */
+  def effectSizesSql(tbl: String, userCol: String, typeCol: String,
+      valCol: String, convType: String, minCount: Int = 1,
+      salt: String = "arm"): String =
+    s"""WITH pu AS (SELECT $userCol,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) >= $minCount AS conv
+         FROM $tbl GROUP BY 1, 2),
+       props AS (SELECT
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         FROM pu),
+       vals AS (SELECT
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           COUNT(*) AS nv, SUM(CAST($valCol AS DECIMAL(18,6))) AS sx,
+           SUM(CAST($valCol AS DECIMAL(18,6)) * CAST($valCol AS DECIMAL(18,6))) AS sxx
+         FROM $tbl WHERE $typeCol = ${OracleSql.lit(convType)} GROUP BY 1),
+       va AS (SELECT nv AS nva, sx AS sxa, sxx AS sxxa FROM vals WHERE arm = 0),
+       vb AS (SELECT nv AS nvb, sx AS sxb, sxx AS sxxb FROM vals WHERE arm = 1),
+       f AS (SELECT n_a, n_b,
+           CAST(c_a AS DOUBLE) / n_a AS pa, CAST(c_b AS DOUBLE) / n_b AS pb,
+           CAST(sxa AS DOUBLE) / nva AS ma, CAST(sxb AS DOUBLE) / nvb AS mb,
+           sqrt(((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * sxa / nva)
+             + (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * sxb / nvb))
+             / (CAST(nva AS DOUBLE) + nvb - 2.0)) AS sp
+         FROM props CROSS JOIN va CROSS JOIN vb)
+       SELECT n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+         round(2.0 * (asin(sqrt(pa)) - asin(sqrt(pb))), 6) AS cohens_h,
+         round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+         CASE WHEN sp > 0 THEN round((ma - mb) / sp, 6) END AS cohens_d
+       FROM f"""
+
   /** Discrete-time churn hazard over observed user lifetimes: for each
     * lifetime age a (days between first and last activity), the hazard
     * h(a) = (users whose lifetime ENDED at a) / (users still alive at a).

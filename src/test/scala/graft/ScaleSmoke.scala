@@ -185,7 +185,9 @@ object ScaleSmoke {
     // session-4 batch 17: Yule K, term burstiness, hash uniformity
     "yule_k", "term_burstiness", "hash_uniformity",
     // session-4 batch 18: post-stratification, Simpson's paradox alarm
-    "post_strat", "simpsons_check")
+    "post_strat", "simpsons_check",
+    // session-4 batch 19: DAU/WAU/MAU, Cohen effect sizes
+    "active_users", "effect_sizes")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

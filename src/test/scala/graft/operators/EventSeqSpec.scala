@@ -141,6 +141,52 @@ class EventSeqSpec extends AnyFunSuite {
       (10L, 1L, 1L, 1.0)), s"hazard: $out")
   }
 
+  test("activeUsers: trailing windows count distinct users exactly") {
+    import spark.implicits._
+    val day = 86400L
+    // u1 active days 0,1; u2 active day 0 only; u3 active day 9 only
+    val rows = Seq((1L, 0L), (1L, 50L), (1L, day), (2L, 10L), (3L, 9 * day))
+    val out = EventSeq.activeUsers(
+        rows.toDF("user_id", "t_sec")
+          .select(col("user_id"), timestamp_seconds(col("t_sec")).as("ts")),
+        "user_id", "ts", wauDays = 7, mauDays = 28)
+      .select("day", "dau", "wau", "mau", "stickiness")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 2L, 2L, 2L, 1.0)))
+    assert(out(1L) == ((1L, 1L, 2L, 2L, 0.5)))
+    // day 6: u1/u2's day-0 activity still inside the 7-day window
+    assert(out(6L)._3 == 2L)
+    // day 7: day-0 activity aged out of WAU, still inside MAU
+    assert(out(7L) == ((7L, 0L, 1L, 2L, 0.0)))
+    // day 9: u3 joins; u1's day-1 activity aged out of WAU (1+7 = 8 ≤ 9)
+    assert(out(9L) == ((9L, 1L, 1L, 3L, 0.333333)))
+  }
+
+  test("effectSizes: planted lift shows h and d with matching signs") {
+    import spark.implicits._
+    def md5Arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      Integer.parseInt(f"${d(0)}%02x", 16) % 2
+    }
+    // arm A converts 60% around value 10; arm B converts 20% around 30
+    // (±1 jitter keeps the pooled sd positive)
+    val rows = (1L to 600L).map { u =>
+      val a = md5Arm(u)
+      val conv = if (a == 0) u % 5 < 3 else u % 5 < 1
+      val base = if (a == 0) 10.0 else 30.0
+      (u, if (conv) "purchase" else "view", base + (u % 3) - 1)
+    }.toDF("user_id", "event_type", "value")
+    val r = EventSeq.effectSizes(rows, "user_id", "event_type", "value",
+      "purchase").collect()(0)
+    assert(r.getAs[Double]("cohens_h") > 0.5, s"h=${r.getAs[Double]("cohens_h")}")
+    assert(r.getAs[Double]("p_a") > r.getAs[Double]("p_b"))
+    // value metric runs the other way: B's purchases are worth 3×
+    assert(r.getAs[Double]("cohens_d") < -2,
+      s"d=${r.getAs[Double]("cohens_d")}")
+  }
+
   test("funnel timing: mean stage-to-stage hours over first-touch times") {
     import spark.implicits._
     val h = 3600L
