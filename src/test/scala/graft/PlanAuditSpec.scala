@@ -993,6 +993,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"user pass should combine map-side:\n$plan")
   }
 
+  test("active_users: bounded fan-out explode, distinct aggs combine map-side") {
+    val plan = planOf(SparkEntry.queries("active_users")(spark, sf))
+    assert(plan.contains("Generate"), s"28-day fan-out explode expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert("partial_count|partial count".r.findFirstIn(plan).isDefined,
+      s"window counts should combine map-side:\n$plan")
+  }
+
+  test("effect_sizes: two one-row arm rollups, broadcast-composed") {
+    val plan = planOf(SparkEntry.queries("effect_sizes")(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      s"one-row relations must not shuffle-join:\n$plan")
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"moments should combine map-side:\n$plan")
+  }
+
   test("simpson_diversity: one explode, hash agg with map-side partials") {
     val plan = planOf(SparkEntry.queries("simpson_diversity")(spark, sf))
     assert(plan.contains("Generate"), s"tokens should explode once:\n$plan")
