@@ -447,17 +447,96 @@ object Search {
   /** [[apEval]] across a query panel: one (query, n_relevant, ap, mrr)
     * row per panel entry — the macro view a ranker regression gate
     * actually tracks (single-query AP swings on one relevance set; the
-    * panel mean doesn't). Union of per-query apEval relations; each
-    * panel entry costs one ranked scan, the panel is constant-bounded.
+    * panel mean doesn't).
+    *
+    * ONE corpus scan serves the whole panel (the [[ndcgAtK]] shared-
+    * postings shape): tokenize once behind the union contains() gate,
+    * then every per-query layer — df, BM25 scores, ranks, relevance —
+    * is type-table work joined through the (qid, term) relation. The
+    * per-query numbers are bit-identical to running [[apEval]] per entry
+    * (df/tf/dl/avgdl are per-term global facts; sharing the scan cannot
+    * change them), which is what keeps the per-query oracle mirrors
+    * valid.
     */
   def apEvalPanel(df: DataFrame, idCol: String, textCol: String,
-      panel: Seq[(String, Seq[String])], kmax: Int = 100): DataFrame = {
-    require(panel.nonEmpty, "apEvalPanel: empty panel")
-    panel.map { case (name, terms) =>
-      apEval(df, idCol, textCol, terms, kmax)
-        .select(lit(name).as("query"), col("n_relevant"),
-          col("hits_ranked"), col("ap"), col("mrr"))
-    }.reduce(_ unionByName _).orderBy("query")
+      panel: Seq[(String, Seq[String])], kmax: Int = 100,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(panel.nonEmpty && panel.forall(_._2.nonEmpty),
+      "apEvalPanel: empty panel")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = panel
+      .flatMap { case (q, ts) => ts.map(t => (q, t.toLowerCase)) }
+      .distinct.toDF("qid", "term")
+    val qsize = panel
+      .map { case (q, ts) => (q, ts.map(_.toLowerCase).distinct.size) }
+      .toDF("qid", "n_terms")
+    val allTerms = panel.flatMap(_._2.map(_.toLowerCase)).distinct
+    val base = Dedup.parallelize(df).select(col(idCol).as("_ap_id"),
+      lower(col(textCol)).as("_txt"),
+      size(TextAnalysis.tokens(lower(col(textCol)))).as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val gate = allTerms.map(t => contains(col("_txt"), lit(t))).reduce(_ || _)
+    val postings = base
+      .where(gate)
+      .select(col("_ap_id"), col("dl"),
+        explode(TextAnalysis.tokens(col("_txt"))).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("_ap_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfw = col("tf").cast("double") * lit(k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    // per-(query, doc): score + matched-term count (postings unique per
+    // (doc, term), so count(*) is the distinct-term match count)
+    val scores = postings
+      .join(broadcast(docFreq), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("_ap_id"))
+      .agg(sum(round(idf * tfw, 4).cast("decimal(18,4)")).as("_s"),
+        count(lit(1)).as("matched"))
+    val rel = scores.join(broadcast(qsize), "qid")
+      .where(col("matched") === col("n_terms"))
+      .select(col("qid"), col("_ap_id"), lit(1L).as("_rel"))
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_relevant"))
+    val ranked = scores
+      .withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("_s").cast("double").desc, col("_ap_id"))))
+      .where(col("rk") <= kmax)
+    val w = Window.partitionBy("qid").orderBy("rk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = ranked.join(rel, Seq("qid", "_ap_id"), "left")
+      .select(col("qid"), col("rk"),
+        when(col("_rel").isNotNull, 1L).otherwise(0L).as("r"))
+      .withColumn("cum", sum(col("r")).over(w))
+      .select(col("qid"),
+        when(col("r") === 1,
+          round(col("cum").cast("double") / col("rk").cast("double"), 6)
+            .cast("decimal(18,6)")).as("p"),
+        when(col("r") === 1, col("rk")).as("rrk"))
+    val agg = hits.groupBy("qid")
+      .agg(sum(col("p")).as("sp"), min(col("rrk")).as("frk"),
+        count(col("p")).as("hits_ranked"))
+    // seed with every panel qid: a query with zero index hits must still
+    // emit its row (n_relevant 0, ap/mrr NULL) exactly like apEval does
+    qsize.select("qid").join(agg, Seq("qid"), "left")
+      .withColumn("hits_ranked", coalesce(col("hits_ranked"), lit(0L)))
+      .join(broadcast(nRel), Seq("qid"), "left")
+      .select(col("qid").as("query"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("hits_ranked"),
+        when(coalesce(col("n_relevant"), lit(0L)) > 0,
+          round(coalesce(col("sp").cast("double"), lit(0.0)) /
+            col("n_relevant").cast("double"), 6)).as("ap"),
+        when(col("frk").isNotNull,
+          round(lit(1.0) / col("frk").cast("double"), 6)).as("mrr"))
+      .orderBy("query")
   }
 
   def precisionAtK(df: DataFrame, idCol: String, textCol: String,

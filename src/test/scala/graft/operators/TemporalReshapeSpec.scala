@@ -297,6 +297,29 @@ class TemporalReshapeSpec extends AnyFunSuite {
     assert(narrow.getAs[Double]("ap") == 0.5)
   }
 
+  test("apEvalPanel: shared-scan panel equals per-query apEval exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val panel = Seq(
+      ("q_dup_window", Seq("dup", "window")),
+      ("q_spark_join", Seq("spark", "join")),
+      ("q_nohit", Seq("zzznothere")))
+    val got = Search.apEvalPanel(docs, "doc_id", "text", panel)
+      .collect().map(r => r.getString(0) -> r).toMap
+    panel.foreach { case (name, terms) =>
+      val single = Search.apEval(docs, "doc_id", "text", terms).collect()(0)
+      val p = got(name)
+      assert(p.getAs[Long]("n_relevant") == single.getAs[Long]("n_relevant"),
+        s"$name n_relevant")
+      assert(p.getAs[Long]("hits_ranked") == single.getAs[Long]("hits_ranked"),
+        s"$name hits_ranked")
+      assert(Option(p.getAs[java.lang.Double]("ap")) ==
+        Option(single.getAs[java.lang.Double]("ap")), s"$name ap")
+      assert(Option(p.getAs[java.lang.Double]("mrr")) ==
+        Option(single.getAs[java.lang.Double]("mrr")), s"$name mrr")
+    }
+  }
+
   // ------------------------------------------------- Gini concentration
 
   test("gini: uniform source scores zero, one-megadoc source scores high") {
