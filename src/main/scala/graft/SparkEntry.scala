@@ -2760,6 +2760,11 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // rebuild-risk number: adjusted Rand index between IVF trainings
+    // from disjoint seed sets — are the clusters data or seed artifacts
+    "ivf_stability" -> ((s, dir) =>
+      operators.Similarity.ivfStability(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCentroids = 8, kmeansIters = 1)),
     // the product pulse: exact DAU/WAU/MAU + stickiness via a bounded
     // 28-day fan-out of the user-day relation
     "active_users" -> ((s, dir) =>
@@ -5245,6 +5250,9 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "ivf_stability" ->
+      operators.Similarity.ivfStabilitySql("embeddings", "vec_id",
+        "embedding", nCentroids = 8, iters = 1, dim = 64, cosSql),
     "active_users" ->
       operators.EventSeq.activeUsersSql("events", "user_id", "ts"),
     "effect_sizes" ->

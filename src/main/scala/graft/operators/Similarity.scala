@@ -227,8 +227,8 @@ object Similarity {
     * in double like every cosine here.
     */
   private def centroidSet(emb: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): Array[(Long, Seq[Double])] =
-    emb.where(col(idCol) < nCentroids)
+      nCentroids: Int, seedOffset: Int = 0): Array[(Long, Seq[Double])] =
+    emb.where(col(idCol) >= seedOffset && col(idCol) < seedOffset + nCentroids)
       .select(col(idCol), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
@@ -245,8 +245,9 @@ object Similarity {
     * previous centroid. Only nCentroids×dim values ever reach the driver.
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int): Array[(Long, Seq[Double])] = {
-    var cents = centroidSet(emb, idCol, vecCol, nCentroids)
+      nCentroids: Int, iters: Int,
+      seedOffset: Int = 0): Array[(Long, Seq[Double])] = {
+    var cents = centroidSet(emb, idCol, vecCol, nCentroids, seedOffset)
     for (_ <- 0 until iters) {
       val best = greatest(centroidSims(col(vecCol), cents): _*)
       val upd = emb
@@ -503,6 +504,87 @@ object Similarity {
          round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_sil
        FROM sv GROUP BY cluster ORDER BY cluster"""
 
+  /** Index stability under reseeding: the adjusted Rand index (Hubert &
+    * Arabie 1985) between two IVF trainings started from DISJOINT seed
+    * sets. ARI ≈ 1 means the partition is a property of the DATA (safe to
+    * rebuild, probe routing stable); ARI near 0 means the clusters are
+    * seed artifacts and every index rebuild reshuffles probe behavior —
+    * the rebuild-risk number [[annRecallPanel]]/[[silhouette]] don't
+    * measure. Chance-corrected, so k and cluster-size skew don't inflate
+    * it the way raw agreement would.
+    *
+    * One scan assigns BOTH trainings' clusters (two broadcast-literal
+    * argmaxes); the contingency is k²-bounded; every C(n,2) term is
+    * integer (DECIMAL(38,0)) until the final ratio.
+    */
+  def ivfStability(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 8, kmeansIters: Int = 1): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val ca = kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters)
+    val cb = kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters,
+      seedOffset = nCentroids)
+    val bestA = greatest(centroidSims(col(vecCol), ca): _*)
+    val bestB = greatest(centroidSims(col(vecCol), cb): _*)
+    val cont = emb.select(
+        (-bestA.getField("negcid")).cast("long").as("ca"),
+        (-bestB.getField("negcid")).cast("long").as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+    // DOUBLED binomial sums x(x−1) = 2·C(x,2): pure integer folds, the
+    // shared /2 factors cancel into the closing double arithmetic
+    def c2x2(c: Column) = (c.cast("decimal(19,0)") *
+      (c.cast("decimal(19,0)") - 1)).cast("decimal(38,0)")
+    val rows = cont.groupBy("ca").agg(sum(col("nij")).as("ai"))
+      .agg(sum(c2x2(col("ai"))).as("sa2"))
+    val cols = cont.groupBy("cb").agg(sum(col("nij")).as("bj"))
+      .agg(sum(c2x2(col("bj"))).as("sb2"))
+    val cells = cont.agg(sum(c2x2(col("nij"))).as("sij2"),
+      sum(col("nij")).as("n"))
+    val joined = cells.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+    val cn2 = d(col("n")) * (d(col("n")) - lit(1.0)) / lit(2.0)
+    val expected = (d(col("sa2")) / lit(2.0)) * (d(col("sb2")) / lit(2.0)) / cn2
+    val maxIdx = (d(col("sa2")) / lit(2.0) + d(col("sb2")) / lit(2.0)) / lit(2.0)
+    joined.select(col("n").cast("long").as("n_vectors"),
+      lit(nCentroids).as("k"),
+      when(maxIdx - expected =!= 0.0,
+        round((d(col("sij2")) / lit(2.0) - expected) / (maxIdx - expected), 6))
+        .otherwise(lit(1.0)).as("ari"))
+  }
+
+  /** DuckDB mirror of [[ivfStability]]. */
+  def ivfStabilitySql(table: String, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int, dim: Int,
+      cos: (String, String) => String): String = {
+    val (ctesA, centA) = kmeansCentSqlCtes(table, idCol, vecCol,
+      nCentroids, iters, dim, cos, prefix = "sa_")
+    val (ctesB, centB) = kmeansCentSqlCtes(table, idCol, vecCol,
+      nCentroids, iters, dim, cos, prefix = "sb_", seedOffset = nCentroids)
+    s"""WITH $ctesA,
+       $ctesB,
+       asg AS (SELECT e.$idCol,
+           (SELECT c.cid FROM $centA c
+            ORDER BY ${cos(s"e.$vecCol", "c.cvec")} DESC, c.cid LIMIT 1) AS ca,
+           (SELECT c.cid FROM $centB c
+            ORDER BY ${cos(s"e.$vecCol", "c.cvec")} DESC, c.cid LIMIT 1) AS cb
+         FROM $table e),
+       cont AS (SELECT ca, cb, COUNT(*) AS nij FROM asg GROUP BY 1, 2),
+       ra AS (SELECT SUM(CAST(CAST(ai AS DECIMAL(19,0)) * (ai - 1) AS DECIMAL(38,0))) AS sa2 FROM
+         (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM cont GROUP BY ca)),
+       rb AS (SELECT SUM(CAST(CAST(bj AS DECIMAL(19,0)) * (bj - 1) AS DECIMAL(38,0))) AS sb2 FROM
+         (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM cont GROUP BY cb)),
+       cc AS (SELECT SUM(CAST(CAST(nij AS DECIMAL(19,0)) * (nij - 1) AS DECIMAL(38,0))) AS sij2,
+           CAST(SUM(nij) AS BIGINT) AS n FROM cont),
+       f AS (SELECT n, CAST(sij2 AS DOUBLE) / 2.0 AS sij,
+           CAST(sa2 AS DOUBLE) / 2.0 AS sa, CAST(sb2 AS DOUBLE) / 2.0 AS sb,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 AS cn2
+         FROM cc CROSS JOIN ra CROSS JOIN rb)
+       SELECT n AS n_vectors, $nCentroids AS k,
+         CASE WHEN (sa + sb) / 2.0 - sa * sb / cn2 <> 0.0
+           THEN round((sij - sa * sb / cn2)
+             / ((sa + sb) / 2.0 - sa * sb / cn2), 6)
+           ELSE 1.0 END AS ari
+       FROM f"""
+  }
+
   /** Davies–Bouldin index (Davies & Bouldin 1979), centroid form: for
     * each cluster, its worst (s_i + s_j)/d(c_i, c_j) against any other —
     * scatter-to-separation. Lower is better; a component > 1 says that
@@ -632,10 +714,11 @@ object Similarity {
     */
   def kmeansCentSqlCtes(table: String, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int, dim: Int,
-      cos: (String, String) => String, prefix: String = ""): (String, String) = {
+      cos: (String, String) => String, prefix: String = "",
+      seedOffset: Int = 0): (String, String) = {
     val sb = new StringBuilder
     sb ++= s"${prefix}cent0 AS (SELECT $idCol AS cid, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cvec " +
-      s"FROM $table WHERE $idCol < $nCentroids)"
+      s"FROM $table WHERE $idCol >= $seedOffset AND $idCol < ${seedOffset + nCentroids})"
     for (t <- 1 to iters) {
       val prev = s"${prefix}cent${t - 1}"
       sb ++= s""",

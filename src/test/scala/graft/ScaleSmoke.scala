@@ -187,7 +187,9 @@ object ScaleSmoke {
     // session-4 batch 18: post-stratification, Simpson's paradox alarm
     "post_strat", "simpsons_check",
     // session-4 batch 19: DAU/WAU/MAU, Cohen effect sizes
-    "active_users", "effect_sizes")
+    "active_users", "effect_sizes",
+    // session-4 batch 20: IVF reseed-stability ARI
+    "ivf_stability")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -152,6 +152,41 @@ class SequentialConformalSpec extends AnyFunSuite {
     assert(math.abs(boundary.getAs[Double]("mean_sil")) < 0.01)
   }
 
+  test("ivfStability: data-determined blobs score 1, seed artifacts score low") {
+    import spark.implicits._
+    // two tight, well-separated blobs; ids interleave so seed set A
+    // (ids 0,1) and the disjoint seed set B (ids 2,3) BOTH start with one
+    // seed per blob → identical partitions → ARI 1
+    def blob(ang: Double, i: Int) = {
+      val jitter = 0.02 * ((i % 5) - 2)
+      Seq((math.cos(ang) + jitter).toFloat, (math.sin(ang) + jitter).toFloat)
+    }
+    val good = (0 until 40).map { i =>
+      val b = i % 2 // even ids in blob 0, odd in blob 1
+      (i.toLong, blob(if (b == 0) 0.0 else 1.4, i), b)
+    }.toDF("vec_id", "embedding", "blob")
+    val r1 = Similarity.ivfStability(good, "vec_id", "embedding",
+      nCentroids = 2, kmeansIters = 1).collect()(0)
+    assert(r1.getAs[Double]("ari") == 1.0, r1.getAs[Double]("ari"))
+    // ids arranged so seed set B (ids 2,3) sits ENTIRELY in blob 0: with
+    // RAW seeding (iters=0) its partition splits blob 0 and lumps blob 1
+    // — a pure seed artifact, low ARI...
+    val bad = (0 until 40).map { i =>
+      // ids 0,1: one per blob; ids 2,3: both blob 0
+      val b = if (i == 1) 1 else if (i < 4) 0 else i % 2
+      (i.toLong, blob(if (b == 0) 0.0 else 1.4, i), b)
+    }.toDF("vec_id", "embedding", "blob")
+    val r0 = Similarity.ivfStability(bad, "vec_id", "embedding",
+      nCentroids = 2, kmeansIters = 0).collect()(0)
+    assert(r0.getAs[Double]("ari") < 0.5, s"ari=${r0.getAs[Double]("ari")}")
+    // ...and ONE Lloyd iteration repairs it (the mean update walks the
+    // redundant centroid across to the unclaimed blob): ARI back to 1 —
+    // exactly the sensitivity the operator exists to measure
+    val rFix = Similarity.ivfStability(bad, "vec_id", "embedding",
+      nCentroids = 2, kmeansIters = 1).collect()(0)
+    assert(rFix.getAs[Double]("ari") == 1.0)
+  }
+
   // -------------------------------------------------------- quantile norm
 
   test("quantile norm: monotone within source, shared profile across sources") {
