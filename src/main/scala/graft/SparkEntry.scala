@@ -2760,6 +2760,12 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // axiomatic channel credit: exact Shapley over exposure-set
+    // coalitions (2^4 grid) — the symmetric/efficient split last-touch
+    // and Markov removal both approximate from different angles
+    "shapley_attribution" -> ((s, dir) =>
+      operators.Attribution.shapley(ev(s, dir), "user_id", "event_type",
+        convType = "purchase", nChannels = 4)),
     // rebuild-risk number: adjusted Rand index between IVF trainings
     // from disjoint seed sets — are the clusters data or seed artifacts
     "ivf_stability" -> ((s, dir) =>
@@ -5250,6 +5256,9 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "shapley_attribution" ->
+      operators.Attribution.shapleySql("events", "user_id", "event_type",
+        convType = "purchase", nChannels = 4),
     "ivf_stability" ->
       operators.Similarity.ivfStabilitySql("embeddings", "vec_id",
         "embedding", nCentroids = 8, iters = 1, dim = 64, cosSql),

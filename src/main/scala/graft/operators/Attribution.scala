@@ -262,4 +262,118 @@ object Attribution {
          round(CAST(n_conv AS DOUBLE) / CAST(SUM(n_conv) OVER () AS DOUBLE), 4)
            AS share
        FROM pc ORDER BY channel"""
+
+  /** Exact Shapley-value attribution (Shapley 1953) over channel-exposure
+    * coalitions: each channel's credit is its average marginal
+    * contribution across ALL orderings —
+    * φᵢ = Σ_{S∌i} |S|!(C−|S|−1)!/C! · (v(S∪i) − v(S)) — under the
+    * MONOTONE coalition value v(S) = conversions of users whose exposure
+    * set ⊆ S (the subset-sum / zeta transform of the observed-set
+    * conversion counts). Monotonicity keeps every φᵢ ≥ 0 (the exact-set
+    * valuation's zero-filled holes hand untouched channels NEGATIVE
+    * credit — a method artifact, not a signal), and efficiency splits
+    * exactly the explainable total: Σφᵢ = v(all) − v(∅) = conversions of
+    * channel-touched users (spec-pinned). The axiomatic answer between
+    * [[lastTouch]]'s recency bias and [[markovRemoval]]'s counterfactual.
+    *
+    * `nChannels` (the non-conversion type count, asserted at runtime)
+    * fixes the 2^C mask grid and the factorial weight table as literals
+    * in BOTH engines. Scale shape: one per-user bitmask agg; the zeta
+    * transform and marginals live on the ≤4^C/2^C coalition grids —
+    * type-table-bounded, never user-bounded.
+    */
+  def shapley(df: DataFrame, userCol: String, typeCol: String,
+      convType: String, nChannels: Int): DataFrame = {
+    require(nChannels >= 1 && nChannels <= 10, "shapley: bad channel count")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val channels = df.select(col(typeCol)).distinct()
+      .collect().map(_.getString(0)).filter(_ != convType).sorted
+    require(channels.length == nChannels,
+      s"shapley: found ${channels.length} channels, declared $nChannels")
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val weights = (0 until nChannels).map(s =>
+      fact(s) * fact(nChannels - 1 - s) / fact(nChannels))
+    val bitOf = channels.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (ch, i)) => when(col(typeCol) === ch, lit(1L << i)).otherwise(acc)
+    }
+    val convU = df.groupBy(col(userCol).as("u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("conv"))
+    val bits = df.where(col(typeCol) =!= convType)
+      .select(col(userCol).as("u"), bitOf.as("bit")).distinct()
+    val um = convU
+      .join(bits.groupBy("u").agg(sum(col("bit")).as("m")), Seq("u"), "left")
+      .select(col("u"), col("conv"), coalesce(col("m"), lit(0L)).as("m"))
+    val vt = um.groupBy("m").agg(sum(col("conv")).as("c"))
+    val s = spark.range(0L, 1L << nChannels).select(col("id").as("s"))
+    // zeta transform: v(S) = Σ_{T ⊆ S} conv(T), via the (S ⊇ T) join of
+    // two coalition-bounded relations — integer throughout
+    val vcum = s.join(broadcast(vt),
+        col("s").bitwiseAND(col("m")) === col("m"), "left")
+      .groupBy("s").agg(sum(coalesce(col("c"), lit(0L))).as("v"))
+    val chDf = channels.zipWithIndex.toSeq
+      .map { case (ch, i) => (ch, 1L << i) }.toDF("channel", "bit")
+    val wArr = array(weights.map(lit): _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pairs = s.crossJoin(broadcast(chDf))
+      .where(col("s").bitwiseAND(col("bit")) === 0)
+    val terms = pairs
+      .join(broadcast(vcum.select(col("s"), col("v").as("v0"))), Seq("s"))
+      .join(broadcast(vcum.select(col("s").as("s1"), col("v").as("v1"))),
+        pairs("s") + col("bit") === col("s1"))
+      .select(col("channel"),
+        round(element_at(wArr, bit_count(col("s")).cast("int") + 1) *
+          d(col("v1") - col("v0")), 9).cast("decimal(28,9)").as("t"))
+    val touched = um.crossJoin(broadcast(chDf))
+      .where(col("m").bitwiseAND(col("bit")) =!= 0)
+      .groupBy("channel").agg(count(lit(1)).as("n_users"))
+    terms.groupBy("channel").agg(sum(col("t")).as("phi"))
+      .join(broadcast(touched), Seq("channel"), "left")
+      .select(col("channel"), coalesce(col("n_users"), lit(0L)).as("n_users"),
+        round(d(col("phi")), 6).as("shapley"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB mirror of [[shapley]] (same literal weight table, same 2^C
+    * grid; channel bit positions from the same sorted ordering).
+    */
+  def shapleySql(tbl: String, userCol: String, typeCol: String,
+      convType: String, nChannels: Int): String = {
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val weights = (0 until nChannels).map(s =>
+      fact(s) * fact(nChannels - 1 - s) / fact(nChannels))
+    val wList = weights.mkString("[", ", ", "]")
+    s"""WITH ch AS (SELECT c AS channel,
+           CAST(1 AS BIGINT) << CAST(row_number() OVER (ORDER BY c) - 1 AS INT) AS bit
+         FROM (SELECT DISTINCT $typeCol AS c FROM $tbl
+               WHERE $typeCol <> ${OracleSql.lit(convType)})),
+       conv AS (SELECT $userCol AS u,
+           MAX(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) AS conv
+         FROM $tbl GROUP BY 1),
+       bits AS (SELECT DISTINCT t.$userCol AS u, ch.bit
+         FROM $tbl t JOIN ch ON t.$typeCol = ch.channel),
+       um AS (SELECT conv.u, conv.conv, COALESCE(bm.m, 0) AS m
+         FROM conv LEFT JOIN
+           (SELECT u, CAST(SUM(bit) AS BIGINT) AS m FROM bits GROUP BY u) bm
+           USING (u)),
+       vt AS (SELECT m, CAST(SUM(conv) AS BIGINT) AS c FROM um GROUP BY m),
+       s AS (SELECT CAST(g.s AS BIGINT) AS s
+         FROM range(0, ${1L << nChannels}) AS g(s)),
+       vcum AS (SELECT s, CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS v
+         FROM s LEFT JOIN vt ON (s.s & vt.m) = vt.m GROUP BY s),
+       pairs AS (SELECT ch.channel, ch.bit, s.s FROM s CROSS JOIN ch
+         WHERE (s.s & ch.bit) = 0),
+       terms AS (SELECT channel,
+           CAST(round(($wList)[bit_count(pairs.s) + 1]
+             * CAST(v1.v - v0.v AS DOUBLE), 9) AS DECIMAL(28,9)) AS t
+         FROM pairs
+         JOIN vcum v0 ON v0.s = pairs.s
+         JOIN vcum v1 ON v1.s = pairs.s + pairs.bit),
+       touched AS (SELECT channel, COUNT(*) AS n_users
+         FROM um CROSS JOIN ch WHERE (um.m & ch.bit) <> 0 GROUP BY 1)
+       SELECT terms.channel AS channel, COALESCE(n_users, 0) AS n_users,
+         round(CAST(SUM(t) AS DOUBLE), 6) AS shapley
+       FROM terms LEFT JOIN touched ON touched.channel = terms.channel
+       GROUP BY 1, 2 ORDER BY channel"""
+  }
 }

@@ -188,8 +188,8 @@ object ScaleSmoke {
     "post_strat", "simpsons_check",
     // session-4 batch 19: DAU/WAU/MAU, Cohen effect sizes
     "active_users", "effect_sizes",
-    // session-4 batch 20: IVF reseed-stability ARI
-    "ivf_stability")
+    // session-4 batch 20: IVF reseed-stability ARI, Shapley attribution
+    "ivf_stability", "shapley_attribution")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

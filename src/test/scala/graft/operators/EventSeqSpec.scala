@@ -187,6 +187,36 @@ class EventSeqSpec extends AnyFunSuite {
       s"d=${r.getAs[Double]("cohens_d")}")
   }
 
+  test("shapley: efficiency axiom holds; the driving channel takes the credit") {
+    import spark.implicits._
+    // channels a,b,c: conversion happens iff the user touched "a";
+    // b rides along on half the converters (pure free-rider)
+    val rows =
+      (1L to 20L).flatMap { u =>    // touched a (+ b on evens) → convert
+        val base = Seq((u, "a"), (u, "purchase"))
+        if (u % 2 == 0) base :+ ((u, "b")) else base
+      } ++
+      (21L to 40L).map(u => (u, "b")) ++   // b alone → no conversion
+      (41L to 60L).map(u => (u, "c"))      // c alone → no conversion
+    val df = rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+    val r = Attribution.shapley(df, "user_id", "event_type",
+        convType = "purchase", nChannels = 3)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val (sa, sb, sc) = (r("a").getAs[Double]("shapley"),
+      r("b").getAs[Double]("shapley"), r("c").getAs[Double]("shapley"))
+    // hand-derived under the monotone valuation: v({a})=10, v({a,b})=20,
+    // v({a,c})=10, v(N)=20, rest 0 → φ_a=15, φ_b=5, φ_c=0
+    assert(sa == 15.0, s"a=$sa")
+    assert(sb == 5.0, s"b=$sb")
+    assert(sc == 0.0, s"c=$sc")
+    // efficiency: Σφ = v(all) − v(∅) = all 20 conversions, exactly
+    assert(sa + sb + sc == 20.0)
+    assert(r("a").getAs[Long]("n_users") == 20L)
+    assert(r("c").getAs[Long]("n_users") == 20L)
+  }
+
   test("funnel timing: mean stage-to-stage hours over first-touch times") {
     import spark.implicits._
     val h = 3600L
