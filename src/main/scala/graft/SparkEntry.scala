@@ -2760,6 +2760,12 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // regularized keyness: Monroe log-odds with informative Dirichlet
+    // prior between md5-half snapshots — shrunken effect + per-word z,
+    // where raw log-odds ranks rare-word noise first
+    "logodds_keyness" -> ((s, dir) =>
+      operators.TextAnalysis.logoddsKeyness(Tables.documents(s, dir),
+        "doc_id", "text")),
     // axiomatic channel credit: exact Shapley over exposure-set
     // coalitions (2^4 grid) — the symmetric/efficient split last-touch
     // and Markov removal both approximate from different angles
@@ -5256,6 +5262,9 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "logodds_keyness" ->
+      operators.TextAnalysis.logoddsKeynessSql("documents", "doc_id",
+        "text"),
     "shapley_attribution" ->
       operators.Attribution.shapleySql("events", "user_id", "event_type",
         convType = "purchase", nChannels = 4),

@@ -2091,6 +2091,74 @@ object TextAnalysis {
            / (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k
        FROM agg ORDER BY $sourceCol"""
 
+  /** Log-odds keyness with an informative Dirichlet prior (Monroe,
+    * Colaresi & Quinn 2008, "Fightin' Words") between the md5-half
+    * corpus snapshots: δ_w = logit difference of w's rate in the two
+    * halves after shrinking both toward the pooled corpus rate (prior
+    * mass α₀ spread ∝ corpus frequency), z = δ/√(1/(y₁+α_w) + 1/(y₂+α_w)).
+    * The prior is what fixes raw log-odds' pathology — rare words no
+    * longer dominate the top ranks on noise — which is exactly the
+    * failure mode of unregularized keyness lists; the G² board query
+    * ([[sourceKeyness]]) ranks by evidence, this ranks by SHRUNKEN
+    * effect with a per-word z. Top-N by |z|.
+    *
+    * One explode to the (half, term) type table; totals broadcast;
+    * TakeOrdered top-N (ties by term).
+    */
+  def logoddsKeyness(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 20, alpha0: Double = 1000.0): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val half = conv(substring(md5(concat(lit("half:"),
+      col(idCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2
+    val st = Dedup.parallelize(df)
+      .select(half.as("h"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("y1"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("y2"))
+    val tot = st.agg(sum(col("y1")).as("n1"), sum(col("y2")).as("n2"))
+    val j = st.crossJoin(broadcast(tot))
+    val g = d(col("n1")) + d(col("n2"))
+    val aw = lit(alpha0) * (d(col("y1")) + d(col("y2"))) / g
+    def lo(y: Column, n: Column) =
+      log((d(y) + aw) / (d(n) + lit(alpha0) - d(y) - aw))
+    val delta = lo(col("y1"), col("n1")) - lo(col("y2"), col("n2"))
+    val sigma = sqrt(lit(1.0) / (d(col("y1")) + aw) +
+      lit(1.0) / (d(col("y2")) + aw))
+    j.select(col("term"), col("y1"), col("y2"),
+        round(delta, 6).as("delta"),
+        round(delta / sigma, 4).as("z"))
+      .orderBy(abs(col("z")).desc, col("term").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB mirror of [[logoddsKeyness]]. */
+  def logoddsKeynessSql(tbl: String, idCol: String, textCol: String,
+      topN: Int = 20, alpha0: Double = 1000.0): String =
+    s"""WITH st AS (SELECT term,
+           CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+           CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS y2
+         FROM (SELECT
+             CAST('0x'||substr(md5('half:'||CAST($idCol AS VARCHAR)),1,2) AS INT) % 2 AS h,
+             unnest(string_split_regex(trim(lower($textCol)),'\\s+')) AS term
+           FROM $tbl) GROUP BY term),
+       tot AS (SELECT CAST(SUM(y1) AS BIGINT) AS n1,
+           CAST(SUM(y2) AS BIGINT) AS n2 FROM st),
+       f AS (SELECT term, y1, y2,
+           $alpha0 * (CAST(y1 AS DOUBLE) + y2)
+             / (CAST(n1 AS DOUBLE) + n2) AS aw,
+           CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+         FROM st CROSS JOIN tot),
+       g2 AS (SELECT term, y1, y2,
+           ln((CAST(y1 AS DOUBLE) + aw) / (n1d + $alpha0 - y1 - aw))
+             - ln((CAST(y2 AS DOUBLE) + aw) / (n2d + $alpha0 - y2 - aw)) AS delta,
+           sqrt(1.0 / (CAST(y1 AS DOUBLE) + aw)
+             + 1.0 / (CAST(y2 AS DOUBLE) + aw)) AS sigma
+         FROM f)
+       SELECT term, y1, y2, round(delta, 6) AS delta,
+         round(delta / sigma, 4) AS z
+       FROM g2 ORDER BY abs(round(delta / sigma, 4)) DESC, term ASC
+       LIMIT $topN"""
+
   /** Term burstiness (Church & Gale 1995): observed document frequency
     * vs the Poisson expectation E[df] = D·(1 − e^(−cf/D)) for a term
     * scattered independently at its corpus rate. ratio << 1 = the term

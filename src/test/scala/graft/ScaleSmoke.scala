@@ -189,7 +189,9 @@ object ScaleSmoke {
     // session-4 batch 19: DAU/WAU/MAU, Cohen effect sizes
     "active_users", "effect_sizes",
     // session-4 batch 20: IVF reseed-stability ARI, Shapley attribution
-    "ivf_stability", "shapley_attribution")
+    "ivf_stability", "shapley_attribution",
+    // session-4 batch 21: Monroe log-odds keyness
+    "logodds_keyness")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

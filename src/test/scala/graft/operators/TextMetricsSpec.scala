@@ -126,6 +126,36 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(out("rich").getAs[Long]("v_types") == 100L)
   }
 
+  test("logoddsKeyness: planted half-exclusive term tops; shared words don't") {
+    import spark.implicits._
+    def md5Half(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"half:$id".getBytes("UTF-8"))
+      Integer.parseInt(f"${d(0)}%02x", 16) % 2
+    }
+    // every doc shares "common filler"; half-0 docs also say "alpha"
+    // (many times), half-1 docs "beta"; one rare word appears ONCE in
+    // half 0 — raw log-odds would rank it high, the prior shrinks it
+    val docs = (1L to 200L).map { id =>
+      val marker = if (md5Half(id) == 0) "alpha alpha alpha" else "beta beta beta"
+      val rare = if (id == 2L) " rareword" else ""
+      (id, s"common filler $marker$rare")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.logoddsKeyness(docs, "doc_id", "text", topN = 5)
+      .collect()
+    val terms = out.map(_.getAs[String]("term")).toSeq
+    assert(terms.take(2).toSet == Set("alpha", "beta"), s"top=$terms")
+    val alpha = out.find(_.getAs[String]("term") == "alpha").get
+    val beta = out.find(_.getAs[String]("term") == "beta").get
+    assert(alpha.getAs[Double]("z") > 5 && beta.getAs[Double]("z") < -5)
+    assert(alpha.getAs[Long]("y2") == 0L)
+    // the singleton is half-exclusive too, but the prior shrinks its z
+    // to noise level — raw log-odds would put it beside alpha/beta
+    val rare = out.find(_.getAs[String]("term") == "rareword").get
+    assert(math.abs(rare.getAs[Double]("z")) < 1.0,
+      s"rare z=${rare.getAs[Double]("z")}")
+  }
+
   test("termBurstiness: clumped term ranks burstier than scattered term") {
     import spark.implicits._
     // "clump" appears 40 times inside 2 docs; "spread" once in each of 40
