@@ -2760,6 +2760,21 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // is the series ACTUALLY weekly / trending: Hyndman F_s/F_t strength
+    // dials over the stl_decompose parts, per type
+    "seasonal_strength" -> ((s, dir) =>
+      operators.Temporal.seasonalStrength(ev(s, dir), "event_type", "ts")),
+    // imbalance-honest ranking quality: PR-AUC (average precision) of
+    // the entropy score against gopher keep — ROC AUC's blind spot
+    "pr_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Audit.prAuc(
+        TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("entropy"))
+          .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+            .select(col("doc_id"), col("keep")), "doc_id"),
+        "doc_id", "entropy", "keep")
+    }),
     // regularized keyness: Monroe log-odds with informative Dirichlet
     // prior between md5-half snapshots — shrunken effect + per-word z,
     // where raw log-odds ranks rare-word noise first
@@ -5262,6 +5277,15 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "seasonal_strength" ->
+      operators.Temporal.seasonalStrengthSql("events", "event_type", "ts"),
+    "pr_auc" ->
+      operators.Audit.prAucSql(
+        s"""SELECT e.doc_id, e.entropy, g.keep
+            FROM (${TextAnalysis.tokenEntropySql("documents", "doc_id", "text")}) e
+            JOIN (${TextAnalysis.gopherRulesSql("documents", "doc_id", "text")}) g
+              ON e.doc_id = g.doc_id""",
+        "doc_id", "entropy", "keep"),
     "logodds_keyness" ->
       operators.TextAnalysis.logoddsKeynessSql("documents", "doc_id",
         "text"),

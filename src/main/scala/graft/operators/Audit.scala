@@ -824,6 +824,64 @@ object Audit {
     * (P·N) — one hash aggregation plus a value-type-bounded cumulative
     * window. All counts integer, one double division at the end.
     */
+  /** Precision-recall AUC as average precision over the score ranking —
+    * the imbalance-honest companion to [[scoreAuc]]: ROC AUC stays high
+    * when negatives dominate because true-negative volume masks sloppy
+    * top ranks; PR-AUC only rewards precision where the positives
+    * actually sit. AP form: mean of precision@rank over the positive
+    * rows, rank by score DESC with id ASC tie-break (total order, both
+    * engines identical).
+    *
+    * Shape: one global rank window over the scored relation (the same
+    * cost class as scoreAuc's rank construction) + one cumulative
+    * window; terms round-then-DECIMAL.
+    */
+  def prAuc(scored: DataFrame, idCol: String, scoreCol: String,
+      outcomeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val ranked = scored.select(col(idCol).as("_pr_id"),
+        col(scoreCol).cast("double").as("s"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("y"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("s").desc, col("_pr_id"))))
+    val w = Window.orderBy("rk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = ranked
+      .withColumn("cum", sum(col("y")).over(w))
+      .select(col("y"),
+        when(col("y") === 1,
+          round(d(col("cum")) / d(col("rk")), 9).cast("decimal(28,9)"))
+          .as("p"))
+    terms.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("sp"))
+      .select(col("n"), col("n_pos"),
+        round(d(col("n_pos")) / d(col("n")), 6).as("base_rate"),
+        when(col("n_pos") > 0,
+          round(d(col("sp")) / d(col("n_pos")), 6)).as("pr_auc"))
+  }
+
+  /** DuckDB mirror of [[prAuc]] over a caller-supplied scored relation
+    * SQL producing (id, score, outcome-boolean).
+    */
+  def prAucSql(scoredSql: String, idCol: String, scoreCol: String,
+      outcomeCol: String): String =
+    s"""WITH sc AS ($scoredSql),
+       ranked AS (SELECT CASE WHEN $outcomeCol THEN 1 ELSE 0 END AS y,
+           row_number() OVER (ORDER BY CAST($scoreCol AS DOUBLE) DESC, $idCol) AS rk
+         FROM sc),
+       t AS (SELECT y,
+           CASE WHEN y = 1 THEN CAST(round(
+             CAST(SUM(y) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / rk, 9) AS DECIMAL(28,9)) END AS p
+         FROM ranked)
+       SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS base_rate,
+         CASE WHEN SUM(y) > 0
+           THEN round(CAST(SUM(p) AS DOUBLE) / SUM(y), 6) END AS pr_auc
+       FROM t"""
+
   def scoreAuc(scored: DataFrame, scoreCol: String,
       outcomeCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

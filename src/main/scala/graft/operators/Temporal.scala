@@ -873,6 +873,69 @@ object Temporal {
       .orderBy(keyCol, "day")
   }
 
+  /** Seasonal / trend strength (Hyndman & Athanasopoulos, FPP):
+    * F_s = max(0, 1 − Var(resid)/Var(seasonal+resid)) and
+    * F_t = max(0, 1 − Var(resid)/Var(trend+resid)) over the
+    * [[stlDecompose]] parts — the one-number-per-key answers to "is this
+    * series actually weekly" and "is there a real level drift", i.e. the
+    * dials that decide whether [[seasonalResiduals]]'s adjustment or
+    * [[dailyTrend]]'s slope is even the right model. Composes the STL
+    * output relation directly (bit-identical in both engines), so this
+    * layer is just per-key DECIMAL moment folds.
+    */
+  def seasonalStrength(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val stl = stlDecompose(df, keyCol, tsCol)
+    def dec(c: Column) = round(c, 6).cast("decimal(18,6)")
+    val parts = stl.select(col(keyCol),
+      dec(col("resid")).as("r"),
+      dec(col("seasonal") + col("resid")).as("sr"),
+      dec(col("trend") + col("resid")).as("tr"))
+    val mom = parts.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("ss_r"),
+        sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("ss_sr"),
+        sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("ss_tr"))
+      .where(col("n") >= 14)
+    def varOf(s: Column, ss: Column) =
+      (d(ss) - d(s) * d(s) / d(col("n"))) / d(col("n"))
+    val vr = varOf(col("s_r"), col("ss_r"))
+    val vsr = varOf(col("s_sr"), col("ss_sr"))
+    val vtr = varOf(col("s_tr"), col("ss_tr"))
+    mom.select(col(keyCol), col("n").as("n_days"),
+        when(vsr > 0, round(greatest(lit(0.0), lit(1.0) - vr / vsr), 6))
+          .as("f_seasonal"),
+        when(vtr > 0, round(greatest(lit(0.0), lit(1.0) - vr / vtr), 6))
+          .as("f_trend"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[seasonalStrength]] — wraps the [[stlDecomposeSql]]
+    * relation verbatim. */
+  def seasonalStrengthSql(tbl: String, keyCol: String,
+      tsCol: String): String =
+    s"""WITH stl AS (${stlDecomposeSql(tbl, keyCol, tsCol)}),
+       parts AS (SELECT $keyCol,
+           CAST(round(resid, 6) AS DECIMAL(18,6)) AS r,
+           CAST(round(seasonal + resid, 6) AS DECIMAL(18,6)) AS sr,
+           CAST(round(trend + resid, 6) AS DECIMAL(18,6)) AS tr
+         FROM stl),
+       mom AS (SELECT $keyCol, COUNT(*) AS n,
+           SUM(r) AS s_r, SUM(r * r) AS ss_r,
+           SUM(sr) AS s_sr, SUM(sr * sr) AS ss_sr,
+           SUM(tr) AS s_tr, SUM(tr * tr) AS ss_tr
+         FROM parts GROUP BY 1 HAVING COUNT(*) >= 14),
+       f AS (SELECT $keyCol, n,
+           (CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n) / n AS vr,
+           (CAST(ss_sr AS DOUBLE) - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE) / n) / n AS vsr,
+           (CAST(ss_tr AS DOUBLE) - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE) / n) / n AS vtr
+         FROM mom)
+       SELECT $keyCol, n AS n_days,
+         CASE WHEN vsr > 0 THEN round(greatest(0.0, 1.0 - vr / vsr), 6) END AS f_seasonal,
+         CASE WHEN vtr > 0 THEN round(greatest(0.0, 1.0 - vr / vtr), 6) END AS f_trend
+       FROM f ORDER BY $keyCol"""
+
   /** DuckDB mirror of [[stlDecompose]]. */
   def stlDecomposeSql(tbl: String, keyCol: String, tsCol: String): String =
     s"""WITH span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,

@@ -191,7 +191,9 @@ object ScaleSmoke {
     // session-4 batch 20: IVF reseed-stability ARI, Shapley attribution
     "ivf_stability", "shapley_attribution",
     // session-4 batch 21: Monroe log-odds keyness
-    "logodds_keyness")
+    "logodds_keyness",
+    // session-4 batch 22: Hyndman strength dials, PR-AUC
+    "seasonal_strength", "pr_auc")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

@@ -659,6 +659,42 @@ class StatTestsSpec extends AnyFunSuite {
       s"poststrat=${ps.getAs[Double]("poststrat_diff")}")
   }
 
+  test("seasonalStrength: weekly cycle high F_s, trending series high F_t") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    val rows = (0 until 42).flatMap { d =>
+      val cyc = if (d % 7 < 2) 25 else 5     // hard weekly pattern
+      val tr = 5 + d                          // steady growth
+      (0 until cyc).map(i => ("cyc", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until tr).map(i => ("tr", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.seasonalStrength(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("cyc").getAs[Double]("f_seasonal") > 0.8,
+      s"cyc fs=${out("cyc").getAs[Double]("f_seasonal")}")
+    assert(out("tr").getAs[Double]("f_trend") > 0.8,
+      s"tr ft=${out("tr").getAs[Double]("f_trend")}")
+    assert(out("tr").getAs[Double]("f_seasonal") <
+      out("cyc").getAs[Double]("f_seasonal"))
+  }
+
+  test("prAuc: perfect ranking 1, anti-ranking below base rate, AP exact") {
+    import spark.implicits._
+    // 4 positives among 20; perfect score ranks them 1-4 → AP 1
+    val perfect = (1 to 20).map(i => (i.toLong, 100.0 - i, i <= 4))
+      .toDF("id", "s", "y")
+    val r1 = Audit.prAuc(perfect, "id", "s", "y").collect()(0)
+    assert(r1.getAs[Double]("pr_auc") == 1.0)
+    assert(r1.getAs[Double]("base_rate") == 0.2)
+    // positives forced to the BOTTOM: AP = mean of 1/17, 2/18, 3/19, 4/20
+    val anti = (1 to 20).map(i => (i.toLong, 100.0 - i, i > 16))
+      .toDF("id", "s", "y")
+    val r0 = Audit.prAuc(anti, "id", "s", "y").collect()(0)
+    val want = (1.0 / 17 + 2.0 / 18 + 3.0 / 19 + 4.0 / 20) / 4
+    assert(math.abs(r0.getAs[Double]("pr_auc") - want) < 1e-6)
+    assert(r0.getAs[Double]("pr_auc") < 0.2)
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
