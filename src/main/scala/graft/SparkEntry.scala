@@ -2760,6 +2760,15 @@ object SparkEntry {
     "bayes_ab" -> ((s, dir) =>
       operators.EventSeq.bayesAb(ev(s, dir), "user_id", "event_type",
         convType = "purchase")),
+    // one-number serial-correlation gate: von Neumann successive-
+    // difference ratio per type (η ≈ 2 under randomness)
+    "von_neumann" -> ((s, dir) =>
+      operators.Temporal.vonNeumann(ev(s, dir), "event_type", "ts")),
+    // ratio metrics done right: delta-method z on revenue-per-purchase
+    // between arms (per-user pairs, not per-event rows)
+    "ratio_metric_ab" -> ((s, dir) =>
+      operators.EventSeq.ratioMetricAb(ev(s, dir), "user_id", "event_type",
+        "value", convType = "purchase")),
     // is the series ACTUALLY weekly / trending: Hyndman F_s/F_t strength
     // dials over the stl_decompose parts, per type
     "seasonal_strength" -> ((s, dir) =>
@@ -5277,6 +5286,11 @@ object SparkEntry {
     "bayes_ab" ->
       operators.EventSeq.bayesAbSql("events", "user_id", "event_type",
         convType = "purchase"),
+    "von_neumann" ->
+      operators.Temporal.vonNeumannSql("events", "event_type", "ts"),
+    "ratio_metric_ab" ->
+      operators.EventSeq.ratioMetricAbSql("events", "user_id", "event_type",
+        "value", convType = "purchase"),
     "seasonal_strength" ->
       operators.Temporal.seasonalStrengthSql("events", "event_type", "ts"),
     "pr_auc" ->

@@ -919,6 +919,108 @@ object EventSeq {
            AS paradox
        FROM c"""
 
+  /** Ratio-metric A/B with the delta-method variance (the "revenue per
+    * event" class): R = Σvalue/Σevents per arm is a ratio of two RANDOM
+    * per-user sums, so the naive per-event t-test understates the
+    * variance whenever users differ in volume (they always do). Delta
+    * method on the per-user (x=value, y=events) pairs:
+    * Var(R) = (Sxx − 2R·Sxy + R²·Syy) / (n·ȳ²), z on the arm difference.
+    * The correction every experimentation platform ships for per-unit
+    * ratio metrics; [[abValueTtest]] covers the per-event metric where
+    * the unit IS the observation.
+    *
+    * One per-user DECIMAL moment pass, a 2-row arm rollup, fixed double
+    * shape — the abConversion scan pattern.
+    */
+  def ratioMetricAb(df: DataFrame, userCol: String, typeCol: String,
+      valCol: String, convType: String, salt: String = "arm"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val arm = (conv(substring(md5(concat(lit(salt + ":"),
+      col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
+    val pu = df.groupBy(col(userCol), arm)
+      .agg(sum(when(col(typeCol) === convType,
+          col(valCol).cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
+          .as("x"),
+        sum(when(col(typeCol) === convType, 1L).otherwise(0L)).as("y"))
+    val arms = pu.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,6)")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    def side(a: Int, suffix: String) = arms.where(col("arm") === a)
+      .select(col("n").as(s"n$suffix"), col("sx").as(s"sx$suffix"),
+        col("sy").as(s"sy$suffix"), col("sxx").as(s"sxx$suffix"),
+        col("sxy").as(s"sxy$suffix"), col("syy").as(s"syy$suffix"))
+    val j = side(0, "a").crossJoin(broadcast(side(1, "b")))
+    def ratio(sx: Column, sy: Column) = d(sx) / d(sy)
+    def varR(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column) = {
+      val nn = d(n)
+      val r = ratio(sx, sy)
+      val ybar = d(sy) / nn
+      val mxx = (d(sxx) - d(sx) * d(sx) / nn) / (nn - lit(1.0))
+      val mxy = (d(sxy) - d(sx) * d(sy) / nn) / (nn - lit(1.0))
+      val myy = (d(syy) - d(sy) * d(sy) / nn) / (nn - lit(1.0))
+      (mxx - lit(2.0) * r * mxy + r * r * myy) / (nn * ybar * ybar)
+    }
+    val ra = ratio(col("sxa"), col("sya"))
+    val rb = ratio(col("sxb"), col("syb"))
+    val va = varR(col("na"), col("sxa"), col("sya"), col("sxxa"),
+      col("sxya"), col("syya"))
+    val vb = varR(col("nb"), col("sxb"), col("syb"), col("sxxb"),
+      col("sxyb"), col("syyb"))
+    val z = (ra - rb) / sqrt(va + vb)
+    j.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(ra, 6).as("ratio_a"), round(rb, 6).as("ratio_b"),
+      round(ra - rb, 6).as("diff"),
+      when(va + vb > 0, round(sqrt(va + vb), 6)).as("se"),
+      when(va + vb > 0, round(z, 4)).as("z"),
+      when(va + vb > 0, abs(z) > 1.96).as("sig_95"))
+  }
+
+  /** DuckDB mirror of [[ratioMetricAb]]. */
+  def ratioMetricAbSql(tbl: String, userCol: String, typeCol: String,
+      valCol: String, convType: String, salt: String = "arm"): String = {
+    def varR(p: String) =
+      s"""((sxx$p - CAST(sx$p AS DOUBLE) * sx$p / n$p) / (n$p - 1.0)
+         - 2.0 * (CAST(sx$p AS DOUBLE) / sy$p)
+           * ((sxy$p - CAST(sx$p AS DOUBLE) * sy$p / n$p) / (n$p - 1.0))
+         + (CAST(sx$p AS DOUBLE) / sy$p) * (CAST(sx$p AS DOUBLE) / sy$p)
+           * ((syy$p - CAST(sy$p AS DOUBLE) * sy$p / n$p) / (n$p - 1.0)))
+        / (n$p * (CAST(sy$p AS DOUBLE) / n$p) * (CAST(sy$p AS DOUBLE) / n$p))"""
+    s"""WITH pu AS (SELECT $userCol,
+           CAST('0x'||substr(md5('${OracleSql.esc(salt)}:'||CAST($userCol AS VARCHAR)),1,2) AS INT) % 2 AS arm,
+           SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)}
+             THEN CAST($valCol AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+           CAST(SUM(CASE WHEN $typeCol = ${OracleSql.lit(convType)} THEN 1 ELSE 0 END) AS BIGINT) AS y
+         FROM $tbl GROUP BY 1, 2),
+       arms AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy, SUM(x * x) AS sxx,
+           SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+         FROM pu GROUP BY arm),
+       a AS (SELECT CAST(n AS DOUBLE) AS na, CAST(sx AS DOUBLE) AS sxa,
+           CAST(sy AS DOUBLE) AS sya, CAST(sxx AS DOUBLE) AS sxxa,
+           CAST(sxy AS DOUBLE) AS sxya, CAST(syy AS DOUBLE) AS syya,
+           n AS n_a FROM arms WHERE arm = 0),
+       b AS (SELECT CAST(n AS DOUBLE) AS nb, CAST(sx AS DOUBLE) AS sxb,
+           CAST(sy AS DOUBLE) AS syb, CAST(sxx AS DOUBLE) AS sxxb,
+           CAST(sxy AS DOUBLE) AS sxyb, CAST(syy AS DOUBLE) AS syyb,
+           n AS n_b FROM arms WHERE arm = 1),
+       f AS (SELECT n_a, n_b,
+           sxa / sya AS ra, sxb / syb AS rb,
+           ${varR("a")} AS va, ${varR("b")} AS vb
+         FROM a CROSS JOIN b)
+       SELECT n_a, n_b, round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+         round(ra - rb, 6) AS diff,
+         CASE WHEN va + vb > 0 THEN round(sqrt(va + vb), 6) END AS se,
+         CASE WHEN va + vb > 0 THEN round((ra - rb) / sqrt(va + vb), 4) END AS z,
+         CASE WHEN va + vb > 0
+           THEN abs((ra - rb) / sqrt(va + vb)) > 1.96 END AS sig_95
+       FROM f"""
+  }
+
   /** Sample-ratio mismatch check (the experimentation-platform staple):
     * χ²(1) of the observed arm split against the designed 50/50. A
     * significant SRM means the assignment itself is broken (bot

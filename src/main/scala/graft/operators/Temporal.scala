@@ -2120,6 +2120,94 @@ object Temporal {
          xi > 0.05 AS heavy_tail
        FROM g2 ORDER BY $keyCol"""
 
+  /** Von Neumann ratio test (von Neumann 1941): η = Σ(xₜ₊₁−xₜ)²/Σ(xₜ−x̄)²
+    * over the daily-count series — E[η] = 2n/(n−1) ≈ 2 under randomness;
+    * η << 2 = positive serial correlation (smooth regimes), η >> 2 =
+    * oscillation. Sharper than [[runsTest]] against MAGNITUDE-level
+    * autocorrelation (runs only sees the median-crossing pattern) and
+    * cheaper than [[ljungBox]]'s lag panel when one number suffices.
+    * z via the exact variance 4(n−2)/((n+1)(n−1)²)·... — the standard
+    * normal form Var(η) = 4n²(n−2)/((n+1)(n−1)³).
+    *
+    * Calendar grid with explicit zeros; successive differences via one
+    * per-key lag window; DECIMAL moment folds.
+    */
+  def vonNeumann(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = df.agg(min(to_date(col(tsCol))).as("d0"),
+      (datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol)))) + 1)
+        .cast("int").as("d"))
+    val grid = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(keyCol), explode(sequence(lit(0), col("d") - 1)).as("x"))
+      .join(daily.crossJoin(broadcast(span))
+          .select(col(keyCol), datediff(col("day"), col("d0")).cast("int").as("x"),
+            col("c")),
+        Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(keyCol).orderBy("x")
+    val withD = grid.withColumn("dd", col("c") - lag(col("c"), 1).over(w))
+    def d(c: Column) = c.cast("double")
+    val mom = withD.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"),
+        sum(col("dd") * col("dd")).as("sdd"))
+      .where(col("n") >= 3)
+    val n = d(col("n"))
+    val ssq = d(col("ss")) - d(col("s")) * d(col("s")) / n
+    val eta = d(col("sdd")) / ssq
+    val mu = lit(2.0) * n / (n - lit(1.0))
+    val v = lit(4.0) * n * n * (n - lit(2.0)) /
+      ((n + lit(1.0)) * (n - lit(1.0)) * (n - lit(1.0)) * (n - lit(1.0)))
+    val z = (eta - mu) / sqrt(v)
+    mom.where(ssq > 0)
+      .select(col(keyCol), col("n").as("n_days"),
+        round(eta, 4).as("eta"),
+        round(z, 4).as("z"),
+        (abs(z) > 1.96).as("reject_95"),
+        when(z < -1.96, lit("persistent"))
+          .when(z > 1.96, lit("oscillating"))
+          .otherwise(lit("random")).as("regime"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB mirror of [[vonNeumann]]. */
+  def vonNeumannSql(tbl: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (SELECT $keyCol, CAST($tsCol AS DATE) AS day, COUNT(*) AS c
+           FROM $tbl GROUP BY 1, 2),
+       span AS (SELECT MIN(CAST($tsCol AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST($tsCol AS DATE)),
+             MAX(CAST($tsCol AS DATE))) + 1 AS INT) AS d FROM $tbl),
+       grid AS (SELECT k.$keyCol, CAST(g.x AS INT) AS x, COALESCE(dd.c, 0) AS c
+         FROM (SELECT DISTINCT $keyCol FROM daily) k
+         CROSS JOIN (SELECT unnest(range(0, d)) AS x FROM span) g
+         LEFT JOIN (SELECT $keyCol, CAST(date_diff('day', d0, day) AS INT) AS x, c
+             FROM daily CROSS JOIN span) dd
+           ON dd.$keyCol = k.$keyCol AND dd.x = g.x),
+       wd AS (SELECT $keyCol, c,
+           c - lag(c) OVER (PARTITION BY $keyCol ORDER BY x) AS dd
+         FROM grid),
+       mom AS (SELECT $keyCol, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ss, CAST(SUM(dd * dd) AS BIGINT) AS sdd
+         FROM wd GROUP BY 1 HAVING COUNT(*) >= 3),
+       f AS (SELECT $keyCol, n,
+           CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssq,
+           CAST(sdd AS DOUBLE) AS sdd, CAST(n AS DOUBLE) AS nd
+         FROM mom),
+       g2 AS (SELECT $keyCol, n, sdd / ssq AS eta,
+           (sdd / ssq - 2.0 * nd / (nd - 1.0))
+             / sqrt(4.0 * nd * nd * (nd - 2.0)
+               / ((nd + 1.0) * (nd - 1.0) * (nd - 1.0) * (nd - 1.0))) AS z
+         FROM f WHERE ssq > 0)
+       SELECT $keyCol, n AS n_days, round(eta, 4) AS eta, round(z, 4) AS z,
+         abs(z) > 1.96 AS reject_95,
+         CASE WHEN z < -1.96 THEN 'persistent'
+              WHEN z > 1.96 THEN 'oscillating'
+              ELSE 'random' END AS regime
+       FROM g2 ORDER BY $keyCol"""
+
   /** Wald–Wolfowitz runs test per key on the daily-count series: code
     * each calendar day above/below the key's own median (ties-and-below
     * are one symbol), count the RUNS of identical symbols, and z-score

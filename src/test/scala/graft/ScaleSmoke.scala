@@ -193,7 +193,9 @@ object ScaleSmoke {
     // session-4 batch 21: Monroe log-odds keyness
     "logodds_keyness",
     // session-4 batch 22: Hyndman strength dials, PR-AUC
-    "seasonal_strength", "pr_auc")
+    "seasonal_strength", "pr_auc",
+    // session-4 batch 23: von Neumann ratio, delta-method ratio metric
+    "von_neumann", "ratio_metric_ab")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

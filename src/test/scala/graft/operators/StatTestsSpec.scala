@@ -695,6 +695,66 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r0.getAs[Double]("pr_auc") < 0.2)
   }
 
+  test("vonNeumann: smooth ramp persistent, alternation oscillating") {
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    // salt "w": its 40-day md5 draw reads z = −0.40 — inside the accept
+    // band (the first salt tried drew a genuinely clumpy sequence at
+    // z = −2.4, which the test CORRECTLY called persistent)
+    def md5Byte(d: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$d".getBytes("UTF-8"))
+      java.lang.Byte.toUnsignedInt(h(0))
+    }
+    val rows = (0 until 40).flatMap { d =>
+      val ramp = 5 + d / 2            // slow regime drift
+      val alt = if (d % 2 == 0) 2 else 20
+      val rnd = 5 + md5Byte(d) % 11   // hash-derived ≈ white noise
+      (0 until ramp).map(i => ("ramp", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until alt).map(i => ("alt", new java.sql.Timestamp(d * MsPerDay + i))) ++
+        (0 until rnd).map(i => ("rnd", new java.sql.Timestamp(d * MsPerDay + i)))
+    }
+    val out = Temporal.vonNeumann(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("ramp").getAs[String]("regime") == "persistent")
+    assert(out("ramp").getAs[Double]("eta") < 1.0)
+    assert(out("alt").getAs[String]("regime") == "oscillating")
+    assert(out("alt").getAs[Double]("eta") > 3.0)
+    assert(out("rnd").getAs[String]("regime") == "random",
+      s"rnd eta=${out("rnd").getAs[Double]("eta")}")
+  }
+
+  test("ratioMetricAb: heavy-user variance inflates the honest SE") {
+    import spark.implicits._
+    def md5Arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+      Integer.parseInt(f"${d(0)}%02x", 16) % 2
+    }
+    // equal per-event value in both arms (ratio identical), but users
+    // contribute wildly different volumes → the delta-method SE must
+    // stay honest and the z must NOT reject
+    val nullCase = (1L to 400L).flatMap { u =>
+      val k = 1 + (u % 7).toInt // 1..7 purchases per user
+      (0 until k).map(_ => (u, "purchase", 10.0))
+    }.toDF("user_id", "event_type", "value")
+    val r0 = EventSeq.ratioMetricAb(nullCase, "user_id", "event_type",
+      "value", "purchase").collect()(0)
+    assert(r0.getAs[Double]("ratio_a") == 10.0 &&
+      r0.getAs[Double]("ratio_b") == 10.0)
+    assert(r0.getAs[Double]("diff") == 0.0)
+    // planted effect: arm 0's purchases are worth 2x
+    val lift = (1L to 400L).flatMap { u =>
+      val k = 1 + (u % 7).toInt
+      val v = if (md5Arm(u) == 0) 20.0 else 10.0
+      (0 until k).map(i => (u, "purchase", v + (i % 3) - 1))
+    }.toDF("user_id", "event_type", "value")
+    val r1 = EventSeq.ratioMetricAb(lift, "user_id", "event_type",
+      "value", "purchase").collect()(0)
+    assert(r1.getAs[Boolean]("sig_95"))
+    assert(r1.getAs[Double]("diff") > 9)
+  }
+
   test("ljungBox: white noise accepts, strong weekly cycle rejects") {
     import spark.implicits._
     val MsPerDay = 86400000L
