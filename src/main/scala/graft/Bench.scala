@@ -39,6 +39,7 @@ object Bench {
     // "reps"/"agg" are recorded in the JSON so no run is comparable to a
     // different methodology unnoticed.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val loadStart = loadAvg1()
     val results = ordered.map { case (name, fn) =>
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -89,8 +90,18 @@ object Bench {
         }
       } else System.err.println(s"[bench] no per-query regressions vs $file")
     }
+    // machine-attributable load labeling (round-7 verdict #3): a loaded
+    // driver box shows 13x spreads vs idle on the SAME code; recording
+    // 1-min load average at start+end (normalized per core would hide the
+    // absolute picture — raw /proc/loadavg field 1) lets a reader separate
+    // contention from regression without a rerun. load1 >> cpus used by
+    // this bench ⇒ treat per-query times as upper bounds only.
+    val loadEnd = loadAvg1()
+    val loadWarn =
+      if (math.max(loadStart, loadEnd) > cpus.toInt * 1.5) ",\"load_warning\":true"
+      else ""
     val metricLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}$loadWarn,"queries":$qs,"sf":"$sfDir"}"""
     // full-precision history for the NEXT round's delta base (the driver's
     // BENCH_r{N}.json wrapper often only carries a bounded log tail)
     try java.nio.file.Files.write(
@@ -110,6 +121,22 @@ object Bench {
       sys.exit(1)
     }
   }
+
+  /** 1-minute load average from /proc/loadavg (Linux); falls back to the
+    * JMX system load average, else -1 (never throws — bench must not die
+    * on an exotic box just to label load).
+    */
+  private def loadAvg1(): Double =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      txt.split("\\s+")(0).toDouble
+    } catch {
+      case _: Exception =>
+        try java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        catch { case _: Exception => -1.0 }
+    }
 
   /** Per-query seconds of the newest previous bench. Prefers the driver's
     * BENCH_r{N}.json (top-level or `parsed` queries object; falls back to

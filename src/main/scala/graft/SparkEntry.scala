@@ -273,14 +273,16 @@ object SparkEntry {
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        // exact DECIMAL end-to-end: prices/discounts are cents-exact, so
-        // decimal(12,2) x decimal(4,2) terms sum exactly and the final
-        // (18,2) rounding is engine-pinned -- per-customer sums are small
-        // enough that the usual round(double,2) pattern hits a half-cent
-        // boundary here (observed: 307843.595)
+        // exact DECIMAL arithmetic INTERNALLY (prices/discounts are
+        // cents-exact, so decimal(12,2) x decimal(4,2) terms sum exactly and
+        // rounding happens on the exact decimal — round(double,2) hits a
+        // half-cent boundary here, observed 307843.595) but the LANDED column
+        // is DOUBLE: DECIMAL output columns hash differently across oracle
+        // harness canonicalizers (round-7 driver fail), and a scale-2 decimal
+        // casts to the identical IEEE double in both engines
         .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))), 2)
-          .cast("decimal(18,2)").as("revenue"))
+          .cast("decimal(18,2)").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -3136,8 +3138,8 @@ object SparkEntry {
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q10_returned" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(18,2)) AS revenue
+         CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -3230,8 +3232,8 @@ object SparkEntry {
          ORDER BY part_value DESC, p_partkey""",
     "q12_latestatus" ->
       """SELECT l_linestatus,
-         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_shipdate > o_orderdate + INTERVAL 60 DAY

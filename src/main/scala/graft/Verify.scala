@@ -38,9 +38,17 @@ object Verify {
         }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
+    spark.stop()
+  }
+
+  /** `SparkEntry.oracleSql` as a JSON object — shared with the hygiene
+    * spec's DuckDB type gate so both audit the exact artifact the driver
+    * loads. Escapes backslash, quote, and ALL control chars (<0x20): a tab
+    * or CR in builder-authored SQL would otherwise make the driver's
+    * json.load fail and silently zero the round's correctness.
+    */
+  def oracleSqlJson: String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -50,9 +58,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -123,8 +123,11 @@ object TextEval {
       .mkString(" + ")
     val bp = s"""CASE WHEN hyp_len >= ref_len THEN 1.0
         ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(hyp_len AS DOUBLE)) END"""
-    val sel = (1 to maxN).map(n => s"match_$n").mkString(", ") + ", " +
-      (1 to maxN).map(n => s"total_$n").mkString(", ")
+    // CAST AS BIGINT: DuckDB SUM(int) lands HUGEINT, which oracle-harness
+    // canonicalizers hash differently from Spark's LongType (round-7 driver
+    // fail) — every landed integer column must be BIGINT
+    val sel = (1 to maxN).map(n => s"CAST(match_$n AS BIGINT) AS match_$n").mkString(", ") + ", " +
+      (1 to maxN).map(n => s"CAST(total_$n AS BIGINT) AS total_$n").mkString(", ")
     s"""WITH base AS (SELECT $idCol AS id,
              string_split_regex(trim(lower($textCol)),'\\s+') AS ref,
              CAST(3 + $idCol % 5 AS INT) AS k
@@ -152,7 +155,8 @@ object TextEval {
            FROM (SELECT hyp, unnest([$ns]) AS n FROM h) GROUP BY n),
        mrow AS (SELECT $matchCols FROM mm),
        trow AS (SELECT $totalCols FROM tt)
-       SELECT $sel, ref_len, hyp_len,
+       SELECT $sel, CAST(ref_len AS BIGINT) AS ref_len,
+         CAST(hyp_len AS BIGINT) AS hyp_len,
          round($bp, 6) AS bp,
          round(CASE WHEN ${(1 to maxN).map(n => s"total_$n > 0").mkString(" AND ")}
            THEN ($bp) * exp(${1.0 / maxN} * ($logSum)) ELSE 0.0 END, 6) AS bleu
@@ -233,7 +237,9 @@ object TextEval {
            FROM (SELECT ref, unnest([$ns]) AS n FROM h) GROUP BY n),
        j AS (SELECT n, COALESCE(n_match, 0) AS n_match, hyp_total, ref_total
            FROM ht JOIN rt USING (n) LEFT JOIN mm USING (n))
-       SELECT n, n_match, hyp_total, ref_total,
+       SELECT n, CAST(n_match AS BIGINT) AS n_match,
+         CAST(hyp_total AS BIGINT) AS hyp_total,
+         CAST(ref_total AS BIGINT) AS ref_total,
          round(CASE WHEN hyp_total > 0
            THEN CAST(n_match AS DOUBLE) / CAST(hyp_total AS DOUBLE) ELSE 0.0 END, 6) AS prec,
          round(CASE WHEN ref_total > 0
@@ -366,7 +372,9 @@ object TextEval {
                  + (CAST(n_match AS DOUBLE) / CAST(ref_total AS DOUBLE)))
              ELSE 0.0 END, 6) AS fbeta
          FROM j)
-       SELECT n, n_match, hyp_total, ref_total, prec, rec, fbeta FROM pern
+       SELECT n, CAST(n_match AS BIGINT) AS n_match,
+         CAST(hyp_total AS BIGINT) AS hyp_total,
+         CAST(ref_total AS BIGINT) AS ref_total, prec, rec, fbeta FROM pern
        UNION ALL
        SELECT 0 AS n, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),

@@ -20,4 +20,32 @@ class RepoHygieneSpec extends AnyFunSuite {
       f.endsWith(".tmp") || f.endsWith(".orig") || f.endsWith(".rej") || f.endsWith("~"))
     assert(debris.isEmpty, s"tracked debris files: $debris")
   }
+
+  /** Oracle output-type gate (round-7 verdict #1): DESCRIBE every
+    * `SparkEntry.oracleSql` entry in DuckDB and assert no
+    * HUGEINT/UHUGEINT/DECIMAL OUTPUT column anywhere on the board. Those
+    * types hash differently between the driver's canonicalizer and the
+    * local fetchall() replica — 4 of round 7's 5 type-dirty queries were
+    * exactly the round's 4 driver-red rows while passing locally. Internal
+    * DECIMAL arithmetic is fine; landed columns must be BIGINT/DOUBLE.
+    */
+  test("no HUGEINT/DECIMAL output column in any oracle (DuckDB DESCRIBE)") {
+    import scala.sys.process._
+    val sfDir = new java.io.File("/root/testdata/sf0.001")
+    assume(sfDir.isDirectory, "testdata not present — gate runs on the build box")
+    val duck =
+      try Process(Seq("python3", "-c", "import duckdb")).! == 0
+      catch { case _: Exception => false }
+    assume(duck, "python3+duckdb unavailable — gate runs on the build box")
+    val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    java.nio.file.Files.writeString(tmp, Verify.oracleSqlJson)
+    val out = new StringBuilder
+    val logger = ProcessLogger(l => { out.append(l).append('\n'); () },
+      l => { out.append(l).append('\n'); () })
+    val rc = Process(
+      Seq("python3", "tools/type_gate.py", sfDir.getAbsolutePath, tmp.toString),
+      new java.io.File(".").getCanonicalFile).!(logger)
+    java.nio.file.Files.deleteIfExists(tmp)
+    assert(rc == 0, s"type gate failed:\n$out")
+  }
 }
