@@ -103,11 +103,14 @@ object Bench {
     val metricLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}$loadWarn,"queries":$qs,"sf":"$sfDir"}"""
     // full-precision history for the NEXT round's delta base (the driver's
-    // BENCH_r{N}.json wrapper often only carries a bounded log tail)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(Bench.repoRoot, "BENCH_LOCAL.json"),
-      metricLine.getBytes("UTF-8"))
-    catch { case _: Exception => () }
+    // BENCH_r{N}.json wrapper often only carries a bounded log tail).
+    // Full-board runs only: a filtered local iteration (args given) must
+    // not clobber the board-wide delta base with a one-query file.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(Bench.repoRoot, "BENCH_LOCAL.json"),
+        metricLine.getBytes("UTF-8"))
+      catch { case _: Exception => () }
     // silence shutdown INFO chatter, then emit the headline line LAST so a
     // bounded output tail always contains it
     spark.sparkContext.setLogLevel("ERROR")

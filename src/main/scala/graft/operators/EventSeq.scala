@@ -468,15 +468,23 @@ object EventSeq {
         (col(typeCol) === convType).cast("int").as("cv"))
       .groupBy("u", "arm")
       .agg((sum("cv") >= minCount).cast("int").as("converted"))
-    val arms = perUser.groupBy("arm")
-      .agg(count(lit(1)).as("n"), sum("converted").as("c"))
-    val a = arms.where(col("arm") === 0).select(col("n").as("n_a"), col("c").as("c_a"))
-    val b = arms.where(col("arm") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
+    // ONE pass: conditional aggregation pivots both arms out of a single
+    // global agg. The earlier where(arm=0)/where(arm=1) branch pair +
+    // crossJoin re-evaluated the full scan AND the per-user shuffle twice —
+    // the round-7 idle bench caught the 2x (0.28 → 0.66 s at sf0.1); at
+    // 100 TB that's a doubled fact-table scan for a 1-row readout.
+    val one = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("converted").cast("long")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("converted").cast("long")).otherwise(0L)).as("c_b"))
     val pa = col("c_a").cast("double") / col("n_a").cast("double")
     val pb = col("c_b").cast("double") / col("n_b").cast("double")
     val pp = (col("c_a") + col("c_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
-    a.crossJoin(broadcast(b))
+    // empty-arm degenerate case lands 0 rows, exactly like the oracle's
+    // CROSS JOIN of an empty arm CTE (and like the old branch-pair shape)
+    one.where(col("n_a") > 0 && col("n_b") > 0)
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
         round(pa, 6).as("conv_a"), round(pb, 6).as("conv_b"),
         // 1e-12 variance floor (the rateAnomaly convention): a degenerate
