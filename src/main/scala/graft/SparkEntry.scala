@@ -2185,13 +2185,16 @@ object SparkEntry {
         .select(col("event_id"))
         .orderBy("event_id")
     }),
-    // --- multimodal binary-column plumbing (decode stubbed) ---
+    // --- multimodal binary-column plumbing ---
     "multimodal_bytes" -> ((s, dir) => {
+      // honest codegen-tier byte features only: length, checksum, magic-byte
+      // format sniff — the fabricated width/height stubs are retired (real
+      // dims come from the parse tier in multimodal_dims, NULL otherwise)
       val df = Tables.documents(s, dir)
         .withColumn("blob", encode(col("text"), "UTF-8"))
       operators.Multimodal.byteFeatures(df, "blob")
         .select(col("doc_id"), col("byte_len"), col("checksum"),
-          col("width_stub"), col("height_stub"))
+          col("format_sniff"))
         .orderBy("doc_id")
     }),
     "interval_join" -> ((s, dir) => {
@@ -2367,6 +2370,41 @@ object SparkEntry {
           col("mp4_meta.mdat_declared").as("mdat_declared"),
           col("mp4_meta.truncated").as("truncated"))
         .orderBy("doc_id")
+    }),
+    "mp4_tracks" -> ((s, dir) => {
+      // per-TRACK container walk (the tier below multimodal_mp4's movie
+      // header): synthesize two-track moov subtrees — a video trak
+      // (avc1/hev1 by doc_id parity) and an audio trak (mp4a) — with
+      // doc_id-derived media timescale/duration, stts sample counts and a
+      // 3-entry stss keyframe table, then recover every field through the
+      // generic trak/mdia/stbl box walk (Multimodal.parseMp4Tracks). The
+      // oracle rebuilds the same bytes and parses them back at the fixed
+      // hex offsets, exactly the multimodal_wav discipline.
+      val d = col("doc_id")
+      val tsV = ((d % 3 + 1) * 1000).cast("int")
+      val durV = (d % 9000 + 600).cast("int")
+      val nsV = (d % 240 + 24).cast("int")
+      val k2V = (d % 10 + 2).cast("int")
+      val codecV = when(d % 2 === 0, lit("61766331")).otherwise(lit("68657631"))
+      val tsA = ((d % 2 + 1) * 24000).cast("int")
+      val durA = (d % 7000 + 500).cast("int")
+      val nsA = (d % 500 + 50).cast("int")
+      val k2A = (d % 20 + 2).cast("int")
+      val msz = (d % 5000 + 100).cast("int")
+      val mvhd = lit("0000006c6d766864000000000000000000000000" + // hdr+vf+ctime+mtime
+        "000003e8" + "00002710" + "00010000" + "01000000" + "0000000000000000" +
+        "000100000000000000000000000000000001000000000000000000000000000040000000" +
+        "000000000000000000000000000000000000000000000000" + "00000002")
+      val hexStr = concat(
+        lit("000000106674797069736f6d00000000"),                 // ftyp
+        lit("000002946d6f6f76"), mvhd,                           // moov(660) hdr + mvhd
+        trakHex("00000001", "76696465", codecV, tsV, durV, nsV, k2V), // video
+        trakHex("00000002", "736f756e", lit("6d703461"), tsA, durA, nsA, k2A), // audio
+        be32(msz + 8), lit("6d646174"))                          // declared-only mdat
+      val df = Tables.documents(s, dir)
+        .select(col("doc_id"), unhex(hexStr).as("video"))
+      operators.Multimodal.mp4Tracks(df, "doc_id", "video")
+        .orderBy("doc_id", "track_id")
     }),
     "multimodal_pixels" -> ((s, dir) => {
       // REAL pixel decode end-to-end: synthesize BMP24 / PNG-RGB / PNG-gray
@@ -2715,13 +2753,10 @@ object SparkEntry {
             .select(col("doc_id"), col("keep")), "doc_id"),
         "bucket", "keep")
     }),
-    // rank-sensitive ranker audit: average precision + MRR of BM25
-    // against the conjunctive relevance set (p@k is blind to position)
-    "map_eval" -> ((s, dir) =>
-      operators.Search.apEval(Tables.documents(s, dir), "doc_id", "text",
-        Seq("dup", "spark", "window"))),
-    // the macro view: per-query AP/MRR rows over the shared ndcg panel —
-    // what a ranker regression gate actually tracks
+    // rank-sensitive ranker audit, per-query AP/MRR rows over the shared
+    // ndcg panel — what a ranker regression gate actually tracks (the
+    // single-query map_eval variant was cut in round 8: strictly subsumed
+    // by this panel, and the board is held at its bench-window ceiling)
     "map_panel" -> ((s, dir) =>
       operators.Search.apEvalPanel(Tables.documents(s, dir), "doc_id",
         "text", NdcgPanel)),
@@ -2968,6 +3003,34 @@ object SparkEntry {
     concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
   }
   private def be32(c: Column): Column = lpad(hex(c), 8, "0")
+
+  /** Fixed-layout 272-byte ISO-BMFF `trak` subtree as hex:
+    * tkhd(92) + mdia(172)[mdhd(32) + hdlr(32) + minf(100)[stbl(92)[
+    * stsd(32) + stts(24) + stss(28)]]]. Only field VALUES vary — every box
+    * size is a literal — so the mp4_tracks oracle can parse each field back
+    * at a fixed byte offset (track_id +28, timescale +128, duration +132,
+    * handler +156, codec +208, n_samples +236, keyframe count/first/last
+    * +256/+260/+268 relative to the trak box start).
+    */
+  private def trakHex(tidHex: String, handlerHex: String, codecHex: Column,
+      ts: Column, dur: Column, ns: Column, k2: Column): Column = concat(
+    lit("000001107472616b"),                                    // trak hdr
+    lit("0000005c746b6864000000000000000000000000"),            // tkhd v0 hdr+vf+ctime+mtime
+    lit(tidHex), lit("00000000"), be32(dur),                    // track_ID, reserved, duration
+    lit("00000000000000000000000000000000"),                    // reserved8, layer/alt, vol/res
+    lit("000100000000000000000000000000000001000000000000000000000000000040000000"),
+    lit("0280000001e00000"),                                    // 640x480 fixed 16.16
+    lit("000000ac6d646961"),                                    // mdia hdr
+    lit("000000206d646864000000000000000000000000"),            // mdhd v0 hdr+vf+ctime+mtime
+    be32(ts), be32(dur), lit("55c40000"),                       // timescale, duration, lang
+    lit("0000002068646c720000000000000000"),                    // hdlr hdr+vf+pre_defined
+    lit(handlerHex), lit("000000000000000000000000"),           // handler 4cc, reserved
+    lit("000000646d696e66"),                                    // minf hdr
+    lit("0000005c7374626c"),                                    // stbl hdr
+    lit("00000020737473640000000000000001" + "00000010"),       // stsd hdr+vf+count, entry size
+    codecHex, lit("0000000000000001"),                          // codec 4cc, 6B reserved + dref 1
+    lit("00000018737474730000000000000001"), be32(ns), lit("00000200"), // stts: ns samples @512
+    lit("0000001c737473730000000000000003" + "00000001"), be32(k2), be32(ns)) // stss: 1,k2,ns
 
   // ---------- oracle SQL (DuckDB) ----------
 
@@ -4819,8 +4882,9 @@ object SparkEntry {
       "SELECT event_id FROM events WHERE json_extract_string(props,'$.k') = '87' ORDER BY event_id",
     "multimodal_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
-         octet_length(encode(text)) % 640 AS width_stub,
-         (octet_length(encode(text)) * 7) % 480 AS height_stub
+         CASE WHEN upper(substr(hex(encode(text)), 1, 4)) = 'FFD8' THEN 'jpeg'
+              WHEN upper(substr(hex(encode(text)), 1, 4)) = '8950' THEN 'png'
+              ELSE 'raw' END AS format_sniff
          FROM documents ORDER BY doc_id""",
     "interval_join" ->
       // mirror of StreamJoin.intervalJoin(3600s) + per-purchase count
@@ -4969,6 +5033,53 @@ object SparkEntry {
            ('0x' || substr(h, 265, 8))::BIGINT - 8 AS mdat_declared,
            (('0x' || substr(h, 265, 8))::BIGINT - 8) > 0 AS truncated
          FROM b ORDER BY doc_id""",
+    "mp4_tracks" ->
+      // two-track moov rebuilt field-for-field (video avc1/hev1 + audio
+      // mp4a trak subtrees, fixed 272-byte layout), then every per-track
+      // field parsed BACK from the big-endian hex at its fixed offset
+      // relative to the trak base (bytes 132 / 404): track_id +28,
+      // timescale +128, duration +132, handler 4cc +156, codec 4cc +208,
+      // stts sample count +236, stss count/first/last +256/+260/+268
+      s"""WITH p AS (SELECT doc_id,
+           CAST((doc_id % 3 + 1) * 1000 AS INTEGER) AS tsv,
+           CAST(doc_id % 9000 + 600 AS INTEGER) AS durv,
+           CAST(doc_id % 240 + 24 AS INTEGER) AS nsv,
+           CAST(doc_id % 10 + 2 AS INTEGER) AS k2v,
+           CAST((doc_id % 2 + 1) * 24000 AS INTEGER) AS tsa,
+           CAST(doc_id % 7000 + 500 AS INTEGER) AS dura,
+           CAST(doc_id % 500 + 50 AS INTEGER) AS nsa,
+           CAST(doc_id % 20 + 2 AS INTEGER) AS k2a,
+           CAST(doc_id % 5000 + 100 AS INTEGER) AS msz FROM documents),
+         b AS (SELECT doc_id,
+           '000000106674797069736f6d00000000'
+           || '000002946d6f6f76'
+           || '0000006c6d766864000000000000000000000000'
+           || '000003e8' || '00002710' || '00010000' || '01000000' || '0000000000000000'
+           || '000100000000000000000000000000000001000000000000000000000000000040000000'
+           || '000000000000000000000000000000000000000000000000' || '00000002'
+           || ${trakHexSql("00000001", "76696465",
+               "(CASE WHEN doc_id % 2 = 0 THEN '61766331' ELSE '68657631' END)",
+               "tsv", "durv", "nsv", "k2v")}
+           || ${trakHexSql("00000002", "736f756e", "'6d703461'",
+               "tsa", "dura", "nsa", "k2a")}
+           || lpad(to_hex(msz + 8),8,'0') || '6d646174' AS h
+           FROM p),
+         t AS (SELECT doc_id, h, 132 AS base FROM b
+               UNION ALL SELECT doc_id, h, 404 AS base FROM b)
+         SELECT doc_id,
+           ('0x' || substr(h, base*2 + 57, 8))::BIGINT AS track_id,
+           CASE substr(h, base*2 + 313, 8) WHEN '76696465' THEN 'vide'
+             ELSE 'soun' END AS handler,
+           CASE substr(h, base*2 + 417, 8) WHEN '61766331' THEN 'avc1'
+             WHEN '68657631' THEN 'hev1' ELSE 'mp4a' END AS codec,
+           ('0x' || substr(h, base*2 + 257, 8))::BIGINT AS timescale,
+           (('0x' || substr(h, base*2 + 265, 8))::BIGINT * 1000)
+             // ('0x' || substr(h, base*2 + 257, 8))::BIGINT AS duration_ms,
+           ('0x' || substr(h, base*2 + 473, 8))::BIGINT AS n_samples,
+           ('0x' || substr(h, base*2 + 513, 8))::BIGINT AS n_keyframes,
+           ('0x' || substr(h, base*2 + 521, 8))::BIGINT AS kf_first,
+           ('0x' || substr(h, base*2 + 537, 8))::BIGINT AS kf_last
+         FROM t ORDER BY doc_id, track_id""",
     "multimodal_wav" ->
       // RIFF/WAVE headers rebuilt field-for-field, then channels/rate/
       // data-size parsed BACK from the little-endian bytes at their fixed
@@ -5352,7 +5463,6 @@ object SparkEntry {
              ON d.doc_id = g.doc_id),
          ${operators.Audit.trendTestSql("tb", "bucket", "keep")
             .stripPrefix("WITH ")}""",
-    "map_eval" -> mapEvalSqlFor(Seq("dup", "spark", "window"), None),
     "map_panel" ->
       s"""SELECT * FROM (
          ${NdcgPanel.map { case (name, terms) =>
@@ -5422,4 +5532,28 @@ object SparkEntry {
   private def le32Sql(e: String): String =
     s"""(substr(lpad(to_hex($e),8,'0'),7,2) || substr(lpad(to_hex($e),8,'0'),5,2)
        || substr(lpad(to_hex($e),8,'0'),3,2) || substr(lpad(to_hex($e),8,'0'),1,2))"""
+
+  /** DuckDB mirror of [[trakHex]] — identical literals, lpad(to_hex) for
+    * the value fields, so the byte layout (and therefore every parse-back
+    * offset) matches the Spark-built asset exactly. */
+  private def trakHexSql(tidHex: String, handlerHex: String, codecSql: String,
+      ts: String, dur: String, ns: String, k2: String): String =
+    s"""'000001107472616b'
+       || '0000005c746b6864000000000000000000000000'
+       || '$tidHex' || '00000000' || lpad(to_hex($dur),8,'0')
+       || '00000000000000000000000000000000'
+       || '000100000000000000000000000000000001000000000000000000000000000040000000'
+       || '0280000001e00000'
+       || '000000ac6d646961'
+       || '000000206d646864000000000000000000000000'
+       || lpad(to_hex($ts),8,'0') || lpad(to_hex($dur),8,'0') || '55c40000'
+       || '0000002068646c720000000000000000'
+       || '$handlerHex' || '000000000000000000000000'
+       || '000000646d696e66'
+       || '0000005c7374626c'
+       || '0000002073747364000000000000000100000010'
+       || $codecSql || '0000000000000001'
+       || '00000018737474730000000000000001' || lpad(to_hex($ns),8,'0') || '00000200'
+       || '0000001c737473730000000000000003' || '00000001'
+       || lpad(to_hex($k2),8,'0') || lpad(to_hex($ns),8,'0')"""
 }

@@ -93,11 +93,11 @@ object Multimodal {
     } else None
   }
 
-  /** The decoder behind [[withDecodedMeta]]: REAL dimensions whenever the
-    * bytes carry a parseable PNG/JPEG/GIF/BMP header ([[parseDims]]).
-    * Pixel-level work lives in [[withDecodedPixels]] (real for
-    * PNG/BMP/GIF/baseline-JPEG); video formats keep deterministic
-    * byte-derived fallbacks here.
+  /** LEGACY deterministic fallback, retained ONLY because a spec pins its
+    * determinism (OperatorsSpec "decodeStub surfaces the REAL dims").
+    * Board queries no longer reach it: [[withDecodedMeta]] routes through
+    * [[parseDims]] and lands NULL width/height for unparseable bytes — the
+    * honest answer — instead of this function's byte-length-derived dims.
     */
   def decodeStub(bytes: Array[Byte]): AssetMeta = {
     val len = bytes.length.toLong
@@ -124,6 +124,12 @@ object Multimodal {
     * codec initialization, row-group-sized batches, typed output. At 100 TB
     * the binary column stays columnar (Parquet BYTE_ARRAY) and decode
     * parallelism == partition count; no shuffle is introduced.
+    *
+    * Dimensions are REAL ([[parseDims]]) or NULL — never fabricated: a
+    * crawl asset whose header does not parse gets `width`/`height` NULL
+    * and a magic-byte `format` sniff ("jpeg"/"png" prefix, else "raw"),
+    * so a downstream filter can't mistake a byte-length artifact for a
+    * real dimension.
     */
   def withDecodedMeta(df: DataFrame, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -132,9 +138,20 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       // per-partition init would go here (codec handles, buffers)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val meta = decodeStub(r.getAs[Array[Byte]](binIdx))
-        Row.fromSeq(r.toSeq :+ Row(meta.byteLen, meta.format, meta.width, meta.height, meta.checksum))
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val parsed = parseDims(bytes)
+        val fmt = parsed.map(_._1).getOrElse {
+          if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+          else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+          else "raw"
+        }
+        md.reset()
+        val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+        Row.fromSeq(r.toSeq :+ Row(bytes.length.toLong, fmt,
+          parsed.map(p => Int.box(p._2)).orNull,
+          parsed.map(p => Int.box(p._3)).orNull, checksum))
       }
     }(enc)
   }
@@ -861,12 +878,18 @@ object Multimodal {
     }(enc)
   }
 
-  /** Column-level byte features — no decode needed, stays in codegen. */
+  /** Column-level byte features — no decode needed, stays in codegen. Only
+    * HONEST byte-derived columns (the fabricated width/height stubs are
+    * retired): length, checksum, and a magic-byte format sniff matching
+    * [[withDecodedMeta]]'s fallback tier.
+    */
   def byteFeatures(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("byte_len", octet_length(col(binCol)).cast("long"))
       .withColumn("checksum", md5(col(binCol)))
-      .withColumn("width_stub", col("byte_len") % 640)
-      .withColumn("height_stub", (col("byte_len") * 7) % 480)
+      .withColumn("format_sniff",
+        when(upper(substring(hex(col(binCol)), 1, 4)) === "FFD8", "jpeg")
+          .when(upper(substring(hex(col(binCol)), 1, 4)) === "8950", "png")
+          .otherwise("raw"))
 
   /** Deterministic frame sampling plumbing for video-like assets: emit
     * (asset_id, frame_idx, frame_bytes) rows — the explode pattern a frame
@@ -946,6 +969,142 @@ object Multimodal {
     }
     if (!sawFtyp || ts <= 0 || dur < 0) None
     else Some(Mp4Meta(boxes, ts, dur, dur * 1000L / ts, math.max(mdat, 0L), truncated))
+  }
+
+  // --- per-track ISO-BMFF walk (trak → mdia/stbl tier) ---------------------
+
+  /** One media track recovered from a `moov/trak` subtree. */
+  final case class Mp4Track(trackId: Long, handler: String, codec: String,
+      timescale: Long, durationTicks: Long, durationMs: Long,
+      nSamples: Long, nKeyframes: Long, kfFirst: Long, kfLast: Long)
+
+  /** Child boxes of `[start, end)` as (tag, payloadStart, boxEnd); None on a
+    * malformed size (<8 — size==1 largesize unmodeled). A final box whose
+    * declared size runs past `end` is clipped to `end` (truncated-crawl
+    * tolerance: its siblings before it still parse).
+    */
+  private def childBoxes(bytes: Array[Byte], start: Int, end: Int)
+      : Option[List[(String, Int, Int)]] = {
+    def u32be(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    val out = List.newBuilder[(String, Int, Int)]
+    var i = start
+    while (i + 8 <= end) {
+      val size = u32be(i)
+      if (size < 8) return None
+      val boxEnd = math.min(i + size, end.toLong).toInt
+      out += ((new String(bytes, i + 4, 4, "US-ASCII"), i + 8, boxEnd))
+      i += size.toInt
+    }
+    Some(out.result())
+  }
+
+  /** Per-track walk of the `moov` subtree (ISO/IEC 14496-12): for every
+    * `trak`, read the v0 `tkhd` track id, the `mdia/mdhd` v0 media
+    * timescale + duration, the `mdia/hdlr` handler 4cc ("vide"/"soun"/…),
+    * and descend `minf/stbl` for the `stsd` first-entry codec 4cc, the
+    * `stts` total sample count (Σ entry counts), and the `stss` sync-sample
+    * table (first/last keyframe sample numbers). A trak missing any of
+    * tkhd/mdhd/hdlr/stsd/stts — e.g. truncated mid-box — contributes NO
+    * row (never fabricated); a missing `stss` means every sample is a sync
+    * sample per the spec, so nKeyframes = nSamples and the table spans
+    * [1, nSamples]. None when the file-level walk itself fails (no leading
+    * ftyp, malformed size). Bytes after `moov` are irrelevant here, so a
+    * declared-only `mdat` tail parses fine — the header-only crawl shape.
+    */
+  def parseMp4Tracks(bytes: Array[Byte]): Option[Seq[Mp4Track]] = {
+    def u32be(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    if (bytes.length < 8) return None
+    val top = childBoxes(bytes, 0, bytes.length).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val tracks = Seq.newBuilder[Mp4Track]
+    for {
+      (tag, moovStart, moovEnd) <- top if tag == "moov"
+      moovKids <- childBoxes(bytes, moovStart, moovEnd).toList
+      (ktag, trakStart, trakEnd) <- moovKids if ktag == "trak"
+      trakKids <- childBoxes(bytes, trakStart, trakEnd).toList
+    } {
+      def one(kids: List[(String, Int, Int)], want: String): Option[(Int, Int)] =
+        kids.collectFirst { case (t, s, e) if t == want => (s, e) }
+      val parsed = for {
+        (tkhdS, tkhdE) <- one(trakKids, "tkhd")
+        if tkhdE >= tkhdS + 16 && bytes(tkhdS) == 0 // v0 layout only
+        trackId = u32be(tkhdS + 12)
+        (mdiaS, mdiaE) <- one(trakKids, "mdia")
+        mdiaKids <- childBoxes(bytes, mdiaS, mdiaE)
+        (mdhdS, mdhdE) <- one(mdiaKids, "mdhd")
+        if mdhdE >= mdhdS + 20 && bytes(mdhdS) == 0
+        ts = u32be(mdhdS + 12)
+        if ts > 0
+        dur = u32be(mdhdS + 16)
+        (hdlrS, hdlrE) <- one(mdiaKids, "hdlr")
+        if hdlrE >= hdlrS + 12
+        handler = new String(bytes, hdlrS + 8, 4, "US-ASCII")
+        (minfS, minfE) <- one(mdiaKids, "minf")
+        minfKids <- childBoxes(bytes, minfS, minfE)
+        (stblS, stblE) <- one(minfKids, "stbl")
+        stblKids <- childBoxes(bytes, stblS, stblE)
+        (stsdS, stsdE) <- one(stblKids, "stsd")
+        if stsdE >= stsdS + 16 && u32be(stsdS + 4) >= 1
+        codec = new String(bytes, stsdS + 12, 4, "US-ASCII")
+        (sttsS, sttsE) <- one(stblKids, "stts")
+        if sttsE >= sttsS + 8
+        nSamples <- {
+          val n = u32be(sttsS + 4)
+          if (sttsS + 8 + n * 8 > sttsE) None
+          else Some((0L until n).map(k => u32be(sttsS + 8 + k.toInt * 8)).sum)
+        }
+      } yield {
+        val sync = one(stblKids, "stss") match {
+          case Some((stssS, stssE)) if stssE >= stssS + 8 =>
+            val k = u32be(stssS + 4)
+            if (stssS + 8 + k * 4 > stssE || k == 0) None
+            else Some((k, u32be(stssS + 8), u32be(stssS + 8 + (k.toInt - 1) * 4)))
+          case Some(_) => None
+          // no stss box: every sample is a sync sample (14496-12 §8.6.2)
+          case None => Some((nSamples, 1L, nSamples))
+        }
+        sync.map { case (nk, kf, kl) =>
+          Mp4Track(trackId, handler, codec, ts, dur, dur * 1000L / ts,
+            nSamples, nk, kf, kl)
+        }
+      }
+      parsed.flatten.foreach(tracks += _)
+    }
+    Some(tracks.result())
+  }
+
+  /** One output row per recovered track — mapPartitions batch decode, scan-
+    * parallel like [[withWavMeta]]; a doc whose container fails the walk
+    * contributes no rows (honest, never fabricated).
+    */
+  def mp4Tracks(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", df.schema(idCol).dataType),
+      StructField("track_id", LongType),
+      StructField("handler", StringType),
+      StructField("codec", StringType),
+      StructField("timescale", LongType),
+      StructField("duration_ms", LongType),
+      StructField("n_samples", LongType),
+      StructField("n_keyframes", LongType),
+      StructField("kf_first", LongType),
+      StructField("kf_last", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        parseMp4Tracks(r.getAs[Array[Byte]](binIdx)).getOrElse(Seq.empty).map { t =>
+          Row(id, t.trackId, t.handler, t.codec, t.timescale, t.durationMs,
+            t.nSamples, t.nKeyframes, t.kfFirst, t.kfLast)
+        }
+      }
+    }(enc)
   }
 
   /** Batched MP4 metadata extraction — the [[withWavMeta]] mapPartitions

@@ -895,10 +895,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window must not collapse to one partition:\n$plan")
   }
 
-  test("map_eval: TakeOrdered top-k, broadcast df/corpus stats") {
-    val plan = planOf(SparkEntry.queries("map_eval")(spark, sf))
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"bm25 top-k should TakeOrdered, not global-sort:\n$plan")
+  test("map_panel: gated postings scan, broadcast stats, windowed per-query rank") {
+    val plan = planOf(SparkEntry.queries("map_panel")(spark, sf))
+    // per-query ranks come from a qid-partitioned window (bounded by the
+    // panel's candidate set), never a single-partition global sort
+    assert(plan.contains("Window"), s"per-query rank window expected:\n$plan")
+    assert(!"Window.*PartitionBy: \\[\\]".r.findFirstIn(plan).isDefined,
+      s"window must not collapse to one partition:\n$plan")
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"),
       s"doc-freq/corpus stats should broadcast:\n$plan")

@@ -161,7 +161,7 @@ object ScaleSmoke {
     "kruskal_wallis", "jarque_bera", "mcnemar_gates", "cochran_q",
     "runs_test",
     // session-4 batch 7b: rank-sensitive retrieval eval, k-core peel
-    "map_eval", "kcore_dups",
+    "map_panel", "kcore_dups",
     // session-4 batch 8: Bartlett, Welch ANOVA, permutation inference,
     // IVF silhouette
     "bartlett_test", "welch_anova", "permutation_test", "silhouette_ivf",

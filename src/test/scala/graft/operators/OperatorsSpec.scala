@@ -532,8 +532,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.parseDims("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseDims(hx("89504E470D0A1A0A0000000D49484400" + "00" * 16)).isEmpty)
     // decodeStub surfaces the REAL dims for parseable headers, stub otherwise
+    // (legacy — pinned here only; board queries route through
+    // withDecodedMeta, which lands NULL for unparseable bytes instead)
     assert(Multimodal.decodeStub(jpeg(123, 77, 40)).width == 123)
     assert(Multimodal.decodeStub("abc".getBytes).width == 3 % 640)
+  }
+
+  test("withDecodedMeta lands NULL dims for unparseable bytes, real dims otherwise") {
+    import spark.implicits._
+    def pngHdr(w: Int, h: Int): Array[Byte] =
+      ("89504E470D0A1A0A0000000D49484452" + f"$w%08X$h%08X" + "0806000000")
+        .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val df = Seq(
+      (1L, pngHdr(31, 17)),
+      (2L, "definitely not an image".getBytes("UTF-8"))).toDF("id", "blob")
+    val rows = Multimodal.withDecodedMeta(df, "blob")
+      .select(col("id"), col("asset_meta.format"), col("asset_meta.width"),
+        col("asset_meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(rows(1L) == (("png", Some(31), Some(17))))
+    assert(rows(2L) == (("raw", None, None)))
   }
 
   test("GIF/BMP dims and RIFF/WAV chunk scan, little-endian and padded chunks") {
