@@ -326,6 +326,24 @@ object Similarity {
         1, nProbe),
       s => -s.getField("negcid"))
 
+  /** Multi-assigned IVF cells: every vector attached to its `nAssign`
+    * nearest trained centroids (cosine, ties to smallest cid) — the cohort
+    * builder for the density operators ([[lofOutliers]], [[dbscanClusters]],
+    * [[hubness]]). Multi-assignment is the standard cell-boundary fix: a
+    * point near a Voronoi face shares a cell with neighbors on BOTH sides.
+    * Candidate volume is Σ|cell|² ≈ nAssign²·n²/C — tune C with corpus
+    * size to hold cohorts bounded (C ∝ n keeps the join linear); at 100 TB
+    * the cells are the partition key, so cohort joins shuffle nothing that
+    * a cluster-partitioned table hasn't already co-located.
+    *
+    * Output: (idCol, cell) — nAssign rows per vector.
+    */
+  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, kmeansIters: Int = 1, nAssign: Int = 2): DataFrame = {
+    val cents = centroids(emb, idCol, vecCol, nCentroids, kmeansIters)
+    emb.select(col(idCol), explode(probesExpr(cents, vecCol, nAssign)).as("cell"))
+  }
+
   def ivfTopKIndexed(cents: Array[(Long, Seq[Double])], index: DataFrame,
       idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     // the query row carries its vector + probe list (top-nProbe centroids)
@@ -1367,6 +1385,55 @@ object Similarity {
     *
     * Output: (vec_id, in_degree, is_hub, is_antihub) ordered by vec_id.
     */
+  /** Measured-recall diagnostic for the density operators ([[lofOutliers]],
+    * [[dbscanClusters]], [[hubness]]): for a panel of query ids, the
+    * fraction of TRUE neighbors that fall inside the banded-LSH cohort —
+    * i.e. share at least one (band_idx, band_val) with the query — under
+    * the SAME signDims/rowsPerBand the operators run with. Two metrics:
+    * `knn` (true k nearest by exact cosine) and `eps` (all true neighbors
+    * at distance ≤ eps, DBSCAN's edge set). A coverage below ~0.9 means
+    * the cohort is silently starving k-distance / core-point counts and
+    * the banding needs retuning (more bands / fewer rows per band).
+    *
+    * Cost: |panel| × corpus exact distances (panel is small by contract)
+    * plus one band equi-join — a diagnostic, not a serving path.
+    *
+    * Output: (metric, n_true, n_in_cohort, coverage) — 2 rows.
+    */
+  def cohortCoverage(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, eps: Double,
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(queryIds.nonEmpty, "cohortCoverage: empty panel")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("_cc_q"), col(vecCol).as("_cc_qv"))
+    val dists = emb.select(col(idCol).as("_cc_n"), col(vecCol).as("_cc_nv"))
+      .crossJoin(broadcast(q))
+      .where(col("_cc_n") =!= col("_cc_q"))
+      .select(col("_cc_q"), col("_cc_n"),
+        round(lit(1.0) - cosine(col("_cc_qv"), col("_cc_nv")), 4).as("_cc_d"))
+    val knnTrue = TopK.perKey(dists, Seq("_cc_q"),
+        Seq(col("_cc_d").asc, col("_cc_n").asc), saltFrom = col("_cc_n"), n = k)
+      .select(col("_cc_q"), col("_cc_n"))
+    val epsTrue = dists.where(col("_cc_d") <= eps).select(col("_cc_q"), col("_cc_n"))
+    val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
+    val cohort = bands.select(col(idCol).as("_cc_q"), col("band_idx"), col("band_val"))
+      .where(col("_cc_q").isin(queryIds: _*))
+      .join(bands.select(col(idCol).as("_cc_n"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .where(col("_cc_q") =!= col("_cc_n"))
+      .select(col("_cc_q"), col("_cc_n")).distinct()
+      .withColumn("_cc_in", lit(1))
+    def cov(truth: DataFrame, name: String): DataFrame = truth
+      .join(cohort, Seq("_cc_q", "_cc_n"), "left")
+      .agg(count(lit(1)).as("n_true"), sum(coalesce(col("_cc_in"), lit(0))).as("n_in_cohort"))
+      .select(lit(name).as("metric"), col("n_true"), col("n_in_cohort"),
+        round(col("n_in_cohort").cast("double") / col("n_true").cast("double"), 4)
+          .as("coverage"))
+    cov(knnTrue, "knn").unionByName(cov(epsTrue, "eps"))
+  }
+
   def hubness(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val knn = candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand)

@@ -85,6 +85,22 @@ object RecallPanel {
       rows.foreach { case (n, r) => println(f"| $n | $r%.3f |") }
     }
 
+    // density-operator cohort coverage (round-7 verdict #6): the fraction
+    // of TRUE kNN / eps-neighbors inside the LSH cohorts LOF/DBSCAN score
+    // against, at the board's settings (k=5, eps=0.68, 16 sign bits in 4
+    // bands) — retrieval recall above measures the ANN serving path; this
+    // measures whether the DENSITY estimates see their real neighborhoods
+    def cohorts(tag: String, emb: DataFrame): Unit = {
+      val rows = operators.Similarity.cohortCoverage(emb, "vec_id", "embedding",
+          qids, k = 5, eps = 0.68).collect()
+      println(s"\n### LOF/DBSCAN cohort coverage — $tag (panel=${qids.size})")
+      println("| metric | n_true | n_in_cohort | coverage |")
+      println("|---|---|---|---|")
+      rows.foreach(r => println(s"| ${r.get(0)} | ${r.get(1)} | ${r.get(2)} | ${r.get(3)} |"))
+    }
+    cohorts("1x", emb1.localCheckpoint())
+    cohorts(s"${reps}x", embN)
+
     panel("1x", emb1.localCheckpoint())
     panel(s"${reps}x", embN)
     spark.stop()

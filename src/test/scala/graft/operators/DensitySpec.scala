@@ -75,4 +75,52 @@ class DensitySpec extends AnyFunSuite {
       (3L, "core", Some(2L)),
       (7L, "noise", None)))
   }
+
+  /** The cohort-coverage diagnostic must separate the two regimes the
+    * round-8 measurement exposed: on a corpus with REAL neighborhood
+    * structure (planted clusters — the shape crawl/near-dup embeddings
+    * have), the board's banding sees ≥90% of true neighborhoods; on
+    * isotropic noise at a loose eps (where the only "neighbors" are the
+    * random cosine tail), NO sublinear cohort can reach 0.9 — sign-LSH
+    * coverage sits at its uniform closed form (~0.43 at 4 bands of 4) and
+    * the diagnostic must say so rather than flatter the operators.
+    */
+  test("cohortCoverage: >=0.9 on planted clusters; exposes starvation on isotropic noise") {
+    import spark.implicits._
+    val dim = 64
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // deterministic pseudo-noise: splitmix-ish per-coordinate hash
+    def noise(seed: Long): Array[Double] = Array.tabulate(dim) { i =>
+      val h = (seed + i) * 6364136223846793005L + 1442695040888963407L
+      val m = (h ^ (h >>> 31)) * -7046029254386353131L
+      ((m >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    // planted: 10 well-separated centers, 30 members each at ~10 degrees
+    val planted = for {
+      g <- 0 until 10; m <- 0 until 30
+    } yield {
+      val c = noise(g * 7919L + 1)
+      val e = noise(g * 104729L + m * 31L + 7)
+      (g * 30L + m, unit(c.zip(e).map { case (a, b) => a + 0.15 * b }))
+    }
+    val dfP = planted.toDF("vec_id", "embedding")
+    val qP = (0 until 10).map(_ * 30L)
+    val covP = Similarity.cohortCoverage(dfP, "vec_id", "embedding", qP,
+        k = 5, eps = 0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(covP("knn") >= 0.9, s"planted knn coverage ${covP("knn")}")
+    assert(covP("eps") >= 0.9, s"planted eps coverage ${covP("eps")}")
+    // isotropic: 1000 independent directions, eps in the random tail
+    val iso = (0 until 1000).map(i => (i.toLong, unit(noise(i * 2654435761L + 13))))
+    val dfI = iso.toDF("vec_id", "embedding")
+    val qI = (0 until 20).map(i => (i * 97L) % 1000)
+    val covI = Similarity.cohortCoverage(dfI, "vec_id", "embedding", qI,
+        k = 5, eps = 0.68)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(covI("eps") < 0.8, s"isotropic eps coverage ${covI("eps")} — " +
+      "should sit near the 0.43 uniform closed form, not look healthy")
+  }
 }
