@@ -2284,24 +2284,9 @@ object SparkEntry {
           col("asset_meta.width").as("width"), col("asset_meta.height").as("height"))
         .orderBy("doc_id")
     }),
-    // modality profile: the corpus-curation rollup over the SAME parsed
-    // header stream — per format: counts, dimension ranges, orientation
-    // mix, mean aspect (integer-derived doubles, deterministic)
-    "multimodal_profile" -> ((s, dir) =>
-      queries("multimodal_dims")(s, dir)
-        .groupBy("format")
-        .agg(count(lit(1)).as("n"),
-          min("width").as("min_w"), max("width").as("max_w"),
-          min("height").as("min_h"), max("height").as("max_h"),
-          sum(when(col("width") > col("height"), 1L).otherwise(0L)).as("n_landscape"),
-          sum(when(col("width") < col("height"), 1L).otherwise(0L)).as("n_portrait"),
-          sum(when(col("width") === col("height"), 1L).otherwise(0L)).as("n_square"),
-          // round-then-DECIMAL (house convention): a float avg's summation
-          // order differs between engines
-          round((sum(round(col("width").cast("double") / col("height").cast("double"), 6)
-              .cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double")), 4)
-            .as("avg_aspect"))
-        .orderBy("format")),
+    // (multimodal_profile — a pure groupBy rollup of multimodal_dims —
+    // was cut in round 8 to pay for avi_frames under the board freeze:
+    // the parse it audited is per-row-pinned by multimodal_dims)
     "multimodal_wav" -> ((s, dir) => {
       // audio metadata without a codec: deterministic RIFF/WAVE headers
       // (channels/rate/payload size derived from doc_id), parsed back by
@@ -2405,6 +2390,20 @@ object SparkEntry {
         .select(col("doc_id"), unhex(hexStr).as("video"))
       operators.Multimodal.mp4Tracks(df, "doc_id", "video")
         .orderBy("doc_id", "track_id")
+    }),
+    "avi_frames" -> ((s, dir) => {
+      // REAL video-frame decode end-to-end (MJPEG-in-AVI — the public
+      // format a pure-JVM engine can fully decode): encode 2..5 baseline
+      // JPEG frames per doc, wrap them in a RIFF/AVI movi list, then
+      // extract the frame table and parse each frame's SOF dims back
+      // through the generic walk. The oracle re-derives count/dims from
+      // the doc_id formula; the PIXEL loop (Jpeg decode, mean luma, dHash)
+      // is lossy and therefore spec-pinned (AviMjpegSpec), not hashed.
+      val assets = operators.Multimodal.syntheticAviAssets(Tables.documents(s, dir))
+      operators.Multimodal.aviFrames(assets, "doc_id", "video")
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"))
+        .orderBy("doc_id", "frame_idx")
     }),
     "multimodal_pixels" -> ((s, dir) => {
       // REAL pixel decode end-to-end: synthesize BMP24 / PNG-RGB / PNG-gray
@@ -4986,25 +4985,6 @@ object SparkEntry {
              ELSE CAST(('0x' || substr(hex(asset), 51, 2) || substr(hex(asset), 49, 2)
                || substr(hex(asset), 47, 2) || substr(hex(asset), 45, 2)) AS INTEGER) END AS height
          FROM b ORDER BY doc_id""",
-    "multimodal_profile" ->
-      // the aggregation mirror over the PLANTED dims (doc_id-derived by
-      // construction; header parsing itself is oracle-checked by
-      // multimodal_dims — this checks the rollup)
-      """WITH d AS (SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
-           CAST(doc_id % 640 + 1 AS INTEGER) AS width,
-           CAST(doc_id % 480 + 1 AS INTEGER) AS height
-         FROM documents)
-         SELECT format, COUNT(*) AS n,
-           MIN(width) AS min_w, MAX(width) AS max_w,
-           MIN(height) AS min_h, MAX(height) AS max_h,
-           CAST(SUM(CASE WHEN width > height THEN 1 ELSE 0 END) AS BIGINT) AS n_landscape,
-           CAST(SUM(CASE WHEN width < height THEN 1 ELSE 0 END) AS BIGINT) AS n_portrait,
-           CAST(SUM(CASE WHEN width = height THEN 1 ELSE 0 END) AS BIGINT) AS n_square,
-           round(CAST(SUM(CAST(round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 6)
-               AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_aspect
-         FROM d GROUP BY format ORDER BY format""",
     "multimodal_mp4" ->
       // ISO-BMFF boxes rebuilt field-for-field (ftyp + moov/mvhd-v0 +
       // declared-only mdat), then timescale/duration/mdat parsed BACK from
@@ -5080,6 +5060,17 @@ object SparkEntry {
            ('0x' || substr(h, base*2 + 521, 8))::BIGINT AS kf_first,
            ('0x' || substr(h, base*2 + 537, 8))::BIGINT AS kf_last
          FROM t ORDER BY doc_id, track_id""",
+    "avi_frames" ->
+      // frame count and per-frame SOF dims re-derived from the doc_id
+      // formula (the bytes are lossy JPEG, so the pixel loop is spec-
+      // pinned; the container walk + header parse land here)
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
+         CAST(doc_id % 8 + f % 3 + 9 AS INTEGER) AS width,
+         CAST(doc_id % 7 + f % 2 + 8 AS INTEGER) AS height
+         FROM documents, range(0, 5) r(f)
+         WHERE f < doc_id % 4 + 2
+         ORDER BY doc_id, frame_idx""",
     "multimodal_wav" ->
       // RIFF/WAVE headers rebuilt field-for-field, then channels/rate/
       // data-size parsed BACK from the little-endian bytes at their fixed

@@ -66,7 +66,7 @@ object ScaleSmoke {
     // semi-join + df fold); PSI drift (one-scan bounded aggs)
     "neardup_triangles", "prf_expand", "psi_drift", "simhash_pairs",
     "asof_join_fwd", "vocab_coverage", "shard_mix", "dup_inflation",
-    "jm_logprob", "multimodal_profile", "contrastive_triplets",
+    "jm_logprob", "multimodal_dims", "contrastive_triplets",
     "ab_conversion",
     // round-5 session-5: SCD2 broadcast upsert, histogram-CDF blend (three
     // scans, zero corpus sorts), calibration over cold-built pairs; plus
