@@ -2399,7 +2399,11 @@ object SparkEntry {
       // through the generic walk. The oracle re-derives count/dims from
       // the doc_id formula; the PIXEL loop (Jpeg decode, mean luma, dHash)
       // is lossy and therefore spec-pinned (AviMjpegSpec), not hashed.
-      val assets = operators.Multimodal.syntheticAviAssets(Tables.documents(s, dir))
+      // doc_id < 2000 (the image_neardup convention): ~7k real JPEG
+      // encode+decode round trips already exercise the tier; the full
+      // 5k-doc corpus at sf0.1 just triples codec time on the bench
+      val assets = operators.Multimodal.syntheticAviAssets(
+        Tables.documents(s, dir).where(col("doc_id") < 2000))
       operators.Multimodal.aviFrames(assets, "doc_id", "video")
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"))
@@ -5069,7 +5073,7 @@ object SparkEntry {
          CAST(doc_id % 8 + f % 3 + 9 AS INTEGER) AS width,
          CAST(doc_id % 7 + f % 2 + 8 AS INTEGER) AS height
          FROM documents, range(0, 5) r(f)
-         WHERE f < doc_id % 4 + 2
+         WHERE f < doc_id % 4 + 2 AND doc_id < 2000
          ORDER BY doc_id, frame_idx""",
     "multimodal_wav" ->
       // RIFF/WAVE headers rebuilt field-for-field, then channels/rate/
