@@ -701,6 +701,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"decode should run as the batched partition map:\n$plan")
   }
 
+  test("mp4_tracks: pure mapPartitions walk — no join, only the orderBy exchange") {
+    val plan = planOf(SparkEntry.queries("mp4_tracks")(spark, sf))
+    assert(!plan.contains("Join"), s"track walk must stay join-free:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"walk should run as the batched partition map:\n$plan")
+    // scan-parallel: the ONLY exchange is the final sort's range partitioner
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"no hash shuffle belongs in a per-row container walk:\n$plan")
+  }
+
+  test("avi_frames: frame decode is join-free and hash-shuffle-free") {
+    val plan = planOf(SparkEntry.queries("avi_frames")(spark, sf))
+    assert(!plan.contains("Join"), s"frame decode must stay join-free:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"decode should run as the batched partition map:\n$plan")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"no hash shuffle belongs in a per-row codec pass:\n$plan")
+  }
+
   test("grouping_sets_mix plans as ONE Expand pass with partial aggregation") {
     val plan = planOf(SparkEntry.queries("grouping_sets_mix")(spark, sf))
     assert(plan.contains("Expand"), s"grouping sets should Expand:\n$plan")

@@ -112,6 +112,9 @@ object ScaleSmoke {
     "dedup_weights", "split_leakage", "mixture_reweight", "loop_detector",
     "quality_funnel", "multimodal_mp4", "winnow_overlap", "skyline_orders",
     "nb_classify",
+    // round-8 additions: the per-track MP4 walk (documents-derived assets)
+    // and the windowed AP/MRR panel that replaced map_eval
+    "mp4_tracks",
     // round-7 session-3: the density suite over the LSH candidate graph
     // (bucket cohorts grow 10× at fixed band width — the quadratic-share
     // stress case), the hashing-trick embedding, vocab-growth/rank stats,
@@ -161,7 +164,7 @@ object ScaleSmoke {
     "kruskal_wallis", "jarque_bera", "mcnemar_gates", "cochran_q",
     "runs_test",
     // session-4 batch 7b: rank-sensitive retrieval eval, k-core peel
-    "map_panel", "kcore_dups",
+    "kcore_dups",
     // session-4 batch 8: Bartlett, Welch ANOVA, permutation inference,
     // IVF silhouette
     "bartlett_test", "welch_anova", "permutation_test", "silhouette_ivf",
