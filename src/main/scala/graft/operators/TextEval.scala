@@ -28,20 +28,33 @@ object TextEval {
       .withColumn("_b_hyp",
         filter(col("_b_ref"), (t, i) => ((i + lit(1)) % col("_b_k")) =!= lit(0)))
 
-  /** Per-(doc, n, gram) multiset counts of token n-grams for n = 1..maxN. */
-  private def tokenGramCounts(withHyp: DataFrame, arrCol: String,
-      maxN: Int, out: String): DataFrame =
+  /** Per-(doc, n, gram) multiset counts of token n-grams for n = 1..maxN,
+    * BOTH sides in one pass: `_b_rc` = reference occurrences, `_b_hc` =
+    * hypothesis occurrences. One scan and one (doc, n, gram) shuffle
+    * replace the former two gram relations + hash join — the clip
+    * `least(hc, rc)` needs no join once both counts share a row, and the
+    * corpus totals fall out of the same relation (`Σ hc` per n is exactly
+    * `Σ max(len−n+1, 0)` because every gram occurrence is one row here).
+    */
+  private def sideGramCounts(withHyp: DataFrame, refCol: String,
+      hypCol: String, maxN: Int): DataFrame =
     withHyp
-      .select(col("_b_id"), col(arrCol).as("_b_arr"),
+      .select(col("_b_id"),
+        explode(array(
+          struct(lit(1).as("r"), col(refCol).as("a")),
+          struct(lit(0).as("r"), col(hypCol).as("a")))).as("_b_sd"))
+      .select(col("_b_id"), col("_b_sd.r").as("_b_isref"),
+        col("_b_sd.a").as("_b_arr"),
         explode(sequence(lit(1), lit(maxN))).as("n"))
-      .select(col("_b_id"), col("n"),
+      .select(col("_b_id"), col("_b_isref"), col("n"),
         explode(when(size(col("_b_arr")) >= col("n"),
           transform(
             sequence(lit(1), size(col("_b_arr")) - col("n") + lit(1)),
             i => array_join(slice(col("_b_arr"), i, col("n")), " ")))
           .otherwise(array().cast("array<string>"))).as("gram"))
       .groupBy("_b_id", "n", "gram")
-      .agg(count(lit(1)).as(out))
+      .agg(sum(col("_b_isref").cast("long")).as("_b_rc"),
+        sum(lit(1L) - col("_b_isref")).as("_b_hc"))
 
   /** Corpus BLEU-N (Papineni et al. 2002): clipped n-gram precision for
     * n = 1..maxN plus the brevity penalty, computed corpus-level (sum of
@@ -62,32 +75,27 @@ object TextEval {
     // hypothesis: drop every k-th token (0-based lambda index, so i+1 is
     // the 1-based position — DuckDB's lambda index is already 1-based)
     val withHyp = refHyp(df, idCol, textCol)
-    val lens = withHyp.agg(
-      sum(size(col("_b_ref"))).as("ref_len"),
-      sum(size(col("_b_hyp"))).as("hyp_len"))
-
-    val refC = tokenGramCounts(withHyp, "_b_ref", maxN, "_b_rc")
-    val hypC = tokenGramCounts(withHyp, "_b_hyp", maxN, "_b_hc")
-    val matches = hypC
-      .join(refC, Seq("_b_id", "n", "gram"), "left")
+    val perN = sideGramCounts(withHyp, "_b_ref", "_b_hyp", maxN)
       .groupBy("n")
-      .agg(sum(least(col("_b_hc"), coalesce(col("_b_rc"), lit(0L)))).as("m"))
-    val totals = withHyp
-      .select(explode(sequence(lit(1), lit(maxN))).as("n"),
-        size(col("_b_hyp")).as("_b_hl"))
-      .groupBy("n")
-      .agg(sum(greatest(col("_b_hl") - col("n") + lit(1), lit(0))).as("t"))
+      .agg(sum(least(col("_b_hc"), col("_b_rc"))).as("m"),
+        sum(col("_b_hc")).as("t"),
+        sum(col("_b_rc")).as("rt"))
 
-    // coalesce: an n with no hypothesis grams at all has no `matches` row
+    // coalesce: an n with no grams at all (corpus shorter than n) has no
+    // perN row. ref_len/hyp_len = the n=1 totals (Σ len − 1 + 1 = Σ len;
+    // a split() array is never empty, so n=1 rows exist iff the corpus
+    // is non-empty, and the un-coalesced max keeps BP null on empty input
+    // exactly like the former separate lens scan).
     def pick(src: String, v: String, n: Int): Column =
       coalesce(max(when(col("n") === n, col(v))), lit(0L)).as(s"${src}_$n")
-    val mRow = matches.agg(
-      pick("match", "m", 1), (2 to maxN).map(pick("match", "m", _)): _*)
-    val tRow = totals.agg(
-      pick("total", "t", 1), (2 to maxN).map(pick("total", "t", _)): _*)
+    val one = perN.agg(
+      pick("match", "m", 1),
+      (2 to maxN).map(pick("match", "m", _)) ++
+        (1 to maxN).map(pick("total", "t", _)) ++
+        Seq(max(when(col("n") === 1, col("rt"))).as("ref_len"),
+          max(when(col("n") === 1, col("t"))).as("hyp_len")): _*)
 
     def d(c: Column) = c.cast("double")
-    val one = mRow.crossJoin(broadcast(tRow)).crossJoin(broadcast(lens))
     val bp = when(col("hyp_len") >= col("ref_len"), lit(1.0))
       .otherwise(exp(lit(1.0) - d(col("ref_len")) / d(col("hyp_len"))))
     val logSum = (1 to maxN)
@@ -177,26 +185,25 @@ object TextEval {
       maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"rougeEval: maxN out of range: $maxN")
     val withHyp = refHyp(df, idCol, textCol)
-    val refC = tokenGramCounts(withHyp, "_b_ref", maxN, "_b_rc")
-    val hypC = tokenGramCounts(withHyp, "_b_hyp", maxN, "_b_hc")
-    val matches = hypC
-      .join(refC, Seq("_b_id", "n", "gram"), "left")
+    val perN = sideGramCounts(withHyp, "_b_ref", "_b_hyp", maxN)
       .groupBy("n")
-      .agg(sum(least(col("_b_hc"), coalesce(col("_b_rc"), lit(0L)))).as("n_match"))
-    def totalsOf(arrCol: String, out: String): DataFrame = withHyp
-      .select(explode(sequence(lit(1), lit(maxN))).as("n"),
-        size(col(arrCol)).as("_b_l"))
-      .groupBy("n")
-      .agg(sum(greatest(col("_b_l") - col("n") + lit(1), lit(0))).as(out))
+      .agg(sum(least(col("_b_hc"), col("_b_rc"))).as("n_match"),
+        sum(col("_b_hc")).as("hyp_total"),
+        sum(col("_b_rc")).as("ref_total"))
     def dd(c: Column) = c.cast("double")
     val p = dd(col("n_match")) / dd(col("hyp_total"))
     val r = dd(col("n_match")) / dd(col("ref_total"))
-    // totals come from the unconditional n-explode, so every n has a row
-    // even when no document reaches n tokens; matches may not
-    totalsOf("_b_hyp", "hyp_total")
-      .join(totalsOf("_b_ref", "ref_total"), "n")
-      .join(matches, Seq("n"), "left")
-      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+    // n-spine: the former unconditional n-explode emitted every n row even
+    // when no document reaches n tokens; a one-row probe of the source
+    // rebuilds that guarantee (and an empty corpus still yields 0 rows)
+    val spine = withHyp.limit(1)
+      .select(explode(sequence(lit(1), lit(maxN))).as("n"))
+    spine
+      .join(perN, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        coalesce(col("hyp_total"), lit(0L)).as("hyp_total"),
+        coalesce(col("ref_total"), lit(0L)).as("ref_total"))
       .select(col("n"), col("n_match"), col("hyp_total"), col("ref_total"),
         round(when(col("hyp_total") > 0, p).otherwise(lit(0.0)), 6).as("prec"),
         round(when(col("ref_total") > 0, r).otherwise(lit(0.0)), 6).as("rec"),
@@ -276,40 +283,46 @@ object TextEval {
       .select(col("_b_id"),
         array_join(col("_b_ref"), "").as("_c_ref"),
         array_join(col("_b_hyp"), "").as("_c_hyp"))
-    def charGrams(strCol: String, out: String): DataFrame =
-      withHyp
-        .select(col("_b_id"), col(strCol).as("_c_s"),
-          explode(sequence(lit(1), lit(maxN))).as("n"))
-        .select(col("_b_id"), col("n"),
-          explode(when(length(col("_c_s")) >= col("n"),
-            transform(
-              sequence(lit(1), length(col("_c_s")) - col("n") + lit(1)),
-              i => col("_c_s").substr(i, col("n"))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
-        .groupBy("_b_id", "n", "gram")
-        .agg(count(lit(1)).as(out))
-    val refC = charGrams("_c_ref", "_c_rc")
-    val hypC = charGrams("_c_hyp", "_c_hc")
-    val matches = hypC
-      .join(refC, Seq("_b_id", "n", "gram"), "left")
-      .groupBy("n")
-      .agg(sum(least(col("_c_hc"), coalesce(col("_c_rc"), lit(0L)))).as("n_match"))
-    def totalsOf(strCol: String, out: String): DataFrame = withHyp
-      .select(explode(sequence(lit(1), lit(maxN))).as("n"),
-        length(col(strCol)).as("_c_l"))
-      .groupBy("n")
-      .agg(sum(greatest(col("_c_l") - col("n") + lit(1), lit(0))).as(out))
+    // same one-pass both-sides shape as [[sideGramCounts]], at character
+    // granularity (the gram relation is the dominant cost of the metric —
+    // halving its construction halves the query)
+    val g = withHyp
+      .select(col("_b_id"),
+        explode(array(
+          struct(lit(1).as("r"), col("_c_ref").as("s")),
+          struct(lit(0).as("r"), col("_c_hyp").as("s")))).as("_c_sd"))
+      .select(col("_b_id"), col("_c_sd.r").as("_c_isref"),
+        col("_c_sd.s").as("_c_s"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+      .select(col("_b_id"), col("_c_isref"), col("n"),
+        explode(when(length(col("_c_s")) >= col("n"),
+          transform(
+            sequence(lit(1), length(col("_c_s")) - col("n") + lit(1)),
+            i => col("_c_s").substr(i, col("n"))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("_b_id", "n", "gram")
+      .agg(sum(col("_c_isref").cast("long")).as("_c_rc"),
+        sum(lit(1L) - col("_c_isref")).as("_c_hc"))
+    val aggN = g.groupBy("n")
+      .agg(sum(least(col("_c_hc"), col("_c_rc"))).as("n_match"),
+        sum(col("_c_hc")).as("hyp_total"),
+        sum(col("_c_rc")).as("ref_total"))
     def dd(c: Column) = c.cast("double")
     val b2 = beta * beta
     val p = dd(col("n_match")) / dd(col("hyp_total"))
     val r = dd(col("n_match")) / dd(col("ref_total"))
     val fb = when(col("n_match") > 0,
       lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
-    // left-join from the unconditional totals so short-corpus n rows survive
-    val perN = totalsOf("_c_hyp", "hyp_total")
-      .join(totalsOf("_c_ref", "ref_total"), "n")
-      .join(matches, Seq("n"), "left")
-      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+    // n-spine from a one-row probe so short-corpus n rows survive (the
+    // former unconditional totals explode guaranteed all maxN rows)
+    val spine = withHyp.limit(1)
+      .select(explode(sequence(lit(1), lit(maxN))).as("n"))
+    val perN = spine
+      .join(aggN, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        coalesce(col("hyp_total"), lit(0L)).as("hyp_total"),
+        coalesce(col("ref_total"), lit(0L)).as("ref_total"))
       .select(col("n"), col("n_match"), col("hyp_total"), col("ref_total"),
         round(when(col("hyp_total") > 0, p).otherwise(lit(0.0)), 6).as("prec"),
         round(when(col("ref_total") > 0, r).otherwise(lit(0.0)), 6).as("rec"),
