@@ -110,6 +110,47 @@ object Similarity {
       .select(col(idCol), col("band.band_idx"), col("band.band_val"))
   }
 
+  /** Long-form (id, band_idx, band_val) RANDOM-HYPERPLANE band table: band
+    * b's value is an independent `rowsPerBand`-bit hyperplane signature
+    * (seed offset per band, each evaluated by the one-pass
+    * [[graft.functions.HyperplaneSigExpr]]), so total bits
+    * nBands×rowsPerBand is NOT capped by the vector dimension the way
+    * coordinate-sign banding ([[signBands]]) is — the prerequisite for
+    * width that grows with log(n) at corpus scale.
+    */
+  def planeBands(emb: DataFrame, idCol: String, vecCol: String,
+      nBands: Int, rowsPerBand: Int, dim: Int, seed: Int = 42): DataFrame = {
+    val structs = (0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"),
+        lshSignature(col(vecCol), rowsPerBand, dim, seed + 1000 * (b + 1))
+          .as("band_val")))
+    emb
+      .select(col(idCol), explode(array(structs: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+  }
+
+  /** Band width that holds the EXPECTED per-row candidate volume at
+    * `budgetPerRow` under the uniform sign model: each band's bucket holds
+    * ~n/2^r rows, so nBands·n/2^r ≤ budget ⇒ r = ⌈log2(nBands·n/budget)⌉.
+    * This is the scale law the fixed-width density operators document but
+    * cannot apply (fixed r ⇒ candidate volume ∝ n²; width growing with
+    * log n ⇒ ∝ n·budget). Returns rowsPerBand ≥ 4, ≤ 62 (a 62-bit band
+    * bucket is past any physical corpus).
+    */
+  def autoBandWidth(n: Long, nBands: Int = 4, budgetPerRow: Int = 64): Int = {
+    require(n >= 0 && nBands >= 1 && budgetPerRow >= 1)
+    val target = nBands.toDouble * n.toDouble / budgetPerRow.toDouble
+    val r = math.ceil(math.log(math.max(target, 1.0)) / math.log(2.0)).toInt
+    math.min(62, math.max(4, r))
+  }
+
+  /** One bounded-driver-state job shared by the `*Auto` density operators:
+    * corpus row count and max vector length (two scalars). */
+  private def corpusShape(emb: DataFrame, idCol: String, vecCol: String): (Long, Int) = {
+    val row = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0 else row.getInt(1))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS, banded: `signDims` coordinate
     * sign bits split into `signDims/rowsPerBand` bands of `rowsPerBand` bits
     * each — candidates are pairs agreeing on ALL bits of ANY band (the
@@ -1322,8 +1363,12 @@ object Similarity {
     * top-k per id. Columns: (_lof_id, _lof_nbr, _lof_d).
     */
   private def candidateKnn(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, signDims: Int, rowsPerBand: Int): DataFrame = {
-    val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
+      k: Int, signDims: Int, rowsPerBand: Int): DataFrame =
+    candidateKnnFrom(signBands(emb, idCol, vecCol, signDims, rowsPerBand),
+      emb, idCol, vecCol, k)
+
+  private def candidateKnnFrom(bands: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a
@@ -1402,7 +1447,26 @@ object Similarity {
     */
   def cohortCoverage(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, eps: Double,
-      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    cohortCoverageFrom(signBands(emb, idCol, vecCol, signDims, rowsPerBand),
+      emb, idCol, vecCol, queryIds, k, eps)
+
+  /** [[cohortCoverage]] under the SAME auto-width [[planeBands]] the
+    * `*Auto` density operators run with — the audit gate for the scale
+    * path (pass the identical nBands/budgetPerRow/seed).
+    */
+  def cohortCoverageAuto(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, eps: Double,
+      nBands: Int = 4, budgetPerRow: Int = 64, seed: Int = 42): DataFrame = {
+    val (n, dim) = corpusShape(emb, idCol, vecCol)
+    val r = autoBandWidth(n, nBands, budgetPerRow)
+    cohortCoverageFrom(planeBands(emb, idCol, vecCol, nBands, r, dim, seed),
+      emb, idCol, vecCol, queryIds, k, eps)
+  }
+
+  private def cohortCoverageFrom(bands: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, eps: Double): DataFrame = {
     require(queryIds.nonEmpty, "cohortCoverage: empty panel")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1417,7 +1481,6 @@ object Similarity {
         Seq(col("_cc_d").asc, col("_cc_n").asc), saltFrom = col("_cc_n"), n = k)
       .select(col("_cc_q"), col("_cc_n"))
     val epsTrue = dists.where(col("_cc_d") <= eps).select(col("_cc_q"), col("_cc_n"))
-    val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
     val cohort = bands.select(col(idCol).as("_cc_q"), col("band_idx"), col("band_val"))
       .where(col("_cc_q").isin(queryIds: _*))
       .join(bands.select(col(idCol).as("_cc_n"), col("band_idx"), col("band_val")),
@@ -1435,8 +1498,28 @@ object Similarity {
   }
 
   def hubness(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val knn = candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand)
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    hubnessFromKnn(emb, idCol,
+      candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand), k)
+
+  /** [[hubness]] with the band width chosen by [[autoBandWidth]] from the
+    * corpus size (one count job), over [[planeBands]] so width is not
+    * capped by the vector dimension: per-row candidate volume stays at
+    * `budgetPerRow` as n grows instead of growing ∝ n. Same downstream
+    * algebra; candidate-graph membership differs from the fixed-width
+    * operator by construction.
+    */
+  def hubnessAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBands: Int = 4, budgetPerRow: Int = 64, seed: Int = 42): DataFrame = {
+    val (n, dim) = corpusShape(emb, idCol, vecCol)
+    val r = autoBandWidth(n, nBands, budgetPerRow)
+    hubnessFromKnn(emb, idCol,
+      candidateKnnFrom(planeBands(emb, idCol, vecCol, nBands, r, dim, seed),
+        emb, idCol, vecCol, k), k)
+  }
+
+  private def hubnessFromKnn(emb: DataFrame, idCol: String,
+      knn: DataFrame, k: Int): DataFrame = {
     val indeg = knn.groupBy(col("_lof_nbr").as("vec_id"))
       .agg(count(lit(1)).as("in_degree"))
     emb.select(col(idCol).as("vec_id"))
@@ -1485,8 +1568,25 @@ object Similarity {
     * Output: (vec_id, n_nbrs, lrd, lof) ordered by vec_id.
     */
   def lofOutliers(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val knn = candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand)
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    lofFromKnn(candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand))
+
+  /** [[lofOutliers]] with the band width chosen by [[autoBandWidth]] from
+    * the corpus size — the applied form of the fixed-width operator's scale
+    * contract (candidate volume per row bounded at `budgetPerRow` instead
+    * of ∝ n). One extra count job; [[planeBands]] so width can exceed the
+    * vector dimension.
+    */
+  def lofOutliersAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBands: Int = 4, budgetPerRow: Int = 64, seed: Int = 42): DataFrame = {
+    val (n, dim) = corpusShape(emb, idCol, vecCol)
+    val r = autoBandWidth(n, nBands, budgetPerRow)
+    lofFromKnn(candidateKnnFrom(
+      planeBands(emb, idCol, vecCol, nBands, r, dim, seed),
+      emb, idCol, vecCol, k))
+  }
+
+  private def lofFromKnn(knn: DataFrame): DataFrame = {
     // k-distance + realized neighbor count per id (may be < k in a sparse bucket)
     val kdist = knn.groupBy("_lof_id")
       .agg(max(col("_lof_d")).as("_lof_kd"), count(lit(1)).as("_lof_n"))
@@ -1545,8 +1645,25 @@ object Similarity {
     */
   def dbscanClusters(emb: DataFrame, idCol: String, vecCol: String,
       eps: Double, minPts: Int,
-      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
+      signDims: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    dbscanFrom(signBands(emb, idCol, vecCol, signDims, rowsPerBand),
+      emb, idCol, vecCol, eps, minPts)
+
+  /** [[dbscanClusters]] with the band width chosen by [[autoBandWidth]]
+    * from the corpus size (see [[lofOutliersAuto]]): eps-edge candidates
+    * per row stay at `budgetPerRow` as n grows.
+    */
+  def dbscanClustersAuto(emb: DataFrame, idCol: String, vecCol: String,
+      eps: Double, minPts: Int,
+      nBands: Int = 4, budgetPerRow: Int = 64, seed: Int = 42): DataFrame = {
+    val (n, dim) = corpusShape(emb, idCol, vecCol)
+    val r = autoBandWidth(n, nBands, budgetPerRow)
+    dbscanFrom(planeBands(emb, idCol, vecCol, nBands, r, dim, seed),
+      emb, idCol, vecCol, eps, minPts)
+  }
+
+  private def dbscanFrom(bands: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, eps: Double, minPts: Int): DataFrame = {
     val a = bands.as("a")
     val b = bands.as("b")
     // candidates are NOT deduped before the eps test: a pair agreeing on

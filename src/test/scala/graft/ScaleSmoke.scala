@@ -198,7 +198,10 @@ object ScaleSmoke {
     // session-4 batch 22: Hyndman strength dials, PR-AUC
     "seasonal_strength", "pr_auc",
     // session-4 batch 23: von Neumann ratio, delta-method ratio metric
-    "von_neumann", "ratio_metric_ab")
+    "von_neumann", "ratio_metric_ab",
+    // round-8: auto-width density variants (band width = autoBandWidth(n),
+    // the scale path for the fixed-width trio's superlinear anchors)
+    "lof_auto", "dbscan_auto", "hubness_auto")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -243,6 +246,18 @@ object ScaleSmoke {
             k = 8, rowsPerBand = 2, threshold = 0.2),
           docs, "doc_id", "text", k = 8, buckets = 4)
       }),
+      // auto-width density trio (not board queries — same inputs/k/eps as
+      // the fixed-width board entries, band width from autoBandWidth(n))
+      "lof_auto" -> ((s, dir) =>
+        operators.Similarity.lofOutliersAuto(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+      "dbscan_auto" -> ((s, dir) =>
+        operators.Similarity.dbscanClustersAuto(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          eps = 0.68, minPts = 3)),
+      "hubness_auto" -> ((s, dir) =>
+        operators.Similarity.hubnessAuto(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
       // ... and the inflation factor
       "dup_inflation" -> ((s, dir) => {
         val docs = Tables.documents(s, dir)

@@ -123,4 +123,90 @@ class DensitySpec extends AnyFunSuite {
     assert(covI("eps") < 0.8, s"isotropic eps coverage ${covI("eps")} — " +
       "should sit near the 0.43 uniform closed form, not look healthy")
   }
+
+  test("autoBandWidth: the log2(n) law, floors, and cap") {
+    import Similarity.autoBandWidth
+    // nBands·n/2^r ≤ budget ⇒ r = ceil(log2(nBands·n/budget))
+    assert(autoBandWidth(1000L, 4, 64) == 6)      // 4000/64 = 62.5 → 6
+    assert(autoBandWidth(1000000L, 4, 64) == 16)  // 62500 → 16
+    assert(autoBandWidth(1000000000000L, 4, 64) == 36)
+    assert(autoBandWidth(0L) == 4 && autoBandWidth(10L) == 4) // floor
+    assert(autoBandWidth(Long.MaxValue, 64, 1) == 62)         // cap
+    val widths = Seq(1L, 1000L, 100000L, 10000000L).map(autoBandWidth(_))
+    assert(widths == widths.sorted, "width must be monotone in n")
+  }
+
+  /** Shared fixtures for the auto-width tests: deterministic isotropic
+    * noise and planted clusters at 64-d (same construction as the
+    * coverage test above). */
+  private val autoDim = 64
+  private def unitV(v: Array[Double]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+  private def noiseV(seed: Long): Array[Double] = Array.tabulate(autoDim) { i =>
+    val h = (seed + i) * 6364136223846793005L + 1442695040888963407L
+    val m = (h ^ (h >>> 31)) * -7046029254386353131L
+    ((m >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+  }
+
+  test("planeBands + autoBandWidth: candidate volume per row stays bounded as n grows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // isotropic corpora at 500 and 2000 rows: fixed-width banding would
+    // grow candidates/row 4x; auto width (5 bits -> 7 bits) holds it flat
+    def candidatesPerRow(n: Int): Double = {
+      val df = (0 until n).map(i => (i.toLong, unitV(noiseV(i * 2654435761L + 13))))
+        .toDF("vec_id", "embedding")
+      val r = Similarity.autoBandWidth(n.toLong, 4, 64)
+      val bands = Similarity.planeBands(df, "vec_id", "embedding", 4, r, autoDim)
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") =!= col("b.vec_id")).count()
+      cand.toDouble / n
+    }
+    val c500 = candidatesPerRow(500)
+    val c2000 = candidatesPerRow(2000)
+    assert(c500 <= 3 * 64, s"candidates/row at 500 = $c500")
+    assert(c2000 <= 3 * 64, s"candidates/row at 2000 = $c2000")
+    assert(c2000 <= 2.0 * c500 + 8,
+      s"4x rows must NOT ~4x the per-row volume: $c500 -> $c2000")
+  }
+
+  test("auto density operators: planted clusters — coverage >=0.9, LOF flags the stray, DBSCAN finds the 10 groups") {
+    import spark.implicits._
+    // 10 centers x 30 members (same geometry the fixed-width coverage test
+    // uses) plus one isolated stray
+    val planted = (for { g <- 0 until 10; m <- 0 until 30 } yield {
+      val c = noiseV(g * 7919L + 1)
+      val e = noiseV(g * 104729L + m * 31L + 7)
+      (g * 30L + m, unitV(c.zip(e).map { case (a, b) => a + 0.15 * b }))
+    }) :+ (999L, unitV(noiseV(31337L)))
+    val df = planted.toDF("vec_id", "embedding")
+    val qs = (0 until 10).map(_ * 30L)
+    val cov = Similarity.cohortCoverageAuto(df, "vec_id", "embedding", qs,
+        k = 5, eps = 0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(cov("knn") >= 0.9, s"auto knn coverage ${cov("knn")}")
+    assert(cov("eps") >= 0.9, s"auto eps coverage ${cov("eps")}")
+    val lof = Similarity.lofOutliersAuto(df, "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the stray may drop out entirely (empty cohort) or score high; a
+    // cluster member must not look like an outlier
+    val memberMax = (0 until 300).flatMap(i => lof.get(i.toLong)).max
+    assert(lof.get(999L).forall(_ > memberMax),
+      s"stray ${lof.get(999L)} vs member max $memberMax")
+    val db = Similarity.dbscanClustersAuto(df, "vec_id", "embedding",
+        eps = 0.3, minPts = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val clusters = db.filter(_._2 != "noise").flatMap(_._3).distinct
+    assert(clusters.length == 10, s"expected 10 clusters, got ${clusters.length}")
+    val strayRow = db.find(_._1 == 999L).get
+    assert(strayRow._2 == "noise", s"stray must be noise: $strayRow")
+    // every member of group 0 lands in one cluster
+    val g0 = db.filter(r => r._1 < 30L).flatMap(_._3).distinct
+    assert(g0.length == 1, s"group 0 split across clusters: $g0")
+  }
 }
