@@ -1636,6 +1636,12 @@ object SparkEntry {
     "hubness" -> ((s, dir) =>
       operators.Similarity.hubness(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+    // the AUTO-WIDTH scale path (band width = autoBandWidth(n) over
+    // seed-offset hyperplane bands — candidates/row bounded as n grows);
+    // the oracle bakes the width the 500-row verify corpus resolves to
+    "hubness_auto" -> ((s, dir) =>
+      operators.Similarity.hubnessAuto(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
     // exact d×d covariance of the embedding corpus: upper-triangle products
     // emitted inside the scan, one (i,j)-keyed agg bounded at d(d+1)/2 rows
     // per partition after map-side combine
@@ -4324,6 +4330,10 @@ object SparkEntry {
         eps = 0.68, minPts = 3),
     "hubness" ->
       operators.Similarity.hubnessSql("embeddings", "vec_id", "embedding", 5),
+    // width 5 = autoBandWidth(500) for the 500-row verify embeddings slice
+    "hubness_auto" ->
+      operators.Similarity.hubnessAutoSql("embeddings", "vec_id", "embedding",
+        k = 5, nBands = 4, rowsPerBand = 5, dim = 64),
     "hard_negatives" ->
       operators.Similarity.hardNegativesSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 3),

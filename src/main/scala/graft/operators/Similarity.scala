@@ -1397,6 +1397,26 @@ object Similarity {
     val bandRows = (0 until nBands).map { bi =>
       s"SELECT $idCol AS id, $bi AS band_idx, ${bandValSql(vecCol, bi, rowsPerBand)} AS band_val FROM $tbl"
     }.mkString(" UNION ALL ")
+    knnSqlCtesFrom(tbl, idCol, vecCol, k, bandRows)
+  }
+
+  /** [[knnSqlCtes]] over RANDOM-HYPERPLANE bands — the SQL mirror of
+    * [[planeBands]] (same seed-offset-per-band plane stream, same fold
+    * order as [[lshSignatureSql]]). `rowsPerBand` must be the width
+    * [[autoBandWidth]] picks for the table's row count — the mirror is
+    * static SQL, so the width is baked by the caller.
+    */
+  def knnPlaneSqlCtes(tbl: String, idCol: String, vecCol: String, k: Int,
+      nBands: Int, rowsPerBand: Int, dim: Int, seed: Int = 42): String = {
+    val bandRows = (0 until nBands).map { bi =>
+      s"SELECT $idCol AS id, $bi AS band_idx, " +
+        s"${lshSignatureSql(vecCol, rowsPerBand, dim, seed + 1000 * (bi + 1))} AS band_val FROM $tbl"
+    }.mkString(" UNION ALL ")
+    knnSqlCtesFrom(tbl, idCol, vecCol, k, bandRows)
+  }
+
+  private def knnSqlCtesFrom(tbl: String, idCol: String, vecCol: String,
+      k: Int, bandRows: String): String = {
     val cos = (x: String, y: String) =>
       s"""(list_sum(list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($x, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
@@ -1535,6 +1555,22 @@ object Similarity {
   def hubnessSql(tbl: String, idCol: String, vecCol: String, k: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): String =
     s"""WITH ${knnSqlCtes(tbl, idCol, vecCol, k, signDims, rowsPerBand)},
+       indeg AS (SELECT nbr AS vec_id, COUNT(*) AS in_degree FROM knn GROUP BY nbr)
+       SELECT t.$idCol AS vec_id,
+         COALESCE(in_degree, 0) AS in_degree,
+         COALESCE(in_degree, 0) >= ${2 * k} AS is_hub,
+         COALESCE(in_degree, 0) = 0 AS is_antihub
+       FROM $tbl t LEFT JOIN indeg ON indeg.vec_id = t.$idCol
+       ORDER BY vec_id"""
+
+  /** DuckDB mirror of [[hubnessAuto]] — `rowsPerBand` must equal
+    * `autoBandWidth(n)` for the table's actual row count (static SQL bakes
+    * the width; a row-count drift breaks the hash loudly, by design) and
+    * `dim` the vector length.
+    */
+  def hubnessAutoSql(tbl: String, idCol: String, vecCol: String, k: Int,
+      nBands: Int, rowsPerBand: Int, dim: Int, seed: Int = 42): String =
+    s"""WITH ${knnPlaneSqlCtes(tbl, idCol, vecCol, k, nBands, rowsPerBand, dim, seed)},
        indeg AS (SELECT nbr AS vec_id, COUNT(*) AS in_degree FROM knn GROUP BY nbr)
        SELECT t.$idCol AS vec_id,
          COALESCE(in_degree, 0) AS in_degree,

@@ -1906,8 +1906,13 @@ object TextAnalysis {
     val srcLen = bySrc.groupBy("_bd_g").agg(sum(col("c")).as("len"))
     val topK = bySrc.groupBy("_bd_t").agg(sum(col("c")).as("cf"))
       .orderBy(col("cf").desc, col("_bd_t")).limit(k)
-    val nSrc = srcLen.count()   // driver scalars: #sources and #profile
-    val nWords = topK.count()   // words — both type-table-bounded
+    // #sources and #profile-words as broadcast ONE-ROW relations, not
+    // driver .count() actions — the former eager scalars each re-ran the
+    // corpus tokenize+agg as its own job before the real one (3 corpus
+    // passes); as relations the whole thing is one job and Catalyst
+    // reuses the bySrc exchange across the branches
+    val nSrcRel = srcLen.agg(count(lit(1)).as("_bd_ns"))
+    val nWordsRel = topK.agg(count(lit(1)).as("_bd_nw"))
     def d(c: Column) = c.cast("double")
     // dense (source × top-k) grid: absent words count zero
     val grid = srcLen.crossJoin(broadcast(topK.select(col("_bd_t"))))
@@ -1919,11 +1924,12 @@ object TextAnalysis {
     // division — the engines' decimal scale rules differ)
     val moments = grid.groupBy("_bd_t")
       .agg(sum(col("f")).as("sf"), sum(col("f") * col("f")).as("sff"))
+      .crossJoin(broadcast(nSrcRel))
       .select(col("_bd_t"),
-        (d(col("sf")) / lit(nSrc.toDouble)).as("mu"),
-        col("sff"))
+        (d(col("sf")) / d(col("_bd_ns"))).as("mu"),
+        col("sff"), col("_bd_ns"))
       .select(col("_bd_t"), col("mu"),
-        sqrt(d(col("sff")) / lit(nSrc.toDouble) - col("mu") * col("mu"))
+        sqrt(d(col("sff")) / d(col("_bd_ns")) - col("mu") * col("mu"))
           .as("sigma"))
     val z = grid.join(broadcast(moments), "_bd_t")
       .select(col("_bd_g"), col("_bd_t"),
@@ -1933,9 +1939,11 @@ object TextAnalysis {
     za.join(zb, Seq("_bd_t"))
       .where(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
-      .agg((sum(round(abs(col("za") - col("zb")), 9).cast("decimal(18,9)"))
-        .cast("double") / lit(nWords.toDouble)).as("_delta"))
-      .select(col("source_a"), col("source_b"), round(col("_delta"), 6).as("delta"))
+      .agg(sum(round(abs(col("za") - col("zb")), 9).cast("decimal(18,9)"))
+        .as("_bd_sz"))
+      .crossJoin(broadcast(nWordsRel))
+      .select(col("source_a"), col("source_b"),
+        round(col("_bd_sz").cast("double") / d(col("_bd_nw")), 6).as("delta"))
       .orderBy("source_a", "source_b")
   }
 
