@@ -581,6 +581,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"in-degree should hash-agg:\n$plan")
   }
 
+  test("hubness_auto: hyperplane bands keep the candidate join equi-only; signature is the one-pass expression") {
+    val plan = planOf(SparkEntry.queries("hubness_auto")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure:\n$plan")
+    // each band value must come from HyperplaneSigExpr (one pass over the
+    // vector), not the bits×dim Column tree that takes seconds of Janino
+    assert(plan.contains("hyperplane_sig"), s"signature expression missing:\n$plan")
+    assert(plan.contains("HashAggregate"), s"in-degree should hash-agg:\n$plan")
+  }
+
   test("rbo_overlap: both rankings materialize via TakeOrdered, not a global sort") {
     val plan = planOf(SparkEntry.queries("rbo_overlap")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
@@ -728,14 +738,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tally should map-side combine:\n$plan")
   }
 
-  test("bleu_eval: gram clip is a single equi-join keyed (doc, n, gram)") {
+  test("bleu_eval: one side-flagged gram pass — NO join anywhere in the plan") {
     val plan = planOf(SparkEntry.queries("bleu_eval")(spark, sf))
-    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"),
-      s"clip join must stay hashed:\n$plan")
-    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
-      .findFirstIn(plan).isDefined, s"clip should hash-join:\n$plan")
+    // the clip is least(hc, rc) on a single (doc, n, gram) relation that
+    // counts both sides at once; totals and corpus lengths fold out of the
+    // same relation — the former ref/hyp hash join must not come back
+    assert(!plan.contains("Join"), s"join crept back into bleu:\n$plan")
+    assert(plan.contains("Generate"), s"gram explode expected:\n$plan")
+    assert("partial_sum|partial sum".r.findFirstIn(plan).isDefined,
+      s"gram counts should combine map-side:\n$plan")
   }
 
   test("ndcg_eval: term/query dims broadcast; top-k prunes via group limit") {
@@ -763,12 +774,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), s"span should broadcast:\n$plan")
   }
 
-  test("rouge_eval / chrf_eval: clip joins stay equi-keyed, no cartesian") {
+  test("rouge_eval / chrf_eval: one gram pass; only the maxN-row spine joins") {
     for (q <- Seq("rouge_eval", "chrf_eval")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$q cartesian leaked:\n$plan")
-      assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
-        .findFirstIn(plan).isDefined, s"$q clip should hash-join:\n$plan")
+      // the former per-gram clip join is gone (both sides counted in one
+      // relation); the only join left is the n-spine (≤ maxN rows) against
+      // the per-n aggregate — it must stay broadcast, never a shuffle join
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q: a shuffle join can only be the clip join creeping back:\n$plan")
+      assert(plan.contains("Generate"), s"$q gram explode expected:\n$plan")
     }
   }
 
