@@ -1414,8 +1414,12 @@ object TextAnalysis {
       .join(newTypes, Seq("_hl_id"), "left")
       .select(col("_hl_id"), col("_hl_tok"),
         coalesce(col("_hl_new"), lit(0L)).as("_hl_new"))
-    // two-level inclusive prefix sums over the doc axis (packShards shape)
-    val Array(minId, maxId) = perDoc.agg(min("_hl_id"), max("_hl_id")).head() match {
+    // two-level inclusive prefix sums over the doc axis (packShards shape).
+    // The id span comes from BASE, not perDoc: the values are identical
+    // (left join keeps every base id) but perDoc would drag the whole
+    // explode+vocab pipeline through this eager scalar job, while base
+    // prunes to a bare id-column scan
+    val Array(minId, maxId) = base.agg(min("_hl_id"), max("_hl_id")).head() match {
       case r if r.isNullAt(0) => Array(0L, 0L)
       case r                  => Array(r.getLong(0), r.getLong(1))
     }
