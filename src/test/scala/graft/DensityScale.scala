@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Auto-width density scale anchors (diagnostic main, not a spec): times
+  * `hubnessAuto` / `lofOutliersAuto` at 1×, 10× and 100× replicas of the
+  * sf0.1 embeddings (2k → 200k vectors) and prints the chosen band width
+  * plus the measured candidate volume per row — the claim under test is
+  * [[operators.Similarity.autoBandWidth]]'s budget law: candidates/row
+  * bounded by the budget at every scale, wall time ~linear in n, where the
+  * fixed-width operators are ∝ n² (their 100× point would be 10^10
+  * candidate pairs — not run, that is the point).
+  *
+  * Replicas use the [[RecallPanel]] circular-shift construction (orthogonal
+  * transform per replica): per-replica similarity structure is exactly the
+  * original's, cross-replica directions are scrambled — density-honest.
+  *
+  *   sbt "Test/runMain graft.DensityScale"
+  */
+object DensityScale {
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.builder("local[32]", 32).appName("density-scale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb1 = spark.read.parquet(s"$base/embeddings.parquet")
+    val span = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dim = emb1.select(size(col("embedding"))).head().getInt(0)
+
+    def replica(reps: Int): DataFrame = {
+      val repDf = spark.range(reps).select(col("id").as("rep"))
+      emb1.crossJoin(broadcast(repDf))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => element_at(col("embedding"), ((i + col("rep") * 7) % dim).cast("int") + 1)))
+        .withColumn("vec_id", col("vec_id") + col("rep") * span)
+        .drop("rep")
+        .repartition(math.max(32, reps))
+        .localCheckpoint()
+    }
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    println("| reps | n | width r | cand/row | t(hubness_auto) s | t(lof_auto) s |")
+    println("|---|---|---|---|---|---|")
+    for (reps <- Seq(1, 10, 100)) {
+      val emb = replica(reps)
+      val n = reps.toLong * span
+      val r = operators.Similarity.autoBandWidth(n)
+      val bands = operators.Similarity.planeBands(emb, "vec_id", "embedding", 4, r, dim)
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") =!= col("b.vec_id")).count()
+      val tH = time(operators.Similarity.hubnessAuto(emb, "vec_id", "embedding", k = 5))
+      val tL = time(operators.Similarity.lofOutliersAuto(emb, "vec_id", "embedding", k = 5))
+      println(f"| ${reps}x | $n | $r | ${cand.toDouble / n}%.1f | $tH%.1f | $tL%.1f |")
+    }
+    spark.stop()
+  }
+}
