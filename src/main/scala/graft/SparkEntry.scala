@@ -1638,10 +1638,17 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
     // the AUTO-WIDTH scale path (band width = autoBandWidth(n) over
     // seed-offset hyperplane bands — candidates/row bounded as n grows);
-    // the oracle bakes the width the 500-row verify corpus resolves to
+    // the oracles bake the width the 500-row verify corpus resolves to
     "hubness_auto" -> ((s, dir) =>
       operators.Similarity.hubnessAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+    "lof_auto" -> ((s, dir) =>
+      operators.Similarity.lofOutliersAuto(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+    "dbscan_auto" -> ((s, dir) =>
+      operators.Similarity.dbscanClustersAuto(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps = 0.68, minPts = 3)),
     // exact d×d covariance of the embedding corpus: upper-triangle products
     // emitted inside the scan, one (i,j)-keyed agg bounded at d(d+1)/2 rows
     // per partition after map-side combine
@@ -4334,6 +4341,12 @@ object SparkEntry {
     "hubness_auto" ->
       operators.Similarity.hubnessAutoSql("embeddings", "vec_id", "embedding",
         k = 5, nBands = 4, rowsPerBand = 5, dim = 64),
+    "lof_auto" ->
+      operators.Similarity.lofOutliersAutoSql("embeddings", "vec_id", "embedding",
+        k = 5, nBands = 4, rowsPerBand = 5, dim = 64),
+    "dbscan_auto" ->
+      operators.Similarity.dbscanClustersAutoSql("embeddings", "vec_id", "embedding",
+        eps = 0.68, minPts = 3, nBands = 4, rowsPerBand = 5, dim = 64),
     "hard_negatives" ->
       operators.Similarity.hardNegativesSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 3),

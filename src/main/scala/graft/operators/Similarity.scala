@@ -1767,6 +1767,23 @@ object Similarity {
     val bandRows = (0 until nBands).map { bi =>
       s"SELECT $idCol AS id, $bi AS band_idx, ${bandValSql(vecCol, bi, rowsPerBand)} AS band_val FROM $tbl"
     }.mkString(" UNION ALL ")
+    dbscanSqlFrom(tbl, idCol, vecCol, eps, minPts, bandRows)
+  }
+
+  /** DuckDB mirror of [[dbscanClustersAuto]] — hyperplane bands (see
+    * [[hubnessAutoSql]] for the baked-width contract). */
+  def dbscanClustersAutoSql(tbl: String, idCol: String, vecCol: String,
+      eps: Double, minPts: Int,
+      nBands: Int, rowsPerBand: Int, dim: Int, seed: Int = 42): String = {
+    val bandRows = (0 until nBands).map { bi =>
+      s"SELECT $idCol AS id, $bi AS band_idx, " +
+        s"${lshSignatureSql(vecCol, rowsPerBand, dim, seed + 1000 * (bi + 1))} AS band_val FROM $tbl"
+    }.mkString(" UNION ALL ")
+    dbscanSqlFrom(tbl, idCol, vecCol, eps, minPts, bandRows)
+  }
+
+  private def dbscanSqlFrom(tbl: String, idCol: String, vecCol: String,
+      eps: Double, minPts: Int, bandRows: String): String = {
     val cos = (x: String, y: String) =>
       s"""(list_sum(list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($x, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
@@ -1811,9 +1828,17 @@ object Similarity {
     * ranking, same DECIMAL folds, naive window in place of the salted top-k.
     */
   def lofOutliersSql(tbl: String, idCol: String, vecCol: String, k: Int,
-      signDims: Int = 16, rowsPerBand: Int = 4): String = {
-    s"""WITH ${knnSqlCtes(tbl, idCol, vecCol, k, signDims, rowsPerBand)},
-       kdist AS (SELECT id, MAX(d) AS kd, COUNT(*) AS n FROM knn GROUP BY id),
+      signDims: Int = 16, rowsPerBand: Int = 4): String =
+    s"WITH ${knnSqlCtes(tbl, idCol, vecCol, k, signDims, rowsPerBand)},\n$lofSqlTail"
+
+  /** DuckDB mirror of [[lofOutliersAuto]] — hyperplane bands (see
+    * [[hubnessAutoSql]] for the baked-width contract). */
+  def lofOutliersAutoSql(tbl: String, idCol: String, vecCol: String, k: Int,
+      nBands: Int, rowsPerBand: Int, dim: Int, seed: Int = 42): String =
+    s"WITH ${knnPlaneSqlCtes(tbl, idCol, vecCol, k, nBands, rowsPerBand, dim, seed)},\n$lofSqlTail"
+
+  private val lofSqlTail: String = {
+    s"""kdist AS (SELECT id, MAX(d) AS kd, COUNT(*) AS n FROM knn GROUP BY id),
        reach AS (SELECT knn.id, knn.nbr, GREATEST(kd2.kd, knn.d) AS r
                  FROM knn JOIN kdist kd2 ON kd2.id = knn.nbr),
        lrd AS (SELECT id,
