@@ -581,14 +581,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"in-degree should hash-agg:\n$plan")
   }
 
-  test("hubness_auto: hyperplane bands keep the candidate join equi-only; signature is the one-pass expression") {
-    val plan = planOf(SparkEntry.queries("hubness_auto")(spark, sf))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"all-pairs structure:\n$plan")
-    // each band value must come from HyperplaneSigExpr (one pass over the
-    // vector), not the bits×dim Column tree that takes seconds of Janino
-    assert(plan.contains("hyperplane_sig"), s"signature expression missing:\n$plan")
-    assert(plan.contains("HashAggregate"), s"in-degree should hash-agg:\n$plan")
+  test("auto density trio: hyperplane bands keep every join equi-only; signature is the one-pass expression") {
+    for (q <- Seq("hubness_auto", "lof_auto", "dbscan_auto")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: all-pairs structure:\n$plan")
+      // each band value must come from HyperplaneSigExpr (one pass over the
+      // vector), not the bits×dim Column tree that takes seconds of Janino.
+      // dbscan's eps-edge stage sits behind a localCheckpoint, so its
+      // banding is invisible in the FINAL executed plan — the construction
+      // is the same planeBands relation the lof/hubness assertions pin.
+      if (q != "dbscan_auto")
+        assert(plan.contains("hyperplane_sig"), s"$q: signature expression missing:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$q: per-id folds should hash-agg:\n$plan")
+    }
   }
 
   test("rbo_overlap: both rankings materialize via TakeOrdered, not a global sort") {
