@@ -2443,6 +2443,22 @@ object SparkEntry {
           col("pixel_meta.dhash_lo").as("dhash_lo"))
         .orderBy("doc_id")
     }),
+    "image_resize" -> ((s, dir) => {
+      // decode → integer box resize (area thumbnail) → per-cell readout:
+      // the resized 4×4 luma grid lands as hex, so the oracle re-derives
+      // every output pixel from the synthPixel formula — a hash match
+      // proves decode AND resize are pixel-exact per cell
+      val assets = operators.Multimodal.syntheticAssets(Tables.documents(s, dir))
+      operators.Multimodal.withResizedLuma(assets, "asset", dw = 4, dh = 4)
+        .select(col("doc_id"),
+          col("resize_meta.format").as("format"),
+          col("resize_meta.width").as("width"),
+          col("resize_meta.height").as("height"),
+          col("resize_meta.rw").as("rw"),
+          col("resize_meta.rh").as("rh"),
+          col("resize_meta.luma_hex").as("luma_hex"))
+        .orderBy("doc_id")
+    }),
     "image_neardup" -> ((s, dir) => {
       // perceptual near-dup: decode engineered 9×8 gray PNGs (same-family
       // images differ by ≤ 1 dHash bit), then Manku 4×16-bit pigeonhole
@@ -5166,6 +5182,38 @@ object SparkEntry {
            m.w AS width, m.h AS height, m.mean_r, m.mean_g, m.mean_b,
            hash.dhash_hi, hash.dhash_lo
          FROM means m JOIN hash ON m.doc_id = hash.doc_id ORDER BY m.doc_id""",
+    "image_resize" ->
+      // independent re-derivation of the RESIZED raster from the pixel
+      // formula: per-cell channel means over the floor-index box partition
+      // ((x*4)//w, (y*4)//h), then floor ITU-601 luma of the MEANS (gray
+      // rides the same formula: luma(v,v,v) = v exactly)
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 + 9 AS INTEGER) AS w,
+           CAST(doc_id % 7 + 8 AS INTEGER) AS h, doc_id % 4 AS f FROM documents),
+         px AS (SELECT d.doc_id, d.w, d.h, d.f, tx.x, ty.y,
+             (d.doc_id*7 + tx.x*13 + ty.y*31) % 256 AS r0,
+             (d.doc_id*7 + tx.x*13 + ty.y*31 + 101) % 256 AS g0,
+             (d.doc_id*7 + tx.x*13 + ty.y*31 + 202) % 256 AS b0
+           FROM d, range(0, 16) tx(x), range(0, 14) ty(y)
+           WHERE tx.x < d.w AND ty.y < d.h),
+         ch AS (SELECT doc_id, w, h, f, x, y,
+             r0 AS cr,
+             CASE WHEN f >= 2 THEN r0 ELSE g0 END AS cg,
+             CASE WHEN f >= 2 THEN r0 ELSE b0 END AS cb
+           FROM px),
+         cells AS (SELECT doc_id, w, h, f, (y*4)//h AS ry, (x*4)//w AS rx,
+             CAST(SUM(cr) // COUNT(*) AS BIGINT) AS mr,
+             CAST(SUM(cg) // COUNT(*) AS BIGINT) AS mg,
+             CAST(SUM(cb) // COUNT(*) AS BIGINT) AS mb
+           FROM ch GROUP BY doc_id, w, h, f, (y*4)//h, (x*4)//w),
+         lum AS (SELECT doc_id, w, h, f, ry, rx,
+             (299*mr + 587*mg + 114*mb) // 1000 AS lv FROM cells),
+         hexes AS (SELECT doc_id, w, h, f,
+             string_agg(printf('%02x', lv), '' ORDER BY ry, rx) AS luma_hex
+           FROM lum GROUP BY doc_id, w, h, f)
+         SELECT doc_id,
+           CASE f WHEN 0 THEN 'bmp' WHEN 3 THEN 'gif' ELSE 'png' END AS format,
+           w AS width, h AS height, 4 AS rw, 4 AS rh, luma_hex
+         FROM hexes ORDER BY doc_id""",
     "image_neardup" ->
       // mirror of the 4×16-bit pigeonhole + popcount verify over dHashes
       // derived straight from the engineered 9×8 gray pattern (identity

@@ -582,6 +582,88 @@ object Multimodal {
     hash
   }
 
+  /** Integer box resize (area downsample): source pixel (x, y) belongs to
+    * output cell (x·dw/width, y·dh/height) — the dHash floor-index
+    * partition, which any SQL engine reproduces as a plain GROUP BY — and
+    * each output channel is the floor mean of its box. Requires dw ≤ width
+    * and dh ≤ height so every cell is non-empty (the floor map is then
+    * surjective). Exact integer arithmetic end to end: bit-identical on
+    * every engine and partitioning.
+    */
+  def resizeImage(img: Image, dw: Int, dh: Int): Image = {
+    require(dw >= 1 && dh >= 1 && dw <= img.width && dh <= img.height,
+      s"resizeImage: target ${dw}x$dh must be within source ${img.width}x${img.height}")
+    val ch = img.channels
+    val sums = new Array[Long](dh * dw * ch)
+    val counts = new Array[Int](dh * dw)
+    var y = 0
+    while (y < img.height) {
+      val r = y * dh / img.height
+      var x = 0
+      while (x < img.width) {
+        val cell = r * dw + x * dw / img.width
+        counts(cell) += 1
+        var k = 0
+        while (k < ch) { sums(cell * ch + k) += img.channel(x, y, k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Byte](dw * dh * ch)
+    var i = 0
+    while (i < dw * dh) {
+      var k = 0
+      while (k < ch) { out(i * ch + k) = (sums(i * ch + k) / counts(i)).toByte; k += 1 }
+      i += 1
+    }
+    Image(dw, dh, ch, out)
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("rw", IntegerType),
+    StructField("rh", IntegerType),
+    StructField("luma_hex", StringType) // dw×dh floor-luma grid, row-major
+  ))
+
+  /** Batched decode → [[resizeImage]] → per-cell readout: the thumbnail
+    * stage of a multimodal pipeline, with the resized raster made
+    * oracle-checkable as the hex of its dw×dh luma grid (luma AFTER the
+    * channel resize — floor ITU-601 of the per-channel box means).
+    * Unparseable or smaller-than-target assets → null struct.
+    */
+  def withResizedLuma(df: DataFrame, binCol: String, dw: Int, dh: Int): DataFrame = {
+    val schema = df.schema.add("resize_meta", resizeSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val metaRow = decodeImage(bytes)
+          .filter(img => img.width >= dw && img.height >= dh)
+          .map { img =>
+            val fmt =
+              if ((bytes(0) & 0xFF) == 0x89) "png"
+              else if ((bytes(0) & 0xFF) == 'G') "gif"
+              else if ((bytes(0) & 0xFF) == 0xFF) "jpeg"
+              else "bmp"
+            val rz = resizeImage(img, dw, dh)
+            val sb = new StringBuilder(dw * dh * 2)
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) { sb ++= f"${rz.luma(x, y)}%02x"; x += 1 }
+              y += 1
+            }
+            Row(fmt, img.width, img.height, dw, dh, sb.toString)
+          }.orNull
+        Row.fromSeq(r.toSeq :+ metaRow)
+      }
+    }(enc)
+  }
+
   private val pixelSchema = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),

@@ -50,6 +50,39 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp24(bmp).isEmpty)
   }
 
+  test("resizeImage: identity at same dims; hand-computed box means; gray luma identity") {
+    // 4x2 RGB, distinct channel values
+    val src = Multimodal.Image(4, 2, 3,
+      (for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+        yield px(x, y, c).toByte).toArray)
+    // identity: same dims reproduce every pixel
+    val same = Multimodal.resizeImage(src, 4, 2)
+    for (x <- 0 until 4; y <- 0 until 2; c <- 0 until 3)
+      assert(same.channel(x, y, c) == src.channel(x, y, c))
+    // 2x1: cell (0,0) = floor mean of the 2x2 left block, per channel
+    val half = Multimodal.resizeImage(src, 2, 1)
+    assert(half.width == 2 && half.height == 1 && half.channels == 3)
+    for (cx <- 0 until 2; c <- 0 until 3) {
+      val exp = (for (x <- cx * 2 until cx * 2 + 2; y <- 0 until 2)
+        yield px(x, y, c)).sum / 4
+      assert(half.channel(cx, 0, c) == exp, s"cell $cx channel $c")
+    }
+    // 1x1 collapses to the global floor mean
+    val one = Multimodal.resizeImage(src, 1, 1)
+    for (c <- 0 until 3)
+      assert(one.channel(0, 0, c) ==
+        (for (x <- 0 until 4; y <- 0 until 2) yield px(x, y, c)).sum / 8)
+    // non-divisible partition: 3 -> 2 puts 2 columns in cell 0, 1 in cell 1
+    // (x*2/3 = 0,0,1) — the floor map, not rounding
+    val g3 = Multimodal.Image(3, 1, 1, Array[Byte](10, 20, 90))
+    val g2 = Multimodal.resizeImage(g3, 2, 1)
+    assert(g2.channel(0, 0, 0) == 15 && g2.channel(1, 0, 0) == 90)
+    // gray: luma of the resized image IS the resized value
+    assert(g2.luma(0, 0) == 15)
+    // target larger than source must be refused, not upsampled silently
+    assertThrows[IllegalArgumentException](Multimodal.resizeImage(g3, 4, 1))
+  }
+
   test("dHash: identical images collide, one-pixel perturbation flips at most one bit") {
     val a = Multimodal.decodePng(Multimodal.encodePng(9, 8, 1, (x, y, _) => (x * 20 + y) % 200)).get
     val b = Multimodal.decodePng(Multimodal.encodePng(9, 8, 1, (x, y, _) => (x * 20 + y) % 200)).get
