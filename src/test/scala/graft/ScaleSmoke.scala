@@ -200,8 +200,9 @@ object ScaleSmoke {
     // session-4 batch 23: von Neumann ratio, delta-method ratio metric
     "von_neumann", "ratio_metric_ab",
     // round-8: auto-width density variants (band width = autoBandWidth(n),
-    // the scale path for the fixed-width trio's superlinear anchors)
-    "lof_auto", "dbscan_auto", "hubness_auto")
+    // the scale path for the fixed-width trio's superlinear anchors) and
+    // the decode->box-resize thumbnail pass (scan-parallel, join-free)
+    "lof_auto", "dbscan_auto", "hubness_auto", "image_resize")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
