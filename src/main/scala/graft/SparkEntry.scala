@@ -2325,6 +2325,20 @@ object SparkEntry {
     // doc_id sample formula (with planted full-scale clipping), decoded
     // back to samples, integer amplitude/zero-cross/clip features — the
     // audio twin of multimodal_pixels; the oracle re-derives the FORMULA
+    "audio_resample" -> ((s, dir) => {
+      // PCM16 decode → integer box decimation to 50 slots → per-slot hex
+      // readout: the oracle re-derives every output sample from the sample
+      // formula (truncating-division means — JVM / and DuckDB // agree,
+      // negatives included), so a hash match proves decode AND resample
+      // are sample-exact
+      val assets = operators.Multimodal.syntheticWavAssets(Tables.documents(s, dir))
+      operators.Multimodal.withResampledPcm(assets, "audio", m = 50)
+        .select(col("doc_id"),
+          col("resample_meta.n_samples").as("n_samples"),
+          col("resample_meta.n_out").as("n_out"),
+          col("resample_meta.pcm_hex").as("pcm_hex"))
+        .orderBy("doc_id")
+    }),
     "wav_features" -> ((s, dir) => {
       val assets = operators.Multimodal.syntheticWavAssets(Tables.documents(s, dir))
       operators.Multimodal.withAudioFeatures(assets, "audio")
@@ -3885,6 +3899,23 @@ object SparkEntry {
                  - CAST(chance_num AS DOUBLE) / CAST(n * n AS DOUBLE))
              / (1.0 - CAST(chance_num AS DOUBLE) / CAST(n * n AS DOUBLE)), 6) AS kappa
          FROM o CROSS JOIN ch""",
+    "audio_resample" ->
+      // independent re-derivation of the RESAMPLED stream from the sample
+      // formula: slot j = (i*50)//n, value = truncating-division mean,
+      // landed as the %04x unsigned-16 pattern per slot
+      """WITH d AS (SELECT doc_id, CAST(200 + doc_id % 50 AS INT) AS n FROM documents),
+         s AS (SELECT doc_id, n, i.i AS i,
+             greatest(-32768, least(32767,
+               CAST((doc_id*31 + i.i*17) % 70001 - 35000 AS BIGINT))) AS v
+           FROM d, range(0, 250) i(i) WHERE i.i < n),
+         slots AS (SELECT doc_id, n, (i * 50) // n AS j,
+             CAST(SUM(v) // COUNT(*) AS BIGINT) AS sv
+           FROM s GROUP BY doc_id, n, (i * 50) // n),
+         hexes AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+             string_agg(printf('%04x', sv & 65535), '' ORDER BY j) AS pcm_hex
+           FROM slots GROUP BY doc_id)
+         SELECT doc_id, n_samples, 50 AS n_out, pcm_hex
+         FROM hexes ORDER BY doc_id""",
     "wav_features" ->
       // independent re-derivation from the SAMPLE FORMULA (never the
       // bytes): s_i = clamp((id*31 + i*17) % 70001 - 35000) — a hash match

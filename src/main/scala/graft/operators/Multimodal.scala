@@ -919,6 +919,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** Integer box decimation of a PCM stream — the audio twin of
+    * [[resizeImage]]: sample i belongs to output slot i·m/n (the floor-map
+    * partition), each slot is the integer-division mean of its box.
+    * Division truncates toward zero on BOTH engines (JVM `/` and DuckDB
+    * `//` agree, including negative sums), so the output is bit-exact
+    * cross-engine. Requires m ≤ n (every slot non-empty).
+    */
+  def resamplePcm(samples: Array[Int], m: Int): Array[Int] = {
+    require(m >= 1 && m <= samples.length,
+      s"resamplePcm: target $m must be within source ${samples.length}")
+    val sums = new Array[Long](m)
+    val counts = new Array[Int](m)
+    var i = 0
+    while (i < samples.length) {
+      val j = (i.toLong * m / samples.length).toInt
+      sums(j) += samples(i)
+      counts(j) += 1
+      i += 1
+    }
+    Array.tabulate(m)(j => (sums(j) / counts(j)).toInt)
+  }
+
+  private val resampleSchema = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("n_out", IntegerType),
+    StructField("pcm_hex", StringType) // m resampled s16 values, %04x each
+  ))
+
+  /** Batched PCM16 decode → [[resamplePcm]] → per-slot readout: the
+    * fixed-length downsampling stage of an audio pipeline (waveform
+    * thumbnails, cheap alignment features), with every output sample made
+    * oracle-checkable as 4 hex chars of its unsigned 16-bit pattern. Null
+    * struct for non-PCM16-mono or shorter-than-target payloads.
+    */
+  def withResampledPcm(df: DataFrame, binCol: String, m: Int): DataFrame = {
+    val schema = df.schema.add("resample_meta", resampleSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val metaRow = decodeWavSamples(r.getAs[Array[Byte]](binIdx))
+          .filter(_.length >= m)
+          .map { s =>
+            val out = resamplePcm(s, m)
+            val sb = new StringBuilder(m * 4)
+            out.foreach(v => sb ++= f"${v & 0xFFFF}%04x")
+            Row(s.length.toLong, m, sb.toString)
+          }.orNull
+        Row.fromSeq(r.toSeq :+ metaRow)
+      }
+    }(enc)
+  }
+
   /** Deterministic PCM16 fixture audio: doc_id-derived length and a sample
     * formula whose raw range ±35000 EXCEEDS full scale, so clamping plants
     * real clipped samples — `s_i = clamp((id·31 + i·17) mod 70001 − 35000)`.

@@ -83,6 +83,20 @@ class PixelDecodeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.resizeImage(g3, 4, 1))
   }
 
+  test("resamplePcm: identity, hand-computed box means, and NEGATIVE-sum truncation toward zero") {
+    val s = Array(10, 20, -7, -8)
+    // identity
+    assert(Multimodal.resamplePcm(s, 4).toSeq == s.toSeq)
+    // 2 slots of 2: (10+20)/2 = 15; (-7-8)/2 = -15/2 = -7 (truncation
+    // toward zero — DuckDB's // agrees; floor would give -8)
+    assert(Multimodal.resamplePcm(s, 2).toSeq == Seq(15, -7))
+    // 1 slot: 15/4 = 3 (truncating)
+    assert(Multimodal.resamplePcm(s, 1).toSeq == Seq(3))
+    // non-divisible: 3 samples -> 2 slots puts i=0,1 in slot 0 (i*2/3 = 0,0,1)
+    assert(Multimodal.resamplePcm(Array(1, 5, 9), 2).toSeq == Seq(3, 9))
+    assertThrows[IllegalArgumentException](Multimodal.resamplePcm(Array(1), 2))
+  }
+
   test("dHash: identical images collide, one-pixel perturbation flips at most one bit") {
     val a = Multimodal.decodePng(Multimodal.encodePng(9, 8, 1, (x, y, _) => (x * 20 + y) % 200)).get
     val b = Multimodal.decodePng(Multimodal.encodePng(9, 8, 1, (x, y, _) => (x * 20 + y) % 200)).get
