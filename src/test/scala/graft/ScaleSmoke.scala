@@ -202,7 +202,8 @@ object ScaleSmoke {
     // round-8: auto-width density variants (band width = autoBandWidth(n),
     // the scale path for the fixed-width trio's superlinear anchors) and
     // the decode->box-resize thumbnail pass (scan-parallel, join-free)
-    "lof_auto", "dbscan_auto", "hubness_auto", "image_resize")
+    "lof_auto", "dbscan_auto", "hubness_auto", "image_resize",
+    "audio_resample")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
