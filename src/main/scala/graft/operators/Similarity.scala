@@ -131,7 +131,10 @@ object Similarity {
 
   /** Band width that holds the EXPECTED per-row candidate volume at
     * `budgetPerRow` under the uniform sign model: each band's bucket holds
-    * ~n/2^r rows, so nBands·n/2^r ≤ budget ⇒ r = ⌈log2(nBands·n/budget)⌉.
+    * ~n/2^r rows, so nBands·n/2^r ≤ budget ⇒ r = ⌈log2(nBands·n/budget)⌉ —
+    * the classical LSH width tuning (Gionis, Indyk & Motwani, VLDB 1999
+    * choose hash width k ∝ log n for the same reason; sign bits are
+    * Charikar's SimHash family, STOC 2002).
     * This is the scale law the fixed-width density operators document but
     * cannot apply (fixed r ⇒ candidate volume ∝ n²; width growing with
     * log n ⇒ ∝ n·budget). Returns rowsPerBand ≥ 4, ≤ 62 (a 62-bit band

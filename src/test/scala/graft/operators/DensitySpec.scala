@@ -209,4 +209,18 @@ class DensitySpec extends AnyFunSuite {
     val g0 = db.filter(r => r._1 < 30L).flatMap(_._3).distinct
     assert(g0.length == 1, s"group 0 split across clusters: $g0")
   }
+
+  test("auto density operators are partitioning-invariant (1 vs 16 input partitions)") {
+    import spark.implicits._
+    val planted = (for { g <- 0 until 6; m <- 0 until 20 } yield {
+      val c = noiseV(g * 7919L + 1)
+      val e = noiseV(g * 104729L + m * 31L + 7)
+      (g * 20L + m, unitV(c.zip(e).map { case (a, b) => a + 0.15 * b }))
+    }).toDF("vec_id", "embedding")
+    def run(parts: Int) =
+      Similarity.lofOutliersAuto(planted.repartition(parts),
+        "vec_id", "embedding", k = 5).collect().toSeq
+    assert(run(1) == run(16),
+      "LOF-auto output must not depend on the input partitioning")
+  }
 }

@@ -83,6 +83,29 @@ class PixelDecodeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.resizeImage(g3, 4, 1))
   }
 
+  test("resize/resample invariants: outputs bounded by input range; constant input is a fixed point") {
+    // constant image resizes to the same constant at any target
+    val const = Multimodal.Image(6, 6, 3, Array.fill(6 * 6 * 3)(77.toByte))
+    for ((dw, dh) <- Seq((6, 6), (3, 2), (1, 1))) {
+      val r = Multimodal.resizeImage(const, dw, dh)
+      for (x <- 0 until dw; y <- 0 until dh; c <- 0 until 3)
+        assert(r.channel(x, y, c) == 77)
+    }
+    // box means are bounded by the input range (no overshoot — a box
+    // filter, unlike bicubic, cannot ring)
+    val img = Multimodal.Image(5, 3, 1,
+      Array.tabulate(15)(i => ((i * 37 + 11) % 256).toByte))
+    val vals = (0 until 5).flatMap(x => (0 until 3).map(y => img.channel(x, y, 0)))
+    val rz = Multimodal.resizeImage(img, 2, 2)
+    for (x <- 0 until 2; y <- 0 until 2)
+      assert(rz.channel(x, y, 0) >= vals.min && rz.channel(x, y, 0) <= vals.max)
+    // same for PCM, with negatives in range
+    val s = Array.tabulate(17)(i => (i * 997 % 30001) - 15000)
+    val out = Multimodal.resamplePcm(s, 5)
+    assert(out.forall(v => v >= s.min && v <= s.max))
+    assert(Multimodal.resamplePcm(Array.fill(9)(-123), 4).toSeq == Seq.fill(4)(-123))
+  }
+
   test("resamplePcm: identity, hand-computed box means, and NEGATIVE-sum truncation toward zero") {
     val s = Array(10, 20, -7, -8)
     // identity
