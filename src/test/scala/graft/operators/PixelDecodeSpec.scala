@@ -83,6 +83,34 @@ class PixelDecodeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.resizeImage(g3, 4, 1))
   }
 
+  test("resize/resample fuzz: agree with a naive per-cell reference on random dims") {
+    val rnd = new scala.util.Random(20260816)
+    for (_ <- 0 until 120) {
+      val (w, h) = (1 + rnd.nextInt(24), 1 + rnd.nextInt(20))
+      val ch = Seq(1, 3, 4)(rnd.nextInt(3))
+      val data = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val img = Multimodal.Image(w, h, ch, data)
+      val (dw, dh) = (1 + rnd.nextInt(w), 1 + rnd.nextInt(h))
+      val rz = Multimodal.resizeImage(img, dw, dh)
+      for (cx <- 0 until dw; cy <- 0 until dh; c <- 0 until ch) {
+        val box = for {
+          x <- 0 until w if x * dw / w == cx
+          y <- 0 until h if y * dh / h == cy
+        } yield img.channel(x, y, c).toLong
+        assert(rz.channel(cx, cy, c) == (box.sum / box.size).toInt,
+          s"${w}x$h/$ch -> ${dw}x$dh cell ($cx,$cy,$c)")
+      }
+      val n = 1 + rnd.nextInt(40)
+      val s = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val m = 1 + rnd.nextInt(n)
+      val out = Multimodal.resamplePcm(s, m)
+      for (j <- 0 until m) {
+        val box = (0 until n).filter(i => i.toLong * m / n == j).map(s(_).toLong)
+        assert(out(j) == (box.sum / box.size).toInt, s"pcm $n->$m slot $j")
+      }
+    }
+  }
+
   test("resize/resample invariants: outputs bounded by input range; constant input is a fixed point") {
     // constant image resizes to the same constant at any target
     val const = Multimodal.Image(6, 6, 3, Array.fill(6 * 6 * 3)(77.toByte))
