@@ -717,6 +717,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"decode should run as the batched partition map:\n$plan")
   }
 
+  test("image_resize / audio_resample: decode+box-downsample is join-free and hash-shuffle-free") {
+    for (q <- Seq("image_resize", "audio_resample")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Join"), s"$q must stay join-free:\n$plan")
+      assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+        s"$q should run as the batched partition map:\n$plan")
+      assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+        s"$q: no hash shuffle belongs in a per-row decode pass:\n$plan")
+    }
+  }
+
   test("mp4_tracks: pure mapPartitions walk — no join, only the orderBy exchange") {
     val plan = planOf(SparkEntry.queries("mp4_tracks")(spark, sf))
     assert(!plan.contains("Join"), s"track walk must stay join-free:\n$plan")
