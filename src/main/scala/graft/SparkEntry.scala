@@ -1624,6 +1624,14 @@ object SparkEntry {
     "lof_outliers" -> ((s, dir) =>
       operators.Similarity.lofOutliers(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+    // the density family's measured-recall AUDIT GATE, oracle-exact: the
+    // fraction of true kNN/eps neighbors inside the exact cohorts the
+    // board's banding serves (panel ids exist at every fixture SF)
+    "cohort_coverage" -> ((s, dir) =>
+      operators.Similarity.cohortCoverage(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = CoveragePanel, k = 5, eps = 0.68)
+        .orderBy("metric")),
     // DBSCAN core/border/noise over the same candidate machinery: density
     // clustering with no preset k, leaving junk unclustered; clusters =
     // bounded-round CC over core-core eps edges
@@ -2997,6 +3005,10 @@ object SparkEntry {
   )
 
   /** Query panel shared by `ndcg_eval`'s Spark and oracle forms. */
+  /** cohort_coverage query panel: 20 spread ids, all < 500 so they exist
+    * at every fixture SF (embeddings carry ≥ 500 rows at each). */
+  private val CoveragePanel: Seq[Long] = (0 until 20).map(i => i * 23L)
+
   private val NdcgPanel: Seq[(String, Seq[String])] = Seq(
     ("q_dup_window", Seq("dup", "window")),
     ("q_merge_scan_table", Seq("merge", "scan", "table")),
@@ -4379,6 +4391,9 @@ object SparkEntry {
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 5),
     "lof_outliers" ->
       operators.Similarity.lofOutliersSql("embeddings", "vec_id", "embedding", 5),
+    "cohort_coverage" ->
+      operators.Similarity.cohortCoverageSql("embeddings", "vec_id", "embedding",
+        queryIds = CoveragePanel, k = 5, eps = 0.68),
     "dbscan_clusters" ->
       operators.Similarity.dbscanClustersSql("embeddings", "vec_id", "embedding",
         eps = 0.68, minPts = 3),

@@ -1487,6 +1487,50 @@ object Similarity {
       emb, idCol, vecCol, queryIds, k, eps)
   }
 
+  /** DuckDB mirror of [[cohortCoverage]] (fixed coordinate-sign banding):
+    * brute exact distances for the panel, the same round(4)-then-rank
+    * tie-break, and the band equi-join cohort — the audit gate itself made
+    * oracle-exact. */
+  def cohortCoverageSql(tbl: String, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, eps: Double,
+      signDims: Int = 16, rowsPerBand: Int = 4): String = {
+    val nBands = signDims / rowsPerBand
+    val panel = queryIds.mkString(", ")
+    val bandRows = (0 until nBands).map { bi =>
+      s"SELECT $idCol AS id, $bi AS band_idx, ${bandValSql(vecCol, bi, rowsPerBand)} AS band_val FROM $tbl"
+    }.mkString(" UNION ALL ")
+    val cos = (x: String, y: String) =>
+      s"""(list_sum(list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($x, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+          * sqrt(list_sum(list_transform($y, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))))"""
+    s"""WITH q AS (SELECT $idCol AS qid, $vecCol AS qv FROM $tbl
+             WHERE $idCol IN ($panel)),
+       d AS (SELECT q.qid, e.$idCol AS nid,
+               round(1.0 - ${cos(s"e.$vecCol", "q.qv")}, 4) AS dist
+             FROM $tbl e CROSS JOIN q WHERE e.$idCol <> q.qid),
+       knn AS (SELECT qid, nid FROM (
+               SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY dist, nid) AS rn FROM d) WHERE rn <= $k),
+       epst AS (SELECT qid, nid FROM d WHERE dist <= $eps),
+       bands AS ($bandRows),
+       cohort AS (SELECT DISTINCT a.id AS qid, b.id AS nid
+                  FROM bands a JOIN bands b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.id <> b.id
+                  WHERE a.id IN ($panel)),
+       cov AS (
+         SELECT 'knn' AS metric, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_cohort
+         FROM knn t LEFT JOIN cohort c ON c.qid = t.qid AND c.nid = t.nid
+         UNION ALL
+         SELECT 'eps', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM epst t LEFT JOIN cohort c ON c.qid = t.qid AND c.nid = t.nid)
+       SELECT metric, n_true, n_in_cohort,
+         round(CAST(n_in_cohort AS DOUBLE) / CAST(n_true AS DOUBLE), 4) AS coverage
+       FROM cov ORDER BY metric"""
+  }
+
   private def cohortCoverageFrom(bands: DataFrame, emb: DataFrame,
       idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, eps: Double): DataFrame = {
