@@ -310,6 +310,49 @@ object Similarity {
     cents
   }
 
+  /** Two INDEPENDENT Lloyd trainings (seed windows [0, C) and [C, 2C))
+    * co-executed for [[ivfStability]]: each iteration computes both
+    * assignments in the SAME scan and folds both mean sets through one
+    * (train, cluster, dim) aggregation — half the corpus scans/shuffles of
+    * two sequential trainings. Bit-identical centroids: the train tag only
+    * splits groups that were already disjoint, so every (cluster, dim)
+    * DECIMAL fold sees exactly the rows the sequential training fed it.
+    */
+  private def kmeansCentroidsPair(emb: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, iters: Int)
+      : (Array[(Long, Seq[Double])], Array[(Long, Seq[Double])]) = {
+    var ca = centroidSet(emb, idCol, vecCol, nCentroids)
+    var cb = centroidSet(emb, idCol, vecCol, nCentroids, seedOffset = nCentroids)
+    for (_ <- 0 until iters) {
+      val bestA = greatest(centroidSims(col(vecCol), ca): _*)
+      val bestB = greatest(centroidSims(col(vecCol), cb): _*)
+      val upd = emb
+        .select(col(vecCol).as("_km_v"),
+          (-bestA.getField("negcid")).cast("long").as("_km_ca"),
+          (-bestB.getField("negcid")).cast("long").as("_km_cb"))
+        .select(explode(array(
+          struct(lit(0).as("t"), col("_km_ca").as("cluster")),
+          struct(lit(1).as("t"), col("_km_cb").as("cluster")))).as("_km_tc"),
+          col("_km_v"))
+        .select(col("_km_tc.t").as("t"), col("_km_tc.cluster").as("cluster"),
+          posexplode(col("_km_v")).as(Seq("dim", "v")))
+        .groupBy("t", "cluster", "dim")
+        .agg((sum(col("v").cast("double").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      def updOf(t: Int): Map[Long, Seq[Double]] = upd
+        .filter(_.getInt(0) == t)
+        .groupBy(_.getLong(1))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      val (ua, ub) = (updOf(0), updOf(1))
+      ca = ca.map { case (cid, old) => (cid, ua.getOrElse(cid, old)) }
+      cb = cb.map { case (cid, old) => (cid, ub.getOrElse(cid, old)) }
+    }
+    (ca, cb)
+  }
+
   /** (sim, -cid) ranking structs vs every centroid — greatest/sort_array
     * over these picks max sim with ties to the SMALLEST centroid id, exactly
     * the SQL mirror's `ORDER BY sim DESC, cid`. */
@@ -582,9 +625,7 @@ object Similarity {
   def ivfStability(emb: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 8, kmeansIters: Int = 1): DataFrame = {
     def d(c: Column) = c.cast("double")
-    val ca = kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters)
-    val cb = kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters,
-      seedOffset = nCentroids)
+    val (ca, cb) = kmeansCentroidsPair(emb, idCol, vecCol, nCentroids, kmeansIters)
     val bestA = greatest(centroidSims(col(vecCol), ca): _*)
     val bestB = greatest(centroidSims(col(vecCol), cb): _*)
     val cont = emb.select(
