@@ -171,8 +171,33 @@ object Similarity {
       threshold: Double,
       signDims: Int = 16,
       rowsPerBand: Int = 8
-  ): DataFrame = {
-    val bands = signBands(emb, idCol, vecCol, signDims, rowsPerBand)
+  ): DataFrame =
+    cosineNearDupPairsFrom(
+      signBands(emb, idCol, vecCol, signDims, rowsPerBand),
+      emb, idCol, vecCol, threshold)
+
+  /** [[cosineNearDupPairs]] with the band width chosen by [[autoBandWidth]]
+    * from the corpus size, over [[planeBands]] (the density operators'
+    * scale path applied to near-dup mining): candidate volume per row
+    * stays at `budgetPerRow` as n grows instead of the fixed-width n²/2^r.
+    * Recall on CLUSTERED corpora holds because near-duplicates share sign
+    * patterns far above the uniform rate — audit with
+    * [[cohortCoverageAuto]] before trusting a new corpus.
+    */
+  def cosineNearDupPairsAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBands: Int = 4, budgetPerRow: Int = 64, seed: Int = 42): DataFrame = {
+    val (n, dim) = corpusShape(emb, idCol, vecCol)
+    val r = autoBandWidth(n, nBands, budgetPerRow)
+    cosineNearDupPairsFrom(planeBands(emb, idCol, vecCol, nBands, r, dim, seed),
+      emb, idCol, vecCol, threshold)
+  }
+
+  private def cosineNearDupPairsFrom(bands: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a

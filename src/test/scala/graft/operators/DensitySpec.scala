@@ -210,6 +210,34 @@ class DensitySpec extends AnyFunSuite {
     assert(g0.length == 1, s"group 0 split across clusters: $g0")
   }
 
+  test("cosineNearDupPairsAuto: recovers exactly the brute-force pairs on a near-dup corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 40 base directions, each with one near-identical twin (0.02 noise:
+    // cos ≈ 0.999) plus 120 unrelated directions — true pairs = the twins
+    val twins = (0 until 40).flatMap { g =>
+      val base = noiseV(g * 7919L + 3)
+      val e = noiseV(g * 104729L + 11)
+      Seq((g * 2L, unitV(base)),
+        (g * 2L + 1, unitV(base.zip(e).map { case (a, b) => a + 0.02 * b })))
+    }
+    val loners = (0 until 120).map(i => (1000L + i, unitV(noiseV(i * 2654435761L + 99))))
+    val df = (twins ++ loners).toDF("vec_id", "embedding")
+    val auto = Similarity.cosineNearDupPairsAuto(df, "vec_id", "embedding",
+        threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute truth: exact cosine over all pairs (test-only n² is fine at 200)
+    val brute = df.as("x").join(df.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("c"))
+      .where(col("c") >= 0.9)
+      .select("x.vec_id", "y.vec_id").as[(Long, Long)].collect().toSet
+    assert(brute == (0 until 40).map(g => (g * 2L, g * 2L + 1)).toSet,
+      s"fixture must plant exactly the twins: $brute")
+    assert(auto == brute, s"auto pairs ${auto.size} vs brute ${brute.size}")
+  }
+
   test("auto density operators are partitioning-invariant (1 vs 16 input partitions)") {
     import spark.implicits._
     val planted = (for { g <- 0 until 6; m <- 0 until 20 } yield {
