@@ -25,21 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object StreamMedia {
 
-  /** `df` must be a streaming DataFrame with a binary `binCol` and an
-    * event-time `tsCol`. Emits first-arrivals only, with `dhash_hi` /
-    * `dhash_lo` (and the decoded `width`/`height`/`format`) attached.
+  /** Decode + fingerprint WITHOUT routing: every input row survives with a
+    * `fingerprinted` flag (decodable and ≥ the 9×8 dHash grid) and nullable
+    * `format`/`width`/`height`/`dhash_hi`/`dhash_lo`. The routing
+    * primitive: [[firstArrivals]] dedups the flagged side; [[quarantine]]
+    * is the other side — start BOTH as sinks on the same source and no
+    * byte is silently lost.
     */
-  def firstArrivals(df: DataFrame, binCol: String, tsCol: String,
-      watermark: String): DataFrame =
+  def withFingerprint(df: DataFrame, binCol: String): DataFrame =
     graft.operators.Multimodal.withDecodedPixels(df, binCol)
-      .where(col("pixel_meta").isNotNull &&
-        col("pixel_meta.width") >= 9 && col("pixel_meta.height") >= 8)
+      .withColumn("fingerprinted",
+        col("pixel_meta").isNotNull &&
+          col("pixel_meta.width") >= 9 && col("pixel_meta.height") >= 8)
       .withColumn("format", col("pixel_meta.format"))
       .withColumn("width", col("pixel_meta.width"))
       .withColumn("height", col("pixel_meta.height"))
       .withColumn("dhash_hi", col("pixel_meta.dhash_hi"))
       .withColumn("dhash_lo", col("pixel_meta.dhash_lo"))
       .drop("pixel_meta")
+
+  /** `df` must be a streaming DataFrame with a binary `binCol` and an
+    * event-time `tsCol`. Emits first-arrivals only, with `dhash_hi` /
+    * `dhash_lo` (and the decoded `width`/`height`/`format`) attached.
+    */
+  def firstArrivals(df: DataFrame, binCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    withFingerprint(df, binCol)
+      .where(col("fingerprinted"))
+      .drop("fingerprinted")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("dhash_hi", "dhash_lo")
+
+  /** The rows [[firstArrivals]] drops, as their own stream (stateless —
+    * attach to a quarantine sink so unfingerprintable bytes are routed,
+    * never silently discarded). */
+  def quarantine(df: DataFrame, binCol: String): DataFrame =
+    withFingerprint(df, binCol)
+      .where(!col("fingerprinted"))
+      .drop("fingerprinted", "format", "width", "height", "dhash_hi", "dhash_lo")
 }

@@ -80,4 +80,26 @@ class StreamMediaSpec extends AnyFunSuite {
       assert(streamed.forall(_._1 < 100), s"poison rows must drop: $streamed")
     } finally q.stop()
   }
+
+  test("quarantine stream carries exactly the rows firstArrivals drops") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val rows = Seq(
+      MediaArrival(1L, 0L, asset(0)),                        // fingerprintable
+      MediaArrival(2L, 60000L, Array[Byte](9, 9, 9)),        // undecodable
+      MediaArrival(3L, 120000L,
+        Multimodal.encodePng(4, 4, 1, (x, y, _) => (x * y) % 256))) // < 9x8
+    val source = MemoryStream[MediaArrival]
+    val q = StreamMedia.quarantine(source.toDS().toDF(), "img")
+      .select("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("media_quarantine").start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      val quarantined = spark.sql("SELECT id FROM media_quarantine")
+        .as[Long].collect().sorted.toSeq
+      assert(quarantined == Seq(2L, 3L), s"quarantined: $quarantined")
+    } finally q.stop()
+  }
 }
