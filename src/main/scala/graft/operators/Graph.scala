@@ -215,29 +215,45 @@ object Graph {
   def kcore(pairs: DataFrame, ks: Seq[Int] = Seq(2, 3),
       rounds: Int = 8): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "kcore: bad k list")
+    val spark = pairs.sparkSession
     val e0 = pairs.select(
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint()
-    ks.map { k =>
-      var e = e0
-      (0 until rounds).foreach { _ =>
-        val deg = e.select(col("a").as("n"))
-          .unionByName(e.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-        val keep = deg.where(col("deg") >= k).select("n")
-        e = e
-          .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-          .select("a", "b").localCheckpoint()
-      }
-      val nodes = e.select(col("a").as("n"))
-        .unionByName(e.select(col("b").as("n"))).distinct()
-        .agg(count(lit(1)).as("n_core"))
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(broadcast(nodes))
-        .select(lit(k).as("k"), col("n_core"), col("n_edges"))
-    }.reduce(_ unionByName _).orderBy("k")
+      .where(col("a") =!= col("b")).distinct()
+    // the per-k peels are independent — FUSE them: one (k, edge)-tagged
+    // relation runs every k's round in the SAME degree agg + semi-join job
+    // (the tag keys the groups, each tag tests its own threshold), so a
+    // |ks|-core summary costs `rounds` checkpointed jobs, not |ks|·rounds.
+    // Per-tag groups are disjoint, so every k's fold sees exactly the rows
+    // the sequential peel fed it — results are bit-identical.
+    var e = e0
+      .select(explode(typedlit(ks)).as("kk"), col("a"), col("b"))
+      .localCheckpoint()
+    (0 until rounds).foreach { _ =>
+      val deg = e.select(col("kk"), col("a").as("n"))
+        .unionByName(e.select(col("kk"), col("b").as("n")))
+        .groupBy("kk", "n").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= col("kk")).select("kk", "n")
+      e = e
+        .join(keep.select(col("kk"), col("n").as("a")), Seq("kk", "a"), "left_semi")
+        .join(keep.select(col("kk"), col("n").as("b")), Seq("kk", "b"), "left_semi")
+        .select("kk", "a", "b").localCheckpoint()
+    }
+    val nodes = e.select(col("kk"), col("a").as("n"))
+      .unionByName(e.select(col("kk"), col("b").as("n"))).distinct()
+      .groupBy("kk").agg(count(lit(1)).as("n_core"))
+    val edges = e.groupBy("kk").agg(count(lit(1)).as("n_edges"))
+    // literal k spine: a k whose core emptied must still emit its 0-row
+    // (grouped aggs drop empty groups; the sequential form's global aggs
+    // always emitted one row per k)
+    import spark.implicits._
+    ks.toDF("kk")
+      .join(nodes, Seq("kk"), "left")
+      .join(edges, Seq("kk"), "left")
+      .select(col("kk").as("k"),
+        coalesce(col("n_core"), lit(0L)).as("n_core"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .orderBy("k")
   }
 
   /** DuckDB mirror of [[kcore]] — the peel unrolled as a CTE chain per k
