@@ -1618,45 +1618,40 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           isQuery = col("vec_id") < 100, k = 5)
         .orderBy("vec_id")),
-    // Local Outlier Factor over the banded-LSH candidate kNN graph: the
-    // density-based OOD audit of the embedding corpus; exact LOF is
-    // all-pairs, the scale-honest form scores against the bucket cohort
+    // Local Outlier Factor over the candidate kNN graph: the density-based
+    // OOD audit of the embedding corpus; exact LOF is all-pairs, the
+    // scale-honest form scores against the bucket cohort. The SERVED path
+    // (round 9) is the auto-width banding — width = autoBandWidth(n) over
+    // seed-offset hyperplane bands, so candidates/row stays at the budget as
+    // n grows where the fixed 16-bit/4-per-band form was ∝ n (measured
+    // 9–13× at 10×, vs 1.3–2.0× auto). The fixed-width operators stay
+    // spec-pinned (DensitySpec); the oracles bake the width the 500-row
+    // verify corpus resolves to (the static-mirror contract).
     "lof_outliers" -> ((s, dir) =>
-      operators.Similarity.lofOutliers(
+      operators.Similarity.lofOutliersAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
     // the density family's measured-recall AUDIT GATE, oracle-exact: the
     // fraction of true kNN/eps neighbors inside the exact cohorts the
-    // board's banding serves (panel ids exist at every fixture SF)
+    // board's SERVED (auto-width) banding builds (panel ids exist at every
+    // fixture SF)
     "cohort_coverage" -> ((s, dir) =>
-      operators.Similarity.cohortCoverage(
+      operators.Similarity.cohortCoverageAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         queryIds = CoveragePanel, k = 5, eps = 0.68)
         .orderBy("metric")),
     // DBSCAN core/border/noise over the same candidate machinery: density
     // clustering with no preset k, leaving junk unclustered; clusters =
-    // bounded-round CC over core-core eps edges
+    // bounded-round CC over core-core eps edges (auto-width cohorts)
     "dbscan_clusters" -> ((s, dir) =>
-      operators.Similarity.dbscanClusters(
+      operators.Similarity.dbscanClustersAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         eps = 0.68, minPts = 3)),
     // kNN in-degree hubness audit (Radovanović et al.): hub vectors poison
     // every kNN-derived signal; one hash agg over the shared candidate kNN
+    // (auto-width cohorts)
     "hubness" -> ((s, dir) =>
-      operators.Similarity.hubness(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
-    // the AUTO-WIDTH scale path (band width = autoBandWidth(n) over
-    // seed-offset hyperplane bands — candidates/row bounded as n grows);
-    // the oracles bake the width the 500-row verify corpus resolves to
-    "hubness_auto" -> ((s, dir) =>
       operators.Similarity.hubnessAuto(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
-    "lof_auto" -> ((s, dir) =>
-      operators.Similarity.lofOutliersAuto(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
-    "dbscan_auto" -> ((s, dir) =>
-      operators.Similarity.dbscanClustersAuto(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        eps = 0.68, minPts = 3)),
     // exact d×d covariance of the embedding corpus: upper-triangle products
     // emitted inside the scan, one (i,j)-keyed agg bounded at d(d+1)/2 rows
     // per partition after map-side combine
@@ -2139,6 +2134,17 @@ object SparkEntry {
       // probes (ivf_topk) never pay for it.
       Similarity.ivfTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
           nCentroids = 8, kmeansIters = 1)._2
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")),
+    "ivf_auto" -> ((s, dir) =>
+      // the AUTO-SCALED build: C = autoCellCount(n) ≈ √n cells, k-means
+      // trained on the id-mod systematic sample (sampleBudget=200 exercises
+      // the sampling law at fixture scale — n=500 ⇒ C=23, mod 3; real
+      // deployments run the 64k default), assignment via the single-node
+      // NearestCentroidsExpr scan. The oracle bakes the widths the verify
+      // corpus resolves to (the lof_auto static-mirror contract).
+      Similarity.ivfTrainedAuto(Tables.embeddings(s, dir), "vec_id", "embedding",
+          kmeansIters = 1, sampleBudget = 200)._2
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")),
     "ivf_topk" -> ((s, dir) => {
@@ -3641,6 +3647,26 @@ object SparkEntry {
              FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)
          SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM assign ORDER BY vec_id"""
     },
+    "ivf_auto" -> {
+      // mirror of Similarity.ivfTrainedAuto(kmeansIters=1, sampleBudget=200)
+      // at the 500-row verify corpus: C = autoCellCount(500) = 23 cells,
+      // sample mod = autoSampleMod(500, 200) = 3 (train on vec_id ≡ 0 mod 3),
+      // seeds = the 23 sample ids below 23·3 = 69. Static SQL bakes the
+      // resolved law values; a verify-corpus row-count drift breaks rows+hash
+      // loudly, by design (the lof_auto baked-width contract). The Spark side
+      // stays fully adaptive.
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+        "embeddings", "vec_id", "embedding",
+        seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+        trainWhere = "vec_id % 3 = 0",
+        iters = 1, dim = 64, cosSql)
+      s"""WITH $kmCtes,
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM assign ORDER BY vec_id"""
+    },
     "pq_build" -> {
       // mirror of Similarity.pqTrained(numSub=8, k=16, iters=1): per-subspace
       // slice + generated L2-Lloyd chain + argmin code CTE, one chain per
@@ -4389,26 +4415,22 @@ object SparkEntry {
     "knn_label" ->
       operators.Similarity.knnLabelSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 5),
+    // the density board names serve the AUTO-WIDTH path (round 9); width 5 =
+    // autoBandWidth(500) for the 500-row verify embeddings slice — static
+    // SQL bakes it, a verify row-count drift breaks rows+hash loudly
     "lof_outliers" ->
-      operators.Similarity.lofOutliersSql("embeddings", "vec_id", "embedding", 5),
-    "cohort_coverage" ->
-      operators.Similarity.cohortCoverageSql("embeddings", "vec_id", "embedding",
-        queryIds = CoveragePanel, k = 5, eps = 0.68),
-    "dbscan_clusters" ->
-      operators.Similarity.dbscanClustersSql("embeddings", "vec_id", "embedding",
-        eps = 0.68, minPts = 3),
-    "hubness" ->
-      operators.Similarity.hubnessSql("embeddings", "vec_id", "embedding", 5),
-    // width 5 = autoBandWidth(500) for the 500-row verify embeddings slice
-    "hubness_auto" ->
-      operators.Similarity.hubnessAutoSql("embeddings", "vec_id", "embedding",
-        k = 5, nBands = 4, rowsPerBand = 5, dim = 64),
-    "lof_auto" ->
       operators.Similarity.lofOutliersAutoSql("embeddings", "vec_id", "embedding",
         k = 5, nBands = 4, rowsPerBand = 5, dim = 64),
-    "dbscan_auto" ->
+    "cohort_coverage" ->
+      operators.Similarity.cohortCoverageAutoSql("embeddings", "vec_id", "embedding",
+        queryIds = CoveragePanel, k = 5, eps = 0.68,
+        nBands = 4, rowsPerBand = 5, dim = 64),
+    "dbscan_clusters" ->
       operators.Similarity.dbscanClustersAutoSql("embeddings", "vec_id", "embedding",
         eps = 0.68, minPts = 3, nBands = 4, rowsPerBand = 5, dim = 64),
+    "hubness" ->
+      operators.Similarity.hubnessAutoSql("embeddings", "vec_id", "embedding",
+        k = 5, nBands = 4, rowsPerBand = 5, dim = 64),
     "hard_negatives" ->
       operators.Similarity.hardNegativesSql(
         "embeddings", "vec_id", "embedding", "label", "vec_id < 100", 3),

@@ -225,9 +225,12 @@ object Graph {
     // (the tag keys the groups, each tag tests its own threshold), so a
     // |ks|-core summary costs `rounds` checkpointed jobs, not |ks|·rounds.
     // Per-tag groups are disjoint, so every k's fold sees exactly the rows
-    // the sequential peel fed it — results are bit-identical.
+    // the sequential peel fed it — results are bit-identical. Tags must be
+    // DISTINCT (a duplicate k would double its tag group's degree counts);
+    // a duplicated input k still gets its duplicate output row via the
+    // literal spine join below, matching the sequential form.
     var e = e0
-      .select(explode(typedlit(ks)).as("kk"), col("a"), col("b"))
+      .select(explode(typedlit(ks.distinct)).as("kk"), col("a"), col("b"))
       .localCheckpoint()
     (0 until rounds).foreach { _ =>
       val deg = e.select(col("kk"), col("a").as("n"))

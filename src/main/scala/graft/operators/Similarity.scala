@@ -147,6 +147,35 @@ object Similarity {
     math.min(62, math.max(4, r))
   }
 
+  /** IVF cell-count law C = ⌈√n⌉ (clamped): the classical balance point —
+    * with C cells an exhaustive build pays n·C assignment comparisons and a
+    * w-probe query scans ~w·n/C rows, so C ≈ √n makes build cost n^1.5 and
+    * per-probe work √n (the IVF sizing rule the FAISS guidelines publish as
+    * C between 4√n and 16√n). Crucially it keeps DRIVER state bounded: the
+    * centroid set is C·dim doubles — ~230 MB at n = 10¹¹, dim 64 — where a
+    * C ∝ n law would break the bounded-driver contract every trained-index
+    * operator here relies on.
+    */
+  def autoCellCount(n: Long, cMin: Int = 4, cMax: Int = 1 << 16): Int = {
+    require(n >= 0 && cMin >= 1 && cMax >= cMin)
+    val c = math.ceil(math.sqrt(n.toDouble)).toInt
+    math.min(cMax, math.max(cMin, c))
+  }
+
+  /** Deterministic training-sample modulus: the smallest m with n/m ≤
+    * `sampleBudget`, so k-means trains on rows with id ≡ 0 (mod m) — a
+    * fixed-rate systematic sample (≈ n/m rows) instead of full-corpus Lloyd
+    * scans. Deterministic by id (not RNG) so the trained centroids are
+    * bit-reproducible and SQL-mirrorable; sampled k-means centroids converge
+    * to the full-data optimum at O(1/√sample) (mini-batch k-means,
+    * Sculley WWW 2010), which is why every at-scale IVF build trains on a
+    * sample (FAISS caps training points per centroid the same way).
+    */
+  def autoSampleMod(n: Long, sampleBudget: Int = 1 << 16): Long = {
+    require(n >= 0 && sampleBudget >= 1)
+    math.max(1L, (n + sampleBudget - 1) / sampleBudget)
+  }
+
   /** One bounded-driver-state job shared by the `*Auto` density operators:
     * corpus row count and max vector length (two scalars). */
   private def corpusShape(emb: DataFrame, idCol: String, vecCol: String): (Long, Int) = {
@@ -421,6 +450,86 @@ object Similarity {
       nCentroids: Int = 8, kmeansIters: Int = 0): (Array[(Long, Seq[Double])], DataFrame) = {
     val cents = centroids(emb, idCol, vecCol, nCentroids, kmeansIters)
     (cents, ivfIndexFrom(emb, idCol, vecCol, cents))
+  }
+
+  /** Seeded Lloyd refinement from an EXPLICIT seed set over an arbitrary
+    * training relation — [[kmeansCentroids]] generalized for the sampled
+    * auto-scale build: same assignment (cosine, ties to smallest cid), same
+    * DECIMAL(18,6)-exact element means, same emptied-cluster carry-forward,
+    * but the per-iteration assignment runs through ONE
+    * [[graft.functions.NearestCentroidsExpr]] node (a C×dim loop over a
+    * reference-object matrix) instead of C literal cosine structs, so the
+    * plan stays constant-size as C grows with √n. Bit-identical to
+    * [[kmeansCentroids]] when fed the same seeds/relation (spec-pinned).
+    * Driver state per iteration: C·dim doubles — the bounded contract.
+    */
+  def kmeansCentroidsFrom(train: DataFrame, idCol: String, vecCol: String,
+      seeds: Array[(Long, Seq[Double])], iters: Int): Array[(Long, Seq[Double])] = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val assign = element_at(
+        graft.functions.CentroidExpr.nearestCids(col(vecCol), cents, 1), 1)
+      val upd = train
+        .select(assign.as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("v").cast("double").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** Auto-scaled IVF build — the distributed-index form of [[ivfTrained]]
+    * whose every knob follows the corpus size instead of a fixed constant:
+    *
+    *   - cell count C = [[autoCellCount]](n) ≈ √n — per-probe scan share
+    *     shrinks as 1/√n while driver state (the centroid set, C·dim
+    *     doubles) stays bounded at any corpus size;
+    *   - training sample: rows with id ≡ 0 (mod [[autoSampleMod]](n,
+    *     sampleBudget)) — Lloyd iterations scan ≤ sampleBudget rows, not the
+    *     corpus, so training cost is corpus-size-independent;
+    *   - seeds: the first C sample rows by id (ids {0, m, …, (C−1)·m}) —
+    *     deterministic, so the whole build is bit-reproducible and
+    *     SQL-mirrorable;
+    *   - full-corpus assignment through the single-node
+    *     [[graft.functions.NearestCentroidsExpr]] — one scan-parallel
+    *     projection, n·C comparisons, no shuffle, no per-centroid plan
+    *     growth.
+    *
+    * At 100 TB: training reads a pushed-down id-filtered sample, the
+    * assignment scan writes a `cluster`-partitioned table, and probes prune
+    * to w/C of it — the build is the only corpus-wide pass.
+    *
+    * Returns (centroids, index) like [[ivfTrained]]; index columns
+    * (idCol, vecCol, cluster).
+    */
+  def ivfTrainedAuto(emb: DataFrame, idCol: String, vecCol: String,
+      kmeansIters: Int = 1, sampleBudget: Int = 1 << 16,
+      cMin: Int = 4, cMax: Int = 1 << 16): (Array[(Long, Seq[Double])], DataFrame) = {
+    val (n, _) = corpusShape(emb, idCol, vecCol)
+    require(n >= 2, "ivfTrainedAuto: need at least 2 rows")
+    val c = autoCellCount(n, cMin, cMax)
+    val m = autoSampleMod(n, sampleBudget)
+    val train = if (m == 1L) emb else emb.where(pmod(col(idCol), lit(m)) === 0)
+    val seeds = train.where(col(idCol) < c * m)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    require(seeds.length >= 2,
+      s"ivfTrainedAuto: ${seeds.length} seeds below id ${c * m} — ids not dense from 0?")
+    val cents = kmeansCentroidsFrom(train, idCol, vecCol, seeds, kmeansIters)
+    val index = emb
+      .select(col(idCol), col(vecCol),
+        element_at(graft.functions.CentroidExpr.nearestCids(col(vecCol), cents, 1), 1)
+          .as("cluster"))
+      .localCheckpoint()
+    (cents, index)
   }
 
   /** IVF top-k PROBE against prebuilt [[ivfTrained]] artifacts: rank the
@@ -843,17 +952,30 @@ object Similarity {
   def kmeansCentSqlCtes(table: String, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int, dim: Int,
       cos: (String, String) => String, prefix: String = "",
-      seedOffset: Int = 0): (String, String) = {
+      seedOffset: Int = 0): (String, String) =
+    kmeansCentSqlCtesWhere(table, idCol, vecCol,
+      seedWhere = s"$idCol >= $seedOffset AND $idCol < ${seedOffset + nCentroids}",
+      trainWhere = "TRUE", iters = iters, dim = dim, cos = cos, prefix = prefix)
+
+  /** [[kmeansCentSqlCtes]] generalized to EXPLICIT seed/training predicates —
+    * the mirror of the sampled auto-scale build ([[ivfTrainedAuto]]): seeds
+    * from `seedWhere`, every Lloyd assignment/update scan restricted to
+    * `trainWhere` (the id-mod systematic sample). Same DECIMAL-exact means,
+    * same tie-break, so centroids are bit-identical across engines.
+    */
+  def kmeansCentSqlCtesWhere(table: String, idCol: String, vecCol: String,
+      seedWhere: String, trainWhere: String, iters: Int, dim: Int,
+      cos: (String, String) => String, prefix: String = ""): (String, String) = {
     val sb = new StringBuilder
     sb ++= s"${prefix}cent0 AS (SELECT $idCol AS cid, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cvec " +
-      s"FROM $table WHERE $idCol >= $seedOffset AND $idCol < ${seedOffset + nCentroids})"
+      s"FROM $table WHERE $seedWhere)"
     for (t <- 1 to iters) {
       val prev = s"${prefix}cent${t - 1}"
       sb ++= s""",
          ${prefix}asg$t AS (SELECT $idCol, cid FROM (
              SELECT e.$idCol, c.cid,
                row_number() OVER (PARTITION BY e.$idCol ORDER BY ${cos(s"e.$vecCol", "c.cvec")} DESC, c.cid) AS rn
-             FROM $table e CROSS JOIN $prev c) WHERE rn = 1),
+             FROM (SELECT * FROM $table WHERE $trainWhere) e CROSS JOIN $prev c) WHERE rn = 1),
          ${prefix}upd$t AS (SELECT a.cid, d.d AS dim,
                CAST(SUM(CAST(CAST(e.$vecCol[d.d] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS val
              FROM ${prefix}asg$t a JOIN $table e USING ($idCol) CROSS JOIN range(1, ${dim + 1}) d(d)
@@ -1561,10 +1683,30 @@ object Similarity {
       queryIds: Seq[Long], k: Int, eps: Double,
       signDims: Int = 16, rowsPerBand: Int = 4): String = {
     val nBands = signDims / rowsPerBand
-    val panel = queryIds.mkString(", ")
     val bandRows = (0 until nBands).map { bi =>
       s"SELECT $idCol AS id, $bi AS band_idx, ${bandValSql(vecCol, bi, rowsPerBand)} AS band_val FROM $tbl"
     }.mkString(" UNION ALL ")
+    cohortCoverageSqlFrom(tbl, idCol, vecCol, queryIds, k, eps, bandRows)
+  }
+
+  /** DuckDB mirror of [[cohortCoverageAuto]] — plane bands with the width
+    * BAKED by the caller (`rowsPerBand` must equal `autoBandWidth(n)` for
+    * the table's actual row count; a row-count drift breaks the hash loudly,
+    * by design — the [[hubnessAutoSql]] contract).
+    */
+  def cohortCoverageAutoSql(tbl: String, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, eps: Double,
+      nBands: Int, rowsPerBand: Int, dim: Int, seed: Int = 42): String = {
+    val bandRows = (0 until nBands).map { bi =>
+      s"SELECT $idCol AS id, $bi AS band_idx, " +
+        s"${lshSignatureSql(vecCol, rowsPerBand, dim, seed + 1000 * (bi + 1))} AS band_val FROM $tbl"
+    }.mkString(" UNION ALL ")
+    cohortCoverageSqlFrom(tbl, idCol, vecCol, queryIds, k, eps, bandRows)
+  }
+
+  private def cohortCoverageSqlFrom(tbl: String, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, eps: Double, bandRows: String): String = {
+    val panel = queryIds.mkString(", ")
     val cos = (x: String, y: String) =>
       s"""(list_sum(list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($x, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))

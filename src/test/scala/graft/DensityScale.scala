@@ -62,6 +62,28 @@ object DensityScale {
       val tL = time(operators.Similarity.lofOutliersAuto(emb, "vec_id", "embedding", k = 5))
       println(f"| ${reps}x | $n | $r | ${cand.toDouble / n}%.1f | $tH%.1f | $tL%.1f |")
     }
+
+    // auto-scaled IVF build anchor: C = ⌈√n⌉ cells, sampled training —
+    // the claims under test are (a) driver state stays at C·dim doubles,
+    // (b) training scans ≤ sampleBudget rows regardless of n, (c) the
+    // full-corpus assignment is the only n-proportional pass (n·C
+    // comparisons, scan-parallel, no shuffle)
+    println()
+    println("| reps | n | C | sample mod | train rows | driver doubles | t(ivf_auto build) s |")
+    println("|---|---|---|---|---|---|---|")
+    for (reps <- Seq(1, 10, 100)) {
+      val emb = replica(reps)
+      val n = reps.toLong * span
+      val c = operators.Similarity.autoCellCount(n)
+      val m = operators.Similarity.autoSampleMod(n)
+      val t0 = System.nanoTime()
+      val (cents, index) = operators.Similarity.ivfTrainedAuto(
+        emb, "vec_id", "embedding", kmeansIters = 1)
+      index.write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      val trainRows = (n + m - 1) / m
+      println(f"| ${reps}x | $n | $c | $m | $trainRows | ${cents.length * dim} | $t%.1f |")
+    }
     spark.stop()
   }
 }

@@ -581,8 +581,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"in-degree should hash-agg:\n$plan")
   }
 
-  test("auto density trio: hyperplane bands keep every join equi-only; signature is the one-pass expression") {
-    for (q <- Seq("hubness_auto", "lof_auto", "dbscan_auto")) {
+  test("density trio (board = auto-width): hyperplane bands keep every join equi-only; signature is the one-pass expression") {
+    for (q <- Seq("hubness", "lof_outliers", "dbscan_clusters")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$q: all-pairs structure:\n$plan")
@@ -591,7 +591,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // dbscan's eps-edge stage sits behind a localCheckpoint, so its
       // banding is invisible in the FINAL executed plan — the construction
       // is the same planeBands relation the lof/hubness assertions pin.
-      if (q != "dbscan_auto")
+      if (q != "dbscan_clusters")
         assert(plan.contains("hyperplane_sig"), s"$q: signature expression missing:\n$plan")
       assert(plan.contains("HashAggregate"), s"$q: per-id folds should hash-agg:\n$plan")
     }

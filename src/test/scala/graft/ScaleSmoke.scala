@@ -115,10 +115,10 @@ object ScaleSmoke {
     // round-8 additions: the per-track MP4 walk (documents-derived assets)
     // and the windowed AP/MRR panel that replaced map_eval
     "mp4_tracks",
-    // round-7 session-3: the density suite over the LSH candidate graph
-    // (bucket cohorts grow 10× at fixed band width — the quadratic-share
-    // stress case), the hashing-trick embedding, vocab-growth/rank stats,
-    // the budget planner
+    // round-7 session-3: the density suite (board names serve the
+    // AUTO-WIDTH path since round 9 — candidates/row bounded as n grows),
+    // the hashing-trick embedding, vocab-growth/rank stats, the budget
+    // planner
     "lof_outliers", "dbscan_clusters", "hubness", "hash_embed", "heaps_law",
     "spearman_corr", "tail_index", "rbo_overlap", "epoch_planner",
     "wilson_ci", "jackknife_source", "js_divergence",
@@ -199,11 +199,14 @@ object ScaleSmoke {
     "seasonal_strength", "pr_auc",
     // session-4 batch 23: von Neumann ratio, delta-method ratio metric
     "von_neumann", "ratio_metric_ab",
-    // round-8: auto-width density variants (band width = autoBandWidth(n),
-    // the scale path for the fixed-width trio's superlinear anchors) and
-    // the decode->box-resize thumbnail pass (scan-parallel, join-free)
-    "lof_auto", "dbscan_auto", "hubness_auto", "image_resize",
-    "audio_resample")
+    // round-8: the FIXED-WIDTH density variants (spec-pinned since round 9,
+    // board names serve auto — these keep the superlinear stress anchors
+    // comparable across rounds) and the decode->box-resize thumbnail pass
+    // (scan-parallel, join-free)
+    "lof_fixed", "dbscan_fixed", "hubness_fixed", "image_resize",
+    "audio_resample",
+    // round-9: the auto-scaled IVF build (C = ⌈√n⌉ cells, sampled training)
+    "ivf_auto")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
@@ -248,17 +251,18 @@ object ScaleSmoke {
             k = 8, rowsPerBand = 2, threshold = 0.2),
           docs, "doc_id", "text", k = 8, buckets = 4)
       }),
-      // auto-width density trio (not board queries — same inputs/k/eps as
-      // the fixed-width board entries, band width from autoBandWidth(n))
-      "lof_auto" -> ((s, dir) =>
-        operators.Similarity.lofOutliersAuto(
+      // fixed-width density trio (spec-pinned, off the board since round 9 —
+      // same inputs/k/eps as the auto-width board entries; kept here so the
+      // superlinear stress anchors stay comparable across rounds)
+      "lof_fixed" -> ((s, dir) =>
+        operators.Similarity.lofOutliers(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
-      "dbscan_auto" -> ((s, dir) =>
-        operators.Similarity.dbscanClustersAuto(
+      "dbscan_fixed" -> ((s, dir) =>
+        operators.Similarity.dbscanClusters(
           Tables.embeddings(s, dir), "vec_id", "embedding",
           eps = 0.68, minPts = 3)),
-      "hubness_auto" -> ((s, dir) =>
-        operators.Similarity.hubnessAuto(
+      "hubness_fixed" -> ((s, dir) =>
+        operators.Similarity.hubness(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
       // ... and the inflation factor
       "dup_inflation" -> ((s, dir) => {
