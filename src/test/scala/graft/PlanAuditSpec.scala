@@ -597,6 +597,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_e2e: composed corpus path stays equi-join-only with a bounded shuffle tail") {
+    val plan = planOf(SparkEntry.queries("pipeline_e2e")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs structure leaked into the composed pipeline:\n$plan")
+    // the serving tail after the checkpointed stage barriers (two-level
+    // pack prefix sum over the chunk relation → manifest join/agg/sort)
+    // must not accrete exchanges as stages compose: 8 at round 9. Without
+    // the barriers the optimizer re-expands every reused stage upstream —
+    // measured 440 exchanges — so a jump here means a barrier was dropped
+    // or a stage stopped reusing the partitioning.
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 8, s"pipeline tail grew to $exchanges exchanges:\n$plan")
+  }
+
   test("rbo_overlap: both rankings materialize via TakeOrdered, not a global sort") {
     val plan = planOf(SparkEntry.queries("rbo_overlap")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -206,7 +206,9 @@ object ScaleSmoke {
     "lof_fixed", "dbscan_fixed", "hubness_fixed", "image_resize",
     "audio_resample",
     // round-9: the auto-scaled IVF build (C = ⌈√n⌉ cells, sampled training)
-    "ivf_auto")
+    // and the composed corpus path (normalize → gate → dedup → decontam →
+    // shuffle → chunk → pack → manifest)
+    "ivf_auto", "pipeline_e2e")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
