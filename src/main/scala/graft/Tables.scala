@@ -80,6 +80,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // RocksDB state store session-wide: the provider transformWithState
+      // REQUIRES (Sessionize/StreamFunnel/StreamNearDup/StreamKmv/StreamHll)
+      // and the production choice for every other stateful streaming op —
+      // state spills off-heap instead of growing the executor heap with the
+      // key space
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // the engine's retention deletes batch files under live readers (the
       // reference's readers skip removed partitions); Spark consults this
       // SQL conf — NOT the per-relation option — on several read paths, so

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming._
 
 /** Streaming NEAR-duplicate detection — the online form of
   * [[graft.operators.Dedup.nearDupPairs]]: as documents arrive, flag each
@@ -81,7 +81,52 @@ object StreamNearDup {
       .as[BandRow]
   }
 
-  /** Per-band dup votes for a streaming band table. Arrival order within a
+  /** The per-bucket fold — shared by the streaming processor and the batch
+    * bootstrap: each arriving doc votes for the EARLIEST already-seen
+    * co-bucketed doc whose estimated Jaccard clears the threshold, then
+    * joins the bucket's signature list. */
+  private[streaming] def fold(prev: BucketState, sorted: Seq[BandRow],
+      threshold: Double): (BucketState, Seq[BandVote]) = {
+    var docs: List[String] = prev.docs.toList
+    val out = scala.collection.mutable.ListBuffer[BandVote]()
+    sorted.foreach { r =>
+      val hits = docs
+        .map(e => (unpackId(e), estJaccard(unpackSig(e), r.sig)))
+        .filter(_._2 >= threshold)
+      if (hits.nonEmpty) {
+        val (id, est) = hits.minBy(_._1)
+        out += BandVote(r.docId, r.bandIdx, id, est)
+      }
+      docs = pack(r.docId, r.sig) :: docs
+    }
+    (BucketState(docs), out.toSeq)
+  }
+
+  /** Public for the generated state serializer (the Janino gotcha above). */
+  final class Processor(threshold: Double)
+      extends StatefulProcessorWithInitialState[(Int, String), BandRow, BandVote, BucketState] {
+    @transient private var state: ValueState[BucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BucketState]("bucket",
+        Encoders.product[BucketState], TTLConfig.NONE)
+
+    override def handleInitialState(key: (Int, String), initial: BucketState,
+        timerValues: TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[BandVote] = {
+      val prev = if (state.exists()) state.get() else BucketState(Nil)
+      val (next, out) = fold(prev, rows.toSeq.sortBy(_.docId), threshold)
+      state.update(next)
+      out.iterator
+    }
+  }
+
+  /** Per-band dup votes for a streaming band table, on `transformWithState`
+    * (typed ValueState, RocksDB-backed bucket signatures — migrated from
+    * `flatMapGroupsWithState` in round 9). Arrival order within a
     * micro-batch is docId order (deterministic parity with batch, where
     * "earlier" means smaller id).
     */
@@ -89,25 +134,34 @@ object StreamNearDup {
     import bands.sparkSession.implicits._
     bands
       .groupByKey(r => (r.bandIdx, r.bandHash))
-      .flatMapGroupsWithState[BucketState, BandVote](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
-          val sorted = rows.toSeq.sortBy(_.docId)
-          var docs: List[String] = state.getOption.map(_.docs.toList).getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer[BandVote]()
-          sorted.foreach { r =>
-            val hits = docs
-              .map(e => (unpackId(e), estJaccard(unpackSig(e), r.sig)))
-              .filter(_._2 >= threshold)
-            if (hits.nonEmpty) {
-              val (id, est) = hits.minBy(_._1)
-              out += BandVote(r.docId, r.bandIdx, id, est)
-            }
-            docs = pack(r.docId, r.sig) :: docs
-          }
-          state.update(BucketState(docs))
-          out.iterator
-      }
+      .transformWithState(new Processor(threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Every bucket's signature list after replaying a batch band table
+    * through the same [[fold]] — the offline recomputation
+    * [[bandVotesBootstrapped]] resumes from (the [[StreamKmv.batchState]]
+    * handoff applied to dedup state). Bucket membership is bounded by band
+    * occupancy, the same bound the streaming state carries.
+    */
+  def batchState(bands: Dataset[BandRow],
+      threshold: Double): Dataset[((Int, String), BucketState)] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(r => (r.bandIdx, r.bandHash)).mapGroups { (k, it) =>
+      val (st, _) = fold(BucketState(Nil), it.toSeq.sortBy(_.docId), threshold)
+      (k, st)
+    }
+  }
+
+  /** [[bandVotes]] with bucket state bootstrapped from [[batchState]]. */
+  def bandVotesBootstrapped(bands: Dataset[BandRow],
+      initial: Dataset[((Int, String), BucketState)],
+      threshold: Double): Dataset[BandVote] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(r => (r.bandIdx, r.bandHash))
+      .transformWithState(new Processor(threshold),
+        TimeMode.None(), OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** One verdict per flagged doc: the earliest original across all bands. */
