@@ -87,6 +87,10 @@ object Sessions {
       // key space
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // NOTE: transformWithState state schemas pass through the Avro
+      // converter no matter what encodingFormat says, so state classes must
+      // avoid non-string-key Maps — StreamPsi/StreamQuantile/StreamAci carry
+      // their histograms as key-sorted parallel arrays for this reason.
       // the engine's retention deletes batch files under live readers (the
       // reference's readers skip removed partitions); Spark consults this
       // SQL conf — NOT the per-relation option — on several read paths, so

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming._
 
 /** Adaptive Conformal Inference (Gibbs & Candès, NeurIPS 2021) — the
   * ONLINE form of the batch [[graft.operators.Conformal]] bands: per key,
@@ -27,6 +27,16 @@ object StreamAci {
   final case class Obs(key: String, tsMs: Long, id: Long, value: Double)
   final case class AciState(n: Long, sum: Double, alpha: Double,
       buckets: Map[Int, Long])
+  /** Wire form for the state store (the Avro-converter map-key restriction
+    * — see [[StreamPsi.PsiStateW]]): key-sorted parallel arrays. */
+  final case class AciStateW(n: Long, sum: Double, alpha: Double,
+      ks: Seq[Int], vs: Seq[Long])
+  private def wire(s: AciState): AciStateW = {
+    val b = s.buckets.toSeq.sortBy(_._1)
+    AciStateW(s.n, s.sum, s.alpha, b.map(_._1), b.map(_._2))
+  }
+  private def unwire(w: AciStateW): AciState =
+    AciState(w.n, w.sum, w.alpha, w.ks.zip(w.vs).toMap)
   final case class Decision(key: String, id: Long, value: Double,
       qhat: Double, covered: Boolean, alphaT: Double)
 
@@ -91,15 +101,14 @@ object StreamAci {
     import obs.sparkSession.implicits._
     obs
       .groupByKey(_.key)
-      .flatMapGroupsWithState[AciState, Decision](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Obs], state: GroupState[AciState]) =>
+      .transformWithState(new FoldProcessor[String, Obs, AciStateW, Decision]("aci",
+        (key: String, rows: Seq[Obs], prev: Option[AciStateW]) => {
           val out = scala.collection.mutable.ListBuffer[Decision]()
-          val next = foldObs(key, rows.toSeq.sortBy(o => (o.tsMs, o.id)),
-            state.getOption, targetAlpha, gamma, warmup, out += _)
-          next.foreach(state.update)
-          out.iterator
-      }
+          val next = foldObs(key, rows.sortBy(o => (o.tsMs, o.id)),
+            prev.map(unwire), targetAlpha, gamma, warmup, out += _)
+          (next.map(wire), out.toSeq)
+        })(Encoders.product[AciStateW]),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin: the SAME fold over a static frame. */

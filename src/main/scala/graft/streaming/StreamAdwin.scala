@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming._
 
 /** Streaming drift detection via ADWIN adaptive windowing (Bifet &
   * Gavaldà, SDM 2007) on per-key DAILY counts. Where [[StreamCusum]]
@@ -154,15 +154,14 @@ object StreamAdwin {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
-      .flatMapGroupsWithState[AdwinState, Alert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Event], state: GroupState[AdwinState]) =>
+      .transformWithState(new FoldProcessor[String, Event, AdwinState, Alert]("adwin",
+        (key: String, rows: Seq[Event], prev: Option[AdwinState]) => {
           val out = scala.collection.mutable.ListBuffer[Alert]()
-          val next = foldEvents(key, rows.toSeq.sortBy(_.tsMs),
-            state.getOption, maxBucketsPerLevel, delta, out += _)
-          next.foreach(state.update)
-          out.iterator
-      }
+          val next = foldEvents(key, rows.sortBy(_.tsMs),
+            prev, maxBucketsPerLevel, delta, out += _)
+          (next, out.toSeq)
+        })(Encoders.product[AdwinState]),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin: the SAME fold over a static (keyCol, tsCol) frame; the

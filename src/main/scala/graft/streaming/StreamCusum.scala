@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming._
 
 /** Streaming level-shift detection via Page's CUSUM (Page, Biometrika
   * 1954) on per-key DAILY counts — the online counterpart of the batch
@@ -100,15 +100,14 @@ object StreamCusum {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
-      .flatMapGroupsWithState[CusumState, Alert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Event], state: GroupState[CusumState]) =>
+      .transformWithState(new FoldProcessor[String, Event, CusumState, Alert]("cusum",
+        (key: String, rows: Seq[Event], prev: Option[CusumState]) => {
           val out = scala.collection.mutable.ListBuffer[Alert]()
-          val next = foldEvents(key, rows.toSeq.sortBy(_.tsMs), state.getOption,
+          val next = foldEvents(key, rows.sortBy(_.tsMs), prev,
             warmup, slack, h, out += _)
-          next.foreach(state.update)
-          out.iterator
-      }
+          (next, out.toSeq)
+        })(Encoders.product[CusumState]),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin: the SAME per-key fold over a static frame (`keyCol`,

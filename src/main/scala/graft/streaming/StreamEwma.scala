@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
 
-/** Streaming EWMA anomaly monitor via flatMapGroupsWithState — the online
+/** Streaming EWMA anomaly monitor via transformWithState — the online
   * analogue of [[graft.operators.Temporal.ewmaDaily]] (the batch
   * `ewma_daily` board query): per key, the exponentially-weighted level
   * advances one fold step each time a day bucket CLOSES (the first event
@@ -57,12 +57,11 @@ object StreamEwma {
     val b = 1 - alpha
     events
       .groupByKey(_.key)
-      .flatMapGroupsWithState[EwmaState, Alert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Event], state: GroupState[EwmaState]) =>
-          val sorted = rows.toSeq.sortBy(_.tsMs)
+      .transformWithState(new FoldProcessor[String, Event, EwmaState, Alert]("ewma",
+        (key: String, rows: Seq[Event], prev: Option[EwmaState]) => {
+          val sorted = rows.sortBy(_.tsMs)
           val out = scala.collection.mutable.ListBuffer[Alert]()
-          var cur = state.getOption
+          var cur = prev
 
           // close the open day: judge it against the pre-close level, then
           // fold it (and any gap days before the next) into the level
@@ -91,9 +90,9 @@ object StreamEwma {
                 cur = Some(close(st, day).copy(count = 1L))
             }
           }
-          cur.foreach(state.update)
-          out.iterator
-      }
+          (cur, out.toSeq)
+        })(Encoders.product[EwmaState]),
+        TimeMode.None(), OutputMode.Append())
   }
 
   private def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
 
 /** Online experiment dashboard: one stateful stream per experiment key
   * maintaining the (n_a, c_a, n_b, c_b) user 2×2 and emitting, at every
@@ -81,10 +81,9 @@ object StreamExperiment {
     import records.sparkSession.implicits._
     records
       .groupByKey(_.experiment)
-      .flatMapGroupsWithState[Counts, Snapshot](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[UserRecord], state: GroupState[Counts]) =>
-          var s = state.getOption.getOrElse(Counts(0L, 0L, 0L, 0L))
+      .transformWithState(new FoldProcessor[String, UserRecord, Counts, Snapshot]("exp",
+        (key: String, rows: Seq[UserRecord], prev: Option[Counts]) => {
+          var s = prev.getOrElse(Counts(0L, 0L, 0L, 0L))
           rows.foreach { r =>
             s =
               if (r.arm == 0)
@@ -92,8 +91,8 @@ object StreamExperiment {
               else
                 s.copy(nB = s.nB + 1, cB = s.cB + (if (r.converted) 1 else 0))
           }
-          state.update(s)
-          Iterator.single(snapshotOf(key, s, tauSq))
-      }
+          (Some(s), Seq(snapshotOf(key, s, tauSq)))
+        })(Encoders.product[Counts]),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming._
 
 /** Online Holt linear-trend smoothing of per-key daily counts — the
   * streaming counterpart of the batch [[graft.operators.Temporal.holtLinear]]
@@ -96,15 +96,14 @@ object StreamHolt {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
-      .flatMapGroupsWithState[HoltState, Snapshot](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Event], state: GroupState[HoltState]) =>
+      .transformWithState(new FoldProcessor[String, Event, HoltState, Snapshot]("holt",
+        (key: String, rows: Seq[Event], prev: Option[HoltState]) => {
           val out = scala.collection.mutable.ListBuffer[Snapshot]()
-          val next = foldEvents(key, rows.toSeq.sortBy(_.tsMs), state.getOption,
+          val next = foldEvents(key, rows.sortBy(_.tsMs), prev,
             alpha, beta, out += _)
-          next.foreach(state.update)
-          out.iterator
-      }
+          (next, out.toSeq)
+        })(Encoders.product[HoltState]),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin: the SAME fold over a static frame; end-of-data closes the

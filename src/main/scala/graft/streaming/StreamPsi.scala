@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming._
 
 /** Online Population-Stability-Index drift monitor — the streaming twin of
   * the batch `psi_drift` board query: per key, the first `refCount` values
@@ -28,6 +28,20 @@ object StreamPsi {
   final case class Obs(key: String, tsMs: Long, id: Long, value: Double)
   final case class PsiState(refDone: Boolean, nRef: Long,
       ref: Map[Int, Long], nCur: Long, cur: Map[Int, Long], windowIdx: Long)
+  /** Wire form for the state store: transformWithState state schemas go
+    * through the Avro converter, which rejects non-string-key maps — the
+    * histograms ride as key-sorted parallel arrays instead. */
+  final case class PsiStateW(refDone: Boolean, nRef: Long, refK: Seq[Int],
+      refV: Seq[Long], nCur: Long, curK: Seq[Int], curV: Seq[Long], windowIdx: Long)
+  private def wire(s: PsiState): PsiStateW = {
+    val r = s.ref.toSeq.sortBy(_._1)
+    val c = s.cur.toSeq.sortBy(_._1)
+    PsiStateW(s.refDone, s.nRef, r.map(_._1), r.map(_._2),
+      s.nCur, c.map(_._1), c.map(_._2), s.windowIdx)
+  }
+  private def unwire(w: PsiStateW): PsiState =
+    PsiState(w.refDone, w.nRef, w.refK.zip(w.refV).toMap,
+      w.nCur, w.curK.zip(w.curV).toMap, w.windowIdx)
   final case class WindowPsi(key: String, windowIdx: Long, n: Long,
       psi: Double, drifted: Boolean)
 
@@ -90,15 +104,14 @@ object StreamPsi {
     import obs.sparkSession.implicits._
     obs
       .groupByKey(_.key)
-      .flatMapGroupsWithState[PsiState, WindowPsi](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Obs], state: GroupState[PsiState]) =>
+      .transformWithState(new FoldProcessor[String, Obs, PsiStateW, WindowPsi]("psi",
+        (key: String, rows: Seq[Obs], prev: Option[PsiStateW]) => {
           val out = scala.collection.mutable.ListBuffer[WindowPsi]()
-          val next = foldObs(key, rows.toSeq.sortBy(o => (o.tsMs, o.id)),
-            state.getOption, refCount, windowCount, threshold, out += _)
-          next.foreach(state.update)
-          out.iterator
-      }
+          val next = foldObs(key, rows.sortBy(o => (o.tsMs, o.id)),
+            prev.map(unwire), refCount, windowCount, threshold, out += _)
+          (next.map(wire), out.toSeq)
+        })(Encoders.product[PsiStateW]),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin: the SAME fold over a static frame. */

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
 
 /** Streaming quantile monitor — the online twin of
   * [[graft.operators.Sketch.logHistQuantiles]] (the `hist_quantiles`
@@ -26,6 +26,14 @@ object StreamQuantile {
 
   final case class Obs(key: String, value: Double)
   final case class QState(buckets: Map[Long, Long])
+  /** Wire form for the state store (the Avro-converter map-key restriction
+    * — see [[StreamPsi.PsiStateW]]): key-sorted parallel arrays. */
+  final case class QStateW(ks: Seq[Long], vs: Seq[Long])
+  private def wire(s: QState): QStateW = {
+    val b = s.buckets.toSeq.sortBy(_._1)
+    QStateW(b.map(_._1), b.map(_._2))
+  }
+  private def unwire(w: QStateW): QState = QState(w.ks.zip(w.vs).toMap)
   final case class Snapshot(key: String, n: Long, p50: Double, p95: Double, p99: Double)
 
   /** the batch operator's exact bucket arithmetic, scalar form */
@@ -48,26 +56,25 @@ object StreamQuantile {
     obs
       .filter(_.value > 0) // the batch operator's valueCol > 0 gate
       .groupByKey(_.key)
-      .flatMapGroupsWithState[QState, Snapshot](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Obs], state: GroupState[QState]) =>
-          var b = state.getOption.map(_.buckets).getOrElse(Map.empty[Long, Long])
+      .transformWithState(new FoldProcessor[String, Obs, QStateW, Snapshot]("quantile",
+        (key: String, rows: Seq[Obs], prev: Option[QStateW]) => {
+          var b = prev.map(w => unwire(w).buckets).getOrElse(Map.empty[Long, Long])
           var added = 0L
           rows.foreach { o =>
             val lb = bucketOf(o.value)
             b = b.updated(lb, b.getOrElse(lb, 0L) + 1L)
             added += 1L
           }
-          if (added == 0) Iterator.empty
+          if (added == 0) (prev, Seq.empty)
           else {
-            state.update(QState(b))
             val sorted = b.toSeq.sortBy(_._1)
             val n = b.valuesIterator.sum
-            Iterator.single(Snapshot(key, n,
+            (Some(wire(QState(b))), Seq(Snapshot(key, n,
               quantile(sorted, n, 0.5),
               quantile(sorted, n, 0.95),
-              quantile(sorted, n, 0.99)))
+              quantile(sorted, n, 0.99))))
           }
-      }
+        })(Encoders.product[QStateW]),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
 
-/** Streaming event-rate anomaly gate via flatMapGroupsWithState — the
+/** Streaming event-rate anomaly gate via transformWithState — the
   * online analogue of [[graft.operators.Temporal.rateAnomaly]] (the batch
   * `rate_anomaly` board query): per key, each time bucket is z-scored
   * against the key's trailing `lookback` OBSERVED buckets the moment the
@@ -43,12 +43,11 @@ object StreamRateAnomaly {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
-      .flatMapGroupsWithState[RateState, Alert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[Event], state: GroupState[RateState]) =>
-          val sorted = rows.toSeq.sortBy(_.tsMs)
+      .transformWithState(new FoldProcessor[String, Event, RateState, Alert]("rate",
+        (key: String, rows: Seq[Event], prev: Option[RateState]) => {
+          val sorted = rows.sortBy(_.tsMs)
           val out = scala.collection.mutable.ListBuffer[Alert]()
-          var cur = state.getOption
+          var cur = prev
 
           def judge(bucket: Long, c: Long, hist: List[Long]): Unit =
             if (hist.length == lookback) {
@@ -75,8 +74,8 @@ object StreamRateAnomaly {
                 cur = Some(RateState(b, 1L, hist))
             }
           }
-          cur.foreach(state.update)
-          out.iterator
-      }
+          (cur, out.toSeq)
+        })(Encoders.product[RateState]),
+        TimeMode.None(), OutputMode.Append())
   }
 }

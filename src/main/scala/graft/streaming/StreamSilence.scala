@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming._
 
 /** Dead-stream (heartbeat) detector: alert when a key that HAS been
   * producing events goes silent for longer than `silenceMs` of event time —
@@ -11,8 +11,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * one to every count-based operator, because silence produces no rows to
   * aggregate; detecting it requires TIMEOUTS, not data).
   *
-  * This is the repo's one operator driven by state-timeout semantics:
-  * `GroupStateTimeout.EventTimeTimeout` arms a per-key deadline at
+  * This is the repo's one operator driven by TIMER semantics: a
+  * transformWithState event-time timer arms a per-key deadline at
   * `last_seen + silenceMs`; the alert fires when the WATERMARK (not the
   * wall clock) passes the deadline, so results are deterministic under
   * replay and late data inside the watermark delay cannot false-alarm.
@@ -34,6 +34,50 @@ object StreamSilence {
   final case class SilenceState(lastMs: Long)
   final case class Silence(key: String, last_seen_ms: Long, deadline_ms: Long)
 
+  /** The transformWithState TIMER form of the legacy EventTimeTimeout
+    * (round-9 migration): new data re-arms the key's deadline by DELETING
+    * the stale timer and registering `last + silenceMs`; the alert fires in
+    * [[Processor.handleExpiredTimer]] when the watermark passes it, and the
+    * state is cleared so a revived key starts a fresh cycle. Public class
+    * for the Janino-generated serializers.
+    */
+  final class Processor(silenceMs: Long)
+      extends StatefulProcessor[String, TimedEvent, Silence] {
+    @transient private var state: ValueState[SilenceState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SilenceState]("silence",
+        Encoders.product[SilenceState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[Silence] = {
+      var maxTs = Long.MinValue
+      rows.foreach(e => if (e.tsMs > maxTs) maxTs = e.tsMs)
+      val prev = if (state.exists()) Some(state.get().lastMs) else None
+      val last = math.max(prev.getOrElse(Long.MinValue), maxTs)
+      // re-arm: the stale deadline must go, or it would fire a false alert
+      // for a key that kept producing (the legacy API's setTimeoutTimestamp
+      // replaced the deadline implicitly; timers need the delete spelled out)
+      prev.foreach(p => getHandle.deleteTimer(p + silenceMs))
+      state.update(SilenceState(last))
+      getHandle.registerTimer(last + silenceMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Silence] = {
+      // a deleted-but-raced stale timer must not alert a live key
+      if (!state.exists() ||
+          state.get().lastMs + silenceMs != expiredTimerInfo.getExpiryTimeInMs)
+        Iterator.empty
+      else {
+        val last = state.get().lastMs
+        state.clear()
+        Iterator.single(Silence(key, last, last + silenceMs))
+      }
+    }
+  }
+
   /** `events`: (key, event-time millis). `watermarkDelay` bounds how late
     * data may arrive without false-alarming.
     */
@@ -47,20 +91,7 @@ object StreamSilence {
       .withWatermark("eventTime", watermarkDelay)
       .as[TimedEvent]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[SilenceState, Silence](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, rows: Iterator[TimedEvent], state: GroupState[SilenceState]) =>
-          if (state.hasTimedOut) {
-            val last = state.get.lastMs
-            state.remove()
-            Iterator.single(Silence(key, last, last + silenceMs))
-          } else {
-            val maxTs = rows.map(_.tsMs).max
-            val last = math.max(state.getOption.map(_.lastMs).getOrElse(Long.MinValue), maxTs)
-            state.update(SilenceState(last))
-            state.setTimeoutTimestamp(last + silenceMs)
-            Iterator.empty
-          }
-      }
+      .transformWithState(new Processor(silenceMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
 
 /** Streaming per-source admission control — the online half of
   * [[graft.operators.SourceCap]]'s domain-cap rule. A batch cap ranks
@@ -41,12 +41,11 @@ object StreamSourceCap {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.source)
-      .flatMapGroupsWithState[CapState, Admitted](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (source: String, rows: Iterator[Doc], state: GroupState[CapState]) =>
+      .transformWithState(new FoldProcessor[String, Doc, CapState, Admitted]("cap",
+        (source: String, rows: Seq[Doc], prev: Option[CapState]) => {
           // deterministic fold order inside the micro-batch
-          val sorted = rows.toSeq.sortBy(d => (d.tsMs, d.id))
-          var st = state.getOption.getOrElse(CapState(0L, 0L))
+          val sorted = rows.sortBy(d => (d.tsMs, d.id))
+          var st = prev.getOrElse(CapState(0L, 0L))
           val out = scala.collection.mutable.ListBuffer[Admitted]()
           sorted.foreach { d =>
             // admit iff BOTH budgets hold after this doc — a doc that would
@@ -58,8 +57,8 @@ object StreamSourceCap {
               out += Admitted(source, d.id, st.docs, st.tokens)
             }
           }
-          state.update(st)
-          out.iterator
-      }
+          (Some(st), out.toSeq)
+        })(Encoders.product[CapState]),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
 
 /** Streaming heavy hitters — the online twin of the batch
   * `cms_heavy` / [[graft.operators.TopK]] frequency queries: per group,
@@ -61,18 +61,15 @@ object StreamTopK {
     import obs.sparkSession.implicits._
     obs
       .groupByKey(_.group)
-      .flatMapGroupsWithState[TkState, Snapshot](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (group: String, rows: Iterator[Obs], state: GroupState[TkState]) =>
-          var st = state.getOption.getOrElse(TkState(0L, Nil))
+      .transformWithState(new FoldProcessor[String, Obs, TkState, Snapshot]("topk",
+        (group: String, rows: Seq[Obs], prev: Option[TkState]) => {
+          var st = prev.getOrElse(TkState(0L, Nil))
           var added = 0L
           rows.foreach { o => st = step(st, o.item, k); added += 1L }
-          if (added == 0) Iterator.empty
-          else {
-            state.update(st)
-            st.counters.sortBy(c => (-c.est, c.item))
-              .iterator.map(c => Snapshot(group, st.n, c.item, c.est, c.err))
-          }
-      }
+          if (added == 0) (prev, Seq.empty)
+          else (Some(st), st.counters.sortBy(c => (-c.est, c.item))
+            .map(c => Snapshot(group, st.n, c.item, c.est, c.err)))
+        })(Encoders.product[TkState]),
+        TimeMode.None(), OutputMode.Append())
   }
 }
