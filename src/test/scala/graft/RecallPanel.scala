@@ -60,8 +60,19 @@ object RecallPanel {
         nCentroids = 32, kmeansIters = 1)
       val (books, codes) = operators.Similarity.pqTrained(emb, "vec_id", "embedding",
         numSub = 8, k = 16, iters = 1)
+      // the auto-scaled build (C = ceil(sqrt(n)), sampled training): recall
+      // at matched probe COUNT (smaller scan share than fixed C=8) and at a
+      // ~quarter-of-cells probe (the scan share a real deployment buys)
+      val (centsA, idxA) = operators.Similarity.ivfTrainedAuto(
+        emb, "vec_id", "embedding", kmeansIters = 1)
+      val cA = centsA.length
+      val probeQ = math.max(2, cA / 4)
 
       val rows = Seq(
+        s"ivf_auto (C=$cA, probe=4 — ${400 / cA}%% scan)" -> recallOf(q =>
+          operators.Similarity.ivfTopKIndexed(centsA, idxA, "vec_id", "embedding", q, k, nProbe = 4), truth),
+        s"ivf_auto (C=$cA, probe=$probeQ — ~25%% scan)" -> recallOf(q =>
+          operators.Similarity.ivfTopKIndexed(centsA, idxA, "vec_id", "embedding", q, k, nProbe = probeQ), truth),
         "ivf_topk (C=8, probe=2 — board)" -> recallOf(q =>
           operators.Similarity.ivfTopKIndexed(cents8, idx8, "vec_id", "embedding", q, k, nProbe = 2), truth),
         "ivf_topk (C=8, probe=4)" -> recallOf(q =>
