@@ -69,6 +69,21 @@ object SparkEntry {
     })
   }
 
+  /** Auto-scaled IVF artifacts (C = ⌈√n⌉ cells, sampled training —
+    * `sampleBudget = 200` so the sampling law is exercised at fixture
+    * scale, matching the `ivf_auto` build query) memoized per (session,
+    * dir): `ivf_auto` is the build job, `ivf_auto_topk` probes its output.
+    */
+  private val ivfAutoMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[(Long, Seq[Double])], DataFrame)]()
+  private def ivfAutoArtifacts(s: SparkSession, dir: String) = {
+    ivfAutoMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfAutoMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      Similarity.ivfTrainedAuto(Tables.embeddings(ss, d), "vec_id", "embedding",
+        kmeansIters = 1, sampleBudget = 200)
+    })
+  }
+
   /** Trained PQ artifacts memoized per (session, fixture dir) — the same
     * build/serve split as the IVF memo: `pq_build` is the once-per-corpus
     * batch job, `pq_topk` probes the prebuilt code table.
@@ -2205,6 +2220,15 @@ object SparkEntry {
           kmeansIters = 1, sampleBudget = 200)._2
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")),
+    "ivf_auto_topk" -> ((s, dir) => {
+      // the serving half of ivf_auto: probe-only against the memoized
+      // auto-scaled artifacts (C = ⌈√n⌉, sampled training), top-6 of the
+      // 23 fixture cells ≈ the 25% scan share the recall panel measured
+      // beating the fixed-C board index at matched share
+      val (cents, index) = ivfAutoArtifacts(s, dir)
+      Similarity.ivfTopKIndexed(cents, index, "vec_id", "embedding", 0L, 10,
+        nProbe = 6)
+    }),
     "ivf_topk" -> ((s, dir) => {
       // probe-only: trained artifacts are built once per (session, dir) and
       // reused, so this benches the serving path — not training (which made
@@ -3802,6 +3826,34 @@ object SparkEntry {
              SELECT c.cid,
                row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
              FROM $cent c CROSS JOIN q) WHERE rn <= 4)
+         SELECT * FROM (
+           SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
+           FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q
+           WHERE a.cid IN (SELECT cid FROM probe))
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
+    "ivf_auto_topk" -> {
+      // PROBE against the ivfTrainedAuto(sampleBudget=200) artifacts — the
+      // serving half of ivf_auto: same baked law values (C=23, sample
+      // mod 3, seeds below 69 — the ivf_auto oracle's coupling note), the
+      // query's top-6 of 23 centroids (~25% scan share, the matched-share
+      // point the round-9 recall panel measured winning), exact rank within
+      // probed clusters
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+        "embeddings", "vec_id", "embedding",
+        seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+        trainWhere = "vec_id % 3 = 0",
+        iters = 1, dim = 64, cosSql)
+      s"""WITH $kmCtes,
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         probe AS (SELECT cid FROM (
+             SELECT c.cid,
+               row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
+             FROM $cent c CROSS JOIN q) WHERE rn <= 6)
          SELECT * FROM (
            SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN q
