@@ -2222,12 +2222,14 @@ object SparkEntry {
         .orderBy("vec_id")),
     "ivf_auto_topk" -> ((s, dir) => {
       // the serving half of ivf_auto: probe-only against the memoized
-      // auto-scaled artifacts (C = ⌈√n⌉, sampled training), top-6 of the
-      // 23 fixture cells ≈ the 25% scan share the recall panel measured
-      // beating the fixed-C board index at matched share
+      // auto-scaled artifacts (C = ⌈√n⌉, sampled training), probing
+      // autoProbeCount(C) = ⌈C/4⌉ cells — scan share held at ~25% as C
+      // grows (the matched-share point the recall panel measured beating
+      // the fixed-C board index); resolves to 6 of 23 at the verify corpus,
+      // which the oracle bakes
       val (cents, index) = ivfAutoArtifacts(s, dir)
       Similarity.ivfTopKIndexed(cents, index, "vec_id", "embedding", 0L, 10,
-        nProbe = 6)
+        nProbe = Similarity.autoProbeCount(cents.length))
     }),
     "ivf_topk" -> ((s, dir) => {
       // probe-only: trained artifacts are built once per (session, dir) and

@@ -162,6 +162,19 @@ object Similarity {
     math.min(cMax, math.max(cMin, c))
   }
 
+  /** Probe-count law for the auto-scaled index: w = ⌈C/shareInv⌉ (≥ 2) —
+    * a CONSTANT scan share (1/shareInv of the corpus) as C grows with √n,
+    * the matched-share operating point the round-9 recall panel measured
+    * beating the fixed-C index (recall rises with density at fixed share
+    * because more cells capture finer structure). Probing a fixed COUNT
+    * instead would shrink scan share as 1/√n — cheaper but recall-decaying;
+    * callers choosing that trade pass nProbe explicitly.
+    */
+  def autoProbeCount(nCells: Int, shareInv: Int = 4): Int = {
+    require(nCells >= 1 && shareInv >= 1)
+    math.max(2, (nCells + shareInv - 1) / shareInv)
+  }
+
   /** Deterministic training-sample modulus: the smallest m with n/m ≤
     * `sampleBudget`, so k-means trains on rows with id ≡ 0 (mod m) — a
     * fixed-rate systematic sample (≈ n/m rows) instead of full-corpus Lloyd

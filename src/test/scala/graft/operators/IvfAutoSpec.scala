@@ -48,6 +48,19 @@ class IvfAutoSpec extends AnyFunSuite {
     }
   }
 
+  test("autoProbeCount: constant scan share, floor, and the oracle couplings") {
+    import Similarity.autoProbeCount
+    assert(autoProbeCount(23) == 6)   // the ivf_auto_topk oracle's baked probe
+    assert(autoProbeCount(45) == 12 && autoProbeCount(142) == 36 &&
+      autoProbeCount(448) == 112)     // bench corpus + DensityScale anchors
+    assert(autoProbeCount(1) == 2 && autoProbeCount(4) == 2, "floor at 2")
+    for (c <- Seq(8, 23, 100, 1000)) {
+      val w = autoProbeCount(c)
+      assert(w.toDouble / c >= 0.25 && (w - 1).toDouble / c < 0.25,
+        s"share drifted from 1/4 at C=$c: w=$w")
+    }
+  }
+
   test("unsampled auto build is bit-identical to the literal-struct build at the same C") {
     spark.sparkContext.setLogLevel("WARN")
     // sampleBudget >= n ⇒ mod 1 ⇒ same seeds (first C ids), same training
