@@ -174,6 +174,36 @@ class DensitySpec extends AnyFunSuite {
       s"4x rows must NOT ~4x the per-row volume: $c500 -> $c2000")
   }
 
+  test("scale gate: candidates/row bounded at 50k vectors (100x the verify corpus), width from the law") {
+    import org.apache.spark.sql.functions._
+    // the CI-run anchor behind the board swap (round-9 verdict item): at
+    // 100x the verify corpus the served banding must stay budget-bounded.
+    // Spark-side deterministic vectors (xxhash64-derived), dim 64 like the
+    // fixture corpus (at dim 16 the 12 hyperplanes are correlated enough to
+    // run ~4x the uniform collision rate — the law's budget is calibrated
+    // for the high-dim regime density work actually runs in).
+    val n = 50000L
+    val dim = 64
+    val spark2 = spark
+    val emb = spark2.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(concat_ws(":", col("id"), i)), lit(1000L))
+          .cast("float") / 1000.0f - 0.5f)).as("embedding"))
+      .localCheckpoint()
+    val r = Similarity.autoBandWidth(n, 4, 64)
+    assert(r == 12, s"law drifted: autoBandWidth(50000) = $r")
+    val bands = Similarity.planeBands(emb, "vec_id", "embedding", 4, r, dim)
+    val cand = bands.as("a").join(bands.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.vec_id") =!= col("b.vec_id")).count()
+    val perRow = cand.toDouble / n
+    // uniform expectation 4n/2^12 ~= 49; allow structure/quantization slack.
+    // the FIXED 16-bit/4-per-band width at this n would sit at 4n/16 =
+    // 12,500 candidates/row — the 0.25*n^2 wall the board swap retired.
+    assert(perRow <= 2.5 * 64, s"candidates/row at 50k = $perRow")
+  }
+
   test("auto density operators: planted clusters — coverage >=0.9, LOF flags the stray, DBSCAN finds the 10 groups") {
     import spark.implicits._
     // 10 centers x 30 members (same geometry the fixed-width coverage test

@@ -131,4 +131,17 @@ class GraphExtremesSpec extends AnyFunSuite {
       .collect().toSet
     assert(r9 == rc.values.toSet)
   }
+
+  test("kcore: duplicate ks replicate rows without corrupting degree counts") {
+    import spark.implicits._
+    // the fused tagged relation must dedupe tags before peeling (a
+    // duplicated tag would DOUBLE its group's degree counts and let nodes
+    // survive peels they shouldn't); the literal spine still emits the
+    // sequential form's duplicate output rows for duplicate input ks
+    val k4chain = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val dup = Graph.kcore(k4chain, ks = Seq(2, 2, 3)).as[(Int, Long, Long)]
+      .collect().toSeq.sorted
+    assert(dup == Seq((2, 4L, 6L), (2, 4L, 6L), (3, 4L, 6L)), dup)
+  }
 }
