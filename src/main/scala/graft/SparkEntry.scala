@@ -1997,8 +1997,18 @@ object SparkEntry {
         TextAnalysis.gopherRules(train, "doc_id", "text")
           .where(col("keep")).select("doc_id"),
         Seq("doc_id"), "left_semi").localCheckpoint()
-      val clusters = Dedup.nearDupClusters(Dedup.nearDupPairs(
-        gated, "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.2))
+      // ONE corpus-wide MinHash band pass feeds BOTH near-dup tiers (the
+      // dedup self-join over the gated subset and the decontam cross-join
+      // vs the eval split): band values depend only on the text, so the
+      // per-stage tables are id-semi-joined slices of this one relation —
+      // at 100 TB this is the signature table the pipeline materializes
+      // once, not a per-stage re-scan of the corpus
+      val bandsAll = Dedup.lshBands(norm, "doc_id", "text",
+        k = 8, rowsPerBand = 2).localCheckpoint()
+      def bandsOf(ids: org.apache.spark.sql.DataFrame) =
+        bandsAll.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+      val clusters = Dedup.nearDupClusters(Dedup.nearDupPairsFromBands(
+        bandsOf(gated), gated, "doc_id", "text", threshold = 0.2))
       val kept = gated.join(
         Dedup.dedupDecisions(gated, "doc_id", "text", clusters,
             gated.select(col("doc_id"), col("n_chars")), "n_chars")
@@ -2008,8 +2018,8 @@ object SparkEntry {
         .ngramOverlapBloom(kept, eval_, "doc_id", "text", n = 5)
         .select(col("train_id").as("doc_id"))
         .union(operators.Decontam
-          .nearDupAcross(kept, eval_, "doc_id", "text",
-            k = 8, rowsPerBand = 2, threshold = 0.2)
+          .nearDupAcrossFromBands(bandsOf(kept), bandsOf(eval_),
+            kept, eval_, "doc_id", "text", threshold = 0.2)
           .select(col("train_id").as("doc_id")))
       val clean = kept.join(bad, Seq("doc_id"), "left_anti").localCheckpoint()
       val pos = operators.CorpusShuffle.globalShuffle(clean, "doc_id")

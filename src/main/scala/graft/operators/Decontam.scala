@@ -106,8 +106,20 @@ object Decontam {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5
   ): DataFrame = {
-    val tb = Dedup.lshBands(train, idCol, textCol, k, rowsPerBand).as("a")
-    val eb = Dedup.lshBands(eval_, idCol, textCol, k, rowsPerBand).as("b")
+    nearDupAcrossFromBands(
+      Dedup.lshBands(train, idCol, textCol, k, rowsPerBand),
+      Dedup.lshBands(eval_, idCol, textCol, k, rowsPerBand),
+      train, eval_, idCol, textCol, threshold)
+  }
+
+  /** [[nearDupAcross]] from ALREADY-BUILT per-side band tables — the entry
+    * a composed pipeline uses to share one corpus-wide MinHash pass with
+    * the dedup tier ([[Dedup.nearDupPairsFromBands]] sibling). */
+  def nearDupAcrossFromBands(trainBands: DataFrame, evalBands: DataFrame,
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val tb = trainBands.as("a")
+    val eb = evalBands.as("b")
     // candidates feed three downstream joins — materialize the compact pair
     // list once (same rationale as the within-corpus pair build)
     val cand = tb

@@ -180,6 +180,18 @@ object Dedup {
     // signatures/bands are materialized once, everything downstream is a
     // hash-partitioned join on them.
     val bands = lshBands(df, idCol, textCol, k, rowsPerBand).localCheckpoint()
+    nearDupPairsFromBands(bands, df, idCol, textCol, threshold)
+  }
+
+  /** [[nearDupPairs]] from an ALREADY-MATERIALIZED band table — the entry a
+    * composed pipeline uses to run the MinHash scan once per corpus and
+    * feed several tiers (`pipeline_e2e` shares one corpus-wide band pass
+    * between its dedup and decontamination stages). `bands` must be
+    * materialized by the caller (checkpoint or table) — it is consumed by
+    * both sides of the self-join and the candidate list downstream.
+    */
+  def nearDupPairsFromBands(bands: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a
@@ -192,7 +204,7 @@ object Dedup {
 
     // jaccard verification shingles only CANDIDATE docs (LSH keeps these a
     // tiny fraction of the corpus) — see verifyJaccard
-    verifyJaccard(cand, df, df, idCol, textCol, "id_a", "id_b", threshold)
+    verifyJaccard(cand, docs, docs, idCol, textCol, "id_a", "id_b", threshold)
   }
 
   /** Asymmetric CONTAINMENT over LSH candidates: for each candidate pair,
