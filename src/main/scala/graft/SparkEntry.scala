@@ -1009,6 +1009,19 @@ object SparkEntry {
       Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 8, rowsPerBand = 2, threshold = 0.2)
         .orderBy("id_a", "id_b")),
+    // hot-bucket-capped near-dup mining: buckets holding > 2 docs are
+    // dropped before the self-join (the boilerplate guard — a B-doc bucket
+    // is B(B-1)/2 candidates; pairs keep colliding in cooler bands). Cap 2
+    // is deliberately tight so the fixture exercises the drop (max bucket
+    // 3 at sf0.01); production runs hundreds
+    "neardup_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupPairsFromBands(
+          Dedup.capBands(Dedup.lshBands(docs, "doc_id", "text", k = 8, rowsPerBand = 2),
+            maxBucket = 2).localCheckpoint(),
+          docs, "doc_id", "text", threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
     "neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(nearDupPairsBuilt(s, dir))
         .orderBy("id")),
@@ -3944,6 +3957,19 @@ object SparkEntry {
          FROM sh ORDER BY doc_id""",
     "neardup_pairs" ->
       s"""WITH $nearDupCtes
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
+    "neardup_capped" ->
+      // the same chain with hot buckets (> 2 docs) dropped before the
+      // candidate self-join — mirror of Dedup.capBands(maxBucket = 2)
+      s"""WITH ${nearDupCtesFor("documents")
+            .replace("cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a",
+              """cool AS (SELECT band_idx, band_hash FROM bands
+                   GROUP BY band_idx, band_hash HAVING COUNT(*) <= 2),
+                 bandk AS (SELECT b.doc_id, b.band_idx, b.band_hash
+                   FROM bands b JOIN cool USING (band_idx, band_hash)),
+                 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandk a""")
+            .replace("JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id < b.doc_id)",
+              "JOIN bandk b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id < b.doc_id)")}
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""",
     "dedup_sweep" ->
       s"""WITH $nearDupCtes,

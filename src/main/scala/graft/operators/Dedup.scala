@@ -91,6 +91,27 @@ object Dedup {
       posexplode(graft.functions.MinHashExpr.bandArray(col(textCol), k, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
 
+  /** Drop band BUCKETS whose occupancy exceeds `maxBucket` — the
+    * production guard against boilerplate-driven quadratic blowup in the
+    * banded self-join: a bucket of B docs contributes B(B−1)/2 candidate
+    * pairs, so one million-doc boilerplate bucket is 5·10¹¹ pairs no AQE
+    * skew split can absorb. Dropping a hot bucket costs recall only for
+    * pairs ALL of whose shared bands are hot; with k/r independent bands a
+    * genuinely near-dup pair keeps colliding in cooler bands (spec-pinned
+    * on planted boilerplate + true twins). What a hot bucket actually
+    * marks is template text — [[Boilerplate.stripBoilerplate]]'s job, not
+    * pairwise dedup's. Shape: one (band_idx, band_hash) count agg + an
+    * anti-join — both on the compact band relation, never the corpus.
+    */
+  def capBands(bands: DataFrame, maxBucket: Long): DataFrame = {
+    require(maxBucket >= 2, s"capBands: maxBucket >= 2, got $maxBucket")
+    val hot = bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("_cb_n"))
+      .where(col("_cb_n") > maxBucket)
+      .select("band_idx", "band_hash")
+    bands.join(hot, Seq("band_idx", "band_hash"), "left_anti")
+  }
+
   /** Bands from a materialized signature table (see [[signatureTable]]). */
   def lshBandsFrom(withSigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand

@@ -121,6 +121,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hamming <= 16, s"hamming $hamming too large for a 1-token edit")
   }
 
+  test("capBands: hot boilerplate buckets drop, true twins keep colliding, big cap is identity") {
+    import spark.implicits._
+    // 200 identical boilerplate docs (every band bucket occupancy 200 —
+    // the quadratic hazard: 19,900 candidate pairs from ONE template) plus
+    // two planted twin pairs with unique text
+    val boiler = (0L until 200L).map(i =>
+      (i, "standard footer terms apply all rights reserved contact support team today"))
+    val base1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val base2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = (boiler ++ Seq(
+      (1000L, base1), (1001L, base1.replace("alpha7", "alphaX")),
+      (2000L, base2), (2001L, base2.replace("beta3", "betaY"))))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(docs, "doc_id", "text", k = 8, rowsPerBand = 2)
+      .localCheckpoint()
+    val capped = Dedup.capBands(bands, maxBucket = 8).localCheckpoint()
+    // (a) the boilerplate bucket contributes NOTHING downstream
+    val pairs = Dedup.nearDupPairsFromBands(capped, docs, "doc_id", "text", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists { case (a, b) => a < 200 || b < 200 },
+      s"boilerplate pairs leaked through the cap: $pairs")
+    // (b) the true twins survive — their buckets are cool
+    assert(pairs.contains((1000L, 1001L)) && pairs.contains((2000L, 2001L)),
+      s"twin recall lost to the cap: $pairs")
+    // (c) a cap above every occupancy is the identity
+    val all = Dedup.nearDupPairsFromBands(bands, docs, "doc_id", "text", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bigCap = Dedup.nearDupPairsFromBands(
+        Dedup.capBands(bands, maxBucket = 1000).localCheckpoint(),
+        docs, "doc_id", "text", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bigCap == all)
+  }
+
   test("nearDupClusters: labels are cluster minima and respect every edge") {
     import spark.implicits._
     // hand-built graph: {1-2, 2-3} one component, {10-11} another, chain
