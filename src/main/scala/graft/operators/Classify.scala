@@ -52,9 +52,15 @@ object Classify {
 
   /** The docs×C log-posterior relation (id, label, _nb_c, _nb_post) both
     * [[nbClassify]] and [[nbReliability]] consume — train on the
-    * id % trainMod != 0 split, score ALL docs. */
+    * id % trainMod != 0 split; `heldOutOnly` restricts SCORING to the
+    * held-out split (training input is unaffected): [[nbReliability]]
+    * evaluates only held-out docs, so scoring the other (trainMod−1)/trainMod
+    * of the corpus was pure waste — the filter sits below the weights join,
+    * cutting the scoring join and the docs×C aggregation to 1/trainMod of
+    * the corpus. Per-doc posteriors are unchanged by construction (the
+    * model is fit before any scoring row exists). */
   private def posteriorScores(df: DataFrame, idCol: String, textCol: String,
-      labelCol: String, trainMod: Int): DataFrame = {
+      labelCol: String, trainMod: Int, heldOutOnly: Boolean = false): DataFrame = {
     require(trainMod >= 2, s"nbClassify: trainMod must be >= 2, got $trainMod")
     val id = col(idCol)
     val isTrain: Column = id % trainMod =!= 0
@@ -86,7 +92,8 @@ object Classify {
       .select(col("_nb_c"),
         round(log(col("_nb_dc").cast("double") / col("_nb_dt").cast("double")), 6)
           .cast("decimal(18,6)").as("_nb_prior"))
-    val scores = tf
+    val scoreTf = if (heldOutOnly) tf.where(!col("_nb_train")) else tf
+    val scores = scoreTf
       .join(broadcast(weights), "_nb_tok")
       .groupBy(id, col(labelCol), col("_nb_c"))
       .agg(sum(col("_nb_tf").cast("decimal(18,6)") * col("_nb_logp")).as("_nb_s"))
@@ -117,8 +124,10 @@ object Classify {
     val id = col(idCol)
     // the docs×C posterior relation feeds BOTH the argmax and the softmax
     // join below — materialize it once (it is C-bounded per doc; without
-    // this the whole NB train pipeline runs twice)
-    val scores = posteriorScores(df, idCol, textCol, labelCol, trainMod)
+    // this the whole NB train pipeline runs twice). heldOutOnly: only the
+    // evaluation split is ever read below, so only it is scored.
+    val scores = posteriorScores(df, idCol, textCol, labelCol, trainMod,
+        heldOutOnly = true)
       .localCheckpoint()
     val best = scores
       .groupBy(id, col(labelCol))
