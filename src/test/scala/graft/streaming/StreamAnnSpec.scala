@@ -58,4 +58,32 @@ class StreamAnnSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streamed probe against the AUTO-scaled index equals its batch probe at the share-law probe count") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (cents, index) = graft.operators.Similarity.ivfTrainedAuto(
+      emb, "vec_id", "embedding", kmeansIters = 1, sampleBudget = 200)
+    val nProbe = graft.operators.Similarity.autoProbeCount(cents.length)
+    val (k, qid) = (10, 42L)
+    val qv = emb.where(col("vec_id") === qid)
+      .select("embedding").as[Seq[Float]].head()
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamAnn.probeTopK(
+        source.toDF().toDF("qid", "qvec"), "qid", "qvec",
+        cents, index, "vec_id", "embedding", k, nProbe)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ann_auto_hits").start()
+    try {
+      source.addData((qid, qv)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT vecId, sim FROM ann_auto_hits ORDER BY rank")
+        .as[(Long, Double)].collect().toSeq
+      val batch = graft.operators.Similarity
+        .ivfTopKIndexed(cents, index, "vec_id", "embedding", qid, k, nProbe)
+        .as[(Long, Double)].collect().toSeq
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
