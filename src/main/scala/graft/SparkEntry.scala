@@ -1813,6 +1813,20 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+    // SEMANTIC decontamination: train-split embeddings cosine-close to any
+    // eval-split embedding — the leakage tier lexical n-grams cannot see
+    // (translated/reworded benchmark items). Auto-width banded candidates
+    // (width 5 = autoBandWidth(~450) baked in the oracle), exact cosine
+    // verify; threshold 0.30 sits in the isotropic fixture's upper tail so
+    // the verify genuinely filters
+    "decontam_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val split = operators.Sampling.splitOf(col("vec_id"))
+      operators.Decontam.embedNearDupAcross(
+          emb.where(split === "train"), emb.where(split === "test"),
+          "vec_id", "embedding", threshold = 0.30)
+        .orderBy("train_id", "eval_id")
+    }),
     // decontamination REPORT: one row per flagged train doc with both
     // signals' evidence (distinct eval hits via 5-grams, near-dup hits +
     // max jaccard) and a combined verdict — the reviewable artifact
@@ -4724,6 +4738,11 @@ object SparkEntry {
          SELECT doc_id FROM s
          WHERE b < 230 AND doc_id NOT IN (SELECT train_id FROM bad)
          ORDER BY doc_id""",
+    "decontam_semantic" ->
+      operators.Decontam.embedNearDupAcrossSql("embeddings", "vec_id", "embedding",
+        trainWhere = "CAST('0x'||substr(md5('split:'||CAST(vec_id AS VARCHAR)),1,2) AS INT) < 230",
+        evalWhere = "CAST('0x'||substr(md5('split:'||CAST(vec_id AS VARCHAR)),1,2) AS INT) >= 243",
+        threshold = 0.30, nBands = 4, rowsPerBand = 5, dim = 64),
     "decontam_report" ->
       // same dual CTE chain as decontam_apply, but emitting the per-doc
       // evidence instead of the anti-join

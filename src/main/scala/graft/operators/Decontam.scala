@@ -112,6 +112,79 @@ object Decontam {
       train, eval_, idCol, textCol, threshold)
   }
 
+  /** EMBEDDING-SPACE decontamination: train rows whose vector is
+    * cosine-similar (≥ `threshold`) to ANY eval vector — the SEMANTIC
+    * leakage tier beside the lexical ones ([[ngramOverlap]] catches
+    * verbatim inclusion, [[nearDupAcross]] token-level paraphrase; a
+    * translated or reworded benchmark item only an embedding can see —
+    * the check frontier pipelines run against benchmark embeddings).
+    *
+    * Same candidate architecture as every near-dup tier here: per-side
+    * auto-width hyperplane band tables ([[Similarity.planeBands]], width
+    * from [[Similarity.autoBandWidth]] at the LARGER side so per-row
+    * candidate volume stays at the budget as corpora grow), a train×eval
+    * band EQUI-join for candidates, exact cosine verification over
+    * candidates only — never all-pairs. Recall is banded-LSH recall:
+    * audit with [[Similarity.cohortCoverageAuto]] on the corpus at hand
+    * (near-identical embeddings share sign patterns far above the uniform
+    * rate; DensitySpec's planted-cluster regime).
+    *
+    * Output: (train_id, eval_id, sim) for verified pairs.
+    */
+  def embedNearDupAcross(trainEmb: DataFrame, evalEmb: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nBands: Int = 4, budgetPerRow: Int = 64, seed: Int = 42): DataFrame = {
+    val shape = trainEmb.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    val nT = shape.getLong(0)
+    val dim = if (shape.isNullAt(1)) 0 else shape.getInt(1)
+    val nE = evalEmb.agg(count(lit(1))).head().getLong(0)
+    val r = Similarity.autoBandWidth(math.max(nT, nE), nBands, budgetPerRow)
+    val tb = Similarity.planeBands(trainEmb, idCol, vecCol, nBands, r, dim, seed).as("a")
+    val eb = Similarity.planeBands(evalEmb, idCol, vecCol, nBands, r, dim, seed).as("b")
+    val cand = tb
+      .join(eb, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val"))
+      .select(col(s"a.$idCol").as("train_id"), col(s"b.$idCol").as("eval_id"))
+      .distinct()
+      .localCheckpoint()
+    cand
+      .join(trainEmb.select(col(idCol).as("train_id"), col(vecCol).as("_ed_a")), "train_id")
+      .join(evalEmb.select(col(idCol).as("eval_id"), col(vecCol).as("_ed_b")), "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        round(Similarity.cosine(col("_ed_a"), col("_ed_b")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** DuckDB mirror of [[embedNearDupAcross]] — `rowsPerBand` must equal
+    * `autoBandWidth(max(n_train, n_eval))` for the actual split sizes (the
+    * static-mirror baked-width contract; a row-count drift breaks rows+hash
+    * loudly). `trainWhere`/`evalWhere` select the two sides from `tbl`.
+    */
+  def embedNearDupAcrossSql(tbl: String, idCol: String, vecCol: String,
+      trainWhere: String, evalWhere: String, threshold: Double,
+      nBands: Int, rowsPerBand: Int, dim: Int, seed: Int = 42): String = {
+    def bandRows(src: String) = (0 until nBands).map { bi =>
+      s"SELECT $idCol AS id, $bi AS band_idx, " +
+        s"${Similarity.lshSignatureSql(vecCol, rowsPerBand, dim, seed + 1000 * (bi + 1))} AS band_val FROM $src"
+    }.mkString(" UNION ALL ")
+    val cos =
+      s"""(list_sum(list_transform(list_zip(t.$vecCol, e.$vecCol), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(t.$vecCol, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+          * sqrt(list_sum(list_transform(e.$vecCol, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))))"""
+    s"""WITH tr AS (SELECT * FROM $tbl WHERE $trainWhere),
+       ev AS (SELECT * FROM $tbl WHERE $evalWhere),
+       bt AS (${bandRows("tr")}),
+       be AS (${bandRows("ev")}),
+       cand AS (SELECT DISTINCT a.id AS train_id, c.id AS eval_id
+                FROM bt a JOIN be c
+                  ON a.band_idx = c.band_idx AND a.band_val = c.band_val)
+       SELECT train_id, eval_id, sim FROM (
+         SELECT cand.train_id, cand.eval_id, round($cos, 4) AS sim
+         FROM cand JOIN tr t ON t.$idCol = cand.train_id
+                   JOIN ev e ON e.$idCol = cand.eval_id)
+       WHERE sim >= $threshold ORDER BY train_id, eval_id"""
+  }
+
   /** [[nearDupAcross]] from ALREADY-BUILT per-side band tables — the entry
     * a composed pipeline uses to share one corpus-wide MinHash pass with
     * the dedup tier ([[Dedup.nearDupPairsFromBands]] sibling). */

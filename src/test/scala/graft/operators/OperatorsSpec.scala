@@ -845,6 +845,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dup == got)
   }
 
+  test("embedNearDupAcross: planted semantic twin found across splits, verify filters, sides never self-pair") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // train: 40 spread unit-ish vectors; eval: a near-copy of train #7
+    // (cosine ~0.9997) plus two unrelated directions
+    val train = (0L until 40L).map { i =>
+      val a = i.toDouble / 40 * math.Pi
+      (i, v(math.cos(a), math.sin(a), 0.1 * math.cos(3 * a), 0.1 * math.sin(3 * a)))
+    }
+    val a7 = 7.0 / 40 * math.Pi
+    val eval_ = Seq(
+      (100L, v(math.cos(a7) + 0.01, math.sin(a7), 0.1 * math.cos(3 * a7), 0.1 * math.sin(3 * a7))),
+      (101L, v(0.0, 0.0, 1.0, 0.0)),
+      (102L, v(0.0, 0.0, 0.0, -1.0)))
+    val out = Decontam.embedNearDupAcross(
+        train.toDF("vec_id", "embedding"), eval_.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.98)
+      .as[(Long, Long, Double)].collect()
+    assert(out.exists(p => p._1 == 7L && p._2 == 100L && p._3 >= 0.98),
+      s"planted twin missed: ${out.toSeq}")
+    // verification is real: nothing below the threshold leaks, and every
+    // pair is train-side × eval-side by construction
+    assert(out.forall(_._3 >= 0.98), s"unverified pair leaked: ${out.toSeq}")
+    assert(out.forall(p => p._1 < 100L && p._2 >= 100L), s"side mixed: ${out.toSeq}")
+  }
+
   test("nearDupAcross: exact cross-split dup found, precision verified, no within-side pairs") {
     import spark.implicits._
     val train = Seq(
