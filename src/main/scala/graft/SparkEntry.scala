@@ -2050,11 +2050,21 @@ object SparkEntry {
           .select(col("train_id").as("doc_id")))
       val clean = kept.join(bad, Seq("doc_id"), "left_anti").localCheckpoint()
       val pos = operators.CorpusShuffle.globalShuffle(clean, "doc_id")
-      val chunks = operators.Chunking
+      val chunkRows = operators.Chunking
         .tokenChunks(clean, "doc_id", "text", chunkSize = 32, stride = 24)
         .join(pos, "doc_id")
-        .select((col("pos") * 16 + col("chunk_idx")).as("chunk_id"), col("n_tok"))
+        .select(col("pos"), col("chunk_idx"), col("n_tok"))
         .localCheckpoint()
+      // collision-free chunk id: the multiplier is the corpus's actual max
+      // chunks/doc (one scalar agg over the checkpointed chunk table, a
+      // driver long) — the round-9 fixed pos*16 packing silently merged
+      // manifest rows for any document past 16 chunks (>392 tokens at
+      // chunkSize=32/stride=24), a bound only the fixture corpus honored
+      val perDoc = chunkRows
+        .agg(max(col("chunk_idx")).cast("long")).head().getLong(0) + 1
+      val chunks = chunkRows
+        .select((col("pos") * perDoc + col("chunk_idx")).as("chunk_id"),
+          col("n_tok"))
       val assign = operators.Sharding.packShards(
         chunks, "chunk_id", col("n_tok"), budget = 4096)
       operators.Sharding.shardManifest(
@@ -5113,7 +5123,9 @@ object SparkEntry {
          ck AS (SELECT doc_id, len(ws) AS n,
                greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) AS last FROM cw),
          cc AS (SELECT doc_id, n, unnest(range(0, last + 1)) AS ci FROM ck),
-         ch AS (SELECT p.pos*16 + cc.ci AS id, least(32, cc.n - cc.ci*24) AS tok
+         mc AS (SELECT MAX(ci) + 1 AS m FROM cc),
+         ch AS (SELECT p.pos*(SELECT m FROM mc) + cc.ci AS id,
+                  least(32, cc.n - cc.ci*24) AS tok
                 FROM cc JOIN pos p USING (doc_id)),
          pk AS (SELECT id, tok,
                CAST(COALESCE(SUM(tok) OVER (ORDER BY id

@@ -29,8 +29,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 case class NearestCentroidsExpr(
     child: Expression,
-    cids: Array[Long],
-    matrix: Array[Array[Double]],
+    cids: Seq[Long],
+    matrix: Seq[Seq[Double]],
     nAssign: Int)
     extends UnaryExpression
     with CodegenFallback {
@@ -39,6 +39,14 @@ case class NearestCentroidsExpr(
     "nearest_centroids: cids/matrix shape mismatch or empty")
   require(nAssign >= 1 && nAssign <= cids.length,
     "nearest_centroids: nAssign out of range")
+
+  // Seq (not Array) constructor fields so case-class equals/hashCode are
+  // structural: two semantically identical instances canonicalize together
+  // (plan dedup, common-subexpression reuse) — Array fields compare by
+  // reference and defeat both. The hot eval loop still runs over arrays.
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val matArr: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -56,7 +64,7 @@ case class NearestCentroidsExpr(
   }
 
   // centroid norms don't depend on the row — precompute once
-  @transient private lazy val centNorms: Array[Double] = matrix.map { cv =>
+  @transient private lazy val centNorms: Array[Double] = matArr.map { cv =>
     var nb = 0.0
     var i = 0
     while (i < cv.length) { nb += cv(i) * cv(i); i += 1 }
@@ -75,10 +83,10 @@ case class NearestCentroidsExpr(
       i += 1
     }
     val rowNorm = math.sqrt(na)
-    val sims = new Array[Double](matrix.length)
+    val sims = new Array[Double](matArr.length)
     var c = 0
-    while (c < matrix.length) {
-      val cv = matrix(c)
+    while (c < matArr.length) {
+      val cv = matArr(c)
       val n = math.min(nElem, cv.length)
       var dot = 0.0
       var j = 0
@@ -94,23 +102,23 @@ case class NearestCentroidsExpr(
     // ordering — Spark's double sort order), ties to the smallest cid;
     // O(C·nAssign) with nAssign small by contract
     val out = new Array[Any](nAssign)
-    val taken = new Array[Boolean](matrix.length)
+    val taken = new Array[Boolean](matArr.length)
     var pick = 0
     while (pick < nAssign) {
       var best = -1
       var k = 0
-      while (k < matrix.length) {
+      while (k < matArr.length) {
         if (!taken(k)) {
           if (best < 0) best = k
           else {
             val cmp = java.lang.Double.compare(sims(k), sims(best))
-            if (cmp > 0 || (cmp == 0 && cids(k) < cids(best))) best = k
+            if (cmp > 0 || (cmp == 0 && cidArr(k) < cidArr(best))) best = k
           }
         }
         k += 1
       }
       taken(best) = true
-      out(pick) = cids(best)
+      out(pick) = cidArr(best)
       pick += 1
     }
     new GenericArrayData(out)
@@ -132,7 +140,7 @@ object CentroidExpr {
       nAssign: Int): Column =
     ColumnBridge.column(NearestCentroidsExpr(
       ColumnBridge.expression(vec),
-      cents.map(_._1),
-      cents.map(_._2.toArray),
+      cents.map(_._1).toSeq,
+      cents.map(_._2).toSeq,
       nAssign))
 }

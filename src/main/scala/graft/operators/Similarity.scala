@@ -526,16 +526,28 @@ object Similarity {
       cMin: Int = 4, cMax: Int = 1 << 16): (Array[(Long, Seq[Double])], DataFrame) = {
     val (n, _) = corpusShape(emb, idCol, vecCol)
     require(n >= 2, "ivfTrainedAuto: need at least 2 rows")
-    val c = autoCellCount(n, cMin, cMax)
+    // a corpus below cMin points can't fill cMin cells — cap at n (2..3
+    // cells on a 2..3-row corpus), never more cells than points
+    val c = math.min(autoCellCount(n, cMin, cMax).toLong, n).toInt
     val m = autoSampleMod(n, sampleBudget)
     val train = if (m == 1L) emb else emb.where(pmod(col(idCol), lit(m)) === 0)
-    val seeds = train.where(col(idCol) < c * m)
+    // seeds: the first C sample rows BY ID (a TakeOrdered over the ≤ budget
+    // sample, not an id-range filter) — on a dense id space these are ids
+    // {0, m, …, (C−1)·m} exactly as before, and on a SPARSE one the seed set
+    // tops up from the next sample ids instead of silently training fewer
+    // than autoCellCount(n) cells (round-9 advice: a shrunken cell count
+    // degraded recall with no signal). Fewer than C sample rows at all means
+    // the budget can't seed the law's cell count — loud, not degraded.
+    val seeds = train
       .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(c)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
-    require(seeds.length >= 2,
-      s"ivfTrainedAuto: ${seeds.length} seeds below id ${c * m} — ids not dense from 0?")
+    require(seeds.length == c,
+      s"ivfTrainedAuto: training sample has only ${seeds.length} rows for C=$c " +
+        s"cells (n=$n, mod=$m) — raise sampleBudget or lower cMax")
     val cents = kmeansCentroidsFrom(train, idCol, vecCol, seeds, kmeansIters)
     val index = emb
       .select(col(idCol), col(vecCol),

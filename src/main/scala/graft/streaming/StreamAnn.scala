@@ -23,8 +23,9 @@ import org.apache.spark.sql.streaming._
   *     is cluster-partitioned so this is partition pruning);
   *   - per-query ranking is a typed `transformWithState` top-k fold — state
   *     is k (sim, id) pairs per live query, emitted refreshed whenever the
-  *     query receives candidates (the [[StreamKmv]] emission contract; a
-  *     query submitted once gets exactly one emission set).
+  *     fold CHANGES the top-k (straggler candidates that displace nothing
+  *     re-emit nothing, so an append sink holds no duplicate (qid, rank)
+  *     rows; a query submitted once gets exactly one emission set).
   *
   * Results are bit-equal to the batch probe
   * ([[graft.operators.Similarity.ivfTopKIndexed]]): same round-4 cosine,
@@ -68,10 +69,17 @@ object StreamAnn {
 
     override def handleInputRows(key: Long, rows: Iterator[Cand],
         timerValues: TimerValues): Iterator[Hit] = {
-      val prev = if (state.exists()) state.get() else TopKState(Nil)
-      val next = fold(prev, rows.toSeq, k)
+      val prev = if (state.exists()) Some(state.get()) else None
+      val next = fold(prev.getOrElse(TopKState(Nil)), rows.toSeq, k)
       state.update(next)
-      next.entries.iterator.zipWithIndex.map { case (e, i) =>
+      // Append-mode hygiene (round-9 advice): emit ONLY when the top-k
+      // actually changed, so a query whose probe matches straggle across
+      // micro-batches without displacing anything leaves no duplicate
+      // (qid, rank) rows in an append sink. A changed set still re-emits
+      // all k rows — consumers keep the "latest emission per qid wins"
+      // contract for genuinely evolving results.
+      if (prev.contains(next)) Iterator.empty
+      else next.entries.iterator.zipWithIndex.map { case (e, i) =>
         val (id, sim) = unpack(e)
         Hit(key, i + 1, id, sim)
       }
