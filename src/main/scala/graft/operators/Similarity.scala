@@ -590,6 +590,86 @@ object Similarity {
     emb.select(col(idCol), explode(probesExpr(cents, vecCol, nAssign)).as("cell"))
   }
 
+  /** Persist a trained IVF index ([[ivfTrained]]/[[ivfTrainedAuto]] `_2`) as
+    * a CLUSTER-PARTITIONED parquet table — the real thing the
+    * localCheckpoint in the build operators stands in for. One directory per
+    * cell; every probe that filters on `cluster` literals is partition
+    * pruning at PLANNING time: the scan lists and reads only the probed
+    * cells' files (~w/C of the index), which is the entire serving-cost
+    * story at 100 TB. Write cost is one shuffle-free pass over the
+    * assignment projection (dynamic partition write).
+    */
+  def writeIvfIndex(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Driver-side replica of the probe ranking
+    * ([[graft.functions.NearestCentroidsExpr]] / `probesExpr`): top-`nProbe`
+    * centroids of `qv` by (cosine DESC via `java.lang.Double.compare`, ties
+    * to the smallest cid) — same float→double element conversion, same
+    * left-to-right fold, dot over the shorter length, norms over each full
+    * vector. Bit-agreement with the expression is spec-pinned
+    * (IvfServedSpec), so a probe list computed on the driver (to become
+    * PARTITION-PRUNING literals) can never pick different cells than the
+    * in-plan expression would.
+    */
+  def nearestCentroidsDriver(cents: Array[(Long, Seq[Double])], qv: Seq[Float],
+      nProbe: Int): Seq[Long] = {
+    require(nProbe >= 1 && nProbe <= cents.length, "nProbe out of range")
+    var na = 0.0
+    qv.foreach { x => val d = x.toDouble; na += d * d }
+    val rowNorm = math.sqrt(na)
+    val sims = cents.map { case (_, cv) =>
+      var dot = 0.0
+      var nb = 0.0
+      var j = 0
+      val n = math.min(qv.length, cv.length)
+      while (j < n) { dot += qv(j).toDouble * cv(j); j += 1 }
+      j = 0
+      while (j < cv.length) { nb += cv(j) * cv(j); j += 1 }
+      dot / (rowNorm * math.sqrt(nb))
+    }
+    val taken = new Array[Boolean](cents.length)
+    (0 until nProbe).map { _ =>
+      var best = -1
+      var i = 0
+      while (i < cents.length) {
+        if (!taken(i)) {
+          if (best < 0) best = i
+          else {
+            val cmp = java.lang.Double.compare(sims(i), sims(best))
+            if (cmp > 0 || (cmp == 0 && cents(i)._1 < cents(best)._1)) best = i
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      cents(best)._1
+    }
+  }
+
+  /** IVF top-k probe against a WRITTEN cluster-partitioned index
+    * ([[writeIvfIndex]]): the probe list is computed on the driver over the
+    * literal centroid set ([[nearestCentroidsDriver]] — C·dim flops, the
+    * bounded state every trained operator here carries) and lands in the
+    * scan as `cluster IN (…)` LITERALS, so Catalyst prunes partitions at
+    * planning time — the scan reads only the probed cells' FILES, not a
+    * filtered full pass. Ranking is bit-identical to [[ivfTopKIndexed]]
+    * (same round-4 cosine, same (sim DESC, id) tie-break; spec-pinned).
+    * This is the at-scale serving path: train once, write once, every probe
+    * is a w/C-of-the-corpus pruned read.
+    */
+  def ivfServedTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: Array[(Long, Seq[Double])], idCol: String, vecCol: String,
+      qv: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val probes = nearestCentroidsDriver(cents, qv, nProbe)
+    spark.read.parquet(indexPath)
+      .where(col("cluster").isin(probes: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol), typedlit(qv)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   def ivfTopKIndexed(cents: Array[(Long, Seq[Double])], index: DataFrame,
       idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     // the query row carries its vector + probe list (top-nProbe centroids)

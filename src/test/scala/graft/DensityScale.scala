@@ -84,6 +84,42 @@ object DensityScale {
       val trainRows = (n + m - 1) / m
       println(f"| ${reps}x | $n | $c | $m | $trainRows | ${cents.length * dim} | $t%.1f |")
     }
+
+    // WRITTEN-index probe anchor: the round-10 served path — the auto index
+    // persisted cluster-partitioned (writeIvfIndex), probes pruned by
+    // cluster IN (...) literals. The claim under test: probe wall time is
+    // ∝ w/C of the WRITTEN index (files read scale with the probe count at
+    // a fixed index), because partition pruning makes the scan itself
+    // w/C-sized — the 100 TB serving-cost story, measured.
+    println()
+    println("| reps | n | C | w | files read/total | t(served probe) s |")
+    println("|---|---|---|---|---|---|")
+    for (reps <- Seq(10)) {
+      val emb = replica(reps)
+      val (cents, index) = operators.Similarity.ivfTrainedAuto(
+        emb, "vec_id", "embedding", kmeansIters = 1)
+      val dirIdx = java.nio.file.Files.createTempDirectory("ds_ivf_idx").toString
+      operators.Similarity.writeIvfIndex(index, dirIdx)
+      val n = reps.toLong * span
+      val c = cents.length
+      val qv = emb.where(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0)
+      def leafCount(d: java.io.File): Int = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+          kids.filter(_.isDirectory).map(leafCount).sum
+      }
+      val total = leafCount(new java.io.File(dirIdx))
+      for (w <- Seq(c / 16, c / 4, c / 2).map(math.max(_, 2)).distinct) {
+        val probes = operators.Similarity.nearestCentroidsDriver(cents, qv, w)
+        val read = spark.read.parquet(dirIdx)
+          .where(col("cluster").isin(probes: _*))
+          .select(input_file_name()).distinct().count()
+        val tP = time(operators.Similarity.ivfServedTopK(
+          spark, dirIdx, cents, "vec_id", "embedding", qv, k = 10, nProbe = w))
+        println(f"| ${reps}x | $n | $c | $w | $read/$total | $tP%.2f |")
+      }
+    }
     spark.stop()
   }
 }
