@@ -117,6 +117,29 @@ object SparkEntry {
     })
   }
 
+  /** Auto-law IVF-PQ artifacts memoized per (session, fixture dir): the
+    * auto codebooks ([[operators.Similarity.pqCodebooksAuto]] — codebook
+    * size follows the training sample via the 39-points-per-centroid rule,
+    * training scans the id-mod sample only) plus the cluster-carrying code
+    * table projected from the auto-IVF index, so `ivfpq_auto` probes scan
+    * CODES, never corpus vectors. sampleBudget matches `ivf_auto` (200) so
+    * both halves resolve the same sampling law at the verify corpus.
+    */
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Array[Array[(Long, Seq[Double])]], org.apache.spark.sql.DataFrame)]()
+  private def ivfPqArtifacts(s: SparkSession, dir: String) = {
+    ivfPqMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfPqMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      val (_, index) = ivfAutoArtifacts(ss, d)
+      val books = Similarity.pqCodebooksAuto(Tables.embeddings(ss, d),
+        "vec_id", "embedding", subDim = 8, sampleBudget = 200)
+      val codes = Similarity.pqEncode(index, "vec_id", "embedding", books,
+        carry = Seq("cluster")).localCheckpoint()
+      (books, codes)
+    })
+  }
+
   /** Bucketed catalog tables memoized per (session, fixture dir): the
     * bucketed layout is paid ONCE at write (the ingest-time shuffle);
     * `bucketed_join` then demonstrates the exchange-free join every
@@ -2339,6 +2362,21 @@ object SparkEntry {
       Similarity.pqTopKIndexed(books, codes, Tables.embeddings(s, dir),
         "vec_id", "embedding", 0L, 10)
     }),
+    "ivfpq_auto" -> ((s, dir) => {
+      // IVF-PQ, both halves on the auto law: probe the auto index's top-w
+      // cells (w = autoProbeCount(C), ~25% scan share) but scan the CODE
+      // table (numSub small codes/vector, not the float vectors) and
+      // ADC-rank reconstructions against the exact query vector — the
+      // memory architecture ANN serving deploys at 10^11 vectors. Codebook
+      // size follows the training sample (autoCodebookSize: 39 points per
+      // centroid, byte cap); the oracle bakes the resolved law values
+      // (k=4, mod 3, C=23, w=6 at the verify corpus).
+      val (cents, _) = ivfAutoArtifacts(s, dir)
+      val (books, codes) = ivfPqArtifacts(s, dir)
+      Similarity.ivfPqTopKIndexed(cents, books, codes,
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10,
+        nProbe = Similarity.autoProbeCount(cents.length))
+    }),
     // SemDeDup (Abbas et al. 2023): embedding-space near-dedup bounded by
     // the trained IVF clusters — within-cluster pairs only, min-id kept
     "semdedup" -> ((s, dir) =>
@@ -3953,6 +3991,41 @@ object SparkEntry {
     // vs checkpointed blocks), which a row/hash oracle can't see and the
     // spec's files-read measurement does
     "ivf_auto_served" -> ivfAutoProbeSql,
+    "ivfpq_auto" -> {
+      // mirror of the auto IVF-PQ probe: sampled renumbered-seed PQ chains
+      // (k = autoCodebookSize(167) = 4 codewords/subspace, train on the
+      // mod-3 sample), the ivf_auto Lloyd chain + assignment + top-6 probe,
+      // then ADC rank of code-reconstructed vectors within probed cells
+      val (pqCtes, codeCtes, centCtes) = Similarity.pqSqlCtesAuto(
+        "embeddings", "vec_id", "embedding", numSub = 8, k = 4, subDim = 8,
+        iters = 1, trainWhere = "vec_id % 3 = 0")
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+        "embeddings", "vec_id", "embedding",
+        seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+        trainWhere = "vec_id % 3 = 0",
+        iters = 1, dim = 64, cosSql)
+      val joins = codeCtes.zip(centCtes).zipWithIndex.map { case ((code, cc), m) =>
+        s"JOIN $code k$m USING (vec_id) JOIN $cc s$m ON s$m.cid = k$m.cid"
+      }.mkString(" ")
+      val xhat = codeCtes.indices.map(m => s"s$m.cvec").mkString(" || ")
+      s"""WITH $pqCtes,
+         $kmCtes,
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         probe AS (SELECT cid FROM (
+             SELECT c.cid,
+               row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
+             FROM $cent c CROSS JOIN q) WHERE rn <= 6),
+         recon AS (SELECT e.vec_id, $xhat AS xhat FROM embeddings e $joins)
+         SELECT * FROM (
+           SELECT r.vec_id, round(${cosSql("q.qv", "r.xhat")}, 4) AS sim
+           FROM recon r JOIN assign a USING (vec_id) CROSS JOIN q
+           WHERE a.cid IN (SELECT cid FROM probe))
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
     "simhash_pairs" ->
       // brute hamming over the same md5-simhash mirror: the block
       // pigeonhole is exact-pruning-only, so brute ≡ filtered

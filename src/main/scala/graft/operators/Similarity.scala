@@ -1070,10 +1070,15 @@ object Similarity {
     */
   def kmeansCentSqlCtesWhere(table: String, idCol: String, vecCol: String,
       seedWhere: String, trainWhere: String, iters: Int, dim: Int,
-      cos: (String, String) => String, prefix: String = ""): (String, String) = {
+      cos: (String, String) => String, prefix: String = "",
+      cent0Select: Option[String] = None): (String, String) = {
     val sb = new StringBuilder
-    sb ++= s"${prefix}cent0 AS (SELECT $idCol AS cid, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cvec " +
-      s"FROM $table WHERE $seedWhere)"
+    // cent0Select overrides the seed relation wholesale (must yield
+    // (cid, cvec)) — the auto-PQ mirror renumbers its seeds 0..k−1 with it
+    val cent0Body = cent0Select.getOrElse(
+      s"SELECT $idCol AS cid, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS cvec " +
+        s"FROM $table WHERE $seedWhere")
+    sb ++= s"${prefix}cent0 AS ($cent0Body)"
     for (t <- 1 to iters) {
       val prev = s"${prefix}cent${t - 1}"
       sb ++= s""",
@@ -1154,14 +1159,29 @@ object Similarity {
     val dim = seed.head._2.length
     require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
     val subDim = dim / numSub
-    var books: Array[Array[(Long, Seq[Double])]] =
+    val books: Array[Array[(Long, Seq[Double])]] =
       Array.tabulate(numSub) { m =>
         seed.map { case (cid, v) => (cid, v.slice(m * subDim, (m + 1) * subDim)) }
       }
+    pqLloyd(emb, vecCol, books, subDim, iters)
+  }
+
+  /** The joint Lloyd refinement shared by [[pqCodebooks]] (full-corpus
+    * training) and [[pqCodebooksAuto]] (sampled training): per iteration,
+    * ONE scan of `train` computes every subspace's assignment and one
+    * posexplode + groupBy on (subspace, code, dim) every codeword mean —
+    * one shuffle per iteration regardless of `numSub`, numSub×k×subDim
+    * values to the driver, DECIMAL(18,6)-exact means, emptied codes keep
+    * their previous codeword.
+    */
+  private def pqLloyd(train: DataFrame, vecCol: String,
+      seedBooks: Array[Array[(Long, Seq[Double])]], subDim: Int,
+      iters: Int): Array[Array[(Long, Seq[Double])]] = {
+    var books = seedBooks
     for (_ <- 0 until iters) {
       val codes = pqCodesFast(col(vecCol), books)
       val sub = (col("dim") / lit(subDim)).cast("int")
-      val upd = emb
+      val upd = train
         .select(codes.as("codes"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .select(sub.as("m"), element_at(col("codes"), sub + 1).as("code"),
           pmod(col("dim"), lit(subDim)).as("d"), col("v"))
@@ -1173,11 +1193,75 @@ object Similarity {
         .map { case (key, rows) =>
           key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
         }
-      books = Array.tabulate(numSub) { m =>
+      books = Array.tabulate(books.length) { m =>
         books(m).map { case (cid, old) => (cid, upd.getOrElse((m, cid), old)) }
       }
     }
     books
+  }
+
+  /** Codebook-size law for the auto-scaled PQ build: the largest power of
+    * two `k ≤ kMax` with 39·k ≤ `nTrain` — the classical
+    * points-per-centroid floor (k-means needs ~39 training points per
+    * centroid before codewords stop being noise; FAISS warns below exactly
+    * this ratio), capped at 256 so a code always fits one byte (the PQ
+    * memory contract). Powers of two keep code widths byte-packable
+    * (log₂k bits). Grows with the training sample, never past the byte.
+    */
+  def autoCodebookSize(nTrain: Long, kMin: Int = 4, kMax: Int = 256): Int = {
+    require(nTrain >= 0 && kMin >= 1 && kMax >= kMin)
+    var k = kMin
+    while (k * 2 <= kMax && 39L * (k * 2) <= nTrain) k *= 2
+    k
+  }
+
+  /** Auto-law PQ codebooks — the compression half of the ANN stack on the
+    * same discipline as [[ivfTrainedAuto]]:
+    *
+    *   - training sample: rows with id ≡ 0 (mod [[autoSampleMod]]) — Lloyd
+    *     scans ≤ sampleBudget rows at any corpus size;
+    *   - codebook size k = [[autoCodebookSize]](sample size) — follows the
+    *     corpus through the sample until the one-byte cap;
+    *   - subspace count = dim / `subDim` — subspaces follow the VECTOR
+    *     width, not the corpus (memory per vector = numSub codes ≈ numSub
+    *     bytes; the corpus-size axis of memory is row count, which PQ
+    *     cannot and should not absorb);
+    *   - seeds: the first k sample rows by id, RENUMBERED 0..k−1 (dense
+    *     codes ⇒ codes stay byte-packable and reconstruct LUTs stay flat
+    *     arrays), sliced per subspace — deterministic, SQL-mirrorable.
+    *
+    * On a dense id space with sampleBudget ≥ n this reduces exactly to
+    * [[pqCodebooks]] at the same k (spec-pinned), so the sampled build can
+    * never drift from the proven one.
+    */
+  def pqCodebooksAuto(emb: DataFrame, idCol: String, vecCol: String,
+      subDim: Int = 8, sampleBudget: Int = 1 << 16,
+      iters: Int = 1): Array[Array[(Long, Seq[Double])]] = {
+    val (n, dim) = corpusShape(emb, idCol, vecCol)
+    require(n >= 2, "pqCodebooksAuto: need at least 2 rows")
+    require(dim > 0 && dim % subDim == 0,
+      s"pqCodebooksAuto: dim $dim not divisible into $subDim-wide subspaces")
+    val numSub = dim / subDim
+    val m = autoSampleMod(n, sampleBudget)
+    val train = if (m == 1L) emb else emb.where(pmod(col(idCol), lit(m)) === 0)
+    val nTrain = (n + m - 1) / m
+    val k = autoCodebookSize(nTrain)
+    val seeds = train.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+      .map(_._2)
+    require(seeds.length == k,
+      s"pqCodebooksAuto: sample has ${seeds.length} rows for k=$k codewords")
+    val seedBooks: Array[Array[(Long, Seq[Double])]] =
+      Array.tabulate(numSub) { mm =>
+        seeds.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.slice(mm * subDim, (mm + 1) * subDim))
+        }
+      }
+    pqLloyd(train, vecCol, seedBooks, subDim, iters)
   }
 
   /** PQ-encode every vector: `numSub` code columns `c0..c<numSub-1>`, each
@@ -1186,13 +1270,16 @@ object Similarity {
     * that turns a petabyte of float vectors into terabytes of codes.
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-      books: Array[Array[(Long, Seq[Double])]]): DataFrame = {
+      books: Array[Array[(Long, Seq[Double])]],
+      carry: Seq[String] = Nil): DataFrame = {
     // one-pass codes behind a Generate barrier so the k column projections
     // read a bound attribute instead of re-evaluating the expression per
-    // column (the signatureTable pattern)
+    // column (the signatureTable pattern). `carry` rides extra columns
+    // through (e.g. `cluster` for the IVF-PQ composition).
     val codes = pqCodesFast(col(vecCol), books)
-    emb.select(col(idCol), explode(array(codes)).as("_pc"))
-      .select(col(idCol) +:
+    val keyCols = col(idCol) +: carry.map(col)
+    emb.select(keyCols :+ explode(array(codes)).as("_pc"): _*)
+      .select(keyCols ++
         books.indices.map(m => element_at(col("_pc"), m + 1).as(s"c$m")): _*)
   }
 
@@ -1239,6 +1326,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ probe — the composition large-scale ANN serving actually
+    * deploys ([[ivfTrainedAuto]]'s cells × [[pqCodebooksAuto]]'s codes):
+    * the query row carries its EXACT vector plus its top-`nProbe` centroid
+    * list; candidates are the CODE rows of the probed clusters only
+    * (`codes` = (idCol, cluster, c0..c<numSub−1>) — the scan touches codes,
+    * never corpus vectors); each candidate is reconstructed from its codes
+    * (flat literal LUT per subspace) and ADC-ranked by cosine to the exact
+    * query. At 100 TB the code table is cluster-partitioned like the
+    * [[writeIvfIndex]] layout, so this probe is a partition-pruned scan of
+    * ~w/C of the CODES — memory per vector numSub bytes instead of 4·dim.
+    */
+  def ivfPqTopKIndexed(cents: Array[(Long, Seq[Double])],
+      books: Array[Array[(Long, Seq[Double])]], codes: DataFrame,
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    val xhat = concat(books.zipWithIndex.map { case (cb, m) =>
+      val lut = typedlit(cb.sortBy(_._1).map(_._2))
+      element_at(lut, col(s"c$m").cast("int") + 1)
+    }: _*)
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"),
+        probesExpr(cents, vecCol, nProbe).as("probes"))
+    codes
+      .join(broadcast(q), array_contains(col("probes"), col("cluster")))
+      .select(col(idCol), round(cosine(col("query_vec"), xhat), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Negative squared L2 between two SQL list expressions, mirroring
     * [[negSqDist]]'s fold order. */
   def negSqDistSql(a: String, b: String): String =
@@ -1259,6 +1376,35 @@ object Similarity {
       val subCte = s"$sub AS (SELECT $idCol, list_slice($vecCol, ${m * subDim + 1}, ${(m + 1) * subDim}) AS svec FROM $table)"
       val (km, cent) = kmeansCentSqlCtes(sub, idCol, "svec", k, iters, subDim,
         negSqDistSql, prefix = s"pq${m}_")
+      val codeCte = s"""pq_code$m AS (SELECT $idCol, cid FROM (
+             SELECT e.$idCol, c.cid,
+               row_number() OVER (PARTITION BY e.$idCol ORDER BY ${negSqDistSql("e.svec", "c.cvec")} DESC, c.cid) AS rn
+             FROM $sub e CROSS JOIN $cent c) WHERE rn = 1)"""
+      (s"$subCte,\n         $km,\n         $codeCte", s"pq_code$m", cent)
+    }
+    (parts.map(_._1).mkString(",\n         "), parts.map(_._2), parts.map(_._3))
+  }
+
+  /** [[pqSqlCtes]] for the AUTO build ([[pqCodebooksAuto]]): per subspace,
+    * the slice CTE, a sampled Lloyd chain whose seeds are the first `k`
+    * sample rows by id RENUMBERED 0..k−1 (the dense-code contract) and
+    * whose training scans only `trainWhere` rows, then the full-corpus
+    * argmin code CTE. Returns (cteChain, codeCteNames, centCteNames).
+    */
+  def pqSqlCtesAuto(table: String, idCol: String, vecCol: String,
+      numSub: Int, k: Int, subDim: Int, iters: Int,
+      trainWhere: String): (String, Seq[String], Seq[String]) = {
+    val parts = (0 until numSub).map { m =>
+      val sub = s"pq_sub$m"
+      val subCte = s"$sub AS (SELECT $idCol, list_slice($vecCol, ${m * subDim + 1}, ${(m + 1) * subDim}) AS svec FROM $table)"
+      val cent0 =
+        s"""SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cid,
+              list_transform(svec, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM (SELECT $idCol, svec FROM $sub WHERE $trainWhere ORDER BY $idCol LIMIT $k)"""
+      val (km, cent) = kmeansCentSqlCtesWhere(sub, idCol, "svec",
+        seedWhere = "TRUE", trainWhere = trainWhere, iters = iters,
+        dim = subDim, negSqDistSql, prefix = s"pq${m}_",
+        cent0Select = Some(cent0))
       val codeCte = s"""pq_code$m AS (SELECT $idCol, cid FROM (
              SELECT e.$idCol, c.cid,
                row_number() OVER (PARTITION BY e.$idCol ORDER BY ${negSqDistSql("e.svec", "c.cvec")} DESC, c.cid) AS rn

@@ -67,8 +67,22 @@ object RecallPanel {
         emb, "vec_id", "embedding", kmeansIters = 1)
       val cA = centsA.length
       val probeQ = math.max(2, cA / 4)
+      // auto IVF-PQ: same cells and probe share as ivf_auto, but the probed
+      // scan reads CODES (numSub·log2(k)/8 bytes/vector) — the recall cost
+      // of the compression is this row vs the ivf_auto matched-share row
+      val booksA = operators.Similarity.pqCodebooksAuto(
+        emb, "vec_id", "embedding", subDim = 8)
+      val codesA = operators.Similarity.pqEncode(
+        idxA, "vec_id", "embedding", booksA, carry = Seq("cluster"))
+        .localCheckpoint()
+      val kA = booksA.head.length
+      val bytesPerVec = booksA.length *
+        math.max(1, (Integer.numberOfTrailingZeros(kA) + 7) / 8)
 
       val rows = Seq(
+        f"ivfpq_auto (C=$cA, probe=$probeQ, ${booksA.length}x$kA codes ≈ $bytesPerVec B/vec vs ${dim * 4}) " -> recallOf(q =>
+          operators.Similarity.ivfPqTopKIndexed(centsA, booksA, codesA, emb,
+            "vec_id", "embedding", q, k, nProbe = probeQ), truth),
         s"ivf_auto (C=$cA, probe=4 — ${400 / cA}%% scan)" -> recallOf(q =>
           operators.Similarity.ivfTopKIndexed(centsA, idxA, "vec_id", "embedding", q, k, nProbe = 4), truth),
         s"ivf_auto (C=$cA, probe=$probeQ — ~25%% scan)" -> recallOf(q =>
