@@ -2023,7 +2023,15 @@ object Similarity {
     cov(knnTrue, "knn").unionByName(cov(epsTrue, "eps"))
   }
 
-  def hubness(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+  /** RETIRED from the public surface (round 10): the fixed 16-bit band
+    * width holds candidate volume ∝ 0.25·n² — the superlinear wall the
+    * round-9 board swap demoted. Spec-internal only: DensitySpec owns the
+    * closed-form semantics, ScaleSmoke keeps it as the `hubness_fixed`
+    * stress anchor so the wall stays measurable. Library callers get
+    * [[hubnessAuto]] (budget-bounded width), which is what the board
+    * serves.
+    */
+  private[graft] def hubness(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): DataFrame =
     hubnessFromKnn(emb, idCol,
       candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand), k)
@@ -2057,8 +2065,8 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** DuckDB mirror of [[hubness]]. */
-  def hubnessSql(tbl: String, idCol: String, vecCol: String, k: Int,
+  /** DuckDB mirror of [[hubness]] — spec-internal like the operator. */
+  private[graft] def hubnessSql(tbl: String, idCol: String, vecCol: String, k: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): String =
     s"""WITH ${knnSqlCtes(tbl, idCol, vecCol, k, signDims, rowsPerBand)},
        indeg AS (SELECT nbr AS vec_id, COUNT(*) AS in_degree FROM knn GROUP BY nbr)
@@ -2109,7 +2117,11 @@ object Similarity {
     *
     * Output: (vec_id, n_nbrs, lrd, lof) ordered by vec_id.
     */
-  def lofOutliers(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+  /** RETIRED from the public surface (round 10) — see [[hubness]]'s note:
+    * fixed-width candidates are ∝ 0.25·n²; spec/stress-anchor use only.
+    * Library callers get [[lofOutliersAuto]].
+    */
+  private[graft] def lofOutliers(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): DataFrame =
     lofFromKnn(candidateKnn(emb, idCol, vecCol, k, signDims, rowsPerBand))
 
@@ -2185,7 +2197,11 @@ object Similarity {
     * cluster_id nullable) ordered by vec_id. Distances round(4) before the
     * eps test so engine float drift can't flip an edge.
     */
-  def dbscanClusters(emb: DataFrame, idCol: String, vecCol: String,
+  /** RETIRED from the public surface (round 10) — see [[hubness]]'s note:
+    * fixed-width candidates are ∝ 0.25·n²; spec/stress-anchor use only.
+    * Library callers get [[dbscanClustersAuto]].
+    */
+  private[graft] def dbscanClusters(emb: DataFrame, idCol: String, vecCol: String,
       eps: Double, minPts: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): DataFrame =
     dbscanFrom(signBands(emb, idCol, vecCol, signDims, rowsPerBand),
@@ -2266,7 +2282,7 @@ object Similarity {
   /** DuckDB mirror of [[dbscanClusters]] — same band values, same rounded
     * eps test, recursive transitive closure in place of label propagation.
     */
-  def dbscanClustersSql(tbl: String, idCol: String, vecCol: String,
+  private[graft] def dbscanClustersSql(tbl: String, idCol: String, vecCol: String,
       eps: Double, minPts: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): String = {
     val nBands = signDims / rowsPerBand
@@ -2333,7 +2349,7 @@ object Similarity {
   /** DuckDB mirror of [[lofOutliers]] — same band values, same rounded-dist
     * ranking, same DECIMAL folds, naive window in place of the salted top-k.
     */
-  def lofOutliersSql(tbl: String, idCol: String, vecCol: String, k: Int,
+  private[graft] def lofOutliersSql(tbl: String, idCol: String, vecCol: String, k: Int,
       signDims: Int = 16, rowsPerBand: Int = 4): String =
     s"WITH ${knnSqlCtes(tbl, idCol, vecCol, k, signDims, rowsPerBand)},\n$lofSqlTail"
 
