@@ -22,14 +22,21 @@ import org.apache.spark.sql.streaming._
   */
 final class FoldProcessor[K, I, S, O](
     stateName: String,
-    fold: (K, Seq[I], Option[S]) => (Option[S], Seq[O]))(implicit senc: Encoder[S])
+    fold: (K, Seq[I], Option[S]) => (Option[S], Seq[O]),
+    ttl: TTLConfig = TTLConfig.NONE)(implicit senc: Encoder[S])
     extends StatefulProcessor[K, I, O]
     with Serializable {
 
   @transient private var state: ValueState[S] = _
 
+  // ttl != NONE requires TimeMode.ProcessingTime on the transformWithState
+  // call (Spark evaluates state TTL against the batch processing clock);
+  // expired keys read as absent, so the fold restarts them from None —
+  // the keyspace bound for per-user/per-query monitors whose keys retire
+  // (round-9 verdict #4). Operators with calendar- or sketch-bounded
+  // keyspaces keep NONE.
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[S](stateName, senc, TTLConfig.NONE)
+    state = getHandle.getValueState[S](stateName, senc, ttl)
 
   override def handleInputRows(key: K, rows: Iterator[I],
       timerValues: TimerValues): Iterator[O] = {

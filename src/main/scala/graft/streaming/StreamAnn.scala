@@ -59,13 +59,13 @@ object StreamAnn {
   }
 
   /** Public for the generated state serializer (Janino visibility). */
-  final class Processor(k: Int)
+  final class Processor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, Cand, Hit] {
     @transient private var state: ValueState[TopKState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[TopKState]("topk",
-        Encoders.product[TopKState], TTLConfig.NONE)
+        Encoders.product[TopKState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[Cand],
         timerValues: TimerValues): Iterator[Hit] = {
@@ -89,11 +89,21 @@ object StreamAnn {
   /** `queries`: a STREAMING frame with (qidCol: long, qvecCol:
     * array<float>). `cents`/`index`: the prebuilt batch artifacts (index
     * columns idCol, vecCol, cluster). Emits the refreshed per-query top-k
-    * whenever a query receives candidates.
+    * whenever a query receives candidates that change it.
+    *
+    * `ttl` bounds the PER-QUERY keyspace: a live query's top-k state is
+    * dead weight once its answer has been consumed, and query ids arrive
+    * forever — without eviction RocksDB state grows with every query ever
+    * served (round-9 verdict #4). With ttl set, a query that receives no
+    * candidates for the duration is evicted (a late straggler would then
+    * re-emit a fresh top-k of itself — the consumer's latest-emission-wins
+    * contract already absorbs that). None = pre-round-10 behavior for
+    * bounded query panels (specs, replays).
     */
   def probeTopK(queries: DataFrame, qidCol: String, qvecCol: String,
       cents: Array[(Long, Seq[Double])], index: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): Dataset[Hit] = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+      ttl: Option[java.time.Duration] = None): Dataset[Hit] = {
     import queries.sparkSession.implicits._
     val probed = queries.select(
       col(qidCol).cast("long").as("qid"), col(qvecCol).as("_sa_qv"),
@@ -108,6 +118,9 @@ object StreamAnn {
       .as[Cand]
     cand
       .groupByKey(_.qid)
-      .transformWithState(new Processor(k), TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new Processor(k, ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)),
+        ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
+        OutputMode.Append())
   }
 }

@@ -66,8 +66,15 @@ object StreamExperiment {
     val seSq = math.max(
       (if (s.nA > 0) pa * (1 - pa) / s.nA else 0.0) +
         (if (s.nB > 0) pb * (1 - pb) / s.nB else 0.0), 1e-12)
-    val lam = math.sqrt(seSq / (seSq + tauSq)) *
+    // a degenerate 2x2 (e.g. one user per arm, 0% vs 100%) drives seSq to
+    // the 1e-12 floor and the exponent past double range — exp overflows to
+    // Infinity, and BigDecimal(Infinity) in round() throws (found by
+    // StateTtlSpec's restart snapshot). Saturate: evidence beyond double
+    // range IS maximal significance; finite inputs are untouched, so the
+    // stream ≡ batch parity arithmetic is unchanged where both are defined.
+    val lamRaw = math.sqrt(seSq / (seSq + tauSq)) *
       math.exp(theta * theta * tauSq / (2.0 * seSq * (seSq + tauSq)))
+    val lam = if (java.lang.Double.isFinite(lamRaw)) lamRaw else Double.MaxValue
     val pav = math.min(1.0 / lam, 1.0)
     Snapshot(key, s.nA, s.cA, s.nB, s.cB,
       round(srm, 4), srm > 3.841,
@@ -75,9 +82,15 @@ object StreamExperiment {
   }
 
   /** Streaming dashboard: a snapshot per experiment per micro-batch that
-    * delivered records for it. */
+    * delivered records for it. `ttl` bounds the keyspace: an experiment
+    * that stops receiving records for the duration is evicted from the
+    * state store (its four longs restart from zero if it ever resumes) —
+    * the retirement policy for abandoned experiment keys; None keeps state
+    * for the life of the query (the pre-round-10 behavior).
+    */
   def snapshots(records: Dataset[UserRecord],
-      tauSq: Double = 0.01): Dataset[Snapshot] = {
+      tauSq: Double = 0.01,
+      ttl: Option[java.time.Duration] = None): Dataset[Snapshot] = {
     import records.sparkSession.implicits._
     records
       .groupByKey(_.experiment)
@@ -92,7 +105,9 @@ object StreamExperiment {
                 s.copy(nB = s.nB + 1, cB = s.cB + (if (r.converted) 1 else 0))
           }
           (Some(s), Seq(snapshotOf(key, s, tauSq)))
-        })(Encoders.product[Counts]),
-        TimeMode.None(), OutputMode.Append())
+        },
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))(Encoders.product[Counts]),
+        ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
+        OutputMode.Append())
   }
 }

@@ -51,13 +51,14 @@ object StreamFunnel {
   }
 
   /** Public for the generated state serializer (Janino visibility). */
-  final class Processor(stages: Seq[String], windowMs: Long)
+  final class Processor(stages: Seq[String], windowMs: Long,
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessorWithInitialState[Long, Event, Advance, FunnelState] {
     @transient private var state: ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[FunnelState]("funnel",
-        Encoders.product[FunnelState], TTLConfig.NONE)
+        Encoders.product[FunnelState], ttl)
 
     override def handleInitialState(key: Long, initial: FunnelState,
         timerValues: TimerValues): Unit =
@@ -72,17 +73,30 @@ object StreamFunnel {
     }
   }
 
+  /** `ttl` bounds the PER-USER keyspace (round-9 verdict #4): a user whose
+    * last event is more than `windowMs` old can never advance again (the
+    * in-window test fails forever), so their (stage, ts) state is dead
+    * weight — set ttl ≳ windowMs (plus event-vs-processing-time slack) and
+    * retired users are evicted instead of accumulating one RocksDB row per
+    * user EVER seen. An evicted user who reappears restarts at stage 0 —
+    * exactly what the window semantics would conclude anyway. None =
+    * keep-forever (bounded user panels, replays, bootstrap parity).
+    */
   def funnel(
       events: Dataset[Event],
       stages: Seq[String],
-      windowMs: Long
+      windowMs: Long,
+      ttl: Option[java.time.Duration] = None
   ): Dataset[Advance] = {
     require(stages.nonEmpty, "StreamFunnel: at least one stage")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.userId)
-      .transformWithState(new Processor(stages, windowMs),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new Processor(stages, windowMs,
+          ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)),
+        ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
+        OutputMode.Append())
   }
 
   /** Every user's funnel position after replaying `events` offline — same
