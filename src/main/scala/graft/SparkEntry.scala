@@ -2047,71 +2047,21 @@ object SparkEntry {
     // operator itself (same params as its standalone query), so each
     // stage's scale posture carries over; the composite's readout is the
     // shard manifest — shard-count-bounded rows.
-    "pipeline_e2e" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val split = operators.Sampling.splitOf(col("doc_id"))
-      val norm = docs.select(col("doc_id"),
-        graft.functions.NormalizeTextExpr.normalize(col("text")).as("text"),
-        col("n_chars"))
-      val train = norm.where(split === "train")
-      val eval_ = norm.where(split === "test").select("doc_id", "text")
-      // stage barriers: each surviving relation feeds SEVERAL downstream
-      // consumers (the dedup tier reads `gated` five times, decontam reads
-      // `kept` three times, shuffle+chunk read `clean` twice) — without a
-      // materialization the optimizer re-expands the whole upstream at every
-      // reuse (measured: 440 exchanges in the fused plan vs 3 with
-      // barriers). At 100 TB each barrier is the stage-output table a real
-      // pipeline writes anyway; localCheckpoint is the single-JVM stand-in.
-      val gated = train.join(
-        TextAnalysis.gopherRules(train, "doc_id", "text")
-          .where(col("keep")).select("doc_id"),
-        Seq("doc_id"), "left_semi").localCheckpoint()
-      // ONE corpus-wide MinHash band pass feeds BOTH near-dup tiers (the
-      // dedup self-join over the gated subset and the decontam cross-join
-      // vs the eval split): band values depend only on the text, so the
-      // per-stage tables are id-semi-joined slices of this one relation —
-      // at 100 TB this is the signature table the pipeline materializes
-      // once, not a per-stage re-scan of the corpus
-      val bandsAll = Dedup.lshBands(norm, "doc_id", "text",
-        k = 8, rowsPerBand = 2).localCheckpoint()
-      def bandsOf(ids: org.apache.spark.sql.DataFrame) =
-        bandsAll.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-      val clusters = Dedup.nearDupClusters(Dedup.nearDupPairsFromBands(
-        bandsOf(gated), gated, "doc_id", "text", threshold = 0.2))
-      val kept = gated.join(
-        Dedup.dedupDecisions(gated, "doc_id", "text", clusters,
-            gated.select(col("doc_id"), col("n_chars")), "n_chars")
-          .where(col("decision") === "keep").select("doc_id"),
-        Seq("doc_id"), "left_semi").localCheckpoint()
-      val bad = operators.Decontam
-        .ngramOverlapBloom(kept, eval_, "doc_id", "text", n = 5)
-        .select(col("train_id").as("doc_id"))
-        .union(operators.Decontam
-          .nearDupAcrossFromBands(bandsOf(kept), bandsOf(eval_),
-            kept, eval_, "doc_id", "text", threshold = 0.2)
-          .select(col("train_id").as("doc_id")))
-      val clean = kept.join(bad, Seq("doc_id"), "left_anti").localCheckpoint()
-      val pos = operators.CorpusShuffle.globalShuffle(clean, "doc_id")
-      val chunkRows = operators.Chunking
-        .tokenChunks(clean, "doc_id", "text", chunkSize = 32, stride = 24)
-        .join(pos, "doc_id")
-        .select(col("pos"), col("chunk_idx"), col("n_tok"))
-        .localCheckpoint()
-      // collision-free chunk id: the multiplier is the corpus's actual max
-      // chunks/doc (one scalar agg over the checkpointed chunk table, a
-      // driver long) — the round-9 fixed pos*16 packing silently merged
-      // manifest rows for any document past 16 chunks (>392 tokens at
-      // chunkSize=32/stride=24), a bound only the fixture corpus honored
-      val perDoc = chunkRows
-        .agg(max(col("chunk_idx")).cast("long")).head().getLong(0) + 1
-      val chunks = chunkRows
-        .select((col("pos") * perDoc + col("chunk_idx")).as("chunk_id"),
-          col("n_tok"))
-      val assign = operators.Sharding.packShards(
-        chunks, "chunk_id", col("n_tok"), budget = 4096)
-      operators.Sharding.shardManifest(
-          assign.join(chunks, "chunk_id"), "chunk_id", col("n_tok"))
-        .orderBy("shard")
+    "pipeline_e2e" -> ((s, dir) =>
+      // the composed dataflow lives in operators.CorpusPipeline (round 10);
+      // this is its in-session form — localCheckpoint barriers, the
+      // single-JVM stand-in for the stage tables `pipeline_staged` writes
+      operators.CorpusPipeline.checkpointed(Tables.documents(s, dir))),
+    "pipeline_staged" -> ((s, dir) => {
+      // the DURABLE form: every barrier written as a parquet stage table
+      // (fresh temp dir per invocation — the honest full-build cost) and
+      // read back; byte-equal manifest to pipeline_e2e (shared oracle,
+      // StagedPipelineSpec pins equality + the resume-from-stage-k
+      // economics). At 100 TB these five tables are what makes a multi-day
+      // corpus build restartable.
+      val stageDir =
+        java.nio.file.Files.createTempDirectory("graft_stages_").toString
+      operators.CorpusPipeline.staged(Tables.documents(s, dir), stageDir)
     }),
     // conjunctive keyword search through the inverted-index shape
     "keyword_search" -> ((s, dir) =>
@@ -3438,6 +3388,119 @@ object SparkEntry {
          WHERE a.cid IN (SELECT cid FROM probe))
        ORDER BY sim DESC, vec_id LIMIT 10"""
   }
+
+  /** Mirror of the composed corpus pipeline (operators.CorpusPipeline.manifest): shared by `pipeline_e2e` (localCheckpoint barriers) and `pipeline_staged` (parquet stage tables) — barrier strategy is materialization only, the answer is byte-equal by construction (StagedPipelineSpec).
+    */
+  private lazy val pipelineE2eSql: String =
+      // the full corpus path composed: every stage is the standalone
+      // query's own mirror (normalize = NormalizeTextExpr.sql, gopher =
+      // gopherRulesSql over the train CTE, dedup = the dedup_decisions
+      // chain over the gated CTE, decontam = the decontam_apply dual chain
+      // with keptd as the train side, shuffle/chunk/pack/manifest = the
+      // global_shuffle + chunk_pack_e2e + shard_manifest mirrors)
+      s"""WITH RECURSIVE norm0 AS (SELECT doc_id,
+           ${graft.functions.NormalizeTextExpr.sql("text")} AS text, n_chars,
+           CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
+           FROM documents),
+         tr AS (SELECT doc_id, text, n_chars FROM norm0 WHERE b < 230),
+         ev AS (SELECT doc_id, text FROM norm0 WHERE b >= 243),
+         gop AS (${operators.TextAnalysis.gopherRulesSql("tr", "doc_id", "text")}),
+         gated AS (SELECT t.doc_id, t.text, t.n_chars
+                   FROM tr t JOIN gop g USING (doc_id) WHERE g.keep),
+         ${nearDupCtesFor("gated")},
+         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         reps AS (SELECT cluster_id, id AS keep_id FROM (
+             SELECT cl.cluster_id, cl.id,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                 ORDER BY d.n_chars DESC, cl.id) AS rn
+             FROM cl JOIN gated d ON cl.id = d.doc_id) WHERE rn = 1),
+         near AS (SELECT cl.id, reps.keep_id FROM cl JOIN reps USING (cluster_id)),
+         ex AS (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS h FROM gated),
+         exk AS (SELECT h, MIN(id) AS keep FROM ex GROUP BY h),
+         keptd AS (SELECT g.doc_id, g.text FROM gated g
+             JOIN ex ON ex.id = g.doc_id JOIN exk USING (h)
+             LEFT JOIN near ON near.id = ex.id
+             WHERE exk.keep = ex.id
+               AND (near.keep_id IS NULL OR near.keep_id = ex.id)),
+         wt AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM keptd),
+         we AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM ev),
+         g5t AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=5
+               THEN list_transform(range(1, len(ws)-3),
+                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM wt),
+         g5e AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=5
+               THEN list_transform(range(1, len(ws)-3),
+                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM we),
+         t5 AS (SELECT doc_id AS train_id, unnest(gr) AS g FROM g5t),
+         e5 AS (SELECT doc_id AS eval_id, unnest(gr) AS g FROM g5e),
+         bad5 AS (SELECT DISTINCT train_id FROM t5 JOIN e5 USING (g)),
+         sht AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM wt),
+         she AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM we),
+         sigt AS (SELECT doc_id, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sht),
+         sige AS (SELECT doc_id, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM she),
+         bandt AS (SELECT doc_id, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
+                   FROM sigt CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
+         bande AS (SELECT doc_id, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
+                   FROM sige CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
+         candx AS (SELECT DISTINCT a.doc_id AS train_id, c.doc_id AS eval_id
+                  FROM bandt a JOIN bande c
+                    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash),
+         badnd AS (SELECT DISTINCT train_id FROM (
+               SELECT train_id,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               FROM candx JOIN sht x ON x.doc_id = train_id JOIN she y ON y.doc_id = eval_id)
+             WHERE jaccard >= 0.2),
+         bad AS (SELECT train_id FROM bad5 UNION SELECT train_id FROM badnd),
+         clean AS (SELECT doc_id, text FROM keptd
+                   WHERE doc_id NOT IN (SELECT train_id FROM bad)),
+         pos AS (SELECT doc_id,
+               row_number() OVER (ORDER BY md5('shuffle:'||CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+             FROM clean),
+         cw AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM clean),
+         ck AS (SELECT doc_id, len(ws) AS n,
+               greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) AS last FROM cw),
+         cc AS (SELECT doc_id, n, unnest(range(0, last + 1)) AS ci FROM ck),
+         mc AS (SELECT MAX(ci) + 1 AS m FROM cc),
+         ch AS (SELECT p.pos*(SELECT m FROM mc) + cc.ci AS id,
+                  least(32, cc.n - cc.ci*24) AS tok
+                FROM cc JOIN pos p USING (doc_id)),
+         pk AS (SELECT id, tok,
+               CAST(COALESCE(SUM(tok) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard
+               FROM ch)
+         SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           MIN(id) AS min_id, MAX(id) AS max_id,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))) AS id_fp
+         FROM pk GROUP BY shard ORDER BY shard"""
 
   def oracleSql: Map[String, String] = Map(
     "bfl_eq" ->
@@ -5143,116 +5206,8 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard
                FROM ch)
          SELECT shard, COUNT(*) AS n_chunks FROM p GROUP BY shard ORDER BY shard""",
-    "pipeline_e2e" ->
-      // the full corpus path composed: every stage is the standalone
-      // query's own mirror (normalize = NormalizeTextExpr.sql, gopher =
-      // gopherRulesSql over the train CTE, dedup = the dedup_decisions
-      // chain over the gated CTE, decontam = the decontam_apply dual chain
-      // with keptd as the train side, shuffle/chunk/pack/manifest = the
-      // global_shuffle + chunk_pack_e2e + shard_manifest mirrors)
-      s"""WITH RECURSIVE norm0 AS (SELECT doc_id,
-           ${graft.functions.NormalizeTextExpr.sql("text")} AS text, n_chars,
-           CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,2) AS INT) AS b
-           FROM documents),
-         tr AS (SELECT doc_id, text, n_chars FROM norm0 WHERE b < 230),
-         ev AS (SELECT doc_id, text FROM norm0 WHERE b >= 243),
-         gop AS (${operators.TextAnalysis.gopherRulesSql("tr", "doc_id", "text")}),
-         gated AS (SELECT t.doc_id, t.text, t.n_chars
-                   FROM tr t JOIN gop g USING (doc_id) WHERE g.keep),
-         ${nearDupCtesFor("gated")},
-         pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION ALL SELECT id_b, id_a FROM pairs),
-         reach(id, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-         cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-         reps AS (SELECT cluster_id, id AS keep_id FROM (
-             SELECT cl.cluster_id, cl.id,
-               row_number() OVER (PARTITION BY cl.cluster_id
-                 ORDER BY d.n_chars DESC, cl.id) AS rn
-             FROM cl JOIN gated d ON cl.id = d.doc_id) WHERE rn = 1),
-         near AS (SELECT cl.id, reps.keep_id FROM cl JOIN reps USING (cluster_id)),
-         ex AS (SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS h FROM gated),
-         exk AS (SELECT h, MIN(id) AS keep FROM ex GROUP BY h),
-         keptd AS (SELECT g.doc_id, g.text FROM gated g
-             JOIN ex ON ex.id = g.doc_id JOIN exk USING (h)
-             LEFT JOIN near ON near.id = ex.id
-             WHERE exk.keep = ex.id
-               AND (near.keep_id IS NULL OR near.keep_id = ex.id)),
-         wt AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM keptd),
-         we AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM ev),
-         g5t AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=5
-               THEN list_transform(range(1, len(ws)-3),
-                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
-               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM wt),
-         g5e AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=5
-               THEN list_transform(range(1, len(ws)-3),
-                 i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
-               ELSE [md5(array_to_string(ws,' '))] END) AS gr FROM we),
-         t5 AS (SELECT doc_id AS train_id, unnest(gr) AS g FROM g5t),
-         e5 AS (SELECT doc_id AS eval_id, unnest(gr) AS g FROM g5e),
-         bad5 AS (SELECT DISTINCT train_id FROM t5 JOIN e5 USING (g)),
-         sht AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
-                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
-                 ELSE [array_to_string(ws,' ')] END) AS sh FROM wt),
-         she AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
-                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
-                 ELSE [array_to_string(ws,' ')] END) AS sh FROM we),
-         sigt AS (SELECT doc_id, sh,
-                 [list_min(list_transform(sh, s -> md5('0:'||s))),
-                  list_min(list_transform(sh, s -> md5('1:'||s))),
-                  list_min(list_transform(sh, s -> md5('2:'||s))),
-                  list_min(list_transform(sh, s -> md5('3:'||s))),
-                  list_min(list_transform(sh, s -> md5('4:'||s))),
-                  list_min(list_transform(sh, s -> md5('5:'||s))),
-                  list_min(list_transform(sh, s -> md5('6:'||s))),
-                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sht),
-         sige AS (SELECT doc_id, sh,
-                 [list_min(list_transform(sh, s -> md5('0:'||s))),
-                  list_min(list_transform(sh, s -> md5('1:'||s))),
-                  list_min(list_transform(sh, s -> md5('2:'||s))),
-                  list_min(list_transform(sh, s -> md5('3:'||s))),
-                  list_min(list_transform(sh, s -> md5('4:'||s))),
-                  list_min(list_transform(sh, s -> md5('5:'||s))),
-                  list_min(list_transform(sh, s -> md5('6:'||s))),
-                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM she),
-         bandt AS (SELECT doc_id, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
-                   FROM sigt CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
-         bande AS (SELECT doc_id, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
-                   FROM sige CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
-         candx AS (SELECT DISTINCT a.doc_id AS train_id, c.doc_id AS eval_id
-                  FROM bandt a JOIN bande c
-                    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash),
-         badnd AS (SELECT DISTINCT train_id FROM (
-               SELECT train_id,
-                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-               FROM candx JOIN sht x ON x.doc_id = train_id JOIN she y ON y.doc_id = eval_id)
-             WHERE jaccard >= 0.2),
-         bad AS (SELECT train_id FROM bad5 UNION SELECT train_id FROM badnd),
-         clean AS (SELECT doc_id, text FROM keptd
-                   WHERE doc_id NOT IN (SELECT train_id FROM bad)),
-         pos AS (SELECT doc_id,
-               row_number() OVER (ORDER BY md5('shuffle:'||CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
-             FROM clean),
-         cw AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM clean),
-         ck AS (SELECT doc_id, len(ws) AS n,
-               greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) AS last FROM cw),
-         cc AS (SELECT doc_id, n, unnest(range(0, last + 1)) AS ci FROM ck),
-         mc AS (SELECT MAX(ci) + 1 AS m FROM cc),
-         ch AS (SELECT p.pos*(SELECT m FROM mc) + cc.ci AS id,
-                  least(32, cc.n - cc.ci*24) AS tok
-                FROM cc JOIN pos p USING (doc_id)),
-         pk AS (SELECT id, tok,
-               CAST(COALESCE(SUM(tok) OVER (ORDER BY id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard
-               FROM ch)
-         SELECT shard, COUNT(*) AS n_docs,
-           CAST(SUM(tok) AS BIGINT) AS total_tokens,
-           MIN(id) AS min_id, MAX(id) AS max_id,
-           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))) AS id_fp
-         FROM pk GROUP BY shard ORDER BY shard""",
+    "pipeline_e2e" -> pipelineE2eSql,
+    "pipeline_staged" -> pipelineE2eSql,
     "keyword_search" ->
       // mirror of Search.matchAllTerms(["spark","window","join"]): postings
       // for the query terms only, conjunctive intersection, total hits
