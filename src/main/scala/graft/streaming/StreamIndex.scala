@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Incremental ANN-index maintenance on the ingest stream — the staleness
+  * half of the train-offline/serve-online story ([[StreamAnn]] serves
+  * queries; THIS keeps the index absorbing new vectors between retrains):
+  *
+  *   - [[assign]]: arriving vectors are assigned to the EXISTING trained
+  *     centroids per micro-batch — one scan-only
+  *     [[graft.functions.NearestCentroidsExpr]] projection (the
+  *     StreamMedia fingerprint precedent: stateless, no shuffle), emitting
+  *     (vecId, cluster, residual). Assignment arithmetic is the batch
+  *     build's own, so appending these rows to the written
+  *     cluster-partitioned index keeps probes EXACT over the union corpus
+  *     (for fixed centroids the batch rebuild would assign identically —
+  *     StreamIndexSpec pins it bit-equal). What accrues is centroid
+  *     QUALITY staleness: new data the old Voronoi cells describe poorly.
+  *
+  *   - [[driftMonitor]]: the retrain trigger for exactly that staleness —
+  *     a running (count, Σresidual) fold over the assigned stream,
+  *     flagging when the arriving data's mean residual (1 − cosine to its
+  *     nearest centroid) exceeds `factor` × the TRAINING corpus's baseline
+  *     residual. In-distribution arrivals keep the mean at baseline;
+  *     distribution shift raises it — the flag says "the cells no longer
+  *     fit, schedule [[graft.operators.Similarity.ivfTrainedAuto]]".
+  *     Residual sums accumulate as exact integer micro-units so the flag
+  *     is batch-split-invariant (same records ⇒ same cumulative readout).
+  *
+  * At 100 TB: assignment is embarrassingly parallel on the ingest path
+  * (centroids are a broadcast literal, C·dim doubles); the monitor's state
+  * is two numbers per index. Retraining stays a batch job — the classical
+  * IVF deployment loop (FAISS re-trains offline; serving indexes absorb
+  * adds between swaps).
+  */
+object StreamIndex {
+
+  final case class Assigned(vecId: Long, cluster: Long, residual: Double)
+  /** Σresidual carried as exact micro-units (residuals are round(6), so
+    * ×10⁶ is integral): a Long survives the transformWithState Avro state
+    * converter where BigDecimal would not, and integer addition is
+    * batch-split-invariant by construction. */
+  final case class DriftState(n: Long, sumMicro: Long)
+  final case class DriftSnapshot(indexId: String, n: Long, meanResidual: Double,
+      baseline: Double, retrain: Boolean)
+
+  /** Per-micro-batch nearest-centroid assignment of arriving vectors:
+    * (vecId, cluster, residual = round(1 − cos(vec, its centroid), 6)).
+    * Works on a static frame too (the spec's parity reference).
+    */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val cluster = element_at(
+      graft.functions.CentroidExpr.nearestCids(col(vecCol), cents, 1), 1)
+    val centOf = typedlit(cents.toMap)
+    vecs.select(
+      col(idCol).cast("long").as("vecId"),
+      cluster.as("cluster"),
+      round(lit(1.0) - graft.operators.Similarity.cosine(
+        col(vecCol), element_at(centOf, cluster)), 6).as("residual"))
+  }
+
+  /** Mean residual of a STATIC corpus under the trained centroids — the
+    * baseline the drift monitor compares arrivals against (compute it once
+    * at train time, over the training corpus). */
+  def baselineResidual(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double])]): Double =
+    assign(vecs, idCol, vecCol, cents)
+      .agg((sum(col("residual").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .head().getDouble(0)
+
+  /** Cumulative drift readout per micro-batch: one snapshot per batch that
+    * delivered assignments, flagging `retrain` once the running mean
+    * residual exceeds `factor` × `baseline`. Keyed by `indexId` so one
+    * monitor stream can watch several indexes; state is (count, Σresidual)
+    * per index.
+    */
+  def driftMonitor(assigned: Dataset[Assigned], indexId: String,
+      baseline: Double, factor: Double = 1.5): Dataset[DriftSnapshot] = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .groupByKey(_ => indexId)
+      .transformWithState(
+        new FoldProcessor[String, Assigned, DriftState, DriftSnapshot]("drift",
+          (key: String, rows: Seq[Assigned], prev: Option[DriftState]) => {
+            val p = prev.getOrElse(DriftState(0L, 0L))
+            val next = DriftState(
+              p.n + rows.length,
+              p.sumMicro + rows.map(r => math.round(r.residual * 1e6)).sum)
+            val mean = if (next.n == 0) 0.0 else next.sumMicro / 1e6 / next.n
+            (Some(next),
+              Seq(DriftSnapshot(key, next.n, mean, baseline,
+                retrain = mean > baseline * factor)))
+          })(Encoders.product[DriftState]),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

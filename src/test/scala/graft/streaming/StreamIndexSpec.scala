@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental index maintenance ([[StreamIndex]]): arriving vectors are
+  * assigned to the existing auto-trained centroids per micro-batch, and
+  * the drift monitor flags when arrivals stop fitting the trained cells.
+  *
+  * Pins:
+  *   1. streamed incremental assignment ≡ the batch (re)build's assignment
+  *     pass at the same centroids — bit-equal (vecId, cluster) across
+  *     micro-batch splits, so appending streamed rows to the written index
+  *     equals rebuilding it;
+  *   2. the streamed union index serves probes identically to a batch
+  *     index over the union corpus (StreamAnn over appended assignments);
+  *   3. the drift trigger: in-distribution arrivals keep `retrain` false,
+  *     an out-of-distribution burst (sign-flipped vectors — maximally far
+  *     from every trained centroid in cosine space) flips it true.
+  */
+class StreamIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.Sessions
+    .builder("local[4]", 4)
+    .appName("stream-index-spec")
+    .getOrCreate()
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("streamed incremental assignment is bit-equal to the batch rebuild's assignments") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+
+    // train on the first 300 ids (the existing index); ids 300+ arrive on
+    // the stream in three micro-batches
+    val seen = emb.where(col("vec_id") < 300)
+    val arriving = emb.where(col("vec_id") >= 300)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (cents, _) = graft.operators.Similarity.ivfTrainedAuto(
+      seen, "vec_id", "embedding", kmeansIters = 1, sampleBudget = 200)
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamIndex.assign(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("si_assign").start()
+    try {
+      arriving.grouped(70).foreach { chunk =>
+        source.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT vecId, cluster FROM si_assign")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      // the batch rebuild's assignment pass at the SAME centroids
+      val rebuilt = StreamIndex.assign(
+          emb.where(col("vec_id") >= 300), "vec_id", "embedding", cents)
+        .select("vecId", "cluster")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(streamed == rebuilt, "incremental assignment drifted from rebuild")
+      assert(streamed.length == arriving.length)
+    } finally q.stop()
+  }
+
+  test("a probe over the union (old index + streamed assignments) equals the batch union index probe") {
+    import spark.implicits._
+    val seen = emb.where(col("vec_id") < 300)
+    val (cents, oldIndex) = graft.operators.Similarity.ivfTrainedAuto(
+      seen, "vec_id", "embedding", kmeansIters = 1, sampleBudget = 200)
+    // streamed-side assignments (batch form of the same projection — the
+    // first test pinned stream ≡ batch for it), appended to the old index
+    val appended = StreamIndex.assign(
+        emb.where(col("vec_id") >= 300), "vec_id", "embedding", cents)
+      .join(emb.select(col("vec_id").as("vecId"), col("embedding")), "vecId")
+      .select(col("vecId").as("vec_id"), col("embedding"), col("cluster"))
+    val unionIndex = oldIndex.unionByName(appended)
+    // the batch "rebuild" at the same centroids: assign the WHOLE corpus
+    val fullIndex = emb.select(col("vec_id"), col("embedding"),
+      element_at(graft.functions.CentroidExpr.nearestCids(
+        col("embedding"), cents, 1), 1).as("cluster"))
+    for (qid <- Seq(0L, 42L, 350L, 499L)) {
+      val a = graft.operators.Similarity.ivfTopKIndexed(cents, unionIndex,
+          "vec_id", "embedding", qid, 10, nProbe = 6)
+        .as[(Long, Double)].collect().toSeq
+      val b = graft.operators.Similarity.ivfTopKIndexed(cents, fullIndex,
+          "vec_id", "embedding", qid, 10, nProbe = 6)
+        .as[(Long, Double)].collect().toSeq
+      assert(a == b, s"qid=$qid union=$a full=$b")
+    }
+  }
+
+  test("drift monitor: in-distribution arrivals stay quiet, an out-of-distribution burst trips retrain") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+
+    // a CLUSTERED corpus (the regime where an IVF index is any good and
+    // drift is a real event — the isotropic fixture has residual ≈ const
+    // for every direction, so no trigger can or should separate anything
+    // there): 4 tight axis clusters in 8 dims, in-distribution residual
+    // ≈ 0.001; a uniform-direction burst sits at ≈ 0.65 from every
+    // centroid.
+    val dim = 8
+    def member(c: Int, jitterDim: Int): Seq[Float] =
+      Seq.tabulate(dim)(d =>
+        (if (d == c) 1.0f else 0.0f) +
+          (if (d == jitterDim) 0.05f else 0.0f))
+    val cents: Array[(Long, Seq[Double])] =
+      Array.tabulate(4)(c => (c.toLong, Seq.tabulate(dim)(d =>
+        if (d == c) 1.0 else 0.0)))
+    val trainCorpus = (0 until 100)
+      .map(i => (i.toLong, member(i % 4, 4 + i % 4)))
+      .toDF("vec_id", "embedding")
+    val baseline = StreamIndex.baselineResidual(
+      trainCorpus, "vec_id", "embedding", cents)
+    assert(baseline > 0 && baseline < 0.01, s"clustered baseline $baseline")
+
+    val inDist = (100 until 300).map(i => (i.toLong, member(i % 4, 4 + i % 3)))
+    val outDist = (10000 until 10200)
+      .map(i => (i.toLong, Seq.fill(dim)(1.0f / math.sqrt(dim).toFloat)))
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val assigned = StreamIndex.assign(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      .as[StreamIndex.Assigned]
+    val q = StreamIndex.driftMonitor(assigned, "emb_idx", baseline, factor = 1.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("si_drift").start()
+    try {
+      source.addData(inDist.take(100): _*); q.processAllAvailable()
+      source.addData(inDist.drop(100): _*); q.processAllAvailable()
+      val quiet = spark.sql("SELECT retrain FROM si_drift")
+        .collect().map(_.getBoolean(0)).toSeq
+      assert(quiet.nonEmpty && quiet.forall(_ == false),
+        s"in-distribution arrivals tripped retrain: $quiet")
+      // the burst pulls the cumulative mean residual far past 1.5x baseline
+      source.addData(outDist: _*); q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n, meanResidual, retrain FROM si_drift ORDER BY n").collect().last
+      assert(last.getBoolean(2),
+        s"drift burst did not trip retrain: n=${last.getLong(0)} " +
+          s"mean=${last.getDouble(1)} baseline=$baseline")
+    } finally q.stop()
+  }
+}
