@@ -2284,6 +2284,20 @@ object SparkEntry {
       Similarity.ivfServedTopK(s, path, cents, "vec_id", "embedding", qv, 10,
         nProbe = Similarity.autoProbeCount(cents.length))
     }),
+    "ivf_served_panel" -> ((s, dir) => {
+      // batch-of-queries serving against the WRITTEN index: every 100th
+      // vector probes its top-6 cells in ONE pass — the probe list is a
+      // relation (not driver literals), so pruning arrives at RUNTIME as a
+      // DynamicPruningSubquery on the partition column (IvfServedSpec pins
+      // the dynamicpruning PartitionFilter); per-query ranking is a
+      // qid-partitioned window, never a global sort
+      val (cents, path) = ivfServedArtifacts(s, dir)
+      Similarity.ivfServedTopKPanel(s, path, cents, "vec_id", "embedding",
+        Tables.embeddings(s, dir).where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "qid", "embedding", k = 10,
+        nProbe = Similarity.autoProbeCount(cents.length))
+    }),
     "ivf_topk" -> ((s, dir) => {
       // probe-only: trained artifacts are built once per (session, dir) and
       // reused, so this benches the serving path — not training (which made
@@ -4054,6 +4068,35 @@ object SparkEntry {
     // vs checkpointed blocks), which a row/hash oracle can't see and the
     // spec's files-read measurement does
     "ivf_auto_served" -> ivfAutoProbeSql,
+    "ivf_served_panel" -> {
+      // panel mirror of the written-index batched probe: same baked law
+      // values as ivf_auto_topk (C=23, mod 3, seeds below 69, probe 6),
+      // per-query probe ranking and candidate rank both windowed by qid
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+        "embeddings", "vec_id", "embedding",
+        seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+        trainWhere = "vec_id % 3 = 0",
+        iters = 1, dim = 64, cosSql)
+      s"""WITH $kmCtes,
+         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id % 100 = 0),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         probe AS (SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
+             FROM $cent c CROSS JOIN q) WHERE rn <= 6),
+         cand AS (SELECT q.qid, e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
+             FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+             JOIN probe p ON p.cid = a.cid JOIN q ON q.qid = p.qid)
+         SELECT qid, rank, vec_id, sim FROM (
+           SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+           FROM cand)
+         WHERE rank <= 10 ORDER BY qid, rank"""
+    },
     "ivfpq_auto" -> {
       // mirror of the auto IVF-PQ probe: sampled renumbered-seed PQ chains
       // (k = autoCodebookSize(167) = 4 codewords/subspace, train on the

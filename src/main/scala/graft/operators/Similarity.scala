@@ -670,6 +670,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched probe of the WRITTEN index for a QUERY RELATION — the panel
+    * form of [[ivfServedTopK]]: each query row computes its probe list
+    * in-plan ([[graft.functions.NearestCentroidsExpr]], exploded to
+    * (qid, cluster) rows), and candidate lookup is an equi-join against
+    * the cluster-partitioned table. The probe list is a relation, not
+    * driver literals, so PLANNING-time pruning can't apply — instead the
+    * broadcast join over the partition column lets Spark insert a
+    * DynamicPruningSubquery: the scan's PartitionFilters carry
+    * `dynamicpruning#…` and the probed cells' directories are selected at
+    * RUNTIME from the broadcast side (spec-pinned). This is the shape for
+    * serving a batch of queries in one pass — one pruned scan covering
+    * the UNION of all probe lists, per-query ranking by a qid-partitioned
+    * window (panel-keyed sort, never global).
+    */
+  def ivfServedTopKPanel(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, cents: Array[(Long, Seq[Double])],
+      idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qv"),
+      explode(graft.functions.CentroidExpr.nearestCids(
+        col(qvecCol), cents, nProbe)).as("cluster"))
+    val idx = spark.read.parquet(indexPath)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    idx.join(broadcast(q), Seq("cluster"))
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("_qv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
   def ivfTopKIndexed(cents: Array[(Long, Seq[Double])], index: DataFrame,
       idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
     // the query row carries its vector + probe list (top-nProbe centroids)

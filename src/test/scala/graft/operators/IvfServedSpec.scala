@@ -112,6 +112,46 @@ class IvfServedSpec extends AnyFunSuite {
     }
   }
 
+  test("panel probe: runtime pruning via DynamicPruningSubquery + per-query equality with the literal form") {
+    import spark.implicits._
+    val (cents, index) = trained
+    val dir = java.nio.file.Files.createTempDirectory("ivf_served_panel").toString
+    try {
+      Similarity.writeIvfIndex(index, dir)
+      val nProbe = Similarity.autoProbeCount(cents.length)
+      val panel = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val res = Similarity.ivfServedTopKPanel(spark, dir, cents,
+        "vec_id", "embedding", panel, "qid", "embedding", k = 10, nProbe)
+
+      // (a) the probe list is a RELATION, so pruning must arrive at runtime:
+      // the index scan's PartitionFilters carry a dynamicpruning expression
+      // on the partition column (planning-time literals are impossible here)
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"no DynamicPruningSubquery on the written-index scan:\n$plan")
+
+      // (b) per-query equality with the driver-literal served probe — the
+      // batched join changes WHEN pruning happens, never the answer
+      val got = res.as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(h => (h._3, h._4)).toSeq).toMap
+      val qids = panel.select("qid").as[Long].collect()
+      assert(got.keySet == qids.toSet)
+      qids.foreach { qid =>
+        val one = Similarity.ivfServedTopK(spark, dir, cents,
+            "vec_id", "embedding", qvOf(qid), k = 10, nProbe)
+          .as[(Long, Double)].collect().toSeq
+        assert(got(qid) == one, s"qid=$qid panel=${got(qid)} single=$one")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("served top-k is bit-equal to the checkpointed-index probe for a query panel") {
     import spark.implicits._
     val (cents, index) = trained
