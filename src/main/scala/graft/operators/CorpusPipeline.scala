@@ -123,4 +123,45 @@ object CorpusPipeline {
       spark.read.parquet(path)
     })
   }
+
+  /** [[staged]] with the doc-keyed stage tables BUCKETED by doc_id
+    * ([[Bucketing.writeBucketed]]): the pipeline's inter-stage joins are
+    * all doc_id-keyed (band slices semi-join gated/kept/eval ids, decontam
+    * anti-joins kept), so paying the doc_id shuffle ONCE at each stage
+    * write makes every such join exchange-free on every downstream
+    * consumer and every RESUME — at 100 TB that is the difference between
+    * re-shuffling the corpus per rerun and never shuffling it again
+    * (BucketingSpec's contract applied to the pipeline's own tables).
+    *
+    * Bucket METADATA lives in the session catalog; a resume in a NEW
+    * session finds the files but not the table, so the barrier re-registers
+    * an existing stage directory with `CREATE TABLE … USING parquet
+    * CLUSTERED BY (doc_id) … LOCATION` — no data movement, plans see the
+    * bucket spec again (spec-pinned via drop-table-then-resume).
+    */
+  def stagedBucketed(docs: DataFrame, dir: String, buckets: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val docKeyed = Set("gated", "bands", "kept", "clean")
+    manifest(docs, { (name, df) =>
+      val path = s"$dir/$name"
+      val done = new java.io.File(s"$path/_SUCCESS").exists()
+      if (!docKeyed(name)) {
+        if (!done) df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      } else {
+        val table = s"graft_stage_${name}_$tag"
+        if (!done) Bucketing.writeBucketed(df, table, path, "doc_id", buckets)
+        else if (!spark.catalog.tableExists(table))
+          // files survived, catalog didn't (new session): re-attach the
+          // bucket spec to the existing directory — metadata only
+          spark.sql(
+            s"""CREATE TABLE $table (${df.schema.toDDL})
+               USING parquet
+               CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
+               LOCATION '$path'""")
+        spark.table(table)
+      }
+    })
+  }
 }

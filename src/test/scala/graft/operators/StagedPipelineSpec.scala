@@ -84,4 +84,60 @@ class StagedPipelineSpec extends AnyFunSuite {
       assert(tResumeAll < tFull, "resume-all cost >= full build")
     } finally rm(new java.io.File(dir))
   }
+
+  test("bucketed stage tables: same manifest, exchange-free doc_id semi-joins, catalog re-attach on resume") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("staged_bkt").toString
+    val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    try {
+      val bucketedRows = manifestRows(CorpusPipeline.stagedBucketed(docs, dir))
+      val checkRows = manifestRows(CorpusPipeline.checkpointed(docs))
+      assert(bucketedRows == checkRows,
+        "bucketed-staged manifest diverged from checkpointed")
+
+      // the layout's point: the band-slice semi-join (bands ⋈ kept ids,
+      // read three times per pipeline run) plans with ZERO exchange when
+      // both sides are doc_id-bucketed stage tables — the shuffle was paid
+      // once at stage write. Broadcast disabled so the pin proves
+      // BUCKETING, not small-table luck (the BucketingSpec discipline).
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val bands = spark.table(s"graft_stage_bands_$tag")
+        val kept = spark.table(s"graft_stage_kept_$tag")
+        val plan = bands
+          .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"co-bucketed stage semi-join still shuffles:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+      // new-session resume: the catalog entry is gone but the files
+      // survive — the barrier re-attaches the bucket spec (metadata-only
+      // DDL), nothing rewrites, the manifest is unchanged
+      val keptSuccess = new java.io.File(s"$dir/kept/_SUCCESS")
+      val mtime = keptSuccess.lastModified()
+      CorpusPipeline.stageNames.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_stage_${n}_$tag")
+      }
+      val resumed = manifestRows(CorpusPipeline.stagedBucketed(docs, dir))
+      assert(resumed == checkRows)
+      assert(keptSuccess.lastModified() == mtime,
+        "re-attach rewrote a surviving stage table")
+      val replan = spark.table(s"graft_stage_bands_$tag")
+        .join(spark.table(s"graft_stage_kept_$tag").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      val thr2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert(!replan.queryExecution.executedPlan.toString.contains("Exchange"),
+          "re-attached tables lost the bucket spec")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr2)
+    } finally {
+      CorpusPipeline.stageNames.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_stage_${n}_$tag")
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
