@@ -2284,6 +2284,17 @@ object SparkEntry {
       Similarity.ivfServedTopK(s, path, cents, "vec_id", "embedding", qv, 10,
         nProbe = Similarity.autoProbeCount(cents.length))
     }),
+    "index_residuals" -> ((s, dir) => {
+      // the drift monitor's batch face: every vector's assigned cell and
+      // residual (1 − cosine to its centroid) under the auto-trained
+      // index — the per-row quantity StreamIndex.driftMonitor folds and
+      // baselineResidual averages, oracle-checked end to end. Scan-only
+      // (centroids are broadcast literals), no shuffle.
+      val (cents, _) = ivfAutoArtifacts(s, dir)
+      streaming.StreamIndex.assign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", cents)
+        .orderBy("vecId")
+    }),
     "ivf_served_panel" -> ((s, dir) => {
       // batch-of-queries serving against the WRITTEN index: every 100th
       // vector probes its top-6 cells in ONE pass — the probe list is a
@@ -2297,6 +2308,19 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding")),
         "qid", "embedding", k = 10,
         nProbe = Similarity.autoProbeCount(cents.length))
+    }),
+    "ivfpq_rerank" -> ((s, dir) => {
+      // ADC + exact rerank (the FAISS refine rung): the code-only ADC pass
+      // picks a 50-id pool from the probed cells, then exactly those 50
+      // vectors are fetched (left-semi point reads) and reranked by exact
+      // cosine — RecallPanel measured the why: clustered corpora give the
+      // cells recall 1.0 but codes can't order WITHIN a cluster (ADC-only
+      // 0.25); 50 exact reads buy the order back at 8 B/vec scan cost
+      val (cents, _) = ivfAutoArtifacts(s, dir)
+      val (books, codes) = ivfPqArtifacts(s, dir)
+      Similarity.ivfPqTopKRerank(cents, books, codes,
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10,
+        nProbe = Similarity.autoProbeCount(cents.length), rerank = 50)
     }),
     "ivf_topk" -> ((s, dir) => {
       // probe-only: trained artifacts are built once per (session, dir) and
@@ -4068,6 +4092,25 @@ object SparkEntry {
     // vs checkpointed blocks), which a row/hash oracle can't see and the
     // spec's files-read measurement does
     "ivf_auto_served" -> ivfAutoProbeSql,
+    "index_residuals" -> {
+      // mirror of StreamIndex.assign over the auto-trained index: the
+      // ivf_auto assignment chain plus each row's residual to its centroid
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+        "embeddings", "vec_id", "embedding",
+        seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+        trainWhere = "vec_id % 3 = 0",
+        iters = 1, dim = 64, cosSql)
+      s"""WITH $kmCtes,
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)
+         SELECT e.vec_id AS vecId, CAST(a.cid AS BIGINT) AS cluster,
+           round(1.0 - ${cosSql("e.embedding", "c.cvec")}, 6) AS residual
+         FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         JOIN $cent c ON c.cid = a.cid
+         ORDER BY vecId"""
+    },
     "ivf_served_panel" -> {
       // panel mirror of the written-index batched probe: same baked law
       // values as ivf_auto_topk (C=23, mod 3, seeds below 69, probe 6),
@@ -4130,6 +4173,43 @@ object SparkEntry {
            SELECT r.vec_id, round(${cosSql("q.qv", "r.xhat")}, 4) AS sim
            FROM recon r JOIN assign a USING (vec_id) CROSS JOIN q
            WHERE a.cid IN (SELECT cid FROM probe))
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
+    "ivfpq_rerank" -> {
+      // the ivfpq_auto ADC chain cut at a 50-id pool (rounded-sim +
+      // vec_id order — deterministic cross-engine), then exact-cosine
+      // rerank of only those ids
+      val (pqCtes, codeCtes, centCtes) = Similarity.pqSqlCtesAuto(
+        "embeddings", "vec_id", "embedding", numSub = 8, k = 4, subDim = 8,
+        iters = 1, trainWhere = "vec_id % 3 = 0")
+      val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+        "embeddings", "vec_id", "embedding",
+        seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+        trainWhere = "vec_id % 3 = 0",
+        iters = 1, dim = 64, cosSql)
+      val joins = codeCtes.zip(centCtes).zipWithIndex.map { case ((code, cc), m) =>
+        s"JOIN $code k$m USING (vec_id) JOIN $cc s$m ON s$m.cid = k$m.cid"
+      }.mkString(" ")
+      val xhat = codeCtes.indices.map(m => s"s$m.cvec").mkString(" || ")
+      s"""WITH $pqCtes,
+         $kmCtes,
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         probe AS (SELECT cid FROM (
+             SELECT c.cid,
+               row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
+             FROM $cent c CROSS JOIN q) WHERE rn <= 6),
+         recon AS (SELECT e.vec_id, $xhat AS xhat FROM embeddings e $joins),
+         pool AS (SELECT vec_id FROM (
+             SELECT r.vec_id, round(${cosSql("q.qv", "r.xhat")}, 4) AS sim
+             FROM recon r JOIN assign a USING (vec_id) CROSS JOIN q
+             WHERE a.cid IN (SELECT cid FROM probe)
+             ORDER BY sim DESC, vec_id LIMIT 50))
+         SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
+         FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN q
          ORDER BY sim DESC, vec_id LIMIT 10"""
     },
     "simhash_pairs" ->

@@ -1391,6 +1391,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ probe with EXACT RERANK — the refine step production ANN
+    * serving runs on top of ADC (FAISS's IndexRefineFlat): the ADC pass
+    * over the probed cells' CODES selects a candidate pool of `rerank`
+    * ids, then ONLY those ids' exact vectors are fetched (an id semi-join
+    * against the corpus — `rerank` point reads, not w·n/C vector reads)
+    * and reranked by exact cosine. Round-10 RecallPanel measured why this
+    * rung exists: on a CLUSTERED corpus the cells are perfect (IVF recall
+    * 1.0) but codes can't resolve within-cluster order (ADC-only recall
+    * 0.25) — reconstruction collapses every member toward its cluster
+    * center; 8 B/vec still pays for the scan, the `rerank` exact reads
+    * buy the order back.
+    */
+  def ivfPqTopKRerank(cents: Array[(Long, Seq[Double])],
+      books: Array[Array[(Long, Seq[Double])]], codes: DataFrame,
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    val pool = ivfPqTopKIndexed(cents, books, codes, emb, idCol, vecCol,
+        queryId, rerank, nProbe)
+      .select(col(idCol))
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"))
+    emb
+      .join(pool, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("query_vec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Negative squared L2 between two SQL list expressions, mirroring
     * [[negSqDist]]'s fold order. */
   def negSqDistSql(a: String, b: String): String =

@@ -83,6 +83,9 @@ object RecallPanel {
         f"ivfpq_auto (C=$cA, probe=$probeQ, ${booksA.length}x$kA codes ≈ $bytesPerVec B/vec vs ${dim * 4}) " -> recallOf(q =>
           operators.Similarity.ivfPqTopKIndexed(centsA, booksA, codesA, emb,
             "vec_id", "embedding", q, k, nProbe = probeQ), truth),
+        f"ivfpq_rerank (ADC pool 50 → exact — the refine rung)" -> recallOf(q =>
+          operators.Similarity.ivfPqTopKRerank(centsA, booksA, codesA, emb,
+            "vec_id", "embedding", q, k, nProbe = probeQ, rerank = 50), truth),
         s"ivf_auto (C=$cA, probe=4 — ${400 / cA}%% scan)" -> recallOf(q =>
           operators.Similarity.ivfTopKIndexed(centsA, idxA, "vec_id", "embedding", q, k, nProbe = 4), truth),
         s"ivf_auto (C=$cA, probe=$probeQ — ~25%% scan)" -> recallOf(q =>
@@ -128,6 +131,25 @@ object RecallPanel {
 
     panel("1x", emb1.localCheckpoint())
     panel(s"${reps}x", embN)
+
+    // CLUSTERED corpora (round 10): the fixture's isotropic embeddings are
+    // the information-theoretic WORST case for both cell recall (truth is
+    // spread uniformly) and PQ reconstruction (no structure for codewords
+    // to exploit) — real embedding corpora are strongly clustered, so this
+    // section measures the regime they actually sit in: 50 Gaussian
+    // clusters, within-cluster sigma 0.35 (deterministic seed).
+    import spark.implicits._
+    def clustered(n: Int, nClusters: Int = 50, sigma: Double = 0.35): DataFrame = {
+      val rnd = new scala.util.Random(42)
+      val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+      (0 until n).map { i =>
+        val c = centers(i % nClusters)
+        (i.toLong,
+          Seq.tabulate(dim)(d => (c(d) + sigma * rnd.nextGaussian()).toFloat))
+      }.toDF("vec_id", "embedding").repartition(32)
+    }
+    panel("clustered-1x (50 clusters, sigma 0.35)", clustered(2000).localCheckpoint())
+    panel("clustered-10x", clustered(20000).localCheckpoint())
     spark.stop()
   }
 }

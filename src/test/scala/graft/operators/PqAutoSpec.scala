@@ -105,4 +105,34 @@ class PqAutoSpec extends AnyFunSuite {
     val expected = fullAdc.filter(r => probedIds.contains(r._1)).take(10)
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("exact rerank: the refine rung reorders the ADC pool by exact cosine, never leaves it") {
+    import spark.implicits._
+    val (cents, index) = Similarity.ivfTrainedAuto(emb, "vec_id", "embedding",
+      kmeansIters = 1, sampleBudget = 200)
+    val books = Similarity.pqCodebooksAuto(emb, "vec_id", "embedding",
+      subDim = 8, sampleBudget = 200, iters = 1)
+    val codes = Similarity.pqEncode(index, "vec_id", "embedding", books,
+      carry = Seq("cluster"))
+    val nProbe = Similarity.autoProbeCount(cents.length)
+    val pool = Similarity.ivfPqTopKIndexed(cents, books, codes, emb,
+        "vec_id", "embedding", 0L, 50, nProbe)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val got = Similarity.ivfPqTopKRerank(cents, books, codes, emb,
+        "vec_id", "embedding", 0L, 10, nProbe, rerank = 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.forall(r => pool.contains(r._1)),
+      "rerank returned an id outside the ADC pool")
+    // reference: exact cosine over exactly the pool ids, same tie-break
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+    val expected = emb.where(col("vec_id").isin(pool.toSeq: _*))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        qv.select(col("embedding").as("qv"))))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
