@@ -88,9 +88,12 @@ object CorpusPipeline {
       .join(pos, "doc_id")
       .select(col("pos"), col("chunk_idx"), col("n_tok")))
     // collision-free chunk id: the multiplier is the corpus's actual max
-    // chunks/doc (one scalar agg over the materialized chunk stage)
-    val perDoc = chunkRows
-      .agg(max(col("chunk_idx")).cast("long")).head().getLong(0) + 1
+    // chunks/doc (one scalar agg over the materialized chunk stage). A
+    // FULLY-FILTERED corpus (every doc gated/deduped/decontaminated away —
+    // the 10× smoke's word-salted replicas do this) has a NULL max: the
+    // pipeline must answer with an empty manifest, not an NPE.
+    val maxIdx = chunkRows.agg(max(col("chunk_idx")).cast("long")).head()
+    val perDoc = (if (maxIdx.isNullAt(0)) 0L else maxIdx.getLong(0)) + 1
     val chunks = chunkRows
       .select((col("pos") * perDoc + col("chunk_idx")).as("chunk_id"),
         col("n_tok"))

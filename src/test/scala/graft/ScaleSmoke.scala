@@ -208,7 +208,12 @@ object ScaleSmoke {
     // round-9: the auto-scaled IVF build (C = ⌈√n⌉ cells, sampled training)
     // and the composed corpus path (normalize → gate → dedup → decontam →
     // shuffle → chunk → pack → manifest)
-    "ivf_auto", "pipeline_e2e")
+    "ivf_auto", "pipeline_e2e",
+    // round-10: the WRITTEN-index serving paths (literal pruning + the DPP
+    // query panel), the auto IVF-PQ ADC probe + exact rerank, the drift
+    // monitor's batch face, and the parquet-stage-table pipeline form
+    "ivf_auto_served", "ivf_served_panel", "ivfpq_auto", "ivfpq_rerank",
+    "index_residuals", "pipeline_staged")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
