@@ -51,6 +51,30 @@ object SparkEntry {
 
   private def decSum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Temp directories backing written-artifact memos and staged pipeline
+    * runs, all deleted on JVM exit — a multi-rep bench or a long verify
+    * session no longer accumulates one written-index/stage-table copy per
+    * invocation on disk. (In-session reuse is still the memos' job; this
+    * is the END-of-life story.)
+    */
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val tempDirHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { p =>
+        try
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
+        catch { case _: Throwable => () }
+      }))
+  private def tempDir(prefix: String): String = {
+    tempDirHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
+  }
+
   /** Trained IVF artifacts memoized per (session, fixture dir): the index is
     * a build-once batch product (see `ivf_build`); every `ivf_topk`
     * invocation probes the same prebuilt index, like a real deployment.
@@ -97,9 +121,30 @@ object SparkEntry {
     ivfServedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     ivfServedMemo.computeIfAbsent((s, dir), { case (ss, d) =>
       val (cents, index) = ivfAutoArtifacts(ss, d)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+      val path = tempDir("graft_ivf_idx_")
       Similarity.writeIvfIndex(index, path)
       (cents, path)
+    })
+  }
+
+  /** FULLY-WRITTEN IVF-PQ serving artifacts memoized per (session, fixture
+    * dir): the auto code table persisted cluster-partitioned
+    * ([[operators.Similarity.writeIvfPqCodes]]) next to the written float
+    * index ([[ivfServedArtifacts]]). `ivfpq_served` probes BOTH from disk —
+    * partition-pruned ADC over 8 B/vec codes, point-read rerank against the
+    * written vectors — the complete train-offline/serve-online composition.
+    */
+  private val ivfPqServedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Array[(Long, Seq[Double])], Array[Array[(Long, Seq[Double])]], String, String)]()
+  private def ivfPqServedArtifacts(s: SparkSession, dir: String) = {
+    ivfPqServedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfPqServedMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      val (cents, indexPath) = ivfServedArtifacts(ss, d)
+      val (books, codes) = ivfPqArtifacts(ss, d)
+      val codesPath = tempDir("graft_ivfpq_codes_")
+      Similarity.writeIvfPqCodes(codes, codesPath)
+      (cents, books, codesPath, indexPath)
     })
   }
 
@@ -151,7 +196,7 @@ object SparkEntry {
     bucketedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     bucketedMemo.computeIfAbsent((s, dir), { case (ss, d) =>
       val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
-      val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val base = tempDir("graft_bkt_")
       val ot = s"graft_bkt_orders_$tag"
       val ct = s"graft_bkt_customer_$tag"
       operators.Bucketing.writeBucketed(
@@ -2057,11 +2102,15 @@ object SparkEntry {
       // (fresh temp dir per invocation — the honest full-build cost) and
       // read back; byte-equal manifest to pipeline_e2e (shared oracle,
       // StagedPipelineSpec pins equality + the resume-from-stage-k
-      // economics). At 100 TB these five tables are what makes a multi-day
-      // corpus build restartable.
-      val stageDir =
-        java.nio.file.Files.createTempDirectory("graft_stages_").toString
-      operators.CorpusPipeline.staged(Tables.documents(s, dir), stageDir)
+      // economics). Round 11 runs the BUCKETED form: the doc_id-keyed
+      // stage tables pay their shuffle once at write, so every inter-stage
+      // semi/anti join — and every join a RESUME re-plans — is
+      // exchange-free (StagedPipelineSpec pins zero Exchange under the
+      // resumed doc_id joins). At 100 TB these five tables are what makes
+      // a multi-day corpus build restartable without re-shuffling the
+      // corpus per rerun.
+      val stageDir = tempDir("graft_stages_")
+      operators.CorpusPipeline.stagedBucketed(Tables.documents(s, dir), stageDir)
     }),
     // conjunctive keyword search through the inverted-index shape
     "keyword_search" -> ((s, dir) =>
@@ -2320,6 +2369,20 @@ object SparkEntry {
       val (books, codes) = ivfPqArtifacts(s, dir)
       Similarity.ivfPqTopKRerank(cents, books, codes,
         Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10,
+        nProbe = Similarity.autoProbeCount(cents.length), rerank = 50)
+    }),
+    "ivfpq_served" -> ((s, dir) => {
+      // the complete at-scale serving composition, BOTH tables written:
+      // driver-computed probe literals partition-prune the WRITTEN code
+      // table (8 B/vec ADC pass cuts the 50-id pool) and the WRITTEN float
+      // index (point-read exact rerank of just those ids). Bit-equal to
+      // ivfpq_rerank — same arithmetic over durable layouts (shared
+      // oracle; IvfServedSpec pins both scans' files-read sets)
+      val (cents, books, codesPath, indexPath) = ivfPqServedArtifacts(s, dir)
+      val qv = Tables.embeddings(s, dir).where(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.ivfPqServedTopK(s, codesPath, indexPath, cents, books,
+        "vec_id", "embedding", qv, 10,
         nProbe = Similarity.autoProbeCount(cents.length), rerank = 50)
     }),
     "ivf_topk" -> ((s, dir) => {
@@ -3404,6 +3467,47 @@ object SparkEntry {
     * `ivf_auto_served` (written cluster-partitioned index) — the two serve
     * bit-equal answers over different layouts.
     */
+  /** RERANKED IVF-PQ mirror: the ivfpq_auto ADC chain cut at a 50-id pool
+    * (rounded-sim + vec_id order — deterministic cross-engine), then
+    * exact-cosine rerank of only those ids. Shared by `ivfpq_rerank`
+    * (in-session code table) and `ivfpq_served` (WRITTEN code + float
+    * tables) — same arithmetic, bit-equal answers over different layouts.
+    */
+  private lazy val ivfPqRerankSql: String = {
+    val (pqCtes, codeCtes, centCtes) = Similarity.pqSqlCtesAuto(
+      "embeddings", "vec_id", "embedding", numSub = 8, k = 4, subDim = 8,
+      iters = 1, trainWhere = "vec_id % 3 = 0")
+    val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+      "embeddings", "vec_id", "embedding",
+      seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+      trainWhere = "vec_id % 3 = 0",
+      iters = 1, dim = 64, cosSql)
+    val joins = codeCtes.zip(centCtes).zipWithIndex.map { case ((code, cc), m) =>
+      s"JOIN $code k$m USING (vec_id) JOIN $cc s$m ON s$m.cid = k$m.cid"
+    }.mkString(" ")
+    val xhat = codeCtes.indices.map(m => s"s$m.cvec").mkString(" || ")
+    s"""WITH $pqCtes,
+         $kmCtes,
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         probe AS (SELECT cid FROM (
+             SELECT c.cid,
+               row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
+             FROM $cent c CROSS JOIN q) WHERE rn <= 6),
+         recon AS (SELECT e.vec_id, $xhat AS xhat FROM embeddings e $joins),
+         pool AS (SELECT vec_id FROM (
+             SELECT r.vec_id, round(${cosSql("q.qv", "r.xhat")}, 4) AS sim
+             FROM recon r JOIN assign a USING (vec_id) CROSS JOIN q
+             WHERE a.cid IN (SELECT cid FROM probe)
+             ORDER BY sim DESC, vec_id LIMIT 50))
+         SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
+         FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN q
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+  }
+
   private lazy val ivfAutoProbeSql: String = {
     val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
       "embeddings", "vec_id", "embedding",
@@ -4175,43 +4279,10 @@ object SparkEntry {
            WHERE a.cid IN (SELECT cid FROM probe))
          ORDER BY sim DESC, vec_id LIMIT 10"""
     },
-    "ivfpq_rerank" -> {
-      // the ivfpq_auto ADC chain cut at a 50-id pool (rounded-sim +
-      // vec_id order — deterministic cross-engine), then exact-cosine
-      // rerank of only those ids
-      val (pqCtes, codeCtes, centCtes) = Similarity.pqSqlCtesAuto(
-        "embeddings", "vec_id", "embedding", numSub = 8, k = 4, subDim = 8,
-        iters = 1, trainWhere = "vec_id % 3 = 0")
-      val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
-        "embeddings", "vec_id", "embedding",
-        seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
-        trainWhere = "vec_id % 3 = 0",
-        iters = 1, dim = 64, cosSql)
-      val joins = codeCtes.zip(centCtes).zipWithIndex.map { case ((code, cc), m) =>
-        s"JOIN $code k$m USING (vec_id) JOIN $cc s$m ON s$m.cid = k$m.cid"
-      }.mkString(" ")
-      val xhat = codeCtes.indices.map(m => s"s$m.cvec").mkString(" || ")
-      s"""WITH $pqCtes,
-         $kmCtes,
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         assign AS (SELECT vec_id, cid FROM (
-             SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
-             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
-         probe AS (SELECT cid FROM (
-             SELECT c.cid,
-               row_number() OVER (ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
-             FROM $cent c CROSS JOIN q) WHERE rn <= 6),
-         recon AS (SELECT e.vec_id, $xhat AS xhat FROM embeddings e $joins),
-         pool AS (SELECT vec_id FROM (
-             SELECT r.vec_id, round(${cosSql("q.qv", "r.xhat")}, 4) AS sim
-             FROM recon r JOIN assign a USING (vec_id) CROSS JOIN q
-             WHERE a.cid IN (SELECT cid FROM probe)
-             ORDER BY sim DESC, vec_id LIMIT 50))
-         SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim
-         FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN q
-         ORDER BY sim DESC, vec_id LIMIT 10"""
-    },
+    "ivfpq_rerank" -> ivfPqRerankSql,
+    // the served form runs the same arithmetic over WRITTEN tables —
+    // bit-equal by construction (IvfServedSpec), so the mirror is shared
+    "ivfpq_served" -> ivfPqRerankSql,
     "simhash_pairs" ->
       // brute hamming over the same md5-simhash mirror: the block
       // pigeonhole is exact-pruning-only, so brute ≡ filtered

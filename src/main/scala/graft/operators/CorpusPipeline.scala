@@ -117,11 +117,32 @@ object CorpusPipeline {
     * stage. At 100 TB these ARE the pipeline's intermediate tables; the
     * resume property is what makes a multi-day corpus build restartable.
     */
+  /** Whether `path/_SUCCESS` exists, resolved through Hadoop's FileSystem
+    * API so the stage-complete probe works on ANY supported filesystem
+    * (HDFS/S3/local) — a `java.io.File` check is always false off the
+    * local disk, which would silently defeat resume exactly where the
+    * durable form matters. */
+  private def stageComplete(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Recursively delete `path` (any filesystem) — clears an interrupted
+    * earlier write attempt whose committed files survive outside
+    * `_temporary`, so a stage re-run can never absorb duplicates. */
+  private def clearStageDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   def staged(docs: DataFrame, dir: String): DataFrame = {
     val spark = docs.sparkSession
     manifest(docs, { (name, df) =>
       val path = s"$dir/$name"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      if (!stageComplete(spark, path))
         df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     })
@@ -148,14 +169,20 @@ object CorpusPipeline {
     val docKeyed = Set("gated", "bands", "kept", "clean")
     manifest(docs, { (name, df) =>
       val path = s"$dir/$name"
-      val done = new java.io.File(s"$path/_SUCCESS").exists()
+      val done = stageComplete(spark, path)
       if (!docKeyed(name)) {
         if (!done) df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       } else {
         val table = s"graft_stage_${name}_$tag"
-        if (!done) Bucketing.writeBucketed(df, table, path, "doc_id", buckets)
-        else if (!spark.catalog.tableExists(table))
+        if (!done) {
+          // an interrupted earlier attempt may have committed files without
+          // `_SUCCESS`; writeBucketed's saveAsTable is ErrorIfExists on the
+          // directory, so clear it first — the plain branch's
+          // mode("overwrite") semantics, made explicit for the bucketed path
+          clearStageDir(spark, path)
+          Bucketing.writeBucketed(df, table, path, "doc_id", buckets)
+        } else if (!spark.catalog.tableExists(table))
           // files survived, catalog didn't (new session): re-attach the
           // bucket spec to the existing directory — metadata only
           spark.sql(

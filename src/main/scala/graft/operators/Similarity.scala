@@ -596,11 +596,31 @@ object Similarity {
     * cell; every probe that filters on `cluster` literals is partition
     * pruning at PLANNING time: the scan lists and reads only the probed
     * cells' files (~w/C of the index), which is the entire serving-cost
-    * story at 100 TB. Write cost is one shuffle-free pass over the
-    * assignment projection (dynamic partition write).
+    * story at 100 TB.
+    *
+    * The write REPARTITIONS by `cluster` first — one bounded hash shuffle
+    * (the same price [[Bucketing.writeBucketed]] pays) so each cell's rows
+    * land in ONE task and each partition directory gets ~1 file. Without
+    * it every write task emits a file per cell it happens to hold:
+    * round 10 measured 31.6 files/cell (4,486 files for a 20k-row index),
+    * which at cells ×10⁵ and tasks ×10⁴ is 10⁹ metastore entries — a
+    * listing/metadata killer. files/cell ≈ 1 is pinned in IvfServedSpec.
     */
   def writeIvfIndex(index: DataFrame, path: String): Unit =
-    index.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    index.repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Persist an IVF-PQ CODE table ((idCol, cluster, c0..c<numSub−1>) —
+    * [[pqEncode]] with `carry = Seq("cluster")`) cluster-partitioned like
+    * [[writeIvfIndex]]: the durable layout ADC serving probes. Same
+    * repartition-by-cell discipline (files/cell ≈ 1, spec-pinned). At
+    * 10¹¹ vectors this table is numSub bytes/vector — the scan target —
+    * while the float index ([[writeIvfIndex]]) is touched only for
+    * point-read rerank.
+    */
+  def writeIvfPqCodes(codes: DataFrame, path: String): Unit =
+    codes.repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
 
   /** Driver-side replica of the probe ranking
     * ([[graft.functions.NearestCentroidsExpr]] / `probesExpr`): top-`nProbe`
@@ -1418,6 +1438,56 @@ object Similarity {
       .join(pool, Seq(idCol), "left_semi")
       .crossJoin(broadcast(q))
       .select(col(idCol), round(cosine(col(vecCol), col("query_vec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ serving from WRITTEN tables — the composition of round 10's
+    * two halves ([[writeIvfIndex]]'s partitioned layout × codes-not-
+    * vectors) that a 10¹¹-vector deployment actually runs. Probe list is
+    * computed on the driver ([[nearestCentroidsDriver]], bit-pinned to the
+    * in-plan ranking) and lands as `cluster IN (…)` literals in BOTH scans,
+    * so each is partition-pruned at planning time:
+    *
+    *   1. ADC pass over the WRITTEN CODE table ([[writeIvfPqCodes]]) —
+    *      reads ~w/C of the codes at numSub bytes/vector, reconstructs via
+    *      literal codebook LUTs, ranks by cosine to the exact query, cuts
+    *      a `rerank`-id pool;
+    *   2. exact rerank against the WRITTEN FLOAT index
+    *      ([[writeIvfIndex]]) — the pool ids live in probed cells by
+    *      construction, so the point reads prune to the same w/C
+    *      directories and a left-semi join selects the `rerank` rows.
+    *
+    * Ranking arithmetic is [[ivfPqTopKRerank]]'s (same ADC cosine, same
+    * pool cut, same exact-cosine rerank and (sim DESC, id) tie-break), so
+    * the served answer is bit-equal to the in-session form — spec-pinned,
+    * oracle-shared. Scan cost: w/C of an 8 B/vec table + `rerank` exact
+    * rows; never a full pass over anything.
+    */
+  def ivfPqServedTopK(spark: org.apache.spark.sql.SparkSession,
+      codesPath: String, indexPath: String,
+      cents: Array[(Long, Seq[Double])],
+      books: Array[Array[(Long, Seq[Double])]],
+      idCol: String, vecCol: String, qv: Seq[Float],
+      k: Int, nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    val probes = nearestCentroidsDriver(cents, qv, nProbe)
+    val xhat = concat(books.zipWithIndex.map { case (cb, m) =>
+      val lut = typedlit(cb.sortBy(_._1).map(_._2))
+      element_at(lut, col(s"c$m").cast("int") + 1)
+    }: _*)
+    val pool = spark.read.parquet(codesPath)
+      .where(col("cluster").isin(probes: _*))
+      .select(col(idCol),
+        round(cosine(typedlit(qv), xhat), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol))
+    spark.read.parquet(indexPath)
+      .where(col("cluster").isin(probes: _*))
+      .join(pool, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(cosine(col(vecCol), typedlit(qv)), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

@@ -152,6 +152,89 @@ class IvfServedSpec extends AnyFunSuite {
     }
   }
 
+  test("written index file-count law: repartition-by-cluster writes ~1 file per cell") {
+    val (_, index) = trained
+    val dir = java.nio.file.Files.createTempDirectory("ivf_served_files").toString
+    try {
+      Similarity.writeIvfIndex(index, dir)
+      val cellDirs = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(d => d.isDirectory && d.getName.startsWith("cluster="))
+      assert(cellDirs.nonEmpty)
+      val filesPerCell = cellDirs.map(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")))
+      // the round-10 shape was 31.6 files/cell (every write task emitted a
+      // file per cell it held) — at cells ×10⁵, tasks ×10⁴ that is 10⁹
+      // metastore entries. The repartition(col("cluster")) before the write
+      // routes each cell to ONE task: files/cell must stay a small constant
+      // (2 allows a spill split), independent of writer parallelism.
+      assert(filesPerCell.max <= 2,
+        s"files/cell law broken: max ${filesPerCell.max} (dirs=${cellDirs.length})")
+      assert(filesPerCell.sum <= 2 * cellDirs.length)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("served IVF-PQ: written codes + written index, both scans pruned, bit-equal to the in-session rerank") {
+    import spark.implicits._
+    val (cents, index) = trained
+    val books = Similarity.pqCodebooksAuto(emb, "vec_id", "embedding",
+      subDim = 8, sampleBudget = 200)
+    val codes = Similarity.pqEncode(index, "vec_id", "embedding", books,
+      carry = Seq("cluster"))
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfpq_served_idx").toString
+    val codeDir = java.nio.file.Files.createTempDirectory("ivfpq_served_code").toString
+    try {
+      Similarity.writeIvfIndex(index, idxDir)
+      Similarity.writeIvfPqCodes(codes, codeDir)
+      val nProbe = Similarity.autoProbeCount(cents.length)
+
+      // files/cell law holds for the code table too
+      val codeCells = Option(new java.io.File(codeDir).listFiles())
+        .getOrElse(Array.empty).filter(d => d.isDirectory && d.getName.startsWith("cluster="))
+      assert(codeCells.nonEmpty && codeCells.forall(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")) <= 2))
+
+      for (qid <- Seq(0L, 17L, 101L, 333L)) {
+        val qv = qvOf(qid)
+        val served = Similarity.ivfPqServedTopK(spark, codeDir, idxDir,
+          cents, books, "vec_id", "embedding", qv, k = 10,
+          nProbe = nProbe, rerank = 50)
+        // both scans carry the probe literals as PartitionFilters
+        val plan = served.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters"),
+          s"served IVF-PQ scans not partition-pruned:\n$plan")
+        val servedRows = served.as[(Long, Double)].collect().toSeq
+        val memRows = Similarity.ivfPqTopKRerank(cents, books,
+            codes, emb, "vec_id", "embedding", qid, k = 10,
+            nProbe = nProbe, rerank = 50)
+          .as[(Long, Double)].collect().toSeq
+        assert(servedRows == memRows, s"qid=$qid served=$servedRows mem=$memRows")
+      }
+
+      // measured ground truth on the code scan: the ADC pass reads only the
+      // probed cells' CODE files (the 8 B/vec w/C claim, file-level)
+      val probes = Similarity.nearestCentroidsDriver(cents, qvOf(0L), nProbe).toSet
+      val readFiles = spark.read.parquet(codeDir)
+        .where(col("cluster").isin(probes.toSeq: _*))
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(readFiles.nonEmpty && readFiles.forall(f =>
+        probes.exists(p => f.contains(s"cluster=$p/"))),
+        s"code scan read a non-probed cell: $readFiles")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idxDir)); rm(new java.io.File(codeDir))
+    }
+  }
+
   test("served top-k is bit-equal to the checkpointed-index probe for a query panel") {
     import spark.implicits._
     val (cents, index) = trained

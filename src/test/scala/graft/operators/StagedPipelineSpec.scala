@@ -140,4 +140,35 @@ class StagedPipelineSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("interrupted bucketed stage write: stray committed files without _SUCCESS are cleared, not absorbed") {
+    val dir = java.nio.file.Files.createTempDirectory("staged_bkt_int").toString
+    val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    try {
+      // simulate a killed earlier attempt: the `kept` stage directory holds
+      // a committed parquet file (real rows!) but no _SUCCESS marker — the
+      // rewrite must clear it, or the re-created external table would count
+      // those rows twice
+      val keptDir = new java.io.File(s"$dir/kept")
+      assert(keptDir.mkdirs())
+      docs.limit(7).select("doc_id", "text", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/kept_tmp")
+      val part = Option(new java.io.File(s"$dir/kept_tmp").listFiles())
+        .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+      val stray = new java.io.File(keptDir, "part-stray.parquet")
+      java.nio.file.Files.copy(part.toPath, stray.toPath)
+      assert(!new java.io.File(keptDir, "_SUCCESS").exists())
+
+      val rows = manifestRows(CorpusPipeline.stagedBucketed(docs, dir))
+      assert(rows == manifestRows(CorpusPipeline.checkpointed(docs)),
+        "stray pre-crash files leaked into the rebuilt bucketed stage")
+      assert(!new java.io.File(keptDir, "part-stray.parquet").exists(),
+        "interrupted-attempt file survived the stage rewrite")
+    } finally {
+      CorpusPipeline.stageNames.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_stage_${n}_$tag")
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
