@@ -62,6 +62,39 @@ object StreamIndex {
         col(vecCol), element_at(centOf, cluster)), 6).as("residual"))
   }
 
+  /** Assign one micro-batch to the trained centroids and APPEND it into the
+    * WRITTEN cluster-partitioned index
+    * ([[graft.operators.Similarity.writeIvfIndex]]'s layout): rows keep the
+    * index schema (idCol, vecCol, cluster), are repartitioned by `cluster`
+    * (one bounded shuffle per batch — the writeIvfIndex file-count law: at
+    * most ONE new file per touched cell per batch, never one per task per
+    * cell) and land as a dynamic-partition append. Assignment is the same
+    * expression the batch rebuild runs, so the grown table is bit-equal to
+    * a rebuild at the same centroids (spec-pinned across ≥2 appends).
+    */
+  def appendBatch(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double])], indexPath: String): Unit =
+    batch.select(col(idCol), col(vecCol),
+        element_at(graft.functions.CentroidExpr.nearestCids(
+          col(vecCol), cents, 1), 1).as("cluster"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("append").parquet(indexPath)
+
+  /** The streaming face of [[appendBatch]]: a `foreachBatch` writer that
+    * grows the written index as vectors arrive — the production ingest
+    * path ([[graft.operators.Similarity.ivfServedTopK]] probes the grown
+    * table; concurrent probes see each append atomically per batch since
+    * parquet readers list files at planning time). Caller starts it with
+    * `.option("checkpointLocation", …).start()`.
+    */
+  def appendToIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double])], indexPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        appendBatch(batch, idCol, vecCol, cents, indexPath)
+    }
+
   /** Mean residual of a STATIC corpus under the trained centroids — the
     * baseline the drift monitor compares arrivals against (compute it once
     * at train time, over the training corpus). */
@@ -95,6 +128,55 @@ object StreamIndex {
               Seq(DriftSnapshot(key, next.n, mean, baseline,
                 retrain = mean > baseline * factor)))
           })(Encoders.product[DriftState]),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One arrival-ordinal window's aggregate: rows `[win·windowRows,
+    * (win+1)·windowRows)` in arrival order. Longs only — the Avro state
+    * converter contract. */
+  final case class WinAgg(win: Long, n: Long, sumMicro: Long)
+  final case class DriftWinState(n: Long, wins: Seq[WinAgg])
+
+  /** [[driftMonitor]] with BOUNDED trigger latency: the cumulative form's
+    * flag compares the all-time mean to baseline, so after N
+    * in-distribution arrivals a genuine shift needs O(N) more drifted rows
+    * before the running mean crosses `factor` × baseline — latency grows
+    * with history. This fold windows the stream by ARRIVAL ORDINAL
+    * (`windowRows` rows per window, the stream's own clock — no event-time
+    * column needed) and keeps only the trailing `nWindows` aggregates:
+    * the readout mean covers at most `nWindows · windowRows` recent rows,
+    * so a shift trips the flag within ~one window of drifted arrivals no
+    * matter how long the index has been quiet. State per index: ≤ nWindows
+    * (win, count, Σmicro) triples — still O(1).
+    */
+  def driftMonitorWindowed(assigned: Dataset[Assigned], indexId: String,
+      baseline: Double, factor: Double = 1.5,
+      windowRows: Long = 1000, nWindows: Int = 4): Dataset[DriftSnapshot] = {
+    require(windowRows >= 1 && nWindows >= 1)
+    import assigned.sparkSession.implicits._
+    assigned
+      .groupByKey(_ => indexId)
+      .transformWithState(
+        new FoldProcessor[String, Assigned, DriftWinState, DriftSnapshot]("driftw",
+          (key: String, rows: Seq[Assigned], prev: Option[DriftWinState]) => {
+            val p = prev.getOrElse(DriftWinState(0L, Seq.empty))
+            val acc = scala.collection.mutable.LinkedHashMap[Long, (Long, Long)](
+              p.wins.map(w => w.win -> (w.n, w.sumMicro)): _*)
+            var n = p.n
+            rows.foreach { r =>
+              val w = n / windowRows
+              val (cn, cs) = acc.getOrElse(w, (0L, 0L))
+              acc(w) = (cn + 1, cs + math.round(r.residual * 1e6))
+              n += 1
+            }
+            val kept = acc.toSeq.sortBy(_._1).takeRight(nWindows)
+              .map { case (w, (cn, cs)) => WinAgg(w, cn, cs) }
+            val totN = kept.map(_.n).sum
+            val mean = if (totN == 0) 0.0 else kept.map(_.sumMicro).sum / 1e6 / totN
+            (Some(DriftWinState(n, kept)),
+              Seq(DriftSnapshot(key, n, mean, baseline,
+                retrain = mean > baseline * factor)))
+          })(Encoders.product[DriftWinState]),
         TimeMode.None(), OutputMode.Append())
   }
 }

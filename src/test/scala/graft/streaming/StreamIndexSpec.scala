@@ -90,6 +90,133 @@ class StreamIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch append grows the WRITTEN index: served probes equal the batch rebuild across 2 appends, files/cell bounded") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val seen = emb.where(col("vec_id") < 300)
+    val (cents, oldIndex) = graft.operators.Similarity.ivfTrainedAuto(
+      seen, "vec_id", "embedding", kmeansIters = 1, sampleBudget = 200)
+    val dir = java.nio.file.Files.createTempDirectory("si_append_idx").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("si_append_full").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("si_append_ckpt").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      graft.operators.Similarity.writeIvfIndex(oldIndex, dir)
+      val arriving = emb.where(col("vec_id") >= 300)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val source = MemoryStream[(Long, Seq[Float])]
+      val q = StreamIndex.appendToIndex(
+          source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          cents, dir)
+        .option("checkpointLocation", ckpt).start()
+      val appends = try {
+        val chunks = arriving.grouped(100).toSeq
+        chunks.foreach { chunk => source.addData(chunk: _*); q.processAllAvailable() }
+        chunks.length
+      } finally q.stop()
+      assert(appends >= 2, s"fixture must drive >=2 appends, got $appends")
+
+      // the batch rebuild at the SAME centroids, written the batch way —
+      // the grown table must serve identically (train-offline/serve-online:
+      // appends between retrains never change an answer)
+      val fullIndex = emb.select(col("vec_id"), col("embedding"),
+        element_at(graft.functions.CentroidExpr.nearestCids(
+          col("embedding"), cents, 1), 1).as("cluster"))
+      graft.operators.Similarity.writeIvfIndex(fullIndex, fullDir)
+      assert(spark.read.parquet(dir).count() == emb.count(),
+        "append duplicated or dropped rows")
+      val nProbe = graft.operators.Similarity.autoProbeCount(cents.length)
+      def qvOf(qid: Long): Seq[Float] =
+        emb.where(col("vec_id") === qid).select("embedding")
+          .as[Seq[Float]].head()
+      for (qid <- Seq(0L, 42L, 350L, 499L)) {
+        val grown = graft.operators.Similarity.ivfServedTopK(spark, dir,
+            cents, "vec_id", "embedding", qvOf(qid), 10, nProbe)
+          .as[(Long, Double)].collect().toSeq
+        val rebuilt = graft.operators.Similarity.ivfServedTopK(spark, fullDir,
+            cents, "vec_id", "embedding", qvOf(qid), 10, nProbe)
+          .as[(Long, Double)].collect().toSeq
+        assert(grown == rebuilt, s"qid=$qid grown=$grown rebuilt=$rebuilt")
+      }
+      // file-count law under growth: initial write ≤2 files/cell, each
+      // append adds AT MOST one file per touched cell (the per-batch
+      // repartition) — never one per task per cell
+      val cellDirs = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("cluster="))
+      val filesPerCell = cellDirs.map(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")))
+      assert(filesPerCell.max <= 2 + appends,
+        s"append file-count law broken: max ${filesPerCell.max} " +
+          s"files/cell after $appends appends")
+    } finally { rm(new java.io.File(dir)); rm(new java.io.File(fullDir))
+      rm(new java.io.File(ckpt)) }
+  }
+
+  test("windowed drift monitor trips within one window where the cumulative mean is still diluted by history") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    // mild drift fixture: residual ≈ jitter²/2, so jitter 0.05 → baseline
+    // b ≈ 0.00125 and jitter 0.05·√2 → 2b. Feed 400 in-distribution rows
+    // then 200 drifted rows in 100-row batches: the cumulative mean is
+    // (400·b + 200·2b)/600 = 1.33b — UNDER the 1.5b trigger (history
+    // dilutes it; it would need 400 more drifted rows), while the trailing
+    // 2×100-row windows see only drifted rows (mean 2b) and trip.
+    val dim = 8
+    def member(c: Int, jdim: Int, m: Float): Seq[Float] =
+      Seq.tabulate(dim)(d =>
+        (if (d == c) 1.0f else 0.0f) + (if (d == jdim) m else 0.0f))
+    val cents: Array[(Long, Seq[Double])] =
+      Array.tabulate(4)(c => (c.toLong, Seq.tabulate(dim)(d =>
+        if (d == c) 1.0 else 0.0)))
+    val train = (0 until 100)
+      .map(i => (i.toLong, member(i % 4, 4 + i % 4, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val baseline = StreamIndex.baselineResidual(train, "vec_id", "embedding", cents)
+    val inDist = (100 until 500).map(i => (i.toLong, member(i % 4, 4 + i % 3, 0.05f)))
+    val drifted = (1000 until 1200)
+      .map(i => (i.toLong, member(i % 4, 4 + i % 3, (0.05 * math.sqrt(2)).toFloat)))
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val assigned = StreamIndex.assign(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      .as[StreamIndex.Assigned]
+    val qw = StreamIndex.driftMonitorWindowed(assigned, "emb_idx", baseline,
+        factor = 1.5, windowRows = 100, nWindows = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("si_driftw").start()
+    val qc = StreamIndex.driftMonitor(assigned, "emb_idx", baseline, factor = 1.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("si_driftc").start()
+    try {
+      (inDist ++ drifted).grouped(100).foreach { chunk =>
+        source.addData(chunk: _*)
+        qw.processAllAvailable(); qc.processAllAvailable()
+      }
+      val win = spark.sql(
+        "SELECT n, meanResidual, retrain FROM si_driftw ORDER BY n")
+        .as[(Long, Double, Boolean)].collect().toSeq
+      val cum = spark.sql(
+        "SELECT n, meanResidual, retrain FROM si_driftc ORDER BY n")
+        .as[(Long, Double, Boolean)].collect().toSeq
+      // in-distribution prefix: both quiet
+      assert(win.takeWhile(_._1 <= 400).forall(!_._3), s"windowed false-tripped: $win")
+      assert(cum.takeWhile(_._1 <= 400).forall(!_._3), s"cumulative false-tripped: $cum")
+      // after the 200 drifted rows: windowed trips (trailing windows are
+      // all-drift), cumulative is still diluted below 1.5×baseline — the
+      // unbounded-latency failure the windowed fold exists to fix
+      assert(win.last._3,
+        s"windowed monitor missed the shift: ${win.last} baseline=$baseline")
+      assert(!cum.last._3,
+        s"cumulative unexpectedly tripped (fixture drift too harsh): ${cum.last}")
+      assert(cum.last._2 < baseline * 1.5 && win.last._2 > baseline * 1.5)
+    } finally { qw.stop(); qc.stop() }
+  }
+
   test("drift monitor: in-distribution arrivals stay quiet, an out-of-distribution burst trips retrain") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
