@@ -59,13 +59,13 @@ object Sessionize {
     * the generated state serializer news the class from Janino code (the
     * StreamNearDup gotcha).
     */
-  final class Processor(gapMs: Long)
+  final class Processor(gapMs: Long, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessorWithInitialState[Long, Event, Session, SessionState] {
     @transient private var state: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[SessionState]("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
+        Encoders.product[SessionState], ttl)
 
     override def handleInitialState(key: Long, initial: SessionState,
         timerValues: TimerValues): Unit =
@@ -80,11 +80,27 @@ object Sessionize {
     }
   }
 
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  /** `ttl` bounds the PER-USER keyspace (the round-10 residual: the open-
+    * session extents are unbounded exactly like StreamFunnel's were): a
+    * user idle past the TTL has their open-session extent EVICTED — that
+    * session's close event is forfeited (it was never going to close by
+    * event arrival anyway; a real deployment pairs the TTL with a timer- or
+    * batch-side flush if the tail session matters) and a revived user
+    * starts a fresh session from None, exactly like a cold key. Set
+    * ttl ≫ gapMs (plus event-vs-processing-time slack) so only truly
+    * retired users evict. TTL is a processing-time contract, so setting it
+    * switches the query to `TimeMode.ProcessingTime` — StateTtlSpec's
+    * throttled-trigger harness applies.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      ttl: Option[java.time.Duration] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.userId)
-      .transformWithState(new Processor(gapMs), TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new Processor(gapMs, ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)),
+        ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
+        OutputMode.Append())
   }
 
   /** Every user's OPEN session after replaying `events` (the history) —
