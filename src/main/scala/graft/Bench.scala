@@ -79,29 +79,46 @@ object Bench {
     // shared-subset ratio normalized by it, so a reader can separate
     // contention from regression from the committed files alone — no
     // more 184.5-vs-220.1s same-HEAD ambiguity.
+    // Round-11 hardening (r10 verdict #5): the 10 cheap controls
+    // under-corrected the HEAVY tail under real load (the driver's loaded
+    // run normalized to 1.184 vs idle — cheap scan-bound queries inflate
+    // less than multi-stage heavy ones when the box is contended). Three
+    // heavy byte-stable queries join the set, and a TIME-WEIGHTED control
+    // ratio (Σcur/Σprev over controls — dominated by the heavy ones,
+    // matching how heavy queries dominate the board total) is recorded as
+    // control_inflation_wt with its normalization normalized_vs_prev_wt.
+    // The median-based fields keep their round-10 meaning for
+    // artifact-to-artifact comparability.
     val controlSet = Seq("tumbling_window", "trimmed_mean_ab", "q7_volume",
       "hist_quantiles", "q1_pricing", "bfl_eq", "dedup_exact",
-      "hourly_events", "percentiles", "kmv_overlap")
+      "hourly_events", "percentiles", "kmv_overlap",
+      "pipeline_e2e", "avi_frames", "ece_reliability")
     val resultsMap = results.toMap
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val attribution = prev.map { case (file, p) =>
-      val cr = controlSet.flatMap { k =>
+      val ctrl = controlSet.flatMap { k =>
         for (v <- resultsMap.get(k); pv <- p.get(k) if v >= 0 && pv > 0)
-          yield v / pv
-      }.sorted
+          yield (v, pv)
+      }
+      val cr = ctrl.map { case (v, pv) => v / pv }.sorted
       val inflation =
         if (cr.isEmpty) -1.0
         else if (cr.length % 2 == 1) cr(cr.length / 2)
         else (cr(cr.length / 2 - 1) + cr(cr.length / 2)) / 2
+      val inflationWt =
+        if (ctrl.isEmpty) -1.0 else ctrl.map(_._1).sum / ctrl.map(_._2).sum
       val shared = results.filter { case (k, v) => v >= 0 && p.get(k).exists(_ > 0) }
       val raw =
         if (shared.isEmpty) -1.0
         else shared.map(_._2).sum / shared.map { case (k, _) => p(k) }.sum
       val normalized = if (inflation > 0 && raw > 0) raw / inflation else -1.0
+      val normalizedWt = if (inflationWt > 0 && raw > 0) raw / inflationWt else -1.0
       s""","prev_base":"$file","controls_n":${cr.length},""" +
         s""""control_inflation":${fmt3(inflation)},""" +
-        s""""raw_vs_prev":${fmt3(raw)},"normalized_vs_prev":${fmt3(normalized)}"""
+        s""""control_inflation_wt":${fmt3(inflationWt)},""" +
+        s""""raw_vs_prev":${fmt3(raw)},"normalized_vs_prev":${fmt3(normalized)},""" +
+        s""""normalized_vs_prev_wt":${fmt3(normalizedWt)}"""
     }.getOrElse("")
     prev.foreach { case (file, p) =>
       val deltas = results.flatMap { case (k, v) =>
