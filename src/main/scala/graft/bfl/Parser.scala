@@ -168,17 +168,57 @@ object Parser extends RegexParsers {
     }
   }
 
+  /** Go text/scanner lex pre-scan: an unterminated string/char/raw literal
+    * fails the whole LEX before parsing starts — participle reads every
+    * token up front, so the lex error wins even when a parse error sits
+    * earlier in the text (reference: `"\n=.=\"\n\t"` reports
+    * `2:5: literal not terminated`, NOT the 2:1 parse error —
+    * server/lib/parser_test.go:1243-1249). The reported position is the
+    * char that terminated the scan (the newline for "/' literals, EOF for
+    * backtick raw strings), Go scanner semantics.
+    */
+  private def lexScanError(text: String): Option[String] = {
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch == '"' || ch == '\'') {
+        var j = i + 1
+        var closed = false
+        while (!closed && j < text.length && text.charAt(j) != '\n') {
+          val c = text.charAt(j)
+          if (c == '\\' && j + 1 < text.length) j += 2
+          else if (c == ch) closed = true
+          else j += 1
+        }
+        if (!closed) {
+          val (l, c) = lineCol(text, math.min(j, text.length))
+          return Some(s"$l:$c: literal not terminated")
+        }
+        i = j + 1
+      } else if (ch == '`') {
+        val j = text.indexOf('`', i + 1)
+        if (j < 0) {
+          val (l, c) = lineCol(text, text.length)
+          return Some(s"$l:$c: literal not terminated")
+        }
+        i = j + 1
+      } else i += 1
+    }
+    None
+  }
+
   /** Parse a query string to the raw tree. Empty string = match-all
     * (reference: server/lib/parser.go:84-86).
     */
   def parseRaw(text: String): Either[String, Option[RExpression]] =
     if (text.trim.isEmpty) Right(None)
-    else
+    else lexScanError(text).map(Left(_)).getOrElse {
       parseAll(expression, text) match {
         case Success(r, _)      => Right(Some(r))
         case NoSuccess(_, next) => Left(participleError(text, next.offset))
         case _                  => Left("parse failure")
       }
+    }
 
   /** Parse + normalize (the reference's Parse + Precompute). Regex literals
     * are validated here — the reference compiles them in Precompute and

@@ -116,6 +116,16 @@ rule(
     assert(Parser.parse("=.=") == Left("""1:1: unexpected token "=""""))
     assert(Parser.parse("""request.path[3.14] == "hello"""") ==
       Left("""1:14: unexpected token "3.14" (expected (<string> | <char> | <rawstring> | "*") "]")"""))
+    // the remaining two participle-exact strings the reference asserts
+    // (server/lib/parser_test.go:1243-1257): a multi-line error position,
+    // and — the subtle one — an unterminated literal failing the LEX, which
+    // participle runs to completion before parsing, so it outranks the
+    // parse error sitting EARLIER in the text (2:1's stray "=")
+    assert(Parser.parse("\nrequest.path[3.14] == \"hello\"\n\t") ==
+      Left("""2:14: unexpected token "3.14" (expected (<string> | <char> | <rawstring> | "*") "]")"""))
+    assert(Parser.parse("\n=.=\"\n\t") == Left("2:5: literal not terminated"))
+    assert(Parser.parse("""x == "unterminated""") ==
+      Left("1:19: literal not terminated"))
   }
 
   test("validate churn: many sequential parses stay stable") {
