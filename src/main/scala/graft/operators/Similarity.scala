@@ -622,6 +622,53 @@ object Similarity {
     codes.repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(path)
 
+  /** Compact the oversized cells of a written cluster-partitioned table
+    * ([[writeIvfIndex]] / [[writeIvfPqCodes]] layout) back to ~1 file each —
+    * the maintenance half of the streamed-append story: every
+    * [[graft.streaming.StreamIndex.appendBatch]] adds ≤1 file per touched
+    * cell, so files/cell grows linearly with appends between retrains;
+    * this rewrites ONLY cells past `maxFilesPerCell` (incremental — quiet
+    * cells cost nothing) and returns how many were compacted.
+    *
+    * Scale posture: each compaction is one bounded job over ONE cell's
+    * rows (~n/C), and cells are independent — a production run fans the
+    * oversized-cell list out as parallel jobs; the sequential driver loop
+    * here is the fixture-scale form of that schedule. The swap
+    * (delete old files, rename compacted ones in) is not atomic for
+    * concurrent probes of the SAME cell — run it in the index's
+    * maintenance window (the retrain slot), like FAISS segment merges.
+    */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerCell: Int = 4): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cells = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+    var compacted = 0
+    cells.foreach { cell =>
+      def dataFiles = fs.listStatus(cell.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val old = dataFiles
+      if (old.length > maxFilesPerCell) {
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s"_compact_tmp_${cell.getPath.getName}")
+        spark.read.parquet(cell.getPath.toString)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        old.foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(cell.getPath, s"compact-$i.parquet"))
+            ()
+          }
+        fs.delete(tmp, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Driver-side replica of the probe ranking
     * ([[graft.functions.NearestCentroidsExpr]] / `probesExpr`): top-`nProbe`
     * centroids of `qv` by (cosine DESC via `java.lang.Double.compare`, ties

@@ -119,6 +119,43 @@ object DensityScale {
           spark, dirIdx, cents, "vec_id", "embedding", qv, k = 10, nProbe = w))
         println(f"| ${reps}x | $n | $c | $w | $read/$total | $tP%.2f |")
       }
+
+      // WRITTEN IVF-PQ serving anchor (round-11): BOTH tables on disk —
+      // the ADC pass partition-prunes the CODE table (numSub small ints
+      // per vector instead of dim floats) and the rerank point-reads the
+      // float index. Claims measured: probe time ∝ w/C at code-table
+      // byte-cost (disk sizes printed — the 8 B/vec story), answers from
+      // written tables ≡ the in-session rerank (spec-pinned, not re-argued
+      // here).
+      val books = operators.Similarity.pqCodebooksAuto(
+        emb, "vec_id", "embedding", subDim = 8)
+      val codes = operators.Similarity.pqEncode(
+        index, "vec_id", "embedding", books, carry = Seq("cluster"))
+      val dirCodes = java.nio.file.Files.createTempDirectory("ds_ivfpq_codes").toString
+      operators.Similarity.writeIvfPqCodes(codes, dirCodes)
+      def dirBytes(d: java.io.File): Long = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        kids.filter(_.isFile).map(_.length).sum +
+          kids.filter(_.isDirectory).map(dirBytes).sum
+      }
+      val idxMb = dirBytes(new java.io.File(dirIdx)) / 1e6
+      val codeMb = dirBytes(new java.io.File(dirCodes)) / 1e6
+      println()
+      println(f"written float index $idxMb%.1f MB vs code table $codeMb%.1f MB " +
+        f"(${idxMb / codeMb}%.1fx smaller scan target)")
+      println("| reps | n | C | w | code files read/total | t(ivfpq served probe) s |")
+      println("|---|---|---|---|---|---|")
+      val totalCodeFiles = leafCount(new java.io.File(dirCodes))
+      for (w <- Seq(c / 16, c / 4, c / 2).map(math.max(_, 2)).distinct) {
+        val probes = operators.Similarity.nearestCentroidsDriver(cents, qv, w)
+        val read = spark.read.parquet(dirCodes)
+          .where(col("cluster").isin(probes: _*))
+          .select(input_file_name()).distinct().count()
+        val tP = time(operators.Similarity.ivfPqServedTopK(
+          spark, dirCodes, dirIdx, cents, books, "vec_id", "embedding", qv,
+          k = 10, nProbe = w, rerank = 200))
+        println(f"| ${reps}x | $n | $c | $w | $read/$totalCodeFiles | $tP%.2f |")
+      }
     }
     spark.stop()
   }

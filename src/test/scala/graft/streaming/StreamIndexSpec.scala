@@ -153,6 +153,31 @@ class StreamIndexSpec extends AnyFunSuite {
       assert(filesPerCell.max <= 2 + appends,
         s"append file-count law broken: max ${filesPerCell.max} " +
           s"files/cell after $appends appends")
+
+      // compaction closes the growth loop: oversized cells rewritten to 1
+      // file, quiet cells untouched, rows + served answers bit-unchanged
+      val before = spark.read.parquet(dir)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val nCompacted = graft.operators.Similarity.compactIvfCells(
+        spark, dir, maxFilesPerCell = 1)
+      assert(nCompacted >= 1, "no cell needed compaction — fixture too small")
+      val filesAfter = cellDirs.map(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")))
+      assert(filesAfter.max == 1,
+        s"compaction left ${filesAfter.max} files in a cell")
+      val after = spark.read.parquet(dir)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      assert(after == before, "compaction changed the table's rows")
+      for (qid <- Seq(0L, 350L)) {
+        val grown = graft.operators.Similarity.ivfServedTopK(spark, dir,
+            cents, "vec_id", "embedding", qvOf(qid), 10, nProbe)
+          .as[(Long, Double)].collect().toSeq
+        val rebuilt = graft.operators.Similarity.ivfServedTopK(spark, fullDir,
+            cents, "vec_id", "embedding", qvOf(qid), 10, nProbe)
+          .as[(Long, Double)].collect().toSeq
+        assert(grown == rebuilt, s"post-compaction probe drifted: qid=$qid")
+      }
     } finally { rm(new java.io.File(dir)); rm(new java.io.File(fullDir))
       rm(new java.io.File(ckpt)) }
   }
