@@ -2385,6 +2385,21 @@ object SparkEntry {
         "vec_id", "embedding", qv, 10,
         nProbe = Similarity.autoProbeCount(cents.length), rerank = 50)
     }),
+    "ivfpq_served_panel" -> ((s, dir) => {
+      // the last cell of the serving matrix (single/batch × float/code
+      // tables): a query RELATION probes the WRITTEN code table in one
+      // pass — runtime pruning via DynamicPruningSubquery on the broadcast
+      // probe join (IvfServedSpec pins the PartitionFilters), per-qid ADC
+      // pools carrying their cluster so the float-index point reads join
+      // on (cluster, id) and prune too; per-qid windows, never global
+      val (cents, books, codesPath, indexPath) = ivfPqServedArtifacts(s, dir)
+      Similarity.ivfPqServedTopKPanel(s, codesPath, indexPath, cents, books,
+        "vec_id", "embedding",
+        Tables.embeddings(s, dir).where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "qid", "embedding", k = 10,
+        nProbe = Similarity.autoProbeCount(cents.length), rerank = 50)
+    }),
     "ivf_topk" -> ((s, dir) => {
       // probe-only: trained artifacts are built once per (session, dir) and
       // reused, so this benches the serving path — not training (which made
@@ -3508,6 +3523,52 @@ object SparkEntry {
          ORDER BY sim DESC, vec_id LIMIT 10"""
   }
 
+  /** PANEL mirror of the written-codes serving path: [[ivfPqRerankSql]]'s
+    * chain with the probe / ADC pool / exact rerank all windowed per qid
+    * (every 100th vector is a query) — the ivf_served_panel discipline
+    * applied to the IVF-PQ composition. Shared CTEs: the PQ code chains and
+    * the Lloyd chain are qid-independent, so they are built once.
+    */
+  private lazy val ivfPqServedPanelSql: String = {
+    val (pqCtes, codeCtes, centCtes) = Similarity.pqSqlCtesAuto(
+      "embeddings", "vec_id", "embedding", numSub = 8, k = 4, subDim = 8,
+      iters = 1, trainWhere = "vec_id % 3 = 0")
+    val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
+      "embeddings", "vec_id", "embedding",
+      seedWhere = "vec_id % 3 = 0 AND vec_id < 69",
+      trainWhere = "vec_id % 3 = 0",
+      iters = 1, dim = 64, cosSql)
+    val joins = codeCtes.zip(centCtes).zipWithIndex.map { case ((code, cc), m) =>
+      s"JOIN $code k$m USING (vec_id) JOIN $cc s$m ON s$m.cid = k$m.cid"
+    }.mkString(" ")
+    val xhat = codeCtes.indices.map(m => s"s$m.cvec").mkString(" || ")
+    s"""WITH $pqCtes,
+         $kmCtes,
+         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id % 100 = 0),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1),
+         probe AS (SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY ${cosSql("q.qv", "c.cvec")} DESC, c.cid) AS rn
+             FROM $cent c CROSS JOIN q) WHERE rn <= 6),
+         recon AS (SELECT e.vec_id, $xhat AS xhat FROM embeddings e $joins),
+         pool AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, r.vec_id, round(${cosSql("q.qv", "r.xhat")}, 4) AS sim,
+               row_number() OVER (PARTITION BY q.qid ORDER BY round(${cosSql("q.qv", "r.xhat")}, 4) DESC, r.vec_id) AS rn
+             FROM recon r JOIN assign a USING (vec_id)
+             JOIN probe p ON p.cid = a.cid JOIN q ON q.qid = p.qid)
+             WHERE rn <= 50)
+         SELECT qid, rank, vec_id, sim FROM (
+           SELECT p.qid, e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS sim,
+             row_number() OVER (PARTITION BY p.qid ORDER BY round(${cosSql("e.embedding", "q.qv")}, 4) DESC, e.vec_id) AS rank
+           FROM embeddings e JOIN pool p ON p.vec_id = e.vec_id
+           JOIN q ON q.qid = p.qid)
+         WHERE rank <= 10 ORDER BY qid, rank"""
+  }
+
   private lazy val ivfAutoProbeSql: String = {
     val (kmCtes, cent) = Similarity.kmeansCentSqlCtesWhere(
       "embeddings", "vec_id", "embedding",
@@ -4283,6 +4344,7 @@ object SparkEntry {
     // the served form runs the same arithmetic over WRITTEN tables —
     // bit-equal by construction (IvfServedSpec), so the mirror is shared
     "ivfpq_served" -> ivfPqRerankSql,
+    "ivfpq_served_panel" -> ivfPqServedPanelSql,
     "simhash_pairs" ->
       // brute hamming over the same md5-simhash mirror: the block
       // pigeonhole is exact-pruning-only, so brute ≡ filtered

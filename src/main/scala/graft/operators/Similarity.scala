@@ -1539,6 +1539,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF-PQ serving from WRITTEN tables — [[ivfPqServedTopK]]'s
+    * panel form, completing the serving matrix (single/batch × float/code
+    * layouts; [[ivfServedTopKPanel]] is the float-table batch face). Each
+    * query row computes its probe list in-plan and the candidate lookup is
+    * an equi-join on the partition column, so the CODE scan is pruned at
+    * RUNTIME via DynamicPruningSubquery (probe lists are a relation —
+    * planning-time literals are impossible); the ADC pass window-ranks per
+    * qid and cuts a per-query `rerank` pool THAT CARRIES ITS CLUSTER, so
+    * the float-index point reads join on (cluster, id) — the broadcast
+    * pool side lets runtime pruning reach the second scan too. One pruned
+    * pass over codes + nq·rerank exact reads for the whole batch; ranking
+    * is per-qid windows, never a global sort.
+    */
+  def ivfPqServedTopKPanel(spark: org.apache.spark.sql.SparkSession,
+      codesPath: String, indexPath: String,
+      cents: Array[(Long, Seq[Double])],
+      books: Array[Array[(Long, Seq[Double])]],
+      idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    import org.apache.spark.sql.expressions.Window
+    val xhat = concat(books.zipWithIndex.map { case (cb, m) =>
+      val lut = typedlit(cb.sortBy(_._1).map(_._2))
+      element_at(lut, col(s"c$m").cast("int") + 1)
+    }: _*)
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qv"),
+      explode(graft.functions.CentroidExpr.nearestCids(
+        col(qvecCol), cents, nProbe)).as("cluster"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    val pool = spark.read.parquet(codesPath)
+      .join(broadcast(q), Seq("cluster"))
+      .select(col("qid"), col("cluster"), col(idCol),
+        round(cosine(col("_qv"), xhat), 4).as("sim"))
+      .withColumn("rank", row_number().over(wAdc))
+      .where(col("rank") <= rerank)
+      .select(col("qid"), col("cluster"), col(idCol))
+    val qv = queries.select(
+      col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qv"))
+    val wK = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    spark.read.parquet(indexPath)
+      .join(broadcast(pool), Seq("cluster", idCol))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("_qv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Negative squared L2 between two SQL list expressions, mirroring
     * [[negSqDist]]'s fold order. */
   def negSqDistSql(a: String, b: String): String =

@@ -213,7 +213,10 @@ object ScaleSmoke {
     // query panel), the auto IVF-PQ ADC probe + exact rerank, the drift
     // monitor's batch face, and the parquet-stage-table pipeline form
     "ivf_auto_served", "ivf_served_panel", "ivfpq_auto", "ivfpq_rerank",
-    "index_residuals", "pipeline_staged")
+    "index_residuals", "pipeline_staged",
+    // round-11: IVF-PQ served from BOTH written tables (pruned code-table
+    // ADC + point-read rerank against the written float index)
+    "ivfpq_served")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through

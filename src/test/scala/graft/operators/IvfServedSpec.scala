@@ -217,6 +217,31 @@ class IvfServedSpec extends AnyFunSuite {
         assert(servedRows == memRows, s"qid=$qid served=$servedRows mem=$memRows")
       }
 
+      // panel face: a query relation over the same written tables — runtime
+      // pruning (DynamicPruningSubquery on the broadcast probe join, since
+      // probe lists are rows, not driver literals) and per-qid equality
+      // with the single-query served form
+      val panel = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val panelRes = Similarity.ivfPqServedTopKPanel(spark, codeDir, idxDir,
+        cents, books, "vec_id", "embedding", panel, "qid", "embedding",
+        k = 10, nProbe = nProbe, rerank = 50)
+      val panelPlan = panelRes.queryExecution.executedPlan.toString
+      assert(panelPlan.contains("dynamicpruning"),
+        s"no DynamicPruningSubquery on the written-codes panel scan:\n$panelPlan")
+      val byQid = panelRes.as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(h => (h._3, h._4)).toSeq).toMap
+      val qids = panel.select("qid").as[Long].collect()
+      assert(byQid.keySet == qids.toSet)
+      qids.foreach { qid =>
+        val one = Similarity.ivfPqServedTopK(spark, codeDir, idxDir,
+            cents, books, "vec_id", "embedding", qvOf(qid), k = 10,
+            nProbe = nProbe, rerank = 50)
+          .as[(Long, Double)].collect().toSeq
+        assert(byQid(qid) == one, s"qid=$qid panel=${byQid(qid)} single=$one")
+      }
+
       // measured ground truth on the code scan: the ADC pass reads only the
       // probed cells' CODE files (the 8 B/vec w/C claim, file-level)
       val probes = Similarity.nearestCentroidsDriver(cents, qvOf(0L), nProbe).toSet
