@@ -148,6 +148,25 @@ object SparkEntry {
     })
   }
 
+  /** PUBLISHED (pointer-versioned) auto-IVF index memoized per (session,
+    * fixture dir): [[operators.IndexLifecycle.publish]] writes v1 under a
+    * base dir and `ivf_versioned_served` probes whatever `CURRENT` resolves
+    * to — the deployment loop's read path (train → publish → serve;
+    * retrain/compaction publish the NEXT version and swap the pointer,
+    * IndexLifecycleSpec pins the whole cycle).
+    */
+  private val ivfVersionedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[(Long, Seq[Double])], String)]()
+  private def ivfVersionedArtifacts(s: SparkSession, dir: String) = {
+    ivfVersionedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfVersionedMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      val (cents, index) = ivfAutoArtifacts(ss, d)
+      val base = tempDir("graft_ivf_ver_")
+      operators.IndexLifecycle.publish(ss, index, base)
+      (cents, base)
+    })
+  }
+
   /** Trained PQ artifacts memoized per (session, fixture dir) — the same
     * build/serve split as the IVF memo: `pq_build` is the once-per-corpus
     * batch job, `pq_topk` probes the prebuilt code table.
@@ -2385,6 +2404,21 @@ object SparkEntry {
         "vec_id", "embedding", qv, 10,
         nProbe = Similarity.autoProbeCount(cents.length), rerank = 50)
     }),
+    "ivf_versioned_served" -> ((s, dir) => {
+      // probe through the published pointer: the plan resolves CURRENT
+      // once, reads an immutable version directory — retrain/compaction
+      // happen on the NEXT version and swap the pointer (the FAISS/segment
+      // -commit discipline; IndexLifecycleSpec pins swap atomicity, old-
+      // version immutability, compaction-version equality, retire safety).
+      // Bit-equal to ivf_auto_served — same probe, pointer-resolved layout
+      val (cents, base) = ivfVersionedArtifacts(s, dir)
+      val qv = Tables.embeddings(s, dir).where(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.ivfServedTopK(s,
+        operators.IndexLifecycle.currentPath(s, base), cents,
+        "vec_id", "embedding", qv, 10,
+        nProbe = Similarity.autoProbeCount(cents.length))
+    }),
     "ivfpq_served_panel" -> ((s, dir) => {
       // the last cell of the serving matrix (single/batch × float/code
       // tables): a query RELATION probes the WRITTEN code table in one
@@ -4257,6 +4291,9 @@ object SparkEntry {
     // vs checkpointed blocks), which a row/hash oracle can't see and the
     // spec's files-read measurement does
     "ivf_auto_served" -> ivfAutoProbeSql,
+    // pointer-resolved serving runs the same probe over the same layout —
+    // the lifecycle adds publication atomicity, never arithmetic
+    "ivf_versioned_served" -> ivfAutoProbeSql,
     "index_residuals" -> {
       // mirror of StreamIndex.assign over the auto-trained index: the
       // ivf_auto assignment chain plus each row's residual to its centroid
