@@ -215,8 +215,9 @@ object ScaleSmoke {
     "ivf_auto_served", "ivf_served_panel", "ivfpq_auto", "ivfpq_rerank",
     "index_residuals", "pipeline_staged",
     // round-11: IVF-PQ served from BOTH written tables (pruned code-table
-    // ADC + point-read rerank against the written float index)
-    "ivfpq_served")
+    // ADC + point-read rerank against the written float index), its DPP
+    // query-panel face, and the pointer-versioned serving path
+    "ivfpq_served", "ivfpq_served_panel", "ivf_versioned_served")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
