@@ -76,8 +76,10 @@ class GoClientInteropSpec extends AnyFunSuite {
         assert(got.contains("\"model\":\"Camaro\""))
       }
 
-      // TestValidate: good queries OK, bad queries answered with an error
-      // line (exact participle message parity is declared best-effort)
+      // TestValidate: good queries OK, bad queries answered with the
+      // EXACT participle error strings (round 11: the full reference-
+      // asserted set is byte-equal — the lexer-precedence cases are
+      // pinned parser-level in bfl ParserSpec)
       assert(oneShot(port, "/validate", """brand.name == "Chevrolet"""") == "OK")
       assert(oneShot(port, "/validate",
         """http and request.method == "GET" and request.path != "/example" and (request.query.a > 42 or request.headers["x"] == "y")""") == "OK")

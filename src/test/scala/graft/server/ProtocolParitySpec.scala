@@ -45,6 +45,11 @@ class ProtocolParitySpec extends AnyFunSuite {
       "ProtocolServerSpec", "fetch leftOff beyond the high-water mark replies Index out of range"),
     Pin("/validate", "ok / reference error text",
       "ProtocolServerSpec", "validate, macro, flush respond OK / error text"),
+    Pin("/validate", "ALL reference-asserted participle error strings " +
+      "byte-equal over the socket (stray-token, bracket-expected clause; " +
+      "multi-line positions and literal-not-terminated lex precedence " +
+      "pinned parser-level in bfl ParserSpec)",
+      "GoClientInteropSpec", "reference client scenario end-to-end"),
     Pin("/macro", "macro definitions expand in later queries",
       "ProtocolServerSpec", "validate, macro, flush respond OK / error text"),
     Pin("/macro", "macros hold under concurrent clients",
