@@ -229,6 +229,28 @@ object SparkEntry {
     })
   }
 
+  /** WRITTEN dedup band index memoized per (session, fixture dir): the
+    * corpus slice's band table bucketed by band_key
+    * ([[operators.Dedup.writeBandIndex]]) — built once; every
+    * `neardup_incremental` probe joins arrivals against it with zero
+    * exchange on the corpus side (BandIndexSpec pins the plan + rebuild
+    * parity). Returns the catalog table name.
+    */
+  private val bandIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def bandIndexTable(s: SparkSession, dir: String): String = {
+    bandIndexMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    bandIndexMemo.computeIfAbsent((s, dir), { case (ss, d) =>
+      val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
+      val table = s"graft_band_idx_$tag"
+      operators.Dedup.writeBandIndex(
+        Tables.documents(ss, d).where(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", k = 8, rowsPerBand = 2,
+        table, s"${tempDir("graft_band_idx_")}/bands", buckets = 8)
+      table
+    })
+  }
+
   /** Trained BPE artifacts memoized per (session, fixture dir): the merge
     * table and encoded vocabulary are one training job; `bpe_merges` and
     * `bpe_encode` both serve from it.
@@ -1891,6 +1913,22 @@ object SparkEntry {
     }),
     // near-dup decontamination: paraphrase-level leakage the exact n-gram
     // check misses — LSH candidates across the split, verified by Jaccard
+    "neardup_incremental" -> ((s, dir) => {
+      // the production crawl-batch question — "is this arrival a near-dup
+      // of anything we already hold?" — served from the WRITTEN band index:
+      // arrivals' bands (batch-sized) join the bucketed corpus band table
+      // with zero exchange on the corpus side (the band_key shuffle was
+      // paid once at index write; BandIndexSpec pins the plan), then exact
+      // Jaccard verifies candidates only. Same arithmetic as the batch
+      // cross-pairs rebuild — the oracle is the full bands×bands chain
+      // restricted to corpus×arrival
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.probeNearDups(s, bandIndexTable(s, dir),
+        docs.where(col("doc_id") % 4 =!= 0),
+        docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", k = 8, rowsPerBand = 2, threshold = 0.2)
+        .orderBy("corpus_id", "new_id")
+    }),
     "decontam_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val split = operators.Sampling.splitOf(col("doc_id"))
@@ -5151,6 +5189,34 @@ object SparkEntry {
     // pure plan optimization — no false negatives, FPs die at the join), so
     // its oracle IS decontam_ngram's
     "decontam_bloom" -> decontamNgramSql,
+    "neardup_incremental" ->
+      // the incremental probe's oracle IS the batch rebuild's corpus×batch
+      // cross-pairs (the served-index layout changes where candidates come
+      // from, never their values): the nearDupCtes chain with candidates
+      // restricted to (doc_id % 4 != 0) × (doc_id % 4 = 0)
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=3
+                 THEN list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+                 ELSE [array_to_string(ws,' ')] END) AS sh FROM w),
+         sig AS (SELECT doc_id, sh,
+                 [list_min(list_transform(sh, s -> md5('0:'||s))),
+                  list_min(list_transform(sh, s -> md5('1:'||s))),
+                  list_min(list_transform(sh, s -> md5('2:'||s))),
+                  list_min(list_transform(sh, s -> md5('3:'||s))),
+                  list_min(list_transform(sh, s -> md5('4:'||s))),
+                  list_min(list_transform(sh, s -> md5('5:'||s))),
+                  list_min(list_transform(sh, s -> md5('6:'||s))),
+                  list_min(list_transform(sh, s -> md5('7:'||s)))] AS sigs FROM sh),
+         bands AS (SELECT doc_id, bi AS band_idx, md5(sigs[2*bi+1]||'|'||sigs[2*bi+2]) AS band_hash
+                   FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id AS corpus_id, c.doc_id AS new_id
+                  FROM bands a JOIN bands c ON a.band_idx=c.band_idx AND a.band_hash=c.band_hash
+                  WHERE a.doc_id % 4 <> 0 AND c.doc_id % 4 = 0),
+         j AS (SELECT corpus_id, new_id,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+               FROM cand JOIN sh x ON x.doc_id = corpus_id JOIN sh y ON y.doc_id = new_id)
+         SELECT corpus_id, new_id, jaccard FROM j WHERE jaccard >= 0.2
+         ORDER BY corpus_id, new_id""",
     "decontam_neardup" ->
       // mirror of Decontam.nearDupAcross(k=8, rowsPerBand=2, threshold=0.2)
       // across Sampling.splitOf: the nearDupCtes chain with the split byte

@@ -228,6 +228,62 @@ object Dedup {
     verifyJaccard(cand, docs, docs, idCol, textCol, "id_a", "id_b", threshold)
   }
 
+  /** Persist a corpus's band table as a `band_hash`-BUCKETED catalog table
+    * — the dedup signature index the ingest path probes, the
+    * [[graft.operators.Similarity.writeIvfIndex]] discipline applied to
+    * MinHash: build the bands once ([[lshBands]] — one corpus scan), pay
+    * the band_hash shuffle once at write, and every incremental probe
+    * ([[probeNearDups]]) joins a NEW batch's tiny band relation against it
+    * with ZERO exchange on the corpus side (the bucket spec satisfies the
+    * join's clustering; spec-pinned with broadcast disabled). At 100 TB
+    * the band table is ~bands/doc rows of (long, byte, hash) — the thing
+    * a crawl pipeline keeps hot, not the corpus text.
+    */
+  /** One joinable band bucket key: band_idx folded into the hash, so the
+    * index's bucket column IS the probe's single join key (a two-key join
+    * over a one-key bucket spec makes the planner disable the bucketed
+    * scan — measured in BandIndexSpec's development; the fold keeps the
+    * key exact, not probabilistic). */
+  private def bandKey: Column =
+    concat_ws(":", col("band_idx"), col("band_hash"))
+
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, rowsPerBand: Int, table: String, path: String,
+      buckets: Int = 8): Unit =
+    Bucketing.writeBucketed(
+      lshBands(docs, idCol, textCol, k, rowsPerBand)
+        .select(col(idCol), bandKey.as("band_key")),
+      table, path, "band_key", buckets)
+
+  /** Near-dups of a NEW batch against the WRITTEN band index — the
+    * incremental form of [[nearDupPairs]] a production crawl runs every
+    * batch ("is this arrival a dup of anything we already hold?"):
+    * arrivals' bands (built in-plan — a batch-sized relation) join the
+    * bucketed index on (band_idx, band_hash); only the BATCH shuffles, the
+    * corpus side reads its buckets in place. Candidates are then verified
+    * with exact shingle Jaccard ≥ `threshold`, shingling ONLY candidate
+    * docs on each side (the [[verifyJaccard]] contract). Arithmetic is
+    * [[nearDupPairsFromBands]]'s restricted to corpus×batch candidates, so
+    * the incremental answer can never drift from the batch rebuild's
+    * cross-pairs (oracle-shared).
+    *
+    * Output: (corpus_id, new_id, jaccard).
+    */
+  def probeNearDups(spark: org.apache.spark.sql.SparkSession, table: String,
+      corpusDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val newBands = lshBands(newDocs, idCol, textCol, k, rowsPerBand)
+      .select(col(idCol).as("_new_id"), bandKey.as("band_key"))
+    val cand = spark.table(table)
+      .join(newBands, Seq("band_key"))
+      .select(col(idCol).as("corpus_id"), col("_new_id").as("new_id"))
+      .distinct()
+      .localCheckpoint()
+    verifyJaccard(cand, corpusDocs, newDocs, idCol, textCol,
+      "corpus_id", "new_id", threshold)
+  }
+
   /** Asymmetric CONTAINMENT over LSH candidates: for each candidate pair,
     * |S(A)∩S(B)| / |S(A)| and / |S(B)| over distinct 3-gram shingles —
     * the excerpt/quotation signal (a short doc embedded verbatim in a long

@@ -217,7 +217,8 @@ object ScaleSmoke {
     // round-11: IVF-PQ served from BOTH written tables (pruned code-table
     // ADC + point-read rerank against the written float index), its DPP
     // query-panel face, and the pointer-versioned serving path
-    "ivfpq_served", "ivfpq_served_panel", "ivf_versioned_served")
+    "ivfpq_served", "ivfpq_served_panel", "ivf_versioned_served",
+    "neardup_incremental")
 
   /** Memo-bypassing smoke variants. `neardup_clusters` serves from a
     * per-(session, dir) memoized pair list in SparkEntry; timing it through
