@@ -95,6 +95,46 @@ object StreamIndex {
         appendBatch(batch, idCol, vecCol, cents, indexPath)
     }
 
+  /** [[appendBatch]] for the WRITTEN IVF-PQ CODE table
+    * ([[graft.operators.Similarity.writeIvfPqCodes]] layout): the arriving
+    * vectors are assigned to their cells AND PQ-encoded against the FIXED
+    * trained codebooks in one scan-only projection, then appended
+    * cluster-partitioned — the ingest path keeps BOTH served tables fresh
+    * (codes for the ADC scan, the float index for rerank point reads).
+    * Codebooks stay fixed between retrains, exactly like centroids, so the
+    * grown code table is bit-equal to a rebuild's encode pass at the same
+    * artifacts (spec-pinned through a full served probe).
+    */
+  def appendCodesBatch(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double])],
+      books: Array[Array[(Long, Seq[Double])]], codesPath: String): Unit = {
+    val assigned = batch.select(col(idCol), col(vecCol),
+      element_at(graft.functions.CentroidExpr.nearestCids(
+        col(vecCol), cents, 1), 1).as("cluster"))
+    graft.operators.Similarity
+      .pqEncode(assigned, idCol, vecCol, books, carry = Seq("cluster"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("append").parquet(codesPath)
+  }
+
+  /** The streaming face of [[appendCodesBatch]] — one `foreachBatch`
+    * writer growing BOTH written tables in step (each batch appends its
+    * float rows and its code rows; a probe between batches sees a
+    * consistent pair up to the current batch boundary on each side).
+    * Caller starts it with `.option("checkpointLocation", …).start()`.
+    */
+  def appendToIndexAndCodes(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double])],
+      books: Array[Array[(Long, Seq[Double])]],
+      indexPath: String, codesPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        appendBatch(b, idCol, vecCol, cents, indexPath)
+        appendCodesBatch(b, idCol, vecCol, cents, books, codesPath)
+    }
+
   /** Mean residual of a STATIC corpus under the trained centroids — the
     * baseline the drift monitor compares arrivals against (compute it once
     * at train time, over the training corpus). */

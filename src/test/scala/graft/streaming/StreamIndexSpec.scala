@@ -182,6 +182,65 @@ class StreamIndexSpec extends AnyFunSuite {
       rm(new java.io.File(ckpt)) }
   }
 
+  test("streamed appends keep BOTH served tables fresh: IVF-PQ probe over grown written tables equals the rebuild") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val seen = emb.where(col("vec_id") < 300)
+    val (cents, oldIndex) = graft.operators.Similarity.ivfTrainedAuto(
+      seen, "vec_id", "embedding", kmeansIters = 1, sampleBudget = 200)
+    // codebooks train on the SEEN corpus and stay fixed between retrains,
+    // exactly like the centroids
+    val books = graft.operators.Similarity.pqCodebooksAuto(
+      seen, "vec_id", "embedding", subDim = 8, sampleBudget = 200)
+    val idxDir = java.nio.file.Files.createTempDirectory("si_both_idx").toString
+    val codeDir = java.nio.file.Files.createTempDirectory("si_both_code").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("si_both_ckpt").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      graft.operators.Similarity.writeIvfIndex(oldIndex, idxDir)
+      graft.operators.Similarity.writeIvfPqCodes(
+        graft.operators.Similarity.pqEncode(oldIndex, "vec_id", "embedding",
+          books, carry = Seq("cluster")), codeDir)
+      val arriving = emb.where(col("vec_id") >= 300)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val source = MemoryStream[(Long, Seq[Float])]
+      val q = StreamIndex.appendToIndexAndCodes(
+          source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          cents, books, idxDir, codeDir)
+        .option("checkpointLocation", ckpt).start()
+      try arriving.grouped(100).foreach { chunk =>
+        source.addData(chunk: _*); q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.read.parquet(codeDir).count() == emb.count())
+
+      // the rebuild at the same artifacts: full-corpus assignment + encode
+      val fullIndex = emb.select(col("vec_id"), col("embedding"),
+        element_at(graft.functions.CentroidExpr.nearestCids(
+          col("embedding"), cents, 1), 1).as("cluster"))
+      val fullCodes = graft.operators.Similarity.pqEncode(
+        fullIndex, "vec_id", "embedding", books, carry = Seq("cluster"))
+      val nProbe = graft.operators.Similarity.autoProbeCount(cents.length)
+      def qvOf(qid: Long): Seq[Float] =
+        emb.where(col("vec_id") === qid).select("embedding")
+          .as[Seq[Float]].head()
+      for (qid <- Seq(0L, 42L, 350L, 499L)) {
+        val grown = graft.operators.Similarity.ivfPqServedTopK(spark,
+            codeDir, idxDir, cents, books, "vec_id", "embedding", qvOf(qid),
+            k = 10, nProbe = nProbe, rerank = 50)
+          .as[(Long, Double)].collect().toSeq
+        val rebuilt = graft.operators.Similarity.ivfPqTopKRerank(cents,
+            books, fullCodes, emb, "vec_id", "embedding", qid,
+            k = 10, nProbe = nProbe, rerank = 50)
+          .as[(Long, Double)].collect().toSeq
+        assert(grown == rebuilt, s"qid=$qid grown=$grown rebuilt=$rebuilt")
+      }
+    } finally { rm(new java.io.File(idxDir)); rm(new java.io.File(codeDir))
+      rm(new java.io.File(ckpt)) }
+  }
+
   test("windowed drift monitor trips within one window where the cumulative mean is still diluted by history") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
