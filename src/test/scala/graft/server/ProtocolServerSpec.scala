@@ -336,7 +336,12 @@ class ProtocolServerSpec extends AnyFunSuite {
       val (s2, r2, w2) = connect(port)
       w2.println("/insert")
       w2.println(car)
-      Thread.sleep(300)
+      // the sharded ingest path lands the insert asynchronously — poll with
+      // a bound instead of a fixed sleep (300 ms flaked under a loaded
+      // full-suite run; the assertion is "it lands", not "it lands fast")
+      val t0 = System.currentTimeMillis()
+      while (engine.totalRecords < 1 &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(100)
       assert(engine.totalRecords == 1)
       s2.close(); r2.close()
     } finally { srv.stop(); engine.close() }
