@@ -20,7 +20,10 @@ per-query pairs are regex-recovered, same as Bench.latestPrevBench).
 """
 import json
 import re
+import signal
 import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # behave under `| head`
 
 CONTROLS = [
     "tumbling_window", "trimmed_mean_ab", "q7_volume", "hist_quantiles",
