@@ -74,12 +74,14 @@ object IndexLifecycle {
     val f = fs(spark, p)
     val out = f.create(tmp, true)
     try out.write(s"v$next\n".getBytes("UTF-8")) finally out.close()
-    // rename over the old pointer: atomic on HDFS/local (posix rename);
-    // object stores without atomic rename publish via their own
-    // conditional-put — the pointer file is the single thing to adapt
-    if (f.exists(p)) { f.delete(p, false); () }
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"pointer swap failed for v$next")
+    // OVERWRITE rename — one atomic op on HDFS/local (posix rename
+    // semantics), so a concurrent currentPath never observes a missing
+    // pointer (a delete-then-rename pair had exactly that window); object
+    // stores without atomic rename publish via their own conditional-put —
+    // the pointer file is the single thing to adapt
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

@@ -646,22 +646,45 @@ object Similarity {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
     var compacted = 0
     cells.foreach { cell =>
-      def dataFiles = fs.listStatus(cell.getPath)
+      val old = fs.listStatus(cell.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val old = dataFiles
       if (old.length > maxFilesPerCell) {
         val tmp = new org.apache.hadoop.fs.Path(root,
           s"_compact_tmp_${cell.getPath.getName}")
         spark.read.parquet(cell.getPath.toString)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        old.foreach(f => fs.delete(f.getPath, false))
-        fs.listStatus(tmp)
+        // swap order bounds the inconsistency window and FAILS LOUDLY on
+        // any FS refusal (a silently false delete/rename here would empty
+        // the cell with no error): (1) move the compacted files into the
+        // cell under DOT-prefixed names — hidden from parquet readers, so
+        // concurrent probes still see exactly the old files; (2) delete
+        // the old files; (3) unhide the compacted ones. A crash leaves
+        // either old files (+ ignorable hidden ones) or the cell empty
+        // only between (2) and (3) — the documented non-atomic step.
+        val staged = fs.listStatus(tmp)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(cell.getPath, s"compact-$i.parquet"))
-            ()
+          .zipWithIndex.map { case (f, i) =>
+            val hidden = new org.apache.hadoop.fs.Path(
+              cell.getPath, s".compact-$i.parquet.tmp")
+            if (!fs.rename(f.getPath, hidden))
+              throw new java.io.IOException(
+                s"compactIvfCells: staging rename failed for ${f.getPath}")
+            (hidden, new org.apache.hadoop.fs.Path(
+              cell.getPath, s"compact-$i.parquet"))
           }
+        old.foreach { f =>
+          if (!fs.delete(f.getPath, false))
+            throw new java.io.IOException(
+              s"compactIvfCells: delete failed for ${f.getPath}")
+        }
+        staged.foreach { case (hidden, fin) =>
+          if (fs.exists(fin) && !fs.delete(fin, false))
+            throw new java.io.IOException(
+              s"compactIvfCells: could not clear stale $fin")
+          if (!fs.rename(hidden, fin))
+            throw new java.io.IOException(
+              s"compactIvfCells: final rename failed for $hidden")
+        }
         fs.delete(tmp, true)
         compacted += 1
       }

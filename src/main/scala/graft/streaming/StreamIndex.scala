@@ -80,19 +80,46 @@ object StreamIndex {
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("append").parquet(indexPath)
 
+  /** Batch-id replay guard for the foreachBatch appenders: a marker file
+    * per committed batch under `path/_stream_commits/`. foreachBatch
+    * re-delivers the last batch after a crash-restart (at-least-once); a
+    * blind parquet append would duplicate its rows, silently breaking the
+    * probe ≡ rebuild invariant. The marker is written AFTER the appends,
+    * so the residual window is a crash between parquet job commit and
+    * marker creation — one batch, detectable (marker absent but files
+    * present carry the replayed batch's rows twice); full exactly-once
+    * needs a transactional manifest, which is [[graft.operators
+    * .IndexLifecycle]]'s version layer at the next granularity up.
+    */
+  private[streaming] def batchCommitted(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_stream_commits/$batchId")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+  private[streaming] def markCommitted(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_stream_commits/$batchId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(p, true).close()
+  }
+
   /** The streaming face of [[appendBatch]]: a `foreachBatch` writer that
     * grows the written index as vectors arrive — the production ingest
     * path ([[graft.operators.Similarity.ivfServedTopK]] probes the grown
     * table; concurrent probes see each append atomically per batch since
-    * parquet readers list files at planning time). Caller starts it with
+    * parquet readers list files at planning time), replay-guarded by
+    * [[batchCommitted]]. Caller starts it with
     * `.option("checkpointLocation", …).start()`.
     */
   def appendToIndex(vecs: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Long, Seq[Double])], indexPath: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        appendBatch(batch, idCol, vecCol, cents, indexPath)
+      (batch: DataFrame, batchId: Long) =>
+        if (!batchCommitted(batch.sparkSession, indexPath, batchId)) {
+          appendBatch(batch, idCol, vecCol, cents, indexPath)
+          markCommitted(batch.sparkSession, indexPath, batchId)
+        }
     }
 
   /** [[appendBatch]] for the WRITTEN IVF-PQ CODE table
@@ -129,10 +156,19 @@ object StreamIndex {
       indexPath: String, codesPath: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
+        // per-table markers: a crash between the two appends replays the
+        // batch and only the missing table re-appends — the pair re-levels
+        // instead of the float side doubling
         val b = batch.localCheckpoint()
-        appendBatch(b, idCol, vecCol, cents, indexPath)
-        appendCodesBatch(b, idCol, vecCol, cents, books, codesPath)
+        if (!batchCommitted(b.sparkSession, indexPath, batchId)) {
+          appendBatch(b, idCol, vecCol, cents, indexPath)
+          markCommitted(b.sparkSession, indexPath, batchId)
+        }
+        if (!batchCommitted(b.sparkSession, codesPath, batchId)) {
+          appendCodesBatch(b, idCol, vecCol, cents, books, codesPath)
+          markCommitted(b.sparkSession, codesPath, batchId)
+        }
     }
 
   /** Mean residual of a STATIC corpus under the trained centroids — the

@@ -131,9 +131,15 @@ class StateTtlSpec extends AnyFunSuite {
         .queryName("ttl_sess").start()
       try {
         source.addData(ev(0L, 100L): _*)
-        // the open extent emits nothing yet; wait for the batch to land by
-        // progressing a visible side-effect — the next addData after the
-        // idle sleep is the actual probe, so just let the TTL clock run
+        // the open extent emits nothing observable, so barrier on the
+        // QUERY PROGRESS (processAllAvailable never settles in
+        // processing-time mode): the first batch must have folded its two
+        // events into live state BEFORE the idle clock starts, or a slow
+        // start would merge everything into one batch and the eviction
+        // assertion would be vacuous
+        awaitOrFail("first sessionize batch ingested", q) {
+          q.recentProgress.exists(_.numInputRows >= 2)
+        }
         Thread.sleep(2000) // idle well past the 500 ms TTL
         source.addData(ev(1000000L): _*)
         source.addData(ev(2000000L): _*)

@@ -182,6 +182,37 @@ class StreamIndexSpec extends AnyFunSuite {
       rm(new java.io.File(ckpt)) }
   }
 
+  test("replay guard: a re-delivered batch id is a no-op for the written tables") {
+    import spark.implicits._
+    // foreachBatch is at-least-once across crash-restarts — the writers
+    // gate on a per-batch marker. Simulate redelivery by applying the same
+    // (batch, batchId) twice through the guard exactly as the writers do.
+    val seen = emb.where(col("vec_id") < 300)
+    val (cents, oldIndex) = graft.operators.Similarity.ivfTrainedAuto(
+      seen, "vec_id", "embedding", kmeansIters = 1, sampleBudget = 200)
+    val dir = java.nio.file.Files.createTempDirectory("si_replay_idx").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      graft.operators.Similarity.writeIvfIndex(oldIndex, dir)
+      val batch = emb.where(col("vec_id") >= 300)
+      def deliver(batchId: Long): Unit =
+        if (!StreamIndex.batchCommitted(spark, dir, batchId)) {
+          StreamIndex.appendBatch(batch, "vec_id", "embedding", cents, dir)
+          StreamIndex.markCommitted(spark, dir, batchId)
+        }
+      deliver(7L)
+      val afterFirst = spark.read.parquet(dir).count()
+      assert(afterFirst == emb.count())
+      deliver(7L) // the replay
+      assert(spark.read.parquet(dir).count() == afterFirst,
+        "replayed batch duplicated rows in the written index")
+      deliver(8L) // a genuinely new batch still lands
+      assert(spark.read.parquet(dir).count() > afterFirst)
+    } finally rm(new java.io.File(dir))
+  }
+
   test("streamed appends keep BOTH served tables fresh: IVF-PQ probe over grown written tables equals the rebuild") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext

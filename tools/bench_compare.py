@@ -42,7 +42,21 @@ def queries_of(path):
                     if isinstance(v, (int, float))}
     tail = obj.get("tail")
     if isinstance(tail, str):
-        pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', tail)
+        # prefer the embedded metric line's own queries object (the tail
+        # usually carries it); else recover bare pairs but drop the bench's
+        # non-query metric fields — Bench.latestPrevBench filters recovered
+        # pairs against the known query set, and without a filter fields
+        # like control_inflation would masquerade as query timings
+        m = re.search(r'"queries":\{([^}]*)\}', tail)
+        src = m.group(1) if m else tail
+        non_queries = {
+            "value", "control_inflation", "control_inflation_wt",
+            "raw_vs_prev", "normalized_vs_prev", "normalized_vs_prev_wt",
+            "load_avg_start", "load_avg_end", "controls_n", "reps",
+        }
+        pairs = [(k, v) for k, v in
+                 re.findall(r'"([A-Za-z0-9_]+)":(-?\d+\.\d+)', src)
+                 if k not in non_queries]
         if pairs:
             return {k: float(v) for k, v in pairs}
     raise SystemExit(f"{path}: no queries object found")
