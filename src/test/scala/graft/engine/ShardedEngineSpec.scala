@@ -52,19 +52,32 @@ class ShardedEngineSpec extends AnyFunSuite {
       val d2 = Files.createTempDirectory("graft-w2").toString
       new ShardedEngine(spark, d2, 4).insert(docs.take(500))
     }
-    val singleDir = Files.createTempDirectory("graft-single").toString
-    val single = new Engine(spark, singleDir)
-    val t0 = System.nanoTime()
-    single.insert(docs)
-    val tSingle = (System.nanoTime() - t0) / 1e9
-    val shardDir = Files.createTempDirectory("graft-shard").toString
-    val sharded = new ShardedEngine(spark, shardDir, 4)
-    val t1 = System.nanoTime()
-    sharded.insert(docs)
-    val tSharded = (System.nanoTime() - t1) / 1e9
-    assert(sharded.totalRecords == 40000 && single.totalRecords == 40000)
+    // min-of-3 INTERLEAVED reps, the Bench timing discipline: a single-rep
+    // pair is decided by whatever the box was doing in that instant — under
+    // a fully loaded suite run the 4 parallel shard writers starve for
+    // cores and a one-off 16.9s-vs-1.5s inversion fails the sanity bound on
+    // a box state, not the code. Interleaving gives both paths the same
+    // load trajectory; min-of-N keeps the number attributable to the path.
+    def timeOnce(run: () => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      assert(n == 40000L)
+      dt
+    }
+    val (singles, shardeds) = (1 to 3).map { _ =>
+      val singleDir = Files.createTempDirectory("graft-single").toString
+      val single = new Engine(spark, singleDir)
+      val tS = timeOnce(() => { single.insert(docs); single.totalRecords })
+      val shardDir = Files.createTempDirectory("graft-shard").toString
+      val sharded = new ShardedEngine(spark, shardDir, 4)
+      val tH = timeOnce(() => { sharded.insert(docs); sharded.totalRecords })
+      (tS, tH)
+    }.unzip
+    val tSingle = singles.min
+    val tSharded = shardeds.min
     info(f"single-writer: $tSingle%.2f s, 4-shard: $tSharded%.2f s " +
-      f"(${tSingle / tSharded}%.1fx)")
+      f"(${tSingle / tSharded}%.1fx, min of 3)")
     // only a sanity bound, not a benchmark: sharding must not be slower
     // than ~1.5x single (it should be faster; CI noise tolerated)
     assert(tSharded < tSingle * 1.5,
