@@ -26,6 +26,7 @@ object ProfStats {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskMs = new AtomicLong(0)
+    val gcMs = new AtomicLong(0)
     val shufRead = new AtomicLong(0)
     val shufWrite = new AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -38,13 +39,18 @@ object ProfStats {
         val m = t.taskMetrics
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
         ()
       }
     })
-    println("query,wall_s,jobs,stages,tasks,task_time_s,shuffle_read_mb,shuffle_write_mb")
+    // counters attribute to the FASTER of two timed reps (same min-of-N
+    // discipline as Bench: a one-off GC/JIT spike after a heavy
+    // predecessor otherwise reads as the query's own cost — observed 13.3s
+    // vs 1.3s for asof_join in a full-board sweep)
+    println("query,wall_s,jobs,stages,tasks,task_time_s,gc_s,shuffle_read_mb,shuffle_write_mb")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[profstats] unknown query: $name")
@@ -52,17 +58,21 @@ object ProfStats {
           try {
             // warm-up rep (discarded), same discipline as Bench
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            // settle the listener queue so counters attribute to this query
-            Thread.sleep(200)
-            jobs.set(0); stages.set(0); tasks.set(0)
-            taskMs.set(0); shufRead.set(0); shufWrite.set(0)
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(200)
-            println(f"$name,$dt%.3f,${jobs.get},${stages.get},${tasks.get}," +
-              f"${taskMs.get / 1000.0}%.2f,${shufRead.get / 1048576.0}%.2f," +
-              f"${shufWrite.get / 1048576.0}%.2f")
+            val measured = (1 to 2).map { _ =>
+              // settle the listener queue so counters attribute here
+              Thread.sleep(200)
+              jobs.set(0); stages.set(0); tasks.set(0)
+              taskMs.set(0); gcMs.set(0); shufRead.set(0); shufWrite.set(0)
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              Thread.sleep(200)
+              (dt, jobs.get, stages.get, tasks.get, taskMs.get, gcMs.get,
+                shufRead.get, shufWrite.get)
+            }.minBy(_._1)
+            val (dt, j, st, tk, tm, gc, sr, sw) = measured
+            println(f"$name,$dt%.3f,$j,$st,$tk,${tm / 1000.0}%.2f,${gc / 1000.0}%.2f," +
+              f"${sr / 1048576.0}%.2f,${sw / 1048576.0}%.2f")
           } catch {
             case e: Exception =>
               System.err.println(s"[profstats] FAILED $name: ${e.getMessage}")

@@ -79,12 +79,18 @@ object Search {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val gate = lowered.map(t => contains(col("_txt"), lit(t))).reduce(_ || _)
+    // barrier: the postings relation feeds BOTH the df aggregation and the
+    // score join below — without it the optimizer re-expands the whole
+    // scan+tokenize+explode upstream at each consumer (two full corpus
+    // passes per probe; the pipeline_e2e multi-consumer lesson applied to
+    // the query side). Postings are (matched docs × |terms|)-bounded.
     val postings = base
       .where(gate)
       .select(col(idCol), col("dl"), explode(TextAnalysis.tokens(col("_txt"))).as("term"))
       .where(col("term").isin(lowered: _*))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint()
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -207,10 +213,13 @@ object Search {
     val top = bm25Rank(df, idCol, textCol, terms, nDocs).select(col(idCol))
     val fb = df.join(broadcast(top), idCol)
     // term frequency across the feedback set (nDocs docs — tiny)
+    // barrier: ftf feeds the df semi-join's key set AND the final weight
+    // join — without it the BM25 top-k + feedback tokenize re-runs twice
     val ftf = fb.select(
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
       .where(!col("term").isin(lowered: _*))
       .groupBy("term").agg(count(lit(1)).as("ftf"))
+      .localCheckpoint()
     // corpus document frequency, only for terms the feedback set surfaced
     val dfreq = Dedup.parallelize(df)
       .select(col(idCol), explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
@@ -294,6 +303,8 @@ object Search {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val gate = allTerms.map(t => contains(col("_txt"), lit(t))).reduce(_ || _)
+    // barrier (multi-consumer): postings feed df + the panel score join;
+    // without it each consumer re-expands the corpus scan+tokenize+explode
     val postings = base
       .where(gate)
       .select(col("_n_id"), col("dl"),
@@ -301,6 +312,7 @@ object Search {
       .where(col("term").isin(allTerms: _*))
       .groupBy(col("_n_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint()
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -316,6 +328,9 @@ object Search {
       .groupBy(col("qid"), col("_n_id"))
       .agg(sum(round(idf * tfw, 4).cast("decimal(18,4)")).as("_s"),
         count(lit(1)).as("g"))
+      // barrier: scores feed the DCG ranking, the per-query scored count
+      // AND the ideal-grade histogram — three consumers, panel-bounded rows
+      .localCheckpoint()
     val ranked = scores
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("_s").desc, col("_n_id"))))
@@ -479,6 +494,8 @@ object Search {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val gate = allTerms.map(t => contains(col("_txt"), lit(t))).reduce(_ || _)
+    // barrier (multi-consumer): postings feed df + the panel score join;
+    // without it each consumer re-expands the corpus scan+tokenize+explode
     val postings = base
       .where(gate)
       .select(col("_ap_id"), col("dl"),
@@ -486,6 +503,7 @@ object Search {
       .where(col("term").isin(allTerms: _*))
       .groupBy(col("_ap_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint()
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -501,6 +519,9 @@ object Search {
       .groupBy(col("qid"), col("_ap_id"))
       .agg(sum(round(idf * tfw, 4).cast("decimal(18,4)")).as("_s"),
         count(lit(1)).as("matched"))
+      // barrier: scores feed the relevance set, the ranked window AND the
+      // hits join — three consumers over a panel-bounded relation
+      .localCheckpoint()
     val rel = scores.join(broadcast(qsize), "qid")
       .where(col("matched") === col("n_terms"))
       .select(col("qid"), col("_ap_id"), lit(1L).as("_rel"))
