@@ -1188,9 +1188,13 @@ object Audit {
     */
   def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
+    // barrier: the contingency table feeds ra/cb/tot/mi/dims — five
+    // consumers; without it each re-expands the corpus scan+agg (measured
+    // 41-Exchange plan). |a|×|b| rows — trivially bounded.
     val obs = Dedup.parallelize(df)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val ra = obs.groupBy("a").agg(sum("o").as("na"))
     val cb = obs.groupBy("b").agg(sum("o").as("nb"))
     val tot = obs.agg(sum("o").as("n"))

@@ -64,15 +64,23 @@ object Classify {
     require(trainMod >= 2, s"nbClassify: trainMod must be >= 2, got $trainMod")
     val id = col(idCol)
     val isTrain: Column = id % trainMod =!= 0
+    // barrier: the scaladoc's "ONE explode pass builds the (doc, token,
+    // tf) relation" only holds with a materialization — tf feeds the
+    // training aggregations AND the scoring join, and classCnt feeds
+    // classTot/vocab/vSize/weights; without barriers each consumer
+    // re-expanded the corpus explode (measured 26-Exchange plan, the tf
+    // subtree evaluated 5x)
     val tf = Dedup.parallelize(df)
       .select(id, col(labelCol), isTrain.as("_nb_train"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("_nb_tok"))
       .groupBy(id, col(labelCol), col("_nb_train"), col("_nb_tok"))
       .agg(count(lit(1)).as("_nb_tf"))
+      .localCheckpoint()
     val trainTf = tf.where(col("_nb_train"))
     // class-conditional counts, class totals, vocabulary — all V×C-bounded
     val classCnt = trainTf.groupBy(col(labelCol).as("_nb_c"), col("_nb_tok"))
       .agg(sum(col("_nb_tf")).as("_nb_ntc"))
+      .localCheckpoint()
     val classTot = classCnt.groupBy("_nb_c").agg(sum(col("_nb_ntc")).as("_nb_nc"))
     val vocab = classCnt.select("_nb_tok").distinct()
     val vSize = vocab.agg(count(lit(1)).as("_nb_v"))
@@ -85,8 +93,10 @@ object Classify {
                   (col("_nb_nc") + col("_nb_v")).cast("double")), 6)
           .cast("decimal(18,6)").as("_nb_logp"))
     // priors from the training split's per-class DOC counts
+    // barrier: consumed by the prior projection AND its own total — C rows
     val docCnt = df.where(isTrain).groupBy(col(labelCol).as("_nb_c"))
       .agg(count(lit(1)).as("_nb_dc"))
+      .localCheckpoint()
     val priors = docCnt
       .crossJoin(broadcast(docCnt.agg(sum(col("_nb_dc")).as("_nb_dt"))))
       .select(col("_nb_c"),

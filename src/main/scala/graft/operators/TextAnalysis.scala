@@ -1906,7 +1906,12 @@ object TextAnalysis {
     val tok = Dedup.parallelize(df)
       .select(col(groupCol).as("_bd_g"),
         explode(tokens(trim(lower(col(textCol))))).as("_bd_t"))
+    // barrier: bySrc feeds srcLen, topK AND the grid join — without it
+    // each consumer re-expands the corpus tokenize+explode+agg (measured:
+    // a 60-Exchange plan for a 3-exchange dataflow). The relation is the
+    // (source × vocabulary) type table — the standard materialization.
     val bySrc = tok.groupBy("_bd_g", "_bd_t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val srcLen = bySrc.groupBy("_bd_g").agg(sum(col("c")).as("len"))
     val topK = bySrc.groupBy("_bd_t").agg(sum(col("c")).as("cf"))
       .orderBy(col("cf").desc, col("_bd_t")).limit(k)
@@ -1924,6 +1929,9 @@ object TextAnalysis {
       .select(col("_bd_g"), col("_bd_t"),
         round(d(coalesce(col("c"), lit(0L))) / d(col("len")), 9)
           .cast("decimal(18,9)").as("f"))
+      // barrier: grid feeds moments AND the z projection — (sources × k)
+      // rows, trivially bounded
+      .localCheckpoint()
     // moments leave DECIMAL via one double division each (never decimal
     // division — the engines' decimal scale rules differ)
     val moments = grid.groupBy("_bd_t")
@@ -1938,6 +1946,9 @@ object TextAnalysis {
     val z = grid.join(broadcast(moments), "_bd_t")
       .select(col("_bd_g"), col("_bd_t"),
         ((d(col("f")) - col("mu")) / col("sigma")).as("z"))
+      // barrier: z self-joins as za × zb — two consumers of the same
+      // (sources × k) relation
+      .localCheckpoint()
     val za = z.select(col("_bd_g").as("source_a"), col("_bd_t"), col("z").as("za"))
     val zb = z.select(col("_bd_g").as("source_b"), col("_bd_t"), col("z").as("zb"))
     za.join(zb, Seq("_bd_t"))
