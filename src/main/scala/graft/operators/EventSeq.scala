@@ -709,8 +709,12 @@ object EventSeq {
     */
   def basketLift(df: DataFrame, userCol: String, typeCol: String): DataFrame = {
     def d(c: Column) = c.cast("double")
+    // barrier: the (user, type) relation feeds the user count, the
+    // marginals AND both sides of the pair self-join — four re-expansions
+    // of the scan+distinct without it
     val ut = Dedup.parallelize(df)
       .select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+      .localCheckpoint()
     val nUsers = ut.select("u").distinct().agg(count(lit(1)).as("n_users"))
     val marg = ut.groupBy("t").agg(count(lit(1)).as("nt"))
     val pairs = ut.join(ut.select(col("u"), col("t").as("t2")), "u")

@@ -670,6 +670,9 @@ object TextAnalysis {
       .select(col(sourceCol).as("source"),
         explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("a"))
+      // barrier: the source×term type table feeds termTot/srcTot/grand and
+      // the 2x2 join — the burrowsDelta bySrc pattern
+      .localCheckpoint()
     val termTot = st.groupBy("term").agg(sum("a").as("t_tot"))
     val srcTot = st.groupBy("source").agg(sum("a").as("s_tot"))
     val grand = st.agg(sum("a").as("g_tot"))
