@@ -2544,7 +2544,10 @@ object SparkEntry {
       // through the dedicated bfl_descent expression (JsonTree walk only),
       // the ==/collapse predicate around it stays native Columns — no
       // query-level interpreter in the plan (PlanAuditSpec-pinned)
-      val df = ev(s, dir).withColumn("doc",
+      // min-parallelism guard: the JSON re-encode + per-row JsonTree
+      // descent walk below are CPU-bound and a one-row-group scan runs
+      // them on ONE task (no-op on a many-split real log)
+      val df = Dedup.parallelize(ev(s, dir)).withColumn("doc",
         to_json(struct(col("event_id"),
           struct(struct(get_json_object(col("props"), "$.k").as("k")).as("inner"))
             .as("outer"))))

@@ -1388,7 +1388,12 @@ object Multimodal {
     * spec-pinned by error bounds, not oracle hashes).
     */
   def syntheticAviAssets(docs: DataFrame): DataFrame = {
-    val in = docs.select(col("doc_id"))
+    // min-parallelism guard (Dedup.parallelize): per-row JPEG encode x
+    // n_frames + AVI mux is the heaviest codec path — a one-row-group scan
+    // runs it on ONE task (measured 2.1 -> 0.9 s; the cheaper PNG/BMP
+    // builders measured SLOWER under the guard, the repartition round-trip
+    // beats their codec cost, so they stay scan-partitioned)
+    val in = Dedup.parallelize(docs.select(col("doc_id")))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("video", BinaryType)))
