@@ -28,33 +28,26 @@ object TextEval {
       .withColumn("_b_hyp",
         filter(col("_b_ref"), (t, i) => ((i + lit(1)) % col("_b_k")) =!= lit(0)))
 
-  /** Per-(doc, n, gram) multiset counts of token n-grams for n = 1..maxN,
-    * BOTH sides in one pass: `_b_rc` = reference occurrences, `_b_hc` =
-    * hypothesis occurrences. One scan and one (doc, n, gram) shuffle
-    * replace the former two gram relations + hash join — the clip
-    * `least(hc, rc)` needs no join once both counts share a row, and the
-    * corpus totals fall out of the same relation (`Σ hc` per n is exactly
-    * `Σ max(len−n+1, 0)` because every gram occurrence is one row here).
+  /** Per-(doc, n) clipped-match + totals for token n-grams, n = 1..maxN —
+    * computed ROW-LOCALLY by [[graft.functions.TokenGramStatsExpr]] (the
+    * per-doc gram bags never leave the row; only maxN tiny structs per doc
+    * reach the per-n aggregation). Replaces the former exploded
+    * (doc, n, gram) relation + hash aggregate whose key cardinality ≈ its
+    * row count — at 100 TB that exchange was the metric's whole cost, and
+    * at sf0.1 it was ~18M shuffled rows for a 1.5 MB corpus.
+    * GramStatsSpec pins bit-equality against the relational form; the
+    * DuckDB mirrors keep the relational spelling, so every board hash is
+    * an equivalence proof too.
     */
-  private def sideGramCounts(withHyp: DataFrame, refCol: String,
+  private def gramStatsPerN(withHyp: DataFrame, refCol: String,
       hypCol: String, maxN: Int): DataFrame =
     withHyp
-      .select(col("_b_id"),
-        explode(array(
-          struct(lit(1).as("r"), col(refCol).as("a")),
-          struct(lit(0).as("r"), col(hypCol).as("a")))).as("_b_sd"))
-      .select(col("_b_id"), col("_b_sd.r").as("_b_isref"),
-        col("_b_sd.a").as("_b_arr"),
-        explode(sequence(lit(1), lit(maxN))).as("n"))
-      .select(col("_b_id"), col("_b_isref"), col("n"),
-        explode(when(size(col("_b_arr")) >= col("n"),
-          transform(
-            sequence(lit(1), size(col("_b_arr")) - col("n") + lit(1)),
-            i => array_join(slice(col("_b_arr"), i, col("n")), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .groupBy("_b_id", "n", "gram")
-      .agg(sum(col("_b_isref").cast("long")).as("_b_rc"),
-        sum(lit(1L) - col("_b_isref")).as("_b_hc"))
+      .select(explode(graft.functions.GramStatsExpr.tokenGramStats(
+        col(refCol), col(hypCol), maxN)).as("_b_gs"))
+      .groupBy(col("_b_gs.n").as("n"))
+      .agg(sum(col("_b_gs.m")).as("_b_m"),
+        sum(col("_b_gs.ht")).as("_b_ht"),
+        sum(col("_b_gs.rt")).as("_b_rt"))
 
   /** Corpus BLEU-N (Papineni et al. 2002): clipped n-gram precision for
     * n = 1..maxN plus the brevity penalty, computed corpus-level (sum of
@@ -75,11 +68,9 @@ object TextEval {
     // hypothesis: drop every k-th token (0-based lambda index, so i+1 is
     // the 1-based position — DuckDB's lambda index is already 1-based)
     val withHyp = refHyp(df, idCol, textCol)
-    val perN = sideGramCounts(withHyp, "_b_ref", "_b_hyp", maxN)
-      .groupBy("n")
-      .agg(sum(least(col("_b_hc"), col("_b_rc"))).as("m"),
-        sum(col("_b_hc")).as("t"),
-        sum(col("_b_rc")).as("rt"))
+    val perN = gramStatsPerN(withHyp, "_b_ref", "_b_hyp", maxN)
+      .select(col("n"), col("_b_m").as("m"), col("_b_ht").as("t"),
+        col("_b_rt").as("rt"))
 
     // coalesce: an n with no grams at all (corpus shorter than n) has no
     // perN row. ref_len/hyp_len = the n=1 totals (Σ len − 1 + 1 = Σ len;
@@ -185,11 +176,9 @@ object TextEval {
       maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"rougeEval: maxN out of range: $maxN")
     val withHyp = refHyp(df, idCol, textCol)
-    val perN = sideGramCounts(withHyp, "_b_ref", "_b_hyp", maxN)
-      .groupBy("n")
-      .agg(sum(least(col("_b_hc"), col("_b_rc"))).as("n_match"),
-        sum(col("_b_hc")).as("hyp_total"),
-        sum(col("_b_rc")).as("ref_total"))
+    val perN = gramStatsPerN(withHyp, "_b_ref", "_b_hyp", maxN)
+      .select(col("n"), col("_b_m").as("n_match"), col("_b_ht").as("hyp_total"),
+        col("_b_rt").as("ref_total"))
     def dd(c: Column) = c.cast("double")
     val p = dd(col("n_match")) / dd(col("hyp_total"))
     val r = dd(col("n_match")) / dd(col("ref_total"))
@@ -283,30 +272,17 @@ object TextEval {
       .select(col("_b_id"),
         array_join(col("_b_ref"), "").as("_c_ref"),
         array_join(col("_b_hyp"), "").as("_c_hyp"))
-    // same one-pass both-sides shape as [[sideGramCounts]], at character
-    // granularity (the gram relation is the dominant cost of the metric —
-    // halving its construction halves the query)
-    val g = withHyp
-      .select(col("_b_id"),
-        explode(array(
-          struct(lit(1).as("r"), col("_c_ref").as("s")),
-          struct(lit(0).as("r"), col("_c_hyp").as("s")))).as("_c_sd"))
-      .select(col("_b_id"), col("_c_sd.r").as("_c_isref"),
-        col("_c_sd.s").as("_c_s"),
-        explode(sequence(lit(1), lit(maxN))).as("n"))
-      .select(col("_b_id"), col("_c_isref"), col("n"),
-        explode(when(length(col("_c_s")) >= col("n"),
-          transform(
-            sequence(lit(1), length(col("_c_s")) - col("n") + lit(1)),
-            i => col("_c_s").substr(i, col("n"))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .groupBy("_b_id", "n", "gram")
-      .agg(sum(col("_c_isref").cast("long")).as("_c_rc"),
-        sum(lit(1L) - col("_c_isref")).as("_c_hc"))
-    val aggN = g.groupBy("n")
-      .agg(sum(least(col("_c_hc"), col("_c_rc"))).as("n_match"),
-        sum(col("_c_hc")).as("hyp_total"),
-        sum(col("_c_rc")).as("ref_total"))
+    // same row-local shape as [[gramStatsPerN]], at character granularity
+    // (the exploded (doc, n, gram) relation was the dominant cost of the
+    // metric — ~6× the corpus character count, shuffled; the expression
+    // keeps every gram inside its row)
+    val aggN = withHyp
+      .select(explode(graft.functions.GramStatsExpr.charGramStats(
+        col("_c_ref"), col("_c_hyp"), maxN)).as("_c_gs"))
+      .groupBy(col("_c_gs.n").as("n"))
+      .agg(sum(col("_c_gs.m")).as("n_match"),
+        sum(col("_c_gs.ht")).as("hyp_total"),
+        sum(col("_c_gs.rt")).as("ref_total"))
     def dd(c: Column) = c.cast("double")
     val b2 = beta * beta
     val p = dd(col("n_match")) / dd(col("hyp_total"))
