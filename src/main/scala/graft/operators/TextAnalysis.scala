@@ -491,19 +491,23 @@ object TextAnalysis {
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val tf = Dedup.parallelize(df)
-      .select(id, explode(tokens(lower(col(textCol)))).as("t"))
-      .groupBy(id, col("t")).agg(count(lit(1)).as("tf"))
-    tf.groupBy(id)
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(round(col("tf").cast("double") * log(col("tf").cast("double")), 4)
-          .cast("decimal(18,4)")).as("_te_sum"))
-      .select(id, col("n_tokens"),
-        // clamp: the rounded-4 tf·ln(tf) terms can overshoot ln(n)·n by an
-        // epsilon on degenerate (single-token) docs; entropy is ≥ 0
-        greatest(lit(0.0),
-          log(col("n_tokens").cast("double")) -
-            col("_te_sum").cast("double") / col("n_tokens").cast("double")).as("entropy"))
+    // row-local bag stats ([[graft.functions.TokenEntropyStatsExpr]],
+    // equality-pinned by EntropyStatsSpec): the former exploded (doc,
+    // token) relation + per-(doc, token) count shuffled the whole corpus
+    // into an aggregate whose key cardinality ≈ its row count; only one
+    // (n_tokens, Σ round(tf·ln tf, 4)) struct per doc is needed.
+    // `n > 0` reproduces the explode semantics: a NULL text contributed
+    // no rows, so its doc was absent from the output
+    val st = Dedup.parallelize(df)
+      .select(id,
+        graft.functions.EntropyStatsExpr.tokenEntropyStats(col(textCol)).as("_te"))
+      .where(col("_te.n") > 0)
+    st.select(id, col("_te.n").as("n_tokens"),
+      // clamp: the rounded-4 tf·ln(tf) terms can overshoot ln(n)·n by an
+      // epsilon on degenerate (single-token) docs; entropy is ≥ 0
+      greatest(lit(0.0),
+        log(col("_te.n").cast("double")) -
+          col("_te.s").cast("double") / col("_te.n").cast("double")).as("entropy"))
   }
 
   /** DuckDB mirror of [[tokenEntropy]]. */
@@ -1806,23 +1810,20 @@ object TextAnalysis {
     * [[entropyRate]] fold discipline), one division to bits.
     */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = Dedup.parallelize(df)
+    // row-local bag stats ([[graft.functions.CharEntropyStatsExpr]],
+    // equality-pinned by EntropyStatsSpec): replaces the exploded (doc,
+    // char) relation + per-(doc, char) count + per-doc join/fold — three
+    // corpus-character-sized stages — with one struct per doc. `n > 0`
+    // reproduces the explode semantics (a doc whose text has no
+    // '.'-matchable chars was absent)
+    val st = Dedup.parallelize(df)
       .select(col(idCol),
-        explode(regexp_extract_all(col(textCol), lit("."), lit(0))).as("_ce_ch"))
-      .groupBy(col(idCol), col("_ce_ch")).agg(count(lit(1)).as("c"))
-    val perDoc = counts.groupBy(col(idCol))
-      .agg(count(lit(1)).as("charset"), sum(col("c")).as("n_chars_tok"))
-    def d(c: Column) = c.cast("double")
-    val term = round(
-      (d(col("c")) / d(col("n_chars_tok"))) *
-        log(d(col("c")) / d(col("n_chars_tok"))), 9)
-    counts.join(perDoc, Seq(idCol))
-      .groupBy(col(idCol))
-      .agg(max(col("charset")).as("charset"),
-        max(col("n_chars_tok")).as("n_chars"),
-        (-sum(term.cast("decimal(18,9)"))).cast("double").as("_h"))
-      .select(col(idCol), col("charset"), col("n_chars"),
-        round(col("_h") / lit(math.log(2.0)), 6).as("entropy_bits"))
+        graft.functions.EntropyStatsExpr.charEntropyStats(col(textCol)).as("_ce"))
+      .where(col("_ce.n") > 0)
+    st.select(col(idCol), col("_ce.charset").as("charset"),
+        col("_ce.n").as("n_chars"),
+        round((-col("_ce.s")).cast("double") / lit(math.log(2.0)), 6)
+          .as("entropy_bits"))
       .orderBy(idCol)
   }
 
