@@ -496,12 +496,14 @@ object TextAnalysis {
     // token) relation + per-(doc, token) count shuffled the whole corpus
     // into an aggregate whose key cardinality ≈ its row count; only one
     // (n_tokens, Σ round(tf·ln tf, 4)) struct per doc is needed.
-    // `n > 0` reproduces the explode semantics: a NULL text contributed
-    // no rows, so its doc was absent from the output
-    val st = Dedup.parallelize(df)
+    // `isNotNull` reproduces the explode semantics (a NULL text
+    // contributed no rows, any other text splits to >= 1 token) AND keeps
+    // the expression single-eval — a `_te.n > 0` post-filter was pushed
+    // below the projection by the optimizer, evaluating the bag fold twice
+    // per row (the guide's duplicated-expensive-expression trap)
+    val st = Dedup.parallelize(df.where(col(textCol).isNotNull))
       .select(id,
         graft.functions.EntropyStatsExpr.tokenEntropyStats(col(textCol)).as("_te"))
-      .where(col("_te.n") > 0)
     st.select(id, col("_te.n").as("n_tokens"),
       // clamp: the rounded-4 tf·ln(tf) terms can overshoot ln(n)·n by an
       // epsilon on degenerate (single-token) docs; entropy is ≥ 0
@@ -1816,9 +1818,14 @@ object TextAnalysis {
     // corpus-character-sized stages — with one struct per doc. `n > 0`
     // reproduces the explode semantics (a doc whose text has no
     // '.'-matchable chars was absent)
+    // explode(array(...)) wraps the single struct in a Generate: a plain
+    // `_ce.n > 0` filter was pushed below the projection and evaluated the
+    // bag fold twice per row; a filter on generator output cannot sink
+    // below the Generate, so the expression runs exactly once
     val st = Dedup.parallelize(df)
       .select(col(idCol),
-        graft.functions.EntropyStatsExpr.charEntropyStats(col(textCol)).as("_ce"))
+        explode(array(
+          graft.functions.EntropyStatsExpr.charEntropyStats(col(textCol)))).as("_ce"))
       .where(col("_ce.n") > 0)
     st.select(col(idCol), col("_ce.charset").as("charset"),
         col("_ce.n").as("n_chars"),
@@ -1955,7 +1962,11 @@ object TextAnalysis {
       .localCheckpoint()
     val za = z.select(col("_bd_g").as("source_a"), col("_bd_t"), col("z").as("za"))
     val zb = z.select(col("_bd_g").as("source_b"), col("_bd_t"), col("z").as("zb"))
-    za.join(zb, Seq("_bd_t"))
+    // explicit broadcast: the checkpointed z is a LogicalRDD with no size
+    // stats, so the (sources × k)-bounded pair join must be told what the
+    // optimizer could previously estimate (PlanAuditSpec pins the
+    // BroadcastHashJoin on the word key)
+    za.join(broadcast(zb), Seq("_bd_t"))
       .where(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(sum(round(abs(col("za") - col("zb")), 9).cast("decimal(18,9)"))

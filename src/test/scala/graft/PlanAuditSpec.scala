@@ -850,13 +850,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
-  test("char_entropy / mattr_ttr: explode then partial hash agg, no window") {
-    for (q <- Seq("char_entropy", "mattr_ttr")) {
-      val plan = planOf(SparkEntry.queries(q)(spark, sf))
-      assert(plan.contains("Generate"), s"$q should explode:\n$plan")
-      assert(!plan.contains("Window"), s"$q needs no window:\n$plan")
-      assert(!plan.contains("CartesianProduct"), s"$q cartesian leaked:\n$plan")
-    }
+  test("char_entropy: row-local bag fold, evaluated once, no window") {
+    val plan = planOf(SparkEntry.queries("char_entropy")(spark, sf))
+    // round-11 optimization: the (doc, char) explode+count+join is gone —
+    // one CharEntropyStatsExpr per row, wrapped in explode(array(...)) so
+    // the n>0 absence filter cannot sink below it and double-evaluate
+    assert(plan.contains("charentropystatsexpr"),
+      s"row-local entropy expression expected:\n$plan")
+    assert("charentropystatsexpr".r.findAllIn(plan).size <= 2, // tree + detail
+      s"entropy expression must evaluate once, not per reference:\n$plan")
+    assert(!plan.contains("Window"), s"char_entropy needs no window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
+  test("mattr_ttr: explode then partial hash agg, no window") {
+    val plan = planOf(SparkEntry.queries("mattr_ttr")(spark, sf))
+    assert(plan.contains("Generate"), s"mattr_ttr should explode:\n$plan")
+    assert(!plan.contains("Window"), s"mattr_ttr needs no window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
   test("mcc_eval: confusion algebra is type-table joins, no corpus reshuffle") {
