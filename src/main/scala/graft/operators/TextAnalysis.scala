@@ -1349,32 +1349,33 @@ object TextAnalysis {
     * and the classic trick for bounding feature width at 100 TB: vocabulary
     * can grow without bound, the vector never does.
     *
-    * One explode + one (id, bucket)-keyed count agg (map-side combined,
-    * ≤ dim rows per doc) + a per-doc fold into the dense array. Counts and
-    * the squared norm are integer-exact; one double division per slot,
-    * round(6).
+    * Computed ROW-LOCALLY by [[graft.functions.HashEmbedExpr]] (the
+    * GramStats discipline): the bucket-count fold, L2 norm, and rounded
+    * weights all happen inside the scan projection — the former
+    * explode + (id, bucket) count agg + per-doc map fold shuffled a
+    * token-count-of-the-corpus relation through two exchanges to compute
+    * what is a per-row bag count (HashEmbedStatsSpec pins bit-equality
+    * against that relational form; the DuckDB mirror keeps the relational
+    * spelling, so the board hash doubles as the equivalence proof).
     *
     * Output: (idCol, embedding array<double> of length dim). Docs with no
-    * tokens produce no row.
+    * tokens produce no row (null text prefiltered — the explode's absence
+    * semantics; a non-null text always yields >= 1 token).
     */
   def hashEmbed(df: DataFrame, idCol: String, textCol: String,
-      dim: Int = 64): DataFrame = {
-    val counts = Dedup.parallelize(df)
+      dim: Int = 64): DataFrame =
+    // explode(array(...)) wraps the vector in a Generate (the charEntropy
+    // lesson): a consumer's own posexplode makes InferFiltersFromGenerate
+    // add `size(embedding) > 0 AND isnotnull(embedding)`, and with a plain
+    // projection those predicates push into the scan and evaluate the
+    // md5 fold TWO more times per row; against a generated attribute they
+    // stay above this Generate and cost a length check on the built array
+    Dedup.parallelize(df)
+      .where(col(textCol).isNotNull)
       .select(col(idCol),
-        explode(tokens(lower(col(textCol)))).as("_he_t"))
-      .select(col(idCol),
-        (conv(substring(md5(col("_he_t")), 1, 15), 16, 10).cast("long") %
-          dim).cast("int").as("_he_b"))
-      .groupBy(col(idCol), col("_he_b")).agg(count(lit(1)).as("_he_c"))
-    counts.groupBy(col(idCol))
-      .agg(
-        map_from_entries(collect_list(struct(col("_he_b"), col("_he_c")))).as("_he_m"),
-        sqrt(sum(col("_he_c") * col("_he_c")).cast("double")).as("_he_n"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => round(coalesce(element_at(col("_he_m"), i), lit(0L)).cast("double") /
-            col("_he_n"), 6)).as("embedding"))
-  }
+        explode(array(
+          graft.functions.HashEmbedExpr.hashEmbed(col(textCol), dim)))
+          .as("embedding"))
 
   /** DuckDB mirror of [[hashEmbed]] in LONG form (doc, dim, weight), the
     * shape the oracle compares; zeros are omitted on both sides.

@@ -617,10 +617,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-depth should be TakeOrdered:\n$plan")
   }
 
-  test("hash_embed: one explode, hash partial agg, no join at all") {
+  test("hash_embed: row-local fold, evaluated once, no aggregation at all") {
     val plan = planOf(SparkEntry.queries("hash_embed")(spark, sf))
+    // round-11 optimization: the token explode + two hash aggregations are
+    // gone — one HashEmbedExpr per row inside a Generate (the
+    // explode(array(...)) wrap keeps the posexplode's inferred size/null
+    // filters from sinking the md5 fold into the scan), so the only
+    // exchange left is the output sort
     assert(!plan.contains("Join"), s"hash_embed should not join:\n$plan")
-    assert(plan.contains("HashAggregate"), s"bucket counts should hash-agg:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"row-local hash_embed should not aggregate:\n$plan")
+    assert("hashembedexpr".r.findAllIn(plan.toLowerCase).size == 1,
+      s"embed fold must evaluate exactly once per row:\n$plan")
+    // remaining exchanges: the min-parallelism round-robin guard and the
+    // output sort's range partitioning — but never an aggregation shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no keyed shuffle should remain:\n$plan")
   }
 
   test("spearman_corr: rank joins broadcast the distinct-value type relations") {
