@@ -132,20 +132,25 @@ object Classify {
       labelCol: String, trainMod: Int = 5, bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
-    // the docs×C posterior relation feeds BOTH the argmax and the softmax
-    // join below — materialize it once (it is C-bounded per doc; without
-    // this the whole NB train pipeline runs twice). heldOutOnly: only the
-    // evaluation split is ever read below, so only it is scored.
+    // heldOutOnly: only the evaluation split is ever read below, so only
+    // it is scored. The argmax is a doc-keyed WINDOW over the same
+    // relation the softmax folds — min(struct) over the window is the
+    // identical order-free argmax the former groupBy+self-join computed,
+    // but the window's hashpartitioning(id) already satisfies the
+    // following aggregation's clustering (id ⊆ group key), so the whole
+    // confidence pass costs ONE exchange instead of an aggregate exchange
+    // plus a docs×C self-join (round-11 optimization; oracle unchanged —
+    // the groups and every operand are identical by construction). With a
+    // single consumer chain the former multi-consumer localCheckpoint on
+    // `scores` is dead weight and dropped.
     val scores = posteriorScores(df, idCol, textCol, labelCol, trainMod,
         heldOutOnly = true)
-      .localCheckpoint()
-    val best = scores
-      .groupBy(id, col(labelCol))
-      .agg(min(struct((-col("_nb_post")).as("_nb_neg"), col("_nb_c"))).as("_nb_w"))
-      .select(id, col(labelCol), col("_nb_w._nb_c").as("_nb_pred"),
-        (-col("_nb_w._nb_neg")).as("_nb_maxpost"))
+    val byDoc = Window.partitionBy(id)
     val conf = scores
-      .join(best.drop(labelCol), idCol)
+      .withColumn("_nb_w",
+        min(struct((-col("_nb_post")).as("_nb_neg"), col("_nb_c"))).over(byDoc))
+      .select(id, col(labelCol), col("_nb_w._nb_c").as("_nb_pred"),
+        (-col("_nb_w._nb_neg")).as("_nb_maxpost"), col("_nb_post"))
       .groupBy(id, col(labelCol), col("_nb_pred"), col("_nb_maxpost"))
       .agg(sum(exp((col("_nb_post") - col("_nb_maxpost")).cast("double"))).as("_nb_z"))
       .where(id % trainMod === 0)
