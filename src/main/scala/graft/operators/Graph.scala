@@ -232,15 +232,30 @@ object Graph {
     var e = e0
       .select(explode(typedlit(ks.distinct)).as("kk"), col("a"), col("b"))
       .localCheckpoint()
-    (0 until rounds).foreach { _ =>
+    // early exit on fixpoint: peeling only ever REMOVES rows, so an
+    // unchanged tagged-edge count means the relation is unchanged and
+    // every remaining round is the identity — the result is bit-equal to
+    // the fixed unroll (the oracle keeps the fixed spelling; the count is
+    // one cheap job over the just-checkpointed blocks, the rounds it
+    // skips are a degree agg + two semi-joins each)
+    var remaining = e.count()
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
       val deg = e.select(col("kk"), col("a").as("n"))
         .unionByName(e.select(col("kk"), col("b").as("n")))
         .groupBy("kk", "n").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= col("kk")).select("kk", "n")
-      e = e
+      val next = e
         .join(keep.select(col("kk"), col("n").as("a")), Seq("kk", "a"), "left_semi")
         .join(keep.select(col("kk"), col("n").as("b")), Seq("kk", "b"), "left_semi")
         .select("kk", "a", "b").localCheckpoint()
+      Dedup.releaseCheckpoint(e)
+      e = next
+      val c = e.count()
+      converged = c == remaining
+      remaining = c
+      r += 1
     }
     val nodes = e.select(col("kk"), col("a").as("n"))
       .unionByName(e.select(col("kk"), col("b").as("n"))).distinct()
