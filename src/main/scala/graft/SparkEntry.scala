@@ -779,11 +779,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     "percentiles" -> ((s, dir) =>
+      // ONE array-percentile: N scalar percentile aggregates each buffer
+      // and sort the whole column independently (N full sorts of the
+      // relation in one task); the array form shares a single buffer and
+      // evaluates the SAME interpolation per fraction — bit-identical
+      // values, measured 2.3× faster at sf0.1 (round-11 optimization,
+      // applied at every multi-fraction exact-percentile site)
       Tables.orders(s, dir)
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+        .agg(expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("_p"))
+        .select(
+          round(col("_p").getItem(0), 4).as("p50"),
+          round(col("_p").getItem(1), 4).as("p90"),
+          round(col("_p").getItem(2), 4).as("p99"))),
     // bounded-state quantiles: mergeable log-histogram sketch (HDR
     // discipline) — one row per occupied bucket shuffles, never the values;
     // the streaming/100 TB counterpart to the exact `percentiles` sort-agg
@@ -796,10 +803,12 @@ object SparkEntry {
     // band agg itself
     "value_bands" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val breaks = o.agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      val breaks = o
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("_p"))
+        .select(
+          round(col("_p").getItem(0), 4).as("p25"),
+          round(col("_p").getItem(1), 4).as("p50"),
+          round(col("_p").getItem(2), 4).as("p75"))
       o.crossJoin(broadcast(breaks))
         .select(
           when(col("o_totalprice") < col("p25"), "q1")
@@ -1546,10 +1555,12 @@ object SparkEntry {
       val evts = ev(s, dir)
       val sk = operators.Sketch.logHistQuantiles(evts, "event_type", "value",
         qs = Seq(0.5, 0.95, 0.99))
-      val ex = evts.where(col("value") > 0).groupBy("event_type").agg(
-        round(expr("percentile(value, 0.5)"), 4).as("e50"),
-        round(expr("percentile(value, 0.95)"), 4).as("e95"),
-        round(expr("percentile(value, 0.99)"), 4).as("e99"))
+      val ex = evts.where(col("value") > 0).groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("_p"))
+        .select(col("event_type"),
+          round(col("_p").getItem(0), 4).as("e50"),
+          round(col("_p").getItem(1), 4).as("e95"),
+          round(col("_p").getItem(2), 4).as("e99"))
       def err(p: Column, e: Column) = round(abs(p - e) / e, 6)
       sk.join(ex, "event_type")
         .select(col("event_type"), col("n"),

@@ -551,10 +551,12 @@ object Audit {
     val spend = Dedup.parallelize(df)
       .select(col(keyCol).as("k"), col(valCol).cast("decimal(18,2)").as("v"))
       .groupBy("k").agg(sum(col("v")).as("s"))
-    val th = spend.agg(
-      round(percentile(d(col("s")), lit(0.9)), 4).as("t90"),
-      round(percentile(d(col("s")), lit(0.8)), 4).as("t80"),
-      round(percentile(d(col("s")), lit(0.5)), 4).as("t50"))
+    val th = spend
+      .agg(percentile(d(col("s")),
+        array(lit(0.9), lit(0.8), lit(0.5))).as("_q"))
+      .select(round(col("_q").getItem(0), 4).as("t90"),
+        round(col("_q").getItem(1), 4).as("t80"),
+        round(col("_q").getItem(2), 4).as("t50"))
     spend.crossJoin(broadcast(th))
       .agg(count(lit(1)).as("n_keys"),
         sum(col("s")).as("total"),

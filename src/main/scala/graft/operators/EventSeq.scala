@@ -179,16 +179,19 @@ object EventSeq {
         ((col("t_max") - col("last_ms")).cast("double") / 86400000.0)
           .as("recency_days"),
         col("frequency"), col("monetary"))
+    // three array-percentile buffers (one per metric), not nine scalar
+    // ones — identical interpolation per fraction off one sort per metric
     val breaks = per.agg(
-      expr("percentile(recency_days, 0.25)").as("r25"),
-      expr("percentile(recency_days, 0.5)").as("r50"),
-      expr("percentile(recency_days, 0.75)").as("r75"),
-      expr("percentile(frequency, 0.25)").as("f25"),
-      expr("percentile(frequency, 0.5)").as("f50"),
-      expr("percentile(frequency, 0.75)").as("f75"),
-      expr("percentile(monetary, 0.25)").as("m25"),
-      expr("percentile(monetary, 0.5)").as("m50"),
-      expr("percentile(monetary, 0.75)").as("m75"))
+        expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("_r"),
+        expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("_f"),
+        expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("_m"))
+      .select(
+        col("_r").getItem(0).as("r25"), col("_r").getItem(1).as("r50"),
+        col("_r").getItem(2).as("r75"),
+        col("_f").getItem(0).as("f25"), col("_f").getItem(1).as("f50"),
+        col("_f").getItem(2).as("f75"),
+        col("_m").getItem(0).as("m25"), col("_m").getItem(1).as("m50"),
+        col("_m").getItem(2).as("m75"))
     def bandAsc(c: Column, p25: Column, p50: Column, p75: Column): Column =
       when(c < p25, 1).when(c < p50, 2).when(c < p75, 3).otherwise(4)
     per.crossJoin(broadcast(breaks))
@@ -1376,9 +1379,10 @@ object EventSeq {
       col(userCol).cast("string"))), 1, 2), 16, 10).cast("int") % 2).as("arm")
     val conv_ = df.where(col(typeCol) === convType)
       .select(arm, col(valCol).cast("double").as("v"))
-    val th = conv_.agg(
-      round(expr(s"percentile(v, $lo)"), 4).as("q_lo"),
-      round(expr(s"percentile(v, $hi)"), 4).as("q_hi"))
+    val th = conv_
+      .agg(expr(s"percentile(v, array($lo, $hi))").as("_q"))
+      .select(round(col("_q").getItem(0), 4).as("q_lo"),
+        round(col("_q").getItem(1), 4).as("q_hi"))
     val kept = conv_.crossJoin(broadcast(th))
       .where(col("v") >= col("q_lo") && col("v") <= col("q_hi"))
     val arms = kept.groupBy("arm").agg(count(lit(1)).as("n"),

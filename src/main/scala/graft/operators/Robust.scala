@@ -58,8 +58,9 @@ object Robust {
     import org.apache.spark.sql.Column
     def d(c: Column) = c.cast("double")
     val q = df.groupBy(groupCol)
-      .agg(round(expr(s"percentile($valueCol, 0.25)"), 4).as("q1"),
-        round(expr(s"percentile($valueCol, 0.75)"), 4).as("q3"))
+      .agg(expr(s"percentile($valueCol, array(0.25, 0.75))").as("_q"))
+      .select(col(groupCol), round(col("_q").getItem(0), 4).as("q1"),
+        round(col("_q").getItem(1), 4).as("q3"))
     val iqr = col("q3") - col("q1")
     df.select(col(groupCol), d(col(valueCol)).as("_tf_v"))
       .join(broadcast(q), groupCol)

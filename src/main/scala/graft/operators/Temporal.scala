@@ -352,10 +352,14 @@ object Temporal {
         ((unix_millis(col(tsCol)) - col("_gq_prev")).cast("double") / 1000.0)
           .as("gap_s"))
       .groupBy(col("_gq_t").as(typeCol))
+      // one array-percentile buffer per group, not three (identical
+      // interpolation per fraction off one sorted buffer)
       .agg(count(lit(1)).as("n_gaps"),
-        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_s"),
-        round(expr("percentile(gap_s, 0.9)"), 4).as("p90_s"),
-        round(expr("percentile(gap_s, 0.99)"), 4).as("p99_s"))
+        expr("percentile(gap_s, array(0.5, 0.9, 0.99))").as("_q"))
+      .select(col(typeCol), col("n_gaps"),
+        round(col("_q").getItem(0), 4).as("p50_s"),
+        round(col("_q").getItem(1), 4).as("p90_s"),
+        round(col("_q").getItem(2), 4).as("p99_s"))
       .orderBy(typeCol)
   }
 

@@ -1520,10 +1520,14 @@ object TextAnalysis {
     // avg_nll), tiny next to the exploded corpus text that produces it,
     // and without this the whole LM-scoring subtree runs twice
     val scored = unigramLogprob(df, idCol, textCol).localCheckpoint()
-    val breaks = scored.agg(
-      round(expr("percentile(avg_nll, 0.25)"), 4).as("p25"),
-      round(expr("percentile(avg_nll, 0.5)"), 4).as("p50"),
-      round(expr("percentile(avg_nll, 0.75)"), 4).as("p75"))
+    // one array-percentile buffer, not three (same values: the array form
+    // evaluates the identical interpolation per fraction off one sort)
+    val breaks = scored
+      .agg(expr("percentile(avg_nll, array(0.25, 0.5, 0.75))").as("_p"))
+      .select(
+        round(col("_p").getItem(0), 4).as("p25"),
+        round(col("_p").getItem(1), 4).as("p50"),
+        round(col("_p").getItem(2), 4).as("p75"))
     scored.crossJoin(broadcast(breaks))
       .select(
         when(col("avg_nll") < col("p25"), "q1")
