@@ -163,10 +163,37 @@ object Bench {
         java.nio.file.Paths.get(Bench.repoRoot, "BENCH_LOCAL.json"),
         metricLine.getBytes("UTF-8"))
       catch { case _: Exception => () }
-    // silence shutdown INFO chatter, then emit the headline line LAST so a
-    // bounded output tail always contains it
+    // silence shutdown INFO chatter before the stdout lines the driver reads
     spark.sparkContext.setLogLevel("ERROR")
+    // Round-12 driver-contract fix (r11 verdict item 2): at 377 queries the
+    // full one-line JSON is ~9 KB, but the driver keeps a bounded
+    // ~2000-char stdout tail — BENCH_r09..r11 all captured a mid-line
+    // fragment (`parsed: null`) and PERF lost its per-query and scaling
+    // tables. stdout now ends with, in order: (a) the complete one-line
+    // artifact (format unchanged — any whole-stdout consumer still sees the
+    // single line with the full queries map), (b) the same queries map
+    // re-emitted as numbered `queries_part` lines each well under the tail
+    // bound, (c) a compact headline line LAST (total + controls + load +
+    // sf, no queries map) so a bounded tail always terminates in complete,
+    // parseable JSON and the parts captured by the tail reassemble
+    // per-query data. The timed path and methodology are untouched;
+    // BENCH_LOCAL.json still records the full-precision single line.
     println(metricLine)
+    val entries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    for (e <- entries) {
+      if (sb.nonEmpty && sb.length + e.length + 1 > 1500) {
+        parts += sb.toString; sb.clear()
+      }
+      if (sb.nonEmpty) sb.append(',')
+      sb.append(e)
+    }
+    if (sb.nonEmpty) parts += sb.toString
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"metric":"queries_part","i":$i,"n":${parts.length},"qs":{$p}}""")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}$loadWarn$attribution,"queries_parts":${parts.length},"sf":"$sfDir"}""")
     spark.stop()
     // a -1 query means the board is broken; a green-looking artifact must be
     // impossible (round 4 shipped six silently-dropped queries behind rc:0)

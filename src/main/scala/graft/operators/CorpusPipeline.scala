@@ -57,14 +57,22 @@ object CorpusPipeline {
       TextAnalysis.gopherRules(train, "doc_id", "text")
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi"))
-    // ONE corpus-wide MinHash band pass feeds BOTH near-dup tiers (the
-    // dedup self-join over the gated subset and the decontam cross-join
-    // vs the eval split): band values depend only on the text, so the
-    // per-stage tables are id-semi-joined slices of this one relation —
-    // at 100 TB this is the signature table the pipeline materializes
-    // once, not a per-stage re-scan of the corpus
+    // ONE MinHash band pass feeds BOTH near-dup tiers (the dedup
+    // self-join over the gated subset and the decontam cross-join vs the
+    // eval split): band values depend only on the text, so the per-stage
+    // tables are id-semi-joined slices of this one relation — at 100 TB
+    // this is the signature table the pipeline materializes once, not a
+    // per-stage re-scan of the corpus. Its input is `gated ∪ eval`, NOT
+    // the full normalized corpus: every downstream consumer semi-joins to
+    // gated / kept (⊆ gated) / eval ids, so bands for gate-REJECTED train
+    // docs were computed, written, and never read (round-11 optimization;
+    // the manifest is unchanged by construction — per-doc band rows are a
+    // pure function of the text, only the unread rows disappear — and
+    // `gated` is already a materialized stage, so this re-expands
+    // nothing).
     val bandsAll = barrier("bands",
-      Dedup.lshBands(norm, "doc_id", "text", k = 8, rowsPerBand = 2))
+      Dedup.lshBands(gated.select("doc_id", "text").unionByName(eval_),
+        "doc_id", "text", k = 8, rowsPerBand = 2))
     def bandsOf(ids: DataFrame) =
       bandsAll.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
     val clusters = Dedup.nearDupClusters(Dedup.nearDupPairsFromBands(
