@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -67,8 +68,7 @@ private[graft] object EntropyStatsCore {
   * pinned equivalent of `split(trim(lower(text)), "\\s+")`.
   */
 case class TokenEntropyStatsExpr(child: Expression)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -85,11 +85,18 @@ case class TokenEntropyStatsExpr(child: Expression)
           s"token_entropy_stats requires a string column, got ${other.sql}")
     }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  /** Row-local kernel shared by eval and the generated code — whole-stage
+    * codegen pays ONE virtual call per row instead of an interpreted
+    * tree-walk with boxing. A null text folds like the relational form's
+    * absent rows (empty bag).
+    */
+  def compute(v: UTF8String): InternalRow = {
     val toks =
       if (v == null) Array.empty[String]
-      else MinHashCore.spaceTrimSplit(v.asInstanceOf[UTF8String].toLowerCase.toString)
+      else MinHashCore.spaceTrimSplit(v.toLowerCase.toString)
     val bag = EntropyStatsCore.bag(toks)
     var n = 0L
     val it = bag.values().iterator()
@@ -97,6 +104,16 @@ case class TokenEntropyStatsExpr(child: Expression)
     val s = EntropyStatsCore.roundedTermSum(bag.values(), 4,
       c => c.toDouble * Math.log(c.toDouble))
     InternalRow(n, EntropyStatsCore.decimal(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("tokenEntropyStats", this)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value} = $ref.compute(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenEntropyStatsExpr =
@@ -109,8 +126,7 @@ case class TokenEntropyStatsExpr(child: Expression)
   * (\n, \r, U+0085, U+2028, U+2029), which '.' never matches.
   */
 case class CharEntropyStatsExpr(child: Expression)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("charset", LongType, nullable = false),
@@ -131,9 +147,14 @@ case class CharEntropyStatsExpr(child: Expression)
   private def isLineTerminator(cp: Int): Boolean =
     cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val s = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  /** Row-local kernel shared by eval and the generated code (see
+    * [[TokenEntropyStatsExpr.compute]]).
+    */
+  def compute(v: UTF8String): InternalRow = {
+    val s = if (v == null) "" else v.toString
     // code-point bag, '.'-matchable chars only
     val bag = new java.util.HashMap[Integer, Integer]()
     var i = 0
@@ -151,6 +172,16 @@ case class CharEntropyStatsExpr(child: Expression)
     val sum = EntropyStatsCore.roundedTermSum(bag.values(), 9,
       c => (c.toDouble / nd) * Math.log(c.toDouble / nd))
     InternalRow(bag.size().toLong, n, EntropyStatsCore.decimal(sum))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("charEntropyStats", this)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value} = $ref.compute(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharEntropyStatsExpr =

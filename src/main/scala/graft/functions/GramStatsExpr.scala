@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -77,8 +78,7 @@ private[graft] object GramStatsCore {
   * space-joined token windows, exactly `array_join(slice(a, i, n), " ")`.
   */
 case class TokenGramStatsExpr(left: Expression, right: Expression, maxN: Int)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   require(maxN >= 1 && maxN <= 10, s"token_gram_stats: maxN out of range: $maxN")
 
@@ -98,9 +98,9 @@ case class TokenGramStatsExpr(left: Expression, right: Expression, maxN: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  private def toks(v: Any): Array[UTF8String] = v match {
+  private def toks(v: ArrayData): Array[UTF8String] = v match {
     case null => Array.empty[UTF8String]
-    case a: ArrayData =>
+    case a =>
       val out = new Array[UTF8String](a.numElements())
       var i = 0
       while (i < out.length) {
@@ -129,10 +129,31 @@ case class TokenGramStatsExpr(left: Expression, right: Expression, maxN: Int)
   // a NULL side contributes no gram rows in the relational form; the
   // all-zero entries here sum identically, so the expression never
   // returns null (eval, not nullSafeEval)
-  override def eval(input: InternalRow): Any = {
-    val r = toks(left.eval(input))
-    val h = toks(right.eval(input))
+  override def eval(input: InternalRow): Any =
+    compute(left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  /** Row-local kernel shared by eval and the generated code — takes raw
+    * (possibly null) child values so whole-stage codegen pays ONE virtual
+    * call per row instead of an interpreted tree-walk with boxing.
+    */
+  def compute(ref: ArrayData, hyp: ArrayData): ArrayData = {
+    val r = toks(ref)
+    val h = toks(hyp)
     GramStatsCore.stats(maxN, grams(r, _), grams(h, _))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val ref = ctx.addReferenceObj("tokenGramStats", this)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        ArrayData ${ev.value} = $ref.compute(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
@@ -146,8 +167,7 @@ case class TokenGramStatsExpr(left: Expression, right: Expression, maxN: Int)
   * code-point-indexed like SQL substr (UTF8String.substring).
   */
 case class CharGramStatsExpr(left: Expression, right: Expression, maxN: Int)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   require(maxN >= 1 && maxN <= 10, s"char_gram_stats: maxN out of range: $maxN")
 
@@ -178,10 +198,28 @@ case class CharGramStatsExpr(left: Expression, right: Expression, maxN: Int)
     out
   }
 
-  override def eval(input: InternalRow): Any = {
-    val r = left.eval(input).asInstanceOf[UTF8String]
-    val h = right.eval(input).asInstanceOf[UTF8String]
-    GramStatsCore.stats(maxN, grams(r, _), grams(h, _))
+  override def eval(input: InternalRow): Any =
+    compute(left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+
+  /** Shared row-local kernel (see [[TokenGramStatsExpr.compute]]); `grams`
+    * treats a null side as empty, matching the relational form's absent
+    * rows.
+    */
+  def compute(ref: UTF8String, hyp: UTF8String): ArrayData =
+    GramStatsCore.stats(maxN, grams(ref, _), grams(hyp, _))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val ref = ctx.addReferenceObj("charGramStats", this)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        ArrayData ${ev.value} = $ref.compute(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -34,8 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * null test).
   */
 case class HashEmbedExpr(child: Expression, dim: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(dim >= 1, s"hash_embed requires dim >= 1, got $dim")
 
@@ -51,9 +50,16 @@ case class HashEmbedExpr(child: Expression, dim: Int)
           s"hash_embed requires a string column, got ${other.sql}")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = MinHashCore.spaceTrimSplit(
-      input.asInstanceOf[UTF8String].toLowerCase.toString)
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Row-local kernel shared by eval and the generated code — whole-stage
+    * codegen pays ONE virtual call per row instead of an interpreted
+    * tree-walk with boxing. Input is non-null (null propagation is the
+    * caller's: nullSafeEval / nullSafeCodeGen).
+    */
+  def compute(input: UTF8String): ArrayData = {
+    val toks = MinHashCore.spaceTrimSplit(input.toLowerCase.toString)
     val counts = new Array[Long](dim)
     var i = 0
     while (i < toks.length) {
@@ -79,6 +85,12 @@ case class HashEmbedExpr(child: Expression, dim: Int)
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("hashEmbed", this)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
     copy(child = newChild)

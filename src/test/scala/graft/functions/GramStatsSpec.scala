@@ -114,6 +114,28 @@ class GramStatsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("gram stats are codegen'd (no CodegenFallback) and agree on a real scan") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // round-12: doGenCode replaced the interpreted fallback — pin it so a
+    // refactor can't silently reintroduce per-row interpreted eval
+    assert(!TokenGramStatsExpr(Literal("a"), Literal("b"), 2)
+      .isInstanceOf[CodegenFallback])
+    assert(!CharGramStatsExpr(Literal("a"), Literal("b"), 2)
+      .isInstanceOf[CodegenFallback])
+    // a range-backed (non-local) relation goes through WholeStageCodegen —
+    // the generated path must produce the same rows as the relational form
+    val df = spark.range(0, 50).select(col("id"),
+      split(concat_ws(" ", lit("a b a"), (col("id") % 7).cast("string")), " ").as("ref"),
+      split(concat_ws(" ", lit("b a"), (col("id") % 3).cast("string")), " ").as("hyp"))
+    val got = exprPerN(df,
+      GramStatsExpr.tokenGramStats(col("ref"), col("hyp"), 3))
+      .orderBy("id", "n").collect().map(_.toSeq).toSeq
+    val want = relationalToken(df, 3)
+      .orderBy("id", "n").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("null inputs contribute exactly the zero rows the sums ignore") {
     import spark.implicits._
     val df = Seq((1L, null: String, null: String)).toDF("id", "ref", "hyp")

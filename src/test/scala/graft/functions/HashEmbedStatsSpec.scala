@@ -90,4 +90,25 @@ class HashEmbedStatsSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("hash_embed is codegen'd (no CodegenFallback) and agrees on a real scan") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // round-12: doGenCode replaced the interpreted fallback — pin it
+    assert(!HashEmbedExpr(Literal("a"), 8).isInstanceOf[CodegenFallback])
+    val scan = spark.range(0, 40).select(
+      concat_ws(" ", lit("w"), (col("id") % 5).cast("string"),
+        lit("w x"), (col("id") % 3).cast("string")).as("text"))
+    val viaCodegen = scan
+      .select(graft.functions.HashEmbedExpr.hashEmbed(col("text"), 8).as("e"))
+      .collect().map(_.getSeq[Double](0).toList)
+    import org.apache.spark.unsafe.types.UTF8String
+    val viaEval = scan.collect().map(_.getString(0)).map { t =>
+      HashEmbedExpr(Literal(UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType), 8).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toList
+    }
+    assert(viaCodegen.toList == viaEval.toList)
+  }
 }
