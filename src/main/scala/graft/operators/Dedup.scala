@@ -717,10 +717,25 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= 2)
       .select(col("h"))
+    // Round-12 (guide §1.2, don't compute things you throw away): the
+    // per-source TOTAL is the number of exploded paragraph rows, i.e.
+    // Σ_doc floor((n_tokens − 1)/paraTokens) + 1 — the identical integer
+    // without the explode or any md5, so the totals rollup no longer
+    // re-runs the paragraph-hash corpus scan (the third such scan in the
+    // former plan; the cross-doc aggregate and the semi-join probe still
+    // need the real hashes).
+    // isNotNull mirrors the explode exactly: a null text yields no
+    // paragraph rows, so it must contribute no row here either (and a
+    // group of only-null texts must stay absent, as it is from `paras`)
+    val totals = parallelize(df)
+      .where(col(textCol).isNotNull)
+      .select(col(groupCol),
+        (floor((size(split(trim(lower(col(textCol))), "\\s+")) - 1)
+          / lit(paraTokens)) + lit(1)).as("_pd_k"))
+      .groupBy(col(groupCol)).agg(sum(col("_pd_k")).as("n_paras"))
     paras.join(crossDoc, Seq("h"), "left_semi")
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n_dup_paras"))
-      .join(paras.groupBy(col(groupCol)).agg(count(lit(1)).as("n_paras")),
-        Seq(groupCol), "right")
+      .join(totals, Seq(groupCol), "right")
       .select(col(groupCol), col("n_paras"),
         coalesce(col("n_dup_paras"), lit(0L)).as("n_dup_paras"),
         round(coalesce(col("n_dup_paras"), lit(0L)).cast("double") /

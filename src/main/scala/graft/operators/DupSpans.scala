@@ -58,12 +58,18 @@ object DupSpans {
     // window clamps its span to the real document end.
     // Dedup.parallelize: the shingle+md5 scan is the CPU stage — a
     // single-row-group input would otherwise run it on one task
+    // round-12 (guide §2.3, narrower types): the digest is unhex(md5) —
+    // 16 raw bytes instead of the 32-char hex string. md5-hex ↔ bytes is
+    // a bijection, so every group/join on g is row-identical; g never
+    // reaches the output. Both g-keyed shuffles (the dup-count partial
+    // aggregate and the semi-join probe side) halve their key bytes.
     val windows = Dedup.parallelize(df).select(
         id,
         TextAnalysis.tokenCount(col(textCol)).as("_ds_n"),
         posexplode(graft.functions.MinHashExpr.shinglesArray(col(textCol), k))
           .as(Seq("pos", "gram")))
-      .select(id, col("_ds_n"), col("pos").cast("long").as("pos"), md5(col("gram")).as("g"))
+      .select(id, col("_ds_n"), col("pos").cast("long").as("pos"),
+        unhex(md5(col("gram"))).as("g"))
     val dupG = windows.groupBy("g").agg(count(lit(1)).as("_ds_c"))
       .where(col("_ds_c") >= 2).select("g")
     val dup = windows.join(dupG, Seq("g"), "left_semi")

@@ -571,8 +571,19 @@ object TextAnalysis {
     */
   def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
       minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+    // Round-12 reshape (guide §2.4): keying the fingerprint relation ONCE
+    // (repartition on fp) makes the df-gate aggregate, the gate join, and
+    // both sides of the pair self-join consume the SAME exchange — the
+    // former plan shuffled the (doc, fp) relation twice (partial-count
+    // shuffle for `rare`, full-row shuffle for the gate join; different
+    // subtrees, so nothing was reusable) and ran the winnowing scan — the
+    // rolling-hash CPU stage — twice with it. The df-gate itself is
+    // unchanged (count-then-filter, no per-key row buffering, so a hot
+    // boilerplate fingerprint still costs one counter, not a collected
+    // list).
     val fp = Dedup.parallelize(df)
       .select(col(idCol), explode(winnowFingerprints(col(textCol))).as("fp"))
+      .repartition(col("fp"))
     val rare = fp.groupBy("fp")
       .agg(count(lit(1)).as("_wo_df"))
       .where(col("_wo_df") <= maxDf)
@@ -933,28 +944,41 @@ object TextAnalysis {
     * table (no second corpus scan); one row out.
     */
   def entropyRate(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val big = Dedup.parallelize(df)
       .select(explode(graft.functions.MinHashExpr.shinglesArray(
         lower(col(textCol)), 2)).as("_er_g"))
       .where(size(split(col("_er_g"), " ")) === 2)
       .groupBy("_er_g").agg(count(lit(1)).as("c12"))
       .withColumn("_er_w1", split(col("_er_g"), " ").getItem(0))
-    val ctx = big.groupBy("_er_w1").agg(sum(col("c12")).as("c1"))
     val tot = big.agg(sum(col("c12")).as("n"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    val joined = big.join(ctx, "_er_w1").crossJoin(broadcast(tot))
+    // Round-12 reshape (guide §2.4): the former ctx aggregate + inner
+    // join re-keyed the bigram TYPE table twice (groupBy(_er_w1) exchange
+    // + the join's own exchange) and re-expanded the gram subtree for the
+    // separate h1 aggregate. One window over partition(_er_w1) computes
+    // the identical context totals (sum is the same long arithmetic over
+    // the same groups), and rn==1 marks exactly one row per context so
+    // h1's per-context terms fold into the SAME final aggregate — the
+    // type table crosses the wire once. Every operand (c12, c1, n) and
+    // every rounding point is unchanged, so the decimal sums are
+    // bit-equal; the oracle keeps the relational spelling as the
+    // equivalence proof.
+    val byW1 = Window.partitionBy("_er_w1")
+    val win = big.crossJoin(broadcast(tot))
+      .withColumn("c1", sum(col("c12")).over(byW1))
+      .withColumn("_er_rn", row_number().over(byW1.orderBy("_er_g")))
     val condTerm = round(
       (d(col("c12")) / d(col("n"))) * log(d(col("c12")) / d(col("c1"))), 9)
     val uniTerm = round(
       (d(col("c1")) / d(col("n"))) * log(d(col("c1")) / d(col("n"))), 9)
-    val h2 = joined.agg(
-      max(col("n")).as("n_bigrams"),
-      count(lit(1)).as("n_bigram_types"),
-      (-sum(condTerm.cast("decimal(18,9)"))).cast("double").as("_h2"))
-    val h1 = ctx.crossJoin(broadcast(tot)).agg(
-      count(lit(1)).as("n_contexts"),
-      (-sum(uniTerm.cast("decimal(18,9)"))).cast("double").as("_h1"))
-    h2.crossJoin(broadcast(h1))
+    win.agg(
+        max(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_bigram_types"),
+        count(when(col("_er_rn") === 1, lit(1))).as("n_contexts"),
+        (-sum(condTerm.cast("decimal(18,9)"))).cast("double").as("_h2"),
+        (-sum(when(col("_er_rn") === 1, uniTerm).cast("decimal(18,9)")))
+          .cast("double").as("_h1"))
       .select(col("n_bigrams"), col("n_bigram_types"), col("n_contexts"),
         round(col("_h2"), 6).as("h_cond"),
         round(col("_h1"), 6).as("h_uni"),

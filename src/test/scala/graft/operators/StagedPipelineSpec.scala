@@ -112,6 +112,17 @@ class StagedPipelineSpec extends AnyFunSuite {
           s"co-bucketed stage semi-join still shuffles:\n$plan")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
+      // round-12 file-sizing pin (guide §6): the bucketed write clusters
+      // by the bucket key first, so each stage table holds AT MOST one
+      // file per bucket — not input-tasks × buckets crumbs (the band
+      // stage measured 256 ~3 KB files before the fix)
+      CorpusPipeline.stageNames.filter(_ != "chunks").foreach { n =>
+        val files = Option(new java.io.File(s"$dir/$n").listFiles())
+          .getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))
+        assert(files <= 8, s"stage $n wrote $files files (> buckets)")
+      }
+
       // new-session resume: the catalog entry is gone but the files
       // survive — the barrier re-attaches the bucket spec (metadata-only
       // DDL), nothing rewrites, the manifest is unchanged
