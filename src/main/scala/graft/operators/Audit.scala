@@ -29,10 +29,14 @@ object Audit {
       textCol: String,
       k: Int = 8
   ): DataFrame = {
+    // round-12 (guide §2.3, narrower types): unhex(md5) — 16 raw bytes,
+    // not the 32-char hex string; a bijection, so the distinct and the
+    // gram equi-join are row-identical, and g never reaches the output.
+    // The (src, g) distinct + self-join shuffles were the query's bytes.
     val sg = Dedup.parallelize(df)
       .select(col(srcCol).as("src"),
         explode(graft.functions.MinHashExpr.shinglesArray(col(textCol), k)).as("gram"))
-      .select(col("src"), md5(col("gram")).as("g"))
+      .select(col("src"), unhex(md5(col("gram"))).as("g"))
       .distinct()
     sg.as("a")
       .join(sg.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))

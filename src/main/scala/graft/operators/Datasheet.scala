@@ -22,7 +22,9 @@ object Datasheet {
       sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
       round(avg(length(col(textCol)).cast("double")), 2).as("mean_chars"),
       round(expr(s"percentile(length($textCol), 0.5)"), 1).as("p50_chars"))
-    val distinctHash = docs.select(md5(col(textCol)).as("h")).distinct()
+    // unhex: 16-byte binary digest through the distinct's exchange (a
+    // bijection of the hex string — the count is unchanged; guide §2.3)
+    val distinctHash = docs.select(unhex(md5(col(textCol))).as("h")).distinct()
       .agg(count(lit(1)).as("n_distinct"))
     val lang = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(langCol))
